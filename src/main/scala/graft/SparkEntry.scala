@@ -1,13 +1,188 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame => SDF, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api.{DataFrame, Series}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each mirrored by equivalent DuckDB SQL in [[oracleSql]].
+  * Column names are aligned between both sides (the driver sorts columns by
+  * name before hashing). Every query ends with a deterministic ORDER BY on
+  * both sides. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def lineitem(s: SparkSession, dir: String): DataFrame =
+    DataFrame.fromParquet(s, s"$dir/lineitem.parquet",
+      index = Seq("l_orderkey", "l_linenumber"))
+
+  private def ordersByKey(s: SparkSession, dir: String): DataFrame =
+    DataFrame.fromParquet(s, s"$dir/orders.parquet", index = Seq("o_orderkey"))
+
+  private def partByKey(s: SparkSession, dir: String): DataFrame =
+    DataFrame.fromParquet(s, s"$dir/part.parquet", index = Seq("p_partkey"))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): SDF =
+    queries("q_scalar_arith")(spark, "/root/testdata/sf0.001")
+
+  // Sentinels used to make NaN/±Inf hash-stable across engines in
+  // oracle-checked outputs (DuckDB x/0.0 is NULL, so the numpy semantics
+  // are spelled out in the oracle SQL as CASE arms producing the same
+  // sentinels).
+  private val NanS = 9e9
+  private val PInfS = 8e8
+  private val NInfS = -8e8
+
+  def queries: Map[String, (SparkSession, String) => SDF] = Map(
+    // §2.7 scalar broadcasting + fused same-base Series arithmetic
+    "q_scalar_arith" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val rev = li("l_extendedprice") * li("l_discount").rsub(1.0)
+      li.select(Seq("l_quantity"))
+        .withColumn("revenue", rev)
+        .withColumn("charge", rev * li("l_tax").radd(1.0))
+        .toSpark(includeIndex = true)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // §2.7 comparison ops (eq/gt/le) producing boolean columns
+    "q_cmp" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      li.select(Nil)
+        .withColumn("big_qty", li("l_quantity") > 25)
+        .withColumn("low_disc", li("l_discount") <= 0.05)
+        .withColumn("is_return", li("l_returnflag") === "R")
+        .toSpark(includeIndex = true)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // coercion.py:48-70 numpy-IEEE division via the Semantics when-chain,
+    // classified to finite sentinels for cross-engine hashing
+    "q_ieee_div" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val d = (li("l_quantity") - 25).div(li("l_discount") - 0.05)
+      li.select(Nil)
+        .withColumn("division", d)
+        .applymap(c => when(isnan(c), lit(NanS))
+          .when(c === lit(Double.PositiveInfinity), lit(PInfS))
+          .when(c === lit(Double.NegativeInfinity), lit(NInfS))
+          .otherwise(c))
+        .toSpark(includeIndex = true)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // alchemy.py:254-262 clip = GREATEST/LEAST through broadcast machinery
+    "q_clip" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      li.select(Seq("l_quantity")).clip(10, 40)
+        .toSpark(includeIndex = true)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // generic.py:77-79 abs; §2.7 scalar sub
+    "q_abs" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      li.select(Nil)
+        .withColumn("disc_dev", (li("l_discount") - 0.05).abs)
+        .toSpark(includeIndex = true)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // base.py:72-79 full-outer index alignment + alchemy.py:178-181
+    // post-op fill_value coalesce
+    "q_fill_value" -> ((s, dir) => {
+      val o = ordersByKey(s, dir)("o_totalprice")
+      val p = partByKey(s, dir)("p_retailprice")
+      o.add(p, fillValue = Some(-1.0)).rename(Some("s"))
+        .toSpark(includeIndex = true)
+        .orderBy("o_orderkey")
+    }),
+
+    // generic.py:69-75 isna over the NULLs produced by outer alignment
+    "q_isna" -> ((s, dir) => {
+      val o = ordersByKey(s, dir)("o_totalprice")
+      val p = partByKey(s, dir)("p_retailprice")
+      o.add(p).rename(Some("s")).isna
+        .toSpark(includeIndex = true)
+        .orderBy("o_orderkey")
+    }),
+
+    // generic.py:46-48 head on a sorted source
+    "q_head" -> ((s, dir) => {
+      val o = DataFrame.fromSpark(
+        s.read.parquet(s"$dir/orders.parquet").orderBy("o_orderkey"),
+        index = Seq("o_orderkey"))
+      o.select(Seq("o_totalprice", "o_orderstatus")).head(10)
+        .toSpark(includeIndex = true)
+        .orderBy("o_orderkey")
+    }),
+
+    // generic.py:50-57 tail = COUNT then LIMIT/OFFSET
+    "q_tail" -> ((s, dir) => {
+      val o = DataFrame.fromSpark(
+        s.read.parquet(s"$dir/orders.parquet").orderBy("o_orderkey"),
+        index = Seq("o_orderkey"))
+      o.select(Seq("o_totalprice", "o_orderstatus")).tail(10)
+        .toSpark(includeIndex = true)
+        .orderBy("o_orderkey")
+    }),
+
+    // alchemy.py:470-478 Series add_prefix — concat onto index values
+    "q_series_prefix" -> ((s, dir) => {
+      ordersByKey(s, dir)("o_totalprice").addPrefix("k_")
+        .toSpark(includeIndex = true)
+        .orderBy("o_orderkey")
+    })
+  )
+
+  /** DuckDB equivalents over the same parquet tables. Table names resolve
+    * because Verify/driver register each `<dir>/<name>.parquet` as a view
+    * named `<name>`. */
+  def oracleSql: Map[String, String] = Map(
+    "q_scalar_arith" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        | l_extendedprice * (1 - l_discount) AS revenue,
+        | (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS charge
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_cmp" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_quantity > 25 AS big_qty,
+        | l_discount <= 0.05 AS low_disc,
+        | l_returnflag = 'R' AS is_return
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_ieee_div" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CASE WHEN l_quantity = 25 AND l_discount = 0.05 THEN 9000000000.0
+        |      WHEN l_discount = 0.05 AND l_quantity > 25 THEN 800000000.0
+        |      WHEN l_discount = 0.05 AND l_quantity < 25 THEN -800000000.0
+        |      ELSE (l_quantity - 25) / (l_discount - 0.05) END AS division
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_clip" ->
+      """SELECT l_orderkey, l_linenumber,
+        | least(greatest(l_quantity, 10), 40) AS l_quantity
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_abs" ->
+      """SELECT l_orderkey, l_linenumber, abs(l_discount - 0.05) AS disc_dev
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_fill_value" ->
+      """SELECT COALESCE(o.o_orderkey, p.p_partkey) AS o_orderkey,
+        | COALESCE(o.o_totalprice + p.p_retailprice, -1.0) AS s
+        |FROM orders o FULL OUTER JOIN part p ON o.o_orderkey = p.p_partkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_isna" ->
+      """SELECT COALESCE(o.o_orderkey, p.p_partkey) AS o_orderkey,
+        | (o.o_totalprice + p.p_retailprice) IS NULL AS s
+        |FROM orders o FULL OUTER JOIN part p ON o.o_orderkey = p.p_partkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_head" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |ORDER BY o_orderkey LIMIT 10""".stripMargin,
+    "q_tail" ->
+      """SELECT * FROM (SELECT o_orderkey, o_totalprice, o_orderstatus
+        | FROM orders ORDER BY o_orderkey DESC LIMIT 10) t
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_series_prefix" ->
+      """SELECT 'k_' || CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+  )
 }

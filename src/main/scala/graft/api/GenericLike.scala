@@ -1,0 +1,93 @@
+package graft.api
+
+import graft.core._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Shared DataFrame/Series surface — the reference's `GenericMixin`
+  * (generic.py:6-93). Immutable: every op returns a new object (the
+  * `@copied` copy-on-write pattern, utils.py:5-16, becomes plain
+  * functional style). */
+private[graft] trait GenericLike[Self] {
+  private[graft] def frame: SqlFrame
+  protected def rebuild(f: SqlFrame): Self
+  protected def klass: String
+  def ndim: Int
+
+  /** Axis resolution with the exact pandas ValueError (base.py:48-53). */
+  protected def getAxis(axis: Any): Int
+
+  protected def badAxis(axis: Any): Nothing =
+    throw new GraftValueError(s"No axis named $axis for object type $klass")
+
+  /** COUNT(*) (generic.py:8-10). Eager, like the reference. */
+  def len: Long = frame.count()
+
+  def empty: Boolean = len == 0
+
+  def size: Long = len * frame.nCols
+
+  /** Index level names (None = unnamed, like the default rowid index). */
+  def indexNames: IndexedSeq[Option[String]] = frame.indexNames
+
+  /** Materialize just the index values (generic.py:24-29). */
+  def indexValues: Seq[Seq[Any]] =
+    frame.df.select(frame.idxCols: _*).collect().toSeq.map(_.toSeq)
+
+  /** LIMIT n (generic.py:46-48). Row set changes → re-anchor the plan. */
+  def head(n: Int = 5): Self = rebuild(frame.rePhysical(frame.df.limit(n)))
+
+  /** COUNT then LIMIT/OFFSET — two jobs, faithful to generic.py:50-57. */
+  def tail(n: Int = 5): Self = {
+    val offset = math.max(0L, len - n).toInt
+    val df = if (offset > 0) frame.df.offset(offset).limit(n) else frame.df.limit(n)
+    rebuild(frame.rePhysical(df))
+  }
+
+  def isna: Self = rebuild(frame.mapCols((c, _, _) => c.isNull))
+  def isnull: Self = isna
+  def notna: Self = rebuild(frame.mapCols((c, _, _) => c.isNotNull))
+  def notnull: Self = notna
+  def abs: Self = rebuild(frame.mapCols((c, _, _) => org.apache.spark.sql.functions.abs(c)))
+  def round(decimals: Int = 0): Self =
+    rebuild(frame.mapCols((c, _, _) => org.apache.spark.sql.functions.round(c, decimals)))
+
+  /** CAST every data column (generic.py:59-62). */
+  def astype(dt: DataType): Self = rebuild(frame.mapCols((c, _, _) => c.cast(dt)))
+
+  /** Single-element truthiness probe (generic.py:35-44). */
+  def boolValue(): Boolean = {
+    if (size != 1)
+      throw new GraftValueError(
+        s"The truth value of a $klass is ambiguous. Use a.empty, a.bool(), " +
+          s"a.item(), a.any() or a.all().")
+    frame.df.select(frame.colAt(0)).collect().head.get(0) match {
+      case b: Boolean => b
+      case _ =>
+        throw new GraftValueError(
+          s"bool cannot act on a non-boolean single element $klass")
+    }
+  }
+
+  def pipe[T](f: Self => T): T = f(this.asInstanceOf[Self])
+
+  /** Expose as a plain Spark DataFrame with label-derived names (None →
+    * `col_N`, duplicates suffixed) — the bridge out of the pandas layer and
+    * the path Verify/Bench use. */
+  def toSpark(includeIndex: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val used = scala.collection.mutable.Set[String]()
+    def uniq(base: String): String = {
+      var n = base; var k = 1
+      while (used.contains(n)) { n = s"${base}_$k"; k += 1 }
+      used += n; n
+    }
+    val idxSel =
+      if (includeIndex)
+        (0 until frame.nIdx).map(i => frame.idxCols(i)
+          .as(uniq(frame.indexNames(i).getOrElse(s"index_$i"))))
+      else Nil
+    val dataSel = (0 until frame.nCols).map(i =>
+      frame.colAt(i).as(uniq(frame.colLabels(i).getOrElse(s"col_$i"))))
+    frame.df.select(idxSel ++ dataSel: _*)
+  }
+}

@@ -1,0 +1,232 @@
+package graft.api
+
+import graft.core._
+import graft.core.Semantics.BinOp
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pandas-semantics Series over a lazy Spark plan — the analog of the
+  * reference's `Series` (alchemy.py:353-517). One data column; `name` is
+  * the single column label. */
+final class Series private[graft] (
+    private[graft] val frame: SqlFrame) extends GenericLike[Series] {
+
+  require(frame.nCols == 1, "Series must have exactly one data column")
+
+  def ndim: Int = 1
+  protected def klass: String = "Series"
+  protected def rebuild(f: SqlFrame): Series = new Series(f)
+
+  def name: Option[String] = frame.colLabels.head
+
+  def shape: Seq[Long] = Seq(len)
+
+  /** Only axis 0/"index"/"rows" exists for a Series (base.py:7, 48-53). */
+  protected def getAxis(axis: Any): Int = axis match {
+    case 0 | "index" | "rows" => 0
+    case _ => badAxis(axis)
+  }
+
+  /** Collect as (index, value) pairs (flat index) — iteritems
+    * (alchemy.py:369-372). */
+  def collectItems(): Seq[(Any, Any)] =
+    frame.df.collect().toSeq.map { r =>
+      (if (frame.isMultiIndex) r.toSeq.take(frame.nIdx) else r.get(0),
+        r.get(frame.nIdx))
+    }
+
+  def values: Seq[Any] =
+    frame.df.select(frame.colAt(0)).collect().toSeq.map(_.get(0))
+
+  def iterator: Iterator[Any] =
+    frame.df.select(frame.colAt(0)).toLocalIterator().asScala.map(_.get(0))
+
+  private implicit class IterConv[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext = it.hasNext; def next() = it.next()
+    }
+  }
+
+  /** Scalar by ordinal — `iat` / `_get_value(takeable=True)`
+    * (alchemy.py:374-383; indexer.py). Bounds use `>=` (the DataFrame
+    * variant's correct check, alchemy.py:159 — the reference Series' `>`
+    * at :378 is an off-by-one; SURVEY.md §7.4 item 5). */
+  def iat(i: Long): Any = {
+    val rowCount = len
+    val idx = if (i < 0) rowCount + i else i
+    if (idx < 0 || idx >= rowCount)
+      throw new GraftIndexError(
+        s"index $i is out of bounds for axis 0 with size $rowCount")
+    frame.df.select(frame.colAt(0)).offset(idx.toInt).limit(1)
+      .collect().head.get(0)
+  }
+
+  /** CONCAT a literal onto the index values — a real projection, unlike the
+    * DataFrame label-rename variant (alchemy.py:470-478). */
+  def addPrefix(prefix: String): Series =
+    rebuild(frame.mapIdx((e, _) => concat(lit(prefix), e.cast("string"))))
+
+  def addSuffix(suffix: String): Series =
+    rebuild(frame.mapIdx((e, _) => concat(e.cast("string"), lit(suffix))))
+
+  def rename(newName: Option[String]): Series =
+    new Series(frame.withDataExprs(IndexedSeq(newName), frame.dataExprs))
+
+  // ---------------------------------------------------------------- binary ops
+
+  /** The Series broadcast dispatcher — `Series._op` (alchemy.py:385-447). */
+  private[graft] def binOp(op: BinOp, other: Any, level: Option[Any] = None,
+                           fillValue: Option[Any] = None, axis: Any = 0,
+                           reverse: Boolean = false, lax: Boolean = true): Series = {
+    if (axis != null) getAxis(axis) // validation only (alchemy.py:395-398)
+
+    def appOp(l: Operand, r: Operand): Column = {
+      val (a, b) = if (reverse) (r, l) else (l, r)
+      val res = op(a, b)
+      fillValue.fold(res)(fv => coalesce(res, Semantics.literal(fv).col))
+    }
+
+    other match {
+      case s if Semantics.isScalar(s) =>
+        val rOp = Semantics.literal(s)
+        rebuild(frame.mapCols((c, dt, _) => appOp(Operand(c, dt), rOp)))
+      case s: Series =>
+        if (frame.fusesWith(s.frame))
+          // same base + same index → row-aligned by construction: fuse into
+          // a single projection (zero-shuffle; the reference would emit a
+          // full self-join here — SqlFrame.scala header note)
+          rebuild(frame.withDataExprs(frame.colLabels, Seq(appOp(
+            Operand(frame.dataExprs(0), frame.colType(0)),
+            Operand(s.frame.dataExprs(0), s.frame.colType(0))))))
+        else
+          rebuild(Align.alignedJoin(frame, s.frame, level, frame.colLabels,
+            Seq((0, 0)), appOp))
+      case _: DataFrame =>
+        // Series op DataFrame yields a DataFrame — impossible under this
+        // method's static Series return type; exposed as [[combineFrame]]
+        throw new GraftTypeError(
+          "Series op DataFrame returns a DataFrame: use Series.combineFrame " +
+            "or DataFrame.r<op>(series, axis = 0)")
+      case seq: Seq[_] =>
+        val other2 = seq.toSeq
+        if (lax && other2.length == 1) {
+          val rOp = Semantics.literal(other2.head)
+          rebuild(frame.mapCols((c, dt, _) => appOp(Operand(c, dt), rOp)))
+        } else {
+          val rowCount = len
+          if (other2.length != rowCount) {
+            val (l, r) = if (reverse) (other2.length.toLong, rowCount)
+                         else (rowCount, other2.length.toLong)
+            throw new GraftValueError(
+              s"operands could not be broadcast together with shapes ($l,) ($r,)")
+          }
+          rebuild(Align.pasteCombine(frame, other2,
+            (l, r, _) => appOp(l, r)))
+        }
+      case arr: Array[_] => binOp(op, arr.toSeq, level, fillValue, axis, reverse, lax)
+      case _ =>
+        throw new GraftTypeError(
+          s"Cannot broadcast np.ndarray with operand of type ${other.getClass}")
+    }
+  }
+
+  /** Series op DataFrame → DataFrame, delegating with roles flipped
+    * (alchemy.py:419-424). The reference hardcodes `radd` for every op — a
+    * reference bug; we reflect the actual op (SURVEY.md §7.4 item 6). */
+  def combineFrame(op: BinOp, df: DataFrame, level: Option[Any] = None,
+                   fillValue: Option[Any] = None,
+                   reverse: Boolean = false): DataFrame =
+    df.binOp(op, this, axis = 0, level = level, fillValue = fillValue,
+      reverse = !reverse)
+
+  // 16 arithmetic methods + 6 comparisons (alchemy.py:449-463)
+  def add(other: Any, level: Option[Any] = None, fillValue: Option[Any] = None, axis: Any = 0): Series =
+    binOp(Semantics.Add, other, level, fillValue, axis)
+  def radd(other: Any, level: Option[Any] = None, fillValue: Option[Any] = None, axis: Any = 0): Series =
+    binOp(Semantics.Add, other, level, fillValue, axis, reverse = true)
+  def sub(other: Any, level: Option[Any] = None, fillValue: Option[Any] = None, axis: Any = 0): Series =
+    binOp(Semantics.Sub, other, level, fillValue, axis)
+  def rsub(other: Any, level: Option[Any] = None, fillValue: Option[Any] = None, axis: Any = 0): Series =
+    binOp(Semantics.Sub, other, level, fillValue, axis, reverse = true)
+  def mul(other: Any, level: Option[Any] = None, fillValue: Option[Any] = None, axis: Any = 0): Series =
+    binOp(Semantics.Mul, other, level, fillValue, axis)
+  def rmul(other: Any, level: Option[Any] = None, fillValue: Option[Any] = None, axis: Any = 0): Series =
+    binOp(Semantics.Mul, other, level, fillValue, axis, reverse = true)
+  def div(other: Any, level: Option[Any] = None, fillValue: Option[Any] = None, axis: Any = 0): Series =
+    binOp(Semantics.Div, other, level, fillValue, axis)
+  def rdiv(other: Any, level: Option[Any] = None, fillValue: Option[Any] = None, axis: Any = 0): Series =
+    binOp(Semantics.Div, other, level, fillValue, axis, reverse = true)
+  def truediv(other: Any, level: Option[Any] = None, fillValue: Option[Any] = None, axis: Any = 0): Series =
+    div(other, level, fillValue, axis)
+  def rtruediv(other: Any, level: Option[Any] = None, fillValue: Option[Any] = None, axis: Any = 0): Series =
+    rdiv(other, level, fillValue, axis)
+  def floordiv(other: Any, level: Option[Any] = None, fillValue: Option[Any] = None, axis: Any = 0): Series =
+    binOp(Semantics.FloorDiv, other, level, fillValue, axis)
+  def rfloordiv(other: Any, level: Option[Any] = None, fillValue: Option[Any] = None, axis: Any = 0): Series =
+    binOp(Semantics.FloorDiv, other, level, fillValue, axis, reverse = true)
+  def mod(other: Any, level: Option[Any] = None, fillValue: Option[Any] = None, axis: Any = 0): Series =
+    binOp(Semantics.Mod, other, level, fillValue, axis)
+  def rmod(other: Any, level: Option[Any] = None, fillValue: Option[Any] = None, axis: Any = 0): Series =
+    binOp(Semantics.Mod, other, level, fillValue, axis, reverse = true)
+  def pow(other: Any, level: Option[Any] = None, fillValue: Option[Any] = None, axis: Any = 0): Series =
+    binOp(Semantics.Pow, other, level, fillValue, axis)
+  def rpow(other: Any, level: Option[Any] = None, fillValue: Option[Any] = None, axis: Any = 0): Series =
+    binOp(Semantics.Pow, other, level, fillValue, axis, reverse = true)
+
+  def eq(other: Any, level: Option[Any] = None, axis: Any = 0): Series =
+    binOp(Semantics.Eq, other, level, None, axis)
+  def ne(other: Any, level: Option[Any] = None, axis: Any = 0): Series =
+    binOp(Semantics.Ne, other, level, None, axis)
+  def lt(other: Any, level: Option[Any] = None, axis: Any = 0): Series =
+    binOp(Semantics.Lt, other, level, None, axis)
+  def le(other: Any, level: Option[Any] = None, axis: Any = 0): Series =
+    binOp(Semantics.Le, other, level, None, axis)
+  def gt(other: Any, level: Option[Any] = None, axis: Any = 0): Series =
+    binOp(Semantics.Gt, other, level, None, axis)
+  def ge(other: Any, level: Option[Any] = None, axis: Any = 0): Series =
+    binOp(Semantics.Ge, other, level, None, axis)
+
+  // Scala operator sugar (the dunder layer, ops_mixin.py:1-66)
+  def +(other: Any): Series = add(other)
+  def -(other: Any): Series = sub(other)
+  def *(other: Any): Series = mul(other)
+  def /(other: Any): Series = div(other)
+  def %(other: Any): Series = mod(other)
+  def ===(other: Any): Series = eq(other)
+  def =!=(other: Any): Series = ne(other)
+  def <(other: Any): Series = lt(other)
+  def <=(other: Any): Series = le(other)
+  def >(other: Any): Series = gt(other)
+  def >=(other: Any): Series = ge(other)
+
+  /** GREATEST/LEAST through the broadcast engine (alchemy.py:465-468;
+    * `lax=False` so a 1-element list is NOT unwrapped). */
+  def clip(lower: Any = null, upper: Any = null, axis: Any = null): Series = {
+    val afterLower =
+      if (lower == null) this
+      else binOp(Semantics.Greatest, lower, axis = axis, lax = false)
+    if (upper == null) afterLower
+    else afterLower.binOp(Semantics.Least, upper, axis = axis, lax = false)
+  }
+
+  /** fillna = COALESCE (pandas surface convenience; the reference reaches
+    * the same effect via `fill_value`). */
+  def fillna(value: Any): Series = {
+    val v = Semantics.literal(value)
+    rebuild(frame.mapCols((c, _, _) => coalesce(c, v.col)))
+  }
+}
+
+object Series {
+  /** Literal values with a synthesized 0..n-1 index, all labels None —
+    * `Series.from_list` (alchemy.py:508-517). */
+  def fromList(spark: SparkSession, values: Seq[Any], name: Option[String] = None): Series =
+    new Series(SqlFrame.fromLocal(spark, values.indices.map(_.toLong), values, name))
+
+  /** (index, value) pairs — `Series.from_pandas` (alchemy.py:493-506). */
+  def fromLocal(spark: SparkSession, items: Seq[(Any, Any)],
+                name: Option[String] = None,
+                indexName: Option[String] = None): Series =
+    new Series(SqlFrame.fromLocal(spark, items.map(_._1), items.map(_._2),
+      name, indexName))
+}

@@ -1,0 +1,192 @@
+package graft
+
+import graft.api.{DataFrame, Series}
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Kernel semantics per FIXTURES.md §B: broadcasting, IEEE edges,
+  * alignment, exception texts. */
+class KernelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def sFromList(vs: Seq[Any]): Series = Series.fromList(spark, vs)
+
+  test("from_list + scalar arithmetic") {
+    val s = sFromList(Seq(1.0, 2.0, 3.0)).add(10)
+    assert(s.collectItems().toMap == Map(0L -> 11.0, 1L -> 12.0, 2L -> 13.0))
+  }
+
+  test("IEEE division semantics (coercion.py:48-70)") {
+    val s = sFromList(Seq(1.0, -1.0, 0.0, Double.PositiveInfinity, Double.NaN))
+    val byZero = s.div(0).values
+    assert(byZero(0) == Double.PositiveInfinity)
+    assert(byZero(1) == Double.NegativeInfinity)
+    assert(byZero(2).asInstanceOf[Double].isNaN) // 0/0 via sign(0)*inf
+    assert(byZero(3) == Double.PositiveInfinity) // inf/0
+    assert(byZero(4).asInstanceOf[Double].isNaN)
+    val byInf = s.div(Double.PositiveInfinity).values
+    assert(byInf(0) == 0.0 && byInf(1) == 0.0)
+    assert(byInf(3).asInstanceOf[Double].isNaN) // inf/inf
+    val floor = sFromList(Seq(7.0, -7.0)).floordiv(2).values
+    assert(floor == Seq(3.0, -4.0))
+  }
+
+  test("numpy mod semantics (coercion.py:73-85)") {
+    val s = sFromList(Seq(5.0, -5.0, Double.PositiveInfinity, Double.NaN))
+    val m0 = s.mod(0).values
+    assert(m0.forall(_.asInstanceOf[Double].isNaN))
+    val mInf = s.mod(Double.PositiveInfinity).values
+    assert(mInf(0) == 5.0)
+    assert(mInf(1) == Double.PositiveInfinity) // signs disagree → rhs
+    assert(mInf(2).asInstanceOf[Double].isNaN) // inf % x → NaN
+    assert(s.mod(3).values(0) == 2.0)
+    assert(s.mod(3).values(1) == -2.0) // SQL remainder: sign of dividend
+  }
+
+  test("bool coercion (coercion.py:88-116)") {
+    val s = sFromList(Seq(true, false))
+    assert(s.add(true).values == Seq(2, 1))
+    assert(s.mul(3).values == Seq(3, 0))
+  }
+
+  test("Series x Series full-outer index alignment (base.py:72-79)") {
+    val a = Series.fromLocal(spark, Seq(0 -> 1.0, 1 -> 2.0, 2 -> 3.0))
+    val b = Series.fromLocal(spark, Seq(1 -> 10.0, 2 -> 20.0, 3 -> 30.0))
+    val got = a.add(b).collectItems().toMap
+    assert(got == Map(0 -> null, 1 -> 12.0, 2 -> 23.0, 3 -> null))
+    val filled = a.add(b, fillValue = Some(0.0)).collectItems().toMap
+    assert(filled == Map(0 -> 0.0, 1 -> 12.0, 2 -> 23.0, 3 -> 0.0))
+  }
+
+  test("self-join aliasing (alchemy.py:202-204)") {
+    val a = Series.fromLocal(spark, Seq(0 -> 1.0, 1 -> 2.0))
+    assert(a.add(a).collectItems().toMap == Map(0 -> 2.0, 1 -> 4.0))
+  }
+
+  test("DataFrame column outer alignment (base.py:64-70)") {
+    val l = DataFrame.fromLocal(spark, Seq("a", "b"), Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+    val r = DataFrame.fromLocal(spark, Seq("b", "c"), Seq(Seq(10.0, 100.0), Seq(20.0, 200.0)))
+    val res = l.add(r)
+    assert(res.columns == IndexedSeq(Some("a"), Some("b"), Some("c")))
+    val rows = res.frame.df.orderBy("__idx_0").collect()
+    assert(rows(0).get(1) == null) // a: missing right → NULL
+    assert(rows(0).get(2) == 12.0) // b aligned
+    assert(rows(0).get(3) == null) // c: missing left
+  }
+
+  test("list broadcast axis=1 + exact error text (alchemy.py:216-218)") {
+    val l = DataFrame.fromLocal(spark, Seq("a", "b"), Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+    val res = l.add(Seq(10, 20))
+    assert(res.frame.df.orderBy("__idx_0").collect()(0).get(1) == 11.0)
+    val e = intercept[GraftValueError](l.add(Seq(1, 2, 3)))
+    assert(e.getMessage == "Unable to coerce to Series, length must be 2: given 3")
+  }
+
+  test("list broadcast axis=0 paste-join (base.py:118-128)") {
+    val l = DataFrame.fromLocal(spark, Seq("a"), Seq(Seq(1.0), Seq(2.0), Seq(3.0)))
+    val res = l.add(Seq(10, 20, 30), axis = 0)
+    assert(res.frame.df.orderBy("__idx_0").collect().map(_.get(1)).toSeq ==
+      Seq(11.0, 22.0, 33.0))
+    val e = intercept[GraftValueError](l.add(Seq(1, 2), axis = 0))
+    assert(e.getMessage == "Unable to coerce to Series, length must be 3: given 2")
+  }
+
+  test("Series list-shape error text (alchemy.py:437-438)") {
+    val s = sFromList(Seq(1.0, 2.0, 3.0))
+    val e = intercept[GraftValueError](s.add(Seq(1, 2)))
+    assert(e.getMessage == "operands could not be broadcast together with shapes (3,) (2,)")
+    // lax single-element unwrap (alchemy.py:425-429)
+    assert(s.add(Seq(5)).values == Seq(6.0, 7.0, 8.0))
+  }
+
+  test("head/tail/iat (generic.py:46-57, alchemy.py:146-163)") {
+    val s = sFromList(Seq(1, 2, 3, 4, 5))
+    assert(s.head(2).values == Seq(1, 2))
+    assert(s.tail(2).values == Seq(4, 5))
+    assert(s.iat(0) == 1 && s.iat(-1) == 5)
+    val e = intercept[GraftIndexError](s.iat(7))
+    assert(e.getMessage == "index 7 is out of bounds for axis 0 with size 5")
+  }
+
+  test("unary ops + applymap na_action (generic.py:69-83, alchemy.py:264-275)") {
+    val df = DataFrame.fromLocal(spark, Seq("x"), Seq(Seq(-1.5), Seq(null), Seq(2.5)))
+    assert(df.isna.frame.df.orderBy("__idx_0").collect().map(_.get(1)).toSeq ==
+      Seq(false, true, false))
+    assert(df.abs.frame.df.orderBy("__idx_0").collect().map(_.get(1)).toSeq ==
+      Seq(1.5, null, 2.5))
+    val am = df.applymap(c => c * 2, naAction = Some("ignore"))
+    assert(am.frame.df.orderBy("__idx_0").collect().map(_.get(1)).toSeq ==
+      Seq(-3.0, null, 5.0))
+    val e = intercept[GraftValueError](df.applymap(identity, Some("bogus")))
+    assert(e.getMessage == "na_action must be 'ignore' or None. Got 'bogus'")
+  }
+
+  test("clip (alchemy.py:254-262)") {
+    val df = DataFrame.fromLocal(spark, Seq("x"), Seq(Seq(1.0), Seq(5.0), Seq(9.0)))
+    assert(df.clip(2, 8).frame.df.orderBy("__idx_0").collect().map(_.get(1)).toSeq ==
+      Seq(2.0, 5.0, 8.0))
+    val e = intercept[GraftValueError](df.clip(Seq(1, 2, 3), null))
+    assert(e.getMessage == "Must specify axis=0 or 1")
+  }
+
+  test("level join: flat x MultiIndex (base.py:86-102)") {
+    // multi side (ym, d) vs flat side keyed on ym
+    val multi = new DataFrame(SqlFrame.fromSpark(
+      spark.createDataFrame(Seq((2024, 1, 10.0), (2024, 2, 20.0), (2025, 1, 30.0)))
+        .toDF("ym", "d", "v"), Seq("ym", "d")))
+    val flat = new DataFrame(SqlFrame.fromSpark(
+      spark.createDataFrame(Seq((2024, 100.0), (2025, 200.0))).toDF("ym", "v"),
+      Seq("ym")))
+    val res = multi.add(flat, axis = 0, level = Some("ym"))
+    assert(res.frame.nIdx == 2)
+    val vals = res.frame.df.orderBy("__idx_0", "__idx_1").collect().map(_.get(2)).toSeq
+    assert(vals == Seq(110.0, 120.0, 230.0))
+  }
+
+  test("multi x multi level join is ambiguous (base.py:101-102)") {
+    val mk = () => new DataFrame(SqlFrame.fromSpark(
+      spark.createDataFrame(Seq((1, 2, 3.0))).toDF("a", "b", "v"), Seq("a", "b")))
+    val e = intercept[GraftTypeError](mk().add(mk(), axis = 0, level = Some(0)))
+    assert(e.getMessage == "Join on level between two MultiIndex objects is ambiguous")
+  }
+
+  test("parquet from_table with promoted index (alchemy.py:313-350)") {
+    val df = DataFrame.fromParquet(spark, "/root/testdata/sf0.001/nation.parquet",
+      index = Seq("n_nationkey"))
+    assert(df.columns.flatten == IndexedSeq("n_name", "n_regionkey"))
+    assert(df.len == 25)
+    val s = df("n_name")
+    assert(s.name == Some("n_name"))
+  }
+
+  test("same-base Series combine fuses to a projection — no join in plan") {
+    val df = DataFrame.fromParquet(spark, "/root/testdata/sf0.001/lineitem.parquet",
+      index = Seq("l_orderkey", "l_linenumber"))
+    val revenue = df("l_extendedprice") * df("l_discount").rsub(1.0)
+    val plan = revenue.frame.df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), s"fused series op should not join:\n$plan")
+    val viaSql = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .selectExpr("sum(l_extendedprice * (1 - l_discount)) s").collect()(0).getDouble(0)
+    val got = revenue.frame.df.selectExpr("sum(__col_0) s").collect()(0).getDouble(0)
+    assert(math.abs(got - viaSql) < 1e-6)
+  }
+
+  test("withColumn fused + foreign") {
+    val df = DataFrame.fromLocal(spark, Seq("a"), Seq(Seq(1.0), Seq(2.0)))
+    val out = df.withColumn("b", df("a") * 10)
+    assert(out.columns.flatten == IndexedSeq("a", "b"))
+    assert(out.frame.df.orderBy("__idx_0").collect().map(_.get(2)).toSeq == Seq(10.0, 20.0))
+    val foreign = Series.fromLocal(spark, Seq(0L -> 7.0, 1L -> 8.0))
+    val out2 = df.withColumn("c", foreign)
+    assert(out2.frame.df.orderBy("__idx_0").collect().map(_.get(2)).toSeq == Seq(7.0, 8.0))
+  }
+
+  test("bool() probes (generic.py:35-44)") {
+    val t = sFromList(Seq(true))
+    assert(t.boolValue())
+    val e = intercept[GraftValueError](sFromList(Seq(true, false)).boolValue())
+    assert(e.getMessage.startsWith("The truth value of a Series is ambiguous"))
+    val e2 = intercept[GraftValueError](sFromList(Seq(3)).boolValue())
+    assert(e2.getMessage == "bool cannot act on a non-boolean single element Series")
+  }
+}
