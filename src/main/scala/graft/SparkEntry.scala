@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame => SDF, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.api.{DataFrame, Series}
+import graft.api.{DataFrame, Frames, Series}
+import org.apache.spark.sql.types.DecimalType
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each mirrored by equivalent DuckDB SQL in [[oracleSql]].
@@ -132,6 +133,93 @@ object SparkEntry {
       ordersByKey(s, dir)("o_totalprice").addPrefix("k_")
         .toSpark(includeIndex = true)
         .orderBy("o_orderkey")
+    }),
+
+    // extension: groupBy/agg (TPC-H Q1 shape); double sums go through
+    // DECIMAL(18,4) so they are exact and aggregation-order-independent,
+    // then back to DOUBLE for hashing
+    "q_groupby_agg" -> ((s, dir) => {
+      val li = DataFrame.fromParquet(s, s"$dir/lineitem.parquet")
+      val typed = li.select(Seq("l_returnflag", "l_linestatus"))
+        .withColumn("qty_d", li("l_quantity").astype(DecimalType(18, 4)))
+        .withColumn("price_d", li("l_extendedprice").astype(DecimalType(18, 4)))
+      typed.groupby(Seq("l_returnflag", "l_linestatus"))
+        .agg(("qty_d", "sum", "sum_qty"), ("price_d", "sum", "sum_price"),
+          ("qty_d", "count", "cnt"))
+        .toSpark(includeIndex = true)
+        .selectExpr("l_returnflag", "l_linestatus",
+          "CAST(sum_qty AS DOUBLE) AS sum_qty",
+          "CAST(sum_price AS DOUBLE) AS sum_price", "cnt")
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // extension: sort_values + head → TakeOrderedAndProject (top-k without
+    // a global sort materialization)
+    "q_sort_topk" -> ((s, dir) => {
+      val o = DataFrame.fromParquet(s, s"$dir/orders.parquet")
+      o.select(Seq("o_orderkey", "o_totalprice"))
+        .sortValues(Seq("o_totalprice", "o_orderkey"), Seq(false, true))
+        .head(20)
+        .toSpark()
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    }),
+
+    // extension: merge (broadcast-joined small dims) + groupBy
+    "q_merge_groupby" -> ((s, dir) => {
+      val c = DataFrame.fromParquet(s, s"$dir/customer.parquet")
+      val n = DataFrame.fromParquet(s, s"$dir/nation.parquet")
+      val r = DataFrame.fromParquet(s, s"$dir/region.parquet")
+      c.merge(n.renameColumns(Map("n_nationkey" -> "c_nationkey")), Seq("c_nationkey"))
+        .merge(r.renameColumns(Map("r_regionkey" -> "n_regionkey")), Seq("n_regionkey"))
+        .groupby(Seq("r_name"))
+        .agg(("c_acctbal", "count", "n_customers"),
+          ("c_acctbal", "min", "min_bal"), ("c_acctbal", "max", "max_bal"))
+        .toSpark(includeIndex = true)
+        .orderBy("r_name")
+    }),
+
+    // extension: Series.value_counts
+    "q_value_counts" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      li("l_returnflag").valueCounts()
+        .toSpark(includeIndex = true)
+    }),
+
+    // extension: per-column nunique
+    "q_nunique" -> ((s, dir) => {
+      DataFrame.fromParquet(s, s"$dir/orders.parquet",
+        columns = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .nunique()
+        .toSpark()
+    }),
+
+    // extension: boolean masking; same-base mask → filter above the scan
+    // (predicate pushes into parquet)
+    "q_where_mask" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      li.select(Seq("l_quantity", "l_discount"))
+        .where(li("l_quantity") > 45)
+        .toSpark(includeIndex = true)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // extension: concat (row-wise union with label alignment)
+    "q_concat" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val hi = li.select(Seq("l_quantity")).where(li("l_quantity") > 45)
+      val lo = li.select(Seq("l_quantity")).where(li("l_quantity") < 3)
+      Frames.concat(Seq(hi, lo))
+        .toSpark(includeIndex = true)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // extension: dropna over alignment-produced NULLs (= inner join)
+    "q_dropna" -> ((s, dir) => {
+      val o = ordersByKey(s, dir)("o_totalprice")
+      val p = partByKey(s, dir)("p_retailprice")
+      o.add(p).rename(Some("s")).dropna()
+        .toSpark(includeIndex = true)
+        .orderBy("o_orderkey")
     })
   )
 
@@ -183,6 +271,44 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
     "q_series_prefix" ->
       """SELECT 'k_' || CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_totalprice
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_sort_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_merge_groupby" ->
+      """SELECT r_name, count(c_acctbal) AS n_customers,
+        | min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_value_counts" ->
+      """SELECT l_returnflag, count(*) AS "count" FROM lineitem
+        |GROUP BY l_returnflag ORDER BY "count" DESC, l_returnflag""".stripMargin,
+    "q_nunique" ->
+      """SELECT count(DISTINCT o_orderkey) AS o_orderkey,
+        | count(DISTINCT o_custkey) AS o_custkey,
+        | count(DISTINCT o_orderstatus) AS o_orderstatus,
+        | count(DISTINCT o_orderpriority) AS o_orderpriority
+        |FROM orders""".stripMargin,
+    "q_where_mask" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem WHERE l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_concat" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem WHERE l_quantity > 45 OR l_quantity < 3
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_dropna" ->
+      """SELECT o_orderkey, o_totalprice + p_retailprice AS s
+        |FROM orders JOIN part ON o_orderkey = p_partkey
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -12,7 +12,8 @@ import org.apache.spark.sql.types._
   * Spark `DataFrame`, so Catalyst collapses the per-op projection chain and
   * plans all alignment joins (broadcast/SMJ + AQE) for free. */
 final class DataFrame private[graft] (
-    private[graft] val frame: SqlFrame) extends GenericLike[DataFrame] {
+    private[graft] val frame: SqlFrame)
+    extends GenericLike[DataFrame] with DataFrameExtensions {
 
   def ndim: Int = 2
   protected def klass: String = "DataFrame"
@@ -290,6 +291,18 @@ final class DataFrame private[graft] (
   // --------------------------------------------------------------- export
 
   def collectRows(): Seq[Row] = frame.df.collect().toSeq
+
+  /** Replace the index with an exact contiguous 0..n-1 rowid (two narrow
+    * passes via RDD.zipWithIndex; see Align.zipWithRowId). Use when the
+    * reference's observable 0-based default index values matter. */
+  def withSequentialIndex(): DataFrame = {
+    val dropped = toSpark(includeIndex = false)
+    val named = dropped.columns.zipWithIndex.foldLeft(dropped) {
+      case (d, (c, i)) => d.withColumnRenamed(c, SqlFrame.colName(i))
+    }
+    new DataFrame(SqlFrame.fromPhysical(IndexedSeq(None), frame.colLabels,
+      Align.zipWithRowId(named, SqlFrame.idxName(0))))
+  }
 }
 
 object DataFrame {

@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * reference's `Series` (alchemy.py:353-517). One data column; `name` is
   * the single column label. */
 final class Series private[graft] (
-    private[graft] val frame: SqlFrame) extends GenericLike[Series] {
+    private[graft] val frame: SqlFrame)
+    extends GenericLike[Series] with SeriesExtensions {
 
   require(frame.nCols == 1, "Series must have exactly one data column")
 

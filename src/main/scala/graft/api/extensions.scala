@@ -1,0 +1,221 @@
+package graft.api
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame => SDF}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{col => scol}
+import org.apache.spark.sql.types._
+
+/** Extension surface beyond the reference's own operators (SURVEY.md §7.2
+  * step 7): relational verbs the reference leaves to the backing database,
+  * expressed Spark-first so Catalyst/AQE plan them (map-side partial
+  * aggregation, broadcast vs shuffle joins, AQE skew handling).
+  *
+  * Everything here is declarative DataFrame API — no collects, no
+  * driver-side loops — so plans scale with executors. */
+
+/** groupBy handle — `df.groupby(keys).agg(...)` with the group keys
+  * becoming the result's index (pandas semantics). */
+final class GroupBy private[graft] (df: DataFrame, keys: Seq[String]) {
+
+  /** Aggregate with (column, function, outputLabel) specs.
+    * Functions: sum, mean, min, max, count, count_distinct, first, last,
+    * stddev, variance, approx_count_distinct, sum_distinct, median,
+    * collect_set_size. Partial (map-side) aggregation and whole-stage
+    * codegen come from Spark's declarative groupBy. */
+  def agg(specs: (String, String, String)*): DataFrame = {
+    val sdf = df.toSpark(includeIndex = false)
+    val aggCols = specs.map { case (c, fn, alias) =>
+      GroupBy.exprFor(fn, c).as(alias)
+    }
+    val out = sdf.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    DataFrame.fromSpark(out, index = keys)
+  }
+
+  def count(alias: String = "count"): DataFrame = {
+    val sdf = df.toSpark(includeIndex = false)
+    DataFrame.fromSpark(
+      sdf.groupBy(keys.map(col): _*).agg(org.apache.spark.sql.functions.count(lit(1)).as(alias)),
+      index = keys)
+  }
+
+  def sum(cols: String*): DataFrame =
+    agg(cols.map(c => (c, "sum", c)): _*)
+  def mean(cols: String*): DataFrame =
+    agg(cols.map(c => (c, "mean", c)): _*)
+  def min(cols: String*): DataFrame =
+    agg(cols.map(c => (c, "min", c)): _*)
+  def max(cols: String*): DataFrame =
+    agg(cols.map(c => (c, "max", c)): _*)
+}
+
+object GroupBy {
+  private[graft] def exprFor(fn: String, c: String): Column = fn match {
+    case "sum" => org.apache.spark.sql.functions.sum(scol(c))
+    case "mean" | "avg" => avg(scol(c))
+    case "min" => org.apache.spark.sql.functions.min(scol(c))
+    case "max" => org.apache.spark.sql.functions.max(scol(c))
+    case "count" => org.apache.spark.sql.functions.count(scol(c))
+    case "count_distinct" => countDistinct(scol(c))
+    case "approx_count_distinct" => approx_count_distinct(scol(c))
+    case "sum_distinct" => sum_distinct(scol(c))
+    case "first" => first(scol(c))
+    case "last" => last(scol(c))
+    case "stddev" => stddev(scol(c))
+    case "variance" => variance(scol(c))
+    case "median" => median(scol(c))
+    case other => throw new GraftValueError(s"Unknown aggregation: $other")
+  }
+}
+
+private[graft] trait DataFrameExtensions { this: DataFrame =>
+
+  /** Boolean masking — `df[mask]`. A same-base mask filters directly above
+    * the scan (predicate pushdown applies); a foreign mask is a LEFT SEMI
+    * join on the index against its true rows (pandas reindex-missing→False
+    * semantics, no data movement on the probe side beyond the join). */
+  def where(mask: Series): DataFrame = {
+    if (frame.fusesWith(mask.frame))
+      new DataFrame(frame.whereExpr(mask.frame.dataExprs(0)))
+    else {
+      val m = mask.frame.df.where(scol(SqlFrame.colName(0)))
+        .select((0 until mask.frame.nIdx).map(i =>
+          scol(SqlFrame.idxName(i)).as(SqlFrame.rIdxName(i))): _*)
+      val cond = (0 until frame.nIdx.min(mask.frame.nIdx)).map(i =>
+        scol(SqlFrame.idxName(i)) === scol(SqlFrame.rIdxName(i))).reduce(_ && _)
+      new DataFrame(frame.rePhysical(frame.df.join(m, cond, "left_semi")))
+    }
+  }
+
+  def filter(mask: Series): DataFrame = where(mask)
+
+  /** Drop rows containing NULL in any (or the given) data columns. */
+  def dropna(subset: Seq[String] = Nil): DataFrame = {
+    val ords = if (subset.isEmpty) frame.colLabels.indices
+               else subset.map(s => frame.colLabels.indexOf(Some(s)))
+    val cond = ords.map(i => frame.dataExprs(i).isNotNull).reduce(_ && _)
+    new DataFrame(frame.whereExpr(cond))
+  }
+
+  def fillna(value: Any): DataFrame = {
+    val v = Semantics.literal(value)
+    new DataFrame(frame.mapCols((c, _, _) => coalesce(c, v.col)))
+  }
+
+  /** Sort by data columns (pandas sort_values). A global sort is a range
+    * shuffle; Spark samples ranges so it stays parallel at scale. */
+  def sortValues(by: Seq[String], ascending: Seq[Boolean] = Nil): DataFrame = {
+    val asc = if (ascending.isEmpty) by.map(_ => true) else ascending
+    val ords = by.zip(asc).map { case (c, a) =>
+      val i = frame.colLabels.indexOf(Some(c))
+      if (i < 0) throw new GraftKeyError(s"'$c'")
+      if (a) frame.colAt(i).asc else frame.colAt(i).desc
+    }
+    new DataFrame(frame.rePhysical(frame.df.orderBy(ords: _*)))
+  }
+
+  def sortIndex(ascending: Boolean = true): DataFrame = {
+    val ords = (0 until frame.nIdx).map(i =>
+      if (ascending) frame.idxCols(i).asc else frame.idxCols(i).desc)
+    new DataFrame(frame.rePhysical(frame.df.orderBy(ords: _*)))
+  }
+
+  def groupby(keys: Seq[String]): GroupBy = new GroupBy(this, keys)
+
+  /** Relational join on data columns (pandas merge). The result gets a
+    * fresh synthetic index (pandas merge resets the index). Catalyst picks
+    * broadcast vs shuffle join from stats + AQE. */
+  def merge(other: DataFrame, on: Seq[String], how: String = "inner",
+            suffixes: (String, String) = ("_x", "_y")): DataFrame = {
+    val l = this.toSpark(includeIndex = false)
+    val r = other.toSpark(includeIndex = false)
+    val overlap = l.columns.toSet.intersect(r.columns.toSet) -- on.toSet
+    val lr = overlap.foldLeft(l)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
+    val rr = overlap.foldLeft(r)((d, c) => d.withColumnRenamed(c, c + suffixes._2))
+    val how2 = how match {
+      case "outer" => "full_outer"
+      case h => h
+    }
+    DataFrame.fromSpark(lr.join(rr, on, how2))
+  }
+
+  /** Exact deduplication by full row or subset (Spark keeps an arbitrary
+    * representative per group — a shuffle-based hash dedup that scales;
+    * pandas' keep="first" needs a total order that 100 TB doesn't have). */
+  def dropDuplicates(subset: Seq[String] = Nil): DataFrame = {
+    val sdf = this.toSpark(includeIndex = false)
+    val out = if (subset.isEmpty) sdf.dropDuplicates() else sdf.dropDuplicates(subset)
+    DataFrame.fromSpark(out)
+  }
+
+  /** Per-column distinct counts as a one-row frame. */
+  def nunique(): DataFrame = {
+    val sdf = this.toSpark(includeIndex = false)
+    DataFrame.fromSpark(sdf.select(sdf.columns.map(c =>
+      countDistinct(scol(c)).as(c)).toSeq: _*))
+  }
+}
+
+private[graft] trait SeriesExtensions { this: Series =>
+
+  def where(mask: Series): Series = {
+    if (frame.fusesWith(mask.frame))
+      new Series(frame.whereExpr(mask.frame.dataExprs(0)))
+    else {
+      val m = mask.frame.df.where(scol(SqlFrame.colName(0)))
+        .select((0 until mask.frame.nIdx).map(i =>
+          scol(SqlFrame.idxName(i)).as(SqlFrame.rIdxName(i))): _*)
+      val cond = (0 until frame.nIdx.min(mask.frame.nIdx)).map(i =>
+        scol(SqlFrame.idxName(i)) === scol(SqlFrame.rIdxName(i))).reduce(_ && _)
+      new Series(frame.rePhysical(frame.df.join(m, cond, "left_semi")))
+    }
+  }
+
+  def dropna(): Series = new Series(frame.whereExpr(frame.dataExprs(0).isNotNull))
+
+  /** value → count, ordered by count desc (pandas value_counts). */
+  def valueCounts(): Series = {
+    val sdf = frame.df.select(frame.colAt(0).as("__v"))
+    val counted = sdf.groupBy(scol("__v")).agg(count(lit(1)).as("__c"))
+      .orderBy(scol("__c").desc, scol("__v"))
+      .select(scol("__v").as(SqlFrame.idxName(0)), scol("__c").as(SqlFrame.colName(0)))
+    new Series(SqlFrame.fromPhysical(IndexedSeq(name), IndexedSeq(Some("count")), counted))
+  }
+
+  private def aggScalar(c: Column): Any =
+    frame.df.select(c.as("__r")).collect().head.get(0)
+
+  def sum(): Any = aggScalar(org.apache.spark.sql.functions.sum(frame.colAt(0)))
+  def mean(): Any = aggScalar(avg(frame.colAt(0)))
+  def min(): Any = aggScalar(org.apache.spark.sql.functions.min(frame.colAt(0)))
+  def max(): Any = aggScalar(org.apache.spark.sql.functions.max(frame.colAt(0)))
+  def countNonNull(): Long =
+    aggScalar(count(frame.colAt(0))).asInstanceOf[Long]
+  def nunique(): Long =
+    aggScalar(count_distinct(frame.colAt(0))).asInstanceOf[Long]
+}
+
+object Frames {
+  /** Row-wise concatenation with outer label alignment (pandas concat,
+    * sort=False: labels in order of first appearance). Indexes are
+    * preserved (possibly duplicated), like pandas. */
+  def concat(frames: Seq[DataFrame]): DataFrame = {
+    require(frames.nonEmpty, "concat of empty list")
+    val nIdx = frames.head.frame.nIdx
+    require(frames.forall(_.frame.nIdx == nIdx),
+      "concat requires equal index depth")
+    val labels = frames.foldLeft(IndexedSeq.empty[Option[String]]) {
+      (acc, f) => acc ++ f.frame.colLabels.filterNot(acc.contains)
+    }
+    val parts = frames.map { f =>
+      val sel = (0 until nIdx).map(i => scol(SqlFrame.idxName(i))) ++
+        labels.zipWithIndex.map { case (lbl, k) =>
+          val i = f.frame.colLabels.indexOf(lbl)
+          (if (i < 0) lit(null) else scol(SqlFrame.colName(i))).as(SqlFrame.colName(k))
+        }
+      f.frame.df.select(sel: _*)
+    }
+    new DataFrame(SqlFrame.fromPhysical(frames.head.frame.indexNames, labels,
+      parts.reduce(_.unionByName(_))))
+  }
+}

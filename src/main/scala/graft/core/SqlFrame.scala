@@ -120,6 +120,13 @@ final class SqlFrame private (
   def rePhysical(newDf: SDF): SqlFrame =
     SqlFrame.fromPhysical(indexNames, colLabels, newDf)
 
+  /** Filter rows by a predicate expressed over [[base]] (boolean masking).
+    * The filtered base is a new fusion anchor; expressions carry over
+    * unchanged, and the predicate sits directly above the scan so Catalyst
+    * pushes it into the source. */
+  def whereExpr(cond: Column): SqlFrame =
+    new SqlFrame(indexNames, colLabels, base.where(cond), idxExprs, dataExprs)
+
   def count(): Long = df.count() // generic.py:8-10
 }
 
@@ -150,9 +157,14 @@ object SqlFrame {
 
   /** Attach positional structure to an arbitrary Spark DataFrame.
     * `indexCols` are promoted to index levels (from_table(index=...),
-    * alchemy.py:335-341); when empty a synthetic contiguous 0-based rowid
-    * index is generated (row_number()-1, alchemy.py:332-334) via the
-    * scale-aware [[Align.zipWithRowId]]. */
+    * alchemy.py:335-341); when empty a synthetic unnamed index is attached
+    * (the analog of row_number()-1, alchemy.py:332-334) as a LAZY
+    * `monotonically_increasing_id()`: unique, ordered by (partition, row),
+    * no job at construction and no single-partition window at any scale.
+    * Values are not contiguous 0..n-1 — the same ordering caveat the
+    * reference accepts for its unordered `row_number() OVER ()`
+    * (SURVEY.md §7.4 item 1); use [[Align.zipWithRowId]] (exposed as
+    * `DataFrame.withSequentialIndex`) when contiguous positions matter. */
   def fromSpark(df: SDF, indexCols: Seq[String] = Nil,
                 dataCols: Seq[String] = Nil): SqlFrame = {
     val allCols = df.columns.toIndexedSeq
@@ -165,11 +177,9 @@ object SqlFrame {
     if (indexCols.nonEmpty)
       new SqlFrame(indexCols.map(Some(_)).toIndexedSeq, data.map(Some(_)), df,
         indexCols.map(col).toIndexedSeq, data.map(col))
-    else {
-      val withId = Align.zipWithRowId(df, idxName(0))
-      new SqlFrame(IndexedSeq(None), data.map(Some(_)), withId,
-        IndexedSeq(col(idxName(0))), data.map(col))
-    }
+    else
+      new SqlFrame(IndexedSeq(None), data.map(Some(_)), df,
+        IndexedSeq(monotonically_increasing_id()), data.map(col))
   }
 
   /** Build a frame from local values — the analog of

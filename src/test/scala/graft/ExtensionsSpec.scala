@@ -1,0 +1,93 @@
+package graft
+
+import graft.api.{DataFrame, Frames, Series}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Extension surface: groupby/merge/sort/mask/concat/dedup. */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("groupby agg matches raw Spark") {
+    val li = DataFrame.fromParquet(spark, s"$dir/lineitem.parquet")
+    val g = li.groupby(Seq("l_returnflag")).agg(("l_quantity", "sum", "sq"))
+    val got = g.toSpark(includeIndex = true).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exp = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag").sum("l_quantity").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - exp(k)) < 1e-6) }
+  }
+
+  test("where with same-base mask pushes filter to scan") {
+    val li = DataFrame.fromParquet(spark, s"$dir/lineitem.parquet")
+    val filtered = li.select(Seq("l_quantity")).where(li("l_quantity") > 45)
+    val plan = filtered.frame.df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"),
+      s"expected parquet pushdown:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"))
+    val n = filtered.len
+    val exp = spark.read.parquet(s"$dir/lineitem.parquet")
+      .where("l_quantity > 45").count()
+    assert(n == exp)
+  }
+
+  test("where with foreign mask = left semi on index") {
+    val a = Series.fromLocal(spark, Seq(0 -> 1.0, 1 -> 2.0, 2 -> 3.0))
+    val mask = Series.fromLocal(spark, Seq(0 -> false, 1 -> true, 2 -> true))
+    assert(a.where(mask).values.toSet == Set(2.0, 3.0))
+  }
+
+  test("merge inner + suffixes") {
+    val l = DataFrame.fromLocal(spark, Seq("k", "v"),
+      Seq(Seq[Any](1, 10.0), Seq[Any](2, 20.0)))
+    val r = DataFrame.fromLocal(spark, Seq("k", "v"),
+      Seq(Seq[Any](2, 200.0), Seq[Any](3, 300.0)))
+    val m = l.merge(r, Seq("k"))
+    assert(m.columns.flatten.toSet == Set("k", "v_x", "v_y"))
+    val rows = m.toSpark().collect()
+    assert(rows.length == 1 && rows(0).getInt(0) == 2)
+  }
+
+  test("concat aligns labels outer") {
+    val a = DataFrame.fromLocal(spark, Seq("x"), Seq(Seq(1.0)))
+    val b = DataFrame.fromLocal(spark, Seq("y"), Seq(Seq(2.0)))
+    val c = Frames.concat(Seq(a, b))
+    assert(c.columns.flatten == IndexedSeq("x", "y"))
+    assert(c.len == 2)
+  }
+
+  test("sortValues + head = top-k") {
+    val o = DataFrame.fromParquet(spark, s"$dir/orders.parquet")
+    val top = o.select(Seq("o_orderkey", "o_totalprice"))
+      .sortValues(Seq("o_totalprice"), Seq(false)).head(5)
+    val vals = top.toSpark().collect().map(_.getDouble(1)).toSeq
+    assert(vals == vals.sorted.reverse)
+    val expMax = spark.read.parquet(s"$dir/orders.parquet")
+      .agg(org.apache.spark.sql.functions.max("o_totalprice")).collect()(0).getDouble(0)
+    assert(vals.head == expMax)
+  }
+
+  test("value_counts ordered desc") {
+    val s = Series.fromList(spark, Seq("a", "b", "a", "c", "a", "b"))
+    val vc = s.valueCounts().collectItems()
+    assert(vc.map(_._1) == Seq("a", "b", "c"))
+    assert(vc.map(_._2) == Seq(3L, 2L, 1L))
+  }
+
+  test("dropDuplicates + nunique") {
+    val d = DataFrame.fromLocal(spark, Seq("a", "b"),
+      Seq(Seq(1, "x"), Seq(1, "x"), Seq(2, "y")))
+    assert(d.dropDuplicates().len == 2)
+    val nu = d.nunique().toSpark().collect()(0)
+    assert(nu.getLong(0) == 2 && nu.getLong(1) == 2)
+  }
+
+  test("fillna / dropna") {
+    val d = DataFrame.fromLocal(spark, Seq("x"), Seq(Seq(1.0), Seq(null), Seq(3.0)))
+    assert(d.dropna().len == 2)
+    assert(d.fillna(0.0).frame.df.orderBy("__idx_0").collect().map(_.get(1)).toSeq ==
+      Seq(1.0, 0.0, 3.0))
+  }
+}
