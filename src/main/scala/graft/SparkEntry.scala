@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame => SDF, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.{DataFrame, Frames, Series}
+import graft.operators.{Dedup, Similarity, TextAnalysis, WindowOps}
 import org.apache.spark.sql.types.DecimalType
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -220,6 +221,100 @@ object SparkEntry {
       o.add(p).rename(Some("s")).dropna()
         .toSpark(includeIndex = true)
         .orderBy("o_orderkey")
+    }),
+
+    // text analysis: token counts, BPE-ish estimate, md5 fingerprint,
+    // n-gram language ID — all codegen'd expressions, no UDFs
+    "q_text_stats" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // exact dedup on normalized-text fingerprint (hash groupBy)
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactText(s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+        .orderBy("fp")
+    }),
+
+    // brute-force cosine top-k similarity (broadcast queries, window top-k)
+    "q_cosine_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.where(col("vec_id") < 10)
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // partitioned window ops over events (ts is ns-precision → read as
+    // Long nanos via nanosAsLong; ordering semantics identical). Running
+    // sums accumulate in DECIMAL so they are association-order-exact across
+    // engines (DuckDB's segment-tree window aggregation reassociates double
+    // sums); the double cast at the end is deterministic.
+    "q_window_cumsum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("vd", col("value").cast(DecimalType(18, 6)))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wc = w.rowsBetween(Window.unboundedPreceding, 0)
+      val wr = w.rowsBetween(-3, 0)
+      val withPrev = WindowOps.shift(ev, Seq("user_id"), Seq("ts", "event_id"),
+        "value", 1, "prev")
+      withPrev.select(col("event_id"),
+        sum(col("vd")).over(wc).cast("double").as("cum"),
+        col("prev"),
+        (sum(col("vd")).over(wr).cast("double") / count(lit(1)).over(wr)).as("roll"))
+        .orderBy("event_id")
+    }),
+
+    // MinHash+LSH near-dup candidates (banded signature equi-join; not
+    // SQL-expressible → rows-only check). est_jaccard floor keeps the
+    // output meaningful; the documents corpus shares vocabulary so
+    // candidate pairs exist at low thresholds.
+    "q_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", numHashes = 64, bands = 32)
+        .orderBy("id_l", "id_r")
+    }),
+
+    // 64-bit SimHash signatures per document (rows-only)
+    "q_simhash" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // exact n-gram Jaccard pairs via shingle join (rows-only)
+    "q_jaccard_pairs" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", n = 3, threshold = 0.05)
+        .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_l", "id_r")
+    }),
+
+    // LSH-bucketed approximate nearest neighbors (rows-only)
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.where(col("vec_id") < 20)
+      Similarity.annTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, planes = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // quality scoring (rows-only; banded heuristic)
+    "q_quality" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")
     })
   )
 
@@ -309,6 +404,41 @@ object SparkEntry {
     "q_dropna" ->
       """SELECT o_orderkey, o_totalprice + p_retailprice AS s
         |FROM orders JOIN part ON o_orderkey = p_partkey
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         | len(list_filter(string_split_regex(trim(text), '\\s+'), t -> len(t) > 0)) AS n_tokens,
+         | len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpeish,
+         | md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         | ${graft.operators.LangId.oracleSqlExpr("text")} AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        | min(doc_id) AS canonical_id, count(*) AS n_dupes
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(sim, 6) AS cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_window_cumsum" ->
+      """SELECT event_id,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum,
+        | lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB shape of the problem:
+  *
+  *  - exact: one hash-shuffle groupBy on the dedup key (map-side partial
+  *    aggregation applies).
+  *  - MinHash+LSH: signatures are per-row expressions; candidate pairs come
+  *    from an equi-join on (band, bandKey) so only same-bucket rows meet —
+  *    never an O(n²) compare.
+  *  - SimHash: 64-bit signature per row; near-dup candidates via the
+  *    pigeonhole band join (hamming ≤ d → some 16-bit chunk equal for
+  *    d ≤ 3), then exact hamming filter with bit_count.
+  *  - n-gram Jaccard: explode distinct shingles, equi-join on shingle with
+  *    a frequency cap to cut hub-shingle skew, then exact Jaccard from
+  *    intersection counts.
+  *
+  * All deterministic: hash family parameters derive from a fixed seed.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical (min id) representative + duplicate count per
+    * distinct key value. */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dupes"))
+
+  /** Exact text dedup on the normalized md5 fingerprint. */
+  def exactText(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(TextAnalysis.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dupes"))
+
+  /** Word n-gram shingles (distinct). Short texts (< n tokens) yield the
+    * whole text as one shingle so they still participate. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val joined = concat_ws(" ", toks)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array(joined)))
+  }
+
+  /** MinHash signature over an already-built shingle array column:
+    * `numHashes` independent hash functions via seeded xxhash64 (the seed
+    * is an extra hashed column — no affine-transform overflow under ANSI).
+    * Implemented as a SINGLE aggregate pass over the shingle array that
+    * folds a k-wide min vector — the shingle array expression appears once
+    * in the plan (an array(transform…) per function would be recomputed k
+    * times after Catalyst collapses projections). */
+  def minhashSignatureOf(shingleArr: Column, numHashes: Int = 64,
+                         seed: Long = 42L): Column =
+    aggregate(shingleArr,
+      typedlit(Seq.fill(numHashes)(Long.MaxValue)),
+      (acc, s) => zip_with(acc,
+        array((0 until numHashes).map(i => xxhash64(s, lit(seed + i))): _*),
+        (a, b) => least(a, b)))
+
+  /** MinHash signature straight from a text column. Prefer materializing
+    * the shingle array once (withColumn) when computing many signatures —
+    * see minhashLshPairs. */
+  def minhashSignature(text: Column, numHashes: Int = 64, shingleN: Int = 3,
+                       seed: Long = 42L): Column =
+    minhashSignatureOf(shingles(text, shingleN), numHashes, seed)
+
+  /** Whole-table MinHash signatures: (id, sig array<long>).
+    *
+    * Formulated as explode(shingles) → k codegen'd xxhash64 columns →
+    * groupBy(id).min(...) rather than a per-row higher-order fold: Spark
+    * evaluates lambda functions interpreted (no codegen), which makes the
+    * HOF form ~20× slower; the explode+hashAggregate form is whole-stage
+    * codegen'd end to end and gets map-side partial aggregation, so the
+    * shuffle carries only k longs per document. This is the form that
+    * scales to 100 TB. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, shingleN: Int = 3,
+                        seed: Long = 42L): DataFrame = {
+    val ex = df.select(col(idCol).as("__id"),
+      explode(shingles(col(textCol), shingleN)).as("__s"))
+    // hash the variable-length shingle bytes ONCE, then derive the k
+    // family members by re-hashing the fixed 8-byte base — k× cheaper than
+    // k string hashes
+    val based = ex.select(col("__id"), xxhash64(col("__s")).as("__hb"))
+    val hashed = based.select(col("__id") +:
+      (0 until numHashes).map(i => xxhash64(col("__hb"), lit(seed + i)).as(s"__h$i")): _*)
+    val aggd = hashed.groupBy("__id")
+      .agg(min(col("__h0")).as("__h0"),
+        (1 until numHashes).map(i => min(col(s"__h$i")).as(s"__h$i")): _*)
+    aggd.select(col("__id"),
+      array((0 until numHashes).map(i => col(s"__h$i")): _*).as("__sig"))
+  }
+
+  /** Candidate near-duplicate pairs via banded LSH over MinHash signatures.
+    * Returns (id_l, id_r, est_jaccard) with id_l < id_r; est_jaccard is the
+    * fraction of matching signature positions. rowsPerBand = numHashes /
+    * bands; similarity threshold ≈ (1/bands)^(1/rowsPerBand). */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 64, bands: Int = 16,
+                      shingleN: Int = 3, seed: Long = 42L,
+                      cacheSignatures: Boolean = true): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    // The signature relation feeds three consumers (band explode + two
+    // verification joins); cache it rather than recompute the shingle
+    // hashing per consumer. 64 longs/doc → ~0.5 KB/doc, spills to disk
+    // beyond memory (MEMORY_AND_DISK) — the standard LSH fit trade.
+    val sig0 = minhashSignatures(df, idCol, textCol, numHashes, shingleN, seed)
+    val sig = if (cacheSignatures)
+      sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sig0
+    // Band rows carry ONLY (id, band, key): a column passed *through* a
+    // Generate is re-evaluated per emitted row, so carrying the signature
+    // would recompute the whole aggregate `bands` times per document — and
+    // at scale the band shuffle should be narrow anyway. Signatures are
+    // joined back onto the (distinct) candidate pairs afterwards.
+    val banded = sig.select(col("__id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          hash(slice(col("__sig"), b * r + 1, lit(r))).as("key")))).as("bk"))
+      .select(col("__id"), col("bk.band").as("__band"), col("bk.key").as("__key"))
+    // SHUFFLE_HASH on the self-join: both sides then need the same
+    // hashpartitioning(band,key) exchange over the same canonical subtree,
+    // so ReuseExchange computes the banded signatures ONCE (a broadcast
+    // join would recompute the subtree for the build side).
+    val candidates = banded.select(col("__band"), col("__key"), col("__id").as("id_l"))
+      .hint("SHUFFLE_HASH")
+      .join(banded.select(col("__band"), col("__key"), col("__id").as("id_r"))
+        .hint("SHUFFLE_HASH"), Seq("__band", "__key"))
+      .where(col("id_l") < col("id_r"))
+      .select("id_l", "id_r").distinct()
+    candidates
+      .join(sig.select(col("__id").as("id_l"), col("__sig").as("sig_l")), Seq("id_l"))
+      .join(sig.select(col("__id").as("id_r"), col("__sig").as("sig_r")), Seq("id_r"))
+      .select(col("id_l"), col("id_r"),
+        (size(filter(zip_with(col("sig_l"), col("sig_r"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes).as("est_jaccard"))
+  }
+
+  private val pow2: Column = typedlit((0 until 64).map(i => 1L << i))
+
+  /** 64-bit SimHash over whitespace tokens: per-bit vote sum of token
+    * xxhash64 bits, sign → bit. One nested higher-order expression per row. */
+  def simhash(text: Column): Column = {
+    val hs = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val votes = aggregate(hs,
+      typedlit(Seq.fill(64)(0L)),
+      (acc, h) => zip_with(acc, pow2,
+        (a, p) => a + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(-1L)))
+    aggregate(zip_with(votes, pow2,
+      (v, p) => when(v > 0, p).otherwise(0L)), lit(0L), (a, x) => a.bitwiseOR(x))
+  }
+
+  /** Near-duplicate candidates by SimHash: band the 64-bit signature into
+    * four 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk is
+    * equal), equi-join per chunk, then exact hamming filter via bit_count.
+    * Returns (id_l, id_r, hamming) with id_l < id_r. */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val sig = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sh"))
+    // chunk shift amounts are compile-time literals (shiftright needs Int);
+    // same pass-through rule as minhashLshPairs: bands carry ids only
+    val chunkStructs = array((0 until 4).map(c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("__sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)
+    val chunks = sig.select(col("__id"), explode(chunkStructs).as("ck"))
+      .select(col("__id"), col("ck.chunk").as("__chunk"), col("ck.key").as("__key"))
+    val candidates = chunks.select(col("__chunk"), col("__key"), col("__id").as("id_l"))
+      .join(chunks.select(col("__chunk"), col("__key"), col("__id").as("id_r")),
+        Seq("__chunk", "__key"))
+      .where(col("id_l") < col("id_r"))
+      .select("id_l", "id_r").distinct()
+    candidates
+      .join(sig.select(col("__id").as("id_l"), col("__sh").as("sh_l")), Seq("id_l"))
+      .join(sig.select(col("__id").as("id_r"), col("__sh").as("sh_r")), Seq("id_r"))
+      .select(col("id_l"), col("id_r"),
+        bit_count(col("sh_l").bitwiseXOR(col("sh_r"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity pairs above a threshold.
+    * `maxShingleFreq` drops hub shingles (appearing in more rows than the
+    * cap) before the join — the standard skew guard: a shingle shared by
+    * f rows contributes f² join pairs. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5,
+                        maxShingleFreq: Long = 1000L): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+      explode(shingles(col(textCol), n)).as("__sh"))
+    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__sz"))
+    val freqOk = sh.groupBy("__sh").agg(count(lit(1)).as("__f"))
+      .where(col("__f") <= maxShingleFreq).select("__sh")
+    val filtered = sh.join(freqOk, Seq("__sh"))
+    val inter = filtered.select(col("__sh"), col("__id").as("id_l"))
+      .join(filtered.select(col("__sh"), col("__id").as("id_r")), Seq("__sh"))
+      .where(col("id_l") < col("id_r"))
+      .groupBy("id_l", "id_r").agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.withColumnRenamed("__id", "id_l").withColumnRenamed("__sz", "__sz_l"), Seq("id_l"))
+      .join(sizes.withColumnRenamed("__id", "id_r").withColumnRenamed("__sz", "__sz_r"), Seq("id_r"))
+      .select(col("id_l"), col("id_r"),
+        (col("__inter").cast("double") /
+          (col("__sz_l") + col("__sz_r") - col("__inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Embedding near-duplicates: cosine ≥ threshold via LSH bucketing
+    * (random hyperplane signs) + exact cosine check within buckets. */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double = 0.95, planes: Int = 8,
+                       seed: Long = 42L, dim: Int = 64): DataFrame = {
+    val bucketed = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      Similarity.lshBucket(col(vecCol), planes, dim, seed).as("__bucket"))
+    val l = bucketed.select(col("__bucket"), col("__id").as("id_l"), col("__v").as("v_l"))
+    val r = bucketed.select(col("__bucket"), col("__id").as("id_r"), col("__v").as("v_r"))
+    l.join(r, Seq("__bucket"))
+      .where(col("id_l") < col("id_r"))
+      .select(col("id_l"), col("id_r"),
+        Similarity.cosine(col("v_l"), col("v_r")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

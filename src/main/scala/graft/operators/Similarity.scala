@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (array<float>).
+  *
+  * The scalar kernels (dot / norm / cosine) are higher-order array
+  * expressions — codegen'd, no UDFs. Two search paths:
+  *
+  *  - [[bruteForceTopK]]: exact. Queries are broadcast (they are top-k
+  *    *queries*, small by construction); the corpus streams map-side, a
+  *    per-query top-k window finishes. Corpus-side cost O(n·q·d) flops but
+  *    zero corpus shuffle beyond the final per-query k rows.
+  *  - [[annTopK]]: approximate. Random-hyperplane LSH buckets both sides;
+  *    only same-bucket candidates are scored. The bucket join is an
+  *    equi-join → hash-partitioned, scales with executors. Recall is
+  *    tunable by `planes` (fewer planes → bigger buckets → higher recall).
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn === 0.0, 0.0).otherwise(d / nn)
+  }
+
+  /** Deterministic random hyperplanes (dim doubles each) from a seed. */
+  private[operators] def planesFor(planes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** LSH bucket id: integer whose bit j = sign(dot(v, r_j)). */
+  def lshBucket(v: Column, planes: Int, dim: Int, seed: Long): Column =
+    planesFor(planes, dim, seed).zipWithIndex.map { case (p, j) =>
+      when(dot(v, typedlit(p)) >= 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Exact cosine top-k: for each row of `queries`, the k nearest corpus
+    * rows. Output: (queryId, rank, neighborId, cosine). */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, qidCol: String, qvecCol: String,
+                     k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
+    val q = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(if (excludeSelf) col("__cid") =!= col("__qid") else lit(true))
+      .select(col("__qid"), col("__cid"), cosine(col("__cv"), col("__qv")).as("__sim"))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("__sim").desc, col("__cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__qid").as("query_id"), col("rank"),
+        col("__cid").as("neighbor_id"), col("__sim").as("cosine"))
+  }
+
+  /** Approximate top-k via single-probe LSH bucketing. Rows whose bucket
+    * contains fewer than k neighbors return fewer than k results — the
+    * recall/cost dial is `planes`. */
+  def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qidCol: String, qvecCol: String,
+              k: Int, planes: Int = 4, dim: Int = 64,
+              seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"),
+      lshBucket(col(vecCol), planes, dim, seed).as("__bucket"))
+    val q = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"),
+      lshBucket(col(qvecCol), planes, dim, seed).as("__bucket"))
+    val scored = c.join(q, Seq("__bucket"))
+      .where(col("__cid") =!= col("__qid"))
+      .select(col("__qid"), col("__cid"), cosine(col("__cv"), col("__qv")).as("__sim"))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("__sim").desc, col("__cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__qid").as("query_id"), col("rank"),
+        col("__cid").as("neighbor_id"), col("__sim").as("cosine"))
+  }
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` expressions (split,
+  * regexp_count, higher-order array functions) — no UDFs, so whole-stage
+  * codegen spans the full pipeline and the expressions constant-fold /
+  * push down like any other Catalyst expression. All functions are
+  * `Column => Column` (or DataFrame transformers) and therefore compose
+  * with any source at any scale: per-row work, no shuffles.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties removed ("" → 0 tokens). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token estimate: word chunks plus individual punctuation
+    * marks (each CJK ideograph is punct-class under ASCII \w, so zh text
+    * counts per-character — the right granularity for BPE estimates). */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("\\w+|[^\\w\\s]"))
+
+  def charCount(text: Column): Column = length(text)
+
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[^\\w\\s]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def digitRatio(text: Column): Column =
+    regexp_count(text, lit("[0-9]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def upperRatio(text: Column): Column =
+    regexp_count(text, lit("[A-Z]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def meanWordLength(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+      greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Fraction of lowercase \W+-tokens found in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = filter(split(lower(text), "\\W+"), t => length(t) > 0)
+    val sw = typedlit(stopwords)
+    size(filter(toks, t => array_contains(sw, t))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Heuristic quality score in [0,1]: length band + punctuation sanity +
+    * stopword presence + word-length sanity (the usual C4/Gopher-style
+    * cheap filters, combined additively). */
+  def qualityScore(text: Column): Column = {
+    val len = length(text)
+    val lengthScore = when(len.between(200, 20000), 0.25)
+      .when(len.between(50, 50000), 0.15).otherwise(0.0)
+    val punct = punctRatio(text)
+    val punctScore = when(punct.between(0.005, 0.12), 0.25)
+      .when(punct <= 0.25, 0.1).otherwise(0.0)
+    val sw = stopwordRatio(text, LangId.profiles.flatMap(_._2))
+    val swScore = when(sw >= 0.08, 0.25).when(sw >= 0.02, 0.1).otherwise(0.0)
+    val mwl = meanWordLength(text)
+    val wordScore = when(mwl.between(2.5, 12.0), 0.25)
+      .when(mwl.between(1.5, 20.0), 0.1).otherwise(0.0)
+    lengthScore + punctScore + swScore + wordScore
+  }
+
+  /** Stable document fingerprint: md5 of whitespace-normalized lowercase
+    * text. md5 so external engines (the DuckDB oracle) can reproduce it;
+    * use [[xxFingerprint]] in shuffles where a cheap 64-bit key wins. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 64-bit fingerprint for join/shuffle keys (xxHash64, codegen'd). */
+  def xxFingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** n-gram language ID heuristic: CJK character share decides zh;
+    * otherwise argmax of per-language stopword hits with a fixed
+    * preference order (en > de > fr > es) on ties. Deterministic and
+    * SQL-mirrorable (LangId.oracleSqlExpr). */
+  def langId(text: Column): Column = LangId.expr(text)
+}
+
+/** Language-ID profiles shared between the Spark expression and the DuckDB
+  * oracle so both engines compute the identical function. */
+object LangId {
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ein", "mit", "den", "von"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "dans", "que", "une", "pour"),
+    "es" -> Seq("el", "la", "que", "de", "los", "una", "por", "con", "para", "las"))
+
+  private def hits(text: Column, words: Seq[String]): Column = {
+    val toks = filter(split(lower(text), "\\W+"), t => length(t) > 0)
+    size(filter(toks, t => array_contains(typedlit(words), t)))
+  }
+
+  def expr(text: Column): Column = {
+    val cjk = regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]"))
+    val Seq(en, de, fr, es) = profiles.map(p => hits(text, p._2))
+    when(cjk * 3 > length(text), "zh")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** The same function as [[expr]], rendered as DuckDB SQL over a text
+    * column reference. */
+  def oracleSqlExpr(textRef: String): String = {
+    def h(words: Seq[String]): String = {
+      val list = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(list_filter(string_split_regex(lower($textRef), '\\W+'), t -> len(t) > 0), t -> list_contains($list, t)))"
+    }
+    val Seq(en, de, fr, es) = profiles.map(p => h(p._2))
+    s"""CASE WHEN len(regexp_extract_all($textRef, '[\\x{4e00}-\\x{9fff}]')) * 3 > len($textRef) THEN 'zh'
+       | WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+       | WHEN $de >= $fr AND $de >= $es THEN 'de'
+       | WHEN $fr >= $es THEN 'fr'
+       | ELSE 'es' END""".stripMargin
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+
+/** Partitioned window operators (shift/diff/cumsum/rolling/rank).
+  *
+  * All take explicit partition keys: a pandas-style global-order window
+  * funnels every row through one partition — unusable at 100 TB — so the
+  * API makes the partitioning first-class. Per-partition ordering gives
+  * Spark a shuffle on the partition key and parallel window evaluation. */
+object WindowOps {
+
+  private def spec(partitionBy: Seq[String], orderBy: Seq[String]): WindowSpec =
+    Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy.map(col): _*)
+
+  /** lag/lead (pandas shift; positive n looks back). */
+  def shift(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
+            valueCol: String, n: Int = 1, outCol: String = "shifted"): DataFrame =
+    df.withColumn(outCol,
+      if (n >= 0) lag(col(valueCol), n).over(spec(partitionBy, orderBy))
+      else lead(col(valueCol), -n).over(spec(partitionBy, orderBy)))
+
+  /** first difference (pandas diff). */
+  def diff(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
+           valueCol: String, outCol: String = "diff"): DataFrame =
+    df.withColumn(outCol,
+      col(valueCol) - lag(col(valueCol), 1).over(spec(partitionBy, orderBy)))
+
+  /** running sum (pandas cumsum). */
+  def cumsum(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
+             valueCol: String, outCol: String = "cumsum"): DataFrame =
+    df.withColumn(outCol, sum(col(valueCol)).over(
+      spec(partitionBy, orderBy).rowsBetween(Window.unboundedPreceding, 0)))
+
+  def cumcount(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
+               outCol: String = "cumcount"): DataFrame =
+    df.withColumn(outCol, row_number().over(spec(partitionBy, orderBy)) - 1)
+
+  /** trailing fixed-size window mean (pandas rolling(n).mean(), partial
+    * windows included like min_periods=1). */
+  def rollingMean(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
+                  valueCol: String, n: Int, outCol: String = "rolling_mean"): DataFrame =
+    df.withColumn(outCol, avg(col(valueCol)).over(
+      spec(partitionBy, orderBy).rowsBetween(-(n - 1), 0)))
+
+  def rank(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
+           outCol: String = "rank"): DataFrame =
+    df.withColumn(outCol, org.apache.spark.sql.functions.rank()
+      .over(spec(partitionBy, orderBy)))
+}

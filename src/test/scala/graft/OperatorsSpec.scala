@@ -1,0 +1,139 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LLM-pipeline operators: dedup, similarity, text analysis. */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val dir = "/root/testdata/sf0.001"
+
+  def docsWithPlantedDupes = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").where(length(col("text")) > 50).limit(20)
+    // plant: 9001 = exact copy of first doc; 9002 = first doc with a small
+    // edit; 9003 = unrelated
+    val rows = docs.collect()
+    val base = rows(0).getString(1)
+    val edited = base.split("\\s+").toSeq.patch(3, Seq("XYZZY"), 1).mkString(" ")
+    val planted = Seq(
+      (9001L, base), (9002L, edited),
+      (9003L, "totally unrelated content nothing in common whatsoever qq"))
+      .toDF("doc_id", "text")
+    docs.union(planted)
+  }
+
+  test("exact dedup finds the exact copy") {
+    val d = Dedup.exactText(docsWithPlantedDupes, "text", "doc_id")
+    val dupes = d.where(col("n_dupes") > 1).collect()
+    assert(dupes.length == 1 && dupes(0).getAs[Long]("n_dupes") == 2)
+  }
+
+  test("minhash LSH finds exact + near dup, not the unrelated doc") {
+    val pairs = Dedup.minhashLshPairs(docsWithPlantedDupes, "doc_id", "text",
+      numHashes = 64, bands = 16)
+    val hits = pairs.where(col("est_jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = docsWithPlantedDupes.orderBy("doc_id").first().getLong(0)
+    assert(hits.exists { case (a, b) => b == 9001L },
+      s"exact copy pair missing from $hits")
+    assert(hits.exists { case (a, b) => b == 9002L || a == 9002L },
+      s"near-dup pair missing from $hits")
+    assert(!hits.exists { case (a, b) => a == 9003L || b == 9003L },
+      "unrelated doc flagged")
+  }
+
+  test("simhash: identical → 0 hamming; near dup small; banding finds both") {
+    val pairs = Dedup.simhashNearDup(docsWithPlantedDupes, "doc_id", "text",
+      maxHamming = 6)
+    val m = pairs.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val exact = m.find(_._1._2 == 9001L)
+    assert(exact.isDefined && exact.get._2 == 0, s"simhash exact pair: $m")
+    assert(!m.keys.exists(p => p._1 == 9003L || p._2 == 9003L))
+  }
+
+  test("ngram jaccard pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docsWithPlantedDupes, "doc_id", "text",
+      n = 3, threshold = 0.4)
+    val hits = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.exists(h => h._2 == 9001L && h._3 == 1.0), s"exact pair J=1: ${hits.toSeq}")
+    assert(hits.exists(h => h._2 == 9002L && h._3 > 0.4 && h._3 < 1.0))
+  }
+
+  test("cosine kernel matches manual computation") {
+    val df = Seq((1L, Seq(1.0f, 0.0f, 1.0f)), (2L, Seq(1.0f, 0.0f, 0.0f)))
+      .toDF("id", "v")
+    val got = df.select(Similarity.cosine(
+      typedlit(Seq(1.0, 0.0, 1.0)), col("v")).as("c"))
+      .orderBy("id").collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("bruteForceTopK: top-1 of a vector's own bucket is itself-excluded nearest") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.limit(3)
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3)
+    val got = top.collect()
+    assert(got.length == 9)
+    assert(got.forall(_.getAs[Long]("neighbor_id") != got(0).getAs[Long]("query_id")) ||
+      got.groupBy(_.getAs[Long]("query_id")).forall(_._2.length == 3))
+    // ranks are 1..3 per query and cosines non-increasing
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+      val sims = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("annTopK returns a subset consistent with brute force scores") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.limit(5)
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, planes = 2)
+    val got = ann.collect()
+    assert(got.nonEmpty, "ann returned nothing — buckets degenerate?")
+    assert(got.forall(r => r.getAs[Double]("cosine") <= 1.0 + 1e-9))
+  }
+
+  test("langId classifies real multilingual snippets") {
+    // note: testdata documents.lang labels are random — the text is the
+    // same synthetic English-ish vocabulary for every label, so accuracy
+    // against them is meaningless; test on genuine language samples.
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it was happy that the sun is out"),
+      ("de", "der hund und die katze sind nicht mit dem mann in das haus gegangen"),
+      ("fr", "le chat est dans la maison et les enfants sont pour une promenade"),
+      ("es", "el perro y la gata que viven por la casa con los vecinos para siempre"),
+      ("zh", "今天天气很好我们一起去公园散步然后吃饭")).toDF("lang", "t")
+    val got = samples.select(col("lang"), TextAnalysis.langId(col("t")).as("pred"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    got.foreach { case (lang, pred) => assert(lang == pred, s"$lang predicted as $pred") }
+  }
+
+  test("token counts and quality score behave") {
+    val df = Seq((1L, "The quick brown fox, it jumped!"), (2L, "")).toDF("id", "t")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("t")).as("tc"),
+      TextAnalysis.bpeishTokenCount(col("t")).as("bc"),
+      TextAnalysis.qualityScore(col("t")).as("q")).orderBy("id").collect()
+    assert(r(0).getInt(0) == 6)
+    assert(r(0).getInt(1) == 8) // 6 words + comma + bang
+    assert(r(1).getInt(0) == 0)
+    assert(r(0).getDouble(2) > r(1).getDouble(2))
+  }
+
+  test("window ops: cumsum/shift/rolling over events") {
+    val ev = spark.read.parquet(s"$dir/events.parquet").limit(1000)
+    val cs = WindowOps.cumsum(ev, Seq("user_id"), Seq("ts", "event_id"), "value")
+    val row = cs.orderBy("user_id", "ts", "event_id").limit(3)
+      .collect().map(_.getAs[Double]("cumsum"))
+    assert(row.length == 3)
+    val sh = WindowOps.shift(ev, Seq("user_id"), Seq("ts", "event_id"), "value")
+    assert(sh.where(col("shifted").isNull).count() > 0) // first row per user
+  }
+}

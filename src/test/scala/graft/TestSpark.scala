@@ -10,6 +10,11 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // non-ANSI: the reference's SQL semantics (SURVEY.md §2.7) assume
+      // null-on-error arithmetic; IEEE behavior comes from Semantics.*
+      .config("spark.sql.ansi.enabled", "false")
+      // events.parquet carries timestamp[ns]: surface as Long nanos
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
