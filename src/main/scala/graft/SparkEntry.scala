@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame => SDF, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.{DataFrame, Frames, Series}
-import graft.operators.{Dedup, Similarity, TextAnalysis, WindowOps}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, WindowOps}
+import graft.streaming.GraftStreaming
 import org.apache.spark.sql.types.DecimalType
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -315,6 +316,93 @@ object SparkEntry {
       docs.select(col("doc_id"),
         round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
         .orderBy("doc_id")
+    }),
+
+    // §2.7 numeric ops: mod (fmod), floor division, power
+    "q_pow_mod" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      li.select(Nil)
+        .withColumn("qmod", li("l_quantity").mod(7))
+        .withColumn("qfdiv", li("l_quantity").floordiv(7))
+        .withColumn("p2", li("l_discount").radd(1.0).pow(2))
+        .toSpark(includeIndex = true)
+        .selectExpr("l_orderkey", "l_linenumber", "qmod", "qfdiv",
+          "round(p2, 10) AS p2")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // coercion.py:88-116 bool→int arithmetic
+    "q_bool_coercion" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val a = li("l_quantity") > 25
+      val b = li("l_discount") > 0.05
+      li.select(Nil)
+        .withColumn("flags", a.add(b))
+        .withColumn("scaled", (li("l_quantity") > 25).mul(10))
+        .toSpark(includeIndex = true)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // generic.py:59-62 astype casts
+    "q_astype" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      li.select(Nil)
+        .withColumn("qty_int", li("l_quantity").astype(org.apache.spark.sql.types.IntegerType))
+        .withColumn("qty_str", li("l_quantity").astype(org.apache.spark.sql.types.StringType))
+        .toSpark(includeIndex = true)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // alchemy.py:264-275 applymap with na_action='ignore' over real NULLs
+    "q_applymap" -> ((s, dir) => {
+      val o = ordersByKey(s, dir)("o_totalprice")
+      val p = partByKey(s, dir)("p_retailprice")
+      val joined = o.add(p).rename(Some("s"))
+      new graft.api.DataFrame(joined.frame)
+        .applymap(c => c * 2, naAction = Some("ignore"))
+        .toSpark(includeIndex = true)
+        .orderBy("o_orderkey")
+    }),
+
+    // generic.py:8-22 len/shape as a 1-row relation
+    "q_len" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val o = DataFrame.fromParquet(s, s"$dir/orders.parquet")
+      s.range(1).select(lit(li.len).as("lineitem_rows"),
+        lit(o.len).as("order_rows"), lit(o.shape(1)).as("order_cols"))
+    }),
+
+    // multimodal plumbing: payload + stub-probed meta + partitioned decode
+    // (rows-only; the stub kernels are not SQL-mirrorable)
+    "q_multimodal" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val mm = Multimodal.withImagePayload(docs, "text")
+      Multimodal.decodeImages(
+        Multimodal.resizeMeta(mm, "meta", 256, 256).repartition(8),
+        "content", dim = 8)
+        .select(col("doc_id"), col("meta.width").as("width"),
+          col("resized_meta.width").as("rs_width"),
+          col("resized_meta.height").as("rs_height"),
+          round(element_at(col("features"), 1), 4).as("f0"))
+        .orderBy("doc_id")
+    }),
+
+    // Structured Streaming: watermarked tumbling-window aggregation over an
+    // events file stream, driven to completion (AvailableNow), oracle =
+    // the equivalent batch GROUP BY date_trunc
+    "q_stream_window" -> ((s, dir) => {
+      val out = s"stream_out_${System.nanoTime()}"
+      // file streams need a directory source: stream the sf dir filtered
+      // down to the events table
+      val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      val agg = GraftStreaming.windowedCounts(stream,
+        watermark = "1 hour", window_ = "1 hour")
+      val q = GraftStreaming.runToMemory(agg, out, outputMode = "complete")
+      q.awaitTermination(300000)
+      s.table(out)
+        .select(col("window.start").cast("long").as("win_start"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("win_start", "event_type")
     })
   )
 
@@ -439,6 +527,37 @@ object SparkEntry {
         |   ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) /
         |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_pow_mod" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_quantity % 7 AS qmod,
+        | floor(l_quantity / 7) AS qfdiv,
+        | round(power(1 + l_discount, 2), 10) AS p2
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_bool_coercion" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(l_quantity > 25 AS INT) + CAST(l_discount > 0.05 AS INT) AS flags,
+        | CAST(l_quantity > 25 AS INT) * 10 AS scaled
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_astype" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(floor(l_quantity) AS INT) AS qty_int,
+        | CAST(l_quantity AS VARCHAR) AS qty_str
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_applymap" ->
+      """SELECT COALESCE(o.o_orderkey, p.p_partkey) AS o_orderkey,
+        | CASE WHEN o.o_totalprice + p.p_retailprice IS NULL THEN NULL
+        |      ELSE (o.o_totalprice + p.p_retailprice) * 2 END AS s
+        |FROM orders o FULL OUTER JOIN part p ON o.o_orderkey = p.p_partkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_len" ->
+      """SELECT (SELECT count(*) FROM lineitem) AS lineitem_rows,
+        | (SELECT count(*) FROM orders) AS order_rows,
+        | 6 AS order_cols""".stripMargin,
+    "q_stream_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+        | event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
   )
 }

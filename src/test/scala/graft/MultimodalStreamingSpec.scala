@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.streaming.GraftStreaming
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalStreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("multimodal: payload + meta + partitioned decode plumbing") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(50)
+    val mm = Multimodal.withImagePayload(docs, "text")
+    assert(mm.schema("content").dataType.typeName == "binary")
+    val metaFields = mm.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields.map(f => (f.name, f.dataType)).toSeq
+    assert(metaFields == Multimodal.imageMetaSchema.fields
+      .map(f => (f.name, f.dataType)).toSeq)
+    val decoded = Multimodal.decodeImages(mm.repartition(4), "content", dim = 16)
+    val rows = decoded.select("doc_id", "features").collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.getSeq[Float](1).length == 16))
+    // determinism: same input → same features
+    val again = Multimodal.decodeImages(mm.repartition(2), "content", dim = 16)
+      .select("doc_id", "features").collect()
+    assert(rows.sortBy(_.getLong(0)).map(_.getSeq[Float](1)).toSeq ==
+      again.sortBy(_.getLong(0)).map(_.getSeq[Float](1)).toSeq)
+  }
+
+  test("multimodal: resize meta preserves aspect, frame sampling plan") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(10)
+    val mm = Multimodal.withImagePayload(docs, "text")
+    val rs = Multimodal.resizeMeta(mm, "meta", 128, 128)
+    rs.select("meta.width", "meta.height", "resized_meta.width", "resized_meta.height")
+      .collect().foreach { r =>
+        assert(r.getInt(2) <= 128 && r.getInt(3) <= 128)
+        val origAspect = r.getInt(0).toDouble / r.getInt(1)
+        val newAspect = r.getInt(2).toDouble / r.getInt(3)
+        assert(math.abs(origAspect - newAspect) / origAspect < 0.2)
+      }
+    val fs = Multimodal.frameSamplePlan(
+      docs.withColumn("n_frames", lit(100)), "n_frames", every = 10, maxFrames = 5)
+    val plan = fs.select("sampled_frames").first().getSeq[Long](0)
+    assert(plan == Seq(0L, 10L, 20L, 30L, 40L))
+  }
+
+  test("streaming: watermarked windowed counts over events drop") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    spark.read.parquet(s"$dir/events.parquet").limit(500)
+      .write.mode("overwrite").parquet(tmp)
+    val stream = GraftStreaming.readEvents(spark, tmp)
+    assert(stream.isStreaming)
+    val agg = GraftStreaming.windowedCounts(stream,
+      watermark = "1 hour", window_ = "1 hour")
+    // complete mode: append would (correctly) hold back windows that the
+    // final watermark hasn't passed yet
+    val q = GraftStreaming.runToMemory(agg, "win_counts", outputMode = "complete")
+    q.awaitTermination(60000)
+    val out = spark.table("win_counts")
+    val total = out.agg(sum("n")).collect()(0).getLong(0)
+    assert(total == 500, s"windowed counts should cover all rows, got $total")
+    // batch equivalence: same aggregation on the static frame
+    val expected = spark.read.parquet(tmp)
+      .withColumn("event_time", timestamp_seconds(col("ts") / lit(1e9)))
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .count().count()
+    assert(out.count() == expected)
+  }
+
+  test("streaming: dedup within watermark") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream2").toString
+    val ev = spark.read.parquet(s"$dir/events.parquet").limit(100)
+    ev.union(ev).write.mode("overwrite").parquet(tmp) // duplicate every event
+    val stream = GraftStreaming.readEvents(spark, tmp)
+    val deduped = GraftStreaming.dedupStream(stream, Seq("event_id"), "2 hours")
+    val q = GraftStreaming.runToMemory(deduped, "dedup_out")
+    q.awaitTermination(60000)
+    assert(spark.table("dedup_out").count() == 100)
+  }
+}
