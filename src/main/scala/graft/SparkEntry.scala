@@ -387,6 +387,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // generic.py:81-83 round (HALF_UP on both engines for these values —
+    // parity verified over the full price column)
+    "q_round" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      li.select(Seq("l_extendedprice")).round(1)
+        .toSpark(includeIndex = true)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // set ops: intersect/except with exact row semantics
+    "q_set_ops" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val big = li.select(Seq("l_quantity", "l_returnflag")).where(li("l_quantity") > 40)
+      val ret = li.select(Seq("l_quantity", "l_returnflag")).where(li("l_returnflag") === "R")
+      val inter = big.intersect(ret)
+      inter.toSpark().orderBy("l_quantity", "l_returnflag")
+    }),
+
     // Structured Streaming: watermarked tumbling-window aggregation over an
     // events file stream, driven to completion (AvailableNow), oracle =
     // the equivalent batch GROUP BY date_trunc
@@ -554,6 +572,14 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM lineitem) AS lineitem_rows,
         | (SELECT count(*) FROM orders) AS order_rows,
         | 6 AS order_cols""".stripMargin,
+    "q_round" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 1) AS l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_set_ops" ->
+      """SELECT DISTINCT l_quantity, l_returnflag FROM lineitem WHERE l_quantity > 40
+        |INTERSECT
+        |SELECT DISTINCT l_quantity, l_returnflag FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY l_quantity, l_returnflag""".stripMargin,
     "q_stream_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
         | event_type, count(*) AS n,

@@ -13,7 +13,8 @@ import org.apache.spark.sql.types._
   * plans all alignment joins (broadcast/SMJ + AQE) for free. */
 final class DataFrame private[graft] (
     private[graft] val frame: SqlFrame)
-    extends GenericLike[DataFrame] with DataFrameExtensions {
+    extends GenericLike[DataFrame] with DataFrameExtensions
+    with SetOpsExtensions {
 
   def ndim: Int = 2
   protected def klass: String = "DataFrame"
@@ -76,6 +77,28 @@ final class DataFrame private[graft] (
         (idx, r.toSeq.drop(nIdx))
       }
     }
+  }
+
+  /** Named-tuple-ish row iteration — `itertuples` (alchemy.py:134-144):
+    * (optional index values) ++ data values per row, with the field names
+    * as the first element of the result. */
+  def itertuples(index: Boolean = true): (Seq[String], Iterator[Seq[Any]]) = {
+    val names =
+      (if (index) Seq("Index") else Nil) ++
+        frame.colLabels.zipWithIndex.map { case (l, i) => l.getOrElse(s"_${i + 1}") }
+    val nIdx = frame.nIdx
+    val multi = frame.isMultiIndex
+    val it = frame.df.toLocalIterator()
+    val rows = new Iterator[Seq[Any]] {
+      def hasNext = it.hasNext
+      def next() = {
+        val r = it.next()
+        val data = r.toSeq.drop(nIdx)
+        if (!index) data
+        else (if (multi) Seq(r.toSeq.take(nIdx)) else Seq(r.get(0))) ++ data
+      }
+    }
+    (names, rows)
   }
 
   /** Scalar by (row ordinal, col ordinal) — `iat`/_get_value

@@ -195,6 +195,34 @@ private[graft] trait SeriesExtensions { this: Series =>
     aggScalar(count_distinct(frame.colAt(0))).asInstanceOf[Long]
 }
 
+private[graft] trait SetOpsExtensions { this: DataFrame =>
+  private def align(other: DataFrame): (SDF, SDF) = {
+    require(frame.colLabels == other.frame.colLabels,
+      "set operations require identical column labels")
+    (toSpark(includeIndex = false), other.toSpark(includeIndex = false))
+  }
+
+  /** Row union (bag semantics; pandas concat without index). */
+  def unionAll(other: DataFrame): DataFrame = {
+    val (l, r) = align(other); DataFrame.fromSpark(l.unionByName(r))
+  }
+
+  def intersect(other: DataFrame): DataFrame = {
+    val (l, r) = align(other); DataFrame.fromSpark(l.intersect(r))
+  }
+
+  def except(other: DataFrame): DataFrame = {
+    val (l, r) = align(other); DataFrame.fromSpark(l.except(r))
+  }
+
+  /** Sink: write the labeled view as parquet (the reference has no sinks —
+    * API_COVERAGE.md:320-332 — but Verify's contract and any real user
+    * need one). */
+  def writeParquet(path: String, includeIndex: Boolean = true,
+                   mode: String = "overwrite"): Unit =
+    toSpark(includeIndex).write.mode(mode).parquet(path)
+}
+
 object Frames {
   /** Row-wise concatenation with outer label alignment (pandas concat,
     * sort=False: labels in order of first appearance). Indexes are
