@@ -28,11 +28,19 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** Composition-of-built-ins cosine (interpreted lambdas) — kept for
+    * differential testing against the native expression. */
+  def cosineHof(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val nn = norm(a) * norm(b)
     when(nn === 0.0, 0.0).otherwise(d / nn)
   }
+
+  /** Cosine similarity — native codegen'd Catalyst expression
+    * ([[graft.functions.CosineSimilarity]]); bit-identical to
+    * [[cosineHof]], one fused pass. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
 
   /** Deterministic random hyperplanes (dim doubles each) from a seed. */
   private[operators] def planesFor(planes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
