@@ -284,10 +284,12 @@ object SparkEntry {
         .orderBy("id_l", "id_r")
     }),
 
-    // 64-bit SimHash signatures per document (rows-only)
+    // 64-bit SimHash signatures per document (rows-only; codegen'd
+    // explode+vote-aggregate formulation)
     "q_simhash" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      docs.select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      Dedup.simhashTable(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text")
+        .select(col("__id").as("doc_id"), col("__sh").as("simhash"))
         .orderBy("doc_id")
     }),
 

@@ -143,8 +143,33 @@ object Dedup {
 
   private val pow2: Column = typedlit((0 until 64).map(i => 1L << i))
 
+  /** Whole-table 64-bit SimHash: explode tokens → one xxhash64 per token →
+    * 64 codegen'd ±1 vote sums with map-side partial aggregation → sign
+    * bits assembled into a long. Same output as the per-row [[simhash]]
+    * expression (integer vote sums are order-independent) but whole-stage
+    * codegen'd end to end; the shuffle carries 64 ints per document. */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = df.select(col(idCol).as("__id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+    val based = ex.select(col("__id"), xxhash64(col("__t")).as("__h"))
+    val votes = based.groupBy("__id").agg(
+      sum(when(col("__h").bitwiseAND(lit(1L)) =!= 0, 1L).otherwise(-1L)).as("__b0"),
+      (1 until 64).map(i =>
+        sum(when(col("__h").bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L))
+          .as(s"__b$i")): _*)
+    val sig = (0 until 64).map(i =>
+      when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    // docs with zero tokens never exploded: re-join to keep them (sig 0)
+    df.select(col(idCol).as("__id"))
+      .join(votes.select(col("__id"), sig.as("__sh")), Seq("__id"), "left_outer")
+      .select(col("__id"), coalesce(col("__sh"), lit(0L)).as("__sh"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-bit vote sum of token
-    * xxhash64 bits, sign → bit. One nested higher-order expression per row. */
+    * xxhash64 bits, sign → bit. One nested higher-order expression per row
+    * (prefer [[simhashTable]] for whole-table scans — HOF lambdas are
+    * interpreted). */
   def simhash(text: Column): Column = {
     val hs = transform(TextAnalysis.tokens(text), t => xxhash64(t))
     val votes = aggregate(hs,
@@ -161,7 +186,7 @@ object Dedup {
     * Returns (id_l, id_r, hamming) with id_l < id_r. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3): DataFrame = {
-    val sig = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sh"))
+    val sig = simhashTable(df, idCol, textCol)
     // chunk shift amounts are compile-time literals (shiftright needs Int);
     // same pass-through rule as minhashLshPairs: bands carry ids only
     val chunkStructs = array((0 until 4).map(c =>
