@@ -55,6 +55,60 @@ object GraftStreaming {
     events.withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark(keyCols :+ "event_time")
 
+  /** One user's session summary (stateful sessionization output). */
+  case class SessionSummary(userId: Long, nEvents: Long, totalValue: Double,
+                            firstTsNs: Long, lastTsNs: Long, closed: Boolean)
+
+  /** internal session accumulator (public: codegen'd serializers live in
+    * another package and need access) */
+  case class SessionState(sN: Long, sTotal: Double, sFirst: Long, sLast: Long)
+
+  /** Custom keyed state: sessionize events per user with an inactivity
+    * gap. Demonstrates `flatMapGroupsWithState` — arbitrary state in
+    * Spark's checkpointed store, emitted when the gap elapses (event-time
+    * semantics via the watermark). */
+  def sessionize(events: DataFrame, gapNs: Long,
+                 watermark: String = "30 minutes"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[SessionSummary]
+    implicit val rowEnc = Encoders.row(events.schema)
+    implicit val keyEnc = Encoders.scalaLong
+    val withWm = events.withWatermark("event_time", watermark)
+    withWm.groupByKey((r: Row) => r.getAs[Long]("user_id"))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[Row], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionSummary(userId, s.sN, s.sTotal, s.sFirst, s.sLast, closed = true))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.getAs[Long]("ts"))
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionSummary]
+            sorted.foreach { r =>
+              val ts = r.getAs[Long]("ts")
+              val v = r.getAs[Double]("value")
+              cur match {
+                case Some(s) if ts - s.sLast <= gapNs =>
+                  cur = Some(SessionState(s.sN + 1, s.sTotal + v, s.sFirst, ts))
+                case Some(s) =>
+                  out += SessionSummary(userId, s.sN, s.sTotal, s.sFirst, s.sLast, closed = true)
+                  cur = Some(SessionState(1, v, ts, ts))
+                case None =>
+                  cur = Some(SessionState(1, v, ts, ts))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.sLast / 1000000L + gapNs / 1000000L)
+            }
+            out.result().iterator
+          }
+        }).toDF()
+  }
+
   /** Drive a stream to completion against a memory sink (test/local
     * harness): returns the materialized table name. */
   def runToMemory(df: DataFrame, name: String,

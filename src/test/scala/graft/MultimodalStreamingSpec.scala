@@ -69,6 +69,23 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(out.count() == expected)
   }
 
+  test("streaming: stateful sessionization emits closed sessions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream3").toString
+    spark.read.parquet(s"$dir/events.parquet").limit(300)
+      .write.mode("overwrite").parquet(tmp)
+    val stream = GraftStreaming.readEvents(spark, tmp)
+    val sessions = GraftStreaming.sessionize(stream,
+      gapNs = 3600L * 1000000000L, watermark = "0 seconds")
+    val q = GraftStreaming.runToMemory(sessions, "sessions_out")
+    q.awaitTermination(120000)
+    val out = spark.table("sessions_out")
+    // sessions may close via gap-split inside the batch; whatever closed
+    // must be consistent: nEvents >= 1, first <= last
+    val rows = out.collect()
+    assert(rows.forall(r => r.getAs[Long]("nEvents") >= 1))
+    assert(rows.forall(r => r.getAs[Long]("firstTsNs") <= r.getAs[Long]("lastTsNs")))
+  }
+
   test("streaming: dedup within watermark") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     val ev = spark.read.parquet(s"$dir/events.parquet").limit(100)
