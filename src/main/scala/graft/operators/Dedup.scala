@@ -214,8 +214,12 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxShingleFreq: Long = 1000L): DataFrame = {
+    // the exploded (id, shingle) relation feeds sizes, the frequency cap,
+    // and both self-join sides — persist it once instead of re-exploding
+    // per consumer
     val sh = df.select(col(idCol).as("__id"),
       explode(shingles(col(textCol), n)).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__sz"))
     val freqOk = sh.groupBy("__sh").agg(count(lit(1)).as("__f"))
       .where(col("__f") <= maxShingleFreq).select("__sh")

@@ -181,6 +181,42 @@ class KernelSpec extends AnyFunSuite {
     assert(out2.frame.df.orderBy("__idx_0").collect().map(_.get(2)).toSeq == Seq(7.0, 8.0))
   }
 
+  test("DataFrame op Series axis=1: column labels align with series index values (alchemy.py:187-196)") {
+    val df = DataFrame.fromLocal(spark, Seq("a", "b"),
+      Seq(Seq[Any](1.0, 10.0), Seq[Any](2.0, 20.0)))
+    // series indexed by labels {b, c}: b matches column b, a gets NULL
+    // operand, c appears as an all-NULL column
+    val s = Series.fromLocal(spark, Seq("b" -> 100.0, "c" -> 7.0))
+    val res = df.add(s, axis = 1)
+    assert(res.columns.flatten == IndexedSeq("a", "b", "c"))
+    val rows = res.frame.df.orderBy("__idx_0").collect()
+    assert(rows(0).get(1) == null)      // a + NULL
+    assert(rows(0).get(2) == 110.0)     // b + 100
+    assert(rows(0).get(3) == null)      // NULL + c-value
+  }
+
+  test("names join with no overlapping index names errors (base.py:107)") {
+    val multi = new DataFrame(SqlFrame.fromSpark(
+      spark.createDataFrame(Seq((1, 2, 3.0))).toDF("x", "y", "v"), Seq("x", "y")))
+    val flat = new DataFrame(SqlFrame.fromSpark(
+      spark.createDataFrame(Seq((1, 5.0))).toDF("z", "v"), Seq("z")))
+    val e = intercept[GraftValueError](multi.add(flat, axis = 0))
+    assert(e.getMessage == "cannot join with no overlapping index names")
+  }
+
+  test("names join infers the level from the overlapping name (base.py:104-116)") {
+    val multi = new DataFrame(SqlFrame.fromSpark(
+      spark.createDataFrame(Seq((2024, 1, 10.0), (2025, 2, 20.0))).toDF("ym", "d", "v"),
+      Seq("ym", "d")))
+    val flat = new DataFrame(SqlFrame.fromSpark(
+      spark.createDataFrame(Seq((2024, 100.0), (2025, 200.0))).toDF("ym", "v"),
+      Seq("ym")))
+    val res = flat.add(multi, axis = 0) // flat x multi, level inferred = ym
+    assert(res.frame.nIdx == 2)
+    val vals = res.frame.df.orderBy("__idx_0").collect().map(_.get(2)).toSeq
+    assert(vals == Seq(110.0, 220.0))
+  }
+
   test("bool() probes (generic.py:35-44)") {
     val t = sFromList(Seq(true))
     assert(t.boolValue())
