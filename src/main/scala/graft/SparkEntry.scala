@@ -389,6 +389,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // extension: left merge with NULL-extension semantics
+    "q_merge_left" -> ((s, dir) => {
+      val o = DataFrame.fromParquet(s, s"$dir/orders.parquet",
+        columns = Seq("o_orderkey", "o_totalprice"))
+      val p = DataFrame.fromParquet(s, s"$dir/part.parquet",
+        columns = Seq("p_partkey", "p_retailprice"))
+      o.merge(p.renameColumns(Map("p_partkey" -> "o_orderkey")),
+        Seq("o_orderkey"), how = "left")
+        .toSpark()
+        .orderBy("o_orderkey")
+    }),
+
+    // extension: rank window over events
+    "q_rank" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      WindowOps.rank(ev, Seq("user_id"), Seq("value", "event_id"), "rnk")
+        .select(col("event_id"), col("rnk"))
+        .orderBy("event_id")
+    }),
+
     // generic.py:81-83 round (HALF_UP on both engines for these values —
     // parity verified over the full price column)
     "q_round" -> ((s, dir) => {
@@ -574,6 +594,14 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM lineitem) AS lineitem_rows,
         | (SELECT count(*) FROM orders) AS order_rows,
         | 6 AS order_cols""".stripMargin,
+    "q_merge_left" ->
+      """SELECT o_orderkey, o_totalprice, p_retailprice
+        |FROM orders LEFT JOIN part ON o_orderkey = p_partkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_rank" ->
+      """SELECT event_id,
+        | rank() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rnk
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_round" ->
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 1) AS l_extendedprice
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -150,6 +150,20 @@ class KernelSpec extends AnyFunSuite {
     assert(e.getMessage == "Join on level between two MultiIndex objects is ambiguous")
   }
 
+  test("multi x multi Series alignment via names join → NotImplementedError (base.py:116)") {
+    val mk = () => new DataFrame(SqlFrame.fromSpark(
+      spark.createDataFrame(Seq((1, 2, 3.0))).toDF("a", "b", "v"), Seq("a", "b")))
+    val s1 = mk()("v"); val s2 = mk()("v")
+    intercept[GraftNotImplementedError](s1.add(s2))
+  }
+
+  test("head/tail edge cases on short frames (generic.py:46-57)") {
+    val s = sFromList(Seq(1, 2))
+    assert(s.head(10).values == Seq(1, 2))
+    assert(s.tail(10).values == Seq(1, 2))
+    assert(s.tail(0).values == Seq())
+  }
+
   test("parquet from_table with promoted index (alchemy.py:313-350)") {
     val df = DataFrame.fromParquet(spark, "/root/testdata/sf0.001/nation.parquet",
       index = Seq("n_nationkey"))
