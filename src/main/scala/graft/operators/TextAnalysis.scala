@@ -114,6 +114,39 @@ object LangId {
       .otherwise("es")
   }
 
+  /** Whole-table language ID via explode + broadcast wordlist join +
+    * pivoted hit counts. Same classification function as [[expr]] but the
+    * stopword matching is a codegen'd hash join instead of an interpreted
+    * per-row lambda filter — the CPU-lean form for full-corpus scans; the
+    * [[expr]] form stays shuffle-free for single-pass pipelines. Output:
+    * (idCol, lang). */
+  def table(df: org.apache.spark.sql.DataFrame, idCol: String,
+            textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.{broadcast, coalesce, explode, first}
+    val words = spark.createDataFrame(
+      profiles.flatMap { case (l, ws) => ws.map(w => (w, l)) })
+      .toDF("__w", "__lang")
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+    val cjkDecided = base.select(col("__id"),
+      (regexp_count(col("__text"), lit("[\\x{4e00}-\\x{9fff}]")) * 3 >
+        length(col("__text"))).as("__is_zh"))
+    val toks = base.select(col("__id"),
+      explode(filter(split(lower(col("__text")), "\\W+"), t => length(t) > 0)).as("__w"))
+    val hits = toks.join(broadcast(words), Seq("__w"))
+      .groupBy("__id").pivot("__lang", profiles.map(_._1)).count()
+      .na.fill(0L)
+    val joined = cjkDecided.join(hits, Seq("__id"), "left_outer")
+      .na.fill(0L, profiles.map(_._1))
+    val Seq(en, de, fr, es) = profiles.map(p => col(p._1))
+    joined.select(col("__id").as(idCol),
+      when(col("__is_zh"), "zh")
+        .when(en >= de && en >= fr && en >= es, "en")
+        .when(de >= fr && de >= es, "de")
+        .when(fr >= es, "fr")
+        .otherwise("es").as("lang"))
+  }
+
   /** The same function as [[expr]], rendered as DuckDB SQL over a text
     * column reference. */
   def oracleSqlExpr(textRef: String): String = {

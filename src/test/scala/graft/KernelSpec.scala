@@ -231,6 +231,19 @@ class KernelSpec extends AnyFunSuite {
     assert(vals == Seq(110.0, 220.0))
   }
 
+  test("bad axis → exact pandas ValueError (base.py:48-53)") {
+    val df = DataFrame.fromLocal(spark, Seq("a"), Seq(Seq(1.0)))
+    val e = intercept[GraftValueError](df.add(1, axis = 2))
+    assert(e.getMessage == "No axis named 2 for object type DataFrame")
+    val s = Series.fromList(spark, Seq(1.0))
+    val e2 = intercept[GraftValueError](s.add(1, axis = 1))
+    assert(e2.getMessage == "No axis named 1 for object type Series")
+  }
+
+  test("driver entry smoke: flagship query returns rows on sf0.001") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("bool() probes (generic.py:35-44)") {
     val t = sFromList(Seq(true))
     assert(t.boolValue())

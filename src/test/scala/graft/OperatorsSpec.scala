@@ -115,6 +115,17 @@ class OperatorsSpec extends AnyFunSuite {
     got.foreach { case (lang, pred) => assert(lang == pred, s"$lang predicted as $pred") }
   }
 
+  test("langId table form agrees with the per-row expression on the corpus") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val exprForm = docs.select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_e"))
+    val tableForm = graft.operators.LangId.table(docs, "doc_id", "text")
+      .withColumnRenamed("lang", "lang_t")
+    val diff = exprForm.join(tableForm, Seq("doc_id"))
+      .where(col("lang_e") =!= col("lang_t")).count()
+    assert(diff == 0)
+  }
+
   test("token counts and quality score behave") {
     val df = Seq((1L, "The quick brown fox, it jumped!"), (2L, "")).toDF("id", "t")
     val r = df.select(
