@@ -401,6 +401,15 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // semi-structured: JSON field extraction from the events payload
+    "q_json" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev.select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    }),
+
     // extension: rank window over events
     "q_rank" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -598,6 +607,9 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice, p_retailprice
         |FROM orders LEFT JOIN part ON o_orderkey = p_partkey
         |ORDER BY o_orderkey""".stripMargin,
+    "q_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
     "q_rank" ->
       """SELECT event_id,
         | rank() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rnk

@@ -148,6 +148,16 @@ private[graft] trait DataFrameExtensions { this: DataFrame =>
     DataFrame.fromSpark(out)
   }
 
+  /** Summary statistics per numeric column (pandas describe):
+    * count/mean/stddev/min/max rows. Quantiles intentionally omitted —
+    * engines disagree on interpolation, and approx quantiles at scale are
+    * a different contract (`approx_percentile` is available through
+    * groupby.agg). */
+  def describe(): DataFrame = {
+    val sdf = this.toSpark(includeIndex = false)
+    DataFrame.fromSpark(sdf.summary("count", "mean", "stddev", "min", "max"))
+  }
+
   /** Per-column distinct counts as a one-row frame. */
   def nunique(): DataFrame = {
     val sdf = this.toSpark(includeIndex = false)

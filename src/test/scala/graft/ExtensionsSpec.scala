@@ -84,6 +84,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(nu.getLong(0) == 2 && nu.getLong(1) == 2)
   }
 
+  test("describe summarizes numeric columns") {
+    val o = DataFrame.fromParquet(spark, s"$dir/orders.parquet",
+      columns = Seq("o_totalprice"))
+    val d = o.describe().toSpark().collect()
+    assert(d.length == 5)
+    val stats = d.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(stats("count").toLong == 1500)
+    assert(stats("min").toDouble <= stats("max").toDouble)
+  }
+
   test("fillna / dropna") {
     val d = DataFrame.fromLocal(spark, Seq("x"), Seq(Seq(1.0), Seq(null), Seq(3.0)))
     assert(d.dropna().len == 2)
