@@ -158,6 +158,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sqlRes.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("bucketed join is shuffle-free and matches the plain join") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    Bucketing.writeBucketed(li, "li_b", "l_orderkey", 8)
+    Bucketing.writeBucketed(o, "o_b", "l_orderkey", 8)
+    val joined = Bucketing.bucketedJoin(spark, "li_b", "o_b", "l_orderkey")
+    joined.write.format("noop").mode("overwrite").save()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() ==
+      li.join(o, Seq("l_orderkey")).count())
+  }
+
   test("salted join equals plain join") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_quantity")

@@ -15,6 +15,8 @@ object TestSpark {
       .config("spark.sql.ansi.enabled", "false")
       // events.parquet carries timestamp[ns]: surface as Long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
