@@ -231,6 +231,23 @@ class KernelSpec extends AnyFunSuite {
     assert(vals == Seq(110.0, 220.0))
   }
 
+  test("Series clip with list bounds uses paste-join, lax disabled (alchemy.py:465-468)") {
+    val s = sFromList(Seq(5.0, 5.0, 5.0))
+    val clipped = s.clip(lower = Seq(1.0, 6.0, 2.0), upper = Seq(10.0, 10.0, 3.0))
+    assert(clipped.values == Seq(5.0, 6.0, 3.0))
+    // single-element list is NOT unwrapped for clip (lax=False) → must
+    // fail the length check like the reference
+    intercept[GraftValueError](s.clip(lower = Seq(1.0)))
+  }
+
+  test("reverse ops apply operands swapped (ops_mixin/alchemy reverse=True)") {
+    val s = sFromList(Seq(2.0, 4.0))
+    assert(s.rsub(10).values == Seq(8.0, 6.0))     // 10 - x
+    assert(s.rdiv(8).values == Seq(4.0, 2.0))      // 8 / x
+    assert(s.rpow(2).values == Seq(4.0, 16.0))     // 2 ^ x
+    assert(s.rmod(5).values == Seq(1.0, 1.0))      // 5 % x
+  }
+
   test("bad axis → exact pandas ValueError (base.py:48-53)") {
     val df = DataFrame.fromLocal(spark, Seq("a"), Seq(Seq(1.0)))
     val e = intercept[GraftValueError](df.add(1, axis = 2))
