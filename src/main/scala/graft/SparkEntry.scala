@@ -401,6 +401,19 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // base.py:86-102 MultiIndex level join: (user_id, event_id)-indexed
+    // frame + user_id-indexed frame aligned on the shared level
+    "q_level_join" -> ((s, dir) => {
+      val multi = DataFrame.fromParquet(s, s"$dir/events.parquet",
+        columns = Seq("value"), index = Seq("user_id", "event_id"))
+      val perUser = DataFrame.fromParquet(s, s"$dir/events.parquet",
+        columns = Seq("user_id", "event_id"))
+        .groupby(Seq("user_id")).count("value")
+      multi.add(perUser, axis = 0, level = Some("user_id"))
+        .toSpark(includeIndex = true)
+        .orderBy("user_id", "event_id")
+    }),
+
     // semi-structured: JSON field extraction from the events payload
     "q_json" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -607,6 +620,12 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice, p_retailprice
         |FROM orders LEFT JOIN part ON o_orderkey = p_partkey
         |ORDER BY o_orderkey""".stripMargin,
+    "q_level_join" ->
+      """SELECT e.user_id, e.event_id, e.value + c.n AS value
+        |FROM events e
+        |LEFT JOIN (SELECT user_id, count(*) AS n FROM events GROUP BY 1) c
+        |  ON e.user_id = c.user_id
+        |ORDER BY e.user_id, e.event_id""".stripMargin,
     "q_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
