@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame => SDF, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.{DataFrame, Frames, Series}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, WindowOps}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis, WindowOps}
 import graft.streaming.GraftStreaming
 import org.apache.spark.sql.types.DecimalType
 
@@ -414,6 +414,28 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // temporal: backward as-of join (latest purchase at/before each click
+    // per user), oracle = DuckDB's native ASOF LEFT JOIN
+    "q_asof" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val clicks = ev.where(col("event_type") === "click")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ts", "ts", Seq("value"))
+        .select(col("event_id"), col("value_asof"))
+        .orderBy("event_id")
+    }),
+
+    // extension: pivoted per-user event-type counts
+    "q_pivot" -> ((s, dir) => {
+      val ev = DataFrame.fromParquet(s, s"$dir/events.parquet",
+        columns = Seq("user_id", "event_type"))
+      ev.groupby(Seq("user_id"))
+        .pivotCount("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .toSpark(includeIndex = true)
+        .orderBy("user_id")
+    }),
+
     // semi-structured: JSON field extraction from the events payload
     "q_json" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -626,6 +648,21 @@ object SparkEntry {
         |LEFT JOIN (SELECT user_id, count(*) AS n FROM events GROUP BY 1) c
         |  ON e.user_id = c.user_id
         |ORDER BY e.user_id, e.event_id""".stripMargin,
+    "q_asof" ->
+      """SELECT l.event_id, r.value AS value_asof
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |                WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'error') AS error,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,

@@ -39,6 +39,17 @@ final class GroupBy private[graft] (df: DataFrame, keys: Seq[String]) {
       index = keys)
   }
 
+  /** Pivoted counts: one column per `values` entry of `pivotCol`,
+    * missing combinations filled with 0 (pandas pivot_table fill_value=0).
+    * Explicit `values` keeps the plan single-pass (no distinct scan). */
+  def pivotCount(pivotCol: String, values: Seq[String]): DataFrame = {
+    val sdf = df.toSpark(includeIndex = false)
+    DataFrame.fromSpark(
+      sdf.groupBy(keys.map(col): _*).pivot(pivotCol, values).count()
+        .na.fill(0L, values),
+      index = keys)
+  }
+
   def sum(cols: String*): DataFrame =
     agg(cols.map(c => (c, "sum", c)): _*)
   def mean(cols: String*): DataFrame =

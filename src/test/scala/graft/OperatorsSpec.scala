@@ -158,6 +158,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sqlRes.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("asof join: latest right at/before left time, null when none") {
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 50L, 500.0))
+      .toDF("k", "rt", "v")
+    val got = AsOfJoin.asof(l, r, Seq("k"), "t", "rt", Seq("v"))
+      .select(col("tag"), col("v_asof")).collect()
+      .map(row => row.getString(0) -> row.get(1)).toMap
+    assert(got("a") == 100.0) // equal timestamp matches (inclusive)
+    assert(got("b") == 150.0) // latest at/before 20
+    assert(got("c") == null)  // no right row at/before 5
+  }
+
   test("bucketed join is shuffle-free and matches the plain join") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
