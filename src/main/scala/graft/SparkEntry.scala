@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame => SDF, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.{DataFrame, Frames, Series}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis, WindowOps}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis, WindowOps}
 import graft.streaming.GraftStreaming
 import org.apache.spark.sql.types.DecimalType
 
@@ -426,6 +426,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // temporal: bucketized point-in-interval range join — events falling
+    // into each user's first-half-hour-of-the-hour windows
+    "q_range_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val hourNs = 3600L * 1000000000L
+      val intervals = ev
+        .select(col("user_id"), expr(s"ts DIV ${hourNs}L").as("__hr"))
+        .distinct()
+        .select(col("user_id"), (col("__hr") * hourNs).as("s"),
+          (col("__hr") * hourNs + hourNs / 2).as("e"))
+      val joined = RangeJoin.pointInInterval(
+        ev.select(col("user_id"), col("event_id"), col("ts")),
+        intervals, Seq("user_id"), "ts", "s", "e", bucketWidth = hourNs)
+      joined.groupBy(col("user_id"), col("s"))
+        .agg(count(lit(1)).as("n_in_window"))
+        .orderBy("user_id", "s")
+    }),
+
     // extension: pivoted per-user event-type counts
     "q_pivot" -> ((s, dir) => {
       val ev = DataFrame.fromParquet(s, s"$dir/events.parquet",
@@ -655,6 +673,16 @@ object SparkEntry {
         |                WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH iv AS (
+        |  SELECT DISTINCT user_id,
+        |    (epoch_ns(ts) // 3600000000000) * 3600000000000 AS s,
+        |    (epoch_ns(ts) // 3600000000000) * 3600000000000 + 1800000000000 AS e
+        |  FROM events)
+        |SELECT e.user_id, iv.s, count(*) AS n_in_window
+        |FROM events e JOIN iv
+        |  ON e.user_id = iv.user_id AND epoch_ns(e.ts) BETWEEN iv.s AND iv.e
+        |GROUP BY e.user_id, iv.s ORDER BY e.user_id, iv.s""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         | count(*) FILTER (WHERE event_type = 'click') AS click,

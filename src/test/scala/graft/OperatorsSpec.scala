@@ -158,6 +158,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sqlRes.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("range join: bucketized equals naive cross+filter") {
+    val pts = Seq((1L, 5L), (1L, 25L), (2L, 14L)).toDF("k", "t")
+    val ivs = Seq((1L, 0L, 10L), (1L, 20L, 30L), (2L, 0L, 10L)).toDF("k", "s", "e")
+    val got = RangeJoin.pointInInterval(pts, ivs, Seq("k"), "t", "s", "e", 7L)
+      .select("k", "t", "s").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = pts.join(ivs, Seq("k"))
+      .where(col("t") >= col("s") && col("t") <= col("e"))
+      .select("k", "t", "s").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == naive && got == Set((1L, 5L, 0L), (1L, 25L, 20L)))
+  }
+
   test("asof join: latest right at/before left time, null when none") {
     val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
       .toDF("k", "t", "tag")
