@@ -426,6 +426,15 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // training-data sampling: deterministic n-per-key via stable
+    // pseudo-random (md5) ordering — reproducible across engines
+    "q_sample_per_key" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.operators.Sampling.perKey(ev, Seq("user_id"), "event_id", n = 3)
+        .select(col("user_id"), col("event_id"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // temporal: bucketized point-in-interval range join — events falling
     // into each user's first-half-hour-of-the-hour windows
     "q_range_join" -> ((s, dir) => {
@@ -673,6 +682,13 @@ object SparkEntry {
         |                WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    "q_sample_per_key" ->
+      """SELECT user_id, event_id FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3 ORDER BY user_id, event_id""".stripMargin,
     "q_range_join" ->
       """WITH iv AS (
         |  SELECT DISTINCT user_id,
