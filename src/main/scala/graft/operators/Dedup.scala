@@ -237,6 +237,29 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** The practical near-duplicate pipeline: MinHash-LSH candidate
+    * generation (sub-quadratic) followed by EXACT n-gram Jaccard
+    * verification computed only on the candidate pairs. At corpus scale
+    * this replaces the all-pairs shingle join (O(pairs-sharing-a-shingle))
+    * with O(LSH candidates) exact work — the standard
+    * generate-then-verify dedup shape. Returns (id_l, id_r, jaccard)
+    * with jaccard >= threshold. */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.8, numHashes: Int = 64,
+                     bands: Int = 16, shingleN: Int = 3): DataFrame = {
+    val candidates = minhashLshPairs(df, idCol, textCol, numHashes, bands, shingleN)
+      .select("id_l", "id_r")
+    val sh = df.select(col(idCol).as("__id"),
+      shingles(col(textCol), shingleN).as("__sh"))
+    val verified = candidates
+      .join(sh.select(col("__id").as("id_l"), col("__sh").as("sh_l")), Seq("id_l"))
+      .join(sh.select(col("__id").as("id_r"), col("__sh").as("sh_r")), Seq("id_r"))
+      .select(col("id_l"), col("id_r"),
+        (size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
+          size(array_union(col("sh_l"), col("sh_r")))).as("jaccard"))
+    verified.where(col("jaccard") >= threshold)
+  }
+
   /** Embedding near-duplicates: cosine ≥ threshold via LSH bucketing
     * (random hyperplane signs) + exact cosine check within buckets. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,

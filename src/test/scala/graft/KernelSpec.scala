@@ -231,6 +231,22 @@ class KernelSpec extends AnyFunSuite {
     assert(vals == Seq(110.0, 220.0))
   }
 
+  test("duplicate column labels survive positional addressing (base.py:21-23)") {
+    val base = DataFrame.fromLocal(spark, Seq("x", "y"),
+      Seq(Seq[Any](1.0, 2.0), Seq[Any](3.0, 4.0)))
+    // force duplicate labels via rename, then operate
+    val dup = base.renameColumns(Map("y" -> "x"))
+    assert(dup.columns == IndexedSeq(Some("x"), Some("x")))
+    val doubled = dup.mul(10)
+    assert(doubled.columns == IndexedSeq(Some("x"), Some("x")))
+    val row = doubled.frame.df.orderBy("__idx_0").collect()(0)
+    assert(row.get(1) == 10.0 && row.get(2) == 20.0) // both columns kept
+    // exported names dedupe (x, x_1)
+    assert(doubled.toSpark().columns.toSeq == Seq("x", "x_1"))
+    // positional access: colAt(1) is the second x
+    assert(dup.colAt(1).values == Seq(2.0, 4.0))
+  }
+
   test("Series clip with list bounds uses paste-join, lax disabled (alchemy.py:465-468)") {
     val s = sFromList(Seq(5.0, 5.0, 5.0))
     val clipped = s.clip(lower = Seq(1.0, 6.0, 2.0), upper = Seq(10.0, 10.0, 3.0))

@@ -62,6 +62,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits.exists(h => h._2 == 9002L && h._3 > 0.4 && h._3 < 1.0))
   }
 
+  test("nearDuplicates: LSH-prefiltered exact Jaccard agrees with the all-pairs op") {
+    val docs = docsWithPlantedDupes
+    val composite = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every composite pair must be in the exact set with the same score
+    composite.foreach { case (pair, j) =>
+      assert(exact.contains(pair), s"$pair not exact")
+      assert(math.abs(exact(pair) - j) < 1e-9)
+    }
+    // the planted exact copy must survive the full pipeline
+    assert(composite.exists { case ((_, b), j) => b == 9001L && j == 1.0 })
+  }
+
   test("cosine kernel matches manual computation") {
     val df = Seq((1L, Seq(1.0f, 0.0f, 1.0f)), (2L, Seq(1.0f, 0.0f, 0.0f)))
       .toDF("id", "v")
