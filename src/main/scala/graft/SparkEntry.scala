@@ -426,6 +426,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // embedding analytics: per-label centroids, decimal-exact means
+    "q_centroids" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.centroids(emb, Seq("label"), "embedding")
+        .orderBy("label", "pos")
+    }),
+
+    // top-k per group (argmax pattern): 2 highest-value events per user
+    "q_topk_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val w = Window.partitionBy("user_id").orderBy(desc("value"), col("event_id"))
+      ev.withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+        .select(col("user_id"), col("rn"), col("event_id"), col("value"))
+        .orderBy("user_id", "rn")
+    }),
+
     // training-data sampling: deterministic n-per-key via stable
     // pseudo-random (md5) ordering — reproducible across engines
     "q_sample_per_key" -> ((s, dir) => {
@@ -682,6 +699,19 @@ object SparkEntry {
         |                WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    "q_centroids" ->
+      """SELECT label, i AS pos,
+        | CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+        |   / (count(*) * 1e9) AS mean
+        |FROM embeddings, generate_series(1, 64) t(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT user_id, rn, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 2 ORDER BY user_id, rn""".stripMargin,
     "q_sample_per_key" ->
       """SELECT user_id, event_id FROM (
         |  SELECT user_id, event_id,

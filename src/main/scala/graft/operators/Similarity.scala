@@ -42,6 +42,21 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarity(a, b)
 
+  /** Per-group element-wise centroid of an embedding column, computed as
+    * posexplode → groupBy (group, position) → mean over 1e-9-quantized
+    * values (floor(v·1e9) accumulated as exact longs). The quantization
+    * makes the result bit-reproducible regardless of aggregation order or
+    * engine (float→decimal casts round differently across engines) at a
+    * precision far below float input noise. Output: (groupCols..., pos
+    * 1-based, mean). Shuffle carries one row per (group, dim). */
+  def centroids(df: DataFrame, groupCols: Seq[String], vecCol: String): DataFrame = {
+    val ex = df.select(groupCols.map(col) :+ posexplode(col(vecCol)).as(Seq("__pos", "__v")): _*)
+    val scaled = floor(col("__v").cast("double") * 1e9).cast("long")
+    ex.groupBy(groupCols.map(col) :+ (col("__pos") + 1).as("pos"): _*)
+      .agg((org.apache.spark.sql.functions.sum(scaled).cast("double") /
+        (count(lit(1)) * lit(1e9))).as("mean"))
+  }
+
   /** Deterministic random hyperplanes (dim doubles each) from a seed. */
   private[operators] def planesFor(planes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
