@@ -426,6 +426,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // vocabulary: corpus word-frequency table (explode + count)
+    "q_word_freq" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), col("word"))
+        .limit(50)
+    }),
+
+    // training-data ordering: deterministic pseudo-random shuffle
+    "q_shuffle" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.operators.Sampling.deterministicShuffle(ev, "event_id")
+        .select("event_id").limit(100)
+    }),
+
     // embedding analytics: per-label centroids, decimal-exact means
     "q_centroids" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -699,6 +715,15 @@ object SparkEntry {
         |                WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    "q_word_freq" ->
+      """SELECT t.word, count(*) AS freq
+        |FROM (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        w -> len(w) > 0)) AS word FROM documents) t
+        |GROUP BY t.word ORDER BY freq DESC, word LIMIT 50""".stripMargin,
+    "q_shuffle" ->
+      """SELECT event_id FROM events
+        |ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+        |LIMIT 100""".stripMargin,
     "q_centroids" ->
       """SELECT label, i AS pos,
         | CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)

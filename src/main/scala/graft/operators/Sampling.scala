@@ -25,4 +25,10 @@ object Sampling {
   def stratified(df: DataFrame, strataCol: String,
                  fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
+
+  /** Deterministic global shuffle for training-data ordering: total order
+    * by a stable hash of the id. A range-partitioned sort — parallel,
+    * reproducible across runs and engines (md5, not rand). */
+  def deterministicShuffle(df: DataFrame, idCol: String): DataFrame =
+    df.orderBy(md5(col(idCol).cast("string")), col(idCol))
 }
