@@ -426,6 +426,15 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // text cleaning: control-char strip + whitespace collapse + trim
+    "q_text_clean" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"),
+        length(TextAnalysis.cleanText(col("text"))).as("clean_len"),
+        md5(TextAnalysis.cleanText(col("text"))).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // vocabulary: corpus word-frequency table (explode + count)
     "q_word_freq" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -715,6 +724,13 @@ object SparkEntry {
         |                WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    "q_text_clean" ->
+      """SELECT doc_id,
+        | len(trim(regexp_replace(regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+        |   '\s+', ' ', 'g'))) AS clean_len,
+        | md5(trim(regexp_replace(regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+        |   '\s+', ' ', 'g'))) AS clean_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_word_freq" ->
       """SELECT t.word, count(*) AS freq
         |FROM (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),

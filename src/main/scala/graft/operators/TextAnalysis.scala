@@ -73,6 +73,13 @@ object TextAnalysis {
     lengthScore + punctScore + swScore + wordScore
   }
 
+  /** Text normalization for training corpora: strip control characters,
+    * collapse runs of whitespace, trim. Pure regexp expressions —
+    * per-row, codegen'd, mirror-able in the oracle. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1f\\x7f]", " "), "\\s+", " "))
+
   /** Stable document fingerprint: md5 of whitespace-normalized lowercase
     * text. md5 so external engines (the DuckDB oracle) can reproduce it;
     * use [[xxFingerprint]] in shuffles where a cheap 64-bit key wins. */
