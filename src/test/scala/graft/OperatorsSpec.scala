@@ -130,6 +130,30 @@ class OperatorsSpec extends AnyFunSuite {
     got.foreach { case (lang, pred) => assert(lang == pred, s"$lang predicted as $pred") }
   }
 
+  test("embeddingNearDup finds a planted duplicate vector") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val first = emb.orderBy("vec_id").limit(1)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val planted = Seq((9001L, first)).toDF("vec_id", "embedding")
+    val all = emb.select("vec_id", "embedding").union(planted)
+    val pairs = Dedup.embeddingNearDup(all, "vec_id", "embedding",
+      threshold = 0.999, planes = 4)
+    val hits = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.exists(_._2 == 9001L), s"planted dup not found: ${hits.toSeq}")
+  }
+
+  test("stratified sampling respects fractions roughly") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val sampled = Sampling.stratified(docs, "lang",
+      Map("en" -> 0.5, "de" -> 0.0, "fr" -> 1.0, "es" -> 0.0, "zh" -> 0.0))
+    val counts = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("de") && !counts.contains("es"))
+    val frTotal = docs.where(col("lang") === "fr").count()
+    assert(counts.getOrElse("fr", 0L) == frTotal)
+    assert(counts.getOrElse("en", 0L) > 0)
+  }
+
   test("langId table form agrees with the per-row expression on the corpus") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val exprForm = docs.select(col("doc_id"),
