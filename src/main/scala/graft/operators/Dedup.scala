@@ -237,6 +237,45 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** EXACT Jaccard pairs via prefix filtering (the all-pairs
+    * similarity-join optimization): under any global token order, two
+    * sets with J >= t must share a token among each one's first
+    * |A| - ceil(t·|A|) + 1 tokens — so only PREFIX tokens generate
+    * candidates, and the exact verification runs on that reduced set.
+    * Candidates come from hash equality (collisions only add candidates,
+    * never lose them), so results equal [[ngramJaccardPairs]]. Effective
+    * at high thresholds (prefix length shrinks with t); at t→0 it
+    * degrades to the full join. Measured on the dense synthetic corpus
+    * (sf0.1, 5000 docs, ~40-word vocabulary): wins at t=0.8 (8.2s vs
+    * 11.5s all-pairs) but loses at t=0.5 (hub hashes land in most
+    * prefixes) — pick per corpus density; real web corpora are far
+    * sparser than this worst case. */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                              n: Int = 3, threshold: Double = 0.7): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0)
+    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), n).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // global order = sorted shingle hashes; prefix = smallest hashes
+    val hs = sh.select(col("__id"),
+      array_sort(transform(col("__sh"), s => xxhash64(s))).as("__hs"))
+    val plen = greatest(
+      (size(col("__hs")) - ceil(size(col("__hs")) * threshold) + 1).cast("int"),
+      lit(1))
+    val prefix = hs.select(col("__id"),
+      explode(slice(col("__hs"), lit(1), plen)).as("__h"))
+    val candidates = prefix.select(col("__h"), col("__id").as("id_l"))
+      .join(prefix.select(col("__h"), col("__id").as("id_r")), Seq("__h"))
+      .where(col("id_l") < col("id_r"))
+      .select("id_l", "id_r").distinct()
+    candidates
+      .join(sh.select(col("__id").as("id_l"), col("__sh").as("sh_l")), Seq("id_l"))
+      .join(sh.select(col("__id").as("id_r"), col("__sh").as("sh_r")), Seq("id_r"))
+      .select(col("id_l"), col("id_r"),
+        (size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
+          size(array_union(col("sh_l"), col("sh_r")))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** The practical near-duplicate pipeline: MinHash-LSH candidate
     * generation (sub-quadratic) followed by EXACT n-gram Jaccard
     * verification computed only on the candidate pairs. At corpus scale

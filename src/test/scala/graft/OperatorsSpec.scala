@@ -62,6 +62,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits.exists(h => h._2 == 9002L && h._3 > 0.4 && h._3 < 1.0))
   }
 
+  test("prefix-filtered exact Jaccard equals the all-pairs op") {
+    val docs = docsWithPlantedDupes
+    val t = 0.5
+    val fast = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val slow = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(fast.keySet == slow.keySet, s"fast=${fast.keySet} slow=${slow.keySet}")
+    fast.foreach { case (k, v) => assert(math.abs(slow(k) - v) < 1e-9) }
+    assert(fast.exists { case ((_, b), j) => b == 9001L && j == 1.0 })
+  }
+
   test("nearDuplicates: LSH-prefiltered exact Jaccard agrees with the all-pairs op") {
     val docs = docsWithPlantedDupes
     val composite = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.4)
