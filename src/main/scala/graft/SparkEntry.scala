@@ -426,6 +426,28 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // pandas conveniences: isin/between masks + str accessor
+    "q_isin_str" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      li.select(Nil)
+        .withColumn("flag_in", li("l_returnflag").isin(Seq("R", "A")))
+        .withColumn("qty_mid", li("l_quantity").between(10, 20))
+        .withColumn("flag_up", li("l_linestatus").str.lower)
+        .toSpark(includeIndex = true)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // dt accessor: timestamp parts (UTC session both sides)
+    "q_dt_parts" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      li.select(Nil)
+        .withColumn("y", li("l_shipdate").dt.year)
+        .withColumn("m", li("l_shipdate").dt.month)
+        .withColumn("d", li("l_shipdate").dt.day)
+        .toSpark(includeIndex = true)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // text cleaning: control-char strip + whitespace collapse + trim
     "q_text_clean" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -724,6 +746,16 @@ object SparkEntry {
         |                WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    "q_isin_str" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_returnflag IN ('R','A') AS flag_in,
+        | l_quantity BETWEEN 10 AND 20 AS qty_mid,
+        | lower(l_linestatus) AS flag_up
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_dt_parts" ->
+      """SELECT l_orderkey, l_linenumber,
+        | year(l_shipdate) AS y, month(l_shipdate) AS m, day(l_shipdate) AS d
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_text_clean" ->
       """SELECT doc_id,
         | len(trim(regexp_replace(regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),

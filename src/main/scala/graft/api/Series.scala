@@ -216,6 +216,48 @@ final class Series private[graft] (
     val v = Semantics.literal(value)
     rebuild(frame.mapCols((c, _, _) => coalesce(c, v.col)))
   }
+
+  // ------------------------------------------------- pandas conveniences
+  // (beyond the reference surface: membership/range masks and the str/dt
+  // accessor namespaces, all as fused same-base expressions)
+
+  /** membership mask (pandas Series.isin). */
+  def isin(values: Seq[Any]): Series =
+    rebuild(frame.mapCols((c, _, _) => c.isInCollection(values)))
+
+  /** inclusive range mask (pandas Series.between). */
+  def between(lower: Any, upper: Any): Series =
+    rebuild(frame.mapCols((c, _, _) =>
+      c >= Semantics.literal(lower).col && c <= Semantics.literal(upper).col))
+
+  /** string accessor namespace (pandas Series.str.*). */
+  object str {
+    private def app(f: Column => Column): Series =
+      rebuild(frame.mapCols((c, _, _) => f(c)))
+    def upper: Series = app(org.apache.spark.sql.functions.upper)
+    def lower: Series = app(org.apache.spark.sql.functions.lower)
+    def len: Series = app(length)
+    def trim: Series = app(org.apache.spark.sql.functions.trim(_))
+    def contains(sub: String): Series = app(_.contains(sub))
+    def startswith(prefix: String): Series = app(_.startsWith(prefix))
+    def endswith(suffix: String): Series = app(_.endsWith(suffix))
+    def replace(pattern: String, replacement: String): Series =
+      app(regexp_replace(_, pattern, replacement))
+    def slice(start: Int, length0: Int): Series =
+      app(substring(_, start + 1, length0)) // pandas 0-based
+  }
+
+  /** datetime accessor namespace (pandas Series.dt.*). */
+  object dt {
+    private def app(f: Column => Column): Series =
+      rebuild(frame.mapCols((c, _, _) => f(c)))
+    def year: Series = app(org.apache.spark.sql.functions.year)
+    def month: Series = app(org.apache.spark.sql.functions.month)
+    def day: Series = app(dayofmonth)
+    def hour: Series = app(org.apache.spark.sql.functions.hour)
+    def dayofweek: Series = app(org.apache.spark.sql.functions.dayofweek)
+    def date: Series = app(to_date(_))
+  }
 }
 
 object Series {

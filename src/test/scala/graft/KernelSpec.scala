@@ -231,6 +231,20 @@ class KernelSpec extends AnyFunSuite {
     assert(vals == Seq(110.0, 220.0))
   }
 
+  test("isin/between/str/dt accessors fuse on the base") {
+    val s = Series.fromLocal(spark, Seq(0 -> "Hello", 1 -> "world"))
+    assert(s.isin(Seq("Hello", "x")).values == Seq(true, false))
+    assert(s.str.upper.values == Seq("HELLO", "WORLD"))
+    assert(s.str.len.values == Seq(5, 5))
+    assert(s.str.contains("orl").values == Seq(false, true))
+    assert(s.str.slice(0, 2).values == Seq("He", "wo"))
+    val nums = sFromList(Seq(5, 15, 25))
+    assert(nums.between(10, 20).values == Seq(false, true, false))
+    // fusion: accessor chains produce no join
+    val plan = s.str.upper.str.len.frame.df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"))
+  }
+
   test("duplicate column labels survive positional addressing (base.py:21-23)") {
     val base = DataFrame.fromLocal(spark, Seq("x", "y"),
       Seq(Seq[Any](1.0, 2.0), Seq[Any](3.0, 4.0)))
