@@ -71,6 +71,10 @@ private[graft] trait GenericLike[Self] {
 
   def pipe[T](f: Self => T): T = f(this.asInstanceOf[Self])
 
+  /** repr convenience — the analog of `use_repr_workaround`
+    * (__init__.py:5-18): print the labeled view. */
+  def show(n: Int = 20): Unit = toSpark(includeIndex = true).show(n, false)
+
   /** Expose as a plain Spark DataFrame with label-derived names (None →
     * `col_N`, duplicates suffixed) — the bridge out of the pandas layer and
     * the path Verify/Bench use. */
