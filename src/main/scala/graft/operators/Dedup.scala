@@ -102,43 +102,53 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 64, bands: Int = 16,
                       shingleN: Int = 3, seed: Long = 42L,
-                      cacheSignatures: Boolean = true): DataFrame = {
+                      scope: Option[CacheScope] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // The signature relation feeds three consumers (band explode + two
-    // verification joins); cache it rather than recompute the shingle
-    // hashing per consumer. 64 longs/doc → ~0.5 KB/doc, spills to disk
-    // beyond memory (MEMORY_AND_DISK) — the standard LSH fit trade.
-    val sig0 = minhashSignatures(df, idCol, textCol, numHashes, shingleN, seed)
-    val sig = if (cacheSignatures)
-      sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else sig0
-    // Band rows carry ONLY (id, band, key): a column passed *through* a
-    // Generate is re-evaluated per emitted row, so carrying the signature
-    // would recompute the whole aggregate `bands` times per document — and
-    // at scale the band shuffle should be narrow anyway. Signatures are
-    // joined back onto the (distinct) candidate pairs afterwards.
-    val banded = sig.select(col("__id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          hash(slice(col("__sig"), b * r + 1, lit(r))).as("key")))).as("bk"))
-      .select(col("__id"), col("bk.band").as("__band"), col("bk.key").as("__key"))
-    // SHUFFLE_HASH on the self-join: both sides then need the same
-    // hashpartitioning(band,key) exchange over the same canonical subtree,
-    // so ReuseExchange computes the banded signatures ONCE (a broadcast
-    // join would recompute the subtree for the build side).
-    val candidates = banded.select(col("__band"), col("__key"), col("__id").as("id_l"))
-      .hint("SHUFFLE_HASH")
-      .join(banded.select(col("__band"), col("__key"), col("__id").as("id_r"))
-        .hint("SHUFFLE_HASH"), Seq("__band", "__key"))
-      .where(col("id_l") < col("id_r"))
-      .select("id_l", "id_r").distinct()
-    candidates
+    // verification joins). Without a caller-provided [[CacheScope]] it is
+    // NOT persisted: the signature aggregate sits directly above an
+    // Exchange(hashpartitioning(__id)), and all three consumers share that
+    // canonical subtree, so ReuseExchange computes the expensive
+    // scan→explode→k-hash→partial-agg pipeline ONCE per action — only the
+    // cheap final min-merge re-runs per consumer. A persist here would
+    // leak the cached blocks past the caller's action (the operator can't
+    // see when the lazy plan is consumed); callers running multiple
+    // actions opt in via `scope` and release it deterministically.
+    val sig = CacheScope.maybe(scope,
+      minhashSignatures(df, idCol, textCol, numHashes, shingleN, seed))
+    bandCandidates(sig, bands, r)
       .join(sig.select(col("__id").as("id_l"), col("__sig").as("sig_l")), Seq("id_l"))
       .join(sig.select(col("__id").as("id_r"), col("__sig").as("sig_r")), Seq("id_r"))
       .select(col("id_l"), col("id_r"),
         (size(filter(zip_with(col("sig_l"), col("sig_r"), (x, y) => x === y),
           b => b)).cast("double") / numHashes).as("est_jaccard"))
+  }
+
+  /** Distinct candidate pairs (id_l < id_r) from banded LSH over a
+    * signature relation (__id, __sig).
+    *
+    * Band rows carry ONLY (id, band, key): a column passed *through* a
+    * Generate is re-evaluated per emitted row, so carrying the signature
+    * would recompute the whole aggregate `bands` times per document — and
+    * at scale the band shuffle should be narrow anyway.
+    *
+    * SHUFFLE_HASH on the self-join: both sides then need the same
+    * hashpartitioning(band,key) exchange over the same canonical subtree,
+    * so ReuseExchange computes the banded signatures ONCE (a broadcast
+    * join would recompute the subtree for the build side). */
+  private def bandCandidates(sig: DataFrame, bands: Int, r: Int): DataFrame = {
+    val banded = sig.select(col("__id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          hash(slice(col("__sig"), b * r + 1, lit(r))).as("key")))).as("bk"))
+      .select(col("__id"), col("bk.band").as("__band"), col("bk.key").as("__key"))
+    banded.select(col("__band"), col("__key"), col("__id").as("id_l"))
+      .hint("SHUFFLE_HASH")
+      .join(banded.select(col("__band"), col("__key"), col("__id").as("id_r"))
+        .hint("SHUFFLE_HASH"), Seq("__band", "__key"))
+      .where(col("id_l") < col("id_r"))
+      .select("id_l", "id_r").distinct()
   }
 
   private val pow2: Column = typedlit((0 until 64).map(i => 1L << i))
@@ -213,16 +223,26 @@ object Dedup {
     * f rows contributes f² join pairs. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        maxShingleFreq: Long = 1000L): DataFrame = {
-    // the exploded (id, shingle) relation feeds sizes, the frequency cap,
-    // and both self-join sides — persist it once instead of re-exploding
-    // per consumer
-    val sh = df.select(col(idCol).as("__id"),
-      explode(shingles(col(textCol), n)).as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__sz"))
+                        maxShingleFreq: Long = 1000L,
+                        scope: Option[CacheScope] = None): DataFrame = {
+    // Set sizes come straight from the (distinct) shingle ARRAY — a pure
+    // projection over the scan, no explode and no shuffle needed.
+    val sizes = df.select(col(idCol).as("__id"),
+      size(shingles(col(textCol), n)).cast("long").as("__sz"))
+    // The exploded (id, shingle) relation feeds the frequency cap and both
+    // self-join sides. All three consumers need the same
+    // Exchange(hashpartitioning(__sh)) over the same canonical subtree
+    // (SHUFFLE_HASH keeps the cap join from broadcasting its side, which
+    // would re-derive the subtree instead of reusing the exchange), so the
+    // scan+shingle+explode pipeline runs once per action — no leaked
+    // persist. Callers running several actions pass a [[CacheScope]].
+    val sh = CacheScope.maybe(scope,
+      df.select(col(idCol).as("__id"),
+        explode(shingles(col(textCol), n)).as("__sh")))
+      .hint("SHUFFLE_HASH")
     val freqOk = sh.groupBy("__sh").agg(count(lit(1)).as("__f"))
       .where(col("__f") <= maxShingleFreq).select("__sh")
+      .hint("SHUFFLE_HASH")
     val filtered = sh.join(freqOk, Seq("__sh"))
     val inter = filtered.select(col("__sh"), col("__id").as("id_l"))
       .join(filtered.select(col("__sh"), col("__id").as("id_r")), Seq("__sh"))
@@ -251,10 +271,15 @@ object Dedup {
     * prefixes) — pick per corpus density; real web corpora are far
     * sparser than this worst case. */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
-                              n: Int = 3, threshold: Double = 0.7): DataFrame = {
+                              n: Int = 3, threshold: Double = 0.7,
+                              scope: Option[CacheScope] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0)
-    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), n).as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Three consumers (prefix explode + two verification joins) over a
+    // pure scan→shingle projection: recomputing it is one extra columnar
+    // scan per consumer, strictly cheaper than a leaked persist in a
+    // long-lived session. Multi-action callers pass a [[CacheScope]].
+    val sh = CacheScope.maybe(scope,
+      df.select(col(idCol).as("__id"), shingles(col(textCol), n).as("__sh")))
     // global order = sorted shingle hashes; prefix = smallest hashes
     val hs = sh.select(col("__id"),
       array_sort(transform(col("__sh"), s => xxhash64(s))).as("__hs"))
@@ -285,9 +310,14 @@ object Dedup {
     * with jaccard >= threshold. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.8, numHashes: Int = 64,
-                     bands: Int = 16, shingleN: Int = 3): DataFrame = {
-    val candidates = minhashLshPairs(df, idCol, textCol, numHashes, bands, shingleN)
-      .select("id_l", "id_r")
+                     bands: Int = 16, shingleN: Int = 3,
+                     seed: Long = 42L): DataFrame = {
+    // candidates straight from the band join — NOT via minhashLshPairs,
+    // whose est_jaccard signature join-backs would stay in the plan (inner
+    // joins aren't eliminated by column pruning) and cost two extra
+    // signature computations that the exact verify below makes redundant
+    val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleN, seed)
+    val candidates = bandCandidates(sig, bands, numHashes / bands)
     val sh = df.select(col(idCol).as("__id"),
       shingles(col(textCol), shingleN).as("__sh"))
     val verified = candidates

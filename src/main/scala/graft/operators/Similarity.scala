@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over embedding columns (array<float>).
   *
@@ -69,6 +68,22 @@ object Similarity {
       when(dot(v, typedlit(p)) >= 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Per-query top-k finisher over a scored (__qid, __cid, __sim)
+    * relation, via the bounded-heap partial aggregate
+    * [[graft.functions.TopKByScore]]. Map-side partial aggregation
+    * truncates each partition's state to k pairs BEFORE the shuffle, so
+    * the exchange carries ≤ k·partitions rows per query — the previous
+    * `row_number() OVER (PARTITION BY __qid)` form shuffled the entire
+    * n·q scored relation into q reducer partitions, a handful of hot
+    * reducers at corpus scale. Same output, same (sim desc, id asc)
+    * deterministic order. */
+  private def finishTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("__qid")
+      .agg(graft.functions.TopKByScore(col("__sim"), col("__cid").cast("long"), k).as("__top"))
+      .select(col("__qid"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("__qid").as("query_id"), (col("__pos") + 1).as("rank"),
+        col("__e.id").as("neighbor_id"), col("__e.score").as("cosine"))
+
   /** Exact cosine top-k: for each row of `queries`, the k nearest corpus
     * rows. Output: (queryId, rank, neighborId, cosine). */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
@@ -79,12 +94,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .where(if (excludeSelf) col("__cid") =!= col("__qid") else lit(true))
       .select(col("__qid"), col("__cid"), cosine(col("__cv"), col("__qv")).as("__sim"))
-    val w = Window.partitionBy(col("__qid"))
-      .orderBy(col("__sim").desc, col("__cid"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("__qid").as("query_id"), col("rank"),
-        col("__cid").as("neighbor_id"), col("__sim").as("cosine"))
+    finishTopK(scored, k)
   }
 
   /** Approximate top-k via single-probe LSH bucketing. Rows whose bucket
@@ -101,11 +111,6 @@ object Similarity {
     val scored = c.join(q, Seq("__bucket"))
       .where(col("__cid") =!= col("__qid"))
       .select(col("__qid"), col("__cid"), cosine(col("__cv"), col("__qv")).as("__sim"))
-    val w = Window.partitionBy(col("__qid"))
-      .orderBy(col("__sim").desc, col("__cid"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("__qid").as("query_id"), col("rank"),
-        col("__cid").as("neighbor_id"), col("__sim").as("cosine"))
+    finishTopK(scored, k)
   }
 }

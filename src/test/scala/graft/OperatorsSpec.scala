@@ -117,6 +117,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKByScore partial aggregate ≡ row_number window top-k, exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.limit(4)
+    val got = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 7)
+      .orderBy("query_id", "rank").collect().toSeq
+    // reference formulation: the window funnel this aggregate replaces
+    val c = emb.select(col("vec_id").as("__cid"), col("embedding").as("__cv"))
+    val q = queries.select(col("vec_id").as("__qid"), col("embedding").as("__qv"))
+    val w = Window.partitionBy(col("__qid")).orderBy(col("__sim").desc, col("__cid"))
+    val expect = c.crossJoin(broadcast(q)).where(col("__cid") =!= col("__qid"))
+      .select(col("__qid"), col("__cid"),
+        Similarity.cosine(col("__cv"), col("__qv")).as("__sim"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 7)
+      .select(col("__qid").as("query_id"), col("rank"),
+        col("__cid").as("neighbor_id"), col("__sim").as("cosine"))
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))) ==
+      expect.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))))
+    // the plan must do map-side PARTIAL top-k (the point of the rewrite)
+    val plan = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 7).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k_by_score"), s"no partial aggregate in:\n$plan")
+  }
+
   test("annTopK returns a subset consistent with brute force scores") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val queries = emb.limit(5)
