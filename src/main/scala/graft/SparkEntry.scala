@@ -101,6 +101,17 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // pandas assignment alignment: df[c] = foreign series LEFT-aligns (s is
+    // reindexed to df's index; part keys absent from orders are dropped,
+    // orders rows without a part get NULL) — oracle = LEFT JOIN
+    "q_assign_align" -> ((s, dir) => {
+      val o = ordersByKey(s, dir).select(Seq("o_totalprice"))
+      val p = partByKey(s, dir)("p_retailprice")
+      o.withColumn("rp", p)
+        .toSpark(includeIndex = true)
+        .orderBy("o_orderkey")
+    }),
+
     // generic.py:69-75 isna over the NULLs produced by outer alignment
     "q_isna" -> ((s, dir) => {
       val o = ordersByKey(s, dir)("o_totalprice")
@@ -274,26 +285,55 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
-    // MinHash+LSH near-dup candidates (banded signature equi-join; not
-    // SQL-expressible → rows-only check). est_jaccard floor keeps the
-    // output meaningful; the documents corpus shares vocabulary so
-    // candidate pairs exist at low thresholds.
+    // MinHash-LSH generate → exact-Jaccard verify at t=0.5 (64 hashes, 32
+    // bands of 2 rows: a J=0.5 pair is missed with prob (1-0.25)^32 ≈ 1e-4,
+    // and the hashes are seed-deterministic, so on this corpus recall is a
+    // fixed, locally-verified fact). Oracle = exhaustive all-pairs exact
+    // Jaccard — a hash match proves the banding lost nothing AND the
+    // verify arithmetic is exact.
     "q_minhash_pairs" -> ((s, dir) => {
-      Dedup.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
-        "doc_id", "text", numHashes = 64, bands = 32)
+      Dedup.nearDuplicates(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", threshold = 0.5, numHashes = 64, bands = 32)
+        .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_l", "id_r")
     }),
 
-    // 64-bit SimHash signatures per document (rows-only; codegen'd
-    // explode+vote-aggregate formulation)
-    "q_simhash" -> ((s, dir) => {
-      Dedup.simhashTable(s.read.parquet(s"$dir/documents.parquet"),
-        "doc_id", "text")
-        .select(col("__id").as("doc_id"), col("__sh").as("simhash"))
-        .orderBy("doc_id")
+    // the composite near-duplicate pipeline at its production threshold
+    // (t=0.8, 16 bands of 4 rows — miss prob (1-0.41)^16 ≈ 2e-4), same
+    // exhaustive oracle
+    "q_near_dup" -> ((s, dir) => {
+      Dedup.nearDuplicates(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", threshold = 0.8)
+        .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_l", "id_r")
     }),
 
-    // exact n-gram Jaccard pairs via shingle join (rows-only)
+    // SimHash-banded exact dedup, generate→verify: pigeonhole candidates
+    // at hamming 0, then exact md5 verification. Identical text ⇒
+    // identical token multiset ⇒ identical 64-bit signature ⇒ the band
+    // join MUST surface the pair — so recall on exact duplicates is 1 BY
+    // CONSTRUCTION (not a corpus accident) and the output provably equals
+    // the oracle's exhaustive md5-equal pairs. Exact duplicates are
+    // planted in-query (ids shifted by 100000, SQL-mirrorable) since the
+    // corpus has none. Near-dup behavior (hamming ≤ 3) stays spec-tested.
+    "q_simhash" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val planted = docs.union(
+        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val cand = Dedup.simhashNearDup(planted, "doc_id", "text", maxHamming = 0)
+      val fp = planted.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      cand
+        .join(fp.select(col("doc_id").as("id_l"), col("fp").as("fp_l")), Seq("id_l"))
+        .join(fp.select(col("doc_id").as("id_r"), col("fp").as("fp_r")), Seq("id_r"))
+        .where(col("fp_l") === col("fp_r"))
+        .select(col("id_l"), col("id_r"), col("hamming"))
+        .orderBy("id_l", "id_r")
+    }),
+
+    // exact n-gram Jaccard pairs via shingle join; oracle = DuckDB
+    // list_intersect over re-derived shingles (the 1000-doc frequency cap
+    // is provably inactive at oracle scale: a distinct shingle appears at
+    // most once per doc and the corpus is 500 docs)
     "q_jaccard_pairs" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", n = 3, threshold = 0.05)
@@ -301,7 +341,9 @@ object SparkEntry {
         .orderBy("id_l", "id_r")
     }),
 
-    // LSH-bucketed approximate nearest neighbors (rows-only)
+    // LSH-bucketed approximate nearest neighbors; the hyperplanes are
+    // seed-deterministic so the oracle inlines them as literals and
+    // recomputes the exact same buckets
     "q_ann_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val queries = emb.where(col("vec_id") < 20)
@@ -312,7 +354,8 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // quality scoring (rows-only; banded heuristic)
+    // quality scoring (C4/Gopher-style cheap filters; oracle mirrors the
+    // when-chains in SQL)
     "q_quality" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       docs.select(col("doc_id"),
@@ -374,18 +417,21 @@ object SparkEntry {
         lit(o.len).as("order_rows"), lit(o.shape(1)).as("order_cols"))
     }),
 
-    // multimodal plumbing: payload + stub-probed meta + partitioned decode
-    // (rows-only; the stub kernels are not SQL-mirrorable)
+    // multimodal: synthesize a real binary-PPM payload, re-PARSE its
+    // header from the bytes (probeImages → ImageCodec), then resize-meta.
+    // The oracle recomputes width/height from the text length and the
+    // resize math — a hash match proves the byte-level header parse
+    // round-trips the synthesis exactly.
     "q_multimodal" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val mm = Multimodal.withImagePayload(docs, "text")
-      Multimodal.decodeImages(
-        Multimodal.resizeMeta(mm, "meta", 256, 256).repartition(8),
-        "content", dim = 8)
-        .select(col("doc_id"), col("meta.width").as("width"),
+      val probed = Multimodal.probeImages(mm.repartition(8), "content")
+      Multimodal.resizeMeta(probed, "probed_meta", 256, 256)
+        .select(col("doc_id"),
+          col("probed_meta.width").as("width"),
+          col("probed_meta.height").as("height"),
           col("resized_meta.width").as("rs_width"),
-          col("resized_meta.height").as("rs_height"),
-          round(element_at(col("features"), 1), 4).as("f0"))
+          col("resized_meta.height").as("rs_height"))
         .orderBy("doc_id")
     }),
 
@@ -615,6 +661,10 @@ object SparkEntry {
         | COALESCE(o.o_totalprice + p.p_retailprice, -1.0) AS s
         |FROM orders o FULL OUTER JOIN part p ON o.o_orderkey = p.p_partkey
         |ORDER BY o_orderkey""".stripMargin,
+    "q_assign_align" ->
+      """SELECT o_orderkey, o_totalprice, p_retailprice AS rp
+        |FROM orders LEFT JOIN part ON o_orderkey = p_partkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q_isna" ->
       """SELECT COALESCE(o.o_orderkey, p.p_partkey) AS o_orderkey,
         | (o.o_totalprice + p.p_retailprice) IS NULL AS s
@@ -729,6 +779,48 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM lineitem) AS lineitem_rows,
         | (SELECT count(*) FROM orders) AS order_rows,
         | 6 AS order_cols""".stripMargin,
+    "q_quality" ->
+      s"""SELECT doc_id, round(${graft.operators.TextAnalysis.qualityOracleSqlExpr("text")}, 6) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_jaccard_pairs" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.05),
+    "q_minhash_pairs" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.5),
+    "q_near_dup" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.8),
+    "q_simhash" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |f AS (SELECT doc_id, md5(text) AS fp FROM d)
+        |SELECT a.doc_id AS id_l, b.doc_id AS id_r, CAST(0 AS INT) AS hamming
+        |FROM f a JOIN f b ON a.doc_id < b.doc_id AND a.fp = b.fp
+        |ORDER BY id_l, id_r""".stripMargin,
+    "q_ann_topk" -> {
+      val bucket = graft.operators.Similarity.lshBucketOracleSqlExpr("embedding", 3, 64, 42L)
+      s"""WITH c AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, $bucket AS bucket
+         |      FROM embeddings WHERE vec_id < 20),
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    list_sum(list_transform(list_zip(c.embedding, q.qv),
+         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+         |    (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+         |     sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+         |  FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, neighbor_id, sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(sim, 6) AS cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    "q_multimodal" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(64 + (len(text) * 7) % 1921 AS INT) AS width,
+        |    CAST(64 + (len(text) * 13) % 1081 AS INT) AS height
+        |  FROM documents),
+        |r AS (SELECT doc_id, width, height,
+        |    least(256.0 / width, 256.0 / height, 1.0) AS sc FROM m)
+        |SELECT doc_id, width, height,
+        |  CAST(round(width * sc) AS INT) AS rs_width,
+        |  CAST(round(height * sc) AS INT) AS rs_height
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_merge_left" ->
       """SELECT o_orderkey, o_totalprice, p_retailprice
         |FROM orders LEFT JOIN part ON o_orderkey = p_partkey

@@ -113,7 +113,7 @@ final class DataFrame private[graft] (
     if (r < 0 || r >= rowCount)
       throw new GraftIndexError(
         s"index $row is out of bounds for axis 0 with size $rowCount")
-    frame.df.select(frame.colAt(c)).offset(r.toInt).limit(1).collect().head.get(0)
+    cellAt(frame.colAt(c), r)
   }
 
   /** Label renames — pure metadata (alchemy.py:277-285). */
@@ -133,8 +133,10 @@ final class DataFrame private[graft] (
     }
 
   /** Attach a Series as a new column (pandas `df[label] = s` / `assign`).
-    * Same-base Series fuse as a pure projection; foreign Series align via
-    * a full-outer index join (pandas assignment alignment). */
+    * Same-base Series fuse as a pure projection; foreign Series LEFT-align
+    * (pandas assignment reindexes `s` to this frame's index: rows present
+    * only in `s` are dropped, rows missing from `s` get NULL — a
+    * full-outer join here would invent rows the frame never had). */
   def withColumn(label: String, s: Series): DataFrame = {
     if (frame.fusesWith(s.frame))
       rebuild(frame.withDataExprs(frame.colLabels :+ Some(label),
@@ -143,7 +145,8 @@ final class DataFrame private[graft] (
       val pairs = (0 until frame.nCols).map(i => (i, -1)) :+ ((-1, 0))
       rebuild(Align.alignedJoin(frame, s.frame, None,
         frame.colLabels :+ Some(label), pairs,
-        (l, r) => if (l.dt == org.apache.spark.sql.types.NullType) r.col else l.col))
+        (l, r) => if (l.dt == org.apache.spark.sql.types.NullType) r.col else l.col,
+        flatHow = "left_outer"))
     }
   }
 

@@ -37,11 +37,31 @@ private[graft] trait GenericLike[Self] {
   /** LIMIT n (generic.py:46-48). Row set changes → re-anchor the plan. */
   def head(n: Int = 5): Self = rebuild(frame.rePhysical(frame.df.limit(n)))
 
-  /** COUNT then LIMIT/OFFSET — two jobs, faithful to generic.py:50-57. */
+  /** COUNT then LIMIT/OFFSET — two jobs, faithful to generic.py:50-57.
+    * LIMIT/OFFSET take Int; past 2^31 rows the offset is applied as a
+    * contiguous-rowid range filter instead (two narrow passes, no
+    * Int wrap — the scale-safe path for a 100 TB table's tail). */
   def tail(n: Int = 5): Self = {
-    val offset = math.max(0L, len - n).toInt
-    val df = if (offset > 0) frame.df.offset(offset).limit(n) else frame.df.limit(n)
+    val offset = math.max(0L, len - n)
+    val df =
+      if (offset == 0L) frame.df.limit(n)
+      else if (offset <= Int.MaxValue) frame.df.offset(offset.toInt).limit(n)
+      else Align.zipWithRowId(frame.df, "__graft_tail_rid")
+        .where(org.apache.spark.sql.functions.col("__graft_tail_rid") >= offset)
+        .drop("__graft_tail_rid")
     rebuild(frame.rePhysical(df))
+  }
+
+  /** Single cell at row ordinal `r` of column expression `c` — the shared
+    * scalar probe behind DataFrame/Series `iat`, long-offset safe. */
+  private[graft] def cellAt(c: org.apache.spark.sql.Column, r: Long): Any = {
+    val proj = frame.df.select(c)
+    val picked =
+      if (r <= Int.MaxValue) proj.offset(r.toInt).limit(1)
+      else Align.zipWithRowId(proj, "__graft_iat_rid")
+        .where(org.apache.spark.sql.functions.col("__graft_iat_rid") === r)
+        .drop("__graft_iat_rid")
+    picked.collect().head.get(0)
   }
 
   def isna: Self = rebuild(frame.mapCols((c, _, _) => c.isNull))

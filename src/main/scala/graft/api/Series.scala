@@ -58,8 +58,7 @@ final class Series private[graft] (
     if (idx < 0 || idx >= rowCount)
       throw new GraftIndexError(
         s"index $i is out of bounds for axis 0 with size $rowCount")
-    frame.df.select(frame.colAt(0)).offset(idx.toInt).limit(1)
-      .collect().head.get(0)
+    cellAt(frame.colAt(0), idx)
   }
 
   /** CONCAT a literal onto the index values — a real projection, unlike the
@@ -139,6 +138,36 @@ final class Series private[graft] (
                    reverse: Boolean = false): DataFrame =
     df.binOp(op, this, axis = 0, level = level, fillValue = fillValue,
       reverse = !reverse)
+
+  // ---- Series op DataFrame → DataFrame (alchemy.py:419-424) ----
+  // The reference dispatches this inside `_op`; a static Series return
+  // type can't, so each op gets a DataFrame-returning overload (the
+  // un-defaulted signatures keep Scala's overload rules happy; the Any
+  // versions below still carry the defaults). Semantics via
+  // [[combineFrame]], which reflects the actual op rather than the
+  // reference's hardcoded-radd bug (SURVEY.md §7.4 item 6).
+  def add(other: DataFrame): DataFrame = combineFrame(Semantics.Add, other)
+  def radd(other: DataFrame): DataFrame = combineFrame(Semantics.Add, other, reverse = true)
+  def sub(other: DataFrame): DataFrame = combineFrame(Semantics.Sub, other)
+  def rsub(other: DataFrame): DataFrame = combineFrame(Semantics.Sub, other, reverse = true)
+  def mul(other: DataFrame): DataFrame = combineFrame(Semantics.Mul, other)
+  def rmul(other: DataFrame): DataFrame = combineFrame(Semantics.Mul, other, reverse = true)
+  def div(other: DataFrame): DataFrame = combineFrame(Semantics.Div, other)
+  def rdiv(other: DataFrame): DataFrame = combineFrame(Semantics.Div, other, reverse = true)
+  def truediv(other: DataFrame): DataFrame = div(other)
+  def rtruediv(other: DataFrame): DataFrame = rdiv(other)
+  def floordiv(other: DataFrame): DataFrame = combineFrame(Semantics.FloorDiv, other)
+  def rfloordiv(other: DataFrame): DataFrame = combineFrame(Semantics.FloorDiv, other, reverse = true)
+  def mod(other: DataFrame): DataFrame = combineFrame(Semantics.Mod, other)
+  def rmod(other: DataFrame): DataFrame = combineFrame(Semantics.Mod, other, reverse = true)
+  def pow(other: DataFrame): DataFrame = combineFrame(Semantics.Pow, other)
+  def rpow(other: DataFrame): DataFrame = combineFrame(Semantics.Pow, other, reverse = true)
+  def eq(other: DataFrame): DataFrame = combineFrame(Semantics.Eq, other)
+  def ne(other: DataFrame): DataFrame = combineFrame(Semantics.Ne, other)
+  def lt(other: DataFrame): DataFrame = combineFrame(Semantics.Lt, other)
+  def le(other: DataFrame): DataFrame = combineFrame(Semantics.Le, other)
+  def gt(other: DataFrame): DataFrame = combineFrame(Semantics.Gt, other)
+  def ge(other: DataFrame): DataFrame = combineFrame(Semantics.Ge, other)
 
   // 16 arithmetic methods + 6 comparisons (alchemy.py:449-463)
   def add(other: Any, level: Option[Any] = None, fillValue: Option[Any] = None, axis: Any = 0): Series =

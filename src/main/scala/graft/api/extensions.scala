@@ -103,7 +103,11 @@ private[graft] trait DataFrameExtensions { this: DataFrame =>
   /** Drop rows containing NULL in any (or the given) data columns. */
   def dropna(subset: Seq[String] = Nil): DataFrame = {
     val ords = if (subset.isEmpty) frame.colLabels.indices
-               else subset.map(s => frame.colLabels.indexOf(Some(s)))
+               else subset.map { s =>
+                 val i = frame.colLabels.indexOf(Some(s))
+                 if (i < 0) throw new GraftKeyError(s"'$s'")
+                 i
+               }
     val cond = ords.map(i => frame.dataExprs(i).isNotNull).reduce(_ && _)
     new DataFrame(frame.whereExpr(cond))
   }

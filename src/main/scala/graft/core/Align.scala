@@ -59,7 +59,8 @@ object Align {
   def alignedJoin(l: SqlFrame, r: SqlFrame, level: Option[Any],
                   outLabels: IndexedSeq[Option[String]],
                   pairs: Seq[(Int, Int)],
-                  build: (Operand, Operand) => Column): SqlFrame = {
+                  build: (Operand, Operand) => Column,
+                  flatHow: String = "full_outer"): SqlFrame = {
     val rdf = SqlFrame.asRight(r)
     def opL(i: Int): Operand =
       Operand(if (i < 0) lit(null) else col(SqlFrame.colName(i)), l.colType(i))
@@ -94,10 +95,16 @@ object Align {
     }
 
     if (!l.isMultiIndex && !r.isMultiIndex) {
+      // full_outer: binary-op alignment (union of indexes, base.py:72-79).
+      // left_outer: ASSIGNMENT alignment (pandas `df[c] = s` reindexes s
+      // to df's index — rows only in s are dropped, df's row set is
+      // preserved), so the index comes from the left side alone.
       val cond = col(SqlFrame.idxName(0)) === col(SqlFrame.rIdxName(0))
-      val joined = l.df.join(rdf, cond, "full_outer")
-      val idxSel = coalesce(col(SqlFrame.idxName(0)), col(SqlFrame.rIdxName(0)))
-        .as(SqlFrame.idxName(0))
+      val joined = l.df.join(rdf, cond, flatHow)
+      val idxSel =
+        if (flatHow == "left_outer") col(SqlFrame.idxName(0)).as(SqlFrame.idxName(0))
+        else coalesce(col(SqlFrame.idxName(0)), col(SqlFrame.rIdxName(0)))
+          .as(SqlFrame.idxName(0))
       SqlFrame.fromPhysical(l.indexNames, outLabels,
         joined.select(idxSel +: dataSel: _*))
     } else level match {

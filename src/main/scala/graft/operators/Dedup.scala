@@ -46,6 +46,34 @@ object Dedup {
         .otherwise(array(joined)))
   }
 
+  /** [[shingles]] rendered as DuckDB SQL over a text column reference:
+    * identical tokenization (\s+ split, empties dropped), identical
+    * n-gram windows, identical short-text fallback, distinct. */
+  def shinglesOracleSqlExpr(textRef: String, n: Int): String = {
+    val toks = s"list_filter(string_split_regex(trim($textRef), '\\s+'), w -> len(w) > 0)"
+    s"(CASE WHEN len($toks) >= $n THEN " +
+      s"list_distinct(list_transform(generate_series(1, len($toks) - ${n - 1}), " +
+      s"i -> array_to_string(list_slice($toks, i, i + ${n - 1}), ' '))) " +
+      s"ELSE [array_to_string($toks, ' ')] END)"
+  }
+
+  /** All-pairs exact n-gram Jaccard as DuckDB SQL — the oracle for both
+    * the exact shingle-join operator and (recall permitting) the
+    * LSH-generate → exact-verify pipeline, whose output must equal the
+    * exhaustive computation whenever the banding catches every pair at
+    * the threshold. Integer set sizes and a single double division mirror
+    * the Spark arithmetic bit-for-bit. */
+  def jaccardPairsOracleSql(n: Int, threshold: Double): String = {
+    val sh = shinglesOracleSqlExpr("text", n)
+    s"""WITH sh AS (SELECT doc_id, $sh AS s FROM documents),
+       |j AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+       |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+       | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT id_l, id_r, round(jaccard, 6) AS jaccard
+       |FROM j WHERE jaccard >= $threshold ORDER BY id_l, id_r""".stripMargin
+  }
+
   /** MinHash signature over an already-built shingle array column:
     * `numHashes` independent hash functions via seeded xxhash64 (the seed
     * is an extra hashed column — no affine-transform overflow under ANSI).

@@ -6,18 +6,26 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 
 /** Multimodal column handling: images/audio/video travel as opaque
-  * `binary` columns plus typed metadata structs. The Spark-side plumbing —
-  * schemas, partitioning, per-partition batch shape — is real; the decode
-  * kernels themselves are STUBS (deterministic fakes derived from the
-  * bytes), because no image/audio codec libraries exist in this
-  * environment. Swap [[ImageCodec]] for a real implementation and nothing
-  * else changes.
+  * `binary` columns plus typed metadata structs.
+  *
+  * The container layer is REAL: [[ImageCodec.probe]] parses actual public
+  * image container headers (binary PPM `P6` and BMP `BM` — both fully
+  * documented formats needing no codec libraries), and
+  * [[ImageCodec.features]] mean-pools the raster bytes into a fixed-dim
+  * vector. [[withImagePayload]] synthesizes valid P6 payloads from a text
+  * column (this container has no image files), with header dimensions
+  * derived from SQL-expressible facts so the DuckDB oracle can verify the
+  * parse end-to-end: synthesis writes the header with expressions, the
+  * probe re-reads it with the byte parser, and the two must agree.
+  * Compressed formats (JPEG/PNG decode) would slot into [[ImageCodec]]
+  * without touching the Spark plumbing.
   *
   * Scale design: decode work is embarrassingly parallel per row but
-  * memory-heavy per item, so [[decodeImages]] goes through `mapPartitions`
-  * (one decoder instance per partition, streaming iterator — the Scala
-  * analog of `mapInPandas` batches) and callers control parallelism by
-  * `repartition(n)` on the binary column's table, NOT by collecting.
+  * memory-heavy per item, so [[decodeImages]]/[[probeImages]] go through
+  * `mapPartitions` (one decoder instance per partition, streaming
+  * iterator — the Scala analog of `mapInPandas` batches) and callers
+  * control parallelism by `repartition(n)` on the binary column's table,
+  * NOT by collecting.
   */
 object Multimodal {
 
@@ -28,44 +36,132 @@ object Multimodal {
     StructField("channels", IntegerType, nullable = false),
     StructField("format", StringType, nullable = false)))
 
-  /** STUB decode kernel: deterministic pseudo-properties from the payload
-    * bytes. A real deployment replaces this object only. */
+  /** Container-header codec for the two library-free public image formats.
+    * Swap/extend this object for compressed formats; the Spark plumbing
+    * (schemas, partitioning, batch shape) does not change. */
   object ImageCodec {
-    def probe(bytes: Array[Byte]): (Int, Int, Int, String) = {
-      // ??? real: parse the container header. Deterministic fake:
-      val h = java.util.Arrays.hashCode(bytes)
-      val w = 64 + math.abs(h % 1921)
-      val ht = 64 + math.abs((h / 1921) % 1081)
-      (w, ht, 3, if (h % 2 == 0) "png" else "jpeg")
+
+    /** (width, height, channels, format, rasterOffset) or None. */
+    private[operators] def parse(b: Array[Byte]): Option[(Int, Int, Int, String, Int)] = {
+      if (b == null || b.length < 2) None
+      else if (b(0) == 'P'.toByte && b(1) == '6'.toByte) parsePpm(b)
+      else if (b(0) == 'B'.toByte && b(1) == 'M'.toByte) parseBmp(b)
+      else None
     }
 
-    /** ??? real: decode + pool pixels. Deterministic fake feature vector. */
+    // Binary PPM: "P6" <ws> width <ws> height <ws> maxval <one ws> raster,
+    // '#' starts a comment through end-of-line.
+    private def parsePpm(b: Array[Byte]): Option[(Int, Int, Int, String, Int)] = {
+      var i = 2
+      def skipWs(): Unit = {
+        var done = false
+        while (!done && i < b.length) {
+          val c = b(i)
+          if (c == '#'.toByte) { while (i < b.length && b(i) != '\n'.toByte) i += 1 }
+          else if (c == ' '.toByte || c == '\n'.toByte || c == '\t'.toByte ||
+            c == '\r'.toByte || c == 11 || c == 12) i += 1
+          else done = true
+        }
+      }
+      def int(): Int = {
+        skipWs()
+        var v = 0; var any = false
+        while (i < b.length && b(i) >= '0'.toByte && b(i) <= '9'.toByte) {
+          v = v * 10 + (b(i) - '0'.toByte); i += 1; any = true
+        }
+        if (any) v else -1
+      }
+      val w = int(); val h = int(); val maxval = int()
+      if (w <= 0 || h <= 0 || maxval <= 0) None
+      else Some((w, h, 3, "ppm", i + 1)) // one whitespace byte, then raster
+    }
+
+    // BMP: little-endian i32 width at 18, i32 height at 22 (negative =
+    // top-down), u16 bits-per-pixel at 28, u32 raster offset at 10.
+    private def parseBmp(b: Array[Byte]): Option[(Int, Int, Int, String, Int)] = {
+      if (b.length < 30) return None
+      def le32(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+      val w = le32(18)
+      val h = math.abs(le32(22))
+      val bpp = (b(28) & 0xFF) | ((b(29) & 0xFF) << 8)
+      if (w <= 0 || h <= 0) None
+      else Some((w, h, math.max(bpp / 8, 1), "bmp", le32(10)))
+    }
+
+    /** Header probe: (width, height, channels, format). Unknown containers
+      * probe as (0, 0, 0, "unknown") rather than failing the pipeline —
+      * crawled corpora always contain garbage payloads. */
+    def probe(bytes: Array[Byte]): (Int, Int, Int, String) =
+      parse(bytes) match {
+        case Some((w, h, c, f, _)) => (w, h, c, f)
+        case None => (0, 0, 0, "unknown")
+      }
+
+    /** Real decode kernel: mean-pool the raster's unsigned bytes into
+      * `dim` contiguous buckets, normalized to [0,1]. Truncated rasters
+      * (header promises more pixels than the payload carries) pool what
+      * exists — the defensive posture for crawled data. Unknown containers
+      * pool the whole payload. */
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val off = parse(bytes).map(_._5).getOrElse(0)
       val out = new Array[Float](dim)
-      var acc = 1469598103934665603L
-      var i = 0
-      while (i < bytes.length) {
-        acc = (acc ^ bytes(i)) * 1099511628211L
-        out(math.abs((acc % dim).toInt)) += ((acc >>> 32).toInt % 1000) / 1000.0f
-        i += 1
+      if (bytes == null) return out
+      val n = math.max(bytes.length - off, 0)
+      if (n == 0) return out
+      var j = 0
+      while (j < dim) {
+        val lo = off + (j.toLong * n / dim).toInt
+        val hi = off + ((j + 1).toLong * n / dim).toInt
+        if (hi > lo) {
+          var acc = 0L
+          var i = lo
+          while (i < hi) { acc += bytes(i) & 0xFF; i += 1 }
+          out(j) = (acc.toDouble / (hi - lo) / 255.0).toFloat
+        }
+        j += 1
       }
       out
     }
   }
 
-  /** Wrap a text/id table into a multimodal frame: payload bytes + probed
-    * metadata. (In production the binary column comes from the lakehouse;
-    * here payloads are synthesized from any string column.) The stub probe
-    * is a pure expression over the payload hash — codegen'd, no UDF. */
+  /** Wrap a text/id table into a multimodal frame: a VALID binary-PPM
+    * payload (real `P6` header + the text's UTF-8 bytes as a truncated
+    * raster) plus the encoding-side metadata struct. Header dimensions
+    * derive from the text length only — SQL-expressible on purpose, so an
+    * external oracle can recompute what [[probeImages]] must parse back
+    * out of the bytes. */
   def withImagePayload(df: DataFrame, srcCol: String,
                        contentCol: String = "content"): DataFrame = {
-    val h = xxhash64(col(contentCol))
-    df.withColumn(contentCol, col(srcCol).cast(BinaryType))
+    val len = length(col(srcCol))
+    val w = (lit(64) + pmod(len * 7, lit(1921))).cast("int")
+    val h = (lit(64) + pmod(len * 13, lit(1081))).cast("int")
+    df.withColumn(contentCol,
+        concat(lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"),
+          lit("\n255\n"), col(srcCol)).cast(BinaryType))
       .withColumn("meta", struct(
-        (lit(64) + pmod(h, lit(1921)).cast("int")).as("width"),
-        (lit(64) + pmod(h / 1921, lit(1081)).cast("int")).as("height"),
-        lit(3).as("channels"),
-        when(pmod(h, lit(2)) === 0, "png").otherwise("jpeg").as("format")))
+        w.as("width"), h.as("height"),
+        lit(3).as("channels"), lit("ppm").as("format")))
+  }
+
+  /** Per-partition streaming header probe → metadata struct column parsed
+    * from the payload BYTES (not trusted from upstream metadata). */
+  def probeImages(df: DataFrame, contentCol: String,
+                  outCol: String = "probed_meta"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField(outCol, imageMetaSchema, nullable = true))
+    val idx = inSchema.fieldIndex(contentCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val m = if (bytes == null) null else {
+          val (w, h, c, f) = ImageCodec.probe(bytes)
+          Row(w, h, c, f)
+        }
+        Row.fromSeq(r.toSeq :+ m)
+      }
+    }(enc)
   }
 
   /** Per-partition streaming decode → fixed-dim feature vector column.
@@ -90,7 +186,7 @@ object Multimodal {
   }
 
   /** Metadata-level resize: target box, preserve aspect (pure expression —
-    * the pixel work is the stub's concern, the bookkeeping is real). */
+    * the pixel work is the codec's concern, the bookkeeping is real). */
   def resizeMeta(df: DataFrame, metaCol: String, maxW: Int, maxH: Int): DataFrame = {
     val w = col(s"$metaCol.width").cast("double")
     val h = col(s"$metaCol.height").cast("double")

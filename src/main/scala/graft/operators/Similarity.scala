@@ -68,6 +68,19 @@ object Similarity {
       when(dot(v, typedlit(p)) >= 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** [[lshBucket]] rendered as DuckDB SQL: the hyperplanes are
+    * deterministic from (planes, dim, seed), so they inline as double
+    * literals and an external engine reproduces the exact bucket ids —
+    * double dot products are bit-identical (same literals, same
+    * sequential accumulation), so the sign tests agree. */
+  def lshBucketOracleSqlExpr(vecRef: String, planes: Int, dim: Int, seed: Long): String =
+    planesFor(planes, dim, seed).zipWithIndex.map { case (p, j) =>
+      val lits = p.map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(list_zip($vecRef, $lits), " +
+        s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) >= 0.0 " +
+        s"THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   /** Per-query top-k finisher over a scored (__qid, __cid, __sim)
     * relation, via the bounded-heap partial aggregate
     * [[graft.functions.TopKByScore]]. Map-side partial aggregation

@@ -73,6 +73,30 @@ object TextAnalysis {
     lengthScore + punctScore + swScore + wordScore
   }
 
+  /** [[qualityScore]] rendered as DuckDB SQL over a text column reference —
+    * the same when-chains over the same ratios, every literal cast to
+    * DOUBLE and every division done double/double so the arithmetic is
+    * bit-identical to the Spark expression. */
+  def qualityOracleSqlExpr(t: String): String = {
+    val sw = LangId.profiles.flatMap(_._2).map(w => s"'$w'").mkString("[", ",", "]")
+    def d(v: String) = s"CAST($v AS DOUBLE)"
+    val L = s"len($t)"
+    val ls = s"(CASE WHEN $L BETWEEN 200 AND 20000 THEN ${d("0.25")} " +
+      s"WHEN $L BETWEEN 50 AND 50000 THEN ${d("0.15")} ELSE ${d("0.0")} END)"
+    val punct = s"(${d(s"len(regexp_extract_all($t, '[^\\w\\s]'))")} / ${d(s"greatest($L, 1)")})"
+    val ps = s"(CASE WHEN $punct BETWEEN 0.005 AND 0.12 THEN ${d("0.25")} " +
+      s"WHEN $punct <= 0.25 THEN ${d("0.1")} ELSE ${d("0.0")} END)"
+    val wt = s"list_filter(string_split_regex(lower($t), '\\W+'), w -> len(w) > 0)"
+    val swr = s"(${d(s"len(list_filter($wt, w -> list_contains($sw, w)))")} / ${d(s"greatest(len($wt), 1)")})"
+    val ss = s"(CASE WHEN $swr >= 0.08 THEN ${d("0.25")} " +
+      s"WHEN $swr >= 0.02 THEN ${d("0.1")} ELSE ${d("0.0")} END)"
+    val toks = s"list_filter(string_split_regex(trim($t), '\\s+'), w -> len(w) > 0)"
+    val mwl = s"(${d(s"COALESCE(list_sum(list_transform($toks, w -> len(w))), 0)")} / ${d(s"greatest(len($toks), 1)")})"
+    val ws = s"(CASE WHEN $mwl BETWEEN 2.5 AND 12.0 THEN ${d("0.25")} " +
+      s"WHEN $mwl BETWEEN 1.5 AND 20.0 THEN ${d("0.1")} ELSE ${d("0.0")} END)"
+    s"((($ls + $ps) + $ss) + $ws)"
+  }
+
   /** Text normalization for training corpora: strip control characters,
     * collapse runs of whitespace, trim. Pure regexp expressions —
     * per-row, codegen'd, mirror-able in the oracle. */

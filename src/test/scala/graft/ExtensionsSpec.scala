@@ -99,5 +99,8 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(d.dropna().len == 2)
     assert(d.fillna(0.0).frame.df.orderBy("__idx_0").collect().map(_.get(1)).toSeq ==
       Seq(1.0, 0.0, 3.0))
+    // unknown subset label → KeyError (like select), not a raw index error
+    val e = intercept[graft.core.GraftKeyError](d.dropna(subset = Seq("nope")))
+    assert(e.getMessage.contains("nope"))
   }
 }

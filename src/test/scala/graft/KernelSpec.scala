@@ -195,6 +195,33 @@ class KernelSpec extends AnyFunSuite {
     assert(out2.frame.df.orderBy("__idx_0").collect().map(_.get(2)).toSeq == Seq(7.0, 8.0))
   }
 
+  test("Series op DataFrame returns a DataFrame ≡ df.r<op>(series, axis=0)") {
+    val df = DataFrame.fromLocal(spark, Seq("a", "b"),
+      Seq(Seq[Any](1.0, 10.0), Seq[Any](2.0, 20.0)))
+    val s = Series.fromList(spark, Seq(100.0, 200.0))
+    val got = s.sub(df)                       // series - df, natural dispatch
+    val expect = df.rsub(s, axis = 0)         // the reference's spelling
+    assert(got.frame.df.orderBy("__idx_0").collect().toSeq.map(_.toSeq) ==
+      expect.frame.df.orderBy("__idx_0").collect().toSeq.map(_.toSeq))
+    val gotRows = got.frame.df.orderBy("__idx_0").collect()
+    assert(gotRows(0).get(1) == 99.0 && gotRows(0).get(2) == 90.0)
+    // comparison overload too
+    val mask = s.gt(df)
+    assert(mask.frame.df.orderBy("__idx_0").collect()(0).get(1) == true)
+  }
+
+  test("withColumn foreign Series LEFT-aligns: disjoint index keys add no rows") {
+    // pandas: df[c] = s reindexes s to df.index — s's extra key 5 is
+    // dropped, df's unmatched key 1 gets NULL; row count stays 2
+    val df = DataFrame.fromLocal(spark, Seq("a"), Seq(Seq(1.0), Seq(2.0)))
+    val s = Series.fromLocal(spark, Seq(0L -> 7.0, 5L -> 9.0))
+    val out = df.withColumn("c", s)
+    val rows = out.frame.df.orderBy("__idx_0").collect()
+    assert(rows.length == 2, s"assignment must not invent rows, got ${rows.length}")
+    assert(rows.map(_.get(0)).toSeq == Seq(0L, 1L))
+    assert(rows(0).get(2) == 7.0 && rows(1).get(2) == null)
+  }
+
   test("DataFrame op Series axis=1: column labels align with series index values (alchemy.py:187-196)") {
     val df = DataFrame.fromLocal(spark, Seq("a", "b"),
       Seq(Seq[Any](1.0, 10.0), Seq[Any](2.0, 20.0)))

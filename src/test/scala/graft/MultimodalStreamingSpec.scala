@@ -29,6 +29,41 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       again.sortBy(_.getLong(0)).map(_.getSeq[Float](1)).toSeq)
   }
 
+  test("multimodal: ImageCodec parses real PPM and BMP headers") {
+    // hand-built binary PPM: P6, comment, 640x480, maxval 255, 6 raster bytes
+    val ppm = ("P6\n# a comment\n640 480\n255\n").getBytes("UTF-8") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    assert(Multimodal.ImageCodec.probe(ppm) == (640, 480, 3, "ppm"))
+    // features pool exactly the raster bytes (normalized /255), not the header
+    val f = Multimodal.ImageCodec.features(ppm, 3)
+    assert(f.length == 3)
+    assert(math.abs(f(0) - 15.0 / 255.0) < 1e-6) // mean(10,20)
+    assert(math.abs(f(2) - 55.0 / 255.0) < 1e-6) // mean(50,60)
+    // hand-built BMP header: 'BM', raster offset 54 @10, w=320 @18,
+    // h=-240 @22 (top-down → abs), bpp=24 @28
+    val bmp = new Array[Byte](54)
+    bmp(0) = 'B'.toByte; bmp(1) = 'M'.toByte
+    def putLe32(o: Int, v: Int): Unit = (0 until 4).foreach(k => bmp(o + k) = ((v >> (8 * k)) & 0xFF).toByte)
+    putLe32(10, 54); putLe32(18, 320); putLe32(22, -240)
+    bmp(28) = 24
+    assert(Multimodal.ImageCodec.probe(bmp) == (320, 240, 3, "bmp"))
+    // garbage payload probes as unknown instead of throwing
+    assert(Multimodal.ImageCodec.probe("not an image".getBytes) == (0, 0, 0, "unknown"))
+  }
+
+  test("multimodal: probeImages re-parses exactly what withImagePayload encoded") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(30)
+    val mm = Multimodal.withImagePayload(docs, "text")
+    val probed = Multimodal.probeImages(mm.repartition(3), "content")
+    val rows = probed.select("meta.width", "meta.height", "meta.format",
+      "probed_meta.width", "probed_meta.height", "probed_meta.format").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(3) && r.getInt(1) == r.getInt(4))
+      assert(r.getString(2) == "ppm" && r.getString(5) == "ppm")
+    }
+  }
+
   test("multimodal: resize meta preserves aspect, frame sampling plan") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").limit(10)
     val mm = Multimodal.withImagePayload(docs, "text")
