@@ -354,6 +354,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // banded hyperplane-LSH embedding dedup, generate→verify. Identical
+    // vectors produce identical buckets in EVERY band (same deterministic
+    // expression), so recall on exact copies is 1 by construction; planted
+    // copies (vec_id + 100000) are the only pairs at cosine ≥ 0.95 in this
+    // corpus (max natural pairwise cosine 0.513), so the output provably
+    // equals the oracle's planted-pair list.
+    "q_emb_dedup" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val planted = emb.select((col("vec_id") + 100000).as("vec_id"),
+        col("embedding"))
+      Dedup.embeddingNearDup(emb.union(planted), "vec_id", "embedding",
+        threshold = 0.95, planes = 8, bands = 4)
+        .select(col("id_l"), col("id_r"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_l", "id_r")
+    }),
+
     // quality scoring (C4/Gopher-style cheap filters; oracle mirrors the
     // when-chains in SQL)
     "q_quality" -> ((s, dir) => {
@@ -779,6 +796,15 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM lineitem) AS lineitem_rows,
         | (SELECT count(*) FROM orders) AS order_rows,
         | 6 AS order_cols""".stripMargin,
+    "q_emb_dedup" ->
+      """WITH p AS (SELECT vec_id AS id_l, vec_id + 100000 AS id_r,
+        |  list_sum(list_transform(list_zip(embedding, embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS c
+        | FROM embeddings)
+        |SELECT id_l, id_r, round(c, 6) AS cosine FROM p
+        |WHERE c >= 0.95 ORDER BY id_l, id_r""".stripMargin,
     "q_quality" ->
       s"""SELECT doc_id, round(${graft.operators.TextAnalysis.qualityOracleSqlExpr("text")}, 6) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,

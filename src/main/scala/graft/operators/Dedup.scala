@@ -357,17 +357,43 @@ object Dedup {
     verified.where(col("jaccard") >= threshold)
   }
 
-  /** Embedding near-duplicates: cosine ≥ threshold via LSH bucketing
-    * (random hyperplane signs) + exact cosine check within buckets. */
+  /** Embedding near-duplicates: cosine ≥ threshold via BANDED hyperplane
+    * LSH + exact cosine verification on the (distinct) candidate pairs.
+    *
+    * `bands` independent plane-sets are OR'd — a pair is a candidate if it
+    * collides in ANY band — which decouples the recall/cost dials the way
+    * MinHash banding does: per-band collision prob for angle θ is
+    * (1-θ/π)^planes, recall = 1-(1-p)^bands, and expected bucket occupancy
+    * is n/2^planes per band. At growing corpus size, scale `planes` with
+    * log₂(n) to keep occupancy (and the per-bucket quadratic join) bounded,
+    * and recover the lost recall with more `bands` — the single-probe
+    * single-bucket form this replaces had a FIXED 2^planes bucket count,
+    * so its within-bucket all-pairs join grew quadratically with n.
+    *
+    * Band rows carry (id, band, bucket) only; vectors join back onto the
+    * candidates (same Generate pass-through rule as [[minhashLshPairs]]). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double = 0.95, planes: Int = 8,
-                       seed: Long = 42L, dim: Int = 64): DataFrame = {
-    val bucketed = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-      Similarity.lshBucket(col(vecCol), planes, dim, seed).as("__bucket"))
-    val l = bucketed.select(col("__bucket"), col("__id").as("id_l"), col("__v").as("v_l"))
-    val r = bucketed.select(col("__bucket"), col("__id").as("id_r"), col("__v").as("v_r"))
-    l.join(r, Seq("__bucket"))
+                       bands: Int = 4, seed: Long = 42L,
+                       dim: Int = 64): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    // one bucket per band, independent planes via per-band seeds; built as
+    // a single array expression so it is evaluated once per row and only
+    // (id, band, bucket) flows through the explode
+    val bucketArr = array((0 until bands).map(b =>
+      Similarity.lshBucket(col("__v"), planes, dim, seed + 1000003L * b)): _*)
+    val banded = base.select(col("__id"),
+      posexplode(bucketArr).as(Seq("__band", "__bucket")))
+    val candidates = banded
+      .select(col("__band"), col("__bucket"), col("__id").as("id_l"))
+      .hint("SHUFFLE_HASH")
+      .join(banded.select(col("__band"), col("__bucket"), col("__id").as("id_r"))
+        .hint("SHUFFLE_HASH"), Seq("__band", "__bucket"))
       .where(col("id_l") < col("id_r"))
+      .select("id_l", "id_r").distinct()
+    candidates
+      .join(base.select(col("__id").as("id_l"), col("__v").as("v_l")), Seq("id_l"))
+      .join(base.select(col("__id").as("id_r"), col("__v").as("v_r")), Seq("id_r"))
       .select(col("id_l"), col("id_r"),
         Similarity.cosine(col("v_l"), col("v_r")).as("cosine"))
       .where(col("cosine") >= threshold)
