@@ -14,15 +14,27 @@ import org.apache.spark.sql.types.DecimalType
   * both sides. */
 object SparkEntry {
 
+  /** Per-session parquet table registry: file listing + footer/schema
+    * read happen once per (session, path) instead of once per query — in
+    * a 54-query Verify/Bench sweep that shaves a fixed planning cost off
+    * every query without changing any plan (the returned DataFrame is the
+    * same lazy scan). */
+  private val tableCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), SDF]
+
+  private def table(s: SparkSession, dir: String, name: String): SDF =
+    tableCache.getOrElseUpdate((s, s"$dir/$name.parquet"),
+      s.read.parquet(s"$dir/$name.parquet"))
+
   private def lineitem(s: SparkSession, dir: String): DataFrame =
-    DataFrame.fromParquet(s, s"$dir/lineitem.parquet",
+    DataFrame.fromSpark(table(s, dir, "lineitem"),
       index = Seq("l_orderkey", "l_linenumber"))
 
   private def ordersByKey(s: SparkSession, dir: String): DataFrame =
-    DataFrame.fromParquet(s, s"$dir/orders.parquet", index = Seq("o_orderkey"))
+    DataFrame.fromSpark(table(s, dir, "orders"), index = Seq("o_orderkey"))
 
   private def partByKey(s: SparkSession, dir: String): DataFrame =
-    DataFrame.fromParquet(s, s"$dir/part.parquet", index = Seq("p_partkey"))
+    DataFrame.fromSpark(table(s, dir, "part"), index = Seq("p_partkey"))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): SDF =
@@ -124,7 +136,7 @@ object SparkEntry {
     // generic.py:46-48 head on a sorted source
     "q_head" -> ((s, dir) => {
       val o = DataFrame.fromSpark(
-        s.read.parquet(s"$dir/orders.parquet").orderBy("o_orderkey"),
+        table(s, dir, "orders").orderBy("o_orderkey"),
         index = Seq("o_orderkey"))
       o.select(Seq("o_totalprice", "o_orderstatus")).head(10)
         .toSpark(includeIndex = true)
@@ -134,7 +146,7 @@ object SparkEntry {
     // generic.py:50-57 tail = COUNT then LIMIT/OFFSET
     "q_tail" -> ((s, dir) => {
       val o = DataFrame.fromSpark(
-        s.read.parquet(s"$dir/orders.parquet").orderBy("o_orderkey"),
+        table(s, dir, "orders").orderBy("o_orderkey"),
         index = Seq("o_orderkey"))
       o.select(Seq("o_totalprice", "o_orderstatus")).tail(10)
         .toSpark(includeIndex = true)
@@ -238,7 +250,7 @@ object SparkEntry {
     // text analysis: token counts, BPE-ish estimate, md5 fingerprint,
     // n-gram language ID — all codegen'd expressions, no UDFs
     "q_text_stats" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = table(s, dir, "documents")
       docs.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
@@ -249,13 +261,13 @@ object SparkEntry {
 
     // exact dedup on normalized-text fingerprint (hash groupBy)
     "q_dedup_exact" -> ((s, dir) => {
-      Dedup.exactText(s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+      Dedup.exactText(table(s, dir, "documents"), "text", "doc_id")
         .orderBy("fp")
     }),
 
     // brute-force cosine top-k similarity (broadcast queries, window top-k)
     "q_cosine_topk" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = table(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 10)
       Similarity.bruteForceTopK(emb, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = 5)
@@ -271,7 +283,7 @@ object SparkEntry {
     // sums); the double cast at the end is deterministic.
     "q_window_cumsum" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = table(s, dir, "events")
         .withColumn("vd", col("value").cast(DecimalType(18, 6)))
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val wc = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -292,7 +304,7 @@ object SparkEntry {
     // Jaccard — a hash match proves the banding lost nothing AND the
     // verify arithmetic is exact.
     "q_minhash_pairs" -> ((s, dir) => {
-      Dedup.nearDuplicates(s.read.parquet(s"$dir/documents.parquet"),
+      Dedup.nearDuplicates(table(s, dir, "documents"),
         "doc_id", "text", threshold = 0.5, numHashes = 64, bands = 32)
         .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_l", "id_r")
@@ -302,7 +314,7 @@ object SparkEntry {
     // (t=0.8, 16 bands of 4 rows — miss prob (1-0.41)^16 ≈ 2e-4), same
     // exhaustive oracle
     "q_near_dup" -> ((s, dir) => {
-      Dedup.nearDuplicates(s.read.parquet(s"$dir/documents.parquet"),
+      Dedup.nearDuplicates(table(s, dir, "documents"),
         "doc_id", "text", threshold = 0.8)
         .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_l", "id_r")
@@ -317,7 +329,7 @@ object SparkEntry {
     // planted in-query (ids shifted by 100000, SQL-mirrorable) since the
     // corpus has none. Near-dup behavior (hamming ≤ 3) stays spec-tested.
     "q_simhash" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val docs = table(s, dir, "documents").select("doc_id", "text")
       val planted = docs.union(
         docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
       val cand = Dedup.simhashNearDup(planted, "doc_id", "text", maxHamming = 0)
@@ -335,7 +347,7 @@ object SparkEntry {
     // is provably inactive at oracle scale: a distinct shingle appears at
     // most once per doc and the corpus is 500 docs)
     "q_jaccard_pairs" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
+      Dedup.ngramJaccardPairs(table(s, dir, "documents"),
         "doc_id", "text", n = 3, threshold = 0.05)
         .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_l", "id_r")
@@ -345,7 +357,7 @@ object SparkEntry {
     // seed-deterministic so the oracle inlines them as literals and
     // recomputes the exact same buckets
     "q_ann_topk" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = table(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 20)
       Similarity.annTopK(emb, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = 5, planes = 3)
@@ -361,7 +373,7 @@ object SparkEntry {
     // corpus (max natural pairwise cosine 0.513), so the output provably
     // equals the oracle's planted-pair list.
     "q_emb_dedup" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = table(s, dir, "embeddings")
         .select("vec_id", "embedding")
       val planted = emb.select((col("vec_id") + 100000).as("vec_id"),
         col("embedding"))
@@ -374,7 +386,7 @@ object SparkEntry {
     // quality scoring (C4/Gopher-style cheap filters; oracle mirrors the
     // when-chains in SQL)
     "q_quality" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = table(s, dir, "documents")
       docs.select(col("doc_id"),
         round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
         .orderBy("doc_id")
@@ -440,7 +452,7 @@ object SparkEntry {
     // resize math — a hash match proves the byte-level header parse
     // round-trips the synthesis exactly.
     "q_multimodal" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = table(s, dir, "documents")
       val mm = Multimodal.withImagePayload(docs, "text")
       val probed = Multimodal.probeImages(mm.repartition(8), "content")
       Multimodal.resizeMeta(probed, "probed_meta", 256, 256)
@@ -480,7 +492,7 @@ object SparkEntry {
     // temporal: backward as-of join (latest purchase at/before each click
     // per user), oracle = DuckDB's native ASOF LEFT JOIN
     "q_asof" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = table(s, dir, "events")
       val clicks = ev.where(col("event_type") === "click")
       val purchases = ev.where(col("event_type") === "purchase")
         .select("user_id", "ts", "value")
@@ -513,7 +525,7 @@ object SparkEntry {
 
     // text cleaning: control-char strip + whitespace collapse + trim
     "q_text_clean" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = table(s, dir, "documents")
       docs.select(col("doc_id"),
         length(TextAnalysis.cleanText(col("text"))).as("clean_len"),
         md5(TextAnalysis.cleanText(col("text"))).as("clean_md5"))
@@ -522,7 +534,7 @@ object SparkEntry {
 
     // vocabulary: corpus word-frequency table (explode + count)
     "q_word_freq" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = table(s, dir, "documents")
       docs.select(explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq"))
         .orderBy(desc("freq"), col("word"))
@@ -531,14 +543,14 @@ object SparkEntry {
 
     // training-data ordering: deterministic pseudo-random shuffle
     "q_shuffle" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = table(s, dir, "events")
       graft.operators.Sampling.deterministicShuffle(ev, "event_id")
         .select("event_id").limit(100)
     }),
 
     // embedding analytics: per-label centroids, decimal-exact means
     "q_centroids" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = table(s, dir, "embeddings")
       Similarity.centroids(emb, Seq("label"), "embedding")
         .orderBy("label", "pos")
     }),
@@ -546,7 +558,7 @@ object SparkEntry {
     // top-k per group (argmax pattern): 2 highest-value events per user
     "q_topk_per_group" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = table(s, dir, "events")
       val w = Window.partitionBy("user_id").orderBy(desc("value"), col("event_id"))
       ev.withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
         .select(col("user_id"), col("rn"), col("event_id"), col("value"))
@@ -556,7 +568,7 @@ object SparkEntry {
     // training-data sampling: deterministic n-per-key via stable
     // pseudo-random (md5) ordering — reproducible across engines
     "q_sample_per_key" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = table(s, dir, "events")
       graft.operators.Sampling.perKey(ev, Seq("user_id"), "event_id", n = 3)
         .select(col("user_id"), col("event_id"))
         .orderBy("user_id", "event_id")
@@ -565,7 +577,7 @@ object SparkEntry {
     // temporal: bucketized point-in-interval range join — events falling
     // into each user's first-half-hour-of-the-hour windows
     "q_range_join" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = table(s, dir, "events")
       val hourNs = 3600L * 1000000000L
       val intervals = ev
         .select(col("user_id"), expr(s"ts DIV ${hourNs}L").as("__hr"))
@@ -592,7 +604,7 @@ object SparkEntry {
 
     // semi-structured: JSON field extraction from the events payload
     "q_json" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = table(s, dir, "events")
       ev.select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
         .groupBy(col("k")).agg(count(lit(1)).as("n"))
@@ -601,7 +613,7 @@ object SparkEntry {
 
     // extension: rank window over events
     "q_rank" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = table(s, dir, "events")
       WindowOps.rank(ev, Seq("user_id"), Seq("value", "event_id"), "rnk")
         .select(col("event_id"), col("rnk"))
         .orderBy("event_id")
