@@ -353,14 +353,28 @@ object SparkEntry {
         .orderBy("id_l", "id_r")
     }),
 
-    // LSH-bucketed approximate nearest neighbors; the hyperplanes are
-    // seed-deterministic so the oracle inlines them as literals and
-    // recomputes the exact same buckets
+    // LSH-bucketed approximate nearest neighbors with hamming-1
+    // multi-probe; the hyperplanes are seed-deterministic so the oracle
+    // inlines them as literals and recomputes the exact same buckets and
+    // probe masks
     "q_ann_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 20)
       Similarity.annTopK(emb, "vec_id", "embedding",
-        queries, "vec_id", "embedding", k = 5, planes = 3)
+        queries, "vec_id", "embedding", k = 5, planes = 3, probeBits = 1)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF-Flat at nprobe = nlist: every inverted list is probed, so the
+    // result is provably the exact top-k (the oracle is the exhaustive
+    // computation); partial-probe recall is spec-tested
+    "q_ivf_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") >= 10 && col("vec_id") < 25)
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 16)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
@@ -808,6 +822,21 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM lineitem) AS lineitem_rows,
         | (SELECT count(*) FROM orders) AS order_rows,
         | 6 AS order_cols""".stripMargin,
+    "q_ivf_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |           WHERE vec_id >= 10 AND vec_id < 25),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(sim, 6) AS cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_emb_dedup" ->
       """WITH p AS (SELECT vec_id AS id_l, vec_id + 100000 AS id_r,
         |  list_sum(list_transform(list_zip(embedding, embedding),
@@ -833,8 +862,10 @@ object SparkEntry {
     "q_ann_topk" -> {
       val bucket = graft.operators.Similarity.lshBucketOracleSqlExpr("embedding", 3, 64, 42L)
       s"""WITH c AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv, $bucket AS bucket
+         |q0 AS (SELECT vec_id AS query_id, embedding AS qv, $bucket AS b
          |      FROM embeddings WHERE vec_id < 20),
+         |q AS (SELECT query_id, qv, unnest([b, xor(b, 1), xor(b, 2), xor(b, 4)]) AS bucket
+         |      FROM q0),
          |scored AS (
          |  SELECT q.query_id, c.vec_id AS neighbor_id,
          |    list_sum(list_transform(list_zip(c.embedding, q.qv),

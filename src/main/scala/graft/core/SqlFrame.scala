@@ -65,9 +65,11 @@ final class SqlFrame private (
   def fusesWith(other: SqlFrame): Boolean =
     (base eq other.base) && nIdx == other.nIdx &&
       idxExprs.zip(other.idxExprs).forall { case (a, b) =>
-        // conservative structural equality on the column AST rendering
-        // (Spark 4's Column no longer exposes the Catalyst expression)
-        a.toString == b.toString
+        // structural equality on the Catalyst ASTs (via the private[sql]
+        // bridge) — robust across Spark versions, unlike the string
+        // rendering; a false negative only costs an alignment join
+        org.apache.spark.sql.GraftSqlBridge.expression(a)
+          .semanticEquals(org.apache.spark.sql.GraftSqlBridge.expression(b))
       }
 
   /** Resolve a level reference (name or wrapped ordinal) to its ordinal.

@@ -110,18 +110,76 @@ object Similarity {
     finishTopK(scored, k)
   }
 
-  /** Approximate top-k via single-probe LSH bucketing. Rows whose bucket
-    * contains fewer than k neighbors return fewer than k results — the
-    * recall/cost dial is `planes`. */
+  /** Approximate top-k via LSH bucketing with MULTI-PROBE: the query side
+    * also probes every bucket within hamming distance `probeBits` of its
+    * own bucket (near misses land in sign-adjacent buckets, so probing
+    * them recovers most of the recall a single probe loses — the standard
+    * fix for the single-probe recall cliff on sparse buckets). Probe count
+    * is Σ_{i≤probeBits} C(planes, i); the corpus keeps ONE bucket per row,
+    * so a (query, corpus) pair can match at most once — no dedup needed.
+    * Recall/cost dials: `planes` (bucket granularity) and `probeBits`. */
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qidCol: String, qvecCol: String,
               k: Int, planes: Int = 4, dim: Int = 64,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, probeBits: Int = 0): DataFrame = {
+    require(probeBits >= 0 && probeBits <= planes)
     val c = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"),
       lshBucket(col(vecCol), planes, dim, seed).as("__bucket"))
+    val qb = lshBucket(col(qvecCol), planes, dim, seed)
+    val masks: Seq[Long] = (0 to probeBits).flatMap(i =>
+      (0 until planes).combinations(i).map(
+        _.foldLeft(0L)((m, j) => m | (1L << j))))
     val q = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"),
-      lshBucket(col(qvecCol), planes, dim, seed).as("__bucket"))
+      explode(array(masks.map(m => qb.bitwiseXOR(lit(m))): _*)).as("__bucket"))
     val scored = c.join(q, Seq("__bucket"))
+      .where(col("__cid") =!= col("__qid"))
+      .select(col("__qid"), col("__cid"), cosine(col("__cv"), col("__qv")).as("__sim"))
+    finishTopK(scored, k)
+  }
+
+  /** Assign each row the `n` nearest of `centroids` by cosine, via the
+    * bounded partial top-k aggregate (broadcast centroids, one argmax
+    * pass, no window funnel). Output: (idCol, vecCol, __cluster). */
+  private def assignClusters(df: DataFrame, idCol: String, vecCol: String,
+                             centroids: DataFrame, n: Int): DataFrame =
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .select(col(idCol), col(vecCol),
+        col("__cent_id"), cosine(col(vecCol), col("__cent_v")).as("__sim"))
+      .groupBy(col(idCol))
+      .agg(
+        first(col(vecCol)).as(vecCol), // functionally dependent on idCol
+        graft.functions.TopKByScore(col("__sim"), col("__cent_id"), n).as("__cl"))
+      .select(col(idCol), col(vecCol), explode(col("__cl.id")).as("__cluster"))
+
+  /** IVF-Flat approximate top-k — the scale path when the query set is
+    * large or repeated. `nlist` deterministic seed vectors (lowest
+    * md5(id), a stand-in for trained k-means centroids) partition the
+    * corpus into inverted lists; each query probes its `nprobe` nearest
+    * lists and scores only those corpus rows.
+    *
+    * Cost model vs [[bruteForceTopK]] (n corpus rows, q queries, d dims):
+    * brute force is O(n·q·d) flops every time; IVF pays O(n·nlist·d) once
+    * to build the index, then O(n·q·d·nprobe/nlist) per query sweep — the
+    * win whenever q ≫ nlist·nprobe. The cluster equi-join hash-partitions
+    * on the list id (AQE handles skewed lists); with the index persisted
+    * (bucketed by __cluster in a real deployment) the probe side touches
+    * only nprobe/nlist of the corpus. nprobe = nlist degrades gracefully
+    * to exact brute force. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qidCol: String, qvecCol: String,
+              k: Int, nlist: Int = 256, nprobe: Int = 8): DataFrame = {
+    val cent = corpus
+      .select(col(idCol).as("__cent_id"), col(vecCol).as("__cent_v"),
+        md5(col(idCol).cast("string")).as("__m"))
+      .orderBy("__m").limit(nlist).drop("__m")
+    val c = assignClusters(
+      corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv")),
+      "__cid", "__cv", cent, 1)
+    val q = assignClusters(
+      queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv")),
+      "__qid", "__qv", cent, nprobe)
+    val scored = c.join(q, Seq("__cluster"))
       .where(col("__cid") =!= col("__qid"))
       .select(col("__qid"), col("__cid"), cosine(col("__cv"), col("__qv")).as("__sim"))
     finishTopK(scored, k)

@@ -153,6 +153,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.forall(r => r.getAs[Double]("cosine") <= 1.0 + 1e-9))
   }
 
+  test("annTopK multi-probe recovers recall that single-probe loses") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.limit(8)
+    val single = Similarity.annTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, planes = 4).collect()
+    val multi = Similarity.annTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, planes = 4, probeBits = 1).collect()
+    // probing hamming-1 buckets can only ADD candidates
+    assert(multi.length >= single.length,
+      s"multi-probe returned fewer rows: ${multi.length} < ${single.length}")
+    // and candidate sets per query are supersets → per-rank cosine can
+    // only improve (scores are best-first)
+    val s1 = single.groupBy(_.getAs[Long]("query_id"))
+    multi.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rs) =>
+      s1.get(qid).foreach { prev =>
+        val pm = rs.map(r => r.getAs[Int]("rank") -> r.getAs[Double]("cosine")).toMap
+        prev.foreach { p =>
+          assert(pm(p.getAs[Int]("rank")) >= p.getAs[Double]("cosine") - 1e-12)
+        }
+      }
+    }
+  }
+
+  test("ivfTopK with nprobe = nlist is exactly brute force") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.limit(4)
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8)
+      .orderBy("query_id", "rank").collect().toSeq
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(ivf.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))) ==
+      bf.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))))
+    // partial (nprobe < nlist) stays consistent: scores are a subset, so
+    // per-rank cosine never exceeds brute force
+    val part = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2).collect()
+    val bfm = bf.map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    part.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Int]("rank"))
+      bfm.get(key).foreach(b => assert(r.getAs[Double]("cosine") <= b + 1e-12))
+    }
+  }
+
   test("langId classifies real multilingual snippets") {
     // note: testdata documents.lang labels are random — the text is the
     // same synthetic English-ish vocabulary for every label, so accuracy
