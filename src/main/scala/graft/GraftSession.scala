@@ -28,6 +28,7 @@ object GraftSession {
                   shufflePartitions: Int = 32): SparkSession = {
     val s = builder(master, shufflePartitions).getOrCreate()
     graft.functions.CosineSimilarity.register(s)
+    graft.functions.TopKByScore.register(s)
     s
   }
 

@@ -172,4 +172,13 @@ object TopKByScore {
     GraftSqlBridge.column(new TopKByScore(
       GraftSqlBridge.expression(score),
       GraftSqlBridge.expression(id), k).toAggregateExpression())
+
+  /** SQL registration: `SELECT qid, graft_top_k(score, id, 5) ...
+    * GROUP BY qid` (k must be a literal). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_top_k",
+      exprs => new TopKByScore(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue),
+      "scala_udf")
 }

@@ -9,4 +9,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** True iff no DataFrame is cached in this session — lets tests assert
+    * that operators never leak persisted blocks (sharedState is
+    * private[sql]). */
+  def noCachedPlans(spark: SparkSession): Boolean =
+    spark.sharedState.cacheManager.isEmpty
 }

@@ -117,6 +117,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup operators leak no cached blocks; CacheScope releases on close") {
+    import org.apache.spark.sql.GraftSqlBridge
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(50)
+    assume(GraftSqlBridge.noCachedPlans(spark)) // suite baseline
+    // leak-free defaults: a full action over each multi-consumer operator
+    // must leave the cache manager exactly as it found it
+    Dedup.minhashLshPairs(docs, "doc_id", "text").count()
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3).count()
+    Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8).count()
+    assert(GraftSqlBridge.noCachedPlans(spark), "operator leaked a cached plan")
+    // opt-in scope: cached while open, released on close
+    CacheScope.withScope { sc =>
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", scope = Some(sc))
+      pairs.count(); pairs.count() // two actions amortize the cached signatures
+      assert(!GraftSqlBridge.noCachedPlans(spark), "scope should be caching")
+    }
+    assert(GraftSqlBridge.noCachedPlans(spark), "CacheScope did not release")
+  }
+
   test("TopKByScore partial aggregate ≡ row_number window top-k, exactly") {
     import org.apache.spark.sql.expressions.Window
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -278,6 +297,13 @@ class OperatorsSpec extends AnyFunSuite {
     val sqlRes = spark.sql(
       "SELECT graft_cosine(embedding, embedding) c FROM emb3").collect()
     assert(sqlRes.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+    // top-k aggregate is SQL-registered too
+    graft.functions.TopKByScore.register(spark)
+    emb.limit(100).createOrReplaceTempView("emb100")
+    val topSql = spark.sql(
+      """SELECT graft_top_k(CAST(vec_id AS DOUBLE), vec_id, 3) t
+        |FROM emb100""".stripMargin).collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(topSql.map(_.getLong(1)) == Seq(99L, 98L, 97L))
   }
 
   test("range join: bucketized equals naive cross+filter") {
