@@ -210,6 +210,19 @@ object SparkEntry {
         .toSpark(includeIndex = true)
     }),
 
+    // extension: column-axis reduction df.sum() → Series indexed by column
+    // label (decimal accumulation for cross-engine exactness)
+    "q_col_reduce" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val typed = li.select(Nil)
+        .withColumn("qty", li("l_quantity").astype(DecimalType(18, 4)))
+        .withColumn("price", li("l_extendedprice").astype(DecimalType(18, 4)))
+      typed.sum().rename(Some("total"))
+        .toSpark(includeIndex = true)
+        .selectExpr("index_0 AS col", "CAST(total AS DOUBLE) AS total")
+        .orderBy("col")
+    }),
+
     // extension: per-column nunique
     "q_nunique" -> ((s, dir) => {
       DataFrame.fromParquet(s, s"$dir/orders.parquet",
@@ -743,6 +756,16 @@ object SparkEntry {
     "q_value_counts" ->
       """SELECT l_returnflag, count(*) AS "count" FROM lineitem
         |GROUP BY l_returnflag ORDER BY "count" DESC, l_returnflag""".stripMargin,
+    "q_col_reduce" ->
+      """SELECT col, total FROM (
+        |  SELECT 'qty' AS col,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'price',
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |  FROM lineitem) t
+        |ORDER BY col""".stripMargin,
     "q_nunique" ->
       """SELECT count(DISTINCT o_orderkey) AS o_orderkey,
         | count(DISTINCT o_custkey) AS o_custkey,

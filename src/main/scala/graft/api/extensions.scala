@@ -179,6 +179,50 @@ private[graft] trait DataFrameExtensions { this: DataFrame =>
     DataFrame.fromSpark(sdf.select(sdf.columns.map(c =>
       countDistinct(scol(c)).as(c)).toSeq: _*))
   }
+
+  /** Column-axis reduction → Series indexed by column label (pandas
+    * `df.sum()` etc.). One aggregate pass over all columns (single job);
+    * the one-row result is a driver-side local Series, matching pandas'
+    * eager reduction semantics. Ties to pandas: doubles accumulate in
+    * float; cast columns to DecimalType first when cross-engine exact
+    * sums matter (see q_groupby_agg). */
+  private def reduceColumns(agg: Column => Column): Series = {
+    val row = frame.df.select((0 until frame.nCols).map(i =>
+      agg(frame.colAt(i)).as(s"__r$i")): _*).collect().head
+    val items = (0 until frame.nCols).map(i =>
+      (frame.colLabels(i).getOrElse(s"col_$i"): Any, row.get(i)))
+    Series.fromLocal(frame.df.sparkSession, items)
+  }
+
+  def sum(): Series = reduceColumns(org.apache.spark.sql.functions.sum)
+  def mean(): Series = reduceColumns(avg)
+  def min(): Series = reduceColumns(org.apache.spark.sql.functions.min)
+  def max(): Series = reduceColumns(org.apache.spark.sql.functions.max)
+  def countNonNull(): Series = reduceColumns(count)
+
+  /** Pearson correlation / sample covariance between two columns
+    * (distributed single-pass aggregates, pandas `df[a].corr(df[b])`). */
+  def corr(c1: String, c2: String): Double = {
+    val (a, b) = corrCols(c1, c2)
+    frame.df.select(corr_(a, b)).collect().head.getDouble(0)
+  }
+
+  def cov(c1: String, c2: String): Double = {
+    val (a, b) = corrCols(c1, c2)
+    frame.df.select(covar_samp(a, b)).collect().head.getDouble(0)
+  }
+
+  private def corr_(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.corr(a, b)
+
+  private def corrCols(c1: String, c2: String): (Column, Column) = {
+    def at(c: String): Column = {
+      val i = frame.colLabels.indexOf(Some(c))
+      if (i < 0) throw new GraftKeyError(s"'$c'")
+      frame.colAt(i)
+    }
+    (at(c1), at(c2))
+  }
 }
 
 private[graft] trait SeriesExtensions { this: Series =>
@@ -218,6 +262,23 @@ private[graft] trait SeriesExtensions { this: Series =>
     aggScalar(count(frame.colAt(0))).asInstanceOf[Long]
   def nunique(): Long =
     aggScalar(count_distinct(frame.colAt(0))).asInstanceOf[Long]
+
+  /** Index value of the max/min element (pandas idxmax/idxmin). Ties
+    * break by lowest index value (pandas keeps first ROW-order
+    * occurrence; a distributed table's only stable order is the index) —
+    * computed as a top-1, so it plans as TakeOrderedAndProject, no global
+    * sort materialization. */
+  def idxmax(): Any = idxBy(desc = true)
+  def idxmin(): Any = idxBy(desc = false)
+
+  private def idxBy(desc: Boolean): Any = {
+    val v = frame.colAt(0)
+    val ord = (if (desc) v.desc_nulls_last else v.asc_nulls_last) +:
+      (0 until frame.nIdx).map(i => frame.idxCols(i).asc)
+    val r = frame.df.orderBy(ord: _*).limit(1).collect()
+    if (r.isEmpty) throw new GraftValueError("attempt to get argmax of an empty sequence")
+    if (frame.isMultiIndex) r.head.toSeq.take(frame.nIdx) else r.head.get(0)
+  }
 }
 
 private[graft] trait SetOpsExtensions { this: DataFrame =>

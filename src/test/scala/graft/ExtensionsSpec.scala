@@ -94,6 +94,35 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(stats("min").toDouble <= stats("max").toDouble)
   }
 
+  test("column-axis reductions: df.sum/mean/min/max → Series over labels") {
+    val d = DataFrame.fromLocal(spark, Seq("a", "b"),
+      Seq(Seq[Any](1.0, 10.0), Seq[Any](2.0, 20.0), Seq[Any](3.0, 30.0)))
+    val s = d.sum()
+    assert(s.collectItems().toMap == Map("a" -> 6.0, "b" -> 60.0))
+    assert(d.mean().collectItems().toMap == Map("a" -> 2.0, "b" -> 20.0))
+    assert(d.min().collectItems().toMap == Map("a" -> 1.0, "b" -> 10.0))
+    assert(d.max().collectItems().toMap == Map("a" -> 3.0, "b" -> 30.0))
+    assert(d.countNonNull().collectItems().toMap == Map("a" -> 3L, "b" -> 3L))
+  }
+
+  test("idxmax/idxmin return the index value of the extreme element") {
+    val s = graft.api.Series.fromLocal(spark,
+      Seq(10L -> 5.0, 20L -> 9.0, 30L -> 1.0))
+    assert(s.idxmax() == 20L)
+    assert(s.idxmin() == 30L)
+    val e = intercept[graft.core.GraftValueError](
+      graft.api.Series.fromList(spark, Nil).idxmax())
+    assert(e.getMessage.contains("empty"))
+  }
+
+  test("corr/cov between columns") {
+    val d = DataFrame.fromLocal(spark, Seq("x", "y"),
+      Seq(Seq[Any](1.0, 2.0), Seq[Any](2.0, 4.0), Seq[Any](3.0, 6.0)))
+    assert(math.abs(d.corr("x", "y") - 1.0) < 1e-12)
+    assert(math.abs(d.cov("x", "y") - 2.0) < 1e-12)
+    intercept[graft.core.GraftKeyError](d.corr("x", "nope"))
+  }
+
   test("fillna / dropna") {
     val d = DataFrame.fromLocal(spark, Seq("x"), Seq(Seq(1.0), Seq(null), Seq(3.0)))
     assert(d.dropna().len == 2)
