@@ -231,6 +231,29 @@ object SparkEntry {
         .toSpark()
     }),
 
+    // extension: exact quantiles — Spark `percentile` (sort-based exact,
+    // NOT approx_percentile), all requested quantiles in ONE aggregate pass
+    "q_quantile" -> ((s, dir) => {
+      val o = ordersByKey(s, dir)
+      val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+      val vals = o("o_totalprice").quantiles(qs)
+      qs.zip(vals)
+        .map { case (q, v) => s.range(1).select(lit(q).as("q"), lit(v).as("value")) }
+        .reduce(_ unionAll _)
+        .orderBy("q")
+    }),
+
+    // extension: Series nlargest/nsmallest → TakeOrderedAndProject (bounded
+    // per-partition selection, no global sort materialization)
+    "q_nlargest" -> ((s, dir) => {
+      val o = ordersByKey(s, dir)
+      val top = o("o_totalprice").nlargest(10)
+        .toSpark(includeIndex = true).withColumn("side", lit("top"))
+      val bot = o("o_totalprice").nsmallest(10)
+        .toSpark(includeIndex = true).withColumn("side", lit("bot"))
+      top.unionAll(bot).orderBy("side", "o_orderkey")
+    }),
+
     // extension: boolean masking; same-base mask → filter above the scan
     // (predicate pushes into parquet)
     "q_where_mask" -> ((s, dir) => {
@@ -772,6 +795,23 @@ object SparkEntry {
         | count(DISTINCT o_orderstatus) AS o_orderstatus,
         | count(DISTINCT o_orderpriority) AS o_orderpriority
         |FROM orders""".stripMargin,
+    "q_quantile" ->
+      """SELECT CAST(q AS DOUBLE) AS q, value FROM (
+        |  SELECT 0.10 AS q, quantile_cont(o_totalprice, 0.10) AS value FROM orders
+        |  UNION ALL SELECT 0.25, quantile_cont(o_totalprice, 0.25) FROM orders
+        |  UNION ALL SELECT 0.50, quantile_cont(o_totalprice, 0.50) FROM orders
+        |  UNION ALL SELECT 0.75, quantile_cont(o_totalprice, 0.75) FROM orders
+        |  UNION ALL SELECT 0.90, quantile_cont(o_totalprice, 0.90) FROM orders
+        |  UNION ALL SELECT 0.99, quantile_cont(o_totalprice, 0.99) FROM orders
+        |) t ORDER BY q""".stripMargin,
+    "q_nlargest" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice, 'top' AS side FROM
+        |    (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 'bot' AS side FROM
+        |    (SELECT * FROM orders ORDER BY o_totalprice ASC, o_orderkey LIMIT 10)
+        |) t ORDER BY side, o_orderkey""".stripMargin,
     "q_where_mask" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
         |FROM lineitem WHERE l_quantity > 45

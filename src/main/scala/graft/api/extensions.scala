@@ -263,6 +263,31 @@ private[graft] trait SeriesExtensions { this: Series =>
   def nunique(): Long =
     aggScalar(count_distinct(frame.colAt(0))).asInstanceOf[Long]
 
+  /** Exact quantile with linear interpolation (pandas default) — Spark's
+    * `percentile` aggregate, NOT the approx sketch; one distributed pass
+    * per call site, all requested quantiles together. */
+  def quantile(q: Double): Double = quantiles(Seq(q)).head
+
+  def quantiles(qs: Seq[Double]): Seq[Double] = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantiles must be in [0, 1]")
+    aggScalar(percentile(frame.colAt(0), typedlit(qs)))
+      .asInstanceOf[scala.collection.Seq[Double]].toSeq
+  }
+
+  /** Top/bottom n by value (pandas nlargest/nsmallest): plans as
+    * TakeOrderedAndProject — a per-partition bounded selection, never a
+    * global sort materialization. Ties break by index for determinism. */
+  def nlargest(n: Int): Series = ordered(n, descending = true)
+  def nsmallest(n: Int): Series = ordered(n, descending = false)
+
+  private def ordered(n: Int, descending: Boolean): Series = {
+    val v = frame.colAt(0)
+    val ord = (if (descending) v.desc_nulls_last else v.asc_nulls_last) +:
+      (0 until frame.nIdx).map(i => frame.idxCols(i).asc)
+    new Series(frame.rePhysical(frame.df.orderBy(ord: _*).limit(n)))
+  }
+
   /** Index value of the max/min element (pandas idxmax/idxmin). Ties
     * break by lowest index value (pandas keeps first ROW-order
     * occurrence; a distributed table's only stable order is the index) —

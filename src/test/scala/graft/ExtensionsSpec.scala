@@ -84,6 +84,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(nu.getLong(0) == 2 && nu.getLong(1) == 2)
   }
 
+  test("quantile: exact percentile with linear interpolation") {
+    val s = Series.fromList(spark, Seq(1.0, 2.0, 3.0, 4.0))
+    assert(s.quantile(0.5) == 2.5)
+    assert(s.quantiles(Seq(0.0, 0.25, 1.0)) == Seq(1.0, 1.75, 4.0))
+    intercept[IllegalArgumentException] { s.quantile(1.5) }
+  }
+
+  test("nlargest/nsmallest plan as TakeOrderedAndProject") {
+    val o = DataFrame.fromParquet(spark, s"$dir/orders.parquet")
+    val nl = o("o_totalprice").nlargest(5)
+    val plan = nl.frame.df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+    val vals = nl.values.map(_.asInstanceOf[Double])
+    assert(vals.length == 5 && vals == vals.sorted.reverse)
+    val ns = o("o_totalprice").nsmallest(3).values.map(_.asInstanceOf[Double])
+    val expMin = spark.read.parquet(s"$dir/orders.parquet")
+      .agg(org.apache.spark.sql.functions.min("o_totalprice")).collect()(0).getDouble(0)
+    assert(ns.length == 3 && ns == ns.sorted && ns.head == expMin)
+  }
+
   test("describe summarizes numeric columns") {
     val o = DataFrame.fromParquet(spark, s"$dir/orders.parquet",
       columns = Seq("o_totalprice"))
