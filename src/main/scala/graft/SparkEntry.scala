@@ -231,6 +231,46 @@ object SparkEntry {
         .toSpark()
     }),
 
+    // extension: melt (wide→long) — Spark Expand, single streamed pass
+    "q_melt" -> ((s, dir) => {
+      DataFrame.fromSpark(table(s, dir, "lineitem"))
+        .melt(Seq("l_orderkey", "l_linenumber"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .toSpark(includeIndex = false)
+        .orderBy("l_orderkey", "l_linenumber", "variable")
+    }),
+
+    // extension: explode array column with position (Generate, zero shuffle);
+    // pos is 1-based to mirror DuckDB generate_subscripts
+    "q_explode" -> ((s, dir) => {
+      DataFrame.fromSpark(table(s, dir, "embeddings"))
+        .explode("embedding", "pos0", "component")
+        .toSpark(includeIndex = false)
+        .select(col("vec_id"), (col("pos0") + 1).as("pos"),
+          col("component").cast("double").as("component"))
+        .orderBy("vec_id", "pos")
+    }),
+
+    // extension: gap-filling + running extremes + pct_change windows.
+    // Nulls are planted deterministically (event_id % 7) so ffill/bfill
+    // have real gaps to fill; every window partitions by user_id — no
+    // global-order window anywhere.
+    "q_window_fill" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .withColumn("v", when(col("event_id") % 7 === 0, lit(null))
+          .otherwise(col("value")))
+      val part = Seq("user_id"); val ord = Seq("ts", "event_id")
+      val out = Seq(
+        (d: SDF) => WindowOps.ffill(d, part, ord, "v", "vf"),
+        (d: SDF) => WindowOps.bfill(d, part, ord, "v", "vb"),
+        (d: SDF) => WindowOps.cummax(d, part, ord, "value", "cmax"),
+        (d: SDF) => WindowOps.cummin(d, part, ord, "value", "cmin"),
+        (d: SDF) => WindowOps.pctChange(d, part, ord, "value", "pct"))
+        .foldLeft(ev)((d, f) => f(d))
+      out.select("event_id", "vf", "vb", "cmax", "cmin", "pct")
+        .orderBy("event_id")
+    }),
+
     // extension: exact quantiles — Spark `percentile` (sort-based exact,
     // NOT approx_percentile), all requested quantiles in ONE aggregate pass
     "q_quantile" -> ((s, dir) => {
@@ -795,6 +835,35 @@ object SparkEntry {
         | count(DISTINCT o_orderstatus) AS o_orderstatus,
         | count(DISTINCT o_orderpriority) AS o_orderpriority
         |FROM orders""".stripMargin,
+    "q_melt" ->
+      """SELECT l_orderkey, l_linenumber, variable, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+        |         l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |         l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+        |         l_discount FROM lineitem
+        |) t ORDER BY l_orderkey, l_linenumber, variable""".stripMargin,
+    "q_explode" ->
+      """SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        | CAST(unnest(embedding) AS DOUBLE) AS component
+        |FROM embeddings ORDER BY vec_id, pos""".stripMargin,
+    "q_window_fill" ->
+      """WITH e AS (SELECT event_id, user_id, ts, value,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v FROM events)
+        |SELECT event_id,
+        | last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS vf,
+        | first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vb,
+        | max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS cmax,
+        | min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS cmin,
+        | CASE WHEN lag(value) OVER w <> 0
+        |   THEN value / lag(value) OVER w - 1 END AS pct
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
     "q_quantile" ->
       """SELECT CAST(q AS DOUBLE) AS q, value FROM (
         |  SELECT 0.10 AS q, quantile_cont(o_totalprice, 0.10) AS value FROM orders

@@ -163,6 +163,30 @@ private[graft] trait DataFrameExtensions { this: DataFrame =>
     DataFrame.fromSpark(out)
   }
 
+  /** pandas melt — wide→long unpivot. Spark plans an Expand: each input
+    * row emits one output row per value column in a single streamed pass —
+    * no join, no shuffle. The index is reset (pandas melt default). */
+  def melt(idVars: Seq[String], valueVars: Seq[String],
+           varName: String = "variable", valueName: String = "value"): DataFrame = {
+    val sdf = this.toSpark(includeIndex = false)
+    (idVars ++ valueVars).find(c => !sdf.columns.contains(c))
+      .foreach(c => throw new GraftKeyError(s"'$c'"))
+    DataFrame.fromSpark(sdf.unpivot(idVars.map(scol).toArray,
+      valueVars.map(scol).toArray, varName, valueName))
+  }
+
+  /** Explode an array column into one row per element, keeping the element
+    * position for provenance (pandas explode + reset_index). Generate
+    * streams per input row — zero shuffle. */
+  def explode(column: String, posName: String = "pos",
+              outName: String = "element"): DataFrame = {
+    val sdf = this.toSpark(includeIndex = false)
+    if (!sdf.columns.contains(column)) throw new GraftKeyError(s"'$column'")
+    val others = sdf.columns.filterNot(_ == column).map(scol).toSeq
+    DataFrame.fromSpark(sdf.select(
+      others :+ posexplode(scol(column)).as(Seq(posName, outName)): _*))
+  }
+
   /** Summary statistics per numeric column (pandas describe):
     * count/mean/stddev/min/max rows. Quantiles intentionally omitted —
     * engines disagree on interpolation, and approx quantiles at scale are

@@ -49,4 +49,38 @@ object WindowOps {
            outCol: String = "rank"): DataFrame =
     df.withColumn(outCol, org.apache.spark.sql.functions.rank()
       .over(spec(partitionBy, orderBy)))
+
+  /** running max/min (pandas cummax/cummin). Unlike running double sums,
+    * max/min are association-safe — no decimal detour needed. */
+  def cummax(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
+             valueCol: String, outCol: String = "cummax"): DataFrame =
+    df.withColumn(outCol, max(col(valueCol)).over(
+      spec(partitionBy, orderBy).rowsBetween(Window.unboundedPreceding, 0)))
+
+  def cummin(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
+             valueCol: String, outCol: String = "cummin"): DataFrame =
+    df.withColumn(outCol, min(col(valueCol)).over(
+      spec(partitionBy, orderBy).rowsBetween(Window.unboundedPreceding, 0)))
+
+  /** pandas pct_change: v/lag(v) - 1, NULL on a zero or missing base
+    * (pandas yields inf on zero base; NULL keeps the output engine-stable
+    * — see the IEEE sentinel discussion in Semantics). */
+  def pctChange(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
+                valueCol: String, outCol: String = "pct_change"): DataFrame = {
+    val prev = lag(col(valueCol), 1).over(spec(partitionBy, orderBy))
+    df.withColumn(outCol, when(prev =!= 0, col(valueCol) / prev - 1))
+  }
+
+  /** forward/backward fill (pandas ffill/bfill) as bounded frame scans:
+    * last/first non-null within the partition — each partition evaluates
+    * independently after one hash shuffle, nothing global. */
+  def ffill(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
+            valueCol: String, outCol: String = "ffill"): DataFrame =
+    df.withColumn(outCol, last(col(valueCol), ignoreNulls = true).over(
+      spec(partitionBy, orderBy).rowsBetween(Window.unboundedPreceding, 0)))
+
+  def bfill(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
+            valueCol: String, outCol: String = "bfill"): DataFrame =
+    df.withColumn(outCol, first(col(valueCol), ignoreNulls = true).over(
+      spec(partitionBy, orderBy).rowsBetween(0, Window.unboundedFollowing)))
 }

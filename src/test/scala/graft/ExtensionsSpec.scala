@@ -104,6 +104,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ns.length == 3 && ns == ns.sorted && ns.head == expMin)
   }
 
+  test("melt widens to long via Expand, unknown label raises KeyError") {
+    val d = DataFrame.fromLocal(spark, Seq("id", "a", "b"),
+      Seq(Seq[Any](1, 10.0, 100.0), Seq[Any](2, 20.0, 200.0)))
+    val m = d.melt(Seq("id"), Seq("a", "b"))
+    assert(m.len == 4)
+    assert(m.columns.flatten.toSet == Set("id", "variable", "value"))
+    val plan = m.frame.df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"expected Expand:\n$plan")
+    intercept[graft.core.GraftKeyError] { d.melt(Seq("id"), Seq("nope")) }
+  }
+
+  test("explode emits one row per array element with 0-based position") {
+    val e = DataFrame.fromParquet(spark, s"$dir/embeddings.parquet")
+    val ex = e.explode("embedding")
+    val expected = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("embedding")))).collect()(0).getLong(0)
+    assert(ex.len == expected)
+    assert(ex.columns.flatten.contains("pos") && ex.columns.flatten.contains("element"))
+  }
+
   test("describe summarizes numeric columns") {
     val o = DataFrame.fromParquet(spark, s"$dir/orders.parquet",
       columns = Seq("o_totalprice"))

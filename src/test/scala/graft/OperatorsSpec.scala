@@ -365,4 +365,24 @@ class OperatorsSpec extends AnyFunSuite {
     val sh = WindowOps.shift(ev, Seq("user_id"), Seq("ts", "event_id"), "value")
     assert(sh.where(col("shifted").isNull).count() > 0) // first row per user
   }
+
+  test("window ops: ffill/bfill/cummax/cummin/pct_change") {
+    val df = Seq((1, 1, Option(2.0)), (1, 2, Option.empty[Double]),
+      (1, 3, Option(8.0)), (1, 4, Option.empty[Double]))
+      .toDF("k", "t", "v")
+    def vals(d: org.apache.spark.sql.DataFrame, c: String): Seq[Option[Double]] =
+      d.orderBy("t").collect().map(r =>
+        if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getDouble(r.fieldIndex(c)))).toSeq
+    assert(vals(WindowOps.ffill(df, Seq("k"), Seq("t"), "v", "f"), "f")
+      == Seq(Some(2.0), Some(2.0), Some(8.0), Some(8.0)))
+    assert(vals(WindowOps.bfill(df, Seq("k"), Seq("t"), "v", "b"), "b")
+      == Seq(Some(2.0), Some(8.0), Some(8.0), None))
+    val base = Seq((1, 1, 2.0), (1, 2, 1.0), (1, 3, 4.0)).toDF("k", "t", "v")
+    assert(vals(WindowOps.cummax(base, Seq("k"), Seq("t"), "v", "cm"), "cm")
+      == Seq(Some(2.0), Some(2.0), Some(4.0)))
+    assert(vals(WindowOps.cummin(base, Seq("k"), Seq("t"), "v", "cn"), "cn")
+      == Seq(Some(2.0), Some(1.0), Some(1.0)))
+    assert(vals(WindowOps.pctChange(base, Seq("k"), Seq("t"), "v", "p"), "p")
+      == Seq(None, Some(-0.5), Some(3.0)))
+  }
 }
