@@ -231,6 +231,20 @@ object SparkEntry {
         .toSpark()
     }),
 
+    // extension: cut (fixed edges) + qcut (exact-percentile edges) binning,
+    // counted per bin; the when-chains are codegen'd projections
+    "q_cut" -> ((s, dir) => {
+      val price = ordersByKey(s, dir)("o_totalprice")
+      val cutCounts = price
+        .cut(Seq(0, 50000, 150000, 300000, 700000), Seq("lo", "mid", "hi", "top"))
+        .rename(Some("bin")).valueCounts().rename(Some("n"))
+        .toSpark(includeIndex = true).withColumn("src", lit("cut"))
+      val qcutCounts = price.qcut(4)
+        .rename(Some("bin")).valueCounts().rename(Some("n"))
+        .toSpark(includeIndex = true).withColumn("src", lit("qcut"))
+      cutCounts.unionAll(qcutCounts).orderBy("src", "bin")
+    }),
+
     // extension: melt (wide→long) — Spark Expand, single streamed pass
     "q_melt" -> ((s, dir) => {
       DataFrame.fromSpark(table(s, dir, "lineitem"))
@@ -743,6 +757,25 @@ object SparkEntry {
         .select(col("window.start").cast("long").as("win_start"),
           col("event_type"), col("n"), col("total"))
         .orderBy("win_start", "event_type")
+    }),
+
+    // Structured Streaming: duplicate delivery (the same file streamed by
+    // two unioned sources) restored to exactly-once by the streaming dedup
+    // state store, then batch-aggregated for the oracle. The watermark is
+    // effectively unbounded so no state is evicted mid-run — on a live
+    // cluster you bound it to the real out-of-orderness instead.
+    "q_stream_dedup" -> ((s, dir) => {
+      val out = s"stream_dedup_${System.nanoTime()}"
+      val s1 = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      val s2 = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      val deduped = GraftStreaming.dedupStream(s1.union(s2), Seq("event_id"),
+        watermark = "87600 hours")
+      val q = GraftStreaming.runToMemory(deduped, out)
+      q.awaitTermination(300000)
+      s.table(out).groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
+        .orderBy("event_type")
     })
   )
 
@@ -835,6 +868,25 @@ object SparkEntry {
         | count(DISTINCT o_orderstatus) AS o_orderstatus,
         | count(DISTINCT o_orderpriority) AS o_orderpriority
         |FROM orders""".stripMargin,
+    "q_cut" ->
+      """SELECT bin, count(*) AS n, src FROM (
+        |  SELECT CASE
+        |    WHEN o_totalprice > 0 AND o_totalprice <= 50000 THEN 'lo'
+        |    WHEN o_totalprice > 50000 AND o_totalprice <= 150000 THEN 'mid'
+        |    WHEN o_totalprice > 150000 AND o_totalprice <= 300000 THEN 'hi'
+        |    WHEN o_totalprice > 300000 AND o_totalprice <= 700000 THEN 'top'
+        |    END AS bin, 'cut' AS src FROM orders
+        |  UNION ALL
+        |  SELECT CASE
+        |    WHEN o_totalprice <= (SELECT quantile_cont(o_totalprice, 0.25) FROM orders) THEN 'q1'
+        |    WHEN o_totalprice <= (SELECT quantile_cont(o_totalprice, 0.50) FROM orders) THEN 'q2'
+        |    WHEN o_totalprice <= (SELECT quantile_cont(o_totalprice, 0.75) FROM orders) THEN 'q3'
+        |    ELSE 'q4' END, 'qcut' FROM orders
+        |) t GROUP BY bin, src ORDER BY src, bin""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_melt" ->
       """SELECT l_orderkey, l_linenumber, variable, value FROM (
         |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,

@@ -299,6 +299,37 @@ private[graft] trait SeriesExtensions { this: Series =>
       .asInstanceOf[scala.collection.Seq[Double]].toSeq
   }
 
+  /** pandas cut: fixed-edge binning into right-closed intervals (lo, hi];
+    * out-of-range and NULL inputs → NULL. Pure when-chain over the fused
+    * projection — codegen'd, zero shuffle. */
+  def cut(edges: Seq[Double], labels: Seq[String] = Nil): Series = {
+    val pairs = edges.zip(edges.tail)
+    require(pairs.nonEmpty && pairs.forall { case (a, b) => a < b },
+      "edges must be strictly increasing with at least two entries")
+    val labs = if (labels.isEmpty)
+      pairs.map { case (a, b) => s"($a, $b]" } else labels
+    require(labs.length == pairs.length, "need one label per interval")
+    new Series(frame.mapCols((v, _, _) =>
+      pairs.tail.zip(labs.tail).foldLeft(
+        when(v > pairs.head._1 && v <= pairs.head._2, lit(labs.head))) {
+        case (acc, ((a, b), l)) => acc.when(v > a && v <= b, lit(l))
+      }))
+  }
+
+  /** pandas qcut: quantile binning. Edges come from ONE exact `percentile`
+    * aggregate pass; the binning itself is a codegen'd when-chain. The
+    * lowest bin absorbs the minimum (pandas include_lowest). */
+  def qcut(k: Int, prefix: String = "q"): Series = {
+    require(k >= 2, "qcut needs k >= 2")
+    val edges = quantiles((1 until k).map(_.toDouble / k))
+    new Series(frame.mapCols((v, _, _) => {
+      val nullArm = when(v.isNull, lit(null).cast(StringType))
+      (0 until k - 1).foldLeft(nullArm)((acc, i) =>
+        acc.when(v <= edges(i), lit(s"$prefix${i + 1}")))
+        .otherwise(lit(s"$prefix$k"))
+    }))
+  }
+
   /** Top/bottom n by value (pandas nlargest/nsmallest): plans as
     * TakeOrderedAndProject — a per-partition bounded selection, never a
     * global sort materialization. Ties break by index for determinism. */

@@ -104,6 +104,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ns.length == 3 && ns == ns.sorted && ns.head == expMin)
   }
 
+  test("cut right-closed fixed bins, qcut quantile bins") {
+    val s = Series.fromList(spark, Seq(1.0, 5.0, 10.0, 20.0))
+    val items = s.cut(Seq(0.0, 5.0, 15.0), Seq("a", "b")).collectItems()
+      .sortBy(_._1.asInstanceOf[Number].longValue)
+    assert(items.map(_._2) == Seq("a", "a", "b", null))
+    val q = Series.fromList(spark, (1 to 8).map(_.toDouble)).qcut(2).collectItems()
+      .sortBy(_._1.asInstanceOf[Number].longValue)
+    assert(q.map(_._2) == Seq("q1", "q1", "q1", "q1", "q2", "q2", "q2", "q2"))
+    intercept[IllegalArgumentException] { s.cut(Seq(1.0)) }
+  }
+
   test("melt widens to long via Expand, unknown label raises KeyError") {
     val d = DataFrame.fromLocal(spark, Seq("id", "a", "b"),
       Seq(Seq[Any](1, 10.0, 100.0), Seq[Any](2, 20.0, 200.0)))
