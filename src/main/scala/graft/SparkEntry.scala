@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame => SDF, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.{DataFrame, Frames, Series}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis, WindowOps}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, ShardPack, Similarity, TextAnalysis, WindowOps}
 import graft.streaming.GraftStreaming
 import org.apache.spark.sql.types.DecimalType
 
@@ -229,6 +229,47 @@ object SparkEntry {
         columns = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
         .nunique()
         .toSpark()
+    }),
+
+    // pipeline: document TF-IDF — two shuffles (tf groupBy, df groupBy),
+    // vocab-sized join back; tfidf rounded to 6dp for cross-engine ln parity
+    "q_tfidf" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextAnalysis.tfidf(docs, "doc_id", "text", nDocs = docs.count())
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          round(col("tfidf"), 6).as("tfidf_r"))
+        .orderBy("doc_id", "token")
+    }),
+
+    // pipeline: dup-pair graph → connected components (iterative min-label
+    // propagation). Duplicates are planted in-query (two shifted copies of
+    // doc slices) so chains a~b~c exist and the expected clusters are
+    // SQL-derivable; the oracle closes the same graph with a recursive CTE.
+    "q_dup_clusters" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val copy1 = docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val copy2 = docs.where(col("doc_id") < 10)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      val fp = docs.unionAll(copy1).unionAll(copy2)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      val pairs = fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Dedup.duplicateClusters(pairs, "id_a", "id_b")
+        .orderBy("node")
+    }),
+
+    // pipeline: token-budget shard packing per language — per-key window
+    // (no global order), integer token math, then the shard manifest
+    "q_shards" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("text")).cast("long"))
+      val assigned = ShardPack.assignShards(docs, "lang", "doc_id",
+        "n_tokens", budget = 2000L)
+      ShardPack.shardManifest(assigned, "lang", "n_tokens")
+        .orderBy("lang", "shard")
     }),
 
     // extension: cut (fixed edges) + qcut (exact-percentile edges) binning,
@@ -868,6 +909,43 @@ object SparkEntry {
         | count(DISTINCT o_orderstatus) AS o_orderstatus,
         | count(DISTINCT o_orderpriority) AS o_orderpriority
         |FROM orders""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0)) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, token, tf, df,
+        |  round(tf * (ln((1 + n) / (1 + df)) + 1), 6) AS tfidf_r
+        |FROM tf JOIN dfreq USING (token), n
+        |ORDER BY doc_id, token""".stripMargin,
+    "q_dup_clusters" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20
+        |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id < 10),
+        |fp AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM all_docs),
+        |edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id <> b.doc_id),
+        |reach AS (
+        |  SELECT DISTINCT src AS node, src AS label FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+        |SELECT node, min(label) AS label FROM reach
+        |GROUP BY node ORDER BY node""".stripMargin,
+    "q_shards" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> len(t) > 0)) AS BIGINT) AS n_tokens FROM documents),
+        |a AS (SELECT lang, doc_id, n_tokens,
+        |  COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM d)
+        |SELECT lang, CAST(floor(off / 2000) AS BIGINT) AS shard,
+        |  count(*) AS n_docs, sum(n_tokens) AS n_tokens
+        |FROM a GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
     "q_cut" ->
       """SELECT bin, count(*) AS n, src FROM (
         |  SELECT CASE

@@ -22,6 +22,41 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Connected components over a candidate-duplicate pair graph —
+    * resolves pairwise dup hits into whole clusters (a chain a~b~c must
+    * collapse to ONE canonical doc even if (a,c) was never a candidate).
+    *
+    * Iterative min-label propagation, the shuffle-only large-graph CC:
+    * each round joins labels to edges and takes a per-node min — one hash
+    * shuffle per round, converging in O(graph diameter) rounds (dup
+    * clusters are near-cliques, so 2–3 in practice). `localCheckpoint`
+    * truncates lineage so the plan doesn't grow with iterations; the
+    * convergence check piggybacks on the same aggregate, no extra pass.
+    *
+    * Returns (node, label) where label = min node id in the component. */
+  def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
+                        maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrLabels = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.union(nbrLabels).groupBy("node")
+        .agg(min("label").as("next_label"))
+      val merged = labels.join(next, "node").localCheckpoint(true)
+      changed = merged.where(col("next_label") < col("label")).count()
+      labels = merged.select(col("node"), col("next_label").as("label"))
+      i += 1
+    }
+    labels
+  }
+
   /** Exact dedup: canonical (min id) representative + duplicate count per
     * distinct key value. */
   def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =

@@ -119,6 +119,30 @@ object TextAnalysis {
     * preference order (en > de > fr > es) on ties. Deterministic and
     * SQL-mirrorable (LangId.oracleSqlExpr). */
   def langId(text: Column): Column = LangId.expr(text)
+
+  /** Document TF-IDF over lowercase whitespace tokens:
+    * (doc_id, token, tf, df, tfidf) with smooth idf = ln((1+N)/(1+df)) + 1
+    * (sklearn's default). Exactly two shuffles — one groupBy (doc, token)
+    * for tf, one groupBy token for df — and the df side is |vocab| rows,
+    * so Catalyst/AQE broadcast the join back at any corpus scale (cut the
+    * long tail first with `minDf` if the vocab itself is huge). `nDocs`
+    * is taken as a parameter so callers reuse a count they already have;
+    * pass df.count() otherwise. */
+  def tfidf(df: org.apache.spark.sql.DataFrame, idCol: String,
+            textCol: String, nDocs: Long, minDf: Long = 1): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("token"))
+    val tf = tok.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+    tf.join(dfreq, "token")
+      .withColumn("idf",
+        log((lit(1.0) + nDocs.toDouble) / (col("df") + lit(1.0))) + lit(1.0))
+      .withColumn("tfidf", col("tf") * col("idf"))
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        col("idf"), col("tfidf"))
+  }
 }
 
 /** Language-ID profiles shared between the Spark expression and the DuckDB

@@ -366,6 +366,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sh.where(col("shifted").isNull).count() > 0) // first row per user
   }
 
+  test("duplicateClusters closes chains into components") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("tfidf: tf/df/idf on a two-doc corpus") {
+    val docs = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(docs, "doc_id", "text", nDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(5))).toMap
+    assert(out((1L, "a"))._1 == 2 && out((1L, "a"))._2 == 2)
+    assert(out((2L, "c"))._1 == 1 && out((2L, "c"))._2 == 1)
+    // smooth idf: token in every doc -> ln(3/3)+1 = 1, so tfidf = tf
+    assert(math.abs(out((1L, "a"))._3 - 2.0) < 1e-12)
+    assert(math.abs(out((2L, "c"))._3 - (math.log(3.0 / 2.0) + 1)) < 1e-12)
+  }
+
+  test("shard packing: offset binning per key, manifest totals") {
+    val docs = Seq((1L, "en", 600L), (2L, "en", 600L), (3L, "en", 600L),
+      (4L, "de", 100L)).toDF("doc_id", "lang", "n_tokens")
+    val a = ShardPack.assignShards(docs, "lang", "doc_id", "n_tokens", budget = 1000L)
+    val got = a.collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("shard"))).toMap
+    // offsets: 0, 600, 1200 -> shards 0, 0, 1; de starts fresh at 0
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+    val m = ShardPack.shardManifest(a, "lang", "n_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(m(("en", 0L)) == (2L, 1200L) && m(("en", 1L)) == (1L, 600L))
+    assert(m(("de", 0L)) == (1L, 100L))
+  }
+
   test("window ops: ffill/bfill/cummax/cummin/pct_change") {
     val df = Seq((1, 1, Option(2.0)), (1, 2, Option.empty[Double]),
       (1, 3, Option(8.0)), (1, 4, Option.empty[Double]))
