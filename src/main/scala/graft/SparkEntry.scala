@@ -231,6 +231,42 @@ object SparkEntry {
         .toSpark()
     }),
 
+    // extension: groupby().transform — group aggregate broadcast back onto
+    // rows via a partitioned window (one shuffle, no agg+join); decimal
+    // accumulation for cross-engine exact sums
+    "q_transform" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      li.select(Seq("l_returnflag"))
+        .withColumn("qty_d", li("l_quantity").astype(DecimalType(18, 4)))
+        .groupby(Seq("l_returnflag")).transform("qty_d", "sum", "grp_sum")
+        .toSpark(includeIndex = true)
+        .selectExpr("l_orderkey", "l_linenumber", "l_returnflag",
+          "CAST(grp_sum AS DOUBLE) AS grp_sum")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // extension: duplicated() mask — first-in-index-order keeps False
+    "q_duplicated" -> ((s, dir) => {
+      ordersByKey(s, dir).select(Seq("o_orderstatus"))
+        .duplicated(Seq("o_orderstatus")).rename(Some("dup"))
+        .toSpark(includeIndex = true)
+        .orderBy("o_orderkey")
+    }),
+
+    // extension: combine_first — outer align + coalesce; evens keep their
+    // price, odds get patched from the doubled frame
+    "q_combine_first" -> ((s, dir) => {
+      val o = ordersByKey(s, dir)
+      val evens = o.select(Seq("o_totalprice"))
+        .where(o("o_custkey").mod(2) === 0)
+        .renameColumns(Map("o_totalprice" -> "v"))
+      val doubled = o.select(Seq("o_totalprice")).mul(2.0)
+        .renameColumns(Map("o_totalprice" -> "v"))
+      evens.combineFirst(doubled)
+        .toSpark(includeIndex = true)
+        .orderBy("o_orderkey")
+    }),
+
     // pipeline: document TF-IDF — two shuffles (tf groupBy, df groupBy),
     // vocab-sized join back; tfidf rounded to 6dp for cross-engine ln parity
     "q_tfidf" -> ((s, dir) => {
@@ -909,6 +945,20 @@ object SparkEntry {
         | count(DISTINCT o_orderstatus) AS o_orderstatus,
         | count(DISTINCT o_orderpriority) AS o_orderpriority
         |FROM orders""".stripMargin,
+    "q_transform" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+        |   OVER (PARTITION BY l_returnflag) AS DOUBLE) AS grp_sum
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_duplicated" ->
+      """SELECT o_orderkey,
+        | row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) > 1 AS dup
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_combine_first" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_custkey % 2 = 0 THEN o_totalprice
+        |      ELSE o_totalprice * 2 END AS v
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_tfidf" ->
       """WITH tok AS (SELECT doc_id,
         |  unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -50,6 +50,24 @@ final class GroupBy private[graft] (df: DataFrame, keys: Seq[String]) {
       index = keys)
   }
 
+  /** pandas groupby().transform: the group aggregate broadcast back onto
+    * every row of the original frame — a partitioned window aggregate,
+    * NOT agg + self-join (one shuffle, one scan). The original index is
+    * preserved. */
+  def transform(column: String, fn: String, outLabel: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(k => {
+        val i = df.frame.colLabels.indexOf(Some(k))
+        if (i < 0) throw new GraftKeyError(s"'$k'")
+        df.frame.dataExprs(i)
+      }): _*)
+    val i = df.frame.colLabels.indexOf(Some(column))
+    if (i < 0) throw new GraftKeyError(s"'$column'")
+    val agg = GroupBy.exprForCol(fn, df.frame.dataExprs(i)).over(w)
+    new DataFrame(df.frame.withDataExprs(
+      df.frame.colLabels :+ Some(outLabel), df.frame.dataExprs :+ agg))
+  }
+
   def sum(cols: String*): DataFrame =
     agg(cols.map(c => (c, "sum", c)): _*)
   def mean(cols: String*): DataFrame =
@@ -61,22 +79,24 @@ final class GroupBy private[graft] (df: DataFrame, keys: Seq[String]) {
 }
 
 object GroupBy {
-  private[graft] def exprFor(fn: String, c: String): Column = fn match {
-    case "sum" => org.apache.spark.sql.functions.sum(scol(c))
-    case "mean" | "avg" => avg(scol(c))
-    case "min" => org.apache.spark.sql.functions.min(scol(c))
-    case "max" => org.apache.spark.sql.functions.max(scol(c))
-    case "count" => org.apache.spark.sql.functions.count(scol(c))
-    case "count_distinct" => countDistinct(scol(c))
-    case "approx_count_distinct" => approx_count_distinct(scol(c))
-    case "sum_distinct" => sum_distinct(scol(c))
-    case "first" => first(scol(c))
-    case "last" => last(scol(c))
-    case "stddev" => stddev(scol(c))
-    case "variance" => variance(scol(c))
-    case "median" => median(scol(c))
+  private[graft] def exprForCol(fn: String, c: Column): Column = fn match {
+    case "sum" => org.apache.spark.sql.functions.sum(c)
+    case "mean" | "avg" => avg(c)
+    case "min" => org.apache.spark.sql.functions.min(c)
+    case "max" => org.apache.spark.sql.functions.max(c)
+    case "count" => org.apache.spark.sql.functions.count(c)
+    case "count_distinct" => countDistinct(c)
+    case "approx_count_distinct" => approx_count_distinct(c)
+    case "sum_distinct" => sum_distinct(c)
+    case "first" => first(c)
+    case "last" => last(c)
+    case "stddev" => stddev(c)
+    case "variance" => variance(c)
+    case "median" => median(c)
     case other => throw new GraftValueError(s"Unknown aggregation: $other")
   }
+
+  private[graft] def exprFor(fn: String, c: String): Column = exprForCol(fn, scol(c))
 }
 
 private[graft] trait DataFrameExtensions { this: DataFrame =>
@@ -153,6 +173,32 @@ private[graft] trait DataFrameExtensions { this: DataFrame =>
     }
     DataFrame.fromSpark(lr.join(rr, on, how2))
   }
+
+  /** pandas duplicated(): boolean mask marking every row after the first
+    * occurrence of its key (first = lowest index value, the only stable
+    * "first" a distributed table has). One row_number window per key
+    * group — a single hash shuffle on the key. */
+  def duplicated(subset: Seq[String] = Nil): Series = {
+    val ords = if (subset.isEmpty) frame.colLabels.indices
+               else subset.map { s =>
+                 val i = frame.colLabels.indexOf(Some(s))
+                 if (i < 0) throw new GraftKeyError(s"'$s'")
+                 i
+               }
+    // raw expressions over base, not the __idx_i aliases: a window may not
+    // reference a lateral alias from its own projection
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(ords.map(frame.dataExprs(_)): _*)
+      .orderBy(frame.idxExprs.map(_.asc): _*)
+    new Series(frame.withDataExprs(IndexedSeq(Some("duplicated")),
+      Seq(row_number().over(w) > 1)))
+  }
+
+  /** pandas combine_first: patch NULLs (and missing rows/columns) from
+    * `other` — outer alignment on both axes with per-cell COALESCE. Rides
+    * the same broadcast/align engine as the arithmetic ops. */
+  def combineFirst(other: DataFrame): DataFrame =
+    binOp(Semantics.CombineFirst, other)
 
   /** Exact deduplication by full row or subset (Spark keeps an arbitrary
     * representative per group — a shuffle-based hash dedup that scales;

@@ -103,6 +103,9 @@ object Semantics {
     * least ignore NULL bounds). */
   val Greatest: BinOp = cmp("greatest")((l, r) => greatest(l, r))
   val Least: BinOp = cmp("least")((l, r) => least(l, r))
+  /** combine_first: self wins unless NULL — rides the same outer-align
+    * broadcast engine as the arithmetic ops. */
+  val CombineFirst: BinOp = cmp("combine_first")((l, r) => coalesce(l, r))
 
   /** Scalar → typed literal operand (the analog of coercion.get_type on
     * plain Python values). */

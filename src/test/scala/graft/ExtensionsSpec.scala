@@ -104,6 +104,35 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ns.length == 3 && ns == ns.sorted && ns.head == expMin)
   }
 
+  test("groupby transform broadcasts the group aggregate onto rows") {
+    val d = DataFrame.fromLocal(spark, Seq("k", "v"),
+      Seq(Seq[Any]("a", 1.0), Seq[Any]("a", 2.0), Seq[Any]("b", 10.0)))
+    val t = d.groupby(Seq("k")).transform("v", "sum", "s")
+    val rows = t.toSpark().collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(rows(("a", 1.0)) == 3.0 && rows(("a", 2.0)) == 3.0 && rows(("b", 10.0)) == 10.0)
+    intercept[graft.core.GraftKeyError] { d.groupby(Seq("k")).transform("zz", "sum", "s") }
+  }
+
+  test("duplicated marks everything after the first index occurrence") {
+    val d = DataFrame.fromLocal(spark, Seq("k"),
+      Seq(Seq[Any]("x"), Seq[Any]("x"), Seq[Any]("y")))
+    val items = d.duplicated().collectItems()
+      .sortBy(_._1.asInstanceOf[Number].longValue)
+    assert(items.map(_._2) == Seq(false, true, false))
+  }
+
+  test("combine_first patches nulls and missing rows from other") {
+    val a = DataFrame.fromLocal(spark, Seq("v"), Seq(Seq[Any](1.0)))   // index 0
+    val b = DataFrame.fromLocal(spark, Seq("v", "w"),
+      Seq(Seq[Any](9.0, 5.0), Seq[Any](7.0, 6.0)))                     // index 0, 1
+    val c = a.combineFirst(b)
+    val got = c.toSpark(includeIndex = true).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // index 0: a's v wins, w comes from b; index 1: entirely from b
+    assert(got(0L) == ((1.0, 5.0)) && got(1L) == ((7.0, 6.0)))
+  }
+
   test("cut right-closed fixed bins, qcut quantile bins") {
     val s = Series.fromList(spark, Seq(1.0, 5.0, 10.0, 20.0))
     val items = s.cut(Seq(0.0, 5.0, 15.0), Seq("a", "b")).collectItems()
