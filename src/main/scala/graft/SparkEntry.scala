@@ -231,6 +231,43 @@ object SparkEntry {
         .toSpark()
     }),
 
+    // pipeline: batch sessionization — gap flag + running sum, one shuffle;
+    // integer nanos so the session ids are engine-exact
+    "q_sessions" -> ((s, dir) => {
+      // µs granularity via exact integer division (DuckDB reads the ns
+      // timestamps truncated to µs; double division would lose precision
+      // at 2^60-scale nanos)
+      val ev = table(s, dir, "events").withColumn("tsu", expr("ts DIV 1000"))
+      val sess = WindowOps.sessionIds(ev,
+        Seq("user_id"), Seq("tsu", "event_id"), "tsu",
+        gap = 1800L * 1000000L)
+      sess.groupBy("user_id", "session")
+        .agg(count(lit(1)).as("n_events"),
+          (max("tsu") - min("tsu")).as("dur_us"))
+        .orderBy("user_id", "session")
+    }),
+
+    // pipeline: random-projection dim reduction (JL pre-step before ANN);
+    // seeded planes inline into the oracle, dot accumulation bit-exact
+    "q_rand_proj" -> ((s, dir) => {
+      val rp = Similarity.randomProjection(col("embedding"),
+        outDim = 4, dim = 64, seed = 7L)
+      table(s, dir, "embeddings")
+        .select(col("vec_id") +: rp.zipWithIndex.map {
+          case (c, i) => c.as(s"rp$i") }: _*)
+        .orderBy("vec_id")
+    }),
+
+    // pipeline: symmetric int8 embedding quantization — floor-based so the
+    // quantized codes are bit-exact across engines; exploded for hashing
+    "q_quantize" -> ((s, dir) => {
+      table(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.quantScale(col("embedding")).as("scale"),
+          posexplode(Similarity.quantizeInt8(col("embedding"))).as(Seq("pos0", "q")))
+        .select(col("vec_id"), col("scale"), (col("pos0") + 1).as("pos"), col("q"))
+        .orderBy("vec_id", "pos")
+    }),
+
     // extension: groupby().transform — group aggregate broadcast back onto
     // rows via a partitioned window (one shuffle, no agg+join); decimal
     // accumulation for cross-engine exact sums
@@ -945,6 +982,35 @@ object SparkEntry {
         | count(DISTINCT o_orderstatus) AS o_orderstatus,
         | count(DISTINCT o_orderpriority) AS o_orderpriority
         |FROM orders""".stripMargin,
+    "q_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+        |f AS (SELECT user_id, event_id, tsu,
+        |  CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS nf
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |s AS (SELECT user_id, tsu,
+        |  sum(nf) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session FROM f)
+        |SELECT user_id, session, count(*) AS n_events,
+        |  max(tsu) - min(tsu) AS dur_us
+        |FROM s GROUP BY user_id, session
+        |ORDER BY user_id, session""".stripMargin,
+    "q_rand_proj" -> {
+      val es = graft.operators.Similarity
+        .randomProjectionOracleSqlExprs("embedding", 4, 64, 7L)
+      s"""SELECT vec_id, ${es.zipWithIndex.map { case (e, i) => s"$e AS rp$i" }.mkString(", ")}
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    },
+    "q_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, scale, generate_subscripts(embedding, 1) AS pos,
+        |  CASE WHEN scale = 0 THEN 0 ELSE
+        |    CAST(greatest(-127.0, least(127.0,
+        |      floor(CAST(unnest(embedding) AS DOUBLE) * 127.0 / scale))) AS INT)
+        |  END AS q
+        |FROM s ORDER BY vec_id, pos""".stripMargin,
     "q_transform" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))

@@ -68,6 +68,39 @@ object Similarity {
       when(dot(v, typedlit(p)) >= 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Random-projection dimensionality reduction: `outDim` deterministic
+    * Gaussian planes (seeded) → out(i) = dot(v, p_i), the Johnson-
+    * Lindenstrauss cheap pre-step before ANN when the source dim is large.
+    * Pure per-row expressions, zero shuffle; the planes inline into the
+    * DuckDB oracle as literals, and the sequential double accumulation is
+    * bit-identical across engines. */
+  def randomProjection(v: Column, outDim: Int, dim: Int, seed: Long): Seq[Column] =
+    planesFor(outDim, dim, seed).map(p => dot(v, typedlit(p)))
+
+  def randomProjectionOracleSqlExprs(vecRef: String, outDim: Int, dim: Int,
+                                     seed: Long): Seq[String] =
+    planesFor(outDim, dim, seed).map { p =>
+      val lits = p.map(_.toString).mkString("[", ", ", "]")
+      s"list_sum(list_transform(list_zip($vecRef, $lits), " +
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    }
+
+  /** Symmetric int8 quantization scale: max |x| over the vector. */
+  def quantScale(v: Column): Column =
+    array_max(transform(v, x => abs(x.cast("double"))))
+
+  /** Symmetric int8 quantization: q_j = clamp(floor(x_j·127/scale)).
+    * floor, not round — floor is engine-exact, while half-up rounding of
+    * a double quotient is not portable bit-for-bit. Zero vectors (scale
+    * 0) quantize to zeros. */
+  def quantizeInt8(v: Column): Column = {
+    val scale = quantScale(v)
+    transform(v, x =>
+      when(scale === 0.0, lit(0)).otherwise(
+        greatest(lit(-127.0), least(lit(127.0),
+          floor(x.cast("double") * 127.0 / scale))).cast("int")))
+  }
+
   /** [[lshBucket]] rendered as DuckDB SQL: the hyperplanes are
     * deterministic from (planes, dim, seed), so they inline as double
     * literals and an external engine reproduces the exact bucket ids —

@@ -83,4 +83,18 @@ object WindowOps {
             valueCol: String, outCol: String = "bfill"): DataFrame =
     df.withColumn(outCol, first(col(valueCol), ignoreNulls = true).over(
       spec(partitionBy, orderBy).rowsBetween(0, Window.unboundedFollowing)))
+
+  /** Batch sessionization — the batch twin of the streaming
+    * flatMapGroupsWithState sessionizer: a new-session flag (gap from the
+    * previous event exceeds `gap`, in the ts column's own units) and a
+    * running sum of flags = per-key session ordinal. Two window functions
+    * over ONE shuffle (same partition + order). Integer ts → engine-exact. */
+  def sessionIds(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
+                 tsCol: String, gap: Long, outCol: String = "session"): DataFrame = {
+    val w = spec(partitionBy, orderBy)
+    val prev = lag(col(tsCol), 1).over(w)
+    val newSession = when(prev.isNull || col(tsCol) - prev > gap, 1).otherwise(0)
+    df.withColumn(outCol, sum(newSession).over(
+      w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
 }

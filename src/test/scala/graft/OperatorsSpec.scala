@@ -401,6 +401,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m(("de", 0L)) == (1L, 100L))
   }
 
+  test("batch sessionIds split on inactivity gaps per key") {
+    val ev = Seq((1L, 100L), (1L, 200L), (1L, 5000L), (2L, 10L))
+      .toDF("user_id", "ts")
+    val s = WindowOps.sessionIds(ev, Seq("user_id"), Seq("ts"), "ts", gap = 1000L)
+    val got = s.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(r.fieldIndex("session"))).toMap
+    assert(got == Map((1L, 100L) -> 1L, (1L, 200L) -> 1L, (1L, 5000L) -> 2L,
+      (2L, 10L) -> 1L))
+  }
+
+  test("int8 quantization: scale and floor-clamped codes") {
+    val df = Seq((1L, Seq(0.5f, -1.0f, 0.25f, 0.0f))).toDF("id", "v")
+    val r = df.select(Similarity.quantScale(col("v")).as("s"),
+      Similarity.quantizeInt8(col("v")).as("q")).collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getSeq[Int](1) == Seq(63, -127, 31, 0))
+    val z = Seq((1L, Seq(0.0f, 0.0f))).toDF("id", "v")
+      .select(Similarity.quantizeInt8(col("v")).as("q")).collect()(0)
+    assert(z.getSeq[Int](0) == Seq(0, 0))
+  }
+
+  test("random projection is deterministic and outDim-sized") {
+    val df = Seq((1L, (0 until 64).map(_.toFloat / 64))).toDF("id", "v")
+    val cols = Similarity.randomProjection(col("v"), outDim = 4, dim = 64, seed = 7L)
+    assert(cols.length == 4)
+    val a = df.select(cols: _*).collect()(0)
+    val b = df.select(Similarity.randomProjection(col("v"), 4, 64, 7L): _*).collect()(0)
+    assert((0 until 4).forall(i => a.getDouble(i) == b.getDouble(i)))
+  }
+
   test("window ops: ffill/bfill/cummax/cummin/pct_change") {
     val df = Seq((1, 1, Option(2.0)), (1, 2, Option.empty[Double]),
       (1, 3, Option(8.0)), (1, 4, Option.empty[Double]))
