@@ -231,6 +231,47 @@ object SparkEntry {
         .toSpark()
     }),
 
+    // extension: Series.replace value mapping (when-chain, pass-through)
+    "q_replace" -> ((s, dir) => {
+      ordersByKey(s, dir)("o_orderstatus")
+        .replace(Seq("O" -> "OPEN", "F" -> "FILLED"))
+        .rename(Some("status"))
+        .toSpark(includeIndex = true).orderBy("o_orderkey")
+    }),
+
+    // extension: pivot_table with sum — explicit pivot values keep it a
+    // single aggregate pass; decimal accumulation for exactness
+    "q_pivot_sum" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      li.select(Seq("l_returnflag", "l_linestatus"))
+        .withColumn("qty_d", li("l_quantity").astype(DecimalType(18, 4)))
+        .groupby(Seq("l_returnflag"))
+        .pivotAgg("l_linestatus", Seq("F", "O"), "qty_d")
+        .toSpark(includeIndex = true)
+        .selectExpr("l_returnflag",
+          "CAST(F AS DOUBLE) AS f_qty", "CAST(O AS DOUBLE) AS o_qty")
+        .orderBy("l_returnflag")
+    }),
+
+    // pipeline: cluster → canonical-doc selection (struct-max per cluster;
+    // longest text wins, id is the deterministic tiebreak)
+    "q_canonical" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text", "n_chars")
+      val copy1 = docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("n_chars"))
+      val copy2 = docs.where(col("doc_id") < 10)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"), col("n_chars"))
+      val all = docs.unionAll(copy1).unionAll(copy2)
+      val fp = all.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val pairs = fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Dedup.canonicalize(all,
+          Dedup.duplicateClusters(pairs, "id_a", "id_b"), "doc_id", "n_chars")
+        .orderBy("cluster")
+    }),
+
     // pipeline: batch sessionization — gap flag + running sum, one shuffle;
     // integer nanos so the session ids are engine-exact
     "q_sessions" -> ((s, dir) => {
@@ -982,6 +1023,44 @@ object SparkEntry {
         | count(DISTINCT o_orderstatus) AS o_orderstatus,
         | count(DISTINCT o_orderpriority) AS o_orderpriority
         |FROM orders""".stripMargin,
+    "q_replace" ->
+      """SELECT o_orderkey,
+        | CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FILLED'
+        |   ELSE o_orderstatus END AS status
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_pivot_sum" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+        |   FILTER (l_linestatus = 'F') AS DOUBLE) AS f_qty,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+        |   FILTER (l_linestatus = 'O') AS DOUBLE) AS o_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_canonical" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text, n_chars FROM documents WHERE doc_id < 20
+        |  UNION ALL SELECT doc_id + 200000, text, n_chars FROM documents WHERE doc_id < 10),
+        |fp AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM all_docs),
+        |edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id <> b.doc_id),
+        |reach AS (
+        |  SELECT DISTINCT src AS node, src AS label FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+        |comp AS (SELECT node, min(label) AS label FROM reach GROUP BY node),
+        |labeled AS (SELECT d.doc_id, d.n_chars,
+        |  COALESCE(c.label, d.doc_id) AS cluster
+        |  FROM all_docs d LEFT JOIN comp c ON d.doc_id = c.node),
+        |ranked AS (SELECT cluster, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY cluster
+        |    ORDER BY n_chars DESC, doc_id DESC) AS rn,
+        |  count(*) OVER (PARTITION BY cluster) AS n_members FROM labeled)
+        |SELECT cluster, doc_id AS canonical_id, n_chars AS canonical_score,
+        |  n_members
+        |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin,
     "q_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
         |f AS (SELECT user_id, event_id, tsu,

@@ -68,6 +68,19 @@ final class GroupBy private[graft] (df: DataFrame, keys: Seq[String]) {
       df.frame.colLabels :+ Some(outLabel), df.frame.dataExprs :+ agg))
   }
 
+  /** pandas pivot_table: one output column per `values` entry of
+    * `pivotCol`, aggregated with `fn` over `valueCol`. Explicit values →
+    * single-pass plan (Spark's pivot with known values is one aggregate,
+    * no distinct pre-scan). */
+  def pivotAgg(pivotCol: String, values: Seq[String], valueCol: String,
+               fn: String = "sum"): DataFrame = {
+    val sdf = df.toSpark(includeIndex = false)
+    DataFrame.fromSpark(
+      sdf.groupBy(keys.map(col): _*).pivot(pivotCol, values)
+        .agg(GroupBy.exprFor(fn, valueCol)),
+      index = keys)
+  }
+
   def sum(cols: String*): DataFrame =
     agg(cols.map(c => (c, "sum", c)): _*)
   def mean(cols: String*): DataFrame =
@@ -343,6 +356,19 @@ private[graft] trait SeriesExtensions { this: Series =>
       "quantiles must be in [0, 1]")
     aggScalar(percentile(frame.colAt(0), typedlit(qs)))
       .asInstanceOf[scala.collection.Seq[Double]].toSeq
+  }
+
+  /** pandas replace with a mapping: when-chain over the keys, unmapped
+    * values pass through. Codegen'd projection, zero shuffle. */
+  def replace(mapping: Seq[(Any, Any)]): Series = {
+    require(mapping.nonEmpty, "replace needs a non-empty mapping")
+    new Series(frame.mapCols((v, _, _) =>
+      mapping.tail.foldLeft(
+        when(v === Semantics.literal(mapping.head._1).col,
+          Semantics.literal(mapping.head._2).col)) {
+        case (acc, (k, out)) =>
+          acc.when(v === Semantics.literal(k).col, Semantics.literal(out).col)
+      }.otherwise(v)))
   }
 
   /** pandas cut: fixed-edge binning into right-closed intervals (lo, hi];

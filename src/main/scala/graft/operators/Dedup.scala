@@ -57,6 +57,24 @@ object Dedup {
     labels
   }
 
+  /** Canonical-document selection per duplicate cluster: every doc joins
+    * its cluster label ([[duplicateClusters]] output; unclustered docs are
+    * their own singleton cluster via the left join + coalesce), then ONE
+    * struct-max aggregate per cluster picks the representative — highest
+    * `scoreCol` (e.g. n_chars or a quality score), id as the deterministic
+    * tiebreak. No window over the corpus, just a hash-shuffle groupBy. */
+  def canonicalize(docs: DataFrame, clusters: DataFrame, idCol: String,
+                   scoreCol: String): DataFrame = {
+    val labeled = docs
+      .join(clusters.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("label"), col(idCol)))
+    labeled.groupBy("cluster")
+      .agg(max(struct(col(scoreCol), col(idCol))).as("__best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), col(s"__best.$idCol").as("canonical_id"),
+        col(s"__best.$scoreCol").as("canonical_score"), col("n_members"))
+  }
+
   /** Exact dedup: canonical (min id) representative + duplicate count per
     * distinct key value. */
   def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =

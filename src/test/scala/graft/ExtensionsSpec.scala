@@ -104,6 +104,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ns.length == 3 && ns == ns.sorted && ns.head == expMin)
   }
 
+  test("replace maps listed values, passes others through") {
+    val s = Series.fromList(spark, Seq("a", "b", "c"))
+      .replace(Seq("a" -> "A", "b" -> "B"))
+    assert(s.values.toSet == Set("A", "B", "c"))
+  }
+
+  test("pivotAgg sums per pivot value in one pass") {
+    val d = DataFrame.fromLocal(spark, Seq("k", "p", "v"),
+      Seq(Seq[Any]("x", "F", 1.0), Seq[Any]("x", "O", 2.0), Seq[Any]("x", "F", 3.0)))
+    val p = d.groupby(Seq("k")).pivotAgg("p", Seq("F", "O"), "v")
+    val r = p.toSpark(includeIndex = true).collect()(0)
+    assert(r.getString(0) == "x" && r.getDouble(1) == 4.0 && r.getDouble(2) == 2.0)
+  }
+
   test("groupby transform broadcasts the group aggregate onto rows") {
     val d = DataFrame.fromLocal(spark, Seq("k", "v"),
       Seq(Seq[Any]("a", 1.0), Seq[Any]("a", 2.0), Seq[Any]("b", 10.0)))

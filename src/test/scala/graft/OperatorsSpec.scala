@@ -401,6 +401,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m(("de", 0L)) == (1L, 100L))
   }
 
+  test("canonicalize picks highest score then highest id; singletons survive") {
+    val docs = Seq((1L, 100L), (2L, 200L), (3L, 200L), (9L, 50L))
+      .toDF("doc_id", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "label")
+    val got = Dedup.canonicalize(docs, clusters, "doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    // cluster 1: max (n_chars, id) = (200, 3); singleton 9 keeps itself
+    assert(got == Map(1L -> ((3L, 3L)), 9L -> ((9L, 1L))))
+  }
+
   test("batch sessionIds split on inactivity gaps per key") {
     val ev = Seq((1L, 100L), (1L, 200L), (1L, 5000L), (2L, 10L))
       .toDF("user_id", "ts")
