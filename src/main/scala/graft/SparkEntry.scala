@@ -231,6 +231,23 @@ object SparkEntry {
         .toSpark()
     }),
 
+    // extension: rolling sum/min/max over a 5-row trailing window — all
+    // three share one (user_id) shuffle (single Window node); sum goes
+    // through decimal for engine-exact accumulation
+    "q_rolling" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .withColumn("vd", col("value").cast(DecimalType(18, 6)))
+      val part = Seq("user_id"); val ord = Seq("ts", "event_id")
+      val out = Seq(
+        (d: SDF) => WindowOps.rollingAgg(d, part, ord, sum(col("vd")), 5, "rsum"),
+        (d: SDF) => WindowOps.rollingAgg(d, part, ord, min(col("value")), 5, "rmin"),
+        (d: SDF) => WindowOps.rollingAgg(d, part, ord, max(col("value")), 5, "rmax"))
+        .foldLeft(ev)((d, f) => f(d))
+      out.select(col("event_id"), col("rsum").cast("double").as("rsum"),
+          col("rmin"), col("rmax"))
+        .orderBy("event_id")
+    }),
+
     // extension: Series.replace value mapping (when-chain, pass-through)
     "q_replace" -> ((s, dir) => {
       ordersByKey(s, dir)("o_orderstatus")
@@ -1023,6 +1040,14 @@ object SparkEntry {
         | count(DISTINCT o_orderstatus) AS o_orderstatus,
         | count(DISTINCT o_orderpriority) AS o_orderpriority
         |FROM orders""".stripMargin,
+    "q_rolling" ->
+      """SELECT event_id,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS rsum,
+        | min(value) OVER w AS rmin,
+        | max(value) OVER w AS rmax
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_replace" ->
       """SELECT o_orderkey,
         | CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FILLED'

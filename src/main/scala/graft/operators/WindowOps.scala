@@ -50,6 +50,15 @@ object WindowOps {
     df.withColumn(outCol, org.apache.spark.sql.functions.rank()
       .over(spec(partitionBy, orderBy)))
 
+  /** Generic trailing-window aggregate (pandas rolling(n).sum/min/max/...,
+    * min_periods=1): any Column-level aggregate over the last n rows per
+    * key. All rolling calls on the same (partitionBy, orderBy) share one
+    * shuffle — Spark evaluates them in a single Window node. */
+  def rollingAgg(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
+                 agg: Column, n: Int, outCol: String): DataFrame =
+    df.withColumn(outCol, agg.over(
+      spec(partitionBy, orderBy).rowsBetween(-(n - 1), 0)))
+
   /** running max/min (pandas cummax/cummin). Unlike running double sums,
     * max/min are association-safe — no decimal detour needed. */
   def cummax(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],

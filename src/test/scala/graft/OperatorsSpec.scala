@@ -441,6 +441,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert((0 until 4).forall(i => a.getDouble(i) == b.getDouble(i)))
   }
 
+  test("rollingAgg: same-spec rolling calls fuse into ONE Window node") {
+    val ev = spark.read.parquet(s"$dir/events.parquet").limit(200)
+    val part = Seq("user_id"); val ord = Seq("ts", "event_id")
+    val out = WindowOps.rollingAgg(
+      WindowOps.rollingAgg(ev, part, ord, min(col("value")), 5, "rmin"),
+      part, ord, max(col("value")), 5, "rmax")
+    val top = out.queryExecution.executedPlan
+    val inner = top match { // AQE wrapper hides children from collect
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val windows = inner.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.length == 1, s"expected one fused Window, got ${windows.length}")
+    val r = out.where(col("rmin") > col("rmax")).count()
+    assert(r == 0)
+  }
+
   test("window ops: ffill/bfill/cummax/cummin/pct_change") {
     val df = Seq((1, 1, Option(2.0)), (1, 2, Option.empty[Double]),
       (1, 3, Option(8.0)), (1, 4, Option.empty[Double]))
