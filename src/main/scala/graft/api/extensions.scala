@@ -354,8 +354,10 @@ private[graft] trait SeriesExtensions { this: Series =>
   def quantiles(qs: Seq[Double]): Seq[Double] = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       "quantiles must be in [0, 1]")
-    aggScalar(percentile(frame.colAt(0), typedlit(qs)))
-      .asInstanceOf[scala.collection.Seq[Double]].toSeq
+    aggScalar(percentile(frame.colAt(0), typedlit(qs))) match {
+      case null => Seq.fill(qs.length)(Double.NaN) // empty input → NaN (pandas)
+      case s => s.asInstanceOf[scala.collection.Seq[Double]].toSeq
+    }
   }
 
   /** pandas replace with a mapping: when-chain over the keys, unmapped

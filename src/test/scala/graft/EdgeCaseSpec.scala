@@ -1,0 +1,70 @@
+package graft
+
+import graft.api.{DataFrame, Frames, Series}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate inputs: empty frames, all-null columns, single rows —
+  * the shapes that appear constantly as partition-local slices at scale
+  * (an executor's slice of a 100 TB table is routinely empty). */
+class EdgeCaseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def emptyDf: DataFrame =
+    DataFrame.fromLocal(spark, Seq("a", "b"), Nil)
+
+  test("empty frame: shape, head/tail, reductions") {
+    val d = emptyDf
+    assert(d.len == 0 && d.shape(0) == 0 && d.shape(1) == 2)
+    assert(d.head(5).len == 0 && d.tail(5).len == 0)
+    assert(d.dropDuplicates().len == 0)
+    val s = d.sum() // column-axis reduction over zero rows
+    assert(s.collectItems().map(_._2).forall(v => v == null || v == 0))
+  }
+
+  test("empty series: quantile NaN, nlargest empty, valueCounts empty") {
+    val s = Series.fromList(spark, Seq.empty[Double])
+    assert(s.quantile(0.5).isNaN)
+    assert(s.nlargest(3).len == 0)
+    assert(s.valueCounts().len == 0)
+    assert(s.countNonNull() == 0 && s.nunique() == 0)
+  }
+
+  test("null-heavy column: reductions and masks behave") {
+    val d = DataFrame.fromLocal(spark, Seq("v"),
+      Seq(Seq[Any](null), Seq[Any](2.0), Seq[Any](null)))
+    val s = d("v")
+    assert(s.countNonNull() == 1)
+    assert(s.dropna().len == 1)
+    assert(d.dropna().len == 1)
+    assert(d.fillna(7).toSpark().collect().forall(r => !r.isNullAt(0)))
+  }
+
+  test("single row: window-free ops stay sane") {
+    val d = DataFrame.fromLocal(spark, Seq("k", "v"), Seq(Seq[Any]("x", 1.0)))
+    assert(d.duplicated().values == Seq(false))
+    val t = d.groupby(Seq("k")).transform("v", "sum", "s")
+    assert(t.toSpark().collect()(0).getDouble(2) == 1.0)
+    assert(d("v").quantile(0.5) == 1.0)
+  }
+
+  test("concat of empty with non-empty keeps the non-empty rows") {
+    val e = emptyDf
+    val d = DataFrame.fromLocal(spark, Seq("a", "b"),
+      Seq(Seq[Any](1.0, 2.0)))
+    assert(Frames.concat(Seq(e, d)).len == 1)
+  }
+
+  test("qcut on a constant column collapses to the lowest bin") {
+    val s = Series.fromList(spark, Seq(5.0, 5.0, 5.0))
+    assert(s.qcut(3).values.toSet == Set("q1"))
+  }
+
+  test("empty dedup/cluster inputs produce empty outputs") {
+    import spark.implicits._
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.operators.Dedup.duplicateClusters(noPairs, "id_a", "id_b").count() == 0)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Dedup.exactText(noDocs, "text", "doc_id").count() == 0)
+    assert(graft.operators.TextAnalysis.tfidf(noDocs, "doc_id", "text", 0).count() == 0)
+  }
+}
