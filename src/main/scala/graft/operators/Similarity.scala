@@ -19,7 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Native codegen'd kernel (see [[graft.functions.DotProduct]]);
+    * bit-identical to the HOF fold it replaced. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct(a, b)
+
+  /** Interpreted HOF form, kept for differential testing. */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 

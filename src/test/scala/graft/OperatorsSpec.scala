@@ -401,6 +401,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m(("de", 0L)) == (1L, 100L))
   }
 
+  test("native dot expression: bit-identical to the HOF fold") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet").limit(200)
+    val p = typedlit((0 until 64).map(i => math.sin(i.toDouble)))
+    val both = e.select(Similarity.dot(col("embedding"), p).as("native"),
+      Similarity.dotHof(col("embedding"), p).as("hof"))
+    assert(both.where(col("native") =!= col("hof")).count() == 0)
+    assert(both.where(col("native").isNotNull).count() == 200)
+  }
+
   test("canonicalize picks highest score then highest id; singletons survive") {
     val docs = Seq((1L, 100L), (2L, 200L), (3L, 200L), (9L, 50L))
       .toDF("doc_id", "n_chars")
