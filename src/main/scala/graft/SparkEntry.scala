@@ -931,6 +931,25 @@ object SparkEntry {
         .orderBy("win_start", "event_type")
     }),
 
+    // Structured Streaming: watermarked stream-stream inner join — each
+    // click joined to same-user purchases within the following hour. The
+    // two-sided event-time bound is what lets Spark evict join state; the
+    // inner join's output equals the batch range join, which is the oracle.
+    "q_stream_join" -> ((s, dir) => {
+      val out = s"stream_join_${System.nanoTime()}"
+      val clicks = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+        .where(col("event_type") === "click")
+      val purchases = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+        .where(col("event_type") === "purchase")
+      val joined = GraftStreaming
+        .streamStreamJoin(clicks, purchases, "user_id")
+        .select(col("l.event_id").as("click_id"),
+          col("r.event_id").as("purchase_id"))
+      val q = GraftStreaming.runToMemory(joined, out)
+      q.awaitTermination(300000)
+      s.table(out).orderBy("click_id", "purchase_id")
+    }),
+
     // Structured Streaming: duplicate delivery (the same file streamed by
     // two unioned sources) restored to exactly-once by the streaming dedup
     // state store, then batch-aggregated for the oracle. The watermark is
@@ -1181,6 +1200,15 @@ object SparkEntry {
         |    WHEN o_totalprice <= (SELECT quantile_cont(o_totalprice, 0.75) FROM orders) THEN 'q3'
         |    ELSE 'q4' END, 'qcut' FROM orders
         |) t GROUP BY bin, src ORDER BY src, bin""".stripMargin,
+    "q_stream_join" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.sec >= c.sec AND p.sec <= c.sec + 3600
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "q_stream_dedup" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total

@@ -29,9 +29,9 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  /** sqrt of the native self-dot — same sequential square accumulation as
+    * the HOF transform+fold it replaced, so bit-identical. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Composition-of-built-ins cosine (interpreted lambdas) — kept for
     * differential testing against the native expression. */

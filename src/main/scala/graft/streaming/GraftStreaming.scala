@@ -109,6 +109,24 @@ object GraftStreaming {
         }).toDF()
   }
 
+  /** Watermarked stream-stream inner join: match each left event with
+    * the right-stream events of the same key within `horizon` AFTER it.
+    * Both sides carry watermarks and the join condition bounds event time
+    * in both directions — that pair is what lets Spark evict join state
+    * (left rows age out once the right watermark passes ts + horizon).
+    * Inner-join output is exactly the batch join result, so the oracle is
+    * the equivalent batch range join. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                       horizon: String = "1 hour",
+                       watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("event_time", watermark).as("l")
+    val r = right.withWatermark("event_time", watermark).as("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col("r.event_time") >= col("l.event_time") &&
+        col("r.event_time") <= col("l.event_time") + expr(s"INTERVAL $horizon"))
+  }
+
   /** Drive a stream to completion against a memory sink (test/local
     * harness): returns the materialized table name. */
   def runToMemory(df: DataFrame, name: String,

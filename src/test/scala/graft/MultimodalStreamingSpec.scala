@@ -121,6 +121,27 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("firstTsNs") <= r.getAs[Long]("lastTsNs")))
   }
 
+  test("streaming: stream-stream join equals the batch range join") {
+    val clicks = GraftStreaming.readEventsGlob(spark, dir, "events.parquet")
+      .where(col("event_type") === "click")
+    val purchases = GraftStreaming.readEventsGlob(spark, dir, "events.parquet")
+      .where(col("event_type") === "purchase")
+    val joined = GraftStreaming.streamStreamJoin(clicks, purchases, "user_id")
+      .select(col("l.event_id"), col("r.event_id"))
+    val q = GraftStreaming.runToMemory(joined, "ss_join_out")
+    q.awaitTermination(120000)
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("event_time", GraftStreaming.eventTime(col("ts")))
+    val bc = batch.where(col("event_type") === "click").as("l")
+    val bp = batch.where(col("event_type") === "purchase").as("r")
+    val expected = bc.join(bp,
+      col("l.user_id") === col("r.user_id") &&
+        col("r.event_time") >= col("l.event_time") &&
+        col("r.event_time") <= col("l.event_time") + expr("INTERVAL 1 hour"))
+      .count()
+    assert(spark.table("ss_join_out").count() == expected)
+  }
+
   test("streaming: dedup within watermark") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     val ev = spark.read.parquet(s"$dir/events.parquet").limit(100)
