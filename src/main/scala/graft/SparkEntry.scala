@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame => SDF, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.{DataFrame, Frames, Series}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, ShardPack, Similarity, TextAnalysis, WindowOps}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Sampling, ShardPack, Similarity, TextAnalysis, WindowOps}
 import graft.streaming.GraftStreaming
 import org.apache.spark.sql.types.DecimalType
 
@@ -229,6 +229,28 @@ object SparkEntry {
         columns = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
         .nunique()
         .toSpark()
+    }),
+
+    // extension: unstack — last index level pivots into columns (per-user
+    // event-type count matrix); NULL combos filled to 0 to mirror counts
+    "q_unstack" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      DataFrame.fromParquet(s, s"$dir/events.parquet",
+          columns = Seq("user_id", "event_type", "event_id"))
+        .groupby(Seq("user_id", "event_type")).count("n")
+        .unstack(types)
+        .fillna(0L)
+        .toSpark(includeIndex = true)
+        .orderBy("user_id")
+    }),
+
+    // pipeline: deterministic weighted sampling (A-ES keys from md5
+    // uniforms) — price-weighted top-100 orders, reproducible anywhere
+    "q_weighted_sample" -> ((s, dir) => {
+      Sampling.weighted(table(s, dir, "orders"), "o_orderkey",
+          "o_totalprice", k = 100)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
     }),
 
     // extension: rolling sum/min/max over a 5-row trailing window — all
@@ -1059,6 +1081,22 @@ object SparkEntry {
         | count(DISTINCT o_orderstatus) AS o_orderstatus,
         | count(DISTINCT o_orderpriority) AS o_orderpriority
         |FROM orders""".stripMargin,
+    "q_unstack" ->
+      """SELECT user_id,
+        | count(*) FILTER (event_type = 'click') AS click,
+        | count(*) FILTER (event_type = 'error') AS error,
+        | count(*) FILTER (event_type = 'purchase') AS purchase,
+        | count(*) FILTER (event_type = 'signup') AS signup,
+        | count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH w AS (SELECT o_orderkey, o_totalprice,
+        |  ln((('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT + 1.0)
+        |     / 4294967297.0) / o_totalprice AS wkey
+        |  FROM orders)
+        |SELECT o_orderkey, o_totalprice FROM
+        |  (SELECT * FROM w ORDER BY wkey DESC, o_orderkey LIMIT 100) t
+        |ORDER BY o_orderkey""".stripMargin,
     "q_rolling" ->
       """SELECT event_id,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS rsum,

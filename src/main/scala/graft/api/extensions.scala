@@ -246,6 +246,22 @@ private[graft] trait DataFrameExtensions { this: DataFrame =>
       others :+ posexplode(scol(column)).as(Seq(posName, outName)): _*))
   }
 
+  /** pandas unstack for a two-level-indexed single-column frame: pivot
+    * the LAST index level into columns. Explicit `values` keep the plan a
+    * single aggregate pass (no distinct pre-scan); combinations absent
+    * from the data come out NULL (use fillna to mirror pandas fill_value).
+    * Duplicate (level-0, level-1) pairs are a pandas error; here the
+    * arbitrary-first survivor is kept — pre-aggregate if that matters. */
+  def unstack(values: Seq[String]): DataFrame = {
+    require(frame.nIdx == 2, "unstack requires exactly two index levels")
+    require(frame.nCols == 1, "unstack requires a single data column")
+    val sdf = toSpark(includeIndex = true)
+    val Array(idx0, lvl, v) = sdf.columns
+    DataFrame.fromSpark(
+      sdf.groupBy(scol(idx0)).pivot(lvl, values).agg(first(scol(v))),
+      index = Seq(idx0))
+  }
+
   /** Summary statistics per numeric column (pandas describe):
     * count/mean/stddev/min/max rows. Quantiles intentionally omitted —
     * engines disagree on interpolation, and approx quantiles at scale are

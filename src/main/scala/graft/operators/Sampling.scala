@@ -31,4 +31,21 @@ object Sampling {
     * reproducible across runs and engines (md5, not rand). */
   def deterministicShuffle(df: DataFrame, idCol: String): DataFrame =
     df.orderBy(md5(col(idCol).cast("string")), col(idCol))
+
+  /** Deterministic weighted sample without replacement (Efraimidis–
+    * Spirakis A-ES): each row gets key = ln(u)/w with u a stable
+    * md5-derived uniform in (0,1], and the k LARGEST keys win — heavier
+    * rows sit nearer 0, so selection probability is proportional to
+    * weight. Plans as TakeOrderedAndProject (per-partition heaps, no
+    * global sort); reproducible across engines and runs because u comes
+    * from md5(id), not rand(). Weights must be positive. */
+  def weighted(df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double")
+    val u = (h + 1.0) / 4294967297.0 // (0, 1]: (2^32 max + 1) / (2^32 + 1)
+    df.withColumn("__wkey", log(u) / col(weightCol))
+      .orderBy(col("__wkey").desc, col(idCol))
+      .limit(k)
+      .drop("__wkey")
+  }
 }

@@ -104,6 +104,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ns.length == 3 && ns == ns.sorted && ns.head == expMin)
   }
 
+  test("unstack pivots the last index level into columns") {
+    val ev = DataFrame.fromParquet(spark, s"$dir/events.parquet",
+      columns = Seq("user_id", "event_type", "event_id"))
+      .groupby(Seq("user_id", "event_type")).count("n")
+      .unstack(Seq("click", "purchase")).fillna(0L)
+    val out = ev.toSpark(includeIndex = true)
+    assert(out.columns.toSeq == Seq("user_id", "click", "purchase"))
+    val direct = spark.read.parquet(s"$dir/events.parquet")
+      .where(org.apache.spark.sql.functions.col("event_type") === "click")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(direct.forall { case (u, n) => got(u) == n })
+  }
+
   test("replace maps listed values, passes others through") {
     val s = Series.fromList(spark, Seq("a", "b", "c"))
       .replace(Seq("a" -> "A", "b" -> "B"))

@@ -401,6 +401,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m(("de", 0L)) == (1L, 100L))
   }
 
+  test("weighted sampling: deterministic, biased toward heavy rows") {
+    val rows = (1L to 1000L).map(i => (i, if (i <= 10) 1000.0 else 1.0))
+    val df = rows.toDF("id", "w")
+    val s1 = Sampling.weighted(df, "id", "w", 50).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.weighted(df, "id", "w", 50).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "same input must give the same sample")
+    // the 10 heavy rows (1000x weight) should essentially all be picked
+    assert((1L to 10L).count(s1.contains) >= 8)
+    val plan = Sampling.weighted(df, "id", "w", 50).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
   test("native dot expression: bit-identical to the HOF fold") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet").limit(200)
     val p = typedlit((0 until 64).map(i => math.sin(i.toDouble)))
