@@ -231,6 +231,26 @@ object SparkEntry {
         .toSpark()
     }),
 
+    // pipeline: changelog → snapshot compaction (upsert): planted update
+    // rows (later tsu, doubled value) must win their keys; µs integer time
+    "q_latest" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), expr("ts DIV 1000").as("tsu"), col("value"))
+      val updates = ev.where(col("event_id") % 10 === 0)
+        .select(col("event_id"), (col("tsu") + 1000L).as("tsu"),
+          (col("value") * 2).as("value"))
+      Dedup.latestByKey(ev.unionAll(updates), Seq("event_id"), Seq("tsu"))
+        .orderBy("event_id")
+    }),
+
+    // pipeline: PII scrub (emails/URLs/long digit runs → placeholders),
+    // regexp chain mirrored verbatim in the oracle
+    "q_scrub" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.scrubPii(col("text")).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
     // extension: unstack — last index level pivots into columns (per-user
     // event-type count matrix); NULL combos filled to 0 to mirror counts
     "q_unstack" -> ((s, dir) => {
@@ -1081,6 +1101,20 @@ object SparkEntry {
         | count(DISTINCT o_orderstatus) AS o_orderstatus,
         | count(DISTINCT o_orderpriority) AS o_orderpriority
         |FROM orders""".stripMargin,
+    "q_latest" ->
+      """WITH base AS (SELECT event_id, epoch_us(ts) AS tsu, value FROM events),
+        |changelog AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT event_id, tsu + 1000, value * 2 FROM base WHERE event_id % 10 = 0),
+        |ranked AS (SELECT event_id, tsu, value,
+        |  row_number() OVER (PARTITION BY event_id
+        |    ORDER BY tsu DESC, value DESC) AS rn FROM changelog)
+        |SELECT event_id, tsu, value FROM ranked WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+    "q_scrub" ->
+      s"""SELECT doc_id, ${TextAnalysis.scrubPiiOracleSqlExpr("text")} AS scrubbed
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_unstack" ->
       """SELECT user_id,
         | count(*) FILTER (event_type = 'click') AS click,

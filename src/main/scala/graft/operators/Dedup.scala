@@ -75,6 +75,24 @@ object Dedup {
         col(s"__best.$scoreCol").as("canonical_score"), col("n_members"))
   }
 
+  /** Upsert compaction: keep the LATEST version of each key — the
+    * changelog→snapshot step of an incremental ingest (CDC replay,
+    * re-crawled documents). ONE struct-max groupBy per key: (version,
+    * tiebreak...) ordering, map-side partial aggregation, no window over
+    * the changelog. `orderCols` must make the choice total (append a
+    * unique id last). */
+  def latestByKey(df: DataFrame, keyCols: Seq[String],
+                  orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "latestByKey needs at least one order column")
+    val payload = df.columns.filterNot(keyCols.contains)
+    val packed = struct((orderCols ++ payload.filterNot(orderCols.contains))
+      .map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max(packed).as("__latest"))
+      .select(keyCols.map(col) ++
+        payload.map(c => col(s"__latest.$c").as(c)): _*)
+  }
+
   /** Exact dedup: canonical (min id) representative + duplicate count per
     * distinct key value. */
   def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =

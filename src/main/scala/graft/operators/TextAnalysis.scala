@@ -104,6 +104,26 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(text, "[\\x00-\\x1f\\x7f]", " "), "\\s+", " "))
 
+  /** PII scrub for training corpora: emails, URLs and long digit runs
+    * replaced with stable placeholder tokens. Pure regexp_replace chain —
+    * per-row, codegen'd, and mirrored verbatim in the oracle (same
+    * patterns, DuckDB needs the 'g' flag for replace-all). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val LongDigitsRe = "[0-9]{7,}"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "[URL]"),
+        EmailRe, "[EMAIL]"),
+      LongDigitsRe, "[NUM]")
+
+  def scrubPiiOracleSqlExpr(t: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($t, " +
+      s"'$UrlRe', '[URL]', 'g'), '$EmailRe', '[EMAIL]', 'g'), " +
+      s"'$LongDigitsRe', '[NUM]', 'g')"
+
   /** Stable document fingerprint: md5 of whitespace-normalized lowercase
     * text. md5 so external engines (the DuckDB oracle) can reproduce it;
     * use [[xxFingerprint]] in shuffles where a cheap 64-bit key wins. */

@@ -401,6 +401,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m(("de", 0L)) == (1L, 100L))
   }
 
+  test("latestByKey keeps the newest version per key") {
+    val changelog = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "x"))
+      .toDF("k", "v", "payload")
+    val got = Dedup.latestByKey(changelog, Seq("k"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got == Map(1L -> ((20L, "b")), 2L -> ((5L, "x"))))
+  }
+
+  test("scrubPii replaces emails, urls and digit runs") {
+    val df = Seq((1L, "mail a.b@x.org or https://ex.com/p?q=1 ref 12345678 ok 123"))
+      .toDF("id", "t")
+    val out = df.select(TextAnalysis.scrubPii(col("t"))).collect()(0).getString(0)
+    assert(out == "mail [EMAIL] or [URL] ref [NUM] ok 123")
+  }
+
   test("weighted sampling: deterministic, biased toward heavy rows") {
     val rows = (1L to 1000L).map(i => (i, if (i <= 10) 1000.0 else 1.0))
     val df = rows.toDF("id", "w")
