@@ -345,6 +345,26 @@ object DataFrame {
                 index: Seq[String] = Nil): DataFrame =
     new DataFrame(SqlFrame.fromSpark(sdf, index, columns))
 
+  /** CSV source (header + schema inference by default — pass an explicit
+    * schema in production: inference is an extra pass over the files). */
+  def fromCsv(spark: SparkSession, path: String,
+              columns: Seq[String] = Nil, index: Seq[String] = Nil,
+              options: Map[String, String] = Map("header" -> "true",
+                "inferSchema" -> "true")): DataFrame =
+    fromSpark(spark.read.options(options).csv(path), columns, index)
+
+  /** JSON-lines source (schema inference unless provided via options). */
+  def fromJson(spark: SparkSession, path: String,
+               columns: Seq[String] = Nil, index: Seq[String] = Nil,
+               options: Map[String, String] = Map.empty): DataFrame =
+    fromSpark(spark.read.options(options).json(path), columns, index)
+
+  /** Registered catalog table / view — the closest analog of the
+    * reference's `from_table` against a live database. */
+  def fromTable(spark: SparkSession, name: String,
+                columns: Seq[String] = Nil, index: Seq[String] = Nil): DataFrame =
+    fromSpark(spark.table(name), columns, index)
+
   /** Local rows — `from_pandas` (alchemy.py:301-311): a local relation. */
   def fromLocal(spark: SparkSession, columns: Seq[String],
                 rows: Seq[Seq[Any]]): DataFrame = {

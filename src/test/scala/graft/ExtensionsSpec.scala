@@ -104,6 +104,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ns.length == 3 && ns == ns.sorted && ns.head == expMin)
   }
 
+  test("csv/json/table sources round-trip the parquet frame") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val d = spark.read.parquet(s"$dir/nation.parquet")
+    d.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    d.write.mode("overwrite").json(s"$tmp/json")
+    val c = DataFrame.fromCsv(spark, s"$tmp/csv", index = Seq("n_nationkey"))
+    assert(c.len == d.count())
+    assert(c.columns.flatten.contains("n_name"))
+    assert(DataFrame.fromJson(spark, s"$tmp/json").len == d.count())
+    d.createOrReplaceTempView("nation_v")
+    assert(DataFrame.fromTable(spark, "nation_v").len == d.count())
+  }
+
   test("unstack pivots the last index level into columns") {
     val ev = DataFrame.fromParquet(spark, s"$dir/events.parquet",
       columns = Seq("user_id", "event_type", "event_id"))
