@@ -231,6 +231,17 @@ object SparkEntry {
         .toSpark()
     }),
 
+    // extension: set_index → loc lookup → reset_index round-trip; the loc
+    // predicate pushes to the scan
+    "q_set_index" -> ((s, dir) => {
+      DataFrame.fromParquet(s, s"$dir/orders.parquet",
+          columns = Seq("o_orderkey", "o_custkey", "o_totalprice"))
+        .setIndex(Seq("o_custkey")).loc(371L)
+        .resetIndex()
+        .toSpark()
+        .orderBy("o_orderkey")
+    }),
+
     // pipeline: changelog → snapshot compaction (upsert): planted update
     // rows (later tsu, doubled value) must win their keys; µs integer time
     "q_latest" -> ((s, dir) => {
@@ -1101,6 +1112,9 @@ object SparkEntry {
         | count(DISTINCT o_orderstatus) AS o_orderstatus,
         | count(DISTINCT o_orderpriority) AS o_orderpriority
         |FROM orders""".stripMargin,
+    "q_set_index" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |WHERE o_custkey = 371 ORDER BY o_orderkey""".stripMargin,
     "q_latest" ->
       """WITH base AS (SELECT event_id, epoch_us(ts) AS tsu, value FROM events),
         |changelog AS (

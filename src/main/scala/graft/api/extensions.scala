@@ -471,12 +471,41 @@ private[graft] trait SetOpsExtensions { this: DataFrame =>
     val (l, r) = align(other); DataFrame.fromSpark(l.except(r))
   }
 
+  /** pandas set_index: promote data columns to index levels (promoted
+    * columns leave the data side, pandas drop=True). A lazy relabel over
+    * the current view — zero jobs, zero shuffles. */
+  def setIndex(cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "set_index needs at least one column")
+    val sdf = toSpark(includeIndex = false)
+    cols.find(c => !sdf.columns.contains(c))
+      .foreach(c => throw new GraftKeyError(s"'$c'"))
+    DataFrame.fromSpark(sdf, index = cols)
+  }
+
+  /** pandas reset_index: demote every index level to a data column and
+    * install a fresh synthetic rowid index. Unnamed levels materialize as
+    * index_0.. (their physical names), like pandas' level_0.. */
+  def resetIndex(): DataFrame =
+    DataFrame.fromSpark(toSpark(includeIndex = true))
+
+  /** pandas .loc scalar row lookup: filter to one index value. An index
+    * equality predicate — pushes to the scan like any filter. */
+  def loc(key: Any): DataFrame =
+    new DataFrame(frame.whereExpr(
+      frame.idxExprs(0) === Semantics.literal(key).col))
+
   /** Sink: write the labeled view as parquet (the reference has no sinks —
     * API_COVERAGE.md:320-332 — but Verify's contract and any real user
-    * need one). */
+    * need one). `partitionBy` hive-partitions the output (the layout a
+    * training pipeline wants for per-lang / per-shard reads: partition
+    * pruning happens at file-listing time). */
   def writeParquet(path: String, includeIndex: Boolean = true,
-                   mode: String = "overwrite"): Unit =
-    toSpark(includeIndex).write.mode(mode).parquet(path)
+                   mode: String = "overwrite",
+                   partitionBy: Seq[String] = Nil): Unit = {
+    val w = toSpark(includeIndex).write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
 }
 
 object Frames {

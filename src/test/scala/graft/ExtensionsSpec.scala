@@ -104,6 +104,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ns.length == 3 && ns == ns.sorted && ns.head == expMin)
   }
 
+  test("setIndex/resetIndex/loc") {
+    val o = DataFrame.fromParquet(spark, s"$dir/orders.parquet",
+      columns = Seq("o_orderkey", "o_totalprice"))
+    val byKey = o.setIndex(Seq("o_orderkey"))
+    assert(byKey.columns.flatten == IndexedSeq("o_totalprice"))
+    val one = byKey.loc(7L).toSpark(includeIndex = true).collect()
+    assert(one.length == 1 && one(0).getLong(0) == 7L)
+    val back = byKey.resetIndex()
+    assert(back.columns.flatten.toSet == Set("o_orderkey", "o_totalprice"))
+    assert(back.len == o.len)
+    intercept[graft.core.GraftKeyError] { o.setIndex(Seq("nope")) }
+  }
+
+  test("partitioned parquet write prunes by partition column") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val d = DataFrame.fromParquet(spark, s"$dir/documents.parquet",
+      columns = Seq("doc_id", "lang", "n_chars"))
+    d.writeParquet(s"$tmp/docs", includeIndex = false,
+      partitionBy = Seq("lang"))
+    val langs = new java.io.File(s"$tmp/docs").listFiles()
+      .map(_.getName).filter(_.startsWith("lang="))
+    assert(langs.length > 1, s"expected hive partitions, got ${langs.toSeq}")
+    val back = spark.read.parquet(s"$tmp/docs")
+      .where(org.apache.spark.sql.functions.col("lang") === "en")
+    assert(back.count() > 0)
+  }
+
   test("csv/json/table sources round-trip the parquet frame") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-src").toString
     val d = spark.read.parquet(s"$dir/nation.parquet")
