@@ -301,11 +301,14 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
-    // extension: Series.replace value mapping (when-chain, pass-through)
+    // extension: Series.replace (pass-through) vs Series.map (unmapped →
+    // NULL) — both codegen'd when-chains over the same fused base
     "q_replace" -> ((s, dir) => {
-      ordersByKey(s, dir)("o_orderstatus")
-        .replace(Seq("O" -> "OPEN", "F" -> "FILLED"))
-        .rename(Some("status"))
+      val o = ordersByKey(s, dir)
+      val st = o("o_orderstatus")
+      o.select(Nil)
+        .withColumn("status", st.replace(Seq("O" -> "OPEN", "F" -> "FILLED")))
+        .withColumn("code", st.map(Seq("O" -> 1.0, "F" -> 2.0)))
         .toSpark(includeIndex = true).orderBy("o_orderkey")
     }),
 
@@ -1156,7 +1159,9 @@ object SparkEntry {
     "q_replace" ->
       """SELECT o_orderkey,
         | CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FILLED'
-        |   ELSE o_orderstatus END AS status
+        |   ELSE o_orderstatus END AS status,
+        | CASE o_orderstatus WHEN 'O' THEN CAST(1.0 AS DOUBLE)
+        |   WHEN 'F' THEN CAST(2.0 AS DOUBLE) END AS code
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_pivot_sum" ->
       """SELECT l_returnflag,

@@ -246,6 +246,13 @@ private[graft] trait DataFrameExtensions { this: DataFrame =>
       others :+ posexplode(scol(column)).as(Seq(posName, outName)): _*))
   }
 
+  /** pandas drop(columns=...): keep everything except `cols`. */
+  def drop(cols: Seq[String]): DataFrame = {
+    cols.find(c => !frame.colLabels.contains(Some(c)))
+      .foreach(c => throw new GraftKeyError(s"'$c'"))
+    select(frame.colLabels.flatten.filterNot(cols.contains))
+  }
+
   /** pandas unstack for a two-level-indexed single-column frame: pivot
     * the LAST index level into columns. Explicit `values` keep the plan a
     * single aggregate pass (no distinct pre-scan); combinations absent
@@ -387,6 +394,40 @@ private[graft] trait SeriesExtensions { this: Series =>
         case (acc, (k, out)) =>
           acc.when(v === Semantics.literal(k).col, Semantics.literal(out).col)
       }.otherwise(v)))
+  }
+
+  /** pandas Series.map with a mapping: like [[replace]] but UNMAPPED
+    * values become NULL (pandas maps them to NaN), matching dict.get. */
+  def map(mapping: Seq[(Any, Any)]): Series = {
+    require(mapping.nonEmpty, "map needs a non-empty mapping")
+    new Series(frame.mapCols((v, _, _) =>
+      mapping.tail.foldLeft(
+        when(v === Semantics.literal(mapping.head._1).col,
+          Semantics.literal(mapping.head._2).col)) {
+        case (acc, (k, out)) =>
+          acc.when(v === Semantics.literal(k).col, Semantics.literal(out).col)
+      }))
+  }
+
+  /** pandas any()/all() over a boolean Series (NULLs ignored, empty →
+    * false/true like pandas' default skipna). */
+  def any(): Boolean =
+    aggScalar(coalesce(org.apache.spark.sql.functions
+      .max(frame.colAt(0).cast(BooleanType)), lit(false)))
+      .asInstanceOf[Boolean]
+  def all(): Boolean =
+    aggScalar(coalesce(org.apache.spark.sql.functions
+      .min(frame.colAt(0).cast(BooleanType)), lit(true)))
+      .asInstanceOf[Boolean]
+
+  /** pandas mode(), first value only: most frequent value, smallest value
+    * on ties (deterministic). One groupBy + TakeOrderedAndProject. */
+  def mode(): Any = {
+    val rows = frame.df.groupBy(frame.dataExprs(0).as("__v"))
+      .agg(count(lit(1)).as("__n"))
+      .orderBy(scol("__n").desc, scol("__v").asc)
+      .limit(1).collect()
+    if (rows.isEmpty) null else rows(0).get(0)
   }
 
   /** pandas cut: fixed-edge binning into right-closed intervals (lo, hi];

@@ -165,6 +165,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(s.values.toSet == Set("A", "B", "c"))
   }
 
+  test("map sends unmapped values to null; any/all/mode scalars") {
+    val s = Series.fromList(spark, Seq("a", "b", "c"))
+      .map(Seq("a" -> "A", "b" -> "B"))
+    assert(s.values.toSet == Set("A", "B", null))
+    val b = Series.fromList(spark, Seq(true, false, true))
+    assert(b.any() && !b.all())
+    assert(Series.fromList(spark, Seq.empty[Boolean]).all())
+    assert(!Series.fromList(spark, Seq.empty[Boolean]).any())
+    assert(Series.fromList(spark, Seq(3, 1, 1, 2, 3)).mode() == 1)
+  }
+
+  test("drop removes listed columns, errors on unknown") {
+    val d = DataFrame.fromLocal(spark, Seq("a", "b", "c"),
+      Seq(Seq[Any](1.0, 2.0, 3.0)))
+    assert(d.drop(Seq("b")).columns.flatten == IndexedSeq("a", "c"))
+    intercept[graft.core.GraftKeyError] { d.drop(Seq("zz")) }
+  }
+
   test("pivotAgg sums per pivot value in one pass") {
     val d = DataFrame.fromLocal(spark, Seq("k", "p", "v"),
       Seq(Seq[Any]("x", "F", 1.0), Seq[Any]("x", "O", 2.0), Seq[Any]("x", "F", 3.0)))
