@@ -513,6 +513,27 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // extension: linear interpolation of planted gaps, partitioned by
+    // user — same one-shuffle window family as q_window_fill
+    "q_interp" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .withColumn("v", when(col("event_id") % 7 === 0, lit(null))
+          .otherwise(col("value")))
+      WindowOps.interpolate(ev, Seq("user_id"), Seq("ts", "event_id"), "v", "vi")
+        .select(col("event_id"), round(col("vi"), 6).as("vi"))
+        .orderBy("event_id")
+    }),
+
+    // extension: one-hot encoding with explicit categories — pure
+    // projection, no distinct pre-scan
+    "q_dummies" -> ((s, dir) => {
+      val o = ordersByKey(s, dir)
+      o.select(Seq("o_orderstatus"))
+        .getDummies("o_orderstatus", Seq("O", "F", "P"), Some("os"))
+        .toSpark(includeIndex = true)
+        .orderBy("o_orderkey")
+    }),
+
     // extension: exact quantiles — Spark `percentile` (sort-based exact,
     // NOT approx_percentile), all requested quantiles in ONE aggregate pass
     "q_quantile" -> ((s, dir) => {
@@ -1333,6 +1354,33 @@ object SparkEntry {
         |   THEN value / lag(value) OVER w - 1 END AS pct
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+    "q_interp" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v FROM events),
+        |p AS (SELECT event_id, user_id, v,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+        |  FROM e),
+        |f AS (SELECT event_id, v, pos,
+        |  last_value(v IGNORE NULLS) OVER wp AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER wp AS pp,
+        |  first_value(v IGNORE NULLS) OVER wf AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER wf AS np
+        |  FROM p WINDOW
+        |    wp AS (PARTITION BY user_id ORDER BY pos ROWS UNBOUNDED PRECEDING),
+        |    wf AS (PARTITION BY user_id ORDER BY pos
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, round(CASE
+        |  WHEN v IS NOT NULL THEN v
+        |  WHEN pv IS NULL THEN NULL
+        |  WHEN nv IS NULL THEN pv
+        |  ELSE pv + (nv - pv) * (pos - pp) / (np - pp) END, 6) AS vi
+        |FROM f ORDER BY event_id""".stripMargin,
+    "q_dummies" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS os_O,
+        | CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS os_F,
+        | CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS os_P
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_quantile" ->
       """SELECT CAST(q AS DOUBLE) AS q, value FROM (
         |  SELECT 0.10 AS q, quantile_cont(o_totalprice, 0.10) AS value FROM orders

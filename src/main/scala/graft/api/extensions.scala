@@ -535,6 +535,26 @@ private[graft] trait SetOpsExtensions { this: DataFrame =>
     new DataFrame(frame.whereExpr(
       frame.idxExprs(0) === Semantics.literal(key).col))
 
+  /** pandas get_dummies with explicit categories: one-hot a string column
+    * into 0/1 int columns named `{prefix}_{category}`, dropping the source
+    * column. Explicit categories keep this a pure projection (one streamed
+    * pass, no distinct pre-scan, schema known at plan time — the form that
+    * scales); pass the label set a pandas Categorical would carry. NULLs
+    * get all-zero rows (pandas dummy_na=False). */
+  def getDummies(column: String, categories: Seq[String],
+                 prefix: Option[String] = None): DataFrame = {
+    if (!frame.colLabels.contains(Some(column)))
+      throw new GraftKeyError(s"'$column'")
+    require(categories.nonEmpty, "get_dummies needs explicit categories")
+    val p = prefix.getOrElse(column)
+    val sdf = toSpark(includeIndex = true)
+    val idxNames = sdf.columns.take(frame.nIdx).toSeq
+    val dummies = categories.map(c =>
+      when(scol(column) === lit(c), 1).otherwise(0).as(s"${p}_$c"))
+    val keep = sdf.columns.filterNot(_ == column).map(scol).toSeq
+    DataFrame.fromSpark(sdf.select(keep ++ dummies: _*), index = idxNames)
+  }
+
   /** Sink: write the labeled view as parquet (the reference has no sinks —
     * API_COVERAGE.md:320-332 — but Verify's contract and any real user
     * need one). `partitionBy` hive-partitions the output (the layout a

@@ -93,6 +93,33 @@ object WindowOps {
     df.withColumn(outCol, first(col(valueCol), ignoreNulls = true).over(
       spec(partitionBy, orderBy).rowsBetween(0, Window.unboundedFollowing)))
 
+  /** pandas interpolate(method="linear", limit_direction="forward"):
+    * linearly blend between the surrounding non-null values by row
+    * position; leading nulls stay null, trailing nulls carry the last
+    * value (pandas' forward default). Four window functions over ONE
+    * partition shuffle (same key + order, two frames); positions come
+    * from a first-pass row_number so the blend is pure arithmetic. */
+  def interpolate(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
+                  valueCol: String, outCol: String = "interp"): DataFrame = {
+    val withPos = df.withColumn("__pos",
+      row_number().over(spec(partitionBy, orderBy)))
+    val w = spec(partitionBy, Seq("__pos"))
+    val wp = w.rowsBetween(Window.unboundedPreceding, 0)
+    val wf = w.rowsBetween(0, Window.unboundedFollowing)
+    val v = col(valueCol); val pos = col("__pos")
+    val markedPos = when(v.isNotNull, pos)
+    val prevV = last(v, ignoreNulls = true).over(wp)
+    val prevP = last(markedPos, ignoreNulls = true).over(wp)
+    val nextV = first(v, ignoreNulls = true).over(wf)
+    val nextP = first(markedPos, ignoreNulls = true).over(wf)
+    withPos.withColumn(outCol,
+      when(v.isNotNull, v)
+        .when(prevV.isNull, lit(null))
+        .when(nextV.isNull, prevV)
+        .otherwise(prevV + (nextV - prevV) * (pos - prevP) / (nextP - prevP)))
+      .drop("__pos")
+  }
+
   /** Batch sessionization — the batch twin of the streaming
     * flatMapGroupsWithState sessionizer: a new-session flag (gap from the
     * previous event exceeds `gap`, in the ts column's own units) and a

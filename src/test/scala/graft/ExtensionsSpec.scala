@@ -292,6 +292,17 @@ class ExtensionsSpec extends AnyFunSuite {
     intercept[graft.core.GraftKeyError](d.corr("x", "nope"))
   }
 
+  test("get_dummies: one-hot with explicit categories, source col dropped") {
+    val d = DataFrame.fromLocal(spark, Seq("st", "x"),
+      Seq(Seq[Any]("O", 1.0), Seq[Any]("F", 2.0), Seq[Any](null, 3.0)))
+    val out = d.getDummies("st", Seq("O", "F"), Some("s"))
+    assert(out.columns.map(_.orNull) == Seq("x", "s_O", "s_F"))
+    val rows = out.toSpark(includeIndex = false).orderBy("x").collect()
+      .map(r => (r.getInt(1), r.getInt(2))).toSeq
+    assert(rows == Seq((1, 0), (0, 1), (0, 0))) // null row → all zeros
+    intercept[graft.core.GraftKeyError](d.getDummies("nope", Seq("a")))
+  }
+
   test("fillna / dropna") {
     val d = DataFrame.fromLocal(spark, Seq("x"), Seq(Seq(1.0), Seq(null), Seq(3.0)))
     assert(d.dropna().len == 2)

@@ -516,4 +516,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(vals(WindowOps.pctChange(base, Seq("k"), Seq("t"), "v", "p"), "p")
       == Seq(None, Some(-0.5), Some(3.0)))
   }
+
+  test("interpolate: linear gap fill, leading nulls kept, trailing carried") {
+    val df = Seq((1, 1, Option.empty[Double]), (1, 2, Option(2.0)),
+      (1, 3, Option.empty[Double]), (1, 4, Option.empty[Double]),
+      (1, 5, Option(8.0)), (1, 6, Option.empty[Double]))
+      .toDF("k", "t", "v")
+    val out = WindowOps.interpolate(df, Seq("k"), Seq("t"), "v", "vi")
+      .orderBy("t").collect().map(r =>
+        if (r.isNullAt(r.fieldIndex("vi"))) None
+        else Some(r.getDouble(r.fieldIndex("vi")))).toSeq
+    // t=1 leading → null; t=3,4 blend 2.0→8.0 at 1/3, 2/3; t=6 trailing → 8.0
+    assert(out == Seq(None, Some(2.0), Some(4.0), Some(6.0), Some(8.0), Some(8.0)))
+    assert(!out.headOption.flatten.isDefined)
+  }
 }
