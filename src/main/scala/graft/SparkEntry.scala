@@ -736,6 +736,30 @@ object SparkEntry {
         .orderBy("id_l", "id_r")
     }),
 
+    // benchmark decontamination: corpus docs sharing >= 5 distinct
+    // 3-grams with an eval probe set (probes broadcast — corpus side
+    // never shuffles). Planted verbatim copies of every probe guarantee
+    // non-empty, construction-checkable contamination.
+    "q_contam" -> ((s, dir) => {
+      val base = table(s, dir, "documents").select("doc_id", "text")
+      val probes = base.where(col("doc_id") < 40)
+      val corpus = base.where(col("doc_id") >= 40)
+        .union(probes.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.contaminationPairs(corpus, "doc_id", "text",
+        probes, "doc_id", "text", n = 3, minShared = 5L)
+        .orderBy("doc_id", "probe_id")
+    }),
+
+    // Gopher-style repetition filters: duplicate / top word-2-gram
+    // occupancy per doc (two hash aggs, no joins)
+    "q_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(table(s, dir, "documents"), "doc_id", "text", 2)
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          round(col("dup_frac"), 6).as("dup_frac"),
+          round(col("top_frac"), 6).as("top_frac"))
+        .orderBy("doc_id")
+    }),
+
     // quality scoring (C4/Gopher-style cheap filters; oracle mirrors the
     // when-chains in SQL)
     "q_quality" -> ((s, dir) => {
@@ -1498,6 +1522,31 @@ object SparkEntry {
     "q_quality" ->
       s"""SELECT doc_id, round(${graft.operators.TextAnalysis.qualityOracleSqlExpr("text")}, 6) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_contam" -> {
+      val sh = graft.operators.Dedup.shinglesOracleSqlExpr("text", 3)
+      s"""WITH probes AS (SELECT doc_id AS probe_id, $sh AS s
+         |  FROM documents WHERE doc_id < 40),
+         |corpus AS (SELECT doc_id, $sh AS s FROM (
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 40
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 40)),
+         |d AS (SELECT doc_id, unnest(s) AS gd FROM corpus),
+         |p AS (SELECT probe_id, unnest(s) AS gp FROM probes)
+         |SELECT doc_id, probe_id, count(DISTINCT gd) AS n_shared
+         |FROM d JOIN p ON gd = gp
+         |GROUP BY doc_id, probe_id HAVING count(DISTINCT gd) >= 5
+         |ORDER BY doc_id, probe_id""".stripMargin
+    },
+    "q_repetition" -> {
+      val sh = graft.operators.Dedup.shinglesAllOracleSqlExpr("text", 2)
+      s"""WITH g AS (SELECT doc_id, unnest($sh) AS gram FROM documents),
+         |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+         | count(*) AS n_distinct,
+         | round(1.0 - count(*) / sum(cnt), 6) AS dup_frac,
+         | round(max(cnt) / sum(cnt), 6) AS top_frac
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "q_jaccard_pairs" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.05),
     "q_minhash_pairs" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.5),
     "q_near_dup" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.8),

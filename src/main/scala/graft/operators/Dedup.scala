@@ -107,24 +107,32 @@ object Dedup {
 
   /** Word n-gram shingles (distinct). Short texts (< n tokens) yield the
     * whole text as one shingle so they still participate. */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(shinglesAll(text, n))
+
+  /** Word n-gram shingles WITH multiplicity (repetition statistics need
+    * the raw occurrence stream, not the set). */
+  def shinglesAll(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(text)
     val joined = concat_ws(" ", toks)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-        .otherwise(array(joined)))
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array(joined))
   }
 
   /** [[shingles]] rendered as DuckDB SQL over a text column reference:
     * identical tokenization (\s+ split, empties dropped), identical
     * n-gram windows, identical short-text fallback, distinct. */
-  def shinglesOracleSqlExpr(textRef: String, n: Int): String = {
+  def shinglesOracleSqlExpr(textRef: String, n: Int): String =
+    s"list_distinct(${shinglesAllOracleSqlExpr(textRef, n)})"
+
+  /** [[shinglesAll]] (multiplicity-preserving) as DuckDB SQL. */
+  def shinglesAllOracleSqlExpr(textRef: String, n: Int): String = {
     val toks = s"list_filter(string_split_regex(trim($textRef), '\\s+'), w -> len(w) > 0)"
     s"(CASE WHEN len($toks) >= $n THEN " +
-      s"list_distinct(list_transform(generate_series(1, len($toks) - ${n - 1}), " +
-      s"i -> array_to_string(list_slice($toks, i, i + ${n - 1}), ' '))) " +
+      s"list_transform(generate_series(1, len($toks) - ${n - 1}), " +
+      s"i -> array_to_string(list_slice($toks, i, i + ${n - 1}), ' ')) " +
       s"ELSE [array_to_string($toks, ' ')] END)"
   }
 
@@ -468,5 +476,30 @@ object Dedup {
       .select(col("id_l"), col("id_r"),
         Similarity.cosine(col("v_l"), col("v_r")).as("cosine"))
       .where(col("cosine") >= threshold)
+  }
+
+  /** Benchmark decontamination: flag corpus docs sharing at least
+    * `minShared` distinct word n-grams with any probe (eval-set) doc.
+    *
+    * Shape: explode distinct shingles on both sides, equi-join on the
+    * shingle, count distinct shared shingles per (doc, probe). The probe
+    * side is an eval set — small by nature — so it broadcasts: the corpus
+    * side streams map-side with NO shuffle of corpus shingles, which is
+    * what makes this viable against 100 TB of documents. Only (id,
+    * shingle) flows through the Generate (pass-through re-eval rule). */
+  def contaminationPairs(docs: DataFrame, idCol: String, textCol: String,
+                         probes: DataFrame, probeIdCol: String,
+                         probeTextCol: String, n: Int = 3,
+                         minShared: Long = 2L,
+                         broadcastProbes: Boolean = true): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), n)).as("__s"))
+    val p0 = probes.select(col(probeIdCol).as("probe_id"),
+      explode(shingles(col(probeTextCol), n)).as("__s"))
+    val p = if (broadcastProbes) broadcast(p0) else p0
+    d.join(p, "__s")
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(countDistinct(col("__s")).as("n_shared"))
+      .where(col("n_shared") >= minShared)
   }
 }

@@ -134,6 +134,28 @@ object TextAnalysis {
   def xxFingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Gopher-style repetition statistics per document over word n-grams:
+    * total/distinct n-gram counts, the fraction of n-gram occurrences
+    * that are repeats (1 - distinct/total), and the share of occurrences
+    * taken by the single most frequent n-gram. High dup_frac / top_frac
+    * → boilerplate or degenerate repetition → filter before training.
+    *
+    * Shape: explode the multiplicity-preserving shingle stream, count per
+    * (doc, gram), re-aggregate per doc — two hash aggregations with
+    * map-side partials, no joins, no windows. */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.shinglesAll(col(textCol), n)).as("__g"))
+    grams.groupBy(col("doc_id"), col("__g"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__cnt")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        (lit(1.0) - count(lit(1)) / sum(col("__cnt"))).as("dup_frac"),
+        (max(col("__cnt")) / sum(col("__cnt"))).as("top_frac"))
+  }
+
   /** n-gram language ID heuristic: CJK character share decides zh;
     * otherwise argmax of per-language stopword hits with a fixed
     * preference order (en > de > fr > es) on ties. Deterministic and

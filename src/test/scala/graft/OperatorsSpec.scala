@@ -517,6 +517,28 @@ class OperatorsSpec extends AnyFunSuite {
       == Seq(None, Some(-0.5), Some(3.0)))
   }
 
+  test("contaminationPairs: shared-shingle counts vs probe set") {
+    val corpus = Seq((1L, "x y z w q"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val probes = Seq((10L, "x y z w")).toDF("doc_id", "text")
+    val out = Dedup.contaminationPairs(corpus, "doc_id", "text",
+      probes, "doc_id", "text", n = 3, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1 shares "x y z" and "y z w"; doc 2 shares nothing
+    assert(out == Seq((1L, 10L, 2L)))
+  }
+
+  test("repetitionStats: dup and top n-gram fractions") {
+    val docs = Seq((1L, "a b a b a"), (2L, "p q r s")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+    // doc 1: grams [a b, b a, a b, b a] → 4 total, 2 distinct
+    assert(out(0).getLong(1) == 4L && out(0).getLong(2) == 2L)
+    assert(math.abs(out(0).getDouble(3) - 0.5) < 1e-12)
+    assert(math.abs(out(0).getDouble(4) - 0.5) < 1e-12)
+    // doc 2: all distinct → dup_frac 0
+    assert(out(1).getDouble(3) == 0.0)
+  }
+
   test("interpolate: linear gap fill, leading nulls kept, trailing carried") {
     val df = Seq((1, 1, Option.empty[Double]), (1, 2, Option(2.0)),
       (1, 3, Option.empty[Double]), (1, 4, Option.empty[Double]),
