@@ -604,6 +604,26 @@ object SparkEntry {
         .orderBy("fp")
     }),
 
+    // k-means assign step: nearest of 8 centroids per embedding
+    // (broadcast centroids, map-side argmax fold)
+    "q_kmeans_assign" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val cents = emb.where(col("vec_id") < 8)
+      Similarity.assignCentroids(emb, "vec_id", "embedding",
+        cents, "vec_id", "embedding")
+        .select(col("vec_id"), col("centroid_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("vec_id")
+    }),
+
+    // deterministic hash-based train/val/test split — pure projection,
+    // membership recomputable from the id alone
+    "q_split" -> ((s, dir) => {
+      Sampling.splitAssign(table(s, dir, "orders").select("o_orderkey"),
+        "o_orderkey", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("o_orderkey")
+    }),
+
     // brute-force cosine top-k similarity (broadcast queries, window top-k)
     "q_cosine_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -1445,6 +1465,28 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         | min(doc_id) AS canonical_id, count(*) AS n_dupes
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q_kmeans_assign" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+        |           FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.centroid_id,
+        |    list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings e, c)
+        |SELECT vec_id, arg_max(centroid_id, cos) AS centroid_id,
+        | round(max(cos), 6) AS cosine
+        |FROM scored GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q_split" ->
+      """SELECT o_orderkey,
+        |CASE
+        | WHEN ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT
+        |      / 4294967296.0 < CAST(0.8 AS DOUBLE) THEN 'train'
+        | WHEN ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT
+        |      / 4294967296.0 < CAST(0.9 AS DOUBLE) THEN 'val'
+        | ELSE 'test' END AS split
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |scored AS (

@@ -39,6 +39,29 @@ object Sampling {
     * weight. Plans as TakeOrderedAndProject (per-partition heaps, no
     * global sort); reproducible across engines and runs because u comes
     * from md5(id), not rand(). Weights must be positive. */
+  /** Deterministic train/val/test split assignment: each row's id hashes
+    * to a stable uniform in [0, 1) (md5-derived — reproducible across
+    * engines, runs and cluster sizes, unlike rand()), then a cumulative-
+    * fraction when-chain labels it. Pure projection: no shuffle, no state,
+    * no sampling pass — the split of 100 TB costs one map over the data,
+    * and membership is recomputable from the id alone. */
+  def splitAssign(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)],
+                  outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double")
+    val u = h / 4294967296.0 // [0, 1): 32-bit prefix / 2^32
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val chain = splits.init.zip(cum).foldLeft(Option.empty[Column]) {
+      case (acc, ((label, _), c)) =>
+        Some(acc.fold(when(u < c, label))(_.when(u < c, label)))
+    }
+    df.withColumn(outCol,
+      chain.fold(lit(splits.last._1))(_.otherwise(splits.last._1)))
+  }
+
   def weighted(df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
     val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("double")

@@ -149,6 +149,25 @@ object Similarity {
     finishTopK(scored, k)
   }
 
+  /** k-means assignment step: nearest centroid (by cosine) per vector.
+    * Centroids broadcast (k is small by definition), the corpus streams
+    * map-side through a broadcast nested-loop join, and the per-vector
+    * argmax folds in a partial aggregation before the one n-row shuffle —
+    * the Lloyd's-iteration building block at 100 TB ([[centroids]] is the
+    * matching update step). Output: (vec_id, centroid_id, cosine). */
+  def assignCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                      centroids: DataFrame, cidCol: String,
+                      cvecCol: String): DataFrame = {
+    val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+    val c = centroids.select(col(cidCol).as("__cid"), col(cvecCol).as("__cv"))
+    v.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("__cid"),
+        cosine(col("__v"), col("__cv")).as("__cos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("__cid"), col("__cos")).as("centroid_id"),
+        max(col("__cos")).as("cosine"))
+  }
+
   /** Approximate top-k via LSH bucketing with MULTI-PROBE: the query side
     * also probes every bucket within hamming distance `probeBits` of its
     * own bucket (near misses land in sign-adjacent buckets, so probing

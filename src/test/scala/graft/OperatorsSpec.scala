@@ -517,6 +517,37 @@ class OperatorsSpec extends AnyFunSuite {
       == Seq(None, Some(-0.5), Some(3.0)))
   }
 
+  test("splitAssign: deterministic, exhaustive, roughly proportional") {
+    val df = spark.range(2000).toDF("id")
+    val out = Sampling.splitAssign(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L)
+    assert(counts("train") > 1500 && counts("train") < 1700)
+    assert(counts("val") > 120 && counts("val") < 280)
+    // re-evaluation is identical (hash-based, not rand())
+    val again = Sampling.splitAssign(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(out.union(again).distinct().count() == 2000L)
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(df, "id", Seq("a" -> 0.5)))
+  }
+
+  test("assignCentroids: centroid vectors assign to themselves") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = emb.where(col("vec_id") < 4)
+    val out = Similarity.assignCentroids(emb, "vec_id", "embedding",
+      cents, "vec_id", "embedding")
+    val self = out.where(col("vec_id") < 4).collect()
+    assert(self.length == 4)
+    self.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1)) // nearest centroid is itself
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    }
+    assert(out.count() == emb.count())
+  }
+
   test("contaminationPairs: shared-shingle counts vs probe set") {
     val corpus = Seq((1L, "x y z w q"), (2L, "a b c d e")).toDF("doc_id", "text")
     val probes = Seq((10L, "x y z w")).toDF("doc_id", "text")
