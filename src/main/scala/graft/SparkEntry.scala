@@ -163,6 +163,45 @@ object SparkEntry {
     // extension: groupBy/agg (TPC-H Q1 shape); double sums go through
     // DECIMAL(18,4) so they are exact and aggregation-order-independent,
     // then back to DOUBLE for hashing
+    // ROLLUP: hierarchical subtotals + grand total in ONE aggregate pass
+    // (Expand, same shuffle as plain groupBy); decimal sums engine-exact
+    "q_rollup" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val typed = li.select(Seq("l_returnflag", "l_linestatus"))
+        .withColumn("qty_d", li("l_quantity").astype(DecimalType(18, 4)))
+      typed.groupby(Seq("l_returnflag", "l_linestatus"))
+        .rollupAgg(("qty_d", "sum", "sum_qty"), ("qty_d", "count", "cnt"))
+        .toSpark(includeIndex = false)
+        .selectExpr("l_returnflag", "l_linestatus",
+          "CAST(sum_qty AS DOUBLE) AS sum_qty", "cnt")
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // exact per-group quantiles (percentile inside groupBy — one pass)
+    "q_group_quantile" -> ((s, dir) => {
+      val o = DataFrame.fromParquet(s, s"$dir/orders.parquet")
+      o.groupby(Seq("o_orderpriority"))
+        .agg(("o_totalprice", "p25", "q25"), ("o_totalprice", "p50", "q50"),
+          ("o_totalprice", "p90", "q90"))
+        .toSpark(includeIndex = true)
+        .orderBy("o_orderpriority")
+    }),
+
+    // semi/anti joins: filter orders by (non-)existence of a matching
+    // part key — no right columns materialize, no row duplication
+    "q_merge_semi" -> ((s, dir) => {
+      val o = DataFrame.fromParquet(s, s"$dir/orders.parquet",
+        columns = Seq("o_orderkey", "o_totalprice"))
+      val p = DataFrame.fromParquet(s, s"$dir/part.parquet",
+        columns = Seq("p_partkey"))
+        .renameColumns(Map("p_partkey" -> "o_orderkey"))
+      val hit = o.merge(p, Seq("o_orderkey"), how = "semi")
+        .toSpark(includeIndex = false).withColumn("side", lit("in_part"))
+      val miss = o.merge(p, Seq("o_orderkey"), how = "anti")
+        .toSpark(includeIndex = false).withColumn("side", lit("no_part"))
+      hit.unionAll(miss).orderBy("o_orderkey")
+    }),
+
     "q_groupby_agg" -> ((s, dir) => {
       val li = DataFrame.fromParquet(s, s"$dir/lineitem.parquet")
       val typed = li.select(Seq("l_returnflag", "l_linestatus"))
@@ -1144,6 +1183,26 @@ object SparkEntry {
     "q_series_prefix" ->
       """SELECT 'k_' || CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | count(l_quantity) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_group_quantile" ->
+      """SELECT o_orderpriority,
+        | quantile_cont(o_totalprice, 0.25) AS q25,
+        | quantile_cont(o_totalprice, 0.50) AS q50,
+        | quantile_cont(o_totalprice, 0.90) AS q90
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_merge_semi" ->
+      """SELECT o_orderkey, o_totalprice, 'in_part' AS side FROM orders
+        |WHERE o_orderkey IN (SELECT p_partkey FROM part)
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, 'no_part' FROM orders
+        |WHERE o_orderkey NOT IN (SELECT p_partkey FROM part)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -32,6 +32,29 @@ final class GroupBy private[graft] (df: DataFrame, keys: Seq[String]) {
     DataFrame.fromSpark(out, index = keys)
   }
 
+  /** ROLLUP aggregation: hierarchical subtotals (k, k-1, ..., grand
+    * total), NULL marking the rolled-up levels — one Expand + one
+    * aggregate pass, same shuffle as a plain groupBy. Keys stay data
+    * columns (subtotal rows have NULL keys; a NULL index row would be
+    * unaddressable). */
+  def rollupAgg(specs: (String, String, String)*): DataFrame =
+    grouping(specs, (s, ks) => s.rollup(ks: _*))
+
+  /** CUBE aggregation: subtotals for EVERY key subset (2^k groupings in
+    * one pass). */
+  def cubeAgg(specs: (String, String, String)*): DataFrame =
+    grouping(specs, (s, ks) => s.cube(ks: _*))
+
+  private def grouping(specs: Seq[(String, String, String)],
+                       g: (SDF, Seq[Column]) => org.apache.spark.sql.RelationalGroupedDataset): DataFrame = {
+    val sdf = df.toSpark(includeIndex = false)
+    val aggCols = specs.map { case (c, fn, alias) =>
+      GroupBy.exprFor(fn, c).as(alias)
+    }
+    DataFrame.fromSpark(
+      g(sdf, keys.map(col)).agg(aggCols.head, aggCols.tail: _*))
+  }
+
   def count(alias: String = "count"): DataFrame = {
     val sdf = df.toSpark(includeIndex = false)
     DataFrame.fromSpark(
@@ -106,10 +129,14 @@ object GroupBy {
     case "stddev" => stddev(c)
     case "variance" => variance(c)
     case "median" => median(c)
+    case PQuantile(q) => // "p25" / "p50" / "p99": exact grouped percentile
+      percentile(c, lit(q.toInt / 100.0))
     case other => throw new GraftValueError(s"Unknown aggregation: $other")
   }
 
   private[graft] def exprFor(fn: String, c: String): Column = exprForCol(fn, scol(c))
+
+  private val PQuantile = "p(\\d{1,2})".r
 }
 
 private[graft] trait DataFrameExtensions { this: DataFrame =>

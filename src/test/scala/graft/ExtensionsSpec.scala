@@ -292,6 +292,26 @@ class ExtensionsSpec extends AnyFunSuite {
     intercept[graft.core.GraftKeyError](d.corr("x", "nope"))
   }
 
+  test("rollupAgg/cubeAgg: subtotal rows with NULL keys; pNN percentiles") {
+    val d = DataFrame.fromLocal(spark, Seq("k", "g", "v"),
+      Seq(Seq[Any]("a", "x", 1.0), Seq[Any]("a", "y", 3.0), Seq[Any]("b", "x", 5.0)))
+    val r = d.groupby(Seq("k", "g")).rollupAgg(("v", "sum", "s"))
+      .toSpark(includeIndex = false).collect()
+    assert(r.length == 3 + 2 + 1) // leaves + per-k subtotals + grand total
+    val grand = r.filter(x => x.isNullAt(0) && x.isNullAt(1))
+    assert(grand.length == 1 && grand.head.getDouble(2) == 9.0)
+    val c = d.groupby(Seq("k", "g")).cubeAgg(("v", "sum", "s"))
+      .toSpark(includeIndex = false).collect()
+    assert(c.length == 3 + 2 + 2 + 1) // + per-g subtotals
+    // grouped exact percentile via pNN spec
+    val q = d.groupby(Seq("k")).agg(("v", "p50", "med"))
+      .toSpark(includeIndex = true).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(q == Map("a" -> 2.0, "b" -> 5.0))
+    intercept[graft.core.GraftValueError](
+      d.groupby(Seq("k")).agg(("v", "p999", "x")))
+  }
+
   test("get_dummies: one-hot with explicit categories, source col dropped") {
     val d = DataFrame.fromLocal(spark, Seq("st", "x"),
       Seq(Seq[Any]("O", 1.0), Seq[Any]("F", 2.0), Seq[Any](null, 3.0)))
