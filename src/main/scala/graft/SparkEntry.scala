@@ -663,6 +663,17 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // one full Lloyd's k-means iteration: assign + quantized-exact mean
+    // update, two shuffles, no assignment-back join
+    "q_kmeans_iter" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.kmeansIterate(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 8), "vec_id", "embedding")
+        .select(col("centroid_id"), col("pos"),
+          round(col("mean"), 9).as("mean"))
+        .orderBy("centroid_id", "pos")
+    }),
+
     // brute-force cosine top-k similarity (broadcast queries, window top-k)
     "q_cosine_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -1524,6 +1535,24 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         | min(doc_id) AS canonical_id, count(*) AS n_dupes
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q_kmeans_iter" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv
+        |           FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings e, c),
+        |a AS (SELECT vec_id, arg_max(cid, cos) AS centroid_id,
+        |      any_value(embedding) AS embedding
+        |      FROM scored GROUP BY vec_id)
+        |SELECT centroid_id, i AS pos,
+        | round(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+        |   / (count(*) * 1e9), 9) AS mean
+        |FROM a, generate_series(1, 64) t(i)
+        |GROUP BY centroid_id, i ORDER BY centroid_id, pos""".stripMargin,
     "q_kmeans_assign" ->
       """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
         |           FROM embeddings WHERE vec_id < 8),

@@ -168,6 +168,28 @@ object Similarity {
         max(col("__cos")).as("cosine"))
   }
 
+  /** One full Lloyd's k-means iteration: assign every vector to its
+    * nearest centroid (cosine), then recompute per-cluster quantized-exact
+    * means ([[centroids]]). The vector rides THROUGH the argmax
+    * aggregation (all k scored copies of a row are co-partitioned, so
+    * map-side partials collapse them before the one n-row shuffle) — no
+    * assignment-back join, two shuffles total regardless of corpus size.
+    * Output: (centroid_id, pos, mean) — feed back as the next iteration's
+    * centroid table after a collect-free pivot or as-is to a driver loop. */
+  def kmeansIterate(vectors: DataFrame, idCol: String, vecCol: String,
+                    cents: DataFrame, cidCol: String,
+                    cvecCol: String): DataFrame = {
+    val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("__vec"))
+    val c = cents.select(col(cidCol).as("__cid"), col(cvecCol).as("__cv"))
+    val assigned = v.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("__vec"), col("__cid"),
+        cosine(col("__vec"), col("__cv")).as("__cos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("__cid"), col("__cos")).as("centroid_id"),
+        first(col("__vec")).as("__vec"))
+    centroids(assigned, Seq("centroid_id"), "__vec")
+  }
+
   /** Approximate top-k via LSH bucketing with MULTI-PROBE: the query side
     * also probes every bucket within hamming distance `probeBits` of its
     * own bucket (near misses land in sign-adjacent buckets, so probing

@@ -548,6 +548,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.count() == emb.count())
   }
 
+  test("kmeansIterate ≡ assignCentroids + join + centroids, exactly") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").limit(200)
+    val cents = emb.where(col("vec_id") < 4)
+    val fused = Similarity.kmeansIterate(emb, "vec_id", "embedding",
+      cents, "vec_id", "embedding")
+    val assigned = Similarity.assignCentroids(emb, "vec_id", "embedding",
+      cents, "vec_id", "embedding").select("vec_id", "centroid_id")
+    val composed = Similarity.centroids(
+      emb.join(assigned, "vec_id"), Seq("centroid_id"), "embedding")
+    assert(fused.count() % 64 == 0)
+    assert(fused.except(composed).count() == 0)
+    assert(composed.except(fused).count() == 0)
+  }
+
   test("contaminationPairs: shared-shingle counts vs probe set") {
     val corpus = Seq((1L, "x y z w q"), (2L, "a b c d e")).toDF("doc_id", "text")
     val probes = Seq((10L, "x y z w")).toDF("doc_id", "text")
