@@ -154,6 +154,22 @@ object SparkEntry {
     }),
 
     // alchemy.py:470-478 Series add_prefix — concat onto index values
+    // str accessor: upper/len/contains/extract/pad/count as one fused
+    // projection over the scan
+    "q_str_ops" -> ((s, dir) => {
+      val o = ordersByKey(s, dir)
+      val p = o("o_orderpriority")
+      o.select(Nil)
+        .withColumn("up", p.str.upper)
+        .withColumn("ln", p.str.len)
+        .withColumn("has_urgent", p.str.contains("URGENT"))
+        .withColumn("prio_num", p.str.extract("(\\d)", 1))
+        .withColumn("padded", p.str.pad(12, "_"))
+        .withColumn("n_vowels", p.str.count("[AEIOU]"))
+        .toSpark(includeIndex = true)
+        .orderBy("o_orderkey")
+    }),
+
     "q_series_prefix" -> ((s, dir) => {
       ordersByKey(s, dir)("o_totalprice").addPrefix("k_")
         .toSpark(includeIndex = true)
@@ -1535,6 +1551,14 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         | min(doc_id) AS canonical_id, count(*) AS n_dupes
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q_str_ops" ->
+      """SELECT o_orderkey, upper(o_orderpriority) AS up,
+        | length(o_orderpriority) AS ln,
+        | contains(o_orderpriority, 'URGENT') AS has_urgent,
+        | regexp_extract(o_orderpriority, '(\d)', 1) AS prio_num,
+        | lpad(o_orderpriority, 12, '_') AS padded,
+        | len(regexp_extract_all(o_orderpriority, '[AEIOU]')) AS n_vowels
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_kmeans_iter" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS cv
         |           FROM embeddings WHERE vec_id < 8),

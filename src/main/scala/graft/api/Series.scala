@@ -274,6 +274,19 @@ final class Series private[graft] (
       app(regexp_replace(_, pattern, replacement))
     def slice(start: Int, length0: Int): Series =
       app(substring(_, start + 1, length0)) // pandas 0-based
+    /** pandas str.extract with one group: the group's match, null-free
+      * inputs assumed ("" on no match, Spark semantics). */
+    def extract(pattern: String, group: Int = 1): Series =
+      app(regexp_extract(_, pattern, group))
+    /** pandas str.pad(side="left") / rjust. */
+    def pad(width: Int, fillchar: String = " "): Series =
+      app(lpad(_, width, fillchar))
+    /** pandas str.count: non-overlapping regex match count. */
+    def count(pattern: String): Series =
+      app(regexp_count(_, lit(pattern)))
+    /** pandas str.split → array column (pair with DataFrame.explode). */
+    def split(pattern: String): Series =
+      app(org.apache.spark.sql.functions.split(_, pattern))
   }
 
   /** datetime accessor namespace (pandas Series.dt.*). */

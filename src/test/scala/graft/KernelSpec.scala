@@ -265,6 +265,10 @@ class KernelSpec extends AnyFunSuite {
     assert(s.str.len.values == Seq(5, 5))
     assert(s.str.contains("orl").values == Seq(false, true))
     assert(s.str.slice(0, 2).values == Seq("He", "wo"))
+    assert(s.str.extract("([lo]+)").values == Seq("llo", "o"))
+    assert(s.str.pad(7, "_").values == Seq("__Hello", "__world"))
+    assert(s.str.count("[lo]").values == Seq(3, 2))
+    assert(s.str.split("l").values.map(_.asInstanceOf[scala.collection.Seq[String]].length) == Seq(3, 2))
     val nums = sFromList(Seq(5, 15, 25))
     assert(nums.between(10, 20).values == Seq(false, true, false))
     // fusion: accessor chains produce no join
