@@ -1082,6 +1082,50 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // rank/dense_rank/percent_rank over a COARSE key (floor(value/10)) —
+    // real ties, still deterministic (rank functions depend only on the
+    // order-key multiset); ntile gets a total order. One Window node.
+    "q_rank_methods" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .withColumn("vb", floor(col("value") / 10).cast("long"))
+      val part = Seq("user_id")
+      val out = Seq(
+        (d: SDF) => WindowOps.rank(d, part, Seq("vb"), "rnk"),
+        (d: SDF) => WindowOps.denseRank(d, part, Seq("vb"), "drnk"),
+        (d: SDF) => WindowOps.percentRank(d, part, Seq("vb"), "prnk"),
+        (d: SDF) => WindowOps.ntileBucket(d, part, Seq("vb", "event_id"), 4, "tile"))
+        .foldLeft(ev)((d, f) => f(d))
+      out.select(col("event_id"), col("rnk"), col("drnk"),
+        round(col("prnk"), 9).as("prnk"), col("tile"))
+        .orderBy("event_id")
+    }),
+
+    // time-range rolling sum: trailing 1 hour per user over epoch-µs
+    // RANGE frame (decimal accumulation → engine-exact)
+    "q_rolling_time" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .withColumn("ts_us", expr("ts DIV 1000"))
+        .withColumn("vd", col("value").cast(DecimalType(18, 6)))
+      WindowOps.rollingRangeAgg(ev, Seq("user_id"), "ts_us",
+        sum(col("vd")), 3600000000L, "hsum")
+        .select(col("event_id"), col("hsum").cast("double").as("hsum"))
+        .orderBy("event_id")
+    }),
+
+    // approx_count_distinct honesty check: exact distinct (oracled
+    // exactly) + a deterministic HLL++-within-5% claim the oracle
+    // asserts as TRUE
+    "q_approx_distinct" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.01).as("n_approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")) <
+            col("n_exact") * 0.05).as("approx_ok"))
+        .orderBy("event_type")
+    }),
+
     // generic.py:81-83 round (HALF_UP on both engines for these values —
     // parity verified over the full price column)
     "q_round" -> ((s, dir) => {
@@ -1830,6 +1874,26 @@ object SparkEntry {
       """SELECT event_id,
         | rank() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rnk
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_rank_methods" ->
+      """SELECT event_id,
+        | rank() OVER w AS rnk,
+        | dense_rank() OVER w AS drnk,
+        | round(percent_rank() OVER w, 9) AS prnk,
+        | ntile(4) OVER (PARTITION BY user_id
+        |   ORDER BY CAST(floor(value / 10) AS BIGINT), event_id) AS tile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(value / 10) AS BIGINT))
+        |ORDER BY event_id""".stripMargin,
+    "q_rolling_time" ->
+      """SELECT event_id,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+        |   PARTITION BY user_id ORDER BY epoch_us(ts)
+        |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hsum
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        | TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_round" ->
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 1) AS l_extendedprice
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -50,6 +50,38 @@ object WindowOps {
     df.withColumn(outCol, org.apache.spark.sql.functions.rank()
       .over(spec(partitionBy, orderBy)))
 
+  /** pandas rank(method="dense") — no gaps after ties. Like rank/
+    * percent_rank/cume_dist (and unlike row_number), the result is a
+    * function of the order-key multiset, so it is deterministic even when
+    * the order keys tie. */
+  def denseRank(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
+                outCol: String = "dense_rank"): DataFrame =
+    df.withColumn(outCol, dense_rank().over(spec(partitionBy, orderBy)))
+
+  /** pandas rank(pct=True) analog: (rank-1)/(n-1) over the partition. */
+  def percentRank(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
+                  outCol: String = "percent_rank"): DataFrame =
+    df.withColumn(outCol, percent_rank().over(spec(partitionBy, orderBy)))
+
+  /** pandas qcut-per-partition analog: n equal-count buckets in order.
+    * Needs a TOTAL order (unique tiebreak in orderBy) to be deterministic. */
+  def ntileBucket(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
+                  n: Int, outCol: String = "bucket"): DataFrame =
+    df.withColumn(outCol, ntile(n).over(spec(partitionBy, orderBy)))
+
+  /** Time-range rolling aggregate (pandas rolling("1h") over a numeric
+    * time column): RANGE frame [orderCol - lookback, orderCol]. One hash
+    * shuffle on the partition keys; each partition scans its range frame
+    * independently. `orderCol` must be numeric (epoch µs — see the ns/µs
+    * note in SCALE.md); pass DECIMAL-cast aggregates for engine-exact
+    * double sums. */
+  def rollingRangeAgg(df: DataFrame, partitionBy: Seq[String],
+                      orderCol: String, agg: Column, lookback: Long,
+                      outCol: String): DataFrame =
+    df.withColumn(outCol, agg.over(
+      Window.partitionBy(partitionBy.map(col): _*).orderBy(col(orderCol))
+        .rangeBetween(-lookback, 0)))
+
   /** Generic trailing-window aggregate (pandas rolling(n).sum/min/max/...,
     * min_periods=1): any Column-level aggregate over the last n rows per
     * key. All rolling calls on the same (partitionBy, orderBy) share one

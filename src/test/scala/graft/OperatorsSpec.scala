@@ -584,6 +584,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1).getDouble(3) == 0.0)
   }
 
+  test("rank methods on ties; time-range rolling sum") {
+    val df = Seq((1, 1L, 10.0), (1, 2L, 10.0), (1, 3L, 20.0))
+      .toDF("k", "t", "v")
+    val ranked = Seq(
+      (d: org.apache.spark.sql.DataFrame) => WindowOps.rank(d, Seq("k"), Seq("v"), "r"),
+      (d: org.apache.spark.sql.DataFrame) => WindowOps.denseRank(d, Seq("k"), Seq("v"), "dr"),
+      (d: org.apache.spark.sql.DataFrame) => WindowOps.percentRank(d, Seq("k"), Seq("v"), "pr"))
+      .foldLeft(df)((d, f) => f(d)).orderBy("t").collect()
+    assert(ranked.map(_.getInt(ranked.head.fieldIndex("r"))).toSeq == Seq(1, 1, 3))
+    assert(ranked.map(_.getInt(ranked.head.fieldIndex("dr"))).toSeq == Seq(1, 1, 2))
+    assert(ranked.map(_.getDouble(ranked.head.fieldIndex("pr"))).toSeq == Seq(0.0, 0.0, 1.0))
+    // trailing range 10: at t-units ts 0/5/20, lookback 10 covers {0,5}, {0,5}, {20}
+    val tdf = Seq((1, 0L, 1.0), (1, 5L, 2.0), (1, 20L, 4.0)).toDF("k", "ts", "v")
+    val hs = WindowOps.rollingRangeAgg(tdf, Seq("k"), "ts", sum(col("v")), 10L, "s")
+      .orderBy("ts").collect().map(_.getDouble(3)).toSeq
+    assert(hs == Seq(1.0, 3.0, 4.0))
+  }
+
   test("interpolate: linear gap fill, leading nulls kept, trailing carried") {
     val df = Seq((1, 1, Option.empty[Double]), (1, 2, Option(2.0)),
       (1, 3, Option.empty[Double]), (1, 4, Option.empty[Double]),
