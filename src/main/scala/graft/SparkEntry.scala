@@ -193,6 +193,21 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // winsorize per group: clip to the group's [p05, p95] via TWO window
+    // percentile transforms over ONE shuffle — no agg + join-back
+    "q_winsorize" -> ((s, dir) => {
+      val o = DataFrame.fromParquet(s, s"$dir/orders.parquet",
+        index = Seq("o_orderkey"))
+      val t = o.groupby(Seq("o_orderpriority"))
+        .transform("o_totalprice", "p05", "p05")
+        .groupby(Seq("o_orderpriority"))
+        .transform("o_totalprice", "p95", "p95")
+      t.toSpark(includeIndex = true)
+        .select(col("o_orderkey"),
+          greatest(least(col("o_totalprice"), col("p95")), col("p05")).as("w"))
+        .orderBy("o_orderkey")
+    }),
+
     // exact per-group quantiles (percentile inside groupBy — one pass)
     "q_group_quantile" -> ((s, dir) => {
       val o = DataFrame.fromParquet(s, s"$dir/orders.parquet")
@@ -1260,6 +1275,12 @@ object SparkEntry {
         | count(l_quantity) AS cnt
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_winsorize" ->
+      """SELECT o_orderkey,
+        | greatest(least(o_totalprice, quantile_cont(o_totalprice, 0.95) OVER w),
+        |          quantile_cont(o_totalprice, 0.05) OVER w) AS w
+        |FROM orders WINDOW w AS (PARTITION BY o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_group_quantile" ->
       """SELECT o_orderpriority,
         | quantile_cont(o_totalprice, 0.25) AS q25,
