@@ -1134,7 +1134,7 @@ object SparkEntry {
       val ev = table(s, dir, "events")
       ev.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_exact"),
-          approx_count_distinct(col("user_id"), 0.01).as("n_approx"))
+          approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
         .select(col("event_type"), col("n_exact"),
           (abs(col("n_approx") - col("n_exact")) <
             col("n_exact") * 0.05).as("approx_ok"))

@@ -141,12 +141,19 @@ object TextAnalysis {
     * → boilerplate or degenerate repetition → filter before training.
     *
     * Shape: explode the multiplicity-preserving shingle stream, count per
-    * (doc, gram), re-aggregate per doc — two hash aggregations with
-    * map-side partials, no joins, no windows. */
+    * (doc, gram-hash), re-aggregate per doc — two hash aggregations with
+    * map-side partials, no joins, no windows. Grams shuffle as xxhash64
+    * longs, not strings (`hashGrams`): the statistics are pure counts, so
+    * they are unchanged unless two grams of ONE doc collide at 64 bits
+    * (P ≈ g²/2^65 per doc — vanishing), and the shuffle payload drops
+    * from n-word strings to 8 bytes. */
   def repetitionStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                      textCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
+                      textCol: String, n: Int = 2,
+                      hashGrams: Boolean = true): org.apache.spark.sql.DataFrame = {
     val grams = docs.select(col(idCol).as("doc_id"),
-      explode(Dedup.shinglesAll(col(textCol), n)).as("__g"))
+      explode(Dedup.shinglesAll(col(textCol), n)).as("__g0"))
+      .select(col("doc_id"),
+        (if (hashGrams) xxhash64(col("__g0")) else col("__g0")).as("__g"))
     grams.groupBy(col("doc_id"), col("__g"))
       .agg(count(lit(1)).as("__cnt"))
       .groupBy(col("doc_id"))
