@@ -604,6 +604,26 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // pandas df.where(cond, other): shape-preserving cell conditional,
+    // fused into the scan projection (NOT the row filter)
+    "q_where_other" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      li.select(Seq("l_quantity", "l_extendedprice"))
+        .whereValues(li("l_quantity").le(25), 0.0)
+        .toSpark(includeIndex = true)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // engine-exact Pearson correlation matrix from decimal power sums —
+    // ONE aggregate pass for all pairs, no rounding needed
+    "q_corr_matrix" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      li.select(Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .corrMatrix()
+        .toSpark(includeIndex = false)
+        .orderBy("col_a", "col_b")
+    }),
+
     // extension: exact quantiles — Spark `percentile` (sort-based exact,
     // NOT approx_percentile), all requested quantiles in ONE aggregate pass
     "q_quantile" -> ((s, dir) => {
@@ -1576,6 +1596,36 @@ object SparkEntry {
         | CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS os_F,
         | CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS os_P
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_where_other" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CASE WHEN l_quantity <= 25 THEN l_quantity ELSE 0.0 END AS l_quantity,
+        | CASE WHEN l_quantity <= 25 THEN l_extendedprice ELSE 0.0 END AS l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_corr_matrix" -> {
+      // mirror corrMatrix: exact decimal power sums → one double formula
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+        yield (cols(i), cols(j))
+      // DECIMAL(19,6): hugeint storage — DuckDB multiplies DECIMAL(18)
+      // operands in int64 and overflows; the VALUES are identical to the
+      // Spark side's DECIMAL(18,6) operands, so sums stay engine-exact
+      def d(c: String) = s"CAST($c AS DECIMAL(19,6))"
+      def p(a: String, b: String) = s"CAST(${d(a)} * ${d(b)} AS DECIMAL(38,12))"
+      val sums = pairs.zipWithIndex.map { case ((a, b), k) =>
+        s"CAST(sum(${p(a, b)}) AS DOUBLE) AS sxy_$k, " +
+          s"CAST(sum(${d(a)}) AS DOUBLE) AS sx_$k, " +
+          s"CAST(sum(${d(b)}) AS DOUBLE) AS sy_$k, " +
+          s"CAST(sum(${p(a, a)}) AS DOUBLE) AS sxx_$k, " +
+          s"CAST(sum(${p(b, b)}) AS DOUBLE) AS syy_$k, " +
+          s"CAST(count(*) AS DOUBLE) AS n_$k"
+      }.mkString(", ")
+      val rows = pairs.zipWithIndex.map { case ((a, b), k) =>
+        s"SELECT '$a' AS col_a, '$b' AS col_b, " +
+          s"(n_$k * sxy_$k - sx_$k * sy_$k) / " +
+          s"sqrt((n_$k * sxx_$k - sx_$k * sx_$k) * (n_$k * syy_$k - sy_$k * sy_$k)) AS corr FROM s"
+      }.mkString(" UNION ALL ")
+      s"WITH s AS (SELECT $sums FROM lineitem) $rows ORDER BY col_a, col_b"
+    },
     "q_quantile" ->
       """SELECT CAST(q AS DOUBLE) AS q, value FROM (
         |  SELECT 0.10 AS q, quantile_cont(o_totalprice, 0.10) AS value FROM orders

@@ -562,6 +562,68 @@ private[graft] trait SetOpsExtensions { this: DataFrame =>
     new DataFrame(frame.whereExpr(
       frame.idxExprs(0) === Semantics.literal(key).col))
 
+  /** pandas DataFrame.where(cond, other): KEEP shape, replacing cells of
+    * rows where the mask is false with `other` (null default) — unlike
+    * [[where]], which drops rows. Same-base masks only (the common
+    * `df.where(df.x > 5)` form): the conditional fuses into the one
+    * projection over the scan. Align foreign masks first. */
+  def whereValues(mask: Series, other: Any = null): DataFrame = {
+    if (!frame.fusesWith(mask.frame))
+      throw new GraftValueError(
+        "whereValues needs a same-base mask; align it onto this frame first")
+    val m = mask.frame.dataExprs(0)
+    val o = if (other == null) lit(null) else Semantics.literal(other).col
+    new DataFrame(frame.mapCols((c, _, _) => when(m, c).otherwise(o)))
+  }
+
+  /** pandas DataFrame.mask(cond, other): complement of [[whereValues]]. */
+  def maskValues(mask: Series, other: Any = null): DataFrame = {
+    if (!frame.fusesWith(mask.frame))
+      throw new GraftValueError(
+        "maskValues needs a same-base mask; align it onto this frame first")
+    val m = mask.frame.dataExprs(0)
+    val o = if (other == null) lit(null) else Semantics.literal(other).col
+    new DataFrame(frame.mapCols((c, _, _) => when(m, o).otherwise(c)))
+  }
+
+  /** Engine-exact Pearson correlation for every column pair, computed
+    * from DECIMAL power sums (Σx, Σy, Σxy, Σx², Σy² exact, combined in
+    * ONE double formula) — bit-reproducible across engines and
+    * aggregation orders, unlike streaming one-pass corr whose merge order
+    * leaks into the low bits. One aggregate pass for ALL pairs, then a
+    * stack to long form (col_a, col_b, corr). */
+  def corrMatrix(): DataFrame = {
+    val sdf = toSpark(includeIndex = false)
+    val cols = sdf.columns.toSeq
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    def d(c: String) = scol(c).cast(DecimalType(18, 6))
+    def p(a: String, b: String) = (d(a) * d(b)).cast(DecimalType(38, 12))
+    val fsum: Column => Column = org.apache.spark.sql.functions.sum
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), k) =>
+      Seq(fsum(p(a, b)).cast("double").as(s"sxy_$k"),
+        fsum(d(a)).cast("double").as(s"sx_$k"),
+        fsum(d(b)).cast("double").as(s"sy_$k"),
+        fsum(p(a, a)).cast("double").as(s"sxx_$k"),
+        fsum(p(b, b)).cast("double").as(s"syy_$k"),
+        org.apache.spark.sql.functions.count(lit(1)).cast("double").as(s"n_$k"))
+    }
+    val one = sdf.agg(aggs.head, aggs.tail: _*)
+    // one row of exact sums → p corr doubles → stack to long form; the
+    // aggregate runs ONCE (a per-pair union of selects would re-execute it)
+    val corrRow = one.select(pairs.indices.map { k =>
+      ((scol(s"n_$k") * scol(s"sxy_$k") - scol(s"sx_$k") * scol(s"sy_$k")) /
+        sqrt((scol(s"n_$k") * scol(s"sxx_$k") - scol(s"sx_$k") * scol(s"sx_$k")) *
+          (scol(s"n_$k") * scol(s"syy_$k") - scol(s"sy_$k") * scol(s"sy_$k"))))
+        .as(s"c_$k")
+    }: _*)
+    val stackArgs = pairs.zipWithIndex
+      .map { case ((a, b), k) => s"'$a', '$b', c_$k" }.mkString(", ")
+    DataFrame.fromSpark(corrRow.selectExpr(
+      s"stack(${pairs.length}, $stackArgs) AS (col_a, col_b, corr)"))
+  }
+
   /** pandas get_dummies with explicit categories: one-hot a string column
     * into 0/1 int columns named `{prefix}_{category}`, dropping the source
     * column. Explicit categories keep this a pure projection (one streamed

@@ -292,6 +292,24 @@ class ExtensionsSpec extends AnyFunSuite {
     intercept[graft.core.GraftKeyError](d.corr("x", "nope"))
   }
 
+  test("whereValues/maskValues keep shape; corrMatrix engine-exact") {
+    val d = DataFrame.fromLocal(spark, Seq("x", "y"),
+      Seq(Seq[Any](1.0, 10.0), Seq[Any](2.0, 20.0), Seq[Any](3.0, 30.0)))
+    val m = d("x").le(2.0)
+    val w = d.whereValues(m, 0.0)
+    assert(w.len == 3) // shape preserved, unlike where()
+    val vals = w.toSpark(includeIndex = false).orderBy("x").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(vals == Seq((0.0, 0.0), (1.0, 10.0), (2.0, 20.0)))
+    val mk = d.maskValues(m).toSpark(includeIndex = false)
+      .orderBy("y").collect().map(r => r.isNullAt(0)).toSeq
+    assert(mk == Seq(true, true, false))
+    // y = 10x exactly → corr 1.0 bit-exact from the decimal power sums
+    val c = d.corrMatrix().toSpark(includeIndex = false).collect()
+    assert(c.length == 1 && c.head.getString(0) == "x" &&
+      c.head.getDouble(2) == 1.0)
+  }
+
   test("rollupAgg/cubeAgg: subtotal rows with NULL keys; pNN percentiles") {
     val d = DataFrame.fromLocal(spark, Seq("k", "g", "v"),
       Seq(Seq[Any]("a", "x", 1.0), Seq[Any]("a", "y", 3.0), Seq[Any]("b", "x", 5.0)))
