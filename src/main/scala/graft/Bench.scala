@@ -40,7 +40,13 @@ object Bench {
     try SparkEntry.queries.headOption.foreach { case (n, _) => runOne(n) }
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOne(n))
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the sweep for local iteration;
+    // the driver leaves it unset and measures the full alphabetical run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val results = names.map(n => n -> runOne(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -124,6 +124,33 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // pandas assignment OVERWRITE: `df[c] = s` with an existing label
+    // replaces that column IN PLACE (same-base fuse for o_custkey,
+    // left-aligned foreign series for o_totalprice) — never appends a
+    // duplicate label
+    "q_assign_overwrite" -> ((s, dir) => {
+      val o = ordersByKey(s, dir).select(Seq("o_totalprice", "o_custkey"))
+      val p = partByKey(s, dir)("p_retailprice")
+      o.withColumn("o_custkey", o("o_custkey") * 10)
+        .withColumn("o_totalprice", p)
+        .toSpark(includeIndex = true)
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.7 comparisons across FOJ-aligned frames WITH NULLs: the engine
+    // (like the reference, SURVEY §7.4.2 — unlike pandas' False) lets
+    // NULL propagate through eq/gt; this query pins that choice against
+    // the oracle's SQL comparison semantics
+    "q_cmp_null" -> ((s, dir) => {
+      val o = ordersByKey(s, dir)("o_totalprice")
+      val p = partByKey(s, dir)("p_retailprice")
+      val eqf = (o === p).rename(Some("v"))
+        .toSpark(includeIndex = true).withColumn("op", lit("eq"))
+      val gtf = o.gt(p).rename(Some("v"))
+        .toSpark(includeIndex = true).withColumn("op", lit("gt"))
+      eqf.unionAll(gtf).orderBy("op", "o_orderkey")
+    }),
+
     // generic.py:69-75 isna over the NULLs produced by outer alignment
     "q_isna" -> ((s, dir) => {
       val o = ordersByKey(s, dir)("o_totalprice")
@@ -164,6 +191,7 @@ object SparkEntry {
         .withColumn("ln", p.str.len)
         .withColumn("has_urgent", p.str.contains("URGENT"))
         .withColumn("prio_num", p.str.extract("(\\d)", 1))
+        .withColumn("urg", p.str.extract("(URGENT)", 1)) // no match → NULL
         .withColumn("padded", p.str.pad(12, "_"))
         .withColumn("n_vowels", p.str.count("[AEIOU]"))
         .toSpark(includeIndex = true)
@@ -1274,6 +1302,18 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice, p_retailprice AS rp
         |FROM orders LEFT JOIN part ON o_orderkey = p_partkey
         |ORDER BY o_orderkey""".stripMargin,
+    "q_assign_overwrite" ->
+      """SELECT o_orderkey, p_retailprice AS o_totalprice,
+        | o_custkey * 10 AS o_custkey
+        |FROM orders LEFT JOIN part ON o_orderkey = p_partkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_cmp_null" ->
+      """WITH j AS (SELECT COALESCE(o.o_orderkey, p.p_partkey) AS o_orderkey,
+        |  o.o_totalprice AS a, p.p_retailprice AS b
+        |  FROM orders o FULL OUTER JOIN part p ON o.o_orderkey = p.p_partkey)
+        |SELECT o_orderkey, a = b AS v, 'eq' AS op FROM j
+        |UNION ALL SELECT o_orderkey, a > b AS v, 'gt' AS op FROM j
+        |ORDER BY op, o_orderkey""".stripMargin,
     "q_isna" ->
       """SELECT COALESCE(o.o_orderkey, p.p_partkey) AS o_orderkey,
         | (o.o_totalprice + p.p_retailprice) IS NULL AS s
@@ -1439,8 +1479,8 @@ object SparkEntry {
         |       THEN 1 ELSE 0 END AS nf
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
         |s AS (SELECT user_id, tsu,
-        |  sum(nf) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS session FROM f)
+        |  CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session FROM f)
         |SELECT user_id, session, count(*) AS n_events,
         |  max(tsu) - min(tsu) AS dur_us
         |FROM s GROUP BY user_id, session
@@ -1510,7 +1550,7 @@ object SparkEntry {
         |  COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM d)
         |SELECT lang, CAST(floor(off / 2000) AS BIGINT) AS shard,
-        |  count(*) AS n_docs, sum(n_tokens) AS n_tokens
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM a GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
     "q_cut" ->
       """SELECT bin, count(*) AS n, src FROM (
@@ -1671,6 +1711,8 @@ object SparkEntry {
         | length(o_orderpriority) AS ln,
         | contains(o_orderpriority, 'URGENT') AS has_urgent,
         | regexp_extract(o_orderpriority, '(\d)', 1) AS prio_num,
+        | CASE WHEN regexp_matches(o_orderpriority, 'URGENT')
+        |      THEN regexp_extract(o_orderpriority, '(URGENT)', 1) END AS urg,
         | lpad(o_orderpriority, 12, '_') AS padded,
         | len(regexp_extract_all(o_orderpriority, '[AEIOU]')) AS n_vowels
         |FROM orders ORDER BY o_orderkey""".stripMargin,

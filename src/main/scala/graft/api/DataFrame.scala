@@ -132,19 +132,31 @@ final class DataFrame private[graft] (
       case other => other
     }
 
-  /** Attach a Series as a new column (pandas `df[label] = s` / `assign`).
+  /** Attach a Series as a column (pandas `df[label] = s` / `assign`).
+    * An EXISTING label is overwritten in place (pandas assignment
+    * semantics — appending would leave duplicate labels and `select`
+    * silently reading the stale first match); a new label appends.
     * Same-base Series fuse as a pure projection; foreign Series LEFT-align
     * (pandas assignment reindexes `s` to this frame's index: rows present
     * only in `s` are dropped, rows missing from `s` get NULL — a
     * full-outer join here would invent rows the frame never had). */
   def withColumn(label: String, s: Series): DataFrame = {
-    if (frame.fusesWith(s.frame))
-      rebuild(frame.withDataExprs(frame.colLabels :+ Some(label),
-        frame.dataExprs :+ s.frame.dataExprs(0)))
-    else {
-      val pairs = (0 until frame.nCols).map(i => (i, -1)) :+ ((-1, 0))
-      rebuild(Align.alignedJoin(frame, s.frame, None,
-        frame.colLabels :+ Some(label), pairs,
+    val at = frame.colLabels.indexOf(Some(label))
+    if (frame.fusesWith(s.frame)) {
+      val e = s.frame.dataExprs(0)
+      if (at >= 0) rebuild(frame.withDataExprs(frame.colLabels,
+        frame.dataExprs.updated(at, e)))
+      else rebuild(frame.withDataExprs(frame.colLabels :+ Some(label),
+        frame.dataExprs :+ e))
+    } else {
+      // overwrite keeps the column's position (pandas does not move an
+      // assigned existing column to the end)
+      val pairs =
+        if (at >= 0) (0 until frame.nCols).map(i => if (i == at) (-1, 0) else (i, -1))
+        else (0 until frame.nCols).map(i => (i, -1)) :+ ((-1, 0))
+      val labels =
+        if (at >= 0) frame.colLabels else frame.colLabels :+ Some(label)
+      rebuild(Align.alignedJoin(frame, s.frame, None, labels, pairs,
         (l, r) => if (l.dt == org.apache.spark.sql.types.NullType) r.col else l.col,
         flatHow = "left_outer"))
     }
@@ -177,8 +189,16 @@ final class DataFrame private[graft] (
       case s: Series if axisN == 1 =>
         // align column labels against the Series' index VALUES; the values
         // become literal operands (alchemy.py:187-196 — the reference also
-        // materializes other.index here)
+        // materializes other.index here). The materialization is bounded:
+        // the Series is being broadcast across COLUMNS, so a sane operand
+        // has ~nCols entries — a corpus-sized Series here is a caller bug
+        // that would otherwise OOM the driver, so fail fast instead.
         val items = s.collectItems()
+        if (items.length > DataFrame.MaxAxisColumnsOperand)
+          throw new IllegalArgumentException(
+            s"axis=1 operand has ${items.length} entries (> " +
+              s"${DataFrame.MaxAxisColumnsOperand}); a column-axis Series " +
+              "is materialized on the driver — align on axis=0 instead")
         val rLabels = items.map(kv => Option(kv._1).map(_.toString)).toIndexedSeq
         val (merged, idxers) = Align.joinLabels(frame.colLabels, rLabels)
         val cols = idxers.map { case (i, j) =>
@@ -332,6 +352,11 @@ final class DataFrame private[graft] (
 }
 
 object DataFrame {
+  /** Cap on driver-materialized axis=1 (column-broadcast) Series operands:
+    * generous for any real column count, small enough to fail fast before
+    * a corpus-sized Series is collected. */
+  val MaxAxisColumnsOperand: Int = 100000
+
   /** Read a parquet table — `from_table` (alchemy.py:313-350): `columns`
     * subsets/reorders, `index` promotes columns to index levels; no index →
     * synthetic contiguous rowid (scale-safe zipWithIndex, not a

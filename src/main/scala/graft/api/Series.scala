@@ -274,10 +274,13 @@ final class Series private[graft] (
       app(regexp_replace(_, pattern, replacement))
     def slice(start: Int, length0: Int): Series =
       app(substring(_, start + 1, length0)) // pandas 0-based
-    /** pandas str.extract with one group: the group's match, null-free
-      * inputs assumed ("" on no match, Spark semantics). */
+    /** pandas str.extract with one group: the group's match, NULL when
+      * the pattern does not match (Spark's regexp_extract returns "" on
+      * no match; pandas returns NaN — distinguished from a genuine empty
+      * capture by testing the full pattern first). */
     def extract(pattern: String, group: Int = 1): Series =
-      app(regexp_extract(_, pattern, group))
+      app(c => when(regexp_like(c, lit(pattern)),
+        regexp_extract(c, pattern, group)))
     /** pandas str.pad(side="left") / rjust. */
     def pad(width: Int, fillchar: String = " "): Series =
       app(lpad(_, width, fillchar))

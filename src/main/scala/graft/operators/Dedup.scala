@@ -29,16 +29,31 @@ object Dedup {
     * Iterative min-label propagation, the shuffle-only large-graph CC:
     * each round joins labels to edges and takes a per-node min — one hash
     * shuffle per round, converging in O(graph diameter) rounds (dup
-    * clusters are near-cliques, so 2–3 in practice). `localCheckpoint`
-    * truncates lineage so the plan doesn't grow with iterations; the
-    * convergence check piggybacks on the same aggregate, no extra pass.
+    * clusters are near-cliques, so 2–3 in practice). Each iteration is
+    * materialized to scratch parquet, which both truncates lineage (the
+    * plan would otherwise double per round) and — unlike `localCheckpoint`
+    * — holds NO block-manager memory after the call returns: an earlier
+    * build leaked the checkpointed RDD blocks of every iteration into the
+    * long-lived session. Scratch files live under java.io.tmpdir and are
+    * removed on JVM exit; at cluster scale this is the standard
+    * iterate-via-storage shape (each round's state is a small
+    * (node, label) table, not the corpus).
     *
     * Returns (node, label) where label = min node id in the component. */
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
                         maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().localCheckpoint(true)
+    val spark = pairs.sparkSession
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cc-")
+    tmp.toFile.deleteOnExit()
+    def materialize(df: DataFrame, name: String): DataFrame = {
+      val p = tmp.resolve(name).toString
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    val edges = materialize(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct(), "edges")
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     var changed = 1L
@@ -49,7 +64,7 @@ object Dedup {
         .select(col("dst").as("node"), col("label"))
       val next = labels.union(nbrLabels).groupBy("node")
         .agg(min("label").as("next_label"))
-      val merged = labels.join(next, "node").localCheckpoint(true)
+      val merged = materialize(labels.join(next, "node"), s"iter$i")
       changed = merged.where(col("next_label") < col("label")).count()
       labels = merged.select(col("node"), col("next_label").as("label"))
       i += 1
@@ -202,61 +217,78 @@ object Dedup {
       array((0 until numHashes).map(i => col(s"__h$i")): _*).as("__sig"))
   }
 
+  /** Within-bucket ordered pairs from a bucketed relation.
+    *
+    * `buckets` must have shape (bucket key columns..., `payloadCol`:
+    * struct with an `__id` field). ONE hash-shuffle groups each bucket's
+    * members into an array; singleton buckets (the overwhelming majority
+    * under a well-dialed LSH) are pruned BEFORE any pair is generated,
+    * and the within-bucket cross product comes from two chained explodes
+    * of the collected array — plain attribute forwarding, no self-join.
+    *
+    * This is the load-bearing shape choice of the whole dedup family:
+    * a bucket SELF-JOIN consumes the expensive upstream pipeline (scan →
+    * shingle → k hashes → aggregate) twice, and whether that subtree is
+    * computed once or twice then hinges on exchange-reuse firing — which
+    * is fragile under AQE and config-dependent (the round-2 driver bench
+    * measured the recompute at 140× on exactly this path). Collecting the
+    * bucket makes the pipeline a literal single consumer: the plan cannot
+    * recompute it, under any planner. Per-bucket memory is bounded by the
+    * LSH occupancy dial (n/2^planes per band), the same dial that already
+    * bounds the pair count itself. */
+  private def bucketPairs(buckets: DataFrame, bucketCols: Seq[String],
+                          payloadCol: String): DataFrame = {
+    val members = buckets.groupBy(bucketCols.map(col): _*)
+      .agg(collect_list(col(payloadCol)).as("__ms"))
+      .where(size(col("__ms")) > 1)
+    members
+      .select(explode(col("__ms")).as("__l"), col("__ms"))
+      .select(col("__l"), explode(col("__ms")).as("__r"))
+      .where(col("__l.__id") < col("__r.__id"))
+      .select(col("__l"), col("__r"))
+  }
+
   /** Candidate near-duplicate pairs via banded LSH over MinHash signatures.
     * Returns (id_l, id_r, est_jaccard) with id_l < id_r; est_jaccard is the
     * fraction of matching signature positions. rowsPerBand = numHashes /
-    * bands; similarity threshold ≈ (1/bands)^(1/rowsPerBand). */
+    * bands; similarity threshold ≈ (1/bands)^(1/rowsPerBand).
+    *
+    * The signature relation has exactly ONE consumer (the band explode):
+    * signatures ride along into the bucket collect (64 longs per member —
+    * bounded), so est_jaccard is computed in place per colliding bucket
+    * and the duplicate collisions collapse in one pair-keyed aggregate.
+    * No join-back, no recompute, nothing cached. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 64, bands: Int = 16,
                       shingleN: Int = 3, seed: Long = 42L,
                       scope: Option[CacheScope] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // The signature relation feeds three consumers (band explode + two
-    // verification joins). Without a caller-provided [[CacheScope]] it is
-    // NOT persisted: the signature aggregate sits directly above an
-    // Exchange(hashpartitioning(__id)), and all three consumers share that
-    // canonical subtree, so ReuseExchange computes the expensive
-    // scan→explode→k-hash→partial-agg pipeline ONCE per action — only the
-    // cheap final min-merge re-runs per consumer. A persist here would
-    // leak the cached blocks past the caller's action (the operator can't
-    // see when the lazy plan is consumed); callers running multiple
-    // actions opt in via `scope` and release it deterministically.
     val sig = CacheScope.maybe(scope,
       minhashSignatures(df, idCol, textCol, numHashes, shingleN, seed))
-    bandCandidates(sig, bands, r)
-      .join(sig.select(col("__id").as("id_l"), col("__sig").as("sig_l")), Seq("id_l"))
-      .join(sig.select(col("__id").as("id_r"), col("__sig").as("sig_r")), Seq("id_r"))
-      .select(col("id_l"), col("id_r"),
-        (size(filter(zip_with(col("sig_l"), col("sig_r"), (x, y) => x === y),
-          b => b)).cast("double") / numHashes).as("est_jaccard"))
+    val banded = bandedBuckets(sig, bands, r,
+      struct(col("__id"), col("__sig")))
+    bucketPairs(banded, Seq("__band", "__key"), "__p")
+      .select(col("__l.__id").as("id_l"), col("__r.__id").as("id_r"),
+        (size(filter(zip_with(col("__l.__sig"), col("__r.__sig"),
+          (x, y) => x === y), b => b)).cast("double") / numHashes)
+          .as("__est"))
+      .groupBy("id_l", "id_r")
+      .agg(max(col("__est")).as("est_jaccard"))
   }
 
-  /** Distinct candidate pairs (id_l < id_r) from banded LSH over a
-    * signature relation (__id, __sig).
-    *
-    * Band rows carry ONLY (id, band, key): a column passed *through* a
-    * Generate is re-evaluated per emitted row, so carrying the signature
-    * would recompute the whole aggregate `bands` times per document — and
-    * at scale the band shuffle should be narrow anyway.
-    *
-    * SHUFFLE_HASH on the self-join: both sides then need the same
-    * hashpartitioning(band,key) exchange over the same canonical subtree,
-    * so ReuseExchange computes the banded signatures ONCE (a broadcast
-    * join would recompute the subtree for the build side). */
-  private def bandCandidates(sig: DataFrame, bands: Int, r: Int): DataFrame = {
-    val banded = sig.select(col("__id"),
+  /** Banded bucket rows (band, key, payload) from a signature relation
+    * (__id, __sig, ...): one row per (document, band), keyed by the hash
+    * of that band's signature slice. The payload struct is evaluated once
+    * per document (array built pre-Generate); only (band, key, payload)
+    * flows into the bucket shuffle. */
+  private def bandedBuckets(sig: DataFrame, bands: Int, r: Int,
+                            payload: Column): DataFrame =
+    sig.select(payload.as("__p"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           hash(slice(col("__sig"), b * r + 1, lit(r))).as("key")))).as("bk"))
-      .select(col("__id"), col("bk.band").as("__band"), col("bk.key").as("__key"))
-    banded.select(col("__band"), col("__key"), col("__id").as("id_l"))
-      .hint("SHUFFLE_HASH")
-      .join(banded.select(col("__band"), col("__key"), col("__id").as("id_r"))
-        .hint("SHUFFLE_HASH"), Seq("__band", "__key"))
-      .where(col("id_l") < col("id_r"))
-      .select("id_l", "id_r").distinct()
-  }
+      .select(col("__p"), col("bk.band").as("__band"), col("bk.key").as("__key"))
 
   private val pow2: Column = typedlit((0 until 64).map(i => 1L << i))
 
@@ -299,28 +331,29 @@ object Dedup {
 
   /** Near-duplicate candidates by SimHash: band the 64-bit signature into
     * four 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk is
-    * equal), equi-join per chunk, then exact hamming filter via bit_count.
-    * Returns (id_l, id_r, hamming) with id_l < id_r. */
+    * equal), bucket per chunk, then exact hamming filter via bit_count.
+    * Returns (id_l, id_r, hamming) with id_l < id_r.
+    *
+    * The signature table has ONE consumer — the 8-byte signature rides
+    * into the chunk buckets, hamming is computed within the bucket, and
+    * the cross-chunk duplicate collisions collapse in one pair-keyed
+    * aggregate (see [[bucketPairs]] for why this beats a bucket
+    * self-join). */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3): DataFrame = {
     val sig = simhashTable(df, idCol, textCol)
-    // chunk shift amounts are compile-time literals (shiftright needs Int);
-    // same pass-through rule as minhashLshPairs: bands carry ids only
+    // chunk shift amounts are compile-time literals (shiftright needs Int)
     val chunkStructs = array((0 until 4).map(c =>
       struct(lit(c).as("chunk"),
         shiftright(col("__sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)
-    val chunks = sig.select(col("__id"), explode(chunkStructs).as("ck"))
-      .select(col("__id"), col("ck.chunk").as("__chunk"), col("ck.key").as("__key"))
-    val candidates = chunks.select(col("__chunk"), col("__key"), col("__id").as("id_l"))
-      .join(chunks.select(col("__chunk"), col("__key"), col("__id").as("id_r")),
-        Seq("__chunk", "__key"))
-      .where(col("id_l") < col("id_r"))
-      .select("id_l", "id_r").distinct()
-    candidates
-      .join(sig.select(col("__id").as("id_l"), col("__sh").as("sh_l")), Seq("id_l"))
-      .join(sig.select(col("__id").as("id_r"), col("__sh").as("sh_r")), Seq("id_r"))
-      .select(col("id_l"), col("id_r"),
-        bit_count(col("sh_l").bitwiseXOR(col("sh_r"))).as("hamming"))
+    val chunks = sig.select(struct(col("__id"), col("__sh")).as("__p"),
+      explode(chunkStructs).as("ck"))
+      .select(col("__p"), col("ck.chunk").as("__chunk"), col("ck.key").as("__key"))
+    bucketPairs(chunks, Seq("__chunk", "__key"), "__p")
+      .select(col("__l.__id").as("id_l"), col("__r.__id").as("id_r"),
+        bit_count(col("__l.__sh").bitwiseXOR(col("__r.__sh"))).as("__hd"))
+      .groupBy("id_l", "id_r")
+      .agg(max(col("__hd")).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 
@@ -336,25 +369,26 @@ object Dedup {
     // projection over the scan, no explode and no shuffle needed.
     val sizes = df.select(col(idCol).as("__id"),
       size(shingles(col(textCol), n)).cast("long").as("__sz"))
-    // The exploded (id, shingle) relation feeds the frequency cap and both
-    // self-join sides. All three consumers need the same
-    // Exchange(hashpartitioning(__sh)) over the same canonical subtree
-    // (SHUFFLE_HASH keeps the cap join from broadcasting its side, which
-    // would re-derive the subtree instead of reusing the exchange), so the
-    // scan+shingle+explode pipeline runs once per action — no leaked
-    // persist. Callers running several actions pass a [[CacheScope]].
+    // One consumer for the exploded (id, shingle) relation: group the doc
+    // ids per shingle (= the inverted-posting list), prune unique shingles
+    // and hub shingles (list length IS the shingle frequency, so the skew
+    // cap needs no second aggregate or join), and emit within-posting
+    // pairs via [[bucketPairs]]. The scan→shingle→explode pipeline runs
+    // exactly once per action under any planner; `sizes` re-derives the
+    // cheap array-size projection from the scan instead of joining back
+    // into the heavy subtree.
     val sh = CacheScope.maybe(scope,
       df.select(col(idCol).as("__id"),
         explode(shingles(col(textCol), n)).as("__sh")))
-      .hint("SHUFFLE_HASH")
-    val freqOk = sh.groupBy("__sh").agg(count(lit(1)).as("__f"))
-      .where(col("__f") <= maxShingleFreq).select("__sh")
-      .hint("SHUFFLE_HASH")
-    val filtered = sh.join(freqOk, Seq("__sh"))
-    val inter = filtered.select(col("__sh"), col("__id").as("id_l"))
-      .join(filtered.select(col("__sh"), col("__id").as("id_r")), Seq("__sh"))
-      .where(col("id_l") < col("id_r"))
-      .groupBy("id_l", "id_r").agg(count(lit(1)).as("__inter"))
+    val postings = sh.select(col("__sh"), struct(col("__id")).as("__p"))
+      .groupBy("__sh").agg(collect_list(col("__p")).as("__ms"))
+      .where(size(col("__ms")) > 1 && size(col("__ms")) <= maxShingleFreq)
+    val inter = postings
+      .select(explode(col("__ms")).as("__l"), col("__ms"))
+      .select(col("__l"), explode(col("__ms")).as("__r"))
+      .where(col("__l.__id") < col("__r.__id"))
+      .groupBy(col("__l.__id").as("id_l"), col("__r.__id").as("id_r"))
+      .agg(count(lit(1)).as("__inter"))
     inter
       .join(sizes.withColumnRenamed("__id", "id_l").withColumnRenamed("__sz", "__sz_l"), Seq("id_l"))
       .join(sizes.withColumnRenamed("__id", "id_r").withColumnRenamed("__sz", "__sz_r"), Seq("id_r"))
@@ -393,12 +427,11 @@ object Dedup {
     val plen = greatest(
       (size(col("__hs")) - ceil(size(col("__hs")) * threshold) + 1).cast("int"),
       lit(1))
-    val prefix = hs.select(col("__id"),
+    val prefix = hs.select(struct(col("__id")).as("__p"),
       explode(slice(col("__hs"), lit(1), plen)).as("__h"))
-    val candidates = prefix.select(col("__h"), col("__id").as("id_l"))
-      .join(prefix.select(col("__h"), col("__id").as("id_r")), Seq("__h"))
-      .where(col("id_l") < col("id_r"))
-      .select("id_l", "id_r").distinct()
+    val candidates = bucketPairs(prefix, Seq("__h"), "__p")
+      .select(col("__l.__id").as("id_l"), col("__r.__id").as("id_r"))
+      .distinct()
     candidates
       .join(sh.select(col("__id").as("id_l"), col("__sh").as("sh_l")), Seq("id_l"))
       .join(sh.select(col("__id").as("id_r"), col("__sh").as("sh_r")), Seq("id_r"))
@@ -419,12 +452,18 @@ object Dedup {
                      threshold: Double = 0.8, numHashes: Int = 64,
                      bands: Int = 16, shingleN: Int = 3,
                      seed: Long = 42L): DataFrame = {
-    // candidates straight from the band join — NOT via minhashLshPairs,
-    // whose est_jaccard signature join-backs would stay in the plan (inner
-    // joins aren't eliminated by column pruning) and cost two extra
-    // signature computations that the exact verify below makes redundant
+    // candidates straight from the band buckets — NOT via minhashLshPairs,
+    // whose est_jaccard would drag the signatures through the bucket
+    // shuffle only for the exact verify below to discard them. The
+    // signature pipeline has ONE consumer (the band explode); ids alone
+    // ride into the buckets, and the exact verification joins the (cheap,
+    // scan-projected) shingle arrays onto the deduplicated candidates.
     val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleN, seed)
-    val candidates = bandCandidates(sig, bands, numHashes / bands)
+    val banded = bandedBuckets(sig, bands, numHashes / bands,
+      struct(col("__id")))
+    val candidates = bucketPairs(banded, Seq("__band", "__key"), "__p")
+      .select(col("__l.__id").as("id_l"), col("__r.__id").as("id_r"))
+      .distinct()
     val sh = df.select(col(idCol).as("__id"),
       shingles(col(textCol), shingleN).as("__sh"))
     val verified = candidates
@@ -457,24 +496,20 @@ object Dedup {
                        dim: Int = 64): DataFrame = {
     val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     // one bucket per band, independent planes via per-band seeds; built as
-    // a single array expression so it is evaluated once per row and only
-    // (id, band, bucket) flows through the explode
+    // a single array expression so it is evaluated once per row. The
+    // vector rides into the bucket collect (dim floats per member —
+    // bounded by the occupancy dial), cosine is computed within the
+    // bucket, and cross-band duplicate collisions collapse in one
+    // pair-keyed aggregate — the scan has ONE consumer, no join-back.
     val bucketArr = array((0 until bands).map(b =>
       Similarity.lshBucket(col("__v"), planes, dim, seed + 1000003L * b)): _*)
-    val banded = base.select(col("__id"),
+    val banded = base.select(struct(col("__id"), col("__v")).as("__p"),
       posexplode(bucketArr).as(Seq("__band", "__bucket")))
-    val candidates = banded
-      .select(col("__band"), col("__bucket"), col("__id").as("id_l"))
-      .hint("SHUFFLE_HASH")
-      .join(banded.select(col("__band"), col("__bucket"), col("__id").as("id_r"))
-        .hint("SHUFFLE_HASH"), Seq("__band", "__bucket"))
-      .where(col("id_l") < col("id_r"))
-      .select("id_l", "id_r").distinct()
-    candidates
-      .join(base.select(col("__id").as("id_l"), col("__v").as("v_l")), Seq("id_l"))
-      .join(base.select(col("__id").as("id_r"), col("__v").as("v_r")), Seq("id_r"))
-      .select(col("id_l"), col("id_r"),
-        Similarity.cosine(col("v_l"), col("v_r")).as("cosine"))
+    bucketPairs(banded, Seq("__band", "__bucket"), "__p")
+      .select(col("__l.__id").as("id_l"), col("__r.__id").as("id_r"),
+        Similarity.cosine(col("__l.__v"), col("__r.__v")).as("__c"))
+      .groupBy("id_l", "id_r")
+      .agg(max(col("__c")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 

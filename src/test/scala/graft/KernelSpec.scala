@@ -210,6 +210,27 @@ class KernelSpec extends AnyFunSuite {
     assert(mask.frame.df.orderBy("__idx_0").collect()(0).get(1) == true)
   }
 
+  test("withColumn on an existing label overwrites in place (no duplicate labels)") {
+    val df = DataFrame.fromLocal(spark, Seq("a", "b"),
+      Seq(Seq[Any](1.0, 10.0), Seq[Any](2.0, 20.0)))
+    // same-base overwrite: label count unchanged, position kept
+    val out = df.withColumn("a", df("a") * 100)
+    assert(out.columns.flatten == IndexedSeq("a", "b"))
+    assert(out.frame.df.orderBy("__idx_0").collect().map(_.get(1)).toSeq == Seq(100.0, 200.0))
+    // foreign overwrite: LEFT-aligned values replace the column, same position
+    val s = Series.fromLocal(spark, Seq(0L -> 7.0, 1L -> 8.0))
+    val out2 = df.withColumn("b", s)
+    assert(out2.columns.flatten == IndexedSeq("a", "b"))
+    val rows = out2.frame.df.orderBy("__idx_0").collect()
+    assert(rows.map(_.get(2)).toSeq == Seq(7.0, 8.0))
+    assert(rows.map(_.get(1)).toSeq == Seq(1.0, 2.0))
+  }
+
+  test("str.extract returns NULL (not \"\") when the pattern does not match") {
+    val s = Series.fromLocal(spark, Seq(0 -> "x1y", 1 -> "abc"))
+    assert(s.str.extract("(\\d)").values == Seq("1", null))
+  }
+
   test("withColumn foreign Series LEFT-aligns: disjoint index keys add no rows") {
     // pandas: df[c] = s reindexes s to df.index — s's extra key 5 is
     // dropped, df's unmatched key 1 gets NULL; row count stays 2
