@@ -1,0 +1,108 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression building word n-gram shingles from a text
+  * column in one compiled pass.
+  *
+  * This is the hot kernel at the head of every text-dedup pipeline
+  * (MinHash, exact Jaccard, repetition stats, contamination): the HOF
+  * form — `transform(sequence(0, size-n), i -> concat_ws(' ',
+  * slice(toks, i+1, n)))` — walks an interpreted lambda per window and
+  * allocates a slice array per element, which profiling showed to be
+  * ~70% of the whole MinHash signature cost. Here tokenization, window
+  * assembly and (optionally) first-occurrence dedup run as one static
+  * Java method that participates in whole-stage codegen.
+  *
+  * Semantics are IDENTICAL to the HOF form (and to the DuckDB oracle
+  * rendering in [[graft.operators.Dedup.shinglesOracleSqlExpr]]):
+  * tokens = non-empty pieces of a `\s+` split; texts with ≥ n tokens
+  * yield every consecutive n-window joined by a single space (with
+  * multiplicity unless `distinct`); shorter texts fall back to the one
+  * whitespace-normalized whole text (possibly the empty string).
+  */
+case class WordShingles(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles requires a string input, got $dt")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(t: Any): Any =
+    WordShingles.compute(t.asInstanceOf[UTF8String], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.WordShingles.compute($t, $n, $distinct)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  private val ws = Pattern.compile("\\s+")
+
+  /** One pass: split, window, join, optional first-occurrence dedup. */
+  def compute(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val pieces = ws.split(text.toString)
+    // java split keeps a leading "" for leading whitespace; drop empties
+    // (the HOF form's filter(len > 0))
+    var nTok = 0
+    var i = 0
+    while (i < pieces.length) {
+      if (!pieces(i).isEmpty) { pieces(nTok) = pieces(i); nTok += 1 }
+      i += 1
+    }
+    val out =
+      if (nTok < n) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < nTok) {
+          if (j > 0) sb.append(' ')
+          sb.append(pieces(j)); j += 1
+        }
+        Array(sb.toString)
+      } else {
+        val grams = new Array[String](nTok - n + 1)
+        var s = 0
+        while (s <= nTok - n) {
+          val sb = new java.lang.StringBuilder
+          var j = s
+          while (j < s + n) {
+            if (j > s) sb.append(' ')
+            sb.append(pieces(j)); j += 1
+          }
+          grams(s) = sb.toString
+          s += 1
+        }
+        grams
+      }
+    val kept =
+      if (!distinct) out
+      else {
+        val seen = new java.util.LinkedHashSet[String]()
+        var k = 0
+        while (k < out.length) { seen.add(out(k)); k += 1 }
+        seen.toArray(new Array[String](seen.size))
+      }
+    val utf8 = new Array[AnyRef](kept.length)
+    var m = 0
+    while (m < kept.length) { utf8(m) = UTF8String.fromString(kept(m)); m += 1 }
+    new GenericArrayData(utf8)
+  }
+}

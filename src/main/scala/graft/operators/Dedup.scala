@@ -121,20 +121,21 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dupes"))
 
   /** Word n-gram shingles (distinct). Short texts (< n tokens) yield the
-    * whole text as one shingle so they still participate. */
+    * whole text as one shingle so they still participate. Native
+    * codegen'd kernel — see [[graft.functions.WordShingles]]. */
   def shingles(text: Column, n: Int): Column =
-    array_distinct(shinglesAll(text, n))
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), n,
+        distinct = true))
 
   /** Word n-gram shingles WITH multiplicity (repetition statistics need
     * the raw occurrence stream, not the set). */
-  def shinglesAll(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val joined = concat_ws(" ", toks)
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array(joined))
-  }
+  def shinglesAll(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), n,
+        distinct = false))
 
   /** [[shingles]] rendered as DuckDB SQL over a text column reference:
     * identical tokenization (\s+ split, empties dropped), identical
@@ -168,19 +169,31 @@ object Dedup {
        |FROM j WHERE jaccard >= $threshold ORDER BY id_l, id_r""".stripMargin
   }
 
-  /** MinHash signature over an already-built shingle array column:
-    * `numHashes` independent hash functions via seeded xxhash64 (the seed
-    * is an extra hashed column — no affine-transform overflow under ANSI).
+  /** The k-member hash family over a base (already-hashed) long: two
+    * independent derived hashes combined as h1 + i·h2 (Kirsch–
+    * Mitzenmacher) — 2 long-hashes + k wrapping mul-adds per element
+    * instead of k long-hashes, with the min-wise independence minhash
+    * needs. Wrapping arithmetic relies on ANSI off (GraftSession
+    * default); the family is seed-deterministic so oracles can replay
+    * it. */
+  private def hashFamily(base: Column, numHashes: Int, seed: Long): Seq[Column] = {
+    val h1 = xxhash64(base, lit(seed))
+    val h2 = xxhash64(base, lit(seed + 1))
+    (0 until numHashes).map(i => h1 + h2 * lit(i.toLong))
+  }
+
+  /** MinHash signature over an already-built shingle array column.
     * Implemented as a SINGLE aggregate pass over the shingle array that
     * folds a k-wide min vector — the shingle array expression appears once
     * in the plan (an array(transform…) per function would be recomputed k
-    * times after Catalyst collapses projections). */
+    * times after Catalyst collapses projections). Same hash family as
+    * [[minhashSignatures]] (the whole-table form), so the two agree. */
   def minhashSignatureOf(shingleArr: Column, numHashes: Int = 64,
                          seed: Long = 42L): Column =
     aggregate(shingleArr,
       typedlit(Seq.fill(numHashes)(Long.MaxValue)),
       (acc, s) => zip_with(acc,
-        array((0 until numHashes).map(i => xxhash64(s, lit(seed + i))): _*),
+        array(hashFamily(xxhash64(s), numHashes, seed): _*),
         (a, b) => least(a, b)))
 
   /** MinHash signature straight from a text column. Prefer materializing
@@ -205,11 +218,13 @@ object Dedup {
     val ex = df.select(col(idCol).as("__id"),
       explode(shingles(col(textCol), shingleN)).as("__s"))
     // hash the variable-length shingle bytes ONCE, then derive the k
-    // family members by re-hashing the fixed 8-byte base — k× cheaper than
-    // k string hashes
+    // family members from two hashes of the fixed 8-byte base
+    // ([[hashFamily]]) — the per-shingle cost is 1 string hash + 2 long
+    // hashes + k mul-adds, not k string hashes
     val based = ex.select(col("__id"), xxhash64(col("__s")).as("__hb"))
     val hashed = based.select(col("__id") +:
-      (0 until numHashes).map(i => xxhash64(col("__hb"), lit(seed + i)).as(s"__h$i")): _*)
+      hashFamily(col("__hb"), numHashes, seed).zipWithIndex
+        .map { case (h, i) => h.as(s"__h$i") }: _*)
     val aggd = hashed.groupBy("__id")
       .agg(min(col("__h0")).as("__h0"),
         (1 until numHashes).map(i => min(col(s"__h$i")).as(s"__h$i")): _*)
@@ -238,14 +253,19 @@ object Dedup {
     * bounds the pair count itself. */
   private def bucketPairs(buckets: DataFrame, bucketCols: Seq[String],
                           payloadCol: String): DataFrame = {
+    // sort_array orders members by __id (first struct field; ids are
+    // distinct within a bucket by construction — one row per (doc,
+    // band)), so the triangular explode below emits each pair exactly
+    // once with __l.__id < __r.__id already true: generating the full
+    // m² cross product and filtering half away would double the
+    // Generate volume for nothing.
     val members = buckets.groupBy(bucketCols.map(col): _*)
-      .agg(collect_list(col(payloadCol)).as("__ms"))
+      .agg(sort_array(collect_list(col(payloadCol))).as("__ms"))
       .where(size(col("__ms")) > 1)
     members
-      .select(explode(col("__ms")).as("__l"), col("__ms"))
-      .select(col("__l"), explode(col("__ms")).as("__r"))
-      .where(col("__l.__id") < col("__r.__id"))
-      .select(col("__l"), col("__r"))
+      .select(col("__ms"), posexplode(col("__ms")).as(Seq("__i", "__l")))
+      .select(col("__l"),
+        explode(slice(col("__ms"), col("__i") + 2, size(col("__ms")))).as("__r"))
   }
 
   /** Candidate near-duplicate pairs via banded LSH over MinHash signatures.
