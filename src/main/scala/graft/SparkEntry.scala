@@ -557,6 +557,18 @@ object SparkEntry {
         .orderBy("lang", "shard")
     }),
 
+    // pipeline: GPT-style fixed-length sequence packing — docs
+    // concatenate per language and SPLIT across 2048-token boundaries;
+    // integral DIV math so the fragment table is engine-exact
+    "q_pack" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("text")).cast("long"))
+      ShardPack.packSequences(docs, "lang", "doc_id", "n_tokens",
+          seqLen = 2048L)
+        .orderBy("lang", "doc_id", "seq")
+    }),
+
     // extension: cut (fixed edges) + qcut (exact-percentile edges) binning,
     // counted per bin; the when-chains are codegen'd projections
     "q_cut" -> ((s, dir) => {
@@ -1552,6 +1564,23 @@ object SparkEntry {
         |SELECT lang, CAST(floor(off / 2000) AS BIGINT) AS shard,
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM a GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
+    "q_pack" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> len(t) > 0)) AS BIGINT) AS n_tokens FROM documents),
+        |a AS (SELECT lang, doc_id, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS off FROM d),
+        |f AS (SELECT * FROM a WHERE n_tokens > 0),
+        |s AS (SELECT lang, doc_id, off, n_tokens,
+        |  unnest(generate_series(off // 2048, (off + n_tokens - 1) // 2048))
+        |    AS seq FROM f)
+        |SELECT lang, doc_id, off AS "offset", seq,
+        |  greatest(seq * 2048 - off, 0) AS frag_start,
+        |  least((seq + 1) * 2048, off + n_tokens)
+        |    - greatest(seq * 2048, off) AS frag_len
+        |FROM s ORDER BY lang, doc_id, seq""".stripMargin,
     "q_cut" ->
       """SELECT bin, count(*) AS n, src FROM (
         |  SELECT CASE

@@ -54,8 +54,12 @@ object Dedup {
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct(), "edges")
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    // seed labels with one propagation step folded in — min(self, direct
+    // neighbors) is a plain groupBy over the (bidirectional) edge list,
+    // no join; duplicate clusters are near-cliques (diameter 1), so the
+    // loop then usually runs a single confirming iteration
+    var labels = edges.groupBy("src").agg(min(col("dst")).as("__m"))
+      .select(col("src").as("node"), least(col("src"), col("__m")).as("label"))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {

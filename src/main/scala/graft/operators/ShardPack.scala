@@ -34,4 +34,41 @@ object ShardPack {
                     tokenCol: String): DataFrame =
     assigned.groupBy(col(partitionCol), col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).as("n_tokens"))
+
+  /** GPT-style sequence packing: documents concatenate in id order (per
+    * pack key) into FIXED-length sequences of `seqLen` tokens, and a
+    * document spanning a boundary is SPLIT across the adjacent
+    * sequences — unlike [[assignShards]] (which keeps docs whole and
+    * lets shards run ragged), this is the layout a fixed-context
+    * training loader consumes directly.
+    *
+    * Output: one row per (document, sequence) fragment — (key, id,
+    * offset, seq, frag_start, frag_len): `offset` = corpus token
+    * offset of the doc within its key, `frag_start` = first token of
+    * the fragment within the doc, `frag_len` its length. A doc covering
+    * sequences s0..s1 emits one row per sequence via a bounded explode
+    * (s1-s0+1 rows, each ≥1 token — never corpus-quadratic). All math
+    * is integral (`DIV`), so two engines agree bit-for-bit. Zero-token
+    * docs are dropped (they occupy no sequence positions); the running
+    * offsets are unaffected since they contribute nothing to the sums.
+    * One hash shuffle (the per-key window) — no global order. */
+  def packSequences(docs: DataFrame, partitionCol: String, idCol: String,
+                    tokenCol: String, seqLen: Long): DataFrame = {
+    require(seqLen > 0, "sequence length must be positive")
+    val w = Window.partitionBy(partitionCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("offset", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .where(col(tokenCol) > 0)
+      .withColumn("seq", explode(sequence(
+        expr(s"offset DIV $seqLen"),
+        expr(s"(offset + `$tokenCol` - 1) DIV $seqLen"))))
+      .withColumn("frag_start",
+        greatest(col("seq") * seqLen - col("offset"), lit(0L)))
+      .withColumn("frag_len",
+        least((col("seq") + 1) * seqLen, col("offset") + col(tokenCol)) -
+          greatest(col("seq") * seqLen, col("offset")))
+      .select(col(partitionCol), col(idCol), col("offset"), col("seq"),
+        col("frag_start"), col("frag_len"))
+  }
 }

@@ -401,6 +401,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m(("de", 0L)) == (1L, 100L))
   }
 
+  test("packSequences splits docs across fixed boundaries, fragments tile exactly") {
+    val docs = Seq(("en", 1L, 600L), ("en", 2L, 600L), ("en", 3L, 900L),
+      ("en", 4L, 0L), ("de", 5L, 2500L))
+      .toDF("lang", "doc_id", "n_tokens")
+    val p = ShardPack.packSequences(docs, "lang", "doc_id", "n_tokens", 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // en: offsets 0,600,1200 -> doc1 [0,600) seq0; doc2 [600,1200) splits
+    // 600..1000 seq0 + 1000..1200 seq1; doc3 [1200,2100) splits at 2000
+    assert(p.filter(_._1 == "en").toSet == Set(
+      ("en", 1L, 0L, 0L, 600L),
+      ("en", 2L, 0L, 0L, 400L), ("en", 2L, 1L, 400L, 200L),
+      ("en", 3L, 1L, 0L, 800L), ("en", 3L, 2L, 800L, 100L)))
+    // de: one 2500-token doc spans seqs 0..2
+    assert(p.filter(_._1 == "de").toSet == Set(
+      ("de", 5L, 0L, 0L, 1000L), ("de", 5L, 1L, 1000L, 1000L),
+      ("de", 5L, 2L, 2000L, 500L)))
+    // zero-token doc 4 emits nothing
+    assert(!p.exists(_._2 == 4L))
+    // invariant: per-doc fragment lengths sum to n_tokens
+    val sums = p.groupBy(x => (x._1, x._2)).view.mapValues(_.map(_._5).sum)
+    assert(sums(("en", 3L)) == 900L && sums(("de", 5L)) == 2500L)
+  }
+
   test("latestByKey keeps the newest version per key") {
     val changelog = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "x"))
       .toDF("k", "v", "payload")
