@@ -384,6 +384,12 @@ object DataFrame {
                options: Map[String, String] = Map.empty): DataFrame =
     fromSpark(spark.read.options(options).json(path), columns, index)
 
+  /** ORC source — same columnar pushdown/pruning contract as parquet
+    * (the other first-class columnar format a lake actually holds). */
+  def fromOrc(spark: SparkSession, path: String,
+              columns: Seq[String] = Nil, index: Seq[String] = Nil): DataFrame =
+    fromSpark(spark.read.orc(path), columns, index)
+
   /** Registered catalog table / view — the closest analog of the
     * reference's `from_table` against a live database. */
   def fromTable(spark: SparkSession, name: String,

@@ -656,6 +656,26 @@ private[graft] trait SetOpsExtensions { this: DataFrame =>
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path)
   }
+
+  /** Sink: ORC with the same layout contract as [[writeParquet]]. */
+  def writeOrc(path: String, includeIndex: Boolean = true,
+               mode: String = "overwrite",
+               partitionBy: Seq[String] = Nil): Unit = {
+    val w = toSpark(includeIndex).write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .orc(path)
+  }
+
+  /** Sink: CSV with a header (interchange, not lake storage). */
+  def writeCsv(path: String, includeIndex: Boolean = true,
+               mode: String = "overwrite",
+               options: Map[String, String] = Map("header" -> "true")): Unit =
+    toSpark(includeIndex).write.mode(mode).options(options).csv(path)
+
+  /** Sink: JSON lines. */
+  def writeJson(path: String, includeIndex: Boolean = true,
+                mode: String = "overwrite"): Unit =
+    toSpark(includeIndex).write.mode(mode).json(path)
 }
 
 object Frames {

@@ -98,14 +98,15 @@ object Similarity {
   /** Symmetric int8 quantization: q_j = clamp(floor(x_j·127/scale)).
     * floor, not round — floor is engine-exact, while half-up rounding of
     * a double quotient is not portable bit-for-bit. Zero vectors (scale
-    * 0) quantize to zeros. */
-  def quantizeInt8(v: Column): Column = {
-    val scale = quantScale(v)
-    transform(v, x =>
-      when(scale === 0.0, lit(0)).otherwise(
+    * 0) quantize to zeros. The scale rides in via zip_with/array_repeat
+    * so it is computed ONCE per row — a subexpression inside a HOF
+    * lambda is re-evaluated per ELEMENT, which made the original
+    * transform form O(d²) interpreted work per vector. */
+  def quantizeInt8(v: Column): Column =
+    zip_with(v, array_repeat(quantScale(v), size(v)), (x, s) =>
+      when(s === 0.0, lit(0)).otherwise(
         greatest(lit(-127.0), least(lit(127.0),
-          floor(x.cast("double") * 127.0 / scale))).cast("int")))
-  }
+          floor(x.cast("double") * 127.0 / s))).cast("int")))
 
   /** [[lshBucket]] rendered as DuckDB SQL: the hyperplanes are
     * deterministic from (planes, dim, seed), so they inline as double

@@ -144,6 +144,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(DataFrame.fromTable(spark, "nation_v").len == d.count())
   }
 
+  test("orc/csv/json sinks round-trip through their matching sources") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val n = DataFrame.fromParquet(spark, s"$dir/nation.parquet",
+      index = Seq("n_nationkey"))
+    n.writeOrc(s"$tmp/orc", partitionBy = Seq("n_regionkey"))
+    val o = DataFrame.fromOrc(spark, s"$tmp/orc", index = Seq("n_nationkey"))
+    assert(o.len == n.len)
+    assert(o.columns.flatten.toSet.contains("n_name"))
+    n.writeCsv(s"$tmp/csv")
+    assert(DataFrame.fromCsv(spark, s"$tmp/csv").len == n.len)
+    n.writeJson(s"$tmp/json")
+    assert(DataFrame.fromJson(spark, s"$tmp/json").len == n.len)
+  }
+
   test("unstack pivots the last index level into columns") {
     val ev = DataFrame.fromParquet(spark, s"$dir/events.parquet",
       columns = Seq("user_id", "event_type", "event_id"))
