@@ -128,13 +128,27 @@ object GraftStreaming {
   }
 
   /** Drive a stream to completion against a memory sink (test/local
-    * harness): returns the materialized table name. */
+    * harness): returns the materialized table name.
+    *
+    * `statePartitions` caps the stateful-operator partition count for
+    * THIS query (stateful streaming snapshots the shuffle-partition
+    * setting at first start): every state partition pays per-batch
+    * store-commit and checkpoint-file I/O, so a batch-replay harness
+    * over one file wants far fewer than a throughput deployment —
+    * sizing state partitions per stream is the standard knob, and it
+    * lives in the query's own checkpoint, not the session. The session
+    * setting is restored before returning. */
   def runToMemory(df: DataFrame, name: String,
-                  outputMode: String = "append"): StreamingQuery = {
-    val q = df.writeStream.outputMode(outputMode)
+                  outputMode: String = "append",
+                  statePartitions: Int = 8): StreamingQuery = {
+    val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, statePartitions.toString)
+    try df.writeStream.outputMode(outputMode)
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q
+    finally spark.conf.set(key, prev)
   }
 }
