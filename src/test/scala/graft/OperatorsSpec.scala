@@ -425,6 +425,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sums(("en", 3L)) == 900L && sums(("de", 5L)) == 2500L)
   }
 
+  test("native WordShingles kernel matches the HOF form on edge inputs") {
+    // the declarative HOF spelling the kernel replaced — kept here as the
+    // semantic oracle for the compiled implementation
+    def hofAll(text: org.apache.spark.sql.Column, n: Int) = {
+      val toks = TextAnalysis.tokens(text)
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", toks)))
+    }
+    val cases = Seq("hello world foo bar", "one two", "", "   ",
+      "\ttab\tsep\n line  break ", "a a a a", "solo",
+      "unicode ÊÊÊ tokens 日本語 mixed")
+    val df = cases.toDF("text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val gotAll = df.select(Dedup.shinglesAll(col("text"), n)).collect().map(_.getSeq[String](0))
+      val expAll = df.select(hofAll(col("text"), n)).collect().map(_.getSeq[String](0))
+      assert(gotAll.toSeq == expAll.toSeq, s"multiplicity n=$n")
+      val gotD = df.select(Dedup.shingles(col("text"), n)).collect().map(_.getSeq[String](0))
+      val expD = df.select(array_distinct(hofAll(col("text"), n))).collect().map(_.getSeq[String](0))
+      assert(gotD.toSeq == expD.toSeq, s"distinct n=$n")
+    }
+    // null text stays null-tolerant (row dropped by explode)
+    val withNull = Seq(Some("a b c"), None).toDF("text")
+    assert(withNull.select(explode(Dedup.shingles(col("text"), 2))).count() == 2)
+  }
+
   test("latestByKey keeps the newest version per key") {
     val changelog = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "x"))
       .toDF("k", "v", "payload")
