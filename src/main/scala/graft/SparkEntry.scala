@@ -433,13 +433,9 @@ object SparkEntry {
       val copy2 = docs.where(col("doc_id") < 10)
         .select((col("doc_id") + 200000).as("doc_id"), col("text"), col("n_chars"))
       val all = docs.unionAll(copy1).unionAll(copy2)
-      val fp = all.select(col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fp"))
-      val pairs = fp.as("a").join(fp.as("b"),
-          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val pairs = Dedup.exactTextPairs(all, "text", "doc_id")
       Dedup.canonicalize(all,
-          Dedup.duplicateClusters(pairs, "id_a", "id_b"), "doc_id", "n_chars")
+          Dedup.duplicateClusters(pairs, "id_l", "id_r"), "doc_id", "n_chars")
         .orderBy("cluster")
     }),
 
@@ -536,12 +532,9 @@ object SparkEntry {
         .select((col("doc_id") + 100000).as("doc_id"), col("text"))
       val copy2 = docs.where(col("doc_id") < 10)
         .select((col("doc_id") + 200000).as("doc_id"), col("text"))
-      val fp = docs.unionAll(copy1).unionAll(copy2)
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-      val pairs = fp.as("a").join(fp.as("b"),
-          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      Dedup.duplicateClusters(pairs, "id_a", "id_b")
+      val pairs = Dedup.exactTextPairs(
+        docs.unionAll(copy1).unionAll(copy2), "text", "doc_id")
+      Dedup.duplicateClusters(pairs, "id_l", "id_r")
         .orderBy("node")
     }),
 

@@ -124,6 +124,18 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dupes"))
 
+  /** All intra-fingerprint duplicate pairs (id_l < id_r) — the exact-dup
+    * edge list feeding [[duplicateClusters]]/[[canonicalize]]. One
+    * groupBy(fingerprint) + triangular within-bucket explode; a
+    * fingerprint SELF-join would recompute the normalize+md5 text scan
+    * once per side (the same single-consumer rule as the LSH buckets). */
+  def exactTextPairs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = df.select(TextAnalysis.fingerprint(col(textCol)).as("__fp"),
+      struct(col(idCol).as("__id")).as("__p"))
+    bucketPairs(fp, Seq("__fp"), "__p")
+      .select(col("__l.__id").as("id_l"), col("__r.__id").as("id_r"))
+  }
+
   /** Word n-gram shingles (distinct). Short texts (< n tokens) yield the
     * whole text as one shingle so they still participate. Native
     * codegen'd kernel — see [[graft.functions.WordShingles]]. */

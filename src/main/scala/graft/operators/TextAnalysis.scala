@@ -124,15 +124,21 @@ object TextAnalysis {
       s"'$UrlRe', '[URL]', 'g'), '$EmailRe', '[EMAIL]', 'g'), " +
       s"'$LongDigitsRe', '[NUM]', 'g')"
 
+  /** Whitespace-normalized lowercase text — native kernel, byte-identical
+    * to `regexp_replace(lower(trim(text)), '\s+', ' ')` (see
+    * [[graft.functions.NormalizeWs]]). */
+  def normalizeWs(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.NormalizeWs(
+        org.apache.spark.sql.GraftSqlBridge.expression(text)))
+
   /** Stable document fingerprint: md5 of whitespace-normalized lowercase
     * text. md5 so external engines (the DuckDB oracle) can reproduce it;
     * use [[xxFingerprint]] in shuffles where a cheap 64-bit key wins. */
-  def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+  def fingerprint(text: Column): Column = md5(normalizeWs(text))
 
   /** 64-bit fingerprint for join/shuffle keys (xxHash64, codegen'd). */
-  def xxFingerprint(text: Column): Column =
-    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+  def xxFingerprint(text: Column): Column = xxhash64(normalizeWs(text))
 
   /** Gopher-style repetition statistics per document over word n-grams:
     * total/distinct n-gram counts, the fraction of n-gram occurrences

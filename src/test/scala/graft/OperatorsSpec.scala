@@ -452,6 +452,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(withNull.select(explode(Dedup.shingles(col("text"), 2))).count() == 2)
   }
 
+  test("native NormalizeWs kernel is byte-identical to the regex form") {
+    val cases = Seq("  Hello   WORLD  ", "\tTabs\nand\r\nbreaks here ",
+      "", "   ", "NoWs", "Ünïcode ÅÄÖ  Text", "日本語\tテスト", "a\fb")
+    val df = cases.toDF("text")
+    val got = df.select(TextAnalysis.normalizeWs(col("text"))).collect().map(_.getString(0))
+    val exp = df.select(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == exp.toSeq)
+  }
+
   test("latestByKey keeps the newest version per key") {
     val changelog = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "x"))
       .toDF("k", "v", "payload")
