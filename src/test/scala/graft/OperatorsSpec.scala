@@ -136,6 +136,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(GraftSqlBridge.noCachedPlans(spark), "CacheScope did not release")
   }
 
+  test("duplicateClusters holds no RDD blocks after returning") {
+    // the round-2 leak was BLOCK-level (localCheckpoint caches RDD
+    // blocks, not plans), which the cache-manager assertion above cannot
+    // see — assert directly on the persistent-RDD registry
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    Dedup.duplicateClusters(pairs, "id_a", "id_b").count()
+    val persisted = spark.sparkContext.getPersistentRDDs
+    assert(persisted.isEmpty,
+      s"duplicateClusters left ${persisted.size} persistent RDD(s) behind")
+  }
+
   test("TopKByScore partial aggregate ≡ row_number window top-k, exactly") {
     import org.apache.spark.sql.expressions.Window
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -55,12 +55,15 @@ def compare(name, got, exp):
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sfdir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    if only is not None:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     fails = 0
     for name, sql in sorted(oracle.items()):
         try:
