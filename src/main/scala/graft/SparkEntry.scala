@@ -550,6 +550,26 @@ object SparkEntry {
         .orderBy("lang", "shard")
     }),
 
+    // pipeline: RAG-style overlapping token chunking — 64-token windows
+    // every 48 tokens, no shuffle (pure per-doc expansion)
+    "q_chunks" -> ((s, dir) => {
+      TextAnalysis.chunkTokens(table(s, dir, "documents"),
+          "doc_id", "text", chunkSize = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // pipeline: token-budget mixture sampling — per language, docs in
+    // stable md5 order until 50k tokens (first crossing doc included)
+    "q_budget_sample" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("text")).cast("long"))
+        .select("lang", "doc_id", "n_tokens")
+      Sampling.budgetSample(docs, "lang", "doc_id", "n_tokens",
+          budget = 50000L)
+        .orderBy("lang", "doc_id")
+    }),
+
     // pipeline: GPT-style fixed-length sequence packing — docs
     // concatenate per language and SPLIT across 2048-token boundaries;
     // integral DIV math so the fragment table is engine-exact
@@ -1557,6 +1577,30 @@ object SparkEntry {
         |SELECT lang, CAST(floor(off / 2000) AS BIGINT) AS shard,
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM a GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
+    "q_chunks" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> len(t) > 0) AS toks FROM documents),
+        |f AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d
+        |  WHERE len(toks) > 0),
+        |s AS (SELECT doc_id, toks, n,
+        |  unnest(generate_series(0, n - 1, 48)) AS st FROM f)
+        |SELECT doc_id, st // 48 AS chunk_idx,
+        |  array_to_string(list_slice(toks, st + 1, least(st + 64, n)), ' ')
+        |    AS chunk_text,
+        |  least(64, n - st) AS n_tokens
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_budget_sample" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> len(t) > 0)) AS BIGINT) AS n_tokens FROM documents),
+        |a AS (SELECT lang, doc_id, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS off FROM d)
+        |SELECT lang, doc_id, n_tokens FROM a WHERE off < 50000
+        |ORDER BY lang, doc_id""".stripMargin,
     "q_pack" ->
       """WITH d AS (SELECT doc_id, lang,
         |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),

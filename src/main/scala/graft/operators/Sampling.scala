@@ -32,6 +32,25 @@ object Sampling {
   def deterministicShuffle(df: DataFrame, idCol: String): DataFrame =
     df.orderBy(md5(col(idCol).cast("string")), col(idCol))
 
+  /** Token-budget stratified sample — the data-mixture curation step:
+    * per key (language, source, ...), keep documents in a stable
+    * md5-pseudo-random order until the key's token budget is reached
+    * (first doc crossing the budget is INCLUDED: every non-empty key
+    * yields at least one doc and budgets are met, not undershot). One
+    * per-key window shuffle, integer running sums — deterministic
+    * across runs and engines, unlike fraction-based sampling, and it
+    * targets what mixture weights actually mean: tokens, not rows. */
+  def budgetSample(df: DataFrame, keyCol: String, idCol: String,
+                   tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__off", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .where(col("__off") < budget)
+      .drop("__off")
+  }
+
   /** Deterministic weighted sample without replacement (Efraimidis–
     * Spirakis A-ES): each row gets key = ln(u)/w with u a stable
     * md5-derived uniform in (0,1], and the k LARGEST keys win — heavier

@@ -198,6 +198,33 @@ object TextAnalysis {
       .select(col(idCol), col("token"), col("tf"), col("df"),
         col("idf"), col("tfidf"))
   }
+
+  /** RAG-style overlapping token chunks: windows of `chunkSize` tokens
+    * starting every `chunkSize - overlap` tokens (the last chunk may be
+    * shorter; docs with zero tokens emit nothing). One bounded Generate
+    * per document — ~n/step rows each — and integer starts, so the
+    * chunk table is engine-exact and embarrassingly parallel (no
+    * shuffle at all: chunking is a per-row expansion).
+    *
+    * Output: (id, chunk_idx, chunk_text, n_tokens). */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, chunkSize: Int,
+                  overlap: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val step = (chunkSize - overlap).toLong
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) > 0)
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(0L), (size(col("__t")) - 1).cast("long"),
+          lit(step))).as("__s"))
+      .select(col(idCol),
+        expr(s"__s DIV $step").as("chunk_idx"),
+        concat_ws(" ", slice(col("__t"), (col("__s") + 1).cast("int"),
+          lit(chunkSize))).as("chunk_text"),
+        least(lit(chunkSize.toLong),
+          size(col("__t")).cast("long") - col("__s")).as("n_tokens"))
+  }
 }
 
 /** Language-ID profiles shared between the Spark expression and the DuckDB

@@ -463,6 +463,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(withNull.select(explode(Dedup.shingles(col("text"), 2))).count() == 2)
   }
 
+  test("chunkTokens tiles docs with overlap; budgetSample stops past the budget") {
+    val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, "a b"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val ch = TextAnalysis.chunkTokens(docs, "doc_id", "text", chunkSize = 4,
+        overlap = 1).orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // doc 1: starts 0,3,6,9 -> [w1..w4], [w4..w7], [w7..w10], [w10]
+    assert(ch.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0L, "w1 w2 w3 w4", 4L), (1L, 1L, "w4 w5 w6 w7", 4L),
+      (1L, 2L, "w7 w8 w9 w10", 4L), (1L, 3L, "w10", 1L)))
+    assert(ch.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "a b", 2L)))
+    assert(!ch.exists(_._1 == 3L)) // zero-token doc emits nothing
+    // budget: md5 order is fixed; keep docs until cumulative >= budget,
+    // first crossing doc included, later ones dropped
+    val t = Seq(("en", 1L, 30L), ("en", 2L, 30L), ("en", 3L, 30L), ("de", 4L, 5L))
+      .toDF("lang", "doc_id", "n_tokens")
+    val kept = Sampling.budgetSample(t, "lang", "doc_id", "n_tokens", 40L)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(kept.contains(4L))          // de under budget: everything kept
+    assert((kept - 4L).size == 2)      // en: exactly two of three survive
+    val total = Sampling.budgetSample(t, "lang", "doc_id", "n_tokens", 1L)
+      .collect().length
+    assert(total == 2)                 // budget 1: first doc per key only
+  }
+
   test("native NormalizeWs kernel is byte-identical to the regex form") {
     val cases = Seq("  Hello   WORLD  ", "\tTabs\nand\r\nbreaks here ",
       "", "   ", "NoWs", "Ünïcode ÅÄÖ  Text", "日本語\tテスト", "a\fb")
