@@ -1015,6 +1015,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // multimodal audio: REAL RIFF/WAVE header synthesis (byte-exact LE
+    // fields from expressions) round-tripped through the byte parser;
+    // oracle recomputes the header arithmetic from the text byte length
+    "q_audio" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val mm = Multimodal.withAudioPayload(docs, "text")
+      val probed = Multimodal.probeAudio(mm.repartition(8), "content")
+      Multimodal.frameSampleMeta(probed, "probed_audio", 4)
+        .select(col("doc_id"),
+          col("probed_audio.sample_rate").as("sample_rate"),
+          col("probed_audio.channels").as("channels"),
+          col("probed_audio.n_samples").as("n_samples"),
+          col("sampled_meta.sample_rate").as("fs_rate"),
+          col("sampled_meta.n_samples").as("fs_samples"))
+        .orderBy("doc_id")
+    }),
+
     // extension: left merge with NULL-extension semantics
     "q_merge_left" -> ((s, dir) => {
       val o = DataFrame.fromParquet(s, s"$dir/orders.parquet",
@@ -1965,6 +1982,17 @@ object SparkEntry {
         |  CAST(round(width * sc) AS INT) AS rs_width,
         |  CAST(round(height * sc) AS INT) AS rs_height
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_audio" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(8000 + (strlen(text) * 7) % 36001 AS INT) AS sample_rate,
+        |    CAST(1 + strlen(text) % 2 AS INT) AS channels,
+        |    strlen(text) AS ds FROM documents),
+        |s AS (SELECT doc_id, sample_rate, channels,
+        |    CAST(ds // (channels * 2) AS BIGINT) AS n_samples FROM m)
+        |SELECT doc_id, sample_rate, channels, n_samples,
+        |  CAST(sample_rate // 4 AS INT) AS fs_rate,
+        |  CAST((n_samples + 3) // 4 AS BIGINT) AS fs_samples
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_merge_left" ->
       """SELECT o_orderkey, o_totalprice, p_retailprice
         |FROM orders LEFT JOIN part ON o_orderkey = p_partkey

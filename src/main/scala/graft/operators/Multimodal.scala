@@ -185,6 +185,126 @@ object Multimodal {
     }(enc)
   }
 
+  /** metadata struct carried next to every audio payload */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** RIFF/WAVE container codec — the audio twin of [[ImageCodec]]: a
+    * fully documented format needing no codec library, so the header
+    * parse is REAL; compressed audio (mp3/flac) would slot in without
+    * touching the Spark plumbing. */
+  object AudioCodec {
+    /** (sampleRate, channels, bits, nSamples) from a PCM WAV header, or
+      * None for anything else. Walks the chunk list (fmt / data may come
+      * in any order, with vendor chunks between). */
+    private[operators] def parse(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      def le32(o: Int): Int =
+        (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+          ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+      def le16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+      def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+      if (b == null || b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
+        return None
+      var i = 12
+      var rate, ch, bits = -1
+      var dataLen = -1L
+      while (i + 8 <= b.length && (rate < 0 || dataLen < 0)) {
+        val id = tag(i); val sz = le32(i + 4)
+        if (id == "fmt " && i + 24 <= b.length) {
+          ch = le16(i + 10); rate = le32(i + 12); bits = le16(i + 22)
+        } else if (id == "data") {
+          dataLen = math.min(sz.toLong & 0xFFFFFFFFL,
+            math.max(b.length - i - 8, 0).toLong) // truncated payloads pool what exists
+        }
+        // word-aligned chunks; a garbage negative size would spin, so bail
+        if (sz < 0) i = b.length else i += 8 + sz + (sz & 1)
+      }
+      if (rate <= 0 || ch <= 0 || bits <= 0 || dataLen < 0) None
+      else Some((rate, ch, bits, dataLen / math.max(ch * (bits / 8), 1)))
+    }
+
+    /** Header probe: unknown containers probe as zeros/"unknown" —
+      * crawled corpora always contain garbage payloads. */
+    def probe(bytes: Array[Byte]): (Int, Int, Int, Long, String) =
+      parse(bytes) match {
+        case Some((r, c, bt, n)) => (r, c, bt, n, "wav")
+        case None => (0, 0, 0, 0L, "unknown")
+      }
+  }
+
+  private def byteHex(c: Column): Column =
+    lpad(hex(pmod(c, lit(256))), 2, "0")
+  private def leU16Hex(c: Column): Column =
+    concat(byteHex(c), byteHex(c.divide(lit(256)).cast("int")))
+  private def leU32Hex(c: Column): Column = concat(
+    byteHex(c), byteHex(c.divide(lit(256)).cast("int")),
+    byteHex(c.divide(lit(65536)).cast("int")),
+    byteHex(c.divide(lit(16777216)).cast("int")))
+
+  /** Wrap a text/id table into an audio frame: a VALID PCM WAV payload
+    * (real RIFF header assembled byte-for-byte with expressions, the
+    * text's UTF-8 bytes as the sample data) plus encoding-side metadata.
+    * Header fields derive from the text's byte length only —
+    * SQL-expressible on purpose, so an external oracle can recompute
+    * what [[probeAudio]] must parse back out of the bytes. */
+  def withAudioPayload(df: DataFrame, srcCol: String,
+                       contentCol: String = "content"): DataFrame = {
+    val dataSize = octet_length(col(srcCol))
+    val rate = (lit(8000) + pmod(dataSize * 7, lit(36001))).cast("int")
+    val ch = (lit(1) + pmod(dataSize, lit(2))).cast("int")
+    val blockAlign = ch * lit(2)
+    val header = concat(
+      lit("52494646"), leU32Hex(lit(36) + dataSize), // RIFF <size>
+      lit("57415645"), lit("666d7420"), lit("10000000"), // WAVE fmt <16>
+      lit("0100"), leU16Hex(ch), leU32Hex(rate), // PCM, channels, rate
+      leU32Hex(rate * blockAlign), leU16Hex(blockAlign), lit("1000"), // 16-bit
+      lit("64617461"), leU32Hex(dataSize)) // data <size>
+    df.withColumn(contentCol,
+        concat(unhex(header), col(srcCol).cast(BinaryType)))
+      .withColumn("audio_meta", struct(
+        rate.as("sample_rate"), ch.as("channels"), lit(16).as("bits"),
+        (dataSize.cast("long") / blockAlign).cast("long").as("n_samples"),
+        lit("wav").as("format")))
+  }
+
+  /** Per-partition streaming WAV probe → metadata struct parsed from the
+    * payload BYTES (not trusted from upstream metadata). */
+  def probeAudio(df: DataFrame, contentCol: String,
+                 outCol: String = "probed_audio"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField(outCol, audioMetaSchema, nullable = true))
+    val idx = inSchema.fieldIndex(contentCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val m = if (bytes == null) null else {
+          val (rate, ch, bits, n, f) = AudioCodec.probe(bytes)
+          Row(rate, ch, bits, n, f)
+        }
+        Row.fromSeq(r.toSeq :+ m)
+      }
+    }(enc)
+  }
+
+  /** Metadata-level frame sampling: every `everyN`-th sample — the audio
+    * analog of [[resizeMeta]] (bookkeeping as pure expressions; the
+    * sample work is the codec's concern). */
+  def frameSampleMeta(df: DataFrame, metaCol: String, everyN: Int): DataFrame = {
+    require(everyN > 0)
+    df.withColumn("sampled_meta", struct(
+      (col(s"$metaCol.sample_rate") / everyN).cast("int").as("sample_rate"),
+      col(s"$metaCol.channels").as("channels"),
+      col(s"$metaCol.bits").as("bits"),
+      ((col(s"$metaCol.n_samples") + everyN - 1)
+        .divide(everyN)).cast("long").as("n_samples"),
+      col(s"$metaCol.format").as("format")))
+  }
+
   /** Metadata-level resize: target box, preserve aspect (pure expression —
     * the pixel work is the codec's concern, the bookkeeping is real). */
   def resizeMeta(df: DataFrame, metaCol: String, maxW: Int, maxH: Int): DataFrame = {

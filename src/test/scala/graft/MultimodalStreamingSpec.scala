@@ -81,6 +81,31 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(plan == Seq(0L, 10L, 20L, 30L, 40L))
   }
 
+  test("multimodal: probeAudio re-parses exactly what withAudioPayload encoded") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(30)
+    val mm = Multimodal.withAudioPayload(docs, "text")
+    val probed = Multimodal.probeAudio(mm.repartition(3), "content")
+    val rows = probed.select("audio_meta.sample_rate", "audio_meta.channels",
+      "audio_meta.n_samples", "probed_audio.sample_rate",
+      "probed_audio.channels", "probed_audio.n_samples",
+      "probed_audio.format").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(3), "sample_rate round-trip")
+      assert(r.getInt(1) == r.getInt(4), "channels round-trip")
+      assert(r.getLong(2) == r.getLong(5), "n_samples round-trip")
+      assert(r.getString(6) == "wav")
+    }
+    // garbage payloads probe as unknown, never throw
+    import spark.implicits._
+    val junk = Seq(Tuple1(Array[Byte](1, 2, 3)),
+      Tuple1("RIFFxxxxJUNK".getBytes("US-ASCII")),
+      Tuple1(Array.empty[Byte])).toDF("content")
+    val p = Multimodal.probeAudio(junk, "content")
+      .select("probed_audio.format").collect().map(_.getString(0))
+    assert(p.forall(_ == "unknown"))
+  }
+
   test("streaming: watermarked windowed counts over events drop") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
     spark.read.parquet(s"$dir/events.parquet").limit(500)
