@@ -1032,6 +1032,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // multimodal video: real Y4M stream synthesis (header + FRAME
+    // sections) frame-COUNTED back by the chunk-walking parser; oracle
+    // recomputes dimensions/frame count from the text byte length
+    "q_video" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val mm = Multimodal.withVideoPayload(docs, "text")
+      val probed = Multimodal.probeVideo(mm.repartition(8), "content")
+      Multimodal.videoFrameSamplePlan(probed, "probed_video",
+          everyN = 2, maxFrames = 3)
+        .select(col("doc_id"),
+          col("probed_video.width").as("width"),
+          col("probed_video.fps_num").as("fps_num"),
+          col("probed_video.n_frames").as("n_frames"),
+          size(col("sampled_frames")).as("n_sampled"))
+        .orderBy("doc_id")
+    }),
+
     // extension: left merge with NULL-extension semantics
     "q_merge_left" -> ((s, dir) => {
       val o = DataFrame.fromParquet(s, s"$dir/orders.parquet",
@@ -1993,6 +2010,14 @@ object SparkEntry {
         |  CAST(sample_rate // 4 AS INT) AS fs_rate,
         |  CAST((n_samples + 3) // 4 AS BIGINT) AS fs_samples
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_video" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(24 + strlen(text) % 7 AS INT) AS fps_num,
+        |    CAST(1 + strlen(text) % 5 AS BIGINT) AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, 4 AS width, fps_num, n_frames,
+        |  CAST(least(n_frames - 1, 4) // 2 + 1 AS INT) AS n_sampled
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_merge_left" ->
       """SELECT o_orderkey, o_totalprice, p_retailprice
         |FROM orders LEFT JOIN part ON o_orderkey = p_partkey

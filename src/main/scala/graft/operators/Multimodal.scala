@@ -291,6 +291,147 @@ object Multimodal {
     }(enc)
   }
 
+  /** metadata struct carried next to every video payload */
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("fps_num", IntegerType, nullable = false),
+    StructField("fps_den", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** YUV4MPEG2 (Y4M) container codec — the video leg of the multimodal
+    * triple. Y4M is the fully documented uncompressed interchange format
+    * (text stream header `YUV4MPEG2 W.. H.. F..:..`, then one `FRAME`
+    * marker + raster per frame), so BOTH the header parse and the frame
+    * COUNT are real byte work, no codec library. Compressed containers
+    * (mp4/webm) would slot in without touching the Spark plumbing. */
+  object VideoCodec {
+    /** (width, height, fpsNum, fpsDen, nFrames) or None. Frames are
+      * counted by walking `FRAME` markers with the 4:2:0 raster stride
+      * (w*h*3/2); truncated payloads count the whole frames present. */
+    private[operators] def parse(b: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
+      val magic = "YUV4MPEG2 ".getBytes("US-ASCII")
+      if (b == null || b.length < magic.length) return None
+      var i = 0
+      while (i < magic.length) { if (b(i) != magic(i)) return None; i += 1 }
+      var w, h, fn, fd = -1
+      // header params are space-separated tags until '\n'
+      while (i < b.length && b(i) != '\n'.toByte) {
+        val tag = b(i)
+        i += 1
+        var v = 0; var v2 = -1; var num = true
+        while (i < b.length && b(i) != ' '.toByte && b(i) != '\n'.toByte) {
+          val c = b(i)
+          if (c >= '0'.toByte && c <= '9'.toByte) {
+            if (num) v = v * 10 + (c - '0'.toByte)
+            else v2 = (if (v2 < 0) 0 else v2) * 10 + (c - '0'.toByte)
+          } else if (c == ':'.toByte) num = false
+          i += 1
+        }
+        if (i < b.length && b(i) == ' '.toByte) i += 1
+        tag match {
+          case 'W' => w = v
+          case 'H' => h = v
+          case 'F' => fn = v; fd = math.max(v2, 1)
+          case _ => () // interlace/aspect/colorspace tags: irrelevant here
+        }
+      }
+      if (w <= 0 || h <= 0 || i >= b.length) return None
+      i += 1 // the header '\n'
+      // count FRAME markers (params after FRAME allowed, ended by '\n')
+      val frameStride = w.toLong * h * 3 / 2 // 4:2:0, the Y4M default
+      var n = 0L
+      val fm = "FRAME".getBytes("US-ASCII")
+      var ok = true
+      while (ok && i + fm.length <= b.length) {
+        var j = 0
+        while (j < fm.length && b(i + j) == fm(j)) j += 1
+        if (j < fm.length) ok = false
+        else {
+          i += fm.length
+          while (i < b.length && b(i) != '\n'.toByte) i += 1
+          i += 1 // frame header '\n'
+          if (i + frameStride <= b.length) { n += 1; i += frameStride.toInt }
+          else ok = false // truncated trailing frame: not counted
+        }
+      }
+      Some((w, h, math.max(fn, 1), math.max(fd, 1), n))
+    }
+
+    def probe(bytes: Array[Byte]): (Int, Int, Int, Int, Long, String) =
+      parse(bytes) match {
+        case Some((w, h, fn, fd, n)) => (w, h, fn, fd, n, "y4m")
+        case None => (0, 0, 0, 0, 0L, "unknown")
+      }
+  }
+
+  /** Wrap a text/id table into a video frame: a VALID Y4M payload — real
+    * stream header, `n_frames` FRAME sections whose 4:2:0 rasters are
+    * deterministic repeats of the text bytes — plus encoding-side
+    * metadata. Dimensions and frame count derive from the text byte
+    * length only (SQL-expressible) so the oracle can recompute what
+    * [[probeVideo]] must count back out of the bytes. Tiny 4x2 frames
+    * keep the synthesized payload bounded (12 raster bytes per frame). */
+  def withVideoPayload(df: DataFrame, srcCol: String,
+                       contentCol: String = "content"): DataFrame = {
+    val dataSize = octet_length(col(srcCol))
+    val w = lit(4)
+    val h = lit(2)
+    val fpsNum = (lit(24) + pmod(dataSize, lit(7))).cast("int")
+    val nFrames = (lit(1) + pmod(dataSize, lit(5))).cast("int")
+    val stride = 12 // 4*2*3/2
+    // one frame's raster: 12 bytes of the text's md5 hex — pure ASCII by
+    // construction, so the byte stride equals the char count even for
+    // multi-byte source text
+    val raster = substring(md5(col(srcCol).cast(BinaryType)), 1, stride)
+    val frame = concat(lit("FRAME\n"), raster)
+    val header = concat(lit("YUV4MPEG2 W4 H2 F"), fpsNum.cast("string"),
+      lit(":1 Ip A1:1 C420\n"))
+    df.withColumn(contentCol,
+        concat(header, concat_ws("",
+          transform(sequence(lit(1), nFrames), _ => frame))).cast(BinaryType))
+      .withColumn("video_meta", struct(
+        w.as("width"), h.as("height"), fpsNum.as("fps_num"),
+        lit(1).as("fps_den"), nFrames.cast("long").as("n_frames"),
+        lit("y4m").as("format")))
+  }
+
+  /** Per-partition streaming Y4M probe → metadata struct parsed and
+    * frame-counted from the payload BYTES. */
+  def probeVideo(df: DataFrame, contentCol: String,
+                 outCol: String = "probed_video"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField(outCol, videoMetaSchema, nullable = true))
+    val idx = inSchema.fieldIndex(contentCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val m = if (bytes == null) null else {
+          val (w, h, fn, fd, n, f) = VideoCodec.probe(bytes)
+          Row(w, h, fn, fd, n, f)
+        }
+        Row.fromSeq(r.toSeq :+ m)
+      }
+    }(enc)
+  }
+
+  /** Metadata-level frame-sample plan for video: the kept frame indices
+    * (every `everyN`-th, capped) — the same bookkeeping the existing
+    * [[frameSamplePlan]] provides for a frame-count column, lifted onto
+    * the probed video struct. */
+  def videoFrameSamplePlan(df: DataFrame, metaCol: String, everyN: Int,
+                           maxFrames: Int): DataFrame = {
+    require(everyN > 0 && maxFrames > 0)
+    val n = col(s"$metaCol.n_frames")
+    df.withColumn("sampled_frames",
+      when(n <= 0, array().cast(ArrayType(LongType, containsNull = false)))
+        .otherwise(sequence(lit(0L),
+          least((n - 1), lit((maxFrames - 1).toLong * everyN)),
+          lit(everyN.toLong))))
+  }
+
   /** Metadata-level frame sampling: every `everyN`-th sample — the audio
     * analog of [[resizeMeta]] (bookkeeping as pure expressions; the
     * sample work is the codec's concern). */

@@ -106,6 +106,29 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(p.forall(_ == "unknown"))
   }
 
+  test("multimodal: probeVideo counts exactly the frames withVideoPayload wrote") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(30)
+    val mm = Multimodal.withVideoPayload(docs, "text")
+    val probed = Multimodal.probeVideo(mm.repartition(3), "content")
+    val rows = probed.select("video_meta.n_frames", "video_meta.fps_num",
+      "probed_video.n_frames", "probed_video.fps_num",
+      "probed_video.width", "probed_video.height",
+      "probed_video.format").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(2), "frame count round-trip")
+      assert(r.getInt(1) == r.getInt(3), "fps round-trip")
+      assert(r.getInt(4) == 4 && r.getInt(5) == 2)
+      assert(r.getString(6) == "y4m")
+    }
+    // a hand-built two-frame stream parses exactly; truncation drops the tail
+    val two = ("YUV4MPEG2 W4 H2 F30:1 C420\n" +
+      "FRAME\nabcdefghijkl" + "FRAME\nmnopqrstuvwx").getBytes("US-ASCII")
+    assert(Multimodal.VideoCodec.probe(two) == ((4, 2, 30, 1, 2L, "y4m")))
+    assert(Multimodal.VideoCodec.probe(two.dropRight(3)) == ((4, 2, 30, 1, 1L, "y4m")))
+    assert(Multimodal.VideoCodec.probe("garbage".getBytes)._6 == "unknown")
+  }
+
   test("streaming: watermarked windowed counts over events drop") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
     spark.read.parquet(s"$dir/events.parquet").limit(500)
