@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property parity for the hand-rolled byte kernels against the
+  * declarative Spark forms they replaced: random whitespace-heavy
+  * unicode strings, one DataFrame round trip per property (each row is a
+  * case). Raw ScalaCheck generators with fixed seeds (the scalatestplus
+  * bridge is not in the offline cache). */
+class KernelPropSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // whitespace-dense alphabet with multi-byte chars and regex metachars
+  private val alphabet: Gen[Char] = Gen.frequency(
+    6 -> Gen.oneOf(' ', '\t', '\n', '\r', '\f', ''),
+    10 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf('Ä', 'ß', 'ü', 'Ω', '日', '本', 'λ'),
+    2 -> Gen.oneOf('.', '*', '(', ')', '[', '\\', '#'))
+
+  private val texts: Seq[String] = {
+    val g = Gen.chooseNum(0, 60).flatMap(n => Gen.stringOfN(n, alphabet))
+    (0 until 300).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+  }
+
+  test("WordShingles ≡ HOF transform/slice form on random unicode text") {
+    def hofAll(text: org.apache.spark.sql.Column, n: Int) = {
+      val toks = TextAnalysis.tokens(text)
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", toks)))
+    }
+    val df = texts.toDF("text")
+    for (n <- Seq(1, 2, 4)) {
+      val bad = df.select(
+          Dedup.shinglesAll(col("text"), n).as("k"),
+          hofAll(col("text"), n).as("h"),
+          Dedup.shingles(col("text"), n).as("kd"),
+          array_distinct(hofAll(col("text"), n)).as("hd"))
+        .where(col("k") =!= col("h") || col("kd") =!= col("hd"))
+      assert(bad.count() == 0, s"kernel/HOF divergence at n=$n")
+    }
+  }
+
+  test("NormalizeWs ≡ regexp_replace(lower(trim(.)), '\\s+', ' ') on random text") {
+    val df = texts.toDF("text")
+    val bad = df.select(col("text"),
+        TextAnalysis.normalizeWs(col("text")).as("k"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("r"))
+      .where(col("k") =!= col("r"))
+    assert(bad.count() == 0, "kernel/regex divergence: " +
+      bad.take(3).map(_.toString).mkString("; "))
+  }
+}
