@@ -28,7 +28,10 @@ object GraftSession {
                   shufflePartitions: Int = 32): SparkSession = {
     val s = builder(master, shufflePartitions).getOrCreate()
     graft.functions.CosineSimilarity.register(s)
+    graft.functions.DotProduct.register(s)
     graft.functions.TopKByScore.register(s)
+    graft.functions.WordShingles.register(s)
+    graft.functions.NormalizeWs.register(s)
     s
   }
 

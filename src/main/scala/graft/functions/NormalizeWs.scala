@@ -43,6 +43,11 @@ case class NormalizeWs(child: Expression) extends UnaryExpression {
 }
 
 object NormalizeWs {
+  /** SQL surface: `graft_normalize_ws(text)`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_normalize_ws", exprs => new NormalizeWs(exprs(0)), "scala_udf")
+
   private def isAsciiWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 

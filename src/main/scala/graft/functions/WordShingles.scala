@@ -55,6 +55,15 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
 }
 
 object WordShingles {
+  /** SQL surface: `graft_shingles(text, n[, distinct])`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles",
+      exprs => new WordShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue,
+        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Boolean] else true),
+      "scala_udf")
+
   private val ws = Pattern.compile("\\s+")
 
   /** One pass: split, window, join, optional first-occurrence dedup. */

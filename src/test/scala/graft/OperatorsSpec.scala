@@ -315,6 +315,14 @@ class OperatorsSpec extends AnyFunSuite {
       """SELECT graft_top_k(CAST(vec_id AS DOUBLE), vec_id, 3) t
         |FROM emb100""".stripMargin).collect()(0).getSeq[org.apache.spark.sql.Row](0)
     assert(topSql.map(_.getLong(1)) == Seq(99L, 98L, 97L))
+    // text kernels are SQL-registered too
+    graft.functions.WordShingles.register(spark)
+    graft.functions.NormalizeWs.register(spark)
+    val txt = spark.sql(
+      "SELECT graft_shingles('a b c d', 3) s, graft_normalize_ws('  A  b\tC ') n")
+      .collect()(0)
+    assert(txt.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(txt.getString(1) == "a b c")
   }
 
   test("range join: bucketized equals naive cross+filter") {
