@@ -6,6 +6,7 @@ import graft.api.{DataFrame, Frames, Series}
 import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Sampling, ShardPack, Similarity, TextAnalysis, WindowOps}
 import graft.streaming.GraftStreaming
 import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each mirrored by equivalent DuckDB SQL in [[oracleSql]].
@@ -234,6 +235,38 @@ object SparkEntry {
         .select(col("o_orderkey"),
           greatest(least(col("o_totalprice"), col("p95")), col("p05")).as("w"))
         .orderBy("o_orderkey")
+    }),
+
+    // pipeline: per-group z-score feature scaling — decimal-exact moments
+    // over ONE unordered window, doubles only at the final arithmetic
+    "q_zscore" -> ((s, dir) => {
+      WindowOps.zscore(table(s, dir, "orders"), Seq("o_orderpriority"),
+          "o_totalprice")
+        .select(col("o_orderkey"), round(col("z"), 6).as("z"))
+        .orderBy("o_orderkey")
+    }),
+
+    // pipeline: incremental-ingest novelty — batch docs (id%10>=7) anti-
+    // joined on fingerprint against the corpus (id%10<8); the %10==7
+    // docs ARE corpus members, so exactly the 8/9 buckets survive
+    "q_novel" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+      val batch = docs.where(pmod(col("doc_id"), lit(10)) >= 7)
+      Dedup.novelAgainst(batch, corpus, "text", "doc_id")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // pipeline: per-language quality gate — keep docs strictly above the
+    // language's median quality (percentile window over rounded scores)
+    "q_quality_filter" -> ((s, dir) => {
+      val scored = table(s, dir, "documents").select(col("doc_id"),
+        col("lang"), round(TextAnalysis.qualityScore(col("text")), 6).as("q"))
+      scored
+        .withColumn("med", expr("percentile(q, 0.5)")
+          .over(Window.partitionBy(col("lang"))))
+        .where(col("q") > col("med"))
+        .select("doc_id", "lang").orderBy("doc_id")
     }),
 
     // exact per-group quantiles (percentile inside groupBy — one pass)
@@ -1933,6 +1966,31 @@ object SparkEntry {
     "q_quality" ->
       s"""SELECT doc_id, round(${graft.operators.TextAnalysis.qualityOracleSqlExpr("text")}, 6) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_zscore" ->
+      """WITH a AS (SELECT o_orderkey, o_totalprice,
+        |  count(*) OVER w AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(o_totalprice * o_totalprice AS DECIMAL(38,8)))
+        |    OVER w AS DOUBLE) AS s2
+        |  FROM orders WINDOW w AS (PARTITION BY o_orderpriority))
+        |SELECT o_orderkey,
+        |  round((o_totalprice - s1 / n) /
+        |    sqrt((s2 - (s1 / n) * (s1 / n) * n) / (n - 1)), 6) AS z
+        |FROM a ORDER BY o_orderkey""".stripMargin,
+    "q_novel" ->
+      """WITH fp AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM documents),
+        |b AS (SELECT doc_id, f FROM fp WHERE doc_id % 10 >= 7),
+        |c AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 < 8)
+        |SELECT doc_id FROM b ANTI JOIN c USING (f) ORDER BY doc_id""".stripMargin,
+    "q_quality_filter" -> {
+      val q = graft.operators.TextAnalysis.qualityOracleSqlExpr("text")
+      s"""WITH s AS (SELECT doc_id, lang, round($q, 6) AS q FROM documents),
+         |m AS (SELECT lang, quantile_cont(q, 0.5) AS med FROM s GROUP BY lang)
+         |SELECT s.doc_id, s.lang FROM s JOIN m USING (lang)
+         |WHERE s.q > m.med ORDER BY doc_id""".stripMargin
+    },
     "q_contam" -> {
       val sh = graft.operators.Dedup.shinglesOracleSqlExpr("text", 3)
       s"""WITH probes AS (SELECT doc_id AS probe_id, $sh AS s

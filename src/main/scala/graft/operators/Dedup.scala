@@ -136,6 +136,18 @@ object Dedup {
       .select(col("__l.__id").as("id_l"), col("__r.__id").as("id_r"))
   }
 
+  /** Incremental-ingest novelty: new-batch docs whose normalized text
+    * fingerprint does NOT already exist in the corpus — LEFT ANTI join
+    * on the fingerprint, the snapshot-vs-batch half of exact dedup (the
+    * corpus side reduces to a distinct fingerprint set; at scale that
+    * set is the thing you keep materialized between ingests). */
+  def novelAgainst(newDocs: DataFrame, corpus: DataFrame,
+                   textCol: String, idCol: String): DataFrame =
+    newDocs.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(corpus.select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+        .distinct(), Seq("__fp"), "left_anti")
+      .drop("__fp")
+
   /** Word n-gram shingles (distinct). Short texts (< n tokens) yield the
     * whole text as one shingle so they still participate. Native
     * codegen'd kernel — see [[graft.functions.WordShingles]]. */

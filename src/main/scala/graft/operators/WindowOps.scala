@@ -15,6 +15,29 @@ object WindowOps {
   private def spec(partitionBy: Seq[String], orderBy: Seq[String]): WindowSpec =
     Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy.map(col): _*)
 
+  /** Per-group z-score normalization (feature scaling), engine-exact:
+    * both moments accumulate in DECIMAL over ONE unordered group window
+    * (no agg + join-back), and doubles appear only at the final
+    * mean/variance arithmetic — so two engines that mirror the same
+    * expression tree agree bit-for-bit. Sample variance (n-1), like
+    * pandas/DuckDB stddev defaults. */
+  def zscore(df: DataFrame, partitionBy: Seq[String], valueCol: String,
+             outCol: String = "z"): DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 8)
+    val xd = col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4))
+    val n = count(col(valueCol)).over(w)
+    val s1 = sum(xd).over(w).cast("double")
+    // the square is one IEEE double multiply (bit-deterministic in any
+    // engine); only the SUM runs in decimal — a decimal×decimal product
+    // would need precision 38+ and engines disagree on how to truncate it
+    val s2 = sum((col(valueCol) * col(valueCol)).cast(dec38)).over(w)
+      .cast("double")
+    val mean = s1 / n
+    val variance = (s2 - mean * mean * n) / (n - 1)
+    df.withColumn(outCol, (col(valueCol) - mean) / sqrt(variance))
+  }
+
   /** lag/lead (pandas shift; positive n looks back). */
   def shift(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
             valueCol: String, n: Int = 1, outCol: String = "shifted"): DataFrame =
