@@ -59,6 +59,33 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(s.qcut(3).values.toSet == Set("q1"))
   }
 
+  test("round-3 operators on degenerate inputs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // zscore: single-row group → divisor (n-1) = 0 → NULL (Spark's
+    // non-ANSI division-by-zero), never a throw
+    val one = Seq(("a", 5.0)).toDF("k", "v")
+    val z = graft.operators.WindowOps.zscore(one, Seq("k"), "v")
+      .select("z").collect()(0)
+    assert(z.isNullAt(0))
+    // budgetSample: zero-token docs cost nothing and survive the cut
+    val zt = Seq(("en", 1L, 0L), ("en", 2L, 0L), ("en", 3L, 10L))
+      .toDF("lang", "doc_id", "n_tokens")
+    assert(graft.operators.Sampling.budgetSample(zt, "lang", "doc_id",
+      "n_tokens", 5L).count() == 3)
+    // packSequences/chunkTokens: empty frames flow through
+    val empty = Seq.empty[(String, Long, Long)].toDF("lang", "doc_id", "n_tokens")
+    assert(graft.operators.ShardPack.packSequences(empty, "lang", "doc_id",
+      "n_tokens", 100L).count() == 0)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.TextAnalysis.chunkTokens(noDocs, "doc_id", "text",
+      8, 2).count() == 0)
+    // novelAgainst: empty corpus → whole batch is novel
+    val batch = Seq((1L, "hello world")).toDF("doc_id", "text")
+    assert(graft.operators.Dedup.novelAgainst(batch, noDocs, "text",
+      "doc_id").count() == 1)
+  }
+
   test("empty dedup/cluster inputs produce empty outputs") {
     import spark.implicits._
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
