@@ -1353,6 +1353,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
         .orderBy("event_type")
+    }),
+
+    // Structured Streaming: flatMapGroupsWithState sessionization with
+    // BATCH PARITY — per-user sentinel events (ts shifted 31 years past
+    // the WHOLE dataset span, poisoned value) arrive in the same batch
+    // and force every real session closed through the gap logic itself
+    // (no timeout-boundary semantics in play); sentinel sessions are
+    // filtered by the poison. Oracle = full batch sessionization —
+    // stream ≡ batch.
+    "q_stream_sessionize" -> ((s, dir) => {
+      val out = s"stream_sess_${System.nanoTime()}"
+      val gapNs = 1800L * 1000000000L
+      // µs-truncated ns on BOTH engines (DuckDB stores parquet ns
+      // timestamps at µs precision, so epoch_ns() returns µs*1000)
+      val ev = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+        .withColumn("ts", expr("ts DIV 1000 * 1000"))
+        .withColumn("event_time", GraftStreaming.eventTime(col("ts")))
+      val sentinels = ev
+        .withColumn("ts", col("ts") + lit(1000000000000000000L))
+        .withColumn("value", lit(-1e18))
+        .withColumn("event_time", GraftStreaming.eventTime(col("ts")))
+      val sess = GraftStreaming.sessionize(ev.unionByName(sentinels), gapNs,
+        watermark = "87600 hours")
+      val q = GraftStreaming.runToMemory(sess, out)
+      q.awaitTermination(300000)
+      s.table(out)
+        .where(col("closed") && col("totalValue") > -1e17)
+        .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
+          col("firstTsNs").as("first_ts"), col("lastTsNs").as("last_ts"))
+        .orderBy("user_id", "first_ts")
     })
   )
 
@@ -1713,6 +1743,19 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_sessionize" ->
+      """WITH f AS (SELECT user_id, epoch_ns(ts) AS tsn,
+        |  CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+        |        OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+        |       THEN 1 ELSE 0 END AS nf
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+        |s AS (SELECT user_id, tsn,
+        |  CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY tsn
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM f)
+        |SELECT user_id, count(*) AS n_events,
+        |  min(tsn) AS first_ts, max(tsn) AS last_ts
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, first_ts""".stripMargin,
     "q_melt" ->
       """SELECT l_orderkey, l_linenumber, variable, value FROM (
         |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
