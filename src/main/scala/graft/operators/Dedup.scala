@@ -43,10 +43,9 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
                         maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
-    val tmp = java.nio.file.Files.createTempDirectory("graft-cc-")
-    tmp.toFile.deleteOnExit()
+    val tmp = org.apache.spark.sql.GraftSqlBridge.managedTempDir("graft-cc")
     def materialize(df: DataFrame, name: String): DataFrame = {
-      val p = tmp.resolve(name).toString
+      val p = new java.io.File(tmp, name).getAbsolutePath
       df.write.mode("overwrite").parquet(p)
       spark.read.parquet(p)
     }

@@ -15,4 +15,11 @@ object GraftSqlBridge {
     * private[sql]). */
   def noCachedPlans(spark: SparkSession): Boolean =
     spark.sharedState.cacheManager.isEmpty
+
+  /** A scratch directory Spark deletes RECURSIVELY at JVM shutdown
+    * (`Utils.createTempDir` registers it with the shutdown-delete hook;
+    * a bare `deleteOnExit` only removes an empty directory, leaking the
+    * parquet files written inside). */
+  def managedTempDir(prefix: String): java.io.File =
+    org.apache.spark.util.Utils.createTempDir(namePrefix = prefix)
 }
