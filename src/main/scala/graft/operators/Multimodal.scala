@@ -103,26 +103,31 @@ object Multimodal {
       * (header promises more pixels than the payload carries) pool what
       * exists — the defensive posture for crawled data. Unknown containers
       * pool the whole payload. */
-    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
-      val off = parse(bytes).map(_._5).getOrElse(0)
-      val out = new Array[Float](dim)
-      if (bytes == null) return out
-      val n = math.max(bytes.length - off, 0)
-      if (n == 0) return out
-      var j = 0
-      while (j < dim) {
-        val lo = off + (j.toLong * n / dim).toInt
-        val hi = off + ((j + 1).toLong * n / dim).toInt
-        if (hi > lo) {
-          var acc = 0L
-          var i = lo
-          while (i < hi) { acc += bytes(i) & 0xFF; i += 1 }
-          out(j) = (acc.toDouble / (hi - lo) / 255.0).toFloat
-        }
-        j += 1
+    def features(bytes: Array[Byte], dim: Int): Array[Float] =
+      poolBytes(bytes, parse(bytes).map(_._5).getOrElse(0), dim)
+  }
+
+  /** Shared payload-pooling kernel: mean of unsigned bytes per bucket,
+    * normalized to [0,1]. */
+  private[operators] def poolBytes(bytes: Array[Byte], off: Int,
+                                   dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (bytes == null) return out
+    val n = math.max(bytes.length - off, 0)
+    if (n == 0) return out
+    var j = 0
+    while (j < dim) {
+      val lo = off + (j.toLong * n / dim).toInt
+      val hi = off + ((j + 1).toLong * n / dim).toInt
+      if (hi > lo) {
+        var acc = 0L
+        var i = lo
+        while (i < hi) { acc += bytes(i) & 0xFF; i += 1 }
+        out(j) = (acc.toDouble / (hi - lo) / 255.0).toFloat
       }
-      out
+      j += 1
     }
+    out
   }
 
   /** Wrap a text/id table into a multimodal frame: a VALID binary-PPM
@@ -198,10 +203,10 @@ object Multimodal {
     * parse is REAL; compressed audio (mp3/flac) would slot in without
     * touching the Spark plumbing. */
   object AudioCodec {
-    /** (sampleRate, channels, bits, nSamples) from a PCM WAV header, or
-      * None for anything else. Walks the chunk list (fmt / data may come
-      * in any order, with vendor chunks between). */
-    private[operators] def parse(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    /** (sampleRate, channels, bits, nSamples, dataOffset) from a PCM WAV
+      * header, or None for anything else. Walks the chunk list (fmt /
+      * data may come in any order, with vendor chunks between). */
+    private[operators] def parse(b: Array[Byte]): Option[(Int, Int, Int, Long, Int)] = {
       def le32(o: Int): Int =
         (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
           ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
@@ -212,11 +217,13 @@ object Multimodal {
       var i = 12
       var rate, ch, bits = -1
       var dataLen = -1L
+      var dataOff = -1
       while (i + 8 <= b.length && (rate < 0 || dataLen < 0)) {
         val id = tag(i); val sz = le32(i + 4)
         if (id == "fmt " && i + 24 <= b.length) {
           ch = le16(i + 10); rate = le32(i + 12); bits = le16(i + 22)
         } else if (id == "data") {
+          dataOff = i + 8
           dataLen = math.min(sz.toLong & 0xFFFFFFFFL,
             math.max(b.length - i - 8, 0).toLong) // truncated payloads pool what exists
         }
@@ -224,16 +231,26 @@ object Multimodal {
         if (sz < 0) i = b.length else i += 8 + sz + (sz & 1)
       }
       if (rate <= 0 || ch <= 0 || bits <= 0 || dataLen < 0) None
-      else Some((rate, ch, bits, dataLen / math.max(ch * (bits / 8), 1)))
+      else Some((rate, ch, bits,
+        dataLen / math.max(ch * (bits / 8), 1), dataOff))
     }
 
     /** Header probe: unknown containers probe as zeros/"unknown" —
       * crawled corpora always contain garbage payloads. */
     def probe(bytes: Array[Byte]): (Int, Int, Int, Long, String) =
       parse(bytes) match {
-        case Some((r, c, bt, n)) => (r, c, bt, n, "wav")
+        case Some((r, c, bt, n, _)) => (r, c, bt, n, "wav")
         case None => (0, 0, 0, 0L, "unknown")
       }
+
+    /** Audio feature kernel: mean-pool the PCM data bytes into `dim`
+      * contiguous buckets, normalized to [0,1] — the audio twin of
+      * [[ImageCodec.features]] (truncated payloads pool what exists;
+      * unknown containers pool the whole payload). */
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val off = parse(bytes).map(_._5).getOrElse(0)
+      poolBytes(bytes, off, dim)
+    }
   }
 
   private def byteHex(c: Column): Column =

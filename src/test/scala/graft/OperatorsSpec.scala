@@ -496,6 +496,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(total == 2)                 // budget 1: first doc per key only
   }
 
+  test("minhashSignatures (table form) ≡ minhashSignature (per-row HOF form)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(40)
+    val table = Dedup.minhashSignatures(docs, "doc_id", "text", 32, 3, 7L)
+    val hof = docs.select(col("doc_id").as("__id"),
+      Dedup.minhashSignature(col("text"), 32, 3, 7L).as("__sig"))
+    assert(table.join(hof.withColumnRenamed("__sig", "__sig2"), "__id")
+      .where(col("__sig") =!= col("__sig2")).count() == 0,
+      "the two MinHash formulations must share one hash family")
+  }
+
   test("native NormalizeWs kernel is byte-identical to the regex form") {
     val cases = Seq("  Hello   WORLD  ", "\tTabs\nand\r\nbreaks here ",
       "", "   ", "NoWs", "Ünïcode ÅÄÖ  Text", "日本語\tテスト", "a\fb")
