@@ -449,6 +449,25 @@ object Multimodal {
           lit(everyN.toLong))))
   }
 
+  /** Per-partition streaming audio decode → fixed-dim feature vector
+    * column (same iterator plumbing as [[decodeImages]]). */
+  def decodeAudio(df: DataFrame, contentCol: String, dim: Int = 16,
+                  outCol: String = "audio_features"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField(outCol,
+      ArrayType(FloatType, containsNull = false), nullable = true))
+    val idx = inSchema.fieldIndex(contentCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val feats = if (bytes == null) null
+        else AudioCodec.features(bytes, dim).toSeq
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(enc)
+  }
+
   /** Metadata-level frame sampling: every `everyN`-th sample — the audio
     * analog of [[resizeMeta]] (bookkeeping as pure expressions; the
     * sample work is the codec's concern). */

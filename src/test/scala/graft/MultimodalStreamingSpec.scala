@@ -96,6 +96,12 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       assert(r.getLong(2) == r.getLong(5), "n_samples round-trip")
       assert(r.getString(6) == "wav")
     }
+    // decode plumbing: bounded feature vectors from the PCM data
+    val feats = Multimodal.decodeAudio(mm.repartition(3), "content", dim = 8)
+      .select("audio_features").collect()
+    assert(feats.forall { r =>
+      val a = r.getSeq[Float](0); a.length == 8 && a.forall(v => v >= 0f && v <= 1f)
+    })
     // garbage payloads probe as unknown, never throw
     import spark.implicits._
     val junk = Seq(Tuple1(Array[Byte](1, 2, 3)),
