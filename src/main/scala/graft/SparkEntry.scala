@@ -237,6 +237,17 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // extension: engine-exact numeric describe (long format) — decimal
+    // moments, doubles only at the final arithmetic (zscore contract)
+    "q_describe" -> ((s, dir) => {
+      DataFrame.fromSpark(table(s, dir, "lineitem"))
+        .describeStats(Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .toSpark(includeIndex = false)
+        .select(col("column"), col("n"), round(col("mean"), 6).as("mean"),
+          round(col("std"), 6).as("std"), col("mn"), col("mx"))
+        .orderBy("column")
+    }),
+
     // pipeline: per-group z-score feature scaling — decimal-exact moments
     // over ONE unordered window, doubles only at the final arithmetic
     "q_zscore" -> ((s, dir) => {
@@ -2009,6 +2020,29 @@ object SparkEntry {
     "q_quality" ->
       s"""SELECT doc_id, round(${graft.operators.TextAnalysis.qualityOracleSqlExpr("text")}, 6) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_describe" ->
+      """WITH s AS (
+        |  SELECT 'l_quantity' AS "column", count(l_quantity) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s2,
+        |    CAST(min(l_quantity) AS DOUBLE) AS mn,
+        |    CAST(max(l_quantity) AS DOUBLE) AS mx FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(l_extendedprice),
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE),
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE),
+        |    CAST(min(l_extendedprice) AS DOUBLE),
+        |    CAST(max(l_extendedprice) AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', count(l_discount),
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE),
+        |    CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,8))) AS DOUBLE),
+        |    CAST(min(l_discount) AS DOUBLE),
+        |    CAST(max(l_discount) AS DOUBLE) FROM lineitem)
+        |SELECT "column", n, round(s1 / n, 6) AS mean,
+        |  round(sqrt((s2 - (s1 / n) * (s1 / n) * n) / (n - 1)), 6) AS std,
+        |  mn, mx
+        |FROM s ORDER BY "column"""".stripMargin,
     "q_zscore" ->
       """WITH a AS (SELECT o_orderkey, o_totalprice,
         |  count(*) OVER w AS n,

@@ -306,6 +306,34 @@ private[graft] trait DataFrameExtensions { this: DataFrame =>
     DataFrame.fromSpark(sdf.summary("count", "mean", "stddev", "min", "max"))
   }
 
+  /** ENGINE-EXACT numeric describe in long format — one row per column:
+    * (column, n, mean, std, min, max). Unlike [[describe]] (Spark's
+    * string-typed `summary`, float accumulation), the moments accumulate
+    * in DECIMAL and doubles appear only in the final mean/std arithmetic
+    * — two engines mirroring the expression tree agree bit-for-bit (the
+    * same contract as `WindowOps.zscore`). One aggregate job per column,
+    * unioned (columns is the short axis; rows never move twice). */
+  def describeStats(cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "describeStats needs at least one column")
+    val sdf = this.toSpark(includeIndex = false)
+    val parts = cols.map { c =>
+      val x = scol(c)
+      val xd = x.cast(org.apache.spark.sql.types.DecimalType(18, 4))
+      val x2d = (x * x).cast(org.apache.spark.sql.types.DecimalType(38, 8))
+      sdf.agg(count(x).as("n"),
+          org.apache.spark.sql.functions.sum(xd).cast("double").as("s1"),
+          org.apache.spark.sql.functions.sum(x2d).cast("double").as("s2"),
+          org.apache.spark.sql.functions.min(x).cast("double").as("mn"),
+          org.apache.spark.sql.functions.max(x).cast("double").as("mx"))
+        .select(lit(c).as("column"), scol("n"),
+          (scol("s1") / scol("n")).as("mean"),
+          sqrt((scol("s2") - (scol("s1") / scol("n")) * (scol("s1") / scol("n"))
+            * scol("n")) / (scol("n") - 1)).as("std"),
+          scol("mn"), scol("mx"))
+    }
+    DataFrame.fromSpark(parts.reduce(_.unionAll(_)))
+  }
+
   /** Per-column distinct counts as a one-row frame. */
   def nunique(): DataFrame = {
     val sdf = this.toSpark(includeIndex = false)
