@@ -311,27 +311,32 @@ private[graft] trait DataFrameExtensions { this: DataFrame =>
     * string-typed `summary`, float accumulation), the moments accumulate
     * in DECIMAL and doubles appear only in the final mean/std arithmetic
     * — two engines mirroring the expression tree agree bit-for-bit (the
-    * same contract as `WindowOps.zscore`). One aggregate job per column,
-    * unioned (columns is the short axis; rows never move twice). */
+    * same contract as `WindowOps.zscore`). ONE aggregate pass computes
+    * every column's five measures, then the one-row result explodes to
+    * long format — a single scan however many columns are described. */
   def describeStats(cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "describeStats needs at least one column")
     val sdf = this.toSpark(includeIndex = false)
-    val parts = cols.map { c =>
+    val F = org.apache.spark.sql.functions
+    val measures = cols.zipWithIndex.flatMap { case (c, i) =>
       val x = scol(c)
       val xd = x.cast(org.apache.spark.sql.types.DecimalType(18, 4))
       val x2d = (x * x).cast(org.apache.spark.sql.types.DecimalType(38, 8))
-      sdf.agg(count(x).as("n"),
-          org.apache.spark.sql.functions.sum(xd).cast("double").as("s1"),
-          org.apache.spark.sql.functions.sum(x2d).cast("double").as("s2"),
-          org.apache.spark.sql.functions.min(x).cast("double").as("mn"),
-          org.apache.spark.sql.functions.max(x).cast("double").as("mx"))
-        .select(lit(c).as("column"), scol("n"),
-          (scol("s1") / scol("n")).as("mean"),
-          sqrt((scol("s2") - (scol("s1") / scol("n")) * (scol("s1") / scol("n"))
-            * scol("n")) / (scol("n") - 1)).as("std"),
-          scol("mn"), scol("mx"))
+      Seq(count(x).as(s"__n$i"),
+        F.sum(xd).cast("double").as(s"__s1_$i"),
+        F.sum(x2d).cast("double").as(s"__s2_$i"),
+        F.min(x).cast("double").as(s"__mn$i"),
+        F.max(x).cast("double").as(s"__mx$i"))
     }
-    DataFrame.fromSpark(parts.reduce(_.unionAll(_)))
+    val one = sdf.agg(measures.head, measures.tail: _*)
+    val rows = array(cols.zipWithIndex.map { case (c, i) =>
+      val n = scol(s"__n$i"); val s1 = scol(s"__s1_$i"); val s2 = scol(s"__s2_$i")
+      struct(lit(c).as("column"), n.as("n"),
+        (s1 / n).as("mean"),
+        sqrt((s2 - (s1 / n) * (s1 / n) * n) / (n - 1)).as("std"),
+        scol(s"__mn$i").as("mn"), scol(s"__mx$i").as("mx"))
+    }: _*)
+    DataFrame.fromSpark(one.select(F.explode(rows).as("__r")).select("__r.*"))
   }
 
   /** Per-column distinct counts as a one-row frame. */
