@@ -47,12 +47,17 @@ object TextAnalysis {
       greatest(size(t), lit(1)).cast("double")
   }
 
-  /** Fraction of lowercase \W+-tokens found in `stopwords`. */
+  /** Fraction of lowercase \W+-tokens found in `stopwords` — one
+    * tokenization pass via the native hit-counter kernel (hits and the
+    * token total come back together; see
+    * [[graft.functions.StopwordHits]]). */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val toks = filter(split(lower(text), "\\W+"), t => length(t) > 0)
-    val sw = typedlit(stopwords)
-    size(filter(toks, t => array_contains(sw, t))).cast("double") /
-      greatest(size(toks), lit(1)).cast("double")
+    val arr = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.StopwordHits(
+        org.apache.spark.sql.GraftSqlBridge.expression(text),
+        Seq(stopwords)))
+    arr.getItem(0).cast("double") /
+      greatest(arr.getItem(1), lit(1)).cast("double")
   }
 
   /** Heuristic quality score in [0,1]: length band + punctuation sanity +
@@ -236,14 +241,16 @@ object LangId {
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "dans", "que", "une", "pour"),
     "es" -> Seq("el", "la", "que", "de", "los", "una", "por", "con", "para", "las"))
 
-  private def hits(text: Column, words: Seq[String]): Column = {
-    val toks = filter(split(lower(text), "\\W+"), t => length(t) > 0)
-    size(filter(toks, t => array_contains(typedlit(words), t)))
-  }
-
   def expr(text: Column): Column = {
     val cjk = regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]"))
-    val Seq(en, de, fr, es) = profiles.map(p => hits(text, p._2))
+    // ONE lower+tokenize pass scoring all four profiles — the per-list
+    // HOF filters this replaces re-split the text per language,
+    // interpreted (see graft.functions.StopwordHits)
+    val hitsArr = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.StopwordHits(
+        org.apache.spark.sql.GraftSqlBridge.expression(text),
+        profiles.map(_._2)))
+    val Seq(en, de, fr, es) = profiles.indices.map(i => hitsArr.getItem(i))
     when(cjk * 3 > length(text), "zh")
       .when(en >= de && en >= fr && en >= es, "en")
       .when(de >= fr && de >= es, "de")

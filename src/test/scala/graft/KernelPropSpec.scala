@@ -47,6 +47,29 @@ class KernelPropSpec extends AnyFunSuite {
     }
   }
 
+  test("StopwordHits ≡ per-list HOF split/filter counts on random text") {
+    import graft.operators.LangId
+    def hofHits(text: org.apache.spark.sql.Column, words: Seq[String]) = {
+      val toks = filter(split(lower(text), "\\W+"), t => length(t) > 0)
+      size(filter(toks, t => array_contains(typedlit(words), t)))
+    }
+    def hofTotal(text: org.apache.spark.sql.Column) =
+      size(filter(split(lower(text), "\\W+"), t => length(t) > 0))
+    val lists = LangId.profiles.map(_._2)
+    val kernel = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.StopwordHits(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("text")), lists))
+    // seed the corpus with real stopwords so hits are non-trivial
+    val seeded = texts ++ Seq("the and of la le der", "el que de los THE und")
+    val df = seeded.toDF("text")
+    val bad = df.select(kernel.as("k"),
+        array((lists.map(ws => hofHits(col("text"), ws)) :+
+          hofTotal(col("text"))): _*).as("h"))
+      .where(col("k") =!= col("h"))
+    assert(bad.count() == 0, "kernel/HOF divergence: " +
+      bad.take(3).map(_.toString).mkString("; "))
+  }
+
   test("NormalizeWs ≡ regexp_replace(lower(trim(.)), '\\s+', ' ') on random text") {
     val df = texts.toDF("text")
     val bad = df.select(col("text"),
