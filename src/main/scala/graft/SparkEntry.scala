@@ -264,7 +264,7 @@ object SparkEntry {
       val docs = table(s, dir, "documents").select("doc_id", "text")
       val corpus = docs.where(pmod(col("doc_id"), lit(10)) < 8)
       val batch = docs.where(pmod(col("doc_id"), lit(10)) >= 7)
-      Dedup.novelAgainst(batch, corpus, "text", "doc_id")
+      Dedup.novelAgainst(batch, corpus, "text")
         .select("doc_id").orderBy("doc_id")
     }),
 
@@ -1755,13 +1755,13 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stream_sessionize" ->
-      """WITH f AS (SELECT user_id, epoch_ns(ts) AS tsn,
+      """WITH f AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn,
         |  CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
         |        OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
         |       THEN 1 ELSE 0 END AS nf
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
         |s AS (SELECT user_id, tsn,
-        |  CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY tsn
+        |  CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY tsn, event_id
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM f)
         |SELECT user_id, count(*) AS n_events,
         |  min(tsn) AS first_ts, max(tsn) AS last_ts

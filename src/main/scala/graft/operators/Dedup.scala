@@ -39,13 +39,21 @@ object Dedup {
     * iterate-via-storage shape (each round's state is a small
     * (node, label) table, not the corpus).
     *
-    * Returns (node, label) where label = min node id in the component. */
+    * Returns (node, label) where label = min node id in the component.
+    *
+    * `scratchDir`: where iteration state materializes. The default is a
+    * DRIVER-LOCAL managed temp dir — correct in local mode only; on a
+    * real cluster pass a shared filesystem path (HDFS/S3/NFS), because
+    * executors commit `file:/...` task output to their own local disks
+    * and the next round's read would see partial data. */
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
-                        maxIter: Int = 20): DataFrame = {
+                        maxIter: Int = 20,
+                        scratchDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
-    val tmp = org.apache.spark.sql.GraftSqlBridge.managedTempDir("graft-cc")
+    val tmp = scratchDir.getOrElse(
+      org.apache.spark.sql.GraftSqlBridge.managedTempDir("graft-cc").getAbsolutePath)
     def materialize(df: DataFrame, name: String): DataFrame = {
-      val p = new java.io.File(tmp, name).getAbsolutePath
+      val p = tmp + "/" + name
       df.write.mode("overwrite").parquet(p)
       spark.read.parquet(p)
     }
@@ -123,16 +131,24 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dupes"))
 
-  /** All intra-fingerprint duplicate pairs (id_l < id_r) — the exact-dup
-    * edge list feeding [[duplicateClusters]]/[[canonicalize]]. One
-    * groupBy(fingerprint) + triangular within-bucket explode; a
-    * fingerprint SELF-join would recompute the normalize+md5 text scan
-    * once per side (the same single-consumer rule as the LSH buckets). */
+  /** Intra-fingerprint duplicate STAR edges (min id ↔ every other
+    * member; id_l < id_r) — the exact-dup edge list feeding
+    * [[duplicateClusters]]/[[canonicalize]]. A star connects exactly the
+    * same components as the full clique with LINEARLY many edges, which
+    * matters precisely on the corpora exact dedup exists for: N copies
+    * of one boilerplate page would make a per-bucket pair explosion
+    * (or a fingerprint self-join) emit N²/2 rows — the star emits N-1.
+    * One groupBy for the per-fingerprint min (plain partial aggregation,
+    * nothing collected) + one join back on the fingerprint; the
+    * normalize+md5 text scan runs twice (agg input + probe side), the
+    * cheap trade for an unconditionally skew-proof edge list. */
   def exactTextPairs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val fp = df.select(TextAnalysis.fingerprint(col(textCol)).as("__fp"),
-      struct(col(idCol).as("__id")).as("__p"))
-    bucketPairs(fp, Seq("__fp"), "__p")
-      .select(col("__l.__id").as("id_l"), col("__r.__id").as("id_r"))
+      col(idCol).as("__id"))
+    val minPerFp = fp.groupBy("__fp").agg(min(col("__id")).as("id_l"))
+    fp.join(minPerFp, Seq("__fp"))
+      .where(col("__id") > col("id_l"))
+      .select(col("id_l"), col("__id").as("id_r"))
   }
 
   /** Incremental-ingest novelty: new-batch docs whose normalized text
@@ -141,7 +157,7 @@ object Dedup {
     * corpus side reduces to a distinct fingerprint set; at scale that
     * set is the thing you keep materialized between ingests). */
   def novelAgainst(newDocs: DataFrame, corpus: DataFrame,
-                   textCol: String, idCol: String): DataFrame =
+                   textCol: String): DataFrame =
     newDocs.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .join(corpus.select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
         .distinct(), Seq("__fp"), "left_anti")
@@ -196,18 +212,14 @@ object Dedup {
        |FROM j WHERE jaccard >= $threshold ORDER BY id_l, id_r""".stripMargin
   }
 
-  /** The k-member hash family over a base (already-hashed) long: two
-    * independent derived hashes combined as h1 + i·h2 (Kirsch–
-    * Mitzenmacher) — 2 long-hashes + k wrapping mul-adds per element
-    * instead of k long-hashes, with the min-wise independence minhash
-    * needs. Wrapping arithmetic relies on ANSI off (GraftSession
-    * default); the family is seed-deterministic so oracles can replay
-    * it. */
-  private def hashFamily(base: Column, numHashes: Int, seed: Long): Seq[Column] = {
-    val h1 = xxhash64(base, lit(seed))
-    val h2 = xxhash64(base, lit(seed + 1))
-    (0 until numHashes).map(i => h1 + h2 * lit(i.toLong))
-  }
+  /** The k-member hash family over a base (already-hashed) long:
+    * per-member seeded xxhash64 of the fixed 8-byte base (the seed is an
+    * extra hashed column). Deliberately NOT an affine h1 + i·h2 family —
+    * wrapping Long arithmetic THROWS under ANSI mode (the Spark 4
+    * default outside GraftSession), and profiling showed the k long
+    * hashes are not the MinHash bottleneck (the shingle builder was). */
+  private def hashFamily(base: Column, numHashes: Int, seed: Long): Seq[Column] =
+    (0 until numHashes).map(i => xxhash64(base, lit(seed + i)))
 
   /** MinHash signature over an already-built shingle array column.
     * Implemented as a SINGLE aggregate pass over the shingle array that
@@ -245,9 +257,9 @@ object Dedup {
     val ex = df.select(col(idCol).as("__id"),
       explode(shingles(col(textCol), shingleN)).as("__s"))
     // hash the variable-length shingle bytes ONCE, then derive the k
-    // family members from two hashes of the fixed 8-byte base
-    // ([[hashFamily]]) — the per-shingle cost is 1 string hash + 2 long
-    // hashes + k mul-adds, not k string hashes
+    // family members by re-hashing the fixed 8-byte base ([[hashFamily]])
+    // — the per-shingle cost is 1 string hash + k long hashes, not k
+    // string hashes
     val based = ex.select(col("__id"), xxhash64(col("__s")).as("__hb"))
     val hashed = based.select(col("__id") +:
       hashFamily(col("__hb"), numHashes, seed).zipWithIndex

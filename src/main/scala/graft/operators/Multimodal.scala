@@ -214,21 +214,24 @@ object Multimodal {
       def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
       if (b == null || b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
         return None
-      var i = 12
+      // Long cursor: a garbage u32 chunk size near 2^31 would overflow an
+      // Int advance (8 + sz wraps negative → negative array index →
+      // throw), violating the never-throw contract for crawled garbage
+      var i = 12L
       var rate, ch, bits = -1
       var dataLen = -1L
       var dataOff = -1
       while (i + 8 <= b.length && (rate < 0 || dataLen < 0)) {
-        val id = tag(i); val sz = le32(i + 4)
+        val ii = i.toInt
+        val id = tag(ii); val sz = le32(ii + 4).toLong & 0xFFFFFFFFL
         if (id == "fmt " && i + 24 <= b.length) {
-          ch = le16(i + 10); rate = le32(i + 12); bits = le16(i + 22)
+          ch = le16(ii + 10); rate = le32(ii + 12); bits = le16(ii + 22)
         } else if (id == "data") {
-          dataOff = i + 8
-          dataLen = math.min(sz.toLong & 0xFFFFFFFFL,
-            math.max(b.length - i - 8, 0).toLong) // truncated payloads pool what exists
+          dataOff = ii + 8
+          dataLen = math.min(sz,
+            math.max(b.length - i - 8, 0L)) // truncated payloads pool what exists
         }
-        // word-aligned chunks; a garbage negative size would spin, so bail
-        if (sz < 0) i = b.length else i += 8 + sz + (sz & 1)
+        i += 8L + sz + (sz & 1L) // word-aligned chunks
       }
       if (rate <= 0 || ch <= 0 || bits <= 0 || dataLen < 0) None
       else Some((rate, ch, bits,

@@ -143,12 +143,18 @@ object GraftStreaming {
                   statePartitions: Int = 8): StreamingQuery = {
     val spark = df.sparkSession
     val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, statePartitions.toString)
-    try df.writeStream.outputMode(outputMode)
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    finally spark.conf.set(key, prev)
+    // synchronized: start() snapshots the session conf (cloned into the
+    // stream), but two concurrent runToMemory calls could otherwise
+    // interleave set/restore and leave the session permanently at the
+    // temporary value
+    spark.synchronized {
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, statePartitions.toString)
+      try df.writeStream.outputMode(outputMode)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally spark.conf.set(key, prev)
+    }
   }
 }

@@ -82,8 +82,8 @@ class EdgeCaseSpec extends AnyFunSuite {
       8, 2).count() == 0)
     // novelAgainst: empty corpus → whole batch is novel
     val batch = Seq((1L, "hello world")).toDF("doc_id", "text")
-    assert(graft.operators.Dedup.novelAgainst(batch, noDocs, "text",
-      "doc_id").count() == 1)
+    assert(graft.operators.Dedup.novelAgainst(batch, noDocs, "text")
+      .count() == 1)
   }
 
   test("empty dedup/cluster inputs produce empty outputs") {
