@@ -496,6 +496,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(total == 2)                 // budget 1: first doc per key only
   }
 
+  test("exactTextPairs emits star edges: N copies -> N-1 edges, same clusters") {
+    // the boilerplate-corpus regression: a clique formulation would emit
+    // N^2/2 pairs from one fingerprint bucket
+    val n = 500
+    val dupes = (0 until n).map(i => (i.toLong, "same exact text"))
+      .toDF("doc_id", "text")
+      .union(Seq((9999L, "a different document entirely")).toDF("doc_id", "text"))
+    val edges = Dedup.exactTextPairs(dupes, "text", "doc_id")
+    assert(edges.count() == n - 1, "star must emit exactly N-1 edges")
+    assert(edges.agg(org.apache.spark.sql.functions.min("id_l"),
+      org.apache.spark.sql.functions.max("id_l")).collect()(0).toSeq == Seq(0L, 0L),
+      "every edge anchors at the bucket's min id")
+    // and the clusters are the same as the clique would give
+    val labels = Dedup.duplicateClusters(edges, "id_l", "id_r")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n && labels.values.forall(_ == 0L))
+  }
+
+  test("container codecs never throw on fuzzed garbage payloads") {
+    val rnd = new scala.util.Random(42)
+    val payloads = (0 until 200).map { i =>
+      val b = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(b)
+      // bias some toward magic prefixes so the parsers walk further in
+      if (i % 4 == 0 && b.length >= 12) {
+        val m = i % 3 match {
+          case 0 => "RIFFxxxxWAVE"; case 1 => "YUV4MPEG2 W4"; case _ => "P6\n99999999 "
+        }
+        System.arraycopy(m.getBytes("US-ASCII"), 0, b, 0, math.min(12, b.length))
+      }
+      b
+    }
+    payloads.foreach { b =>
+      Multimodal.ImageCodec.probe(b)
+      Multimodal.AudioCodec.probe(b)
+      Multimodal.VideoCodec.probe(b)
+      Multimodal.ImageCodec.features(b, 8)
+      Multimodal.AudioCodec.features(b, 8)
+    }
+    succeed
+  }
+
   test("minhashSignatures (table form) ≡ minhashSignature (per-row HOF form)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").limit(40)
     val table = Dedup.minhashSignatures(docs, "doc_id", "text", 32, 3, 7L)
