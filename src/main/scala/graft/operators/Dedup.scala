@@ -42,20 +42,33 @@ object Dedup {
     * Returns (node, label) where label = min node id in the component.
     *
     * `scratchDir`: where iteration state materializes. The default is a
-    * DRIVER-LOCAL managed temp dir — correct in local mode only; on a
-    * real cluster pass a shared filesystem path (HDFS/S3/NFS), because
-    * executors commit `file:/...` task output to their own local disks
-    * and the next round's read would see partial data. */
+    * DRIVER-LOCAL managed temp dir — correct in local mode only, and
+    * ENFORCED as such: on a non-local master executors commit `file:/...`
+    * task output to their own local disks and the next round's read would
+    * silently see partial state (wrong cluster labels), so a cluster run
+    * without an explicit shared-filesystem scratchDir (HDFS/S3/NFS) fails
+    * fast instead. Iteration i−1's parquet is deleted as soon as
+    * iteration i is materialized and counted, so at most two iteration
+    * snapshots (plus the edge list) exist at any moment and nothing but
+    * the final labels outlives the call — a long-lived session running
+    * many dedup passes would otherwise accumulate scratch until JVM
+    * exit. */
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
                         maxIter: Int = 20,
                         scratchDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
+    requireClusterSafeScratch(spark.sparkContext.isLocal, scratchDir)
     val tmp = scratchDir.getOrElse(
       org.apache.spark.sql.GraftSqlBridge.managedTempDir("graft-cc").getAbsolutePath)
+    val hadoopConf = spark.sessionState.newHadoopConf()
     def materialize(df: DataFrame, name: String): DataFrame = {
       val p = tmp + "/" + name
       df.write.mode("overwrite").parquet(p)
       spark.read.parquet(p)
+    }
+    def drop(name: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(tmp + "/" + name)
+      p.getFileSystem(hadoopConf).delete(p, true)
     }
     val edges = materialize(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -77,11 +90,28 @@ object Dedup {
         .agg(min("label").as("next_label"))
       val merged = materialize(labels.join(next, "node"), s"iter$i")
       changed = merged.where(col("next_label") < col("label")).count()
+      // iteration i is on disk and counted — everything before it is
+      // dead state (labels now reads iter i only)
+      if (i > 0) drop(s"iter${i - 1}")
       labels = merged.select(col("node"), col("next_label").as("label"))
       i += 1
     }
+    // the returned labels depend only on the LAST iteration's parquet;
+    // the edge list was only ever a loop input (maxIter=0 returns the
+    // seed labels, which still read it)
+    if (i > 0) drop("edges")
     labels
   }
+
+  /** The cluster-safety gate for [[duplicateClusters]]'s scratch default,
+    * factored out so the non-local branch is unit-testable off-cluster. */
+  private[graft] def requireClusterSafeScratch(
+      isLocal: Boolean, scratchDir: Option[String]): Unit =
+    require(scratchDir.isDefined || isLocal,
+      "duplicateClusters on a non-local master needs an explicit " +
+        "scratchDir on a shared filesystem (HDFS/S3/NFS): the driver-local " +
+        "temp default would make executors commit iteration state to " +
+        "their own disks and silently corrupt cluster labels")
 
   /** Canonical-document selection per duplicate cluster: every doc joins
     * its cluster label ([[duplicateClusters]] output; unclustered docs are
@@ -288,19 +318,51 @@ object Dedup {
     * measured the recompute at 140× on exactly this path). Collecting the
     * bucket makes the pipeline a literal single consumer: the plan cannot
     * recompute it, under any planner. Per-bucket memory is bounded by the
-    * LSH occupancy dial (n/2^planes per band), the same dial that already
-    * bounds the pair count itself. */
+    * LSH occupancy dial (n/2^planes per band) — EXPECTED occupancy; the
+    * `maxBucketSize` cap below is the hard guard for the degenerate
+    * bucket the dial can't predict. */
+  private val dropMetricId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** `maxBucketSize`: hard occupancy cap. Buckets with more members are
+    * DROPPED (their pairs are boilerplate noise, not near-dup signal —
+    * the standard posture, mirroring `maxShingleFreq`), and the collect
+    * buffer itself is bounded at cap+1 elements ([[graft.functions
+    * .BoundedCollect]]), so a degenerate mega-bucket — template spam
+    * surviving exact dedup by a byte of noise — cannot OOM the one
+    * aggregation task that owns it: without the bound it is an m-element
+    * collect + m²/2 generated pairs on a single task. The dropped-bucket
+    * count is surfaced as an `observe` metric named
+    * `graft_dropped_buckets_*` (read it from `observedMetrics` /
+    * QueryExecutionListener), costing nothing over the existing pass. */
   private def bucketPairs(buckets: DataFrame, bucketCols: Seq[String],
-                          payloadCol: String): DataFrame = {
+                          payloadCol: String,
+                          maxBucketSize: Option[Int] = None): DataFrame = {
     // sort_array orders members by __id (first struct field; ids are
     // distinct within a bucket by construction — one row per (doc,
     // band)), so the triangular explode below emits each pair exactly
     // once with __l.__id < __r.__id already true: generating the full
     // m² cross product and filtering half away would double the
     // Generate volume for nothing.
-    val members = buckets.groupBy(bucketCols.map(col): _*)
-      .agg(sort_array(collect_list(col(payloadCol))).as("__ms"))
+    val collected = maxBucketSize match {
+      case Some(cap) =>
+        require(cap >= 2, s"maxBucketSize must be >= 2, got $cap")
+        // cap+1 elements distinguish "exactly cap" (kept, complete)
+        // from "overflowed" (size > cap, dropped by the filter below)
+        graft.functions.BoundedCollect(col(payloadCol), cap + 1)
+      case None => collect_list(col(payloadCol))
+    }
+    val grouped = buckets.groupBy(bucketCols.map(col): _*)
+      .agg(sort_array(collected).as("__ms"))
       .where(size(col("__ms")) > 1)
+    val members = maxBucketSize match {
+      case Some(cap) =>
+        grouped
+          .observe(s"graft_dropped_buckets_${dropMetricId.incrementAndGet()}",
+            sum(when(size(col("__ms")) > cap, 1L).otherwise(0L))
+              .as("dropped_buckets"))
+          .where(size(col("__ms")) <= cap)
+      case None => grouped
+    }
     members
       .select(col("__ms"), posexplode(col("__ms")).as(Seq("__i", "__l")))
       .select(col("__l"),
@@ -316,18 +378,23 @@ object Dedup {
     * signatures ride along into the bucket collect (64 longs per member —
     * bounded), so est_jaccard is computed in place per colliding bucket
     * and the duplicate collisions collapse in one pair-keyed aggregate.
-    * No join-back, no recompute, nothing cached. */
+    * No join-back, no recompute, nothing cached.
+    *
+    * `maxBucketSize` is the degenerate-skew guard (see [[bucketPairs]]):
+    * buckets over the cap are dropped with a surfaced count instead of
+    * OOMing one task / emitting m²/2 junk pairs. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 64, bands: Int = 16,
                       shingleN: Int = 3, seed: Long = 42L,
-                      scope: Option[CacheScope] = None): DataFrame = {
+                      scope: Option[CacheScope] = None,
+                      maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sig = CacheScope.maybe(scope,
       minhashSignatures(df, idCol, textCol, numHashes, shingleN, seed))
     val banded = bandedBuckets(sig, bands, r,
       struct(col("__id"), col("__sig")))
-    bucketPairs(banded, Seq("__band", "__key"), "__p")
+    bucketPairs(banded, Seq("__band", "__key"), "__p", maxBucketSize)
       .select(col("__l.__id").as("id_l"), col("__r.__id").as("id_r"),
         (size(filter(zip_with(col("__l.__sig"), col("__r.__sig"),
           (x, y) => x === y), b => b)).cast("double") / numHashes)
@@ -399,7 +466,8 @@ object Dedup {
     * aggregate (see [[bucketPairs]] for why this beats a bucket
     * self-join). */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3): DataFrame = {
+                     maxHamming: Int = 3,
+                     maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
     val sig = simhashTable(df, idCol, textCol)
     // chunk shift amounts are compile-time literals (shiftright needs Int)
     val chunkStructs = array((0 until 4).map(c =>
@@ -408,7 +476,7 @@ object Dedup {
     val chunks = sig.select(struct(col("__id"), col("__sh")).as("__p"),
       explode(chunkStructs).as("ck"))
       .select(col("__p"), col("ck.chunk").as("__chunk"), col("ck.key").as("__key"))
-    bucketPairs(chunks, Seq("__chunk", "__key"), "__p")
+    bucketPairs(chunks, Seq("__chunk", "__key"), "__p", maxBucketSize)
       .select(col("__l.__id").as("id_l"), col("__r.__id").as("id_r"),
         bit_count(col("__l.__sh").bitwiseXOR(col("__r.__sh"))).as("__hd"))
       .groupBy("id_l", "id_r")
@@ -472,7 +540,8 @@ object Dedup {
     * sparser than this worst case. */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                               n: Int = 3, threshold: Double = 0.7,
-                              scope: Option[CacheScope] = None): DataFrame = {
+                              scope: Option[CacheScope] = None,
+                              maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0)
     // Three consumers (prefix explode + two verification joins) over a
     // pure scan→shingle projection: recomputing it is one extra columnar
@@ -488,7 +557,7 @@ object Dedup {
       lit(1))
     val prefix = hs.select(struct(col("__id")).as("__p"),
       explode(slice(col("__hs"), lit(1), plen)).as("__h"))
-    val candidates = bucketPairs(prefix, Seq("__h"), "__p")
+    val candidates = bucketPairs(prefix, Seq("__h"), "__p", maxBucketSize)
       .select(col("__l.__id").as("id_l"), col("__r.__id").as("id_r"))
       .distinct()
     candidates
@@ -510,7 +579,8 @@ object Dedup {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.8, numHashes: Int = 64,
                      bands: Int = 16, shingleN: Int = 3,
-                     seed: Long = 42L): DataFrame = {
+                     seed: Long = 42L,
+                     maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
     // candidates straight from the band buckets — NOT via minhashLshPairs,
     // whose est_jaccard would drag the signatures through the bucket
     // shuffle only for the exact verify below to discard them. The
@@ -520,7 +590,7 @@ object Dedup {
     val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleN, seed)
     val banded = bandedBuckets(sig, bands, numHashes / bands,
       struct(col("__id")))
-    val candidates = bucketPairs(banded, Seq("__band", "__key"), "__p")
+    val candidates = bucketPairs(banded, Seq("__band", "__key"), "__p", maxBucketSize)
       .select(col("__l.__id").as("id_l"), col("__r.__id").as("id_r"))
       .distinct()
     val sh = df.select(col(idCol).as("__id"),
@@ -552,7 +622,8 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double = 0.95, planes: Int = 8,
                        bands: Int = 4, seed: Long = 42L,
-                       dim: Int = 64): DataFrame = {
+                       dim: Int = 64,
+                       maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
     val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     // one bucket per band, independent planes via per-band seeds; built as
     // a single array expression so it is evaluated once per row. The
@@ -564,7 +635,7 @@ object Dedup {
       Similarity.lshBucket(col("__v"), planes, dim, seed + 1000003L * b)): _*)
     val banded = base.select(struct(col("__id"), col("__v")).as("__p"),
       posexplode(bucketArr).as(Seq("__band", "__bucket")))
-    bucketPairs(banded, Seq("__band", "__bucket"), "__p")
+    bucketPairs(banded, Seq("__band", "__bucket"), "__p", maxBucketSize)
       .select(col("__l.__id").as("id_l"), col("__r.__id").as("id_r"),
         Similarity.cosine(col("__l.__v"), col("__r.__v")).as("__c"))
       .groupBy("id_l", "id_r")

@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale guards on the dedup family: the LSH bucket occupancy cap
+  * (degenerate mega-bucket safety) and duplicateClusters' scratch
+  * lifecycle / cluster-safety gate. */
+class DedupScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("BoundedCollect keeps small groups complete and hard-caps big ones") {
+    val df = (1 to 7).map(i => ("big", i.toLong)) ++ Seq(("small", 1L), ("small", 2L))
+    val out = df.toDF("k", "v")
+      .groupBy("k")
+      .agg(sort_array(graft.functions.BoundedCollect(struct(col("v")), 5)).as("vs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1))
+      .toMap
+    // the small group is bit-equal to collect_list: complete and sorted
+    assert(out("small").map(_.getLong(0)) == Seq(1L, 2L))
+    // the big group's buffer never exceeded the limit — size is exactly 5
+    // (which elements survive is unspecified; the caller drops the group)
+    assert(out("big").size == 5)
+    assert(out("big").map(_.getLong(0)).toSet.subsetOf((1L to 7L).toSet))
+  }
+
+  test("mega-bucket is dropped under the cap with recall intact elsewhere") {
+    // 10k near-identical docs: same shingle set => same MinHash signature
+    // => ALL of them land in the same bucket in EVERY band. Uncapped this
+    // is a 10k-element collect + ~5e7 generated pairs on one task.
+    val mega = (1L to 10000L).map(i =>
+      (i, "the same viral boilerplate template text repeated everywhere across the crawl"))
+    // an independent genuine near-dup pair that must survive the cap
+    val pair = Seq(
+      (20001L, "completely different document about distributed query engines and shuffles"),
+      (20002L, "completely different document about distributed query engines and shuffles"))
+    val docs = (mega ++ pair).toDF("doc_id", "text")
+    val out = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numHashes = 16, bands = 4, maxBucketSize = Some(32))
+    val rows = out.collect()
+    // recall intact on the non-hub pair…
+    assert(rows.exists(r => r.getLong(0) == 20001L && r.getLong(1) == 20002L))
+    // …and not one of the ~5e7 mega-bucket pairs was generated
+    assert(rows.forall(r => r.getLong(0) > 10000L))
+    // the dropped-bucket count is surfaced via the observe metric
+    val metrics = out.queryExecution.observedMetrics
+    val dropped = metrics.collect {
+      case (name, row) if name.startsWith("graft_dropped_buckets") =>
+        row.getLong(0)
+    }
+    assert(dropped.nonEmpty && dropped.head >= 1L,
+      s"expected a positive dropped-bucket metric, got $metrics")
+  }
+
+  test("cap above occupancy is a no-op: capped equals uncapped") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(50)
+    val planted = docs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val all = docs.union(planted)
+    val capped = Dedup.minhashLshPairs(all, "doc_id", "text",
+        maxBucketSize = Some(5000)).collect().toSet
+    val uncapped = Dedup.minhashLshPairs(all, "doc_id", "text",
+        maxBucketSize = None).collect().toSet
+    assert(capped == uncapped && capped.nonEmpty)
+  }
+
+  test("embedding/simhash near-dup respect the cap without losing planted pairs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").limit(100)
+    val all = emb.union(emb.select((col("vec_id") + 100000).as("vec_id"),
+      col("embedding")))
+    val pairs = Dedup.embeddingNearDup(all, "vec_id", "embedding",
+      threshold = 0.95, maxBucketSize = Some(5000)).collect()
+    assert(pairs.length == 100 &&
+      pairs.forall(r => r.getLong(1) == r.getLong(0) + 100000))
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(30)
+    val dall = docs.union(docs.select((col("doc_id") + 100000).as("doc_id"),
+      col("text")))
+    val sh = Dedup.simhashNearDup(dall, "doc_id", "text", maxHamming = 0,
+      maxBucketSize = Some(5000)).collect()
+    assert(sh.nonEmpty &&
+      sh.exists(r => r.getLong(1) == r.getLong(0) + 100000))
+  }
+
+  test("duplicateClusters fails fast on a non-local master without scratchDir") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.requireClusterSafeScratch(isLocal = false, scratchDir = None)
+    }
+    assert(e.getMessage.contains("shared filesystem"))
+    // explicit scratch or local mode both pass
+    Dedup.requireClusterSafeScratch(isLocal = false, scratchDir = Some("/shared"))
+    Dedup.requireClusterSafeScratch(isLocal = true, scratchDir = None)
+  }
+
+  test("duplicateClusters cleans its scratch down to the final iteration") {
+    val scratch = java.nio.file.Files.createTempDirectory("graft-cc-spec").toString
+    // chain 1~2~3 plus island 10~11: clusters {1,2,3} -> 1, {10,11} -> 10
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val labels = Dedup.duplicateClusters(pairs, "a", "b",
+      scratchDir = Some(scratch))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // scratch holds ONLY the last iteration (labels still read from it);
+    // edges and every earlier iteration are gone
+    val left = new java.io.File(scratch).listFiles().map(_.getName).toSeq
+    assert(left.count(_.startsWith("iter")) == 1, s"scratch left: $left")
+    assert(!left.contains("edges"), s"edges not cleaned: $left")
+    // the returned frame survives the cleanup (reads the kept iteration)
+    assert(labels.count() == 5)
+  }
+}
