@@ -25,15 +25,34 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOne(name: String): Double = {
+    // per-query GC-time and peak-heap instrumentation: the r3→r4 driver
+    // sweeps showed ~3×/~2 s zero-code-change drift on individual queries
+    // (shared-box noise — see BASELINE.md "Noise envelope"), so every
+    // sweep now carries the data to tell GC/memory pressure apart from
+    // plan regressions without a rerun.
+    import scala.jdk.CollectionConverters._
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+    val heapPools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    def gcMillis: Long = gcBeans.map(_.getCollectionTime).sum
+
+    // (wall sec, GC sec inside the window, peak heap MB in the window)
+    def runOne(name: String): (Double, Double, Double) = {
+      heapPools.foreach(_.resetPeakUsage())
+      val g0 = gcMillis
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+        return (-1.0, -1.0, -1.0)
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcMillis - g0) / 1e3
+      val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum / 1e6
+      (sec, gcSec, peakMb)
     }
 
     // warmup: touch every table once + exercise codegen paths
@@ -47,10 +66,14 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> runOne(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def field(f: ((Double, Double, Double)) => Double): String =
+      results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+    val qs = field(_._1)
+    val gc = field(_._2)
+    val peak = field(_._3)
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gc,"peak_mb":$peak,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

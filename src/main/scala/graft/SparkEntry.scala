@@ -193,6 +193,10 @@ object SparkEntry {
         .withColumn("has_urgent", p.str.contains("URGENT"))
         .withColumn("prio_num", p.str.extract("(\\d)", 1))
         .withColumn("urg", p.str.extract("(URGENT)", 1)) // no match → NULL
+        // alternation: group 2 does not PARTICIPATE when the URGENT arm
+        // matches → NULL (not ""), the pandas semantics the native
+        // RegexGroupExtract kernel pins down
+        .withColumn("alt2", p.str.extract("(URGENT)|(LOW)", 2))
         .withColumn("padded", p.str.pad(12, "_"))
         .withColumn("n_vowels", p.str.count("[AEIOU]"))
         .toSpark(includeIndex = true)
@@ -937,6 +941,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the PERSISTED IVF path: build the bucketed-by-list index + trained
+    // centroids once, then probe it. At nprobe = nlist every inverted
+    // list is probed, so the result is provably the exact top-k whatever
+    // the training produced (the oracle is the exhaustive computation);
+    // bucket pruning + zero corpus-side shuffle are plan-asserted in
+    // OperatorsSpec.
+    "q_ivf_indexed" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+        "graft_ivf_idx", nlist = 16, buckets = 8)
+      val queries = emb.where(col("vec_id") >= 30 && col("vec_id") < 40)
+      Similarity.ivfTopKIndexed(s, "graft_ivf_idx",
+        queries, "vec_id", "embedding", k = 5, nprobe = 16)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     // banded hyperplane-LSH embedding dedup, generate→verify. Identical
     // vectors produce identical buckets in EVERY band (same deterministic
     // expression), so recall on exact copies is 1 by construction; planted
@@ -1056,6 +1078,23 @@ object SparkEntry {
           col("probed_meta.height").as("height"),
           col("resized_meta.width").as("rs_width"),
           col("resized_meta.height").as("rs_height"))
+        .orderBy("doc_id")
+    }),
+
+    // multimodal image, compressed-container leg: a REAL PNG signature +
+    // IHDR chunk assembled byte-for-byte (big-endian dims, truecolor),
+    // re-parsed from the bytes by the PNG header probe; the oracle
+    // recomputes the dimension arithmetic from the text length. JPEG's
+    // SOF marker walk is spec-covered (handcrafted + fuzzed payloads).
+    "q_image2" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val mm = Multimodal.withPngPayload(docs, "text")
+      Multimodal.probeImages(mm.repartition(8), "content")
+        .select(col("doc_id"),
+          col("probed_meta.width").as("width"),
+          col("probed_meta.height").as("height"),
+          col("probed_meta.channels").as("channels"),
+          col("probed_meta.format").as("format"))
         .orderBy("doc_id")
     }),
 
@@ -1900,6 +1939,9 @@ object SparkEntry {
         | regexp_extract(o_orderpriority, '(\d)', 1) AS prio_num,
         | CASE WHEN regexp_matches(o_orderpriority, 'URGENT')
         |      THEN regexp_extract(o_orderpriority, '(URGENT)', 1) END AS urg,
+        | CASE WHEN regexp_matches(o_orderpriority, '(URGENT)|(LOW)')
+        |      THEN nullif(regexp_extract(o_orderpriority, '(URGENT)|(LOW)', 2), '')
+        | END AS alt2,
         | lpad(o_orderpriority, 12, '_') AS padded,
         | len(regexp_extract_all(o_orderpriority, '[AEIOU]')) AS n_vowels
         |FROM orders ORDER BY o_orderkey""".stripMargin,
@@ -1996,6 +2038,21 @@ object SparkEntry {
     "q_ivf_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
         |           WHERE vec_id >= 10 AND vec_id < 25),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(sim, 6) AS cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_ivf_indexed" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |           WHERE vec_id >= 30 AND vec_id < 40),
         |scored AS (
         |  SELECT q.query_id, e.vec_id AS neighbor_id,
         |    list_sum(list_transform(list_zip(e.embedding, q.qv),
@@ -2134,6 +2191,12 @@ object SparkEntry {
         |  CAST(round(width * sc) AS INT) AS rs_width,
         |  CAST(round(height * sc) AS INT) AS rs_height
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_image2" ->
+      """SELECT doc_id,
+        |  CAST(16 + (len(text) * 5) % 1009 AS INT) AS width,
+        |  CAST(16 + (len(text) * 11) % 737 AS INT) AS height,
+        |  3 AS channels, 'png' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_audio" ->
       """WITH m AS (SELECT doc_id,
         |    CAST(8000 + (strlen(text) * 7) % 36001 AS INT) AS sample_rate,

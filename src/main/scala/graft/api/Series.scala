@@ -274,13 +274,16 @@ final class Series private[graft] (
       app(regexp_replace(_, pattern, replacement))
     def slice(start: Int, length0: Int): Series =
       app(substring(_, start + 1, length0)) // pandas 0-based
-    /** pandas str.extract with one group: the group's match, NULL when
-      * the pattern does not match (Spark's regexp_extract returns "" on
-      * no match; pandas returns NaN — distinguished from a genuine empty
-      * capture by testing the full pattern first). */
+    /** pandas str.extract: the group's match; NULL when the pattern does
+      * not match OR the group did not participate in the match (the other
+      * arm of an alternation matched). Spark's regexp_extract conflates
+      * the latter with a real empty capture — the native
+      * [[graft.functions.RegexGroupExtract]] kernel distinguishes them
+      * the way pandas does. */
     def extract(pattern: String, group: Int = 1): Series =
-      app(c => when(regexp_like(c, lit(pattern)),
-        regexp_extract(c, pattern, group)))
+      app(c => org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.RegexGroupExtract(
+          org.apache.spark.sql.GraftSqlBridge.expression(c), pattern, group)))
     /** pandas str.pad(side="left") / rjust. */
     def pad(width: Int, fillchar: String = " "): Series =
       app(lpad(_, width, fillchar))

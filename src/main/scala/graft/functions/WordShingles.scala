@@ -55,13 +55,49 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
 }
 
 object WordShingles {
-  /** SQL surface: `graft_shingles(text, n[, distinct])`. */
+  /** SQL surface: `graft_shingles(text, n[, distinct])`. Arguments are
+    * validated into clean AnalysisExceptions — a non-literal, NULL or
+    * mistyped `n`/`distinct` used to surface as a raw
+    * ClassCastException/NPE from the builder. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles",
-      exprs => new WordShingles(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue,
-        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Boolean] else true),
+      exprs => {
+        def fail(msg: String): Nothing =
+          throw new org.apache.spark.sql.AnalysisException(
+            "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+        def foldableArg(i: Int, name: String, tpe: String): Any = {
+          val e = exprs(i)
+          if (!e.foldable)
+            throw new org.apache.spark.sql.AnalysisException(
+              "NON_FOLDABLE_ARGUMENT", Map(
+                "funcName" -> "`graft_shingles`",
+                "paramName" -> s"`$name`", "paramType" -> s""""$tpe""""))
+          val v = e.eval()
+          if (v == null) fail(s"graft_shingles: `$name` must not be NULL")
+          v
+        }
+        if (exprs.length < 2 || exprs.length > 3)
+          fail("graft_shingles(text, n[, distinct]) takes 2 or 3 " +
+            s"arguments, got ${exprs.length}")
+        val n = foldableArg(1, "n", "INT") match {
+          case i: java.lang.Integer => i.intValue
+          case l: java.lang.Long => l.intValue
+          case s: java.lang.Short => s.intValue
+          case b: java.lang.Byte => b.intValue
+          case other => fail(s"graft_shingles: `n` must be an integer " +
+            s"literal, got $other")
+        }
+        if (n < 1) fail(s"graft_shingles: `n` must be >= 1, got $n")
+        val distinct =
+          if (exprs.length < 3) true
+          else foldableArg(2, "distinct", "BOOLEAN") match {
+            case b: java.lang.Boolean => b.booleanValue
+            case other => fail(s"graft_shingles: `distinct` must be a " +
+              s"boolean literal, got $other")
+          }
+        new WordShingles(exprs(0), n, distinct)
+      },
       "scala_udf")
 
   private val ws = Pattern.compile("\\s+")

@@ -46,7 +46,86 @@ object Multimodal {
       if (b == null || b.length < 2) None
       else if (b(0) == 'P'.toByte && b(1) == '6'.toByte) parsePpm(b)
       else if (b(0) == 'B'.toByte && b(1) == 'M'.toByte) parseBmp(b)
+      else if ((b(0) & 0xFF) == 0x89 && b(1) == 'P'.toByte) parsePng(b)
+      else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) parseJpeg(b)
       else None
+    }
+
+    // PNG: fixed 8-byte signature, then chunks — the FIRST must be IHDR
+    // (spec-mandated): length(BE32)=13 at 8, "IHDR" at 12, width BE32 at
+    // 16, height BE32 at 20, bit depth at 24, color type at 25. Channel
+    // count derives from the color type; pixel data (IDAT et al.) starts
+    // after IHDR's 4-byte CRC at offset 33.
+    private val pngSig =
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+    private def parsePng(b: Array[Byte]): Option[(Int, Int, Int, String, Int)] = {
+      if (b.length < 33) return None
+      var i = 0
+      while (i < 8) { if (b(i) != pngSig(i)) return None; i += 1 }
+      def be32(o: Int): Int = ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
+        ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+      if (b(12) != 'I'.toByte || b(13) != 'H'.toByte ||
+        b(14) != 'D'.toByte || b(15) != 'R'.toByte) return None
+      val w = be32(16)
+      val h = be32(20)
+      val channels = (b(25) & 0xFF) match {
+        case 0 => 1 // grayscale
+        case 2 => 3 // truecolor
+        case 3 => 1 // palette index
+        case 4 => 2 // gray + alpha
+        case 6 => 4 // truecolor + alpha
+        case _ => 0
+      }
+      if (w <= 0 || h <= 0 || channels == 0) None
+      else Some((w, h, channels, "png", 33))
+    }
+
+    // JPEG: FF D8, then marker segments `FF mm [len(BE16, incl itself)
+    // payload]`; standalone markers (01, D0–D9) carry no length, FF is a
+    // fill byte. SOFn frame headers (C0–CF minus C4/C8/CC) carry
+    // precision(1) height(BE16) width(BE16) nComponents(1); entropy-coded
+    // data starts after the SOS (DA) header. Long cursor: a near-2^31
+    // offset plus a u16 length must not wrap an Int advance.
+    private def parseJpeg(b: Array[Byte]): Option[(Int, Int, Int, String, Int)] = {
+      def be16(o: Int): Int = ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+      var i = 2L
+      var w, h, ch = -1
+      var dataOff = -1
+      var done = false
+      while (!done && i + 2 <= b.length) {
+        if ((b(i.toInt) & 0xFF) != 0xFF) {
+          // lost marker sync: reject unless a frame header was already
+          // seen (truncated/garbage tails are normal in crawled data)
+          if (w <= 0) return None
+          dataOff = i.toInt
+          done = true
+        } else {
+          val m = b(i.toInt + 1) & 0xFF
+          if (m == 0xFF) i += 1 // fill byte
+          else if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) i += 2 // standalone
+          else if (i + 4 > b.length) done = true // truncated segment header
+          else {
+            val len = be16(i.toInt + 2)
+            if (len < 2) return None
+            val isSof = m >= 0xC0 && m <= 0xCF &&
+              m != 0xC4 && m != 0xC8 && m != 0xCC
+            if (isSof && i + 4 + 6 <= b.length && len >= 8) {
+              h = be16(i.toInt + 5)
+              w = be16(i.toInt + 7)
+              ch = b(i.toInt + 9) & 0xFF
+            }
+            if (m == 0xDA) { // SOS: entropy-coded data follows its header
+              dataOff = math.min(i + 2 + len, b.length.toLong).toInt
+              done = true
+            }
+            i += 2L + len
+          }
+        }
+      }
+      if (w <= 0 || h <= 0 || ch <= 0) None
+      else Some((w, h, ch, "jpeg",
+        if (dataOff >= 0) dataOff else math.min(i, b.length.toLong).toInt))
     }
 
     // Binary PPM: "P6" <ws> width <ws> height <ws> maxval <one ws> raster,
@@ -149,10 +228,54 @@ object Multimodal {
         lit(3).as("channels"), lit("ppm").as("format")))
   }
 
+  /** Wrap a text/id table into a PNG-framed multimodal frame: a real PNG
+    * signature + IHDR chunk (big-endian dimensions, 8-bit truecolor →
+    * 3 channels) assembled byte-for-byte with expressions, the text's
+    * UTF-8 bytes standing in for the compressed stream. Header dimensions
+    * derive from the text length only — SQL-expressible on purpose, so an
+    * external oracle can recompute what [[probeImages]] must parse back
+    * out of the bytes ([[ImageCodec.parsePng]] ignores the CRC, as any
+    * header probe does). */
+  def withPngPayload(df: DataFrame, srcCol: String,
+                     contentCol: String = "content"): DataFrame = {
+    val len = length(col(srcCol))
+    val w = (lit(16) + pmod(len * 5, lit(1009))).cast("int")
+    val h = (lit(16) + pmod(len * 11, lit(737))).cast("int")
+    def be32Hex(c: Column): Column = lpad(hex(c), 8, "0")
+    val header = concat(
+      lit("89504E470D0A1A0A"), // signature
+      lit("0000000D"), lit("49484452"), // IHDR length + type
+      be32Hex(w), be32Hex(h),
+      lit("08"), lit("02"), // bit depth 8, color type 2 (truecolor)
+      lit("000000"), // compression, filter, interlace
+      lit("00000000")) // CRC placeholder (probes don't checksum)
+    df.withColumn(contentCol,
+        concat(unhex(header), col(srcCol).cast(BinaryType)))
+      .withColumn("meta", struct(
+        w.as("width"), h.as("height"),
+        lit(3).as("channels"), lit("png").as("format")))
+  }
+
+  /** Parallelism floor for the decode/probe stages: multimodal payload
+    * tables often arrive from a handful of fat parquet files (few input
+    * splits), while the per-row byte work is CPU-bound — a `minPartitions`
+    * floor repartitions UP so every core decodes, without touching
+    * already-well-partitioned inputs. */
+  private def ensureParallelism(df: DataFrame,
+                                minPartitions: Option[Int]): DataFrame =
+    minPartitions match {
+      case Some(n) =>
+        require(n > 0, s"minPartitions must be > 0, got $n")
+        if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+      case None => df
+    }
+
   /** Per-partition streaming header probe → metadata struct column parsed
     * from the payload BYTES (not trusted from upstream metadata). */
-  def probeImages(df: DataFrame, contentCol: String,
-                  outCol: String = "probed_meta"): DataFrame = {
+  def probeImages(df0: DataFrame, contentCol: String,
+                  outCol: String = "probed_meta",
+                  minPartitions: Option[Int] = None): DataFrame = {
+    val df = ensureParallelism(df0, minPartitions)
     val inSchema = df.schema
     val outSchema = inSchema.add(StructField(outCol, imageMetaSchema, nullable = true))
     val idx = inSchema.fieldIndex(contentCol)
@@ -172,8 +295,10 @@ object Multimodal {
   /** Per-partition streaming decode → fixed-dim feature vector column.
     * One kernel instance per partition; rows flow through an iterator
     * (never materialized as a whole partition). */
-  def decodeImages(df: DataFrame, contentCol: String, dim: Int = 16,
-                   outCol: String = "features"): DataFrame = {
+  def decodeImages(df0: DataFrame, contentCol: String, dim: Int = 16,
+                   outCol: String = "features",
+                   minPartitions: Option[Int] = None): DataFrame = {
+    val df = ensureParallelism(df0, minPartitions)
     val inSchema = df.schema
     val outSchema = inSchema.add(StructField(outCol,
       ArrayType(FloatType, containsNull = false), nullable = true))
@@ -293,8 +418,10 @@ object Multimodal {
 
   /** Per-partition streaming WAV probe → metadata struct parsed from the
     * payload BYTES (not trusted from upstream metadata). */
-  def probeAudio(df: DataFrame, contentCol: String,
-                 outCol: String = "probed_audio"): DataFrame = {
+  def probeAudio(df0: DataFrame, contentCol: String,
+                 outCol: String = "probed_audio",
+                 minPartitions: Option[Int] = None): DataFrame = {
+    val df = ensureParallelism(df0, minPartitions)
     val inSchema = df.schema
     val outSchema = inSchema.add(StructField(outCol, audioMetaSchema, nullable = true))
     val idx = inSchema.fieldIndex(contentCol)
@@ -419,8 +546,10 @@ object Multimodal {
 
   /** Per-partition streaming Y4M probe → metadata struct parsed and
     * frame-counted from the payload BYTES. */
-  def probeVideo(df: DataFrame, contentCol: String,
-                 outCol: String = "probed_video"): DataFrame = {
+  def probeVideo(df0: DataFrame, contentCol: String,
+                 outCol: String = "probed_video",
+                 minPartitions: Option[Int] = None): DataFrame = {
+    val df = ensureParallelism(df0, minPartitions)
     val inSchema = df.schema
     val outSchema = inSchema.add(StructField(outCol, videoMetaSchema, nullable = true))
     val idx = inSchema.fieldIndex(contentCol)
@@ -454,8 +583,10 @@ object Multimodal {
 
   /** Per-partition streaming audio decode → fixed-dim feature vector
     * column (same iterator plumbing as [[decodeImages]]). */
-  def decodeAudio(df: DataFrame, contentCol: String, dim: Int = 16,
-                  outCol: String = "audio_features"): DataFrame = {
+  def decodeAudio(df0: DataFrame, contentCol: String, dim: Int = 16,
+                  outCol: String = "audio_features",
+                  minPartitions: Option[Int] = None): DataFrame = {
+    val df = ensureParallelism(df0, minPartitions)
     val inSchema = df.schema
     val outSchema = inSchema.add(StructField(outCol,
       ArrayType(FloatType, containsNull = false), nullable = true))

@@ -265,4 +265,92 @@ object Similarity {
       .select(col("__qid"), col("__cid"), cosine(col("__cv"), col("__qv")).as("__sim"))
     finishTopK(scored, k)
   }
+
+  /** (centroid_id, pos, mean) long-form [[kmeansIterate]] output pivoted
+    * back into a (__cent_id, __cent_v) centroid table — collect-free
+    * (one nlist-row aggregate), ready to feed the next Lloyd pass or the
+    * corpus assignment. */
+  private def centroidVectors(km: DataFrame): DataFrame =
+    km.groupBy(col("centroid_id").as("__cent_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+        s => s.getField("mean")).as("__cent_v"))
+
+  /** Build and PERSIST an IVF-Flat index: `lloydIters` k-means passes
+    * from deterministic seeds (lowest md5(id)) train the coarse
+    * centroids, every corpus vector is assigned to its nearest list, and
+    * the assigned corpus is written BUCKETED by the list id
+    * ([[Bucketing.writeBucketed]]) as `table`, with the trained centroids
+    * alongside as `table_centroids`.
+    *
+    * This is the amortization step [[ivfTopK]]'s cost model asks for:
+    * ivfTopK re-derives centroid stand-ins and re-assigns the whole
+    * corpus on EVERY call — O(n·nlist·d) flops per query sweep. Built
+    * once here, a sweep via [[ivfTopKIndexed]] pays only the probe-side
+    * work, and the bucketed-by-list layout means the probe scan READS
+    * only the probed lists' buckets (bucket pruning) instead of the whole
+    * corpus — the difference between touching nprobe/nlist of 100 TB and
+    * all of it. Index table schema: (__cid, __cv, __cluster). */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    table: String, nlist: Int = 256, buckets: Int = 32,
+                    lloydIters: Int = 1): DataFrame = {
+    require(nlist > 0 && buckets > 0 && lloydIters >= 0)
+    val spark = corpus.sparkSession
+    // rebuild-in-place: drop catalog entries AND any leftover warehouse
+    // directory from a previous session — saveAsTable refuses a managed
+    // location that exists without a matching catalog entry
+    Seq(table, s"${table}_centroids").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)))
+      loc.getFileSystem(spark.sessionState.newHadoopConf()).delete(loc, true)
+    }
+    var cent: DataFrame = corpus
+      .select(col(idCol).as("__cent_id"), col(vecCol).as("__cent_v"),
+        md5(col(idCol).cast("string")).as("__m"))
+      .orderBy("__m").limit(nlist).drop("__m")
+    var it = 0
+    while (it < lloydIters) {
+      cent = centroidVectors(
+        kmeansIterate(corpus, idCol, vecCol, cent, "__cent_id", "__cent_v"))
+      it += 1
+    }
+    cent.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_centroids")
+    val assigned = assignClusters(
+      corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv")),
+      "__cid", "__cv", spark.table(s"${table}_centroids"), 1)
+    Bucketing.writeBucketed(assigned.select("__cid", "__cv", "__cluster"),
+      table, "__cluster", buckets)
+    spark.table(table)
+  }
+
+  /** Probe a [[buildIvfIndex]] index: assign each query its `nprobe`
+    * nearest lists (against the persisted centroids), PRUNE the index
+    * scan to the probed lists, and score only those corpus rows.
+    *
+    * The probed list-id set is collected to the driver — bounded by
+    * nlist (≤ a few hundred longs) REGARDLESS of query count — and
+    * pushed as an `IN` filter on the bucket column, so the bucketed
+    * parquet scan prunes whole bucket files: unprobed inverted lists are
+    * never read. The query side broadcasts (top-k query sets are small
+    * by construction), so the corpus side runs scan→join→partial-top-k
+    * with ZERO shuffles; only ≤ k·partitions pre-truncated rows per
+    * query reach the final exchange ([[graft.functions.TopKByScore]]).
+    * nprobe = nlist degrades gracefully to exact search. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+                     queries: DataFrame, qidCol: String, qvecCol: String,
+                     k: Int, nprobe: Int = 8): DataFrame = {
+    val cent = spark.table(s"${table}_centroids")
+    val q = assignClusters(
+      queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv")),
+      "__qid", "__qv", cent, nprobe)
+    val probed = q.select("__cluster").distinct().collect().map(_.get(0))
+    val c = spark.table(table).where(col("__cluster").isin(probed.toSeq: _*))
+    val scored = c.join(broadcast(q), Seq("__cluster"))
+      .where(col("__cid") =!= col("__qid"))
+      .select(col("__qid"), col("__cid"),
+        cosine(col("__cv"), col("__qv")).as("__sim"))
+    finishTopK(scored, k)
+  }
 }

@@ -137,7 +137,18 @@ object GraftStreaming {
     * over one file wants far fewer than a throughput deployment —
     * sizing state partitions per stream is the standard knob, and it
     * lives in the query's own checkpoint, not the session. The session
-    * setting is restored before returning. */
+    * setting is restored before returning.
+    *
+    * Conf-mutation window, made explicit: the session's
+    * shuffle-partitions value IS temporarily changed between set and
+    * restore (the stream clones the session conf inside `start()`;
+    * Spark exposes no per-start conf override). The `synchronized`
+    * below serializes concurrent `runToMemory` calls so set/restore
+    * cannot interleave, but an UNRELATED batch query planned on another
+    * thread during this window would still observe `statePartitions` —
+    * callers driving concurrent mixed batch/stream workloads on one
+    * session should pass `statePartitions` equal to the session setting
+    * (making the window a no-op) or use a separate session. */
   def runToMemory(df: DataFrame, name: String,
                   outputMode: String = "append",
                   statePartitions: Int = 8): StreamingQuery = {

@@ -20,6 +20,27 @@ class ExtensionsSpec extends AnyFunSuite {
     got.foreach { case (k, v) => assert(math.abs(v - exp(k)) < 1e-6) }
   }
 
+  test("isin/between/str chains over one base fuse to a single Project over one scan") {
+    // the q_isin_str shape — SCALE.md's load-bearing fusion contract:
+    // stacking same-base Series transforms must stay ONE projection over
+    // ONE parquet scan, never a per-column join/align or a second scan
+    val li = DataFrame.fromParquet(spark, s"$dir/lineitem.parquet",
+      index = Seq("l_orderkey", "l_linenumber"))
+    val out = li.select(Nil)
+      .withColumn("flag_in", li("l_returnflag").isin(Seq("R", "A")))
+      .withColumn("qty_mid", li("l_quantity").between(10, 20))
+      .withColumn("flag_up", li("l_linestatus").str.lower)
+      .toSpark(includeIndex = true)
+    val plan = out.queryExecution.executedPlan.toString
+    def occurrences(sub: String): Int =
+      plan.sliding(sub.length).count(_ == sub)
+    assert(occurrences("FileScan") == 1, s"expected one scan:\n$plan")
+    assert(occurrences("Project") == 1, s"expected one fused Project:\n$plan")
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"fused chain must not shuffle or align-join:\n$plan")
+    assert(out.count() == spark.read.parquet(s"$dir/lineitem.parquet").count())
+  }
+
   test("where with same-base mask pushes filter to scan") {
     val li = DataFrame.fromParquet(spark, s"$dir/lineitem.parquet")
     val filtered = li.select(Seq("l_quantity")).where(li("l_quantity") > 45)

@@ -231,6 +231,21 @@ class KernelSpec extends AnyFunSuite {
     assert(s.str.extract("(\\d)").values == Seq("1", null))
   }
 
+  test("str.extract: non-participating capture group → NULL, empty participating capture → \"\"") {
+    // pandas semantics: on "x1y" the (z) arm never participates → NaN;
+    // Spark's regexp_extract would return "" for both and conflate them
+    // with the genuinely empty capture of (a*) on "bbb"
+    val s = Series.fromLocal(spark, Seq(0 -> "x1y", 1 -> "zzz"))
+    assert(s.str.extract("(\\d)|(z)", 1).values == Seq("1", null))
+    assert(s.str.extract("(\\d)|(z)", 2).values == Seq(null, "z"))
+    val e = Series.fromLocal(spark, Seq(0 -> "bbb"))
+    assert(e.str.extract("(a*)", 1).values == Seq(""))
+    // out-of-range group is an analysis-time failure, not a runtime one
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Series.fromLocal(spark, Seq(0 -> "x")).str.extract("(a)", 2).values
+    }
+  }
+
   test("withColumn foreign Series LEFT-aligns: disjoint index keys add no rows") {
     // pandas: df[c] = s reindexes s to df.index — s's extra key 5 is
     // dropped, df's unmatched key 1 gets NULL; row count stays 2

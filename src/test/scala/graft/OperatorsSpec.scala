@@ -325,6 +325,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(txt.getString(1) == "a b c")
   }
 
+  test("graft_shingles SQL registration rejects bad arguments with AnalysisException") {
+    graft.functions.WordShingles.register(spark)
+    def bad(sql: String): org.apache.spark.sql.AnalysisException =
+      intercept[org.apache.spark.sql.AnalysisException] { spark.sql(sql).collect() }
+    // non-literal n (used to be a raw ClassCastException/NPE)
+    assert(bad("SELECT graft_shingles(text, doc_id) FROM parquet.`" +
+      s"$dir/documents.parquet`").getMessage.contains("foldable"))
+    assert(bad("SELECT graft_shingles('a b', NULL)").getMessage
+      .contains("must not be NULL"))
+    assert(bad("SELECT graft_shingles('a b', 0)").getMessage
+      .contains(">= 1"))
+    assert(bad("SELECT graft_shingles('a b', 2, 'yes')").getMessage
+      .contains("boolean"))
+    assert(bad("SELECT graft_shingles('a b')").getMessage
+      .contains("2 or 3"))
+    // the happy path still registers and computes
+    assert(spark.sql("SELECT graft_shingles('a b c', 2, false) s")
+      .collect()(0).getSeq[String](0) == Seq("a b", "b c"))
+  }
+
   test("range join: bucketized equals naive cross+filter") {
     val pts = Seq((1L, 5L), (1L, 25L), (2L, 14L)).toDF("k", "t")
     val ivs = Seq((1L, 0L, 10L), (1L, 20L, 30L), (2L, 0L, 10L)).toDF("k", "s", "e")
@@ -363,6 +383,34 @@ class OperatorsSpec extends AnyFunSuite {
       s"bucketed join should not shuffle:\n$plan")
     assert(joined.count() ==
       li.join(o, Seq("l_orderkey")).count())
+  }
+
+  test("persisted IVF index: bucket-pruned probe scan, no corpus-side shuffle, exact at full probe") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", "ivfspec_idx",
+      nlist = 8, buckets = 16)
+    val queries = emb.where(col("vec_id") < 3)
+    val probed = Similarity.ivfTopKIndexed(spark, "ivfspec_idx",
+      queries, "vec_id", "embedding", k = 3, nprobe = 2)
+    probed.write.format("noop").mode("overwrite").save()
+    val plan = probed.queryExecution.executedPlan.toString
+    // the index scan prunes to the probed lists' buckets — unprobed
+    // inverted lists are never read
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"expected bucket pruning on the index scan:\n$plan")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"expected fewer than all buckets read: ${sel.get.matched}")
+    // probe side broadcasts; the only exchange is the final bounded
+    // top-k finisher, never a corpus repartition
+    assert(!plan.contains("Exchange hashpartitioning(__cluster"),
+      s"corpus side must not shuffle on the list id:\n$plan")
+    // nprobe = nlist ≡ exact brute force
+    val full = Similarity.ivfTopKIndexed(spark, "ivfspec_idx",
+      queries, "vec_id", "embedding", k = 3, nprobe = 8)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3)
+    assert(full.collect().toSet == exact.collect().toSet && full.count() == 9)
   }
 
   test("salted join equals plain join") {
@@ -514,17 +562,98 @@ class OperatorsSpec extends AnyFunSuite {
     assert(labels.size == n && labels.values.forall(_ == 0L))
   }
 
+  test("PNG IHDR probe parses handcrafted headers and rejects mutations") {
+    def png(w: Int, h: Int, colorType: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(40)
+      bb.put(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+      bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+      bb.putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+      bb.put(0.toByte).put(0.toByte).put(0.toByte).putInt(0) // filters + CRC
+      bb.array()
+    }
+    assert(Multimodal.ImageCodec.probe(png(640, 480, 2)) == (640, 480, 3, "png"))
+    assert(Multimodal.ImageCodec.probe(png(1, 1, 6)) == (1, 1, 4, "png"))
+    assert(Multimodal.ImageCodec.probe(png(32, 8, 0)) == (32, 8, 1, "png"))
+    // zero dims, bad color type, truncated header, wrong first chunk
+    assert(Multimodal.ImageCodec.probe(png(0, 480, 2))._4 == "unknown")
+    assert(Multimodal.ImageCodec.probe(png(640, 480, 7))._4 == "unknown")
+    assert(Multimodal.ImageCodec.probe(png(640, 480, 2).take(20))._4 == "unknown")
+    val notIhdr = png(640, 480, 2); notIhdr(12) = 'X'.toByte
+    assert(Multimodal.ImageCodec.probe(notIhdr)._4 == "unknown")
+  }
+
+  test("JPEG SOF marker walk parses handcrafted segments and rejects desync") {
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xFF.toByte, marker.toByte,
+        ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xFF).toByte) ++ payload
+    def sof(h: Int, w: Int, ncomp: Int): Array[Byte] =
+      Array(8.toByte, (h >> 8).toByte, (h & 0xFF).toByte,
+        (w >> 8).toByte, (w & 0xFF).toByte, ncomp.toByte) ++
+        Array.fill(3 * ncomp)(0.toByte)
+    val soi = Array(0xFF.toByte, 0xD8.toByte)
+    // SOI, APP0, baseline SOF0, SOS header, entropy data
+    val jpg = soi ++ seg(0xE0, Array.fill(14)(0.toByte)) ++
+      seg(0xC0, sof(480, 640, 3)) ++ seg(0xDA, Array.fill(10)(1.toByte)) ++
+      Array.fill(50)(7.toByte)
+    assert(Multimodal.ImageCodec.probe(jpg) == (640, 480, 3, "jpeg"))
+    // progressive SOF2, grayscale
+    val jpg2 = soi ++ seg(0xC2, sof(33, 17, 1)) ++ Array.fill(5)(0.toByte)
+    assert(Multimodal.ImageCodec.probe(jpg2) == (17, 33, 1, "jpeg"))
+    // restart markers (standalone, no length) are stepped over
+    val jpg3 = soi ++ Array(0xFF.toByte, 0xD0.toByte) ++ seg(0xC0, sof(10, 20, 3))
+    assert(Multimodal.ImageCodec.probe(jpg3) == (20, 10, 3, "jpeg"))
+    // marker desync (non-FF where a marker must start) → unknown
+    val bad = soi ++ Array(0x00.toByte, 0x12.toByte)
+    assert(Multimodal.ImageCodec.probe(bad)._4 == "unknown")
+    // SOF truncated mid-header → unknown, never a throw
+    assert(Multimodal.ImageCodec.probe(
+      (soi ++ seg(0xC0, sof(480, 640, 3))).take(9))._4 == "unknown")
+  }
+
+  test("withPngPayload round-trips through the byte-level PNG probe") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(50)
+    val probed = Multimodal.probeImages(
+      Multimodal.withPngPayload(docs, "text").repartition(3), "content")
+    assert(probed.where(col("probed_meta.width") =!= col("meta.width") ||
+      col("probed_meta.height") =!= col("meta.height") ||
+      col("probed_meta.channels") =!= lit(3) ||
+      col("probed_meta.format") =!= lit("png")).count() == 0)
+  }
+
+  test("multimodal decode/probe honor the minPartitions parallelism floor") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .limit(40).coalesce(1)
+    val mm = Multimodal.withImagePayload(docs, "text")
+    assert(mm.rdd.getNumPartitions == 1)
+    val probed = Multimodal.probeImages(mm, "content", minPartitions = Some(4))
+    assert(probed.rdd.getNumPartitions >= 4)
+    val decoded = Multimodal.decodeImages(mm, "content", dim = 8,
+      minPartitions = Some(4))
+    assert(decoded.rdd.getNumPartitions >= 4)
+    // already-parallel inputs are left alone
+    val wide = Multimodal.probeImages(mm.repartition(8), "content",
+      minPartitions = Some(4))
+    assert(wide.rdd.getNumPartitions == 8)
+    assert(decoded.count() == 40)
+  }
+
   test("container codecs never throw on fuzzed garbage payloads") {
     val rnd = new scala.util.Random(42)
-    val payloads = (0 until 200).map { i =>
+    val payloads = (0 until 300).map { i =>
       val b = new Array[Byte](rnd.nextInt(200))
       rnd.nextBytes(b)
       // bias some toward magic prefixes so the parsers walk further in
       if (i % 4 == 0 && b.length >= 12) {
-        val m = i % 3 match {
-          case 0 => "RIFFxxxxWAVE"; case 1 => "YUV4MPEG2 W4"; case _ => "P6\n99999999 "
+        val m = i % 5 match {
+          case 0 => "RIFFxxxxWAVE"; case 1 => "YUV4MPEG2 W4"
+          case 2 => "P6\n99999999 "
+          case 3 => new String(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A,
+            0x1A, 0x0A, 0x00, 0x00, 0x00, 0x0D).map(_.toChar))
+          case _ => new String(Array(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x09,
+            0x08, 0xFF, 0xFF, 0xFF, 0xFF, 0x03).map(_.toChar))
         }
-        System.arraycopy(m.getBytes("US-ASCII"), 0, b, 0, math.min(12, b.length))
+        val mb = m.toCharArray.map(_.toByte)
+        System.arraycopy(mb, 0, b, 0, math.min(12, b.length))
       }
       b
     }
