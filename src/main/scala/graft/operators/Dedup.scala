@@ -323,6 +323,17 @@ object Dedup {
     * bucket the dial can't predict. */
   private val dropMetricId = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Total buckets dropped by the occupancy cap during the LAST action on
+    * `df` (sums every `graft_dropped_buckets_*` observe metric in its
+    * plan). 0 means the cap never fired — the healthy state; a positive
+    * count on a production corpus is the boilerplate-spam signal worth
+    * alerting on. Call AFTER an action has executed the frame. */
+  def observedDroppedBuckets(df: DataFrame): Long =
+    df.queryExecution.observedMetrics.collect {
+      case (name, row) if name.startsWith("graft_dropped_buckets") =>
+        if (row.isNullAt(0)) 0L else row.getLong(0)
+    }.sum
+
   /** `maxBucketSize`: hard occupancy cap. Buckets with more members are
     * DROPPED (their pairs are boilerplate noise, not near-dup signal —
     * the standard posture, mirroring `maxShingleFreq`), and the collect

@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Scale-slope harness for the dedup/similarity family: runs each
+  * operator at 1×/2×/5×/10× the sf0.1 corpus (10× ≈ the sf1 tier, which
+  * the driver does not generate) and prints one JSON line of wall
+  * seconds per (operator, scale) so BASELINE.md can record whether the
+  * slopes stay ~linear and the occupancy cap holds.
+  *
+  * The scaled corpora are synthesized WITHOUT planting cross-copy
+  * near-duplicates (which would make every LSH family legitimately
+  * quadratic in the copy count and measure the corpus, not the
+  * operator): each text copy goes through a distinct alphabet
+  * substitution cipher (word/length statistics preserved, shingle sets
+  * disjoint across copies), and each embedding copy through a distinct
+  * deterministic sign-flip pattern (norms preserved, cosines
+  * decorrelated).
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.ScaleSweep"
+  */
+object ScaleSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def docsAt(k: Int): DataFrame =
+      (0 until k).map { i =>
+        val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+        docs0.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          translate(col("text"), alpha, rot).as("text"))
+      }.reduce(_ unionAll _)
+
+    def embAt(k: Int): DataFrame =
+      (0 until k).map { i =>
+        // deterministic per-copy sign pattern: flips ~half the dims, so
+        // copies of one vector have near-zero pairwise cosine
+        val signs = Seq.tabulate(64)(j =>
+          if (((j * 2654435761L + i * 40503L) & 4L) == 0L) 1.0f else -1.0f)
+        emb0.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          zip_with(col("embedding"), typedlit(signs), (x, s) => x * s)
+            .as("embedding"))
+      }.reduce(_ unionAll _)
+
+    def time(f: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // warmup both base tables + codegen
+    time(Dedup.exactText(docs0, "text", "doc_id"))
+    time(Dedup.embeddingNearDup(emb0, "vec_id", "embedding"))
+
+    val scales = Seq(1, 2, 5, 10)
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    def sweep(name: String)(f: Int => DataFrame): Unit = {
+      results(name) = scales.map { k =>
+        val s = time(f(k))
+        System.err.println(f"[scale] $name%-18s ${k}%2dx  $s%7.2f s")
+        s
+      }
+    }
+
+    sweep("minhash_pairs")(k => Dedup.minhashLshPairs(docsAt(k), "doc_id", "text",
+      numHashes = 64, bands = 32))
+    sweep("near_dup")(k => Dedup.nearDuplicates(docsAt(k), "doc_id", "text",
+      threshold = 0.8))
+    sweep("simhash")(k => Dedup.simhashNearDup(docsAt(k), "doc_id", "text",
+      maxHamming = 3))
+    sweep("jaccard_pairs")(k => Dedup.ngramJaccardPairs(docsAt(k), "doc_id", "text",
+      n = 3, threshold = 0.5))
+    sweep("emb_near_dup")(k => Dedup.embeddingNearDup(embAt(k), "vec_id", "embedding",
+      threshold = 0.95))
+    sweep("exact_pairs")(k => Dedup.exactTextPairs(docsAt(k), "text", "doc_id"))
+
+    val json = results.map { case (k, v) =>
+      "\"" + k + "\":[" + v.map(x => f"$x%.2f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_sweep","scales":[${scales.mkString(",")}],"sec":$json,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -45,13 +45,9 @@ class DedupScaleSpec extends AnyFunSuite {
     // …and not one of the ~5e7 mega-bucket pairs was generated
     assert(rows.forall(r => r.getLong(0) > 10000L))
     // the dropped-bucket count is surfaced via the observe metric
-    val metrics = out.queryExecution.observedMetrics
-    val dropped = metrics.collect {
-      case (name, row) if name.startsWith("graft_dropped_buckets") =>
-        row.getLong(0)
-    }
-    assert(dropped.nonEmpty && dropped.head >= 1L,
-      s"expected a positive dropped-bucket metric, got $metrics")
+    assert(Dedup.observedDroppedBuckets(out) >= 1L,
+      s"expected a positive dropped-bucket metric, got " +
+        s"${out.queryExecution.observedMetrics}")
   }
 
   test("cap above occupancy is a no-op: capped equals uncapped") {
