@@ -272,16 +272,28 @@ object Dedup {
                        seed: Long = 42L): Column =
     minhashSignatureOf(shingles(text, shingleN), numHashes, seed)
 
-  /** Whole-table MinHash signatures: (id, sig array<long>).
-    *
-    * Formulated as explode(shingles) → k codegen'd xxhash64 columns →
-    * groupBy(id).min(...) rather than a per-row higher-order fold: Spark
-    * evaluates lambda functions interpreted (no codegen), which makes the
-    * HOF form ~20× slower; the explode+hashAggregate form is whole-stage
-    * codegen'd end to end and gets map-side partial aggregation, so the
-    * shuffle carries only k longs per document. This is the form that
-    * scales to 100 TB. */
+  /** Whole-table MinHash signatures: (id, sig array<long>) — ONE
+    * compiled projection over the scan via the native
+    * [[graft.functions.MinHashSig]] kernel: no explode, no aggregation,
+    * NO SHUFFLE (a signature is a pure function of one document's
+    * shingle set). Bit-identical hash family to [[minhashSignaturesAgg]]
+    * (the previous explode + groupBy-min formulation, kept as the
+    * differential reference) and to [[minhashSignatureOf]]. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, shingleN: Int = 3,
+                        seed: Long = 42L): DataFrame =
+    df.select(col(idCol).as("__id"),
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.MinHashSig(
+          org.apache.spark.sql.GraftSqlBridge.expression(col(textCol)),
+          numHashes, shingleN, seed)).as("__sig"))
+
+  /** The pre-kernel formulation — explode(shingles) → k codegen'd
+    * xxhash64 columns → groupBy(id).min(...) with map-side partials
+    * (shuffle = k longs/doc). Itself the fix for the ~20× slower
+    * interpreted HOF fold; retained for the differential spec that pins
+    * the kernel to it bit-for-bit. */
+  private[graft] def minhashSignaturesAgg(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, shingleN: Int = 3,
                         seed: Long = 42L): DataFrame = {
     val ex = df.select(col(idCol).as("__id"),
@@ -429,12 +441,25 @@ object Dedup {
 
   private val pow2: Column = typedlit((0 until 64).map(i => 1L << i))
 
-  /** Whole-table 64-bit SimHash: explode tokens → one xxhash64 per token →
-    * 64 codegen'd ±1 vote sums with map-side partial aggregation → sign
-    * bits assembled into a long. Same output as the per-row [[simhash]]
-    * expression (integer vote sums are order-independent) but whole-stage
-    * codegen'd end to end; the shuffle carries 64 ints per document. */
-  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Whole-table 64-bit SimHash: ONE compiled projection over the scan
+    * via the native [[graft.functions.SimHash64]] kernel — no explode,
+    * no vote aggregation, NO SHUFFLE (per-bit votes are a pure function
+    * of one document's token stream). Bit-identical to
+    * [[simhashTableAgg]] (the previous explode + 64-vote-aggregate
+    * formulation, kept as the differential reference) and to the HOF
+    * [[simhash]]. */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.SimHash64(
+          org.apache.spark.sql.GraftSqlBridge.expression(col(textCol))))
+        .as("__sh"))
+
+  /** The pre-kernel formulation — explode tokens → one xxhash64 per
+    * token → 64 codegen'd ±1 vote sums with map-side partials → sign
+    * bits (shuffle = 64 ints/doc; zero-token docs re-joined as sig 0).
+    * Retained for the differential spec pinning the kernel to it. */
+  private[graft] def simhashTableAgg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ex = df.select(col(idCol).as("__id"),
       explode(TextAnalysis.tokens(col(textCol))).as("__t"))
     val based = ex.select(col("__id"), xxhash64(col("__t")).as("__h"))

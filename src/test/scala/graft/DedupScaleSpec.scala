@@ -82,6 +82,49 @@ class DedupScaleSpec extends AnyFunSuite {
       sh.exists(r => r.getLong(1) == r.getLong(0) + 100000))
   }
 
+  test("native MinHashSig kernel ≡ explode+groupBy-min aggregate form (and HOF form)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(60)
+      // edge rows: empty, whitespace-only, short, multi-byte
+      .unionAll(Seq((90001L, ""), (90002L, "   \t \n "), (90003L, "one"),
+        (90004L, "ünï çödé tökens ünï çödé"), (90005L, "a b"))
+        .toDF("doc_id", "text"))
+    val kernel = Dedup.minhashSignatures(docs, "doc_id", "text", 32, 3, 7L)
+    val agg = Dedup.minhashSignaturesAgg(docs, "doc_id", "text", 32, 3, 7L)
+    assert(kernel.join(agg.withColumnRenamed("__sig", "__sig2"), "__id")
+      .where(col("__sig") =!= col("__sig2")).count() == 0)
+    assert(kernel.count() == agg.count())
+    // over a plain scan (no test-side limit) the kernel projection
+    // plans with no exchange at all
+    val plain = Dedup.minhashSignatures(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", "text", 32, 3, 7L)
+    val plan = plain.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"signature projection must not shuffle:\n$plan")
+  }
+
+  test("native SimHash64 kernel ≡ explode+vote-aggregate form (and HOF form)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(60)
+      .unionAll(Seq((90001L, ""), (90002L, "   "), (90003L, "solo"),
+        (90004L, "日本語 テスト 日本語"), (90005L, "x y z"))
+        .toDF("doc_id", "text"))
+    val kernel = Dedup.simhashTable(docs, "doc_id", "text")
+    val agg = Dedup.simhashTableAgg(docs, "doc_id", "text")
+    assert(kernel.join(agg.withColumnRenamed("__sh", "__sh2"), "__id")
+      .where(col("__sh") =!= col("__sh2")).count() == 0)
+    assert(kernel.count() == agg.count())
+    val hof = docs.select(col("doc_id").as("__id"),
+      Dedup.simhash(col("text")).as("__sh3"))
+    assert(kernel.join(hof, "__id")
+      .where(col("__sh") =!= col("__sh3")).count() == 0)
+    val plain = Dedup.simhashTable(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", "text")
+    val plan = plain.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"simhash projection must not shuffle:\n$plan")
+  }
+
   test("duplicateClusters fails fast on a non-local master without scratchDir") {
     val e = intercept[IllegalArgumentException] {
       Dedup.requireClusterSafeScratch(isLocal = false, scratchDir = None)
