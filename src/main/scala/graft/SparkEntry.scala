@@ -990,6 +990,25 @@ object SparkEntry {
         .orderBy("doc_id", "probe_id")
     }),
 
+    // line-level boilerplate dedup (CCNet/RefinedWeb): lines appearing in
+    // > 50 distinct docs are dropped, docs reassembled in order. The
+    // corpus synthesizes multi-line docs (substring lines + planted
+    // boilerplate on doc_id % 3 / % 2 subsets) since the source texts are
+    // single-line; every construction step mirrors into the oracle.
+    "q_line_dedup" -> ((s, dir) => {
+      val corpus = table(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          substring(col("text"), 1, 60),
+          substring(col("text"), 61, 60),
+          when(col("doc_id") % 3 === 0, lit("Subscribe to our newsletter"))
+            .otherwise(substring(col("text"), 121, 60)),
+          when(col("doc_id") % 2 === 0, lit("(c) All rights reserved"))
+            .otherwise(concat(lit("id "), col("doc_id").cast("string"))))
+          .as("text"))
+      Dedup.stripBoilerplateLines(corpus, "doc_id", "text", maxDocs = 50)
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition filters: duplicate / top word-2-gram
     // occupancy per doc (two hash aggs, no joins)
     "q_repetition" -> ((s, dir) => {
@@ -2149,6 +2168,17 @@ object SparkEntry {
          | round(1.0 - count(*) / sum(cnt), 6) AS dup_frac,
          | round(max(cnt) / sum(cnt), 6) AS top_frac
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "q_line_dedup" -> {
+      s"""WITH base AS (SELECT doc_id, concat_ws(chr(10),
+         |    substr(text, 1, 60), substr(text, 61, 60),
+         |    CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter'
+         |         ELSE substr(text, 121, 60) END,
+         |    CASE WHEN doc_id % 2 = 0 THEN '(c) All rights reserved'
+         |         ELSE concat('id ', CAST(doc_id AS VARCHAR)) END) AS text
+         |  FROM documents),
+         |${graft.operators.Dedup.lineDedupOracleSql(50)}
+         |ORDER BY doc_id""".stripMargin
     },
     "q_jaccard_pairs" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.05),
     "q_minhash_pairs" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.5),

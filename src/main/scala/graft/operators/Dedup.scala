@@ -679,6 +679,75 @@ object Dedup {
       .where(col("cosine") >= threshold)
   }
 
+  /** Line-level boilerplate dedup (the CCNet/RefinedWeb preprocessing
+    * step): drop every line whose normalized fingerprint appears in more
+    * than `maxDocs` DISTINCT documents (navigation chrome, cookie
+    * banners, "subscribe" calls — content that repeats across a site),
+    * then reassemble each document from its surviving lines in original
+    * order. Documents whose every line is boilerplate drop out entirely —
+    * that is the filter semantic, not a loss.
+    *
+    * Shape at 100 TB: one Generate (posexplode of the line split — no
+    * shuffle), ONE aggregate over the distinct (fingerprint, doc) pairs
+    * to find hub lines, and one groupBy(doc) to reassemble. The hub
+    * relation is the set of lines crossing the document-frequency cap —
+    * small by construction (boilerplate is by definition few distinct
+    * strings) — so it BROADCASTS and the corpus-side anti-join never
+    * shuffles the exploded corpus; set `broadcastHub = false` only if a
+    * pathological cap produces a hub set beyond broadcast size. The line
+    * relation has two consumers (hub aggregate + anti-join input);
+    * recomputing it is one extra columnar scan — pass a [[CacheScope]]
+    * to pin it for multi-action callers instead of a leaked persist.
+    *
+    * Fingerprint = md5(trim(line)): leading/trailing whitespace doesn't
+    * make a line "different", but interior spacing does (mirrors the
+    * reference pipelines). Returns (idCol, n_lines, n_kept, n_removed,
+    * clean_text). */
+  def stripBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                            maxDocs: Long = 1000L,
+                            broadcastHub: Boolean = true,
+                            scope: Option[CacheScope] = None): DataFrame = {
+    val lines = CacheScope.maybe(scope,
+      df.select(col(idCol).as("__id"),
+        size(split(col(textCol), "\n", -1)).cast("long").as("__n_lines"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
+        .withColumn("__fp", md5(trim(col("__line")))))
+    val hub0 = lines.select(col("__fp"), col("__id")).distinct()
+      .groupBy("__fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDocs)
+      .select("__fp")
+    val hub = if (broadcastHub) broadcast(hub0) else hub0
+    lines.join(hub, Seq("__fp"), "left_anti")
+      .groupBy(col("__id").as(idCol))
+      .agg(first(col("__n_lines")).as("n_lines"),
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")), "\n").as("clean_text"))
+      .select(col(idCol), col("n_lines"), col("n_kept"),
+        (col("n_lines") - col("n_kept")).as("n_removed"), col("clean_text"))
+  }
+
+  /** [[stripBoilerplateLines]] as DuckDB SQL over a `(doc_id, text)`
+    * relation named `base` (provide it via a WITH prefix): identical
+    * line split (every '\n', trailing empties kept), identical
+    * trim-then-md5 fingerprint, identical document-frequency cap and
+    * ordered reassembly. */
+  def lineDedupOracleSql(maxDocs: Long): String =
+    s"""ln AS (SELECT doc_id, len(ls) AS n_lines,
+       |         unnest(generate_series(1, len(ls))) AS pos,
+       |         unnest(ls) AS line
+       |       FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM base)),
+       |fp AS (SELECT doc_id, n_lines, pos, line, md5(trim(line)) AS f FROM ln),
+       |hub AS (SELECT f FROM (SELECT f, count(DISTINCT doc_id) AS c
+       |                       FROM fp GROUP BY f) WHERE c > $maxDocs),
+       |kept AS (SELECT * FROM fp ANTI JOIN hub USING (f))
+       |SELECT doc_id, CAST(any_value(n_lines) AS BIGINT) AS n_lines,
+       |  count(*) AS n_kept,
+       |  CAST(any_value(n_lines) - count(*) AS BIGINT) AS n_removed,
+       |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
+       |FROM kept GROUP BY doc_id""".stripMargin
+
   /** Benchmark decontamination: flag corpus docs sharing at least
     * `minShared` distinct word n-grams with any probe (eval-set) doc.
     *

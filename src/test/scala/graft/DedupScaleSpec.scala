@@ -151,4 +151,38 @@ class DedupScaleSpec extends AnyFunSuite {
     // the returned frame survives the cleanup (reads the kept iteration)
     assert(labels.count() == 5)
   }
+
+  test("stripBoilerplateLines drops hub lines, keeps order, drops empty docs") {
+    // "nav menu" appears in 3 docs (> maxDocs=2) -> boilerplate; doc 4 is
+    // ALL boilerplate and must vanish; unique lines keep original order
+    // and original (untrimmed) bytes
+    val docs = Seq(
+      (1L, "nav menu\nalpha body one\n  beta body two  "),
+      (2L, "nav menu\ngamma body"),
+      (3L, "delta body\nnav menu"),
+      (4L, "nav menu"),
+      (5L, "epsilon body\nzeta body")).toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplateLines(docs, "doc_id", "text", maxDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(!out.contains(4L), "fully-boilerplate doc must drop out")
+    assert(out(1L) == ((3L, 2L, 1L, "alpha body one\n  beta body two  ")))
+    assert(out(2L) == ((2L, 1L, 1L, "gamma body")))
+    assert(out(3L) == ((2L, 1L, 1L, "delta body")))
+    assert(out(5L) == ((2L, 2L, 0L, "epsilon body\nzeta body")))
+  }
+
+  test("stripBoilerplateLines fingerprints on trim: padded copies count as one line") {
+    // the same line with different padding in 3 docs crosses maxDocs=2
+    // together (trim-normalized fingerprint) even though the raw strings
+    // differ
+    val docs = Seq(
+      (1L, "  follow us  \nreal content a"),
+      (2L, "follow us\nreal content b"),
+      (3L, "follow us   \nreal content c")).toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplateLines(docs, "doc_id", "text", maxDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out == Map(1L -> "real content a", 2L -> "real content b",
+      3L -> "real content c"))
+  }
 }
