@@ -1009,6 +1009,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // cross-doc repeated-substring spans (exact-substring dedup): planted
+    // copies embed tokens 3..14 of each source doc behind a 2-token
+    // unique prefix, so each (src, planted) pair shares one maximal
+    // 12-token span at diag 0 (docs shorter than 14 tokens shed tokens
+    // off the slice; both engines see the same shorter span)
+    "q_spans" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .where(col("doc_id") < 100)
+      val tk = TextAnalysis.tokens(col("text"))
+      val planted = docs.where(col("doc_id") < 30)
+        .select((col("doc_id") + 5000).as("doc_id"),
+          concat_ws(" ",
+            concat(lit("px"), col("doc_id").cast("string")),
+            concat(lit("qx"), col("doc_id").cast("string")),
+            array_join(slice(tk, 3, 12), " "),
+            concat(lit("rx"), col("doc_id").cast("string"))).as("text"))
+      Dedup.repeatedSpans(docs.union(planted), "doc_id", "text", minTokens = 8)
+        .orderBy("id_l", "id_r", "start_l", "start_r")
+    }),
+
     // Gopher-style repetition filters: duplicate / top word-2-gram
     // occupancy per doc (two hash aggs, no joins)
     "q_repetition" -> ((s, dir) => {
@@ -2179,6 +2199,23 @@ object SparkEntry {
          |  FROM documents),
          |${graft.operators.Dedup.lineDedupOracleSql(50)}
          |ORDER BY doc_id""".stripMargin
+    },
+    "q_spans" -> {
+      s"""WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+         |ptk AS (SELECT doc_id,
+         |    list_filter(string_split_regex(trim(text), '\\s+'),
+         |                w -> len(w) > 0) AS tk FROM src),
+         |base AS (
+         |  SELECT doc_id, text FROM src
+         |  UNION ALL
+         |  SELECT doc_id + 5000,
+         |    concat('px', CAST(doc_id AS VARCHAR), ' ',
+         |           'qx', CAST(doc_id AS VARCHAR), ' ',
+         |           array_to_string(list_slice(tk, 3, 14), ' '), ' ',
+         |           'rx', CAST(doc_id AS VARCHAR))
+         |  FROM ptk WHERE doc_id < 30),
+         |${graft.operators.Dedup.repeatedSpansOracleSql(8)}
+         |ORDER BY id_l, id_r, start_l, start_r""".stripMargin
     },
     "q_jaccard_pairs" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.05),
     "q_minhash_pairs" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.5),

@@ -728,6 +728,92 @@ object Dedup {
         (col("n_lines") - col("n_kept")).as("n_removed"), col("clean_text"))
   }
 
+  /** Cross-document repeated-substring spans — the distributed
+    * re-expression of exact-substring training-data dedup (suffix-array
+    * "ExactSubstr" in the single-node literature): every maximal token
+    * span of at least `minTokens` tokens appearing verbatim in two
+    * documents, with positions. Downstream callers strip the spans from
+    * one side or use total shared length as a duplication score.
+    *
+    * Shape: positional token windows (pos, xxhash64 of the n-token
+    * window) are a pure per-row expansion — no shuffle; one posting
+    * aggregate groups window occurrences by hash ([[bucketPairs]], so
+    * the occupancy cap bounds degenerate windows — a boilerplate 8-gram
+    * shared by a million docs is dropped with a surfaced metric instead
+    * of m²/2 junk matches); matched positions then merge into MAXIMAL
+    * spans per (pair, diagonal) with one bounded window pass (consecutive
+    * window starts on the same diagonal coalesce — the sessionize
+    * gap-merge, gap = 1). Cost tracks total tokens + match volume, never
+    * corpus²; matching is on 64-bit window hashes (a cross-doc collision
+    * is ~2⁻⁶⁴ per window pair — at which rate it would add one spurious
+    * span; verify-exact callers can join window strings back).
+    *
+    * Returns (id_l, id_r, start_l, start_r, len): token positions are
+    * 1-based, `len` is in tokens, id_l < id_r, spans maximal per
+    * diagonal. Documents shorter than `minTokens` tokens never match. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    minTokens: Int = 8,
+                    maxWindowFreq: Option[Int] = Some(1000)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("__id"),
+      TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .where(size(col("__tk")) >= minTokens)
+    val wins = toks.select(col("__id"),
+      posexplode(transform(
+        sequence(lit(1), size(col("__tk")) - (minTokens - 1)),
+        i => xxhash64(array_join(slice(col("__tk"), i, lit(minTokens)), " "))))
+        .as(Seq("__p0", "__h")))
+      .select(struct(col("__id"), (col("__p0") + 1).as("__pos")).as("__p"),
+        col("__h"))
+    val matches = bucketPairs(wins, Seq("__h"), "__p", maxWindowFreq)
+      .where(col("__l.__id") < col("__r.__id"))
+      .select(col("__l.__id").as("id_l"), col("__r.__id").as("id_r"),
+        col("__l.__pos").as("__pl"),
+        (col("__l.__pos") - col("__r.__pos")).as("__diag"),
+        col("__r.__pos").as("__pr"))
+    val w = Window.partitionBy(col("id_l"), col("id_r"), col("__diag"))
+      .orderBy(col("__pl"))
+    val spans = matches
+      .withColumn("__brk",
+        when(col("__pl") - lag(col("__pl"), 1).over(w) === 1, 0).otherwise(1))
+      .withColumn("__sid", sum(col("__brk")).over(w))
+    spans.groupBy(col("id_l"), col("id_r"), col("__diag"), col("__sid"))
+      .agg(min(col("__pl")).as("start_l"), max(col("__pl")).as("__end"))
+      .select(col("id_l"), col("id_r"),
+        col("start_l").cast("long").as("start_l"),
+        (col("start_l") - col("__diag")).cast("long").as("start_r"),
+        (col("__end") - col("start_l") + minTokens).cast("long").as("len"))
+  }
+
+  /** [[repeatedSpans]] as DuckDB SQL over a `(doc_id, text)` relation
+    * named `base` (provide it via a WITH prefix): identical tokenization,
+    * window positions, and diagonal gap-merge — matching on the window
+    * STRINGS (the oracle has no hash), which the 64-bit hash matching
+    * reproduces absent collisions. */
+  def repeatedSpansOracleSql(minTokens: Int): String = {
+    val n = minTokens
+    s"""toks AS (SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'),
+       |                w -> len(w) > 0) AS tk FROM base),
+       |wins AS (SELECT doc_id,
+       |    unnest(generate_series(1, len(tk) - ${n - 1})) AS pos,
+       |    unnest(list_transform(generate_series(1, len(tk) - ${n - 1}),
+       |      i -> array_to_string(list_slice(tk, i, i + ${n - 1}), ' '))) AS w
+       |  FROM toks WHERE len(tk) >= $n),
+       |m AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, a.pos AS pl,
+       |    a.pos - b.pos AS diag
+       |  FROM wins a JOIN wins b ON a.w = b.w AND a.doc_id < b.doc_id),
+       |s AS (SELECT *, CASE WHEN pl - lag(pl) OVER
+       |    (PARTITION BY id_l, id_r, diag ORDER BY pl) = 1
+       |    THEN 0 ELSE 1 END AS brk FROM m),
+       |g AS (SELECT *, sum(brk) OVER
+       |    (PARTITION BY id_l, id_r, diag ORDER BY pl) AS sid FROM s)
+       |SELECT id_l, id_r, CAST(min(pl) AS BIGINT) AS start_l,
+       |  CAST(min(pl) - diag AS BIGINT) AS start_r,
+       |  CAST(max(pl) - min(pl) + $n AS BIGINT) AS len
+       |FROM g GROUP BY id_l, id_r, diag, sid""".stripMargin
+  }
+
   /** [[stripBoilerplateLines]] as DuckDB SQL over a `(doc_id, text)`
     * relation named `base` (provide it via a WITH prefix): identical
     * line split (every '\n', trailing empties kept), identical

@@ -172,6 +172,42 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(out(5L) == ((2L, 2L, 0L, "epsilon body\nzeta body")))
   }
 
+  test("repeatedSpans finds maximal cross-doc spans and splits on gaps") {
+    // doc 2 shares doc 1's tokens 5..16 (12 tokens, at its positions
+    // 3..14) and tokens 21..30 (10 tokens, at 16..25), with unique
+    // separators — two maximal spans on two diagonals
+    val t = (1 to 30).map(i => s"t$i")
+    val d1 = t.mkString(" ")
+    val d2 = (Seq("a1", "a2") ++ t.slice(4, 16) ++ Seq("zz") ++ t.slice(20, 30))
+      .mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs, "doc_id", "text", minTokens = 4)
+      .orderBy("start_l")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 2L, 5L, 3L, 12L), (1L, 2L, 21L, 16L, 10L)))
+  }
+
+  test("repeatedSpans excludes same-doc repeats and sub-minTokens docs") {
+    val docs = Seq(
+      (1L, "x x x x x x"), // internal repeats only — no cross-doc partner
+      (2L, "too short"), // < minTokens tokens: never windows
+      (3L, "p q r s t u"), (4L, "p q r zz s t u") // longest shared run = 3 < 4
+    ).toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(docs, "doc_id", "text", minTokens = 4).count() == 0)
+  }
+
+  test("repeatedSpans window-frequency cap drops boilerplate windows") {
+    // the same 4-token run in 5 docs → posting size 5; capped at 3 the
+    // bucket is dropped, uncapped it yields C(5,2) = 10 spans
+    val docs = (1L to 5L).map(i => (i, s"u$i v$i c1 c2 c3 c4 w$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(docs, "doc_id", "text", minTokens = 4,
+      maxWindowFreq = Some(3)).count() == 0)
+    assert(Dedup.repeatedSpans(docs, "doc_id", "text", minTokens = 4,
+      maxWindowFreq = None).count() == 10)
+  }
+
   test("stripBoilerplateLines fingerprints on trim: padded copies count as one line") {
     // the same line with different padding in 3 docs crosses maxDocs=2
     // together (trim-normalized fingerprint) even though the raw strings
