@@ -959,6 +959,31 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // product-quantization codes: every vector compressed to m=4 codes
+    // (nearest of 8 seeded sub-centroids per 16-dim subspace); codes
+    // joined to a string so the compare stays scalar
+    "q_pq_codes" -> ((s, dir) => {
+      Similarity.pqEncode(table(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"),
+          array_join(transform(col("codes"), c => c.cast("string")), "-")
+            .as("code_str"))
+        .orderBy("vec_id")
+    }),
+
+    // ADC top-k over the PQ codes: corpus side is codes-only (m table
+    // lookups per row), query side carries the distance table. ADC ties
+    // are REAL here (4096 possible code combos over the corpus) so the
+    // (adc asc, id asc) tiebreak is exercised, not incidental.
+    "q_pq_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 15)
+      Similarity.pqTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("adc"), 6).as("adc"))
+        .orderBy("query_id", "rank")
+    }),
+
     // banded hyperplane-LSH embedding dedup, generate→verify. Identical
     // vectors produce identical buckets in EVERY band (same deterministic
     // expression), so recall on exact copies is 1 by construction; planted
@@ -2227,6 +2252,28 @@ object SparkEntry {
         |SELECT a.doc_id AS id_l, b.doc_id AS id_r, CAST(0 AS INT) AS hamming
         |FROM f a JOIN f b ON a.doc_id < b.doc_id AND a.fp = b.fp
         |ORDER BY id_l, id_r""".stripMargin,
+    "q_pq_codes" -> {
+      val codes = graft.operators.Similarity.pqCodesOracleSqlExpr("embedding")
+      s"""SELECT vec_id, array_to_string($codes, '-') AS code_str
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    },
+    "q_pq_topk" -> {
+      val codes = graft.operators.Similarity.pqCodesOracleSqlExpr("embedding")
+      val adc = graft.operators.Similarity.pqAdcOracleSqlExpr(
+        "q.embedding", "e.codes")
+      s"""WITH enc AS (SELECT vec_id, $codes AS codes FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+         |      WHERE vec_id < 15),
+         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    $adc AS adc
+         |  FROM enc e, q),
+         |r AS (SELECT query_id, neighbor_id, adc,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY adc, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(adc, 6) AS adc FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
     "q_ann_topk" -> {
       val bucket = graft.operators.Similarity.lshBucketOracleSqlExpr("embedding", 3, 64, 42L)
       s"""WITH c AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),

@@ -325,6 +325,124 @@ object Similarity {
     spark.table(table)
   }
 
+  /** Deterministic product-quantization codebook: `m` subspaces × `ksub`
+    * centroids × `subDim` dims, seeded Gaussian (stand-ins for trained
+    * sub-k-means codebooks, same posture as [[ivfTopK]]'s seed
+    * centroids — the encode/ADC machinery is codebook-agnostic, and a
+    * production pipeline trains each subspace with [[kmeansIterate]]
+    * over `slice`d vectors and passes the result through the same
+    * expressions). */
+  private[graft] def pqCodebook(m: Int, ksub: Int, subDim: Int,
+                                seed: Long): Seq[Seq[Seq[Double]]] =
+    (0 until m).map(j => planesFor(ksub, subDim, seed + 7919L * j))
+
+  /** Squared L2 distance to a literal centroid — sequential double
+    * accumulation, bit-reproducible across engines (the PQ twin of the
+    * dot-product form the randomProjection oracle relies on). */
+  private def l2sq(a: Column, cent: Seq[Double]): Column =
+    aggregate(zip_with(a, typedlit(cent),
+      (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def l2sqOracleSqlExpr(vecRef: String, cent: Seq[Double]): String = {
+    val lits = cent.map(_.toString).mkString("[", ", ", "]")
+    s"list_sum(list_transform(list_zip($vecRef, $lits), " +
+      "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+      "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+  }
+
+  /** Product-quantization encoding: compress each `dim`-float vector to
+    * `m` small codes (one byte each at ksub ≤ 256) — the standard 10–50×
+    * memory cut that makes billion-vector ANN fit a cluster's RAM. Each
+    * subspace j picks the nearest (squared-L2) of its `ksub` codebook
+    * centroids; codes are 1-based. Pure per-row expressions — zero
+    * shuffle, and each centroid distance is evaluated ONCE per row (the
+    * argmin folds over an array of (distance, code) structs, not a
+    * recomputed array_position probe). Output: (vec_id, codes
+    * array<int>). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               m: Int = 4, ksub: Int = 8, dim: Int = 64,
+               seed: Long = 42L): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val cb = pqCodebook(m, ksub, subDim, seed)
+    val codes = array((0 until m).map { j =>
+      val sub = slice(col(vecCol), j * subDim + 1, subDim)
+      array_min(array((0 until ksub).map(c =>
+        struct(l2sq(sub, cb(j)(c)).as("d"), lit(c + 1).as("c"))): _*))
+        .getField("c")
+    }: _*)
+    df.select(col(idCol).as("vec_id"), codes.as("codes"))
+  }
+
+  /** [[pqEncode]]'s code array as DuckDB SQL: identical literal
+    * codebooks, identical sequential-double distances; `list_position(d,
+    * list_min(d))` picks the same first-minimum code the struct-argmin
+    * does. */
+  def pqCodesOracleSqlExpr(vecRef: String, m: Int = 4, ksub: Int = 8,
+                           dim: Int = 64, seed: Long = 42L): String = {
+    val subDim = dim / m
+    val cb = pqCodebook(m, ksub, subDim, seed)
+    (0 until m).map { j =>
+      val sub = s"list_slice($vecRef, ${j * subDim + 1}, ${(j + 1) * subDim})"
+      val ds = (0 until ksub).map(c => l2sqOracleSqlExpr(sub, cb(j)(c)))
+        .mkString("[", ", ", "]")
+      s"list_position($ds, list_min($ds))"
+    }.mkString("[", ", ", "]")
+  }
+
+  /** ADC score of one (query vector, corpus code array) pair as DuckDB
+    * SQL — the same per-subspace distance lists as
+    * [[pqCodesOracleSqlExpr]], indexed by the (1-based) stored code and
+    * left-associatively summed, mirroring [[pqTopK]]'s lookup chain. */
+  def pqAdcOracleSqlExpr(qvecRef: String, codesRef: String, m: Int = 4,
+                         ksub: Int = 8, dim: Int = 64,
+                         seed: Long = 42L): String = {
+    val subDim = dim / m
+    val cb = pqCodebook(m, ksub, subDim, seed)
+    (0 until m).map { j =>
+      val sub = s"list_slice($qvecRef, ${j * subDim + 1}, ${(j + 1) * subDim})"
+      val ds = (0 until ksub).map(c => l2sqOracleSqlExpr(sub, cb(j)(c)))
+        .mkString("[", ", ", "]")
+      s"($ds)[$codesRef[${j + 1}]]"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query computes
+    * its m×ksub distance table ONCE (per-row expression on the
+    * broadcast query side), then every corpus row's approximate distance
+    * is m table lookups + m−1 adds — no float vector is touched on the
+    * corpus side, which is the entire point: at scale the corpus is the
+    * CODES table ([[pqEncode]] output, m bytes/vector), not the
+    * embeddings. Smallest-distance top-k with (adc asc, id asc)
+    * determinism via the bounded-heap partial aggregate. Output:
+    * (query_id, rank, neighbor_id, adc). */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, qidCol: String, qvecCol: String,
+             k: Int, m: Int = 4, ksub: Int = 8, dim: Int = 64,
+             seed: Long = 42L): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val cb = pqCodebook(m, ksub, subDim, seed)
+    val enc = pqEncode(corpus, idCol, vecCol, m, ksub, dim, seed)
+      .select(col("vec_id").as("__cid"), col("codes").as("__codes"))
+    val tbl = array((0 until m).map(j =>
+      array((0 until ksub).map(c =>
+        l2sq(slice(col("__qv"), j * subDim + 1, subDim), cb(j)(c))): _*)): _*)
+    val q = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"))
+      .select(col("__qid"), tbl.as("__tbl"))
+    val scored = enc.crossJoin(broadcast(q))
+      .select(col("__qid"), col("__cid"),
+        (0 until m).map(j => element_at(element_at(col("__tbl"), j + 1),
+          element_at(col("__codes"), j + 1))).reduce(_ + _).as("__adc"))
+    scored.groupBy("__qid")
+      .agg(graft.functions.TopKByScore(negate(col("__adc")),
+        col("__cid").cast("long"), k).as("__top"))
+      .select(col("__qid"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("__qid").as("query_id"), (col("__pos") + 1).as("rank"),
+        col("__e.id").as("neighbor_id"), negate(col("__e.score")).as("adc"))
+  }
+
   /** Probe a [[buildIvfIndex]] index: assign each query its `nprobe`
     * nearest lists (against the persisted centroids), PRUNE the index
     * scan to the probed lists, and score only those corpus rows.
