@@ -1469,6 +1469,24 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Structured Streaming: banded-LSH MinHash near-dup at ingest —
+    // every arriving doc matched against the stored bucket members in
+    // Spark's keyed state store, exact Jaccard on hashed shingle sets.
+    // Same banding/threshold as q_near_dup, so the exhaustive all-pairs
+    // oracle applies for the same recall reason; cross-band duplicate
+    // emissions collapse in the batch groupBy after the run.
+    "q_stream_neardup" -> ((s, dir) => {
+      val out = s"stream_neardup_${System.nanoTime()}"
+      val docs = GraftStreaming.readDocumentsGlob(s, dir, "documents.parquet")
+      val hits = GraftStreaming.nearDupStream(docs, "doc_id", "text",
+        threshold = 0.8, watermark = "87600 hours")
+      val q = GraftStreaming.runToMemory(hits, out)
+      q.awaitTermination(300000)
+      s.table(out).groupBy("id_l", "id_r")
+        .agg(round(max(col("jaccard")), 6).as("jaccard"))
+        .orderBy("id_l", "id_r")
+    }),
+
     // Structured Streaming: flatMapGroupsWithState sessionization with
     // BATCH PARITY — per-user sentinel events (ts shifted 31 years past
     // the WHOLE dataset span, poisoned value) arrive in the same batch
@@ -2245,6 +2263,7 @@ object SparkEntry {
     "q_jaccard_pairs" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.05),
     "q_minhash_pairs" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.5),
     "q_near_dup" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.8),
+    "q_stream_neardup" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.8),
     "q_simhash" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |           UNION ALL SELECT doc_id + 100000, text FROM documents),

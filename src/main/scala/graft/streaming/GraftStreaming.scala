@@ -109,6 +109,126 @@ object GraftStreaming {
         }).toDF()
   }
 
+  /** documents.parquet schema (for file-streamed document corpora). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Stream the documents table out of a directory of parquet drops;
+    * event time synthesized from doc_id (ingest order stand-in) unless
+    * the caller overwrites it. Shifted one day off epoch zero: a row AT
+    * the initial watermark (0) sits exactly on the stateful operators'
+    * late-row boundary and is silently dropped. */
+  def readDocumentsGlob(spark: SparkSession, dir: String, glob: String): DataFrame =
+    spark.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", glob).parquet(dir)
+      .withColumn("event_time", timestamp_seconds(col("doc_id") + 86400L))
+
+  /** One emitted near-duplicate pair (id_l < id_r, exact Jaccard). */
+  case class NearDupHit(id_l: Long, id_r: Long, jaccard: Double)
+
+  /** One stored bucket member (public: codegen'd serializers live in
+    * another package and need access). */
+  case class BucketDoc(id: Long, sh: Seq[Long])
+
+  /** Per-(band, bucket) state: members seen within the horizon. */
+  case class BucketState(members: Seq[BucketDoc])
+
+  /** STREAMING MinHash near-dup: flag each arriving document against the
+    * corpus seen so far — the ingest-time face of
+    * [[graft.operators.Dedup.nearDuplicates]] (batch backfill dedups the
+    * corpus once; this keeps it deduped as crawls land).
+    *
+    * Same banded-LSH candidate generation re-expressed over Spark's
+    * keyed state store: the per-row MinHash signature and hashed shingle
+    * set are pure projections (the [[graft.functions.MinHashSig]]
+    * kernel — no shuffle), each doc fans out to its `bands` (band,
+    * bucket-key) rows, and `flatMapGroupsWithState` keyed by the bucket
+    * compares the arrival against the bucket's stored members — exact
+    * Jaccard on the 64-bit hashed shingle sets (bit-equal to the string
+    * sets absent ~2⁻⁶⁴ collisions), emitted when ≥ `threshold`. A pair
+    * colliding in several bands is emitted once per band; collapse
+    * downstream with groupBy(id_l, id_r).max(jaccard).
+    *
+    * State is bounded two ways: `maxBucketOccupancy` hard-caps stored
+    * members per bucket (a degenerate mega-bucket stops absorbing new
+    * members — arrivals still match against the stored prefix; the
+    * streaming twin of the batch occupancy cap), and the event-time
+    * timeout drops a bucket's state once the watermark passes its last
+    * arrival + `horizonNs` (docs farther apart than the horizon are
+    * never compared — pick it per ingest SLA; the test harness passes an
+    * effectively-unbounded watermark so nothing evicts mid-run).
+    * Processing order within a batch is pinned by (event_time, id) so
+    * emission is deterministic. */
+  def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
+                    threshold: Double = 0.8, numHashes: Int = 64,
+                    bands: Int = 16, shingleN: Int = 3, seed: Long = 42L,
+                    maxBucketOccupancy: Int = 10000,
+                    horizonNs: Long = 3600L * 1000000000L,
+                    watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = docs.select(col(idCol).cast("long").as("__id"),
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.MinHashSig(
+          org.apache.spark.sql.GraftSqlBridge.expression(col(textCol)),
+          numHashes, shingleN, seed)).as("__sig"),
+      transform(graft.operators.Dedup.shingles(col(textCol), shingleN),
+        t => xxhash64(t)).as("__sh"),
+      col("event_time"))
+    val banded = sig.select(col("__id"), col("__sh"), col("event_time"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          hash(slice(col("__sig"), b * r + 1, lit(r))).as("key")))).as("bk"))
+      .select(col("__id"), col("__sh"), col("event_time"),
+        ((col("bk.band").cast("long") * 4294967296L) +
+          (col("bk.key").cast("long") + 2147483648L)).as("__bucket"))
+      .withWatermark("event_time", watermark)
+    implicit val stateEnc = Encoders.product[BucketState]
+    implicit val outEnc = Encoders.product[NearDupHit]
+    implicit val rowEnc = Encoders.row(banded.schema)
+    implicit val keyEnc = Encoders.scalaLong
+    banded.groupByKey((row: Row) => row.getAs[Long]("__bucket"))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: Long, rows: Iterator[Row], state: GroupState[BucketState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r =>
+              (r.getAs[java.sql.Timestamp]("event_time").getTime,
+                r.getAs[Long]("__id")))
+            var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+            val out = Seq.newBuilder[NearDupHit]
+            var lastMs = 0L
+            sorted.foreach { row =>
+              val id = row.getAs[Long]("__id")
+              val sh = row.getSeq[Long](row.fieldIndex("__sh")).toSet
+              lastMs = math.max(lastMs,
+                row.getAs[java.sql.Timestamp]("event_time").getTime)
+              members.foreach { m =>
+                if (m.id != id) {
+                  val mset = m.sh.toSet
+                  val inter = (sh & mset).size
+                  val union = sh.size + mset.size - inter
+                  val jac = if (union == 0) 0.0 else inter.toDouble / union
+                  if (jac >= threshold)
+                    out += NearDupHit(math.min(id, m.id), math.max(id, m.id), jac)
+                }
+              }
+              if (members.size < maxBucketOccupancy)
+                members = members :+ BucketDoc(id, sh.toSeq.sorted)
+            }
+            state.update(BucketState(members))
+            state.setTimeoutTimestamp(lastMs + horizonNs / 1000000L)
+            out.result().iterator
+          }
+        }).toDF()
+  }
+
   /** Watermarked stream-stream inner join: match each left event with
     * the right-stream events of the same key within `horizon` AFTER it.
     * Both sides carry watermarks and the join condition bounds event time

@@ -196,6 +196,55 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(spark.table("ss_join_out").count() == expected)
   }
 
+  test("streaming near-dup ≡ batch nearDuplicates on a planted corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-nd").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(120)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    // plant exact copies under shifted ids: each (i, i+100000) pair is a
+    // guaranteed jaccard-1.0 near-dup in the same buckets of every band
+    val planted = docs.where(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    docs.union(planted).write.mode("overwrite").parquet(tmp)
+    val stream = GraftStreaming.readDocumentsGlob(spark, tmp, "*.parquet")
+    val hits = GraftStreaming.nearDupStream(stream, "doc_id", "text",
+      threshold = 0.8, watermark = "87600 hours")
+    val q = GraftStreaming.runToMemory(hits, "neardup_spec_out")
+    q.awaitTermination(120000)
+    val got = spark.table("neardup_spec_out")
+      .groupBy("id_l", "id_r").agg(max("jaccard").as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.Dedup.nearDuplicates(
+      spark.read.parquet(tmp), "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == batch, s"stream=${got.size} batch=${batch.size}")
+    assert(got.count { case (l, r, j) => r == l + 100000L && j == 1.0 } == 10)
+  }
+
+  test("streaming near-dup occupancy cap stops absorbing, keeps matching stored prefix") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-nd2").toString
+    // 8 identical docs land in ONE bucket per band; cap 3 stores only the
+    // first 3 members, so pairs = every arrival x stored-prefix members
+    // (ordered processing by (event_time, id)): 3 + 4+4+4+4+4 ... compute:
+    // arrivals 1..8 (by id); doc k matches min(k-1, 3) stored members
+    import spark.implicits._
+    val docs = (1L to 8L).map(i => (i, "same viral boilerplate text everywhere",
+      "en", "s", 40L)).toSeq
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(tmp)
+    val stream = GraftStreaming.readDocumentsGlob(spark, tmp, "*.parquet")
+    val hits = GraftStreaming.nearDupStream(stream, "doc_id", "text",
+      threshold = 0.8, maxBucketOccupancy = 3, watermark = "87600 hours")
+    val q = GraftStreaming.runToMemory(hits, "neardup_cap_out")
+    q.awaitTermination(120000)
+    val pairs = spark.table("neardup_cap_out")
+      .select("id_l", "id_r").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      k <- 2L to 8L; m <- 1L to math.min(k - 1, 3L)
+    } yield (m, k)).toSet
+    assert(pairs == expected, s"got $pairs")
+  }
+
   test("streaming: dedup within watermark") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     val ev = spark.read.parquet(s"$dir/events.parquet").limit(100)
