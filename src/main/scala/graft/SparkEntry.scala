@@ -1015,6 +1015,27 @@ object SparkEntry {
         .orderBy("doc_id", "probe_id")
     }),
 
+    // the PERSISTED near-dup index: corpus signatured + banded + bucketed
+    // ONCE, then a new batch (fresh docs + planted copies of ten corpus
+    // docs) probes it paying only its own signature cost — the
+    // incremental-crawl face of q_near_dup. Exact copies share every
+    // band bucket, so recall on the planted pairs is 1 by construction;
+    // natural cross pairs ride the same banding recall q_near_dup pins.
+    "q_neardup_indexed" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.where(col("doc_id") >= 100)
+      val batch = docs.where(col("doc_id") < 100)
+        .union(docs.where(col("doc_id") >= 100 && col("doc_id") < 110)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      Dedup.buildNearDupIndex(corpus, "doc_id", "text", "graft_nd_idx",
+        buckets = 8)
+      Dedup.nearDupAgainstIndex(s, "graft_nd_idx", batch, "doc_id", "text",
+        threshold = 0.8)
+        .select(col("corpus_id"), col("batch_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("corpus_id", "batch_id")
+    }),
+
     // line-level boilerplate dedup (CCNet/RefinedWeb): lines appearing in
     // > 50 distinct docs are dropped, docs reassembled in order. The
     // corpus synthesizes multi-line docs (substring lines + planted
@@ -2264,6 +2285,20 @@ object SparkEntry {
     "q_minhash_pairs" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.5),
     "q_near_dup" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.8),
     "q_stream_neardup" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.8),
+    "q_neardup_indexed" -> {
+      val sh = graft.operators.Dedup.shinglesOracleSqlExpr("text", 3)
+      s"""WITH sh AS (SELECT doc_id, $sh AS s FROM documents),
+         |c AS (SELECT doc_id, s FROM sh WHERE doc_id >= 100),
+         |b AS (SELECT doc_id, s FROM sh WHERE doc_id < 100
+         |      UNION ALL SELECT doc_id + 200000, s FROM sh
+         |      WHERE doc_id >= 100 AND doc_id < 110),
+         |j AS (SELECT c.doc_id AS corpus_id, b.doc_id AS batch_id,
+         |   CAST(len(list_intersect(c.s, b.s)) AS DOUBLE) /
+         |   (len(c.s) + len(b.s) - len(list_intersect(c.s, b.s))) AS jaccard
+         | FROM c, b)
+         |SELECT corpus_id, batch_id, round(jaccard, 6) AS jaccard
+         |FROM j WHERE jaccard >= 0.8 ORDER BY corpus_id, batch_id""".stripMargin
+    },
     "q_simhash" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |           UNION ALL SELECT doc_id + 100000, text FROM documents),

@@ -20,6 +20,18 @@ object Bucketing {
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 
+  /** Rebuild-in-place prep: drop `table` from the catalog AND delete any
+    * leftover managed warehouse directory — saveAsTable refuses a managed
+    * location that exists without a matching catalog entry (the state a
+    * crashed previous build leaves behind). */
+  def dropForRewrite(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    loc.getFileSystem(spark.sessionState.newHadoopConf()).delete(loc, true)
+  }
+
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
   /** Join two tables bucketed on the same key with the same bucket count —

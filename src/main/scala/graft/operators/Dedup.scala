@@ -834,6 +834,87 @@ object Dedup {
        |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
        |FROM kept GROUP BY doc_id""".stripMargin
 
+  /** One 64-bit bucket id per (band, band-key) pair — band in the high
+    * 32 bits, the (int) key zero-shifted into the low 32 — so the banded
+    * bucket space keys a SINGLE bucketed table column. */
+  private def packedBucket(band: Column, key: Column): Column =
+    (band.cast("long") * 4294967296L) + (key.cast("long") + 2147483648L)
+
+  /** Build and PERSIST a MinHash near-dup index over a corpus — the
+    * amortization step for INCREMENTAL ingest dedup: [[nearDuplicates]]
+    * re-signatures and re-buckets the whole corpus on every call, which
+    * is the right shape for one backfill but not for a daily crawl drop
+    * against a 100 TB corpus. Built once here, each new batch pays only
+    * its own signature cost plus joins against two bucketed tables
+    * ([[nearDupAgainstIndex]]) — the corpus is never re-read as text,
+    * never re-signatured, and never shuffled (both index tables are
+    * bucketed on their join key, so the corpus side of each probe join
+    * reads pre-partitioned bucket files).
+    *
+    * Two tables: `{table}_bands` — the exploded (packed band-bucket,
+    * doc id) rows, bucketed by the packed bucket id; `{table}_sh` — one
+    * row per doc with its sorted 64-bit hashed shingle set, bucketed by
+    * id (the exact-verify side). Storage: bands·8 bytes + the hashed
+    * shingle set per doc — no raw text retained. */
+  def buildNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        table: String, numHashes: Int = 64, bands: Int = 16,
+                        shingleN: Int = 3, seed: Long = 42L,
+                        buckets: Int = 32): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = corpus.sparkSession
+    Seq(s"${table}_bands", s"${table}_sh")
+      .foreach(Bucketing.dropForRewrite(spark, _))
+    val sig = minhashSignatures(corpus, idCol, textCol, numHashes, shingleN, seed)
+    val bandRows = bandedBuckets(sig, bands, numHashes / bands,
+      struct(col("__id")))
+      .select(packedBucket(col("__band"), col("__key")).as("__bucket"),
+        col("__p.__id").as("__id"))
+    Bucketing.writeBucketed(bandRows, s"${table}_bands", "__bucket", buckets)
+    val sh = corpus.select(col(idCol).as("__id"),
+      array_sort(transform(shingles(col(textCol), shingleN),
+        t => xxhash64(t))).as("__sh"))
+    Bucketing.writeBucketed(sh, s"${table}_sh", "__id", buckets)
+  }
+
+  /** Probe a [[buildNearDupIndex]] index with a new batch: batch docs are
+    * signatured and banded (their own cost only), candidate (corpus,
+    * batch) pairs come from the equi-join on the packed band bucket —
+    * the `{table}_bands` side reads bucketed files with NO exchange —
+    * and exact Jaccard verification joins the deduplicated candidates
+    * against `{table}_sh` (bucketed by id: corpus side again
+    * exchange-free) and the batch's own shingle sets. Jaccard is
+    * computed on the 64-bit hashed shingle sets (equal to the string-set
+    * value absent ~2⁻⁶⁴ collisions — same contract as
+    * [[repeatedSpans]]/the streaming near-dup). Returns (corpus_id,
+    * batch_id, jaccard) with jaccard ≥ `threshold`. */
+  def nearDupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                          table: String, batch: DataFrame, idCol: String,
+                          textCol: String, threshold: Double = 0.8,
+                          numHashes: Int = 64, bands: Int = 16,
+                          shingleN: Int = 3, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val bsig = minhashSignatures(batch, idCol, textCol, numHashes, shingleN, seed)
+    val bb = bandedBuckets(bsig, bands, numHashes / bands,
+      struct(col("__id")))
+      .select(packedBucket(col("__band"), col("__key")).as("__bucket"),
+        col("__p.__id").as("__bid"))
+    val cand = spark.table(s"${table}_bands")
+      .join(bb, Seq("__bucket"))
+      .select(col("__id").as("corpus_id"), col("__bid").as("batch_id"))
+      .distinct()
+    val bsh = batch.select(col(idCol).as("batch_id"),
+      array_sort(transform(shingles(col(textCol), shingleN),
+        t => xxhash64(t))).as("__bsh"))
+    val csh = spark.table(s"${table}_sh")
+      .select(col("__id").as("corpus_id"), col("__sh").as("__csh"))
+    cand.join(csh, Seq("corpus_id"))
+      .join(bsh, Seq("batch_id"))
+      .select(col("corpus_id"), col("batch_id"),
+        (size(array_intersect(col("__csh"), col("__bsh"))).cast("double") /
+          size(array_union(col("__csh"), col("__bsh")))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing at least
     * `minShared` distinct word n-grams with any probe (eval-set) doc.
     *

@@ -295,16 +295,7 @@ object Similarity {
                     lloydIters: Int = 1): DataFrame = {
     require(nlist > 0 && buckets > 0 && lloydIters >= 0)
     val spark = corpus.sparkSession
-    // rebuild-in-place: drop catalog entries AND any leftover warehouse
-    // directory from a previous session — saveAsTable refuses a managed
-    // location that exists without a matching catalog entry
-    Seq(table, s"${table}_centroids").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.defaultTablePath(
-          org.apache.spark.sql.catalyst.TableIdentifier(t)))
-      loc.getFileSystem(spark.sessionState.newHadoopConf()).delete(loc, true)
-    }
+    Seq(table, s"${table}_centroids").foreach(Bucketing.dropForRewrite(spark, _))
     var cent: DataFrame = corpus
       .select(col(idCol).as("__cent_id"), col(vecCol).as("__cent_v"),
         md5(col(idCol).cast("string")).as("__m"))

@@ -834,6 +834,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.count() == emb.count())
   }
 
+  test("persisted near-dup index: probe equals batch cross-pairs, corpus never shuffles") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.where(col("doc_id") >= 50)
+    val batch = docs.where(col("doc_id") < 50)
+      .union(docs.where(col("doc_id") >= 50 && col("doc_id") < 55)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+    graft.operators.Dedup.buildNearDupIndex(corpus, "doc_id", "text",
+      "ndspec_idx", buckets = 4)
+    val probed = graft.operators.Dedup.nearDupAgainstIndex(spark,
+      "ndspec_idx", batch, "doc_id", "text", threshold = 0.8)
+    probed.write.format("noop").mode("overwrite").save()
+    val got = probed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // parity: exhaustive batch near-dup over the union, restricted to
+    // (corpus, batch) cross pairs — id ranges are disjoint so membership
+    // is decidable from the id alone
+    val isBatch = (id: Long) => id < 50 || id >= 900000L
+    val full = graft.operators.Dedup.nearDuplicates(
+      corpus.union(batch), "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cross = full.collect {
+      case (l, r, j) if !isBatch(l) && isBatch(r) => (l, r, j)
+      case (l, r, j) if isBatch(l) && !isBatch(r) => (r, l, j)
+    }.toSet
+    assert(got == cross, s"probe=${got.size} cross=${cross.size}")
+    // the five planted copies are found at jaccard 1.0
+    assert((50L until 55L).forall(i => got.contains((i, i + 900000L, 1.0))))
+    // both index tables read as bucketed scans, and the corpus bands
+    // side NEVER shuffles on the packed bucket: at most one __bucket
+    // exchange may appear (the batch side; AQE may broadcast it away
+    // entirely at this scale — two would mean the bucketed corpus table
+    // shuffled too)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert("Bucketed: true".r.findAllIn(plan).size == 2,
+      s"expected two bucketed index scans:\n${plan.take(3000)}")
+    assert("Exchange hashpartitioning\\(__bucket".r.findAllIn(plan).size <= 1,
+      s"corpus bands table must not shuffle:\n${plan.take(3000)}")
+  }
+
   test("pqEncode recovers exact codes on vectors built from the codebook") {
     // a vector whose every 16-dim subspace IS codebook centroid c_j must
     // encode to exactly (c_0+1, ..., c_3+1): its sub-distance there is 0
