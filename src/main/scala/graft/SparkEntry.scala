@@ -1085,6 +1085,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // unigram-LM quality signal: fit the corpus unigram model, score
+    // every doc by mean token log-prob (nano-quantized integer sums —
+    // order-independent, engine-exact; see TextAnalysis.unigramScore)
+    "q_unigram_lm" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val model = TextAnalysis.unigramModel(docs, "text")
+      TextAnalysis.unigramScore(docs, "doc_id", "text", model)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("logprob_mean"), 6).as("logprob_mean"))
+        .orderBy("doc_id")
+    }),
+
     // quality scoring (C4/Gopher-style cheap filters; oracle mirrors the
     // when-chains in SQL)
     "q_quality" -> ((s, dir) => {
@@ -2221,6 +2233,11 @@ object SparkEntry {
         |b AS (SELECT doc_id, f FROM fp WHERE doc_id % 10 >= 7),
         |c AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 < 8)
         |SELECT doc_id FROM b ANTI JOIN c USING (f) ORDER BY doc_id""".stripMargin,
+    "q_unigram_lm" -> {
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |${graft.operators.TextAnalysis.unigramScoreOracleSql}
+         |ORDER BY doc_id""".stripMargin
+    },
     "q_quality_filter" -> {
       val q = graft.operators.TextAnalysis.qualityOracleSqlExpr("text")
       s"""WITH s AS (SELECT doc_id, lang, round($q, 6) AS q FROM documents),

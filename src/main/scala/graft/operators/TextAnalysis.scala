@@ -230,6 +230,69 @@ object TextAnalysis {
         least(lit(chunkSize.toLong),
           size(col("__t")).cast("long") - col("__s")).as("n_tokens"))
   }
+
+  /** Corpus unigram language model — the perplexity-proxy quality signal
+    * (CCNet-style: docs whose tokens are improbable under the corpus
+    * model are boilerplate/garbage candidates). One explode + one
+    * groupBy(token) count; the 1-row total broadcasts back. Output:
+    * (token, n, logp) with logp = ln(n / total). */
+  def unigramModel(corpus: DataFrame, textCol: String): DataFrame = {
+    val vocab = corpus.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    vocab.crossJoin(broadcast(vocab.agg(sum(col("n")).as("__total"))))
+      .select(col("token"), col("n"),
+        log(col("n").cast("double") / col("__total")).as("logp"))
+  }
+
+  /** Mean token log-probability per document under a [[unigramModel]].
+    *
+    * Per-token log-probs are quantized to integer nano-units
+    * (floor(logp·1e9) as long) BEFORE the per-doc sum: double summation
+    * is order-dependent in the last ulps and a distributed aggregation
+    * has no fixed order, so the exact integer sum is what makes the
+    * score reproducible across partitionings and engines (the same
+    * trick as the decimal-exact moments in describe/zscore). The model
+    * broadcasts by default (a corpus vocabulary is ~millions of rows —
+    * broadcastable; disable for pathological vocabularies and it
+    * becomes a plain shuffle join). Unseen tokens score `oovLogProb`.
+    * Zero-token docs drop out (no tokens to score). Output: (idCol,
+    * n_tokens, logprob_mean). */
+  def unigramScore(docs: DataFrame, idCol: String, textCol: String,
+                   model: DataFrame, broadcastModel: Boolean = true,
+                   oovLogProb: Double = -20.0): DataFrame = {
+    val m0 = model.select(col("token").as("__t"),
+      floor(col("logp") * 1e9).cast("long").as("__lq"))
+    val m = if (broadcastModel) broadcast(m0) else m0
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .join(m, Seq("__t"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__lq"),
+          lit(math.floor(oovLogProb * 1e9).toLong))).as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__s").cast("double") / (col("n_tokens").cast("double") * 1e9))
+          .as("logprob_mean"))
+  }
+
+  /** [[unigramModel]] + [[unigramScore]] fit-and-score as DuckDB SQL over
+    * a `(doc_id, text)` relation named `base` (provide via WITH prefix):
+    * identical tokenization, ln(n/total), nano-quantization and exact
+    * integer summation. */
+  def unigramScoreOracleSql: String =
+    s"""tok AS (SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+       |                       w -> len(w) > 0)) AS t FROM base),
+       |vocab AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+       |tot AS (SELECT sum(n) AS total FROM vocab),
+       |model AS (SELECT t,
+       |    CAST(floor(ln(CAST(n AS DOUBLE) / total) * 1e9) AS BIGINT) AS lq
+       |  FROM vocab, tot),
+       |sc AS (SELECT doc_id, count(*) AS n_tokens, sum(lq) AS s
+       |  FROM tok JOIN model USING (t) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens,
+       |  round(CAST(s AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1e9), 6)
+       |    AS logprob_mean
+       |FROM sc""".stripMargin
 }
 
 /** Language-ID profiles shared between the Spark expression and the DuckDB

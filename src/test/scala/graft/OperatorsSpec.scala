@@ -834,6 +834,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.count() == emb.count())
   }
 
+  test("unigramScore: model counts, OOV penalty, empty dropout, partition-invariant bits") {
+    val corpus = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val model = TextAnalysis.unigramModel(corpus, "text")
+    val m = model.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(m("a")._1 == 3 && m("b")._1 == 1 && m("c")._1 == 1)
+    assert(math.abs(m("a")._2 - math.log(3.0 / 5)) < 1e-12)
+    val docs = Seq((10L, "a b"), (11L, "zz"), (12L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramScore(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!out.contains(12L), "zero-token doc must drop out")
+    val expect10 = (math.floor(math.log(3.0 / 5) * 1e9) +
+      math.floor(math.log(1.0 / 5) * 1e9)) / (2 * 1e9)
+    assert(out(10L)._1 == 2L && math.abs(out(10L)._2 - expect10) < 1e-15)
+    assert(out(11L) == ((1L, -20.0))) // OOV floor, exact
+    // the nano-quantized integer sum makes scores BIT-identical across
+    // partitionings (double summation would drift in the last ulps)
+    val docs2 = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val model2 = TextAnalysis.unigramModel(docs2, "text")
+    val a = TextAnalysis.unigramScore(docs2.repartition(7), "doc_id", "text", model2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = TextAnalysis.unigramScore(docs2.repartition(2), "doc_id", "text", model2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a == b)
+  }
+
   test("persisted near-dup index: probe equals batch cross-pairs, corpus never shuffles") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
