@@ -1085,6 +1085,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // web-corpus markup extraction: HTML synthesized around each doc
+    // (script/style/comment containers, attributes, entities), stripped
+    // back to text by the RE2-compatible regex program mirrored verbatim
+    // in the oracle
+    "q_strip_markup" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><style>p { color: red }</style>" +
+          "<script>if (x < 2 && y > 1) { alert(\"hi\"); }</script></head>" +
+          "<body><p class=\"lead\">"),
+        col("text"),
+        lit("</p><!-- trailing comment --> Tom &amp; Jerry &lt;3 " +
+          "&quot;quoted&quot;</body></html>"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.stripMarkup(html).as("clean"))
+        .orderBy("doc_id")
+    }),
+
     // unigram-LM quality signal: fit the corpus unigram model, score
     // every doc by mean token log-prob (nano-quantized integer sums —
     // order-independent, engine-exact; see TextAnalysis.unigramScore)
@@ -2233,6 +2250,17 @@ object SparkEntry {
         |b AS (SELECT doc_id, f FROM fp WHERE doc_id % 10 >= 7),
         |c AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 < 8)
         |SELECT doc_id FROM b ANTI JOIN c USING (f) ORDER BY doc_id""".stripMargin,
+    "q_strip_markup" -> {
+      val strip = graft.operators.TextAnalysis.stripMarkupOracleSqlExpr("html")
+      s"""WITH h AS (SELECT doc_id,
+         |  concat('<html><head><style>p { color: red }</style>',
+         |    '<script>if (x < 2 && y > 1) { alert("hi"); }</script></head>',
+         |    '<body><p class="lead">', text,
+         |    '</p><!-- trailing comment --> Tom &amp; Jerry &lt;3 ',
+         |    '&quot;quoted&quot;</body></html>') AS html
+         |  FROM documents)
+         |SELECT doc_id, $strip AS clean FROM h ORDER BY doc_id""".stripMargin
+    },
     "q_unigram_lm" -> {
       s"""WITH base AS (SELECT doc_id, text FROM documents),
          |${graft.operators.TextAnalysis.unigramScoreOracleSql}

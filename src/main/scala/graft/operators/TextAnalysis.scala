@@ -129,6 +129,50 @@ object TextAnalysis {
       s"'$UrlRe', '[URL]', 'g'), '$EmailRe', '[EMAIL]', 'g'), " +
       s"'$LongDigitsRe', '[NUM]', 'g')"
 
+  /** Markup-strip patterns, shared verbatim with the DuckDB oracle —
+    * RE2-compatible by construction (no backreferences: script and style
+    * containers get separate patterns), so both engines run the
+    * identical regex program. */
+  private val ScriptRe = "(?is)<script\\b[^>]*>.*?</script>"
+  private val StyleRe = "(?is)<style\\b[^>]*>.*?</style>"
+  private val CommentRe = "(?s)<!--.*?-->"
+  private val TagRe = "<[^>]+>"
+  /** Entity decode pairs, &amp; LAST so `&amp;lt;` decodes to the
+    * literal `&lt;` (one level), not `<`. */
+  private val Entities = Seq("&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Strip HTML/XML markup down to text (the web-corpus extraction
+    * step): script/style/comment containers removed whole, remaining
+    * tags dropped, the six ubiquitous entities decoded (amp last),
+    * whitespace collapsed. Pure codegen'd per-row expressions — zero
+    * shuffle at any corpus size. Not a parser: pathological markup
+    * (unclosed script, tags inside attribute strings) degrades to
+    * leaving fragments, never to dropped text. */
+  def stripMarkup(text: Column): Column = {
+    val noContainers = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, ScriptRe, " "), StyleRe, " "), CommentRe, " ")
+    val noTags = regexp_replace(noContainers, TagRe, " ")
+    val decoded = Entities.foldLeft(noTags) { case (c, (k, v)) =>
+      org.apache.spark.sql.functions.replace(c, lit(k), lit(v))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** [[stripMarkup]] as DuckDB SQL over a text reference — same regex
+    * programs (global flag), same literal entity replaces, same order. */
+  def stripMarkupOracleSqlExpr(t: String): String = {
+    val noContainers = s"regexp_replace(regexp_replace(regexp_replace($t, " +
+      s"'$ScriptRe', ' ', 'g'), '$StyleRe', ' ', 'g'), '$CommentRe', ' ', 'g')"
+    val noTags = s"regexp_replace($noContainers, '$TagRe', ' ', 'g')"
+    val decoded = Entities.foldLeft(noTags) { case (c, (k, v)) =>
+      val vq = v.replace("'", "''")
+      s"replace($c, '$k', '$vq')"
+    }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
   /** Whitespace-normalized lowercase text — native kernel, byte-identical
     * to `regexp_replace(lower(trim(text)), '\s+', ' ')` (see
     * [[graft.functions.NormalizeWs]]). */

@@ -92,6 +92,31 @@ object ScaleSweep {
     sweep("emb_near_dup")(k => Dedup.embeddingNearDup(embAt(k), "vec_id", "embedding",
       threshold = 0.95))
     sweep("exact_pairs")(k => Dedup.exactTextPairs(docsAt(k), "text", "doc_id"))
+    // round-5 session-2 operators: spans (positional postings), line
+    // dedup (hub aggregate + reassembly), unigram LM (count + broadcast
+    // join), PQ ADC (codes-only corpus side), indexed near-dup probe
+    // (fixed 1x corpus index built once outside the timer; the BATCH
+    // scales — the incremental-ingest cost model under test)
+    sweep("repeated_spans")(k => Dedup.repeatedSpans(docsAt(k), "doc_id", "text",
+      minTokens = 8))
+    sweep("line_dedup")(k => Dedup.stripBoilerplateLines(
+      docsAt(k).select(col("doc_id"),
+        concat_ws("\n", substring(col("text"), 1, 60),
+          substring(col("text"), 61, 60),
+          when(col("doc_id") % 3 === 0, lit("Subscribe now")).otherwise(
+            substring(col("text"), 121, 60))).as("text")),
+      "doc_id", "text", maxDocs = 50))
+    sweep("unigram_lm")(k => {
+      val d = docsAt(k)
+      graft.operators.TextAnalysis.unigramScore(d, "doc_id", "text",
+        graft.operators.TextAnalysis.unigramModel(d, "text"))
+    })
+    sweep("pq_adc_topk")(k => Similarity.pqTopK(embAt(k), "vec_id", "embedding",
+      emb0.where(col("vec_id") < 20), "vec_id", "embedding", k = 10))
+    Dedup.buildNearDupIndex(docs0, "doc_id", "text", "graft_sweep_idx",
+      buckets = 32)
+    sweep("neardup_probe")(k => Dedup.nearDupAgainstIndex(spark,
+      "graft_sweep_idx", docsAt(k), "doc_id", "text", threshold = 0.8))
 
     val json = results.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(x => f"$x%.2f").mkString(",") + "]"

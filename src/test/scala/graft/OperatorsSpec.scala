@@ -834,6 +834,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.count() == emb.count())
   }
 
+  test("stripMarkup: containers whole, tags dropped, entities one level, fragments not text") {
+    val cases = Seq(
+      // script content (with tags-in-strings and operators) removed whole
+      ("<p>keep</p><script>if(a<b && c>d){x=\"<i>no</i>\"}</script><b>this</b>",
+        "keep this"),
+      // style + comment containers; attribute-laden tags
+      ("<style type=\"text/css\">p>a { color: red }</style><a href=\"x?a=1&amp;b=2\">link</a><!-- gone -->",
+        "link"),
+      // entity decode is ONE level, amp last: &amp;lt; -> &lt;, not <
+      ("Tom &amp; Jerry &amp;lt;3 &lt;ok&gt; &quot;q&quot; &#39;a&#39;&nbsp;end",
+        "Tom & Jerry &lt;3 <ok> \"q\" 'a' end"),
+      // unclosed script degrades to fragments, never dropped body text
+      ("<script>var x = 1; trailing body text", "var x = 1; trailing body text"),
+      // whitespace collapse across removed blocks
+      ("a\n\n<p>\n</p>\t b", "a b"))
+    val df = cases.zipWithIndex.map { case ((in, _), i) => (i, in) }.toDF("i", "t")
+    val got = df.select(col("i"), TextAnalysis.stripMarkup(col("t")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((_, want), i) =>
+      assert(got(i) == want, s"case $i: got '${got(i)}' want '$want'")
+    }
+  }
+
   test("unigramScore: model counts, OOV penalty, empty dropout, partition-invariant bits") {
     val corpus = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
     val model = TextAnalysis.unigramModel(corpus, "text")
