@@ -984,6 +984,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the IVF-PQ composition: bucket-pruned probe over a persisted index
+    // holding m-byte PQ codes instead of vectors. At nprobe = nlist every
+    // list is probed, so the result is provably pqTopK over the whole
+    // corpus — the same ADC oracle re-derives it exhaustively.
+    "q_ivfpq_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+        "graft_ivfpq_idx", nlist = 16, buckets = 8)
+      val queries = emb.where(col("vec_id") >= 40 && col("vec_id") < 50)
+      Similarity.ivfPqTopKIndexed(s, "graft_ivfpq_idx",
+        queries, "vec_id", "embedding", k = 5, nprobe = 16)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("adc"), 6).as("adc"))
+        .orderBy("query_id", "rank")
+    }),
+
     // banded hyperplane-LSH embedding dedup, generate→verify. Identical
     // vectors produce identical buckets in EVERY band (same deterministic
     // expression), so recall on exact copies is 1 by construction; planted
@@ -2363,6 +2379,23 @@ object SparkEntry {
       s"""WITH enc AS (SELECT vec_id, $codes AS codes FROM embeddings),
          |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
          |      WHERE vec_id < 15),
+         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    $adc AS adc
+         |  FROM enc e, q),
+         |r AS (SELECT query_id, neighbor_id, adc,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY adc, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(adc, 6) AS adc FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    "q_ivfpq_topk" -> {
+      val codes = graft.operators.Similarity.pqCodesOracleSqlExpr("embedding")
+      val adc = graft.operators.Similarity.pqAdcOracleSqlExpr(
+        "q.embedding", "e.codes")
+      s"""WITH enc AS (SELECT vec_id, $codes AS codes FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+         |      WHERE vec_id >= 40 AND vec_id < 50),
          |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
          |    $adc AS adc
          |  FROM enc e, q),

@@ -434,6 +434,83 @@ object Similarity {
         col("__e.id").as("neighbor_id"), negate(col("__e.score")).as("adc"))
   }
 
+  /** Build and PERSIST an IVF-PQ index — the [[buildIvfIndex]] layout
+    * with [[pqEncode]] codes in place of raw vectors (the FAISS IVF-PQ
+    * composition re-expressed as tables): coarse centroids trained and
+    * saved as `{table}_centroids`, and the corpus stored as (__cid,
+    * __codes, __cluster) BUCKETED by list id. The index holds m small
+    * codes per vector instead of dim floats — the memory/IO product of
+    * the two levers: probing reads only nprobe/nlist of the corpus
+    * (bucket pruning) AND each row read is m bytes of codes, not
+    * 4·dim bytes of floats. */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      table: String, nlist: Int = 256, buckets: Int = 32,
+                      lloydIters: Int = 1, m: Int = 4, ksub: Int = 8,
+                      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    require(nlist > 0 && buckets > 0 && lloydIters >= 0)
+    val spark = corpus.sparkSession
+    Seq(table, s"${table}_centroids").foreach(Bucketing.dropForRewrite(spark, _))
+    var cent: DataFrame = corpus
+      .select(col(idCol).as("__cent_id"), col(vecCol).as("__cent_v"),
+        md5(col(idCol).cast("string")).as("__m"))
+      .orderBy("__m").limit(nlist).drop("__m")
+    var it = 0
+    while (it < lloydIters) {
+      cent = centroidVectors(
+        kmeansIterate(corpus, idCol, vecCol, cent, "__cent_id", "__cent_v"))
+      it += 1
+    }
+    cent.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_centroids")
+    val assigned = assignClusters(
+      corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv")),
+      "__cid", "__cv", spark.table(s"${table}_centroids"), 1)
+    val coded = assigned
+      .join(pqEncode(corpus, idCol, vecCol, m, ksub, dim, seed)
+        .select(col("vec_id").as("__cid"), col("codes").as("__codes")),
+        Seq("__cid"))
+      .select("__cid", "__codes", "__cluster")
+    Bucketing.writeBucketed(coded, table, "__cluster", buckets)
+    spark.table(table)
+  }
+
+  /** Probe a [[buildIvfPqIndex]] index: queries pick their `nprobe`
+    * nearest lists against the persisted centroids, the index scan
+    * PRUNES to the probed lists' buckets, and scoring is pure ADC —
+    * each query's m×ksub distance table rides the broadcast join and
+    * every pruned corpus row costs m list lookups on its stored codes.
+    * nprobe = nlist degrades to exactly [[pqTopK]] over the whole
+    * corpus (the oracle path). Output: (query_id, rank, neighbor_id,
+    * adc), smallest-ADC first, ties by id. */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+                       queries: DataFrame, qidCol: String, qvecCol: String,
+                       k: Int, nprobe: Int = 8, m: Int = 4, ksub: Int = 8,
+                       dim: Int = 64, seed: Long = 42L): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val cb = pqCodebook(m, ksub, subDim, seed)
+    val cent = spark.table(s"${table}_centroids")
+    val tbl = array((0 until m).map(j =>
+      array((0 until ksub).map(c =>
+        l2sq(slice(col("__qv"), j * subDim + 1, subDim), cb(j)(c))): _*)): _*)
+    val q = assignClusters(
+      queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv")),
+      "__qid", "__qv", cent, nprobe)
+      .select(col("__qid"), col("__cluster"), tbl.as("__tbl"))
+    val probed = q.select("__cluster").distinct().collect().map(_.get(0))
+    val c = spark.table(table).where(col("__cluster").isin(probed.toSeq: _*))
+    val scored = c.join(broadcast(q), Seq("__cluster"))
+      .select(col("__qid"), col("__cid"),
+        (0 until m).map(j => element_at(element_at(col("__tbl"), j + 1),
+          element_at(col("__codes"), j + 1))).reduce(_ + _).as("__adc"))
+    scored.groupBy("__qid")
+      .agg(graft.functions.TopKByScore(negate(col("__adc")),
+        col("__cid").cast("long"), k).as("__top"))
+      .select(col("__qid"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("__qid").as("query_id"), (col("__pos") + 1).as("rank"),
+        col("__e.id").as("neighbor_id"), negate(col("__e.score")).as("adc"))
+  }
+
   /** Probe a [[buildIvfIndex]] index: assign each query its `nprobe`
     * nearest lists (against the persisted centroids), PRUNE the index
     * scan to the probed lists, and score only those corpus rows.

@@ -969,6 +969,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(2000))
   }
 
+  test("IVF-PQ index: bucket-pruned codes-only probe; full probe ≡ pqTopK") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", "ivfpqspec_idx",
+      nlist = 8, buckets = 16)
+    // the index stores codes, not vectors
+    val cols = spark.table("ivfpqspec_idx").columns.toSet
+    assert(cols == Set("__cid", "__codes", "__cluster"))
+    val queries = emb.where(col("vec_id") < 3)
+    val partial = Similarity.ivfPqTopKIndexed(spark, "ivfpqspec_idx",
+      queries, "vec_id", "embedding", k = 3, nprobe = 2)
+    partial.write.format("noop").mode("overwrite").save()
+    val plan = partial.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"expected bucket pruning:\n${plan.take(3000)}")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt, sel.get.matched)
+    assert(!plan.contains("Exchange hashpartitioning(__cluster"),
+      s"corpus side must not shuffle on the list id:\n${plan.take(3000)}")
+    // nprobe = nlist ≡ pqTopK over the whole corpus, bit for bit
+    val full = Similarity.ivfPqTopKIndexed(spark, "ivfpqspec_idx",
+      queries, "vec_id", "embedding", k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val flat = Similarity.pqTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(full.sortBy(t => (t._1, t._2)).toSeq == flat.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("kmeansIterate ≡ assignCentroids + join + centroids, exactly") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet").limit(200)
     val cents = emb.where(col("vec_id") < 4)
