@@ -489,6 +489,16 @@ object SparkEntry {
 
     // pipeline: batch sessionization — gap flag + running sum, one shuffle;
     // integer nanos so the session ids are engine-exact
+    // ordered-sequence conversion funnel view → click → purchase: each
+    // step counts only users whose earliest step-i completion precedes
+    // it strictly (µs time base; k min-ts aggregates + k-1 user joins)
+    "q_funnel" -> ((s, dir) => {
+      val ev = table(s, dir, "events").withColumn("tsu", expr("ts DIV 1000"))
+      WindowOps.funnel(ev, "user_id", "event_type", "tsu",
+        Seq("view", "click", "purchase"))
+        .orderBy("step")
+    }),
+
     "q_sessions" -> ((s, dir) => {
       // µs granularity via exact integer division (DuckDB reads the ns
       // timestamps truncated to µs; double division would lose precision
@@ -1792,6 +1802,22 @@ object SparkEntry {
         |SELECT cluster, doc_id AS canonical_id, n_chars AS canonical_score,
         |  n_members
         |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin,
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, min(epoch_us(ts)) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.u
+        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.u
+        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+        |       GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS event_type,
+        |  (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
     "q_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
         |f AS (SELECT user_id, event_id, tsu,

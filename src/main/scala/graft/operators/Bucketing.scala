@@ -34,6 +34,28 @@ object Bucketing {
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
+  /** Similarity-clustered parquet write: range-partition and sort the
+    * corpus by its 64-bit SimHash before writing, so near-duplicate /
+    * same-template documents land ADJACENT within row groups — columnar
+    * compression (dictionary, zstd) then encodes the shared bytes once
+    * instead of once per scattered copy; the standard "cluster by
+    * similarity before you compress" layout trick for crawl corpora.
+    * One range shuffle (sampled bounds — parallel by construction) +
+    * in-partition sort; the signature is a per-row kernel projection and
+    * is dropped before writing. Caller reads the result back as plain
+    * parquet. */
+  def writeClusteredBySimhash(docs: DataFrame, textCol: String,
+                              path: String, partitions: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.col
+    val sh = docs.withColumn("__graft_sh",
+      graft.operators.Dedup.simhash64(col(textCol)))
+    val parted =
+      if (partitions > 0) sh.repartitionByRange(partitions, col("__graft_sh"))
+      else sh.repartitionByRange(col("__graft_sh"))
+    parted.sortWithinPartitions("__graft_sh").drop("__graft_sh")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Join two tables bucketed on the same key with the same bucket count —
     * plans as a zero-exchange sort-merge join. */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,

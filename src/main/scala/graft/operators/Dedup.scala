@@ -477,6 +477,14 @@ object Dedup {
       .select(col("__id"), coalesce(col("__sh"), lit(0L)).as("__sh"))
   }
 
+  /** Column-level native SimHash64 (the kernel behind [[simhashTable]])
+    * for callers composing it into wider rows (e.g. the
+    * similarity-clustered write). */
+  def simhash64(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.SimHash64(
+        org.apache.spark.sql.GraftSqlBridge.expression(text)))
+
   /** 64-bit SimHash over whitespace tokens: per-bit vote sum of token
     * xxhash64 bits, sign → bit. One nested higher-order expression per row
     * (prefer [[simhashTable]] for whole-table scans — HOF lambdas are

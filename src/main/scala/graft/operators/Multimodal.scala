@@ -48,7 +48,27 @@ object Multimodal {
       else if (b(0) == 'B'.toByte && b(1) == 'M'.toByte) parseBmp(b)
       else if ((b(0) & 0xFF) == 0x89 && b(1) == 'P'.toByte) parsePng(b)
       else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) parseJpeg(b)
+      else if (b(0) == 'G'.toByte && b(1) == 'I'.toByte) parseGif(b)
       else None
+    }
+
+    // GIF: "GIF87a"/"GIF89a" signature, then the Logical Screen
+    // Descriptor — width LE16 at 6, height LE16 at 8, packed flags at
+    // 10 (bit 7: global color table present, bits 0-2: its size as
+    // 2^(n+1) entries of 3 bytes). Image data (or extensions) start
+    // after the descriptor (13) plus the global color table if present.
+    private def parseGif(b: Array[Byte]): Option[(Int, Int, Int, String, Int)] = {
+      if (b.length < 13) return None
+      val sig = new String(b, 0, 6, "US-ASCII")
+      if (sig != "GIF87a" && sig != "GIF89a") return None
+      def le16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+      val w = le16(6)
+      val h = le16(8)
+      val packed = b(10) & 0xFF
+      val gctBytes =
+        if ((packed & 0x80) != 0) 3 * (1 << ((packed & 0x07) + 1)) else 0
+      if (w <= 0 || h <= 0) None
+      else Some((w, h, 3, "gif", 13 + gctBytes)) // palette-indexed RGB
     }
 
     // PNG: fixed 8-byte signature, then chunks — the FIRST must be IHDR

@@ -188,4 +188,46 @@ object WindowOps {
     df.withColumn(outCol, sum(newSession).over(
       w.rowsBetween(Window.unboundedPreceding, 0)))
   }
+
+  /** Ordered-sequence funnel: how many users reach each step of
+    * `steps`, where step i+1 counts only when it happens STRICTLY after
+    * the user's earliest completion of step i (and within `horizon` of
+    * it, when given). The standard product-analytics conversion funnel.
+    *
+    * Shape: one filtered min-ts aggregate per step, each joined to the
+    * previous step's (user, ts) relation — k steps is k groupBys + k−1
+    * joins over the events scan, every one an honest hash shuffle on the
+    * user key; no windows over the whole event log, no per-user
+    * collects. The per-step relations shrink monotonically (funnels
+    * converge), so later joins broadcast under AQE. Returns one row per
+    * step: (step 1-based, event_type, n_users), computed lazily as a
+    * union of the k single-row aggregates. `tsCol` must be an integer
+    * time base (engine-exact comparisons). */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String],
+             horizon: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val reached = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val ev = events.where(col(typeCol) === step)
+          .select(col(userCol).as("__u"), col(tsCol).as("__ts"))
+        val eligible = prev match {
+          case None => ev
+          case Some(p) =>
+            val bound = horizon match {
+              case Some(h) => col("__ts") > col("__pt") &&
+                col("__ts") <= col("__pt") + h
+              case None => col("__ts") > col("__pt")
+            }
+            ev.join(p.select(col("__u"), col("__t").as("__pt")), Seq("__u"))
+              .where(bound)
+        }
+        Some(eligible.groupBy("__u").agg(min(col("__ts")).as("__t")))
+    }.flatten
+    reached.zip(steps).zipWithIndex.map { case ((df, name), i) =>
+      df.groupBy().agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(name).as("event_type"),
+          col("n_users"))
+    }.reduce(_ unionAll _)
+  }
 }

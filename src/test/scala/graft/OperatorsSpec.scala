@@ -610,6 +610,52 @@ class OperatorsSpec extends AnyFunSuite {
       (soi ++ seg(0xC0, sof(480, 640, 3))).take(9))._4 == "unknown")
   }
 
+  test("writeClusteredBySimhash: roundtrip intact, similarity-ordered file layout") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cluster")
+      .toString + "/out"
+    Bucketing.writeClusteredBySimhash(docs, "text", tmp, partitions = 4)
+    val back = spark.read.parquet(tmp)
+    assert(back.count() == docs.count())
+    assert(back.columns.toSet == Set("doc_id", "text"), "helper column must not leak")
+    // per-file recomputed signature ranges are disjoint (range
+    // partitioning) and rows within each file are signature-sorted —
+    // the layout contract that makes near-dups adjacent for compression
+    val files = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 2)
+    val ranges = files.map { f =>
+      val sigs = spark.read.parquet(f.getAbsolutePath)
+        .select(graft.operators.Dedup.simhash64(col("text")).as("s"))
+        .collect().map(_.getLong(0))
+      assert(sigs.sameElements(sigs.sorted),
+        s"rows in ${f.getName} not signature-sorted")
+      (sigs.min, sigs.max)
+    }
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Array((_, amax), (bmin, _)) =>
+        assert(amax <= bmin, "file signature ranges must not interleave")
+      case _ => ()
+    }
+  }
+
+  test("GIF logical-screen-descriptor probe parses both signatures, rejects junk") {
+    // GIF89a, 320x240 LE, global color table present (2^3 = 8 entries)
+    val gct = new Array[Byte](24)
+    val b = "GIF89a".getBytes("US-ASCII") ++ Array[Byte](0x40, 0x01,
+      0xF0.toByte, 0x00, (0x80 | 0x02).toByte, 0, 0) ++ gct
+    assert(Multimodal.ImageCodec.probe(b) == (320, 240, 3, "gif"))
+    // GIF87a, minimal 1x1, no color table
+    val b87 = "GIF87a".getBytes("US-ASCII") ++ Array[Byte](1, 0, 1, 0, 0, 0, 0)
+    assert(Multimodal.ImageCodec.probe(b87) == (1, 1, 3, "gif"))
+    // truncated descriptor and zero dims probe as unknown, never throw
+    assert(Multimodal.ImageCodec.probe("GIF89a".getBytes("US-ASCII")) ==
+      (0, 0, 0, "unknown"))
+    val z = "GIF89a".getBytes("US-ASCII") ++ Array[Byte](0, 0, 1, 0, 0, 0, 0)
+    assert(Multimodal.ImageCodec.probe(z) == (0, 0, 0, "unknown"))
+  }
+
   test("withPngPayload round-trips through the byte-level PNG probe") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").limit(50)
     val probed = Multimodal.probeImages(
@@ -731,6 +777,25 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
     // cluster 1: max (n_chars, id) = (200, 3); singleton 9 keeps itself
     assert(got == Map(1L -> ((3L, 3L)), 9L -> ((9L, 1L))))
+  }
+
+  test("funnel: strict step ordering, horizon bound") {
+    val ev = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L),
+      (2L, "click", 1L), (2L, "view", 2L), // click precedes view: stops at step 1
+      (3L, "view", 1L), (3L, "click", 5L), (3L, "purchase", 4L), // purchase too early
+      (4L, "view", 1L), (4L, "click", 2L), (4L, "purchase", 100L)
+    ).toDF("user_id", "event_type", "ts")
+    val noH = WindowOps.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(noH == Map(1 -> 4L, 2 -> 3L, 3 -> 2L))
+    // horizon 10 from the previous step's earliest ts: u4's purchase at
+    // 100 (click at 2) falls out; everything else unchanged
+    val h = WindowOps.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), horizon = Some(10L))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(h == Map(1 -> 4L, 2 -> 3L, 3 -> 1L))
   }
 
   test("batch sessionIds split on inactivity gaps per key") {
