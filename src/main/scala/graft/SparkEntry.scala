@@ -489,6 +489,24 @@ object SparkEntry {
 
     // pipeline: batch sessionization — gap flag + running sum, one shuffle;
     // integer nanos so the session ids are engine-exact
+    // one-pass data-quality profile (nulls / exact distincts / min / max
+    // per column, long format) over integer+string event columns
+    "q_profile" -> ((s, dir) => {
+      graft.operators.Profile.profile(table(s, dir, "events"),
+        Seq("event_id", "user_id", "event_type"))
+        .orderBy("col_name")
+    }),
+
+    // weekly cohort retention triangle: users bucketed by first-event
+    // week, counted per (cohort, weeks-since) — integer DIV time math
+    // end to end (µs base)
+    "q_cohort" -> ((s, dir) => {
+      val ev = table(s, dir, "events").withColumn("tsu", expr("ts DIV 1000"))
+      WindowOps.cohortRetention(ev, "user_id", "tsu",
+        period = 7L * 86400L * 1000000L)
+        .orderBy("cohort", "age")
+    }),
+
     // ordered-sequence conversion funnel view → click → purchase: each
     // step counts only users whose earliest step-i completion precedes
     // it strictly (µs time base; k min-ts aggregates + k-1 user joins)
@@ -1802,6 +1820,20 @@ object SparkEntry {
         |SELECT cluster, doc_id AS canonical_id, n_chars AS canonical_score,
         |  n_members
         |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin,
+    "q_profile" -> {
+      s"""SELECT * FROM (
+         |${graft.operators.Profile.profileOracleSql("events",
+        Seq("event_id", "user_id", "event_type"))}
+         |) ORDER BY col_name""".stripMargin
+    },
+    "q_cohort" ->
+      """WITH p AS (SELECT user_id AS u,
+        |             epoch_us(ts) // 604800000000 AS p FROM events),
+        |f AS (SELECT u, min(p) AS cohort FROM p GROUP BY u),
+        |a AS (SELECT DISTINCT p.u, f.cohort, p.p - f.cohort AS age
+        |      FROM p JOIN f USING (u))
+        |SELECT cohort, age, count(*) AS n_users FROM a
+        |GROUP BY cohort, age ORDER BY cohort, age""".stripMargin,
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id AS u, min(epoch_us(ts)) AS t FROM events
         |            WHERE event_type = 'view' GROUP BY 1),

@@ -189,6 +189,31 @@ object WindowOps {
       w.rowsBetween(Window.unboundedPreceding, 0)))
   }
 
+  /** Cohort retention: users bucketed by the period of their FIRST
+    * event (the cohort), then counted per (cohort, age) where age =
+    * periods elapsed since their cohort period — the standard retention
+    * triangle. Two aggregates and one user-key join: first-touch
+    * per user, distinct (user, cohort, age) activity, count. `tsCol`
+    * must be an integer time base; `period` is in the same units.
+    * Output: (cohort, age, n_users), cohort as the period ordinal. */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      period: Long): DataFrame = {
+    require(period > 0, "period must be positive")
+    // integer DIV, not floor(double/period): a 2^60-scale integer time
+    // base silently loses its low bits in a double (same trap the
+    // sessionizer documents); min-then-DIV equals DIV-then-min on a
+    // monotone non-negative base
+    val p = events.select(col(userCol).as("__u"),
+      expr(s"`$tsCol` DIV ${period}L").as("__p"))
+    val first = p.groupBy("__u").agg(min(col("__p")).as("__cohort"))
+    p.join(first, Seq("__u"))
+      .select(col("__u"), col("__cohort"),
+        (col("__p") - col("__cohort")).as("__age"))
+      .distinct()
+      .groupBy(col("__cohort").as("cohort"), col("__age").as("age"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Ordered-sequence funnel: how many users reach each step of
     * `steps`, where step i+1 counts only when it happens STRICTLY after
     * the user's earliest completion of step i (and within `horizon` of

@@ -779,6 +779,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((3L, 3L)), 9L -> ((9L, 1L))))
   }
 
+  test("cohortRetention: first-touch cohorts, distinct per (cohort, age)") {
+    val ev = Seq((1L, 5L), (1L, 15L), (1L, 7L), (1L, 35L),
+      (2L, 12L), (2L, 25L), (3L, 9L)).toDF("user_id", "ts")
+    val out = WindowOps.cohortRetention(ev, "user_id", "ts", period = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // u1,u3 cohort 0; u2 cohort 1. u1 active periods {0,1,3}; u2 {1,2}
+    assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
+
+  test("profile: one-pass nulls/distincts/min/max in long format") {
+    val df = Seq((Some(1L), "a"), (Some(2L), "b"), (None, "a"), (Some(2L), "c"))
+      .toDF("k", "s")
+    val out = graft.operators.Profile.profile(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(out("k") == ((4L, 1L, 2L, "1", "2"))) // nulls excluded from distinct/min/max
+    assert(out("s") == ((4L, 0L, 3L, "a", "c")))
+    // single scan: exploding the aggregate row, not one agg per column
+    val plan = graft.operators.Profile.profile(df, Seq("k", "s"))
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan|Scan ExistingRDD".r.findAllIn(plan).size <= 1, plan)
+  }
+
   test("funnel: strict step ordering, horizon bound") {
     val ev = Seq(
       (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L),
