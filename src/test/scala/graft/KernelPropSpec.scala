@@ -47,6 +47,42 @@ class KernelPropSpec extends AnyFunSuite {
     }
   }
 
+  test("stripBoilerplateLines invariants on random multi-line corpora") {
+    // random docs assembled from a small line pool (so hub lines exist)
+    // plus unique lines; invariants: n_kept + n_removed = n_lines, kept
+    // lines are an ordered subsequence of the original, no kept line's
+    // trim-fingerprint exceeds the cap, every doc with a surviving line
+    // appears
+    val pool = Seq("shared header", "  shared header  ", "nav", "footer txt")
+    val lineGen = Gen.frequency(
+      3 -> Gen.oneOf(pool),
+      2 -> Gen.chooseNum(1, 12).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar)))
+    val docGen = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, lineGen))
+    val docs = (0 until 120).flatMap(i =>
+      docGen.apply(Gen.Parameters.default, Seed(99L + i)).map(ls =>
+        (i.toLong, ls.mkString("\n"))))
+    val df = docs.toDF("doc_id", "text")
+    val maxDocs = 20L
+    val out = Dedup.stripBoilerplateLines(df, "doc_id", "text", maxDocs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // recompute the hub set independently
+    val freq = docs.flatMap { case (id, t) =>
+      t.split("\n", -1).map(_.trim).distinct.map(_ -> id)
+    }.groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+    val hub = freq.filter(_._2 > maxDocs).keySet
+    docs.foreach { case (id, t) =>
+      val lines = t.split("\n", -1).toSeq
+      val keptExpected = lines.filter(l => !hub.contains(l.trim))
+      if (keptExpected.isEmpty) assert(!out.contains(id))
+      else {
+        val (nl, nk, nr, clean) = out(id)
+        assert(nl == lines.size && nk == keptExpected.size && nk + nr == nl)
+        assert(clean == keptExpected.mkString("\n"), s"doc $id order/bytes")
+      }
+    }
+  }
+
   test("StopwordHits ≡ per-list HOF split/filter counts on random text") {
     import graft.operators.LangId
     def hofHits(text: org.apache.spark.sql.Column, words: Seq[String]) = {
