@@ -1059,6 +1059,21 @@ object SparkEntry {
         .orderBy("doc_id", "probe_id")
     }),
 
+    // the one-call end-to-end dedup pipeline: exact star edges + LSH
+    // near-dup edges (t=0.8, recall pinned by q_near_dup's identical
+    // banding) → connected components → canonical pick by (n_chars
+    // desc, id desc). Oracle re-derives the whole composition with a
+    // recursive CTE over the unioned exhaustive edge sets.
+    "q_dedup_pipeline" -> ((s, dir) => {
+      val base = table(s, dir, "documents").select("doc_id", "text", "n_chars")
+        .where(col("doc_id") < 150)
+      val corpus = base.union(base.where(col("doc_id") < 20)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+          col("n_chars")))
+      Dedup.dedupCorpus(corpus, "doc_id", "text", "n_chars", threshold = 0.8)
+        .orderBy("doc_id")
+    }),
+
     // the PERSISTED near-dup index: corpus signatured + banded + bucketed
     // ONCE, then a new batch (fresh docs + planted copies of ten corpus
     // docs) probes it paying only its own signature cost — the
@@ -2404,6 +2419,38 @@ object SparkEntry {
     "q_minhash_pairs" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.5),
     "q_near_dup" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.8),
     "q_stream_neardup" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.8),
+    "q_dedup_pipeline" -> {
+      val sh = graft.operators.Dedup.shinglesOracleSqlExpr("text", 3)
+      s"""WITH RECURSIVE all_docs AS (
+         |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 150
+         |  UNION ALL SELECT doc_id + 100000, text, n_chars FROM documents
+         |  WHERE doc_id < 20),
+         |fp AS (SELECT doc_id,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM all_docs),
+         |fedges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+         |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id <> b.doc_id),
+         |sh AS (SELECT doc_id, $sh AS s FROM all_docs),
+         |jedges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+         |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         |edges AS (SELECT src, dst FROM fedges
+         |          UNION SELECT src, dst FROM jedges),
+         |reach AS (
+         |  SELECT DISTINCT src AS node, src AS label FROM edges
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+         |comp AS (SELECT node, min(label) AS label FROM reach GROUP BY node),
+         |labeled AS (SELECT d.doc_id, d.n_chars,
+         |  COALESCE(c.label, d.doc_id) AS cluster
+         |  FROM all_docs d LEFT JOIN comp c ON d.doc_id = c.node),
+         |ranked AS (SELECT cluster, doc_id,
+         |  row_number() OVER (PARTITION BY cluster
+         |    ORDER BY n_chars DESC, doc_id DESC) AS rn FROM labeled)
+         |SELECT doc_id, cluster, (rn = 1) AS is_canonical FROM ranked
+         |ORDER BY doc_id""".stripMargin
+    },
     "q_neardup_indexed" -> {
       val sh = graft.operators.Dedup.shinglesOracleSqlExpr("text", 3)
       s"""WITH sh AS (SELECT doc_id, $sh AS s FROM documents),

@@ -842,6 +842,38 @@ object Dedup {
        |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
        |FROM kept GROUP BY doc_id""".stripMargin
 
+  /** The END-TO-END corpus dedup pipeline in one call — the composition
+    * a production pipeline actually runs, in the production ORDER:
+    * exact-duplicate star edges first (one groupBy; collapses the
+    * identical-copy mass before any LSH sees it — the documented
+    * mega-bucket mitigation), MinHash-LSH near-duplicate edges at
+    * `threshold`, connected components over the union, canonical
+    * selection by (`scoreCol` desc, id desc). Returns one row per input
+    * doc: (idCol, cluster, is_canonical) — filter `is_canonical` to get
+    * the deduped corpus, or join back for audit trails. Each stage is
+    * the already-scale-shaped operator ([[exactTextPairs]],
+    * [[nearDuplicates]], [[duplicateClusters]], [[canonicalize]]); see
+    * each for its 100 TB posture and knobs. */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  scoreCol: String, threshold: Double = 0.8,
+                  numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
+                  seed: Long = 42L,
+                  maxBucketSize: Option[Int] = Some(10000),
+                  scratchDir: Option[String] = None): DataFrame = {
+    val exactEdges = exactTextPairs(docs, textCol, idCol)
+    val nearEdges = nearDuplicates(docs, idCol, textCol, threshold,
+      numHashes, bands, shingleN, seed, maxBucketSize)
+      .select("id_l", "id_r")
+    val clusters = duplicateClusters(exactEdges.union(nearEdges),
+      "id_l", "id_r", scratchDir = scratchDir)
+    val canon = canonicalize(docs, clusters, idCol, scoreCol)
+    docs.join(clusters.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("label"), col(idCol)))
+      .join(canon.select(col("cluster"), col("canonical_id")), Seq("cluster"))
+      .select(col(idCol), col("cluster"),
+        (col(idCol) === col("canonical_id")).as("is_canonical"))
+  }
+
   /** One 64-bit bucket id per (band, band-key) pair — band in the high
     * 32 bits, the (int) key zero-shifted into the low 32 — so the banded
     * bucket space keys a SINGLE bucketed table column. */

@@ -208,6 +208,39 @@ class DedupScaleSpec extends AnyFunSuite {
       maxWindowFreq = None).count() == 10)
   }
 
+  test("dedupCorpus one-call pipeline: chains collapse, one canonical per cluster") {
+    val t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, t1, 10L), // original
+      (2L, t1, 12L), // exact copy, highest score -> canonical
+      (3L, t1 + " extra", 5L), // near-dup of 1/2 (jaccard ~0.92)
+      (4L, "completely different text about query engines and columnar formats", 7L)
+    ).toDF("doc_id", "text", "score")
+    val out = Dedup.dedupCorpus(docs, "doc_id", "text", "score")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // exact chain + near chain collapse into min-id cluster 1
+    assert(Seq(1L, 2L, 3L).forall(out(_)._1 == 1L))
+    assert(out(4L) == ((4L, true))) // singleton is its own canonical
+    // exactly one canonical: the highest (score, id)
+    assert(out(2L)._2 && !out(1L)._2 && !out(3L)._2)
+  }
+
+  test("line-dedup hub and unigram model ride broadcast joins") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val ld = Dedup.stripBoilerplateLines(docs, "doc_id", "text", maxDocs = 50)
+    ld.write.format("noop").mode("overwrite").save()
+    val p1 = ld.queryExecution.executedPlan.toString
+    assert(p1.contains("BroadcastHashJoin") && p1.contains("LeftAnti"),
+      s"hub anti-join should broadcast:\n${p1.take(2000)}")
+    val model = TextAnalysis.unigramModel(docs, "text")
+    val sc = TextAnalysis.unigramScore(docs, "doc_id", "text", model)
+    sc.write.format("noop").mode("overwrite").save()
+    val p2 = sc.queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin"),
+      s"model join should broadcast:\n${p2.take(2000)}")
+  }
+
   test("stripBoilerplateLines fingerprints on trim: padded copies count as one line") {
     // the same line with different padding in 3 docs crosses maxDocs=2
     // together (trim-normalized fingerprint) even though the raw strings
