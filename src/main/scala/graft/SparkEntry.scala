@@ -1540,6 +1540,22 @@ object SparkEntry {
         .orderBy("win_start", "event_type")
     }),
 
+    // Structured Streaming: trending keys — hourly windowed counts
+    // drained to the sink, then the per-window top-2 finisher over the
+    // already-window-reduced relation (deterministic n desc, key asc)
+    "q_stream_trending" -> ((s, dir) => {
+      val out = s"stream_trend_${System.nanoTime()}"
+      val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      val agg = GraftStreaming.windowedCounts(stream,
+        watermark = "1 hour", window_ = "1 hour")
+      val q = GraftStreaming.runToMemory(agg, out, outputMode = "complete")
+      q.awaitTermination(300000)
+      GraftStreaming.trendingTopK(s.table(out), "event_type", 2)
+        .select(col("window.start").cast("long").as("win_start"),
+          col("rank"), col("event_type"), col("n"))
+        .orderBy("win_start", "rank")
+    }),
+
     // Structured Streaming: watermarked stream-stream inner join — each
     // click joined to same-user purchases within the following hour. The
     // two-sided event-time bound is what lets Spark evict join state; the
@@ -2687,6 +2703,15 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
         | event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
-        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q_stream_trending" ->
+      """WITH b AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+        |    AS win_start, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT win_start, event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY win_start
+        |      ORDER BY n DESC, event_type) AS INTEGER) AS rank FROM b)
+        |SELECT win_start, rank, event_type, n FROM r WHERE rank <= 2
+        |ORDER BY win_start, rank""".stripMargin
   )
 }

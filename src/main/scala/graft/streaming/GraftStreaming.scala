@@ -48,6 +48,20 @@ object GraftStreaming {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
 
+  /** Trending keys per event-time window: top-k by count with a
+    * deterministic (n desc, key asc) tiebreak. Runs batch-side over a
+    * COMPLETED windowed aggregation ([[windowedCounts]] drained to a
+    * sink) — the input is already window-reduced (rows = windows ×
+    * keys, not events), so the per-window rank is over a tiny relation
+    * and the streaming side keeps its bounded watermarked state. */
+  def trendingTopK(windowCounts: DataFrame, keyCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window")).orderBy(col("n").desc, col(keyCol))
+    windowCounts.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Streaming exact dedup on a key within the watermark horizon — the
     * streaming face of Dedup.exact (state pruned by event time). */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
