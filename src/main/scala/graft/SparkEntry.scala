@@ -1540,6 +1540,27 @@ object SparkEntry {
         .orderBy("win_start", "event_type")
     }),
 
+    // Structured Streaming: stream-static enrichment — events joined
+    // map-side to the broadcast customer dimension per micro-batch (no
+    // state), unmatched users kept with NULL segment; batch-aggregated
+    // for the oracle
+    "q_stream_enrich" -> ((s, dir) => {
+      val out = s"stream_enrich_${System.nanoTime()}"
+      val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = GraftStreaming.enrichWithStatic(stream, dim,
+        "user_id", "c_custkey")
+        .select(col("event_id"), col("value"),
+          coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      val q = GraftStreaming.runToMemory(enriched, out)
+      q.awaitTermination(300000)
+      s.table(out).groupBy("segment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
+        .orderBy("segment")
+    }),
+
     // Structured Streaming: trending keys — hourly windowed counts
     // drained to the sink, then the per-window top-2 finisher over the
     // already-window-reduced relation (deterministic n desc, key asc)
@@ -2704,6 +2725,13 @@ object SparkEntry {
         | event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q_stream_enrich" ->
+      """WITH e AS (SELECT ev.event_id, ev.value,
+        |    COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment
+        |  FROM events ev LEFT JOIN customer c ON ev.user_id = c.c_custkey)
+        |SELECT segment, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM e GROUP BY segment ORDER BY segment""".stripMargin,
     "q_stream_trending" ->
       """WITH b AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
         |    AS win_start, event_type, count(*) AS n

@@ -48,6 +48,16 @@ object GraftStreaming {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
 
+  /** Stream-static enrichment: join each streaming event to a STATIC
+    * dimension table (no state at all — the dimension broadcasts and
+    * every micro-batch joins map-side; the third Structured Streaming
+    * join shape next to stream-stream and stateful). Unmatched events
+    * pass through with NULL dimension columns via the left join so a
+    * dimension gap never drops events. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+                       streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left_outer")
+
   /** Trending keys per event-time window: top-k by count with a
     * deterministic (n desc, key asc) tiebreak. Runs batch-side over a
     * COMPLETED windowed aggregation ([[windowedCounts]] drained to a

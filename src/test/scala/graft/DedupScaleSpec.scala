@@ -225,6 +225,33 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(out(2L)._2 && !out(1L)._2 && !out(3L)._2)
   }
 
+  test("round-5 operators tolerate null/empty text and empty inputs") {
+    val docs = Seq((1L, null: String), (2L, ""), (3L, "real text here ok now yes truly fine"))
+      .toDF("doc_id", "text")
+    // stripMarkup: null in → null out; empty in → empty out
+    val sm = docs.select(col("doc_id"),
+      TextAnalysis.stripMarkup(col("text")).as("c")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(sm(1L).isEmpty && sm(2L).contains("") && sm(3L).nonEmpty)
+    // stripBoilerplateLines: null-text docs drop (no lines); empty-string
+    // doc keeps its single empty line
+    val ld = Dedup.stripBoilerplateLines(docs, "doc_id", "text", maxDocs = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!ld.contains(1L) && ld(2L) == 1L && ld(3L) == 1L)
+    // repeatedSpans: null/short texts never window; no rows, no throw
+    assert(Dedup.repeatedSpans(docs, "doc_id", "text", minTokens = 8).count() == 0)
+    // unigram fit+score: null/empty docs contribute and receive nothing
+    val model = TextAnalysis.unigramModel(docs, "text")
+    val us = TextAnalysis.unigramScore(docs, "doc_id", "text", model)
+      .collect().map(_.getLong(0)).toSet
+    assert(us == Set(3L))
+    // funnel over an empty event frame: one row per step, all zero
+    val empty = Seq.empty[(Long, String, Long)].toDF("user_id", "event_type", "ts")
+    val f = WindowOps.funnel(empty, "user_id", "event_type", "ts",
+      Seq("a", "b")).collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(f == Map(1 -> 0L, 2 -> 0L))
+  }
+
   test("line-dedup hub and unigram model ride broadcast joins") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
