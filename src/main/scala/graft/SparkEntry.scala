@@ -646,6 +646,21 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // pipeline: domain-mixture sampling to target proportions — per-lang
+    // token budgets floor(20000 × w) with w = en .5 / zh .2 / es .2 /
+    // fr .1; de is unlisted → dropped entirely; es is under-supplied
+    // (≈3.9k tokens < 4k budget) → contributes everything it has
+    "q_mixture_sample" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("text")).cast("long"))
+        .select("lang", "doc_id", "n_tokens")
+      Sampling.mixtureSample(docs, "lang", "doc_id", "n_tokens",
+        totalBudget = 20000L,
+        weights = Seq("en" -> 0.5, "zh" -> 0.2, "es" -> 0.2, "fr" -> 0.1))
+        .orderBy("lang", "doc_id")
+    }),
+
     // pipeline: GPT-style fixed-length sequence packing — docs
     // concatenate per language and SPLIT across 2048-token boundaries;
     // integral DIV math so the fragment table is engine-exact
@@ -987,6 +1002,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // FILTERED vector search on the persisted IVF index: `label` rides
+    // in the index as a payload column and the predicate pushes to the
+    // index's parquet scan (PushedFilters, plan-asserted in
+    // OperatorsSpec) — pre-filter, so k survivors are k MATCHING rows.
+    // nprobe = nlist makes the result provably the exact filtered top-k;
+    // oracle = brute force WHERE label = 3.
+    "q_filtered_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+        "graft_ivf_filt", nlist = 16, buckets = 8,
+        payloadCols = Seq("label"))
+      val queries = emb.where(col("vec_id") >= 50 && col("vec_id") < 60)
+      Similarity.ivfTopKIndexed(s, "graft_ivf_filt",
+        queries, "vec_id", "embedding", k = 5, nprobe = 16,
+        filter = Some(col("label") === 3))
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     // product-quantization codes: every vector compressed to m=4 codes
     // (nearest of 8 seeded sub-centroids per 16-dim subspace); codes
     // joined to a string so the compare stays scalar
@@ -1043,6 +1078,21 @@ object SparkEntry {
         threshold = 0.95, planes = 8, bands = 4)
         .select(col("id_l"), col("id_r"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_l", "id_r")
+    }),
+
+    // SemDeDup: k-means cells (8 seed centroids, broadcast argmax
+    // assignment) + within-cell min-id-survives pruning at cosine >=
+    // 0.95. Planted exact copies of vec_id < 60 (at larger ids) are the
+    // in-cell near-dups, so the survivor set is construction-checkable:
+    // the 500 originals. Oracle replays assignment + drop rule exactly.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.where(col("vec_id") < 60)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val cents = emb.where(col("vec_id") < 8)
+      Dedup.semanticDedup(emb.union(planted), "vec_id", "embedding",
+        cents, "vec_id", "embedding", threshold = 0.95)
+        .orderBy("vec_id")
     }),
 
     // benchmark decontamination: corpus docs sharing >= 5 distinct
@@ -2006,6 +2056,20 @@ object SparkEntry {
         |    AS off FROM d)
         |SELECT lang, doc_id, n_tokens FROM a WHERE off < 50000
         |ORDER BY lang, doc_id""".stripMargin,
+    "q_mixture_sample" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> len(t) > 0)) AS BIGINT) AS n_tokens FROM documents),
+        |a AS (SELECT lang, doc_id, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS off,
+        |  CASE lang WHEN 'en' THEN 10000 WHEN 'zh' THEN 4000
+        |    WHEN 'es' THEN 4000 WHEN 'fr' THEN 2000 ELSE 0 END AS budget
+        |  FROM d)
+        |SELECT lang, doc_id, n_tokens FROM a WHERE off < budget
+        |ORDER BY lang, doc_id""".stripMargin,
     "q_pack" ->
       """WITH d AS (SELECT doc_id, lang,
         |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
@@ -2323,6 +2387,21 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, round(sim, 6) AS cosine
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_filtered_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |           WHERE vec_id >= 50 AND vec_id < 60),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id AND e.label = 3),
+        |ranked AS (SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(sim, 6) AS cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_emb_dedup" ->
       """WITH p AS (SELECT vec_id AS id_l, vec_id + 100000 AS id_r,
         |  list_sum(list_transform(list_zip(embedding, embedding),
@@ -2332,6 +2411,27 @@ object SparkEntry {
         | FROM embeddings)
         |SELECT id_l, id_r, round(c, 6) AS cosine FROM p
         |WHERE c >= 0.95 ORDER BY id_l, id_r""".stripMargin,
+    "q_semantic_dedup" ->
+      """WITH u AS (SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 60),
+        |c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT u.vec_id, c.cent_id,
+        |    list_sum(list_transform(list_zip(u.embedding, c.cv),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(u.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        |  FROM u, c),
+        |a AS (SELECT vec_id, arg_max(cent_id, cos) AS cell FROM scored GROUP BY vec_id),
+        |b AS (SELECT a.vec_id, a.cell, u.embedding FROM a JOIN u USING (vec_id)),
+        |drops AS (SELECT DISTINCT r.vec_id FROM b l JOIN b r
+        |  ON l.cell = r.cell AND l.vec_id < r.vec_id
+        |  WHERE list_sum(list_transform(list_zip(l.embedding, r.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(l.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(r.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) >= 0.95)
+        |SELECT b.vec_id, b.cell AS centroid_id FROM b
+        |WHERE b.vec_id NOT IN (SELECT vec_id FROM drops) ORDER BY vec_id""".stripMargin,
     "q_quality" ->
       s"""SELECT doc_id, round(${graft.operators.TextAnalysis.qualityOracleSqlExpr("text")}, 6) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,

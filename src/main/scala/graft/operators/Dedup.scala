@@ -687,6 +687,55 @@ object Dedup {
       .where(col("cosine") >= threshold)
   }
 
+  /** Semantic dedup (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): partition the corpus into k-means cells (nearest
+    * centroid by cosine, centroids broadcast), then WITHIN each cell drop
+    * every vector that has a same-cell neighbor with cosine >=
+    * `threshold` and a SMALLER id — the deterministic min-id-survives
+    * form of the paper's one-representative-per-neighborhood policy
+    * (engine-exact, so a SQL oracle can replay it; the paper's keep
+    * choice is arbitrary).
+    *
+    * Shape at 100 TB: assignment is a broadcast nested-loop over `cents`
+    * (k rows by definition) folded map-side into one argmax aggregate —
+    * one n-row shuffle. Candidate generation is a self-equi-join ON THE
+    * CELL ID — one hash exchange per side, Σ_c m_c² comparisons where
+    * the centroid-count dial bounds E[m_c] = n/k (SemDeDup runs
+    * k ≈ √n precisely so cells stay small; a degenerate cell is the same
+    * failure mode — and the same dial — as the LSH occupancy cap). No
+    * all-pairs term, no driver state, no caches: the assigned relation
+    * is recomputed per consumer (pruned columnar scans), and identical
+    * subtrees are exchange-reused by Spark when beneficial.
+    *
+    * Differs from [[embeddingNearDup]] (hyperplane-LSH bands → verified
+    * PAIRS above a threshold) in both bucketing (data-adaptive k-means
+    * cells vs data-oblivious random planes) and output: this returns the
+    * SURVIVOR SET (idCol, centroid_id), the pruned corpus itself. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    cents: DataFrame, cidCol: String, cvecCol: String,
+                    threshold: Double = 0.95): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val c = cents.select(col(cidCol).as("__cent_id"), col(cvecCol).as("__cent_v"))
+    val assigned = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(c))
+      .select(col("__id"), col("__v"), col("__cent_id"),
+        Similarity.cosine(col("__v"), col("__cent_v")).as("__cos"))
+      .groupBy("__id")
+      .agg(max_by(col("__cent_id"), col("__cos")).as("__cell"),
+        first(col("__v")).as("__v"))
+    val left = assigned.select(col("__cell"),
+      col("__id").as("__idl"), col("__v").as("__vl"))
+    val right = assigned.select(col("__cell"),
+      col("__id").as("__idr"), col("__v").as("__vr"))
+    val drops = left.join(right, Seq("__cell"))
+      .where(col("__idl") < col("__idr") &&
+        Similarity.cosine(col("__vl"), col("__vr")) >= threshold)
+      .select(col("__idr").as("__drop")).distinct()
+    assigned.join(drops, col("__id") === col("__drop"), "left_anti")
+      .select(col("__id").as(idCol), col("__cell").as("centroid_id"))
+  }
+
   /** Line-level boilerplate dedup (the CCNet/RefinedWeb preprocessing
     * step): drop every line whose normalized fingerprint appears in more
     * than `maxDocs` DISTINCT documents (navigation chrome, cookie

@@ -51,6 +51,45 @@ object Sampling {
       .drop("__off")
   }
 
+  /** Domain-mixture sampling to TARGET PROPORTIONS — the curation step
+    * that turns mixture weights (DoReMi-style: "50% en, 20% code, …")
+    * into a concrete keep set. Each key's token budget is
+    * floor(totalBudget × weight); within a key, documents are taken in
+    * the same stable md5-pseudo-random order as [[budgetSample]] until
+    * the key's budget is reached (first doc crossing it INCLUDED, so
+    * budgets are met, not undershot; an under-supplied domain simply
+    * contributes everything it has). Keys absent from `weights` get
+    * budget 0 and are excluded entirely — unlisted domains are a
+    * deliberate drop, not a passthrough.
+    *
+    * `weights` is an ordered Seq (not a Map) so the generated when-chain
+    * — and therefore the plan — is deterministic across runs. One
+    * per-key window shuffle, integer running sums; membership is
+    * recomputable from (id, weights) alone, so the same mixture is
+    * reproducible on any engine or cluster size. */
+  def mixtureSample(df: DataFrame, keyCol: String, idCol: String,
+                    tokenCol: String, totalBudget: Long,
+                    weights: Seq[(String, Double)]): DataFrame = {
+    require(totalBudget > 0, "token budget must be positive")
+    require(weights.nonEmpty && weights.forall(_._2 >= 0.0),
+      "weights must be non-empty and non-negative")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate keys in mixture weights")
+    val budget = weights.tail.foldLeft(
+      when(col(keyCol) === weights.head._1,
+        lit((totalBudget * weights.head._2).toLong))) {
+      case (acc, (k, wt)) =>
+        acc.when(col(keyCol) === k, lit((totalBudget * wt).toLong))
+    }.otherwise(lit(0L))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__budget", budget)
+      .withColumn("__off", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .where(col("__off") < col("__budget"))
+      .drop("__budget", "__off")
+  }
+
   /** Deterministic weighted sample without replacement (Efraimidis–
     * Spirakis A-ES): each row gets key = ln(u)/w with u a stable
     * md5-derived uniform in (0,1], and the k LARGEST keys win — heavier

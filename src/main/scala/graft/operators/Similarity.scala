@@ -220,18 +220,24 @@ object Similarity {
 
   /** Assign each row the `n` nearest of `centroids` by cosine, via the
     * bounded partial top-k aggregate (broadcast centroids, one argmax
-    * pass, no window funnel). Output: (idCol, vecCol, __cluster). */
+    * pass, no window funnel). `payload` columns ride through the argmax
+    * (first() — functionally dependent on the id, like the vector).
+    * Output: (idCol, vecCol, payload…, __cluster). */
   private def assignClusters(df: DataFrame, idCol: String, vecCol: String,
-                             centroids: DataFrame, n: Int): DataFrame =
-    df.select(col(idCol), col(vecCol))
+                             centroids: DataFrame, n: Int,
+                             payload: Seq[String] = Nil): DataFrame = {
+    val base = Seq(col(idCol), col(vecCol)) ++ payload.map(col)
+    df.select(base: _*)
       .crossJoin(broadcast(centroids))
-      .select(col(idCol), col(vecCol),
-        col("__cent_id"), cosine(col(vecCol), col("__cent_v")).as("__sim"))
+      .select(base ++ Seq(col("__cent_id"),
+        cosine(col(vecCol), col("__cent_v")).as("__sim")): _*)
       .groupBy(col(idCol))
       .agg(
         first(col(vecCol)).as(vecCol), // functionally dependent on idCol
-        graft.functions.TopKByScore(col("__sim"), col("__cent_id"), n).as("__cl"))
-      .select(col(idCol), col(vecCol), explode(col("__cl.id")).as("__cluster"))
+        payload.map(p => first(col(p)).as(p)) :+
+          graft.functions.TopKByScore(col("__sim"), col("__cent_id"), n).as("__cl"): _*)
+      .select(base :+ explode(col("__cl.id")).as("__cluster"): _*)
+  }
 
   /** IVF-Flat approximate top-k — the scale path when the query set is
     * large or repeated. `nlist` deterministic seed vectors (lowest
@@ -289,11 +295,21 @@ object Similarity {
     * work, and the bucketed-by-list layout means the probe scan READS
     * only the probed lists' buckets (bucket pruning) instead of the whole
     * corpus — the difference between touching nprobe/nlist of 100 TB and
-    * all of it. Index table schema: (__cid, __cv, __cluster). */
+    * all of it.
+    *
+    * `payloadCols` are metadata columns stored ALONGSIDE the vectors in
+    * the index (what vector stores call filterable attributes): a
+    * metadata predicate at query time ([[ivfTopKIndexed]]'s `filter`)
+    * then pushes to the index's parquet scan — filtered vector search
+    * without a second table or a post-join. Index table schema:
+    * (__cid, __cv, payloadCols…, __cluster). */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     table: String, nlist: Int = 256, buckets: Int = 32,
-                    lloydIters: Int = 1): DataFrame = {
+                    lloydIters: Int = 1,
+                    payloadCols: Seq[String] = Nil): DataFrame = {
     require(nlist > 0 && buckets > 0 && lloydIters >= 0)
+    require(!payloadCols.exists(Set(idCol, vecCol, "__cluster")),
+      "payloadCols must not collide with the id/vector/cluster columns")
     val spark = corpus.sparkSession
     Seq(table, s"${table}_centroids").foreach(Bucketing.dropForRewrite(spark, _))
     var cent: DataFrame = corpus
@@ -309,9 +325,11 @@ object Similarity {
     cent.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_centroids")
     val assigned = assignClusters(
-      corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv")),
-      "__cid", "__cv", spark.table(s"${table}_centroids"), 1)
-    Bucketing.writeBucketed(assigned.select("__cid", "__cv", "__cluster"),
+      corpus.select(Seq(col(idCol).as("__cid"), col(vecCol).as("__cv")) ++
+        payloadCols.map(col): _*),
+      "__cid", "__cv", spark.table(s"${table}_centroids"), 1, payloadCols)
+    val idxCols = Seq("__cid", "__cv") ++ payloadCols :+ "__cluster"
+    Bucketing.writeBucketed(assigned.select(idxCols.map(col): _*),
       table, "__cluster", buckets)
     spark.table(table)
   }
@@ -523,16 +541,26 @@ object Similarity {
     * by construction), so the corpus side runs scan→join→partial-top-k
     * with ZERO shuffles; only ≤ k·partitions pre-truncated rows per
     * query reach the final exchange ([[graft.functions.TopKByScore]]).
-    * nprobe = nlist degrades gracefully to exact search. */
+    * nprobe = nlist degrades gracefully to exact search.
+    *
+    * `filter` is an optional metadata predicate over the index's
+    * payload columns (see [[buildIvfIndex]]'s `payloadCols`): filtered
+    * vector search ("nearest neighbors WHERE label = 3") with the
+    * predicate pushed to the index's parquet scan (PushedFilters — rows
+    * failing it are skipped at the source, pre-filter not post-filter,
+    * so k survivors are k MATCHING survivors and selective predicates
+    * also prune row groups via min/max stats). */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
                      queries: DataFrame, qidCol: String, qvecCol: String,
-                     k: Int, nprobe: Int = 8): DataFrame = {
+                     k: Int, nprobe: Int = 8,
+                     filter: Option[Column] = None): DataFrame = {
     val cent = spark.table(s"${table}_centroids")
     val q = assignClusters(
       queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv")),
       "__qid", "__qv", cent, nprobe)
     val probed = q.select("__cluster").distinct().collect().map(_.get(0))
-    val c = spark.table(table).where(col("__cluster").isin(probed.toSeq: _*))
+    val pruned = spark.table(table).where(col("__cluster").isin(probed.toSeq: _*))
+    val c = filter.fold(pruned)(pruned.where)
     val scored = c.join(broadcast(q), Seq("__cluster"))
       .where(col("__cid") =!= col("__qid"))
       .select(col("__qid"), col("__cid"),

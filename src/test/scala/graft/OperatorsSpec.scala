@@ -413,6 +413,86 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full.collect().toSet == exact.collect().toSet && full.count() == 9)
   }
 
+  test("filtered indexed search: payload predicate pushes to the index scan, exact at full probe") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding", "label")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", "ivfspec_filt",
+      nlist = 8, buckets = 16, payloadCols = Seq("label"))
+    val queries = emb.where(col("vec_id") < 5)
+    val got = Similarity.ivfTopKIndexed(spark, "ivfspec_filt",
+      queries, "vec_id", "embedding", k = 3, nprobe = 8,
+      filter = Some(col("label") === 2))
+    got.write.format("noop").mode("overwrite").save()
+    val plan = got.queryExecution.executedPlan.toString
+    // the metadata predicate reaches the index's parquet scan — rows
+    // failing it are skipped at the source, not post-joined away
+    assert(plan.contains("PushedFilters") && plan.contains("label"),
+      s"expected label predicate pushed to the index scan:\n$plan")
+    // nprobe = nlist ≡ exact brute force over the label-filtered corpus
+    val exact = Similarity.bruteForceTopK(emb.where(col("label") === 2),
+      "vec_id", "embedding", queries, "vec_id", "embedding", k = 3,
+      excludeSelf = true)
+    assert(got.collect().toSet == exact.collect().toSet)
+    val labels = emb.select("vec_id", "label")
+      .withColumnRenamed("vec_id", "neighbor_id")
+    assert(got.join(labels, Seq("neighbor_id"))
+      .where(col("label") =!= 2).count() == 0)
+  }
+
+  test("semanticDedup: planted copies dropped min-id-first, disjoint cells never prune") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").limit(100)
+    val cents = emb.where(col("vec_id") < 4)
+    val planted = emb.where(col("vec_id") < 30)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val survivors = Dedup.semanticDedup(emb.union(planted),
+      "vec_id", "embedding", cents, "vec_id", "embedding", threshold = 0.95)
+    // every planted copy has an identical (cosine 1.0) same-cell neighbor
+    // at a smaller id → dropped; every original survives
+    val ids = survivors.select("vec_id").as[Long].collect().toSet
+    assert(ids == emb.select("vec_id").as[Long].collect().toSet)
+    // survivor cells agree with the plain assignment step
+    val cells = Similarity.assignCentroids(emb, "vec_id", "embedding",
+      cents, "vec_id", "embedding")
+      .select(col("vec_id"), col("centroid_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    survivors.collect().foreach(r =>
+      assert(r.getLong(1) == cells(r.getLong(0))))
+    // a threshold above the max in-corpus cosine prunes nothing
+    assert(Dedup.semanticDedup(emb, "vec_id", "embedding",
+      cents, "vec_id", "embedding", threshold = 0.9999).count() == 100)
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(emb, "vec_id", "embedding",
+        cents, "vec_id", "embedding", threshold = 1.5)
+    }
+  }
+
+  test("mixtureSample: per-key budgets from weights, unlisted keys dropped") {
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, if (i % 4 == 0) "a" else if (i % 4 == 1) "b" else
+        if (i % 4 == 2) "c" else "d", 100L))
+      .toDF("id", "k", "n")
+    val kept = Sampling.mixtureSample(docs, "k", "id", "n",
+      totalBudget = 1000L, weights = Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.0))
+    val byKey = kept.groupBy("k").agg(sum("n").as("tok"), count("*").as("cnt"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // a: budget 500, docs of 100 tokens → first crossing included = 5 docs
+    assert(byKey("a") == ((500L, 5L)))
+    // b: budget 300 → 3 docs
+    assert(byKey("b") == ((300L, 3L)))
+    // c has weight 0, d is unlisted → both excluded entirely
+    assert(!byKey.contains("c") && !byKey.contains("d"))
+    // deterministic: same call, same keep set
+    val again = Sampling.mixtureSample(docs, "k", "id", "n",
+      totalBudget = 1000L, weights = Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.0))
+    assert(again.select("id").as[Long].collect().sorted.toSeq ==
+      kept.select("id").as[Long].collect().sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(docs, "k", "id", "n", 1000L,
+        Seq("a" -> 0.5, "a" -> 0.2))
+    }
+  }
+
   test("salted join equals plain join") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
