@@ -661,6 +661,21 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // pipeline: temperature mixture (weight ∝ tokens^0.5, the
+    // multilingual up-weighting recipe) — budgets DERIVED from per-lang
+    // token counts, integer-quantized so the weight sum is association-
+    // order-exact; α = 0.5 routes through IEEE-correctly-rounded sqrt,
+    // so the whole budget derivation is hash-oracle-safe
+    "q_temperature_mix" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("text")).cast("long"))
+        .select("lang", "doc_id", "n_tokens")
+      Sampling.temperatureMixture(docs, "lang", "doc_id", "n_tokens",
+        totalBudget = 15000L, alpha = 0.5)
+        .orderBy("lang", "doc_id")
+    }),
+
     // pipeline: GPT-style fixed-length sequence packing — docs
     // concatenate per language and SPLIT across 2048-token boundaries;
     // integral DIV math so the fragment table is engine-exact
@@ -2068,6 +2083,25 @@ object SparkEntry {
         |  CASE lang WHEN 'en' THEN 10000 WHEN 'zh' THEN 4000
         |    WHEN 'es' THEN 4000 WHEN 'fr' THEN 2000 ELSE 0 END AS budget
         |  FROM d)
+        |SELECT lang, doc_id, n_tokens FROM a WHERE off < budget
+        |ORDER BY lang, doc_id""".stripMargin,
+    "q_temperature_mix" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> len(t) > 0)) AS BIGINT) AS n_tokens FROM documents),
+        |k AS (SELECT lang,
+        |  CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |    AS wi FROM d GROUP BY lang),
+        |b AS (SELECT lang,
+        |  CAST(floor(CAST(15000 AS DOUBLE) * CAST(wi AS DOUBLE)
+        |    / CAST((SELECT sum(wi) FROM k) AS DOUBLE)) AS BIGINT) AS budget
+        |  FROM k),
+        |a AS (SELECT d.lang, d.doc_id, d.n_tokens, b.budget,
+        |  CAST(COALESCE(sum(d.n_tokens) OVER (PARTITION BY d.lang
+        |    ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS off
+        |  FROM d JOIN b USING (lang))
         |SELECT lang, doc_id, n_tokens FROM a WHERE off < budget
         |ORDER BY lang, doc_id""".stripMargin,
     "q_pack" ->

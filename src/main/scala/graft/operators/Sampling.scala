@@ -90,6 +90,49 @@ object Sampling {
       .drop("__budget", "__off")
   }
 
+  /** Temperature-based mixture sampling — the multilingual-corpus recipe
+    * (weight ∝ tokens^α with α < 1 up-weighting low-resource domains;
+    * XLM-R and mT5 train with α ≈ 0.3, many English-centric mixes use
+    * 0.5): per-key budgets are DERIVED FROM THE DATA as
+    * floor(totalBudget × w_k / Σ w_j), then the same stable-md5-order
+    * budget keep as [[mixtureSample]]. The weight table is a tiny
+    * per-key aggregate computed on the cluster and broadcast back —
+    * nothing driver-resident, so the op is one plan at any corpus size.
+    *
+    * Engine-exactness: w_k is quantized to floor(tok^α × 1e6) as a LONG
+    * before the Σ w_j aggregate — an integer sum is association-order-
+    * exact, where a double sum's value depends on partition order. The
+    * budget expression is then a fixed tree of IEEE double ops
+    * (deterministic), and α = 0.5 routes through sqrt(), which IEEE 754
+    * requires to be correctly rounded — bit-identical across engines,
+    * so the α = 0.5 path is hash-oracle-safe end to end. Other α use
+    * pow() (1-ulp: fine for production, not for cross-engine hash
+    * gates). */
+  def temperatureMixture(df: DataFrame, keyCol: String, idCol: String,
+                         tokenCol: String, totalBudget: Long,
+                         alpha: Double = 0.5): DataFrame = {
+    require(totalBudget > 0, "token budget must be positive")
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")
+    val powCol: Column => Column =
+      if (alpha == 0.5) sqrt(_) else c => pow(c, lit(alpha))
+    val keyW = df.groupBy(keyCol)
+      .agg(sum(col(tokenCol)).cast("double").as("__tok"))
+      .select(col(keyCol),
+        floor(powCol(col("__tok")) * 1e6).cast("long").as("__wi"))
+    val wsum = keyW.agg(sum("__wi").as("__wsum"))
+    val budgets = keyW.crossJoin(broadcast(wsum))
+      .select(col(keyCol),
+        floor(lit(totalBudget).cast("double") * col("__wi").cast("double")
+          / col("__wsum").cast("double")).cast("long").as("__budget"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.join(broadcast(budgets), Seq(keyCol))
+      .withColumn("__off", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .where(col("__off") < col("__budget"))
+      .drop("__budget", "__off")
+  }
+
   /** Deterministic weighted sample without replacement (Efraimidis–
     * Spirakis A-ES): each row gets key = ln(u)/w with u a stable
     * md5-derived uniform in (0,1], and the k LARGEST keys win — heavier

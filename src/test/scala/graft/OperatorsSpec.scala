@@ -493,6 +493,36 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureMixture: budgets follow tokens^alpha shares, alpha=0 is uniform") {
+    // keys with 400/100 tokens: sqrt weights 20:10 → budgets 600/300 of 900
+    val docs = (Seq.tabulate(8)((i: Int) => (i.toLong, "big", 50L)) ++
+      Seq.tabulate(4)((i: Int) => (100L + i, "small", 25L)))
+      .toDF("id", "k", "n")
+    val kept = Sampling.temperatureMixture(docs, "k", "id", "n",
+      totalBudget = 900L, alpha = 0.5)
+    val byKey = kept.groupBy("k").agg(sum("n").as("tok")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // big: budget floor(900*20/30)=600 → 12 docs of 50... only 8 exist
+    // (400 tokens) → keeps all; small: budget 300 > 100 total → keeps all
+    assert(byKey == Map("big" -> 400L, "small" -> 100L))
+    // tighter budget actually cuts: big gets 200 → 4 docs of 50 (first
+    // crossing included ⇒ 200 exactly), small gets 100 → its full 100
+    val tight = Sampling.temperatureMixture(docs, "k", "id", "n",
+      totalBudget = 300L, alpha = 0.5)
+    val tightKey = tight.groupBy("k").agg(sum("n").as("tok")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tightKey("big") == 200L && tightKey("small") == 100L)
+    // alpha = 0: every key weight 1 → equal budgets regardless of size
+    val uni = Sampling.temperatureMixture(docs, "k", "id", "n",
+      totalBudget = 200L, alpha = 0.0)
+    val uniKey = uni.groupBy("k").agg(sum("n").as("tok")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uniKey("big") == 100L && uniKey("small") == 100L)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(docs, "k", "id", "n", 900L, alpha = 2.0)
+    }
+  }
+
   test("salted join equals plain join") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
