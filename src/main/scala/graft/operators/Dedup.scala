@@ -698,14 +698,18 @@ object Dedup {
     *
     * Shape at 100 TB: assignment is a broadcast nested-loop over `cents`
     * (k rows by definition) folded map-side into one argmax aggregate —
-    * one n-row shuffle. Candidate generation is a self-equi-join ON THE
-    * CELL ID — one hash exchange per side, Σ_c m_c² comparisons where
-    * the centroid-count dial bounds E[m_c] = n/k (SemDeDup runs
-    * k ≈ √n precisely so cells stay small; a degenerate cell is the same
-    * failure mode — and the same dial — as the LSH occupancy cap). No
-    * all-pairs term, no driver state, no caches: the assigned relation
-    * is recomputed per consumer (pruned columnar scans), and identical
-    * subtrees are exchange-reused by Spark when beneficial.
+    * one n-row shuffle. The argmax feeds ONE consumer, a groupBy(cell)
+    * whose id-sorted member collect decides survival IN PLACE: member i
+    * survives iff no earlier member is within the threshold (filter/
+    * exists over the collected array — the per-pair cosine is the native
+    * compiled kernel, so the HOF machinery only steers, it doesn't
+    * compute). Two exchanges total, no self-join, no anti-join, no
+    * recomputed subtrees. Σ_c m_c² comparisons with the centroid-count
+    * dial bounding E[m_c] = n/k (SemDeDup runs k ≈ √n precisely so
+    * cells stay small); `maxCellSize` is the degenerate-cell relief
+    * valve — an over-cap cell SKIPS pruning (keeps all members: dedup
+    * recall degrades, data is never lost) instead of running m² hot,
+    * mirroring the LSH occupancy cap.
     *
     * Differs from [[embeddingNearDup]] (hyperplane-LSH bands → verified
     * PAIRS above a threshold) in both bucketing (data-adaptive k-means
@@ -713,7 +717,8 @@ object Dedup {
     * SURVIVOR SET (idCol, centroid_id), the pruned corpus itself. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     cents: DataFrame, cidCol: String, cvecCol: String,
-                    threshold: Double = 0.95): DataFrame = {
+                    threshold: Double = 0.95,
+                    maxCellSize: Option[Int] = Some(100000)): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val c = cents.select(col(cidCol).as("__cent_id"), col(cvecCol).as("__cent_v"))
@@ -724,16 +729,19 @@ object Dedup {
       .groupBy("__id")
       .agg(max_by(col("__cent_id"), col("__cos")).as("__cell"),
         first(col("__v")).as("__v"))
-    val left = assigned.select(col("__cell"),
-      col("__id").as("__idl"), col("__v").as("__vl"))
-    val right = assigned.select(col("__cell"),
-      col("__id").as("__idr"), col("__v").as("__vr"))
-    val drops = left.join(right, Seq("__cell"))
-      .where(col("__idl") < col("__idr") &&
-        Similarity.cosine(col("__vl"), col("__vr")) >= threshold)
-      .select(col("__idr").as("__drop")).distinct()
-    assigned.join(drops, col("__id") === col("__drop"), "left_anti")
-      .select(col("__id").as(idCol), col("__cell").as("centroid_id"))
+    val cells = assigned
+      .groupBy("__cell")
+      .agg(array_sort(collect_list(struct(col("__id"), col("__v")))).as("__ms"))
+    // member at index i survives iff no member before it (smaller id —
+    // the array is id-sorted) is within the threshold; the paper's
+    // one-representative rule, decided without leaving the row
+    val pruned = filter(col("__ms"), (x, i) =>
+      !exists(slice(col("__ms"), lit(1), i), y =>
+        Similarity.cosine(x.getField("__v"), y.getField("__v")) >= threshold))
+    val kept = maxCellSize.fold(pruned)(cap =>
+      when(size(col("__ms")) <= cap, pruned).otherwise(col("__ms")))
+    cells.select(col("__cell"), explode(kept).as("__m"))
+      .select(col("__m.__id").as(idCol), col("__cell").as("centroid_id"))
   }
 
   /** Line-level boilerplate dedup (the CCNet/RefinedWeb preprocessing

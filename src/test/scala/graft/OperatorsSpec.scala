@@ -461,6 +461,10 @@ class OperatorsSpec extends AnyFunSuite {
     // a threshold above the max in-corpus cosine prunes nothing
     assert(Dedup.semanticDedup(emb, "vec_id", "embedding",
       cents, "vec_id", "embedding", threshold = 0.9999).count() == 100)
+    // over-cap cells skip pruning (keep everything) instead of running m²
+    assert(Dedup.semanticDedup(emb.union(planted), "vec_id", "embedding",
+      cents, "vec_id", "embedding", threshold = 0.95,
+      maxCellSize = Some(1)).count() == 130)
     intercept[IllegalArgumentException] {
       Dedup.semanticDedup(emb, "vec_id", "embedding",
         cents, "vec_id", "embedding", threshold = 1.5)
