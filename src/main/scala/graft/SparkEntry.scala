@@ -272,6 +272,21 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Bloom-filter novelty — the sublinear-memory form of q_novel: the
+    // corpus collapses to a 2^23-bit deterministic Bloom sketch that
+    // broadcasts, so neither side shuffles. At this scale the false-
+    // positive probability is ≪ 1/|batch| and the filter is fully
+    // deterministic (seeded xxhash64), so the result provably EQUALS
+    // exact novelty — the oracle is the exact anti-join itself (any
+    // false positive would hash-mismatch the gate, pinning FP-freedom).
+    "q_bloom_novel" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+      val batch = docs.where(pmod(col("doc_id"), lit(10)) >= 7)
+      Dedup.novelAgainstBloom(batch, corpus, "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // pipeline: per-language quality gate — keep docs strictly above the
     // language's median quality (percentile window over rounded scores)
     "q_quality_filter" -> ((s, dir) => {
@@ -2504,6 +2519,13 @@ object SparkEntry {
         |    sqrt((s2 - (s1 / n) * (s1 / n) * n) / (n - 1)), 6) AS z
         |FROM a ORDER BY o_orderkey""".stripMargin,
     "q_novel" ->
+      """WITH fp AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM documents),
+        |b AS (SELECT doc_id, f FROM fp WHERE doc_id % 10 >= 7),
+        |c AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 < 8)
+        |SELECT doc_id FROM b ANTI JOIN c USING (f) ORDER BY doc_id""".stripMargin,
+    "q_bloom_novel" ->
       """WITH fp AS (SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
         |  FROM documents),

@@ -193,6 +193,51 @@ object Dedup {
         .distinct(), Seq("__fp"), "left_anti")
       .drop("__fp")
 
+  /** [[novelAgainst]] with SUBLINEAR memory: the corpus collapses to a
+    * `numBits`-bit Bloom filter (one aggregate — Spark's native
+    * TypedImperativeAggregate with map-side partials, the same sketch
+    * the engine injects for runtime join filters) instead of a distinct
+    * fingerprint set. At 100 TB the exact form's anti-join state is the
+    * corpus's distinct-fingerprint set (~16 bytes × |corpus|); the Bloom
+    * form is numBits/8 bytes TOTAL (e.g. 128 MiB for 2^30 bits) and
+    * broadcasts to every executor, so the new batch is filtered map-side
+    * with ZERO shuffle on either side.
+    *
+    * Bloom semantics: "novel" misses are impossible (a fingerprint in
+    * the corpus is always flagged as seen — no false novelty... i.e. no
+    * false negatives on membership), while a ~(k·n/m)^k sliver of truly
+    * novel docs is wrongly dropped (false positives on membership).
+    * That asymmetry is the SAFE direction for ingest dedup: you never
+    * re-admit a duplicate, you only over-drop at the configured rate.
+    * The filter is fully deterministic (seeded xxhash64 bit positions),
+    * so a given (corpus, numBits) pair always yields the same keep set —
+    * the differential spec pins novelBloom ⊆ novelExact and exact
+    * equality at test scale, where the FP probability is ≪ 1/|batch|.
+    *
+    * The sketch transits the driver once as an aggregate scalar (the
+    * same eager-scalar posture as [[Similarity.ivfTopKIndexed]]'s
+    * probed-list collect — `might_contain` requires a constant filter)
+    * and rides the batch-side plan as a numBits/8-byte literal: size
+    * `numBits` to what you want shipped per stage, not to the corpus. */
+  def novelAgainstBloom(newDocs: DataFrame, corpus: DataFrame,
+                        textCol: String,
+                        expectedItems: Long = 1000000L,
+                        numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{Literal, BloomFilterMightContain}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(expectedItems > 0 && numBits > 0)
+    val fpLong = TextAnalysis.xxFingerprint(col(textCol))
+    val sketch = corpus.agg(column(
+      new BloomFilterAggregate(expression(fpLong),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+      .as("__bloom")).head().get(0)
+    if (sketch == null) newDocs // empty corpus: everything is novel
+    else newDocs.where(!column(BloomFilterMightContain(
+      Literal(sketch, org.apache.spark.sql.types.BinaryType),
+      expression(fpLong))))
+  }
+
   /** Word n-gram shingles (distinct). Short texts (< n tokens) yield the
     * whole text as one shingle so they still participate. Native
     * codegen'd kernel — see [[graft.functions.WordShingles]]. */

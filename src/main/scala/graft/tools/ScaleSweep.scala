@@ -117,6 +117,22 @@ object ScaleSweep {
       buckets = 32)
     sweep("neardup_probe")(k => Dedup.nearDupAgainstIndex(spark,
       "graft_sweep_idx", docsAt(k), "doc_id", "text", threshold = 0.8))
+    // round-5 session-3 operators: semantic dedup (cells from 64 seed
+    // centroids so E[m_c] tracks n/k; within-cell work is the quadratic
+    // under test) and temperature mixture (two aggregates + window keep)
+    sweep("semantic_dedup")(k => {
+      val e = embAt(k)
+      Dedup.semanticDedup(e, "vec_id", "embedding",
+        e.where(col("vec_id") < 64), "vec_id", "embedding",
+        threshold = 0.95)
+    })
+    sweep("temperature_mix")(k => {
+      val d = docsAt(k).withColumn("n_tokens",
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+        .withColumn("lang", (col("doc_id") % 7).cast("string"))
+      graft.operators.Sampling.temperatureMixture(d, "lang", "doc_id",
+        "n_tokens", totalBudget = 100000L, alpha = 0.5)
+    })
 
     val json = results.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(x => f"$x%.2f").mkString(",") + "]"

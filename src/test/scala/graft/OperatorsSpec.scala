@@ -527,6 +527,36 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("novelAgainstBloom: never false-novel, exact at ample bits, over-drops only when tiny") {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = base.where(col("doc_id") < 300)
+    val batch = base.where(col("doc_id") >= 250) // 250–299 planted as seen
+    val exact = Dedup.novelAgainst(batch, corpus, "text")
+      .select("doc_id").as[Long].collect().toSet
+    val bloomed = Dedup.novelAgainstBloom(batch, corpus, "text")
+      .select("doc_id").as[Long].collect().toSet
+    // membership has no false negatives → novelty has no false positives
+    assert(bloomed.subsetOf(exact))
+    // at 2^23 bits over ~300 items the FP rate is ~0: equality holds
+    assert(bloomed == exact)
+    // the planted overlap is always recognized as seen
+    assert(!bloomed.exists(_ < 300))
+    // a deliberately starved filter may over-drop but stays one-sided,
+    // and is deterministic call-to-call
+    val tiny = Dedup.novelAgainstBloom(batch, corpus, "text",
+      expectedItems = 300L, numBits = 256L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tiny.subsetOf(exact))
+    val tiny2 = Dedup.novelAgainstBloom(batch, corpus, "text",
+      expectedItems = 300L, numBits = 256L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tiny == tiny2)
+    // empty corpus → null sketch → everything is novel
+    assert(Dedup.novelAgainstBloom(batch, corpus.where(lit(false)), "text")
+      .count() == batch.count())
+  }
+
   test("salted join equals plain join") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
