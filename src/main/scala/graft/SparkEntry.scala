@@ -1695,6 +1695,23 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Structured Streaming: token-quota admission at ingest — per-lang
+    // budgets in the checkpointed store (one long per key). Single
+    // AvailableNow batch + stable md5 in-batch order makes the stream
+    // EXACTLY batch budgetSample, so the oracle IS q_budget_sample's.
+    "q_stream_budget" -> ((s, dir) => {
+      val out = s"stream_budget_${System.nanoTime()}"
+      val docs = GraftStreaming.readDocumentsGlob(s, dir, "documents.parquet")
+        .withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("text")).cast("long"))
+      val adm = GraftStreaming.budgetAdmitStream(docs, "lang", "doc_id",
+        "n_tokens", budget = 50000L)
+      val q = GraftStreaming.runToMemory(adm, out)
+      q.awaitTermination(300000)
+      s.table(out).select(col("key").as("lang"), col("doc_id"), col("n_tokens"))
+        .orderBy("lang", "doc_id")
+    }),
+
     // Structured Streaming: banded-LSH MinHash near-dup at ingest —
     // every arriving doc matched against the stored bucket members in
     // Spark's keyed state store, exact Jaccard on hashed shingle sets.
@@ -2076,6 +2093,17 @@ object SparkEntry {
         |  least(64, n - st) AS n_tokens
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_budget_sample" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> len(t) > 0)) AS BIGINT) AS n_tokens FROM documents),
+        |a AS (SELECT lang, doc_id, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS off FROM d)
+        |SELECT lang, doc_id, n_tokens FROM a WHERE off < 50000
+        |ORDER BY lang, doc_id""".stripMargin,
+    "q_stream_budget" ->
       """WITH d AS (SELECT lang, doc_id,
         |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
         |    t -> len(t) > 0)) AS BIGINT) AS n_tokens FROM documents),

@@ -260,6 +260,58 @@ object GraftStreaming {
     * (left rows age out once the right watermark passes ts + horizon).
     * Inner-join output is exactly the batch join result, so the oracle is
     * the equivalent batch range join. */
+  /** One admitted document (streaming quota admission output). */
+  case class Admitted(key: String, doc_id: Long, n_tokens: Long)
+
+  /** Streaming token-quota admission — the ingest-time half of
+    * [[graft.operators.Sampling.budgetSample]]: per key (language,
+    * source, …), documents are ADMITTED until the key's token budget is
+    * reached (the document crossing the budget is admitted, matching the
+    * batch rule) and rejected afterwards. State per key is ONE long —
+    * tokens admitted so far — in the checkpointed store: bounded by the
+    * key cardinality regardless of stream length, and a quota never
+    * expires, so there is no timeout to mis-tune.
+    *
+    * Within each micro-batch a key's arrivals are processed in the same
+    * stable (md5(id), id) order every batch sampler uses, so a
+    * single-batch run is EXACTLY batch [[graft.operators.Sampling
+    * .budgetSample]] (the q_stream_budget oracle IS the batch oracle);
+    * across micro-batches admission is arrival-order — the real quota
+    * semantic at ingest. */
+  def budgetAdmitStream(docs: DataFrame, keyCol: String, idCol: String,
+                        tokenCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(budget > 0, "token budget must be positive")
+    val base = docs.select(col(keyCol).cast("string").as("__k"),
+      col(idCol).cast("long").as("__id"),
+      col(tokenCol).cast("long").as("__n"))
+    implicit val stateEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[Admitted]
+    implicit val rowEnc = Encoders.row(base.schema)
+    implicit val keyEnc = Encoders.STRING
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    base.groupByKey((r: Row) => r.getAs[String]("__k"))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[Row], state: GroupState[Long]) => {
+          // same stable pseudo-random order as the batch samplers
+          val sorted = rows.toSeq.sortBy(r =>
+            (md5hex(r.getAs[Long]("__id").toString), r.getAs[Long]("__id")))
+          var used = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[Admitted]
+          sorted.foreach { r =>
+            if (used < budget) {
+              out += Admitted(key, r.getAs[Long]("__id"), r.getAs[Long]("__n"))
+              used += r.getAs[Long]("__n")
+            }
+          }
+          state.update(used)
+          out.result().iterator
+        }).toDF()
+  }
+
   def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
                        horizon: String = "1 hour",
                        watermark: String = "1 hour"): DataFrame = {

@@ -255,4 +255,47 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     q.awaitTermination(60000)
     assert(spark.table("dedup_out").count() == 100)
   }
+
+  test("streaming budget admission ≡ batch budgetSample in one batch; quota binds across batches") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("n_tokens",
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+    val stream = GraftStreaming.readDocumentsGlob(spark, dir, "documents.parquet")
+      .withColumn("n_tokens",
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+    val adm = GraftStreaming.budgetAdmitStream(stream, "lang", "doc_id",
+      "n_tokens", budget = 800L)
+    val q = GraftStreaming.runToMemory(adm, "budget_admit_out")
+    q.awaitTermination(120000)
+    val got = spark.table("budget_admit_out")
+      .select("doc_id").as[Long].collect().toSet
+    val batch = graft.operators.Sampling.budgetSample(
+      docs.select("lang", "doc_id", "n_tokens"),
+      "lang", "doc_id", "n_tokens", 800L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == batch, s"stream=${got.size} batch=${batch.size}")
+
+    // two file drops forced into separate micro-batches: the first
+    // exhausts the quota, the second must admit nothing
+    val tmp = java.nio.file.Files.createTempDirectory("graft-badmit").toString
+    val mk = (ids: Seq[Long]) => ids.map(i => (i, "ten tokens " * 5, "a", "s", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    mk(Seq(1L, 2L)).write.parquet(s"$tmp/b0")
+    mk(Seq(3L, 4L)).write.parquet(s"$tmp/b1")
+    val twoBatch = spark.readStream.schema(GraftStreaming.documentsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(s"$tmp/*")
+      .withColumn("event_time", timestamp_seconds(col("doc_id") + 86400L))
+      .withColumn("n_tokens", lit(100L))
+    val adm2 = GraftStreaming.budgetAdmitStream(twoBatch, "lang", "doc_id",
+      "n_tokens", budget = 150L)
+    val q2 = GraftStreaming.runToMemory(adm2, "budget_admit_two")
+    q2.awaitTermination(120000)
+    // used hits 200 >= 150 inside the first batch → later batches admit 0
+    val admitted = spark.table("budget_admit_two")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted.size == 2 && admitted.forall(_ <= 2L), s"got $admitted")
+  }
 }
