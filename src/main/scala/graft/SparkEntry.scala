@@ -272,6 +272,20 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // snapshot diff (daily-crawl delta): old = ids % 7 != 0, new = ids
+    // % 5 != 0 with every id % 3 == 0 text edited — so added/removed/
+    // changed are all exercised by construction; unchanged rows (the
+    // 100 TB bulk) are excluded, the output IS the delta
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val oldSnap = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+      val newSnap = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" EDIT"))).otherwise(col("text")))
+      Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Bloom-filter novelty — the sublinear-memory form of q_novel: the
     // corpus collapses to a 2^23-bit deterministic Bloom sketch that
     // broadcasts, so neither side shuffles. At this scale the false-
@@ -1026,6 +1040,25 @@ object SparkEntry {
         "graft_ivf_idx", nlist = 16, buckets = 8)
       val queries = emb.where(col("vec_id") >= 30 && col("vec_id") < 40)
       Similarity.ivfTopKIndexed(s, "graft_ivf_idx",
+        queries, "vec_id", "embedding", k = 5, nprobe = 16)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // INCREMENTAL index growth: build the IVF index on vec_id < 400,
+    // append the 400+ batch against the frozen centroids, then probe at
+    // nprobe = nlist — exactness over old + new rows proves appended
+    // files joined the right inverted lists (oracle = brute force over
+    // the full corpus).
+    "q_ivf_append" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.buildIvfIndex(emb.where(col("vec_id") < 400),
+        "vec_id", "embedding", "graft_ivf_app", nlist = 16, buckets = 8)
+      Similarity.appendToIvfIndex(emb.where(col("vec_id") >= 400),
+        "vec_id", "embedding", "graft_ivf_app")
+      val queries = emb.where(col("vec_id") >= 70 && col("vec_id") < 80)
+      Similarity.ivfTopKIndexed(s, "graft_ivf_app",
         queries, "vec_id", "embedding", k = 5, nprobe = 16)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
@@ -2464,6 +2497,21 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, round(sim, 6) AS cosine
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_ivf_append" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |           WHERE vec_id >= 70 AND vec_id < 80),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(sim, 6) AS cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_filtered_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
         |           WHERE vec_id >= 50 AND vec_id < 60),
@@ -2553,6 +2601,23 @@ object SparkEntry {
         |b AS (SELECT doc_id, f FROM fp WHERE doc_id % 10 >= 7),
         |c AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 < 8)
         |SELECT doc_id FROM b ANTI JOIN c USING (f) ORDER BY doc_id""".stripMargin,
+    "q_corpus_diff" ->
+      """WITH o AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' EDIT' ELSE text END
+        |  )), '\s+', ' ', 'g')) AS f
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.f IS NULL THEN 'added'
+        |       WHEN n.f IS NULL THEN 'removed'
+        |       WHEN o.f = n.f THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |  FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
     "q_bloom_novel" ->
       """WITH fp AS (SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f

@@ -20,6 +20,22 @@ object Bucketing {
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 
+  /** Append into an EXISTING bucketed table with the same layout — the
+    * incremental-ingest write: new files land in the right hash buckets,
+    * so every downstream bucket-pruned scan and zero-exchange join keeps
+    * working over old + new data without a rewrite. The bucket count is
+    * read from the catalog (a mismatched count would silently break the
+    * co-partitioning contract, so it is not caller-suppliable). */
+  def appendBucketed(df: DataFrame, table: String, key: String): Unit = {
+    val spark = df.sparkSession
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
+    require(spec.nonEmpty, s"$table is not a bucketed table")
+    df.write.mode("append").format("parquet")
+      .bucketBy(spec.get.numBuckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
   /** Rebuild-in-place prep: drop `table` from the catalog AND delete any
     * leftover managed warehouse directory — saveAsTable refuses a managed
     * location that exists without a matching catalog entry (the state a

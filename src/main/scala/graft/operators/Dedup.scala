@@ -238,6 +238,35 @@ object Dedup {
       expression(fpLong))))
   }
 
+  /** Snapshot diff between two corpus versions — the daily-crawl delta:
+    * classify every id as `added` (only in the new snapshot), `removed`
+    * (only in the old), or `changed` (present in both with a different
+    * normalized-text fingerprint). `unchanged` rows — the overwhelming
+    * bulk of a 100 TB snapshot pair — are EXCLUDED by default so the
+    * output is the delta, not the corpus; flip `includeUnchanged` for
+    * audits. One full-outer join on the id (both sides reduce to
+    * (id, 16-byte fingerprint) projections before the exchange, so the
+    * shuffle carries fingerprints, never text), then downstream
+    * incremental work keys off the delta alone: `added`+`changed` feed
+    * re-ingest (e.g. [[novelAgainst]]/[[buildNearDupIndex]] probes),
+    * `removed` feeds retention tombstones. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String, textCol: String,
+                 includeUnchanged: Boolean = false): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("__id"),
+      TextAnalysis.fingerprint(col(textCol)).as("__ofp"))
+    val n = newDocs.select(col(idCol).as("__id"),
+      TextAnalysis.fingerprint(col(textCol)).as("__nfp"))
+    val tagged = o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__ofp").isNull, "added")
+          .when(col("__nfp").isNull, "removed")
+          .when(col("__ofp") === col("__nfp"), "unchanged")
+          .otherwise("changed").as("status"))
+    if (includeUnchanged) tagged
+    else tagged.where(col("status") =!= "unchanged")
+  }
+
   /** Word n-gram shingles (distinct). Short texts (< n tokens) yield the
     * whole text as one shingle so they still participate. Native
     * codegen'd kernel — see [[graft.functions.WordShingles]]. */

@@ -334,6 +334,29 @@ object Similarity {
     spark.table(table)
   }
 
+  /** Incremental index growth: assign a NEW batch of vectors to the
+    * EXISTING trained centroids and append it into the bucketed index
+    * table — the ingest path for a live corpus. The batch pays only its
+    * own assignment cost, O(|batch|·nlist·d); the indexed corpus is
+    * never re-read or re-shuffled, and appended files land in the right
+    * hash buckets ([[Bucketing.appendBucketed]]) so bucket pruning and
+    * the zero-exchange probe join keep working over old + new rows.
+    * Centroids are NOT retrained (standard IVF posture — lists drift
+    * slowly; retrain on schedule with a fresh [[buildIvfIndex]]).
+    * `payloadCols` must match the index's schema. */
+  def appendToIvfIndex(newVectors: DataFrame, idCol: String, vecCol: String,
+                       table: String,
+                       payloadCols: Seq[String] = Nil): Unit = {
+    val spark = newVectors.sparkSession
+    val assigned = assignClusters(
+      newVectors.select(Seq(col(idCol).as("__cid"), col(vecCol).as("__cv")) ++
+        payloadCols.map(col): _*),
+      "__cid", "__cv", spark.table(s"${table}_centroids"), 1, payloadCols)
+    val idxCols = Seq("__cid", "__cv") ++ payloadCols :+ "__cluster"
+    Bucketing.appendBucketed(assigned.select(idxCols.map(col): _*),
+      table, "__cluster")
+  }
+
   /** Deterministic product-quantization codebook: `m` subspaces × `ksub`
     * centroids × `subDim` dims, seeded Gaussian (stand-ins for trained
     * sub-k-means codebooks, same posture as [[ivfTopK]]'s seed

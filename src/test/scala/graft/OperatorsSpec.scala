@@ -439,6 +439,36 @@ class OperatorsSpec extends AnyFunSuite {
       .where(col("label") =!= 2).count() == 0)
   }
 
+  test("appendToIvfIndex: appended batch joins the right lists, bucket pruning intact") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    Similarity.buildIvfIndex(emb.where(col("vec_id") < 150),
+      "vec_id", "embedding", "ivfspec_app", nlist = 8, buckets = 16)
+    Similarity.appendToIvfIndex(emb.where(col("vec_id") >= 150),
+      "vec_id", "embedding", "ivfspec_app")
+    // index now covers the full corpus: full probe ≡ brute force over ALL
+    val queries = emb.where(col("vec_id") < 3)
+    val got = Similarity.ivfTopKIndexed(spark, "ivfspec_app",
+      queries, "vec_id", "embedding", k = 3, nprobe = 8)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3)
+    assert(got.collect().toSet == exact.collect().toSet)
+    // a sparse probe still bucket-prunes after the append
+    val probed = Similarity.ivfTopKIndexed(spark, "ivfspec_app",
+      queries, "vec_id", "embedding", k = 3, nprobe = 2)
+    probed.write.format("noop").mode("overwrite").save()
+    val plan = probed.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"expected bucket pruning after append:\n$plan")
+    // appending into a non-bucketed table is refused
+    emb.limit(1).write.mode("overwrite").saveAsTable("ivfspec_plain")
+    intercept[IllegalArgumentException] {
+      Bucketing.appendBucketed(emb.limit(1).select(col("vec_id")),
+        "ivfspec_plain", "vec_id")
+    }
+  }
+
   test("semanticDedup: planted copies dropped min-id-first, disjoint cells never prune") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("vec_id", "embedding").limit(100)
@@ -555,6 +585,24 @@ class OperatorsSpec extends AnyFunSuite {
     // empty corpus → null sketch → everything is novel
     assert(Dedup.novelAgainstBloom(batch, corpus.where(lit(false)), "text")
       .count() == batch.count())
+  }
+
+  test("corpusDiff classifies added/removed/changed; unchanged excluded by default") {
+    val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((2L, "beta"), (3L, "gamma edited"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val delta = Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(delta == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    val full = Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text",
+      includeUnchanged = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full(2L) == "unchanged" && full.size == 4)
+    // whitespace-only edits are not changes (normalized fingerprint)
+    val wsNew = Seq((1L, "  alpha  "), (2L, "beta")).toDF("doc_id", "text")
+    assert(Dedup.corpusDiff(oldSnap.where(col("doc_id") <= 2), wsNew,
+      "doc_id", "text").count() == 0)
   }
 
   test("salted join equals plain join") {
