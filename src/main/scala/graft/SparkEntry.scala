@@ -272,6 +272,17 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // vocabulary drift between snapshot halves (even vs odd doc ids):
+    // chi-square contribution per word, largest movers first — log-free
+    // rational arithmetic over exact counts, so no quantization needed
+    "q_vocab_drift" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      TextAnalysis.vocabularyDrift(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        "text", topK = 100)
+    }),
+
     // snapshot diff (daily-crawl delta): old = ids % 7 != 0, new = ids
     // % 5 != 0 with every id % 3 == 0 text edited — so added/removed/
     // changed are all exercised by construction; unchanged rows (the
@@ -2601,6 +2612,27 @@ object SparkEntry {
         |b AS (SELECT doc_id, f FROM fp WHERE doc_id % 10 >= 7),
         |c AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 < 8)
         |SELECT doc_id FROM b ANTI JOIN c USING (f) ORDER BY doc_id""".stripMargin,
+    "q_vocab_drift" ->
+      """WITH o AS (SELECT t.word, count(*) AS c FROM (
+        |    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      w -> len(w) > 0)) AS word
+        |    FROM documents WHERE doc_id % 2 = 0) t GROUP BY t.word),
+        |n AS (SELECT t.word, count(*) AS c FROM (
+        |    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      w -> len(w) > 0)) AS word
+        |    FROM documents WHERE doc_id % 2 = 1) t GROUP BY t.word),
+        |j AS (SELECT COALESCE(o.word, n.word) AS word,
+        |  CAST(COALESCE(o.c, 0) AS BIGINT) AS c_old,
+        |  CAST(COALESCE(n.c, 0) AS BIGINT) AS c_new
+        |  FROM o FULL JOIN n ON o.word = n.word),
+        |t AS (SELECT CAST(sum(c_old) AS DOUBLE) AS t_o,
+        |             CAST(sum(c_new) AS DOUBLE) AS t_n FROM j)
+        |SELECT word, c_old, c_new,
+        |  round((CAST(c_new AS DOUBLE) / t_n - CAST(c_old AS DOUBLE) / t_o)
+        |      * (CAST(c_new AS DOUBLE) / t_n - CAST(c_old AS DOUBLE) / t_o)
+        |      / (CAST(c_new AS DOUBLE) / t_n + CAST(c_old AS DOUBLE) / t_o), 12)
+        |    AS drift
+        |FROM j, t ORDER BY drift DESC, word LIMIT 100""".stripMargin,
     "q_corpus_diff" ->
       """WITH o AS (SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f

@@ -224,6 +224,45 @@ object TextAnalysis {
     * SQL-mirrorable (LangId.oracleSqlExpr). */
   def langId(text: Column): Column = LangId.expr(text)
 
+  /** Vocabulary drift between two corpus snapshots — the monitoring twin
+    * of [[graft.operators.Dedup.corpusDiff]]: for every word in either
+    * snapshot, a chi-square-style divergence contribution
+    * (p_new − p_old)² / (p_new + p_old) over relative frequencies,
+    * largest movers first — the words whose usage shifted most between
+    * crawls (new template spam, a topic surge, a scraper regression).
+    *
+    * Deliberately LOG-FREE: pure rational arithmetic over exact integer
+    * counts means every value is a fixed tree of correctly-rounded IEEE
+    * ops — bit-identical across engines and partitionings without the
+    * nano-quantization the unigram-LM scorer needs for its ln() sums.
+    * Two word-count aggregates + one full-outer join on the word (both
+    * sides are (word, count) — vocabulary-sized, tiny vs the corpus) +
+    * a broadcast totals row; top-k plans as TakeOrderedAndProject
+    * (per-partition heaps, no global sort materialization). The totals
+    * aggregate re-derives the join (one extra vocabulary-sized pass —
+    * the cheap trade for zero caches, same posture as line dedup). */
+  def vocabularyDrift(oldDocs: org.apache.spark.sql.DataFrame,
+                      newDocs: org.apache.spark.sql.DataFrame,
+                      textCol: String,
+                      topK: Int = 100): org.apache.spark.sql.DataFrame = {
+    require(topK > 0, "topK must be positive")
+    def counts(df: org.apache.spark.sql.DataFrame, as: String) = df
+      .select(explode(tokens(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as(as))
+    val joined = counts(oldDocs, "__co")
+      .join(counts(newDocs, "__cn"), Seq("word"), "full_outer")
+      .select(col("word"), coalesce(col("__co"), lit(0L)).as("c_old"),
+        coalesce(col("__cn"), lit(0L)).as("c_new"))
+    val totals = joined.agg(sum("c_old").as("__to"), sum("c_new").as("__tn"))
+    val po = col("c_old").cast("double") / col("__to").cast("double")
+    val pn = col("c_new").cast("double") / col("__tn").cast("double")
+    joined.crossJoin(broadcast(totals))
+      .select(col("word"), col("c_old"), col("c_new"),
+        round((pn - po) * (pn - po) / (pn + po), 12).as("drift"))
+      .orderBy(desc("drift"), col("word"))
+      .limit(topK)
+  }
+
   /** Document TF-IDF over lowercase whitespace tokens:
     * (doc_id, token, tf, df, tfidf) with smooth idf = ln((1+N)/(1+df)) + 1
     * (sklearn's default). Exactly two shuffles — one groupBy (doc, token)

@@ -587,6 +587,27 @@ class OperatorsSpec extends AnyFunSuite {
       .count() == batch.count())
   }
 
+  test("vocabularyDrift: movers rank by frequency shift, stable words near zero") {
+    val oldSnap = Seq((1L, "alpha beta beta gamma"), (2L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((3L, "alpha spam spam spam"), (4L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val drift = TextAnalysis.vocabularyDrift(oldSnap, newSnap, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // counts — old: alpha 2, beta 3, gamma 1, delta 1 (T=7)
+    //          new: alpha 2, spam 3, beta 1 (T=6)
+    val m = drift.map(d => d._1 -> d).toMap
+    assert(m("spam")._2 == 0L && m("spam")._3 == 3L)
+    // spam (0→3/6) is the biggest mover
+    assert(drift.head._1 == "spam")
+    // alpha moved least: |2/6 - 2/7| is the smallest nonzero shift
+    assert(drift.last._1 == "alpha" || m("alpha")._4 <= drift.map(_._4).max / 10)
+    // drift is symmetric-bounded: every value in [0, 1)
+    assert(drift.forall(d => d._4 >= 0.0 && d._4 < 1.0))
+    // words present in either side all appear (5 distinct words, topK 10)
+    assert(drift.length == 5)
+  }
+
   test("corpusDiff classifies added/removed/changed; unchanged excluded by default") {
     val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       .toDF("doc_id", "text")
