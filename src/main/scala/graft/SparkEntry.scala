@@ -283,6 +283,17 @@ object SparkEntry {
         "text", topK = 100)
     }),
 
+    // bounded-memory heavy hitters: one ≤ capacity-entry Misra–Gries
+    // sketch per map partial on the wire instead of a keyspace-wide
+    // exchange; capacity 1024 >> the test vocabulary, so counts are
+    // exact and the result ≡ the GROUP BY oracle
+    "q_heavy_hitters" -> ((s, dir) => {
+      TextAnalysis.heavyHitterTokens(
+        table(s, dir, "documents").select("text"), "text",
+        capacity = 1024, k = 10)
+        .orderBy("rank")
+    }),
+
     // snapshot diff (daily-crawl delta): old = ids % 7 != 0, new = ids
     // % 5 != 0 with every id % 3 == 0 text edited — so added/removed/
     // changed are all exercised by construction; unchanged rows (the
@@ -652,6 +663,23 @@ object SparkEntry {
         docs.unionAll(copy1).unionAll(copy2), "text", "doc_id")
       Dedup.duplicateClusters(pairs, "id_l", "id_r")
         .orderBy("node")
+    }),
+
+    // leakage-safe split over the same planted-dup corpus as
+    // q_dup_clusters: each near-dup cluster rides ONE md5(group-key)
+    // draw, so duplicates can never straddle train/test
+    "q_leak_split" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val copy1 = docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val copy2 = docs.where(col("doc_id") < 10)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      val all = docs.unionAll(copy1).unionAll(copy2)
+      val pairs = Dedup.exactTextPairs(all, "text", "doc_id")
+      Sampling.leakageSafeSplit(all.select("doc_id"), "doc_id",
+        pairs, "id_l", "id_r",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")
     }),
 
     // pipeline: token-budget shard packing per language — per-key window
@@ -1497,6 +1525,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Unicode NFC canonicalization (codegen'd native expression, ASCII
+    // fast path): planted combining-mark + compatibility-singleton text
+    // (e+U+0301, U+212B angstrom) must collapse to the precomposed forms
+    "q_unicode_norm" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      docs.select(col("doc_id"),
+        TextAnalysis.unicodeNormalize(
+          concat(col("text"), lit(" café Å naive"))).as("nfc"))
+        .orderBy("doc_id")
+    }),
+
     // vocabulary: corpus word-frequency table (explode + count)
     "q_word_freq" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
@@ -2113,6 +2152,31 @@ object SparkEntry {
         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
         |SELECT node, min(label) AS label FROM reach
         |GROUP BY node ORDER BY node""".stripMargin,
+    "q_leak_split" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20
+        |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id < 10),
+        |fp AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM all_docs),
+        |edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id <> b.doc_id),
+        |reach AS (
+        |  SELECT DISTINCT src AS node, src AS label FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+        |cc AS (SELECT node, min(label) AS label FROM reach GROUP BY node),
+        |keyed AS (SELECT d.doc_id, COALESCE(cc.label, d.doc_id) AS gkey
+        |  FROM all_docs d LEFT JOIN cc ON d.doc_id = cc.node)
+        |SELECT doc_id,
+        |CASE
+        | WHEN ('0x' || substring(md5(CAST(gkey AS VARCHAR)), 1, 8))::UBIGINT
+        |      / 4294967296.0 < CAST(0.8 AS DOUBLE) THEN 'train'
+        | WHEN ('0x' || substring(md5(CAST(gkey AS VARCHAR)), 1, 8))::UBIGINT
+        |      / 4294967296.0 < CAST(0.9 AS DOUBLE) THEN 'val'
+        | ELSE 'test' END AS split
+        |FROM keyed ORDER BY doc_id""".stripMargin,
     "q_shards" ->
       """WITH d AS (SELECT doc_id, lang,
         |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
@@ -2633,6 +2697,13 @@ object SparkEntry {
         |      / (CAST(c_new AS DOUBLE) / t_n + CAST(c_old AS DOUBLE) / t_o), 12)
         |    AS drift
         |FROM j, t ORDER BY drift DESC, word LIMIT 100""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    w -> len(w) > 0)) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank,
+        |  token, cnt
+        |FROM c ORDER BY rank LIMIT 10""".stripMargin,
     "q_corpus_diff" ->
       """WITH o AS (SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
@@ -2918,6 +2989,10 @@ object SparkEntry {
         |   '\s+', ' ', 'g'))) AS clean_len,
         | md5(trim(regexp_replace(regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
         |   '\s+', ' ', 'g'))) AS clean_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_unicode_norm" ->
+      s"""SELECT doc_id,
+        |  nfc_normalize(text || ' café Å naive') AS nfc
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_word_freq" ->
       """SELECT t.word, count(*) AS freq

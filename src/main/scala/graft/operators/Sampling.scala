@@ -163,6 +163,33 @@ object Sampling {
       chain.fold(lit(splits.last._1))(_.otherwise(splits.last._1)))
   }
 
+  /** Leakage-safe train/val/test split: near-duplicates must land in the
+    * SAME split, or evaluation on the held-out slice silently measures
+    * memorization of the training slice. Group key = connected-component
+    * label of the duplicate-pair graph ([[Dedup.duplicateClusters]]);
+    * rows in no pair keep their own id as the key. The md5 when-chain of
+    * [[splitAssign]] then hashes the GROUP key, so a whole near-dup
+    * cluster moves as one unit and membership is still recomputable from
+    * (id, cluster label) alone.
+    *
+    * Scale shape: the cluster table is (id, label) for paired ids only —
+    * tiny next to the corpus (and the CC iteration is scratch-parquet
+    * bounded); the corpus-side cost is one left join on the id plus the
+    * same zero-shuffle projection as splitAssign. */
+  def leakageSafeSplit(df: DataFrame, idCol: String,
+                       pairs: DataFrame, aCol: String, bCol: String,
+                       splits: Seq[(String, Double)],
+                       outCol: String = "split",
+                       maxIter: Int = 20,
+                       scratchDir: Option[String] = None): DataFrame = {
+    val clusters = Dedup.duplicateClusters(pairs, aCol, bCol, maxIter, scratchDir)
+      .withColumnRenamed("node", idCol)
+    val keyed = df.join(clusters, Seq(idCol), "left")
+      .withColumn("__gkey", coalesce(col("label"), col(idCol)))
+      .drop("label")
+    splitAssign(keyed, "__gkey", splits, outCol).drop("__gkey")
+  }
+
   def weighted(df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
     val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("double")

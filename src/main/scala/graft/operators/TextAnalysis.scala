@@ -263,6 +263,41 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Heavy hitters over any string item column via the bounded-memory
+    * Misra–Gries aggregate ([[graft.functions.FrequentItems]]):
+    * (rank, token, cnt), count desc then token asc. Unlike the
+    * `GROUP BY item ORDER BY count DESC LIMIT k` shape — whose exchange
+    * carries the whole keyspace — this shuffles ONE ≤ capacity-entry
+    * sketch per map partition: memory and network are O(capacity)
+    * regardless of corpus size or key cardinality. Exact (≡ the GROUP BY)
+    * whenever capacity ≥ distinct items; otherwise counts are lower
+    * bounds short by ≤ N/(capacity+1) and anything more frequent than
+    * that is guaranteed present. */
+  def heavyHitters(items: DataFrame, itemCol: Column,
+                   capacity: Int, k: Int): DataFrame =
+    items.select(graft.functions.FrequentItems(itemCol, capacity, k).as("__hh"))
+      .select(posexplode(col("__hh")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("col.item").as("token"), col("col.cnt").as("cnt"))
+
+  /** [[heavyHitters]] over lowercase whitespace tokens of a text column —
+    * the "what are the top spam tokens in this crawl" probe. */
+  def heavyHitterTokens(docs: DataFrame, textCol: String,
+                        capacity: Int, k: Int): DataFrame =
+    heavyHitters(
+      docs.select(explode(tokens(lower(col(textCol)))).as("__tok")),
+      col("__tok"), capacity, k)
+
+  /** Unicode normalization (codegen'd native expression with an ASCII
+    * fast path — [[graft.functions.UnicodeNormalize]]): "café" with a
+    * precomposed é and with e + combining acute are byte-distinct to
+    * md5/shingles/exact-dedup but render identically; normalize BEFORE
+    * fingerprinting. Forms: NFC (default), NFD, NFKC, NFKD. */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.UnicodeNormalize(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), form))
+
   /** Document TF-IDF over lowercase whitespace tokens:
     * (doc_id, token, tf, df, tfidf) with smooth idf = ln((1+N)/(1+df)) + 1
     * (sklearn's default). Exactly two shuffles — one groupBy (doc, token)

@@ -608,6 +608,131 @@ class OperatorsSpec extends AnyFunSuite {
     assert(drift.length == 5)
   }
 
+  test("FrequentItems exact mode (capacity ≥ distinct) ≡ GROUP BY top-k; partial on map side") {
+    val words = (1 to 40).flatMap(i => Seq.fill(i)(s"w$i"))
+    val df = spark.createDataset(words).toDF("w").repartition(8)
+    val got = TextAnalysis.heavyHitters(df, col("w"), capacity = 64, k = 7)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val expect = df.groupBy("w").count()
+      .orderBy(desc("count"), col("w")).limit(7)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i + 1, r.getString(0), r.getLong(1)) }.toSeq
+    assert(got == expect)
+    // the point of the sketch: map-side PARTIAL aggregation, so the
+    // exchange carries sketches, not the keyspace
+    val plan = TextAnalysis.heavyHitters(df, col("w"), 64, 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_frequent_items"), s"no partial aggregate in:\n$plan")
+  }
+
+  test("FrequentItems bounded mode: counts are lower bounds within N/(cap+1); heavies surface") {
+    // 200 singleton items + 3 items repeated 50× each, capacity 8 — far
+    // under the 203 distinct keys, so decrements must fire
+    val items = (1 to 200).map(i => s"light$i") ++
+      Seq.fill(50)("heavyA") ++ Seq.fill(50)("heavyB") ++ Seq.fill(50)("heavyC")
+    val df = spark.createDataset(scala.util.Random.shuffle(items)).toDF("w")
+      .repartition(4)
+    val n = items.size.toLong
+    val cap = 8
+    val got = TextAnalysis.heavyHitters(df, col("w"), capacity = cap, k = cap)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    val truth = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val slack = n / (cap + 1)
+    got.foreach { case (item, c) =>
+      assert(c <= truth(item), s"$item over-counted: $c > ${truth(item)}")
+      assert(c >= truth(item) - slack, s"$item under bound: $c < ${truth(item)} - $slack")
+    }
+    // every item with true count > N/(capacity+1) is guaranteed kept
+    Seq("heavyA", "heavyB", "heavyC").foreach { h =>
+      assert(got.contains(h), s"true heavy hitter $h missing from $got")
+    }
+  }
+
+  test("graft_frequent_items SQL registration: works on literals, validates args") {
+    graft.functions.FrequentItems.register(spark)
+    Seq("a", "a", "b").toDF("w").createOrReplaceTempView("hh_in")
+    val row = spark.sql(
+      "SELECT graft_frequent_items(w, 16, 2) AS hh FROM hh_in").collect()(0)
+    val hh = row.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(hh == Seq(("a", 2L), ("b", 1L)))
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_frequent_items(w, w, 2) FROM hh_in").collect()
+    }
+    assert(e1.getMessage.contains("capacity") || e1.getMessage.contains("NON_FOLDABLE"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_frequent_items(w, 16) FROM hh_in").collect()
+    }
+    assert(e2.getMessage.contains("3 arguments"))
+  }
+
+  test("leakageSafeSplit: near-dup clusters never straddle splits; singletons hash-split") {
+    val ids = (1L to 1000L).toDF("id")
+    // clusters {1,2,3}, {10,11}, {500,501,502,503} via pair edges
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (500L, 501L), (501L, 502L), (502L, 503L)).toDF("a", "b")
+    val out = Sampling.leakageSafeSplit(ids, "id", pairs, "a", "b",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m.size == 1000)
+    Seq(Seq(1L, 2L, 3L), Seq(10L, 11L), Seq(500L, 501L, 502L, 503L)).foreach { c =>
+      assert(c.map(m).distinct.size == 1, s"cluster $c straddles splits: ${c.map(m)}")
+    }
+    // the cluster draw is the MIN member's hash — identical to a
+    // singleton with that id, so membership is recomputable
+    val solo = Sampling.splitAssign(Seq(1L, 10L, 500L).toDF("id"), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == solo(1L) && m(10L) == solo(10L) && m(500L) == solo(500L))
+    // split fractions on the ~990 singletons are roughly honored
+    val frac = m.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(frac("train") > 700 && frac("val") > 40 && frac("test") > 40)
+  }
+
+  test("unicodeNormalize: differential vs JDK Normalizer across all forms; SQL surface validates") {
+    val tricky = Seq("café", "Å", "ﬁsh", "café mixed é",
+      "", "pure ascii 123", "ẛ̣")
+    val df = tricky.toDF("s")
+    Seq("NFC", "NFD", "NFKC", "NFKD").foreach { form =>
+      val got = df.select(TextAnalysis.unicodeNormalize(col("s"), form).as("n"))
+        .collect().map(_.getString(0)).toSeq
+      val expect = tricky.map(t => java.text.Normalizer.normalize(
+        t, java.text.Normalizer.Form.valueOf(form)))
+      assert(got == expect, s"form $form")
+    }
+    // NFC composes the combining acute; NFKC additionally folds the ligature
+    val nfc = df.select(TextAnalysis.unicodeNormalize(col("s")).as("n"))
+      .collect().map(_.getString(0))
+    assert(nfc(0) == "café" && nfc(2) == "ﬁsh")
+    val nfkc = df.select(TextAnalysis.unicodeNormalize(col("s"), "NFKC").as("n"))
+      .collect().map(_.getString(0))
+    assert(nfkc(2) == "fish")
+    // nulls propagate; bad form rejected at construction
+    assert(Seq[String](null).toDF("s")
+      .select(TextAnalysis.unicodeNormalize(col("s"))).collect()(0).isNullAt(0))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unicodeNormalize(col("s"), "NFX")
+    }
+    // SQL surface: default form, explicit form, arg validation
+    graft.functions.UnicodeNormalize.register(spark)
+    df.createOrReplaceTempView("un_in")
+    val viaSql = spark.sql(
+      "SELECT graft_unicode_normalize(s) AS n FROM un_in").collect().map(_.getString(0))
+    assert(viaSql(0) == "café")
+    val viaSqlK = spark.sql(
+      "SELECT graft_unicode_normalize(s, 'NFKC') AS n FROM un_in")
+      .collect().map(_.getString(0))
+    assert(viaSqlK(2) == "fish")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_unicode_normalize(s, 'NFX') FROM un_in").collect()
+    }
+    assert(e.getMessage.contains("form must be one of"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_unicode_normalize(s, s) FROM un_in").collect()
+    }
+    assert(e2.getMessage.contains("NON_FOLDABLE") || e2.getMessage.contains("form"))
+  }
+
   test("corpusDiff classifies added/removed/changed; unchanged excluded by default") {
     val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       .toDF("doc_id", "text")
