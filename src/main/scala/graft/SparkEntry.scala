@@ -963,6 +963,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // hybrid retrieval: dense cosine + sparse token-Jaccard candidate
+    // lists (20 per side, map-side partial top-k each) fused by
+    // reciprocal rank 1/(60+r) — rank-only fusion, no score calibration
+    "q_hybrid_topk" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val emb = table(s, dir, "embeddings").select("vec_id", "embedding")
+      val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+      val queries = corpus.where(col("doc_id") < 8)
+      Similarity.hybridTopK(corpus, "doc_id", "embedding", "text",
+        queries, "doc_id", "embedding", "text", k = 5, perSide = 20)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("rrf"), 9).as("rrf"))
+        .orderBy("query_id", "rank")
+    }),
+
     // partitioned window ops over events (ts is ns-precision → read as
     // Long nanos via nanosAsLong; ordering semantics identical). Running
     // sums accumulate in DECIMAL so they are association-order-exact across
@@ -2505,6 +2521,47 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, round(sim, 6) AS cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_hybrid_topk" ->
+      """WITH corpus AS (
+        |  SELECT d.doc_id, d.text, e.embedding
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |tok AS (SELECT doc_id, list_distinct(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0)) AS toks
+        |  FROM corpus),
+        |qs AS (SELECT doc_id AS qid, embedding AS qv FROM corpus WHERE doc_id < 8),
+        |qtok AS (SELECT doc_id AS qid, toks AS qtoks FROM tok WHERE doc_id < 8),
+        |dense AS (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS r
+        |  FROM (
+        |    SELECT q.qid, c.doc_id AS nid,
+        |      list_sum(list_transform(list_zip(c.embedding, q.qv),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+        |    FROM corpus c, qs q WHERE c.doc_id <> q.qid)
+        |  QUALIFY r <= 20),
+        |sparse AS (
+        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS r
+        |  FROM (
+        |    SELECT q.qid, t.doc_id AS nid,
+        |      CASE WHEN len(t.toks) + len(q.qtoks) - len(list_intersect(t.toks, q.qtoks)) = 0
+        |        THEN CAST(0.0 AS DOUBLE)
+        |        ELSE CAST(len(list_intersect(t.toks, q.qtoks)) AS DOUBLE)
+        |           / CAST(len(t.toks) + len(q.qtoks) - len(list_intersect(t.toks, q.qtoks)) AS DOUBLE)
+        |      END AS sim
+        |    FROM tok t, qtok q WHERE t.doc_id <> q.qid)
+        |  QUALIFY r <= 20),
+        |fused AS (
+        |  SELECT COALESCE(d.qid, s.qid) AS query_id,
+        |    COALESCE(d.nid, s.nid) AS neighbor_id,
+        |    COALESCE(CAST(1.0 AS DOUBLE)/(60 + d.r), CAST(0.0 AS DOUBLE)) +
+        |    COALESCE(CAST(1.0 AS DOUBLE)/(60 + s.r), CAST(0.0 AS DOUBLE)) AS rrf
+        |  FROM dense d FULL JOIN sparse s ON d.qid = s.qid AND d.nid = s.nid),
+        |ranked AS (SELECT query_id, neighbor_id, rrf,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rank
+        |  FROM fused)
+        |SELECT query_id, rank, neighbor_id, round(rrf, 9) AS rrf
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_window_cumsum" ->
       """SELECT event_id,

@@ -150,6 +150,50 @@ object Similarity {
     finishTopK(scored, k)
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion: a dense ranking
+    * (exact cosine over the embedding column) and a sparse ranking
+    * (Jaccard over distinct lowercase tokens of the text column) are
+    * each truncated to `perSide` candidates per query, then fused by
+    * rrf = Σ_side 1/(fuseK + rank_side) (Cormack et al., SIGIR'09 —
+    * rank-only fusion needs no score calibration between the two
+    * spaces, which is why it is the standard hybrid-search combiner).
+    *
+    * Scale shape: both sides are the broadcast-queries × corpus stream
+    * with map-side partial top-k ([[graft.functions.TopKByScore]] — the
+    * exchange carries ≤ perSide·partitions rows per query per side);
+    * the fusion full-outer join then touches ≤ 2·perSide rows per query
+    * — candidate-set-sized, independent of the corpus. Deterministic:
+    * both ranks break ties (score desc, id asc), and rrf ties break by
+    * neighbor id. Output: (query_id, rank, neighbor_id, rrf). */
+  def hybridTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                 textCol: String,
+                 queries: DataFrame, qidCol: String, qvecCol: String,
+                 qtextCol: String,
+                 k: Int, fuseK: Int = 60, perSide: Int = 50,
+                 excludeSelf: Boolean = true): DataFrame = {
+    val dense = bruteForceTopK(corpus, idCol, vecCol,
+      queries, qidCol, qvecCol, perSide, excludeSelf)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("__dr"))
+    val c = corpus.select(col(idCol).as("__cid"),
+      array_distinct(TextAnalysis.tokens(lower(col(textCol)))).as("__ct"))
+    val q = queries.select(col(qidCol).as("__qid"),
+      array_distinct(TextAnalysis.tokens(lower(col(qtextCol)))).as("__qt"))
+    val inter = size(array_intersect(col("__ct"), col("__qt")))
+    val union = size(col("__ct")) + size(col("__qt")) - inter
+    val scoredSparse = c.crossJoin(broadcast(q))
+      .where(if (excludeSelf) col("__cid") =!= col("__qid") else lit(true))
+      .select(col("__qid"), col("__cid"),
+        when(union === 0, lit(0.0))
+          .otherwise(inter.cast("double") / union.cast("double")).as("__sim"))
+    val sparse = finishTopK(scoredSparse, perSide)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("__sr"))
+    val fused = dense.join(sparse, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id").as("__qid"), col("neighbor_id").as("__cid"),
+        (coalesce(lit(1.0) / (lit(fuseK) + col("__dr")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(fuseK) + col("__sr")), lit(0.0))).as("__sim"))
+    finishTopK(fused, k).withColumnRenamed("cosine", "rrf")
+  }
+
   /** k-means assignment step: nearest centroid (by cosine) per vector.
     * Centroids broadcast (k is small by definition), the corpus streams
     * map-side through a broadcast nested-loop join, and the per-vector

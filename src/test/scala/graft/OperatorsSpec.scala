@@ -173,6 +173,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("partial_top_k_by_score"), s"no partial aggregate in:\n$plan")
   }
 
+  test("hybridTopK ≡ window-rank RRF reformulation, exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+    val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    val queries = corpus.where(col("doc_id") < 4)
+    val got = Similarity.hybridTopK(corpus, "doc_id", "embedding", "text",
+      queries, "doc_id", "embedding", "text", k = 5, perSide = 10)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(12, BigDecimal.RoundingMode.HALF_EVEN)))
+      .toSeq
+    // reference formulation: the window funnels the aggregate replaces
+    val q = queries.select(col("doc_id").as("__qid"),
+      col("text").as("__qt"), col("embedding").as("__qv"))
+    val joined = corpus.crossJoin(broadcast(q)).where(col("doc_id") =!= col("__qid"))
+    val w = Window.partitionBy("__qid")
+    val dtoks = array_distinct(TextAnalysis.tokens(lower(col("text"))))
+    val qtoks = array_distinct(TextAnalysis.tokens(lower(col("__qt"))))
+    val inter = size(array_intersect(dtoks, qtoks))
+    val uni = size(dtoks) + size(qtoks) - inter
+    val dense = joined
+      .select(col("__qid"), col("doc_id").as("__nid"),
+        Similarity.cosine(col("embedding"), col("__qv")).as("__s"))
+      .withColumn("__dr", row_number().over(w.orderBy(col("__s").desc, col("__nid"))))
+      .where(col("__dr") <= 10).select("__qid", "__nid", "__dr")
+    val sparse = joined
+      .select(col("__qid"), col("doc_id").as("__nid"),
+        when(uni === 0, lit(0.0))
+          .otherwise(inter.cast("double") / uni.cast("double")).as("__s"))
+      .withColumn("__sr", row_number().over(w.orderBy(col("__s").desc, col("__nid"))))
+      .where(col("__sr") <= 10).select("__qid", "__nid", "__sr")
+    val expect = dense.join(sparse, Seq("__qid", "__nid"), "full_outer")
+      .select(col("__qid"), col("__nid"),
+        (coalesce(lit(1.0) / (lit(60) + col("__dr")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("__sr")), lit(0.0))).as("__rrf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("__qid").orderBy(col("__rrf").desc, col("__nid"))))
+      .where(col("rank") <= 5)
+      .orderBy("__qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(12, BigDecimal.RoundingMode.HALF_EVEN)))
+      .toSeq
+    assert(got == expect)
+    // rrf is bounded by appearing first in BOTH lists
+    assert(got.forall(_._4 <= BigDecimal(2.0 / 61).setScale(12, BigDecimal.RoundingMode.HALF_EVEN)))
+  }
+
   test("annTopK returns a subset consistent with brute force scores") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val queries = emb.limit(5)
