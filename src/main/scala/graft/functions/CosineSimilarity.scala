@@ -82,9 +82,13 @@ object CosineSimilarity {
     GraftSqlBridge.column(new CosineSimilarity(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** Builder behind the SQL surface — shared by [[register]] and
+    * [[graft.GraftExtensions]]. */
+  def builder(exprs: Seq[Expression]): Expression =
+    new CosineSimilarity(exprs(0), exprs(1))
+
   /** SQL registration: `SELECT graft_cosine(a, b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine", exprs => new CosineSimilarity(exprs(0), exprs(1)),
-      "scala_udf")
+      "graft_cosine", builder, "scala_udf")
 }

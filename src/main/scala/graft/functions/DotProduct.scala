@@ -75,9 +75,13 @@ object DotProduct {
     GraftSqlBridge.column(new DotProduct(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** Builder behind the SQL surface — shared by [[register]] and
+    * [[graft.GraftExtensions]]. */
+  def builder(exprs: Seq[Expression]): Expression =
+    new DotProduct(exprs(0), exprs(1))
+
   /** SQL registration: `SELECT graft_dot(a, b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => new DotProduct(exprs(0), exprs(1)),
-      "scala_udf")
+      "graft_dot", builder, "scala_udf")
 }

@@ -178,8 +178,11 @@ object FrequentItems {
     * (capacity and k must be integer literals). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_frequent_items",
-      exprs => {
+      "graft_frequent_items", builder, "scala_udf")
+
+  /** Builder behind the SQL surface — shared by [[register]] and
+    * [[graft.GraftExtensions]]. */
+  def builder(exprs: Seq[Expression]): Expression = {
         def fail(msg: String): Nothing =
           throw new org.apache.spark.sql.AnalysisException(
             "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
@@ -203,6 +206,5 @@ object FrequentItems {
           fail("graft_frequent_items(item, capacity, k) takes 3 arguments, " +
             s"got ${exprs.length}")
         new FrequentItems(exprs(0), intLit(1, "capacity"), intLit(2, "k"))
-      },
-      "scala_udf")
+  }
 }

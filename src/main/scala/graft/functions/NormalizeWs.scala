@@ -43,10 +43,14 @@ case class NormalizeWs(child: Expression) extends UnaryExpression {
 }
 
 object NormalizeWs {
+  /** Builder behind the SQL surface — shared by [[register]] and
+    * [[graft.GraftExtensions]]. */
+  def builder(exprs: Seq[Expression]): Expression = new NormalizeWs(exprs(0))
+
   /** SQL surface: `graft_normalize_ws(text)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_normalize_ws", exprs => new NormalizeWs(exprs(0)), "scala_udf")
+      "graft_normalize_ws", builder, "scala_udf")
 
   private def isAsciiWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'

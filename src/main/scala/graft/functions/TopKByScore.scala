@@ -173,12 +173,28 @@ object TopKByScore {
       GraftSqlBridge.expression(score),
       GraftSqlBridge.expression(id), k).toAggregateExpression())
 
+  /** Builder behind the SQL surface — shared by [[register]] and
+    * [[graft.GraftExtensions]]. `k` must be an integer literal. */
+  def builder(exprs: Seq[Expression]): Expression = {
+    def fail(msg: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+    if (exprs.length != 3)
+      fail(s"graft_top_k(score, id, k) takes 3 arguments, got ${exprs.length}")
+    if (!exprs(2).foldable)
+      throw new org.apache.spark.sql.AnalysisException(
+        "NON_FOLDABLE_ARGUMENT", Map(
+          "funcName" -> "`graft_top_k`",
+          "paramName" -> "`k`", "paramType" -> "\"INT\""))
+    exprs(2).eval() match {
+      case n: Number => new TopKByScore(exprs(0), exprs(1), n.intValue)
+      case other => fail(s"graft_top_k: `k` must be an integer literal, got $other")
+    }
+  }
+
   /** SQL registration: `SELECT qid, graft_top_k(score, id, 5) ...
     * GROUP BY qid` (k must be a literal). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_top_k",
-      exprs => new TopKByScore(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Number].intValue),
-      "scala_udf")
+      "graft_top_k", builder, "scala_udf")
 }

@@ -57,8 +57,11 @@ object UnicodeNormalize {
     * uppercase string literal, default NFC. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_unicode_normalize",
-      exprs => {
+      "graft_unicode_normalize", builder, "scala_udf")
+
+  /** Builder behind the SQL surface — shared by [[register]] and
+    * [[graft.GraftExtensions]]. */
+  def builder(exprs: Seq[Expression]): Expression = {
         def fail(msg: String): Nothing =
           throw new org.apache.spark.sql.AnalysisException(
             "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
@@ -79,8 +82,7 @@ object UnicodeNormalize {
           }
         }
         new UnicodeNormalize(exprs(0), form)
-      },
-      "scala_udf")
+  }
 
   def compute(text: UTF8String, form: Normalizer.Form): UTF8String = {
     // ASCII fast path: every form is the identity on pure ASCII, and

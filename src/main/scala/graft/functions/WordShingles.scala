@@ -61,8 +61,11 @@ object WordShingles {
     * ClassCastException/NPE from the builder. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_shingles",
-      exprs => {
+      "graft_shingles", builder, "scala_udf")
+
+  /** Builder behind the SQL surface — shared by [[register]] and
+    * [[graft.GraftExtensions]]. */
+  def builder(exprs: Seq[Expression]): Expression = {
         def fail(msg: String): Nothing =
           throw new org.apache.spark.sql.AnalysisException(
             "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
@@ -97,8 +100,7 @@ object WordShingles {
               s"boolean literal, got $other")
           }
         new WordShingles(exprs(0), n, distinct)
-      },
-      "scala_udf")
+  }
 
   private val ws = Pattern.compile("\\s+")
 

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Scale-slope harness for the dedup/similarity family: runs each
   * operator at 1×/2×/5×/10× the sf0.1 corpus (10× ≈ the sf1 tier, which
@@ -73,7 +73,11 @@ object ScaleSweep {
 
     val scales = Seq(1, 2, 5, 10)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // SPARK_GRAFT_SWEEP_ONLY=a,b restricts to named sweeps for iteration
+    val only = sys.env.get("SPARK_GRAFT_SWEEP_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     def sweep(name: String)(f: Int => DataFrame): Unit = {
+      if (!only.forall(_.contains(name))) return
       results(name) = scales.map { k =>
         val s = time(f(k))
         System.err.println(f"[scale] $name%-18s ${k}%2dx  $s%7.2f s")
@@ -113,10 +117,12 @@ object ScaleSweep {
     })
     sweep("pq_adc_topk")(k => Similarity.pqTopK(embAt(k), "vec_id", "embedding",
       emb0.where(col("vec_id") < 20), "vec_id", "embedding", k = 10))
-    Dedup.buildNearDupIndex(docs0, "doc_id", "text", "graft_sweep_idx",
-      buckets = 32)
-    sweep("neardup_probe")(k => Dedup.nearDupAgainstIndex(spark,
-      "graft_sweep_idx", docsAt(k), "doc_id", "text", threshold = 0.8))
+    if (only.forall(_.contains("neardup_probe"))) {
+      Dedup.buildNearDupIndex(docs0, "doc_id", "text", "graft_sweep_idx",
+        buckets = 32)
+      sweep("neardup_probe")(k => Dedup.nearDupAgainstIndex(spark,
+        "graft_sweep_idx", docsAt(k), "doc_id", "text", threshold = 0.8))
+    }
     // round-5 session-3 operators: semantic dedup (cells from 64 seed
     // centroids so E[m_c] tracks n/k; within-cell work is the quadratic
     // under test) and temperature mixture (two aggregates + window keep)
@@ -133,6 +139,40 @@ object ScaleSweep {
       graft.operators.Sampling.temperatureMixture(d, "lang", "doc_id",
         "n_tokens", totalBudget = 100000L, alpha = 0.5)
     })
+
+    // round-5 session-4 operators: heavy hitters (capacity-bounded
+    // sketch — the exchange is O(capacity) at every scale), vocabulary
+    // drift (two count aggregates + vocabulary-sized FOJ), hybrid RRF
+    // (fixed query set, candidate lists fixed per query — the corpus
+    // stream is what scales), leakage-safe split (CC over pair edges +
+    // zero-shuffle split projection), unicode normalize (pure per-row
+    // byte scan, ASCII fast path)
+    sweep("heavy_hitters")(k => TextAnalysis.heavyHitterTokens(
+      docsAt(k), "text", capacity = 4096, k = 20))
+    sweep("vocab_drift")(k => {
+      val d = docsAt(k)
+      TextAnalysis.vocabularyDrift(
+        d.where(pmod(col("doc_id"), lit(2)) === 0),
+        d.where(pmod(col("doc_id"), lit(2)) === 1), "text", topK = 100)
+    })
+    sweep("hybrid_topk")(k => {
+      val d = docsAt(k)
+      val e = embAt(k)
+      val corpus = d.join(e, d("doc_id") === e("vec_id"))
+        .select(d("doc_id"), col("text"), col("embedding"))
+      Similarity.hybridTopK(corpus, "doc_id", "embedding", "text",
+        corpus.where(col("doc_id") < 8), "doc_id", "embedding", "text",
+        k = 10, perSide = 20)
+    })
+    sweep("leak_split")(k => {
+      val d = docsAt(k)
+      Sampling.leakageSafeSplit(d.select("doc_id"), "doc_id",
+        Dedup.exactTextPairs(d, "text", "doc_id"), "id_l", "id_r",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    })
+    sweep("unicode_norm")(k => docsAt(k).select(col("doc_id"),
+      graft.operators.TextAnalysis.unicodeNormalize(
+        concat(col("text"), lit(" café"))).as("n")))
 
     val json = results.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(x => f"$x%.2f").mkString(",") + "]"

@@ -16,6 +16,14 @@ object GraftSqlBridge {
   def noCachedPlans(spark: SparkSession): Boolean =
     spark.sharedState.cacheManager.isEmpty
 
+  /** Apply a SparkSessionExtensions' injected functions to an EXISTING
+    * session's registry (`registerFunctions` is `private[sql]`) — lets
+    * tests drive `graft.GraftExtensions` through Spark's own injection
+    * machinery without building a second SparkContext. */
+  def applyFunctionInjections(ext: SparkSessionExtensions,
+                              spark: SparkSession): Unit =
+    ext.registerFunctions(spark.sessionState.functionRegistry)
+
   /** A scratch directory Spark deletes RECURSIVELY at JVM shutdown
     * (`Utils.createTempDir` registers it with the shutdown-delete hook;
     * a bare `deleteOnExit` only removes an empty directory, leaking the
