@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame => SDF, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.{DataFrame, Frames, Series}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Sampling, ShardPack, Similarity, TextAnalysis, WindowOps}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Sampling, ShardPack, Similarity, SkewJoin, TextAnalysis, WindowOps}
 import graft.streaming.GraftStreaming
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
@@ -663,6 +663,25 @@ object SparkEntry {
         docs.unionAll(copy1).unionAll(copy2), "text", "doc_id")
       Dedup.duplicateClusters(pairs, "id_l", "id_r")
         .orderBy("node")
+    }),
+
+    // differential skew salting: 70% of lineitem rows pile onto key 0;
+    // the MG pre-pass detects it, salts ONLY that key (build side
+    // replicates factor× just for the hot set) — result must equal the
+    // plain inner join, which IS the oracle
+    "q_skew_join_auto" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val left = li.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        when(pmod(col("l_orderkey"), lit(10)) < 7, lit(0L))
+          .otherwise(pmod(col("l_orderkey"), lit(1000))).as("k"))
+      val right = li
+        .select(pmod(col("l_orderkey"), lit(1000)).as("k")).distinct()
+        .select(col("k"), (col("k") * 7).as("payload"))
+      SkewJoin.saltedJoinAuto(left, right, "k",
+        factor = 8, hotThreshold = 1000L)
+        .select("k", "l_orderkey", "l_linenumber", "l_quantity", "payload")
+        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // leakage-safe split over the same planted-dup corpus as
@@ -2168,6 +2187,15 @@ object SparkEntry {
         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
         |SELECT node, min(label) AS label FROM reach
         |GROUP BY node ORDER BY node""".stripMargin,
+    "q_skew_join_auto" ->
+      """WITH l AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey % 1000 END AS k
+        |  FROM lineitem),
+        |r AS (SELECT k, k * 7 AS payload
+        |  FROM (SELECT DISTINCT l_orderkey % 1000 AS k FROM lineitem))
+        |SELECT l.k, l_orderkey, l_linenumber, l_quantity, payload
+        |FROM l JOIN r ON l.k = r.k
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_leak_split" ->
       """WITH RECURSIVE all_docs AS (
         |  SELECT doc_id, text FROM documents

@@ -782,6 +782,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("NON_FOLDABLE") || e2.getMessage.contains("form"))
   }
 
+  test("saltedJoinAuto ≡ plain join under planted skew; no-hot-keys path degenerates to plain") {
+    val left = spark.range(0, 5000).select(
+      when(col("id") % 10 < 7, lit(0L)).otherwise(col("id") % 100).as("k"),
+      col("id"))
+    val right = spark.range(0, 100).select(col("id").as("k"), (col("id") * 3).as("p"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "id", "p").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expect = rows(left.join(right, Seq("k")))
+    // key 0 carries 3500 of 5000 rows — over the threshold, so it salts
+    val got = rows(SkewJoin.saltedJoinAuto(left, right, "k",
+      factor = 4, hotThreshold = 500))
+    assert(got == expect)
+    // threshold nothing reaches → empty hot set → plain-join fast path
+    val none = rows(SkewJoin.saltedJoinAuto(left, right, "k",
+      factor = 4, hotThreshold = 1000000L))
+    assert(none == expect)
+    // a sketch far smaller than the key space still catches the hub
+    // (lower bound ≥ threshold despite decrements) and stays correct
+    val tiny = rows(SkewJoin.saltedJoinAuto(left, right, "k",
+      factor = 4, hotThreshold = 500, sketchCapacity = 8))
+    assert(tiny == expect)
+  }
+
   test("corpusDiff classifies added/removed/changed; unchanged excluded by default") {
     val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       .toDF("doc_id", "text")
