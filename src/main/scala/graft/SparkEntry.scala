@@ -1775,6 +1775,23 @@ object SparkEntry {
         .orderBy("win_start", "rank")
     }),
 
+    // Structured Streaming: the MG sketch as a complete-mode global
+    // aggregate — one O(capacity) state row for "top event types so
+    // far"; capacity 64 >> the distinct types, so counts are exact and
+    // the single-batch run ≡ the batch GROUP BY oracle
+    "q_stream_heavy" -> ((s, dir) => {
+      val out = s"stream_heavy_${System.nanoTime()}"
+      val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      val agg = GraftStreaming.heavyHittersStream(stream,
+        col("event_type"), capacity = 64, k = 5)
+      val q = GraftStreaming.runToMemory(agg, out, outputMode = "complete")
+      q.awaitTermination(300000)
+      s.table(out).select(posexplode(col("__hh")))
+        .select((col("pos") + 1).cast("int").as("rank"),
+          col("col.item").as("event_type"), col("col.cnt").as("cnt"))
+        .orderBy("rank")
+    }),
+
     // Structured Streaming: watermarked stream-stream inner join — each
     // click joined to same-user purchases within the following hour. The
     // two-sided event-time bound is what lets Spark evict join state; the
@@ -3173,6 +3190,11 @@ object SparkEntry {
         |SELECT segment, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM e GROUP BY segment ORDER BY segment""".stripMargin,
+    "q_stream_heavy" ->
+      """WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, event_type) AS INT)
+        |    AS rank, event_type, cnt
+        |FROM c ORDER BY rank LIMIT 5""".stripMargin,
     "q_stream_trending" ->
       """WITH b AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
         |    AS win_start, event_type, count(*) AS n

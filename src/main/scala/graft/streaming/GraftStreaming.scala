@@ -345,6 +345,21 @@ object GraftStreaming {
     * callers driving concurrent mixed batch/stream workloads on one
     * session should pass `statePartitions` equal to the session setting
     * (making the window a no-op) or use a separate session. */
+  /** Streaming heavy hitters: the Misra–Gries aggregate
+    * ([[graft.functions.FrequentItems]]) as a complete-mode global
+    * aggregate — "top items over the whole stream so far" with ONE
+    * sketch row of state, updated incrementally per micro-batch
+    * (Spark persists the serialized ≤ capacity-entry buffer in the
+    * state store; memory is O(capacity) forever, no watermark needed
+    * because the state cannot grow). Same exactness contract as batch:
+    * exact while capacity ≥ distinct items, lower bounds within
+    * N/(capacity+1) beyond that. */
+  def heavyHittersStream(items: DataFrame, itemCol: Column,
+                         capacity: Int, k: Int): DataFrame =
+    items.select(itemCol.cast("string").as("__item"))
+      .groupBy()
+      .agg(graft.functions.FrequentItems(col("__item"), capacity, k).as("__hh"))
+
   def runToMemory(df: DataFrame, name: String,
                   outputMode: String = "append",
                   statePartitions: Int = 8): StreamingQuery = {

@@ -256,6 +256,43 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == 100)
   }
 
+  test("streaming heavy hitters: single batch ≡ batch top-k; sketch state accumulates across micro-batches") {
+    import spark.implicits._
+    val stream = GraftStreaming.readEventsGlob(spark, dir, "events.parquet")
+    val agg = GraftStreaming.heavyHittersStream(stream, col("event_type"), 64, 3)
+    val q = GraftStreaming.runToMemory(agg, "hh_stream_out", outputMode = "complete")
+    q.awaitTermination(120000)
+    val got = spark.table("hh_stream_out").select(explode(col("__hh")).as("e"))
+      .select(col("e.item"), col("e.cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type").count()
+      .orderBy(desc("count"), col("event_type")).limit(3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == batch, s"stream=$got batch=$batch")
+
+    // two file drops forced into separate micro-batches: the complete-
+    // mode result after batch 2 must count BOTH batches (one sketch row
+    // of state carried in the state store)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hhstream").toString
+    Seq("x", "x", "x", "y").toDF("w").coalesce(1).write.parquet(s"$tmp/b0")
+    Seq("x", "x", "z", "z", "z", "z").toDF("w").coalesce(1).write.parquet(s"$tmp/b1")
+    val twoBatch = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(s"$tmp/*")
+    val agg2 = GraftStreaming.heavyHittersStream(twoBatch, col("w"), 8, 3)
+    val q2 = GraftStreaming.runToMemory(agg2, "hh_stream_two", outputMode = "complete")
+    q2.awaitTermination(120000)
+    val acc = spark.table("hh_stream_two").select(explode(col("__hh")).as("e"))
+      .select(col("e.item"), col("e.cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(acc == Seq(("x", 5L), ("z", 4L), ("y", 1L)), s"got $acc")
+  }
+
   test("streaming budget admission ≡ batch budgetSample in one batch; quota binds across batches") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
