@@ -294,6 +294,18 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // boilerplate probe: document frequency of 3-gram shingles (distinct
+    // per doc) through the MG sketch — "which phrases repeat across the
+    // crawl"; capacity 32768 > the 16k distinct shingles at test scale,
+    // so counts are exact document frequencies
+    "q_boilerplate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      TextAnalysis.heavyHitters(
+        docs.select(explode(Dedup.shingles(col("text"), 3)).as("__sh")),
+        col("__sh"), capacity = 32768, k = 20)
+        .orderBy("rank")
+    }),
+
     // snapshot diff (daily-crawl delta): old = ids % 7 != 0, new = ids
     // % 5 != 0 with every id % 3 == 0 text edited — so added/removed/
     // changed are all exercised by construction; unchanged rows (the
@@ -2799,6 +2811,14 @@ object SparkEntry {
         |      / (CAST(c_new AS DOUBLE) / t_n + CAST(c_old AS DOUBLE) / t_o), 12)
         |    AS drift
         |FROM j, t ORDER BY drift DESC, word LIMIT 100""".stripMargin,
+    "q_boilerplate" ->
+      s"""WITH sh AS (SELECT doc_id,
+        |    unnest(${graft.operators.Dedup.shinglesOracleSqlExpr("text", 3)}) AS s
+        |  FROM documents),
+        |c AS (SELECT s AS token, count(*) AS cnt FROM sh GROUP BY s)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank,
+        |  token, cnt
+        |FROM c ORDER BY rank LIMIT 20""".stripMargin,
     "q_heavy_hitters" ->
       """WITH t AS (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
         |    w -> len(w) > 0)) AS token FROM documents),
