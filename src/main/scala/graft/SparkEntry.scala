@@ -1372,6 +1372,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BM25 retrieval: postings-join shape (query terms join the (doc,
+    // term, tf) relation — no doc × query cross product), nano-quantized
+    // per-term scores so the per-(query, doc) sum is order-exact
+    "q_bm25" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val queries = docs.where(col("doc_id") < 5)
+      TextAnalysis.bm25(docs, "doc_id", "text",
+        queries, "doc_id", "text", topK = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("bm25"), 6).as("bm25"))
+        .orderBy("query_id", "rank")
+    }),
+
     // quality scoring (C4/Gopher-style cheap filters; oracle mirrors the
     // when-chains in SQL)
     "q_quality" -> ((s, dir) => {
@@ -2865,6 +2878,12 @@ object SparkEntry {
       s"""WITH base AS (SELECT doc_id, text FROM documents),
          |${graft.operators.TextAnalysis.unigramScoreOracleSql}
          |ORDER BY doc_id""".stripMargin
+    },
+    "q_bm25" -> {
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |qs AS (SELECT doc_id, text FROM documents WHERE doc_id < 5),
+         |${graft.operators.TextAnalysis.bm25OracleSql()}
+         |ORDER BY query_id, rank""".stripMargin
     },
     "q_quality_filter" -> {
       val q = graft.operators.TextAnalysis.qualityOracleSqlExpr("text")

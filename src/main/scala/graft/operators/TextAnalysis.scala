@@ -288,6 +288,94 @@ object TextAnalysis {
       docs.select(explode(tokens(lower(col(textCol)))).as("__tok")),
       col("__tok"), capacity, k)
 
+  /** BM25 relevance of documents to queries (Lucene's positive idf
+    * variant): score(d,q) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·len/avglen)), idf = ln((N − df + ½)/(df + ½) + 1).
+    *
+    * Postings-join shape: query terms join the (doc, term, tf) relation
+    * on the TERM, so only documents sharing a term with a query are ever
+    * scored — no doc × query cross product (the sparse-retrieval
+    * counterpart of [[Similarity.hybridTopK]]'s dense side; at corpus
+    * scale the per-term posting lists are what bound the work, like the
+    * [[graft.operators.Dedup]] posting-list Jaccard). Corpus statistics
+    * (N, total length) reduce to one broadcast row of exact integers —
+    * avglen derives as total/N rather than a distributed double `avg`,
+    * which would be summation-order-dependent. Per-term scores quantize
+    * to integer nano-units BEFORE the per-(query, doc) sum (the
+    * unigram-LM trick) so the aggregate is association-order-exact and
+    * reproducible across engines/partitionings; the final top-k per
+    * query goes through the bounded partial aggregate
+    * ([[graft.functions.TopKByScore]] — quantized longs below 2^53 are
+    * exact doubles, so ordering is exact). Output: (query_id, rank,
+    * doc_id, bm25). */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queries: DataFrame, qidCol: String, qtextCol: String,
+           k1: Double = 1.2, b: Double = 0.75, topK: Int = 10,
+           excludeSelf: Boolean = true): DataFrame = {
+    val toks = docs.select(col(idCol).as("__did"),
+      explode(tokens(col(textCol))).as("__t"))
+    val docLen = toks.groupBy("__did").agg(count(lit(1)).as("__len"))
+    val tf = toks.groupBy("__did", "__t").agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val stats = docLen.agg(count(lit(1)).as("__n"), sum("__len").as("__tot"))
+    val qt = queries.select(col(qidCol).as("__qid"),
+      explode(array_distinct(tokens(col(qtextCol)))).as("__t"))
+    val idf = log((col("__n").cast("double") - col("__df").cast("double") + 0.5) /
+      (col("__df").cast("double") + 0.5) + 1.0)
+    val avglen = col("__tot").cast("double") / col("__n").cast("double")
+    val tfd = col("__tf").cast("double")
+    val tfn = tfd * (k1 + 1.0) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * col("__len").cast("double") / avglen))
+    val perTerm = qt.join(tf.join(dfreq, "__t"), "__t")
+      .join(docLen, "__did")
+      .crossJoin(broadcast(stats))
+      .where(if (excludeSelf) col("__did") =!= col("__qid") else lit(true))
+      .select(col("__qid"), col("__did"),
+        floor(idf * tfn * 1e9).cast("long").as("__q"))
+    val summed = perTerm.groupBy("__qid", "__did")
+      .agg(sum("__q").as("__s"))
+    summed.groupBy("__qid")
+      .agg(graft.functions.TopKByScore(
+        col("__s").cast("double"), col("__did").cast("long"), topK).as("__top"))
+      .select(col("__qid"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("__qid").as("query_id"), (col("__pos") + 1).as("rank"),
+        col("__e.id").as("doc_id"), (col("__e.score") / 1e9).as("bm25"))
+  }
+
+  /** [[bm25]] as DuckDB SQL over `(doc_id, text)` relations named `docs`
+    * and `qs` (provide via WITH prefix): identical tokenization, idf,
+    * quantization and integer summation. */
+  def bm25OracleSql(k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): String =
+    s"""toks AS (SELECT doc_id AS did,
+       |    unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+       |                       w -> len(w) > 0)) AS t FROM docs),
+       |dl AS (SELECT did, count(*) AS len FROM toks GROUP BY did),
+       |tf AS (SELECT did, t, count(*) AS tf FROM toks GROUP BY did, t),
+       |dfr AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+       |st AS (SELECT count(*) AS n, sum(len) AS tot FROM dl),
+       |qt AS (SELECT doc_id AS qid, unnest(list_distinct(
+       |    list_filter(string_split_regex(trim(text), '\\s+'),
+       |                w -> len(w) > 0))) AS t FROM qs),
+       |pt AS (SELECT qid, tf.did,
+       |    CAST(floor(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |          / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+       |      * (CAST(tf AS DOUBLE) * (CAST($k1 AS DOUBLE) + 1.0)
+       |         / (CAST(tf AS DOUBLE) + CAST($k1 AS DOUBLE)
+       |            * (1.0 - CAST($b AS DOUBLE) + CAST($b AS DOUBLE)
+       |               * CAST(len AS DOUBLE)
+       |               / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))))
+       |      * 1e9) AS BIGINT) AS q
+       |  FROM qt JOIN tf USING (t) JOIN dfr USING (t) JOIN dl USING (did)
+       |  CROSS JOIN st WHERE tf.did <> qt.qid),
+       |sm AS (SELECT qid, did, sum(q) AS s FROM pt GROUP BY qid, did),
+       |rk AS (SELECT qid AS query_id, did AS doc_id,
+       |    CAST(s AS DOUBLE) / 1e9 AS bm25,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY CAST(s AS DOUBLE) DESC, did) AS rank
+       |  FROM sm)
+       |SELECT query_id, rank, doc_id, round(bm25, 6) AS bm25
+       |FROM rk WHERE rank <= $topK""".stripMargin
+
   /** Unicode normalization (codegen'd native expression with an ASCII
     * fast path — [[graft.functions.UnicodeNormalize]]): "café" with a
     * precomposed é and with e + combining acute are byte-distinct to

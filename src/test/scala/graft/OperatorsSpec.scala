@@ -806,6 +806,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tiny == expect)
   }
 
+  test("bm25: postings-join scores match the formula computed by hand; only term-sharing docs appear") {
+    val docs = Seq((1L, "apple banana"), (2L, "apple apple cherry"),
+      (3L, "durian durian durian")).toDF("doc_id", "text")
+    val queries = Seq((10L, "apple"), (11L, "apple durian")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, "doc_id", "text",
+      queries, "doc_id", "text", topK = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), (r.getInt(1), r.getDouble(3))))
+      .toMap
+    // the same arithmetic, scalar: N=3, avglen=8/3, k1=1.2, b=0.75
+    val n = 3.0; val avg = 8.0 / 3.0; val k1 = 1.2; val b = 0.75
+    def idf(df: Double) = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def tfn(tf: Double, len: Double) =
+      tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len / avg))
+    def q(df: Double, tf: Double, len: Double): Long =
+      math.floor(idf(df) * tfn(tf, len) * 1e9).toLong
+    // q10 = "apple": docs 1 (tf 1, len 2) and 2 (tf 2, len 3); df(apple)=2
+    assert(got((10L, 1L))._2 == q(2, 1, 2) / 1e9)
+    assert(got((10L, 2L))._2 == q(2, 2, 3) / 1e9)
+    // q11 = "apple durian": doc 3 scores durian only (df 1, tf 3, len 3)
+    assert(got((11L, 3L))._2 == q(1, 3, 3) / 1e9)
+    assert(got((11L, 1L))._2 == q(2, 1, 2) / 1e9)
+    // no query ever scores a doc sharing no term; 2+3 rows total
+    assert(got.keySet == Set((10L, 1L), (10L, 2L),
+      (11L, 1L), (11L, 2L), (11L, 3L)))
+    // ranks order by score desc, then doc id
+    assert(got((10L, 2L))._1 == 1 && got((10L, 1L))._1 == 2)
+  }
+
   test("corpusDiff classifies added/removed/changed; unchanged excluded by default") {
     val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       .toDF("doc_id", "text")
