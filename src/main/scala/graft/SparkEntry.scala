@@ -1010,6 +1010,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // dense + BM25 hybrid (the standard RRF pairing): both candidate
+    // generators avoid corpus × query work where possible — BM25 via the
+    // postings join, dense via map-side partial top-k
+    "q_hybrid_bm25" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val emb = table(s, dir, "embeddings").select("vec_id", "embedding")
+      val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+      val queries = corpus.where(col("doc_id") < 8)
+      Similarity.hybridTopKBm25(corpus, "doc_id", "embedding", "text",
+        queries, "doc_id", "embedding", "text", k = 5, perSide = 20)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("rrf"), 9).as("rrf"))
+        .orderBy("query_id", "rank")
+    }),
+
     // partitioned window ops over events (ts is ns-precision → read as
     // Long nanos via nanosAsLong; ordering semantics identical). Running
     // sums accumulate in DECIMAL so they are association-order-exact across
@@ -2633,6 +2649,38 @@ object SparkEntry {
         |  FROM fused)
         |SELECT query_id, rank, neighbor_id, round(rrf, 9) AS rrf
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_hybrid_bm25" -> {
+      s"""WITH corpus AS (
+         |  SELECT d.doc_id, d.text, e.embedding
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |docs AS (SELECT doc_id, text FROM corpus),
+         |qs AS (SELECT doc_id, text FROM corpus WHERE doc_id < 8),
+         |${graft.operators.TextAnalysis.bm25CtesSql()},
+         |sparse AS (SELECT query_id AS qid, doc_id AS nid, rank AS r
+         |  FROM rk WHERE rank <= 20),
+         |qe AS (SELECT doc_id AS qid, embedding AS qv FROM corpus WHERE doc_id < 8),
+         |dense AS (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS r
+         |  FROM (
+         |    SELECT q.qid, c.doc_id AS nid,
+         |      list_sum(list_transform(list_zip(c.embedding, q.qv),
+         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+         |      (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+         |       sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+         |    FROM corpus c, qe q WHERE c.doc_id <> q.qid)
+         |  QUALIFY r <= 20),
+         |fused AS (
+         |  SELECT COALESCE(d.qid, s.qid) AS query_id,
+         |    COALESCE(d.nid, s.nid) AS neighbor_id,
+         |    COALESCE(CAST(1.0 AS DOUBLE)/(60 + d.r), CAST(0.0 AS DOUBLE)) +
+         |    COALESCE(CAST(1.0 AS DOUBLE)/(60 + s.r), CAST(0.0 AS DOUBLE)) AS rrf
+         |  FROM dense d FULL JOIN sparse s ON d.qid = s.qid AND d.nid = s.nid),
+         |ranked AS (SELECT query_id, neighbor_id, rrf,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rank
+         |  FROM fused)
+         |SELECT query_id, rank, neighbor_id, round(rrf, 9) AS rrf
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
     "q_window_cumsum" ->
       """SELECT event_id,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id

@@ -187,11 +187,42 @@ object Similarity {
           .otherwise(inter.cast("double") / union.cast("double")).as("__sim"))
     val sparse = finishTopK(scoredSparse, perSide)
       .select(col("query_id"), col("neighbor_id"), col("rank").as("__sr"))
+    rrfFuse(dense, sparse, k, fuseK)
+  }
+
+  /** Reciprocal-rank fusion of two (query_id, neighbor_id, rank)
+    * candidate lists: rrf = Σ_side 1/(fuseK + rank_side), top-k per
+    * query. The join touches only candidate rows — corpus-independent. */
+  private def rrfFuse(dense: DataFrame, sparse: DataFrame,
+                      k: Int, fuseK: Int): DataFrame = {
     val fused = dense.join(sparse, Seq("query_id", "neighbor_id"), "full_outer")
       .select(col("query_id").as("__qid"), col("neighbor_id").as("__cid"),
         (coalesce(lit(1.0) / (lit(fuseK) + col("__dr")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(fuseK) + col("__sr")), lit(0.0))).as("__sim"))
     finishTopK(fused, k).withColumnRenamed("cosine", "rrf")
+  }
+
+  /** [[hybridTopK]] with BM25 as the sparse ranker instead of token
+    * Jaccard — the standard dense + BM25 RRF hybrid. The sparse side is
+    * [[TextAnalysis.bm25]]'s postings join (only term-sharing docs are
+    * scored; order-exact quantized sums), so unlike the Jaccard variant
+    * its candidate generation never streams the full corpus per query
+    * either. Output: (query_id, rank, neighbor_id, rrf). */
+  def hybridTopKBm25(corpus: DataFrame, idCol: String, vecCol: String,
+                     textCol: String,
+                     queries: DataFrame, qidCol: String, qvecCol: String,
+                     qtextCol: String,
+                     k: Int, fuseK: Int = 60, perSide: Int = 50,
+                     k1: Double = 1.2, b: Double = 0.75,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val dense = bruteForceTopK(corpus, idCol, vecCol,
+      queries, qidCol, qvecCol, perSide, excludeSelf)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("__dr"))
+    val sparse = TextAnalysis.bm25(corpus, idCol, textCol,
+      queries, qidCol, qtextCol, k1, b, perSide, excludeSelf)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        col("rank").as("__sr"))
+    rrfFuse(dense, sparse, k, fuseK)
   }
 
   /** k-means assignment step: nearest centroid (by cosine) per vector.

@@ -346,6 +346,14 @@ object TextAnalysis {
     * and `qs` (provide via WITH prefix): identical tokenization, idf,
     * quantization and integer summation. */
   def bm25OracleSql(k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): String =
+    s"""${bm25CtesSql(k1, b)}
+       |SELECT query_id, rank, doc_id, round(bm25, 6) AS bm25
+       |FROM rk WHERE rank <= $topK""".stripMargin
+
+  /** The CTE chain behind [[bm25OracleSql]], ending at `rk(query_id,
+    * doc_id, bm25, rank)` — composable into larger oracles (the hybrid
+    * fusion reuses it). */
+  def bm25CtesSql(k1: Double = 1.2, b: Double = 0.75): String =
     s"""toks AS (SELECT doc_id AS did,
        |    unnest(list_filter(string_split_regex(trim(text), '\\s+'),
        |                       w -> len(w) > 0)) AS t FROM docs),
@@ -372,9 +380,7 @@ object TextAnalysis {
        |    CAST(s AS DOUBLE) / 1e9 AS bm25,
        |    row_number() OVER (PARTITION BY qid
        |      ORDER BY CAST(s AS DOUBLE) DESC, did) AS rank
-       |  FROM sm)
-       |SELECT query_id, rank, doc_id, round(bm25, 6) AS bm25
-       |FROM rk WHERE rank <= $topK""".stripMargin
+       |  FROM sm)""".stripMargin
 
   /** Unicode normalization (codegen'd native expression with an ASCII
     * fast path — [[graft.functions.UnicodeNormalize]]): "café" with a

@@ -222,6 +222,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.forall(_._4 <= BigDecimal(2.0 / 61).setScale(12, BigDecimal.RoundingMode.HALF_EVEN)))
   }
 
+  test("hybridTopKBm25 fuses exactly the independently-computed bm25 and dense ranks") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+    val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    val queries = corpus.where(col("doc_id") < 3)
+    val denseRank = Similarity.bruteForceTopK(corpus, "doc_id", "embedding",
+      queries, "doc_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val sparseRank = TextAnalysis.bm25(corpus, "doc_id", "text",
+      queries, "doc_id", "text", topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val got = Similarity.hybridTopKBm25(corpus, "doc_id", "embedding", "text",
+      queries, "doc_id", "embedding", "text", k = 5, perSide = 10)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, _, n, rrf) =>
+      val expect = denseRank.get((q, n)).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        sparseRank.get((q, n)).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(rrf == expect, s"($q, $n): $rrf != $expect")
+    }
+    // within each query, ranks follow rrf desc then neighbor id
+    got.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2).toSeq
+      assert(sorted == sorted.sortBy(r => (-r._4, r._3)))
+    }
+  }
+
   test("annTopK returns a subset consistent with brute force scores") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val queries = emb.limit(5)
@@ -832,6 +861,13 @@ class OperatorsSpec extends AnyFunSuite {
       (11L, 1L), (11L, 2L), (11L, 3L)))
     // ranks order by score desc, then doc id
     assert(got((10L, 2L))._1 == 1 && got((10L, 1L))._1 == 2)
+    // plan: the only nested-loop is the broadcast 1-row stats attach;
+    // map-side partial top-k bounds the final shuffle
+    val plan = TextAnalysis.bm25(docs, "doc_id", "text",
+      queries, "doc_id", "text", topK = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(plan.contains("partial_top_k_by_score"), s"no partial top-k in:\n$plan")
   }
 
   test("corpusDiff classifies added/removed/changed; unchanged excluded by default") {
