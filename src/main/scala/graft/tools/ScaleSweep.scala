@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, SkewJoin, TextAnalysis}
 
 /** Scale-slope harness for the dedup/similarity family: runs each
   * operator at 1×/2×/5×/10× the sf0.1 corpus (10× ≈ the sf1 tier, which
@@ -173,6 +173,38 @@ object ScaleSweep {
     sweep("unicode_norm")(k => docsAt(k).select(col("doc_id"),
       graft.operators.TextAnalysis.unicodeNormalize(
         concat(col("text"), lit(" café"))).as("n")))
+
+    // round-5 session-4b operators: bm25 (term-stat aggregates scan the
+    // corpus; the postings join prunes to term-sharing docs — with
+    // ciphered copies only copy 0 shares query terms, so the slope
+    // isolates the stats-building cost), hybrid bm25 (dense corpus
+    // stream + the above), boilerplate heavy hitters (shingle explode →
+    // capacity-bounded sketch; 10× pushes distinct shingles past the
+    // capacity, exercising decrement mode), auto skew join (MG pre-pass
+    // + differentially salted join under 70%-on-one-key skew)
+    sweep("bm25")(k => TextAnalysis.bm25(docsAt(k), "doc_id", "text",
+      docs0.where(col("doc_id") < 8), "doc_id", "text", topK = 10))
+    sweep("hybrid_bm25")(k => {
+      val d = docsAt(k)
+      val e = embAt(k)
+      val corpus = d.join(e, d("doc_id") === e("vec_id"))
+        .select(d("doc_id"), col("text"), col("embedding"))
+      Similarity.hybridTopKBm25(corpus, "doc_id", "embedding", "text",
+        corpus.where(col("doc_id") < 8), "doc_id", "embedding", "text",
+        k = 10, perSide = 20)
+    })
+    sweep("boilerplate")(k => TextAnalysis.heavyHitters(
+      docsAt(k).select(explode(Dedup.shingles(col("text"), 3)).as("__sh")),
+      col("__sh"), capacity = 65536, k = 20))
+    sweep("skew_join_auto")(k => {
+      val left = docsAt(k).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) < 7, lit(0L))
+          .otherwise(pmod(col("doc_id"), lit(1000))).as("k"))
+      val right = left.select("k").distinct()
+        .select(col("k"), (col("k") * 7).as("p"))
+      SkewJoin.saltedJoinAuto(left, right, "k",
+        factor = 8, hotThreshold = 1000L)
+    })
 
     val json = results.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(x => f"$x%.2f").mkString(",") + "]"
