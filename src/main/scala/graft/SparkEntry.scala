@@ -261,6 +261,17 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // robust (median/MAD) standardization — the outlier-resistant gate;
+    // exact percentiles make it engine-exact (quantile parity proven by
+    // q_group_quantile); MAD = 0 groups yield NULL, not ±Inf
+    "q_robust_z" -> ((s, dir) => {
+      WindowOps.robustZScore(table(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        Seq("o_orderpriority"), "o_totalprice")
+        .select(col("o_orderkey"), round(col("robust_z"), 9).as("robust_z"))
+        .orderBy("o_orderkey")
+    }),
+
     // pipeline: incremental-ingest novelty — batch docs (id%10>=7) anti-
     // joined on fingerprint against the corpus (id%10<8); the %10==7
     // docs ARE corpus members, so exactly the 8/9 buckets survive
@@ -2833,6 +2844,19 @@ object SparkEntry {
         |  round(sqrt((s2 - (s1 / n) * (s1 / n) * n) / (n - 1)), 6) AS std,
         |  mn, mx
         |FROM s ORDER BY "column"""".stripMargin,
+    "q_robust_z" ->
+      """WITH m AS (SELECT o_orderpriority,
+        |    quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS med
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(o_totalprice AS DOUBLE) AS x, med
+        |  FROM orders JOIN m USING (o_orderpriority)),
+        |d AS (SELECT o_orderpriority, quantile_cont(abs(x - med), 0.5) AS mad
+        |  FROM w GROUP BY 1)
+        |SELECT o_orderkey,
+        |  CASE WHEN mad = 0.0 THEN NULL
+        |       ELSE round((x - med) / (1.4826 * mad), 9) END AS robust_z
+        |FROM w JOIN d USING (o_orderpriority) ORDER BY o_orderkey""".stripMargin,
     "q_zscore" ->
       """WITH a AS (SELECT o_orderkey, o_totalprice,
         |  count(*) OVER w AS n,

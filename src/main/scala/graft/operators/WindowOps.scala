@@ -38,6 +38,41 @@ object WindowOps {
     df.withColumn(outCol, (col(valueCol) - mean) / sqrt(variance))
   }
 
+  /** Robust per-group standardization: (x − median) / (1.4826 · MAD),
+    * MAD = median(|x − median|) — the outlier-resistant z-score
+    * (1.4826 scales MAD to σ under normality). Mean/stddev are
+    * themselves dragged by the outliers they're meant to flag; the
+    * median/MAD pair is what a data-cleaning gate should threshold on.
+    *
+    * Two grouped EXACT percentile aggregates with a join-back between
+    * them (MAD needs the group median attached to every row first) —
+    * three shuffles on the key. Exact `percentile` buffers each group's
+    * values in the aggregate (that is what makes it engine-exact and
+    * DuckDB-oracle-able); for 100 TB-scale groups swap
+    * `percentile_approx` in via `approxAccuracy` — same plan shape,
+    * bounded memory, no oracle. Groups with MAD = 0 (over half the
+    * values identical) yield NULL rather than ±Inf. */
+  def robustZScore(df: DataFrame, partitionBy: Seq[String], valueCol: String,
+                   outCol: String = "robust_z",
+                   approxAccuracy: Option[Int] = None): DataFrame = {
+    val keys = partitionBy.map(col)
+    def med(c: org.apache.spark.sql.Column) = approxAccuracy match {
+      case Some(acc) => percentile_approx(c, lit(0.5), lit(acc))
+      case None => percentile(c, lit(0.5))
+    }
+    val x = col(valueCol).cast("double")
+    val medians = df.groupBy(keys: _*)
+      .agg(med(x).as("__med"))
+    val withMed = df.join(medians, partitionBy)
+    val mads = withMed.groupBy(keys: _*)
+      .agg(med(abs(x - col("__med"))).as("__mad"))
+    withMed.join(mads, partitionBy)
+      .withColumn(outCol,
+        when(col("__mad") === 0.0, lit(null).cast("double"))
+          .otherwise((x - col("__med")) / (lit(1.4826) * col("__mad"))))
+      .drop("__med", "__mad")
+  }
+
   /** lag/lead (pandas shift; positive n looks back). */
   def shift(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
             valueCol: String, n: Int = 1, outCol: String = "shifted"): DataFrame =

@@ -870,6 +870,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("partial_top_k_by_score"), s"no partial top-k in:\n$plan")
   }
 
+  test("robustZScore: median/MAD by hand; MAD=0 → NULL; approx path same shape") {
+    // group a: values 1..5 (med 3, |x-3| = 2,1,0,1,2 → MAD 1);
+    // group b: all equal → MAD 0 → NULL
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0),
+      ("b", 7.0), ("b", 7.0), ("b", 7.0)).toDF("g", "v")
+    val out = WindowOps.robustZScore(df, Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    out.filter(_._1 == "a").foreach { case (_, v, z) =>
+      assert(z.contains((v - 3.0) / (1.4826 * 1.0)), s"$v -> $z")
+    }
+    assert(out.filter(_._1 == "b").forall(_._3.isEmpty))
+    // approx path returns the same rows (same plan shape, bounded memory)
+    val approx = WindowOps.robustZScore(df, Seq("g"), "v",
+      approxAccuracy = Some(10000)).collect()
+    assert(approx.length == 8)
+  }
+
+  test("edge tolerance: sketch ops and split survive nulls and empty inputs") {
+    // nulls never reach the MG sketch
+    val withNulls = Seq(Some("x"), None, Some("x"), None, Some("y"))
+      .toDF("w")
+    val hh = TextAnalysis.heavyHitters(withNulls, col("w"), 8, 8)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(hh == Seq(("x", 2L), ("y", 1L)))
+    // empty input → empty result, not a crash
+    assert(TextAnalysis.heavyHitters(withNulls.where(lit(false)), col("w"), 8, 8)
+      .collect().isEmpty)
+    // leakageSafeSplit with NO pairs = plain splitAssign
+    val ids = (1L to 50L).toDF("id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    val lhs = Sampling.leakageSafeSplit(ids, "id", noPairs, "a", "b",
+      Seq("train" -> 0.5, "test" -> 0.5))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rhs = Sampling.splitAssign(ids, "id", Seq("train" -> 0.5, "test" -> 0.5))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lhs == rhs)
+    // bm25 with an empty corpus returns no rows
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.bm25(emptyDocs, "doc_id", "text",
+      Seq((1L, "apple")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().isEmpty)
+  }
+
   test("corpusDiff classifies added/removed/changed; unchanged excluded by default") {
     val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       .toDF("doc_id", "text")
