@@ -346,6 +346,23 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // the Bloom novelty gate on a STREAM: the corpus sketch is an
+    // eager batch scalar riding the streaming plan as a literal, so the
+    // stream filter is stateless map-side work — ingest-time dedup
+    // against a static corpus with zero streaming state
+    "q_stream_novel" -> ((s, dir) => {
+      val out = s"stream_novel_${System.nanoTime()}"
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+      val stream = GraftStreaming.readDocumentsGlob(s, dir, "documents.parquet")
+        .where(pmod(col("doc_id"), lit(10)) >= 7)
+        .select("doc_id", "text")
+      val novel = Dedup.novelAgainstBloom(stream, corpus, "text")
+      val q = GraftStreaming.runToMemory(novel, out)
+      q.awaitTermination(300000)
+      s.table(out).select("doc_id").orderBy("doc_id")
+    }),
+
     // pipeline: per-language quality gate — keep docs strictly above the
     // language's median quality (percentile window over rounded scores)
     "q_quality_filter" -> ((s, dir) => {
@@ -2929,6 +2946,13 @@ object SparkEntry {
         |SELECT doc_id, status FROM j WHERE status <> 'unchanged'
         |ORDER BY doc_id""".stripMargin,
     "q_bloom_novel" ->
+      """WITH fp AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM documents),
+        |b AS (SELECT doc_id, f FROM fp WHERE doc_id % 10 >= 7),
+        |c AS (SELECT DISTINCT f FROM fp WHERE doc_id % 10 < 8)
+        |SELECT doc_id FROM b ANTI JOIN c USING (f) ORDER BY doc_id""".stripMargin,
+    "q_stream_novel" ->
       """WITH fp AS (SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
         |  FROM documents),

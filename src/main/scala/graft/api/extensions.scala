@@ -705,10 +705,14 @@ private[graft] trait SetOpsExtensions { this: DataFrame =>
                options: Map[String, String] = Map("header" -> "true")): Unit =
     toSpark(includeIndex).write.mode(mode).options(options).csv(path)
 
-  /** Sink: JSON lines. */
+  /** Sink: JSON lines. Crawl-style compressed output via
+    * `options = Map("compression" -> "gzip")` (or zstd/snappy —
+    * whatever codecs the runtime ships); Spark decompresses
+    * transparently on read, so the round-trip needs no reader change. */
   def writeJson(path: String, includeIndex: Boolean = true,
-                mode: String = "overwrite"): Unit =
-    toSpark(includeIndex).write.mode(mode).json(path)
+                mode: String = "overwrite",
+                options: Map[String, String] = Map.empty): Unit =
+    toSpark(includeIndex).write.mode(mode).options(options).json(path)
 }
 
 object Frames {

@@ -177,6 +177,12 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(DataFrame.fromCsv(spark, s"$tmp/csv").len == n.len)
     n.writeJson(s"$tmp/json")
     assert(DataFrame.fromJson(spark, s"$tmp/json").len == n.len)
+    // crawl-style compressed JSONL: gzip on write, transparent on read
+    n.writeJson(s"$tmp/json_gz", options = Map("compression" -> "gzip"))
+    val gzFiles = new java.io.File(s"$tmp/json_gz").listFiles()
+      .map(_.getName).filter(_.endsWith(".gz"))
+    assert(gzFiles.nonEmpty, "no .gz part files written")
+    assert(DataFrame.fromJson(spark, s"$tmp/json_gz").len == n.len)
   }
 
   test("unstack pivots the last index level into columns") {
