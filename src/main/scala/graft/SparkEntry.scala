@@ -1429,6 +1429,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // per-doc token entropy (gibberish signal): order-exact quantized
+    // sum over the per-doc token histogram
+    "q_entropy" -> ((s, dir) => {
+      TextAnalysis.tokenEntropy(table(s, dir, "documents")
+        .select("doc_id", "text"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("entropy"), 6).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
     // quality scoring (C4/Gopher-style cheap filters; oracle mirrors the
     // when-chains in SQL)
     "q_quality" -> ((s, dir) => {
@@ -2975,6 +2985,20 @@ object SparkEntry {
          |${graft.operators.TextAnalysis.unigramScoreOracleSql}
          |ORDER BY doc_id""".stripMargin
     },
+    "q_entropy" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |                       w -> len(w) > 0)) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+        |tot AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY doc_id),
+        |q AS (SELECT tf.doc_id,
+        |    CAST(floor(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+        |        * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) * 1e9) AS BIGINT) AS qv,
+        |    n
+        |  FROM tf JOIN tot USING (doc_id))
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(qv) AS DOUBLE) / 1e9, 6) AS entropy
+        |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_bm25" -> {
       s"""WITH docs AS (SELECT doc_id, text FROM documents),
          |qs AS (SELECT doc_id, text FROM documents WHERE doc_id < 5),

@@ -288,6 +288,29 @@ object TextAnalysis {
       docs.select(explode(tokens(lower(col(textCol)))).as("__tok")),
       col("__tok"), capacity, k)
 
+  /** Per-document token Shannon entropy — the gibberish/boilerplate
+    * signal the ratio heuristics miss: keyboard mash and repeated-phrase
+    * spam both sit at entropy extremes while passing length/punctuation
+    * checks. H(d) = −Σ_t (c_t/n)·ln(c_t/n) over the document's token
+    * histogram. One groupBy (doc, token) for the histogram, one groupBy
+    * (doc) for totals + the sum — per-term contributions quantize to
+    * integer nano-units first (the unigram-LM trick) so the per-doc sum
+    * is association-order-exact across partitionings and engines.
+    * Zero-token docs drop out. Output: (idCol, n_tokens, entropy). */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
+    val totals = tf.groupBy(col(idCol)).agg(sum("__c").as("__n"))
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    tf.join(totals, idCol)
+      .select(col(idCol), col("__n"),
+        floor(-(p * log(p)) * 1e9).cast("long").as("__q"))
+      .groupBy(col(idCol))
+      .agg(first(col("__n")).as("n_tokens"), sum("__q").as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__s").cast("double") / 1e9).as("entropy"))
+  }
+
   /** BM25 relevance of documents to queries (Lucene's positive idf
     * variant): score(d,q) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) /
     * (tf + k1·(1 − b + b·len/avglen)), idf = ln((N − df + ½)/(df + ½) + 1).

@@ -914,6 +914,41 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("tokenEntropy: hand-quantized values; uniform > repeated") {
+    val df = Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "a a b b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def term(c: Long, n: Long): Long = {
+      val p = c.toDouble / n.toDouble
+      math.floor(-(p * math.log(p)) * 1e9).toLong
+    }
+    assert(got(1L) == (4L, term(4, 4) / 1e9))       // single token: H = 0
+    assert(got(2L) == (4L, 4 * term(1, 4) / 1e9))   // uniform: H = ln 4
+    assert(got(3L) == (4L, 2 * term(2, 4) / 1e9))   // two pairs: H = ln 2
+    assert(got(2L)._2 > got(3L)._2 && got(3L)._2 > got(1L)._2)
+  }
+
+  test("quantized-sum operators are partition-invariant") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    def entropyAt(parts: Int) =
+      TextAnalysis.tokenEntropy(docs.repartition(parts), "doc_id", "text")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(entropyAt(1) == entropyAt(13))
+    val queries = docs.where(col("doc_id") < 3)
+    def bm25At(parts: Int) =
+      TextAnalysis.bm25(docs.repartition(parts), "doc_id", "text",
+        queries, "doc_id", "text", topK = 10)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(bm25At(2) == bm25At(17))
+    def hhAt(parts: Int) =
+      TextAnalysis.heavyHitterTokens(docs.repartition(parts), "text", 4096, 10)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(hhAt(1) == hhAt(16))
+  }
+
   test("corpusDiff classifies added/removed/changed; unchanged excluded by default") {
     val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       .toDF("doc_id", "text")
