@@ -183,10 +183,10 @@ object Sampling {
                        maxIter: Int = 20,
                        scratchDir: Option[String] = None): DataFrame = {
     val clusters = Dedup.duplicateClusters(pairs, aCol, bCol, maxIter, scratchDir)
-      .withColumnRenamed("node", idCol)
+      .select(col("node").as(idCol), col("label").as("__cc_label"))
     val keyed = df.join(clusters, Seq(idCol), "left")
-      .withColumn("__gkey", coalesce(col("label"), col(idCol)))
-      .drop("label")
+      .withColumn("__gkey", coalesce(col("__cc_label"), col(idCol)))
+      .drop("__cc_label")
     splitAssign(keyed, "__gkey", splits, outCol).drop("__gkey")
   }
 

@@ -765,6 +765,12 @@ class OperatorsSpec extends AnyFunSuite {
     // split fractions on the ~990 singletons are roughly honored
     val frac = m.values.groupBy(identity).map { case (k, v) => k -> v.size }
     assert(frac("train") > 700 && frac("val") > 40 && frac("test") > 40)
+    // a user column named "label" survives (cluster labels are internal)
+    val labeled = Sampling.leakageSafeSplit(
+      ids.withColumn("label", col("id") * 2), "id", pairs, "a", "b",
+      Seq("train" -> 0.5, "test" -> 0.5))
+    assert(labeled.columns.toSeq == Seq("id", "label", "split"))
+    assert(labeled.where(col("label") =!= col("id") * 2).count() == 0)
   }
 
   test("unicodeNormalize: differential vs JDK Normalizer across all forms; SQL surface validates") {
