@@ -1507,6 +1507,21 @@ object SparkEntry {
     // The oracle recomputes width/height from the text length and the
     // resize math — a hash match proves the byte-level header parse
     // round-trips the synthesis exactly.
+    // perceptual image dedup: planted byte-identical images (copies of
+    // the same source text through the deterministic PPM framing) must
+    // pair at hamming 0 through decode → pooled grid → dHash → the
+    // simhash pigeonhole machinery; the generator is text-deterministic,
+    // so the oracle is text equality over the planted corpus
+    "q_image_dedup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val copies = docs.where(col("doc_id") < 15)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+      val framed = Multimodal.withImagePayload(docs.unionAll(copies), "text")
+      Multimodal.imageNearDup(framed, "doc_id", "content",
+        dim = 8, maxHamming = 0)
+        .orderBy("id_l", "id_r")
+    }),
+
     "q_multimodal" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val mm = Multimodal.withImagePayload(docs, "text")
@@ -3181,6 +3196,14 @@ object SparkEntry {
          |SELECT query_id, rank, neighbor_id, round(sim, 6) AS cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+    "q_image_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 500000, text FROM documents WHERE doc_id < 15)
+        |SELECT a.doc_id AS id_l, b.doc_id AS id_r, 0 AS hamming
+        |FROM all_docs a JOIN all_docs b
+        |  ON a.text = b.text AND a.doc_id < b.doc_id
+        |ORDER BY id_l, id_r""".stripMargin,
     "q_multimodal" ->
       """WITH m AS (SELECT doc_id,
         |    CAST(64 + (len(text) * 7) % 1921 AS INT) AS width,

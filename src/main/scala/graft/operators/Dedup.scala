@@ -585,8 +585,21 @@ object Dedup {
     * self-join). */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3,
-                     maxBucketSize: Option[Int] = Some(10000)): DataFrame = {
-    val sig = simhashTable(df, idCol, textCol)
+                     maxBucketSize: Option[Int] = Some(10000)): DataFrame =
+    hammingNearDupFromSig(simhashTable(df, idCol, textCol),
+      maxHamming, maxBucketSize)
+
+  /** Hamming-ball pairing over ANY 64-bit signature table `(__id, __sh)`
+    * — the pigeonhole band join factored out of [[simhashNearDup]] so
+    * other 64-bit fingerprints (e.g. the image perceptual dHash,
+    * [[Multimodal.imageNearDup]]) reuse the same scale shape: hamming ≤ 3
+    * ⇒ at least one 16-bit chunk equal, so candidates come from four
+    * chunk-keyed buckets (occupancy-capped), then exact XOR popcount
+    * verifies. For maxHamming > 3 the pigeonhole bound needs coarser
+    * chunks — callers at larger radii accept recall loss (documented at
+    * the call sites). Output: (id_l, id_r, hamming ≤ maxHamming). */
+  private[graft] def hammingNearDupFromSig(sig: DataFrame, maxHamming: Int,
+      maxBucketSize: Option[Int]): DataFrame = {
     // chunk shift amounts are compile-time literals (shiftright needs Int)
     val chunkStructs = array((0 until 4).map(c =>
       struct(lit(c).as("chunk"),

@@ -335,6 +335,46 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual difference-hash over a decoded dim×dim luma grid
+    * ([[decodeImages]] output): bit (r, c) = 1 iff grid(r, c+1) >
+    * grid(r, c) — the classic dHash, robust to uniform brightness/scale
+    * shifts because only the SIGN of neighbor differences survives.
+    * dim·(dim−1) bits packed into one long (dim = 8 → 56 bits). A static
+    * chain of codegen'd comparisons — no UDF, no extra pass. */
+  def imageDHash(features: Column, dim: Int = 8): Column = {
+    require(dim >= 2 && dim * (dim - 1) <= 64,
+      s"dHash needs 2 <= dim with dim*(dim-1) <= 64 bits, got dim=$dim")
+    val bits = for { r <- 0 until dim; c <- 0 until dim - 1 } yield {
+      val i = r * dim + c
+      // element_at is 1-based
+      when(element_at(features, i + 2) > element_at(features, i + 1),
+        lit(1L << (r * (dim - 1) + c))).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** Perceptual image near-dup pairs: decode → pooled luma grid →
+    * [[imageDHash]] → the SAME hamming-ball pigeonhole machinery as text
+    * SimHash ([[Dedup.simhashNearDup]]'s factored core): four 16-bit
+    * chunk-keyed candidate buckets (occupancy-capped), exact XOR popcount
+    * verify. maxHamming = 0 is exact perceptual dedup (re-encoded /
+    * brightness-shifted copies of the same image); small radii catch
+    * noise-level edits. Ids must be long-castable. Output:
+    * (id_l, id_r, hamming). */
+  def imageNearDup(df: DataFrame, idCol: String, contentCol: String,
+                   dim: Int = 8, maxHamming: Int = 0,
+                   maxBucketSize: Option[Int] = Some(10000),
+                   minPartitions: Option[Int] = None): DataFrame = {
+    // the pooled feature vector is 1-D over the raster bytes — request
+    // dim² buckets and treat them as a row-major dim×dim grid
+    val feats = decodeImages(df.select(col(idCol), col(contentCol)),
+      contentCol, dim * dim, "__feats", minPartitions)
+    val sig = feats.where(col("__feats").isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        imageDHash(col("__feats"), dim).as("__sh"))
+    Dedup.hammingNearDupFromSig(sig, maxHamming, maxBucketSize)
+  }
+
   /** metadata struct carried next to every audio payload */
   val audioMetaSchema: StructType = StructType(Seq(
     StructField("sample_rate", IntegerType, nullable = false),

@@ -256,6 +256,40 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == 100)
   }
 
+  test("imageNearDup: identical payloads pair at hamming 0; perturbed stay near; distinct stay apart") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").where(length(col("text")) > 200).limit(10)
+    val base = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    // 9001 = exact copy of doc A; 9002 = doc A with ONE character changed
+    // (a few pooled cells move slightly -> few sign flips)
+    val a = base(0)._2
+    val perturbed = a.updated(a.length / 2, if (a(a.length / 2) == 'x') 'y' else 'x')
+    val corpus = (base :+ (9001L, a) :+ (9002L, perturbed)).toSeq
+      .toDF("doc_id", "text")
+    val framed = graft.operators.Multimodal.withImagePayload(corpus, "text")
+    val exact = graft.operators.Multimodal.imageNearDup(
+      framed, "doc_id", "content", dim = 8, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((base(0)._1, 9001L)), s"exact copy not found in $exact")
+    // unrelated documents never collide at hamming 0 (9001/9002 are the
+    // planted copy family — a 1-char perturbation MAY land at hamming 0,
+    // which is exactly what a perceptual hash is for)
+    val family = Set(base(0)._1, 9001L, 9002L)
+    assert(exact.forall { case (l, r) =>
+      (family.contains(l) && family.contains(r)) || {
+        val texts = corpus.collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+        texts(l) == texts(r)
+      }
+    }, s"unrelated collision in $exact")
+    // the one-char perturbation sits within a small hamming ball of A
+    val near = graft.operators.Multimodal.imageNearDup(
+      framed, "doc_id", "content", dim = 8, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val k9002 = near.get((base(0)._1, 9002L)).orElse(near.get((9001L, 9002L)))
+    assert(k9002.exists(_ <= 3), s"perturbed copy not near: $near")
+  }
+
   test("streaming heavy hitters: single batch ≡ batch top-k; sketch state accumulates across micro-batches") {
     import spark.implicits._
     val stream = GraftStreaming.readEventsGlob(spark, dir, "events.parquet")
