@@ -1131,6 +1131,35 @@ object SparkEntry {
         .orderBy("id_l", "id_r")
     }),
 
+    // asymmetric containment |A∩B|/min(|A|,|B|): planted excerpts
+    // (prefix substring of a longer doc) score ≈1 where Jaccard ≈ |A|/|B|;
+    // oracle = exhaustive all-pairs over the same union
+    "q_containment" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val excerpts = docs.where(col("doc_id") < 10)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          substring(col("text"), 1, 200).as("text"))
+      Dedup.containmentPairs(docs.union(excerpts), "doc_id", "text",
+        n = 3, threshold = 0.5)
+        .select(col("id_l"), col("id_r"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("id_l", "id_r")
+    }),
+
+    // character-level near-dup: shared-shingle candidates verified by
+    // threshold-limited Levenshtein; planted docs differ by a 3-char
+    // prefix patch built identically in both engines
+    "q_edit_pairs" -> ((s, dir) => {
+      val base = table(s, dir, "documents").select("doc_id", "text")
+        .where(col("doc_id") < 100)
+      val planted = base.where(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("XQZ"), expr("substring(text, 4)")).as("text"))
+      Dedup.editDistancePairs(base.union(planted), "doc_id", "text",
+        n = 3, maxDist = 50, minSharedShingles = 3L)
+        .orderBy("id_l", "id_r")
+    }),
+
     // LSH-bucketed approximate nearest neighbors with hamming-1
     // multi-probe; the hyperplanes are seed-deterministic so the oracle
     // inlines them as literals and recomputes the exact same buckets and
@@ -1445,6 +1474,36 @@ object SparkEntry {
       val docs = table(s, dir, "documents")
       docs.select(col("doc_id"),
         round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher hard-rejection rules (Rae et al. 2021 §A1.1): per-rule
+    // boolean flags + conjunction; oracle shares tokenization, regex
+    // programs and IEEE division via gopherOracleSqlExprs
+    "q_gopher" -> ((s, dir) => {
+      TextAnalysis.gopherRules(
+        table(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text")
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("symbol_ratio"), 6).as("symbol_ratio"),
+          round(col("bullet_frac"), 6).as("bullet_frac"),
+          round(col("ellipsis_frac"), 6).as("ellipsis_frac"),
+          round(col("alpha_frac"), 6).as("alpha_frac"),
+          col("stop_hits"), col("r_words"), col("r_mwl"), col("r_symbol"),
+          col("r_bullet"), col("r_ellipsis"), col("r_alpha"),
+          col("r_stops"), col("gopher_pass"))
+        .orderBy("doc_id")
+    }),
+
+    // Unicode script detection: shared literal BMP ranges → identical
+    // counts; dominant script + scripted-char ratio
+    "q_script" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      docs.select(col("doc_id"),
+        TextAnalysis.dominantScript(col("text")).as("script"),
+        round(TextAnalysis.dominantScriptRatio(col("text")), 6)
+          .as("script_ratio"))
         .orderBy("doc_id")
     }),
 
@@ -2863,6 +2922,20 @@ object SparkEntry {
     "q_quality" ->
       s"""SELECT doc_id, round(${graft.operators.TextAnalysis.qualityOracleSqlExpr("text")}, 6) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_gopher" -> {
+      val exprs = graft.operators.TextAnalysis.gopherOracleSqlExprs("text")
+      val sel = exprs.map { case (n, e) =>
+        if (Set("mean_word_len", "symbol_ratio", "bullet_frac",
+          "ellipsis_frac", "alpha_frac").contains(n)) s"round($e, 6) AS $n"
+        else s"$e AS $n"
+      }.mkString(",\n  ")
+      s"SELECT doc_id,\n  $sel\nFROM documents ORDER BY doc_id"
+    },
+    "q_script" -> {
+      val (dom, ratio) = graft.operators.TextAnalysis.scriptOracleSqlExprs("text")
+      s"SELECT doc_id, $dom AS script, round($ratio, 6) AS script_ratio " +
+        "FROM documents ORDER BY doc_id"
+    },
     "q_describe" ->
       """WITH s AS (
         |  SELECT 'l_quantity' AS "column", count(l_quantity) AS n,
@@ -3081,6 +3154,35 @@ object SparkEntry {
          |ORDER BY id_l, id_r, start_l, start_r""".stripMargin
     },
     "q_jaccard_pairs" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.05),
+    "q_containment" -> {
+      val sh = graft.operators.Dedup.shinglesOracleSqlExpr("text", 3)
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 200000, substr(text, 1, 200)
+         |  FROM documents WHERE doc_id < 10),
+         |sh AS (SELECT doc_id, $sh AS s FROM all_docs),
+         |c AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+         |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |   least(len(a.s), len(b.s)) AS containment
+         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id_l, id_r, round(containment, 6) AS containment
+         |FROM c WHERE containment >= 0.5 ORDER BY id_l, id_r""".stripMargin
+    },
+    "q_edit_pairs" -> {
+      val sh = graft.operators.Dedup.shinglesOracleSqlExpr("text", 3)
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+         |  UNION ALL SELECT doc_id + 100000, 'XQZ' || substr(text, 4)
+         |  FROM documents WHERE doc_id < 20),
+         |sh AS (SELECT doc_id, text, $sh AS s FROM all_docs),
+         |cand AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+         |    a.text AS tl, b.text AS tr
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s)) >= 3
+         |    AND abs(len(a.text) - len(b.text)) <= 50)
+         |SELECT id_l, id_r, levenshtein(tl, tr) AS dist FROM cand
+         |WHERE levenshtein(tl, tr) <= 50 ORDER BY id_l, id_r""".stripMargin
+    },
     "q_minhash_pairs" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.5),
     "q_near_dup" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.8),
     "q_stream_neardup" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.8),

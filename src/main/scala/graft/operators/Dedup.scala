@@ -656,6 +656,97 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥ threshold.
+    * The asymmetric-overlap complement to [[ngramJaccardPairs]]: a short
+    * document quoted whole inside a longer page has containment ≈ 1 but
+    * Jaccard ≈ |A|/|B| → symmetric dedup never sees it. Same posting-list
+    * shape (ONE consumer for the exploded relation, hub-shingle cap
+    * bounds the f² pair fan-out), so the 100 TB story is identical —
+    * only the final score arithmetic differs. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxShingleFreq: Long = 1000L,
+                       scope: Option[CacheScope] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val sizes = df.select(col(idCol).as("__id"),
+      size(shingles(col(textCol), n)).cast("long").as("__sz"))
+    val sh = CacheScope.maybe(scope,
+      df.select(col(idCol).as("__id"),
+        explode(shingles(col(textCol), n)).as("__sh")))
+    val inter = sh.select(col("__sh"), struct(col("__id")).as("__p"))
+      .groupBy("__sh").agg(collect_list(col("__p")).as("__ms"))
+      .where(size(col("__ms")) > 1 && size(col("__ms")) <= maxShingleFreq)
+      .select(explode(col("__ms")).as("__l"), col("__ms"))
+      .select(col("__l"), explode(col("__ms")).as("__r"))
+      .where(col("__l.__id") < col("__r.__id"))
+      .groupBy(col("__l.__id").as("id_l"), col("__r.__id").as("id_r"))
+      .agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.withColumnRenamed("__id", "id_l").withColumnRenamed("__sz", "__sz_l"), Seq("id_l"))
+      .join(sizes.withColumnRenamed("__id", "id_r").withColumnRenamed("__sz", "__sz_r"), Seq("id_r"))
+      .select(col("id_l"), col("id_r"),
+        (col("__inter").cast("double") /
+          least(col("__sz_l"), col("__sz_r"))).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
+  /** [[containmentPairs]] as DuckDB SQL (exhaustive all-pairs — the
+    * posting-list route provably finds every pair with a shared
+    * shingle, and containment > 0 requires one). */
+  def containmentPairsOracleSql(n: Int, threshold: Double): String = {
+    val sh = shinglesOracleSqlExpr("text", n)
+    s"""WITH sh AS (SELECT doc_id, $sh AS s FROM documents),
+       |c AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+       |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |   least(len(a.s), len(b.s)) AS containment
+       | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT id_l, id_r, round(containment, 6) AS containment
+       |FROM c WHERE containment >= $threshold ORDER BY id_l, id_r""".stripMargin
+  }
+
+  /** Edit-distance near-duplicate pairs: candidates from the shared-
+    * shingle posting lists (with the hub cap), verified by EXACT
+    * Levenshtein distance ≤ `maxDist` — the character-level notion of
+    * "same doc, small patch" that set-based Jaccard can't express
+    * (it is blind to WHERE the differences fall and to reorderings of
+    * the same shingle multiset).
+    *
+    * Scale levers, in evaluation order per candidate pair: (1) the
+    * posting-list join only pairs docs sharing ≥ `minSharedShingles`
+    * n-grams — for docs of w words, distance ≤ d implies roughly
+    * w − n·d shared shingles, so a floor > 1 prunes hard while staying
+    * conservative for long docs; (2) `abs(len_l − len_r) ≤ maxDist` is a
+    * free exact necessary condition; (3) Spark's threshold-limited
+    * `levenshtein(l, r, maxDist)` abandons a pair the moment the DP row
+    * minimum exceeds `maxDist` (O(maxDist·len), not O(len²)). Texts join
+    * onto candidates only — the posting shuffle carries ids. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, maxDist: Int = 50,
+                        minSharedShingles: Long = 1L,
+                        maxShingleFreq: Long = 1000L): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val sh = df.select(col(idCol).as("__id"),
+      explode(shingles(col(textCol), n)).as("__sh"))
+    val candidates = sh.select(col("__sh"), struct(col("__id")).as("__p"))
+      .groupBy("__sh").agg(collect_list(col("__p")).as("__ms"))
+      .where(size(col("__ms")) > 1 && size(col("__ms")) <= maxShingleFreq)
+      .select(explode(col("__ms")).as("__l"), col("__ms"))
+      .select(col("__l"), explode(col("__ms")).as("__r"))
+      .where(col("__l.__id") < col("__r.__id"))
+      .groupBy(col("__l.__id").as("id_l"), col("__r.__id").as("id_r"))
+      .agg(count(lit(1)).as("__shared"))
+      .where(col("__shared") >= minSharedShingles)
+    val txt = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    candidates
+      .join(txt.select(col("__id").as("id_l"), col("__t").as("__tl")), Seq("id_l"))
+      .join(txt.select(col("__id").as("id_r"), col("__t").as("__tr")), Seq("id_r"))
+      .where(abs(length(col("__tl")) - length(col("__tr"))) <= maxDist)
+      .select(col("id_l"), col("id_r"),
+        levenshtein(col("__tl"), col("__tr"), maxDist).as("dist"))
+      .where(col("dist").between(0, maxDist))
+  }
+
   /** EXACT Jaccard pairs via prefix filtering (the all-pairs
     * similarity-join optimization): under any global token order, two
     * sets with J >= t must share a token among each one's first

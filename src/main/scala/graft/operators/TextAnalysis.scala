@@ -528,6 +528,169 @@ object TextAnalysis {
        |  round(CAST(s AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1e9), 6)
        |    AS logprob_mean
        |FROM sc""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Gopher-style rule filter (Rae et al. 2021, "Scaling Language Models:
+  // Methods, Analysis & Insights from Training Gopher", §A1.1 — public
+  // heuristics). Unlike [[qualityScore]]'s additive band score, these are
+  // the hard REJECTION rules a crawl pipeline applies before anything
+  // model-based: each rule is a boolean, `gopher_pass` their conjunction.
+  // --------------------------------------------------------------------
+
+  /** The Gopher "must contain ≥2 of these" stopword rule set (public,
+    * from the paper). Distinct-presence counted, not occurrences. */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** `#`-marks and ellipses — the paper's "symbol" classes. One
+    * left-to-right non-overlapping scan; identical match semantics in
+    * Java regex and RE2. */
+  val GopherSymbolRe = "#|\\.\\.\\."
+  val BulletStartRe = "^[-*•]"
+  val EllipsisEndRe = "(\\.\\.\\.|…)$"
+
+  /** Per-document Gopher rule metrics + flags. All arithmetic is integer
+    * counts and double/double division (IEEE-identical in the oracle);
+    * thresholds compare the UNROUNDED values in both engines.
+    *
+    * Output: `(idCol, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    * ellipsis_frac, alpha_frac, stop_hits, r_*` flag per rule`,
+    * gopher_pass)`. Pure per-row expressions — zero shuffle at any
+    * corpus size; at 100 TB this is a map-only scan that fuses with
+    * whatever filter consumes `gopher_pass` (predicate reaches the
+    * parquet scan). */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = size(toks)
+    val mwl = meanWordLength(t)
+    val symRatio = regexp_count(t, lit(GopherSymbolRe)).cast("double") /
+      greatest(nWords, lit(1)).cast("double")
+    // non-empty lines only: a trailing newline must not dilute fractions
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = size(filter(lines,
+      l => trim(l).rlike(BulletStartRe))).cast("double") / nLines
+    val ellipsisFrac = size(filter(lines,
+      l => trim(l).rlike(EllipsisEndRe))).cast("double") / nLines
+    val alphaFrac = size(filter(toks, w => w.rlike("[A-Za-z]")))
+      .cast("double") / greatest(nWords, lit(1)).cast("double")
+    val lowToks = tokens(lower(t))
+    val stopHits = GopherStops.map(w =>
+      when(array_contains(lowToks, w), 1).otherwise(0))
+      .reduce(_ + _)
+    val rWords = nWords.between(minWords, maxWords)
+    val rMwl = mwl.between(3.0, 10.0)
+    val rSym = symRatio <= 0.1
+    val rBullet = bulletFrac <= 0.9
+    val rEllipsis = ellipsisFrac <= 0.3
+    val rAlpha = alphaFrac >= 0.8
+    val rStops = stopHits >= 2
+    docs.select(col(idCol), nWords.as("n_words"),
+      mwl.as("mean_word_len"), symRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_frac"), ellipsisFrac.as("ellipsis_frac"),
+      alphaFrac.as("alpha_frac"), stopHits.as("stop_hits"),
+      rWords.as("r_words"), rMwl.as("r_mwl"), rSym.as("r_symbol"),
+      rBullet.as("r_bullet"), rEllipsis.as("r_ellipsis"),
+      rAlpha.as("r_alpha"), rStops.as("r_stops"),
+      (rWords && rMwl && rSym && rBullet && rEllipsis && rAlpha && rStops)
+        .as("gopher_pass"))
+  }
+
+  /** [[gopherRules]] as DuckDB SQL select-list over a text reference —
+    * identical tokenization, regex programs, and IEEE division order, so
+    * every flag (and the unrounded metrics) hash-match. */
+  def gopherOracleSqlExprs(t: String, minWords: Int = 50,
+                           maxWords: Int = 100000): Seq[(String, String)] = {
+    def d(v: String) = s"CAST($v AS DOUBLE)"
+    val toks = s"list_filter(string_split_regex(trim($t), '\\s+'), w -> len(w) > 0)"
+    val nW = s"len($toks)"
+    val mwl = s"(${d(s"COALESCE(list_sum(list_transform($toks, w -> len(w))), 0)")} / ${d(s"greatest($nW, 1)")})"
+    val sym = s"(${d(s"len(regexp_extract_all($t, '$GopherSymbolRe'))")} / ${d(s"greatest($nW, 1)")})"
+    val lines = s"list_filter(string_split($t, chr(10)), l -> len(trim(l)) > 0)"
+    val nL = d(s"greatest(len($lines), 1)")
+    val bullet = s"(${d(s"len(list_filter($lines, l -> regexp_matches(trim(l), '$BulletStartRe')))")} / $nL)"
+    val ellipsis = s"(${d(s"len(list_filter($lines, l -> regexp_matches(trim(l), '$EllipsisEndRe')))")} / $nL)"
+    val alpha = s"(${d(s"len(list_filter($toks, w -> regexp_matches(w, '[A-Za-z]')))")} / ${d(s"greatest($nW, 1)")})"
+    val lowToks = s"list_filter(string_split_regex(trim(lower($t)), '\\s+'), w -> len(w) > 0)"
+    val stops = GopherStops.map(w =>
+      s"(CASE WHEN list_contains($lowToks, '$w') THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    val rules = Seq(
+      "r_words" -> s"($nW BETWEEN $minWords AND $maxWords)",
+      "r_mwl" -> s"($mwl BETWEEN 3.0 AND 10.0)",
+      "r_symbol" -> s"($sym <= 0.1)",
+      "r_bullet" -> s"($bullet <= 0.9)",
+      "r_ellipsis" -> s"($ellipsis <= 0.3)",
+      "r_alpha" -> s"($alpha >= 0.8)",
+      "r_stops" -> s"($stops >= 2)")
+    Seq("n_words" -> nW, "mean_word_len" -> mwl, "symbol_ratio" -> sym,
+      "bullet_frac" -> bullet, "ellipsis_frac" -> ellipsis,
+      "alpha_frac" -> alpha, "stop_hits" -> stops) ++ rules ++
+      Seq("gopher_pass" -> rules.map(_._2).mkString("(", " AND ", ")"))
+  }
+
+  // --------------------------------------------------------------------
+  // Unicode script detection — the writing-system signal langId's
+  // stopword profiles cannot see (zh vs ja vs ko, ru vs uk, mixed-script
+  // spam). Ranges are literal BMP code-point classes shared VERBATIM
+  // with the oracle, so both engines count the same characters.
+  // --------------------------------------------------------------------
+
+  /** (script name, regex char class) in tie-break priority order. Literal
+    * BMP ranges (no \p{} — Java and RE2 spell script properties
+    * differently and may disagree across Unicode versions). */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\u00C0-\u024F]",
+    "cyrillic" -> "[\u0400-\u04FF]",
+    "greek" -> "[\u0370-\u03FF]",
+    "arabic" -> "[\u0600-\u06FF]",
+    "hebrew" -> "[\u0590-\u05FF]",
+    "devanagari" -> "[\u0900-\u097F]",
+    "han" -> "[\u4E00-\u9FFF]",
+    "kana" -> "[\u3040-\u30FF]",
+    "hangul" -> "[\uAC00-\uD7AF]")
+
+  /** Per-script character counts as named columns (one regexp_count scan
+    * per script \u2014 nine codegen'd counters, zero shuffle). */
+  def scriptCounts(text: Column): Seq[(String, Column)] =
+    ScriptRanges.map { case (n, re) => n -> regexp_count(text, lit(re)) }
+
+  /** Dominant script of the text: the first script (in [[ScriptRanges]]
+    * order) whose count equals the maximum, `unknown` when no scripted
+    * character occurs. Deterministic tie-break by construction. */
+  def dominantScript(text: Column): Column = {
+    val counts = scriptCounts(text)
+    val mx = greatest(counts.map(_._2): _*)
+    counts.foldRight(lit("unknown")) { case ((n, c), acc) =>
+      when(mx > 0 && c === mx, n).otherwise(acc)
+    }
+  }
+
+  /** Fraction of SCRIPTED characters belonging to the dominant script \u2014
+    * the mixed-script-spam signal (near 1.0 for clean monolingual text). */
+  def dominantScriptRatio(text: Column): Column = {
+    val counts = scriptCounts(text).map(_._2)
+    val total = counts.reduce(_ + _)
+    greatest(counts: _*).cast("double") /
+      greatest(total, lit(1)).cast("double")
+  }
+
+  /** [[dominantScript]] + [[dominantScriptRatio]] as DuckDB SQL exprs
+    * over a text reference: same ranges, same priority, same division. */
+  def scriptOracleSqlExprs(t: String): (String, String) = {
+    val counts = ScriptRanges.map { case (n, re) =>
+      n -> s"len(regexp_extract_all($t, '$re'))"
+    }
+    val mx = counts.map(_._2).mkString("greatest(", ", ", ")")
+    val dominant = counts.foldRight("'unknown'") { case ((n, c), acc) =>
+      s"(CASE WHEN $mx > 0 AND $c = $mx THEN '$n' ELSE $acc END)"
+    }
+    val total = counts.map(_._2).mkString("(", " + ", ")")
+    val ratio = s"(CAST($mx AS DOUBLE) / CAST(greatest($total, 1) AS DOUBLE))"
+    (dominant, ratio)
+  }
 }
 
 /** Language-ID profiles shared between the Spark expression and the DuckDB

@@ -935,6 +935,92 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L)._2 > got(3L)._2 && got(3L)._2 > got(1L)._2)
   }
 
+  test("containmentPairs: excerpt-in-page scores ~1 where Jaccard stays low") {
+    val page = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 12).map(i => s"w$i").mkString(" ")   // strict prefix
+    val docs = Seq((1L, page), (2L, excerpt),
+      (3L, "zz yy xx ww vv uu tt ss rr qq pp oo")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.9).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(cont.head.getDouble(2) == 1.0)  // every excerpt shingle is in the page
+    // same pair under symmetric Jaccard: 10/58 — invisible at any
+    // meaningful threshold
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.9).collect()
+    assert(jac.isEmpty)
+  }
+
+  test("editDistancePairs: char-level patch found with exact distance") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val patched = "XYZ" + base.substring(3)       // distance exactly 3
+    val docs = Seq((1L, base), (2L, patched),
+      (3L, "completely different content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text",
+      n = 3, maxDist = 10, minSharedShingles = 3L).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ==
+      Set((1L, 2L, 3)))
+    // maxDist below the true distance: threshold-limited levenshtein
+    // abandons the pair, no rows
+    assert(Dedup.editDistancePairs(docs, "doc_id", "text",
+      n = 3, maxDist = 2, minSharedShingles = 3L).collect().isEmpty)
+  }
+
+  test("gopherRules: each rule fires on its planted violator") {
+    val goodBody = ("the data and the model have results that align with " +
+      "expectations and the method works ") * 5   // ~60 words, all rules pass
+    val docs = Seq(
+      1L -> goodBody,
+      2L -> "too short to pass",                            // r_words
+      3L -> (Seq.fill(60)("a").mkString(" ")),              // r_mwl (mwl=1)
+      4L -> (goodBody + " " + Seq.fill(30)("#").mkString(" ")), // r_symbol
+      5L -> (1 to 20).map(i => s"- bullet item $i").mkString("\n"), // r_bullet
+      6L -> (1 to 20).map(i => s"line $i trails off...").mkString("\n"), // r_ellipsis
+      7L -> (goodBody + " " + Seq.fill(30)("123456").mkString(" ")), // r_alpha
+      8L -> Seq.fill(60)("zqx wvk jmp").mkString(" ")        // r_stops
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(8), r.getBoolean(9), r.getBoolean(10), r.getBoolean(11),
+          r.getBoolean(12), r.getBoolean(13), r.getBoolean(14),
+          r.getBoolean(15))).toMap
+    // (r_words, r_mwl, r_symbol, r_bullet, r_ellipsis, r_alpha, r_stops, pass)
+    assert(got(1L) == ((true, true, true, true, true, true, true, true)))
+    assert(!got(2L)._1 && !got(2L)._8)
+    assert(!got(3L)._2)
+    assert(!got(4L)._3)
+    assert(!got(5L)._4)
+    assert(!got(6L)._5)
+    assert(!got(7L)._6)
+    assert(!got(8L)._7)
+  }
+
+  test("dominantScript: planted scripts detected; ratio flags mixed text") {
+    val docs = Seq(
+      1L -> "plain english text here",
+      2L -> "Привет как дела сегодня",          // cyrillic
+      3L -> "这是一段中文文本内容",               // han
+      4L -> "これはテストです",                  // kana
+      5L -> "안녕하세요 세계",                   // hangul
+      6L -> "مرحبا بالعالم",                    // arabic
+      7L -> "12345 !!! ???",                    // no scripted chars
+      8L -> "english text שלום עולם mixed here" // latin-dominant + hebrew
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+      TextAnalysis.dominantScript(col("text")).as("s"),
+      TextAnalysis.dominantScriptRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 == "latin" && got(1L)._2 == 1.0)
+    assert(got(2L)._1 == "cyrillic" && got(2L)._2 == 1.0)
+    assert(got(3L)._1 == "han")
+    assert(got(4L)._1 == "kana")
+    assert(got(5L)._1 == "hangul")
+    assert(got(6L)._1 == "arabic")
+    assert(got(7L)._1 == "unknown")
+    assert(got(8L)._1 == "latin" && got(8L)._2 < 1.0 && got(8L)._2 > 0.5)
+  }
+
   test("quantized-sum operators are partition-invariant") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
     def entropyAt(parts: Int) =
