@@ -1983,6 +1983,21 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Structured Streaming: changelog → snapshot compaction — one
+    // state row per key, emit on change; a single AvailableNow batch
+    // emits exactly batch latestByKey, which is the oracle
+    "q_stream_latest" -> ((s, dir) => {
+      val out = s"stream_latest_${System.nanoTime()}"
+      val ev = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      val q = GraftStreaming.runToMemory(GraftStreaming.latestStream(ev), out)
+      q.awaitTermination(300000)
+      s.table(out).select(col("userId").as("user_id"),
+        col("eventId").as("event_id"),
+        expr("tsNs DIV 1000").as("ts_us"),
+        col("eventType").as("event_type"), col("value"))
+        .orderBy("user_id")
+    }),
+
     // Structured Streaming: token-quota admission at ingest — per-lang
     // budgets in the checkpointed store (one long per key). Single
     // AvailableNow batch + stable md5 in-batch order makes the stream
@@ -2514,6 +2529,13 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_latest" ->
+      """WITH ranked AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  event_type, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn FROM events)
+        |SELECT user_id, event_id, ts_us, event_type, value
+        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_stream_sessionize" ->
       """WITH f AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn,
         |  CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL

@@ -133,6 +133,47 @@ object GraftStreaming {
         }).toDF()
   }
 
+  /** One key's current snapshot row (streaming changelog compaction). */
+  case class LatestEvent(userId: Long, eventId: Long, tsNs: Long,
+                         eventType: String, value: Double)
+
+  /** Streaming changelog → snapshot compaction: the ingest-time twin of
+    * [[graft.operators.Dedup.latestByKey]]. Keyed state holds ONE row per
+    * key — the current (ts, event_id)-max event — and a key emits only
+    * when its latest row CHANGES, so the output is a minimal changelog of
+    * snapshot updates (one row per key per touched micro-batch, not one
+    * per input event). A single AvailableNow batch therefore emits
+    * exactly the batch `latestByKey` result — the oracle.
+    *
+    * No watermark/timeout: state size IS the snapshot size (one row per
+    * live key), which cannot be evicted without forgetting the
+    * compaction's own answer — the same bound any upsert sink carries.
+    * Late arrivals are handled by VALUE, not clock: an out-of-order
+    * event older than the stored row is simply absorbed, never emitted. */
+  def latestStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val stateEnc = Encoders.product[LatestEvent]
+    implicit val rowEnc = Encoders.row(events.schema)
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey((r: Row) => r.getAs[Long]("user_id"))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Row], state: GroupState[LatestEvent]) => {
+          val before = state.getOption
+          var best = before
+          rows.foreach { r =>
+            val c = LatestEvent(userId, r.getAs[Long]("event_id"),
+              r.getAs[Long]("ts"), r.getAs[String]("event_type"),
+              r.getAs[Double]("value"))
+            val wins = best.forall(b => c.tsNs > b.tsNs ||
+              (c.tsNs == b.tsNs && c.eventId > b.eventId))
+            if (wins) best = Some(c)
+          }
+          if (best != before) { state.update(best.get); Iterator(best.get) }
+          else Iterator.empty
+        }).toDF()
+  }
+
   /** documents.parquet schema (for file-streamed document corpora). */
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),

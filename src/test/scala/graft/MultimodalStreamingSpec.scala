@@ -327,6 +327,53 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(acc == Seq(("x", 5L), ("z", 4L), ("y", 1L)), s"got $acc")
   }
 
+  test("latestStream: single batch ≡ batch latestByKey; emits only on change across batches") {
+    import spark.implicits._
+    val stream = GraftStreaming.readEventsGlob(spark, dir, "events.parquet")
+    val q = GraftStreaming.runToMemory(
+      GraftStreaming.latestStream(stream), "latest_stream_out")
+    q.awaitTermination(120000)
+    val got = spark.table("latest_stream_out")
+      .select("userId", "eventId").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(desc("ts"), desc("event_id"))))
+      .where(col("rn") === 1).select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == batch)
+
+    // two file drops in separate micro-batches: batch 2 carries a newer
+    // event for user 1 (emitted) and an OLDER one for user 2 (absorbed
+    // silently) — output is the minimal update changelog
+    val tmp = java.nio.file.Files.createTempDirectory("graft-latest").toString
+    Seq((1L, 10L, 100L, "a", 1.0), (2L, 20L, 100L, "b", 2.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+      .coalesce(1).write.parquet(s"$tmp/b0")
+    Seq((1L, 11L, 200L, "a2", 3.0), (2L, 19L, 50L, "stale", 4.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+      .coalesce(1).write.parquet(s"$tmp/b1")
+    val twoBatch = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(s"$tmp/*")
+    val q2 = GraftStreaming.runToMemory(
+      GraftStreaming.latestStream(twoBatch), "latest_stream_two")
+    q2.awaitTermination(120000)
+    val updates = spark.table("latest_stream_two")
+      .select("userId", "eventId").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // 3 emissions total: both keys in batch 1, only user 1 in batch 2
+    assert(updates == Seq((1L, 10L), (1L, 11L), (2L, 20L)), s"got $updates")
+  }
+
   test("streaming budget admission ≡ batch budgetSample in one batch; quota binds across batches") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
