@@ -1131,6 +1131,19 @@ object SparkEntry {
         .orderBy("id_l", "id_r")
     }),
 
+    // DSIR importance weights (Xie et al. 2023): target = first 50 docs,
+    // hashed unigram+bigram multinomials, nano-quantized log ratios —
+    // oracle rebuilds both models and every per-doc integer sum
+    "q_dsir" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val target = docs.where(col("doc_id") < 50)
+      TextAnalysis.dsirWeights(docs, "doc_id", "text", target, "text",
+        numBuckets = 1024)
+        .select(col("doc_id"), col("n_feats"),
+          round(col("log_weight"), 6).as("log_weight"))
+        .orderBy("doc_id")
+    }),
+
     // asymmetric containment |A∩B|/min(|A|,|B|): planted excerpts
     // (prefix substring of a longer doc) score ≈1 where Jaccard ≈ |A|/|B|;
     // oracle = exhaustive all-pairs over the same union
@@ -3176,6 +3189,40 @@ object SparkEntry {
          |ORDER BY id_l, id_r, start_l, start_r""".stripMargin
     },
     "q_jaccard_pairs" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.05),
+    "q_dsir" -> {
+      val sh1 = graft.operators.Dedup.shinglesAllOracleSqlExpr("text", 1)
+      val sh2 = graft.operators.Dedup.shinglesAllOracleSqlExpr("text", 2)
+      val B = 1024
+      def bucket(g: String) =
+        s"CAST(concat('0x', substr(md5($g), 1, 8)) AS BIGINT) % $B"
+      s"""WITH buckets AS (SELECT unnest(range(0, $B)) AS b),
+         |tgt AS (SELECT text FROM documents WHERE doc_id < 50),
+         |tg AS (SELECT ${bucket("g")} AS b FROM
+         |  (SELECT unnest(list_concat($sh1, $sh2)) AS g FROM tgt)),
+         |tc AS (SELECT b, count(*) AS c FROM tg GROUP BY b),
+         |ttot AS (SELECT count(*) AS tot FROM tg),
+         |tm AS (SELECT b, CAST(floor(ln(
+         |    (CAST(COALESCE(c, 0) AS DOUBLE) + 1.0) /
+         |    (CAST(tot AS DOUBLE) + $B.0)) * 1e9) AS BIGINT) AS lt
+         |  FROM buckets LEFT JOIN tc USING (b), ttot),
+         |rg AS (SELECT ${bucket("g")} AS b FROM
+         |  (SELECT unnest(list_concat($sh1, $sh2)) AS g FROM documents)),
+         |rc AS (SELECT b, count(*) AS c FROM rg GROUP BY b),
+         |rtot AS (SELECT count(*) AS tot FROM rg),
+         |rm AS (SELECT b, CAST(floor(ln(
+         |    (CAST(COALESCE(c, 0) AS DOUBLE) + 1.0) /
+         |    (CAST(tot AS DOUBLE) + $B.0)) * 1e9) AS BIGINT) AS lr
+         |  FROM buckets LEFT JOIN rc USING (b), rtot),
+         |feats AS (SELECT doc_id, b, count(*) AS c FROM
+         |  (SELECT doc_id, ${bucket("g")} AS b FROM
+         |    (SELECT doc_id, unnest(list_concat($sh1, $sh2)) AS g
+         |     FROM documents))
+         |  GROUP BY doc_id, b)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+         |  round(CAST(sum(c * (lt - lr)) AS DOUBLE) / 1e9, 6) AS log_weight
+         |FROM feats JOIN tm USING (b) JOIN rm USING (b)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "q_containment" -> {
       val sh = graft.operators.Dedup.shinglesOracleSqlExpr("text", 3)
       s"""WITH all_docs AS (

@@ -632,6 +632,104 @@ object TextAnalysis {
   }
 
   // --------------------------------------------------------------------
+  // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  // arXiv:2302.03169, public). Select raw-corpus documents whose hashed
+  // n-gram distribution looks like a TARGET corpus: fit bucket
+  // multinomials over both, score each raw doc by the summed
+  // log-probability ratio of its features, resample by weight.
+  // --------------------------------------------------------------------
+
+  /** Hashed feature id of one n-gram: 32-bit md5 prefix mod numBuckets.
+    * md5 (not xxhash64) so the DuckDB oracle reproduces it exactly —
+    * same pattern as [[Sampling.splitAssign]]; the 32-bit value is
+    * non-negative, so `%` agrees across engines. */
+  def dsirBucket(gram: Column, numBuckets: Int): Column =
+    conv(substring(md5(gram), 1, 8), 16, 10).cast("long") % numBuckets
+
+  /** DSIR feature stream of a document: word unigrams + bigrams WITH
+    * multiplicity (the paper's featurization), as one array column. */
+  def dsirGrams(text: Column): Column =
+    concat(Dedup.shinglesAll(text, 1), Dedup.shinglesAll(text, 2))
+
+  /** Smoothed hashed-n-gram multinomial over a corpus: exactly
+    * `numBuckets` rows `(__b, __lq)` with
+    * lq = ⌊ln((c_b + a) / (total + a·B)) · 1e9⌋ as LONG — nano-quantized
+    * once here so every downstream per-doc sum is integer arithmetic
+    * (association-order-exact, partition-invariant, engine-exact).
+    * Absent buckets get the smoothing floor via the dense bucket spine
+    * (a `range(B)` left join — no special OOV case downstream).
+    *
+    * Scale: one explode + one B-bounded aggregate over the corpus; the
+    * result is B rows — broadcastable by construction. */
+  def dsirModel(docs: DataFrame, textCol: String, numBuckets: Int = 4096,
+                smoothing: Double = 1.0): DataFrame = {
+    require(numBuckets > 0 && smoothing > 0.0)
+    val spark = docs.sparkSession
+    val counts = docs.select(explode(dsirGrams(col(textCol))).as("__g"))
+      .select(dsirBucket(col("__g"), numBuckets).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum(col("__c")).as("__tot"))
+    spark.range(numBuckets).toDF("__b")
+      .join(counts, Seq("__b"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("__b"),
+        floor(log(
+          (coalesce(col("__c"), lit(0L)).cast("double") + lit(smoothing)) /
+            (col("__tot").cast("double") + lit(smoothing * numBuckets)))
+          * 1e9).cast("long").as("__lq"))
+  }
+
+  /** Per-document DSIR importance weight over a raw corpus:
+    * log w(x) = Σ_b c_b(x) · (ln p̂_target[b] − ln p̂_raw[b]), computed as
+    * an exact integer sum of nano-quantized per-bucket log ratios.
+    * Output: (doc_id, n_feats, log_weight). Positive → the doc looks
+    * more like the target than like the raw corpus.
+    *
+    * Plan shape: both models reduce to B broadcast rows; the corpus side
+    * is one explode + one (doc, bucket) aggregate + one broadcast join +
+    * one per-doc aggregate — two key-bounded shuffles, nothing
+    * corpus-quadratic, no windows. */
+  def dsirWeights(raw: DataFrame, idCol: String, textCol: String,
+                  target: DataFrame, targetTextCol: String,
+                  numBuckets: Int = 4096,
+                  smoothing: Double = 1.0): DataFrame = {
+    val lt = dsirModel(target, targetTextCol, numBuckets, smoothing)
+      .withColumnRenamed("__lq", "__lt")
+    val lr = dsirModel(raw.select(col(textCol)), textCol, numBuckets, smoothing)
+      .withColumnRenamed("__lq", "__lr")
+    val model = broadcast(lt.join(lr, Seq("__b")))
+    raw.select(col(idCol).as("doc_id"), explode(dsirGrams(col(textCol))).as("__g"))
+      .select(col("doc_id"), dsirBucket(col("__g"), numBuckets).as("__b"))
+      .groupBy("doc_id", "__b").agg(count(lit(1)).as("__c"))
+      .join(model, Seq("__b"))
+      .groupBy("doc_id")
+      .agg(sum(col("__c")).as("n_feats"),
+        sum(col("__c") * (col("__lt") - col("__lr"))).as("__s"))
+      .select(col("doc_id"), col("n_feats"),
+        (col("__s").cast("double") / 1e9).as("log_weight"))
+  }
+
+  /** Gumbel-top-k importance RESAMPLE over [[dsirWeights]] output: keep
+    * the k docs with the largest log w(x) + Gumbel(0,1), which samples
+    * without replacement with probability ∝ w(x) (the paper's sampling
+    * step). The Gumbel draw is md5-deterministic from the doc id — the
+    * same engine-reproducible uniform used by [[Sampling.weighted]]'s
+    * A-ES keys, so the selection is stable across runs, engines and
+    * cluster sizes. Plans as TakeOrderedAndProject (per-partition
+    * heaps of k, no global sort). */
+  def dsirResample(weights: DataFrame, idCol: String,
+                   logWeightCol: String, k: Int,
+                   seed: String = "dsir"): DataFrame = {
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"), lit(seed))),
+      1, 8), 16, 10).cast("double") + 0.5) / 4294967296.0
+    val gumbel = -log(-log(u))
+    weights.withColumn("__key", col(logWeightCol) + gumbel)
+      .orderBy(desc("__key"), col(idCol))
+      .limit(k)
+      .drop("__key")
+  }
+
+  // --------------------------------------------------------------------
   // Unicode script detection — the writing-system signal langId's
   // stopword profiles cannot see (zh vs ja vs ko, ru vs uk, mixed-script
   // spam). Ranges are literal BMP code-point classes shared VERBATIM

@@ -935,6 +935,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L)._2 > got(3L)._2 && got(3L)._2 > got(1L)._2)
   }
 
+  test("dsirWeights: target-like docs outweigh off-target; resample is deterministic") {
+    val targetish = (1 to 10).map(i =>
+      (i.toLong, s"machine learning models train on data batch $i"))
+    val offTarget = (11 to 20).map(i =>
+      (i.toLong, s"cooking recipe soup onion garlic pepper salt $i"))
+    val raw = (targetish ++ offTarget).toDF("doc_id", "text")
+    val target = (100 to 120).map(i =>
+      (i.toLong, s"deep learning training data models batch epoch $i"))
+      .toDF("doc_id", "text")
+    val w = TextAnalysis.dsirWeights(raw, "doc_id", "text", target, "text",
+      numBuckets = 512)
+    val byDoc = w.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val avgT = (1 to 10).map(i => byDoc(i.toLong)).sum / 10
+    val avgO = (11 to 20).map(i => byDoc(i.toLong)).sum / 10
+    assert(avgT > avgO,
+      s"target-like avg $avgT should exceed off-target avg $avgO")
+    // weights are partition-invariant (integer quantized sums)
+    val w13 = TextAnalysis.dsirWeights(raw.repartition(13), "doc_id", "text",
+      target.repartition(7), "text", numBuckets = 512)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val w1 = w.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(w13.toSeq == w1.toSeq)
+    // Gumbel-top-k resample: deterministic, k rows, stable under
+    // repartitioning (md5 draws, not rand())
+    val r1 = TextAnalysis.dsirResample(w, "doc_id", "log_weight", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val r2 = TextAnalysis.dsirResample(w.repartition(11), "doc_id", "log_weight", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(r1.size == 5 && r1 == r2)
+    // selection should lean toward the target-like half
+    assert(r1.count(_ <= 10L) >= 3, s"resample picked $r1")
+  }
+
   test("containmentPairs: excerpt-in-page scores ~1 where Jaccard stays low") {
     val page = (1 to 60).map(i => s"w$i").mkString(" ")
     val excerpt = (1 to 12).map(i => s"w$i").mkString(" ")   // strict prefix
