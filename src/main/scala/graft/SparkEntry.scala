@@ -2074,6 +2074,44 @@ object SparkEntry {
         .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
           col("firstTsNs").as("first_ts"), col("lastTsNs").as("last_ts"))
         .orderBy("user_id", "first_ts")
+    }),
+
+    // crawl curation: URL canonicalization — scheme/host case, default vs
+    // non-default ports, tracking-param strip + param sort, fragment drop,
+    // path slash rules; plus host + eTLD+1 extraction. The UrlOps grammar
+    // is mirrored regex-for-regex in the oracle.
+    "q_url_norm" -> ((s, dir) => {
+      import graft.operators.UrlOps
+      val ev = table(s, dir, "events")
+      val u = UrlOps.syntheticUrl(col("event_id"), col("user_id"), col("event_type"))
+      ev.select(col("event_id"), UrlOps.normalizeUrl(u).as("url"),
+          UrlOps.hostOf(u).as("host"), UrlOps.urlDomain(u).as("domain"))
+        .orderBy("event_id")
+    }),
+
+    // crawl curation: per-registered-domain stats after a domain blocklist
+    // filter — one hash aggregate on eTLD+1 (map-side partials collapse it)
+    "q_domain_stats" -> ((s, dir) => {
+      import graft.operators.UrlOps
+      val ev = table(s, dir, "events")
+      val u = UrlOps.syntheticUrl(col("event_id"), col("user_id"), col("event_type"))
+      val base = ev.select(u.as("url"), length(u).as("n_chars"))
+      UrlOps.domainStats(
+          UrlOps.filterBlockedDomains(base, "url", Seq("example.org")),
+          "url", "n_chars")
+        .orderBy("domain")
+    }),
+
+    // crawl curation: anti-monoculture per-domain cap — at most N docs per
+    // eTLD+1, chosen by the stable md5 pseudo-random order
+    "q_domain_cap" -> ((s, dir) => {
+      import graft.operators.UrlOps
+      val ev = table(s, dir, "events")
+      val u = UrlOps.syntheticUrl(col("event_id"), col("user_id"), col("event_type"))
+      val base = ev.select(col("event_id"), u.as("url"))
+      UrlOps.perDomainCap(base, "url", "event_id", cap = 300)
+        .select(UrlOps.urlDomain(col("url")).as("domain"), col("event_id"))
+        .orderBy("domain", "event_id")
     })
   )
 
@@ -3556,6 +3594,35 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY win_start
         |      ORDER BY n DESC, event_type) AS INTEGER) AS rank FROM b)
         |SELECT win_start, rank, event_type, n FROM r WHERE rank <= 2
-        |ORDER BY win_start, rank""".stripMargin
+        |ORDER BY win_start, rank""".stripMargin,
+    "q_url_norm" -> {
+      import graft.operators.UrlOps
+      s"""WITH u AS (SELECT event_id, ${UrlOps.syntheticUrlSqlExpr} AS raw FROM events)
+         |SELECT event_id,
+         |  ${UrlOps.normalizeUrlSqlExpr("raw")} AS url,
+         |  ${UrlOps.hostSqlExpr("raw")} AS host,
+         |  ${UrlOps.urlDomainSqlExpr("raw")} AS domain
+         |FROM u ORDER BY event_id""".stripMargin
+    },
+    "q_domain_stats" -> {
+      import graft.operators.UrlOps
+      s"""WITH u AS (SELECT ${UrlOps.syntheticUrlSqlExpr} AS raw FROM events),
+         |d AS (SELECT ${UrlOps.urlDomainSqlExpr("raw")} AS domain,
+         |        len(raw) AS nc FROM u)
+         |SELECT domain, count(*) AS n_docs, CAST(sum(nc) AS BIGINT) AS n_chars
+         |FROM d WHERE NOT (domain IN ('example.org'))
+         |GROUP BY domain ORDER BY domain""".stripMargin
+    },
+    "q_domain_cap" -> {
+      import graft.operators.UrlOps
+      s"""WITH u AS (SELECT event_id, ${UrlOps.syntheticUrlSqlExpr} AS raw FROM events),
+         |d AS (SELECT event_id, ${UrlOps.urlDomainSqlExpr("raw")} AS domain FROM u),
+         |r AS (SELECT domain, event_id,
+         |        row_number() OVER (PARTITION BY domain
+         |          ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+         |      FROM d)
+         |SELECT domain, event_id FROM r WHERE rn <= 300
+         |ORDER BY domain, event_id""".stripMargin
+    }
   )
 }
