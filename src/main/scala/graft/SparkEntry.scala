@@ -2112,6 +2112,43 @@ object SparkEntry {
       UrlOps.perDomainCap(base, "url", "event_id", cap = 300)
         .select(UrlOps.urlDomain(col("url")).as("domain"), col("event_id"))
         .orderBy("domain", "event_id")
+    }),
+
+    // embedding preprocessing: per-dimension corpus mean/variance — the
+    // probe before centering/whitening/quantizer training; 1e-9-quantized
+    // exact long sums make it bit-reproducible across engines
+    "q_emb_stats" -> ((s, dir) => {
+      Similarity.dimStats(table(s, dir, "embeddings"), "embedding")
+        .orderBy("pos")
+    }),
+
+    // embedding preprocessing: center on corpus means (broadcast means
+    // array, narrow zip_with) — exploded and 1e-6-floored for hashing
+    "q_emb_center" -> ((s, dir) => {
+      val c = Similarity.centerVectors(table(s, dir, "embeddings"),
+        "embedding", "c")
+      c.select(col("vec_id"), posexplode(col("c")).as(Seq("pos0", "cx")))
+        .select(col("vec_id"), (col("pos0") + 1).as("pos"),
+          floor(col("cx") * 1e6).cast("long").as("c6"))
+        .orderBy("vec_id", "pos")
+    }),
+
+    // embedding preprocessing: L2 norm of the centered vector + first
+    // unit-sphere element; DECIMAL-exact square accumulation so the norm
+    // is aggregation-order- and engine-independent
+    "q_emb_unit" -> ((s, dir) => {
+      val c = Similarity.centerVectors(table(s, dir, "embeddings"),
+        "embedding", "c")
+      val ex = c.select(col("vec_id"), posexplode(col("c")).as(Seq("pos0", "cx")))
+      val agg = ex.groupBy("vec_id").agg(
+        sqrt(sum((col("cx") * col("cx")).cast(DecimalType(38, 18)))
+          .cast("double")).as("nrm"),
+        max(when(col("pos0") === 0, col("cx"))).as("cx1"))
+      agg.select(col("vec_id"),
+          floor(col("nrm") * 1e6).cast("long").as("norm6"),
+          floor(when(col("nrm") === 0, lit(0.0))
+            .otherwise(col("cx1") / col("nrm")) * 1e6).cast("long").as("u6"))
+        .orderBy("vec_id")
     })
   )
 
@@ -3623,6 +3660,42 @@ object SparkEntry {
          |      FROM d)
          |SELECT domain, event_id FROM r WHERE rn <= 300
          |ORDER BY domain, event_id""".stripMargin
-    }
+    },
+    "q_emb_stats" ->
+      """WITH e AS (SELECT generate_subscripts(embedding, 1) AS pos,
+        |             CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |s AS (SELECT pos, count(*) AS n,
+        |        sum(CAST(floor(x * 1e9) AS BIGINT)) AS s1,
+        |        sum(CAST(floor(x * x * 1e9) AS BIGINT)) AS s2
+        |      FROM e GROUP BY pos)
+        |SELECT pos, n,
+        |  CAST(s1 AS DOUBLE) / (n * 1e9) AS mean,
+        |  CAST(s2 AS DOUBLE) / (n * 1e9)
+        |    - (CAST(s1 AS DOUBLE) / (n * 1e9)) * (CAST(s1 AS DOUBLE) / (n * 1e9))
+        |    AS variance
+        |FROM s ORDER BY pos""".stripMargin,
+    "q_emb_center" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |             CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |m AS (SELECT pos, CAST(sum(CAST(floor(x * 1e9) AS BIGINT)) AS DOUBLE)
+        |        / (count(*) * 1e9) AS mean FROM e GROUP BY pos)
+        |SELECT e.vec_id, e.pos,
+        |  CAST(floor((e.x - m.mean) * 1e6) AS BIGINT) AS c6
+        |FROM e JOIN m USING (pos) ORDER BY vec_id, pos""".stripMargin,
+    "q_emb_unit" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |             CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |m AS (SELECT pos, CAST(sum(CAST(floor(x * 1e9) AS BIGINT)) AS DOUBLE)
+        |        / (count(*) * 1e9) AS mean FROM e GROUP BY pos),
+        |c AS (SELECT e.vec_id, e.pos, e.x - m.mean AS cx
+        |      FROM e JOIN m USING (pos)),
+        |a AS (SELECT vec_id,
+        |        sqrt(CAST(sum(CAST(cx * cx AS DECIMAL(38,18))) AS DOUBLE)) AS nrm,
+        |        max(CASE WHEN pos = 1 THEN cx END) AS cx1
+        |      FROM c GROUP BY vec_id)
+        |SELECT vec_id, CAST(floor(nrm * 1e6) AS BIGINT) AS norm6,
+        |  CAST(floor((CASE WHEN nrm = 0 THEN 0 ELSE cx1 / nrm END) * 1e6)
+        |    AS BIGINT) AS u6
+        |FROM a ORDER BY vec_id""".stripMargin
   )
 }

@@ -665,4 +665,64 @@ object Similarity {
         cosine(col("__cv"), col("__qv")).as("__sim"))
     finishTopK(scored, k)
   }
+
+  /** Per-dimension corpus statistics of an embedding column: count, mean
+    * and population variance — the preprocessing probe before centering,
+    * whitening or quantizer training. Same 1e-9 quantization trick as
+    * [[centroids]] (floor-scaled exact long sums for x and x²), so the
+    * result is bit-reproducible across aggregation orders and engines.
+    * Shuffle carries dim rows per map task (partial aggregation collapses
+    * the posexplode before the exchange) — constant in corpus size. */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame = {
+    val ex = df.select(posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+    val x = col("__v").cast("double")
+    val mean = col("s1").cast("double") / (col("n") * lit(1e9))
+    ex.groupBy((col("__pos") + 1).as("pos"))
+      .agg(count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(floor(x * 1e9).cast("long")).as("s1"),
+        org.apache.spark.sql.functions.sum(floor(x * x * 1e9).cast("long")).as("s2"))
+      .select(col("pos"), col("n"), mean.as("mean"),
+        (col("s2").cast("double") / (col("n") * lit(1e9)) - mean * mean)
+          .as("variance"))
+  }
+
+  /** Center an embedding column on the per-dimension corpus means: adds
+    * `outCol` = vec − mean (double elements). The 64-ish mean values ride
+    * a one-row broadcast (sorted collect_list → array), so the data side
+    * stays a narrow map — but note the corpus IS scanned twice (once for
+    * the means, once for the centering); persist upstream or reuse a
+    * [[dimStats]] snapshot table when the scan is the expensive part. */
+  def centerVectors(df: DataFrame, vecCol: String,
+                    outCol: String = "centered"): DataFrame = {
+    val means = dimStats(df, vecCol)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+        s => s.getField("mean")).as("__means"))
+    df.crossJoin(broadcast(means))
+      .withColumn(outCol,
+        zip_with(col(vecCol), col("__means"), (x, m) => x.cast("double") - m))
+      .drop("__means")
+  }
+
+  /** L2-normalize a vector column (unit sphere — cosine becomes dot).
+    * The norm is the native sequential-accumulation kernel ([[norm]]);
+    * zero vectors pass through unchanged instead of dividing by zero.
+    * Convenience form: the norm subtree is re-evaluated per element
+    * inside the interpreted lambda — for hot paths use [[l2NormalizeCol]],
+    * which materializes the norm once per row. */
+  def l2Normalize(v: Column): Column = {
+    val n = norm(v)
+    when(n === 0.0, transform(v, x => x.cast("double")))
+      .otherwise(transform(v, x => x.cast("double") / n))
+  }
+
+  /** [[l2Normalize]] as a projection step: `outCol` = unit vector, with
+    * the norm computed once per row in its own column (no per-element
+    * re-evaluation). Narrow — no shuffle. */
+  def l2NormalizeCol(df: DataFrame, vecCol: String,
+                     outCol: String = "unit"): DataFrame =
+    df.withColumn("__n", norm(col(vecCol)))
+      .withColumn(outCol,
+        when(col("__n") === 0.0, transform(col(vecCol), x => x.cast("double")))
+          .otherwise(transform(col(vecCol), x => x.cast("double") / col("__n"))))
+      .drop("__n")
 }

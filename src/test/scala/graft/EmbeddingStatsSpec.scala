@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Embedding preprocessing: per-dimension stats, centering, L2
+  * normalization — literal values on tiny vectors, invariants on the
+  * composed pipeline, kernel/HOF parity for the two normalize forms. */
+class EmbeddingStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val tiny = Seq(
+    (1L, Array(1.0f, 0.0f, 2.0f)),
+    (2L, Array(3.0f, 0.0f, 4.0f)),
+    (3L, Array(5.0f, 0.0f, 0.0f))).toDF("id", "v")
+
+  test("dimStats: exact mean and population variance per dimension") {
+    val rows = Similarity.dimStats(tiny, "v").orderBy("pos")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(rows.map(_._1) == Seq(1, 2, 3))
+    assert(rows.forall(_._2 == 3L))
+    def near(a: Double, b: Double, tol: Double = 1e-6) = math.abs(a - b) <= tol
+    val means = rows.map(_._3)
+    assert(near(means(0), 3.0))            // (1+3+5)/3
+    assert(means(1) == 0.0)
+    assert(near(means(2), 2.0))            // (2+4+0)/3
+    val vars = rows.map(_._4)
+    assert(near(vars(0), 8.0 / 3))         // E[x²]−mean² = 35/3 − 9
+    assert(vars(1) == 0.0)
+    assert(near(vars(2), 8.0 / 3))
+  }
+
+  test("centerVectors: centered dimensions sum to ~0; shape preserved") {
+    val c = Similarity.centerVectors(tiny, "v", "c")
+    assert(c.columns.toSeq == Seq("id", "v", "c"))
+    val sums = c.select(posexplode(col("c")).as(Seq("p", "x")))
+      .groupBy("p").agg(sum("x").as("s")).orderBy("p")
+      .as[(Int, Double)].collect().map(_._2)
+    assert(sums.forall(math.abs(_) < 1e-6))
+  }
+
+  test("l2Normalize: unit norm, zero vector passes through, forms agree") {
+    val df = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f))).toDF("id", "v")
+    val a = df.select(col("id"), Similarity.l2Normalize(col("v")).as("u"))
+      .orderBy("id").as[(Long, Seq[Double])].collect()
+    assert(a(0)._2 == Seq(0.6, 0.8))
+    assert(a(1)._2 == Seq(0.0, 0.0))       // no NaN from the zero norm
+    val b = Similarity.l2NormalizeCol(df, "v", "u")
+      .orderBy("id").select("u").as[Seq[Double]].collect()
+    assert(a.map(_._2).toSeq == b.toSeq)   // column and frame forms agree
+    // composed: center → normalize leaves every non-degenerate row unit
+    val unit = Similarity.l2NormalizeCol(
+      Similarity.centerVectors(tiny, "v", "c"), "c", "u")
+    val norms = unit.select(Similarity.norm(col("u"))).as[Double].collect()
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-9))
+  }
+}
