@@ -2149,6 +2149,18 @@ object SparkEntry {
           floor(when(col("nrm") === 0, lit(0.0))
             .otherwise(col("cx1") / col("nrm")) * 1e6).cast("long").as("u6"))
         .orderBy("vec_id")
+    }),
+
+    // data layout: Morton (z-order) code over two bucketed keys — the
+    // interleaved sort key whose range partitioning tightens parquet
+    // min/max envelopes on BOTH dimensions (ZOrder.clusterByZ)
+    "q_zorder" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      ev.select(col("event_id"),
+          graft.operators.ZOrder.zValue(
+            pmod(col("user_id"), lit(64)), pmod(col("event_id"), lit(64)),
+            bits = 6).as("z"))
+        .orderBy("event_id")
     })
   )
 
@@ -3696,6 +3708,11 @@ object SparkEntry {
         |SELECT vec_id, CAST(floor(nrm * 1e6) AS BIGINT) AS norm6,
         |  CAST(floor((CASE WHEN nrm = 0 THEN 0 ELSE cx1 / nrm END) * 1e6)
         |    AS BIGINT) AS u6
-        |FROM a ORDER BY vec_id""".stripMargin
+        |FROM a ORDER BY vec_id""".stripMargin,
+    "q_zorder" ->
+      s"""SELECT event_id,
+         |  ${graft.operators.ZOrder.zValueSqlExpr(
+               "(user_id % 64)", "(event_id % 64)", 6)} AS z
+         |FROM events ORDER BY event_id""".stripMargin
   )
 }
