@@ -2161,6 +2161,17 @@ object SparkEntry {
             pmod(col("user_id"), lit(64)), pmod(col("event_id"), lit(64)),
             bits = 6).as("z"))
         .orderBy("event_id")
+    }),
+
+    // embedding analytics: dominant eigenvector of the corpus second
+    // moment by distributed power iteration — two matvec joins per pass
+    // over the exploded relation, DECIMAL-exact sums, 1e-9-quantized
+    // iterates (bit-reproducible trajectory, no driver collect)
+    "q_power_iter" -> ((s, dir) => {
+      Similarity.powerIteration(table(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, iters = 3)
+        .select(col("pos"), floor(col("v") * 1e6).cast("long").as("v6"))
+        .orderBy("pos")
     })
   )
 
@@ -3713,6 +3724,7 @@ object SparkEntry {
       s"""SELECT event_id,
          |  ${graft.operators.ZOrder.zValueSqlExpr(
                "(user_id % 64)", "(event_id % 64)", 6)} AS z
-         |FROM events ORDER BY event_id""".stripMargin
+         |FROM events ORDER BY event_id""".stripMargin,
+    "q_power_iter" -> Similarity.powerIterationOracleSql(dim = 64, iters = 3)
   )
 }

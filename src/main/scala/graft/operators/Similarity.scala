@@ -725,4 +725,79 @@ object Similarity {
         when(col("__n") === 0.0, transform(col(vecCol), x => x.cast("double")))
           .otherwise(transform(col(vecCol), x => x.cast("double") / col("__n"))))
       .drop("__n")
+
+  /** Dominant eigenvector of the corpus second-moment matrix (Σ x·xᵀ) by
+    * distributed power iteration — PCA's top component when the input is
+    * centered first ([[centerVectors]]).
+    *
+    * Never materializes the d×d matrix: each iteration is two matvecs
+    * expressed as joins over the exploded (row, pos, value) relation —
+    * w_r = ⟨x_r, v⟩ (join on pos with the broadcast 64-row v, group by
+    * row), then u_p = Σ_r w_r·x_rp (join on row id, group by pos) — so
+    * cost is O(nnz) per iteration and it scales to any dimension whose
+    * vector fits in one row. All inner sums accumulate in DECIMAL(38,18)
+    * and each normalized iterate is quantized to 1e-9, making the whole
+    * trajectory (including the eigenvector's sign, fixed by the uniform
+    * positive start) bit-reproducible across engines, partitionings and
+    * aggregation orders. No driver collect — the normalizer rides a
+    * broadcast one-row crossJoin.
+    *
+    * Lineage re-derives the exploded relation ~2× per iteration; for
+    * iters beyond the default, pass a [[CacheScope]] to persist it.
+    * Returns long-form (pos 1-based, v). */
+  def powerIteration(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                     iters: Int = 3, scope: Option[CacheScope] = None): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters must be in [1,16], got $iters")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 18)
+    val e0 = df.select(col(idCol).as("__rid"),
+        posexplode(col(vecCol)).as(Seq("__p0", "__x")))
+      .select(col("__rid"), (col("__p0") + 1).as("pos"),
+        col("__x").cast("double").as("x"))
+    val e = scope.fold(e0)(_.cache(e0))
+    // uniform positive start, quantized exactly as every later iterate
+    val q0 = math.floor(1e9 / math.sqrt(dim.toDouble)) / 1e9
+    var v = e.select("pos").distinct().withColumn("v", lit(q0))
+    for (_ <- 1 to iters) {
+      val w = e.join(broadcast(v), "pos")
+        .groupBy("__rid")
+        .agg(org.apache.spark.sql.functions.sum((col("x") * col("v")).cast(dec))
+          .cast("double").as("w"))
+      val u = e.join(w, "__rid")
+        .groupBy("pos")
+        .agg(org.apache.spark.sql.functions.sum((col("w") * col("x")).cast(dec))
+          .cast("double").as("u"))
+      val n = u.agg(sqrt(org.apache.spark.sql.functions
+        .sum((col("u") * col("u")).cast(dec)).cast("double")).as("nrm"))
+      v = u.crossJoin(broadcast(n))
+        .select(col("pos"), (floor(col("u") / col("nrm") * 1e9) / 1e9).as("v"))
+    }
+    v
+  }
+
+  /** DuckDB twin of [[powerIteration]] over an `embeddings(vec_id,
+    * embedding)`-shaped table: the same iteration unrolled as chained
+    * CTEs, same DECIMAL accumulation, same 1e-9 quantization. Final
+    * select emits (pos, v6 = floor(v·1e6)). */
+  def powerIterationOracleSql(dim: Int, iters: Int): String = {
+    val q0 = math.floor(1e9 / math.sqrt(dim.toDouble)) / 1e9
+    val head =
+      s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |             CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+         |v0 AS (SELECT i AS pos, $q0 AS v FROM generate_series(1, $dim) t(i))""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""w$k AS (SELECT e.vec_id,
+         |    CAST(sum(CAST(e.x * p.v AS DECIMAL(38,18))) AS DOUBLE) AS w
+         |  FROM e JOIN v${k - 1} p ON e.pos = p.pos GROUP BY e.vec_id),
+         |u$k AS (SELECT e.pos,
+         |    CAST(sum(CAST(w$k.w * e.x AS DECIMAL(38,18))) AS DOUBLE) AS u
+         |  FROM e JOIN w$k USING (vec_id) GROUP BY e.pos),
+         |n$k AS (SELECT sqrt(CAST(sum(CAST(u * u AS DECIMAL(38,18))) AS DOUBLE))
+         |    AS nrm FROM u$k),
+         |v$k AS (SELECT pos, floor(u / nrm * 1e9) / 1e9 AS v FROM u$k, n$k)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT pos, CAST(floor(v * 1e6) AS BIGINT) AS v6 FROM v$iters ORDER BY pos"
+  }
 }

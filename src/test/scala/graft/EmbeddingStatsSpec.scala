@@ -56,4 +56,29 @@ class EmbeddingStatsSpec extends AnyFunSuite {
     val norms = unit.select(Similarity.norm(col("u"))).as[Double].collect()
     assert(norms.forall(n => math.abs(n - 1.0) < 1e-9))
   }
+
+  test("powerIteration converges to the dominant eigenvector, exactly reproducibly") {
+    // Σ x·xᵀ = diag(4, 1): dominant direction is e1; the uniform positive
+    // start pins the sign
+    val m = Seq((1L, Array(2.0f, 0.0f)), (2L, Array(0.0f, 1.0f))).toDF("id", "v")
+    val v = Similarity.powerIteration(m, "id", "v", dim = 2, iters = 4)
+      .orderBy("pos").as[(Int, Double)].collect()
+    assert(v.map(_._1).toSeq == Seq(1, 2))
+    assert(v(0)._2 > 0.999 && math.abs(v(1)._2) < 0.05)
+    assert(math.abs(v.map(t => t._2 * t._2).sum - 1.0) < 1e-6)
+    // bit-exact determinism across runs (quantized trajectory)
+    val again = Similarity.powerIteration(m, "id", "v", dim = 2, iters = 4)
+      .orderBy("pos").as[(Int, Double)].collect()
+    assert(v.map(_._2).toSeq == again.map(_._2).toSeq)
+    // PCA composition: centered points along y=x give the (1,1)/√2 axis
+    val line = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(2.0f, 2.0f)),
+      (3L, Array(4.0f, 4.0f))).toDF("id", "v")
+    val pc = Similarity.powerIteration(
+        Similarity.centerVectors(line, "v", "c"), "id", "c", dim = 2, iters = 3)
+      .orderBy("pos").as[(Int, Double)].collect().map(_._2)
+    assert(math.abs(pc(0) - pc(1)) < 1e-9 &&
+      math.abs(pc(0) - 1.0 / math.sqrt(2)) < 1e-6)
+    assertThrows[IllegalArgumentException](
+      Similarity.powerIteration(m, "id", "v", dim = 2, iters = 0))
+  }
 }
