@@ -2172,6 +2172,13 @@ object SparkEntry {
           "vec_id", "embedding", dim = 64, iters = 3)
         .select(col("pos"), floor(col("v") * 1e6).cast("long").as("v6"))
         .orderBy("pos")
+    }),
+
+    // tokenizer training: BPE pair counting — the corpus collapses to a
+    // distinct-word table once, then pair stats run on the vocabulary
+    // (deterministic top-k: count desc, pair asc)
+    "q_bpe_pairs" -> ((s, dir) => {
+      TextAnalysis.bpeTopPairs(table(s, dir, "documents"), "text", k = 40)
     })
   )
 
@@ -3725,6 +3732,16 @@ object SparkEntry {
          |  ${graft.operators.ZOrder.zValueSqlExpr(
                "(user_id % 64)", "(event_id % 64)", 6)} AS z
          |FROM events ORDER BY event_id""".stripMargin,
-    "q_power_iter" -> Similarity.powerIterationOracleSql(dim = 64, iters = 3)
+    "q_power_iter" -> Similarity.powerIterationOracleSql(dim = 64, iters = 3),
+    "q_bpe_pairs" ->
+      """WITH t AS (SELECT unnest(list_filter(
+        |        string_split_regex(trim(lower(text)), '\s+'),
+        |        w -> len(w) > 0)) AS w FROM documents),
+        |f AS (SELECT w, count(*) AS freq FROM t GROUP BY w),
+        |p AS (SELECT substring(w, i, 2) AS pair, freq FROM (
+        |        SELECT w, freq, unnest(range(1, len(w))) AS i
+        |        FROM f WHERE len(w) >= 2) s)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 40""".stripMargin
   )
 }

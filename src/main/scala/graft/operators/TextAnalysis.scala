@@ -789,6 +789,55 @@ object TextAnalysis {
     val ratio = s"(CAST($mx AS DOUBLE) / CAST(greatest($total, 1) AS DOUBLE))"
     (dominant, ratio)
   }
+
+  // ---- BPE vocabulary induction (tokenizer training's inner loop) ----
+
+  /** Distinct-word symbol table for BPE training: one row per distinct
+    * lower-cased whitespace token with its corpus frequency and its
+    * symbol sequence (initially single characters). THE scale move of
+    * BPE training is exactly this aggregate: a 100 TB corpus collapses
+    * to a vocabulary-sized table (millions of rows, not billions), and
+    * every merge round after it runs on the small table only. */
+  def initBpeWords(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .where(length(col("w")) >= 2)
+      .withColumn("syms", split(col("w"), ""))
+
+  /** Adjacent-symbol pair frequencies over a (syms, freq) word table:
+    * the quantity BPE maximizes each round. Pairs explode per word
+    * (bounded by word length); the aggregate shuffles one row per
+    * distinct pair — tiny next to the corpus. */
+  def bpePairStats(words: DataFrame): DataFrame =
+    words.select(col("freq"),
+        explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS a, syms[i + 1] AS b))"))
+          .as("p"))
+      .select(concat(col("p.a"), col("p.b")).as("pair"), col("freq"))
+      .groupBy("pair").agg(org.apache.spark.sql.functions.sum("freq").as("cnt"))
+
+  /** One BPE merge: rewrite every word's symbol sequence replacing each
+    * adjacent (a, b) with the merged symbol a+b (leftmost-first,
+    * non-overlapping — the standard BPE apply order). A narrow
+    * projection over the word table via an array fold. */
+  def applyBpeMerge(words: DataFrame, a: String, b: String): DataFrame = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    val (qa, qb) = (esc(a), esc(b))
+    words.withColumn("syms",
+      expr(s"""aggregate(syms, CAST(array() AS ARRAY<STRING>),
+        |  (acc, x) -> CASE WHEN size(acc) > 0
+        |      AND element_at(acc, -1) = '$qa' AND x = '$qb'
+        |    THEN concat(slice(acc, 1, size(acc) - 1), array('$qa' || '$qb'))
+        |    ELSE concat(acc, array(x)) END)""".stripMargin))
+  }
+
+  /** Top-k candidate merges straight from a corpus: [[initBpeWords]] →
+    * [[bpePairStats]] → deterministic top-k (count desc, pair asc).
+    * Looping: apply the winner with [[applyBpeMerge]] and re-count —
+    * every round touches only the vocabulary table. */
+  def bpeTopPairs(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    bpePairStats(initBpeWords(docs, textCol))
+      .orderBy(desc("cnt"), col("pair")).limit(k)
 }
 
 /** Language-ID profiles shared between the Spark expression and the DuckDB
