@@ -739,8 +739,11 @@ object Similarity {
     * and each normalized iterate is quantized to 1e-9, making the whole
     * trajectory (including the eigenvector's sign, fixed by the uniform
     * positive start) bit-reproducible across engines, partitionings and
-    * aggregation orders. No driver collect — the normalizer rides a
-    * broadcast one-row crossJoin.
+    * aggregation orders. No driver collect — the normalizer is a global
+    * window over the d-row iterate, so each iteration's subtree has
+    * exactly ONE consumer and the unrolled plan stays LINEAR in iters
+    * (a two-consumer normalizer doubles the subtree per pass and leans
+    * on exchange reuse to survive).
     *
     * Lineage re-derives the exploded relation ~2× per iteration; for
     * iters beyond the default, pass a [[CacheScope]] to persist it.
@@ -768,10 +771,11 @@ object Similarity {
         .groupBy("pos")
         .agg(org.apache.spark.sql.functions.sum((col("w") * col("x")).cast(dec))
           .cast("double").as("u"))
-      val n = u.agg(sqrt(org.apache.spark.sql.functions
-        .sum((col("u") * col("u")).cast(dec)).cast("double")).as("nrm"))
-      v = u.crossJoin(broadcast(n))
-        .select(col("pos"), (floor(col("u") / col("nrm") * 1e9) / 1e9).as("v"))
+      val nrm = sqrt(org.apache.spark.sql.functions
+        .sum((col("u") * col("u")).cast(dec))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy())
+        .cast("double"))
+      v = u.select(col("pos"), (floor(col("u") / nrm * 1e9) / 1e9).as("v"))
     }
     v
   }
@@ -793,9 +797,9 @@ object Similarity {
          |u$k AS (SELECT e.pos,
          |    CAST(sum(CAST(w$k.w * e.x AS DECIMAL(38,18))) AS DOUBLE) AS u
          |  FROM e JOIN w$k USING (vec_id) GROUP BY e.pos),
-         |n$k AS (SELECT sqrt(CAST(sum(CAST(u * u AS DECIMAL(38,18))) AS DOUBLE))
-         |    AS nrm FROM u$k),
-         |v$k AS (SELECT pos, floor(u / nrm * 1e9) / 1e9 AS v FROM u$k, n$k)""".stripMargin
+         |v$k AS (SELECT pos, floor(u / sqrt(CAST(
+         |    sum(CAST(u * u AS DECIMAL(38,18))) OVER () AS DOUBLE)) * 1e9) / 1e9
+         |    AS v FROM u$k)""".stripMargin
     }
     (head +: steps).mkString(",\n") +
       s"\nSELECT pos, CAST(floor(v * 1e6) AS BIGINT) AS v6 FROM v$iters ORDER BY pos"

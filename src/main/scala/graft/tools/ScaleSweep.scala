@@ -206,6 +206,39 @@ object ScaleSweep {
         factor = 8, hotThreshold = 1000L)
     })
 
+    // round-5 session-5 operators: URL canonicalize + per-domain cap
+    // (narrow regex algebra, then ONE window shuffle keyed by ~1000
+    // domains), embedding centering (stats aggregate + broadcast
+    // zip_with), power iteration (2 matvec joins per pass — the slope
+    // isolates the exploded-relation shuffles), BPE pair counting (the
+    // corpus→vocab collapse is the only big aggregate; ciphered copies
+    // grow the vocab linearly, the honest worst case), z-order layout
+    // (one range exchange + sort)
+    sweep("url_domain_cap")(k => {
+      val u = concat(lit("HTTPS://WWW.site"),
+        pmod(col("doc_id"), lit(997)).cast("string"),
+        lit(".COM:443/p/"), col("doc_id").cast("string"),
+        lit("?utm_source=x&b=2&a=1#f"))
+      val t = docsAt(k).select(col("doc_id"),
+        graft.operators.UrlOps.normalizeUrl(u).as("url"))
+      graft.operators.UrlOps.perDomainCap(t, "url", "doc_id", cap = 50)
+    })
+    sweep("emb_center")(k =>
+      Similarity.centerVectors(embAt(k), "embedding", "c"))
+    sweep("power_iter")(k =>
+      Similarity.powerIteration(embAt(k), "vec_id", "embedding",
+        dim = 64, iters = 1))
+    // (power_iter is swept at iters=1 — per-pass cost; total is linear
+    // in iters by construction since the window normalizer keeps each
+    // iteration's subtree single-consumer)
+    sweep("bpe_pairs")(k =>
+      TextAnalysis.bpeTopPairs(docsAt(k), "text", k = 40))
+    sweep("zorder_cluster")(k => graft.operators.ZOrder.clusterByZ(
+      docsAt(k).select(col("doc_id"),
+        pmod(col("doc_id"), lit(1024)).cast("int").as("x"),
+        pmod(length(col("text")), lit(1024)).cast("int").as("y")),
+      "x", "y", bits = 10, numPartitions = Some(32)))
+
     val json = results.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(x => f"$x%.2f").mkString(",") + "]"
     }.mkString("{", ",", "}")
