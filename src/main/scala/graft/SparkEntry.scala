@@ -2179,6 +2179,19 @@ object SparkEntry {
     // (deterministic top-k: count desc, pair asc)
     "q_bpe_pairs" -> ((s, dir) => {
       TextAnalysis.bpeTopPairs(table(s, dir, "documents"), "text", k = 40)
+    }),
+
+    // analytics: per-group OLS trend (value ~ hours) from one moment
+    // aggregate — DECIMAL-exact sums, one fixed double combination
+    // mirrored in the oracle
+    "q_group_linfit" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      // µs-truncated ns (DuckDB reads parquet ns timestamps at µs)
+      graft.operators.Regression.groupLinearFit(ev, Seq("user_id"),
+          expr("ts DIV 1000 * 1000").cast("double") / lit(3.6e12), col("value"))
+        .select(col("user_id"), col("n"), round(col("slope"), 9).as("slope"),
+          round(col("intercept"), 6).as("intercept"), round(col("r2"), 9).as("r2"))
+        .orderBy("user_id")
     })
   )
 
@@ -3742,6 +3755,14 @@ object SparkEntry {
         |        SELECT w, freq, unnest(range(1, len(w))) AS i
         |        FROM f WHERE len(w) >= 2) s)
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY pair
-        |ORDER BY cnt DESC, pair LIMIT 40""".stripMargin
+        |ORDER BY cnt DESC, pair LIMIT 40""".stripMargin,
+    "q_group_linfit" -> {
+      val inner = graft.operators.Regression.groupLinearFitOracleSql(
+        "user_id", "CAST(epoch_ns(ts) AS DOUBLE) / 3.6e12", "CAST(value AS DOUBLE)",
+        "events")
+      s"""SELECT user_id, n, round(slope, 9) AS slope,
+         |  round(intercept, 6) AS intercept, round(r2, 9) AS r2
+         |FROM ($inner) ORDER BY user_id""".stripMargin
+    }
   )
 }
