@@ -2192,6 +2192,17 @@ object SparkEntry {
         .select(col("user_id"), col("n"), round(col("slope"), 9).as("slope"),
           round(col("intercept"), 6).as("intercept"), round(col("r2"), 9).as("r2"))
         .orderBy("user_id")
+    }),
+
+    // contrastive training: deterministic negative sampling — md5-derived
+    // uniform draws against a scalable dense corpus index (no global
+    // sort, no crossJoin, partition-invariant)
+    "q_neg_sample" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val anchors = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+      graft.operators.DetRandom.negativeSample(docs, "doc_id",
+          anchors, "doc_id", k = 4)
+        .orderBy("anchor", "j")
     })
   )
 
@@ -3763,6 +3774,20 @@ object SparkEntry {
       s"""SELECT user_id, n, round(slope, 9) AS slope,
          |  round(intercept, 6) AS intercept, round(r2, 9) AS r2
          |FROM ($inner) ORDER BY user_id""".stripMargin
+    },
+    "q_neg_sample" -> {
+      import graft.operators.DetRandom
+      val draw = DetRandom.md5Long48SqlExpr(
+        "CAST(anchor AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
+      s"""WITH ix AS (${DetRandom.denseIndexSql("doc_id", "documents")}),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |an AS (SELECT doc_id AS anchor FROM documents WHERE doc_id % 97 = 0),
+         |js AS (SELECT unnest(range(1, 5)) AS j),
+         |dr AS (SELECT anchor, j, ($draw) % nn.n AS idx FROM an, js, nn)
+         |SELECT dr.anchor, dr.j, ix.doc_id AS neg
+         |FROM dr JOIN ix ON dr.idx = ix.idx
+         |WHERE ix.doc_id <> dr.anchor
+         |ORDER BY anchor, j""".stripMargin
     }
   )
 }
