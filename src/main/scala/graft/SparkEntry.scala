@@ -2194,6 +2194,21 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // contrastive training: hard negatives — per anchor, the k most
+    // cosine-similar vectors with a DIFFERENT label (label-mismatch
+    // predicate applied map-side before scoring; bounded-heap partial
+    // top-k truncates to k pre-shuffle)
+    "q_hard_neg" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val anchors = emb.where(col("vec_id") < 10)
+      graft.operators.Similarity.hardNegatives(
+          emb, "vec_id", "embedding", "label",
+          anchors, "vec_id", "embedding", "label", k = 5)
+        .select(col("anchor_id"), col("rank"), col("neg_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("anchor_id", "rank")
+    }),
+
     // contrastive training: deterministic negative sampling — md5-derived
     // uniform draws against a scalable dense corpus index (no global
     // sort, no crossJoin, partition-invariant)
@@ -3775,6 +3790,21 @@ object SparkEntry {
          |  round(intercept, 6) AS intercept, round(r2, 9) AS r2
          |FROM ($inner) ORDER BY user_id""".stripMargin
     },
+    "q_hard_neg" ->
+      """WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.anchor_id, e.vec_id AS neg_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+        |  FROM embeddings e, q WHERE e.label <> q.ql),
+        |ranked AS (SELECT anchor_id, neg_id, sim,
+        |  row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neg_id) AS rank
+        |  FROM scored)
+        |SELECT anchor_id, rank, neg_id, round(sim, 6) AS cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
     "q_neg_sample" -> {
       import graft.operators.DetRandom
       val draw = DetRandom.md5Long48SqlExpr(

@@ -150,6 +150,37 @@ object Similarity {
     finishTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * `k` corpus vectors MOST similar to it among rows whose `labelCol`
+    * differs from the anchor's — the negatives nearest the decision
+    * boundary, the ones a contrastive loss learns most from (random
+    * negatives are trivially separable; see [[DetRandom.negativeSample]]
+    * for that cheap complement — real batches mix the two).
+    *
+    * Same scale shape as [[bruteForceTopK]]: anchors broadcast (a
+    * training batch, small by construction), the corpus streams map-side
+    * with the label-mismatch predicate applied BEFORE any scoring, and
+    * the bounded-heap partial top-k ([[graft.functions.TopKByScore]])
+    * truncates every partition's state to k before the single per-anchor
+    * shuffle — corpus-side cost O(n·a·d) flops, corpus shuffle ≤
+    * k·partitions rows per anchor. Output: (anchor_id, rank, neg_id,
+    * cosine), rank 1 = hardest, ties broken by id ascending. */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String,
+                    anchors: DataFrame, aidCol: String, avecCol: String,
+                    alabelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"),
+      col(labelCol).as("__clab"))
+    val a = anchors.select(col(aidCol).as("__qid"), col(avecCol).as("__qv"),
+      col(alabelCol).as("__qlab"))
+    val scored = c.crossJoin(broadcast(a))
+      .where(col("__clab") =!= col("__qlab"))
+      .select(col("__qid"), col("__cid"), cosine(col("__cv"), col("__qv")).as("__sim"))
+    finishTopK(scored, k)
+      .select(col("query_id").as("anchor_id"), col("rank"),
+        col("neighbor_id").as("neg_id"), col("cosine"))
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion: a dense ranking
     * (exact cosine over the embedding column) and a sparse ranking
     * (Jaccard over distinct lowercase tokens of the text column) are

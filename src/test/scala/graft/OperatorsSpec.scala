@@ -117,6 +117,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("hardNegatives: cross-label only, agrees with label-filtered bruteForceTopK") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val anchors = emb.where(col("vec_id") < 3)
+    val got = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      anchors, "vec_id", "embedding", "label", k = 4).collect()
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.length == 12) // 3 anchors × k
+    // every negative carries a label different from its anchor's
+    got.foreach { r =>
+      assert(labelOf(r.getAs[Long]("neg_id")) != labelOf(r.getAs[Long]("anchor_id")),
+        s"same-label negative: $r")
+    }
+    // per anchor, must equal bruteForceTopK over the corpus with the
+    // anchor's own label removed (the predicate is the only difference)
+    anchors.select("vec_id", "label").collect().foreach { a =>
+      val (aid, alab) = (a.getLong(0), a.getInt(1))
+      val expect = Similarity.bruteForceTopK(
+        emb.where(col("label") =!= alab), "vec_id", "embedding",
+        anchors.where(col("vec_id") === aid), "vec_id", "embedding", k = 4)
+        .collect().sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
+      val mine = got.filter(_.getAs[Long]("anchor_id") == aid)
+        .sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("neg_id"), r.getAs[Double]("cosine")))
+      assert(mine.toSeq == expect.toSeq, s"anchor $aid: $mine vs $expect")
+    }
+  }
+
   test("dedup operators leak no cached blocks; CacheScope releases on close") {
     import org.apache.spark.sql.GraftSqlBridge
     val docs = spark.read.parquet(s"$dir/documents.parquet").limit(50)
