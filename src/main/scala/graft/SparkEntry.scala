@@ -49,6 +49,13 @@ object SparkEntry {
   private val PInfS = 8e8
   private val NInfS = -8e8
 
+  // fixed learned-merge list for the BPE-encode query — the vocabulary is
+  // an offline artifact in a real pipeline; the query applies it
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r",
+    "o" -> "n", "r" -> "e", "a" -> "t", "in" -> "g", "s" -> "t",
+    "an" -> "d", "o" -> "u")
+
   def queries: Map[String, (SparkSession, String) => SDF] = Map(
     // §2.7 scalar broadcasting + fused same-base Series arithmetic
     "q_scalar_arith" -> ((s, dir) => {
@@ -2181,6 +2188,17 @@ object SparkEntry {
       TextAnalysis.bpeTopPairs(table(s, dir, "documents"), "text", k = 40)
     }),
 
+    // tokenizer application: encode docs with a learned BPE merge list —
+    // merges apply in training order; the Spark replace chain and the
+    // DuckDB oracle are generated from the same list
+    "q_bpe_encode" -> ((s, dir) => {
+      val toks = graft.operators.TextAnalysis.bpeEncode(col("text"), BpeMerges)
+      table(s, dir, "documents")
+        .select(col("doc_id"), size(toks).as("n_tokens"),
+          array_join(slice(toks, 1, 12), " ").as("head_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // analytics: per-group OLS trend (value ~ hours) from one moment
     // aggregate — DECIMAL-exact sums, one fixed double combination
     // mirrored in the oracle
@@ -3782,6 +3800,13 @@ object SparkEntry {
         |        FROM f WHERE len(w) >= 2) s)
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 40""".stripMargin,
+    "q_bpe_encode" -> {
+      val toks = graft.operators.TextAnalysis
+        .bpeEncodeOracleSqlExpr("text", BpeMerges)
+      s"""SELECT doc_id, len($toks) AS n_tokens,
+         |  array_to_string(($toks)[1:12], ' ') AS head_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "q_group_linfit" -> {
       val inner = graft.operators.Regression.groupLinearFitOracleSql(
         "user_id", "CAST(epoch_ns(ts) AS DOUBLE) / 3.6e12", "CAST(value AS DOUBLE)",

@@ -838,6 +838,80 @@ object TextAnalysis {
   def bpeTopPairs(docs: DataFrame, textCol: String, k: Int): DataFrame =
     bpePairStats(initBpeWords(docs, textCol))
       .orderBy(desc("cnt"), col("pair")).limit(k)
+
+  // ---- BPE ENCODING (applying a learned merge list) ----------------------
+  //
+  // Semantics: merges apply SEQUENTIALLY in list order (the order they
+  // were learned), each pass replacing left-to-right non-overlapping
+  // occurrences — the standard "apply merges in training order" encoder.
+  // Representation: text is lower-cased, '|' stripped (it is the word-
+  // boundary marker), words char-spaced (" h e l l o ") and joined with
+  // "| ", so every symbol is space-delimited and a merge " a b " → " ab "
+  // can never cross a word boundary. Both the Spark form and the DuckDB
+  // oracle form are generated from the same merge list, so the two
+  // engines compute the identical function by construction.
+
+  private def bpeRep(text: Column): Column = {
+    val ws = filter(split(regexp_replace(lower(text), "\\|", ""), "\\s+"),
+      w => length(w) > 0)
+    concat(lit(" "), array_join(transform(ws,
+      w => regexp_replace(w, "(.)", "$1 ")), "| "))
+  }
+
+  /** Encode `text` with a learned BPE merge list → array of subword
+    * tokens. Shuffle-free single Project of chained literal `replace`
+    * calls (codegen'd); cost is O(len · merges) char scans per row, so
+    * this is the right form for MODEST merge lists (filters, probes,
+    * oracle queries). For production-sized vocabularies over a corpus use
+    * [[bpeEncodeViaVocab]], which runs this only once per DISTINCT word. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    val rep = merges.foldLeft(bpeRep(text)) { case (r, (a, b)) =>
+      replace(r, lit(s" $a $b "), lit(s" $a$b "))
+    }
+    filter(split(rep, " "), s => s =!= "" && s =!= "|")
+  }
+
+  /** [[bpeEncode]] rendered as DuckDB SQL over a text column reference —
+    * the same representation, the same replace chain, the same order. */
+  def bpeEncodeOracleSqlExpr(textRef: String,
+                             merges: Seq[(String, String)]): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val rep0 = s"' ' || array_to_string(list_transform(" +
+      s"list_filter(string_split_regex(replace(lower($textRef), '|', ''), '\\s+'), w -> len(w) > 0), " +
+      s"w -> regexp_replace(w, '(.)', '\\1 ', 'g')), '| ')"
+    val rep = merges.foldLeft(rep0) { case (r, (a, b)) =>
+      s"replace($r, ' ${esc(a)} ${esc(b)} ', ' ${esc(a)}${esc(b)} ')"
+    }
+    s"list_filter(string_split($rep, ' '), s -> s <> '' AND s <> '|')"
+  }
+
+  /** Corpus-scale BPE encoding: the merge-replace chain runs once per
+    * DISTINCT word (the [[initBpeWords]] scale move — a 100 TB corpus
+    * collapses to a vocabulary-sized table), then the word→tokens map
+    * joins back onto position-exploded docs and reassembles in order.
+    * Output: (idCol, tokens ARRAY<STRING>) — identical to applying
+    * [[bpeEncode]] per document (spec-asserted). Docs with no words keep
+    * an empty array. The join is left to AQE: the distinct-word side is
+    * vocabulary-sized and broadcasts when it fits. */
+  def bpeEncodeViaVocab(docs: DataFrame, idCol: String, textCol: String,
+                        merges: Seq[(String, String)]): DataFrame = {
+    val base = docs.select(col(idCol).as("__id"),
+      filter(split(regexp_replace(lower(col(textCol)), "\\|", ""), "\\s+"),
+        w => length(w) > 0).as("__ws"))
+    val vocab = base.select(explode(col("__ws")).as("__w")).distinct()
+      .withColumn("__toks", bpeEncode(col("__w"), merges))
+    val ordered = base.select(col("__id"), posexplode(col("__ws")))
+      .toDF("__id", "__pos", "__w")
+      .join(vocab, "__w")
+      .groupBy("__id")
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("__pos"), col("__toks")))),
+        p => p.getField("__toks"))).as("__tokens"))
+    base.select(col("__id")).distinct()
+      .join(ordered, Seq("__id"), "left_outer")
+      .select(col("__id").as(idCol),
+        coalesce(col("__tokens"), typedlit(Seq.empty[String])).as("tokens"))
+  }
 }
 
 /** Language-ID profiles shared between the Spark expression and the DuckDB

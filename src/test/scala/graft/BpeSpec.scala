@@ -41,6 +41,35 @@ class BpeSpec extends AnyFunSuite {
       .select("syms").as[Seq[String]].collect().head == Seq("i", "t", "'s"))
   }
 
+  test("bpeEncode: merges apply in order, word boundaries block merges") {
+    val merges = Seq("t" -> "h", "th" -> "e", "l" -> "l")
+    val docs = Seq((1L, "The theme"), (2L, "hello lll"), (3L, ""),
+      (4L, "a|b t h")).toDF("id", "text")
+    val got = docs.select(col("id"),
+        TextAnalysis.bpeEncode(col("text"), merges).as("toks"))
+      .orderBy("id").as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("the", "the", "m", "e"))       // th+e inside "theme"
+    // "lll": leftmost non-overlapping -> ll + l; boundary keeps words apart
+    assert(got(2L) == Seq("h", "e", "ll", "o", "ll", "l"))
+    assert(got(3L) == Seq.empty)                          // no words -> no tokens
+    // '|' stripped ("a|b" -> "ab"); "t h" split across words never merges
+    assert(got(4L) == Seq("a", "b", "t", "h"))
+  }
+
+  test("bpeEncodeViaVocab: identical to per-doc bpeEncode on real docs") {
+    val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+      "e" -> "r", "o" -> "n", "r" -> "e", "a" -> "t")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(60)
+    val direct = docs.select(col("doc_id"),
+        TextAnalysis.bpeEncode(col("text"), merges).as("tokens"))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    val vocab = TextAnalysis.bpeEncodeViaVocab(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    assert(vocab == direct)
+    assert(direct.exists(_._2.nonEmpty))
+  }
+
   test("a full merge round: apply the top pair, pair stats shift") {
     val docs = Seq("the the the that").toDF("text")
     val words = TextAnalysis.initBpeWords(docs, "text")
