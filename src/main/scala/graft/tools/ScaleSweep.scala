@@ -239,6 +239,29 @@ object ScaleSweep {
         pmod(length(col("text")), lit(1024)).cast("int").as("y")),
       "x", "y", bits = 10, numPartitions = Some(32)))
 
+    // round-5 session-6 operators: hard negatives (fixed anchor batch
+    // broadcast; the corpus stream with its map-side label predicate is
+    // what scales, and the bounded-heap top-k keeps the shuffle at
+    // k·partitions per anchor), deterministic negative sampling (dense
+    // index build is the only corpus-sized step; draws are
+    // anchor-batch-sized), BPE vocab encoding (corpus collapses to the
+    // distinct-word table, the merge-replace chain runs there, then one
+    // join back — ciphered copies grow the vocab linearly, the honest
+    // worst case for the chain)
+    sweep("hard_negatives")(k => {
+      val e = embAt(k).withColumn("label", pmod(col("vec_id"), lit(10)))
+      Similarity.hardNegatives(e, "vec_id", "embedding", "label",
+        e.where(col("vec_id") < 8), "vec_id", "embedding", "label", k = 10)
+    })
+    sweep("neg_sample")(k => graft.operators.DetRandom.negativeSample(
+      embAt(k).select("vec_id"), "vec_id",
+      emb0.where(col("vec_id") < 64).select("vec_id"), "vec_id", k = 10))
+    sweep("bpe_encode")(k => TextAnalysis.bpeEncodeViaVocab(
+      docsAt(k), "doc_id", "text",
+      Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r",
+        "o" -> "n", "r" -> "e", "a" -> "t", "in" -> "g", "s" -> "t",
+        "an" -> "d", "o" -> "u")))
+
     val json = results.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(x => f"$x%.2f").mkString(",") + "]"
     }.mkString("{", ",", "}")
