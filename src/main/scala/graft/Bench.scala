@@ -73,7 +73,11 @@ object Bench {
     val gc = field(_._2)
     val peak = field(_._3)
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gc,"peak_mb":$peak,"sf":"$sfDir"}""")
+    // a crashed query (-1.0) must never silently shrink the total the
+    // perf gate compares — name every failure in the JSON itself
+    val failedNames = results.collect { case (k, (w, _, _)) if w < 0 => k }
+    val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failedNames.size},"failed":$failed,"queries":$qs,"gc_sec":$gc,"peak_mb":$peak,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,7 +25,23 @@ object SparkEntry {
 
   private def table(s: SparkSession, dir: String, name: String): SDF =
     tableCache.getOrElseUpdate((s, s"$dir/$name.parquet"),
-      s.read.parquet(s"$dir/$name.parquet"))
+      normalizeEventTime(s.read.parquet(s"$dir/$name.parquet")))
+
+  /** Epoch-ns long time base for `events.ts`, fixed at the read boundary.
+    * The testdata has shipped `ts` as both timestamp[ns] (which
+    * `nanosAsLong=true` surfaces as a Long of nanos) and timestamp[us]
+    * (surfaced as TIMESTAMP_NTZ) — every query downstream does integer
+    * arithmetic on nanos, so both vintages converge here: a timestamp
+    * becomes `unix_micros * 1000` (UTC session, so the NTZ→instant cast
+    * is the identity and matches DuckDB's `epoch_us` on the same file),
+    * a ns-long passes through untouched. */
+  private def normalizeEventTime(df: SDF): SDF =
+    df.schema.fields.find(f => f.name == "ts" &&
+        (f.dataType == org.apache.spark.sql.types.TimestampType ||
+         f.dataType == org.apache.spark.sql.types.TimestampNTZType))
+      .map(_ => df.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L)))
+      .getOrElse(df)
 
   private def lineitem(s: SparkSession, dir: String): DataFrame =
     DataFrame.fromSpark(table(s, dir, "lineitem"),

@@ -42,7 +42,7 @@ object Profile {
   def profileOracleSql(relation: String, cols: Seq[String]): String =
     cols.map { c =>
       s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
          |  count(DISTINCT $c) AS n_distinct,
          |  CAST(min($c) AS VARCHAR) AS min_value,
          |  CAST(max($c) AS VARCHAR) AS max_value FROM $relation""".stripMargin

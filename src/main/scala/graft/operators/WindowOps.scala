@@ -15,6 +15,21 @@ object WindowOps {
   private def spec(partitionBy: Seq[String], orderBy: Seq[String]): WindowSpec =
     Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy.map(col): _*)
 
+  /** Integer time base for a time-windowed operator's ts column: a
+    * TIMESTAMP/TIMESTAMP_NTZ column becomes epoch-µs via `unix_micros`
+    * (UTC session ⇒ NTZ→instant is the identity), so callers with a
+    * typed time column pass it straight in with gap/period/lookback in
+    * MICROSECONDS; a numeric column passes through in its own units.
+    * This removes the whole unit-juggling class of bugs (round 5 lost 7
+    * queries to a ns→µs testdata drift) from every call site at once. */
+  private def numericTs(df: DataFrame, tsCol: String): Column =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(tsCol).cast("timestamp"))
+      case _ => col(tsCol)
+    }
+
   /** Per-group z-score normalization (feature scaling), engine-exact:
     * both moments accumulate in DECIMAL over ONE unordered group window
     * (no agg + join-back), and doubles appear only at the final
@@ -130,14 +145,15 @@ object WindowOps {
   /** Time-range rolling aggregate (pandas rolling("1h") over a numeric
     * time column): RANGE frame [orderCol - lookback, orderCol]. One hash
     * shuffle on the partition keys; each partition scans its range frame
-    * independently. `orderCol` must be numeric (epoch µs — see the ns/µs
-    * note in SCALE.md); pass DECIMAL-cast aggregates for engine-exact
-    * double sums. */
+    * independently. `orderCol` may be numeric (lookback in its units) or
+    * a TIMESTAMP/TIMESTAMP_NTZ (lookback in µs — see [[numericTs]]);
+    * pass DECIMAL-cast aggregates for engine-exact double sums. */
   def rollingRangeAgg(df: DataFrame, partitionBy: Seq[String],
                       orderCol: String, agg: Column, lookback: Long,
                       outCol: String): DataFrame =
     df.withColumn(outCol, agg.over(
-      Window.partitionBy(partitionBy.map(col): _*).orderBy(col(orderCol))
+      Window.partitionBy(partitionBy.map(col): _*)
+        .orderBy(numericTs(df, orderCol))
         .rangeBetween(-lookback, 0)))
 
   /** Generic trailing-window aggregate (pandas rolling(n).sum/min/max/...,
@@ -218,8 +234,9 @@ object WindowOps {
   def sessionIds(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
                  tsCol: String, gap: Long, outCol: String = "session"): DataFrame = {
     val w = spec(partitionBy, orderBy)
-    val prev = lag(col(tsCol), 1).over(w)
-    val newSession = when(prev.isNull || col(tsCol) - prev > gap, 1).otherwise(0)
+    val ts = numericTs(df, tsCol)
+    val prev = lag(ts, 1).over(w)
+    val newSession = when(prev.isNull || ts - prev > gap, 1).otherwise(0)
     df.withColumn(outCol, sum(newSession).over(
       w.rowsBetween(Window.unboundedPreceding, 0)))
   }
@@ -229,7 +246,8 @@ object WindowOps {
     * periods elapsed since their cohort period — the standard retention
     * triangle. Two aggregates and one user-key join: first-touch
     * per user, distinct (user, cohort, age) activity, count. `tsCol`
-    * must be an integer time base; `period` is in the same units.
+    * may be an integer time base (`period` in the same units) or a
+    * TIMESTAMP/TIMESTAMP_NTZ (`period` in µs — see [[numericTs]]).
     * Output: (cohort, age, n_users), cohort as the period ordinal. */
   def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
                       period: Long): DataFrame = {
@@ -238,8 +256,9 @@ object WindowOps {
     // base silently loses its low bits in a double (same trap the
     // sessionizer documents); min-then-DIV equals DIV-then-min on a
     // monotone non-negative base
-    val p = events.select(col(userCol).as("__u"),
-      expr(s"`$tsCol` DIV ${period}L").as("__p"))
+    val p = events
+      .select(col(userCol).as("__u"), numericTs(events, tsCol).as("__ts0"))
+      .select(col("__u"), expr(s"__ts0 DIV ${period}L").as("__p"))
     val first = p.groupBy("__u").agg(min(col("__p")).as("__cohort"))
     p.join(first, Seq("__u"))
       .select(col("__u"), col("__cohort"),
@@ -261,8 +280,9 @@ object WindowOps {
     * collects. The per-step relations shrink monotonically (funnels
     * converge), so later joins broadcast under AQE. Returns one row per
     * step: (step 1-based, event_type, n_users), computed lazily as a
-    * union of the k single-row aggregates. `tsCol` must be an integer
-    * time base (engine-exact comparisons). */
+    * union of the k single-row aggregates. `tsCol` may be an integer
+    * time base (engine-exact comparisons; `horizon` in the same units)
+    * or a TIMESTAMP/TIMESTAMP_NTZ (`horizon` in µs — [[numericTs]]). */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
              tsCol: String, steps: Seq[String],
              horizon: Option[Long] = None): DataFrame = {
@@ -270,7 +290,7 @@ object WindowOps {
     val reached = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (step, _)) =>
         val ev = events.where(col(typeCol) === step)
-          .select(col(userCol).as("__u"), col(tsCol).as("__ts"))
+          .select(col(userCol).as("__u"), numericTs(events, tsCol).as("__ts"))
         val eligible = prev match {
           case None => ev
           case Some(p) =>

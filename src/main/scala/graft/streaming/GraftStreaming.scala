@@ -12,23 +12,43 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   * checkpointed state store, not the driver. */
 object GraftStreaming {
 
-  /** events.parquet schema with ts as LongType nanos (see nanosAsLong). */
+  /** events.parquet schema as written by the current testdata vintage:
+    * `ts` is parquet timestamp[us] with isAdjustedToUTC=false, i.e.
+    * TIMESTAMP_NTZ. [[normalizeTs]] converts it to the epoch-ns Long
+    * every consumer (sessionize gaps, latestStream ordering, window
+    * math) computes with. */
   val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** `ts` → epoch-ns Long + derived `event_time`, at the read boundary —
+    * the streaming twin of the batch normalization in SparkEntry.table():
+    * a timestamp ts (the current testdata vintage) becomes
+    * `unix_micros * 1000` (UTC session, so the NTZ→instant cast is the
+    * identity); a Long ts (the ns vintage under nanosAsLong) passes
+    * through. Public so batch-parity specs can apply the identical
+    * transform to the static frame. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    val isTimestamp = df.schema("ts").dataType match {
+      case TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val withNs = if (isTimestamp)
+      df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    else df
+    withNs.withColumn("event_time", eventTime(col("ts")))
+  }
+
   /** File-based event stream from a directory of parquet drops. */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("event_time", eventTime(col("ts")))
+    normalizeTs(spark.readStream.schema(eventsSchema).parquet(dir))
 
   /** Stream a single table out of a directory holding several (file
     * streams require a directory source). */
   def readEventsGlob(spark: SparkSession, dir: String, glob: String): DataFrame =
-    spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", glob).parquet(dir)
-      .withColumn("event_time", eventTime(col("ts")))
+    normalizeTs(spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", glob).parquet(dir))
 
   /** ns→event time via exact integer division: a double `/1e9` has ~128 ns
     * of rounding error at 2e18 ns epoch values. Second truncation never

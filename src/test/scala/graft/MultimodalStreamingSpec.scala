@@ -151,8 +151,7 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     val total = out.agg(sum("n")).collect()(0).getLong(0)
     assert(total == 500, s"windowed counts should cover all rows, got $total")
     // batch equivalence: same aggregation on the static frame
-    val expected = spark.read.parquet(tmp)
-      .withColumn("event_time", timestamp_seconds(col("ts") / lit(1e9)))
+    val expected = GraftStreaming.normalizeTs(spark.read.parquet(tmp))
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .count().count()
     assert(out.count() == expected)
@@ -184,8 +183,7 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       .select(col("l.event_id"), col("r.event_id"))
     val q = GraftStreaming.runToMemory(joined, "ss_join_out")
     q.awaitTermination(120000)
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("event_time", GraftStreaming.eventTime(col("ts")))
+    val batch = GraftStreaming.normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
     val bc = batch.where(col("event_type") === "click").as("l")
     val bp = batch.where(col("event_type") === "purchase").as("r")
     val expected = bc.join(bp,

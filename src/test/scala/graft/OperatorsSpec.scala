@@ -1541,6 +1541,37 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, 10L) -> 1L))
   }
 
+  test("time-windowed operators accept a typed TIMESTAMP ts column (µs units)") {
+    // same events twice: epoch-µs longs vs the equivalent TIMESTAMP
+    // column — sessionIds/cohortRetention/funnel/rollingRangeAgg must
+    // agree (typed path goes through unix_micros internally)
+    val base = Seq((1L, "view", 100L), (1L, "click", 200L),
+      (1L, "view", 5000L), (2L, "view", 10L), (2L, "click", 3000L))
+    val asLong = base.toDF("user_id", "event_type", "tsu")
+    val asTyped = asLong.withColumn("tst",
+      org.apache.spark.sql.functions.timestamp_micros(col("tsu")))
+    def canonSess(df: org.apache.spark.sql.DataFrame, tsCol: String) =
+      WindowOps.sessionIds(df, Seq("user_id"), Seq("tsu"), tsCol, gap = 1000L)
+        .select("user_id", "tsu", "session").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(canonSess(asLong, "tsu") == canonSess(asTyped, "tst"))
+    def canonCohort(df: org.apache.spark.sql.DataFrame, tsCol: String) =
+      WindowOps.cohortRetention(df, "user_id", tsCol, period = 1000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(canonCohort(asLong, "tsu") == canonCohort(asTyped, "tst"))
+    def canonFunnel(df: org.apache.spark.sql.DataFrame, tsCol: String) =
+      WindowOps.funnel(df, "user_id", "event_type", tsCol,
+        Seq("view", "click"), horizon = Some(500L))
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(canonFunnel(asLong, "tsu") == canonFunnel(asTyped, "tst"))
+    def canonRange(df: org.apache.spark.sql.DataFrame, tsCol: String) =
+      WindowOps.rollingRangeAgg(df, Seq("user_id"), tsCol,
+        org.apache.spark.sql.functions.count(lit(1)), 1000L, "n")
+        .select("user_id", "tsu", "n").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(canonRange(asLong, "tsu") == canonRange(asTyped, "tst"))
+  }
+
   test("int8 quantization: scale and floor-clamped codes") {
     val df = Seq((1L, Seq(0.5f, -1.0f, 0.25f, 0.0f))).toDF("id", "v")
     val r = df.select(Similarity.quantScale(col("v")).as("s"),
