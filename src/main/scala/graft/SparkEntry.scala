@@ -2252,6 +2252,49 @@ object SparkEntry {
       graft.operators.DetRandom.negativeSample(docs, "doc_id",
           anchors, "doc_id", k = 4)
         .orderBy("anchor", "j")
+    }),
+
+    // monitoring: bounded-horizon EWMA per user — the horizon lag()
+    // terms collapse into ONE window node (one shuffle), weights are
+    // shared Scala literals so both engines sum identical doubles in
+    // identical order
+    "q_ewma" -> ((s, dir) => {
+      val ev = table(s, dir, "events").withColumn("tsu", expr("ts DIV 1000"))
+      WindowOps.ewmaBounded(ev, Seq("user_id"), Seq("tsu", "event_id"),
+          "value", alpha = 0.3, horizon = 8)
+        .select(col("event_id"), round(col("ewma"), 9).as("ewma"))
+        .orderBy("event_id")
+    }),
+
+    // behavioral analytics: first-order event-transition matrix — one
+    // window shuffle on the user key, then a |types|²-sized aggregate
+    "q_transitions" -> ((s, dir) => {
+      val ev = table(s, dir, "events").withColumn("tsu", expr("ts DIV 1000"))
+      WindowOps.transitionCounts(ev, Seq("user_id"), Seq("tsu", "event_id"),
+          "event_type")
+        .orderBy("src", "dst")
+    }),
+
+    // engagement: rolling 7-day distinct active users — activity
+    // collapsed once, bounded ×7 explode on the collapsed relation (no
+    // per-period self-join scans, no count-distinct-over-range window)
+    "q_active_users" -> ((s, dir) => {
+      val ev = table(s, dir, "events").withColumn("tsu", expr("ts DIV 1000"))
+      WindowOps.rollingActiveUsers(ev, "user_id", "tsu",
+          period = 86400000000L, windowPeriods = 7)
+        .orderBy("period")
+    }),
+
+    // warehouse temporal: SCD2 history table from the event changelog —
+    // consecutive-unchanged compaction + validity intervals in two
+    // window passes over one user-key shuffle
+    "q_scd2" -> ((s, dir) => {
+      val ev = table(s, dir, "events").withColumn("tsu", expr("ts DIV 1000"))
+      WindowOps.scd2(ev, Seq("user_id"), Seq("tsu", "event_id"),
+          "tsu", "event_type")
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("is_current"))
+        .orderBy("user_id", "valid_from", "event_type")
     })
   )
 
@@ -3859,6 +3902,48 @@ object SparkEntry {
          |FROM dr JOIN ix ON dr.idx = ix.idx
          |WHERE ix.doc_id <> dr.anchor
          |ORDER BY anchor, j""".stripMargin
-    }
+    },
+    "q_ewma" -> {
+      // identical weight literals, identical left-to-right sum order as
+      // the Spark side (ewmaWeights is the single source)
+      val terms = graft.operators.WindowOps.ewmaWeights(0.3, 8).zipWithIndex
+        .map { case (wt, d) =>
+          s"coalesce(lag(value, $d) OVER w * $wt, 0.0)" }
+        .mkString(" + ")
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, value
+         |  FROM events),
+         |x AS (SELECT event_id, $terms AS ewma FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id))
+         |SELECT event_id, round(ewma, 9) AS ewma FROM x
+         |ORDER BY event_id""".stripMargin
+    },
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id
+        |  FROM events),
+        |p AS (SELECT event_type AS src,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |    AS dst FROM e)
+        |SELECT src, dst, count(*) AS n FROM p WHERE dst IS NOT NULL
+        |GROUP BY src, dst ORDER BY src, dst""".stripMargin,
+    "q_active_users" ->
+      """WITH acts AS (SELECT DISTINCT user_id AS u,
+        |    epoch_us(ts) // 86400000000 AS p FROM events),
+        |days AS (SELECT DISTINCT p FROM acts)
+        |SELECT d.p AS period, count(DISTINCT a.u) AS n_active
+        |FROM days d JOIN acts a ON a.p BETWEEN d.p - 6 AND d.p
+        |GROUP BY d.p ORDER BY period""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id
+        |  FROM events),
+        |c AS (SELECT user_id, event_type, tsu, event_id,
+        |  CASE WHEN lag(event_type) OVER w IS NULL
+        |       OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |v AS (SELECT user_id, event_type, tsu, event_id FROM c WHERE chg = 1)
+        |SELECT user_id, event_type, tsu AS valid_from,
+        |  lead(tsu) OVER wv AS valid_to,
+        |  lead(tsu) OVER wv IS NULL AS is_current
+        |FROM v WINDOW wv AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |ORDER BY user_id, valid_from, event_type""".stripMargin
   )
 }

@@ -268,6 +268,103 @@ object WindowOps {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Bounded-horizon EWMA per key: the classic recursive smoother
+    * y_i = α·v_i + (1−α)·y_{i−1} truncated to its last `horizon` terms —
+    * y_i = Σ_{d=0..horizon−1} α(1−α)^d · v_{i−d} over rows that exist
+    * (truncation error ≤ (1−α)^horizon of the dropped mass; leading rows
+    * simply have fewer terms, no renormalization). The exact recursion
+    * is a sequential scan — unbounded lookback per row — which at 100 TB
+    * means either a per-key sort-merge pass or this: `horizon` lag()
+    * calls that all collapse into ONE window node (one hash shuffle on
+    * the key, whole-stage codegen'd arithmetic), with the sum written in
+    * fixed left-to-right order so two engines evaluating the same
+    * literal weights agree bit-for-bit. */
+  def ewmaBounded(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
+                  valueCol: String, alpha: Double, horizon: Int,
+                  outCol: String = "ewma"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(horizon >= 1, "horizon must be >= 1")
+    val w = spec(partitionBy, orderBy)
+    val terms = ewmaWeights(alpha, horizon).zipWithIndex.map { case (wt, d) =>
+      coalesce(lag(col(valueCol), d).over(w) * lit(wt), lit(0.0))
+    }
+    df.withColumn(outCol, terms.reduceLeft(_ + _))
+  }
+
+  /** The literal weights α(1−α)^d, d = 0..horizon−1 — shared by
+    * [[ewmaBounded]] and any oracle SQL generated for it, so both
+    * engines inline the SAME double literals. */
+  def ewmaWeights(alpha: Double, horizon: Int): Seq[Double] =
+    Seq.tabulate(horizon)(d => alpha * math.pow(1 - alpha, d))
+
+  /** Event-transition counts (first-order Markov estimate over the
+    * event stream): per key, each event pairs with its successor in
+    * (orderBy) order, and (src, dst) pairs are counted corpus-wide.
+    * One window shuffle on the key + one hash aggregate whose map-side
+    * partials collapse it to the |types|² transition matrix. */
+  def transitionCounts(df: DataFrame, partitionBy: Seq[String],
+                       orderBy: Seq[String], typeCol: String): DataFrame = {
+    val nxt = lead(col(typeCol), 1).over(spec(partitionBy, orderBy))
+    df.select(col(typeCol).as("src"), nxt.as("dst"))
+      .where(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+  }
+
+  /** Rolling distinct active users (the WAU/MAU family): for every
+    * period present in the data, the number of distinct users active in
+    * the trailing `windowPeriods` periods (inclusive). `tsCol` follows
+    * [[numericTs]]; `period` in the column's units (µs for timestamps).
+    *
+    * Count-distinct over a RANGE frame doesn't exist as a window
+    * function in any engine, and the naive per-period self-join scans
+    * the activity table |periods| times. Shape instead: collapse events
+    * to distinct (user, period) activity ONCE (the big shuffle, input-
+    * sized), then explode each activity row to the `windowPeriods`
+    * windows it falls in (bounded ×k blowup on the already-collapsed
+    * relation) and count distinct per window. Windows with no in-data
+    * period are dropped by the final semi join. */
+  def rollingActiveUsers(df: DataFrame, userCol: String, tsCol: String,
+                         period: Long, windowPeriods: Int): DataFrame = {
+    require(period > 0 && windowPeriods >= 1, "period/window must be positive")
+    val acts = df
+      .select(col(userCol).as("__u"), numericTs(df, tsCol).as("__ts0"))
+      .select(col("__u"), expr(s"__ts0 DIV ${period}L").as("__p"))
+      .distinct()
+    val exploded = acts.select(col("__u"),
+      explode(sequence(col("__p"), col("__p") + (windowPeriods - 1))).as("__w"))
+    exploded.join(acts.select(col("__p").as("__w")).distinct(), Seq("__w"), "left_semi")
+      .groupBy(col("__w").as("period"))
+      .agg(countDistinct(col("__u")).as("n_active"))
+  }
+
+  /** SCD2 history table from an event changelog: per key, collapse runs
+    * of consecutive rows with an unchanged `attrCol`, then assign each
+    * surviving version its validity interval [valid_from, valid_to)
+    * (valid_to NULL = current). The standard warehouse
+    * slowly-changing-dimension compaction, as two window passes over
+    * ONE hash shuffle on the key (lag to find change points, lead over
+    * the filtered versions for the interval end). `tsCol` follows
+    * [[numericTs]] (µs for typed timestamps). */
+  def scd2(df: DataFrame, keyCols: Seq[String], orderBy: Seq[String],
+           tsCol: String, attrCol: String): DataFrame = {
+    val w = spec(keyCols, orderBy)
+    val ts = numericTs(df, tsCol)
+    val prevAttr = lag(col(attrCol), 1).over(w)
+    // carry the caller's FULL deterministic order through to the second
+    // window pass — lead over valid_from alone would tie-break
+    // differently per engine when two versions share a timestamp
+    val keep = (keyCols ++ orderBy).distinct.filterNot(_ == attrCol)
+    val versions = df
+      .withColumn("__chg", prevAttr.isNull || prevAttr =!= col(attrCol))
+      .where(col("__chg"))
+      .select(keep.map(col) :+ col(attrCol) :+ ts.as("__vf"): _*)
+    val out = versions
+      .withColumn("valid_to", lead(col("__vf"), 1).over(spec(keyCols, orderBy)))
+      .withColumn("is_current", col("valid_to").isNull)
+      .withColumnRenamed("__vf", "valid_from")
+    out.drop(orderBy.filterNot(c => keyCols.contains(c) || c == attrCol): _*)
+  }
+
   /** Ordered-sequence funnel: how many users reach each step of
     * `steps`, where step i+1 counts only when it happens STRICTLY after
     * the user's earliest completion of step i (and within `horizon` of

@@ -1541,6 +1541,59 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, 10L) -> 1L))
   }
 
+  test("ewmaBounded: truncated geometric weights, one window node") {
+    val ev = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0), (2L, 1L, 5.0))
+      .toDF("k", "t", "v")
+    val out = WindowOps.ewmaBounded(ev, Seq("k"), Seq("t"), "v",
+      alpha = 0.5, horizon = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // weights 0.5, 0.25; leading rows have fewer terms (no renorm)
+    assert(math.abs(out((1L, 1L)) - 5.0) < 1e-12)
+    assert(math.abs(out((1L, 2L)) - (10.0 + 2.5)) < 1e-12)
+    assert(math.abs(out((1L, 3L)) - (15.0 + 5.0)) < 1e-12)
+    assert(math.abs(out((2L, 1L)) - 2.5) < 1e-12)
+    // all horizon terms share ONE Window node (one shuffle)
+    val plan = WindowOps.ewmaBounded(ev, Seq("k"), Seq("t"), "v", 0.5, 8)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.split("\n").count(_.contains("Window [")) == 1, plan)
+  }
+
+  test("transitionCounts: successor pairs per key, corpus-wide counts") {
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (3L, 9L, "c"))
+      .toDF("k", "t", "e")
+    val out = WindowOps.transitionCounts(ev, Seq("k"), Seq("t"), "e")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // (a->b) twice (keys 1,2), (b->a) once; the lone key-3 event emits none
+    assert(out == Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+  }
+
+  test("rollingActiveUsers: trailing-k distinct users, observed periods only") {
+    val ev = Seq((1L, 0L), (1L, 5L), (2L, 5L), (3L, 25L))
+      .toDF("u", "ts") // period 10 -> activity periods: u1:{0},u1:{0},u2:{0},u3:{2}
+    val out = WindowOps.rollingActiveUsers(ev, "u", "ts",
+      period = 10L, windowPeriods = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // period 0: users {1,2}; period 2: {3} (period 1 absent from data ->
+    // dropped even though period-0 activity falls in its window)
+    assert(out == Map(0L -> 2L, 2L -> 1L))
+  }
+
+  test("scd2: consecutive-unchanged compaction + validity intervals") {
+    val ev = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"),
+      (1L, 40L, 4L, "A"), (2L, 5L, 5L, "X"))
+      .toDF("k", "ts", "id", "attr")
+    val out = WindowOps.scd2(ev, Seq("k"), Seq("ts", "id"), "ts", "attr")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4))).toSet
+    assert(out == Set(
+      (1L, "A", 10L, Some(30L), false),  // run A@10..20 compacts to one version
+      (1L, "B", 30L, Some(40L), false),
+      (1L, "A", 40L, None, true),        // A returns: a NEW version, not merged
+      (2L, "X", 5L, None, true)))
+  }
+
   test("time-windowed operators accept a typed TIMESTAMP ts column (µs units)") {
     // same events twice: epoch-µs longs vs the equivalent TIMESTAMP
     // column — sessionIds/cohortRetention/funnel/rollingRangeAgg must
