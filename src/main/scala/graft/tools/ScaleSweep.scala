@@ -42,6 +42,10 @@ object ScaleSweep {
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
 
+    val ev0 = graft.streaming.GraftStreaming.normalizeTs(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+      .select("user_id", "event_id", "event_type", "ts", "value")
+
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     def docsAt(k: Int): DataFrame =
       (0 until k).map { i =>
@@ -59,6 +63,17 @@ object ScaleSweep {
         emb0.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
           zip_with(col("embedding"), typedlit(signs), (x, s) => x * s)
             .as("embedding"))
+      }.reduce(_ unionAll _)
+
+    // events copies shift user_id (more keys, window partitions scale
+    // with data) and jitter ts by a per-copy offset smaller than any
+    // gap/period under test (orderings inside a key stay realistic)
+    def evAt(k: Int): DataFrame =
+      (0 until k).map { i =>
+        ev0.select((col("user_id") + lit(i * 10000000L)).as("user_id"),
+          (col("event_id") + lit(i * 1000000000L)).as("event_id"),
+          col("event_type"), (col("ts") + lit(i * 1000L)).as("ts"),
+          col("value"))
       }.reduce(_ unionAll _)
 
     def time(f: => DataFrame): Double = {
@@ -261,6 +276,22 @@ object ScaleSweep {
       Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r",
         "o" -> "n", "r" -> "e", "a" -> "t", "in" -> "g", "s" -> "t",
         "an" -> "d", "o" -> "u")))
+
+    // round-6 temporal-analytics operators: EWMA (horizon lags in one
+    // window node — slope isolates the key shuffle), transitions (one
+    // window + |types|² agg), rolling actives (distinct-collapse + ×7
+    // explode on the collapsed relation), SCD2 (two window passes, one
+    // shuffle). All shuffles key on user_id, whose cardinality scales
+    // with the data (evAt shifts ids per copy).
+    import graft.operators.WindowOps
+    sweep("ewma")(k => WindowOps.ewmaBounded(evAt(k), Seq("user_id"),
+      Seq("ts", "event_id"), "value", alpha = 0.3, horizon = 8))
+    sweep("transitions")(k => WindowOps.transitionCounts(evAt(k),
+      Seq("user_id"), Seq("ts", "event_id"), "event_type"))
+    sweep("active_users")(k => WindowOps.rollingActiveUsers(evAt(k),
+      "user_id", "ts", period = 86400L * 1000000000L, windowPeriods = 7))
+    sweep("scd2")(k => WindowOps.scd2(evAt(k), Seq("user_id"),
+      Seq("ts", "event_id"), "ts", "event_type"))
 
     val json = results.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(x => f"$x%.2f").mkString(",") + "]"
