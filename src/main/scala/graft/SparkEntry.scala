@@ -2295,6 +2295,71 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"), col("valid_from"),
           col("valid_to"), col("is_current"))
         .orderBy("user_id", "valid_from", "event_type")
+    }),
+
+    // reporting: multi-granularity aggregate in ONE scan — rollup is a
+    // single Expand pass (rows × granularities map-side), not one
+    // aggregate job per level; subtotal NULLs labeled for stable order
+    "q_rollup" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 4)))
+            .cast("double").as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy("rf", "ls")
+    }),
+
+    // incremental refresh: mergeable per-key state — history aggregated
+    // once, the delta aggregated alone, FULL OUTER monoid merge; DECIMAL
+    // state keeps refresh associativity exact (oracle = one-shot GROUP BY
+    // over everything, which mergeability must equal)
+    "q_incr_agg" -> ((s, dir) => {
+      import graft.operators.Incremental
+      val ev = table(s, dir, "events")
+      val snap = Incremental.aggregateState(
+        ev.where(col("event_id") % 2 === 0), Seq("user_id"), "value")
+      val delta = Incremental.aggregateState(
+        ev.where(col("event_id") % 2 =!= 0), Seq("user_id"), "value")
+      Incremental.mergeState(snap, delta, Seq("user_id"))
+        .select(col("user_id"), col("n"), col("s").cast("double").as("total"))
+        .orderBy("user_id")
+    }),
+
+    // mergeable distinct-count sketches: per-(type, day) HLL sketches
+    // unioned per type — the partitioned-ingest pattern where each day's
+    // shard is sketched once and recombination is sketch-sized, never a
+    // re-scan; honesty-checked against the exact distinct
+    "q_hll_merge" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .withColumn("day", expr("ts DIV 86400000000000"))
+      val daily = ev.groupBy("event_type", "day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      merged.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("approx") - col("n_exact")) <= col("n_exact") * 0.05)
+            .as("approx_ok"))
+        .orderBy("event_type")
+    }),
+
+    // bounded-memory quantiles honesty check: exact percentile (oracled
+    // exactly) + a percentile_approx-within-tolerance claim the oracle
+    // asserts TRUE — the q_approx_distinct pattern for quantiles
+    "q_approx_quantile" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      ev.groupBy(col("event_type")).agg(
+          percentile(col("value"), lit(0.5)).as("p50x"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"))
+        .select(col("event_type"), round(col("p50x"), 9).as("p50_exact"),
+          (abs(col("p50a") - col("p50x")) <=
+            abs(col("p50x")) * 0.02 + lit(0.01)).as("approx_ok"))
+        .orderBy("event_type")
     })
   )
 
@@ -3944,6 +4009,25 @@ object SparkEntry {
         |  lead(tsu) OVER wv AS valid_to,
         |  lead(tsu) OVER wv IS NULL AS is_current
         |FROM v WINDOW wv AS (PARTITION BY user_id ORDER BY tsu, event_id)
-        |ORDER BY user_id, valid_from, event_type""".stripMargin
+        |ORDER BY user_id, valid_from, event_type""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_incr_agg" ->
+      """SELECT user_id, count(value) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_hll_merge" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_approx_quantile" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 9) AS p50_exact,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -1594,6 +1594,25 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, "X", 5L, None, true)))
   }
 
+  test("Incremental: merged state ≡ one-shot aggregate; merge chains; empty delta is identity") {
+    import graft.operators.Incremental
+    val ev = Seq((1L, 1L, 1.5), (2L, 1L, 2.25), (3L, 2L, 3.0), (4L, 3L, -1.0),
+      (5L, 1L, 0.125), (6L, 2L, -2.5)).toDF("id", "k", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("n"), col("s").cast("double"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneShot = Incremental.aggregateState(ev, Seq("k"), "v")
+    val a = Incremental.aggregateState(ev.where(col("id") % 2 === 0), Seq("k"), "v")
+    val b = Incremental.aggregateState(ev.where(col("id") % 3 === 0 && col("id") % 2 =!= 0), Seq("k"), "v")
+    val c = Incremental.aggregateState(ev.where(col("id") % 2 =!= 0 && col("id") % 3 =!= 0), Seq("k"), "v")
+    // three deltas merged pairwise (chaining: output of merge is input to merge)
+    val merged = Incremental.mergeState(Incremental.mergeState(a, b, Seq("k")), c, Seq("k"))
+    assert(canon(merged) == canon(oneShot))
+    // empty delta is the monoid identity
+    val empty = Incremental.aggregateState(ev.where(lit(false)), Seq("k"), "v")
+    assert(canon(Incremental.mergeState(oneShot, empty, Seq("k"))) == canon(oneShot))
+  }
+
   test("time-windowed operators accept a typed TIMESTAMP ts column (µs units)") {
     // same events twice: epoch-µs longs vs the equivalent TIMESTAMP
     // column — sessionIds/cohortRetention/funnel/rollingRangeAgg must
