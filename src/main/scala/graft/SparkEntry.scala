@@ -2348,6 +2348,20 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // benchmark decontamination: train docs sharing ≥1 distinct 8-gram
+    // with any eval-set doc (eval side broadcasts — it's benchmark-sized;
+    // the only shuffle is the contamination-bounded pair count). The
+    // eval set is a relabeled corpus sample, so every sampled doc
+    // contaminates its own source verbatim plus genuine collisions.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val evalSet = docs.where(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+      Dedup.decontaminationReport(docs, "doc_id", "text",
+          evalSet, "doc_id", "text", n = 8, minHits = 1L)
+        .orderBy("train_id", "eval_id")
+    }),
+
     // bounded-memory quantiles honesty check: exact percentile (oracled
     // exactly) + a percentile_approx-within-tolerance claim the oracle
     // asserts TRUE — the q_approx_distinct pattern for quantiles
@@ -4028,6 +4042,17 @@ object SparkEntry {
     "q_approx_quantile" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 9) AS p50_exact,
         |  TRUE AS approx_ok
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_decontaminate" -> {
+      val sh = graft.operators.Dedup.shinglesOracleSqlExpr("text", 8)
+      s"""WITH tr AS (SELECT doc_id AS train_id, $sh AS s FROM documents),
+         |ev AS (SELECT doc_id + 500000 AS eval_id, $sh AS s
+         |  FROM documents WHERE doc_id % 37 = 0),
+         |j AS (SELECT t.train_id, e.eval_id,
+         |  CAST(len(list_intersect(t.s, e.s)) AS BIGINT) AS n_hits
+         |  FROM tr t, ev e)
+         |SELECT train_id, eval_id, n_hits FROM j WHERE n_hits >= 1
+         |ORDER BY train_id, eval_id""".stripMargin
+    }
   )
 }

@@ -705,6 +705,36 @@ object Dedup {
        |FROM c WHERE containment >= $threshold ORDER BY id_l, id_r""".stripMargin
   }
 
+  /** Benchmark decontamination report: which TRAINING documents share at
+    * least `minHits` distinct word n-grams with which EVALUATION
+    * documents — the train/test contamination sweep every LLM pipeline
+    * runs before training (published recipes use n = 8..13). Returns one
+    * row per contaminated (train, eval) pair with the distinct-overlap
+    * count; dropping or masking is a downstream anti-join on train_id.
+    *
+    * Scale shape: the eval side is a benchmark — tiny next to a 100 TB
+    * train corpus — so its exploded distinct-shingle relation
+    * BROADCASTS; the train side streams through one explode + broadcast
+    * hash join map-side, and the only shuffle is the (train, eval)-keyed
+    * count, whose cardinality is bounded by actual contamination, not
+    * the corpus. No train-side shingle aggregate, no posting lists, no
+    * all-pairs. */
+  def decontaminationReport(train: DataFrame, idCol: String, textCol: String,
+                            evalSet: DataFrame, evalIdCol: String,
+                            evalTextCol: String,
+                            n: Int = 8, minHits: Long = 1L): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    val t = train.select(col(idCol).as("train_id"),
+      explode(shingles(col(textCol), n)).as("__sh"))
+    val e = evalSet.select(col(evalIdCol).as("eval_id"),
+      explode(shingles(col(evalTextCol), n)).as("__sh"))
+    t.join(broadcast(e), Seq("__sh"))
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .where(col("n_hits") >= minHits)
+  }
+
   /** Edit-distance near-duplicate pairs: candidates from the shared-
     * shingle posting lists (with the hub cap), verified by EXACT
     * Levenshtein distance ≤ `maxDist` — the character-level notion of

@@ -1594,6 +1594,27 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, "X", 5L, None, true)))
   }
 
+  test("decontaminationReport: planted eval excerpt flags its source; eval side broadcasts") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (3L, "totally unrelated words nothing shared here at all ever once"))
+      .toDF("doc_id", "text")
+    // eval doc 100 = an 8-gram excerpt of train doc 1; eval 101 matches nothing
+    val evalSet = Seq(
+      (100L, "beta gamma delta epsilon zeta eta theta iota"),
+      (101L, "completely disjoint benchmark question text goes right here"))
+      .toDF("doc_id", "text")
+    val rep = graft.operators.Dedup.decontaminationReport(
+      train, "doc_id", "text", evalSet, "doc_id", "text", n = 8, minHits = 1L)
+    val got = rep.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // train 1 contains eval 100's single 8-gram (words 2..9); nothing else hits
+    assert(got == Set((1L, 100L, 1L)), s"got $got")
+    // the benchmark side must broadcast — the 100 TB contract
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("Incremental: merged state ≡ one-shot aggregate; merge chains; empty delta is identity") {
     import graft.operators.Incremental
     val ev = Seq((1L, 1L, 1.5), (2L, 1L, 2.25), (3L, 2L, 3.0), (4L, 3L, -1.0),
