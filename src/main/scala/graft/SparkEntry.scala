@@ -2362,6 +2362,26 @@ object SparkEntry {
         .orderBy("train_id", "eval_id")
     }),
 
+    // Structured Streaming: decontamination at ingest — arriving docs'
+    // 8-grams broadcast-joined to the static benchmark per micro-batch,
+    // ZERO streaming state; drained rows batch-aggregate to exactly the
+    // batch report, which is the oracle
+    "q_stream_decontaminate" -> ((s, dir) => {
+      val out = s"stream_decon_${System.nanoTime()}"
+      val docs = GraftStreaming.readDocumentsGlob(s, dir, "documents.parquet")
+      val evalSet = table(s, dir, "documents")
+        .where(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+      val hits = GraftStreaming.decontaminateStream(docs, "doc_id", "text",
+        evalSet, "doc_id", "text", n = 8)
+      val q = GraftStreaming.runToMemory(hits, out)
+      q.awaitTermination(300000)
+      s.table(out).groupBy("train_id", "eval_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .where(col("n_hits") >= 1)
+        .orderBy("train_id", "eval_id")
+    }),
+
     // bounded-memory quantiles honesty check: exact percentile (oracled
     // exactly) + a percentile_approx-within-tolerance claim the oracle
     // asserts TRUE — the q_approx_distinct pattern for quantiles
@@ -4044,6 +4064,17 @@ object SparkEntry {
         |  TRUE AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_decontaminate" -> {
+      val sh = graft.operators.Dedup.shinglesOracleSqlExpr("text", 8)
+      s"""WITH tr AS (SELECT doc_id AS train_id, $sh AS s FROM documents),
+         |ev AS (SELECT doc_id + 500000 AS eval_id, $sh AS s
+         |  FROM documents WHERE doc_id % 37 = 0),
+         |j AS (SELECT t.train_id, e.eval_id,
+         |  CAST(len(list_intersect(t.s, e.s)) AS BIGINT) AS n_hits
+         |  FROM tr t, ev e)
+         |SELECT train_id, eval_id, n_hits FROM j WHERE n_hits >= 1
+         |ORDER BY train_id, eval_id""".stripMargin
+    },
+    "q_stream_decontaminate" -> {
       val sh = graft.operators.Dedup.shinglesOracleSqlExpr("text", 8)
       s"""WITH tr AS (SELECT doc_id AS train_id, $sh AS s FROM documents),
          |ev AS (SELECT doc_id + 500000 AS eval_id, $sh AS s

@@ -373,6 +373,26 @@ object GraftStreaming {
         }).toDF()
   }
 
+  /** Streaming benchmark decontamination — the ingest-time face of
+    * [[graft.operators.Dedup.decontaminationReport]]: every arriving
+    * document's distinct word n-grams are checked against the STATIC
+    * evaluation set via a broadcast join, per micro-batch, with ZERO
+    * streaming state (the benchmark is the state, and it broadcasts).
+    * Emits one row per (train doc, eval doc, shared shingle); the
+    * drained output batch-aggregates to exactly the batch report's
+    * (train_id, eval_id, n_hits) — both sides' shingles are distinct
+    * per doc, so the count of raw rows IS the distinct-overlap size. */
+  def decontaminateStream(docs: DataFrame, idCol: String, textCol: String,
+                          evalSet: DataFrame, evalIdCol: String,
+                          evalTextCol: String, n: Int = 8): DataFrame = {
+    import graft.operators.Dedup
+    docs.select(col(idCol).as("train_id"),
+        explode(Dedup.shingles(col(textCol), n)).as("__sh"))
+      .join(broadcast(evalSet.select(col(evalIdCol).as("eval_id"),
+        explode(Dedup.shingles(col(evalTextCol), n)).as("__sh"))), Seq("__sh"))
+      .select("train_id", "eval_id")
+  }
+
   def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
                        horizon: String = "1 hour",
                        watermark: String = "1 hour"): DataFrame = {

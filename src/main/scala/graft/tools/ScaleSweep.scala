@@ -293,6 +293,32 @@ object ScaleSweep {
     sweep("scd2")(k => WindowOps.scd2(evAt(k), Seq("user_id"),
       Seq("ts", "event_id"), "ts", "event_type"))
 
+    // round-6 aggregation/decontamination operators: incr_agg (state
+    // aggregate + FULL OUTER monoid merge — both sides scale), hll_merge
+    // (per-shard sketches union in sketch-sized work), decontaminate
+    // (train scales, benchmark FIXED and broadcast — the slope isolates
+    // the map-side explode+join)
+    sweep("incr_agg")(k => {
+      val e = evAt(k)
+      graft.operators.Incremental.mergeState(
+        graft.operators.Incremental.aggregateState(
+          e.where(col("event_id") % 2 === 0), Seq("user_id"), "value"),
+        graft.operators.Incremental.aggregateState(
+          e.where(col("event_id") % 2 =!= 0), Seq("user_id"), "value"),
+        Seq("user_id"))
+    })
+    sweep("hll_merge")(k => {
+      val e = evAt(k).withColumn("day", expr("ts DIV 86400000000000"))
+      e.groupBy("event_type", "day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+    })
+    sweep("decontaminate")(k => Dedup.decontaminationReport(
+      docsAt(k), "doc_id", "text",
+      docs0.where(col("doc_id") % 37 === 0), "doc_id", "text",
+      n = 8, minHits = 1L))
+
     val json = results.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(x => f"$x%.2f").mkString(",") + "]"
     }.mkString("{", ",", "}")

@@ -243,6 +243,25 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(pairs == expected, s"got $pairs")
   }
 
+  test("streaming decontamination ≡ batch report (zero state, broadcast benchmark)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val evalSet = docs.where(col("doc_id") % 37 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    val stream = GraftStreaming.readDocumentsGlob(spark, dir, "documents.parquet")
+    val hits = GraftStreaming.decontaminateStream(stream, "doc_id", "text",
+      evalSet, "doc_id", "text", n = 8)
+    val q = GraftStreaming.runToMemory(hits, "decon_stream_out")
+    q.awaitTermination(120000)
+    val got = spark.table("decon_stream_out")
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n_hits"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.operators.Dedup.decontaminationReport(
+      docs, "doc_id", "text", evalSet, "doc_id", "text", n = 8, minHits = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch, s"stream=${got.size} batch=${batch.size}")
+    assert(got.nonEmpty) // the relabeled sample guarantees self-hits
+  }
+
   test("streaming: dedup within watermark") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     val ev = spark.read.parquet(s"$dir/events.parquet").limit(100)
