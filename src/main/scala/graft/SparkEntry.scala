@@ -23,25 +23,18 @@ object SparkEntry {
   private val tableCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), SDF]
 
+  /** Epoch-ns long time base for `events.ts`, fixed at the read
+    * boundary: every query downstream does integer arithmetic on nanos,
+    * and the testdata has shipped both timestamp[ns] and timestamp[us]
+    * vintages — both converge through the ONE shared seam,
+    * [[GraftStreaming.tsToEpochNs]] (batch and streaming must never
+    * diverge on this). Tables without a `ts` column pass through. */
   private def table(s: SparkSession, dir: String, name: String): SDF =
-    tableCache.getOrElseUpdate((s, s"$dir/$name.parquet"),
-      normalizeEventTime(s.read.parquet(s"$dir/$name.parquet")))
-
-  /** Epoch-ns long time base for `events.ts`, fixed at the read boundary.
-    * The testdata has shipped `ts` as both timestamp[ns] (which
-    * `nanosAsLong=true` surfaces as a Long of nanos) and timestamp[us]
-    * (surfaced as TIMESTAMP_NTZ) — every query downstream does integer
-    * arithmetic on nanos, so both vintages converge here: a timestamp
-    * becomes `unix_micros * 1000` (UTC session, so the NTZ→instant cast
-    * is the identity and matches DuckDB's `epoch_us` on the same file),
-    * a ns-long passes through untouched. */
-  private def normalizeEventTime(df: SDF): SDF =
-    df.schema.fields.find(f => f.name == "ts" &&
-        (f.dataType == org.apache.spark.sql.types.TimestampType ||
-         f.dataType == org.apache.spark.sql.types.TimestampNTZType))
-      .map(_ => df.withColumn("ts",
-        unix_micros(col("ts").cast("timestamp")) * lit(1000L)))
-      .getOrElse(df)
+    tableCache.getOrElseUpdate((s, s"$dir/$name.parquet"), {
+      val raw = s.read.parquet(s"$dir/$name.parquet")
+      if (raw.schema.fieldNames.contains("ts")) GraftStreaming.tsToEpochNs(raw)
+      else raw
+    })
 
   private def lineitem(s: SparkSession, dir: String): DataFrame =
     DataFrame.fromSpark(table(s, dir, "lineitem"),
@@ -2294,7 +2287,11 @@ object SparkEntry {
           "tsu", "event_type")
         .select(col("user_id"), col("event_type"), col("valid_from"),
           col("valid_to"), col("is_current"))
-        .orderBy("user_id", "valid_from", "event_type")
+        // total order: two same-µs change points can tie on (user,
+        // valid_from, type); the sentinel keeps NULL valid_to ordering
+        // engine-independent (Spark NULLS FIRST vs DuckDB NULLS LAST)
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"),
+          coalesce(col("valid_to"), lit(Long.MaxValue)))
     }),
 
     // reporting: multi-granularity aggregate in ONE scan — rollup is a
@@ -4038,12 +4035,14 @@ object SparkEntry {
         |  CASE WHEN lag(event_type) OVER w IS NULL
         |       OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-        |v AS (SELECT user_id, event_type, tsu, event_id FROM c WHERE chg = 1)
-        |SELECT user_id, event_type, tsu AS valid_from,
+        |v AS (SELECT user_id, event_type, tsu, event_id FROM c WHERE chg = 1),
+        |o AS (SELECT user_id, event_type, tsu AS valid_from,
         |  lead(tsu) OVER wv AS valid_to,
         |  lead(tsu) OVER wv IS NULL AS is_current
-        |FROM v WINDOW wv AS (PARTITION BY user_id ORDER BY tsu, event_id)
-        |ORDER BY user_id, valid_from, event_type""".stripMargin,
+        |  FROM v WINDOW wv AS (PARTITION BY user_id ORDER BY tsu, event_id))
+        |SELECT * FROM o
+        |ORDER BY user_id, valid_from, event_type,
+        |  coalesce(valid_to, 9223372036854775807)""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |  coalesce(l_linestatus, 'ALL') AS ls,
@@ -4063,27 +4062,21 @@ object SparkEntry {
       """SELECT event_type, round(quantile_cont(value, 0.5), 9) AS p50_exact,
         |  TRUE AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q_decontaminate" -> {
-      val sh = graft.operators.Dedup.shinglesOracleSqlExpr("text", 8)
-      s"""WITH tr AS (SELECT doc_id AS train_id, $sh AS s FROM documents),
-         |ev AS (SELECT doc_id + 500000 AS eval_id, $sh AS s
-         |  FROM documents WHERE doc_id % 37 = 0),
-         |j AS (SELECT t.train_id, e.eval_id,
-         |  CAST(len(list_intersect(t.s, e.s)) AS BIGINT) AS n_hits
-         |  FROM tr t, ev e)
-         |SELECT train_id, eval_id, n_hits FROM j WHERE n_hits >= 1
-         |ORDER BY train_id, eval_id""".stripMargin
-    },
-    "q_stream_decontaminate" -> {
-      val sh = graft.operators.Dedup.shinglesOracleSqlExpr("text", 8)
-      s"""WITH tr AS (SELECT doc_id AS train_id, $sh AS s FROM documents),
-         |ev AS (SELECT doc_id + 500000 AS eval_id, $sh AS s
-         |  FROM documents WHERE doc_id % 37 = 0),
-         |j AS (SELECT t.train_id, e.eval_id,
-         |  CAST(len(list_intersect(t.s, e.s)) AS BIGINT) AS n_hits
-         |  FROM tr t, ev e)
-         |SELECT train_id, eval_id, n_hits FROM j WHERE n_hits >= 1
-         |ORDER BY train_id, eval_id""".stripMargin
-    }
+    "q_decontaminate" -> DecontaminateOracle,
+    // stream ≡ batch report is the whole claim — one shared oracle
+    // expresses it structurally
+    "q_stream_decontaminate" -> DecontaminateOracle
   )
+
+  private lazy val DecontaminateOracle: String = {
+    val sh = graft.operators.Dedup.shinglesOracleSqlExpr("text", 8)
+    s"""WITH tr AS (SELECT doc_id AS train_id, $sh AS s FROM documents),
+       |ev AS (SELECT doc_id + 500000 AS eval_id, $sh AS s
+       |  FROM documents WHERE doc_id % 37 = 0),
+       |j AS (SELECT t.train_id, e.eval_id,
+       |  CAST(len(list_intersect(t.s, e.s)) AS BIGINT) AS n_hits
+       |  FROM tr t, ev e)
+       |SELECT train_id, eval_id, n_hits FROM j WHERE n_hits >= 1
+       |ORDER BY train_id, eval_id""".stripMargin
+  }
 }

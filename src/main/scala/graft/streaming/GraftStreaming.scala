@@ -12,49 +12,65 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   * checkpointed state store, not the driver. */
 object GraftStreaming {
 
-  /** events.parquet schema as written by the current testdata vintage:
-    * `ts` is parquet timestamp[us] with isAdjustedToUTC=false, i.e.
-    * TIMESTAMP_NTZ. [[normalizeTs]] converts it to the epoch-ns Long
-    * every consumer (sessionize gaps, latestStream ordering, window
-    * math) computes with. */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** events.parquet schema with `ts` at the given type — the testdata
+    * has shipped both timestamp[us] (→ TIMESTAMP_NTZ) and timestamp[ns]
+    * (→ Long under nanosAsLong); file streams need an explicit schema,
+    * so [[readEvents]]/[[readEventsGlob]] read the actual type from one
+    * footer and [[tsToEpochNs]] converges both vintages downstream. */
+  def eventsSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** `ts` → epoch-ns Long + derived `event_time`, at the read boundary —
-    * the streaming twin of the batch normalization in SparkEntry.table():
-    * a timestamp ts (the current testdata vintage) becomes
-    * `unix_micros * 1000` (UTC session, so the NTZ→instant cast is the
-    * identity); a Long ts (the ns vintage under nanosAsLong) passes
-    * through. Public so batch-parity specs can apply the identical
+  /** THE ts-vintage seam, shared by batch (SparkEntry.table) and
+    * streaming ([[normalizeTs]]): a TIMESTAMP/TIMESTAMP_NTZ `ts` becomes
+    * epoch-ns `unix_micros * 1000` (UTC session, so the NTZ→instant cast
+    * is the identity and matches DuckDB's epoch_us/epoch_ns on the same
+    * file); a Long ts (the ns vintage under nanosAsLong) passes through.
+    * A new vintage gets taught HERE and nowhere else. */
+  def tsToEpochNs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case _ => df
+    }
+
+  /** [[tsToEpochNs]] + derived `event_time` — the full streaming read
+    * normalization. Public so batch-parity specs can apply the identical
     * transform to the static frame. */
   def normalizeTs(df: DataFrame): DataFrame = {
-    val isTimestamp = df.schema("ts").dataType match {
-      case TimestampType | TimestampNTZType => true
-      case _ => false
-    }
-    val withNs = if (isTimestamp)
-      df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
-    else df
+    val withNs = tsToEpochNs(df)
     withNs.withColumn("event_time", eventTime(col("ts")))
+  }
+
+  /** The actual ts type in the parquet footers under `dir` (one batch
+    * footer read at stream-construction time — both vintages stream). */
+  private def tsTypeOf(spark: SparkSession, dir: String,
+                       glob: Option[String]): org.apache.spark.sql.types.DataType = {
+    val r = spark.read
+    glob.foreach(g => r.option("pathGlobFilter", g))
+    r.parquet(dir).schema("ts").dataType
   }
 
   /** File-based event stream from a directory of parquet drops. */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
-    normalizeTs(spark.readStream.schema(eventsSchema).parquet(dir))
+    normalizeTs(spark.readStream
+      .schema(eventsSchema(tsTypeOf(spark, dir, None))).parquet(dir))
 
   /** Stream a single table out of a directory holding several (file
     * streams require a directory source). */
   def readEventsGlob(spark: SparkSession, dir: String, glob: String): DataFrame =
-    normalizeTs(spark.readStream.schema(eventsSchema)
+    normalizeTs(spark.readStream
+      .schema(eventsSchema(tsTypeOf(spark, dir, Some(glob))))
       .option("pathGlobFilter", glob).parquet(dir))
 
-  /** ns→event time via exact integer division: a double `/1e9` has ~128 ns
-    * of rounding error at 2e18 ns epoch values. Second truncation never
+  /** ns→event time via exact integer division (`div` = IntegralDivide —
+    * a double `/1e9` has ~128 ns of rounding error at 2e18 ns epoch
+    * values, enough to flip a second boundary). Second truncation never
     * moves an event across a window boundary at >=1s window granularity. */
   def eventTime(tsNanos: Column): Column =
-    timestamp_seconds((tsNanos / lit(1000000000L)).cast("long"))
+    timestamp_seconds(call_function("div", tsNanos, lit(1000000000L)))
 
   /** Sliding event-time windowed aggregation with a watermark: per
     * (window, event_type) counts and decimal-exact value sums. */

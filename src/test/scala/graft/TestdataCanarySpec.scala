@@ -31,9 +31,9 @@ class TestdataCanarySpec extends AnyFunSuite {
     assert(s("props").dataType == StringType, s"events.props drifted: ${s("props").dataType}")
     val tsT = s("ts").dataType
     assert(tsT == LongType || tsT == TimestampType || tsT == TimestampNTZType,
-      s"events.ts drifted to $tsT — the read-boundary normalization " +
-        "(SparkEntry.table / GraftStreaming.normalizeTs) only handles " +
-        "ns-long and timestamp vintages; teach it this one")
+      s"events.ts drifted to $tsT — the ONE read-boundary seam " +
+        "(GraftStreaming.tsToEpochNs, shared by batch and streaming) " +
+        "only handles ns-long and timestamp vintages; teach it this one")
   }
 
   test("canary: normalized events.ts is epoch NANOSECONDS of a sane era") {
