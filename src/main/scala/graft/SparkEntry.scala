@@ -2379,6 +2379,22 @@ object SparkEntry {
         .orderBy("train_id", "eval_id")
     }),
 
+    // Structured Streaming: EXACT per-key EWMA — one double of keyed
+    // state carries the recursion across batches (the batch twin
+    // truncates to a horizon; streaming is where the exact fold is
+    // natural). Single AvailableNow batch ≡ the full-history fold,
+    // which DuckDB replays with list_reduce over the same literals.
+    "q_stream_ewma" -> ((s, dir) => {
+      val out = s"stream_ewma_${System.nanoTime()}"
+      val ev = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      val q = GraftStreaming.runToMemory(
+        GraftStreaming.ewmaStream(ev, alpha = 0.3), out)
+      q.awaitTermination(300000)
+      s.table(out)
+        .select(col("userId").as("user_id"), round(col("ewma"), 9).as("ewma"))
+        .orderBy("user_id")
+    }),
+
     // bounded-memory quantiles honesty check: exact percentile (oracled
     // exactly) + a percentile_approx-within-tolerance claim the oracle
     // asserts TRUE — the q_approx_distinct pattern for quantiles
@@ -4062,6 +4078,18 @@ object SparkEntry {
       """SELECT event_type, round(quantile_cont(value, 0.5), 9) AS p50_exact,
         |  TRUE AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_ewma" -> {
+      // same α and β=1−α double literals as the Scala fold (β inlined
+      // via toString → shortest round-trip repr, so DuckDB parses the
+      // identical double; a literal 0.7 would be a DIFFERENT double)
+      val alpha = 0.3
+      val beta = (1 - alpha).toString
+      s"""SELECT user_id,
+         |  round(list_reduce(
+         |    list(CAST(value AS DOUBLE) ORDER BY epoch_us(ts), event_id),
+         |    (acc, x) -> $alpha*x + $beta*acc), 9) AS ewma
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
     "q_decontaminate" -> DecontaminateOracle,
     // stream ≡ batch report is the whole claim — one shared oracle
     // expresses it structurally

@@ -389,6 +389,48 @@ object GraftStreaming {
         }).toDF()
   }
 
+  /** One key's current smoothed value (streaming EWMA output). */
+  case class EwmaSnapshot(userId: Long, ewma: Double)
+
+  /** Streaming EXACT EWMA per key — the stateful-recursion twin of the
+    * batch [[graft.operators.WindowOps.ewmaBounded]] (which truncates to
+    * a window-friendly horizon): y = α·v + (1−α)·y, seeded with the
+    * key's first value, folded in (ts, event_id) order. Streaming is
+    * where the exact recursion is NATURAL: one double of keyed state
+    * carries y across micro-batches forever (a batch engine would need
+    * an unbounded-lookback sequential scan per refresh). Emits one
+    * snapshot row per key per touched micro-batch; a single AvailableNow
+    * batch therefore emits exactly the full-history fold — the oracle
+    * (DuckDB `list_reduce` over the same ordered list with the same
+    * double literals; the fold is sequential, so agreement is
+    * bit-exact, no quantization). */
+  def ewmaStream(events: DataFrame, alpha: Double): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val beta = 1 - alpha
+    implicit val stateEnc = Encoders.scalaDouble
+    implicit val outEnc = Encoders.product[EwmaSnapshot]
+    implicit val rowEnc = Encoders.row(events.schema)
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey((r: Row) => r.getAs[Long]("user_id"))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Row], state: GroupState[Double]) => {
+          val sorted = rows.toSeq.sortBy(r =>
+            (r.getAs[Long]("ts"), r.getAs[Long]("event_id")))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var y = state.getOption
+            sorted.foreach { r =>
+              val v = r.getAs[Double]("value")
+              y = Some(y.fold(v)(p => alpha * v + beta * p))
+            }
+            state.update(y.get)
+            Iterator(EwmaSnapshot(userId, y.get))
+          }
+        }).toDF()
+  }
+
   /** Streaming benchmark decontamination — the ingest-time face of
     * [[graft.operators.Dedup.decontaminationReport]]: every arriving
     * document's distinct word n-grams are checked against the STATIC

@@ -262,6 +262,56 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty) // the relabeled sample guarantees self-hits
   }
 
+  test("streaming EWMA: single batch ≡ sequential fold; state carries across batches") {
+    import spark.implicits._
+    val stream = GraftStreaming.readEventsGlob(spark, dir, "events.parquet")
+    val q = GraftStreaming.runToMemory(
+      GraftStreaming.ewmaStream(stream, alpha = 0.3), "ewma_stream_out")
+    q.awaitTermination(120000)
+    val got = spark.table("ewma_stream_out").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // brute-force per-user fold over the batch frame, same order
+    val rows = GraftStreaming.normalizeTs(
+      spark.read.parquet(s"$dir/events.parquet"))
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val beta = 1 - 0.3
+    val expect = rows.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.sortBy(r => (r._2, r._3)).map(_._4)
+        .reduceLeft((acc, v) => 0.3 * v + beta * acc)
+    }
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (u, y) =>
+      assert(y == expect(u), s"user $u: $y != ${expect(u)}") // bit-exact fold
+    }
+
+    // two file drops in separate micro-batches: batch-2 snapshot must
+    // continue batch 1's state, not restart the recursion
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ewma").toString
+    Seq((1L, 1L, 100L, "a", 10.0), (1L, 2L, 200L, "a", 20.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+      .coalesce(1).write.parquet(s"$tmp/b0")
+    Seq((1L, 3L, 300L, "a", 30.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+      .coalesce(1).write.parquet(s"$tmp/b1")
+    val twoBatch = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$tmp/*")
+    val q2 = GraftStreaming.runToMemory(
+      GraftStreaming.ewmaStream(twoBatch, alpha = 0.5), "ewma_stream_two")
+    q2.awaitTermination(120000)
+    val snaps = spark.table("ewma_stream_two").collect()
+      .map(r => r.getDouble(1)).sorted.toSeq
+    // batch 1: y = 10 -> 0.5*20+0.5*10 = 15; batch 2 continues: 0.5*30+0.5*15 = 22.5
+    assert(snaps == Seq(15.0, 22.5), s"got $snaps")
+  }
+
   test("streaming: dedup within watermark") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     val ev = spark.read.parquet(s"$dir/events.parquet").limit(100)
