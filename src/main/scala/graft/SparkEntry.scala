@@ -2294,12 +2294,13 @@ object SparkEntry {
           coalesce(col("valid_to"), lit(Long.MaxValue)))
     }),
 
-    // reporting: multi-granularity aggregate in ONE scan — rollup is a
-    // single Expand pass (rows × granularities map-side), not one
-    // aggregate job per level; subtotal NULLs labeled for stable order
-    "q_rollup" -> ((s, dir) => {
+    // reporting: FULL cross-granularity aggregate in ONE scan — cube is
+    // a single Expand pass over all 2^k groupings (the rollup complement:
+    // q_rollup covers the hierarchical-subtotal path via the graft-API
+    // rollupAgg); subtotal NULLs labeled for engine-stable ordering
+    "q_cube" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
-      li.rollup(col("l_returnflag"), col("l_linestatus"))
+      li.cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast(DecimalType(18, 4)))
             .cast("double").as("qty"))
@@ -4059,12 +4060,12 @@ object SparkEntry {
         |SELECT * FROM o
         |ORDER BY user_id, valid_from, event_type,
         |  coalesce(valid_to, 9223372036854775807)""".stripMargin,
-    "q_rollup" ->
+    "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |  coalesce(l_linestatus, 'ALL') AS ls,
         |  count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
-        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
     "q_incr_agg" ->
       """SELECT user_id, count(value) AS n,
