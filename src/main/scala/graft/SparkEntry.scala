@@ -36,6 +36,15 @@ object SparkEntry {
       else raw
     })
 
+  /** The events table with the µs time base (`tsu = ts DIV 1000`)
+    * derived ONCE — the glue-layer twin of [[table]]'s ns seam. Every
+    * query that works in microseconds derives `tsu` here, so the next
+    * ts-vintage change has exactly one seam in the query glue too
+    * (exact integer division; a double `/1e3` loses ns precision at
+    * 2e18 epoch values). */
+  private def eventsMicros(s: SparkSession, dir: String): SDF =
+    table(s, dir, "events").withColumn("tsu", expr("ts DIV 1000"))
+
   private def lineitem(s: SparkSession, dir: String): DataFrame =
     DataFrame.fromSpark(table(s, dir, "lineitem"),
       index = Seq("l_orderkey", "l_linenumber"))
@@ -375,7 +384,7 @@ object SparkEntry {
         .select("doc_id", "text")
       val novel = Dedup.novelAgainstBloom(stream, corpus, "text")
       val q = GraftStreaming.runToMemory(novel, out)
-      q.awaitTermination(300000)
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
       s.table(out).select("doc_id").orderBy("doc_id")
     }),
 
@@ -608,7 +617,7 @@ object SparkEntry {
     // week, counted per (cohort, weeks-since) — integer DIV time math
     // end to end (µs base)
     "q_cohort" -> ((s, dir) => {
-      val ev = table(s, dir, "events").withColumn("tsu", expr("ts DIV 1000"))
+      val ev = eventsMicros(s, dir)
       WindowOps.cohortRetention(ev, "user_id", "tsu",
         period = 7L * 86400L * 1000000L)
         .orderBy("cohort", "age")
@@ -618,7 +627,7 @@ object SparkEntry {
     // step counts only users whose earliest step-i completion precedes
     // it strictly (µs time base; k min-ts aggregates + k-1 user joins)
     "q_funnel" -> ((s, dir) => {
-      val ev = table(s, dir, "events").withColumn("tsu", expr("ts DIV 1000"))
+      val ev = eventsMicros(s, dir)
       WindowOps.funnel(ev, "user_id", "event_type", "tsu",
         Seq("view", "click", "purchase"))
         .orderBy("step")
@@ -628,7 +637,7 @@ object SparkEntry {
       // µs granularity via exact integer division (DuckDB reads the ns
       // timestamps truncated to µs; double division would lose precision
       // at 2^60-scale nanos)
-      val ev = table(s, dir, "events").withColumn("tsu", expr("ts DIV 1000"))
+      val ev = eventsMicros(s, dir)
       val sess = WindowOps.sessionIds(ev,
         Seq("user_id"), Seq("tsu", "event_id"), "tsu",
         gap = 1800L * 1000000L)
@@ -1375,6 +1384,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // dedup PROVENANCE: for every doc the pipeline dropped, WHY — exact
+    // copy of the kept canonical, direct near-dup of it (true Jaccard ≥
+    // t), or transitively chained in (canonical-loser). Same corpus as
+    // q_dedup_pipeline; the oracle recomputes clusters (recursive CTE),
+    // canonicals, and all three labels from scratch.
+    "q_dedup_provenance" -> ((s, dir) => {
+      val base = table(s, dir, "documents").select("doc_id", "text", "n_chars")
+        .where(col("doc_id") < 150)
+      val corpus = base.union(base.where(col("doc_id") < 20)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+          col("n_chars")))
+      Dedup.dedupProvenance(corpus, "doc_id", "text", "n_chars",
+        threshold = 0.8)
+        .orderBy("doc_id")
+    }),
+
     // the PERSISTED near-dup index: corpus signatured + banded + bucketed
     // ONCE, then a new batch (fresh docs + planted copies of ten corpus
     // docs) probes it paying only its own signature cost — the
@@ -1913,7 +1938,7 @@ object SparkEntry {
       val agg = GraftStreaming.windowedCounts(stream,
         watermark = "1 hour", window_ = "1 hour")
       val q = GraftStreaming.runToMemory(agg, out, outputMode = "complete")
-      q.awaitTermination(300000)
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
       s.table(out)
         .select(col("window.start").cast("long").as("win_start"),
           col("event_type"), col("n"), col("total"))
@@ -1934,7 +1959,7 @@ object SparkEntry {
         .select(col("event_id"), col("value"),
           coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
       val q = GraftStreaming.runToMemory(enriched, out)
-      q.awaitTermination(300000)
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
       s.table(out).groupBy("segment")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
@@ -1950,7 +1975,7 @@ object SparkEntry {
       val agg = GraftStreaming.windowedCounts(stream,
         watermark = "1 hour", window_ = "1 hour")
       val q = GraftStreaming.runToMemory(agg, out, outputMode = "complete")
-      q.awaitTermination(300000)
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
       GraftStreaming.trendingTopK(s.table(out), "event_type", 2)
         .select(col("window.start").cast("long").as("win_start"),
           col("rank"), col("event_type"), col("n"))
@@ -1967,7 +1992,7 @@ object SparkEntry {
       val agg = GraftStreaming.heavyHittersStream(stream,
         col("event_type"), capacity = 64, k = 5)
       val q = GraftStreaming.runToMemory(agg, out, outputMode = "complete")
-      q.awaitTermination(300000)
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
       s.table(out).select(posexplode(col("__hh")))
         .select((col("pos") + 1).cast("int").as("rank"),
           col("col.item").as("event_type"), col("col.cnt").as("cnt"))
@@ -1989,7 +2014,7 @@ object SparkEntry {
         .select(col("l.event_id").as("click_id"),
           col("r.event_id").as("purchase_id"))
       val q = GraftStreaming.runToMemory(joined, out)
-      q.awaitTermination(300000)
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
       s.table(out).orderBy("click_id", "purchase_id")
     }),
 
@@ -2005,7 +2030,7 @@ object SparkEntry {
       val deduped = GraftStreaming.dedupStream(s1.union(s2), Seq("event_id"),
         watermark = "87600 hours")
       val q = GraftStreaming.runToMemory(deduped, out)
-      q.awaitTermination(300000)
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
       s.table(out).groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
@@ -2019,7 +2044,7 @@ object SparkEntry {
       val out = s"stream_latest_${System.nanoTime()}"
       val ev = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
       val q = GraftStreaming.runToMemory(GraftStreaming.latestStream(ev), out)
-      q.awaitTermination(300000)
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
       s.table(out).select(col("userId").as("user_id"),
         col("eventId").as("event_id"),
         expr("tsNs DIV 1000").as("ts_us"),
@@ -2039,7 +2064,7 @@ object SparkEntry {
       val adm = GraftStreaming.budgetAdmitStream(docs, "lang", "doc_id",
         "n_tokens", budget = 50000L)
       val q = GraftStreaming.runToMemory(adm, out)
-      q.awaitTermination(300000)
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
       s.table(out).select(col("key").as("lang"), col("doc_id"), col("n_tokens"))
         .orderBy("lang", "doc_id")
     }),
@@ -2056,7 +2081,7 @@ object SparkEntry {
       val hits = GraftStreaming.nearDupStream(docs, "doc_id", "text",
         threshold = 0.8, watermark = "87600 hours")
       val q = GraftStreaming.runToMemory(hits, out)
-      q.awaitTermination(300000)
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
       s.table(out).groupBy("id_l", "id_r")
         .agg(round(max(col("jaccard")), 6).as("jaccard"))
         .orderBy("id_l", "id_r")
@@ -2084,7 +2109,7 @@ object SparkEntry {
       val sess = GraftStreaming.sessionize(ev.unionByName(sentinels), gapNs,
         watermark = "87600 hours")
       val q = GraftStreaming.runToMemory(sess, out)
-      q.awaitTermination(300000)
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
       s.table(out)
         .where(col("closed") && col("totalValue") > -1e17)
         .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
@@ -2252,7 +2277,7 @@ object SparkEntry {
     // shared Scala literals so both engines sum identical doubles in
     // identical order
     "q_ewma" -> ((s, dir) => {
-      val ev = table(s, dir, "events").withColumn("tsu", expr("ts DIV 1000"))
+      val ev = eventsMicros(s, dir)
       WindowOps.ewmaBounded(ev, Seq("user_id"), Seq("tsu", "event_id"),
           "value", alpha = 0.3, horizon = 8)
         .select(col("event_id"), round(col("ewma"), 9).as("ewma"))
@@ -2262,7 +2287,7 @@ object SparkEntry {
     // behavioral analytics: first-order event-transition matrix — one
     // window shuffle on the user key, then a |types|²-sized aggregate
     "q_transitions" -> ((s, dir) => {
-      val ev = table(s, dir, "events").withColumn("tsu", expr("ts DIV 1000"))
+      val ev = eventsMicros(s, dir)
       WindowOps.transitionCounts(ev, Seq("user_id"), Seq("tsu", "event_id"),
           "event_type")
         .orderBy("src", "dst")
@@ -2272,7 +2297,7 @@ object SparkEntry {
     // collapsed once, bounded ×7 explode on the collapsed relation (no
     // per-period self-join scans, no count-distinct-over-range window)
     "q_active_users" -> ((s, dir) => {
-      val ev = table(s, dir, "events").withColumn("tsu", expr("ts DIV 1000"))
+      val ev = eventsMicros(s, dir)
       WindowOps.rollingActiveUsers(ev, "user_id", "tsu",
           period = 86400000000L, windowPeriods = 7)
         .orderBy("period")
@@ -2282,7 +2307,7 @@ object SparkEntry {
     // consecutive-unchanged compaction + validity intervals in two
     // window passes over one user-key shuffle
     "q_scd2" -> ((s, dir) => {
-      val ev = table(s, dir, "events").withColumn("tsu", expr("ts DIV 1000"))
+      val ev = eventsMicros(s, dir)
       WindowOps.scd2(ev, Seq("user_id"), Seq("tsu", "event_id"),
           "tsu", "event_type")
         .select(col("user_id"), col("event_type"), col("valid_from"),
@@ -2373,7 +2398,7 @@ object SparkEntry {
       val hits = GraftStreaming.decontaminateStream(docs, "doc_id", "text",
         evalSet, "doc_id", "text", n = 8)
       val q = GraftStreaming.runToMemory(hits, out)
-      q.awaitTermination(300000)
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
       s.table(out).groupBy("train_id", "eval_id")
         .agg(count(lit(1)).as("n_hits"))
         .where(col("n_hits") >= 1)
@@ -2390,7 +2415,7 @@ object SparkEntry {
       val ev = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
       val q = GraftStreaming.runToMemory(
         GraftStreaming.ewmaStream(ev, alpha = 0.3), out)
-      q.awaitTermination(300000)
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
       s.table(out)
         .select(col("userId").as("user_id"), round(col("ewma"), 9).as("ewma"))
         .orderBy("user_id")
@@ -3620,6 +3645,51 @@ object SparkEntry {
          |    ORDER BY n_chars DESC, doc_id DESC) AS rn FROM labeled)
          |SELECT doc_id, cluster, (rn = 1) AS is_canonical FROM ranked
          |ORDER BY doc_id""".stripMargin
+    },
+    "q_dedup_provenance" -> {
+      val sh = graft.operators.Dedup.shinglesOracleSqlExpr("text", 3)
+      s"""WITH RECURSIVE all_docs AS (
+         |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 150
+         |  UNION ALL SELECT doc_id + 100000, text, n_chars FROM documents
+         |  WHERE doc_id < 20),
+         |fp AS (SELECT doc_id,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM all_docs),
+         |fedges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+         |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id <> b.doc_id),
+         |sh AS (SELECT doc_id, $sh AS s FROM all_docs),
+         |jedges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+         |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         |edges AS (SELECT src, dst FROM fedges
+         |          UNION SELECT src, dst FROM jedges),
+         |reach AS (
+         |  SELECT DISTINCT src AS node, src AS label FROM edges
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+         |comp AS (SELECT node, min(label) AS label FROM reach GROUP BY node),
+         |labeled AS (SELECT d.doc_id, d.n_chars,
+         |  COALESCE(c.label, d.doc_id) AS cluster
+         |  FROM all_docs d LEFT JOIN comp c ON d.doc_id = c.node),
+         |ranked AS (SELECT cluster, doc_id,
+         |  row_number() OVER (PARTITION BY cluster
+         |    ORDER BY n_chars DESC, doc_id DESC) AS rn FROM labeled),
+         |canon AS (SELECT cluster, doc_id AS cid FROM ranked WHERE rn = 1),
+         |dropped AS (SELECT doc_id, cluster FROM ranked WHERE rn > 1)
+         |SELECT d.doc_id, d.cluster AS cluster_id,
+         |  CASE WHEN fd.fp = fc.fp THEN 'exact'
+         |       WHEN CAST(len(list_intersect(sd.s, sc.s)) AS DOUBLE) /
+         |         (len(sd.s) + len(sc.s) - len(list_intersect(sd.s, sc.s)))
+         |         >= 0.8 THEN 'lsh'
+         |       ELSE 'canonical-loser' END AS dropped_by
+         |FROM dropped d
+         |JOIN canon c ON d.cluster = c.cluster
+         |JOIN fp fd ON fd.doc_id = d.doc_id
+         |JOIN fp fc ON fc.doc_id = c.cid
+         |JOIN sh sd ON sd.doc_id = d.doc_id
+         |JOIN sh sc ON sc.doc_id = c.cid
+         |ORDER BY d.doc_id""".stripMargin
     },
     "q_neardup_indexed" -> {
       val sh = graft.operators.Dedup.shinglesOracleSqlExpr("text", 3)

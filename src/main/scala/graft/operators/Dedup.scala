@@ -466,10 +466,54 @@ object Dedup {
         explode(slice(col("__ms"), col("__i") + 2, size(col("__ms")))).as("__r"))
   }
 
+  /** A banded-MinHash parameter plan and its S-curve guarantees.
+    * `collisionProb(s)` is the standard banded-LSH curve
+    * 1 − (1 − s^r)^b — the probability a pair with TRUE Jaccard `s`
+    * shares at least one band bucket (i.e. becomes a candidate). */
+  final case class LshPlan(bands: Int, rowsPerBand: Int,
+                           recallAtThreshold: Double) {
+    def numHashes: Int = bands * rowsPerBand
+    def collisionProb(s: Double): Double =
+      1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+  }
+
+  /** Solve the banded-LSH S-curve for (bands, rowsPerBand): the
+    * CHEAPEST signature (fewest total hashes) whose candidate recall at
+    * Jaccard = `threshold` is ≥ `minRecall`, tie-broken toward more
+    * rows per band (a steeper curve — same guaranteed recall above the
+    * threshold, strictly less false-candidate mass below it, which at
+    * 100 TB is the difference between a bounded verify stage and a
+    * flood). Exhaustive over r ∈ [1, 32], b·r ≤ `maxHashes` — ~10⁴
+    * closed-form evaluations, trivially driver-side.
+    *
+    * Callers of [[minhashLshPairs]] / [[nearDuplicates]] should derive
+    * (numHashes, bands) from here rather than hand-picking: pass
+    * `plan.numHashes` and `plan.bands`. */
+  def tuneLsh(threshold: Double, minRecall: Double = 0.95,
+              maxHashes: Int = 512): LshPlan = {
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0, 1), got $threshold")
+    require(minRecall > 0 && minRecall < 1,
+      s"minRecall must be in (0, 1), got $minRecall")
+    require(maxHashes >= 1, s"maxHashes must be >= 1, got $maxHashes")
+    val plans = for {
+      r <- 1 to math.min(32, maxHashes)
+      b <- 1 to maxHashes / r
+      p = 1.0 - math.pow(1.0 - math.pow(threshold, r), b)
+      if p >= minRecall
+    } yield LshPlan(b, r, p)
+    require(plans.nonEmpty,
+      s"no (bands, rows) plan within $maxHashes hashes reaches recall " +
+        s"$minRecall at threshold $threshold — raise maxHashes or lower minRecall")
+    plans.minBy(pl => (pl.numHashes, -pl.rowsPerBand))
+  }
+
   /** Candidate near-duplicate pairs via banded LSH over MinHash signatures.
     * Returns (id_l, id_r, est_jaccard) with id_l < id_r; est_jaccard is the
     * fraction of matching signature positions. rowsPerBand = numHashes /
-    * bands; similarity threshold ≈ (1/bands)^(1/rowsPerBand).
+    * bands; similarity threshold ≈ (1/bands)^(1/rowsPerBand). Prefer
+    * deriving (numHashes, bands) from [[tuneLsh]] — it solves the
+    * S-curve for a target (threshold, recall) instead of guessing.
     *
     * The signature relation has exactly ONE consumer (the band explode):
     * signatures ride along into the bucket collect (64 longs per member —
@@ -718,18 +762,38 @@ object Dedup {
     * hash join map-side, and the only shuffle is the (train, eval)-keyed
     * count, whose cardinality is bounded by actual contamination, not
     * the corpus. No train-side shingle aggregate, no posting lists, no
-    * all-pairs. */
+    * all-pairs.
+    *
+    * SIZE CONTRACT on the eval side: the broadcast hint is honored
+    * unconditionally by Spark, so an eval relation above the driver /
+    * executor broadcast limit would abort with an opaque broadcast
+    * error. This function therefore counts the eval side's shingles
+    * first (one scan of the tiny relation) and, above
+    * `maxBroadcastShingles`, falls back to the plain shuffle hash join —
+    * same answer, one extra exchange, no runtime abort. Tune the
+    * threshold to the executor memory budget (a shingle row is a ~n-word
+    * string + a long; the 10M default is comfortably inside Spark's 8 GB
+    * broadcast ceiling). */
   def decontaminationReport(train: DataFrame, idCol: String, textCol: String,
                             evalSet: DataFrame, evalIdCol: String,
                             evalTextCol: String,
-                            n: Int = 8, minHits: Long = 1L): DataFrame = {
+                            n: Int = 8, minHits: Long = 1L,
+                            maxBroadcastShingles: Long = 10000000L): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minHits >= 1, s"minHits must be >= 1, got $minHits")
     val t = train.select(col(idCol).as("train_id"),
       explode(shingles(col(textCol), n)).as("__sh"))
     val e = evalSet.select(col(evalIdCol).as("eval_id"),
       explode(shingles(col(evalTextCol), n)).as("__sh"))
-    t.join(broadcast(e), Seq("__sh"))
+    // one cheap aggregate over the benchmark-sized side decides the
+    // join strategy; the train corpus is never touched to decide
+    val evalShingles = evalSet
+      .select(size(shingles(col(evalTextCol), n)).cast("long").as("__n"))
+      .agg(coalesce(sum(col("__n")), lit(0L))).head().getLong(0)
+    val joined =
+      if (evalShingles <= maxBroadcastShingles) t.join(broadcast(e), Seq("__sh"))
+      else t.join(e, Seq("__sh"))
+    joined
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("n_hits"))
       .where(col("n_hits") >= minHits)
@@ -1137,6 +1201,55 @@ object Dedup {
       .join(canon.select(col("cluster"), col("canonical_id")), Seq("cluster"))
       .select(col(idCol), col("cluster"),
         (col(idCol) === col("canonical_id")).as("is_canonical"))
+  }
+
+  /** Dedup PROVENANCE report — the data-governance artifact a 100 TB
+    * pipeline must keep next to the deduped corpus: one row per DROPPED
+    * document saying which cluster claimed it and HOW confident the drop
+    * is. `dropped_by` classifies the dropped doc's relation to the
+    * cluster's CANONICAL survivor:
+    *
+    *  - `exact`: normalized-text fingerprint equals the canonical's —
+    *    the drop removed a byte-identical (mod whitespace/case) copy;
+    *  - `lsh`: true shingle Jaccard to the canonical ≥ `threshold` —
+    *    a direct near-duplicate of what was kept;
+    *  - `canonical-loser`: in the cluster only TRANSITIVELY (its dup
+    *    edges point at other dropped members, not the survivor) — the
+    *    rows a governance review reads first, because transitive
+    *    chaining is where over-merging hides.
+    *
+    * Scale shape: cluster membership comes from [[dedupCorpus]] (each
+    * stage already 100 TB-shaped); the labels then cost ONE fingerprint+
+    * shingle projection over the corpus and ONE join of dropped docs to
+    * their cluster's canonical — exactly one compared pair per dropped
+    * doc, never pairs within the cluster, never all-pairs. The Jaccard
+    * here is exact (set intersect on the two docs' shingle arrays), so
+    * the label is a deterministic function of the corpus, reproducible
+    * by an independent engine — the q_dedup_provenance oracle recomputes
+    * every label from scratch in DuckDB. */
+  def dedupProvenance(docs: DataFrame, idCol: String, textCol: String,
+                      scoreCol: String, threshold: Double = 0.8,
+                      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
+                      seed: Long = 42L,
+                      maxBucketSize: Option[Int] = Some(10000),
+                      scratchDir: Option[String] = None): DataFrame = {
+    val membership = dedupCorpus(docs, idCol, textCol, scoreCol, threshold,
+      numHashes, bands, shingleN, seed, maxBucketSize, scratchDir)
+    val enriched = docs.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("__fp"),
+      shingles(col(textCol), shingleN).as("__sh"))
+    val m = membership.join(enriched, Seq(idCol))
+    val canon = m.where(col("is_canonical"))
+      .select(col("cluster"), col("__fp").as("__cfp"), col("__sh").as("__csh"))
+    val inter = size(array_intersect(col("__sh"), col("__csh")))
+    m.where(!col("is_canonical"))
+      .join(canon, Seq("cluster"))
+      .withColumn("__jac", inter.cast("double") /
+        (size(col("__sh")) + size(col("__csh")) - inter))
+      .select(col(idCol), col("cluster").as("cluster_id"),
+        when(col("__fp") === col("__cfp"), "exact")
+          .when(col("__jac") >= threshold, "lsh")
+          .otherwise("canonical-loser").as("dropped_by"))
   }
 
   /** One 64-bit bucket id per (band, band-key) pair — band in the high

@@ -241,6 +241,18 @@ object WindowOps {
       w.rowsBetween(Window.unboundedPreceding, 0)))
   }
 
+  /** Period ordinal of an integral time base: FLOOR division by a
+    * positive period, in exact integer arithmetic (never
+    * floor(double/period) — a 2^60-scale time base silently loses its
+    * low bits in a double). Spark's `DIV` truncates toward zero, DuckDB's
+    * `//` floors; they agree only for non-negative bases, so a pre-1970
+    * timestamp would land one period late under DIV. The pmod adjustment
+    * makes it floor for ANY sign, matching the oracle unconditionally —
+    * and floor division is monotone, so min-then-bucket ≡ bucket-then-min
+    * holds for every base, not just non-negative ones. */
+  private def periodOrdinal(c: Column, period: Long): Column =
+    call_function("div", c - pmod(c, lit(period)), lit(period))
+
   /** Cohort retention: users bucketed by the period of their FIRST
     * event (the cohort), then counted per (cohort, age) where age =
     * periods elapsed since their cohort period — the standard retention
@@ -252,13 +264,9 @@ object WindowOps {
   def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
                       period: Long): DataFrame = {
     require(period > 0, "period must be positive")
-    // integer DIV, not floor(double/period): a 2^60-scale integer time
-    // base silently loses its low bits in a double (same trap the
-    // sessionizer documents); min-then-DIV equals DIV-then-min on a
-    // monotone non-negative base
     val p = events
       .select(col(userCol).as("__u"), numericTs(events, tsCol).as("__ts0"))
-      .select(col("__u"), expr(s"__ts0 DIV ${period}L").as("__p"))
+      .select(col("__u"), periodOrdinal(col("__ts0"), period).as("__p"))
     val first = p.groupBy("__u").agg(min(col("__p")).as("__cohort"))
     p.join(first, Seq("__u"))
       .select(col("__u"), col("__cohort"),
@@ -328,7 +336,7 @@ object WindowOps {
     require(period > 0 && windowPeriods >= 1, "period/window must be positive")
     val acts = df
       .select(col(userCol).as("__u"), numericTs(df, tsCol).as("__ts0"))
-      .select(col("__u"), expr(s"__ts0 DIV ${period}L").as("__p"))
+      .select(col("__u"), periodOrdinal(col("__ts0"), period).as("__p"))
       .distinct()
     val exploded = acts.select(col("__u"),
       explode(sequence(col("__p"), col("__p") + (windowPeriods - 1))).as("__w"))

@@ -126,7 +126,16 @@ object GraftStreaming {
   /** Custom keyed state: sessionize events per user with an inactivity
     * gap. Demonstrates `flatMapGroupsWithState` — arbitrary state in
     * Spark's checkpointed store, emitted when the gap elapses (event-time
-    * semantics via the watermark). */
+    * semantics via the watermark).
+    *
+    * MEMORY (hot keys): like every flatMapGroupsWithState operator that
+    * must see a key's rows in event-time order, one key's MICRO-BATCH
+    * slice is materialized to sort it — per-key memory is bounded by
+    * rows-per-key-per-trigger, not by history (state itself is one
+    * 4-field summary per key). Size triggers (maxFilesPerTrigger /
+    * maxOffsetsPerTrigger) so the hottest key's batch slice fits an
+    * executor; see [[ewmaStream]] for the capped variant of this
+    * pattern. */
   def sessionize(events: DataFrame, gapNs: Long,
                  watermark: String = "30 minutes"): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
@@ -392,6 +401,22 @@ object GraftStreaming {
   /** One key's current smoothed value (streaming EWMA output). */
   case class EwmaSnapshot(userId: Long, ewma: Double)
 
+  /** Per-session counter of EWMA rows dropped by the hot-key relief
+    * valve (see [[ewmaStream]]'s `maxRowsPerKeyPerBatch`) — the
+    * BoundedCollect philosophy for keyed state: a cap never fails the
+    * job, and what it dropped is observable, never silent. One named
+    * LongAccumulator per session (visible in the Spark UI as
+    * "graft.ewma.dropped_rows"). */
+  def ewmaDropCounter(spark: SparkSession): org.apache.spark.util.LongAccumulator =
+    ewmaDropCounters.synchronized {
+      ewmaDropCounters.getOrElseUpdate(spark.sparkContext.applicationId, {
+        val acc = spark.sparkContext.longAccumulator("graft.ewma.dropped_rows")
+        acc
+      })
+    }
+  private val ewmaDropCounters =
+    scala.collection.mutable.Map.empty[String, org.apache.spark.util.LongAccumulator]
+
   /** Streaming EXACT EWMA per key — the stateful-recursion twin of the
     * batch [[graft.operators.WindowOps.ewmaBounded]] (which truncates to
     * a window-friendly horizon): y = α·v + (1−α)·y, seeded with the
@@ -403,30 +428,93 @@ object GraftStreaming {
     * batch therefore emits exactly the full-history fold — the oracle
     * (DuckDB `list_reduce` over the same ordered list with the same
     * double literals; the fold is sequential, so agreement is
-    * bit-exact, no quantization). */
-  def ewmaStream(events: DataFrame, alpha: Double): DataFrame = {
+    * bit-exact, no quantization).
+    *
+    * ORDERING CONTRACT (multi-batch): rows are (ts, event_id)-sorted
+    * only WITHIN a micro-batch; across micro-batches the fold is in
+    * ARRIVAL order. An event landing in a later micro-batch with an
+    * earlier `ts` folds after its successors — the exact-recursion
+    * guarantee therefore assumes the source delivers batches in
+    * non-decreasing event time (true for the AvailableNow single-batch
+    * replay the oracle uses, and for any log-ordered ingest). Sources
+    * that can regress event time across batches need an upstream
+    * reorder buffer; this operator does not resequence history, because
+    * an EWMA cannot be rewound without replaying the key's tail.
+    *
+    * MEMORY (hot keys): flatMapGroupsWithState materializes one key's
+    * micro-batch rows to sort them (standard practice), so per-key
+    * memory is bounded by that key's rows PER MICRO-BATCH — size
+    * triggers so a hot key's batch slice fits an executor (e.g.
+    * maxFilesPerTrigger / maxOffsetsPerTrigger). As a relief valve,
+    * `maxRowsPerKeyPerBatch` folds only the first N rows of a key's
+    * batch slice (in (ts, event_id) order) and counts the overflow on
+    * [[ewmaDropCounter]] — never silent, never OOM.
+    *
+    * STATE LIFETIME: by default (`stateTimeout = None`) state is one
+    * double per key, forever — the snapshot IS the answer. For
+    * 100 TB-scale key churn, `stateTimeout = Some("7 days")` arms an
+    * event-time TTL: a key whose last event is older than the TTL (as
+    * measured by the watermark, so `events` must carry a watermark on
+    * `event_time` — set `watermarkDelay` here if it doesn't already)
+    * is EVICTED, and its next event re-seeds the recursion from that
+    * value, exactly as a first-ever event would. Eviction is the
+    * documented trade: a cold key's state is pure decay residue, and
+    * re-seeding is the standard cold-start answer. */
+  def ewmaStream(events: DataFrame, alpha: Double,
+                 stateTimeout: Option[String] = None,
+                 watermarkDelay: Option[String] = None,
+                 maxRowsPerKeyPerBatch: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(maxRowsPerKeyPerBatch > 0, "maxRowsPerKeyPerBatch must be positive")
     val beta = 1 - alpha
+    val ttl = stateTimeout
+    val dropAcc = ewmaDropCounter(events.sparkSession)
+    val src = (ttl, watermarkDelay) match {
+      case (Some(_), d) => events.withWatermark("event_time", d.getOrElse("0 seconds"))
+      case (None, Some(d)) => events.withWatermark("event_time", d)
+      case _ => events
+    }
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     implicit val stateEnc = Encoders.scalaDouble
     implicit val outEnc = Encoders.product[EwmaSnapshot]
-    implicit val rowEnc = Encoders.row(events.schema)
+    implicit val rowEnc = Encoders.row(src.schema)
     implicit val keyEnc = Encoders.scalaLong
-    events.groupByKey((r: Row) => r.getAs[Long]("user_id"))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+    src.groupByKey((r: Row) => r.getAs[Long]("user_id"))
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (userId: Long, rows: Iterator[Row], state: GroupState[Double]) => {
-          val sorted = rows.toSeq.sortBy(r =>
-            (r.getAs[Long]("ts"), r.getAs[Long]("event_id")))
-          if (sorted.isEmpty) Iterator.empty
-          else {
-            var y = state.getOption
-            sorted.foreach { r =>
-              val v = r.getAs[Double]("value")
-              y = Some(y.fold(v)(p => alpha * v + beta * p))
+          if (state.hasTimedOut) {
+            // cold-key eviction: the next event re-seeds from its value
+            state.remove()
+            Iterator.empty
+          } else {
+            val all = rows.toSeq.sortBy(r =>
+              (r.getAs[Long]("ts"), r.getAs[Long]("event_id")))
+            if (all.isEmpty) Iterator.empty
+            else {
+              val (sorted, overflow) = all.splitAt(maxRowsPerKeyPerBatch)
+              if (overflow.nonEmpty) dropAcc.add(overflow.size.toLong)
+              var y = state.getOption
+              var lastEventMs = Long.MinValue
+              sorted.foreach { r =>
+                val v = r.getAs[Double]("value")
+                y = Some(y.fold(v)(p => alpha * v + beta * p))
+                ttl.foreach { _ =>
+                  val t = r.getAs[java.sql.Timestamp]("event_time")
+                  if (t != null) lastEventMs = math.max(lastEventMs, t.getTime)
+                }
+              }
+              state.update(y.get)
+              ttl.foreach { d =>
+                // evict once the watermark passes last-event + TTL
+                if (lastEventMs != Long.MinValue)
+                  state.setTimeoutTimestamp(lastEventMs, d)
+              }
+              Iterator(EwmaSnapshot(userId, y.get))
             }
-            state.update(y.get)
-            Iterator(EwmaSnapshot(userId, y.get))
           }
         }).toDF()
   }
@@ -439,7 +527,14 @@ object GraftStreaming {
     * Emits one row per (train doc, eval doc, shared shingle); the
     * drained output batch-aggregates to exactly the batch report's
     * (train_id, eval_id, n_hits) — both sides' shingles are distinct
-    * per doc, so the count of raw rows IS the distinct-overlap size. */
+    * per doc, so the count of raw rows IS the distinct-overlap size.
+    *
+    * SIZE CONTRACT: the eval side must fit a broadcast (it is a
+    * benchmark; see [[graft.operators.Dedup.decontaminationReport]]'s
+    * bound — the batch twin auto-falls-back to a shuffle join above a
+    * shingle threshold, but a stream-side shuffle join would need
+    * per-batch re-shuffling of the static side, so here the broadcast
+    * contract is explicit instead). */
   def decontaminateStream(docs: DataFrame, idCol: String, textCol: String,
                           evalSet: DataFrame, evalIdCol: String,
                           evalTextCol: String, n: Int = 8): DataFrame = {

@@ -268,6 +268,58 @@ class DedupScaleSpec extends AnyFunSuite {
       s"model join should broadcast:\n${p2.take(2000)}")
   }
 
+  test("tuneLsh: cheapest plan meets the target, steeper tie-break, sane S-curve") {
+    val plan = Dedup.tuneLsh(threshold = 0.8, minRecall = 0.9, maxHashes = 256)
+    assert(plan.recallAtThreshold >= 0.9)
+    assert(plan.numHashes <= 256 && plan.numHashes == plan.bands * plan.rowsPerBand)
+    // S-curve shape: monotone in s, ~0 far below the threshold
+    assert(plan.collisionProb(0.9) >= plan.collisionProb(0.8))
+    assert(plan.collisionProb(0.8) >= plan.collisionProb(0.5))
+    assert(plan.collisionProb(0.1) < 0.5)
+    // minimality: no cheaper hash budget reaches the target recall
+    val cheaper = for {
+      r <- 1 to 32; b <- 1 to 256 / r
+      if b * r < plan.numHashes
+      p = 1.0 - math.pow(1.0 - math.pow(0.8, r), b)
+    } yield p
+    assert(cheaper.forall(_ < 0.9), "tuneLsh did not pick the cheapest plan")
+    // an unreachable target names the failure instead of silently clipping
+    val err = intercept[IllegalArgumentException](
+      Dedup.tuneLsh(threshold = 0.1, minRecall = 0.999, maxHashes = 8))
+    assert(err.getMessage.contains("raise maxHashes"))
+  }
+
+  test("tuneLsh plan achieves >= its computed recall on planted pairs at t=0.8") {
+    val plan = Dedup.tuneLsh(threshold = 0.8, minRecall = 0.9, maxHashes = 256)
+    // plant 50 base/mutant pairs from seeded word streams; small suffix
+    // mutations put most true Jaccards in [0.8, 0.9]
+    val rnd = new scala.util.Random(7)
+    def words(k: Int) = Seq.fill(k)("w" + rnd.nextInt(5000))
+    val docs = (0 until 50).flatMap { i =>
+      val base = words(60)
+      val kMut = 2 + (i % 3)
+      val mut = base.dropRight(kMut) ++ Seq.fill(kMut)("m" + rnd.nextInt(5000))
+      Seq((2L * i, base.mkString(" ")), (2L * i + 1, mut.mkString(" ")))
+    }.toDF("doc_id", "text")
+    // TRUE Jaccard via the engine's own shingle kernel — the planted set
+    // is exactly the pairs at/above the tuned threshold
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val planted = (0 until 50).map(i => (2L * i, 2L * i + 1)).filter {
+      case (a, b) =>
+        val (sa, sb) = (sh(a), sh(b))
+        (sa & sb).size.toDouble / (sa | sb).size >= 0.8
+    }
+    assert(planted.size >= 15, s"harness under-planted: ${planted.size}")
+    val found = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numHashes = plan.numHashes, bands = plan.bands)
+      .select("id_l", "id_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = planted.count(found.contains).toDouble / planted.size
+    assert(recall >= plan.recallAtThreshold,
+      s"recall $recall < planned ${plan.recallAtThreshold} ($plan)")
+  }
+
   test("stripBoilerplateLines fingerprints on trim: padded copies count as one line") {
     // the same line with different padding in 3 docs crosses maxDocs=2
     // together (trim-normalized fingerprint) even though the raw strings

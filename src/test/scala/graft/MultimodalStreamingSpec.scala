@@ -312,6 +312,72 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(snaps == Seq(15.0, 22.5), s"got $snaps")
   }
 
+  test("streaming EWMA TTL: a timed-out cold key re-seeds from its next value") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("event_time", org.apache.spark.sql.types.TimestampType)))
+    def drop(path: String, rows: Seq[(Long, Long, Long, Double, Long)]): Unit =
+      rows.toDF("user_id", "event_id", "ts", "value", "sec")
+        .withColumn("event_time", timestamp_seconds(col("sec"))).drop("sec")
+        .coalesce(1).write.parquet(path)
+    // b0: user 1 seeds. b1: user 2 far in the future advances the
+    // watermark. b2: user 3 (no user-1 data → user 1's timeout FIRES,
+    // state evicted). b3: user 1 returns → must re-seed, not continue.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ewma-ttl").toString
+    drop(s"$tmp/b0", Seq((1L, 1L, 100L, 10.0, 100L)))
+    drop(s"$tmp/b1", Seq((2L, 2L, 200L, 5.0, 100000L)))
+    drop(s"$tmp/b2", Seq((3L, 3L, 300L, 7.0, 100001L)))
+    drop(s"$tmp/b3", Seq((1L, 4L, 400L, 30.0, 100002L)))
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$tmp/*")
+    val q = GraftStreaming.runToMemory(
+      GraftStreaming.ewmaStream(stream(), alpha = 0.5,
+        stateTimeout = Some("60 seconds")), "ewma_ttl_out")
+    assert(q.awaitTermination(120000), "stream did not finish")
+    val u1 = spark.table("ewma_ttl_out").collect()
+      .filter(_.getLong(0) == 1L).map(_.getDouble(1)).sorted.toSeq
+    // evicted between b2 and b3 → b3 re-seeds at 30.0 (NOT 0.5*30+0.5*10=20)
+    assert(u1 == Seq(10.0, 30.0), s"got $u1")
+    // control: same drops, NO timeout → state survives and continues
+    val q2 = GraftStreaming.runToMemory(
+      GraftStreaming.ewmaStream(stream(), alpha = 0.5), "ewma_ttl_ctrl")
+    assert(q2.awaitTermination(120000), "control stream did not finish")
+    val c1 = spark.table("ewma_ttl_ctrl").collect()
+      .filter(_.getLong(0) == 1L).map(_.getDouble(1)).sorted.toSeq
+    assert(c1 == Seq(10.0, 20.0), s"got $c1")
+  }
+
+  test("streaming EWMA hot-key cap: folds first N of a key's batch, counts the overflow") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ewma-cap").toString
+    (1L to 5L).map(i => (1L, i, i * 100L, "a", i.toDouble))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+      .coalesce(1).write.parquet(s"$tmp/b0")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
+      .parquet(s"$tmp/*")
+    val acc = GraftStreaming.ewmaDropCounter(spark)
+    val before = acc.value
+    val q = GraftStreaming.runToMemory(
+      GraftStreaming.ewmaStream(stream, alpha = 0.5,
+        maxRowsPerKeyPerBatch = 3), "ewma_cap_out")
+    assert(q.awaitTermination(120000), "stream did not finish")
+    val got = spark.table("ewma_cap_out").collect().map(_.getDouble(1)).toSeq
+    // first 3 in (ts, event_id) order: 1 -> 1.5 -> 2.25; rows 4,5 dropped
+    assert(got == Seq(2.25), s"got $got")
+    assert(acc.value - before == 2L, s"dropped ${acc.value - before}")
+  }
+
   test("streaming: dedup within watermark") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     val ev = spark.read.parquet(s"$dir/events.parquet").limit(100)

@@ -81,6 +81,32 @@ class TemporalPropSpec extends AnyFunSuite {
     }
   }
 
+  test("period bucketing FLOORS for pre-1970 (negative) time bases — matches DuckDB //") {
+    // Spark DIV truncates toward zero; the operators must floor instead,
+    // or a negative ts lands one period late vs the oracle's // and the
+    // brute force below. Math.floorDiv IS the contract.
+    val period = 10L; val win = 2
+    val rows = Seq((1L, -25L, 0.0, "a"), (1L, -20L, 0.0, "a"),
+      (1L, -1L, 0.0, "a"), (2L, -25L, 0.0, "a"), (2L, 5L, 0.0, "a"))
+    val df = rows.toDF("k", "t", "v", "e")
+    val got = WindowOps.rollingActiveUsers(df, "k", "t", period, win)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val acts = rows.map(r => (r._1, Math.floorDiv(r._2, period))).distinct
+    val periods = acts.map(_._2).distinct
+    val brute = periods.map(p =>
+      p -> acts.filter(a => a._2 <= p && a._2 > p - win).map(_._1).distinct.size.toLong).toMap
+    assert(got == brute, s"got $got want $brute")
+    // cohorts: user 1 first touches floor(-25/10) = -3 (NOT -2)
+    val coh = WindowOps.cohortRetention(df, "k", "t", period)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val first = rows.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.map(r => Math.floorDiv(r._2, period)).min }
+    val bruteCoh = rows.map(r => (r._1, Math.floorDiv(r._2, period))).distinct
+      .map { case (u, p) => (first(u), p - first(u)) }
+      .groupBy(identity).map { case (k2, xs) => k2 -> xs.size.toLong }
+    assert(coh == bruteCoh, s"got $coh want $bruteCoh")
+  }
+
   test("scd2: per key, versions partition [first_ts, ∞) with no gaps/overlaps and compacted attrs") {
     cases(6).foreach { rows =>
       val df = rows.toDF("k", "t", "v", "e")
