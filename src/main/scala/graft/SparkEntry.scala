@@ -1123,6 +1123,21 @@ object SparkEntry {
         .orderBy("id_l", "id_r")
     }),
 
+    // q_near_dup with the banding DERIVED by the S-curve tuner instead
+    // of hand-picked: tuneLsh solves for the cheapest (bands, rows)
+    // meeting 0.999 candidate recall at t=0.8, and the generate→verify
+    // pipeline under that plan must still reproduce the EXHAUSTIVE
+    // Jaccard oracle — the tuner's guarantee surfaced through the same
+    // hash gate as everything else (deterministic: fixed seed).
+    "q_near_dup_tuned" -> ((s, dir) => {
+      val plan = Dedup.tuneLsh(threshold = 0.8, minRecall = 0.999,
+        maxHashes = 128)
+      Dedup.nearDuplicates(table(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.8, numHashes = plan.numHashes, bands = plan.bands)
+        .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_l", "id_r")
+    }),
+
     // SimHash-banded exact dedup, generate→verify: pigeonhole candidates
     // at hamming 0, then exact md5 verification. Identical text ⇒
     // identical token multiset ⇒ identical 64-bit signature ⇒ the band
@@ -3613,6 +3628,7 @@ object SparkEntry {
     },
     "q_minhash_pairs" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.5),
     "q_near_dup" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.8),
+    "q_near_dup_tuned" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.8),
     "q_stream_neardup" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.8),
     "q_dedup_pipeline" -> {
       val sh = graft.operators.Dedup.shinglesOracleSqlExpr("text", 3)

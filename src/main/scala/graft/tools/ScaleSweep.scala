@@ -76,11 +76,28 @@ object ScaleSweep {
           col("value"))
       }.reduce(_ unionAll _)
 
-    def time(f: => DataFrame): Double = {
+    // gc/peak-heap instrumentation per (operator, scale) point — the
+    // same telemetry Bench carries, so a sweep slope can be read next to
+    // its memory-pressure evidence (a "slope" that is really GC thrash
+    // at the top scale shows up as gc_sec exploding while wall creeps)
+    import scala.jdk.CollectionConverters._
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+    val heapPools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    def gcMillis: Long = gcBeans.map(_.getCollectionTime).sum
+
+    def timed(f: => DataFrame): (Double, Double, Double) = {
+      heapPools.foreach(_.resetPeakUsage())
+      val g0 = gcMillis
       val t0 = System.nanoTime()
       f.write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      ((sec, (gcMillis - g0) / 1e3,
+        heapPools.map(_.getPeakUsage.getUsed).sum / 1e6))
     }
+    def time(f: => DataFrame): Double = timed(f)._1
 
     // warmup both base tables + codegen
     time(Dedup.exactText(docs0, "text", "doc_id"))
@@ -88,16 +105,22 @@ object ScaleSweep {
 
     val scales = Seq(1, 2, 5, 10)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val gcResults = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val peakResults = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     // SPARK_GRAFT_SWEEP_ONLY=a,b restricts to named sweeps for iteration
     val only = sys.env.get("SPARK_GRAFT_SWEEP_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     def sweep(name: String)(f: Int => DataFrame): Unit = {
       if (!only.forall(_.contains(name))) return
-      results(name) = scales.map { k =>
-        val s = time(f(k))
-        System.err.println(f"[scale] $name%-18s ${k}%2dx  $s%7.2f s")
-        s
+      val pts = scales.map { k =>
+        val (s, g, p) = timed(f(k))
+        System.err.println(
+          f"[scale] $name%-18s ${k}%2dx  $s%7.2f s  gc $g%5.2f s  peak $p%6.0f MB")
+        (s, g, p)
       }
+      results(name) = pts.map(_._1)
+      gcResults(name) = pts.map(_._2)
+      peakResults(name) = pts.map(_._3)
     }
 
     sweep("minhash_pairs")(k => Dedup.minhashLshPairs(docsAt(k), "doc_id", "text",
@@ -319,10 +342,14 @@ object ScaleSweep {
       docs0.where(col("doc_id") % 37 === 0), "doc_id", "text",
       n = 8, minHits = 1L))
 
-    val json = results.map { case (k, v) =>
-      "\"" + k + "\":[" + v.map(x => f"$x%.2f").mkString(",") + "]"
-    }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_sweep","scales":[${scales.mkString(",")}],"sec":$json,"sf":"$sfDir"}""")
+    def renderMap(m: scala.collection.Map[String, Seq[Double]]): String =
+      m.map { case (k, v) =>
+        "\"" + k + "\":[" + v.map(x => f"$x%.2f").mkString(",") + "]"
+      }.mkString("{", ",", "}")
+    val json = renderMap(results)
+    val gcJson = renderMap(gcResults)
+    val peakJson = renderMap(peakResults)
+    println(s"""{"metric":"scale_sweep","scales":[${scales.mkString(",")}],"sec":$json,"gc_sec":$gcJson,"peak_mb":$peakJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
