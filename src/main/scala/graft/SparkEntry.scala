@@ -251,8 +251,10 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
-    // winsorize per group: clip to the group's [p05, p95] via TWO window
-    // percentile transforms over ONE shuffle — no agg + join-back
+    // winsorize per group: clip to the group's [p05, p95] via two
+    // percentile transforms (each a tiny grouped aggregate joined back
+    // broadcast-style — the 5-value priority key would collapse a
+    // window plan into 5 tasks at scale)
     "q_winsorize" -> ((s, dir) => {
       val o = DataFrame.fromParquet(s, s"$dir/orders.parquet",
         index = Seq("o_orderkey"))

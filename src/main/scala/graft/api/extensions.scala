@@ -73,22 +73,44 @@ final class GroupBy private[graft] (df: DataFrame, keys: Seq[String]) {
       index = keys)
   }
 
-  /** pandas groupby().transform: the group aggregate broadcast back onto
-    * every row of the original frame — a partitioned window aggregate,
-    * NOT agg + self-join (one shuffle, one scan). The original index is
-    * preserved. */
+  /** pandas groupby().transform: the group aggregate joined back onto
+    * every row of the original frame. The original index is preserved.
+    *
+    * Shape: groupBy-agg (map-side partials collapse it to |groups|
+    * rows) + a null-SAFE equi-join back. NOT `Window.partitionBy(key)`:
+    * transform keys are routinely LOW-cardinality (a 3-value return
+    * flag, a 5-value priority), and a window over such a key funnels
+    * the ENTIRE relation into |groups| sorted tasks — a parallelism
+    * collapse that gets fatal at 100 TB. Here the aggregate side is
+    * |groups| rows, AQE broadcasts it, and the big side is never
+    * exchanged at all; a HIGH-cardinality key degrades to one key
+    * shuffle for the join — the same exchange the window would have
+    * cost, now without its degenerate case. The `<=>` join keeps NULL
+    * keys grouping together, matching the window/GROUP BY semantics. */
   def transform(column: String, fn: String, outLabel: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(k => {
-        val i = df.frame.colLabels.indexOf(Some(k))
-        if (i < 0) throw new GraftKeyError(s"'$k'")
-        df.frame.dataExprs(i)
-      }): _*)
+    val keyOrds = keys.map { k =>
+      val i = df.frame.colLabels.indexOf(Some(k))
+      if (i < 0) throw new GraftKeyError(s"'$k'")
+      i
+    }
     val i = df.frame.colLabels.indexOf(Some(column))
     if (i < 0) throw new GraftKeyError(s"'$column'")
-    val agg = GroupBy.exprForCol(fn, df.frame.dataExprs(i)).over(w)
-    new DataFrame(df.frame.withDataExprs(
-      df.frame.colLabels :+ Some(outLabel), df.frame.dataExprs :+ agg))
+    val base = df.frame.df // positional view: __idx_* ++ __col_*
+    val keyNames = keyOrds.map(graft.core.SqlFrame.colName)
+    val aggSide = base
+      .groupBy(keyNames.map(n => col(n).as(s"__gk_$n")): _*)
+      .agg(GroupBy.exprForCol(fn, col(graft.core.SqlFrame.colName(i)))
+        .as("__gt"))
+    val cond = keyNames.map(n => base(n) <=> aggSide(s"__gk_$n"))
+      .reduce(_ && _)
+    val joined = base.join(aggSide, cond, "left")
+      .select((0 until df.frame.nIdx).map(j =>
+        col(graft.core.SqlFrame.idxName(j))) ++
+        (0 until df.frame.nCols).map(j =>
+          col(graft.core.SqlFrame.colName(j))) :+
+        col("__gt").as(graft.core.SqlFrame.colName(df.frame.nCols)): _*)
+    new DataFrame(graft.core.SqlFrame.fromPhysical(
+      df.frame.indexNames, df.frame.colLabels :+ Some(outLabel), joined))
   }
 
   /** pandas pivot_table: one output column per `values` entry of

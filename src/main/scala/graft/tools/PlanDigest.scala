@@ -29,7 +29,10 @@ object PlanDigest {
   val Tracked: Seq[String] = Seq(
     "q_melt", "q_minhash_pairs", "q_near_dup", "q_jaccard_pairs",
     "q_cube", "q_emb_dedup", "q_ann_topk", "q_semantic_dedup",
-    "q_tfidf", "q_scd2")
+    "q_tfidf", "q_scd2",
+    // round-7 additions: the top of the current bench_last.json ordering
+    // (q_transform's window→broadcast-join-back reshape is pinned here)
+    "q_transform", "q_url_norm", "q_bpe_encode", "q_winsorize")
 
   val SnapshotPath = "tools/plan_digests.txt"
   val DefaultSfDir = "/root/testdata/sf0.001"
