@@ -391,13 +391,16 @@ object SparkEntry {
     }),
 
     // pipeline: per-language quality gate — keep docs strictly above the
-    // language's median quality (percentile window over rounded scores)
+    // language's median quality. The per-language medians are a
+    // |langs|-row aggregate joined back (broadcast under AQE) — a
+    // percentile window over the handful-of-values lang key would
+    // funnel the corpus into |langs| tasks at scale.
     "q_quality_filter" -> ((s, dir) => {
       val scored = table(s, dir, "documents").select(col("doc_id"),
         col("lang"), round(TextAnalysis.qualityScore(col("text")), 6).as("q"))
-      scored
-        .withColumn("med", expr("percentile(q, 0.5)")
-          .over(Window.partitionBy(col("lang"))))
+      val med = scored.groupBy(col("lang").as("__mlang"))
+        .agg(expr("percentile(q, 0.5)").as("med"))
+      scored.join(med, col("lang") <=> col("__mlang"), "left")
         .where(col("q") > col("med"))
         .select("doc_id", "lang").orderBy("doc_id")
     }),

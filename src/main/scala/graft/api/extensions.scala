@@ -238,8 +238,18 @@ private[graft] trait DataFrameExtensions { this: DataFrame =>
 
   /** pandas duplicated(): boolean mask marking every row after the first
     * occurrence of its key (first = lowest index value, the only stable
-    * "first" a distributed table has). One row_number window per key
-    * group — a single hash shuffle on the key. */
+    * "first" a distributed table has).
+    *
+    * Shape: per-key min-index aggregate + null-safe join-back, NOT
+    * `row_number() OVER (PARTITION BY key ORDER BY index)` — dedup keys
+    * are routinely LOW-cardinality (a 3-value status column), and a
+    * window over such a key funnels the whole relation into |groups|
+    * sorted tasks. The aggregate side is |groups| rows (AQE broadcasts
+    * it); a row is a duplicate iff its index tuple is not the group's
+    * minimum — the same "first by index order" answer, made
+    * deterministic even under a non-unique index (every row tied at the
+    * minimal index counts as first, where row_number picked one
+    * arbitrarily). */
   def duplicated(subset: Seq[String] = Nil): Series = {
     val ords = if (subset.isEmpty) frame.colLabels.indices
                else subset.map { s =>
@@ -247,13 +257,23 @@ private[graft] trait DataFrameExtensions { this: DataFrame =>
                  if (i < 0) throw new GraftKeyError(s"'$s'")
                  i
                }
-    // raw expressions over base, not the __idx_i aliases: a window may not
-    // reference a lateral alias from its own projection
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(ords.map(frame.dataExprs(_)): _*)
-      .orderBy(frame.idxExprs.map(_.asc): _*)
-    new Series(frame.withDataExprs(IndexedSeq(Some("duplicated")),
-      Seq(row_number().over(w) > 1)))
+    val base = frame.df // positional view: __idx_* ++ __col_*
+    val keyNames = ords.map(graft.core.SqlFrame.colName)
+    def idxTuple(d: org.apache.spark.sql.DataFrame) =
+      struct((0 until frame.nIdx).map(j =>
+        d(graft.core.SqlFrame.idxName(j))): _*)
+    val aggSide = base
+      .groupBy(keyNames.map(n => scol(n).as(s"__gk_$n")): _*)
+      .agg(org.apache.spark.sql.functions.min(idxTuple(base)).as("__first"))
+    val cond = keyNames.map(n => base(n) <=> aggSide(s"__gk_$n"))
+      .reduce(_ && _)
+    val joined = base.join(aggSide, cond, "left")
+      .select((0 until frame.nIdx).map(j =>
+        scol(graft.core.SqlFrame.idxName(j))) :+
+        (!(idxTuple(base) <=> scol("__first")))
+          .as(graft.core.SqlFrame.colName(0)): _*)
+    new Series(graft.core.SqlFrame.fromPhysical(frame.indexNames,
+      IndexedSeq(Some("duplicated")), joined))
   }
 
   /** pandas combine_first: patch NULLs (and missing rows/columns) from
