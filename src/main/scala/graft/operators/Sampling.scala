@@ -7,17 +7,59 @@ import org.apache.spark.sql.expressions.Window
 /** Sampling operators for training-data pipelines. */
 object Sampling {
 
+  /** Exclusive per-key prefix sum of `tokenCol` in the stable
+    * (md5(id), id) order — the running total every budget sampler below
+    * gates on — WITHOUT `Window.partitionBy(key)`: sampling keys are
+    * routinely a handful of languages/sources, and a window over such a
+    * key funnels the whole corpus into |keys| sorted tasks at any
+    * cluster size.
+    *
+    * Distributed two-pass prefix sum instead, with md5-PREFIX
+    * sub-buckets as the parallelism dial: the first two hex chars of
+    * md5(id) define 256 contiguous, uniformly-filled ranges of the sort
+    * order (lexicographic hex order == numeric prefix order), so
+    *   1. ONE hash exchange on (key, bucket) — |keys|×256 real
+    *      partitions — computes the local exclusive prefix per bucket;
+    *   2. per-(key, bucket) totals (map-side partials) feed a window
+    *      over the ≤ |keys|×256-row totals relation for the per-bucket
+    *      starting offsets, broadcast-joined back.
+    * global prefix = local prefix + bucket offset, an exact integer
+    * identity — bit-identical to the single-window formulation at every
+    * row, deterministic across runs, engines and cluster sizes (no
+    * range-partitioner sampling involved). Same exchange count as the
+    * naive window; 256× its worst-case parallelism. */
+  private def keyedPrefixSum(df: DataFrame, keyCols: Seq[String],
+                             idCol: String, tokenExpr: Column,
+                             outCol: String): DataFrame = {
+    val ord = md5(col(idCol).cast("string"))
+    val bucket = conv(substring(ord, 1, 2), 16, 10).cast("int")
+    val wLocal = Window.partitionBy((keyCols :+ "__pb").map(col): _*)
+      .orderBy(ord, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = df.withColumn("__pb", bucket)
+      .withColumn("__loc", coalesce(sum(tokenExpr).over(wLocal), lit(0L)))
+    val wOff = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__pb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = df.withColumn("__pb", bucket)
+      .groupBy((keyCols :+ "__pb").map(col): _*)
+      .agg(sum(tokenExpr).as("__pt"))
+      .withColumn("__po", coalesce(sum(col("__pt")).over(wOff), lit(0L)))
+      .select((keyCols :+ "__pb").map(col) :+ col("__po"): _*)
+    local.join(broadcast(offsets), keyCols :+ "__pb")
+      .withColumn(outCol, col("__loc") + col("__po"))
+      .drop("__pb", "__loc", "__po")
+  }
+
   /** Deterministic per-key sample: n rows per key, chosen by a stable
     * pseudo-random order (md5 of the id rendered as text — reproducible
-    * across engines and runs, unlike rand()). One window shuffle on the
-    * key; no driver involvement. */
-  def perKey(df: DataFrame, keys: Seq[String], idCol: String, n: Int): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= n)
-      .drop("__rn")
-  }
+    * across engines and runs, unlike rand()). Routed through the
+    * distributed prefix machinery ([[keyedPrefixSum]] with a count of 1
+    * per row — `rank = exclusive count + 1`), so a handful-of-values
+    * key never collapses parallelism. */
+  def perKey(df: DataFrame, keys: Seq[String], idCol: String, n: Int): DataFrame =
+    keyedPrefixSum(df, keys, idCol, lit(1L), "__rn0")
+      .where(col("__rn0") < n)
+      .drop("__rn0")
 
   /** Stratified Bernoulli sample with per-stratum fractions (seeded
     * sampleBy — deterministic for a fixed seed and input partitioning;
@@ -37,16 +79,14 @@ object Sampling {
     * md5-pseudo-random order until the key's token budget is reached
     * (first doc crossing the budget is INCLUDED: every non-empty key
     * yields at least one doc and budgets are met, not undershot). One
-    * per-key window shuffle, integer running sums — deterministic
+    * (key, md5-bucket) exchange via [[keyedPrefixSum]]'s distributed
+    * prefix sum, integer running sums — deterministic
     * across runs and engines, unlike fraction-based sampling, and it
     * targets what mixture weights actually mean: tokens, not rows. */
   def budgetSample(df: DataFrame, keyCol: String, idCol: String,
                    tokenCol: String, budget: Long): DataFrame = {
     require(budget > 0, "token budget must be positive")
-    val w = Window.partitionBy(keyCol)
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("__off", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+    keyedPrefixSum(df, Seq(keyCol), idCol, col(tokenCol), "__off")
       .where(col("__off") < budget)
       .drop("__off")
   }
@@ -64,7 +104,8 @@ object Sampling {
     *
     * `weights` is an ordered Seq (not a Map) so the generated when-chain
     * — and therefore the plan — is deterministic across runs. One
-    * per-key window shuffle, integer running sums; membership is
+    * (key, md5-bucket) exchange ([[keyedPrefixSum]]), integer running
+    * sums; membership is
     * recomputable from (id, weights) alone, so the same mixture is
     * reproducible on any engine or cluster size. */
   def mixtureSample(df: DataFrame, keyCol: String, idCol: String,
@@ -81,11 +122,8 @@ object Sampling {
       case (acc, (k, wt)) =>
         acc.when(col(keyCol) === k, lit((totalBudget * wt).toLong))
     }.otherwise(lit(0L))
-    val w = Window.partitionBy(keyCol)
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("__budget", budget)
-      .withColumn("__off", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+    keyedPrefixSum(df.withColumn("__budget", budget),
+      Seq(keyCol), idCol, col(tokenCol), "__off")
       .where(col("__off") < col("__budget"))
       .drop("__budget", "__off")
   }
@@ -124,11 +162,8 @@ object Sampling {
       .select(col(keyCol),
         floor(lit(totalBudget).cast("double") * col("__wi").cast("double")
           / col("__wsum").cast("double")).cast("long").as("__budget"))
-    val w = Window.partitionBy(keyCol)
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    df.join(broadcast(budgets), Seq(keyCol))
-      .withColumn("__off", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+    keyedPrefixSum(df.join(broadcast(budgets), Seq(keyCol)),
+      Seq(keyCol), idCol, col(tokenCol), "__off")
       .where(col("__off") < col("__budget"))
       .drop("__budget", "__off")
   }

@@ -13,7 +13,14 @@ import org.apache.spark.sql.expressions.Window
   * the pack key (language, source, date bucket, ...) so there is NO global
   * ordering anywhere: each key's packing is an independent per-partition
   * window after one hash shuffle, which is what survives a 100 TB corpus.
-  * Token counts are integers, so the assignment is engine-exact. */
+  * Token counts are integers, so the assignment is engine-exact.
+  *
+  * PICK A COMPOSITE PACK KEY whose cardinality grows with the corpus
+  * (lang × source × date-bucket, not lang alone): unlike the samplers —
+  * whose md5 ordering admits the Sampling.keyedPrefixSum sub-bucket
+  * decomposition — packing is ordered by the caller's id, whose range
+  * cannot be pre-bucketed deterministically, so one key IS one sorted
+  * task here and the key choice is the parallelism dial. */
 object ShardPack {
 
   /** Adds `offset` (tokens before this doc within its key) and `shard`

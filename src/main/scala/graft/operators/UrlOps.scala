@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB notes: normalization/domain extraction are narrow (no shuffle);
   * [[domainStats]] is one hash aggregate on eTLD+1 (low cardinality →
-  * map-side partials collapse it); [[perDomainCap]] shuffles once on the
-  * domain — for hub domains (a wikipedia.org-scale key holding >1 task of
-  * rows) pre-thin with [[Sampling.budgetSample]]-style md5 prefixes or
-  * the sketch-driven salting in [[SkewJoin]] before the exact window.
+  * map-side partials collapse it); [[perDomainCap]] shuffles once on
+  * (domain, md5-prefix bucket) via [[Sampling.perKey]]'s distributed
+  * prefix machinery — a wikipedia.org-scale hub domain splits across
+  * 256 buckets instead of landing on one sorted task, with no pre-thin
+  * pass needed.
   */
 object UrlOps {
 

@@ -608,6 +608,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("budgetSample distributed prefix sum ≡ brute-force md5-order admission") {
+    // the md5-prefix sub-bucket machinery must reproduce the naive
+    // single-window running sum BIT-EXACTLY: brute-force the per-key
+    // (md5(id), id)-ordered exclusive prefix in Scala and compare the
+    // admitted sets. 300 ids spread over many of the 256 buckets, token
+    // sizes varied so admissions cut mid-bucket, budgets chosen so some
+    // keys exhaust supply and others cut early.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Seq.tabulate(300)(i =>
+      (i.toLong, (i % 3) match { case 0 => "en"; case 1 => "de"; case _ => "fr" },
+        (i % 7 + 1) * 10L))
+    val docs = rows.toDF("id", "k", "n")
+    for (budget <- Seq(120L, 777L, 100000L)) {
+      val got = Sampling.budgetSample(docs, "k", "id", "n", budget)
+        .select("id").as[Long].collect().toSet
+      val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        val ordered = rs.sortBy(r => (md5hex(r._1.toString), r._1))
+        val cum = ordered.scanLeft(0L)(_ + _._3) // exclusive prefix
+        ordered.zip(cum).collect { case (r, off) if off < budget => r._1 }
+      }.toSet
+      assert(got == want, s"budget $budget: ${got.size} vs ${want.size}")
+    }
+  }
+
   test("mixtureSample: per-key budgets from weights, unlisted keys dropped") {
     val docs = Seq.tabulate(40)(i =>
       (i.toLong, if (i % 4 == 0) "a" else if (i % 4 == 1) "b" else
