@@ -1519,6 +1519,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // bigram-LM fluency signal with stupid backoff (Brants et al. 2007):
+    // model fit on the English sub-corpus, every doc scored — seen-bigram,
+    // backoff-to-unigram and OOV branches all live; nano-quantized
+    // integer sums keep the score engine-exact
+    "q_bigram_lm" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val model = table(s, dir, "documents")
+        .where(col("lang") === "en").select("text")
+      TextAnalysis.stupidBackoffScore(docs, model, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("logprob_mean"), 6).as("logprob_mean"))
+        .orderBy("doc_id")
+    }),
+
     // BM25 retrieval: postings-join shape (query terms join the (doc,
     // term, tf) relation — no doc × query cross product), nano-quantized
     // per-term scores so the per-(query, doc) sum is order-exact
@@ -2173,6 +2187,38 @@ object SparkEntry {
       UrlOps.perDomainCap(base, "url", "event_id", cap = 300)
         .select(UrlOps.urlDomain(col("url")).as("domain"), col("event_id"))
         .orderBy("domain", "event_id")
+    }),
+
+    // crawl curation: PageRank over the (source host → linked host) graph
+    // — the domain-quality prior corpus weighting joins against. Exact
+    // integer nano-unit iterations (GraphOps.pageRankNano), 3 rounds at
+    // damping 85/100; the oracle replays the same integer recursion as
+    // unrolled CTEs, so ranks hash bit-exactly
+    "q_pagerank" -> ((s, dir) => {
+      import graft.operators.{GraphOps, UrlOps}
+      val ev = table(s, dir, "events")
+      val u = UrlOps.syntheticUrl(col("event_id"), col("user_id"), col("event_type"))
+      val edges = ev.select(UrlOps.hostOf(u).as("src"),
+        UrlOps.syntheticLinkHost(col("event_id"), col("user_id")).as("dst"),
+        lit(1L).as("w"))
+      GraphOps.pageRankNano(edges, "src", "dst", col("w"), iters = 3)
+        .select(col("node").as("host"), col("rank_nano"))
+        .orderBy(desc("rank_nano"), col("host"))
+    }),
+
+    // crawl curation: per-host link-graph degree/weight profile — the
+    // hub/authority sanity relation shipped next to a rank table
+    "q_link_stats" -> ((s, dir) => {
+      import graft.operators.{GraphOps, UrlOps}
+      val ev = table(s, dir, "events")
+      val u = UrlOps.syntheticUrl(col("event_id"), col("user_id"), col("event_type"))
+      val edges = ev.select(UrlOps.hostOf(u).as("src"),
+          UrlOps.syntheticLinkHost(col("event_id"), col("user_id")).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      GraphOps.degreeStats(edges, "src", "dst", col("w"))
+        .withColumnRenamed("node", "host")
+        .orderBy("host")
     }),
 
     // embedding preprocessing: per-dimension corpus mean/variance — the
@@ -3487,6 +3533,12 @@ object SparkEntry {
          |${graft.operators.TextAnalysis.unigramScoreOracleSql}
          |ORDER BY doc_id""".stripMargin
     },
+    "q_bigram_lm" -> {
+      s"""WITH mbase AS (SELECT text FROM documents WHERE lang = 'en'),
+         |base AS (SELECT doc_id, text FROM documents),
+         |${graft.operators.TextAnalysis.stupidBackoffOracleSql()}
+         |ORDER BY doc_id""".stripMargin
+    },
     "q_entropy" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
@@ -4010,6 +4062,31 @@ object SparkEntry {
          |      FROM d)
          |SELECT domain, event_id FROM r WHERE rn <= 300
          |ORDER BY domain, event_id""".stripMargin
+    },
+    "q_pagerank" -> {
+      import graft.operators.{GraphOps, UrlOps}
+      s"""WITH u AS (SELECT ${UrlOps.hostSqlExpr(UrlOps.syntheticUrlSqlExpr)} AS src,
+         |        ${UrlOps.syntheticLinkHostSqlExpr} AS dst FROM events),
+         |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM u
+         |      WHERE src <> dst GROUP BY src, dst),
+         |${GraphOps.pageRankNanoOracleCtes(iters = 3)}
+         |SELECT node AS host, r AS rank_nano FROM r3
+         |ORDER BY rank_nano DESC, host""".stripMargin
+    },
+    "q_link_stats" -> {
+      import graft.operators.UrlOps
+      s"""WITH u AS (SELECT ${UrlOps.hostSqlExpr(UrlOps.syntheticUrlSqlExpr)} AS src,
+         |        ${UrlOps.syntheticLinkHostSqlExpr} AS dst FROM events),
+         |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM u
+         |      WHERE src <> dst GROUP BY src, dst),
+         |o AS (SELECT src AS host, CAST(count(*) AS BIGINT) AS out_deg,
+         |        CAST(sum(w) AS BIGINT) AS out_w FROM e GROUP BY src),
+         |i AS (SELECT dst AS host, CAST(count(*) AS BIGINT) AS in_deg,
+         |        CAST(sum(w) AS BIGINT) AS in_w FROM e GROUP BY dst)
+         |SELECT host, COALESCE(out_deg, 0) AS out_deg, COALESCE(out_w, 0) AS out_w,
+         |  COALESCE(in_deg, 0) AS in_deg, COALESCE(in_w, 0) AS in_w
+         |FROM o FULL OUTER JOIN i USING (host)
+         |ORDER BY host""".stripMargin
     },
     "q_emb_stats" ->
       """WITH e AS (SELECT generate_subscripts(embedding, 1) AS pos,

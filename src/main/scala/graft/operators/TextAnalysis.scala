@@ -529,6 +529,137 @@ object TextAnalysis {
        |    AS logprob_mean
        |FROM sc""".stripMargin
 
+  /** Mean token log-score per document under a bigram model with STUPID
+    * BACKOFF (Brants et al. 2007, "Large Language Models in Machine
+    * Translation" §4 — the web-scale smoothing that needs no discount
+    * normalization): token i ≥ 2 scores ln(c(w₁w₂)/c(w₁)) when the
+    * bigram was seen, else α·(unigram) → ln(α·(c(w₂)/N)); the head token
+    * scores the plain unigram ln(c(w)/N); tokens unseen by the model
+    * score `oovLogProb`. Fit on `modelDocs` and score `docs` — fitting
+    * on a clean sub-corpus and scoring the whole crawl is the fluency
+    * filter stack (perplexity-style filtering à la CCNet) this exists
+    * for, and it is what makes the backoff branches live.
+    *
+    * Per-term log-scores nano-quantize BEFORE the per-doc sum (the
+    * [[unigramScore]] trick) so the score is an exact integer sum —
+    * bit-reproducible across partitionings and engines. Doc bigrams are
+    * a NARROW zip_with over the token array (no positional self-join of
+    * the exploded relation); the two model relations are vocabulary- and
+    * bigram-type-sized aggregates that broadcast by default (disable for
+    * pathological vocabularies → plain shuffle joins); N rides a one-row
+    * broadcast. Corpus-side work is one explode + key-bounded joins —
+    * no shuffle keyed on doc count except the final per-doc aggregate.
+    * Zero-token docs drop out. Output: (idCol, n_tokens, logprob_mean).
+    */
+  def stupidBackoffScore(docs: DataFrame, modelDocs: DataFrame,
+                         idCol: String, textCol: String,
+                         alpha: Double = 0.4,
+                         broadcastModel: Boolean = true,
+                         oovLogProb: Double = -20.0): DataFrame = {
+    val oovNano = math.floor(oovLogProb * 1e9).toLong
+    def maybeB(df: DataFrame) = if (broadcastModel) broadcast(df) else df
+    // model: unigram counts, total, bigram counts (type counts, not doc
+    // occurrences — the standard MLE numerators)
+    val uni = maybeB(modelDocs
+      .select(explode(tokens(col(textCol))).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__c1")))
+    val tot = uni.agg(sum("__c1").cast("double").as("__n"))
+    val bigPairs = (df: DataFrame) => df
+      .select(col("*"), tokens(col(textCol)).as("__ts"))
+      .where(size(col("__ts")) >= 2)
+      .select(col("*"), explode(expr(
+        "zip_with(slice(__ts, 1, size(__ts) - 1), " +
+          "slice(__ts, 2, size(__ts) - 1), " +
+          "(a, b) -> struct(a AS __w1, b AS __w2))")).as("__bg"))
+      .select(col("*"), col("__bg.__w1").as("__w1"), col("__bg.__w2").as("__w2"))
+    val big = maybeB(bigPairs(modelDocs.select(col(textCol)))
+      .groupBy("__w1", "__w2").agg(count(lit(1)).as("__c2")))
+    // doc terms: head token (unigram) ∪ bigram transitions
+    val head = docs
+      .select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .where(size(col("__ts")) >= 1)
+      .select(col(idCol), col("__ts").getItem(0).as("__t"))
+      .join(uni, Seq("__t"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        when(col("__c1").isNotNull,
+          floor(log(col("__c1").cast("double") / col("__n")) * 1e9).cast("long"))
+          .otherwise(lit(oovNano)).as("__lq"))
+    val trans = bigPairs(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), col("__w1"), col("__w2"))
+      .join(big, Seq("__w1", "__w2"), "left")
+      .join(uni.select(col("__t").as("__w1"), col("__c1").as("__c1a")), Seq("__w1"), "left")
+      .join(uni.select(col("__t").as("__w2"), col("__c1").as("__c1b")), Seq("__w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        when(col("__c2").isNotNull,
+          floor(log(col("__c2").cast("double") / col("__c1a").cast("double")) * 1e9)
+            .cast("long"))
+          .when(col("__c1b").isNotNull,
+            floor(log(lit(alpha) * (col("__c1b").cast("double") / col("__n"))) * 1e9)
+              .cast("long"))
+          .otherwise(lit(oovNano)).as("__lq"))
+    head.union(trans)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("__lq").as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__s").cast("double") / (col("n_tokens").cast("double") * 1e9))
+          .as("logprob_mean"))
+  }
+
+  /** [[stupidBackoffScore]] fit-and-score as DuckDB SQL: model over a
+    * `(text)` relation named `mbase`, scoring over `(doc_id, text)`
+    * named `base` (provide both via WITH prefix). Identical
+    * tokenization, identical double expression trees (c2/c1 then ln;
+    * α·(c1/N) then ln), identical nano-quantization and exact integer
+    * summation. Doc bigrams come from a positional self-join of the
+    * exploded token relation — same pairs as the Spark zip_with. */
+  def stupidBackoffOracleSql(alpha: Double = 0.4,
+                             oovLogProb: Double = -20.0): String = {
+    val oovNano = math.floor(oovLogProb * 1e9).toLong
+    s"""mtok AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+       |                       w -> len(w) > 0)) AS t FROM mbase),
+       |uni AS (SELECT t, count(*) AS c1 FROM mtok GROUP BY t),
+       |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni),
+       |mts AS (SELECT row_number() OVER () AS mid,
+       |    list_filter(string_split_regex(trim(text), '\\s+'),
+       |                w -> len(w) > 0) AS ts FROM mbase),
+       |mpos AS (SELECT mid, generate_subscripts(ts, 1) AS pos, unnest(ts) AS t
+       |  FROM mts),
+       |big AS (SELECT a.t AS w1, b.t AS w2, count(*) AS c2
+       |  FROM mpos a JOIN mpos b ON a.mid = b.mid AND b.pos = a.pos + 1
+       |  GROUP BY a.t, b.t),
+       |dts AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+       |                w -> len(w) > 0) AS ts FROM base),
+       |dpos AS (SELECT doc_id, generate_subscripts(ts, 1) AS pos, unnest(ts) AS t
+       |  FROM dts),
+       |terms AS (
+       |  SELECT h.doc_id,
+       |    CASE WHEN u.c1 IS NOT NULL
+       |      THEN CAST(floor(ln(CAST(u.c1 AS DOUBLE) / tot.n) * 1e9) AS BIGINT)
+       |      ELSE CAST($oovNano AS BIGINT) END AS lq
+       |  FROM (SELECT doc_id, t FROM dpos WHERE pos = 1) h
+       |  LEFT JOIN uni u ON h.t = u.t, tot
+       |  UNION ALL
+       |  SELECT p.doc_id,
+       |    CASE WHEN bg.c2 IS NOT NULL
+       |      THEN CAST(floor(ln(CAST(bg.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)) * 1e9) AS BIGINT)
+       |    WHEN u2.c1 IS NOT NULL
+       |      THEN CAST(floor(ln($alpha * (CAST(u2.c1 AS DOUBLE) / tot.n)) * 1e9) AS BIGINT)
+       |    ELSE CAST($oovNano AS BIGINT) END AS lq
+       |  FROM (SELECT a.doc_id, a.t AS w1, b.t AS w2
+       |        FROM dpos a JOIN dpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1) p
+       |  LEFT JOIN big bg ON p.w1 = bg.w1 AND p.w2 = bg.w2
+       |  LEFT JOIN uni u1 ON p.w1 = u1.t
+       |  LEFT JOIN uni u2 ON p.w2 = u2.t, tot),
+       |sc AS (SELECT doc_id, count(*) AS n_tokens, sum(lq) AS s
+       |  FROM terms GROUP BY doc_id)
+       |SELECT doc_id, n_tokens,
+       |  round(CAST(s AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1e9), 6)
+       |    AS logprob_mean
+       |FROM sc""".stripMargin
+  }
+
   // --------------------------------------------------------------------
   // Gopher-style rule filter (Rae et al. 2021, "Scaling Language Models:
   // Methods, Analysis & Insights from Training Gopher", §A1.1 — public

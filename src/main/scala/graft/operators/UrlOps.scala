@@ -180,6 +180,32 @@ object UrlOps {
     concat(scheme, lit("://"), host, port, path, query, frag)
   }
 
+  /** Deterministic synthetic LINK TARGET host for the same events row —
+    * the "this page links to that host" half of the crawl link graph
+    * [[graft.operators.GraphOps.pageRankNano]] ranks. Same host grammar
+    * as [[syntheticUrl]] (already lowercase, so it lands in the same node
+    * space as [[hostOf]] of the source URL) but different residues, so
+    * the graph is a dense asymmetric 21-host web rather than an identity
+    * map. */
+  def syntheticLinkHost(eventId: Column, userId: Column): Column = {
+    val cls = (eventId + userId) % 3
+    val idx = ((eventId * 3) + userId) % 7
+    when(cls === 0,
+        concat(lit("www.news"), idx.cast("string"), lit(".example.co.uk")))
+      .when(cls === 1,
+        concat(lit("blog"), idx.cast("string"), lit(".example.com")))
+      .otherwise(
+        concat(lit("media"), idx.cast("string"), lit(".example.org")))
+  }
+
+  /** DuckDB twin of [[syntheticLinkHost]] (events columns by name). */
+  def syntheticLinkHostSqlExpr: String =
+    "(CASE WHEN (event_id + user_id) % 3 = 0 " +
+      "THEN 'www.news' || ((event_id * 3 + user_id) % 7) || '.example.co.uk' " +
+      "WHEN (event_id + user_id) % 3 = 1 " +
+      "THEN 'blog' || ((event_id * 3 + user_id) % 7) || '.example.com' " +
+      "ELSE 'media' || ((event_id * 3 + user_id) % 7) || '.example.org' END)"
+
   /** DuckDB twin of [[syntheticUrl]] (events columns by name). */
   def syntheticUrlSqlExpr: String = {
     val scheme = "(CASE WHEN event_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)"

@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.GraphOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Link-graph analytics: hand-verifiable integer PageRank on a fixed
+  * 3-node graph, a brute-force driver-side differential on a denser
+  * graph, invariants (self-loop drop, parallel-edge collapse, dangling
+  * teleport floor), and degree stats. */
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val S = GraphOps.Scale
+
+  /** Driver-side reference: the same integer recursion, naive maps. */
+  private def brute(edges: Seq[(String, String, Long)], iters: Int,
+                    num: Long = 85L, den: Long = 100L): Map[String, Long] = {
+    val agg = edges.filter(e => e._1 != e._2)
+      .groupBy(e => (e._1, e._2)).map { case ((s0, d), es) => (s0, d, es.map(_._3).sum) }.toSeq
+    val outW = agg.groupBy(_._1).map { case (k, es) => k -> es.map(_._3).sum }
+    val nodes = (agg.map(_._1) ++ agg.map(_._2)).distinct
+    val teleport = (den - num) * S / den
+    var r = nodes.map(_ -> S).toMap
+    for (_ <- 1 to iters) {
+      val inflow = agg.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s0, _, w) => r(s0) * w / outW(s0) }.sum
+      }
+      r = nodes.map(n => n -> (teleport + num * inflow.getOrElse(n, 0L) / den)).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(String, String, Long)], iters: Int): Map[String, Long] =
+    GraphOps.pageRankNano(edges.toDF("src", "dst", "w"), "src", "dst", col("w"), iters)
+      .as[(String, Long)].collect().toMap
+
+  test("pageRankNano: 3-node cycle is symmetric and conserves mass exactly") {
+    // a -> b -> c -> a, unit weights: every node keeps rank exactly 1.0
+    // (each round: inflow = r, rank = 0.15e9 + 0.85e9 = 1e9, no floor loss)
+    val got = run(Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L)), iters = 4)
+    assert(got == Map("a" -> S, "b" -> S, "c" -> S))
+  }
+
+  test("pageRankNano: hub-and-spoke hand computation") {
+    // a->b, a->c (split), b->a, c->a; 1 iteration from uniform seed:
+    // inflow(b)=inflow(c)=1e9*1 DIV 2=5e8; inflow(a)=1e9+1e9=2e9
+    // r(b)=r(c)=0.15e9+0.85*5e8 DIV 1 -> 150000000+425000000=575000000
+    // r(a)=150000000+85*2e9 DIV 100=1850000000
+    val got = run(Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L)), 1)
+    assert(got == Map("a" -> 1850000000L, "b" -> 575000000L, "c" -> 575000000L))
+  }
+
+  test("pageRankNano: matches the driver-side brute force on a dense weighted graph") {
+    // deterministic pseudo-random graph over 12 nodes (no RNG: residue mix)
+    val nodes = (0 until 12).map(i => s"n$i")
+    val edges = for {
+      i <- 0 until 12; j <- 0 until 12
+      if i != j && (i * 7 + j * 3) % 5 < 2
+    } yield (nodes(i), nodes(j), ((i * 13 + j * 11) % 9 + 1).toLong)
+    for (iters <- Seq(1, 3, 5))
+      assert(run(edges, iters) == brute(edges, iters), s"iters=$iters")
+  }
+
+  test("pageRankNano: self-loops dropped, parallel edges collapse into summed weight") {
+    // b's only inflow is via the (a,b) edges; the a self-loop must not feed a
+    val withNoise = Seq(("a", "a", 50L), ("a", "b", 2L), ("a", "b", 3L), ("b", "a", 1L))
+    val clean = Seq(("a", "b", 5L), ("b", "a", 1L))
+    assert(run(withNoise, 3) == run(clean, 3))
+  }
+
+  test("pageRankNano: dangling sink keeps teleport + inflow; source decays to floor") {
+    // a -> b only: b is dangling (mass leaks), a receives nothing.
+    // round 1: r(a)=150000000, r(b)=150000000+850000000=1000000000
+    // round 2: r(b)=150000000+85*150000000 DIV 100=277500000
+    val got = run(Seq(("a", "b", 1L)), 2)
+    assert(got == Map("a" -> 150000000L, "b" -> 277500000L))
+  }
+
+  test("pageRankNano: damping fraction validated") {
+    val e = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRankNano(e, "src", "dst", col("w"), 1, dampNum = 101L)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRankNano(e, "src", "dst", col("w"), 0)
+    }
+  }
+
+  test("degreeStats: full outer over directions with zero-filled blanks") {
+    val e = Seq(("a", "b", 2L), ("a", "c", 3L), ("b", "c", 4L)).toDF("src", "dst", "w")
+    val got = GraphOps.degreeStats(e, "src", "dst", col("w"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map { case (n, a, b, c, d) => n -> ((a, b, c, d)) }.toMap
+    assert(got("a") == ((2L, 5L, 0L, 0L)))   // pure source
+    assert(got("b") == ((1L, 4L, 1L, 2L)))
+    assert(got("c") == ((0L, 0L, 2L, 7L)))   // pure sink
+  }
+}

@@ -1832,6 +1832,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("stupidBackoffScore: seen-bigram / backoff / OOV branches, dropout, partition-invariant bits") {
+    // model: a:3 b:2 c:1 (N=6); bigrams (a,b):2 (a,c):1
+    val model = Seq("a b", "a b", "a c").toDF("text")
+    val docs = Seq((10L, "a b"), (11L, "b z c"), (12L, "zz"), (13L, " "))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.stupidBackoffScore(docs, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!out.contains(13L), "zero-token doc must drop out")
+    def nq(x: Double): Long = math.floor(x * 1e9).toLong
+    // head a = ln(3/6); (a,b) seen = ln(2/3)
+    val e10 = (nq(math.log(3.0 / 6)) + nq(math.log(2.0 / 3))) / (2 * 1e9)
+    assert(out(10L)._1 == 2L && math.abs(out(10L)._2 - e10) < 1e-15)
+    // head b = ln(2/6); (b,z): z unseen -> OOV; (z,c): backoff ln(0.4*(1/6))
+    val e11 = (nq(math.log(2.0 / 6)) + nq(-20.0) +
+      nq(math.log(0.4 * (1.0 / 6)))) / (3 * 1e9)
+    assert(out(11L)._1 == 3L && math.abs(out(11L)._2 - e11) < 1e-15)
+    assert(out(12L) == ((1L, -20.0))) // single OOV head, exact
+    // nano-quantized integer sums: scores bit-identical across partitionings
+    val docs2 = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val en = docs2.where(col("lang") === "en").select("text")
+    def score(parts: Int) = TextAnalysis.stupidBackoffScore(
+        docs2.repartition(parts).select("doc_id", "text"), en, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(score(7) == score(2))
+  }
+
   test("persisted near-dup index: probe equals batch cross-pairs, corpus never shuffles") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
