@@ -43,5 +43,9 @@ object GraftExtensions {
     ("graft_top_k", "_FUNC_(score, id, k) - bounded partial top-k aggregate",
       functions.TopKByScore.builder _),
     ("graft_frequent_items", "_FUNC_(item, capacity, k) - Misra-Gries heavy hitters",
-      functions.FrequentItems.builder _))
+      functions.FrequentItems.builder _),
+    ("graft_count_min", "_FUNC_(item, width, depth) - Count-Min frequency sketch",
+      functions.CountMin.builder _),
+    ("graft_cm_estimate", "_FUNC_(sketch, item, width, depth) - Count-Min point estimate",
+      functions.CountMin.estimateBuilder _))
 }

@@ -344,6 +344,28 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Count–Min frequency sketch honesty check: ONE fixed 2048×4 counter
+    // array summarizes the whole user_id stream (64 KB on the wire,
+    // independent of cardinality), probed for the exact top-20 users.
+    // The oracle asserts the one-sided guarantee est ≥ exact and the
+    // ε·N width bound (est ≤ exact + 4N/width, deterministic for the
+    // fixed murmur3 row seeds) — both spelled TRUE in the oracle
+    "q_cm_freq" -> ((s, dir) => {
+      import graft.functions.CountMin
+      val ev = table(s, dir, "events")
+      val sk = ev.agg(CountMin(col("user_id").cast("string")).as("sk"),
+        count(lit(1)).as("__n"))
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+        .orderBy(desc("n_exact"), col("user_id")).limit(20)
+      val est = CountMin.estimate(col("sk"), col("user_id").cast("string"))
+      top.crossJoin(broadcast(sk))
+        .select(col("user_id"), col("n_exact"),
+          (est >= col("n_exact") && est <= col("n_exact") +
+            ceil(lit(4.0) * col("__n") / lit(CountMin.DefaultWidth)).cast("long"))
+            .as("cm_ok"))
+        .orderBy(desc("n_exact"), col("user_id"))
+    }),
+
     // snapshot diff (daily-crawl delta): old = ids % 7 != 0, new = ids
     // % 5 != 0 with every id % 3 == 0 text edited — so added/removed/
     // changed are all exercised by construction; unchanged rows (the
@@ -3486,6 +3508,10 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank,
         |  token, cnt
         |FROM c ORDER BY rank LIMIT 10""".stripMargin,
+    "q_cm_freq" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY user_id)
+        |SELECT user_id, n_exact, TRUE AS cm_ok FROM c
+        |ORDER BY n_exact DESC, user_id LIMIT 20""".stripMargin,
     "q_corpus_diff" ->
       """WITH o AS (SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f

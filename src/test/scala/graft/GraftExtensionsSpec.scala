@@ -36,6 +36,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |FROM VALUES (3.0, 1), (1.0, 2), (2.0, 3) AS t(v, id)""".stripMargin)
       .collect()(0).getSeq[org.apache.spark.sql.Row](0)
     assert(tk.map(x => (x.getDouble(0), x.getLong(1))) == Seq((3.0, 1L), (2.0, 3L)))
+    val cm = spark.sql(
+      """SELECT graft_cm_estimate(
+        |  graft_count_min(w, 64, 4), 'x', 64, 4) AS est
+        |FROM VALUES ('x'), ('x'), ('y') AS t(w)""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(cm == 2L)
     // the injected builders carry the same validation as register()
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_frequent_items(w, w, 2) FROM VALUES ('x') AS t(w)").collect()
@@ -51,8 +57,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(desc.contains("graft_frequent_items"))
     // the injection table covers every registered native function
     assert(GraftExtensions.all.map(_._1).sorted == Seq(
-      "graft_cosine", "graft_dot", "graft_frequent_items",
-      "graft_normalize_ws", "graft_shingles", "graft_top_k",
-      "graft_unicode_normalize"))
+      "graft_cm_estimate", "graft_cosine", "graft_count_min", "graft_dot",
+      "graft_frequent_items", "graft_normalize_ws", "graft_shingles",
+      "graft_top_k", "graft_unicode_normalize"))
   }
 }
