@@ -342,6 +342,27 @@ object ScaleSweep {
       docs0.where(col("doc_id") % 37 === 0), "doc_id", "text",
       n = 8, minHits = 1L))
 
+    // round-7 operators: pagerank (node space scales with user_id —
+    // per-iteration join + groupBy both key on cardinality that grows
+    // with the data; 3 iterations), bigram_lm (model FIXED at 1× and
+    // broadcast; the slope isolates the corpus-side bigram explode +
+    // key-bounded joins — ciphered copies drive the OOV/backoff worst
+    // case), cm_freq (fixed 2048×4 counter array per partial — the
+    // exchange is O(width·depth) at every scale, like heavy_hitters)
+    sweep("pagerank")(k => {
+      val e = evAt(k).select(
+        concat(lit("h"), col("user_id").cast("string")).as("src"),
+        concat(lit("h"),
+          (col("user_id") + col("event_id") % 997).cast("string")).as("dst"),
+        lit(1L).as("w"))
+      graft.operators.GraphOps.pageRankNano(e, "src", "dst", col("w"), iters = 3)
+    })
+    sweep("bigram_lm")(k => TextAnalysis.stupidBackoffScore(
+      docsAt(k), docs0.select("text"), "doc_id", "text"))
+    sweep("cm_freq")(k => evAt(k)
+      .select(col("user_id").cast("string").as("u"))
+      .agg(graft.functions.CountMin(col("u")).as("sk")))
+
     def renderMap(m: scala.collection.Map[String, Seq[Double]]): String =
       m.map { case (k, v) =>
         "\"" + k + "\":[" + v.map(x => f"$x%.2f").mkString(",") + "]"
