@@ -2228,6 +2228,24 @@ object SparkEntry {
         .orderBy(desc("rank_nano"), col("host"))
     }),
 
+    // crawl curation: TrustRank over the same link graph — teleport mass
+    // restricted to the news-host whitelist, so rank is trust flowing
+    // out of the seeds; unreachable hosts decay to exactly 0
+    "q_trustrank" -> ((s, dir) => {
+      import graft.operators.{GraphOps, UrlOps}
+      val ev = table(s, dir, "events")
+      val u = UrlOps.syntheticUrl(col("event_id"), col("user_id"), col("event_type"))
+      val edges = ev.select(UrlOps.hostOf(u).as("src"),
+        UrlOps.syntheticLinkHost(col("event_id"), col("user_id")).as("dst"),
+        lit(1L).as("w"))
+      val seeds = edges.select(col("src").as("node"))
+        .where(col("node").like("www.news%")).distinct()
+      GraphOps.pageRankNano(edges, "src", "dst", col("w"), iters = 3,
+          seeds = Some(seeds))
+        .select(col("node").as("host"), col("rank_nano"))
+        .orderBy(desc("rank_nano"), col("host"))
+    }),
+
     // crawl curation: per-host link-graph degree/weight profile — the
     // hub/authority sanity relation shipped next to a rank table
     "q_link_stats" -> ((s, dir) => {
@@ -4096,6 +4114,17 @@ object SparkEntry {
          |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM u
          |      WHERE src <> dst GROUP BY src, dst),
          |${GraphOps.pageRankNanoOracleCtes(iters = 3)}
+         |SELECT node AS host, r AS rank_nano FROM r3
+         |ORDER BY rank_nano DESC, host""".stripMargin
+    },
+    "q_trustrank" -> {
+      import graft.operators.{GraphOps, UrlOps}
+      s"""WITH u AS (SELECT ${UrlOps.hostSqlExpr(UrlOps.syntheticUrlSqlExpr)} AS src,
+         |        ${UrlOps.syntheticLinkHostSqlExpr} AS dst FROM events),
+         |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM u
+         |      WHERE src <> dst GROUP BY src, dst),
+         |seeds AS (SELECT DISTINCT src AS node FROM u WHERE src LIKE 'www.news%'),
+         |${GraphOps.pageRankNanoOracleCtes(iters = 3, seeded = true)}
          |SELECT node AS host, r AS rank_nano FROM r3
          |ORDER BY rank_nano DESC, host""".stripMargin
     },

@@ -57,12 +57,21 @@ object GraphOps {
     * same non-local-master guard applies (driver-local scratch would
     * silently shear state across executors).
     *
+    * `seeds` (one column, node ids) switches to TRUSTRANK (Gyöngyi,
+    * Garcia-Molina, Pedersen, VLDB'04): teleport mass lands only on the
+    * seed whitelist, so rank becomes trust flowing out of the seeds
+    * along links — the "which domains does the trusted core endorse"
+    * prior a crawl pipeline combines with raw PageRank. Nodes the seeds
+    * cannot reach decay to EXACTLY 0 (integer arithmetic, no epsilon
+    * tail); seeds absent from the graph are ignored.
+    *
     * @return (node, rank_nano: Long) — rank 1.0 ≡ [[Scale]].
     */
   def pageRankNano(edges: DataFrame, srcCol: String, dstCol: String,
                    weightCol: Column, iters: Int,
                    dampNum: Long = 85L, dampDen: Long = 100L,
-                   scratchDir: Option[String] = None): DataFrame = {
+                   scratchDir: Option[String] = None,
+                   seeds: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       s"damping $dampNum/$dampDen must be a fraction in [0, 1]")
@@ -95,17 +104,40 @@ object GraphOps {
         .union(ew.select(col("dst").as("node"))).distinct(), "nodes")
 
     val teleport = (dampDen - dampNum) * Scale / dampDen // exact when den | Scale
-    var ranks = nodes.select(col("node"), lit(Scale).as("r"))
+    // TrustRank mode (Gyöngyi, Garcia-Molina, Pedersen, VLDB'04): with a
+    // seed set, the teleport mass lands ONLY on seeds — rank becomes
+    // trust that flows out of the seed whitelist along links, and an
+    // unreachable node's rank decays to exactly 0 (integer arithmetic,
+    // no epsilon tail). Seeds not present in the graph are ignored (they
+    // have no edges to flow through). The node spine gains one
+    // vocabulary-sized left join; everything else is unchanged.
+    val spine = seeds match {
+      case Some(s0) =>
+        val s = s0.select(col(s0.columns.head).as("node"), lit(1).as("__seed"))
+          .distinct()
+        materialize(nodes.join(s, Seq("node"), "left")
+          .select(col("node"),
+            when(col("__seed").isNotNull, lit(teleport)).otherwise(lit(0L))
+              .as("tele")), "spine")
+      case None => nodes.select(col("node"), lit(teleport).as("tele"))
+    }
+    // seed rank = the node's teleport-only fixed point at iteration 0:
+    // Scale for uniform PageRank, Scale·[seed] for TrustRank
+    var ranks = seeds match {
+      case Some(_) => spine.select(col("node"),
+        when(col("tele") > 0, lit(Scale)).otherwise(lit(0L)).as("r"))
+      case None => nodes.select(col("node"), lit(Scale).as("r"))
+    }
     var i = 0
     while (i < iters) {
       val inflow = ew
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("r * w DIV ow").as("c"))
         .groupBy("dst").agg(sum("c").as("inflow"))
-      val next = nodes
+      val next = spine
         .join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
-          (lit(teleport) +
+          (col("tele") +
             expr(s"$dampNum * coalesce(inflow, 0L) DIV $dampDen")).as("r"))
       val m = materialize(next, s"iter$i")
       if (i > 0) drop(s"iter${i - 1}")
@@ -123,21 +155,35 @@ object GraphOps {
     * `ew`/`n`/`r0` through `r{iters}`; the caller selects from
     * `r{iters}`. */
   def pageRankNanoOracleCtes(iters: Int, dampNum: Long = 85L,
-                             dampDen: Long = 100L): String = {
+                             dampDen: Long = 100L,
+                             seeded: Boolean = false): String = {
     val teleport = (dampDen - dampNum) * Scale / dampDen
+    val spine =
+      if (seeded)
+        s"""spine AS (SELECT n.node,
+           |    CASE WHEN s.node IS NOT NULL THEN CAST($teleport AS BIGINT)
+           |      ELSE CAST(0 AS BIGINT) END AS tele
+           |  FROM n LEFT JOIN (SELECT DISTINCT node FROM seeds) s
+           |  ON n.node = s.node),
+           |r0 AS (SELECT node,
+           |    CASE WHEN tele > 0 THEN CAST($Scale AS BIGINT)
+           |      ELSE CAST(0 AS BIGINT) END AS r FROM spine)""".stripMargin
+      else
+        s"""spine AS (SELECT node, CAST($teleport AS BIGINT) AS tele FROM n),
+           |r0 AS (SELECT node, CAST($Scale AS BIGINT) AS r FROM n)""".stripMargin
     val head =
       s"""ew AS (SELECT e.src, e.dst, e.w, ow.ow FROM e
          |  JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY src) ow
          |  USING (src)),
          |n AS (SELECT DISTINCT node FROM
          |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-         |r0 AS (SELECT node, CAST($Scale AS BIGINT) AS r FROM n)""".stripMargin
+         |$spine""".stripMargin
     val rounds = (1 to iters).map { i =>
       s"""i$i AS (SELECT dst, CAST(sum((r * w) // ow) AS BIGINT) AS f
          |  FROM ew JOIN r${i - 1} ON ew.src = r${i - 1}.node GROUP BY dst),
-         |r$i AS (SELECT node,
-         |    CAST($teleport + ($dampNum * COALESCE(f, 0)) // $dampDen AS BIGINT) AS r
-         |  FROM n LEFT JOIN i$i ON n.node = i$i.dst)""".stripMargin
+         |r$i AS (SELECT spine.node,
+         |    CAST(spine.tele + ($dampNum * COALESCE(f, 0)) // $dampDen AS BIGINT) AS r
+         |  FROM spine LEFT JOIN i$i ON spine.node = i$i.dst)""".stripMargin
     }
     (head +: rounds).mkString(",\n")
   }

@@ -78,6 +78,33 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == Map("a" -> 150000000L, "b" -> 277500000L))
   }
 
+  private def runSeeded(edges: Seq[(String, String, Long)], iters: Int,
+                        seeds: Seq[String]): Map[String, Long] =
+    GraphOps.pageRankNano(edges.toDF("src", "dst", "w"), "src", "dst",
+        col("w"), iters, seeds = Some(seeds.toDF("node")))
+      .as[(String, Long)].collect().toMap
+
+  test("trustrank: teleport only on seeds, hand computation") {
+    // a <-> b, seed {a}:
+    // r0: a=1e9 b=0
+    // i1: r(b) = 0 + 85*1e9 DIV 100 = 850000000; r(a) = 150000000 + 0
+    // i2: r(b) = 0 + 85*150000000 DIV 100 = 127500000
+    //     r(a) = 150000000 + 85*850000000 DIV 100 = 872500000
+    val g = Seq(("a", "b", 1L), ("b", "a", 1L))
+    assert(runSeeded(g, 1, Seq("a")) == Map("a" -> 150000000L, "b" -> 850000000L))
+    assert(runSeeded(g, 2, Seq("a")) == Map("a" -> 872500000L, "b" -> 127500000L))
+  }
+
+  test("trustrank: nodes unreachable from seeds decay to exactly 0") {
+    // c -> b with seed {a}: c gets no teleport and no inflow — exact 0,
+    // not an epsilon tail; seeds absent from the graph are ignored
+    val g = Seq(("a", "b", 1L), ("c", "b", 1L))
+    val got = runSeeded(g, 3, Seq("a", "not-in-graph"))
+    assert(got("c") == 0L)
+    assert(got("a") == 150000000L) // teleport only (nothing points at a)
+    assert(got("b") > 0L)
+  }
+
   test("pageRankNano: damping fraction validated") {
     val e = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
     intercept[IllegalArgumentException] {
