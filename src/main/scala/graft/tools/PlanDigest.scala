@@ -32,7 +32,11 @@ object PlanDigest {
     "q_tfidf", "q_scd2",
     // round-7 additions: the top of the current bench_last.json ordering
     // (q_transform's window→broadcast-join-back reshape is pinned here)
-    "q_transform", "q_url_norm", "q_bpe_encode", "q_winsorize")
+    "q_transform", "q_url_norm", "q_bpe_encode", "q_winsorize",
+    // round-7 session-2: the new declarative families (graph queries are
+    // excluded — pageRankNano materializes per-iteration state, so its
+    // final plan is just the last scratch scan)
+    "q_bigram_lm", "q_cm_freq")
 
   val SnapshotPath = "tools/plan_digests.txt"
   val DefaultSfDir = "/root/testdata/sf0.001"

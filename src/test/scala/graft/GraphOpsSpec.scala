@@ -115,6 +115,13 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRankNano: degenerate graphs (empty edges, all self-loops) return empty") {
+    val empty = Seq.empty[(String, String, Long)].toDF("src", "dst", "w")
+    assert(GraphOps.pageRankNano(empty, "src", "dst", col("w"), 2).count() == 0L)
+    val loops = Seq(("a", "a", 3L)).toDF("src", "dst", "w")
+    assert(GraphOps.pageRankNano(loops, "src", "dst", col("w"), 2).count() == 0L)
+  }
+
   test("degreeStats: full outer over directions with zero-filled blanks") {
     val e = Seq(("a", "b", 2L), ("a", "c", 3L), ("b", "c", 4L)).toDF("src", "dst", "w")
     val got = GraphOps.degreeStats(e, "src", "dst", col("w"))
