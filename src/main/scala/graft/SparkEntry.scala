@@ -2261,6 +2261,60 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    // crawl curation: HITS hubs/authorities over the host link graph —
+    // the directory-page vs destination-page split PageRank conflates.
+    // Exact integer nano-units, 3 iterations, L1-normalized each round;
+    // the oracle replays the identical integer recursion as CTEs
+    "q_hits" -> ((s, dir) => {
+      import graft.operators.{GraphOps, UrlOps}
+      val ev = table(s, dir, "events")
+      val u = UrlOps.syntheticUrl(col("event_id"), col("user_id"), col("event_type"))
+      val edges = ev.select(UrlOps.hostOf(u).as("src"),
+        UrlOps.syntheticLinkHost(col("event_id"), col("user_id")).as("dst"),
+        lit(1L).as("w"))
+      GraphOps.hitsNano(edges, "src", "dst", col("w"), iters = 3)
+        .select(col("node").as("host"), col("hub_nano"), col("auth_nano"))
+        .orderBy(desc("auth_nano"), col("host"))
+    }),
+
+    // crawl curation: label-propagation communities over the undirected
+    // host graph — mutually-linking cliques (mirror farms, link rings)
+    // surface as one community id. Deterministic max-weight/min-label
+    // rule, 3 synchronous rounds, replayed exactly by the oracle
+    "q_communities" -> ((s, dir) => {
+      import graft.operators.{GraphOps, UrlOps}
+      val ev = table(s, dir, "events")
+      val u = UrlOps.syntheticUrl(col("event_id"), col("user_id"), col("event_type"))
+      val edges = ev.select(UrlOps.hostOf(u).as("src"),
+        UrlOps.syntheticLinkHost(col("event_id"), col("user_id")).as("dst"),
+        lit(1L).as("w"))
+      GraphOps.labelPropagation(edges, "src", "dst", col("w"), iters = 3)
+        .select(col("node").as("host"), col("community"))
+        .orderBy("community", "host")
+    }),
+
+    // crawl curation: per-host triangle counts via degree-ordered wedge
+    // join (arboricity-bounded — the shape that survives power-law
+    // graphs); low triangle density at high degree = link-farm signal
+    "q_triangles" -> ((s, dir) => {
+      import graft.operators.{GraphOps, UrlOps}
+      val ev = table(s, dir, "events")
+      val u = UrlOps.syntheticUrl(col("event_id"), col("user_id"), col("event_type"))
+      val edges = ev.select(UrlOps.hostOf(u).as("src"),
+        UrlOps.syntheticLinkHost(col("event_id"), col("user_id")).as("dst"))
+      GraphOps.triangleCounts(edges, "src", "dst")
+        .select(col("node").as("host"), col("deg"), col("triangles"))
+        .orderBy("host")
+    }),
+
+    // phrase mining: corpus PMI collocations over adjacent token pairs
+    // (Church–Hanks) — exact long counts, one mirrored double ln
+    "q_pmi" -> ((s, dir) => {
+      TextAnalysis.pmiBigrams(
+          table(s, dir, "documents").select("text"), "text", minCount = 5)
+        .orderBy(desc("pmi"), col("w1"), col("w2"))
+    }),
+
     // embedding preprocessing: per-dimension corpus mean/variance — the
     // probe before centering/whitening/quantizer training; 1e-9-quantized
     // exact long sums make it bit-reproducible across engines
@@ -4142,6 +4196,49 @@ object SparkEntry {
          |  COALESCE(in_deg, 0) AS in_deg, COALESCE(in_w, 0) AS in_w
          |FROM o FULL OUTER JOIN i USING (host)
          |ORDER BY host""".stripMargin
+    },
+    "q_hits" -> {
+      import graft.operators.{GraphOps, UrlOps}
+      s"""WITH u AS (SELECT ${UrlOps.hostSqlExpr(UrlOps.syntheticUrlSqlExpr)} AS src,
+         |        ${UrlOps.syntheticLinkHostSqlExpr} AS dst FROM events),
+         |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM u
+         |      WHERE src <> dst GROUP BY src, dst),
+         |${GraphOps.hitsNanoOracleCtes(iters = 3)}
+         |SELECT n.node AS host, COALESCE(h3.h, 0) AS hub_nano,
+         |  COALESCE(a3.a, 0) AS auth_nano
+         |FROM n LEFT JOIN h3 ON n.node = h3.node
+         |       LEFT JOIN a3 ON n.node = a3.node
+         |ORDER BY auth_nano DESC, host""".stripMargin
+    },
+    "q_communities" -> {
+      import graft.operators.{GraphOps, UrlOps}
+      s"""WITH u AS (SELECT ${UrlOps.hostSqlExpr(UrlOps.syntheticUrlSqlExpr)} AS src,
+         |        ${UrlOps.syntheticLinkHostSqlExpr} AS dst FROM events),
+         |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM u
+         |      WHERE src <> dst GROUP BY src, dst),
+         |${GraphOps.labelPropagationOracleCtes(iters = 3)}
+         |SELECT node AS host, lbl AS community FROM l3
+         |ORDER BY community, host""".stripMargin
+    },
+    "q_triangles" -> {
+      import graft.operators.{GraphOps, UrlOps}
+      s"""WITH u AS (SELECT ${UrlOps.hostSqlExpr(UrlOps.syntheticUrlSqlExpr)} AS src,
+         |        ${UrlOps.syntheticLinkHostSqlExpr} AS dst FROM events),
+         |e0 AS (SELECT src, dst FROM u),
+         |${GraphOps.triangleCountsOracleCtes},
+         |p AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM
+         |    (SELECT p AS node FROM tri
+         |     UNION ALL SELECT x FROM tri
+         |     UNION ALL SELECT y FROM tri) GROUP BY node)
+         |SELECT deg.node AS host, deg.deg, COALESCE(p.triangles, 0) AS triangles
+         |FROM deg LEFT JOIN p ON deg.node = p.node
+         |ORDER BY host""".stripMargin
+    },
+    "q_pmi" -> {
+      s"""WITH base AS (SELECT text FROM documents),
+         |${graft.operators.TextAnalysis.pmiBigramsOracleCtes(minCount = 5)}
+         |SELECT w1, w2, pair_cnt, pmi FROM scored
+         |ORDER BY pmi DESC, w1, w2""".stripMargin
     },
     "q_emb_stats" ->
       """WITH e AS (SELECT generate_subscripts(embedding, 1) AS pos,

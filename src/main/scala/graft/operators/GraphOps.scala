@@ -204,4 +204,288 @@ object GraphOps {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"),
         coalesce(col("in_w"), lit(0L)).as("in_w"))
   }
+
+  /** Weighted HITS (Kleinberg, JACM'99) in exact integer nano-units.
+    *
+    * Per iteration (all integer ops, values non-negative):
+    * {{{
+    *   rawA(v) = Σ over in-edges (s,v,w):  hub(s) · w
+    *   auth(v) = rawA(v) DIV max(ΣrawA DIV Scale, 1)      // L1 ≈ Scale
+    *   rawH(v) = Σ over out-edges (v,d,w): auth(d) · w
+    *   hub(v)  = rawH(v) DIV max(ΣrawH DIV Scale, 1)
+    * }}}
+    * The normalizer is the two-step integer quotient `raw DIV (total DIV
+    * Scale)` rather than `raw·Scale DIV total` so every intermediate
+    * stays inside int64 (the single-step multiply would need int128);
+    * the cost is a deterministic relative coarseness of ~Scale/total per
+    * round — identical in both engines, so the oracle replays it
+    * bit-exactly. Hubs seed at `Scale`; self-loops are dropped and
+    * parallel edges collapse (sum of weights), like [[pageRankNano]].
+    * Overflow bound: normalized scores are ≤ ~Scale, so each raw sum is
+    * bounded by `Scale · Σw` — keep total edge weight below ~9e9 (cap
+    * per-edge weights first if a crawl can exceed it).
+    *
+    * Scale shape: per iteration, ONE hash join of the node-sized score
+    * relation against the edge list (on src, then on dst) plus a
+    * groupBy; the L1 total rides a one-row broadcast (crossJoin of a
+    * scalar aggregate). Score snapshots materialize to scratch parquet
+    * each round — lineage stays one round deep, same non-local-master
+    * guard as [[Dedup.duplicateClusters]].
+    *
+    * @return (node, hub_nano, auth_nano), dense over all endpoints
+    *         (nodes with no in-edges get auth 0; no out-edges, hub 0).
+    */
+  def hitsNano(edges: DataFrame, srcCol: String, dstCol: String,
+               weightCol: Column, iters: Int,
+               scratchDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = edges.sparkSession
+    Dedup.requireClusterSafeScratch(spark.sparkContext.isLocal, scratchDir)
+    val tmp = scratchDir.getOrElse(
+      org.apache.spark.sql.GraftSqlBridge.managedTempDir("graft-hits").getAbsolutePath)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    def materialize(df: DataFrame, name: String): DataFrame = {
+      val p = tmp + "/" + name
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    def drop(name: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(tmp + "/" + name)
+      p.getFileSystem(hadoopConf).delete(p, true)
+    }
+    val ew = materialize(edges
+      .where(col(srcCol) =!= col(dstCol))
+      .groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .agg(sum(weightCol).cast("long").as("w")), "edges")
+    val nodes = materialize(
+      ew.select(col("src").as("node"))
+        .union(ew.select(col("dst").as("node"))).distinct(), "nodes")
+
+    // score relations stay SPARSE through the loop (missing node = 0,
+    // which inner joins encode for free); densify only at the end
+    def normalize(raw: DataFrame, out: String): DataFrame = {
+      val tot = raw.agg(coalesce(sum("raw"), lit(0L)).as("__tot"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr(s"raw DIV greatest(__tot DIV $Scale, 1L)").as(out))
+    }
+    var hub = nodes.select(col("node"), lit(Scale).as("h"))
+    var auth: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      val rawA = ew.join(hub.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("h * w").as("c"))
+        .groupBy("node").agg(sum("c").as("raw"))
+      auth = materialize(normalize(rawA, "a"), s"auth$i")
+      val rawH = ew.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), expr("a * w").as("c"))
+        .groupBy("node").agg(sum("c").as("raw"))
+      val m = materialize(normalize(rawH, "h"), s"hub$i")
+      if (i > 0) { drop(s"hub${i - 1}"); drop(s"auth${i - 1}") }
+      hub = m
+      i += 1
+    }
+    nodes
+      .join(hub, Seq("node"), "left")
+      .join(auth, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("h"), lit(0L)).as("hub_nano"),
+        coalesce(col("a"), lit(0L)).as("auth_nano"))
+  }
+
+  /** DuckDB oracle twin of [[hitsNano]]: iterations unrolled as CTEs
+    * over an edge CTE named `e` (src, dst, w) — self-loops dropped and
+    * parallel edges collapsed by the caller. Emits bodies `n`, `h0`,
+    * `a1`/`h1` … `a{iters}`/`h{iters}`; the caller left-joins `n` with
+    * `h{iters}`/`a{iters}` and coalesces to 0. */
+  def hitsNanoOracleCtes(iters: Int): String = {
+    val head =
+      s"""n AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |h0 AS (SELECT node, CAST($Scale AS BIGINT) AS h FROM n)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""a${i}r AS (SELECT dst AS node, CAST(sum(h * w) AS BIGINT) AS raw
+         |  FROM e JOIN h${i - 1} ON e.src = h${i - 1}.node GROUP BY dst),
+         |a$i AS (SELECT node, CAST(raw // GREATEST(
+         |    (SELECT COALESCE(sum(raw), 0) FROM a${i}r) // $Scale, 1) AS BIGINT) AS a
+         |  FROM a${i}r),
+         |h${i}r AS (SELECT src AS node, CAST(sum(a * w) AS BIGINT) AS raw
+         |  FROM e JOIN a$i ON e.dst = a$i.node GROUP BY src),
+         |h$i AS (SELECT node, CAST(raw // GREATEST(
+         |    (SELECT COALESCE(sum(raw), 0) FROM h${i}r) // $Scale, 1) AS BIGINT) AS h
+         |  FROM h${i}r)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) with a
+    * DETERMINISTIC tie-break — the cheap community detector a curation
+    * pipeline runs over the host graph to find mutually-linking cliques
+    * (mirror farms, link rings) that per-domain caps miss.
+    *
+    * The graph is undirected: each aggregated directed edge contributes
+    * its weight to both endpoints' neighbor lists. Every node starts
+    * labeled with its own id; each synchronous round relabels every node
+    * with the neighbor label of maximum total incident weight, ties
+    * broken by SMALLEST label (binary string order) — no RNG, no
+    * arrival-order dependence, so a SQL oracle replays rounds exactly.
+    * Classic LPA caveat: synchronous updates can oscillate on bipartite
+    * structures; run an odd+even `iters` pair and compare if that
+    * matters for the graph at hand.
+    *
+    * Scale shape: one edge aggregation up front, then per round ONE join
+    * of the node-sized label relation to the neighbor list (hash shuffle
+    * on node id) + a groupBy(node, label) + a per-node window argmax —
+    * the window partitions on node id (full cardinality, no skew beyond
+    * degree skew, which the weight aggregation already collapsed to one
+    * row per (node, label)). Labels materialize to scratch parquet per
+    * round like [[pageRankNano]].
+    *
+    * @return (node, community) where community is a node id (label).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: Column, iters: Int,
+                       scratchDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = edges.sparkSession
+    Dedup.requireClusterSafeScratch(spark.sparkContext.isLocal, scratchDir)
+    val tmp = scratchDir.getOrElse(
+      org.apache.spark.sql.GraftSqlBridge.managedTempDir("graft-lpa").getAbsolutePath)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    def materialize(df: DataFrame, name: String): DataFrame = {
+      val p = tmp + "/" + name
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    def drop(name: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(tmp + "/" + name)
+      p.getFileSystem(hadoopConf).delete(p, true)
+    }
+    import org.apache.spark.sql.expressions.Window
+    val dir0 = edges.where(col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("node"), col(dstCol).as("nbr"),
+        weightCol.cast("long").as("w"))
+    val und = materialize(
+      dir0.union(dir0.select(col("nbr"), col("node"), col("w")))
+        .groupBy("node", "nbr").agg(sum("w").as("w")), "und")
+    var labels = und.select(col("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    var i = 0
+    while (i < iters) {
+      val votes = und
+        .join(labels.select(col("node").as("nbr"), col("lbl")), "nbr")
+        .groupBy("node", "lbl").agg(sum("w").as("v"))
+      val win = Window.partitionBy("node").orderBy(desc("v"), asc("lbl"))
+      val next = votes
+        .withColumn("__rn", row_number().over(win))
+        .where(col("__rn") === 1)
+        .select(col("node"), col("lbl"))
+      val m = materialize(next, s"lbl$i")
+      if (i > 0) drop(s"lbl${i - 1}")
+      labels = m
+      i += 1
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
+  /** DuckDB oracle twin of [[labelPropagation]]: rounds unrolled as CTEs
+    * over an edge CTE named `e` (src, dst, w) with self-loops dropped.
+    * Emits bodies `und`, `l0` … `l{iters}`; caller selects from
+    * `l{iters}` (node, lbl). */
+  def labelPropagationOracleCtes(iters: Int): String = {
+    val head =
+      s"""d0 AS (SELECT src AS node, dst AS nbr, w FROM e
+         |  UNION ALL SELECT dst, src, w FROM e),
+         |und AS (SELECT node, nbr, CAST(sum(w) AS BIGINT) AS w
+         |  FROM d0 GROUP BY node, nbr),
+         |l0 AS (SELECT DISTINCT node, node AS lbl FROM und)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""v$i AS (SELECT und.node, l${i - 1}.lbl, CAST(sum(und.w) AS BIGINT) AS v
+         |  FROM und JOIN l${i - 1} ON und.nbr = l${i - 1}.node
+         |  GROUP BY und.node, l${i - 1}.lbl),
+         |l$i AS (SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      row_number() OVER (PARTITION BY node ORDER BY v DESC, lbl ASC) AS rn
+         |    FROM v$i) WHERE rn = 1)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  /** Per-node triangle counts via DEGREE-ORDERED edge orientation
+    * (Chiba–Nishizeki / the "compact-forward" join shape) — the triangle
+    * relation behind clustering-coefficient spam signals (TrustRank's
+    * companion heuristic: organic link neighborhoods close triangles,
+    * bot farms are stars or rings).
+    *
+    * The directed input collapses to an undirected simple graph
+    * (self-loops dropped, parallel/reciprocal edges merged). Each edge
+    * orients low→high under the strict total order (degree, id), so
+    * every triangle is counted EXACTLY once as a wedge at its
+    * lowest-order corner closed by one oriented edge. That ordering is
+    * the scale story: out-degree under degree orientation is bounded by
+    * O(√m) on any graph (arboricity bound), so the wedge join explodes
+    * a 1e9-edge power-law graph into O(m^1.5)-bounded work rather than
+    * Σdeg² — the difference between a day and an impossibility at crawl
+    * scale; the two joins shuffle on node id only.
+    *
+    * @return (node, degree, triangles), dense over all endpoints.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges.where(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient low→high under (deg, id); carry the head's order key so the
+    // wedge join can keep its two spokes ordered without re-joining deg
+    val o = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(struct(col("da").as("d"), col("a").as("n")) <
+            struct(col("db").as("d"), col("b").as("n")),
+          struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+          .otherwise(
+            struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+    val wedges = o.as("e1").join(o.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          struct(col("e1.dv"), col("e1.v")) < struct(col("e2.dv"), col("e2.v")))
+      .select(col("e1.u").as("p"), col("e1.v").as("x"), col("e2.v").as("y"))
+    // closure edge x→y is oriented exactly this way: (x, y) respects the
+    // same total order the wedge join used
+    val tris = wedges.join(o.select(col("u").as("x"), col("v").as("y")),
+      Seq("x", "y"), "left_semi")
+    val perNode = tris.select(col("p").as("node"))
+      .union(tris.select(col("x").as("node")))
+      .union(tris.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** DuckDB oracle twin of [[triangleCounts]] over an edge CTE named
+    * `e0` with RAW directed columns (src, dst). Emits bodies through
+    * `tri`; the caller aggregates per node (see q_triangles). */
+  def triangleCountsOracleCtes: String =
+    """und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM e0 WHERE src <> dst),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+      |  (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY node),
+      |o AS (SELECT
+      |    CASE WHEN (da.deg, und.a) < (db.deg, und.b) THEN und.a ELSE und.b END AS u,
+      |    CASE WHEN (da.deg, und.a) < (db.deg, und.b) THEN und.b ELSE und.a END AS v,
+      |    CASE WHEN (da.deg, und.a) < (db.deg, und.b) THEN db.deg ELSE da.deg END AS dv
+      |  FROM und
+      |  JOIN deg da ON da.node = und.a
+      |  JOIN deg db ON db.node = und.b),
+      |w AS (SELECT e1.u AS p, e1.v AS x, e2.v AS y
+      |  FROM o e1 JOIN o e2 ON e1.u = e2.u
+      |  WHERE (e1.dv, e1.v) < (e2.dv, e2.v)),
+      |tri AS (SELECT p, x, y FROM w
+      |  WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.x AND o.v = w.y))""".stripMargin
 }

@@ -1043,6 +1043,79 @@ object TextAnalysis {
       .select(col("__id").as(idCol),
         coalesce(col("__tokens"), typedlit(Seq.empty[String])).as("tokens"))
   }
+
+  /** Corpus-level PMI collocations (Church & Hanks 1990): adjacent token
+    * pairs scored by pointwise mutual information
+    * `ln( (c₂/B) / ((c₁(w₁)/N)·(c₁(w₂)/N)) )` where c₂ is the bigram
+    * count, c₁ the unigram counts, B total bigram tokens, N total
+    * unigram tokens. The tokenizer detector a curation pipeline runs to
+    * find units that should never be split ("new york", boilerplate
+    * idioms) and to seed phrase vocabularies; `minCount` kills the
+    * low-frequency PMI explosion (hapax pairs otherwise dominate).
+    *
+    * Determinism: all counts are exact longs; the score is ONE double
+    * expression over those longs — `ln((c2·N·N)/(B·c1a·c1b))` with this
+    * exact association order mirrored in the oracle — rounded to 6
+    * decimals. Scale shape: two count aggregates (unigrams, bigrams —
+    * both vocabulary-sized, shuffles keyed on token/pair), two scalar
+    * totals on one-row broadcasts, and two vocabulary-sized joins onto
+    * the bigram relation. Doc bigrams are the same narrow zip_with as
+    * [[stupidBackoffScore]] — no positional self-join, no per-doc
+    * shuffle at all.
+    *
+    * @return (w1, w2, pair_cnt, pmi) for pairs with pair_cnt ≥ minCount.
+    */
+  def pmiBigrams(docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    val uni = docs
+      .select(explode(tokens(col(textCol))).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__c1"))
+    val n1 = uni.agg(sum("__c1").cast("double").as("__n"))
+    val big = docs
+      .select(tokens(col(textCol)).as("__ts"))
+      .where(size(col("__ts")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(__ts, 1, size(__ts) - 1), " +
+          "slice(__ts, 2, size(__ts) - 1), " +
+          "(a, b) -> struct(a AS __w1, b AS __w2))")).as("__bg"))
+      .select(col("__bg.__w1").as("w1"), col("__bg.__w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_cnt"))
+    val nb = big.agg(sum("pair_cnt").cast("double").as("__b"))
+    big.where(col("pair_cnt") >= minCount)
+      .join(uni.select(col("__t").as("w1"), col("__c1").as("__c1a")), "w1")
+      .join(uni.select(col("__t").as("w2"), col("__c1").as("__c1b")), "w2")
+      .crossJoin(broadcast(n1))
+      .crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("pair_cnt"),
+        round(log(
+          (col("pair_cnt").cast("double") * col("__n") * col("__n")) /
+            (col("__b") * col("__c1a").cast("double") * col("__c1b").cast("double"))),
+          6).as("pmi"))
+  }
+
+  /** DuckDB oracle twin of [[pmiBigrams]] over a `(text)` relation named
+    * `base`: identical tokenization, identical double expression tree
+    * `(c2·N·N)/(B·c1a·c1b)` then `ln`, rounded to 6. Emits WITH-clause
+    * bodies through `scored`; caller selects/orders from `scored`. */
+  def pmiBigramsOracleCtes(minCount: Long): String =
+    s"""ts AS (SELECT row_number() OVER () AS did,
+       |    list_filter(string_split_regex(trim(text), '\\s+'),
+       |                w -> len(w) > 0) AS ts FROM base),
+       |tok AS (SELECT did, generate_subscripts(ts, 1) AS pos, unnest(ts) AS t
+       |  FROM ts),
+       |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY t),
+       |n1 AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni),
+       |big AS (SELECT a.t AS w1, b.t AS w2, CAST(count(*) AS BIGINT) AS pair_cnt
+       |  FROM tok a JOIN tok b ON a.did = b.did AND b.pos = a.pos + 1
+       |  GROUP BY a.t, b.t),
+       |nb AS (SELECT CAST(sum(pair_cnt) AS DOUBLE) AS b FROM big),
+       |scored AS (SELECT w1, w2, pair_cnt,
+       |    round(ln((CAST(pair_cnt AS DOUBLE) * n1.n * n1.n)
+       |      / (nb.b * CAST(ua.c1 AS DOUBLE) * CAST(ub.c1 AS DOUBLE))), 6) AS pmi
+       |  FROM big
+       |  JOIN uni ua ON ua.t = big.w1
+       |  JOIN uni ub ON ub.t = big.w2
+       |  CROSS JOIN n1 CROSS JOIN nb
+       |  WHERE pair_cnt >= $minCount)""".stripMargin
 }
 
 /** Language-ID profiles shared between the Spark expression and the DuckDB
@@ -1118,4 +1191,5 @@ object LangId {
        | WHEN $fr >= $es THEN 'fr'
        | ELSE 'es' END""".stripMargin
   }
+
 }

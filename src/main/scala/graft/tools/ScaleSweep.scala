@@ -363,6 +363,25 @@ object ScaleSweep {
       .select(col("user_id").cast("string").as("u"))
       .agg(graft.functions.CountMin(col("u")).as("sk")))
 
+    // round-7 session-2 operators: hits (two join+groupBy rounds per
+    // iteration, node space scales with user_id), lpa communities (one
+    // label join + per-node window argmax per round), triangles
+    // (degree-ordered wedge join — the arboricity bound is what's under
+    // test), pmi (two vocabulary-sized count aggregates; ciphered
+    // copies grow the vocabulary linearly, the honest worst case)
+    def graphAt(k: Int): DataFrame = evAt(k).select(
+      concat(lit("h"), col("user_id").cast("string")).as("src"),
+      concat(lit("h"),
+        (col("user_id") + col("event_id") % 997).cast("string")).as("dst"),
+      lit(1L).as("w"))
+    sweep("hits")(k => graft.operators.GraphOps.hitsNano(
+      graphAt(k), "src", "dst", col("w"), iters = 3))
+    sweep("lpa")(k => graft.operators.GraphOps.labelPropagation(
+      graphAt(k), "src", "dst", col("w"), iters = 3))
+    sweep("triangles")(k => graft.operators.GraphOps.triangleCounts(
+      graphAt(k), "src", "dst"))
+    sweep("pmi")(k => TextAnalysis.pmiBigrams(docsAt(k), "text", minCount = 5))
+
     def renderMap(m: scala.collection.Map[String, Seq[Double]]): String =
       m.map { case (k, v) =>
         "\"" + k + "\":[" + v.map(x => f"$x%.2f").mkString(",") + "]"

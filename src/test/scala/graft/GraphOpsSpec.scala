@@ -122,6 +122,120 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(GraphOps.pageRankNano(loops, "src", "dst", col("w"), 2).count() == 0L)
   }
 
+  // ---- HITS -------------------------------------------------------------
+
+  private def runHits(edges: Seq[(String, String, Long)],
+                      iters: Int): Map[String, (Long, Long)] =
+    GraphOps.hitsNano(edges.toDF("src", "dst", "w"), "src", "dst", col("w"), iters)
+      .as[(String, Long, Long)].collect()
+      .map { case (n, h, a) => n -> ((h, a)) }.toMap
+
+  /** Driver-side reference: same integer recursion, naive maps. */
+  private def bruteHits(edges: Seq[(String, String, Long)],
+                        iters: Int): Map[String, (Long, Long)] = {
+    val agg = edges.filter(e => e._1 != e._2)
+      .groupBy(e => (e._1, e._2)).map { case ((s0, d), es) => (s0, d, es.map(_._3).sum) }.toSeq
+    val nodes = (agg.map(_._1) ++ agg.map(_._2)).distinct
+    def norm(raw: Map[String, Long]): Map[String, Long] = {
+      val q = math.max(raw.values.sum / S, 1L)
+      raw.map { case (k, v) => k -> v / q }
+    }
+    var hub = nodes.map(_ -> S).toMap
+    var auth = Map.empty[String, Long]
+    for (_ <- 1 to iters) {
+      auth = norm(agg.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s0, _, w) => hub.getOrElse(s0, 0L) * w }.sum
+      })
+      hub = norm(agg.groupBy(_._1).map { case (s0, es) =>
+        s0 -> es.map { case (_, d, w) => auth.getOrElse(d, 0L) * w }.sum
+      })
+    }
+    nodes.map(n => n -> ((hub.getOrElse(n, 0L), auth.getOrElse(n, 0L)))).toMap
+  }
+
+  test("hitsNano: hand computation on a 2-authority funnel") {
+    // a->b, c->b, b->d; 1 iteration from hub0 = 1e9:
+    // rawA: b=2e9, d=1e9; tot=3e9, q=3 -> auth(b)=666666666, auth(d)=333333333
+    // rawH: a=c=666666666, b=333333333; tot=1666666665, q=1 (tot DIV 1e9 = 1)
+    val got = runHits(Seq(("a", "b", 1L), ("c", "b", 1L), ("b", "d", 1L)), 1)
+    assert(got == Map(
+      "a" -> ((666666666L, 0L)),
+      "b" -> ((333333333L, 666666666L)),
+      "c" -> ((666666666L, 0L)),
+      "d" -> ((0L, 333333333L))))
+  }
+
+  test("hitsNano: matches the driver-side brute force on a dense weighted graph") {
+    val nodes = (0 until 12).map(i => s"n$i")
+    val edges = for {
+      i <- 0 until 12; j <- 0 until 12
+      if i != j && (i * 7 + j * 3) % 5 < 2
+    } yield (nodes(i), nodes(j), ((i * 13 + j * 11) % 9 + 1).toLong)
+    for (iters <- Seq(1, 3))
+      assert(runHits(edges, iters) == bruteHits(edges, iters), s"iters=$iters")
+  }
+
+  test("hitsNano: self-loops dropped, parallel edges collapse") {
+    val noisy = Seq(("a", "a", 9L), ("a", "b", 2L), ("a", "b", 3L), ("b", "a", 1L))
+    val clean = Seq(("a", "b", 5L), ("b", "a", 1L))
+    assert(runHits(noisy, 2) == runHits(clean, 2))
+  }
+
+  // ---- label propagation ------------------------------------------------
+
+  test("labelPropagation: two weakly-bridged triangles settle into two communities") {
+    // triangles {a,b,c} and {x,y,z} at weight 10, bridge (c,x) at 1;
+    // the deterministic max-weight/min-label rule converges by round 2
+    val tri = Seq(("a", "b", 10L), ("b", "c", 10L), ("a", "c", 10L),
+      ("x", "y", 10L), ("y", "z", 10L), ("x", "z", 10L), ("c", "x", 1L))
+    val got = GraphOps.labelPropagation(tri.toDF("src", "dst", "w"),
+        "src", "dst", col("w"), iters = 3)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x", "z" -> "x"))
+  }
+
+  test("labelPropagation: direction is ignored (undirected voting)") {
+    val fwd = Seq(("a", "b", 5L), ("b", "c", 5L))
+    val rev = Seq(("b", "a", 5L), ("c", "b", 5L))
+    def run(e: Seq[(String, String, Long)]) =
+      GraphOps.labelPropagation(e.toDF("src", "dst", "w"), "src", "dst",
+        col("w"), 2).as[(String, String)].collect().toMap
+    assert(run(fwd) == run(rev))
+  }
+
+  // ---- triangles --------------------------------------------------------
+
+  private def runTri(edges: Seq[(String, String)]): Map[String, (Long, Long)] =
+    GraphOps.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .as[(String, Long, Long)].collect()
+      .map { case (n, d, t) => n -> ((d, t)) }.toMap
+
+  test("triangleCounts: K4 plus a pendant node") {
+    // K4: every node sits in C(3,2)=3 triangles; pendant e adds none
+    val k4 = for {
+      (u, i) <- Seq("a", "b", "c", "d").zipWithIndex
+      (v, j) <- Seq("a", "b", "c", "d").zipWithIndex if i < j
+    } yield (u, v)
+    val got = runTri(k4 :+ (("a", "e")))
+    assert(got == Map("a" -> ((4L, 3L)), "b" -> ((3L, 3L)), "c" -> ((3L, 3L)),
+      "d" -> ((3L, 3L)), "e" -> ((1L, 0L))))
+  }
+
+  test("triangleCounts: reciprocal/parallel edges and self-loops collapse") {
+    val noisy = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"), ("c", "a"),
+      ("a", "a"))
+    val clean = Seq(("a", "b"), ("b", "c"), ("c", "a"))
+    assert(runTri(noisy) == runTri(clean))
+    assert(runTri(clean) == Map("a" -> ((2L, 1L)), "b" -> ((2L, 1L)),
+      "c" -> ((2L, 1L))))
+  }
+
+  test("triangleCounts: square without diagonals has zero triangles") {
+    val sq = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+    assert(runTri(sq).values.forall(_._2 == 0L))
+  }
+
   test("degreeStats: full outer over directions with zero-filled blanks") {
     val e = Seq(("a", "b", 2L), ("a", "c", 3L), ("b", "c", 4L)).toDF("src", "dst", "w")
     val got = GraphOps.degreeStats(e, "src", "dst", col("w"))

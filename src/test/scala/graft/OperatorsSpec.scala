@@ -397,6 +397,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(0).getDouble(2) > r(1).getDouble(2))
   }
 
+  test("pmiBigrams: hand-computed collocation score, minCount filter") {
+    // corpus: "x y", "x y", "x z" → N=6 unigram tokens (x:3, y:2, z:1),
+    // B=3 bigram tokens ((x,y):2, (x,z):1). minCount=2 keeps only (x,y):
+    // pmi = ln((2·6·6)/(3·3·2)) = ln(4)
+    val docs = Seq("x y", "x y", "x z").toDF("text")
+    val got = TextAnalysis.pmiBigrams(docs, "text", minCount = 2)
+      .as[(String, String, Long, Double)].collect()
+    assert(got.toSeq == Seq(("x", "y", 2L, math.floor(math.log(4.0) * 1e6 + 0.5) / 1e6)))
+    // second corpus: "a b","a b","a c","a c","b c" — N=10 (a:4,b:3,c:3),
+    // B=5 ((a,b):2,(a,c):2,(b,c):1). pmi(a,b)=ln(200/60), pmi(b,c)=ln(100/45);
+    // minCount=1 admits the hapax pair and the threshold drops it
+    val docs2 = Seq("a b", "a b", "a c", "a c", "b c").toDF("text")
+    val all = TextAnalysis.pmiBigrams(docs2, "text", minCount = 1)
+      .as[(String, String, Long, Double)].collect().map(r => (r._1, r._2) -> r._4).toMap
+    assert(all.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(math.abs(all(("a", "b")) - math.log(200.0 / 60.0)) < 1e-6)
+    assert(math.abs(all(("b", "c")) - math.log(100.0 / 45.0)) < 1e-6)
+    val capped = TextAnalysis.pmiBigrams(docs2, "text", minCount = 2)
+      .as[(String, String, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(capped == Set(("a", "b"), ("a", "c")))
+  }
+
   test("native cosine expression: bit-identical to HOF form, codegen'd") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val a = emb.select(col("vec_id"), col("embedding").as("va")).where(col("vec_id") < 50)
