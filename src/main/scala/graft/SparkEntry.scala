@@ -2453,6 +2453,43 @@ object SparkEntry {
         .orderBy("src", "dst")
     }),
 
+    // behavioral sequences one order deeper: corpus-wide length-3 path
+    // counts (both leads share ONE window node; agg collapses to ≤
+    // |types|³ rows map-side)
+    "q_paths3" -> ((s, dir) => {
+      val ev = eventsMicros(s, dir)
+      WindowOps.pathTripleCounts(ev, Seq("user_id"), Seq("tsu", "event_id"),
+          "event_type")
+        .orderBy("t1", "t2", "t3")
+    }),
+
+    // snapshot drift monitoring: PSI of the doc-length distribution,
+    // en vs non-en slices as the two "snapshots" — per-bin terms +
+    // total, Laplace-smoothed, nano-quantized exact integer sum
+    "q_psi" -> ((s, dir) => {
+      import graft.operators.Drift
+      val docs = table(s, dir, "documents")
+      Drift.psiFixedBins(
+          docs.where(col("lang") === "en"),
+          docs.where(col("lang") =!= "en"),
+          "n_chars", lo = 0L, hi = 600L, bins = 12)
+        .orderBy("bin")
+    }),
+
+    // crawl curation: k-core of the sparsified user×host bipartite
+    // graph (every survivor links ≥3 peers in the final induced
+    // subgraph after 3 peel rounds) — the collusion/engagement core
+    "q_kcore" -> ((s, dir) => {
+      import graft.operators.{GraphOps, UrlOps}
+      val ev = table(s, dir, "events")
+      val u = UrlOps.syntheticUrl(col("event_id"), col("user_id"), col("event_type"))
+      val edges = ev.where(col("event_id") % 7 === 0)
+        .select(concat(lit("u"), col("user_id").cast("string")).as("src"),
+          UrlOps.hostOf(u).as("dst"))
+      GraphOps.kCore(edges, "src", "dst", k = 3, rounds = 3)
+        .orderBy("node")
+    }),
+
     // engagement: rolling 7-day distinct active users — activity
     // collapsed once, bounded ×7 explode on the collapsed relation (no
     // per-period self-join scans, no count-distinct-over-range window)
@@ -4358,6 +4395,33 @@ object SparkEntry {
         |    AS dst FROM e)
         |SELECT src, dst, count(*) AS n FROM p WHERE dst IS NOT NULL
         |GROUP BY src, dst ORDER BY src, dst""".stripMargin,
+    "q_paths3" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id
+        |  FROM events),
+        |p AS (SELECT event_type AS t1,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |    AS t2,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |    AS t3 FROM e)
+        |SELECT t1, t2, t3, count(*) AS n FROM p WHERE t3 IS NOT NULL
+        |GROUP BY t1, t2, t3 ORDER BY t1, t2, t3""".stripMargin,
+    "q_psi" -> {
+      import graft.operators.Drift
+      s"""WITH da AS (SELECT n_chars AS v FROM documents WHERE lang = 'en'),
+         |db AS (SELECT n_chars AS v FROM documents WHERE lang <> 'en'),
+         |${Drift.psiOracleCtes(lo = 0L, hi = 600L, bins = 12)}
+         |SELECT bin, c_a, c_b, psi_term, psi_total FROM scored
+         |ORDER BY bin""".stripMargin
+    },
+    "q_kcore" -> {
+      import graft.operators.{GraphOps, UrlOps}
+      s"""WITH u0 AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS src,
+         |        ${UrlOps.hostSqlExpr(UrlOps.syntheticUrlSqlExpr)} AS dst
+         |      FROM events WHERE event_id % 7 = 0),
+         |e0 AS (SELECT src, dst FROM u0),
+         |${GraphOps.kCoreOracleCtes(k = 3, rounds = 3)}
+         |SELECT node, deg FROM d3 ORDER BY node""".stripMargin
+    },
     "q_active_users" ->
       """WITH acts AS (SELECT DISTINCT user_id AS u,
         |    epoch_us(ts) // 86400000000 AS p FROM events),

@@ -459,13 +459,102 @@ object GraphOps {
     // same total order the wedge join used
     val tris = wedges.join(o.select(col("u").as("x"), col("v").as("y")),
       Seq("x", "y"), "left_semi")
-    val perNode = tris.select(col("p").as("node"))
-      .union(tris.select(col("x").as("node")))
-      .union(tris.select(col("y").as("node")))
+    // ONE consumer of the wedge join: exploding the three corners keeps
+    // the m^1.5 subtree from being recomputed per corner (a 3-way union
+    // of selects would scan it three times — no cache, no reuse)
+    val perNode = tris
+      .select(explode(array(col("p"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
     deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** k-core peeling (Seidman 1983): iteratively drop nodes with degree
+    * < k in the undirected simple graph until the remainder is the
+    * k-core — the dense sub-crawl where every host links to/from ≥ k
+    * peers, the standard "organic web vs periphery" cut (and, on
+    * bipartite user×host graphs, a collusion-detection primitive).
+    *
+    * Runs `rounds` SYNCHRONOUS peel rounds (each recomputes degrees on
+    * the surviving induced subgraph and drops every node below k at
+    * once); the result is the exact k-core whenever some round removes
+    * nothing — peeling is monotone, so `rounds` only ever truncates the
+    * tail of the fixpoint iteration, never overshoots. Pick rounds ≥
+    * the graph's degeneracy diameter (log-ish in practice; each round
+    * is cheap) or verify convergence by comparing rounds/rounds+1.
+    *
+    * Scale shape: per round, two hash joins of the shrinking active-node
+    * relation onto the edge list + one degree aggregate — all keyed on
+    * node id; the active set materializes to scratch parquet per round
+    * ([[pageRankNano]]'s lineage discipline). Nothing is ever
+    * driver-resident.
+    *
+    * @return survivors after `rounds` peels: (node, deg) with deg ≥ k
+    *         measured in the FINAL induced subgraph.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int,
+            scratchDir: Option[String] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = edges.sparkSession
+    Dedup.requireClusterSafeScratch(spark.sparkContext.isLocal, scratchDir)
+    val tmp = scratchDir.getOrElse(
+      org.apache.spark.sql.GraftSqlBridge.managedTempDir("graft-kcore").getAbsolutePath)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    def materialize(df: DataFrame, name: String): DataFrame = {
+      val p = tmp + "/" + name
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    def drop(name: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(tmp + "/" + name)
+      p.getFileSystem(hadoopConf).delete(p, true)
+    }
+    val und = materialize(edges.where(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct(), "und")
+    var active = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node"))).distinct()
+    var lastDeg: DataFrame = null
+    var i = 0
+    while (i < rounds) {
+      val er = und
+        .join(active.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(active.select(col("node").as("b")), Seq("b"), "left_semi")
+      lastDeg = materialize(
+        er.select(col("a").as("node")).union(er.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= k), s"core$i")
+      if (i > 0) drop(s"core${i - 1}")
+      active = lastDeg.select("node")
+      i += 1
+    }
+    lastDeg.select(col("node"), col("deg"))
+  }
+
+  /** DuckDB oracle twin of [[kCore]]: peel rounds unrolled as CTEs over
+    * an edge CTE named `e0` with raw directed (src, dst). Emits bodies
+    * through `d{rounds}`; the caller selects (node, deg) from
+    * `d{rounds}`. */
+  def kCoreOracleCtes(k: Int, rounds: Int): String = {
+    val head =
+      """und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE src <> dst),
+        |a0 AS (SELECT DISTINCT node FROM
+        |  (SELECT a AS node FROM und UNION ALL SELECT b FROM und))""".stripMargin
+    val peels = (1 to rounds).map { i =>
+      s"""e$i AS (SELECT und.a, und.b FROM und
+         |  JOIN a${i - 1} x ON und.a = x.node
+         |  JOIN a${i - 1} y ON und.b = y.node),
+         |d$i AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+         |    (SELECT a AS node FROM e$i UNION ALL SELECT b FROM e$i)
+         |  GROUP BY node HAVING count(*) >= $k),
+         |a$i AS (SELECT node FROM d$i)""".stripMargin
+    }
+    (head +: peels).mkString(",\n")
   }
 
   /** DuckDB oracle twin of [[triangleCounts]] over an edge CTE named

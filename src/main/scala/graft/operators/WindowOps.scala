@@ -318,6 +318,24 @@ object WindowOps {
       .groupBy("src", "dst").agg(count(lit(1)).as("n"))
   }
 
+  /** Length-3 path counts (second-order sequence mining): per key, each
+    * event opens the window (t1, t2, t3) with its two successors in
+    * (orderBy) order, and triples are counted corpus-wide — the
+    * behavioral-funnel / session-flow relation one order deeper than
+    * [[transitionCounts]], and the discovery pass before hand-defining
+    * funnels. Same scale shape: ONE window shuffle on the key (both
+    * leads share the single window node) + a hash aggregate that
+    * map-side-collapses to at most |types|³ rows. */
+  def pathTripleCounts(df: DataFrame, partitionBy: Seq[String],
+                       orderBy: Seq[String], typeCol: String): DataFrame = {
+    val w = spec(partitionBy, orderBy)
+    df.select(col(typeCol).as("t1"),
+        lead(col(typeCol), 1).over(w).as("t2"),
+        lead(col(typeCol), 2).over(w).as("t3"))
+      .where(col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+  }
+
   /** Rolling distinct active users (the WAU/MAU family): for every
     * period present in the data, the number of distinct users active in
     * the trailing `windowPeriods` periods (inclusive). `tsCol` follows

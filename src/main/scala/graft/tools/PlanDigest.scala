@@ -36,7 +36,12 @@ object PlanDigest {
     // round-7 session-2: the new declarative families (graph queries are
     // excluded — pageRankNano materializes per-iteration state, so its
     // final plan is just the last scratch scan)
-    "q_bigram_lm", "q_cm_freq")
+    "q_bigram_lm", "q_cm_freq",
+    // round-7 session-3: triangles is the one superlinear-by-design
+    // plan (wedge join must stay single-consumer — the 3× corner-union
+    // regression this gate now prevents); pmi/psi/paths3 pin the
+    // count-aggregate shapes (iterative kcore excluded like the rest)
+    "q_triangles", "q_pmi", "q_psi", "q_paths3")
 
   val SnapshotPath = "tools/plan_digests.txt"
   val DefaultSfDir = "/root/testdata/sf0.001"

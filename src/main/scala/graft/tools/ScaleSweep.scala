@@ -381,6 +381,19 @@ object ScaleSweep {
     sweep("triangles")(k => graft.operators.GraphOps.triangleCounts(
       graphAt(k), "src", "dst"))
     sweep("pmi")(k => TextAnalysis.pmiBigrams(docsAt(k), "text", minCount = 5))
+    // kcore (two semi-joins + degree agg per peel round, 3 rounds),
+    // psi (two bin-count aggregates — the exchange is O(bins) at any
+    // scale), paths3 (one window shuffle on user_id + |types|³ agg)
+    sweep("kcore")(k => graft.operators.GraphOps.kCore(
+      graphAt(k), "src", "dst", k = 3, rounds = 3))
+    sweep("psi")(k => {
+      val d = evAt(k).select((col("event_id") % 1000).as("v"))
+      graft.operators.Drift.psiFixedBins(
+        d.where(col("v") % 2 === 0), d.where(col("v") % 2 =!= 0),
+        "v", lo = 0L, hi = 1000L, bins = 20)
+    })
+    sweep("paths3")(k => graft.operators.WindowOps.pathTripleCounts(
+      evAt(k), Seq("user_id"), Seq("ts", "event_id"), "event_type"))
 
     def renderMap(m: scala.collection.Map[String, Seq[Double]]): String =
       m.map { case (k, v) =>

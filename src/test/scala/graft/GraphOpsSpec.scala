@@ -236,6 +236,39 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(runTri(sq).values.forall(_._2 == 0L))
   }
 
+  // ---- k-core -----------------------------------------------------------
+
+  private def runKCore(edges: Seq[(String, String)], k: Int,
+                       rounds: Int): Map[String, Long] =
+    GraphOps.kCore(edges.toDF("src", "dst"), "src", "dst", k, rounds)
+      .as[(String, Long)].collect().toMap
+
+  test("kCore: square survives k=2, pendant peels in round one") {
+    // cycle a-b-c-d (all deg 2) + pendant (a,e): round 1 drops e (deg 1),
+    // round 2 re-measures the induced square — stable at deg 2
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "e"))
+    assert(runKCore(g, k = 2, rounds = 2) ==
+      Map("a" -> 2L, "b" -> 2L, "c" -> 2L, "d" -> 2L))
+  }
+
+  test("kCore: peel cascade empties a path graph at k=2") {
+    // path a-b-c-d: endpoints peel, then the ex-middle endpoints peel...
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+    assert(runKCore(g, k = 2, rounds = 3).isEmpty)
+  }
+
+  test("kCore: rounds only truncate toward the fixpoint, never overshoot") {
+    // K4 + a tail: the K4 is the exact 3-core; extra rounds are no-ops
+    val k4 = for {
+      (u, i) <- Seq("a", "b", "c", "d").zipWithIndex
+      (v, j) <- Seq("a", "b", "c", "d").zipWithIndex if i < j
+    } yield (u, v)
+    val g = k4 ++ Seq(("d", "t1"), ("t1", "t2"))
+    val expected = Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L)
+    assert(runKCore(g, k = 3, rounds = 2) == expected)
+    assert(runKCore(g, k = 3, rounds = 4) == expected)
+  }
+
   test("degreeStats: full outer over directions with zero-filled blanks") {
     val e = Seq(("a", "b", 2L), ("a", "c", 3L), ("b", "c", 4L)).toDF("src", "dst", "w")
     val got = GraphOps.degreeStats(e, "src", "dst", col("w"))

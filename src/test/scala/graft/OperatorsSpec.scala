@@ -419,6 +419,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped == Set(("a", "b"), ("a", "c")))
   }
 
+  test("psiFixedBins: identical snapshots score 0; a full shift is hand-computable") {
+    import graft.operators.Drift
+    val a = Seq(1L, 2L, 3L, 7L, 8L).toDF("v")
+    val same = Drift.psiFixedBins(a, a, "v", lo = 0L, hi = 10L, bins = 2)
+      .select("psi_term", "psi_total").as[(Double, Double)].collect()
+    assert(same.forall { case (t, tot) => t == 0.0 && tot == 0.0 })
+    // A all in bin 0, B all in bin 1 (2 rows each, Laplace-smoothed):
+    // pa0=3/4, pb0=1/4 → term (1/2)·ln3; symmetric in bin 1 →
+    // total = ln3 ≈ 1.098612 (each term nano-floored to 0.549306)
+    val lo2 = Seq(0L, 0L).toDF("v")
+    val hi2 = Seq(9L, 9L).toDF("v")
+    val shifted = Drift.psiFixedBins(lo2, hi2, "v", 0L, 10L, 2)
+      .orderBy("bin")
+      .select("bin", "c_a", "c_b", "psi_term", "psi_total")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(shifted.toSeq == Seq(
+      (0L, 2L, 0L, 0.549306, 1.098612),
+      (1L, 0L, 2L, 0.549306, 1.098612)))
+  }
+
+  test("psiFixedBins: out-of-range values clamp into the edge bins") {
+    import graft.operators.Drift
+    val a = Seq(-50L, 500L).toDF("v")
+    val b = Seq(5L, 5L).toDF("v")
+    val bins = Drift.psiFixedBins(a, b, "v", 0L, 10L, 2)
+      .orderBy("bin").select("c_a", "c_b").as[(Long, Long)].collect()
+    assert(bins.toSeq == Seq((1L, 0L), (1L, 2L)))
+  }
+
+  test("pathTripleCounts: hand-checked triples per key, tails dropped") {
+    import graft.operators.WindowOps
+    // u1: A B A B  → ABA, BAB ; u2: A B  → too short for any triple
+    val ev = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "B"),
+      (2L, 1L, "A"), (2L, 2L, "B")).toDF("u", "seq", "t")
+    val got = WindowOps.pathTripleCounts(ev, Seq("u"), Seq("seq"), "t")
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got == Set(("A", "B", "A", 1L), ("B", "A", "B", 1L)))
+  }
+
   test("native cosine expression: bit-identical to HOF form, codegen'd") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val a = emb.select(col("vec_id"), col("embedding").as("va")).where(col("vec_id") < 50)
