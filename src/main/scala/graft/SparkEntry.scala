@@ -2001,6 +2001,33 @@ object SparkEntry {
         .orderBy("win_start", "event_type")
     }),
 
+    // Structured Streaming: per-window PSI drift monitor — the window's
+    // value histogram scored against a reference histogram (the even
+    // event_id half) baked in as literals; ONE stateful windowed
+    // aggregate holding bins longs per window. Oracle recomputes the
+    // reference in SQL with the identical integer→double ops
+    "q_stream_psi" -> ((s, dir) => {
+      val out = s"stream_psi_${System.nanoTime()}"
+      val bins = 10; val lo = 0L; val hi = 500L
+      // reference histogram: bins-bounded collect over the batch half,
+      // using the IDENTICAL binning expression the stream side applies
+      val refMap = s.read.parquet(s"$dir/events.parquet")
+        .where(col("event_id") % 2 === 0)
+        .select(expr(s"least(greatest((floor(value) - ${lo}L) * $bins DIV ${hi - lo}L, 0L), ${bins - 1}L)").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val refCounts = Seq.tabulate(bins)(i => refMap.getOrElse(i.toLong, 0L))
+      val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      val psi = GraftStreaming.psiDriftStream(stream, "value", refCounts,
+        lo, hi, watermark = "1 hour", window_ = "1 hour")
+      val q = GraftStreaming.runToMemory(psi, out, outputMode = "complete")
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
+      s.table(out)
+        .select(col("window.start").cast("long").as("win_start"),
+          col("n"), col("psi"))
+        .orderBy("win_start")
+    }),
+
     // Structured Streaming: stream-static enrichment — events joined
     // map-side to the broadcast customer dimension per micro-batch (no
     // state), unmatched users kept with NULL segment; batch-aggregated
@@ -2470,6 +2497,18 @@ object SparkEntry {
       import graft.operators.Drift
       val docs = table(s, dir, "documents")
       Drift.psiFixedBins(
+          docs.where(col("lang") === "en"),
+          docs.where(col("lang") =!= "en"),
+          "n_chars", lo = 0L, hi = 600L, bins = 12)
+        .orderBy("bin")
+    }),
+
+    // snapshot drift monitoring: exact-integer two-sample KS statistic
+    // on the same binning — worst-case CDF gap, no logs, no quantization
+    "q_ks" -> ((s, dir) => {
+      import graft.operators.Drift
+      val docs = table(s, dir, "documents")
+      Drift.ksFixedBins(
           docs.where(col("lang") === "en"),
           docs.where(col("lang") =!= "en"),
           "n_chars", lo = 0L, hi = 600L, bins = 12)
@@ -4148,6 +4187,11 @@ object SparkEntry {
         | event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q_stream_psi" ->
+      s"""WITH ${GraftStreaming.psiDriftOracleSelect("value",
+             refWhere = "event_id % 2 = 0", lo = 0L, hi = 500L, bins = 10)}
+         |SELECT CAST(epoch(win) AS BIGINT) AS win_start, n, psi
+         |FROM scored ORDER BY win_start""".stripMargin,
     "q_stream_enrich" ->
       """WITH e AS (SELECT ev.event_id, ev.value,
         |    COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment
@@ -4411,6 +4455,14 @@ object SparkEntry {
          |db AS (SELECT n_chars AS v FROM documents WHERE lang <> 'en'),
          |${Drift.psiOracleCtes(lo = 0L, hi = 600L, bins = 12)}
          |SELECT bin, c_a, c_b, psi_term, psi_total FROM scored
+         |ORDER BY bin""".stripMargin
+    },
+    "q_ks" -> {
+      import graft.operators.Drift
+      s"""WITH da AS (SELECT n_chars AS v FROM documents WHERE lang = 'en'),
+         |db AS (SELECT n_chars AS v FROM documents WHERE lang <> 'en'),
+         |${Drift.ksOracleCtes(lo = 0L, hi = 600L, bins = 12)}
+         |SELECT bin, c_a, c_b, d_num, ks FROM scored
          |ORDER BY bin""".stripMargin
     },
     "q_kcore" -> {

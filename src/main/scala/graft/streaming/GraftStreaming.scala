@@ -594,6 +594,104 @@ object GraftStreaming {
       .groupBy()
       .agg(graft.functions.FrequentItems(col("__item"), capacity, k).as("__hh"))
 
+  /** Streaming distribution-drift monitor: per event-time tumbling
+    * window, the PSI of the window's `valueCol` histogram against a
+    * FIXED reference histogram (e.g. the last validated snapshot's) —
+    * the at-ingest tripwire companion to the batch
+    * [[graft.operators.Drift.psiFixedBins]], same Laplace smoothing,
+    * same fixed-width integer binning (values pass through `floor`
+    * first so double columns bin identically across engines).
+    *
+    * ONE stateful operator: the per-bin counts are `bins` conditional
+    * sums inside a single windowed aggregate, and the PSI folds over
+    * those count columns against reference probabilities baked in as
+    * double literals — no second stateful aggregate, no custom keyed
+    * state. State per window = `bins` longs; with a watermark the store
+    * holds only the un-finalized horizon. Reference probabilities are
+    * `(ref_i + 1)/(N_ref + bins)` computed HERE and inlined, so an
+    * oracle can replay bit-exactly via [[psiDriftOracleSelect]] (the
+    * [[graft.operators.WindowOps.ewmaWeights]] shared-literal trick).
+    *
+    * @param refCounts per-bin reference histogram (size = bins ≥ 2)
+    * @return per window: (window, n, psi) — append-capable under the
+    *         watermark, or run complete for an AvailableNow drain.
+    */
+  def psiDriftStream(events: DataFrame, valueCol: String,
+                     refCounts: Seq[Long], lo: Long, hi: Long,
+                     watermark: String = "1 hour",
+                     window_ : String = "1 hour"): DataFrame = {
+    val bins = refCounts.size
+    require(bins >= 2, "refCounts must have >= 2 bins")
+    require(hi > lo, "hi must be > lo")
+    val refTotal = refCounts.sum
+    val binCol = expr(
+      s"least(greatest((floor($valueCol) - ${lo}L) * $bins DIV ${hi - lo}L, 0L), ${bins - 1}L)")
+    val cnts = Seq.tabulate(bins)(i =>
+      sum(when(col("__bin") === i, 1L).otherwise(0L)).as(s"__c$i"))
+    val byWin = events
+      .withWatermark("event_time", watermark)
+      .select(col("event_time"), binCol.as("__bin"))
+      .groupBy(window(col("event_time"), window_))
+      .agg(cnts.head, cnts.tail: _*)
+    val n = Seq.tabulate(bins)(i => col(s"__c$i")).reduce(_ + _)
+    def term(i: Int): Column = {
+      val pref = (refCounts(i) + 1).toDouble / (refTotal + bins).toDouble
+      val pa = (col(s"__c$i") + 1).cast("double") /
+        (col("__n").cast("double") + lit(bins.toDouble))
+      floor((pa - lit(pref)) * log(pa / lit(pref)) * lit(1e9)).cast("long")
+    }
+    byWin.withColumn("__n", n)
+      .select(col("window"), col("__n").as("n"),
+        round(Seq.tabulate(bins)(term).reduce(_ + _).cast("double") / 1e9, 6)
+          .as("psi"))
+  }
+
+  /** DuckDB oracle twin of [[psiDriftStream]] for a 1-hour tumbling
+    * window over `events`: replays the identical binning, conditional
+    * counts, and double expression tree. The reference histogram the
+    * Spark side collected and baked in as literals is recomputed HERE in
+    * SQL (`events WHERE refWhere`) with the identical integer→double
+    * operations — `(r+1)::DOUBLE / (rn+bins)::DOUBLE` is the same
+    * correctly-rounded division the driver's `.toDouble` arithmetic
+    * performed, so the probabilities match bit-for-bit without
+    * embedding data-derived literals in static SQL. Emits WITH bodies
+    * through `scored` (win, n, psi). */
+  def psiDriftOracleSelect(valueCol: String, refWhere: String,
+                           lo: Long, hi: Long, bins: Int): String = {
+    def binOf(src: String) =
+      s"least(greatest((CAST(floor($src) AS BIGINT) - $lo) * $bins // ${hi - lo}, 0), ${bins - 1})"
+    val rs = (0 until bins).map(i =>
+      s"CAST(sum(CASE WHEN bin = $i THEN 1 ELSE 0 END) AS BIGINT) AS r$i")
+      .mkString(",\n       |    ")
+    val cs = (0 until bins).map(i =>
+      s"CAST(sum(CASE WHEN bin = $i THEN 1 ELSE 0 END) AS BIGINT) AS c$i")
+      .mkString(",\n       |    ")
+    val rnSum = (0 until bins).map(i => s"r$i").mkString(" + ")
+    val nSum = (0 until bins).map(i => s"c$i").mkString(" + ")
+    val terms = (0 until bins).map { i =>
+      val pa = s"(CAST(c$i + 1 AS DOUBLE) / (CAST(n AS DOUBLE) + CAST($bins AS DOUBLE)))"
+      val pr = s"(CAST(r$i + 1 AS DOUBLE) / CAST(rn + $bins AS DOUBLE))"
+      s"CAST(floor(($pa - $pr) * ln($pa / $pr) * 1e9) AS BIGINT)"
+    }.mkString("\n       |      + ")
+    s"""rb AS (SELECT ${binOf(valueCol)} AS bin FROM events WHERE $refWhere),
+       |rc AS (SELECT
+       |    $rs
+       |  FROM rb),
+       |rcn AS (SELECT *, $rnSum AS rn FROM rc),
+       |b AS (SELECT date_trunc('hour', ts) AS win,
+       |    ${binOf(valueCol)} AS bin
+       |  FROM events),
+       |c AS (SELECT win,
+       |    $cs
+       |  FROM b GROUP BY win),
+       |cn AS (SELECT *, $nSum AS n FROM c),
+       |scored AS (SELECT win, CAST(n AS BIGINT) AS n,
+       |    round(CAST(
+       |      $terms
+       |    AS DOUBLE) / 1e9, 6) AS psi
+       |  FROM cn CROSS JOIN rcn)""".stripMargin
+  }
+
   def runToMemory(df: DataFrame, name: String,
                   outputMode: String = "append",
                   statePartitions: Int = 8): StreamingQuery = {

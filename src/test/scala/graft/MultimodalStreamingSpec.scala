@@ -262,6 +262,33 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty) // the relabeled sample guarantees self-hits
   }
 
+  test("streaming PSI drift ≡ the same windowed fold on the batch relation") {
+    val lo = 0L; val hi = 500L; val bins = 10
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val refMap = batch.where(col("event_id") % 2 === 0)
+      .select(expr(s"least(greatest((floor(value) - ${lo}L) * $bins DIV ${hi - lo}L, 0L), ${bins - 1}L)").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val refCounts = Seq.tabulate(bins)(i => refMap.getOrElse(i.toLong, 0L))
+    val stream = GraftStreaming.readEventsGlob(spark, dir, "events.parquet")
+    val psi = GraftStreaming.psiDriftStream(stream, "value", refCounts, lo, hi)
+    val q = GraftStreaming.runToMemory(psi, "psi_stream_out", outputMode = "complete")
+    assert(q.awaitTermination(120000), "stream did not finish")
+    val got = spark.table("psi_stream_out")
+      .select(col("window.start").cast("long"), col("n"), col("psi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch twin: the IDENTICAL operator applied to the batch relation
+    // (window agg + watermark are no-ops batch-side) — stream ≡ batch
+    val batchEv = GraftStreaming.normalizeTs(batch)
+    val twin = GraftStreaming.psiDriftStream(
+        batchEv.withColumn("event_time", GraftStreaming.eventTime(col("ts"))),
+        "value", refCounts, lo, hi)
+      .select(col("window.start").cast("long"), col("n"), col("psi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == twin, s"stream=${got.size} batch=${twin.size}")
+    assert(got.nonEmpty && got.exists(_._3 > 0.0)) // some window drifts
+  }
+
   test("streaming EWMA: single batch ≡ sequential fold; state carries across batches") {
     import spark.implicits._
     val stream = GraftStreaming.readEventsGlob(spark, dir, "events.parquet")

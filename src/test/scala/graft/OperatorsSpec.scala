@@ -448,6 +448,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bins.toSeq == Seq((1L, 0L), (1L, 2L)))
   }
 
+  test("ksFixedBins: identical snapshots score 0; full separation scores 1") {
+    import graft.operators.Drift
+    val a = Seq(1L, 2L, 7L).toDF("v")
+    val same = Drift.ksFixedBins(a, a, "v", 0L, 10L, 2)
+      .select("ks").as[Double].collect()
+    assert(same.forall(_ == 0.0))
+    // A all in bin 0, B all in bin 1: cumA = [2,2], cumB = [0,2],
+    // na = nb = 2 → d_num = [|2·2−0|, |4−4|] = [4, 0]; KS = 4/4 = 1.0
+    val got = Drift.ksFixedBins(Seq(0L, 0L).toDF("v"), Seq(9L, 9L).toDF("v"),
+        "v", 0L, 10L, 2)
+      .orderBy("bin")
+      .select("bin", "c_a", "c_b", "d_num", "ks")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((0L, 2L, 0L, 4L, 1.0), (1L, 0L, 2L, 0L, 1.0)))
+  }
+
+  test("ksFixedBins: localized shift registers where PSI smears — hand case") {
+    import graft.operators.Drift
+    // A uniform over bins {0,1,2,3}; B identical except bin1 mass moved
+    // to bin2: the CDF gap opens only at bin 1 (|2·4−1·4| = 4)
+    val a = Seq(0L, 3L, 5L, 8L).toDF("v")   // bins 0,1,2,3 (hi=10, 4 bins)
+    val b = Seq(0L, 5L, 5L, 8L).toDF("v")   // bins 0,2,2,3
+    val got = Drift.ksFixedBins(a, b, "v", 0L, 10L, 4)
+      .orderBy("bin").select("d_num").as[Long].collect()
+    assert(got.toSeq == Seq(0L, 4L, 0L, 0L))
+  }
+
   test("pathTripleCounts: hand-checked triples per key, tails dropped") {
     import graft.operators.WindowOps
     // u1: A B A B  → ABA, BAB ; u2: A B  → too short for any triple
