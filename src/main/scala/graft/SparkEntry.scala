@@ -2480,6 +2480,15 @@ object SparkEntry {
         .orderBy("src", "dst")
     }),
 
+    // de-seasonalization: hour-of-day phase means (DECIMAL-exact) +
+    // residuals — one 24-row aggregate + a broadcast join-back
+    "q_seasonal" -> ((s, dir) => {
+      val ev = eventsMicros(s, dir)
+      WindowOps.seasonalDecompose(ev, "event_id", "tsu", "value",
+          period = 3600000000L, phases = 24)
+        .orderBy("event_id")
+    }),
+
     // behavioral sequences one order deeper: corpus-wide length-3 path
     // counts (both leads share ONE window node; agg collapses to ≤
     // |types|³ rows map-side)
@@ -4439,6 +4448,17 @@ object SparkEntry {
         |    AS dst FROM e)
         |SELECT src, dst, count(*) AS n FROM p WHERE dst IS NOT NULL
         |GROUP BY src, dst ORDER BY src, dst""".stripMargin,
+    "q_seasonal" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS tsu, value FROM events),
+        |b AS (SELECT event_id, (tsu // 3600000000) % 24 AS phase, value FROM e),
+        |p AS (SELECT phase, count(*) AS n,
+        |        sum(CAST(value AS DECIMAL(18,6))) AS s FROM b GROUP BY phase),
+        |j AS (SELECT b.event_id, b.phase,
+        |        CAST(p.s AS DOUBLE) / p.n AS seasonal, b.value
+        |      FROM b JOIN p USING (phase))
+        |SELECT event_id, phase, round(seasonal, 6) AS seasonal,
+        |  round(value - seasonal, 6) AS residual
+        |FROM j ORDER BY event_id""".stripMargin,
     "q_paths3" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id
         |  FROM events),

@@ -336,6 +336,47 @@ object WindowOps {
       .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
   }
 
+  /** Additive seasonal decomposition against a phase profile: each
+    * event's value splits into `seasonal` (the corpus mean of its
+    * phase — hour-of-day with `period` = 1h µs and `phases` = 24,
+    * day-of-week with 1-day/7) and `residual` (value − seasonal) — the
+    * de-seasonalized signal anomaly scoring should run on instead of
+    * the raw one (a 3 a.m. traffic dip is not an incident).
+    *
+    * Engine-exact: phase means accumulate value in DECIMAL(18,6) (exact
+    * integer-scaled sums — partition-order-independent) and become
+    * doubles only at the final `CAST(sum AS DOUBLE)/n` division, which
+    * the oracle mirrors; the residual is one further mirrored
+    * subtraction, rounded to 6.
+    *
+    * Scale shape: ONE count/sum aggregate that exchanges ≤ `phases`
+    * rows (map-side combined), then a broadcast join of the
+    * phases-row profile back onto the event stream — map-side,
+    * no second shuffle, no window funnel.
+    *
+    * @return input columns (via idCol projection) + (phase, seasonal,
+    *         residual).
+    */
+  def seasonalDecompose(df: DataFrame, idCol: String, tsCol: String,
+                        valueCol: String, period: Long,
+                        phases: Int): DataFrame = {
+    require(period > 0 && phases >= 2, "period/phases must be positive")
+    val phase = pmod(call_function("div", numericTs(df, tsCol), lit(period)),
+      lit(phases.toLong))
+    val base = df.select(col(idCol), phase.as("phase"),
+      col(valueCol).as("__v"))
+    val prof = base.groupBy("phase")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__v").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .as("__s"))
+      .select(col("phase"),
+        (col("__s").cast("double") / col("__n")).as("seasonal"))
+    base.join(broadcast(prof), Seq("phase"))
+      .select(col(idCol), col("phase"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("__v") - col("seasonal"), 6).as("residual"))
+  }
+
   /** Rolling distinct active users (the WAU/MAU family): for every
     * period present in the data, the number of distinct users active in
     * the trailing `windowPeriods` periods (inclusive). `tsCol` follows

@@ -475,6 +475,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(0L, 4L, 0L, 0L))
   }
 
+  test("seasonalDecompose: hand-checked phase means and residuals") {
+    import graft.operators.WindowOps
+    // period 10, 2 phases: ts 0,20 → phase 0 (mean 1.5); ts 10 → phase 1
+    val ev = Seq((1L, 0L, 1.0), (2L, 10L, 3.0), (3L, 20L, 2.0))
+      .toDF("id", "ts", "v")
+    val got = WindowOps.seasonalDecompose(ev, "id", "ts", "v",
+        period = 10L, phases = 2)
+      .orderBy("id")
+      .select("id", "phase", "seasonal", "residual")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 0L, 1.5, -0.5), (2L, 1L, 3.0, 0.0), (3L, 0L, 1.5, 0.5)))
+  }
+
   test("pathTripleCounts: hand-checked triples per key, tails dropped") {
     import graft.operators.WindowOps
     // u1: A B A B  → ABA, BAB ; u2: A B  → too short for any triple
