@@ -2342,6 +2342,21 @@ object SparkEntry {
         .orderBy(desc("pmi"), col("w1"), col("w2"))
     }),
 
+    // keyphrase mining: TextRank (Mihalcea & Tarau 2004) = PageRank over
+    // the adjacent-token co-occurrence graph — two existing kernels
+    // composed (bigram counts feed pageRankNano's integer recursion),
+    // and the oracle composes the same two CTE generators
+    "q_textrank" -> ((s, dir) => {
+      import graft.operators.GraphOps
+      val big = TextAnalysis.bigramCounts(
+          table(s, dir, "documents").select("text"), "text")
+        .select(col("w1").as("src"), col("w2").as("dst"),
+          col("pair_cnt").as("w"))
+      GraphOps.pageRankNano(big, "src", "dst", col("w"), iters = 3)
+        .select(col("node").as("token"), col("rank_nano"))
+        .orderBy(desc("rank_nano"), col("token"))
+    }),
+
     // embedding preprocessing: per-dimension corpus mean/variance — the
     // probe before centering/whitening/quantizer training; 1e-9-quantized
     // exact long sums make it bit-reproducible across engines
@@ -4323,6 +4338,22 @@ object SparkEntry {
          |SELECT deg.node AS host, deg.deg, COALESCE(p.triangles, 0) AS triangles
          |FROM deg LEFT JOIN p ON deg.node = p.node
          |ORDER BY host""".stripMargin
+    },
+    "q_textrank" -> {
+      import graft.operators.GraphOps
+      s"""WITH ts AS (SELECT row_number() OVER () AS did,
+         |    list_filter(string_split_regex(trim(text), '\\s+'),
+         |                w -> len(w) > 0) AS ts FROM documents),
+         |tok AS (SELECT did, generate_subscripts(ts, 1) AS pos, unnest(ts) AS t
+         |  FROM ts),
+         |big AS (SELECT a.t AS w1, b.t AS w2, CAST(count(*) AS BIGINT) AS pair_cnt
+         |  FROM tok a JOIN tok b ON a.did = b.did AND b.pos = a.pos + 1
+         |  GROUP BY a.t, b.t),
+         |e AS (SELECT w1 AS src, w2 AS dst, pair_cnt AS w FROM big
+         |      WHERE w1 <> w2),
+         |${GraphOps.pageRankNanoOracleCtes(iters = 3)}
+         |SELECT node AS token, r AS rank_nano FROM r3
+         |ORDER BY rank_nano DESC, token""".stripMargin
     },
     "q_pmi" -> {
       s"""WITH base AS (SELECT text FROM documents),

@@ -1065,20 +1065,27 @@ object TextAnalysis {
     *
     * @return (w1, w2, pair_cnt, pmi) for pairs with pair_cnt ≥ minCount.
     */
+  /** Corpus-wide adjacent-token pair counts — the raw co-occurrence
+    * relation behind [[pmiBigrams]] (scored) and TextRank (fed to
+    * [[GraphOps.pageRankNano]] as the word-graph edge list). One narrow
+    * zip_with + explode + a pair-keyed count aggregate; no per-doc
+    * shuffle. */
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame = docs
+    .select(tokens(col(textCol)).as("__ts"))
+    .where(size(col("__ts")) >= 2)
+    .select(explode(expr(
+      "zip_with(slice(__ts, 1, size(__ts) - 1), " +
+        "slice(__ts, 2, size(__ts) - 1), " +
+        "(a, b) -> struct(a AS __w1, b AS __w2))")).as("__bg"))
+    .select(col("__bg.__w1").as("w1"), col("__bg.__w2").as("w2"))
+    .groupBy("w1", "w2").agg(count(lit(1)).as("pair_cnt"))
+
   def pmiBigrams(docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
     val uni = docs
       .select(explode(tokens(col(textCol))).as("__t"))
       .groupBy("__t").agg(count(lit(1)).as("__c1"))
     val n1 = uni.agg(sum("__c1").cast("double").as("__n"))
-    val big = docs
-      .select(tokens(col(textCol)).as("__ts"))
-      .where(size(col("__ts")) >= 2)
-      .select(explode(expr(
-        "zip_with(slice(__ts, 1, size(__ts) - 1), " +
-          "slice(__ts, 2, size(__ts) - 1), " +
-          "(a, b) -> struct(a AS __w1, b AS __w2))")).as("__bg"))
-      .select(col("__bg.__w1").as("w1"), col("__bg.__w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_cnt"))
+    val big = bigramCounts(docs, textCol)
     val nb = big.agg(sum("pair_cnt").cast("double").as("__b"))
     big.where(col("pair_cnt") >= minCount)
       .join(uni.select(col("__t").as("w1"), col("__c1").as("__c1a")), "w1")

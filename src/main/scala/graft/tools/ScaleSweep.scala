@@ -394,6 +394,26 @@ object ScaleSweep {
     })
     sweep("paths3")(k => graft.operators.WindowOps.pathTripleCounts(
       evAt(k), Seq("user_id"), Seq("ts", "event_id"), "event_type"))
+    // ks (same O(bins) exchanges as psi, zero quantization), seasonal
+    // (one <=phases-row aggregate + broadcast join-back), textrank
+    // (bigram-count aggregate feeds the integer PageRank recursion —
+    // ciphered copies grow the word graph's node space linearly)
+    sweep("ks")(k => {
+      val d = evAt(k).select((col("event_id") % 1000).as("v"))
+      graft.operators.Drift.ksFixedBins(
+        d.where(col("v") % 2 === 0), d.where(col("v") % 2 =!= 0),
+        "v", lo = 0L, hi = 1000L, bins = 20)
+    })
+    sweep("seasonal")(k => graft.operators.WindowOps.seasonalDecompose(
+      evAt(k), "event_id", "ts", "value",
+      period = 3600L * 1000000000L, phases = 24))
+    sweep("textrank")(k => {
+      val big = TextAnalysis.bigramCounts(docsAt(k), "text")
+        .select(col("w1").as("src"), col("w2").as("dst"),
+          col("pair_cnt").as("w"))
+      graft.operators.GraphOps.pageRankNano(big, "src", "dst", col("w"),
+        iters = 3)
+    })
 
     def renderMap(m: scala.collection.Map[String, Seq[Double]]): String =
       m.map { case (k, v) =>
