@@ -269,6 +269,91 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(runKCore(g, k = 3, rounds = 4) == expected)
   }
 
+  // ---- brute-force differentials on a pseudo-random graph ---------------
+
+  /** Deterministic pseudo-random undirected simple graph over n nodes
+    * (residue mix, no RNG): returns directed edge tuples with noise
+    * (some reciprocals + self-loops) so the collapse paths are live. */
+  private def pseudoGraph(n: Int): Seq[(String, String)] = {
+    val base = for {
+      i <- 0 until n; j <- 0 until n
+      if i != j && (i * 11 + j * 5) % 7 < 2
+    } yield (s"n$i", s"n$j")
+    base ++ Seq(("n0", "n0"), ("n1", "n0")) // self-loop + reciprocal noise
+  }
+
+  private def undSimple(edges: Seq[(String, String)]): Set[(String, String)] =
+    edges.filter(e => e._1 != e._2)
+      .map(e => if (e._1 < e._2) (e._1, e._2) else (e._2, e._1)).toSet
+
+  test("triangleCounts: matches brute-force enumeration on a pseudo-random graph") {
+    val edges = pseudoGraph(18)
+    val und = undSimple(edges)
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    def adj(a: String, b: String) =
+      und.contains(if (a < b) (a, b) else (b, a))
+    val bruteTri = nodes.map { v =>
+      val cnt = (for {
+        a <- nodes; b <- nodes
+        if a < b && adj(v, a) && adj(v, b) && adj(a, b)
+      } yield 1).size
+      v -> cnt.toLong
+    }.toMap
+    val bruteDeg = nodes.map(v => v -> nodes.count(adj(v, _)).toLong).toMap
+    val got = runTri(edges)
+    assert(got == nodes.map(v => v -> ((bruteDeg(v), bruteTri(v)))).toMap)
+  }
+
+  test("kCore: matches brute-force synchronous peeling on a pseudo-random graph") {
+    val edges = pseudoGraph(16)
+    for (k <- Seq(2, 3, 4); rounds <- Seq(1, 3)) {
+      var active = undSimple(edges).flatMap(e => Seq(e._1, e._2))
+      var deg = Map.empty[String, Long]
+      for (_ <- 1 to rounds) {
+        val er = undSimple(edges).filter(e =>
+          active.contains(e._1) && active.contains(e._2))
+        deg = (er.toSeq.map(_._1) ++ er.toSeq.map(_._2))
+          .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+        deg = deg.filter(_._2 >= k)
+        active = deg.keySet
+      }
+      assert(runKCore(edges, k, rounds) == deg, s"k=$k rounds=$rounds")
+    }
+  }
+
+  test("labelPropagation: matches brute-force synchronous voting on a pseudo-random graph") {
+    val edges = pseudoGraph(14).map { case (a, b) => (a, b, 1L) } ++
+      Seq(("n1", "n2", 5L)) // a weighted parallel edge exercises the collapse
+    // brute: undirected weight map, sync rounds, max-weight/min-label
+    val w = scala.collection.mutable.Map.empty[(String, String), Long]
+    edges.filter(e => e._1 != e._2).foreach { case (a, b, x) =>
+      w((a, b)) = w.getOrElse((a, b), 0L) + x
+      w((b, a)) = w.getOrElse((b, a), 0L) + x
+    }
+    val nodes = w.keys.map(_._1).toSeq.distinct.sorted
+    var lbl = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      lbl = nodes.map { v =>
+        // NB: .toSeq first — collect on a Map would rebuild a Map and
+        // silently overwrite same-label votes from different neighbors
+        val votes = w.toSeq.collect { case ((`v`, nbr), x) => (lbl(nbr), x) }
+          .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sum }
+        v -> votes.toSeq.minBy { case (l, x) => (-x, l) }._1
+      }.toMap
+    }
+    val got = GraphOps.labelPropagation(
+        edges.toDF("src", "dst", "w"), "src", "dst", col("w"), iters = 3)
+      .as[(String, String)].collect().toMap
+    assert(got == lbl)
+  }
+
+  test("hitsNano: degenerate graphs (empty, all self-loops) return empty") {
+    val empty = Seq.empty[(String, String, Long)].toDF("src", "dst", "w")
+    assert(GraphOps.hitsNano(empty, "src", "dst", col("w"), 2).count() == 0L)
+    val loops = Seq(("a", "a", 3L)).toDF("src", "dst", "w")
+    assert(GraphOps.hitsNano(loops, "src", "dst", col("w"), 2).count() == 0L)
+  }
+
   test("degreeStats: full outer over directions with zero-filled blanks") {
     val e = Seq(("a", "b", 2L), ("a", "c", 3L), ("b", "c", 4L)).toDF("src", "dst", "w")
     val got = GraphOps.degreeStats(e, "src", "dst", col("w"))
