@@ -2514,6 +2514,18 @@ object SparkEntry {
         .orderBy("t1", "t2", "t3")
     }),
 
+    // crawl curation: host co-visitation matrix — the bipartite
+    // user×host relation projected onto hosts, per-user fan-out capped
+    // at C(10,2) by the md5-deterministic item cap
+    "q_covisit" -> ((s, dir) => {
+      import graft.operators.{GraphOps, UrlOps}
+      val ev = table(s, dir, "events")
+      val u = UrlOps.syntheticUrl(col("event_id"), col("user_id"), col("event_type"))
+      val rel = ev.select(col("user_id"), UrlOps.hostOf(u).as("host"))
+      GraphOps.coVisitation(rel, "user_id", "host", maxPerKey = 10)
+        .orderBy("item_a", "item_b")
+    }),
+
     // snapshot drift monitoring: PSI of the doc-length distribution,
     // en vs non-en slices as the two "snapshots" — per-bin terms +
     // total, Laplace-smoothed, nano-quantized exact integer sum
@@ -4500,6 +4512,15 @@ object SparkEntry {
         |    AS t3 FROM e)
         |SELECT t1, t2, t3, count(*) AS n FROM p WHERE t3 IS NOT NULL
         |GROUP BY t1, t2, t3 ORDER BY t1, t2, t3""".stripMargin,
+    "q_covisit" -> {
+      import graft.operators.{GraphOps, UrlOps}
+      s"""WITH rel AS (SELECT user_id AS k,
+         |        ${UrlOps.hostSqlExpr(UrlOps.syntheticUrlSqlExpr)} AS item
+         |      FROM events),
+         |${GraphOps.coVisitationOracleCtes(maxPerKey = 10)}
+         |SELECT item_a, item_b, n FROM pairs
+         |ORDER BY item_a, item_b""".stripMargin
+    },
     "q_psi" -> {
       import graft.operators.Drift
       s"""WITH da AS (SELECT n_chars AS v FROM documents WHERE lang = 'en'),

@@ -535,6 +535,61 @@ object GraphOps {
     lastDeg.select(col("node"), col("deg"))
   }
 
+  /** Co-visitation projection of a bipartite (key, item) relation onto
+    * items: for every item pair sharing a key, the number of shared
+    * keys — the host-host "visited together" graph (crawl curation),
+    * and exactly the item-item co-occurrence matrix of collaborative
+    * filtering.
+    *
+    * The quadratic is BOUNDED by construction: each key contributes at
+    * most `maxPerKey` distinct items (a deterministic md5-ordered cap —
+    * same stable pseudo-random order as [[Sampling]] / per-domain caps,
+    * so the kept subset is reproducible and engine-replayable), so
+    * per-key pair fan-out is ≤ C(maxPerKey, 2) regardless of how
+    * promiscuous a key is. A power user who touched 50k hosts
+    * contributes the same bounded sample as everyone else instead of
+    * 1.25e9 pairs — the mega-key relief valve every co-occurrence job
+    * needs at crawl scale (cap hit rate is auditable: compare
+    * `count(distinct item) per key` against `maxPerKey` upstream).
+    *
+    * Scale shape: one distinct aggregate on (key, item), one window
+    * row_number keyed on the FULL key cardinality, one self-join on key
+    * (shuffle both sides on key; AQE handles residual skew), one pair
+    * count aggregate. Nothing driver-resident.
+    *
+    * @return (item_a, item_b, n) with item_a < item_b.
+    */
+  def coVisitation(rel: DataFrame, keyCol: String, itemCol: String,
+                   maxPerKey: Int): DataFrame = {
+    require(maxPerKey >= 2, "maxPerKey must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val d = rel.select(col(keyCol).as("k"), col(itemCol).as("item")).distinct()
+    val w = Window.partitionBy("k")
+      .orderBy(md5(col("item").cast("string")), col("item"))
+    val capped = d.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxPerKey)
+      .select(col("k"), col("item"))
+    capped.as("a").join(capped.as("b"),
+        col("a.k") === col("b.k") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** DuckDB oracle twin of [[coVisitation]] over a CTE named `rel`
+    * with columns (k, item). Emits bodies through `pairs`; the caller
+    * selects (item_a, item_b, n) from `pairs`. */
+  def coVisitationOracleCtes(maxPerKey: Int): String =
+    s"""d AS (SELECT DISTINCT k, item FROM rel),
+       |capped AS (SELECT k, item FROM (
+       |    SELECT k, item, row_number() OVER (PARTITION BY k
+       |      ORDER BY md5(CAST(item AS VARCHAR)), item) AS rn
+       |    FROM d) WHERE rn <= $maxPerKey),
+       |pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM capped a JOIN capped b
+       |    ON a.k = b.k AND a.item < b.item
+       |  GROUP BY a.item, b.item)""".stripMargin
+
   /** DuckDB oracle twin of [[kCore]]: peel rounds unrolled as CTEs over
     * an edge CTE named `e0` with raw directed (src, dst). Emits bodies
     * through `d{rounds}`; the caller selects (node, deg) from

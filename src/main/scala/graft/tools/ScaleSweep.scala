@@ -407,6 +407,13 @@ object ScaleSweep {
     sweep("seasonal")(k => graft.operators.WindowOps.seasonalDecompose(
       evAt(k), "event_id", "ts", "value",
       period = 3600L * 1000000000L, phases = 24))
+    // covisit: the md5 cap bounds each key to C(10,2) pairs, so the
+    // self-join fan-out scales with keys, not with per-key degree —
+    // the slope under test IS the cap
+    sweep("covisit")(k => graft.operators.GraphOps.coVisitation(
+      evAt(k).select(col("user_id"),
+        (col("event_id") % 997).cast("string").as("item")),
+      "user_id", "item", maxPerKey = 10))
     sweep("textrank")(k => {
       val big = TextAnalysis.bigramCounts(docsAt(k), "text")
         .select(col("w1").as("src"), col("w2").as("dst"),

@@ -347,6 +347,29 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == lbl)
   }
 
+  test("coVisitation: shared-key pair counts; duplicates collapse") {
+    val rel = Seq(("k1", "a"), ("k1", "b"), ("k1", "c"), ("k1", "c"),
+      ("k2", "b"), ("k2", "c")).toDF("k", "item")
+    val got = GraphOps.coVisitation(rel, "k", "item", maxPerKey = 10)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 2L)))
+  }
+
+  test("coVisitation: md5 cap bounds a promiscuous key's fan-out") {
+    val hot = (0 until 40).map(i => ("hot", s"i$i"))
+    val rel = (hot ++ Seq(("cold", "i0"), ("cold", "i1"))).toDF("k", "item")
+    val pairs = GraphOps.coVisitation(rel, "k", "item", maxPerKey = 5)
+      .as[(String, String, Long)].collect()
+    // hot contributes C(5,2)=10 pairs, cold at most 1 — and determinism:
+    // the same call yields the same kept subset
+    assert(pairs.map(_._3).sum <= 11L)
+    assert(pairs.length <= 11)
+    val again = GraphOps.coVisitation(rel, "k", "item", maxPerKey = 5)
+      .as[(String, String, Long)].collect()
+    assert(pairs.sortBy(p => (p._1, p._2)).toSeq ==
+      again.sortBy(p => (p._1, p._2)).toSeq)
+  }
+
   test("hitsNano: degenerate graphs (empty, all self-loops) return empty") {
     val empty = Seq.empty[(String, String, Long)].toDF("src", "dst", "w")
     assert(GraphOps.hitsNano(empty, "src", "dst", col("w"), 2).count() == 0L)
