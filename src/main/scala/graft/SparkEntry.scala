@@ -2028,6 +2028,29 @@ object SparkEntry {
         .orderBy("win_start")
     }),
 
+    // Structured Streaming: per-window one-sample KS drift monitor —
+    // exact-integer CDF-gap fold over the same binned windowed
+    // aggregate as q_stream_psi (state = bins longs per window)
+    "q_stream_ks" -> ((s, dir) => {
+      val out = s"stream_ks_${System.nanoTime()}"
+      val bins = 10; val lo = 0L; val hi = 500L
+      val refMap = s.read.parquet(s"$dir/events.parquet")
+        .where(col("event_id") % 2 === 0)
+        .select(expr(s"least(greatest((floor(value) - ${lo}L) * $bins DIV ${hi - lo}L, 0L), ${bins - 1}L)").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val refCounts = Seq.tabulate(bins)(i => refMap.getOrElse(i.toLong, 0L))
+      val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      val ks = GraftStreaming.ksDriftStream(stream, "value", refCounts,
+        lo, hi, watermark = "1 hour", window_ = "1 hour")
+      val q = GraftStreaming.runToMemory(ks, out, outputMode = "complete")
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
+      s.table(out)
+        .select(col("window.start").cast("long").as("win_start"),
+          col("n"), col("ks"))
+        .orderBy("win_start")
+    }),
+
     // Structured Streaming: stream-static enrichment — events joined
     // map-side to the broadcast customer dimension per micro-batch (no
     // state), unmatched users kept with NULL segment; batch-aggregated
@@ -4223,6 +4246,11 @@ object SparkEntry {
         | event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q_stream_ks" ->
+      s"""WITH ${GraftStreaming.ksDriftOracleSelect("value",
+             refWhere = "event_id % 2 = 0", lo = 0L, hi = 500L, bins = 10)}
+         |SELECT CAST(epoch(win) AS BIGINT) AS win_start, n, ks
+         |FROM scored ORDER BY win_start""".stripMargin,
     "q_stream_psi" ->
       s"""WITH ${GraftStreaming.psiDriftOracleSelect("value",
              refWhere = "event_id % 2 = 0", lo = 0L, hi = 500L, bins = 10)}

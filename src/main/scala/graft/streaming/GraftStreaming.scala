@@ -616,6 +616,24 @@ object GraftStreaming {
     * @return per window: (window, n, psi) — append-capable under the
     *         watermark, or run complete for an AvailableNow drain.
     */
+  /** Shared scaffold for the per-window drift monitors: one stateful
+    * windowed aggregate producing `bins` conditional-count columns
+    * `__c0..__c{bins-1}` (state per window = bins longs). */
+  private def binnedWindowCounts(events: DataFrame, valueCol: String,
+                                 lo: Long, hi: Long, bins: Int,
+                                 watermark: String,
+                                 window_ : String): DataFrame = {
+    val binCol = expr(
+      s"least(greatest((floor($valueCol) - ${lo}L) * $bins DIV ${hi - lo}L, 0L), ${bins - 1}L)")
+    val cnts = Seq.tabulate(bins)(i =>
+      sum(when(col("__bin") === i, 1L).otherwise(0L)).as(s"__c$i"))
+    events
+      .withWatermark("event_time", watermark)
+      .select(col("event_time"), binCol.as("__bin"))
+      .groupBy(window(col("event_time"), window_))
+      .agg(cnts.head, cnts.tail: _*)
+  }
+
   def psiDriftStream(events: DataFrame, valueCol: String,
                      refCounts: Seq[Long], lo: Long, hi: Long,
                      watermark: String = "1 hour",
@@ -624,15 +642,8 @@ object GraftStreaming {
     require(bins >= 2, "refCounts must have >= 2 bins")
     require(hi > lo, "hi must be > lo")
     val refTotal = refCounts.sum
-    val binCol = expr(
-      s"least(greatest((floor($valueCol) - ${lo}L) * $bins DIV ${hi - lo}L, 0L), ${bins - 1}L)")
-    val cnts = Seq.tabulate(bins)(i =>
-      sum(when(col("__bin") === i, 1L).otherwise(0L)).as(s"__c$i"))
-    val byWin = events
-      .withWatermark("event_time", watermark)
-      .select(col("event_time"), binCol.as("__bin"))
-      .groupBy(window(col("event_time"), window_))
-      .agg(cnts.head, cnts.tail: _*)
+    val byWin = binnedWindowCounts(events, valueCol, lo, hi, bins,
+      watermark, window_)
     val n = Seq.tabulate(bins)(i => col(s"__c$i")).reduce(_ + _)
     def term(i: Int): Column = {
       val pref = (refCounts(i) + 1).toDouble / (refTotal + bins).toDouble
@@ -644,6 +655,83 @@ object GraftStreaming {
       .select(col("window"), col("__n").as("n"),
         round(Seq.tabulate(bins)(term).reduce(_ + _).cast("double") / 1e9, 6)
           .as("psi"))
+  }
+
+  /** Streaming one-sample KS drift monitor: per event-time window, the
+    * worst-case gap between the window's empirical CDF and a FIXED
+    * reference CDF over the same binning — [[psiDriftStream]]'s
+    * integer-exact companion (PSI weights every bin; KS catches the
+    * localized shift). Same single stateful aggregate, same bins-longs
+    * state; the fold is `max_i |cum_i·RN − R_i·N|` over the count
+    * columns with reference CUMULATIVE counts `R_i` baked in as long
+    * literals — exact int64 (window-count × reference-count < 2^63),
+    * the only double being the final mirrored division.
+    *
+    * @param refCounts per-bin reference histogram (NOT cumulative)
+    * @return per window: (window, n, ks).
+    */
+  def ksDriftStream(events: DataFrame, valueCol: String,
+                    refCounts: Seq[Long], lo: Long, hi: Long,
+                    watermark: String = "1 hour",
+                    window_ : String = "1 hour"): DataFrame = {
+    val bins = refCounts.size
+    require(bins >= 2, "refCounts must have >= 2 bins")
+    require(hi > lo, "hi must be > lo")
+    val refCum = refCounts.scanLeft(0L)(_ + _).tail
+    val refTotal = refCounts.sum
+    require(refTotal > 0, "reference histogram must be non-empty")
+    val byWin = binnedWindowCounts(events, valueCol, lo, hi, bins,
+      watermark, window_)
+    val n = Seq.tabulate(bins)(i => col(s"__c$i")).reduce(_ + _)
+    def dNum(i: Int): Column = {
+      val cum = (0 to i).map(j => col(s"__c$j")).reduce(_ + _)
+      abs(cum * lit(refTotal) - lit(refCum(i)) * col("__n"))
+    }
+    byWin.withColumn("__n", n)
+      .select(col("window"), col("__n").as("n"),
+        round(
+          Seq.tabulate(bins)(dNum).reduce((a, b) => greatest(a, b))
+            .cast("double") /
+            (col("__n").cast("double") * lit(refTotal.toDouble)), 6)
+          .as("ks"))
+  }
+
+  /** DuckDB oracle twin of [[ksDriftStream]]: same shape as
+    * [[psiDriftOracleSelect]] — reference cumulative counts recomputed
+    * in SQL (exact integers, so no literal-precision concern at all).
+    * Emits WITH bodies through `scored` (win, n, ks). */
+  def ksDriftOracleSelect(valueCol: String, refWhere: String,
+                          lo: Long, hi: Long, bins: Int): String = {
+    def binOf(src: String) =
+      s"least(greatest((CAST(floor($src) AS BIGINT) - $lo) * $bins // ${hi - lo}, 0), ${bins - 1})"
+    val rs = (0 until bins).map(i =>
+      s"CAST(sum(CASE WHEN bin <= $i THEN 1 ELSE 0 END) AS BIGINT) AS r$i")
+      .mkString(",\n       |    ")
+    val cs = (0 until bins).map(i =>
+      s"CAST(sum(CASE WHEN bin = $i THEN 1 ELSE 0 END) AS BIGINT) AS c$i")
+      .mkString(",\n       |    ")
+    val nSum = (0 until bins).map(i => s"c$i").mkString(" + ")
+    val ds = (0 until bins).map { i =>
+      val cum = (0 to i).map(j => s"c$j").mkString(" + ")
+      s"abs(($cum) * rn - r$i * n)"
+    }.mkString(",\n       |      ")
+    s"""rb AS (SELECT ${binOf(valueCol)} AS bin FROM events WHERE $refWhere),
+       |rc AS (SELECT
+       |    $rs,
+       |    CAST(count(*) AS BIGINT) AS rn
+       |  FROM rb),
+       |b AS (SELECT date_trunc('hour', ts) AS win,
+       |    ${binOf(valueCol)} AS bin
+       |  FROM events),
+       |c AS (SELECT win,
+       |    $cs
+       |  FROM b GROUP BY win),
+       |cn AS (SELECT *, $nSum AS n FROM c),
+       |scored AS (SELECT win, CAST(n AS BIGINT) AS n,
+       |    round(CAST(greatest(
+       |      $ds
+       |    ) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(rn AS DOUBLE)), 6) AS ks
+       |  FROM cn CROSS JOIN rc)""".stripMargin
   }
 
   /** DuckDB oracle twin of [[psiDriftStream]] for a 1-hour tumbling

@@ -289,6 +289,33 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.exists(_._3 > 0.0)) // some window drifts
   }
 
+  test("streaming KS drift ≡ batch twin; identical-to-reference windows score near 0") {
+    val lo = 0L; val hi = 500L; val bins = 10
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val refMap = batch // reference = the WHOLE relation: windows are
+      // draws from it, so per-window KS stays small but nonzero
+      .select(expr(s"least(greatest((floor(value) - ${lo}L) * $bins DIV ${hi - lo}L, 0L), ${bins - 1}L)").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val refCounts = Seq.tabulate(bins)(i => refMap.getOrElse(i.toLong, 0L))
+    val stream = GraftStreaming.readEventsGlob(spark, dir, "events.parquet")
+    val ks = GraftStreaming.ksDriftStream(stream, "value", refCounts, lo, hi)
+    val q = GraftStreaming.runToMemory(ks, "ks_stream_out", outputMode = "complete")
+    assert(q.awaitTermination(120000), "stream did not finish")
+    val got = spark.table("ks_stream_out")
+      .select(col("window.start").cast("long"), col("n"), col("ks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val twin = GraftStreaming.ksDriftStream(
+        GraftStreaming.normalizeTs(batch)
+          .withColumn("event_time", GraftStreaming.eventTime(col("ts"))),
+        "value", refCounts, lo, hi)
+      .select(col("window.start").cast("long"), col("n"), col("ks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == twin, s"stream=${got.size} batch=${twin.size}")
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, _, k) => k >= 0.0 && k <= 1.0 })
+  }
+
   test("streaming EWMA: single batch ≡ sequential fold; state carries across batches") {
     import spark.implicits._
     val stream = GraftStreaming.readEventsGlob(spark, dir, "events.parquet")
