@@ -2273,7 +2273,8 @@ object SparkEntry {
       val edges = ev.select(UrlOps.hostOf(u).as("src"),
         UrlOps.syntheticLinkHost(col("event_id"), col("user_id")).as("dst"),
         lit(1L).as("w"))
-      GraphOps.pageRankNano(edges, "src", "dst", col("w"), iters = 3)
+      GraphOps.pageRankNano(edges, "src", "dst", col("w"), iters = 3,
+          materializeEvery = 4)
         .select(col("node").as("host"), col("rank_nano"))
         .orderBy(desc("rank_nano"), col("host"))
     }),
@@ -2291,7 +2292,7 @@ object SparkEntry {
       val seeds = edges.select(col("src").as("node"))
         .where(col("node").like("www.news%")).distinct()
       GraphOps.pageRankNano(edges, "src", "dst", col("w"), iters = 3,
-          seeds = Some(seeds))
+          seeds = Some(seeds), materializeEvery = 4)
         .select(col("node").as("host"), col("rank_nano"))
         .orderBy(desc("rank_nano"), col("host"))
     }),
@@ -2322,7 +2323,8 @@ object SparkEntry {
       val edges = ev.select(UrlOps.hostOf(u).as("src"),
         UrlOps.syntheticLinkHost(col("event_id"), col("user_id")).as("dst"),
         lit(1L).as("w"))
-      GraphOps.hitsNano(edges, "src", "dst", col("w"), iters = 3)
+      GraphOps.hitsNano(edges, "src", "dst", col("w"), iters = 3,
+          materializeEvery = 4)
         .select(col("node").as("host"), col("hub_nano"), col("auth_nano"))
         .orderBy(desc("auth_nano"), col("host"))
     }),
@@ -2338,7 +2340,8 @@ object SparkEntry {
       val edges = ev.select(UrlOps.hostOf(u).as("src"),
         UrlOps.syntheticLinkHost(col("event_id"), col("user_id")).as("dst"),
         lit(1L).as("w"))
-      GraphOps.labelPropagation(edges, "src", "dst", col("w"), iters = 3)
+      GraphOps.labelPropagation(edges, "src", "dst", col("w"), iters = 3,
+          materializeEvery = 4)
         .select(col("node").as("host"), col("community"))
         .orderBy("community", "host")
     }),
@@ -2375,7 +2378,8 @@ object SparkEntry {
           table(s, dir, "documents").select("text"), "text")
         .select(col("w1").as("src"), col("w2").as("dst"),
           col("pair_cnt").as("w"))
-      GraphOps.pageRankNano(big, "src", "dst", col("w"), iters = 3)
+      GraphOps.pageRankNano(big, "src", "dst", col("w"), iters = 3,
+          materializeEvery = 4)
         .select(col("node").as("token"), col("rank_nano"))
         .orderBy(desc("rank_nano"), col("token"))
     }),

@@ -71,8 +71,10 @@ object GraphOps {
                    weightCol: Column, iters: Int,
                    dampNum: Long = 85L, dampDen: Long = 100L,
                    scratchDir: Option[String] = None,
-                   seeds: Option[DataFrame] = None): DataFrame = {
+                   seeds: Option[DataFrame] = None,
+                   materializeEvery: Int = 1): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    require(materializeEvery >= 1, "materializeEvery must be >= 1")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       s"damping $dampNum/$dampDen must be a fraction in [0, 1]")
     val spark = edges.sparkSession
@@ -128,6 +130,14 @@ object GraphOps {
         when(col("tele") > 0, lit(Scale)).otherwise(lit(0L)).as("r"))
       case None => nodes.select(col("node"), lit(Scale).as("r"))
     }
+    // materializeEvery > 1 lets short runs keep mid-loop iterations in
+    // lineage (each rank relation has ONE consumer — the next round's
+    // join — so nothing recomputes); the last round always snapshots so
+    // the returned relation reads cheap. A 1e9-node/50-iteration run
+    // wants the default 1: bounded lineage, bounded replay on task
+    // retry. Drops only ever remove a snapshot that a NEWER snapshot
+    // has replaced — never one the live lineage still reads.
+    var lastMat: Option[String] = None
     var i = 0
     while (i < iters) {
       val inflow = ew
@@ -139,9 +149,13 @@ object GraphOps {
         .select(col("node"),
           (col("tele") +
             expr(s"$dampNum * coalesce(inflow, 0L) DIV $dampDen")).as("r"))
-      val m = materialize(next, s"iter$i")
-      if (i > 0) drop(s"iter${i - 1}")
-      ranks = m
+      ranks =
+        if ((i + 1) % materializeEvery == 0 || i == iters - 1) {
+          val m = materialize(next, s"iter$i")
+          lastMat.foreach(drop)
+          lastMat = Some(s"iter$i")
+          m
+        } else next
       i += 1
     }
     ranks.select(col("node"), col("r").as("rank_nano"))
@@ -237,8 +251,10 @@ object GraphOps {
     */
   def hitsNano(edges: DataFrame, srcCol: String, dstCol: String,
                weightCol: Column, iters: Int,
-               scratchDir: Option[String] = None): DataFrame = {
+               scratchDir: Option[String] = None,
+               materializeEvery: Int = 1): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    require(materializeEvery >= 1, "materializeEvery must be >= 1")
     val spark = edges.sparkSession
     Dedup.requireClusterSafeScratch(spark.sparkContext.isLocal, scratchDir)
     val tmp = scratchDir.getOrElse(
@@ -269,20 +285,31 @@ object GraphOps {
         .select(col("node"),
           expr(s"raw DIV greatest(__tot DIV $Scale, 1L)").as(out))
     }
+    // mid-loop auth has ONE consumer (the hub update) so it only needs
+    // a snapshot on the LAST round, where the final dense join consumes
+    // it a second time; hub snapshots follow materializeEvery like
+    // pageRankNano (last round always snapshots)
     var hub = nodes.select(col("node"), lit(Scale).as("h"))
     var auth: DataFrame = null
+    var lastHubMat: Option[String] = None
     var i = 0
     while (i < iters) {
       val rawA = ew.join(hub.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("h * w").as("c"))
         .groupBy("node").agg(sum("c").as("raw"))
-      auth = materialize(normalize(rawA, "a"), s"auth$i")
+      val authDf = normalize(rawA, "a")
+      auth = if (i == iters - 1) materialize(authDf, s"auth$i") else authDf
       val rawH = ew.join(auth.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), expr("a * w").as("c"))
         .groupBy("node").agg(sum("c").as("raw"))
-      val m = materialize(normalize(rawH, "h"), s"hub$i")
-      if (i > 0) { drop(s"hub${i - 1}"); drop(s"auth${i - 1}") }
-      hub = m
+      val hubDf = normalize(rawH, "h")
+      hub =
+        if ((i + 1) % materializeEvery == 0 || i == iters - 1) {
+          val m = materialize(hubDf, s"hub$i")
+          lastHubMat.foreach(drop)
+          lastHubMat = Some(s"hub$i")
+          m
+        } else hubDf
       i += 1
     }
     nodes
@@ -345,8 +372,10 @@ object GraphOps {
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        weightCol: Column, iters: Int,
-                       scratchDir: Option[String] = None): DataFrame = {
+                       scratchDir: Option[String] = None,
+                       materializeEvery: Int = 1): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    require(materializeEvery >= 1, "materializeEvery must be >= 1")
     val spark = edges.sparkSession
     Dedup.requireClusterSafeScratch(spark.sparkContext.isLocal, scratchDir)
     val tmp = scratchDir.getOrElse(
@@ -370,6 +399,7 @@ object GraphOps {
         .groupBy("node", "nbr").agg(sum("w").as("w")), "und")
     var labels = und.select(col("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
+    var lastMat: Option[String] = None
     var i = 0
     while (i < iters) {
       val votes = und
@@ -380,9 +410,13 @@ object GraphOps {
         .withColumn("__rn", row_number().over(win))
         .where(col("__rn") === 1)
         .select(col("node"), col("lbl"))
-      val m = materialize(next, s"lbl$i")
-      if (i > 0) drop(s"lbl${i - 1}")
-      labels = m
+      labels =
+        if ((i + 1) % materializeEvery == 0 || i == iters - 1) {
+          val m = materialize(next, s"lbl$i")
+          lastMat.foreach(drop)
+          lastMat = Some(s"lbl$i")
+          m
+        } else next
       i += 1
     }
     labels.select(col("node"), col("lbl").as("community"))
