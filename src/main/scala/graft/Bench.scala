@@ -84,13 +84,16 @@ object Bench {
     // any head-truncation of the captured line.
     val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_failed":${failedNames.size},"failed":$failed,"peak_mb":$peak,"gc_sec":$gc,"queries":$qs,"value":$total}"""
     // Belt and braces: persist the complete JSON where the judge can
-    // read it even if the driver's stdout capture mangles the line.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/bench_last.json"),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write bench_last.json: ${e.getMessage}")
-    }
+    // read it even if the driver's stdout capture mangles the line —
+    // but ONLY for the full sweep: a SPARK_GRAFT_ONLY iteration run
+    // must not clobber the committed full-surface artifact.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/bench_last.json"),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write bench_last.json: ${e.getMessage}")
+      }
     println(json)
     spark.stop()
   }
