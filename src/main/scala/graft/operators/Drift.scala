@@ -28,7 +28,9 @@ object Drift {
     * Binning is exact integer math — `(v - lo)·bins DIV (hi - lo)`
     * clamped into [0, bins) so out-of-range values land in the edge
     * bins (a shifted tail still registers as drift, never as an error).
-    * Keep `(hi - lo)·bins` inside int64. Each per-bin term is ONE double
+    * Keep `(hi - lo)·bins` AND `|v - lo|·bins` inside int64 (a value
+    * near ±2^63 would wrap before the clamp and land in the wrong edge
+    * bin; pre-clip such columns). Each per-bin term is ONE double
     * expression over exact long counts, floor-quantized to nano-units;
     * the total is an exact integer sum of those — bit-reproducible
     * across engines and partitionings (the [[TextAnalysis.tokenEntropy]]

@@ -41,7 +41,11 @@ object PlanDigest {
     // plan (wedge join must stay single-consumer — the 3× corner-union
     // regression this gate now prevents); pmi/psi/paths3 pin the
     // count-aggregate shapes (iterative kcore excluded like the rest)
-    "q_triangles", "q_pmi", "q_psi", "q_paths3")
+    "q_triangles", "q_pmi", "q_psi", "q_paths3",
+    // session-3b: the rest of the current bench top set + the capped
+    // co-visitation self-join and the seasonal broadcast join-back
+    "q_temperature_mix", "q_text_stats", "q_strip_markup", "q_covisit",
+    "q_seasonal", "q_ks")
 
   val SnapshotPath = "tools/plan_digests.txt"
   val DefaultSfDir = "/root/testdata/sf0.001"

@@ -448,6 +448,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bins.toSeq == Seq((1L, 0L), (1L, 2L)))
   }
 
+  test("drift binning: every in-range-or-clamped value lands in exactly one bin") {
+    import graft.operators.Drift
+    // pseudo-random longs spanning far outside [lo, hi) — counts must
+    // total the row count (nothing dropped, nothing double-counted),
+    // matching a driver-side replica of the binning
+    val vals = (0 until 500).map(i => ((i * 2654435761L) % 4000L) - 1000L)
+    val (lo, hi, bins) = (0L, 2000L, 8)
+    def bruteBin(v: Long): Long = {
+      val q = (v - lo) * bins / (hi - lo) // JVM / truncates like Spark DIV
+      math.min(math.max(q, 0L), bins - 1L)
+    }
+    val brute = vals.groupBy(bruteBin).view.mapValues(_.size.toLong).toMap
+    val got = Drift.psiFixedBins(vals.toDF("v"), vals.toDF("v"), "v", lo, hi, bins)
+      .select("bin", "c_a").as[(Long, Long)].collect().toMap
+    assert(got.values.sum == vals.size)
+    assert((0L until bins).forall(b => got(b) == brute.getOrElse(b, 0L)))
+  }
+
   test("ksFixedBins: identical snapshots score 0; full separation scores 1") {
     import graft.operators.Drift
     val a = Seq(1L, 2L, 7L).toDF("v")
