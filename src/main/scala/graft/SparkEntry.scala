@@ -1026,6 +1026,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // data-quality gate: declarative constraint validation (Deequ-shaped)
+    // — all scalar rules fold into ONE scan (conditional sums inside a
+    // single aggregate + stack); uniqueness costs one value-keyed groupBy
+    "q_validate" -> ((s, dir) => {
+      import graft.operators.Validate._
+      check(table(s, dir, "lineitem"), Seq(
+        NotNull("l_shipdate"),
+        InRange("l_quantity", 1, 49),
+        InSet("l_returnflag", Seq("A", "N")),
+        MatchesRegex("l_linestatus", "[OF]"),
+        Unique("l_orderkey")))
+        .orderBy("rule", "col_name")
+    }),
+
+    // language-ID eval: confusion matrix of the n-gram classifier
+    // against the labeled lang column — the calibration artifact a
+    // pipeline reviews before trusting the cheap classifier as a
+    // filter; one map-side-combined |langs|² aggregate
+    "q_lang_confusion" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      docs.select(col("lang"),
+          TextAnalysis.langId(col("text")).as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    }),
+
     // exact dedup on normalized-text fingerprint (hash groupBy)
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactText(table(s, dir, "documents"), "text", "doc_id")
@@ -3342,6 +3368,22 @@ object SparkEntry {
          | md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
          | ${graft.operators.LangId.oracleSqlExpr("text")} AS lang_pred
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_validate" -> {
+      import graft.operators.Validate.{NotNull, InRange, InSet, MatchesRegex, Unique}
+      s"""WITH t AS (SELECT * FROM lineitem)
+         |SELECT * FROM (
+         |${graft.operators.Validate.oracleSql(Seq(
+             NotNull("l_shipdate"),
+             InRange("l_quantity", 1, 49),
+             InSet("l_returnflag", Seq("A", "N")),
+             MatchesRegex("l_linestatus", "[OF]"),
+             Unique("l_orderkey")))}
+         |) ORDER BY rule, col_name""".stripMargin
+    },
+    "q_lang_confusion" ->
+      s"""SELECT lang, ${graft.operators.LangId.oracleSqlExpr("text")} AS pred,
+         | count(*) AS n
+         |FROM documents GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         | min(doc_id) AS canonical_id, count(*) AS n_dupes

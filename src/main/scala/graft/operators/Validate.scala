@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint checking (the Deequ-shaped
+  * capability): a rule list compiles into ONE pass over the relation,
+  * returning a per-rule violation report — the gate a 100 TB pipeline
+  * runs between "snapshot landed" and "snapshot admitted to training".
+  *
+  * Scale shape: every scalar rule (null / range / set / regex) becomes a
+  * conditional-sum column inside a single global aggregate — one scan,
+  * map-side combined, O(|rules|) bytes on the wire. Uniqueness rules
+  * are the exception (they are aggregations BY the checked column, not
+  * over rows) and cost one value-keyed groupBy each — still one shuffle
+  * whose key cardinality is the column's, never a self-join.
+  */
+object Validate {
+
+  /** One constraint over one column. `name` is stable output text. */
+  sealed trait Rule { def name: String; def column: String }
+  /** Value must not be NULL. */
+  final case class NotNull(column: String) extends Rule {
+    val name = "not_null"
+  }
+  /** Value must be in [lo, hi] (NULL counts as a violation). */
+  final case class InRange(column: String, lo: Double, hi: Double) extends Rule {
+    val name = "in_range"
+  }
+  /** Value must be one of `values` (NULL counts as a violation). */
+  final case class InSet(column: String, values: Seq[String]) extends Rule {
+    val name = "in_set"
+  }
+  /** Value must fully match `regex` (NULL counts as a violation). */
+  final case class MatchesRegex(column: String, regex: String) extends Rule {
+    val name = "matches_regex"
+  }
+  /** Every value must occur exactly once; a violation row is any row
+    * whose value occurs more than once (so `violations` counts the rows
+    * inside duplicate groups, not the groups). */
+  final case class Unique(column: String) extends Rule {
+    val name = "unique"
+  }
+
+  private def violatedCond(df: DataFrame, r: Rule): Column = r match {
+    case NotNull(c)       => col(c).isNull
+    case InRange(c, lo, hi) =>
+      col(c).isNull || col(c).cast("double") < lo || col(c).cast("double") > hi
+    case InSet(c, vs)     => col(c).isNull || !col(c).isin(vs: _*)
+    case MatchesRegex(c, re) =>
+      col(c).isNull || !col(c).rlike("^(?:" + re + ")$")
+    case _: Unique => throw new IllegalArgumentException(
+      "unique rules are aggregations, not row predicates")
+  }
+
+  /** Run all rules; returns (rule, col_name, violations, n_rows) in the
+    * caller's rule order (ORDER BY the first two columns for a
+    * deterministic relation). */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    val scalar = rules.filter(!_.isInstanceOf[Unique])
+    val uniques = rules.collect { case u: Unique => u }
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (scalar.nonEmpty) {
+      val aggs = scalar.zipWithIndex.map { case (r, i) =>
+        sum(when(violatedCond(df, r), 1L).otherwise(0L)).as(s"__v$i")
+      } :+ count(lit(1)).as("__n")
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = scalar.zipWithIndex.map { case (r, i) =>
+        s"'${r.name}', '${r.column}', __v$i"
+      }.mkString(", ")
+      parts += one.select(
+        expr(s"stack(${scalar.size}, $stackArgs) AS (rule, col_name, violations)"),
+        col("__n").as("n_rows"))
+    }
+    uniques.foreach { u =>
+      val grouped = df.groupBy(col(u.column)).agg(count(lit(1)).as("__c"))
+      parts += grouped.agg(
+        coalesce(sum(when(col("__c") > 1, col("__c")).otherwise(0L)), lit(0L))
+          .as("violations"),
+        coalesce(sum("__c"), lit(0L)).as("n_rows"))
+        .select(lit(u.name).as("rule"), lit(u.column).as("col_name"),
+          col("violations"), col("n_rows"))
+    }
+    parts.reduce(_ unionAll _)
+  }
+
+  /** DuckDB oracle twin of [[check]] over a relation named `t`: one
+    * UNION ALL branch per rule (the oracle may rescan; the Spark side
+    * must not). Caller appends ORDER BY. */
+  def oracleSql(rules: Seq[Rule]): String = rules.map {
+    case NotNull(c) =>
+      s"""SELECT 'not_null' AS rule, '$c' AS col_name,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+         |  CAST(count(*) AS BIGINT) AS n_rows FROM t""".stripMargin
+    case InRange(c, lo, hi) =>
+      s"""SELECT 'in_range', '$c',
+         |  CAST(sum(CASE WHEN $c IS NULL OR CAST($c AS DOUBLE) < $lo
+         |    OR CAST($c AS DOUBLE) > $hi THEN 1 ELSE 0 END) AS BIGINT),
+         |  CAST(count(*) AS BIGINT) FROM t""".stripMargin
+    case InSet(c, vs) =>
+      val list = vs.map(v => s"'$v'").mkString(", ")
+      s"""SELECT 'in_set', '$c',
+         |  CAST(sum(CASE WHEN $c IS NULL OR $c NOT IN ($list)
+         |    THEN 1 ELSE 0 END) AS BIGINT),
+         |  CAST(count(*) AS BIGINT) FROM t""".stripMargin
+    case MatchesRegex(c, re) =>
+      s"""SELECT 'matches_regex', '$c',
+         |  CAST(sum(CASE WHEN $c IS NULL
+         |    OR NOT regexp_full_match($c, '(?:$re)')
+         |    THEN 1 ELSE 0 END) AS BIGINT),
+         |  CAST(count(*) AS BIGINT) FROM t""".stripMargin
+    case Unique(c) =>
+      s"""SELECT 'unique', '$c',
+         |  CAST(COALESCE(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT),
+         |  CAST(COALESCE(sum(c), 0) AS BIGINT)
+         |FROM (SELECT count(*) AS c FROM t GROUP BY $c)""".stripMargin
+  }.mkString("\nUNION ALL\n")
+}

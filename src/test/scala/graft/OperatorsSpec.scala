@@ -448,6 +448,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bins.toSeq == Seq((1L, 0L), (1L, 2L)))
   }
 
+  test("Validate.check: hand-counted violations per rule class") {
+    import graft.operators.Validate._
+    val df = Seq(
+      (1L, Some(5.0), "A", "AIR"),
+      (1L, Some(60.0), "R", "air"),   // range + set violations; dup key
+      (2L, None, "N", "RAIL"),        // null range violation
+      (3L, Some(10.0), "A", "REG AIR")
+    ).toDF("k", "q", "flag", "mode")
+    val got = check(df, Seq(
+      NotNull("q"), InRange("q", 1, 50), InSet("flag", Seq("A", "N")),
+      MatchesRegex("mode", "[A-Z ]+"), Unique("k")))
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("not_null", "q")) == ((1L, 4L)))
+    assert(got(("in_range", "q")) == ((2L, 4L)))       // 60.0 and NULL
+    assert(got(("in_set", "flag")) == ((1L, 4L)))      // R
+    assert(got(("matches_regex", "mode")) == ((1L, 4L))) // "air"
+    assert(got(("unique", "k")) == ((2L, 4L)))         // both k=1 rows
+  }
+
   test("drift binning: every in-range-or-clamped value lands in exactly one bin") {
     import graft.operators.Drift
     // pseudo-random longs spanning far outside [lo, hi) — counts must
