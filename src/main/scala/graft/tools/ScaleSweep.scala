@@ -414,6 +414,15 @@ object ScaleSweep {
       evAt(k).select(col("user_id"),
         (col("event_id") % 997).cast("string").as("item")),
       "user_id", "item", maxPerKey = 10))
+    // validate: all scalar rules in ONE scan (conditional sums inside a
+    // single aggregate); the unique rule adds one user_id-keyed groupBy
+    sweep("validate")(k => {
+      import graft.operators.Validate._
+      check(evAt(k), Seq(
+        NotNull("value"), InRange("value", 0, 500),
+        InSet("event_type", Seq("click", "view", "purchase")),
+        Unique("event_id")))
+    })
     sweep("textrank")(k => {
       val big = TextAnalysis.bigramCounts(docsAt(k), "text")
         .select(col("w1").as("src"), col("w2").as("dst"),
