@@ -87,13 +87,16 @@ object Bench {
     // read it even if the driver's stdout capture mangles the line —
     // but ONLY for the full sweep: a SPARK_GRAFT_ONLY iteration run
     // must not clobber the committed full-surface artifact.
-    if (only.isEmpty)
+    if (only.isEmpty) {
+      // working-directory-relative (overridable) — a hardcoded absolute
+      // path breaks the artifact on any other checkout location
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
       try java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/bench_last.json"),
-        (json + "\n").getBytes("UTF-8"))
+        java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8"))
       catch { case e: Throwable =>
-        System.err.println(s"[bench] could not write bench_last.json: ${e.getMessage}")
+        System.err.println(s"[bench] could not write $out: ${e.getMessage}")
       }
+    }
     println(json)
     spark.stop()
   }

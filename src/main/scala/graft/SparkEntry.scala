@@ -4567,7 +4567,8 @@ object SparkEntry {
         |GROUP BY src, dst ORDER BY src, dst""".stripMargin,
     "q_seasonal" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) AS tsu, value FROM events),
-        |b AS (SELECT event_id, (tsu // 3600000000) % 24 AS phase, value FROM e),
+        |b AS (SELECT event_id,
+        |        ((tsu // 3600000000) % 24 + 24) % 24 AS phase, value FROM e),
         |p AS (SELECT phase, count(*) AS n,
         |        sum(CAST(value AS DECIMAL(18,6))) AS s FROM b GROUP BY phase),
         |j AS (SELECT b.event_id, b.phase,

@@ -92,7 +92,11 @@ case class CountMinAgg(child: Expression, width: Int, depth: Int,
     buffer
   }
 
-  override def eval(buffer: CMSketch): Any = new GenericArrayData(buffer.cells)
+  // self-describing payload: [width, depth] header ahead of the cells —
+  // width·depth alone cannot distinguish 2048×4 from 4096×2, and a
+  // transposed probe would silently read garbage estimates
+  override def eval(buffer: CMSketch): Any =
+    new GenericArrayData(Array(width.toLong, depth.toLong) ++ buffer.cells)
 
   override def serialize(buffer: CMSketch): Array[Byte] = {
     val bb = ByteBuffer.allocate(8 * buffer.cells.length)
@@ -139,13 +143,19 @@ case class CountMinEstimate(left: Expression, right: Expression,
 
   override protected def nullSafeEval(sketch: Any, item: Any): Any = {
     val arr = sketch.asInstanceOf[ArrayData]
-    require(arr.numElements() == width * depth,
-      s"sketch has ${arr.numElements()} cells, expected $width x $depth")
+    require(arr.numElements() == 2 + width * depth,
+      s"sketch has ${arr.numElements()} elements, expected 2 + $width x $depth")
+    // the header makes dimension mismatches a hard error instead of
+    // silent garbage (width*depth alone cannot tell 2048x4 from 4096x2)
+    require(arr.getLong(0) == width && arr.getLong(1) == depth,
+      s"sketch was built as ${arr.getLong(0)} x ${arr.getLong(1)}, " +
+        s"probed as $width x $depth")
     val key = item.asInstanceOf[UTF8String].toString
     var min = Long.MaxValue
     var d = 0
     while (d < depth) {
-      val idx = d * width + java.lang.Math.floorMod(MurmurHash3.stringHash(key, d), width)
+      val idx = 2 + d * width +
+        java.lang.Math.floorMod(MurmurHash3.stringHash(key, d), width)
       val c = arr.getLong(idx)
       if (c < min) min = c
       d += 1

@@ -479,32 +479,45 @@ object Dedup {
 
   /** Solve the banded-LSH S-curve for (bands, rowsPerBand): the
     * CHEAPEST signature (fewest total hashes) whose candidate recall at
-    * Jaccard = `threshold` is ≥ `minRecall`, tie-broken toward more
-    * rows per band (a steeper curve — same guaranteed recall above the
-    * threshold, strictly less false-candidate mass below it, which at
-    * 100 TB is the difference between a bounded verify stage and a
-    * flood). Exhaustive over r ∈ [1, 32], b·r ≤ `maxHashes` — ~10⁴
-    * closed-form evaluations, trivially driver-side.
+    * Jaccard = `threshold` is ≥ `minRecall` AND whose collision
+    * probability at the NOISE similarity `threshold/2` is ≤
+    * `maxNoiseCollision`, tie-broken toward more rows per band (a
+    * steeper curve). The noise constraint is load-bearing, not
+    * cosmetic: recall alone is cheapest at degenerate `rowsPerBand = 1`
+    * plans ("share ONE MinHash value" buckets), which on a real corpus
+    * are mega-buckets that blow past `maxBucketSize`, get dropped, and
+    * silently void the advertised recall — a plan must ALSO keep the
+    * sub-threshold candidate flood bounded for its recall number to
+    * mean anything at scale. Exhaustive over r ∈ [1, 32],
+    * b·r ≤ `maxHashes` — ~10⁴ closed-form evaluations, driver-side.
     *
     * Callers of [[minhashLshPairs]] / [[nearDuplicates]] should derive
     * (numHashes, bands) from here rather than hand-picking: pass
     * `plan.numHashes` and `plan.bands`. */
   def tuneLsh(threshold: Double, minRecall: Double = 0.95,
-              maxHashes: Int = 512): LshPlan = {
+              maxHashes: Int = 512,
+              maxNoiseCollision: Double = 0.2): LshPlan = {
     require(threshold > 0 && threshold < 1,
       s"threshold must be in (0, 1), got $threshold")
     require(minRecall > 0 && minRecall < 1,
       s"minRecall must be in (0, 1), got $minRecall")
     require(maxHashes >= 1, s"maxHashes must be >= 1, got $maxHashes")
+    require(maxNoiseCollision > 0 && maxNoiseCollision <= 1,
+      s"maxNoiseCollision must be in (0, 1], got $maxNoiseCollision")
+    val noiseSim = threshold / 2
     val plans = for {
       r <- 1 to math.min(32, maxHashes)
       b <- 1 to maxHashes / r
       p = 1.0 - math.pow(1.0 - math.pow(threshold, r), b)
       if p >= minRecall
+      pn = 1.0 - math.pow(1.0 - math.pow(noiseSim, r), b)
+      if pn <= maxNoiseCollision
     } yield LshPlan(b, r, p)
     require(plans.nonEmpty,
       s"no (bands, rows) plan within $maxHashes hashes reaches recall " +
-        s"$minRecall at threshold $threshold — raise maxHashes or lower minRecall")
+        s"$minRecall at threshold $threshold with noise collision ≤ " +
+        s"$maxNoiseCollision at $noiseSim — raise maxHashes, lower " +
+        s"minRecall, or relax maxNoiseCollision")
     plans.minBy(pl => (pl.numHashes, -pl.rowsPerBand))
   }
 
@@ -778,18 +791,22 @@ object Dedup {
                             evalSet: DataFrame, evalIdCol: String,
                             evalTextCol: String,
                             n: Int = 8, minHits: Long = 1L,
-                            maxBroadcastShingles: Long = 10000000L): DataFrame = {
+                            maxBroadcastShingles: Long = 10000000L,
+                            evalShingleCountHint: Option[Long] = None): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minHits >= 1, s"minHits must be >= 1, got $minHits")
     val t = train.select(col(idCol).as("train_id"),
       explode(shingles(col(textCol), n)).as("__sh"))
     val e = evalSet.select(col(evalIdCol).as("eval_id"),
       explode(shingles(col(evalTextCol), n)).as("__sh"))
-    // one cheap aggregate over the benchmark-sized side decides the
-    // join strategy; the train corpus is never touched to decide
-    val evalShingles = evalSet
+    // join-strategy decision: a caller-provided hint keeps plan
+    // construction fully lazy (explain()/plan-digesting this DataFrame
+    // runs no job); without one, ONE cheap aggregate over the
+    // benchmark-sized side runs here, at build time — documented
+    // eagerness, and the train corpus is never touched to decide
+    val evalShingles = evalShingleCountHint.getOrElse(evalSet
       .select(size(shingles(col(evalTextCol), n)).cast("long").as("__n"))
-      .agg(coalesce(sum(col("__n")), lit(0L))).head().getLong(0)
+      .agg(coalesce(sum(col("__n")), lit(0L))).head().getLong(0))
     val joined =
       if (evalShingles <= maxBroadcastShingles) t.join(broadcast(e), Seq("__sh"))
       else t.join(e, Seq("__sh"))

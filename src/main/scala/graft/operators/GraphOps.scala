@@ -29,6 +29,26 @@ object GraphOps {
   /** Nano-unit scale: rank 1.0 ≡ 1e9. */
   val Scale: Long = 1000000000L
 
+  /** Managed scratch-parquet state for the iterative operators: one
+    * place for the lineage-cut discipline (snapshot, read back, delete
+    * superseded) and the non-local-master scratch guard. */
+  private final class Scratch(spark: org.apache.spark.sql.SparkSession,
+                              prefix: String, scratchDir: Option[String]) {
+    Dedup.requireClusterSafeScratch(spark.sparkContext.isLocal, scratchDir)
+    private val tmp = scratchDir.getOrElse(
+      org.apache.spark.sql.GraftSqlBridge.managedTempDir(prefix).getAbsolutePath)
+    private val hadoopConf = spark.sessionState.newHadoopConf()
+    def materialize(df: DataFrame, name: String): DataFrame = {
+      val p = tmp + "/" + name
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    def drop(name: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(tmp + "/" + name)
+      p.getFileSystem(hadoopConf).delete(p, true)
+    }
+  }
+
   /** Weighted PageRank in exact integer nano-units.
     *
     * Semantics (per iteration, all integer ops):
@@ -78,19 +98,8 @@ object GraphOps {
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       s"damping $dampNum/$dampDen must be a fraction in [0, 1]")
     val spark = edges.sparkSession
-    Dedup.requireClusterSafeScratch(spark.sparkContext.isLocal, scratchDir)
-    val tmp = scratchDir.getOrElse(
-      org.apache.spark.sql.GraftSqlBridge.managedTempDir("graft-pr").getAbsolutePath)
-    val hadoopConf = spark.sessionState.newHadoopConf()
-    def materialize(df: DataFrame, name: String): DataFrame = {
-      val p = tmp + "/" + name
-      df.write.mode("overwrite").parquet(p)
-      spark.read.parquet(p)
-    }
-    def drop(name: String): Unit = {
-      val p = new org.apache.hadoop.fs.Path(tmp + "/" + name)
-      p.getFileSystem(hadoopConf).delete(p, true)
-    }
+    val scratch = new Scratch(spark, "graft-pr", scratchDir)
+    import scratch.{materialize, drop}
 
     // one pass: collapse parallel edges, drop self-loops, attach total
     // out-weight — the loop input, so it is materialized once instead of
@@ -113,6 +122,9 @@ object GraphOps {
     // no epsilon tail). Seeds not present in the graph are ignored (they
     // have no edges to flow through). The node spine gains one
     // vocabulary-sized left join; everything else is unchanged.
+    // the spine carries an EXPLICIT seed flag: inferring seedness from
+    // `tele > 0` breaks at dampNum == dampDen (teleport is legitimately
+    // 0 and every rank would silently initialize to 0)
     val spine = seeds match {
       case Some(s0) =>
         val s = s0.select(col(s0.columns.head).as("node"), lit(1).as("__seed"))
@@ -120,14 +132,17 @@ object GraphOps {
         materialize(nodes.join(s, Seq("node"), "left")
           .select(col("node"),
             when(col("__seed").isNotNull, lit(teleport)).otherwise(lit(0L))
-              .as("tele")), "spine")
-      case None => nodes.select(col("node"), lit(teleport).as("tele"))
+              .as("tele"),
+            when(col("__seed").isNotNull, lit(1)).otherwise(lit(0))
+              .as("is_seed")), "spine")
+      case None => nodes.select(col("node"), lit(teleport).as("tele"),
+        lit(1).as("is_seed"))
     }
     // seed rank = the node's teleport-only fixed point at iteration 0:
     // Scale for uniform PageRank, Scale·[seed] for TrustRank
     var ranks = seeds match {
       case Some(_) => spine.select(col("node"),
-        when(col("tele") > 0, lit(Scale)).otherwise(lit(0L)).as("r"))
+        when(col("is_seed") === 1, lit(Scale)).otherwise(lit(0L)).as("r"))
       case None => nodes.select(col("node"), lit(Scale).as("r"))
     }
     // materializeEvery > 1 lets short runs keep mid-loop iterations in
@@ -176,11 +191,12 @@ object GraphOps {
       if (seeded)
         s"""spine AS (SELECT n.node,
            |    CASE WHEN s.node IS NOT NULL THEN CAST($teleport AS BIGINT)
-           |      ELSE CAST(0 AS BIGINT) END AS tele
+           |      ELSE CAST(0 AS BIGINT) END AS tele,
+           |    CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed
            |  FROM n LEFT JOIN (SELECT DISTINCT node FROM seeds) s
            |  ON n.node = s.node),
            |r0 AS (SELECT node,
-           |    CASE WHEN tele > 0 THEN CAST($Scale AS BIGINT)
+           |    CASE WHEN is_seed = 1 THEN CAST($Scale AS BIGINT)
            |      ELSE CAST(0 AS BIGINT) END AS r FROM spine)""".stripMargin
       else
         s"""spine AS (SELECT node, CAST($teleport AS BIGINT) AS tele FROM n),
@@ -256,19 +272,8 @@ object GraphOps {
     require(iters >= 1, "iters must be >= 1")
     require(materializeEvery >= 1, "materializeEvery must be >= 1")
     val spark = edges.sparkSession
-    Dedup.requireClusterSafeScratch(spark.sparkContext.isLocal, scratchDir)
-    val tmp = scratchDir.getOrElse(
-      org.apache.spark.sql.GraftSqlBridge.managedTempDir("graft-hits").getAbsolutePath)
-    val hadoopConf = spark.sessionState.newHadoopConf()
-    def materialize(df: DataFrame, name: String): DataFrame = {
-      val p = tmp + "/" + name
-      df.write.mode("overwrite").parquet(p)
-      spark.read.parquet(p)
-    }
-    def drop(name: String): Unit = {
-      val p = new org.apache.hadoop.fs.Path(tmp + "/" + name)
-      p.getFileSystem(hadoopConf).delete(p, true)
-    }
+    val scratch = new Scratch(spark, "graft-hits", scratchDir)
+    import scratch.{materialize, drop}
     val ew = materialize(edges
       .where(col(srcCol) =!= col(dstCol))
       .groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -377,19 +382,8 @@ object GraphOps {
     require(iters >= 1, "iters must be >= 1")
     require(materializeEvery >= 1, "materializeEvery must be >= 1")
     val spark = edges.sparkSession
-    Dedup.requireClusterSafeScratch(spark.sparkContext.isLocal, scratchDir)
-    val tmp = scratchDir.getOrElse(
-      org.apache.spark.sql.GraftSqlBridge.managedTempDir("graft-lpa").getAbsolutePath)
-    val hadoopConf = spark.sessionState.newHadoopConf()
-    def materialize(df: DataFrame, name: String): DataFrame = {
-      val p = tmp + "/" + name
-      df.write.mode("overwrite").parquet(p)
-      spark.read.parquet(p)
-    }
-    def drop(name: String): Unit = {
-      val p = new org.apache.hadoop.fs.Path(tmp + "/" + name)
-      p.getFileSystem(hadoopConf).delete(p, true)
-    }
+    val scratch = new Scratch(spark, "graft-lpa", scratchDir)
+    import scratch.{materialize, drop}
     import org.apache.spark.sql.expressions.Window
     val dir0 = edges.where(col(srcCol) =!= col(dstCol))
       .select(col(srcCol).as("node"), col(dstCol).as("nbr"),
@@ -533,19 +527,8 @@ object GraphOps {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 1, "rounds must be >= 1")
     val spark = edges.sparkSession
-    Dedup.requireClusterSafeScratch(spark.sparkContext.isLocal, scratchDir)
-    val tmp = scratchDir.getOrElse(
-      org.apache.spark.sql.GraftSqlBridge.managedTempDir("graft-kcore").getAbsolutePath)
-    val hadoopConf = spark.sessionState.newHadoopConf()
-    def materialize(df: DataFrame, name: String): DataFrame = {
-      val p = tmp + "/" + name
-      df.write.mode("overwrite").parquet(p)
-      spark.read.parquet(p)
-    }
-    def drop(name: String): Unit = {
-      val p = new org.apache.hadoop.fs.Path(tmp + "/" + name)
-      p.getFileSystem(hadoopConf).delete(p, true)
-    }
+    val scratch = new Scratch(spark, "graft-kcore", scratchDir)
+    import scratch.{materialize, drop}
     val und = materialize(edges.where(col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))

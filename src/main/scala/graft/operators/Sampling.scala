@@ -45,9 +45,18 @@ object Sampling {
       .agg(sum(tokenExpr).as("__pt"))
       .withColumn("__po", coalesce(sum(col("__pt")).over(wOff), lit(0L)))
       .select((keyCols :+ "__pb").map(col) :+ col("__po"): _*)
-    local.join(broadcast(offsets), keyCols :+ "__pb")
+    // null-safe join-back: the single-window formulation this replaces
+    // kept a NULL key (or the NULL md5 bucket of a NULL id) as its own
+    // partition; a plain-equality join would silently DROP those rows
+    val offRenamed = offsets.select(
+      keyCols.map(c => col(c).as(s"__ok_$c")) ++
+        Seq(col("__pb").as("__opb"), col("__po")): _*)
+    val cond = (keyCols.map(c => col(c) <=> col(s"__ok_$c")) :+
+      (col("__pb") <=> col("__opb"))).reduce(_ && _)
+    local.join(broadcast(offRenamed), cond)
       .withColumn(outCol, col("__loc") + col("__po"))
-      .drop("__pb", "__loc", "__po")
+      .drop(keyCols.map(c => s"__ok_$c"): _*)
+      .drop("__opb", "__pb", "__loc", "__po")
   }
 
   /** Deterministic per-key sample: n rows per key, chosen by a stable

@@ -62,8 +62,12 @@ object Validate {
     val uniques = rules.collect { case u: Unique => u }
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     if (scalar.nonEmpty) {
+      // coalesce: sum over ZERO rows is NULL, and an empty (truncated)
+      // snapshot is exactly the case a gate must report as hard numbers
+      // — `violations === 0` on a NULL would be neither true nor false
       val aggs = scalar.zipWithIndex.map { case (r, i) =>
-        sum(when(violatedCond(df, r), 1L).otherwise(0L)).as(s"__v$i")
+        coalesce(sum(when(violatedCond(df, r), 1L).otherwise(0L)), lit(0L))
+          .as(s"__v$i")
       } :+ count(lit(1)).as("__n")
       val one = df.agg(aggs.head, aggs.tail: _*)
       val stackArgs = scalar.zipWithIndex.map { case (r, i) =>
@@ -85,30 +89,33 @@ object Validate {
     parts.reduce(_ unionAll _)
   }
 
+  /** Escape a string for a single-quoted SQL literal. */
+  private def q(s: String): String = s.replace("'", "''")
+
   /** DuckDB oracle twin of [[check]] over a relation named `t`: one
     * UNION ALL branch per rule (the oracle may rescan; the Spark side
     * must not). Caller appends ORDER BY. */
   def oracleSql(rules: Seq[Rule]): String = rules.map {
     case NotNull(c) =>
       s"""SELECT 'not_null' AS rule, '$c' AS col_name,
-         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+         |  CAST(COALESCE(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations,
          |  CAST(count(*) AS BIGINT) AS n_rows FROM t""".stripMargin
     case InRange(c, lo, hi) =>
       s"""SELECT 'in_range', '$c',
-         |  CAST(sum(CASE WHEN $c IS NULL OR CAST($c AS DOUBLE) < $lo
-         |    OR CAST($c AS DOUBLE) > $hi THEN 1 ELSE 0 END) AS BIGINT),
+         |  CAST(COALESCE(sum(CASE WHEN $c IS NULL OR CAST($c AS DOUBLE) < $lo
+         |    OR CAST($c AS DOUBLE) > $hi THEN 1 ELSE 0 END), 0) AS BIGINT),
          |  CAST(count(*) AS BIGINT) FROM t""".stripMargin
     case InSet(c, vs) =>
-      val list = vs.map(v => s"'$v'").mkString(", ")
+      val list = vs.map(v => s"'${q(v)}'").mkString(", ")
       s"""SELECT 'in_set', '$c',
-         |  CAST(sum(CASE WHEN $c IS NULL OR $c NOT IN ($list)
-         |    THEN 1 ELSE 0 END) AS BIGINT),
+         |  CAST(COALESCE(sum(CASE WHEN $c IS NULL OR $c NOT IN ($list)
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT),
          |  CAST(count(*) AS BIGINT) FROM t""".stripMargin
     case MatchesRegex(c, re) =>
       s"""SELECT 'matches_regex', '$c',
-         |  CAST(sum(CASE WHEN $c IS NULL
-         |    OR NOT regexp_full_match($c, '(?:$re)')
-         |    THEN 1 ELSE 0 END) AS BIGINT),
+         |  CAST(COALESCE(sum(CASE WHEN $c IS NULL
+         |    OR NOT regexp_full_match($c, '(?:${q(re)})')
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT),
          |  CAST(count(*) AS BIGINT) FROM t""".stripMargin
     case Unique(c) =>
       s"""SELECT 'unique', '$c',

@@ -361,7 +361,12 @@ object WindowOps {
                         valueCol: String, period: Long,
                         phases: Int): DataFrame = {
     require(period > 0 && phases >= 2, "period/phases must be positive")
-    val phase = pmod(call_function("div", numericTs(df, tsCol), lit(period)),
+    // periodOrdinal (floor division) + pmod so a pre-1970 time base
+    // lands in the right phase — plain DIV truncates toward zero and
+    // would shift negative timestamps one phase late (same class of bug
+    // the rolling/cohort operators fixed; see the scaladoc at
+    // periodOrdinal)
+    val phase = pmod(periodOrdinal(numericTs(df, tsCol), period),
       lit(phases.toLong))
     val base = df.select(col(idCol), phase.as("phase"),
       col(valueCol).as("__v"))

@@ -60,6 +60,12 @@ class CountMinSpec extends AnyFunSuite {
     val e2 = intercept[Exception] {
       sk.select(CountMin.estimate(col("sk"), lit("x"), 64, 4)).collect()
     }
-    assert(e2.getMessage.contains("cells") || e2.getMessage.contains("64 x 4"))
+    assert(e2.getMessage.contains("elements") || e2.getMessage.contains("64 x 4"))
+    // TRANSPOSED dims multiply to the same cell count — the header must
+    // reject them instead of returning silent garbage
+    val e3 = intercept[Exception] {
+      sk.select(CountMin.estimate(col("sk"), lit("x"), 32, 4)).collect()
+    }
+    assert(e3.getMessage.contains("built as 64 x 2"))
   }
 }

@@ -268,21 +268,27 @@ class DedupScaleSpec extends AnyFunSuite {
       s"model join should broadcast:\n${p2.take(2000)}")
   }
 
-  test("tuneLsh: cheapest plan meets the target, steeper tie-break, sane S-curve") {
+  test("tuneLsh: cheapest plan meets recall AND noise bound; degenerate r=1 rejected") {
     val plan = Dedup.tuneLsh(threshold = 0.8, minRecall = 0.9, maxHashes = 256)
     assert(plan.recallAtThreshold >= 0.9)
+    assert(plan.collisionProb(0.4) <= 0.2) // the noise constraint held
+    // recall alone is cheapest at rowsPerBand=1 ("share ONE hash"
+    // mega-buckets) — the noise bound must reject that degeneracy
+    assert(plan.rowsPerBand > 1)
     assert(plan.numHashes <= 256 && plan.numHashes == plan.bands * plan.rowsPerBand)
     // S-curve shape: monotone in s, ~0 far below the threshold
     assert(plan.collisionProb(0.9) >= plan.collisionProb(0.8))
     assert(plan.collisionProb(0.8) >= plan.collisionProb(0.5))
     assert(plan.collisionProb(0.1) < 0.5)
-    // minimality: no cheaper hash budget reaches the target recall
+    // minimality: no cheaper hash budget satisfies BOTH constraints
     val cheaper = for {
       r <- 1 to 32; b <- 1 to 256 / r
       if b * r < plan.numHashes
       p = 1.0 - math.pow(1.0 - math.pow(0.8, r), b)
-    } yield p
-    assert(cheaper.forall(_ < 0.9), "tuneLsh did not pick the cheapest plan")
+      pn = 1.0 - math.pow(1.0 - math.pow(0.4, r), b)
+    } yield (p, pn)
+    assert(cheaper.forall { case (p, pn) => p < 0.9 || pn > 0.2 },
+      "tuneLsh did not pick the cheapest feasible plan")
     // an unreachable target names the failure instead of silently clipping
     val err = intercept[IllegalArgumentException](
       Dedup.tuneLsh(threshold = 0.1, minRecall = 0.999, maxHashes = 8))

@@ -105,6 +105,24 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got("b") > 0L)
   }
 
+  test("trustrank: full damping (zero teleport) still seeds from the explicit flag") {
+    // a <-> b, seed {a}, damping 100/100 → teleport = 0: seedness must
+    // come from the spine's is_seed flag, not `tele > 0` (which would
+    // zero every rank). 1 iteration: inflow(b) = r0(a) = 1e9 → r(b) =
+    // 100·1e9 DIV 100 = 1e9; inflow(a) = r0(b) = 0 → r(a) = 0.
+    val g = Seq(("a", "b", 1L), ("b", "a", 1L))
+    val got = runSeededDamped(g, 1, Seq("a"), 100L, 100L)
+    assert(got == Map("a" -> 0L, "b" -> 1000000000L))
+  }
+
+  private def runSeededDamped(edges: Seq[(String, String, Long)], iters: Int,
+                              seeds: Seq[String], num: Long,
+                              den: Long): Map[String, Long] =
+    GraphOps.pageRankNano(edges.toDF("src", "dst", "w"), "src", "dst",
+        col("w"), iters, dampNum = num, dampDen = den,
+        seeds = Some(seeds.toDF("node")))
+      .as[(String, Long)].collect().toMap
+
   test("pageRankNano: damping fraction validated") {
     val e = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
     intercept[IllegalArgumentException] {

@@ -448,6 +448,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bins.toSeq == Seq((1L, 0L), (1L, 2L)))
   }
 
+  test("samplers keep NULL-keyed rows (window-parity of the prefix-sum rewrite)") {
+    import graft.operators.Sampling
+    val df = Seq((Option("en"), 1L, 10L), (Option.empty[String], 2L, 10L),
+      (Option.empty[String], 3L, 10L), (Option("fr"), 4L, 10L))
+      .toDF("lang", "id", "toks")
+    // budget 15: NULL group keeps both docs (offsets 0 and 10 < 15) —
+    // a plain-equality join-back would have dropped the group entirely
+    val byKey = Sampling.budgetSample(df, "lang", "id", "toks", budget = 15L)
+      .groupBy("lang").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byKey == Map(Option("en") -> 1L, None -> 2L, Option("fr") -> 1L))
+    assert(Sampling.perKey(df, Seq("lang"), "id", 1)
+      .where(col("lang").isNull).count() == 1L)
+  }
+
   test("Validate.check: hand-counted violations per rule class") {
     import graft.operators.Validate._
     val df = Seq(
@@ -513,18 +528,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(0L, 4L, 0L, 0L))
   }
 
-  test("seasonalDecompose: hand-checked phase means and residuals") {
+  test("seasonalDecompose: hand-checked phase means; pre-epoch ts floors correctly") {
     import graft.operators.WindowOps
-    // period 10, 2 phases: ts 0,20 → phase 0 (mean 1.5); ts 10 → phase 1
-    val ev = Seq((1L, 0L, 1.0), (2L, 10L, 3.0), (3L, 20L, 2.0))
-      .toDF("id", "ts", "v")
+    // period 10, 2 phases: ts 0,20 → phase 0 (mean 1.5); ts 10 and the
+    // PRE-EPOCH ts -1 → phase 1 (floor(-1/10) = -1, pmod(-1,2) = 1 —
+    // truncating DIV would put -1 in phase 0): mean (3+5)/2 = 4
+    val ev = Seq((1L, 0L, 1.0), (2L, 10L, 3.0), (3L, 20L, 2.0),
+      (4L, -1L, 5.0)).toDF("id", "ts", "v")
     val got = WindowOps.seasonalDecompose(ev, "id", "ts", "v",
         period = 10L, phases = 2)
       .orderBy("id")
       .select("id", "phase", "seasonal", "residual")
       .as[(Long, Long, Double, Double)].collect()
     assert(got.toSeq == Seq(
-      (1L, 0L, 1.5, -0.5), (2L, 1L, 3.0, 0.0), (3L, 0L, 1.5, 0.5)))
+      (1L, 0L, 1.5, -0.5), (2L, 1L, 4.0, -1.0), (3L, 0L, 1.5, 0.5),
+      (4L, 1L, 4.0, 1.0)))
   }
 
   test("pathTripleCounts: hand-checked triples per key, tails dropped") {
