@@ -45,7 +45,10 @@ object PlanDigest {
     // session-3b: the rest of the current bench top set + the capped
     // co-visitation self-join and the seasonal broadcast join-back
     "q_temperature_mix", "q_text_stats", "q_strip_markup", "q_covisit",
-    "q_seasonal", "q_ks")
+    "q_seasonal", "q_ks",
+    // validate's contract IS its plan shape: all scalar rules in ONE
+    // scan (an accidental per-rule rescan would multiply corpus cost)
+    "q_validate")
 
   val SnapshotPath = "tools/plan_digests.txt"
   val DefaultSfDir = "/root/testdata/sf0.001"
