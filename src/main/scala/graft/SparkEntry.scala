@@ -2054,6 +2054,24 @@ object SparkEntry {
         .orderBy("win_start")
     }),
 
+    // Structured Streaming: per-window constraint validation — the
+    // at-ingest Deequ-shaped gate; |rules| conditional sums in ONE
+    // stateful windowed aggregate, stacked to one row per (window, rule)
+    "q_stream_validate" -> ((s, dir) => {
+      import graft.operators.Validate.{InRange, InSet, NotNull}
+      val out = s"stream_validate_${System.nanoTime()}"
+      val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      val v = GraftStreaming.validateStream(stream, Seq(
+        NotNull("props"), InRange("value", 0, 450),
+        InSet("event_type", Seq("click", "view", "purchase", "signup"))))
+      val q = GraftStreaming.runToMemory(v, out, outputMode = "complete")
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
+      s.table(out)
+        .select(col("window.start").cast("long").as("win_start"),
+          col("rule"), col("col_name"), col("violations"), col("n_rows"))
+        .orderBy("win_start", "rule", "col_name")
+    }),
+
     // Structured Streaming: per-window one-sample KS drift monitor —
     // exact-integer CDF-gap fold over the same binned windowed
     // aggregate as q_stream_psi (state = bins longs per window)
@@ -4292,6 +4310,25 @@ object SparkEntry {
         | event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q_stream_validate" ->
+      """WITH w AS (SELECT date_trunc('hour', ts) AS win, value, props,
+        |    event_type FROM events),
+        |c AS (SELECT win,
+        |    CAST(COALESCE(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS v0,
+        |    CAST(COALESCE(sum(CASE WHEN value IS NULL OR CAST(value AS DOUBLE) < 0.0
+        |      OR CAST(value AS DOUBLE) > 450.0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS v1,
+        |    CAST(COALESCE(sum(CASE WHEN event_type IS NULL
+        |      OR event_type NOT IN ('click', 'view', 'purchase', 'signup')
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS v2,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM w GROUP BY win)
+        |SELECT CAST(epoch(win) AS BIGINT) AS win_start, rule, col_name,
+        |  violations, n_rows FROM (
+        |  SELECT win, 'not_null' AS rule, 'props' AS col_name,
+        |    v0 AS violations, n_rows FROM c
+        |  UNION ALL SELECT win, 'in_range', 'value', v1, n_rows FROM c
+        |  UNION ALL SELECT win, 'in_set', 'event_type', v2, n_rows FROM c)
+        |ORDER BY win_start, rule, col_name""".stripMargin,
     "q_stream_ks" ->
       s"""WITH ${GraftStreaming.ksDriftOracleSelect("value",
              refWhere = "event_id % 2 = 0", lo = 0L, hi = 500L, bins = 10)}

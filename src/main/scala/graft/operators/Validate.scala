@@ -42,7 +42,7 @@ object Validate {
     val name = "unique"
   }
 
-  private def violatedCond(df: DataFrame, r: Rule): Column = r match {
+  private[graft] def violatedCond(df: DataFrame, r: Rule): Column = r match {
     case NotNull(c)       => col(c).isNull
     case InRange(c, lo, hi) =>
       col(c).isNull || col(c).cast("double") < lo || col(c).cast("double") > hi

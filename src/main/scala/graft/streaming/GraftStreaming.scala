@@ -657,6 +657,39 @@ object GraftStreaming {
           .as("psi"))
   }
 
+  /** Streaming per-window constraint validation — the at-ingest face of
+    * [[graft.operators.Validate]]: every SCALAR rule (null / range /
+    * set / regex) becomes one conditional sum inside a single stateful
+    * windowed aggregate (state per window = |rules| longs + a count),
+    * then stacks to one row per (window, rule). Uniqueness rules are
+    * deliberately unsupported here — they need per-value state, which
+    * is a different (and unbounded) state-store contract; run them on
+    * the landed batch instead.
+    *
+    * @return (window, rule, col_name, violations, n_rows).
+    */
+  def validateStream(events: DataFrame, rules: Seq[graft.operators.Validate.Rule],
+                     watermark: String = "1 hour",
+                     window_ : String = "1 hour"): DataFrame = {
+    import graft.operators.Validate
+    require(rules.nonEmpty, "at least one rule")
+    require(!rules.exists(_.isInstanceOf[Validate.Unique]),
+      "unique rules need per-value state — validate them batch-side")
+    val aggs = rules.zipWithIndex.map { case (r, i) =>
+      sum(when(Validate.violatedCond(events, r), 1L).otherwise(0L)).as(s"__v$i")
+    } :+ count(lit(1)).as("__n")
+    val byWin = events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_))
+      .agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.zipWithIndex.map { case (r, i) =>
+      s"'${r.name}', '${r.column}', coalesce(__v$i, 0L)"
+    }.mkString(", ")
+    byWin.select(col("window"),
+      expr(s"stack(${rules.size}, $stackArgs) AS (rule, col_name, violations)"),
+      col("__n").as("n_rows"))
+  }
+
   /** Streaming one-sample KS drift monitor: per event-time window, the
     * worst-case gap between the window's empirical CDF and a FIXED
     * reference CDF over the same binning — [[psiDriftStream]]'s

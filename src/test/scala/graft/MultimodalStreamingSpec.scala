@@ -316,6 +316,33 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(got.forall { case (_, _, k) => k >= 0.0 && k <= 1.0 })
   }
 
+  test("streaming validation ≡ the same windowed rules on the batch relation") {
+    import graft.operators.Validate.{InRange, InSet, NotNull, Unique}
+    val rules = Seq(NotNull("props"), InRange("value", 0, 450),
+      InSet("event_type", Seq("click", "view")))
+    val stream = GraftStreaming.readEventsGlob(spark, dir, "events.parquet")
+    val v = GraftStreaming.validateStream(stream, rules)
+    val q = GraftStreaming.runToMemory(v, "validate_stream_out", outputMode = "complete")
+    assert(q.awaitTermination(120000), "stream did not finish")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("window.start").cast("long"), col("rule"), col("col_name"),
+        col("violations"), col("n_rows"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val got = canon(spark.table("validate_stream_out"))
+    val twin = canon(GraftStreaming.validateStream(
+      GraftStreaming.normalizeTs(spark.read.parquet(s"$dir/events.parquet")),
+      rules))
+    assert(got == twin, s"stream=${got.size} batch=${twin.size}")
+    // the range/set rules are violated by construction on this corpus
+    assert(got.exists { case (_, r, _, viol, _) => r == "in_set" && viol > 0 })
+    // unique rules are rejected with a named contract, not silent state
+    val err = intercept[IllegalArgumentException] {
+      GraftStreaming.validateStream(stream, Seq(Unique("event_id")))
+    }
+    assert(err.getMessage.contains("batch-side"))
+  }
+
   test("streaming EWMA: single batch ≡ sequential fold; state carries across batches") {
     import spark.implicits._
     val stream = GraftStreaming.readEventsGlob(spark, dir, "events.parquet")
