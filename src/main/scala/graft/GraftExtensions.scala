@@ -47,5 +47,9 @@ object GraftExtensions {
     ("graft_count_min", "_FUNC_(item, width, depth) - Count-Min frequency sketch",
       functions.CountMin.builder _),
     ("graft_cm_estimate", "_FUNC_(sketch, item, width, depth) - Count-Min point estimate",
-      functions.CountMin.estimateBuilder _))
+      functions.CountMin.estimateBuilder _),
+    ("graft_jaro", "_FUNC_(a, b) - Jaro string similarity",
+      functions.JaroWinkler.jaroBuilder _),
+    ("graft_jaro_winkler", "_FUNC_(a, b) - Jaro-Winkler string similarity",
+      functions.JaroWinkler.jaroWinklerBuilder _))
 }

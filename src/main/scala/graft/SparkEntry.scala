@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame => SDF, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.{DataFrame, Frames, Series}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Sampling, ShardPack, Similarity, SkewJoin, TextAnalysis, WindowOps}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Profile, RangeJoin, Sampling, ShardPack, Similarity, SkewJoin, TextAnalysis, WindowOps}
 import graft.streaming.GraftStreaming
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
@@ -1264,6 +1264,19 @@ object SparkEntry {
       Dedup.editDistancePairs(base.union(planted), "doc_id", "text",
         n = 3, maxDist = 50, minSharedShingles = 3L)
         .orderBy("id_l", "id_r")
+    }),
+
+    // blocked fuzzy record linkage over the DISTINCT-name dictionary
+    // (vocabulary-bounded regardless of row count — the honest way to
+    // link a low-cardinality catalog column: match the dictionary, then
+    // hash-join labels back), Jaro-Winkler-scored inside the block
+    "q_fuzzy_linkage" -> ((s, dir) => {
+      val names = table(s, dir, "part")
+        .groupBy("p_name").agg(min("p_partkey").as("id"))
+      Dedup.fuzzyLinkage(names, "id", "p_name",
+        split(col("p_name"), " ").getItem(0), threshold = 0.85)
+        .select(col("id_a"), col("id_b"), round(col("jw"), 6).as("jw"))
+        .orderBy("id_a", "id_b")
     }),
 
     // LSH-bucketed approximate nearest neighbors with hamming-1
@@ -2564,6 +2577,98 @@ object SparkEntry {
       WindowOps.transitionCounts(ev, Seq("user_id"), Seq("tsu", "event_id"),
           "event_type")
         .orderBy("src", "dst")
+    }),
+
+    // sequence predictability: Shannon entropy of each type's next-event
+    // distribution — logs of exact integer counts only, |types|-sized
+    "q_transition_entropy" -> ((s, dir) => {
+      val ev = eventsMicros(s, dir)
+      WindowOps.transitionEntropy(ev, Seq("user_id"), Seq("tsu", "event_id"),
+          "event_type")
+        .select(col("src"), col("n_total"), col("n_dst"),
+          round(col("entropy_bits"), 6).as("entropy_bits"))
+        .orderBy("src")
+    }),
+
+    // activity rhythm: exact interpolated inter-arrival quantiles per
+    // type (ticks → seconds only at the end so engine-ulp interpolation
+    // noise dies under round-6)
+    "q_interarrival" -> ((s, dir) => {
+      val ev = eventsMicros(s, dir)
+      WindowOps.interArrivalStats(ev, Seq("user_id"), Seq("tsu", "event_id"),
+          "event_type", "tsu", tickSeconds = 1e6)
+        .select(col("event_type"), col("n"),
+          round(col("p50_sec"), 6).as("p50_sec"),
+          round(col("p90_sec"), 6).as("p90_sec"),
+          round(col("p99_sec"), 6).as("p99_sec"))
+        .orderBy("event_type")
+    }),
+
+    // robust metric screening: median/MAD outlier profile per type —
+    // three broadcast-joined |types|-sized aggregates, stream never
+    // shuffled
+    "q_outliers" -> ((s, dir) => {
+      Profile.robustOutliers(table(s, dir, "events"), Seq("event_type"),
+          "value", k = 3.0)
+        .select(col("event_type"), col("n"),
+          round(col("median"), 6).as("median"),
+          round(col("mad"), 6).as("mad"), col("n_outliers"))
+        .orderBy("event_type")
+    }),
+
+    // classifier-score calibration: binned reliability report with
+    // integer-nano exact score sums; Σ weighted_gap = ECE
+    "q_calibration" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select((col("n_chars") % 1000).cast("double").divide(1000.0)
+            .as("score"),
+          (col("lang") === "en").as("label"))
+      Profile.calibrationReport(docs, "score", "label", bins = 10)
+        .select(col("bin"), col("n"),
+          round(col("confidence"), 6).as("confidence"),
+          round(col("accuracy"), 6).as("accuracy"),
+          round(col("weighted_gap"), 6).as("weighted_gap"))
+        .orderBy("bin")
+    }),
+
+    // multi-touch attribution: linear credit over purchase-closed
+    // journeys — nano-quantized per-touch credit, order-exact sums
+    "q_attribution" -> ((s, dir) => {
+      val ev = eventsMicros(s, dir)
+      WindowOps.attribution(ev, Seq("user_id"), Seq("tsu", "event_id"),
+          "event_type", "purchase", model = "linear")
+        .select(col("event_type"), col("n_touches"),
+          round(col("credit"), 6).as("credit"))
+        .orderBy("event_type")
+    }),
+
+    // Kaplan-Meier churn curve over per-user activity lifetimes (hours),
+    // right-censored at the corpus horizon: users quiet >= 1 day before
+    // the last corpus event are churn events, the rest censored (the
+    // 30-day testdata span makes day-scale quiet the churn signal)
+    "q_survival" -> ((s, dir) => {
+      val life = eventsMicros(s, dir).groupBy("user_id")
+        .agg(min("tsu").as("first_ts"), max("tsu").as("last_ts"))
+      val h = life.agg(max("last_ts").as("__h"))
+      val labeled = life.crossJoin(broadcast(h))
+        .select(
+          expr("(last_ts - first_ts) DIV 3600000000").as("dur_hours"),
+          when(col("__h") - col("last_ts") >= 86400000000L, 1L)
+            .otherwise(0L).as("churned"))
+      WindowOps.kaplanMeier(labeled, "dur_hours", "churned")
+        .select(col("t"), col("n_risk"), col("n_event"), col("n_censored"),
+          round(col("survival"), 6).as("survival"))
+        .orderBy("t")
+    }),
+
+    // functional-dependency discovery on part: the primary key holds
+    // (partkey -> brand), the attribute candidates are violated — the
+    // data-contract sweep with both verdicts live
+    "q_fd" -> ((s, dir) => {
+      Profile.functionalDeps(table(s, dir, "part"),
+        Seq(("p_partkey", "p_brand"), ("p_brand", "p_type"),
+          ("p_size", "p_type")))
+        .orderBy("lhs", "rhs")
     }),
 
     // de-seasonalization: hour-of-day phase means (DECIMAL-exact) +
@@ -3980,6 +4085,15 @@ object SparkEntry {
          |SELECT id_l, id_r, levenshtein(tl, tr) AS dist FROM cand
          |WHERE levenshtein(tl, tr) <= 50 ORDER BY id_l, id_r""".stripMargin
     },
+    "q_fuzzy_linkage" ->
+      """WITH names AS (SELECT p_name AS name, min(p_partkey) AS id
+        |  FROM part GROUP BY 1),
+        |p AS (SELECT id, name, split_part(name, ' ', 1) AS blk FROM names)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+        |WHERE jaro_winkler_similarity(a.name, b.name) >= 0.85
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_minhash_pairs" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.5),
     "q_near_dup" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.8),
     "q_near_dup_tuned" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.8),
@@ -4602,6 +4716,105 @@ object SparkEntry {
         |    AS dst FROM e)
         |SELECT src, dst, count(*) AS n FROM p WHERE dst IS NOT NULL
         |GROUP BY src, dst ORDER BY src, dst""".stripMargin,
+    "q_transition_entropy" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id
+        |  FROM events),
+        |p AS (SELECT event_type AS src,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |    AS dst FROM e),
+        |tc AS (SELECT src, dst, count(*) AS n FROM p WHERE dst IS NOT NULL
+        |  GROUP BY src, dst)
+        |SELECT src, sum(n) AS n_total, count(*) AS n_dst,
+        |  round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS entropy_bits
+        |FROM tc GROUP BY src ORDER BY src""".stripMargin,
+    "q_interarrival" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id
+        |  FROM events),
+        |d AS (SELECT event_type,
+        |  tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |    AS dt FROM e)
+        |SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(dt, 0.5) / 1e6, 6) AS p50_sec,
+        |  round(quantile_cont(dt, 0.9) / 1e6, 6) AS p90_sec,
+        |  round(quantile_cont(dt, 0.99) / 1e6, 6) AS p99_sec
+        |FROM d WHERE dt IS NOT NULL GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_outliers" ->
+      """WITH med AS (SELECT event_type, median(value) AS median
+        |  FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_type, m.median,
+        |    abs(e.value - m.median) AS absdev
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, median(absdev) AS mad FROM dev GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n,
+        |  round(any_value(d.median), 6) AS median,
+        |  round(any_value(m.mad), 6) AS mad,
+        |  CAST(sum(CASE WHEN d.absdev > 3.0 * 1.4826 * m.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+    "q_calibration" ->
+      """WITH b AS (SELECT
+        |  least(CAST(floor(((n_chars % 1000) / 1000.0) * 10) AS BIGINT), 9)
+        |    AS bin,
+        |  CAST(round(((n_chars % 1000) / 1000.0) * 1e9) AS BIGINT) AS s9,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        |agg AS (SELECT bin, count(*) AS n, sum(s9) AS ss, sum(y) AS sy
+        |  FROM b GROUP BY bin)
+        |SELECT bin, n,
+        |  round(CAST(ss AS DOUBLE) / n / 1e9, 6) AS confidence,
+        |  round(CAST(sy AS DOUBLE) / n, 6) AS accuracy,
+        |  round(abs(CAST(ss AS DOUBLE) / 1e9 - CAST(sy AS DOUBLE)) /
+        |    (SELECT sum(n) FROM agg), 6) AS weighted_gap
+        |FROM agg ORDER BY bin""".stripMargin,
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+        |  FROM events),
+        |j AS (SELECT event_type,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |    AS journey, user_id, tsu, event_id FROM e),
+        |t AS (SELECT * FROM j
+        |  WHERE journey >= 1 AND event_type <> 'purchase'),
+        |c AS (SELECT event_type,
+        |  CAST(round(1e9 / count(*) OVER
+        |    (PARTITION BY user_id, journey)) AS BIGINT) AS cn FROM t)
+        |SELECT event_type, count(*) AS n_touches,
+        |  round(CAST(sum(cn) AS DOUBLE) / 1e9, 6) AS credit
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_survival" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+        |life AS (SELECT user_id, min(tsu) AS f, max(tsu) AS l FROM e
+        |  GROUP BY 1),
+        |lab AS (SELECT (l - f) // 3600000000 AS t,
+        |  CASE WHEN (SELECT max(l) FROM life) - l >= 86400000000
+        |    THEN 1 ELSE 0 END AS ev FROM life),
+        |lt AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+        |  CAST(sum(1 - ev) AS BIGINT) AS c FROM lab GROUP BY t),
+        |st AS (SELECT t, d, c,
+        |  CAST((SELECT sum(d + c) FROM lt) AS BIGINT)
+        |    - CAST(coalesce(sum(d + c) OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS r FROM lt),
+        |km AS (SELECT t, r, d, c,
+        |  CASE WHEN max(CASE WHEN d = r THEN 1 ELSE 0 END) OVER cum = 1
+        |    THEN 0.0
+        |    ELSE exp(sum(CASE WHEN d < r
+        |      THEN ln(1 - CAST(d AS DOUBLE) / r) ELSE 0.0 END) OVER cum)
+        |    END AS s
+        |  FROM st WINDOW cum AS (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT t, r AS n_risk, d AS n_event, c AS n_censored,
+        |  round(s, 6) AS survival
+        |FROM km WHERE d > 0 ORDER BY t""".stripMargin,
+    "q_fd" -> {
+      s"""WITH fd AS (
+         |${graft.operators.Profile.functionalDepsOracleSql("part",
+              Seq(("p_partkey", "p_brand"), ("p_brand", "p_type"),
+                ("p_size", "p_type")))})
+         |SELECT * FROM fd ORDER BY lhs, rhs""".stripMargin
+    },
     "q_seasonal" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) AS tsu, value FROM events),
         |b AS (SELECT event_id,

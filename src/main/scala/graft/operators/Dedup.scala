@@ -858,6 +858,43 @@ object Dedup {
       .where(col("dist").between(0, maxDist))
   }
 
+  /** Blocked fuzzy record linkage: Jaro-Winkler-scored candidate pairs
+    * within caller-defined blocks — the classic entity-resolution shape
+    * (Fellegi-Sunter blocking) for joining dirty catalogs at scale.
+    *
+    * Pairs are generated per block by the shared [[bucketPairs]]
+    * machinery — ONE hash-shuffle groupBy on the blocking key, a
+    * bounded collect (cap+1 elements), and a triangular explode — never
+    * a self-join (which would shuffle the relation twice) and never an
+    * unblocked O(n²) compare. Blocks larger than `maxBlockSize` are
+    * dropped whole (a degenerate block — every record sharing one
+    * blocking value — is a blocking-key bug, not linkage signal) with
+    * the dropped count surfaced on the same `graft_dropped_buckets_*`
+    * observe metric; null blocking keys never pair. Scoring runs the
+    * codegen'd [[graft.functions.JaroWinkler]] kernel inside the
+    * post-explode projection, so the comparator stays in the generated
+    * loop. Output: (id_a, id_b, jw) with id_a < id_b, jw >= threshold.
+    *
+    * At 100 TB the plan is: scan → project(block key) → one keyed
+    * exchange → bounded per-block pair generation. Memory per task is
+    * capped by maxBlockSize; the blocking key chooses the
+    * recall/cost point exactly as LSH band width does for MinHash. */
+  def fuzzyLinkage(df: DataFrame, idCol: String, nameCol: String,
+                   blockKey: Column, threshold: Double = 0.9,
+                   maxBlockSize: Int = 10000): DataFrame = {
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold must be in [0, 1], got $threshold")
+    val blocked = df
+      .select(blockKey.as("__blk"),
+        struct(col(idCol).as("__id"), col(nameCol).as("__name")).as("__p"))
+      .where(col("__blk").isNotNull)
+    bucketPairs(blocked, Seq("__blk"), "__p", Some(maxBlockSize))
+      .select(col("__l.__id").as("id_a"), col("__r.__id").as("id_b"),
+        graft.functions.JaroWinkler
+          .jaroWinkler(col("__l.__name"), col("__r.__name")).as("jw"))
+      .where(col("jw") >= threshold)
+  }
+
   /** EXACT Jaccard pairs via prefix filtering (the all-pairs
     * similarity-join optimization): under any global token order, two
     * sets with J >= t must share a token among each one's first

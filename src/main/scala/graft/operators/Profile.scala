@@ -37,6 +37,125 @@ object Profile {
       .select("p.*")
   }
 
+  /** Robust per-group outlier profile via the median/MAD rule: a value
+    * is an outlier when |x − median| > k · 1.4826 · MAD (1.4826 scales
+    * MAD to σ under normality — the standard robust z-score, immune to
+    * the outliers themselves in a way mean/stddev rules are not). The
+    * pre-filter sweep before trusting a metric column.
+    *
+    * Three keyed aggregates over the scan are inherent to exactness
+    * (MAD needs the median first; the outlier count needs the MAD), but
+    * each per-group stats relation is |groups|-sized and joins back
+    * BROADCAST — the event stream itself is never shuffled, only
+    * scanned (3×) and aggregated. Exact `percentile` holds a
+    * value→count map per group; at 100 TB swap the seam to
+    * `approx_percentile` (plan shape unchanged) or accept the map for
+    * low-cardinality metric domains.
+    *
+    * @return one row per group: keys..., n, median, mad, n_outliers. */
+  def robustOutliers(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                     k: Double = 3.0): DataFrame = {
+    require(keyCols.nonEmpty, "robustOutliers needs at least one key column")
+    require(k > 0, s"k must be positive, got $k")
+    val keys = keyCols.map(col)
+    val med = df.groupBy(keys: _*)
+      .agg(percentile(col(valueCol), lit(0.5)).as("median"))
+    val dev = df.join(broadcast(med), keyCols)
+      .select(keys :+ col("median") :+
+        abs(col(valueCol) - col("median")).as("__absdev"): _*)
+    val mad = dev.groupBy(keys: _*)
+      .agg(percentile(col("__absdev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), keyCols)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        first(col("median")).as("median"),
+        first(col("mad")).as("mad"),
+        sum(when(col("__absdev") > lit(k) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  /** Binned calibration (reliability) report for a [0, 1] score column
+    * against a boolean outcome: per equal-width bin, the mean predicted
+    * score (confidence) vs the empirical positive rate (accuracy), and
+    * the bin's weighted |gap| — whose sum over bins is the Expected
+    * Calibration Error. The gate before trusting a quality-classifier
+    * score as a keep/drop filter threshold.
+    *
+    * Engine-exact: scores accumulate as round(score·1e9) integer nanos
+    * (order-independent exact sums — a naive avg(double) varies with
+    * partition order), outcomes as 0/1 longs; each bin does ONE double
+    * division at the end. ONE hash aggregate, map-side combined to
+    * ≤ `bins` rows.
+    *
+    * @return (bin, n, confidence, accuracy, weighted_gap), bin ∈
+    *         [0, bins): floor(score·bins) clamped to bins−1 at 1.0. */
+  def calibrationReport(df: DataFrame, scoreCol: String, labelCol: String,
+                        bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val binned = df.select(
+      least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("long").as("bin"),
+      round(col(scoreCol) * 1e9).cast("long").as("__s9"),
+      col(labelCol).cast("boolean").cast("int").cast("long").as("__y"))
+    val agg = binned.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("__s9").as("__ss"), sum("__y").as("__sy"))
+    // single-partition window over the ≤ bins-row aggregate — constant
+    // size regardless of input volume, not a corpus-wide funnel
+    val total = sum(col("n"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy())
+    agg.select(col("bin"), col("n"),
+      (col("__ss").cast("double") / col("n") / 1e9).as("confidence"),
+      (col("__sy").cast("double") / col("n")).as("accuracy"),
+      (abs(col("__ss").cast("double") / 1e9 - col("__sy").cast("double"))
+        / total).as("weighted_gap"))
+  }
+
+  /** Functional-dependency check over candidate column pairs: for each
+    * (lhs → rhs), does every lhs value map to exactly one rhs value?
+    * The schema-discovery / data-contract sweep that tells you which
+    * columns are safe normalization keys, which "id" columns are lying,
+    * and where a denormalized feed drifted.
+    *
+    * Per pair: ONE groupBy on the lhs values (map-side combined, shuffle
+    * bounded by lhs cardinality) counting distinct rhs per group, then a
+    * 1-row summary — n_groups, how many groups violate (>1 distinct
+    * rhs), the worst fan-out, and the verdict. Pairs are independent
+    * aggregates unioned together; nulls follow SQL semantics (a null
+    * lhs is its own group, null rhs values don't count as witnesses).
+    *
+    * At 100 TB this is |pairs| scans — candidate pairs are a
+    * schema-sized, human-chosen list, not an O(cols²) sweep; for the
+    * exhaustive version run this over a sampled partition first.
+    *
+    * @return one row per pair: (lhs, rhs, n_groups, n_violations,
+    *         max_fanout, holds). */
+  def functionalDeps(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "functionalDeps needs at least one (lhs, rhs) pair")
+    pairs.map { case (a, b) =>
+      df.groupBy(col(a))
+        .agg(countDistinct(col(b)).as("__k"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("__k") > 1, 1L).otherwise(0L)).as("n_violations"),
+          max(col("__k")).as("max_fanout"))
+        .select(lit(a).as("lhs"), lit(b).as("rhs"), col("n_groups"),
+          col("n_violations"), col("max_fanout"),
+          (col("n_violations") === 0).as("holds"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** [[functionalDeps]] as DuckDB SQL over `relation` — same per-pair
+    * aggregate, UNION ALL'd in pair order. */
+  def functionalDepsOracleSql(relation: String,
+                              pairs: Seq[(String, String)]): String =
+    pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS lhs, '$b' AS rhs, count(*) AS n_groups,
+         |  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violations,
+         |  max(k) AS max_fanout,
+         |  sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0 AS holds
+         |FROM (SELECT count(DISTINCT $b) AS k FROM $relation GROUP BY $a)"""
+        .stripMargin
+    }.mkString("", "\nUNION ALL\n", "")
+
   /** [[profile]] as DuckDB SQL over `relation` for the given columns
     * (integer/string columns only — see the rendering caveat above). */
   def profileOracleSql(relation: String, cols: Seq[String]): String =

@@ -336,6 +336,64 @@ object WindowOps {
       .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
   }
 
+  /** Per-source transition entropy: the Shannon entropy (bits) of each
+    * event type's NEXT-event distribution — the sequence-predictability
+    * profile over [[transitionCounts]]'s first-order Markov estimate
+    * (H ≈ 0: deterministic funnel step; H ≈ log2(fanout): the type tells
+    * you nothing about what follows).
+    *
+    * Engine-exact: entropy is computed as log2(tot) − Σ n·log2(n) / tot
+    * — logs of exact integer counts only (never of intermediate ratios),
+    * one mirrored double division at the end, rounded by the caller.
+    *
+    * Scale shape: [[transitionCounts]]'s one window shuffle + hash
+    * aggregate, then a second aggregate over the ≤ |types|² transition
+    * relation — model-sized, independent of event volume. */
+  def transitionEntropy(df: DataFrame, partitionBy: Seq[String],
+                        orderBy: Seq[String], typeCol: String): DataFrame =
+    transitionCounts(df, partitionBy, orderBy, typeCol)
+      .groupBy("src")
+      .agg(sum("n").as("n_total"),
+        count(lit(1)).as("n_dst"),
+        sum(col("n").cast("double") * log2(col("n"))).as("__nlogn"))
+      .select(col("src"), col("n_total"), col("n_dst"),
+        (log2(col("n_total")) - col("__nlogn") / col("n_total"))
+          .as("entropy_bits"))
+
+  /** Inter-arrival time distribution per event type: each event's gap to
+    * the SAME KEY's previous event (any type — the user's activity
+    * rhythm), attributed to the later event's type, then summarized as
+    * exact interpolated quantiles — the latency-profile / burstiness
+    * sweep behind session-gap tuning and anomaly thresholds.
+    *
+    * Quantiles are computed over exact integer tick deltas and divided
+    * to seconds only at the end (`tickSeconds` = ticks per second, e.g.
+    * 1e9 for the ns time base), so a last-ulp interpolation difference
+    * between engines lands below round-6 of a seconds-scale value
+    * instead of surviving at tick scale. Exact percentile holds a
+    * value→count map per (group); at 100 TB swap the seam to
+    * `approx_percentile` — the plan shape (ONE key-window shuffle +
+    * ONE |types|-sized aggregate) is unchanged.
+    *
+    * @return (typeCol, n, p50_sec, p90_sec, p99_sec). */
+  def interArrivalStats(df: DataFrame, partitionBy: Seq[String],
+                        orderBy: Seq[String], typeCol: String,
+                        tsCol: String,
+                        tickSeconds: Double = 1e9): DataFrame = {
+    val w = spec(partitionBy, orderBy)
+    val delta = (col(tsCol) - lag(col(tsCol), 1).over(w)).as("__d")
+    val qs = array(lit(0.5), lit(0.9), lit(0.99))
+    df.select(col(typeCol), delta)
+      .where(col("__d").isNotNull)
+      .groupBy(typeCol)
+      .agg(count(lit(1)).as("n"),
+        percentile(col("__d"), qs).as("__q"))
+      .select(col(typeCol), col("n"),
+        (col("__q").getItem(0) / tickSeconds).as("p50_sec"),
+        (col("__q").getItem(1) / tickSeconds).as("p90_sec"),
+        (col("__q").getItem(2) / tickSeconds).as("p99_sec"))
+  }
+
   /** Additive seasonal decomposition against a phase profile: each
     * event's value splits into `seasonal` (the corpus mean of its
     * phase — hour-of-day with `period` = 1h µs and `phases` = 24,
@@ -478,5 +536,108 @@ object WindowOps {
         .select(lit(i + 1).as("step"), lit(name).as("event_type"),
           col("n_users"))
     }.reduce(_ unionAll _)
+  }
+
+  /** Multi-touch conversion attribution: every `convType` event closes a
+    * journey, the touches (non-`convType` events) since the previous
+    * conversion share its credit, and credit aggregates per touch type —
+    * the channel-value report behind marketing-mix and, in a training
+    * pipeline, per-source contribution to a downstream acceptance event.
+    *
+    * `model`: "first" (the journey's first touch gets 1.0), "last" (its
+    * final touch gets 1.0), or "linear" (each of the journey's n touches
+    * gets 1/n). Touches after a key's final conversion are unattributed
+    * and drop; conversions with zero touches contribute nothing.
+    *
+    * Engine-exact: per-touch credit is quantized to round(1e9/n) integer
+    * nanos BEFORE summing (both engines compute the same IEEE division
+    * and half-up round of a positive value; integer sums are
+    * order-independent), one double division at the end.
+    *
+    * Scale shape: journey numbering is a reverse-cumulative sum in ONE
+    * window over the key; per-journey size/position is a second window
+    * on (key, journey) — a refinement of the first key, same
+    * user-bounded cardinality; the final aggregate map-side-collapses to
+    * |types| rows. Nothing is driver-resident.
+    *
+    * @return (typeCol, n_touches, credit) — n_touches counts CREDITED
+    *         touches (all journey touches under "linear", one per
+    *         journey under "first"/"last"). */
+  def attribution(events: DataFrame, keyCols: Seq[String],
+                  orderBy: Seq[String], typeCol: String, convType: String,
+                  model: String = "linear"): DataFrame = {
+    require(Set("first", "last", "linear")(model),
+      s"model must be first|last|linear, got $model")
+    val wKey = spec(keyCols, orderBy)
+    val isConv = when(col(typeCol) === convType, 1L).otherwise(0L)
+    val journeyed = events
+      .withColumn("__j", sum(isConv).over(
+        wKey.rowsBetween(0, Window.unboundedFollowing)))
+      .where(col("__j") >= 1 && col(typeCol) =!= convType)
+    val wJourney = spec(keyCols :+ "__j", orderBy)
+    val n = count(lit(1)).over(
+      wJourney.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    val rn = row_number().over(wJourney)
+    val creditNanos = model match {
+      case "first"  => when(rn === 1, lit(1000000000L))
+      case "last"   => when(rn === n, lit(1000000000L))
+      case "linear" => round(lit(1e9) / n).cast("long")
+    }
+    journeyed.select(col(typeCol), creditNanos.as("__cn"))
+      .where(col("__cn").isNotNull)
+      .groupBy(typeCol)
+      .agg(count(lit(1)).as("n_touches"),
+        (sum(col("__cn")).cast("double") / 1e9).as("credit"))
+  }
+
+  /** Kaplan–Meier survival curve over right-censored durations: at each
+    * distinct duration t with at least one observed event, the risk set
+    * r(t) (subjects whose duration ≥ t), the event count d(t), and the
+    * product-limit estimate S(t) = Π_{t_i ≤ t} (1 − d_i/r_i) — the
+    * churn/retention curve that, unlike a naive survival fraction, is
+    * unbiased under censoring (subjects still alive at observation end).
+    *
+    * `eventCol` is 1/true for an observed event (churn, failure), 0/false
+    * for censored. Censored durations shrink later risk sets but never
+    * produce an output row or a factor.
+    *
+    * Shape: ONE hash aggregate collapses the corpus to the |distinct
+    * durations|-sized life table; the cumulative risk-set/product pass
+    * runs as single-partition windows over that model-sized relation
+    * (exactly [[graft.operators.Profile.calibrationReport]]'s posture —
+    * constant size regardless of input volume). The product is computed
+    * as exp(Σ ln(factor)) with the S(t) = 0 case (d = r at some step)
+    * handled by an explicit flag, since ln(0) differs across engines.
+    *
+    * @return (t, n_risk, n_event, n_censored, survival), ordered-safe
+    *         for the caller to sort by t. */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val ev = col(eventCol).cast("boolean").cast("int").cast("long")
+    val life = df.groupBy(col(durationCol).as("t"))
+      .agg(sum(ev).as("d"), sum(lit(1L) - ev).as("c"))
+    // single-partition windows over the ≤ |durations|-row life table —
+    // model-sized by construction, not a corpus-wide funnel
+    val wOrd = Window.orderBy("t")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val total = sum(col("d") + col("c"))
+      .over(Window.partitionBy())
+    val removedBefore = coalesce(
+      sum(col("d") + col("c")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val staged = life
+      .withColumn("n_risk", total - removedBefore)
+      .withColumn("__lnf",
+        when(col("d") < col("n_risk"),
+          log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+          .otherwise(lit(0.0)))
+      .withColumn("__dead",
+        max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(wCum))
+      .withColumn("survival",
+        when(col("__dead") === 1, lit(0.0))
+          .otherwise(exp(sum(col("__lnf")).over(wCum))))
+    staged.where(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d").as("n_event"),
+        col("c").as("n_censored"), col("survival"))
   }
 }

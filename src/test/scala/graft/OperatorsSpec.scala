@@ -1625,6 +1625,157 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == exp.toSeq)
   }
 
+  test("JaroWinkler kernel matches DuckDB's jaro/jaro_winkler values") {
+    // expected values probed from DuckDB jaro_similarity /
+    // jaro_winkler_similarity (the oracle engine) — pins the match
+    // window, transposition rule, empty-string posture, and the 0.7
+    // boost threshold with its 4-char prefix cap
+    val cases = Seq(
+      ("martha", "marhta", 0.9444444444444445, 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.8222222222222223, 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.7666666666666666, 0.8133333333333332),
+      ("abc", "abc", 1.0, 1.0),
+      ("", "abc", 0.0, 0.0),
+      ("", "", 0.0, 0.0),
+      ("ab", "ba", 0.0, 0.0),
+      ("CRATE", "TRACE", 0.7333333333333334, 0.7333333333333334),
+      ("xy", "xz", 0.6666666666666666, 0.6666666666666666), // < 0.7: no boost
+      ("aab", "aba", 0.5555555555555555, 0.5555555555555555),
+      ("abcd", "abdc", 0.9166666666666666, 0.9333333333333333),
+      ("aaaaaaaaaa", "aaaaaaaaab", 0.9333333333333332, 0.96),
+      ("abcdefghij", "abcdefghji", 0.9666666666666667, 0.98),
+      ("prefixaaa", "prefixbbb", 0.7777777777777777, 0.8666666666666666))
+    val df = cases.map { case (a, b, _, _) => (a, b) }.toDF("a", "b")
+    val got = df.select(
+        graft.functions.JaroWinkler.jaro(col("a"), col("b")),
+        graft.functions.JaroWinkler.jaroWinkler(col("a"), col("b")))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    cases.zip(got).foreach { case ((a, b, ej, ew), (gj, gw)) =>
+      assert(gj == ej, s"jaro($a, $b)")
+      assert(gw == ew, s"jaro_winkler($a, $b)")
+    }
+    // SQL surface + null propagation
+    graft.functions.JaroWinkler.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_jaro_winkler('martha', 'marhta'), graft_jaro(CAST(NULL AS STRING), 'x')")
+      .collect()(0)
+    assert(viaSql.getDouble(0) == 0.9611111111111111 && viaSql.isNullAt(1))
+  }
+
+  test("fuzzyLinkage pairs within blocks only, drops oversized blocks") {
+    val recs = Seq(
+      (1L, "acme corp", "a"), (2L, "acme corp.", "a"), (3L, "ajax ltd", "a"),
+      (4L, "acme corp", "b"), // other block: never pairs with 1/2
+      (5L, "zzz", null.asInstanceOf[String])) // null block: never pairs
+      .toDF("id", "name", "blk")
+    val got = Dedup.fuzzyLinkage(recs, "id", "name", col("blk"), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L))) // acme~acme. high; ajax below threshold
+    // a block over the cap drops whole — no partial pair list survives
+    val big = (0 until 30).map(i => (i.toLong, s"name$i", "blk")).toDF("id", "name", "blk")
+    assert(Dedup.fuzzyLinkage(big, "id", "name", col("blk"),
+      threshold = 0.0, maxBlockSize = 10).count() == 0L)
+  }
+
+  test("transitionEntropy: deterministic successor → 0 bits, uniform → log2(k)") {
+    // one user, sequence a,b,a,c: transitions a→b, b→a, a→c
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "c"))
+      .toDF("user_id", "t", "event_type")
+    val got = WindowOps.transitionEntropy(ev, Seq("user_id"), Seq("t"), "event_type")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("a") == ((2L, 2L, 1.0)))   // {b:1, c:1} → 1 bit
+    assert(got("b") == ((1L, 1L, 0.0)))   // {a:1} → 0 bits
+    assert(!got.contains("c"))            // no successor
+  }
+
+  test("interArrivalStats: gaps attributed to the later event's type") {
+    val ev = Seq((1L, 0L, "x"), (1L, 10L, "y"), (1L, 30L, "x"),
+                 (2L, 5L, "x"), (2L, 9L, "x"))
+      .toDF("user_id", "t", "event_type")
+    val got = WindowOps.interArrivalStats(ev, Seq("user_id"), Seq("t"),
+        "event_type", "t", tickSeconds = 1.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // x gaps: 20 (user 1), 4 (user 2) → n=2, p50 = 12.0 interpolated
+    assert(got("x") == ((2L, 12.0)))
+    assert(got("y") == ((1L, 10.0)))
+  }
+
+  test("robustOutliers flags by the median/MAD rule, immune to the outlier") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 100.0))
+      .toDF("k", "v")
+    val r = Profile.robustOutliers(df, Seq("k"), "v").collect()(0)
+    assert(r.getLong(1) == 5L && r.getDouble(2) == 3.0 && r.getDouble(3) == 1.0)
+    assert(r.getLong(4) == 1L) // only 100 exceeds 3·1.4826·1 from the median
+    // mean/stddev would have been dragged by the 100; median/MAD is not
+  }
+
+  test("calibrationReport: per-bin confidence vs accuracy, gaps sum to ECE") {
+    val df = Seq((0.05, false), (0.15, true), (0.15, false), (0.95, true))
+      .toDF("score", "label")
+    // weighted_gap rounded to 12 places: the last-ulp of the double
+    // division chain is engine-noise the query layer rounds away too
+    val rows = Profile.calibrationReport(df, "score", "label", bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          BigDecimal(r.getDouble(4)).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    assert(rows(0L) == ((1L, 0.05, 0.0, 0.0125)))
+    assert(rows(1L) == ((2L, 0.15, 0.5, 0.175)))
+    assert(rows(9L) == ((1L, 0.95, 1.0, 0.0125)))
+    assert(rows.size == 3)
+    // bin edge: score 1.0 clamps into the top bin, not bins
+    val edge = Profile.calibrationReport(
+      Seq((1.0, true)).toDF("score", "label"), "score", "label", 10)
+      .collect()(0)
+    assert(edge.getLong(0) == 9L)
+  }
+
+  test("attribution: journeys close at conversions, credit by model") {
+    // user 1: view, click, BUY, view, BUY, click(after last conv: dropped)
+    val ev = Seq((1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "buy"),
+                 (1L, 4L, "view"), (1L, 5L, "buy"), (1L, 6L, "click"))
+      .toDF("user_id", "t", "event_type")
+    def run(model: String) =
+      WindowOps.attribution(ev, Seq("user_id"), Seq("t"), "event_type",
+          "buy", model)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+    // linear: journey 1 = {view, click} (0.5 each), journey 2 = {view} (1.0)
+    val lin = run("linear")
+    assert(lin("view") == ((2L, 1.5)) && lin("click") == ((1L, 0.5)))
+    // last touch: journey 1 -> click, journey 2 -> view
+    val last = run("last")
+    assert(last("click") == ((1L, 1.0)) && last("view") == ((1L, 1.0)))
+    // first touch: journey 1 -> view, journey 2 -> view
+    val first = run("first")
+    assert(first("view") == ((2L, 2.0)) && !first.contains("click"))
+  }
+
+  test("kaplanMeier: product-limit estimate with censoring and S=0 tail") {
+    // durations: 2(event), 2(censored), 3(event), 5(event) — textbook:
+    // t=2: r=4 d=1 S=0.75; t=3: r=2 d=1 S=0.375; t=5: r=1 d=1 S=0
+    val df = Seq((2L, 1), (2L, 0), (3L, 1), (5L, 1)).toDF("dur", "ev")
+    val got = WindowOps.kaplanMeier(df, "dur", "ev")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // exp(Σln) carries last-ulp noise: compare survival to 1e-12
+    assert(got(2L)._1 == 4L && got(2L)._2 == 1L && got(2L)._3 == 1L &&
+      math.abs(got(2L)._4 - 0.75) < 1e-12)
+    assert(math.abs(got(3L)._4 - 0.375) < 1e-12 && got(3L)._1 == 2L)
+    assert(got(5L) == ((1L, 1L, 0L, 0.0))) // d = r: survival exactly 0
+    assert(got.size == 3) // censored-only durations emit no row
+  }
+
+  test("functionalDeps: holds vs violated, null lhs is its own group") {
+    val df = Seq(("a", "x", "p"), ("a", "x", "q"), ("b", "y", "p"),
+                 (null.asInstanceOf[String], "z", "p"))
+      .toDF("k", "v", "w")
+    val got = Profile.functionalDeps(df, Seq(("k", "v"), ("k", "w")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got(("k", "v")) == ((3L, 0L, 1L, true)))   // k -> v holds
+    assert(got(("k", "w")) == ((3L, 1L, 2L, false)))  // a maps to {p, q}
+  }
+
   test("latestByKey keeps the newest version per key") {
     val changelog = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "x"))
       .toDF("k", "v", "payload")
