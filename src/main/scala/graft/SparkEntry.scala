@@ -1831,6 +1831,33 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // merge_asof direction="nearest" with a 1h tolerance: backward and
+    // forward candidates are two frames of ONE window node; the right
+    // side dedupes to one row per (user, ts) so the match is unique
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("value"))
+      AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Seq("value"), direction = "nearest",
+          tolerance = Some(3600L * 1000000000L))
+        .select(col("event_id"),
+          round(col("value_asof"), 6).as("value_near"))
+        .orderBy("event_id")
+    }),
+
+    // resample to hourly OHLC bars per event type: ONE map-combined
+    // aggregate, open/close by (tsu, event_id)-deterministic min_by/max_by
+    "q_resample" -> ((s, dir) => {
+      WindowOps.resampleOhlc(eventsMicros(s, dir), Seq("event_type"),
+          "tsu", "value", period = 3600000000L, tieBreak = Seq("event_id"))
+        .select(col("event_type"), col("bucket"), col("n"),
+          round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+          round(col("low"), 6).as("low"), round(col("close"), 6).as("close"))
+        .orderBy("event_type", "bucket")
+    }),
+
     // pandas conveniences: isin/between masks + str accessor
     "q_isin_str" -> ((s, dir) => {
       val li = lineitem(s, dir)
@@ -4316,6 +4343,39 @@ object SparkEntry {
         |                WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    "q_asof_nearest" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+        |  WHERE event_type = 'click'),
+        |r AS (SELECT user_id, epoch_us(ts) AS t, max(value) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (SELECT l.event_id, l.user_id, l.t,
+        |  (SELECT max(r.t) FROM r WHERE r.user_id = l.user_id
+        |     AND r.t <= l.t) AS bt,
+        |  (SELECT min(r.t) FROM r WHERE r.user_id = l.user_id
+        |     AND r.t >= l.t) AS ft FROM l),
+        |m AS (SELECT event_id, user_id, t,
+        |  CASE WHEN bt IS NOT NULL AND (ft IS NULL OR (t - bt) <= (ft - t))
+        |    THEN bt ELSE ft END AS mt FROM c)
+        |SELECT m.event_id,
+        |  round(CASE WHEN m.mt IS NOT NULL
+        |    AND abs(m.t - m.mt) <= 3600000000 THEN
+        |    (SELECT value FROM r WHERE r.user_id = m.user_id
+        |       AND r.t = m.mt) END, 6) AS value_near
+        |FROM m ORDER BY m.event_id""".stripMargin,
+    "q_resample" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS tsu, event_id, value
+        |  FROM events),
+        |b AS (SELECT event_type, tsu // 3600000000 AS bucket, value,
+        |  row_number() OVER (PARTITION BY event_type, tsu // 3600000000
+        |    ORDER BY tsu, event_id) AS rn_a,
+        |  row_number() OVER (PARTITION BY event_type, tsu // 3600000000
+        |    ORDER BY tsu DESC, event_id DESC) AS rn_d FROM e)
+        |SELECT event_type, bucket, count(*) AS n,
+        |  round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+        |  round(max(value), 6) AS high, round(min(value), 6) AS low,
+        |  round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close
+        |FROM b GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
     "q_isin_str" ->
       """SELECT l_orderkey, l_linenumber,
         | l_returnflag IN ('R','A') AS flag_in,

@@ -4,40 +4,97 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** Backward as-of join — for each left row, the latest right row whose
-  * time is <= the left row's time, per key. The temporal join Spark lacks
-  * natively; composed from built-ins per the preference order (SURVEY.md
-  * §7.3): union-tag both sides, one shuffle on the key, per-key window
-  * fill with `last(ignoreNulls)`, filter back to left rows.
+/** As-of join — for each left row, the temporally closest right row per
+  * key, with pandas `merge_asof`'s full direction surface:
+  * "backward" (latest right time <= left time — the default), "forward"
+  * (earliest right time >= left time), "nearest" (whichever is closer in
+  * absolute distance, ties to backward — pandas' rule), plus an optional
+  * `tolerance` that voids matches farther than the bound. The temporal
+  * join Spark lacks natively; composed from built-ins per the preference
+  * order (SURVEY.md §7.3): union-tag both sides, one shuffle on the key,
+  * per-key window fills, filter back to left rows.
   *
   * Cost at scale: exactly ONE hash shuffle on the key columns (the union
-  * is narrow) + a per-key sort — same shape as any windowed op; no range
-  * join explosion, no per-row lookups. */
+  * is narrow) + ONE per-key sort feeding ONE window node — all three
+  * directions share the same (partition, order), so backward and
+  * forward candidates are two frames of the same WindowExec, never a
+  * second exchange; no range-join explosion, no per-row lookups. The
+  * forward candidate at equal times reuses the backward frame's
+  * inclusive hit (right rows sort before left rows at equal time), so
+  * one ordering serves both inclusive directions.
+  *
+  * Right rows with duplicate (key, time) resolve to ONE row — all
+  * matched value columns come from the same right row (never a
+  * per-column mix). Pass `rightTieBreak` (e.g. an id column) to make
+  * which one DETERMINISTIC (hash order — stable across runs, not
+  * meaningful); empty = whichever Spark sorts last, like pandas'
+  * "last occurrence" under its input order. */
 object AsOfJoin {
 
   /** `rightVals` columns arrive as `<name><suffix>`; all left columns are
-    * preserved. Right rows with equal timestamps match (inclusive <=). */
+    * preserved. Right rows with equal timestamps match (inclusive) in
+    * every direction. `tolerance` is in the time column's own units. */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String, rightVals: Seq[String],
-           suffix: String = "_asof"): DataFrame = {
+           suffix: String = "_asof", direction: String = "backward",
+           tolerance: Option[Long] = None,
+           rightTieBreak: Seq[String] = Nil): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
     val leftData = left.columns.filterNot(keys.contains).toSeq
     val l2 = left.select(
       keys.map(col) ++
         Seq(col(leftTime).as("__t"), lit(1).as("__is_l")) ++
         leftData.map(col) ++
+        Seq(lit(null).cast("long").as("__tb")) ++
         rightVals.map(c => lit(null).as(c + suffix)): _*)
     val r2 = right.select(
       keys.map(col) ++
         Seq(col(rightTime).as("__t"), lit(0).as("__is_l")) ++
         leftData.map(c => lit(null).as(c)) ++
+        Seq((if (rightTieBreak.isEmpty) lit(0L)
+             else hash(rightTieBreak.map(col): _*).cast("long")).as("__tb")) ++
         rightVals.map(c => col(c).as(c + suffix)): _*)
-    // right rows sort before left rows at equal __t → inclusive match
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__is_l"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = rightVals.foldLeft(l2.unionByName(r2)) { (df, c) =>
-      df.withColumn(c + suffix, last(col(c + suffix), ignoreNulls = true).over(w))
+    // right rows sort before left rows at equal __t → the backward frame
+    // is inclusive; duplicate right times order by the tiebreak so
+    // last() is deterministic when the caller supplies one
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__is_l"),
+        // right duplicates: later tiebreak wins in the backward frame
+        col("__tb"))
+    val wBack = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val wFwd = ord.rowsBetween(0, Window.unboundedFollowing)
+    val payload = struct(col("__t").as("__mt") +:
+      rightVals.map(c => col(c + suffix).as(c + suffix)): _*)
+    val marked = when(col("__is_l") === 0, payload)
+    val unioned = l2.unionByName(r2)
+      .withColumn("__back", last(marked, ignoreNulls = true).over(wBack))
+      .withColumn("__fstrict", first(marked, ignoreNulls = true).over(wFwd))
+    // forward inclusive: an equal-time right row already sits in the
+    // backward frame; reuse it, else take the first strictly-after row
+    val fwd = when(col("__back").isNotNull &&
+        col("__back.__mt") === col("__t"), col("__back"))
+      .otherwise(col("__fstrict"))
+    val chosen = direction match {
+      case "backward" => col("__back")
+      case "forward"  => fwd
+      case "nearest"  =>
+        when(col("__back").isNull, fwd)
+          .when(fwd.isNull, col("__back"))
+          .when(col("__t") - col("__back.__mt") <= fwd("__mt") - col("__t"),
+            col("__back"))
+          .otherwise(fwd)
     }
-    filled.where(col("__is_l") === 1).drop("__t", "__is_l")
+    val bounded = tolerance match {
+      case Some(tol) =>
+        when(chosen.isNotNull &&
+          abs(col("__t") - chosen("__mt")) <= tol, chosen)
+      case None => chosen
+    }
+    unioned.withColumn("__m", bounded)
+      .where(col("__is_l") === 1)
+      .select(keys.map(col) ++ leftData.map(col) ++
+        rightVals.map(c => col("__m")(c + suffix).as(c + suffix)): _*)
   }
 }

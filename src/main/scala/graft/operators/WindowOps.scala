@@ -538,6 +538,35 @@ object WindowOps {
     }.reduce(_ unionAll _)
   }
 
+  /** Time-series downsampling to OHLC bars (pandas `resample().ohlc()`
+    * / the financial candlestick reduction): per (key, period bucket),
+    * the first value (open), max (high), min (low), last value (close)
+    * and row count — the lossy-but-shaped compaction that turns a
+    * 100 TB tick stream into a chartable, model-sized bar table.
+    *
+    * ONE map-side-combined aggregate: open/close are `min_by`/`max_by`
+    * on the (ts, tieBreak...) struct — deterministic when the tiebreak
+    * makes the ordering unique — so no window pass and ONE exchange;
+    * the aggregate collapses to |keys × buckets| rows. (The struct
+    * buffer makes Spark pick SortAggregate over HashAggregate — the
+    * extra cost is a per-partition sort on the collapsed bar keys,
+    * plan-pinned in the digest gate.) `tsCol` may be numeric (period
+    * in its units) or TIMESTAMP (µs). */
+  def resampleOhlc(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                   valueCol: String, period: Long,
+                   tieBreak: Seq[String] = Nil): DataFrame = {
+    require(period > 0, "period must be positive")
+    val ts = numericTs(df, tsCol)
+    val ordKey = struct((ts +: tieBreak.map(col)): _*)
+    df.groupBy(keyCols.map(col) :+
+        periodOrdinal(ts, period).as("bucket"): _*)
+      .agg(count(lit(1)).as("n"),
+        min_by(col(valueCol), ordKey).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ordKey).as("close"))
+  }
+
   /** Multi-touch conversion attribution: every `convType` event closes a
     * journey, the touches (non-`convType` events) since the previous
     * conversion share its credit, and credit aggregates per touch type —

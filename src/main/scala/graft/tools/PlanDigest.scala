@@ -48,7 +48,15 @@ object PlanDigest {
     "q_seasonal", "q_ks",
     // validate's contract IS its plan shape: all scalar rules in ONE
     // scan (an accidental per-rule rescan would multiply corpus cost)
-    "q_validate")
+    "q_validate",
+    // session-4: the new declarative families. asof_nearest's contract
+    // is ONE WindowExec (backward+forward as two frames of one node);
+    // resample/calibration pin the single-aggregate shapes; outliers
+    // pins its 3-scan + broadcast-join-back; fuzzy_linkage pins the
+    // bounded-block single-exchange pair machinery
+    "q_fuzzy_linkage", "q_attribution", "q_survival", "q_outliers",
+    "q_fd", "q_calibration", "q_interarrival", "q_transition_entropy",
+    "q_asof_nearest", "q_resample")
 
   val SnapshotPath = "tools/plan_digests.txt"
   val DefaultSfDir = "/root/testdata/sf0.001"

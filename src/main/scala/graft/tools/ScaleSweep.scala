@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Sampling, Similarity, SkewJoin, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Sampling, Similarity, SkewJoin, TextAnalysis}
 
 /** Scale-slope harness for the dedup/similarity family: runs each
   * operator at 1×/2×/5×/10× the sf0.1 corpus (10× ≈ the sf1 tier, which
@@ -430,6 +430,55 @@ object ScaleSweep {
       graft.operators.GraphOps.pageRankNano(big, "src", "dst", col("w"),
         iters = 3)
     })
+
+    // round-7 session-2 operators: fuzzy_linkage (blocked JW pairs —
+    // ciphered copies grow the name dictionary AND block space linearly,
+    // per-block size stays put, so the bounded-pair machinery's slope is
+    // what's under test), interarrival (one key window + |types| agg),
+    // attribution (key window + refinement window, both user-keyed),
+    // survival (corpus collapses to the per-user life table, then
+    // model-sized windows), outliers (three |groups|-sized aggregates +
+    // broadcast join-backs — the 3-scan cost model), calibration (ONE
+    // map-side-combined aggregate to <= bins rows), fd (per-pair
+    // lhs-keyed aggregates; event_id's cardinality scales with data)
+    sweep("fuzzy_linkage")(k => Dedup.fuzzyLinkage(
+      docsAt(k).select(col("doc_id"), substring(col("text"), 1, 24).as("nm")),
+      "doc_id", "nm", substring(col("nm"), 1, 4), threshold = 0.85))
+    sweep("interarrival")(k => WindowOps.interArrivalStats(evAt(k),
+      Seq("user_id"), Seq("ts", "event_id"), "event_type", "ts"))
+    sweep("attribution")(k => WindowOps.attribution(evAt(k),
+      Seq("user_id"), Seq("ts", "event_id"), "event_type", "purchase"))
+    sweep("survival")(k => {
+      val life = evAt(k).groupBy("user_id")
+        .agg(min("ts").as("f"), max("ts").as("l"))
+      val h = life.agg(max("l").as("__h"))
+      WindowOps.kaplanMeier(life.crossJoin(broadcast(h))
+        .select(expr("(l - f) DIV 3600000000000").as("t"),
+          when(col("__h") - col("l") >= 86400000000000L, 1L)
+            .otherwise(0L).as("ev")), "t", "ev")
+    })
+    sweep("outliers")(k => graft.operators.Profile.robustOutliers(
+      evAt(k), Seq("event_type"), "value", k = 3.0))
+    sweep("calibration")(k => graft.operators.Profile.calibrationReport(
+      evAt(k).select(((col("event_id") % 1000).cast("double") / 1000.0)
+          .as("score"), (col("value") > 250.0).as("label")),
+      "score", "label", bins = 10))
+    sweep("fd")(k => graft.operators.Profile.functionalDeps(evAt(k),
+      Seq(("event_id", "user_id"), ("user_id", "event_type"))))
+    // asof_nearest: both sides scale; ONE key shuffle + shared-sort
+    // window frames. resample: one SortAggregate exchange collapsing to
+    // |types × hours| bars regardless of row count
+    sweep("asof_nearest")(k => {
+      val e = evAt(k)
+      AsOfJoin.asof(e.where(col("event_type") === "click"),
+        e.where(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("value").as("value")),
+        Seq("user_id"), "ts", "ts", Seq("value"), direction = "nearest",
+        tolerance = Some(3600L * 1000000000L))
+    })
+    sweep("resample")(k => WindowOps.resampleOhlc(evAt(k),
+      Seq("event_type"), "ts", "value", period = 3600L * 1000000000L,
+      tieBreak = Seq("event_id")))
 
     def renderMap(m: scala.collection.Map[String, Seq[Double]]): String =
       m.map { case (k, v) =>

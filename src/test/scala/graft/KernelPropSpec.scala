@@ -115,4 +115,59 @@ class KernelPropSpec extends AnyFunSuite {
     assert(bad.count() == 0, "kernel/regex divergence: " +
       bad.take(3).map(_.toString).mkString("; "))
   }
+
+  test("JaroWinkler kernel invariants on random string pairs") {
+    // independent scalar reference (textbook formulation, collections
+    // instead of the kernel's scratch arrays) + structural invariants
+    def refJaro(a: String, b: String): Double = {
+      if (a.isEmpty || b.isEmpty) return 0.0
+      val window = math.max(math.max(a.length, b.length) / 2 - 1, 0)
+      val bUsed = collection.mutable.Set.empty[Int]
+      val pairs = a.zipWithIndex.flatMap { case (c, i) =>
+        ((i - window) to (i + window))
+          .find(j => j >= 0 && j < b.length && !bUsed(j) && b(j) == c)
+          .map { j => bUsed += j; (i, j) }
+      }
+      if (pairs.isEmpty) return 0.0
+      val m = pairs.size.toDouble
+      // both sequences ordered by their own index; count misaligned chars
+      val t = pairs.map(_._1).map(a(_))
+        .zip(pairs.sortBy(_._2).map(_._2).map(b(_)))
+        .count { case (x, y) => x != y } / 2
+      (m / a.length + m / b.length + (m - t) / m) / 3.0
+    }
+    def refJw(a: String, b: String): Double = {
+      val j = refJaro(a, b)
+      if (j <= 0.7) j
+      else {
+        val l = a.zip(b).take(4).takeWhile { case (x, y) => x == y }.size
+        j + l * 0.1 * (1.0 - j)
+      }
+    }
+    val strGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c', 'd', 'ü', '日')))
+    val pairs = (0 until 400).flatMap { i =>
+      for {
+        a <- strGen(Gen.Parameters.default, Seed(31L + i))
+        b <- strGen(Gen.Parameters.default, Seed(1031L + i))
+      } yield (a, b)
+    } ++ Seq(("", ""), ("a", ""), ("abc", "abc"), ("ab", "ba"))
+    val df = pairs.toDF("a", "b")
+    val got = df.select(col("a"), col("b"),
+        graft.functions.JaroWinkler.jaro(col("a"), col("b")).as("j"),
+        graft.functions.JaroWinkler.jaro(col("b"), col("a")).as("js"),
+        graft.functions.JaroWinkler.jaroWinkler(col("a"), col("b")).as("w"))
+      .collect()
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (j, js, w) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(j - refJaro(a, b)) < 1e-12, s"jaro('$a','$b')")
+      assert(j == js, s"symmetry('$a','$b')")
+      assert(j >= 0.0 && j <= 1.0 && w >= 0.0 && w <= 1.0, s"bounds('$a','$b')")
+      assert(w >= j, s"winkler >= jaro ('$a','$b')")
+      if (j <= 0.7) assert(w == j, s"no boost below 0.7 ('$a','$b')")
+      if (a.nonEmpty && a == b) assert(j == 1.0 && w == 1.0)
+      assert(math.abs(w - refJw(a, b)) < 1e-12, s"jw('$a','$b')")
+    }
+  }
 }

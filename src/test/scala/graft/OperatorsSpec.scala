@@ -634,6 +634,58 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("c") == null)  // no right row at/before 5
   }
 
+  test("asof forward/nearest directions and tolerance (merge_asof parity)") {
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 13L, "m"), (2L, 5L, "c"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 50L, 500.0))
+      .toDF("k", "rt", "v")
+    def run(dirn: String, tol: Option[Long] = None) =
+      AsOfJoin.asof(l, r, Seq("k"), "t", "rt", Seq("v"), direction = dirn,
+          tolerance = tol)
+        .select(col("tag"), col("v_asof")).collect()
+        .map(row => row.getString(0) -> row.get(1)).toMap
+    val fwd = run("forward")
+    assert(fwd("a") == 100.0) // equal t inclusive in forward too
+    assert(fwd("b") == null)  // nothing at/after 20
+    assert(fwd("m") == 150.0) // earliest at/after 13
+    assert(fwd("c") == 500.0)
+    val near = run("nearest")
+    assert(near("a") == 100.0)
+    assert(near("b") == 150.0) // only backward exists
+    assert(near("m") == 150.0) // |13-15| = 2 < |13-10| = 3
+    assert(near("c") == 500.0) // only forward exists
+    // tie at equal distance resolves backward (pandas' rule)
+    val tie = AsOfJoin.asof(
+      Seq((1L, 12L, "x")).toDF("k", "t", "tag"), r, Seq("k"), "t", "rt",
+      Seq("v"), direction = "nearest")
+      .select(col("v_asof")).collect()(0).getDouble(0)
+    assert(tie == 100.0) // 12-10 == 15-12 -> backward wins
+    // tolerance voids far matches without disturbing close ones
+    val bounded = run("nearest", tol = Some(2L))
+    assert(bounded("m") == 150.0 && bounded("a") == 100.0)
+    assert(bounded("b") == null) // |20-15| = 5 > 2
+  }
+
+  test("resampleOhlc: deterministic open/close via tiebreak, one bar per bucket") {
+    val ev = Seq(("x", 0L, 1L, 5.0), ("x", 5L, 2L, 9.0), ("x", 9L, 3L, 2.0),
+                 ("x", 12L, 4L, 7.0), ("y", 3L, 5L, 1.0))
+      .toDF("typ", "t", "id", "v")
+    val got = WindowOps.resampleOhlc(ev, Seq("typ"), "t", "v", period = 10L,
+        tieBreak = Seq("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    assert(got(("x", 0L)) == ((3L, 5.0, 9.0, 2.0, 2.0))) // open=first, close=last
+    assert(got(("x", 1L)) == ((1L, 7.0, 7.0, 7.0, 7.0)))
+    assert(got(("y", 0L)) == ((1L, 1.0, 1.0, 1.0, 1.0)))
+    // equal-ts rows: the tiebreak id decides open/close deterministically
+    val dup = Seq(("z", 1L, 1L, 10.0), ("z", 1L, 2L, 20.0))
+      .toDF("typ", "t", "id", "v")
+    val bar = WindowOps.resampleOhlc(dup, Seq("typ"), "t", "v", 10L, Seq("id"))
+      .collect()(0)
+    assert(bar.getDouble(3) == 10.0 && bar.getDouble(6) == 20.0)
+  }
+
   test("bucketed join is shuffle-free and matches the plain join") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
