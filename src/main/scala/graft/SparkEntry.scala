@@ -1858,6 +1858,38 @@ object SparkEntry {
         .orderBy("event_type", "bucket")
     }),
 
+    // streaming OHLC bars at ingest: the resample aggregate as a
+    // watermarked stateful windowed aggregate — state is one buffer per
+    // live (window, type), pruned by the watermark
+    "q_stream_ohlc" -> ((s, dir) => {
+      val out = s"stream_ohlc_${System.nanoTime()}"
+      val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      val agg = GraftStreaming.ohlcStream(stream,
+        watermark = "1 hour", window_ = "1 hour")
+      val q = GraftStreaming.runToMemory(agg, out, outputMode = "complete")
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
+      s.table(out)
+        .select(col("window.start").cast("long").as("win_start"),
+          col("event_type"), col("n"),
+          round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+          round(col("low"), 6).as("low"), round(col("close"), 6).as("close"))
+        .orderBy("win_start", "event_type")
+    }),
+
+    // entity resolution end-to-end: fuzzy-linkage pairs -> connected
+    // components -> one entity label per linked record (min-id labels,
+    // the same CC machinery as duplicate clustering)
+    "q_entities" -> ((s, dir) => {
+      val names = table(s, dir, "part")
+        .groupBy("p_name").agg(min("p_partkey").as("id"))
+      val pairs = Dedup.fuzzyLinkage(names, "id", "p_name",
+        split(col("p_name"), " ").getItem(0), threshold = 0.85)
+      Dedup.duplicateClusters(
+          pairs.select(col("id_a").as("id_l"), col("id_b").as("id_r")),
+          "id_l", "id_r")
+        .orderBy("node")
+    }),
+
     // pandas conveniences: isin/between masks + str accessor
     "q_isin_str" -> ((s, dir) => {
       val li = lineitem(s, dir)
@@ -4376,6 +4408,35 @@ object SparkEntry {
         |  round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close
         |FROM b GROUP BY event_type, bucket
         |ORDER BY event_type, bucket""".stripMargin,
+    "q_stream_ohlc" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS tsu, event_id, value
+        |  FROM events),
+        |b AS (SELECT event_type, tsu // 3600000000 AS hb, value,
+        |  row_number() OVER (PARTITION BY event_type, tsu // 3600000000
+        |    ORDER BY tsu, event_id) AS rn_a,
+        |  row_number() OVER (PARTITION BY event_type, tsu // 3600000000
+        |    ORDER BY tsu DESC, event_id DESC) AS rn_d FROM e)
+        |SELECT hb * 3600 AS win_start, event_type, count(*) AS n,
+        |  round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+        |  round(max(value), 6) AS high, round(min(value), 6) AS low,
+        |  round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close
+        |FROM b GROUP BY event_type, hb
+        |ORDER BY win_start, event_type""".stripMargin,
+    "q_entities" ->
+      """WITH RECURSIVE names AS (SELECT p_name AS name,
+        |  min(p_partkey) AS id FROM part GROUP BY 1),
+        |p AS (SELECT id, name, split_part(name, ' ', 1) AS blk FROM names),
+        |halfedges AS (SELECT a.id AS src, b.id AS dst
+        |  FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE jaro_winkler_similarity(a.name, b.name) >= 0.85),
+        |edges AS (SELECT src, dst FROM halfedges
+        |  UNION ALL SELECT dst, src FROM halfedges),
+        |reach AS (
+        |  SELECT DISTINCT src AS node, src AS label FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+        |SELECT node, min(label) AS label FROM reach
+        |GROUP BY node ORDER BY node""".stripMargin,
     "q_isin_str" ->
       """SELECT l_orderkey, l_linenumber,
         | l_returnflag IN ('R','A') AS flag_in,

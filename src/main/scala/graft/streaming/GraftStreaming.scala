@@ -84,6 +84,27 @@ object GraftStreaming {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
 
+  /** Streaming OHLC bars: per (event-time window, type), open/high/low/
+    * close + count at ingest — [[graft.operators.WindowOps.resampleOhlc]]
+    * as a watermarked stateful aggregate, so the tick stream compacts to
+    * chartable bars as it lands instead of via a batch rescan.
+    *
+    * open/close are `min_by`/`max_by` on the (ts, event_id) struct —
+    * the same deterministic tiebreak as the batch twin (parity spec'd).
+    * State is one aggregate buffer per live (window, type): a handful
+    * of doubles plus the two tiebreak structs, pruned by the watermark
+    * — never a row buffer. */
+  def ohlcStream(events: DataFrame, watermark: String = "1 hour",
+                 window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
+
   /** Stream-static enrichment: join each streaming event to a STATIC
     * dimension table (no state at all — the dimension broadcasts and
     * every micro-batch joins map-side; the third Structured Streaming

@@ -157,6 +157,34 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(out.count() == expected)
   }
 
+  test("streaming OHLC bars ≡ batch resampleOhlc on the same drop") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ohlc").toString
+    spark.read.parquet(s"$dir/events.parquet").limit(500)
+      .write.mode("overwrite").parquet(tmp)
+    val stream = GraftStreaming.readEvents(spark, tmp)
+    val agg = GraftStreaming.ohlcStream(stream,
+      watermark = "1 hour", window_ = "1 hour")
+    val q = GraftStreaming.runToMemory(agg, "ohlc_out", outputMode = "complete")
+    assert(q.awaitTermination(60000), "stream did not finish")
+    val got = spark.table("ohlc_out")
+      .select(col("window.start").cast("long").as("b"), col("event_type"),
+        col("n"), col("open"), col("high"), col("low"), col("close"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    // batch twin: event_time is second-truncated ts, hourly buckets ->
+    // bucket ordinal × 3600 = the window start in epoch seconds
+    val batch = graft.operators.WindowOps.resampleOhlc(
+      GraftStreaming.normalizeTs(spark.read.parquet(tmp)),
+      Seq("event_type"), "event_time", "value", period = 3600000000L,
+      tieBreak = Seq("ts", "event_id"))
+      .collect().map(r => (r.getLong(1) * 3600L, r.getString(0)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    assert(got == batch, "stream/batch OHLC divergence")
+    assert(got.nonEmpty)
+  }
+
   test("streaming: stateful sessionization emits closed sessions") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream3").toString
     spark.read.parquet(s"$dir/events.parquet").limit(300)
