@@ -115,30 +115,51 @@ object Profile {
     * columns are safe normalization keys, which "id" columns are lying,
     * and where a denormalized feed drifted.
     *
-    * Per pair: ONE groupBy on the lhs values (map-side combined, shuffle
-    * bounded by lhs cardinality) counting distinct rhs per group, then a
-    * 1-row summary — n_groups, how many groups violate (>1 distinct
-    * rhs), the worst fan-out, and the verdict. Pairs are independent
-    * aggregates unioned together; nulls follow SQL semantics (a null
-    * lhs is its own group, null rhs values don't count as witnesses).
+    * Pairs FUSE by their lhs: every pair sharing a determinant runs in
+    * ONE groupBy on that lhs (map-side combined, shuffle bounded by lhs
+    * cardinality) counting distinct rhs for ALL its dependents at once,
+    * then one 1-row summary per pair — n_groups, how many groups violate
+    * (>1 distinct rhs), the worst fan-out, and the verdict. Distinct
+    * determinants are independent aggregates unioned together; nulls
+    * follow SQL semantics (a null lhs is its own group, null rhs values
+    * don't count as witnesses).
     *
-    * At 100 TB this is |pairs| scans — candidate pairs are a
-    * schema-sized, human-chosen list, not an O(cols²) sweep; for the
-    * exhaustive version run this over a sampled partition first.
+    * At 100 TB this is |distinct lhs columns| scans — checking one key
+    * column against k dependents costs ONE pass, and candidate pairs
+    * are a schema-sized, human-chosen list, not an O(cols²) sweep; for
+    * the exhaustive version run this over a sampled partition first.
     *
-    * @return one row per pair: (lhs, rhs, n_groups, n_violations,
-    *         max_fanout, holds). */
+    * @return one row per pair IN INPUT ORDER: (lhs, rhs, n_groups,
+    *         n_violations, max_fanout, holds). */
   def functionalDeps(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
     require(pairs.nonEmpty, "functionalDeps needs at least one (lhs, rhs) pair")
-    pairs.map { case (a, b) =>
-      df.groupBy(col(a))
-        .agg(countDistinct(col(b)).as("__k"))
-        .agg(count(lit(1)).as("n_groups"),
-          sum(when(col("__k") > 1, 1L).otherwise(0L)).as("n_violations"),
-          max(col("__k")).as("max_fanout"))
-        .select(lit(a).as("lhs"), lit(b).as("rhs"), col("n_groups"),
-          col("n_violations"), col("max_fanout"),
-          (col("n_violations") === 0).as("holds"))
+    // stable grouping: determinants in first-appearance order, each
+    // dependent list in input order, so the output row order is the
+    // caller's pair order (grouped by lhs)
+    val byLhs = pairs.map(_._1).distinct.map(a =>
+      a -> pairs.collect { case (`a`, b) => b })
+    byLhs.map { case (a, bs) =>
+      val grouped = df.groupBy(col(a))
+        .agg(countDistinct(col(bs.head)).as(s"__k0"),
+          bs.tail.zipWithIndex.map { case (b, i) =>
+            countDistinct(col(b)).as(s"__k${i + 1}") }: _*)
+      val summary = grouped.agg(
+        count(lit(1)).as("n_groups"),
+        bs.indices.flatMap { i =>
+          Seq(sum(when(col(s"__k$i") > 1, 1L).otherwise(0L))
+              .as(s"__v$i"),
+            max(col(s"__k$i")).as(s"__f$i"))
+        }: _*)
+      // one row per dependent via explode over the single summary row —
+      // a union of per-pair selects would DUPLICATE the aggregate
+      // subtree (scan included) once per dependent
+      summary.select(explode(array(bs.zipWithIndex.map { case (b, i) =>
+          struct(lit(a).as("lhs"), lit(b).as("rhs"), col("n_groups"),
+            col(s"__v$i").as("n_violations"),
+            col(s"__f$i").as("max_fanout"),
+            (col(s"__v$i") === 0).as("holds"))
+        }: _*)).as("__r"))
+        .select("__r.*")
     }.reduce(_ unionAll _)
   }
 

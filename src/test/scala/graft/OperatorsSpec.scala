@@ -1826,6 +1826,23 @@ class OperatorsSpec extends AnyFunSuite {
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
     assert(got(("k", "v")) == ((3L, 0L, 1L, true)))   // k -> v holds
     assert(got(("k", "w")) == ((3L, 1L, 2L, false)))  // a maps to {p, q}
+    // mixed determinants keep input-order rows grouped by lhs
+    val rows = Profile.functionalDeps(df, Seq(("k", "v"), ("v", "k"), ("k", "w")))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("k", "v"), ("k", "w"), ("v", "k")))
+    // shared-lhs pairs FUSE: 2 dependents of one determinant = ONE scan
+    // (AQE off so the pre-execution plan exposes the scan nodes)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val scans = Profile.functionalDeps(ev,
+          Seq(("user_id", "event_type"), ("user_id", "value")))
+        .queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }
+      assert(scans.size == 1, s"expected 1 fused scan, got ${scans.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("latestByKey keeps the newest version per key") {
