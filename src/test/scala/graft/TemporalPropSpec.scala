@@ -138,4 +138,90 @@ class TemporalPropSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("attribution ≡ brute-force journey credit; linear mass ≈ credited journeys") {
+    cases(6).foreach { rows =>
+      val df = rows.toDF("k", "t", "v", "e")
+      for (model <- Seq("first", "last", "linear")) {
+        val got = WindowOps.attribution(df, Seq("k"), Seq("t"), "e", "a", model)
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+          .toMap
+        // brute force: per key, walk in t order, cut journeys at "a"
+        val credits = collection.mutable.Map.empty[String, (Long, Long)]
+        var journeys = 0
+        rows.groupBy(_._1).values.foreach { ks =>
+          var touches = List.empty[String]
+          ks.sortBy(_._2).foreach { case (_, _, _, e) =>
+            if (e == "a") {
+              if (touches.nonEmpty) {
+                journeys += 1
+                val per = model match {
+                  case "linear" => touches.map(_ -> math.round(1e9 / touches.size))
+                  case "first"  => List(touches.head -> 1000000000L)
+                  case "last"   => List(touches.last -> 1000000000L)
+                }
+                per.foreach { case (e2, cn) =>
+                  val (n0, c0) = credits.getOrElse(e2, (0L, 0L))
+                  credits(e2) = (n0 + 1, c0 + cn)
+                }
+              }
+              touches = Nil
+            } else touches = touches :+ e
+          }
+        }
+        val want = credits.view.mapValues { case (n, cn) => (n, cn / 1e9) }.toMap
+        assert(got.keySet == want.keySet, s"$model key sets")
+        got.foreach { case (e, (n, c)) =>
+          assert(n == want(e)._1 && math.abs(c - want(e)._2) < 1e-9,
+            s"$model credit for $e")
+        }
+        // conservation: each credited journey distributes ~1.0 total
+        val total = got.values.map(_._2).sum
+        assert(math.abs(total - journeys) < 1e-6 * math.max(1, journeys),
+          s"$model total credit $total vs $journeys journeys")
+      }
+    }
+  }
+
+  test("kaplanMeier ≡ brute-force product-limit on random censored cohorts") {
+    val cohort: Gen[List[(Long, Int)]] = for {
+      n <- Gen.choose(1, 30)
+      rows <- Gen.listOfN(n, for {
+        d <- Gen.choose(0L, 8L)
+        e <- Gen.oneOf(0, 1)
+      } yield (d, e))
+    } yield rows
+    (0 until 8).flatMap(i => cohort(Gen.Parameters.default, Seed(97L + i)))
+      .foreach { rows =>
+        val got = WindowOps.kaplanMeier(rows.toDF("d", "e"), "d", "e")
+          .collect().map(r => r.getLong(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+          .toMap
+        // brute force over sorted distinct durations
+        var s = 1.0
+        var expected = Map.empty[Long, (Long, Long, Long, Double)]
+        val total = rows.size.toLong
+        var removed = 0L
+        rows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (t, grp) =>
+          val d = grp.count(_._2 == 1).toLong
+          val c = grp.size - d
+          val r = total - removed
+          if (d > 0) { // censored-only times shrink the risk set, no row
+            s = if (d == r) 0.0 else s * (1.0 - d.toDouble / r)
+            expected += t -> (r, d, c, s)
+          }
+          removed += grp.size
+        }
+        assert(got.keySet == expected.keySet)
+        expected.foreach { case (t, (r, d, c, sv)) =>
+          val (gr, gd, gc, gs) = got(t)
+          assert(gr == r && gd == d && gc == c, s"life table at t=$t")
+          assert(math.abs(gs - sv) < 1e-9, s"survival at t=$t")
+          assert(gs >= -1e-12 && gs <= 1.0 + 1e-12)
+        }
+        // survival is non-increasing over event times
+        val curve = got.toSeq.sortBy(_._1).map(_._2._4)
+        assert(curve.zip(curve.drop(1)).forall { case (a, b) => b <= a + 1e-12 })
+      }
+  }
 }
