@@ -1833,15 +1833,18 @@ object SparkEntry {
 
     // merge_asof direction="nearest" with a 1h tolerance: backward and
     // forward candidates are two frames of ONE window node; the right
-    // side dedupes to one row per (user, ts) so the match is unique
+    // side dedupes to one row per (user, ts) so the match is unique.
+    // Runs on the µs time base (eventsMicros seam) — the oracle can
+    // only see µs (DuckDB truncates parquet ns timestamps), so ns-side
+    // distances/grouping would diverge on a ns-vintage drop
     "q_asof_nearest" -> ((s, dir) => {
-      val ev = table(s, dir, "events")
+      val ev = eventsMicros(s, dir)
       val clicks = ev.where(col("event_type") === "click")
       val purchases = ev.where(col("event_type") === "purchase")
-        .groupBy("user_id", "ts").agg(max("value").as("value"))
-      AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ts", "ts",
+        .groupBy("user_id", "tsu").agg(max("value").as("value"))
+      AsOfJoin.asof(clicks, purchases, Seq("user_id"), "tsu", "tsu",
           Seq("value"), direction = "nearest",
-          tolerance = Some(3600L * 1000000000L))
+          tolerance = Some(3600L * 1000000L))
         .select(col("event_id"),
           round(col("value_asof"), 6).as("value_near"))
         .orderBy("event_id")
@@ -4147,10 +4150,12 @@ object SparkEntry {
     "q_fuzzy_linkage" ->
       """WITH names AS (SELECT p_name AS name, min(p_partkey) AS id
         |  FROM part GROUP BY 1),
-        |p AS (SELECT id, name, split_part(name, ' ', 1) AS blk FROM names)
+        |p AS (SELECT id, name, split_part(name, ' ', 1) AS blk FROM names),
+        |ok AS (SELECT blk FROM p GROUP BY blk HAVING count(*) <= 10000)
         |SELECT a.id AS id_a, b.id AS id_b,
         |  round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
         |FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+        |JOIN ok ON ok.blk = a.blk
         |WHERE jaro_winkler_similarity(a.name, b.name) >= 0.85
         |ORDER BY id_a, id_b""".stripMargin,
     "q_minhash_pairs" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.5),
@@ -4426,8 +4431,10 @@ object SparkEntry {
       """WITH RECURSIVE names AS (SELECT p_name AS name,
         |  min(p_partkey) AS id FROM part GROUP BY 1),
         |p AS (SELECT id, name, split_part(name, ' ', 1) AS blk FROM names),
+        |ok AS (SELECT blk FROM p GROUP BY blk HAVING count(*) <= 10000),
         |halfedges AS (SELECT a.id AS src, b.id AS dst
         |  FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+        |  JOIN ok ON ok.blk = a.blk
         |  WHERE jaro_winkler_similarity(a.name, b.name) >= 0.85),
         |edges AS (SELECT src, dst FROM halfedges
         |  UNION ALL SELECT dst, src FROM halfedges),

@@ -119,12 +119,23 @@ object JaroWinkler {
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b), winkler = true))
 
   /** Builders behind the SQL surface — shared by [[register]] and
-    * [[graft.GraftExtensions]]. */
+    * [[graft.GraftExtensions]]; arity-checked like the other graft_*
+    * builders (a silently dropped third argument would return
+    * wrong-looking scores with no error). */
+  private def checked(exprs: Seq[Expression], name: String,
+                      winkler: Boolean): Expression = {
+    if (exprs.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+          s"$name(a, b) takes 2 arguments, got ${exprs.length}"))
+    new JaroWinkler(exprs(0), exprs(1), winkler)
+  }
+
   def jaroBuilder(exprs: Seq[Expression]): Expression =
-    new JaroWinkler(exprs(0), exprs(1), winkler = false)
+    checked(exprs, "graft_jaro", winkler = false)
 
   def jaroWinklerBuilder(exprs: Seq[Expression]): Expression =
-    new JaroWinkler(exprs(0), exprs(1), winkler = true)
+    checked(exprs, "graft_jaro_winkler", winkler = true)
 
   /** SQL registration: `SELECT graft_jaro(a, b), graft_jaro_winkler(a, b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

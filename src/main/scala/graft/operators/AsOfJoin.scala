@@ -33,7 +33,11 @@ object AsOfJoin {
 
   /** `rightVals` columns arrive as `<name><suffix>`; all left columns are
     * preserved. Right rows with equal timestamps match (inclusive) in
-    * every direction. `tolerance` is in the time column's own units. */
+    * every direction. A TIMESTAMP/TIMESTAMP_NTZ time column is
+    * normalized to epoch-µs internally (same seam as WindowOps), so
+    * `tolerance` is in MICROSECONDS for typed time columns and in the
+    * column's own units for numeric ones — distance arithmetic on a raw
+    * timestamp would yield an interval type a Long can't bound. */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String, rightVals: Seq[String],
            suffix: String = "_asof", direction: String = "backward",
@@ -42,16 +46,23 @@ object AsOfJoin {
     require(Set("backward", "forward", "nearest")(direction),
       s"direction must be backward|forward|nearest, got $direction")
     require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
+    def numericTime(df: DataFrame, c: String): Column =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(col(c).cast("timestamp"))
+        case _ => col(c)
+      }
     val leftData = left.columns.filterNot(keys.contains).toSeq
     val l2 = left.select(
       keys.map(col) ++
-        Seq(col(leftTime).as("__t"), lit(1).as("__is_l")) ++
+        Seq(numericTime(left, leftTime).as("__t"), lit(1).as("__is_l")) ++
         leftData.map(col) ++
         Seq(lit(null).cast("long").as("__tb")) ++
         rightVals.map(c => lit(null).as(c + suffix)): _*)
     val r2 = right.select(
       keys.map(col) ++
-        Seq(col(rightTime).as("__t"), lit(0).as("__is_l")) ++
+        Seq(numericTime(right, rightTime).as("__t"), lit(0).as("__is_l")) ++
         leftData.map(c => lit(null).as(c)) ++
         Seq((if (rightTieBreak.isEmpty) lit(0L)
              else hash(rightTieBreak.map(col): _*).cast("long")).as("__tb")) ++

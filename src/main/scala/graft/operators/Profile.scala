@@ -88,12 +88,17 @@ object Profile {
     * ≤ `bins` rows.
     *
     * @return (bin, n, confidence, accuracy, weighted_gap), bin ∈
-    *         [0, bins): floor(score·bins) clamped to bins−1 at 1.0. */
+    *         [0, bins): floor(score·bins) clamped into the edge bins
+    *         (1.0 → bins−1; out-of-range scores pin to 0 / bins−1). */
   def calibrationReport(df: DataFrame, scoreCol: String, labelCol: String,
                         bins: Int = 10): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
+    // clamp BOTH edges: score 1.0 folds into the top bin, and a stray
+    // out-of-range score (unclipped logit) pins to an edge bin instead
+    // of minting a bin -1 / bin > bins row that silently skews the ECE
     val binned = df.select(
-      least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("long").as("bin"),
+      greatest(least(floor(col(scoreCol) * bins), lit(bins - 1)), lit(0))
+        .cast("long").as("bin"),
       round(col(scoreCol) * 1e9).cast("long").as("__s9"),
       col(labelCol).cast("boolean").cast("int").cast("long").as("__y"))
     val agg = binned.groupBy("bin")

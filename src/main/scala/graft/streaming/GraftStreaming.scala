@@ -89,21 +89,30 @@ object GraftStreaming {
     * as a watermarked stateful aggregate, so the tick stream compacts to
     * chartable bars as it lands instead of via a batch rescan.
     *
-    * open/close are `min_by`/`max_by` on the (ts, event_id) struct —
-    * the same deterministic tiebreak as the batch twin (parity spec'd).
-    * State is one aggregate buffer per live (window, type): a handful
-    * of doubles plus the two tiebreak structs, pruned by the watermark
-    * — never a row buffer. */
+    * open/close are `min_by`/`max_by` on the (µs ts, event_id) struct —
+    * the tiebreak runs on the MICROSECOND base because the oracle
+    * engine only sees µs (DuckDB truncates parquet ns timestamps), so
+    * a ns-base ordering could pick a different same-µs event than the
+    * oracle (parity spec'd against the batch twin on the same base).
+    * State is one aggregate buffer per (window, type): a handful of
+    * doubles plus the two tiebreak structs, never a row buffer. The
+    * watermark prunes state in update/append output modes — the
+    * production posture for an unbounded stream; COMPLETE mode (the
+    * deterministic-full-output choice of the demo query) retains every
+    * window's buffer by definition, bounded by |windows × types| of
+    * the replayed corpus, not by the watermark. */
   def ohlcStream(events: DataFrame, watermark: String = "1 hour",
-                 window_ : String = "1 hour"): DataFrame =
+                 window_ : String = "1 hour"): DataFrame = {
+    val tsu = call_function("div", col("ts"), lit(1000L))
     events
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        min_by(col("value"), struct(tsu, col("event_id"))).as("open"),
         max("value").as("high"),
         min("value").as("low"),
-        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
+        max_by(col("value"), struct(tsu, col("event_id"))).as("close"))
+  }
 
   /** Stream-static enrichment: join each streaming event to a STATIC
     * dimension table (no state at all — the dimension broadcasts and

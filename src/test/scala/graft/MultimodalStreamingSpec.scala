@@ -173,11 +173,13 @@ class MultimodalStreamingSpec extends AnyFunSuite {
         (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
           r.getDouble(6))).toMap
     // batch twin: event_time is second-truncated ts, hourly buckets ->
-    // bucket ordinal × 3600 = the window start in epoch seconds
+    // bucket ordinal × 3600 = the window start in epoch seconds; the
+    // tiebreak runs on the same µs base as the stream side
     val batch = graft.operators.WindowOps.resampleOhlc(
-      GraftStreaming.normalizeTs(spark.read.parquet(tmp)),
+      GraftStreaming.normalizeTs(spark.read.parquet(tmp))
+        .withColumn("tsu", expr("ts DIV 1000")),
       Seq("event_type"), "event_time", "value", period = 3600000000L,
-      tieBreak = Seq("ts", "event_id"))
+      tieBreak = Seq("tsu", "event_id"))
       .collect().map(r => (r.getLong(1) * 3600L, r.getString(0)) ->
         (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
           r.getDouble(6))).toMap

@@ -664,6 +664,15 @@ class OperatorsSpec extends AnyFunSuite {
     val bounded = run("nearest", tol = Some(2L))
     assert(bounded("m") == 150.0 && bounded("a") == 100.0)
     assert(bounded("b") == null) // |20-15| = 5 > 2
+    // TIMESTAMP time columns: normalized to epoch-µs internally, so a
+    // Long tolerance (µs) binds instead of failing interval analysis
+    val lt = l.withColumn("t", timestamp_seconds(col("t")))
+    val rt = r.withColumn("rt", timestamp_seconds(col("rt")))
+    val ts = AsOfJoin.asof(lt, rt, Seq("k"), "t", "rt", Seq("v"),
+        direction = "nearest", tolerance = Some(2000000L)) // 2 s in µs
+      .select(col("tag"), col("v_asof")).collect()
+      .map(row => row.getString(0) -> row.get(1)).toMap
+    assert(ts("m") == 150.0 && ts("a") == 100.0 && ts("b") == null)
   }
 
   test("resampleOhlc: deterministic open/close via tiebreak, one bar per bucket") {
@@ -1774,11 +1783,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows(1L) == ((2L, 0.15, 0.5, 0.175)))
     assert(rows(9L) == ((1L, 0.95, 1.0, 0.0125)))
     assert(rows.size == 3)
-    // bin edge: score 1.0 clamps into the top bin, not bins
+    // bin edges: score 1.0 clamps into the top bin, not bins; an
+    // out-of-range score pins to an edge bin instead of minting bin -1
     val edge = Profile.calibrationReport(
-      Seq((1.0, true)).toDF("score", "label"), "score", "label", 10)
-      .collect()(0)
-    assert(edge.getLong(0) == 9L)
+      Seq((1.0, true), (-0.05, false), (1.7, true)).toDF("score", "label"),
+      "score", "label", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(edge == Map(9L -> 2L, 0L -> 1L))
   }
 
   test("attribution: journeys close at conversions, credit by model") {
