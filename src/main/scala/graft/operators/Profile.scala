@@ -148,12 +148,15 @@ object Profile {
         .agg(countDistinct(col(bs.head)).as(s"__k0"),
           bs.tail.zipWithIndex.map { case (b, i) =>
             countDistinct(col(b)).as(s"__k${i + 1}") }: _*)
+      // coalesce: on an EMPTY relation the group-less aggregate still
+      // emits one row, and sum/max are NULL — report 0 violations over
+      // 0 groups (the dependency vacuously holds), not NULLs
       val summary = grouped.agg(
         count(lit(1)).as("n_groups"),
         bs.indices.flatMap { i =>
-          Seq(sum(when(col(s"__k$i") > 1, 1L).otherwise(0L))
-              .as(s"__v$i"),
-            max(col(s"__k$i")).as(s"__f$i"))
+          Seq(coalesce(sum(when(col(s"__k$i") > 1, 1L).otherwise(0L)),
+              lit(0L)).as(s"__v$i"),
+            coalesce(max(col(s"__k$i")), lit(0L)).as(s"__f$i"))
         }: _*)
       // one row per dependent via explode over the single summary row —
       // a union of per-pair selects would DUPLICATE the aggregate
@@ -174,10 +177,10 @@ object Profile {
                               pairs: Seq[(String, String)]): String =
     pairs.map { case (a, b) =>
       s"""SELECT '$a' AS lhs, '$b' AS rhs, count(*) AS n_groups,
-         |  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_violations,
-         |  max(k) AS max_fanout,
-         |  sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0 AS holds
+         |  CAST(coalesce(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_violations,
+         |  coalesce(max(k), 0) AS max_fanout,
+         |  coalesce(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END), 0) = 0 AS holds
          |FROM (SELECT count(DISTINCT $b) AS k FROM $relation GROUP BY $a)"""
         .stripMargin
     }.mkString("", "\nUNION ALL\n", "")

@@ -94,4 +94,47 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(graft.operators.Dedup.exactText(noDocs, "text", "doc_id").count() == 0)
     assert(graft.operators.TextAnalysis.tfidf(noDocs, "doc_id", "text", 0).count() == 0)
   }
+
+  test("session-4 operators on degenerate inputs") {
+    import graft.operators.{Dedup, Profile, WindowOps}
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val noEv = Seq.empty[(Long, Long, Double, String)].toDF("k", "t", "v", "e")
+    // attribution: no rows, and rows with zero conversions -> empty
+    assert(WindowOps.attribution(noEv, Seq("k"), Seq("t"), "e", "buy")
+      .count() == 0)
+    val noConv = Seq((1L, 1L, 0.0, "view"), (1L, 2L, 0.0, "click"))
+      .toDF("k", "t", "v", "e")
+    assert(WindowOps.attribution(noConv, Seq("k"), Seq("t"), "e", "buy")
+      .count() == 0)
+    // conversion with no preceding touches credits nothing
+    val bare = Seq((1L, 1L, 0.0, "buy")).toDF("k", "t", "v", "e")
+    assert(WindowOps.attribution(bare, Seq("k"), Seq("t"), "e", "buy")
+      .count() == 0)
+    // kaplanMeier: empty input and all-censored cohorts emit no rows
+    assert(WindowOps.kaplanMeier(
+      Seq.empty[(Long, Int)].toDF("d", "ev"), "d", "ev").count() == 0)
+    assert(WindowOps.kaplanMeier(
+      Seq((3L, 0), (5L, 0)).toDF("d", "ev"), "d", "ev").count() == 0)
+    // resample: empty input -> no bars; single row -> open=close=high=low
+    assert(WindowOps.resampleOhlc(noEv, Seq("e"), "t", "v", 10L).count() == 0)
+    val one = WindowOps.resampleOhlc(
+      Seq(("x", 7L, 42.5)).toDF("e", "t", "v"), Seq("e"), "t", "v", 10L)
+      .collect()(0)
+    assert(one.getDouble(3) == 42.5 && one.getDouble(4) == 42.5 &&
+      one.getDouble(5) == 42.5 && one.getDouble(6) == 42.5)
+    // functionalDeps: empty table -> zero groups, dependency holds
+    val fd = Profile.functionalDeps(noEv, Seq(("k", "e"))).collect()(0)
+    assert(fd.getLong(2) == 0L && fd.getBoolean(5))
+    // fuzzyLinkage: empty and all-null-block inputs emit no pairs
+    val noNames = Seq.empty[(Long, String)].toDF("id", "nm")
+    assert(Dedup.fuzzyLinkage(noNames, "id", "nm", col("nm")).count() == 0)
+    val nullBlk = Seq((1L, "a"), (2L, "b")).toDF("id", "nm")
+    assert(Dedup.fuzzyLinkage(nullBlk, "id", "nm",
+      lit(null).cast("string")).count() == 0)
+    // calibration: empty input -> no bins (no divide-by-zero row)
+    assert(Profile.calibrationReport(
+      Seq.empty[(Double, Boolean)].toDF("score", "label"),
+      "score", "label").count() == 0)
+  }
 }
