@@ -1995,6 +1995,25 @@ object SparkEntry {
         .orderBy("user_id", "s")
     }),
 
+    // interval-OVERLAP join: 30-minute purchase spans × error spans per
+    // user — bucketized equi-join, each true pair kept once in its
+    // overlap-start bucket (no DISTINCT exchange in the plan)
+    "q_interval_join" -> ((s, dir) => {
+      val halfHour = 1800000000L
+      val ev = eventsMicros(s, dir)
+      def spans(t: String, idAs: String, sAs: String, eAs: String) =
+        ev.where(col("event_type") === t)
+          .select(col("user_id"), col("event_id").as(idAs),
+            col("tsu").as(sAs), (col("tsu") + halfHour).as(eAs))
+      RangeJoin.intervalOverlap(
+          spans("purchase", "id_a", "s_a", "e_a"),
+          spans("error", "id_b", "s_b", "e_b"),
+          Seq("user_id"), "s_a", "e_a", "s_b", "e_b",
+          bucketWidth = halfHour)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // extension: pivoted per-user event-type counts
     "q_pivot" -> ((s, dir) => {
       val ev = DataFrame.fromParquet(s, s"$dir/events.parquet",
@@ -4504,6 +4523,16 @@ object SparkEntry {
         |FROM events e JOIN iv
         |  ON e.user_id = iv.user_id AND epoch_ns(e.ts) BETWEEN iv.s AND iv.e
         |GROUP BY e.user_id, iv.s ORDER BY e.user_id, iv.s""".stripMargin,
+    "q_interval_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
+        |  FROM events),
+        |a AS (SELECT user_id, event_id AS id_a, tsu AS s_a,
+        |  tsu + 1800000000 AS e_a FROM e WHERE event_type = 'purchase'),
+        |b AS (SELECT user_id, event_id AS id_b, tsu AS s_b,
+        |  tsu + 1800000000 AS e_b FROM e WHERE event_type = 'error')
+        |SELECT id_a, id_b FROM a JOIN b USING (user_id)
+        |WHERE s_a <= e_b AND s_b <= e_a
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         | count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -33,4 +33,38 @@ object RangeJoin {
       .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-OVERLAP join (closed intervals): all (left, right) pairs
+    * with `lStart <= rEnd && rStart <= lEnd`, per key — the session ×
+    * outage / span-conflict shape that point-in-interval can't express.
+    *
+    * Same bucketization as [[pointInInterval]]: BOTH sides explode to
+    * the buckets they cover and the join is an equi-join on (key,
+    * bucket) with the exact overlap predicate as a residual filter.
+    * A pair overlapping across several shared buckets would match once
+    * per bucket; instead of a dedup shuffle, each pair is kept ONLY in
+    * the bucket containing the overlap's start, max(lStart, rStart) —
+    * that bucket is covered by both intervals whenever they overlap, so
+    * every true pair survives exactly once and no DISTINCT exchange
+    * exists in the plan. Work is true-match density × granularity;
+    * `bucketWidth` should be on the order of the typical interval
+    * length (too fine multiplies the explode, too coarse multiplies
+    * residual comparisons). */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      lStart: String, lEnd: String,
+                      rStart: String, rEnd: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0)
+    val l = left.withColumn("__bucket",
+      explode(sequence(longDiv(lStart, bucketWidth),
+        longDiv(lEnd, bucketWidth))))
+    val r = right.withColumn("__bucket",
+      explode(sequence(longDiv(rStart, bucketWidth),
+        longDiv(rEnd, bucketWidth))))
+    l.join(r, keys :+ "__bucket")
+      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__bucket") ===
+          expr(s"greatest(`$lStart`, `$rStart`) DIV ${bucketWidth}L"))
+      .drop("__bucket")
+  }
 }

@@ -56,7 +56,10 @@ object PlanDigest {
     // bounded-block single-exchange pair machinery
     "q_fuzzy_linkage", "q_attribution", "q_survival", "q_outliers",
     "q_fd", "q_calibration", "q_interarrival", "q_transition_entropy",
-    "q_asof_nearest", "q_resample")
+    "q_asof_nearest", "q_resample",
+    // interval_join's contract IS its plan: bucketized equi-join with
+    // NO distinct/dedup exchange (the overlap-start rule replaces it)
+    "q_interval_join")
 
   val SnapshotPath = "tools/plan_digests.txt"
   val DefaultSfDir = "/root/testdata/sf0.001"

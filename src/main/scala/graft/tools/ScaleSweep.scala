@@ -479,6 +479,19 @@ object ScaleSweep {
     sweep("resample")(k => WindowOps.resampleOhlc(evAt(k),
       Seq("event_type"), "ts", "value", period = 3600L * 1000000000L,
       tieBreak = Seq("event_id")))
+    // interval_join: both span sets scale with the corpus; the
+    // bucketized equi-join shuffles on (user, bucket) and the
+    // overlap-start rule keeps the plan DISTINCT-free
+    sweep("interval_join")(k => {
+      val halfHourNs = 1800L * 1000000000L
+      val e = evAt(k)
+      def spans(t: String, p: String) = e.where(col("event_type") === t)
+        .select(col("user_id"), col("event_id").as(s"id_$p"),
+          col("ts").as(s"s_$p"), (col("ts") + halfHourNs).as(s"e_$p"))
+      graft.operators.RangeJoin.intervalOverlap(
+        spans("purchase", "a"), spans("error", "b"), Seq("user_id"),
+        "s_a", "e_a", "s_b", "e_b", bucketWidth = halfHourNs)
+    })
 
     def renderMap(m: scala.collection.Map[String, Seq[Double]]): String =
       m.map { case (k, v) =>

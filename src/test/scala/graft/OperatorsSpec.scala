@@ -621,6 +621,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == naive && got == Set((1L, 5L, 0L), (1L, 25L, 20L)))
   }
 
+  test("intervalOverlap ≡ naive overlap join; multi-bucket pairs emit once") {
+    // seeded random closed intervals per key — lengths spanning several
+    // buckets so the overlap-start dedup trick is actually exercised
+    val rnd = new scala.util.Random(42)
+    def mk(n: Int, idBase: Long) = (0 until n).map { i =>
+      val k = rnd.nextInt(3).toLong
+      val s = rnd.nextInt(100).toLong
+      (k, idBase + i, s, s + rnd.nextInt(25).toLong)
+    }
+    val ls = mk(40, 1000L); val rs = mk(40, 2000L)
+    val l = ls.toDF("k", "id_l", "s_l", "e_l")
+    val r = rs.toDF("k", "id_r", "s_r", "e_r")
+    for (w <- Seq(1L, 7L, 100L)) {
+      val got = RangeJoin.intervalOverlap(l, r, Seq("k"),
+          "s_l", "e_l", "s_r", "e_r", bucketWidth = w)
+        .select("id_l", "id_r").collect()
+        .map(x => (x.getLong(0), x.getLong(1)))
+      val naive = (for {
+        (k1, i1, s1, e1) <- ls; (k2, i2, s2, e2) <- rs
+        if k1 == k2 && s1 <= e2 && s2 <= e1
+      } yield (i1, i2))
+      assert(got.length == got.toSet.size, s"duplicate pairs at width $w")
+      assert(got.toSet == naive.toSet, s"pair set mismatch at width $w")
+    }
+  }
+
   test("asof join: latest right at/before left time, null when none") {
     val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
       .toDF("k", "t", "tag")
