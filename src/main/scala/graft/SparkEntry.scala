@@ -1861,6 +1861,21 @@ object SparkEntry {
         .orderBy("event_type", "bucket")
     }),
 
+    // streaming last-touch attribution: each purchase credited at
+    // ingest to the key's latest touch since the previous purchase —
+    // state is ONE pending-touch triple per key
+    "q_stream_attribution" -> ((s, dir) => {
+      val out = s"stream_attr_${System.nanoTime()}"
+      val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      val hits = GraftStreaming.lastTouchStream(stream, "purchase")
+      val q = GraftStreaming.runToMemory(hits, out)
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
+      s.table(out)
+        .select(col("convId").as("conv_id"), col("touchType").as("touch_type"),
+          col("touchTs").as("touch_tsu"))
+        .orderBy("conv_id")
+    }),
+
     // streaming OHLC bars at ingest: the resample aggregate as a
     // watermarked stateful windowed aggregate — state is one buffer per
     // live (window, type), pruned by the watermark
@@ -4432,6 +4447,25 @@ object SparkEntry {
         |  round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close
         |FROM b GROUP BY event_type, bucket
         |ORDER BY event_type, bucket""".stripMargin,
+    "q_stream_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
+        |  FROM events),
+        |j AS (SELECT *, sum(CASE WHEN event_type = 'purchase'
+        |    THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS conv_seq FROM e),
+        |p AS (SELECT user_id, event_id AS conv_id, conv_seq FROM j
+        |  WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, conv_seq AS tj, event_type, tsu, event_id
+        |  FROM j WHERE event_type <> 'purchase'),
+        |lt AS (SELECT p.conv_id, t.event_type, t.tsu,
+        |  row_number() OVER (PARTITION BY p.conv_id
+        |    ORDER BY t.tsu DESC, t.event_id DESC) AS rn
+        |  FROM p JOIN t ON t.user_id = p.user_id
+        |    AND t.tj = p.conv_seq - 1)
+        |SELECT conv_id, event_type AS touch_type, tsu AS touch_tsu
+        |FROM lt WHERE rn = 1 ORDER BY conv_id""".stripMargin,
     "q_stream_ohlc" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS tsu, event_id, value
         |  FROM events),

@@ -431,6 +431,61 @@ object GraftStreaming {
   /** One key's current smoothed value (streaming EWMA output). */
   case class EwmaSnapshot(userId: Long, ewma: Double)
 
+  case class TouchCredit(convId: Long, userId: Long, touchType: String,
+                         touchTs: Long)
+  case class TouchState(typ: String, tsUs: Long, eventId: Long)
+
+  /** Streaming LAST-TOUCH attribution: each arriving `convType` event is
+    * credited, at ingest, to the key's most recent other-type event
+    * since the previous conversion — the real-time face of
+    * [[graft.operators.WindowOps.attribution]]'s "last" model, emitting
+    * one (conversion, credited touch) row the moment the conversion
+    * lands instead of via a nightly batch walk.
+    *
+    * State is ONE (type, ts, event_id) triple per key — the pending
+    * touch — cleared on every conversion, so state size is the live key
+    * count regardless of stream length. Conversions with no touch since
+    * the previous conversion emit nothing (matching the batch model,
+    * which only credits journeys with touches). Ordering contract is
+    * [[ewmaStream]]'s: rows fold (µs ts, event_id)-sorted within a
+    * micro-batch (µs base — the oracle engine can't see sub-µs, so a
+    * ns-order tiebreak could pick a different same-µs touch),
+    * arrival-ordered across batches. `touchTs` is epoch-µs. */
+  def lastTouchStream(events: DataFrame, convType: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val stateEnc = Encoders.product[TouchState]
+    implicit val outEnc = Encoders.product[TouchCredit]
+    implicit val rowEnc = Encoders.row(events.schema)
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey((r: Row) => r.getAs[Long]("user_id"))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Row], state: GroupState[TouchState]) => {
+          val sorted = rows.toSeq.sortBy(r =>
+            (Math.floorDiv(r.getAs[Long]("ts"), 1000L),
+              r.getAs[Long]("event_id")))
+          val out = Seq.newBuilder[TouchCredit]
+          var pending = state.getOption
+          sorted.foreach { r =>
+            val typ = r.getAs[String]("event_type")
+            if (typ == convType) {
+              pending.foreach(t => out += TouchCredit(
+                r.getAs[Long]("event_id"), userId, t.typ, t.tsUs))
+              pending = None
+            } else {
+              pending = Some(TouchState(typ,
+                Math.floorDiv(r.getAs[Long]("ts"), 1000L),
+                r.getAs[Long]("event_id")))
+            }
+          }
+          pending match {
+            case Some(t) => state.update(t)
+            case None => state.remove()
+          }
+          out.result().iterator
+        }).toDF()
+  }
+
   /** Per-session counter of EWMA rows dropped by the hot-key relief
     * valve (see [[ewmaStream]]'s `maxRowsPerKeyPerBatch`) — the
     * BoundedCollect philosophy for keyed state: a cap never fails the

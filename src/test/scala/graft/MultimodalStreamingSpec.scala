@@ -187,6 +187,38 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming last-touch attribution ≡ batch journey walk") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    spark.read.parquet(s"$dir/events.parquet").limit(800)
+      .write.mode("overwrite").parquet(tmp)
+    val stream = GraftStreaming.readEvents(spark, tmp)
+    val hits = GraftStreaming.lastTouchStream(stream, "purchase")
+    val q = GraftStreaming.runToMemory(hits, "attr_out")
+    assert(q.awaitTermination(60000), "stream did not finish")
+    val got = spark.table("attr_out")
+      .collect().map(r => r.getAs[Long]("convId") ->
+        (r.getAs[String]("touchType"), r.getAs[Long]("touchTs"))).toMap
+    // batch reference: per user walk in (µs, id) order, last touch
+    // since previous purchase credits each purchase
+    val rows = GraftStreaming.normalizeTs(spark.read.parquet(tmp))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts DIV 1000").as("tsu"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val want = collection.mutable.Map.empty[Long, (String, Long)]
+    rows.groupBy(_._1).values.foreach { ev =>
+      var pending: Option[(String, Long)] = None
+      ev.sortBy(e => (e._4, e._2)).foreach { case (_, id, typ, tsu) =>
+        if (typ == "purchase") {
+          pending.foreach(t => want(id) = t)
+          pending = None
+        } else pending = Some((typ, tsu))
+      }
+    }
+    assert(got == want.toMap, "stream/batch attribution divergence")
+    assert(got.nonEmpty)
+  }
+
   test("streaming: stateful sessionization emits closed sessions") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream3").toString
     spark.read.parquet(s"$dir/events.parquet").limit(300)
