@@ -1861,6 +1861,22 @@ object SparkEntry {
         .orderBy("event_type", "bucket")
     }),
 
+    // streaming strict-order funnel: per-key step progress tracked live
+    // (state = monotone prefix of reach times, <= |steps| longs/key);
+    // distinct keys per emitted step == the batch funnel counts
+    "q_stream_funnel" -> ((s, dir) => {
+      val out = s"stream_funnel_${System.nanoTime()}"
+      val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      val hits = GraftStreaming.funnelStream(stream,
+        Seq("view", "click", "purchase"))
+      val q = GraftStreaming.runToMemory(hits, out)
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
+      s.table(out)
+        .groupBy(col("step"), col("stepType").as("event_type"))
+        .agg(countDistinct(col("userId")).as("n_users"))
+        .orderBy("step")
+    }),
+
     // streaming last-touch attribution: each purchase credited at
     // ingest to the key's latest touch since the previous purchase —
     // state is ONE pending-touch triple per key
@@ -3203,6 +3219,24 @@ object SparkEntry {
         |SELECT cohort, age, count(*) AS n_users FROM a
         |GROUP BY cohort, age ORDER BY cohort, age""".stripMargin,
     "q_funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, min(epoch_us(ts)) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.u
+        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.u
+        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+        |       GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS event_type,
+        |  (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
+    // the stream funnel's distinct-keys-per-step IS the batch funnel
+    // count — the oracle is the identical recursive min chain
+    "q_stream_funnel" ->
       """WITH s1 AS (SELECT user_id AS u, min(epoch_us(ts)) AS t FROM events
         |            WHERE event_type = 'view' GROUP BY 1),
         |s2 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t FROM events e

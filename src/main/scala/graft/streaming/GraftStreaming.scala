@@ -431,6 +431,61 @@ object GraftStreaming {
   /** One key's current smoothed value (streaming EWMA output). */
   case class EwmaSnapshot(userId: Long, ewma: Double)
 
+  case class FunnelHit(userId: Long, step: Int, stepType: String, tsUs: Long)
+  case class FunnelState(reached: Seq[Long])
+
+  /** Streaming strict-order funnel: each key's progress through `steps`
+    * is tracked live — the moment an event advances a key to step k
+    * (its time strictly after the key's step-(k−1) reach time, and
+    * within `horizon` of it when set), ONE (key, step) hit is emitted —
+    * the ingest-time face of [[graft.operators.WindowOps.funnel]],
+    * whose per-step counts are exactly the distinct keys per emitted
+    * step (parity-spec'd).
+    *
+    * The event-time-order fold is EXACT for this recursion: processing
+    * in (µs ts, id) order, a step's reach time is the first eligible
+    * event's time, which IS the batch min — and once set it can never
+    * improve, so state is the monotone prefix of reached times
+    * (≤ |steps| longs per key; stream-length-independent). µs base for
+    * the same oracle-visibility reason as [[lastTouchStream]]. Ordering
+    * contract across micro-batches is [[ewmaStream]]'s. */
+  def funnelStream(events: DataFrame, steps: Seq[String],
+                   horizon: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepIdx = steps.zipWithIndex.toMap
+    implicit val stateEnc = Encoders.product[FunnelState]
+    implicit val outEnc = Encoders.product[FunnelHit]
+    implicit val rowEnc = Encoders.row(events.schema)
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey((r: Row) => r.getAs[Long]("user_id"))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Row], state: GroupState[FunnelState]) => {
+          val sorted = rows.toSeq.sortBy(r =>
+            (Math.floorDiv(r.getAs[Long]("ts"), 1000L),
+              r.getAs[Long]("event_id")))
+          val out = Seq.newBuilder[FunnelHit]
+          var reached = state.getOption.map(_.reached.toVector)
+            .getOrElse(Vector.empty[Long])
+          sorted.foreach { r =>
+            stepIdx.get(r.getAs[String]("event_type")).foreach { k =>
+              if (k == reached.size && reached.size < steps.size) {
+                val ts = Math.floorDiv(r.getAs[Long]("ts"), 1000L)
+                val eligible = k == 0 || (ts > reached(k - 1) &&
+                  horizon.forall(h => ts <= reached(k - 1) + h))
+                if (eligible) {
+                  reached = reached :+ ts
+                  out += FunnelHit(userId, k + 1, steps(k), ts)
+                }
+              }
+            }
+          }
+          if (reached.nonEmpty) state.update(FunnelState(reached))
+          out.result().iterator
+        }).toDF()
+  }
+
   case class TouchCredit(convId: Long, userId: Long, touchType: String,
                          touchTs: Long)
   case class TouchState(typ: String, tsUs: Long, eventId: Long)

@@ -219,6 +219,43 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming funnel ≡ batch funnel counts; horizon bound honored") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    spark.read.parquet(s"$dir/events.parquet").limit(800)
+      .write.mode("overwrite").parquet(tmp)
+    val stream = GraftStreaming.readEvents(spark, tmp)
+    val hits = GraftStreaming.funnelStream(stream,
+      Seq("view", "click", "purchase"))
+    val q = GraftStreaming.runToMemory(hits, "funnel_out")
+    assert(q.awaitTermination(60000), "stream did not finish")
+    val got = spark.table("funnel_out")
+      .groupBy("step").agg(countDistinct("userId").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.WindowOps.funnel(
+      GraftStreaming.normalizeTs(spark.read.parquet(tmp))
+        .withColumn("tsu", expr("ts DIV 1000")),
+      "user_id", "event_type", "tsu", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == batch.filter(_._2 > 0), "stream/batch funnel divergence")
+    assert(got.nonEmpty)
+    // horizon: a step outside the window doesn't advance the funnel
+    val tiny = java.nio.file.Files.createTempDirectory("graft-funnel2").toString
+    Seq((1L, 1000000000L, 10L, "view", 0.0, ""),
+        (2L, 2000000000L, 10L, "click", 0.0, ""), // 1s later: outside 1ms
+        (3L, 1001000000L, 11L, "view", 0.0, ""),
+        (4L, 1001500000L, 11L, "click", 0.0, "")) // 0.5ms later: inside
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(tiny)
+    val hz = GraftStreaming.funnelStream(GraftStreaming.readEvents(spark, tiny),
+      Seq("view", "click"), horizon = Some(1000L)) // 1 ms in µs
+    val q2 = GraftStreaming.runToMemory(hz, "funnel_hz_out")
+    assert(q2.awaitTermination(60000))
+    val steps = spark.table("funnel_hz_out")
+      .collect().map(r => (r.getAs[Long]("userId"), r.getAs[Int]("step"))).toSet
+    assert(steps == Set((10L, 1), (11L, 1), (11L, 2)))
+  }
+
   test("streaming: stateful sessionization emits closed sessions") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream3").toString
     spark.read.parquet(s"$dir/events.parquet").limit(300)
