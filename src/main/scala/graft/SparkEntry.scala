@@ -2774,11 +2774,12 @@ object SparkEntry {
     }),
 
     // functional-dependency discovery on part: the primary key holds
-    // (partkey -> brand), the attribute candidates are violated — the
-    // data-contract sweep with both verdicts live
+    // for both its dependents (ONE fused scan checks them together),
+    // the attribute candidate is violated — both verdicts and the
+    // shared-determinant fusion live under the oracle
     "q_fd" -> ((s, dir) => {
       Profile.functionalDeps(table(s, dir, "part"),
-        Seq(("p_partkey", "p_brand"), ("p_brand", "p_type"),
+        Seq(("p_partkey", "p_brand"), ("p_partkey", "p_type"),
           ("p_size", "p_type")))
         .orderBy("lhs", "rhs")
     }),
@@ -5036,7 +5037,7 @@ object SparkEntry {
     "q_fd" -> {
       s"""WITH fd AS (
          |${graft.operators.Profile.functionalDepsOracleSql("part",
-              Seq(("p_partkey", "p_brand"), ("p_brand", "p_type"),
+              Seq(("p_partkey", "p_brand"), ("p_partkey", "p_type"),
                 ("p_size", "p_type")))})
          |SELECT * FROM fd ORDER BY lhs, rhs""".stripMargin
     },
