@@ -45,6 +45,26 @@ object SparkEntry {
   private def eventsMicros(s: SparkSession, dir: String): SDF =
     table(s, dir, "events").withColumn("tsu", expr("ts DIV 1000"))
 
+  /** The view→click→purchase recursive min chain, shared by q_funnel
+    * and q_stream_funnel (the stream's distinct-keys-per-step is the
+    * batch count by construction — one string keeps the gates synced). */
+  private val funnelOracleSql: String =
+    """WITH s1 AS (SELECT user_id AS u, min(epoch_us(ts)) AS t FROM events
+      |            WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t FROM events e
+      |       JOIN s1 ON e.user_id = s1.u
+      |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+      |       GROUP BY 1),
+      |s3 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t FROM events e
+      |       JOIN s2 ON e.user_id = s2.u
+      |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+      |       GROUP BY 1)
+      |SELECT 1 AS step, 'view' AS event_type,
+      |  (SELECT count(*) FROM s1) AS n_users
+      |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+      |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+      |ORDER BY step""".stripMargin
+
   private def lineitem(s: SparkSession, dir: String): DataFrame =
     DataFrame.fromSpark(table(s, dir, "lineitem"),
       index = Seq("l_orderkey", "l_linenumber"))
@@ -1863,17 +1883,26 @@ object SparkEntry {
 
     // streaming strict-order funnel: per-key step progress tracked live
     // (state = monotone prefix of reach times, <= |steps| longs/key);
-    // distinct keys per emitted step == the batch funnel counts
+    // distinct keys per emitted step == the batch funnel counts. The
+    // step list left-joins the counts so a step NO key reached still
+    // reports 0 (the oracle always emits every step row)
     "q_stream_funnel" -> ((s, dir) => {
       val out = s"stream_funnel_${System.nanoTime()}"
+      val steps = Seq("view", "click", "purchase")
       val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
-      val hits = GraftStreaming.funnelStream(stream,
-        Seq("view", "click", "purchase"))
+      val hits = GraftStreaming.funnelStream(stream, steps)
       val q = GraftStreaming.runToMemory(hits, out)
       assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      s.table(out)
+      val counts = s.table(out)
         .groupBy(col("step"), col("stepType").as("event_type"))
-        .agg(countDistinct(col("userId")).as("n_users"))
+        .agg(countDistinct(col("userId")).as("__n"))
+      steps.zipWithIndex.map { case (name, i) =>
+          s.range(1).select(lit(i + 1).cast("int").as("step"),
+            lit(name).as("event_type"))
+        }.reduce(_ unionAll _)
+        .join(counts, Seq("step", "event_type"), "left")
+        .select(col("step"), col("event_type"),
+          coalesce(col("__n"), lit(0L)).as("n_users"))
         .orderBy("step")
     }),
 
@@ -3219,40 +3248,10 @@ object SparkEntry {
         |      FROM p JOIN f USING (u))
         |SELECT cohort, age, count(*) AS n_users FROM a
         |GROUP BY cohort, age ORDER BY cohort, age""".stripMargin,
-    "q_funnel" ->
-      """WITH s1 AS (SELECT user_id AS u, min(epoch_us(ts)) AS t FROM events
-        |            WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t FROM events e
-        |       JOIN s1 ON e.user_id = s1.u
-        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
-        |       GROUP BY 1),
-        |s3 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t FROM events e
-        |       JOIN s2 ON e.user_id = s2.u
-        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
-        |       GROUP BY 1)
-        |SELECT 1 AS step, 'view' AS event_type,
-        |  (SELECT count(*) FROM s1) AS n_users
-        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
-        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
-        |ORDER BY step""".stripMargin,
-    // the stream funnel's distinct-keys-per-step IS the batch funnel
-    // count — the oracle is the identical recursive min chain
-    "q_stream_funnel" ->
-      """WITH s1 AS (SELECT user_id AS u, min(epoch_us(ts)) AS t FROM events
-        |            WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t FROM events e
-        |       JOIN s1 ON e.user_id = s1.u
-        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
-        |       GROUP BY 1),
-        |s3 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t FROM events e
-        |       JOIN s2 ON e.user_id = s2.u
-        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
-        |       GROUP BY 1)
-        |SELECT 1 AS step, 'view' AS event_type,
-        |  (SELECT count(*) FROM s1) AS n_users
-        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
-        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
-        |ORDER BY step""".stripMargin,
+    // ONE recursive min chain serves both funnel gates — the stream
+    // funnel's distinct-keys-per-step IS the batch funnel count
+    "q_funnel" -> funnelOracleSql,
+    "q_stream_funnel" -> funnelOracleSql,
     "q_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
         |f AS (SELECT user_id, event_id, tsu,

@@ -37,7 +37,12 @@ object AsOfJoin {
     * normalized to epoch-µs internally (same seam as WindowOps), so
     * `tolerance` is in MICROSECONDS for typed time columns and in the
     * column's own units for numeric ones — distance arithmetic on a raw
-    * timestamp would yield an interval type a Long can't bound. */
+    * timestamp would yield an interval type a Long can't bound.
+    * NTZ caveat (the WindowOps.numericTs posture): NTZ→instant goes
+    * through the SESSION timezone — GraftSession pins UTC, making it
+    * the identity; don't mix an NTZ side with an instant-typed side
+    * under a non-UTC session, where the wall-clock reinterpretation
+    * would skew every distance by the zone offset. */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String, rightVals: Seq[String],
            suffix: String = "_asof", direction: String = "backward",

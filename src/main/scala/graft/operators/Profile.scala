@@ -93,10 +93,16 @@ object Profile {
   def calibrationReport(df: DataFrame, scoreCol: String, labelCol: String,
                         bins: Int = 10): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
-    // clamp BOTH edges: score 1.0 folds into the top bin, and a stray
+    // rows with a NULL score or label are EXCLUDED (a model abstention
+    // is not a calibration sample — least/greatest skip nulls, so an
+    // unfiltered null score would silently land in the top bin with a
+    // null score-sum, deflating that bin's confidence); clamp BOTH
+    // edges: score 1.0 folds into the top bin, and a stray
     // out-of-range score (unclipped logit) pins to an edge bin instead
     // of minting a bin -1 / bin > bins row that silently skews the ECE
-    val binned = df.select(
+    val binned = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(
       greatest(least(floor(col(scoreCol) * bins), lit(bins - 1)), lit(0))
         .cast("long").as("bin"),
       round(col(scoreCol) * 1e9).cast("long").as("__s9"),

@@ -55,10 +55,15 @@ object RangeJoin {
                       rStart: String, rEnd: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0)
-    val l = left.withColumn("__bucket",
+    // inverted rows (end < start) are EMPTY intervals: they contain no
+    // points, so they pair with nothing — filtered up front (sequence()
+    // would happily explode them DESCENDING and the residual predicate
+    // alone can still pass for them, emitting plausible-looking pairs
+    // from what is almost always a swapped-columns bug)
+    val l = left.where(col(lStart) <= col(lEnd)).withColumn("__bucket",
       explode(sequence(longDiv(lStart, bucketWidth),
         longDiv(lEnd, bucketWidth))))
-    val r = right.withColumn("__bucket",
+    val r = right.where(col(rStart) <= col(rEnd)).withColumn("__bucket",
       explode(sequence(longDiv(rStart, bucketWidth),
         longDiv(rEnd, bucketWidth))))
     l.join(r, keys :+ "__bucket")

@@ -446,15 +446,27 @@ object GraftStreaming {
     * in (µs ts, id) order, a step's reach time is the first eligible
     * event's time, which IS the batch min — and once set it can never
     * improve, so state is the monotone prefix of reached times
-    * (≤ |steps| longs per key; stream-length-independent). µs base for
-    * the same oracle-visibility reason as [[lastTouchStream]]. Ordering
-    * contract across micro-batches is [[ewmaStream]]'s. */
+    * (≤ |steps| longs per key; stream-length-independent — progress is
+    * the ANSWER, not decay residue, so no TTL: evicting would silently
+    * un-complete funnels). µs base for the same oracle-visibility
+    * reason as [[lastTouchStream]]. Ordering contract across
+    * micro-batches is [[ewmaStream]]'s, as is the hot-key relief valve:
+    * `maxRowsPerKeyPerBatch` bounds the per-key micro-batch sort, with
+    * overflow counted on [[streamDropCounter]] — never silent.
+    *
+    * Repeated step TYPES are supported (a re-engagement funnel like
+    * view → click → view): only the NEXT unreached step can advance a
+    * key, so advancement tests the event type against `steps(reached
+    * .size)` directly rather than a type→index map (which would keep
+    * one index per duplicate name). */
   def funnelStream(events: DataFrame, steps: Seq[String],
-                   horizon: Option[Long] = None): DataFrame = {
+                   horizon: Option[Long] = None,
+                   maxRowsPerKeyPerBatch: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(steps.nonEmpty, "funnel needs at least one step")
-    val stepIdx = steps.zipWithIndex.toMap
+    require(maxRowsPerKeyPerBatch > 0, "maxRowsPerKeyPerBatch must be positive")
+    val dropAcc = streamDropCounter(events.sparkSession)
     implicit val stateEnc = Encoders.product[FunnelState]
     implicit val outEnc = Encoders.product[FunnelHit]
     implicit val rowEnc = Encoders.row(events.schema)
@@ -462,22 +474,23 @@ object GraftStreaming {
     events.groupByKey((r: Row) => r.getAs[Long]("user_id"))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, rows: Iterator[Row], state: GroupState[FunnelState]) => {
-          val sorted = rows.toSeq.sortBy(r =>
+          val all = rows.toSeq.sortBy(r =>
             (Math.floorDiv(r.getAs[Long]("ts"), 1000L),
               r.getAs[Long]("event_id")))
+          val (sorted, overflow) = all.splitAt(maxRowsPerKeyPerBatch)
+          if (overflow.nonEmpty) dropAcc.add(overflow.size.toLong)
           val out = Seq.newBuilder[FunnelHit]
           var reached = state.getOption.map(_.reached.toVector)
             .getOrElse(Vector.empty[Long])
           sorted.foreach { r =>
-            stepIdx.get(r.getAs[String]("event_type")).foreach { k =>
-              if (k == reached.size && reached.size < steps.size) {
-                val ts = Math.floorDiv(r.getAs[Long]("ts"), 1000L)
-                val eligible = k == 0 || (ts > reached(k - 1) &&
-                  horizon.forall(h => ts <= reached(k - 1) + h))
-                if (eligible) {
-                  reached = reached :+ ts
-                  out += FunnelHit(userId, k + 1, steps(k), ts)
-                }
+            val k = reached.size
+            if (k < steps.size && r.getAs[String]("event_type") == steps(k)) {
+              val ts = Math.floorDiv(r.getAs[Long]("ts"), 1000L)
+              val eligible = k == 0 || (ts > reached(k - 1) &&
+                horizon.forall(h => ts <= reached(k - 1) + h))
+              if (eligible) {
+                reached = reached :+ ts
+                out += FunnelHit(userId, k + 1, steps(k), ts)
               }
             }
           }
@@ -505,10 +518,18 @@ object GraftStreaming {
     * [[ewmaStream]]'s: rows fold (µs ts, event_id)-sorted within a
     * micro-batch (µs base — the oracle engine can't see sub-µs, so a
     * ns-order tiebreak could pick a different same-µs touch),
-    * arrival-ordered across batches. `touchTs` is epoch-µs. */
-  def lastTouchStream(events: DataFrame, convType: String): DataFrame = {
+    * arrival-ordered across batches; `maxRowsPerKeyPerBatch` is the
+    * same hot-key relief valve, counted on [[streamDropCounter]]. No
+    * TTL: the pending touch IS the answer for the key's next
+    * conversion — evicting it would silently drop a true credit, so
+    * the state bound is the live key count (latestStream's documented
+    * posture). `touchTs` is epoch-µs. */
+  def lastTouchStream(events: DataFrame, convType: String,
+                      maxRowsPerKeyPerBatch: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(maxRowsPerKeyPerBatch > 0, "maxRowsPerKeyPerBatch must be positive")
+    val dropAcc = streamDropCounter(events.sparkSession)
     implicit val stateEnc = Encoders.product[TouchState]
     implicit val outEnc = Encoders.product[TouchCredit]
     implicit val rowEnc = Encoders.row(events.schema)
@@ -516,9 +537,11 @@ object GraftStreaming {
     events.groupByKey((r: Row) => r.getAs[Long]("user_id"))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, rows: Iterator[Row], state: GroupState[TouchState]) => {
-          val sorted = rows.toSeq.sortBy(r =>
+          val all = rows.toSeq.sortBy(r =>
             (Math.floorDiv(r.getAs[Long]("ts"), 1000L),
               r.getAs[Long]("event_id")))
+          val (sorted, overflow) = all.splitAt(maxRowsPerKeyPerBatch)
+          if (overflow.nonEmpty) dropAcc.add(overflow.size.toLong)
           val out = Seq.newBuilder[TouchCredit]
           var pending = state.getOption
           sorted.foreach { r =>
@@ -555,6 +578,18 @@ object GraftStreaming {
       })
     }
   private val ewmaDropCounters =
+    scala.collection.mutable.Map.empty[String, org.apache.spark.util.LongAccumulator]
+
+  /** Per-session counter of rows dropped by the hot-key relief valves of
+    * the OTHER stateful folds ([[funnelStream]], [[lastTouchStream]]) —
+    * [[ewmaDropCounter]]'s shape, one accumulator per application. */
+  def streamDropCounter(spark: SparkSession): org.apache.spark.util.LongAccumulator =
+    streamDropCounters.synchronized {
+      streamDropCounters.getOrElseUpdate(spark.sparkContext.applicationId,
+        spark.sparkContext.longAccumulator("graft.stream.dropped_rows"))
+    }
+
+  private val streamDropCounters =
     scala.collection.mutable.Map.empty[String, org.apache.spark.util.LongAccumulator]
 
   /** Streaming EXACT EWMA per key — the stateful-recursion twin of the

@@ -254,6 +254,20 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     val steps = spark.table("funnel_hz_out")
       .collect().map(r => (r.getAs[Long]("userId"), r.getAs[Int]("step"))).toSet
     assert(steps == Set((10L, 1), (11L, 1), (11L, 2)))
+    // repeated step TYPES (re-engagement funnel): only the NEXT
+    // unreached step advances, so view -> click -> view completes
+    val re = java.nio.file.Files.createTempDirectory("graft-funnel3").toString
+    Seq((1L, 1000000000L, 20L, "view", 0.0, ""),
+        (2L, 2000000000L, 20L, "click", 0.0, ""),
+        (3L, 3000000000L, 20L, "view", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(re)
+    val rq = GraftStreaming.runToMemory(
+      GraftStreaming.funnelStream(GraftStreaming.readEvents(spark, re),
+        Seq("view", "click", "view")), "funnel_re_out")
+    assert(rq.awaitTermination(60000))
+    assert(spark.table("funnel_re_out")
+      .collect().map(_.getAs[Int]("step")).sorted.toSeq == Seq(1, 2, 3))
   }
 
   test("streaming: stateful sessionization emits closed sessions") {

@@ -645,6 +645,11 @@ class OperatorsSpec extends AnyFunSuite {
       assert(got.length == got.toSet.size, s"duplicate pairs at width $w")
       assert(got.toSet == naive.toSet, s"pair set mismatch at width $w")
     }
+    // inverted (empty) intervals contain no points -> never pair
+    val inv = Seq((1L, 9L, 10L, 5L)).toDF("k", "id_l", "s_l", "e_l")
+    val ok = Seq((1L, 8L, 4L, 12L)).toDF("k", "id_r", "s_r", "e_r")
+    assert(RangeJoin.intervalOverlap(inv, ok, Seq("k"),
+      "s_l", "e_l", "s_r", "e_r", 10L).count() == 0)
   }
 
   test("asof join: latest right at/before left time, null when none") {
@@ -1816,6 +1821,13 @@ class OperatorsSpec extends AnyFunSuite {
       "score", "label", 10)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(edge == Map(9L -> 2L, 0L -> 1L))
+    // abstentions (null score or label) are excluded, not binned
+    val withNulls = Seq((Some(0.5), Some(true)), (None, Some(true)),
+        (Some(0.5), None))
+      .toDF("score", "label")
+    val kept = Profile.calibrationReport(withNulls, "score", "label", 10)
+      .collect()
+    assert(kept.length == 1 && kept(0).getLong(1) == 1L)
   }
 
   test("attribution: journeys close at conversions, credit by model") {
