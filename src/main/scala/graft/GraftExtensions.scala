@@ -51,5 +51,7 @@ object GraftExtensions {
     ("graft_jaro", "_FUNC_(a, b) - Jaro string similarity",
       functions.JaroWinkler.jaroBuilder _),
     ("graft_jaro_winkler", "_FUNC_(a, b) - Jaro-Winkler string similarity",
-      functions.JaroWinkler.jaroWinklerBuilder _))
+      functions.JaroWinkler.jaroWinklerBuilder _),
+    ("graft_luhn", "_FUNC_(digits) - Luhn mod-10 checksum validation",
+      functions.LuhnCheck.builder _))
 }

@@ -3023,6 +3023,87 @@ object SparkEntry {
           (abs(col("p50a") - col("p50x")) <=
             abs(col("p50x")) * 0.02 + lit(0.01)).as("approx_ok"))
         .orderBy("event_type")
+    }),
+
+    // two-sided CUSUM change-point scores per user: the max-reset
+    // recursion via the reflection identity (cumsum + running min, one
+    // exchange + one sort), nano-quantized exact — the oracle replays
+    // the SAME prefix-sum reformulation on integer units
+    "q_cusum" -> ((s, dir) => {
+      WindowOps.cusum(eventsMicros(s, dir),
+          Seq("user_id"), Seq("tsu", "event_id"), "value",
+          target = 165.0, slack = 20.0, threshold = 500.0)
+        .select(col("user_id"), col("event_id"),
+          round(col("s_hi"), 6).as("s_hi"), round(col("s_lo"), 6).as("s_lo"),
+          col("alarm"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // rolling autocorrelation (value vs its own lag-1) over a trailing
+    // 20-row window per user — six moments fused in ONE Window node,
+    // decimal-exact sums, doubles only at the final combination
+    "q_rolling_corr" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("tsu", "event_id")
+      val lagged = eventsMicros(s, dir)
+        .withColumn("y", lag(col("value"), 1).over(w))
+      WindowOps.rollingCorr(lagged, Seq("user_id"), Seq("tsu", "event_id"),
+          "value", "y", window = 20)
+        .select(col("user_id"), col("event_id"), round(col("corr"), 6).as("corr"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // full CDC replay: upserts + DELETE tombstones — latest-version
+    // compaction where a key whose last change is a delete leaves the
+    // snapshot (and a later re-insert resurrects it)
+    "q_cdc" -> ((s, dir) => {
+      val base = eventsMicros(s, dir)
+        .select(col("event_id"), col("tsu"), col("value"), lit("I").as("op"))
+      val upd = base.where(col("event_id") % 10 === 0)
+        .select(col("event_id"), (col("tsu") + 1000L).as("tsu"),
+          (col("value") * 2).as("value"), lit("U").as("op"))
+      val del = base.where(col("event_id") % 20 === 0)
+        .select(col("event_id"), (col("tsu") + 2000L).as("tsu"),
+          lit(0.0).as("value"), lit("D").as("op"))
+      Dedup.applyChangelog(base.unionAll(upd).unionAll(del),
+          Seq("event_id"), Seq("tsu"), "op")
+        .orderBy("event_id")
+    }),
+
+    // cumulative gains / lift by score-quantile band (bucket 1 = top
+    // scores): exact-percentile edges broadcast back, tied scores never
+    // split a band; same score/label synthesis as q_calibration
+    "q_gains" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select((col("n_chars") % 1000).cast("double").divide(1000.0)
+            .as("score"),
+          (col("lang") === "en").as("label"))
+      Profile.gainsTable(docs, "score", "label", buckets = 10)
+        .select(col("bucket"), col("n"), col("n_pos"),
+          col("cum_n"), col("cum_pos"),
+          round(col("gain"), 6).as("gain"), round(col("lift"), 6).as("lift"))
+        .orderBy("bucket")
+    }),
+
+    // typed PII detection counts (emails / valid IPv4 / phones /
+    // Luhn-validated card numbers) over documents with deterministic
+    // planted PII — regex programs shared verbatim with the oracle,
+    // Luhn replayed there as a list comprehension
+    "q_pii" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+            concat(col("text"),
+              lit(" contact bob@example.com from 10.0.0.1")))
+          .when(col("doc_id") % 11 === 0,
+            concat(col("text"),
+              lit(" card 4532015112830366 or call 415-555-2671")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.piiReport(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_email").cast("long").as("n_email"),
+          col("n_ipv4").cast("long").as("n_ipv4"),
+          col("n_phone").cast("long").as("n_phone"),
+          col("n_card").cast("long").as("n_card"))
+        .orderBy("doc_id")
     })
   )
 
@@ -5152,8 +5233,128 @@ object SparkEntry {
     "q_decontaminate" -> DecontaminateOracle,
     // stream ≡ batch report is the whole claim — one shared oracle
     // expresses it structurally
-    "q_stream_decontaminate" -> DecontaminateOracle
+    "q_stream_decontaminate" -> DecontaminateOracle,
+    // CUSUM via the same reflection identity, on the same nano integer
+    // units (sums of BIGINT run in HUGEINT here, DECIMAL(38,0) in
+    // Spark — both exact); t9+k9 = 185e9, t9-k9 = 145e9, h9 = 500e9
+    "q_cusum" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |  CAST(round(value * 1e9) AS BIGINT) AS v9 FROM events),
+        |p AS (SELECT user_id, event_id, tsu, v9,
+        |    sum(v9 - 185000000000) OVER w AS phi,
+        |    sum(145000000000 - v9) OVER w AS plo
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT *,
+        |    phi - least(0, min(phi) OVER w2) AS shi,
+        |    plo - least(0, min(plo) OVER w2) AS slo
+        |  FROM p WINDOW w2 AS (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id,
+        |  CASE WHEN v9 IS NOT NULL THEN round(CAST(shi AS DOUBLE) / 1e9, 6)
+        |    END AS s_hi,
+        |  CASE WHEN v9 IS NOT NULL THEN round(CAST(slo AS DOUBLE) / 1e9, 6)
+        |    END AS s_lo,
+        |  (v9 IS NOT NULL AND (shi > 500000000000 OR slo > 500000000000))
+        |    AS alarm
+        |FROM m ORDER BY user_id, event_id""".stripMargin,
+    // rolling autocorrelation: identical decimal casts and double
+    // combination as WindowOps.rollingCorr, lag-1 y in a prior CTE
+    "q_rolling_corr" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, value
+        |  FROM events),
+        |l AS (SELECT user_id, event_id, tsu, value AS x,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |      AS y FROM e),
+        |c AS (SELECT user_id, event_id,
+        |    sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 ELSE 0 END)
+        |      OVER w AS n,
+        |    CAST(sum(CAST(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |      THEN x END AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |      THEN y END AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |      THEN x * x END AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |      THEN y * y END AS DECIMAL(38,8))) OVER w AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+        |      THEN x * y END AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sxy
+        |  FROM l WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id,
+        |  CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+        |      AND n * syy - sy * sy > 0
+        |    THEN round((n * sxy - sx * sy) /
+        |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |    END AS corr
+        |FROM c ORDER BY user_id, event_id""".stripMargin,
+    "q_cdc" ->
+      """WITH b AS (SELECT event_id, epoch_us(ts) AS tsu, value FROM events),
+        |log AS (SELECT event_id, tsu, value, 'I' AS op FROM b
+        |  UNION ALL SELECT event_id, tsu + 1000, value * 2, 'U' FROM b
+        |    WHERE event_id % 10 = 0
+        |  UNION ALL SELECT event_id, tsu + 2000, 0.0, 'D' FROM b
+        |    WHERE event_id % 20 = 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+        |  ORDER BY tsu DESC) AS rn FROM log)
+        |SELECT event_id, tsu, value FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY event_id""".stripMargin,
+    // gains/lift: quantile_cont edges ≡ Spark exact percentile
+    // (q_group_quantile proved the parity), strictly-above indicator
+    // bands, integer sums cast before the mirrored double divisions
+    "q_gains" ->
+      """WITH r AS (SELECT CAST(n_chars % 1000 AS DOUBLE) / 1000.0 AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        |c AS (SELECT quantile_cont(s, 0.1) AS c0, quantile_cont(s, 0.2) AS c1,
+        |    quantile_cont(s, 0.3) AS c2, quantile_cont(s, 0.4) AS c3,
+        |    quantile_cont(s, 0.5) AS c4, quantile_cont(s, 0.6) AS c5,
+        |    quantile_cont(s, 0.7) AS c6, quantile_cont(s, 0.8) AS c7,
+        |    quantile_cont(s, 0.9) AS c8 FROM r),
+        |b AS (SELECT 11 - (1
+        |    + (CASE WHEN s > c0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s > c1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s > c2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s > c3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s > c4 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s > c5 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s > c6 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s > c7 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN s > c8 THEN 1 ELSE 0 END)) AS bucket, y
+        |  FROM r, c),
+        |a AS (SELECT bucket, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM b GROUP BY 1),
+        |f AS (SELECT bucket, n, n_pos,
+        |    CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+        |    CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos,
+        |    CAST(sum(n) OVER () AS BIGINT) AS tn,
+        |    CAST(sum(n_pos) OVER () AS BIGINT) AS tp
+        |  FROM a WINDOW w AS (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT bucket, n, n_pos, cum_n, cum_pos,
+        |  CASE WHEN tp > 0
+        |    THEN round(CAST(cum_pos AS DOUBLE) / tp, 6) END AS gain,
+        |  CASE WHEN tp > 0
+        |    THEN round((CAST(cum_pos AS DOUBLE) / cum_n)
+        |      / (CAST(tp AS DOUBLE) / tn), 6) END AS lift
+        |FROM f ORDER BY bucket""".stripMargin,
+    "q_pii" -> PiiOracle
   )
+
+  private lazy val PiiOracle: String = {
+    val counts = graft.operators.TextAnalysis.piiOracleSqlExprs("text")
+      .zip(Seq("n_email", "n_ipv4", "n_phone", "n_card"))
+      .map { case (e, name) => s"  CAST($e AS BIGINT) AS $name" }
+      .mkString(",\n")
+    """WITH d AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0
+      |      THEN text || ' contact bob@example.com from 10.0.0.1'
+      |    WHEN doc_id % 11 = 0
+      |      THEN text || ' card 4532015112830366 or call 415-555-2671'
+      |    ELSE text END AS text FROM documents)
+      |SELECT doc_id,
+      |""".stripMargin + counts +
+      "\nFROM d ORDER BY doc_id"
+  }
 
   private lazy val DecontaminateOracle: String = {
     val sh = graft.operators.Dedup.shinglesOracleSqlExpr("text", 8)

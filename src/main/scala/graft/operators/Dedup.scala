@@ -149,6 +149,28 @@ object Dedup {
         payload.map(c => col(s"__latest.$c").as(c)): _*)
   }
 
+  /** Full CDC replay: [[latestByKey]] plus DELETE tombstones — a key
+    * whose LATEST change is a delete op leaves the snapshot entirely
+    * (upsert-only compaction would resurrect it with its last values).
+    * The op column must participate in the version order the caller
+    * passes if ops can share a version (append it to `orderCols`);
+    * deletes only win by being latest, never by op precedence.
+    *
+    * Same scale shape as latestByKey — the tombstone filter is one
+    * map-side predicate AFTER the single struct-max groupBy, so deleted
+    * keys cost one aggregate row each, never a join. A NULL op is an
+    * upsert (row kept): source connectors that only stamp deletes leave
+    * op NULL on the insert path, and `null ∉ deleteOps` must not
+    * null-propagate into the filter and silently drop those rows. */
+  def applyChangelog(df: DataFrame, keyCols: Seq[String],
+                     orderCols: Seq[String], opCol: String,
+                     deleteOps: Set[String] = Set("D")): DataFrame = {
+    require(deleteOps.nonEmpty, "applyChangelog needs at least one delete op")
+    latestByKey(df, keyCols, orderCols)
+      .where(!coalesce(col(opCol).isInCollection(deleteOps), lit(false)))
+      .drop(opCol)
+  }
+
   /** Exact dedup: canonical (min id) representative + duplicate count per
     * distinct key value. */
   def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =

@@ -120,6 +120,71 @@ object Profile {
         / total).as("weighted_gap"))
   }
 
+  /** Cumulative gains / lift table: rank rows by model score
+    * (descending), cut into `buckets` score-quantile bands, and report
+    * per band the cumulative capture rate of positives (gain) and the
+    * precision ratio vs the base rate (lift) — the "top decile catches
+    * X% of the spam" report that decides where a classifier's filter
+    * threshold goes.
+    *
+    * Band edges are EXACT score quantiles (one `percentile` aggregate,
+    * broadcast back as a one-row literal frame), and each row's band is
+    * a chain of score>edge indicator sums — so TIED scores always land
+    * in the same band deterministically, where a global ntile() would
+    * split ties by physical order AND funnel the corpus through one
+    * partition. Bucket 1 is the TOP band. Corpus-side cost: one
+    * aggregate + one broadcast-join projection; the cumulative/total
+    * windows run single-partition over the ≤ `buckets`-row band table
+    * ([[calibrationReport]]'s posture). Exact percentile buffers values
+    * per aggregate — at 100 TB-scale swap `approxAccuracy` in
+    * ([[robustOutliers]]'s documented seam; same plan, bounded memory,
+    * no hash-exact oracle). NULL scores/labels are excluded (model
+    * abstentions, as in calibrationReport). Ratios are mirrored
+    * integer→double divisions; an all-negative input yields NULL gain/
+    * lift rather than ±Inf.
+    *
+    * @return (bucket, n, n_pos, cum_n, cum_pos, gain, lift), bucket
+    *         ascending = score descending. */
+  def gainsTable(df: DataFrame, scoreCol: String, labelCol: String,
+                 buckets: Int = 10,
+                 approxAccuracy: Option[Int] = None): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val rows = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("boolean").cast("int").cast("long").as("__y"))
+    def q(p: Double) = approxAccuracy match {
+      case Some(acc) => percentile_approx(col("__s"), lit(p), lit(acc))
+      case None => percentile(col("__s"), lit(p))
+    }
+    val cuts = rows.agg(
+      q(1.0 / buckets).as("__c0"),
+      (2 until buckets).map(i => q(i.toDouble / buckets).as(s"__c${i - 1}")): _*)
+    // ascending band = 1 + #(edges strictly below the score); bucket 1
+    // must be the TOP band, so flip. Strictly-below keeps every tied
+    // score in one band regardless of row order.
+    val asc = (0 until buckets - 1)
+      .map(i => when(col("__s") > col(s"__c$i"), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    val banded = rows.crossJoin(broadcast(cuts))
+      .select((lit(buckets + 1) - asc).as("bucket"), col("__y"))
+    val agg = banded.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    // single-partition windows over the ≤ buckets-row band table
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val cumN = sum(col("n")).over(wCum)
+    val cumPos = sum(col("n_pos")).over(wCum)
+    val totN = sum(col("n")).over(wAll)
+    val totPos = sum(col("n_pos")).over(wAll)
+    agg.select(col("bucket"), col("n"), col("n_pos"),
+      cumN.as("cum_n"), cumPos.as("cum_pos"),
+      when(totPos > 0, cumPos.cast("double") / totPos).as("gain"),
+      when(totPos > 0, (cumPos.cast("double") / cumN) /
+        (totPos.cast("double") / totN)).as("lift"))
+  }
+
   /** Functional-dependency check over candidate column pairs: for each
     * (lhs → rhs), does every lhs value map to exactly one rhs value?
     * The schema-discovery / data-contract sweep that tells you which

@@ -129,6 +129,68 @@ object TextAnalysis {
       s"'$UrlRe', '[URL]', 'g'), '$EmailRe', '[EMAIL]', 'g'), " +
       s"'$LongDigitsRe', '[NUM]', 'g')"
 
+  /** PII DETECTION report — the audit/measurement twin of [[scrubPii]]
+    * (which rewrites): per-document counts of four typed signals, each a
+    * RE2-compatible pattern (no lookaround) shared verbatim with the
+    * oracle so both engines run the identical regex program.
+    *
+    *  - emails ([[EmailRe]]);
+    *  - VALID dotted-quad IPv4s — each octet range-checked 0–255 by the
+    *    alternation, `\b` fencing so "999.1.2.3" can't shed a digit and
+    *    match (both Java regex and RE2 implement ASCII `\b`);
+    *  - phone-shaped numbers: E.164 (`+` then 7–15 digits) or US-style
+    *    ddd[-. ]ddd[-. ]dddd;
+    *  - payment-card numbers: MAXIMAL digit runs (never a prefix carved
+    *    out of a longer run — RE2 has no lookaround, so runs are
+    *    extracted whole and length-gated 13–19 afterwards) that pass the
+    *    Luhn check ([[graft.functions.LuhnCheck]], a codegen'd kernel;
+    *    the oracle replays it as a list comprehension). Luhn is the
+    *    precision gate: 9 of 10 random digit runs fail it.
+    *
+    * Signals are counted independently (a `+`-prefixed 13-digit phone
+    * is also a card CANDIDATE — only Luhn decides). Map-only codegen'd
+    * scan, zero shuffle; compose the booleans with [[gopherRules]]-style
+    * gates or aggregate per domain for a corpus-level PII exposure
+    * report. */
+  val Ipv4OctetRe = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+  val Ipv4Re =
+    s"\\b$Ipv4OctetRe\\.$Ipv4OctetRe\\.$Ipv4OctetRe\\.$Ipv4OctetRe\\b"
+  val PhoneRe = "\\+[0-9]{7,15}\\b|\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+  val DigitRunRe = "[0-9]+"
+
+  def piiReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).as("n_email"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).as("n_ipv4"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).as("n_phone"),
+      size(filter(regexp_extract_all(t, lit(DigitRunRe), lit(0)),
+        c => length(c).between(13, 19) &&
+          graft.functions.LuhnCheck.luhn(c))).as("n_card"))
+  }
+
+  /** The Luhn check as DuckDB SQL over a digit-string expression `c`:
+    * sum over 1-based char positions i, doubling where the position
+    * from the RIGHT is even ((len-i) odd), folding >9 as d*2-9 —
+    * exactly [[graft.functions.LuhnCheck.compute]] for an all-digit
+    * input (the oracle only feeds it `[0-9]+` matches, so the kernel's
+    * non-digit→false branch never fires there). */
+  def luhnOracleSqlExpr(c: String): String =
+    s"(list_sum(list_transform(range(1, length($c) + 1), i -> " +
+      s"CASE WHEN (length($c) - i) % 2 = 1 THEN " +
+      s"CASE WHEN 2 * CAST($c[i] AS INT) > 9 THEN 2 * CAST($c[i] AS INT) - 9 " +
+      s"ELSE 2 * CAST($c[i] AS INT) END " +
+      s"ELSE CAST($c[i] AS INT) END)) % 10 = 0)"
+
+  /** Full [[piiReport]] mirror for a text expression `t` — four count
+    * expressions in output order, patterns inlined verbatim. */
+  def piiOracleSqlExprs(t: String): Seq[String] = Seq(
+    s"length(regexp_extract_all($t, '$EmailRe'))",
+    s"length(regexp_extract_all($t, '$Ipv4Re'))",
+    s"length(regexp_extract_all($t, '$PhoneRe'))",
+    s"length(list_filter(regexp_extract_all($t, '$DigitRunRe'), c -> " +
+      s"length(c) BETWEEN 13 AND 19 AND ${luhnOracleSqlExpr("c")}))")
+
   /** Markup-strip patterns, shared verbatim with the DuckDB oracle —
     * RE2-compatible by construction (no backreferences: script and style
     * containers get separate patterns), so both engines run the

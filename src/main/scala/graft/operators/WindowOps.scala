@@ -669,4 +669,109 @@ object WindowOps {
       .select(col("t"), col("n_risk"), col("d").as("n_event"),
         col("c").as("n_censored"), col("survival"))
   }
+
+  /** Two-sided CUSUM change-point scores per key: the classic recursion
+    * S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − target − slack)) (upward shift) and
+    * S⁻ᵢ = max(0, S⁻ᵢ₋₁ + (target − slack − xᵢ)) (downward), alarming
+    * when either exceeds `threshold` — the sequential level-shift
+    * detector behind drift/quality monitoring (Page 1954).
+    *
+    * The max-reset recursion looks inherently sequential, but by the
+    * reflection identity Sᵢ = Pᵢ − min(0, P₁..Pᵢ) (P = running sum of
+    * the drift-adjusted terms) it is TWO stacked window passes: a
+    * cumulative sum, then a running min over it — same (key, order)
+    * spec, so ONE exchange and ONE sort; no per-key sequential fold, no
+    * driver loop. Inputs nano-quantize to integers (the
+    * [[graft.operators.Profile.calibrationReport]] convention) and both
+    * running passes accumulate in DECIMAL(38,0), so P and min(P) are
+    * association-order-exact and the alarm comparison is an integer
+    * compare — bit-identical in any engine that mirrors the tree.
+    * Doubles appear only in the final /1e9 presentation of the scores.
+    *
+    * NULL values pass through with NULL scores and no alarm (an absent
+    * measurement is not evidence of a shift) and do NOT advance the
+    * recursion: the running sums skip them, so Sᵢ resumes from the last
+    * real observation — mirror with a WHERE v9 IS NOT NULL guard or
+    * conditional sums, as the oracle does. */
+  def cusum(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
+            valueCol: String, target: Double, slack: Double,
+            threshold: Double): DataFrame = {
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // one shared nano quantization for value and the three parameters —
+    // the literals are computed HERE and must be inlined verbatim into
+    // any mirroring SQL (the ewmaWeights shared-literal posture)
+    val t9 = math.round(target * 1e9)
+    val k9 = math.round(slack * 1e9)
+    val h9 = math.round(threshold * 1e9)
+    val v9 = round(col(valueCol) * 1e9).cast("long")
+    val w = spec(partitionBy, orderBy)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val zero = lit(0).cast(dec38)
+    // windows can't nest, so the running sums materialize in a first
+    // pass and the running mins read them in a second — same (key,
+    // order) spec both times, so the second Window rides the first's
+    // exchange + sort (no new shuffle). Both sums go in ONE select (and
+    // both mins in one) so each pass is a single Window node — chained
+    // withColumns would interleave the dependencies and split them into
+    // three (digest-gated at 2)
+    val sums = df
+      .withColumn("__v9", v9)
+      .select(col("*"),
+        sum((col("__v9") - lit(t9 + k9)).cast(dec38)).over(w).as("__phi"),
+        sum((lit(t9 - k9) - col("__v9")).cast(dec38)).over(w).as("__plo"))
+    val staged = sums
+      .select(col("*"),
+        min(col("__phi")).over(w).as("__mhi"),
+        min(col("__plo")).over(w).as("__mlo"))
+      .withColumn("__shi", col("__phi") - least(zero, col("__mhi")))
+      .withColumn("__slo", col("__plo") - least(zero, col("__mlo")))
+      .drop("__phi", "__plo", "__mhi", "__mlo")
+    staged
+      .withColumn("s_hi",
+        when(col("__v9").isNotNull, col("__shi").cast("double") / 1e9))
+      .withColumn("s_lo",
+        when(col("__v9").isNotNull, col("__slo").cast("double") / 1e9))
+      .withColumn("alarm", col("__v9").isNotNull &&
+        (col("__shi") > lit(h9) || col("__slo") > lit(h9)))
+      .drop("__v9", "__shi", "__slo")
+  }
+
+  /** Trailing-window Pearson correlation of two columns per key — the
+    * local co-movement signal (value vs. its own lag = rolling
+    * autocorrelation; metric vs. metric = rolling coupling) behind
+    * regime-change monitoring.
+    *
+    * All six moments (n, Σx, Σy, Σx², Σy², Σxy) run over ONE shared
+    * (key, order, trailing-`window`-rows) frame, so they fuse into a
+    * single Window node: one exchange, one sort, regardless of window
+    * length. Engine-exact by the [[zscore]] recipe: linear sums in
+    * DECIMAL(18,4) casts, product sums as one IEEE double multiply cast
+    * to DECIMAL(38,8), doubles only at the final combination — two
+    * engines mirroring the tree agree bit-for-bit. Rows where either
+    * side is NULL are excluded PAIRWISE (conditional sums), and windows
+    * with n < 2 or a zero-variance side yield NULL, never ±Inf/NaN. */
+  def rollingCorr(df: DataFrame, partitionBy: Seq[String],
+                  orderBy: Seq[String], xCol: String, yCol: String,
+                  window: Int, outCol: String = "corr"): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 4)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 8)
+    val w = spec(partitionBy, orderBy).rowsBetween(-(window - 1), 0)
+    val both = col(xCol).isNotNull && col(yCol).isNotNull
+    val x = when(both, col(xCol).cast("double"))
+    val y = when(both, col(yCol).cast("double"))
+    val n = sum(when(both, 1L).otherwise(0L)).over(w)
+    val sx = sum(x.cast(dec18)).over(w).cast("double")
+    val sy = sum(y.cast(dec18)).over(w).cast("double")
+    val sxx = sum((x * x).cast(dec38)).over(w).cast("double")
+    val syy = sum((y * y).cast(dec38)).over(w).cast("double")
+    val sxy = sum((x * y).cast(dec38)).over(w).cast("double")
+    val cov = n * sxy - sx * sy
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    df.withColumn(outCol,
+      when(n >= 2 && vx > 0 && vy > 0, cov / sqrt(vx * vy)))
+  }
 }

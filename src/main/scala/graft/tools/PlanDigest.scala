@@ -59,7 +59,14 @@ object PlanDigest {
     "q_asof_nearest", "q_resample",
     // interval_join's contract IS its plan: bucketized equi-join with
     // NO distinct/dedup exchange (the overlap-start rule replaces it)
-    "q_interval_join")
+    "q_interval_join",
+    // session-5: cusum's contract is ONE exchange + ONE sort feeding two
+    // stacked Window passes (the reflection identity's whole point);
+    // rolling_corr pins the six-moments-in-one-Window fusion (+ the lag
+    // pass on the same sort); cdc pins the single struct-max aggregate;
+    // gains pins one percentile aggregate + broadcast band assignment;
+    // pii pins the map-only zero-exchange scan
+    "q_cusum", "q_rolling_corr", "q_cdc", "q_gains", "q_pii")
 
   val SnapshotPath = "tools/plan_digests.txt"
   val DefaultSfDir = "/root/testdata/sf0.001"

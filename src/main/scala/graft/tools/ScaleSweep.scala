@@ -492,6 +492,38 @@ object ScaleSweep {
         spans("purchase", "a"), spans("error", "b"), Seq("user_id"),
         "s_a", "e_a", "s_b", "e_b", bucketWidth = halfHourNs)
     })
+    // round-7 session-5 operators: cusum (one key exchange + one sort,
+    // two stacked Window passes), rolling_corr (lag + six fused moments
+    // over one frame), cdc (latestByKey groupBy + map-side tombstone
+    // filter), gains (one percentile aggregate + broadcast band
+    // assignment), pii (map-only regex scan; doc corpus scales)
+    sweep("cusum")(k => WindowOps.cusum(evAt(k),
+      Seq("user_id"), Seq("ts", "event_id"), "value",
+      target = 165.0, slack = 20.0, threshold = 500.0))
+    sweep("rolling_corr")(k => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      WindowOps.rollingCorr(
+        evAt(k).withColumn("y", lag(col("value"), 1).over(w)),
+        Seq("user_id"), Seq("ts", "event_id"), "value", "y", window = 20)
+    })
+    sweep("cdc")(k => {
+      val base = evAt(k)
+        .select(col("event_id"), col("ts"), col("value"), lit("I").as("op"))
+      val upd = base.where(col("event_id") % 10 === 0)
+        .select(col("event_id"), (col("ts") + 1000L).as("ts"),
+          (col("value") * 2).as("value"), lit("U").as("op"))
+      val del = base.where(col("event_id") % 20 === 0)
+        .select(col("event_id"), (col("ts") + 2000L).as("ts"),
+          lit(0.0).as("value"), lit("D").as("op"))
+      Dedup.applyChangelog(base.unionAll(upd).unionAll(del),
+        Seq("event_id"), Seq("ts"), "op")
+    })
+    sweep("gains")(k => graft.operators.Profile.gainsTable(
+      evAt(k).select(((col("event_id") % 1000).cast("double") / 1000.0)
+          .as("score"), (col("value") > 250.0).as("label")),
+      "score", "label", buckets = 10))
+    sweep("pii")(k => TextAnalysis.piiReport(docsAt(k), "doc_id", "text"))
 
     def renderMap(m: scala.collection.Map[String, Seq[Double]]): String =
       m.map { case (k, v) =>

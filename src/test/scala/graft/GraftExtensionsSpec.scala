@@ -59,7 +59,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(GraftExtensions.all.map(_._1).sorted == Seq(
       "graft_cm_estimate", "graft_cosine", "graft_count_min", "graft_dot",
       "graft_frequent_items", "graft_jaro", "graft_jaro_winkler",
-      "graft_normalize_ws", "graft_shingles", "graft_top_k",
+      "graft_luhn", "graft_normalize_ws", "graft_shingles", "graft_top_k",
       "graft_unicode_normalize"))
   }
 }

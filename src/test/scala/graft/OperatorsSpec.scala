@@ -2466,4 +2466,142 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Seq(None, Some(2.0), Some(4.0), Some(6.0), Some(8.0), Some(8.0)))
     assert(!out.headOption.flatten.isDefined)
   }
+
+  test("cusum: reflection identity matches the recursion, nulls skip") {
+    // target=10, slack=2: y+ = x-12, y- = 8-x
+    val rows = Seq((1L, 1L, 10.0), (1L, 2L, 10.0), (1L, 3L, 25.0),
+        (1L, 4L, 30.0), (1L, 5L, 10.0),
+        (2L, 1L, 2.0), (2L, 2L, 3.0), (2L, 3L, 20.0))
+      .toDF("k", "t", "v")
+    val out = WindowOps.cusum(rows, Seq("k"), Seq("t"), "v",
+        target = 10.0, slack = 2.0, threshold = 20.0)
+      .orderBy("k", "t")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Double]("s_hi"),
+        r.getAs[Double]("s_lo"), r.getAs[Boolean]("alarm")))
+    // brute-force recursion for every row
+    def brute(xs: Seq[Double]): Seq[(Double, Double)] =
+      xs.scanLeft((0.0, 0.0)) { case ((h, l), x) =>
+        (math.max(0, h + x - 12.0), math.max(0, l + 8.0 - x)) }.tail
+    val exp1 = brute(Seq(10, 10, 25, 30, 10))
+    val exp2 = brute(Seq(2, 3, 20))
+    (out.take(5).zip(exp1) ++ out.drop(5).zip(exp2)).foreach {
+      case ((_, h, l, a), (eh, el)) =>
+        assert(math.abs(h - eh) < 1e-9 && math.abs(l - el) < 1e-9)
+        assert(a == (eh > 20.0 || el > 20.0))
+    }
+    // a NULL measurement: null scores, no alarm, recursion resumes
+    val withNull = Seq((1L, 1L, Some(25.0)), (1L, 2L, None),
+        (1L, 3L, Some(25.0))).toDF("k", "t", "v")
+    val nOut = WindowOps.cusum(withNull, Seq("k"), Seq("t"), "v",
+        10.0, 2.0, 20.0).orderBy("t").collect()
+    assert(nOut(1).isNullAt(nOut(1).fieldIndex("s_hi")))
+    assert(!nOut(1).getAs[Boolean]("alarm"))
+    // 13 + 13 = 26: the null row did not reset the running sum
+    assert(math.abs(nOut(2).getAs[Double]("s_hi") - 26.0) < 1e-9)
+  }
+
+  test("rollingCorr: exact on perfect trends, null on degenerate windows") {
+    val up = (1 to 6).map(i => (1L, i.toLong, i.toDouble, 2.0 * i + 1))
+    val down = (1 to 6).map(i => (2L, i.toLong, i.toDouble, -3.0 * i))
+    val flat = (1 to 6).map(i => (3L, i.toLong, i.toDouble, 7.0))
+    val df = (up ++ down ++ flat).toDF("k", "t", "x", "y")
+    val out = WindowOps.rollingCorr(df, Seq("k"), Seq("t"), "x", "y", 3)
+      .orderBy("k", "t").collect()
+    out.foreach { r =>
+      val k = r.getAs[Long]("k"); val t = r.getAs[Long]("t")
+      val c = if (r.isNullAt(r.fieldIndex("corr"))) None
+        else Some(r.getAs[Double]("corr"))
+      if (t == 1) assert(c.isEmpty, s"n=1 window must be NULL at k=$k")
+      else if (k == 1L) assert(math.abs(c.get - 1.0) < 1e-9)
+      else if (k == 2L) assert(math.abs(c.get + 1.0) < 1e-9)
+      else assert(c.isEmpty, "zero-variance side must be NULL")
+    }
+    // pairwise null exclusion: a null y row contributes nothing
+    val withNull = Seq((1L, 1L, 1.0, Some(3.0)), (1L, 2L, 2.0, None),
+        (1L, 3L, 3.0, Some(5.0)), (1L, 4L, 4.0, Some(6.0)))
+      .toDF("k", "t", "x", "y")
+    val c4 = WindowOps.rollingCorr(withNull, Seq("k"), Seq("t"), "x", "y", 4)
+      .orderBy("t").collect().last.getAs[Double]("corr")
+    // pairs (1,3),(3,5),(4,6) are collinear
+    assert(math.abs(c4 - 1.0) < 1e-9)
+  }
+
+  test("applyChangelog: deletes tombstone, re-inserts resurrect, null op kept") {
+    val log = Seq(
+      (1L, 1L, 10.0, Some("I")),   // plain insert -> kept
+      (2L, 1L, 20.0, Some("I")), (2L, 2L, 21.0, Some("U")), // update wins
+      (3L, 1L, 30.0, Some("I")), (3L, 2L, 0.0, Some("D")),  // deleted
+      (4L, 1L, 40.0, Some("I")), (4L, 2L, 0.0, Some("D")),
+      (4L, 3L, 41.0, Some("I")),   // re-insert after delete -> resurrected
+      (5L, 1L, 50.0, None))        // connector that leaves op NULL on insert
+      .toDF("id", "ver", "v", "op")
+    val snap = Dedup.applyChangelog(log, Seq("id"), Seq("ver"), "op")
+      .orderBy("id").collect().map(r =>
+        (r.getAs[Long]("id"), r.getAs[Double]("v"))).toSeq
+    assert(snap == Seq((1L, 10.0), (2L, 21.0), (4L, 41.0), (5L, 50.0)))
+    assert(!Dedup.applyChangelog(log, Seq("id"), Seq("ver"), "op")
+      .columns.contains("op"))
+  }
+
+  test("gainsTable: captures order, ties stay in one band, totals conserve") {
+    // 10 rows, scores 0.0..0.9, positives are the top 3 scores
+    val rows = (0 until 10).map(i => (i.toLong, i / 10.0, i >= 7))
+      .toDF("id", "score", "label")
+    val g = Profile.gainsTable(rows, "score", "label", buckets = 2)
+      .orderBy("bucket").collect()
+    assert(g.length == 2)
+    val top = g(0)
+    assert(top.getAs[Int]("bucket") == 1 && top.getAs[Long]("n") == 5)
+    assert(top.getAs[Long]("n_pos") == 3)
+    assert(math.abs(top.getAs[Double]("gain") - 1.0) < 1e-9)
+    // lift = (3/5)/(3/10) = 2.0
+    assert(math.abs(top.getAs[Double]("lift") - 2.0) < 1e-9)
+    val bot = g(1)
+    assert(bot.getAs[Long]("cum_n") == 10 && bot.getAs[Long]("cum_pos") == 3)
+    assert(math.abs(bot.getAs[Double]("lift") - 1.0) < 1e-9)
+    // tied scores never split across bands: constant score -> ONE band
+    val tied = (0 until 8).map(i => (i.toLong, 0.5, i % 2 == 0))
+      .toDF("id", "score", "label")
+    val tg = Profile.gainsTable(tied, "score", "label", buckets = 4).collect()
+    assert(tg.length == 1 && tg(0).getAs[Long]("n") == 8)
+    // all-negative labels: NULL gain/lift, never a division blow-up
+    val neg = (0 until 6).map(i => (i.toLong, i / 6.0, false))
+      .toDF("id", "score", "label")
+    val ng = Profile.gainsTable(neg, "score", "label", buckets = 2).collect()
+    assert(ng.forall(r => r.isNullAt(r.fieldIndex("gain")) &&
+      r.isNullAt(r.fieldIndex("lift"))))
+  }
+
+  test("luhn kernel + pii report: typed counts, validated candidates") {
+    import graft.functions.LuhnCheck
+    // known-valid card numbers (public test numbers), a 1-digit perturbation,
+    // non-digits, too-short
+    assert(LuhnCheck.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("4532015112830366")))
+    assert(LuhnCheck.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("79927398713")))
+    assert(!LuhnCheck.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("79927398710")))
+    assert(!LuhnCheck.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("4532-0151")))
+    assert(!LuhnCheck.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("5")))
+    val docs = Seq(
+      (1L, "mail me at a.b@example.com or c@d.org, server 10.0.0.1"),
+      (2L, "card 4532015112830366 expires soon; fake 1234567890123 here"),
+      (3L, "call +14155552671 or 415-555-2671; bad ip 999.1.2.3"),
+      (4L, "nothing here")).toDF("doc_id", "text")
+    val rep = TextAnalysis.piiReport(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Int]("n_email"), r.getAs[Int]("n_ipv4"),
+        r.getAs[Int]("n_phone"), r.getAs[Int]("n_card"))).toSeq
+    // doc 3: "999.1.2.3" — \b fencing refuses to carve "99.1.2.3" out of
+    // the run; "+14155552671" is ALSO an 11-digit run but 11 < 13 so it
+    // is not a card candidate
+    assert(rep == Seq((2, 1, 0, 0), (0, 0, 0, 1), (0, 0, 2, 0), (0, 0, 0, 0)))
+    // SQL surface
+    LuhnCheck.register(spark)
+    assert(spark.sql("SELECT graft_luhn('79927398713') AS ok")
+      .first().getBoolean(0))
+  }
 }
