@@ -65,6 +65,22 @@ object SparkEntry {
       |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
       |ORDER BY step""".stripMargin
 
+  /** The tombstone-replay snapshot (latest per key, latest-delete keys
+    * gone), shared by q_cdc and q_stream_cdc — the stream's compacted
+    * emission set IS the batch snapshot, so one string keeps the two
+    * gates synced. */
+  private val CdcOracleSql: String =
+    """WITH b AS (SELECT event_id, epoch_us(ts) AS tsu, value FROM events),
+      |log AS (SELECT event_id, tsu, value, 'I' AS op FROM b
+      |  UNION ALL SELECT event_id, tsu + 1000, value * 2, 'U' FROM b
+      |    WHERE event_id % 10 = 0
+      |  UNION ALL SELECT event_id, tsu + 2000, 0.0, 'D' FROM b
+      |    WHERE event_id % 20 = 0),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+      |  ORDER BY tsu DESC) AS rn FROM log)
+      |SELECT event_id, tsu, value FROM r WHERE rn = 1 AND op <> 'D'
+      |ORDER BY event_id""".stripMargin
+
   private def lineitem(s: SparkSession, dir: String): DataFrame =
     DataFrame.fromSpark(table(s, dir, "lineitem"),
       index = Seq("l_orderkey", "l_linenumber"))
@@ -3104,6 +3120,52 @@ object SparkEntry {
           col("n_phone").cast("long").as("n_phone"),
           col("n_card").cast("long").as("n_card"))
         .orderBy("doc_id")
+    }),
+
+    // Structured Streaming: CDC compaction with DELETE tombstones — the
+    // ingest-time twin of Dedup.applyChangelog (q_cdc's changelog
+    // synthesis, streamed); the drained emission stream compacts to the
+    // batch snapshot, so the oracle IS q_cdc's
+    "q_stream_cdc" -> ((s, dir) => {
+      val out = s"stream_cdc_${System.nanoTime()}"
+      val ev = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      val base = ev.select(col("event_id").as("key"),
+        expr("ts DIV 1000").as("ver"), col("value"), lit("I").as("op"))
+      val upd = base.where(col("key") % 10 === 0)
+        .select(col("key"), (col("ver") + 1000L).as("ver"),
+          (col("value") * 2).as("value"), lit("U").as("op"))
+      val del = base.where(col("key") % 20 === 0)
+        .select(col("key"), (col("ver") + 2000L).as("ver"),
+          lit(0.0).as("value"), lit("D").as("op"))
+      val q = GraftStreaming.runToMemory(
+        GraftStreaming.cdcStream(base.unionAll(upd).unionAll(del)), out)
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
+      Dedup.applyChangelogEmissions(s.table(out))
+        .select(col("key").as("event_id"), col("ver").as("tsu"), col("value"))
+        .orderBy("event_id")
+    }),
+
+    // Structured Streaming: gap sessions via the NATIVE session_window
+    // aggregate (built-in-first; the custom sessionize exists for
+    // custom per-session state) — far-future sentinel copies close
+    // every real session so append mode emits them all
+    "q_stream_sessions_native" -> ((s, dir) => {
+      val out = s"stream_sessw_${System.nanoTime()}"
+      val ev = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      val sentinels = ev
+        .withColumn("ts", col("ts") + lit(1000000000000000000L))
+        .withColumn("value", lit(-1e18))
+        .withColumn("event_time", GraftStreaming.eventTime(col("ts")))
+      val sess = GraftStreaming.sessionWindowStats(
+        ev.unionByName(sentinels), "1800 seconds", watermark = "87600 hours")
+      val q = GraftStreaming.runToMemory(sess, out)
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
+      s.table(out).where(col("total") > -1e17)
+        .select(col("user_id"),
+          unix_seconds(col("session_start")).as("session_start"),
+          unix_seconds(col("session_end")).as("session_end"),
+          col("n_events"), round(col("total"), 6).as("total"))
+        .orderBy("user_id", "session_start")
     })
   )
 
@@ -5288,17 +5350,31 @@ object SparkEntry {
         |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
         |    END AS corr
         |FROM c ORDER BY user_id, event_id""".stripMargin,
-    "q_cdc" ->
-      """WITH b AS (SELECT event_id, epoch_us(ts) AS tsu, value FROM events),
-        |log AS (SELECT event_id, tsu, value, 'I' AS op FROM b
-        |  UNION ALL SELECT event_id, tsu + 1000, value * 2, 'U' FROM b
-        |    WHERE event_id % 10 = 0
-        |  UNION ALL SELECT event_id, tsu + 2000, 0.0, 'D' FROM b
-        |    WHERE event_id % 20 = 0),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY event_id
-        |  ORDER BY tsu DESC) AS rn FROM log)
-        |SELECT event_id, tsu, value FROM r WHERE rn = 1 AND op <> 'D'
-        |ORDER BY event_id""".stripMargin,
+    // ONE tombstone-replay oracle serves both CDC gates — the stream's
+    // compacted emissions ARE the batch snapshot
+    "q_cdc" -> CdcOracleSql,
+    "q_stream_cdc" -> CdcOracleSql,
+    // NATIVE session_window sessions ≡ the batch gap-split recursion:
+    // an event extends a session while diff <= gap (INCLUSIVE — a
+    // planted boundary spec pins that diff == gap MERGES),
+    // session_end = last event + gap, second-truncated times
+    "q_stream_sessions_native" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000000000 AS tss, value FROM events),
+        |f AS (SELECT user_id, event_id, tss, value,
+        |    CASE WHEN lag(tss) OVER w IS NULL
+        |      OR tss - lag(tss) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)),
+        |s AS (SELECT user_id, tss, value, sum(brk) OVER
+        |    (PARTITION BY user_id ORDER BY tss, event_id ROWS BETWEEN
+        |     UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, min(tss) AS session_start,
+        |  max(tss) + 1800 AS session_end, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |    AS total
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     // gains/lift: quantile_cont edges ≡ Spark exact percentile
     // (q_group_quantile proved the parity), strictly-above indicator
     // bands, integer sums cast before the mirrored double divisions

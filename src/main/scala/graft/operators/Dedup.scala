@@ -171,6 +171,16 @@ object Dedup {
       .drop(opCol)
   }
 
+  /** Compact a drained [[graft.streaming.GraftStreaming.cdcStream]]
+    * emission set (key, ver, value, deleted) to the snapshot it
+    * represents: each key's max-ver emission wins, tombstoned keys
+    * leave. The batch half of replaying a CDC emission log into a
+    * non-upsert sink; same single struct-max shape as
+    * [[applyChangelog]]. */
+  def applyChangelogEmissions(emissions: DataFrame): DataFrame =
+    latestByKey(emissions, Seq("key"), Seq("ver"))
+      .where(!col("deleted")).drop("deleted")
+
   /** Exact dedup: canonical (min id) representative + duplicate count per
     * distinct key value. */
   def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =

@@ -84,6 +84,39 @@ object GraftStreaming {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
 
+  /** Gap-based session aggregation via Spark's NATIVE `session_window`
+    * — the built-in-first counterpart of [[sessionize]] (custom
+    * flatMapGroupsWithState): when per-session output is just
+    * aggregates (count/sum/bounds), the built-in operator already
+    * expresses it, the state store handles merge/expiry, and there is
+    * no per-key fold to maintain. Reach for [[sessionize]] only when a
+    * session needs custom state (ordered event lists, early emission).
+    *
+    * Semantics: an event extends a session while its time is within
+    * `gap` of the previous event INCLUSIVE — diff == gap MERGES (the
+    * new event's window [t, t+gap) starts exactly at the session end
+    * and Spark coalesces adjacent windows; a planted boundary spec pins
+    * this, and it matches [[sessionize]]'s `<= gapNs` merge and the
+    * batch `sessionIds` rule, so all three sessionizers agree on
+    * boundary-distance events); `session_end` = last event + gap.
+    * State is one
+    * aggregation buffer per open session, watermark-evicted. In append
+    * mode a session only emits once the watermark passes its close —
+    * for a bounded replay, union far-future sentinel copies per key
+    * (the [[sessionize]] demo's trick) so every real session
+    * finalizes. */
+  def sessionWindowStats(events: DataFrame, gap: String,
+                         watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total"))
+
   /** Streaming OHLC bars: per (event-time window, type), open/high/low/
     * close + count at ingest — [[graft.operators.WindowOps.resampleOhlc]]
     * as a watermarked stateful aggregate, so the tick stream compacts to
@@ -243,6 +276,55 @@ object GraftStreaming {
             val wins = best.forall(b => c.tsNs > b.tsNs ||
               (c.tsNs == b.tsNs && c.eventId > b.eventId))
             if (wins) best = Some(c)
+          }
+          if (best != before) { state.update(best.get); Iterator(best.get) }
+          else Iterator.empty
+        }).toDF()
+  }
+
+  /** One CDC compaction emission: the key's new latest version, with
+    * `deleted` true when that version is a tombstone. */
+  case class CdcChange(key: Long, ver: Long, value: Double, deleted: Boolean)
+
+  /** Streaming CDC compaction with DELETE tombstones — the ingest-time
+    * twin of [[graft.operators.Dedup.applyChangelog]] the way
+    * [[latestStream]] twins `latestByKey`: input rows are changelog
+    * entries (key, ver, value, op), state is each key's latest version
+    * INCLUDING tombstones (a delete must be remembered, or a stale
+    * pre-delete update arriving late would resurrect the key), and an
+    * emission happens only when a key's latest version CHANGES — the
+    * minimal update stream an upsert-capable sink (Delta/Hudi-style
+    * MERGE, a KV store) applies directly, with `deleted` telling it
+    * DELETE vs UPSERT.
+    *
+    * `ver` must be strictly increasing per key across its changes (the
+    * CDC source's log sequence number; ties have no defined winner and
+    * are absorbed arrival-order). Late events older than the stored
+    * version are absorbed silently, exactly latestStream's posture, so
+    * a re-insert after a delete resurrects the key iff its ver is
+    * newer. State: ONE small row per live key — the snapshot-size bound
+    * every upsert sink carries anyway; no watermark to mis-tune.
+    *
+    * Single AvailableNow batch ≡ batch applyChangelog after compacting
+    * the emission stream to each key's max-ver row and dropping
+    * `deleted` (parity spec-pinned; q_stream_cdc's oracle IS q_cdc's). */
+  def cdcStream(changes: DataFrame, deleteOps: Set[String] = Set("D")): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(deleteOps.nonEmpty, "cdcStream needs at least one delete op")
+    implicit val stateEnc = Encoders.product[CdcChange]
+    implicit val rowEnc = Encoders.row(changes.schema)
+    implicit val keyEnc = Encoders.scalaLong
+    changes.groupByKey((r: Row) => r.getAs[Long]("key"))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[Row], state: GroupState[CdcChange]) => {
+          val before = state.getOption
+          var best = before
+          rows.foreach { r =>
+            val c = CdcChange(key, r.getAs[Long]("ver"),
+              r.getAs[Double]("value"),
+              deleteOps.contains(r.getAs[String]("op")))
+            if (best.forall(b => c.ver > b.ver)) best = Some(c)
           }
           if (best != before) { state.update(best.get); Iterator(best.get) }
           else Iterator.empty

@@ -270,6 +270,72 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       .collect().map(_.getAs[Int]("step")).sorted.toSeq == Seq(1, 2, 3))
   }
 
+  test("cdcStream: tombstones suppress, re-inserts resurrect, stale absorbed") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    // b0: two inserts; b1: delete key 1, STALE update for key 2 (absorbed),
+    // insert key 3; b2: re-insert key 1 after its delete
+    Seq((1L, 100L, 1.0, "I"), (2L, 100L, 2.0, "I"))
+      .toDF("key", "ver", "value", "op").coalesce(1).write.parquet(s"$tmp/b0")
+    Seq((1L, 200L, 0.0, "D"), (2L, 50L, 9.9, "U"), (3L, 100L, 3.0, "I"))
+      .toDF("key", "ver", "value", "op").coalesce(1).write.parquet(s"$tmp/b1")
+    Seq((1L, 300L, 1.5, "I"))
+      .toDF("key", "ver", "value", "op").coalesce(1).write.parquet(s"$tmp/b2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ver", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$tmp/*")
+    val q = GraftStreaming.runToMemory(GraftStreaming.cdcStream(stream), "cdc_out")
+    assert(q.awaitTermination(120000))
+    val emissions = spark.table("cdc_out")
+      .collect().map(r => (r.getAs[Long]("key"), r.getAs[Long]("ver"),
+        r.getAs[Boolean]("deleted"))).toSet
+    // minimal update changelog: key 2's stale update emitted NOTHING
+    assert(emissions == Set((1L, 100L, false), (1L, 200L, true),
+      (1L, 300L, false), (2L, 100L, false), (3L, 100L, false)))
+    // compaction of the emission log = the live snapshot
+    val snap = graft.operators.Dedup.applyChangelogEmissions(spark.table("cdc_out"))
+      .orderBy("key").collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Double]("value"))).toSeq
+    assert(snap == Seq((1L, 1.5), (2L, 2.0), (3L, 3.0)))
+  }
+
+  test("sessionWindowStats: native session_window ≡ gap split; == gap merges") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sessw").toString
+    // user 10: events at 0s, 100s (merge), 2000s (gap 1900 > 1800 ->
+    // NEW session), 3800s (diff EXACTLY 1800 -> MERGES: session_window
+    // coalesces the adjacent [t, t+gap) windows — the boundary the
+    // oracle's strict > mirrors); sentinel far future
+    Seq((1L, 0L, 10L, "a", 1.0), (2L, 100L * 1000000000L, 10L, "a", 2.0),
+        (3L, 2000L * 1000000000L, 10L, "a", 4.0),
+        (4L, 3800L * 1000000000L, 10L, "a", 8.0),
+        (99L, 1000000000000000000L, 10L, "zz", -1e18))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$tmp/b0")
+    val stream = GraftStreaming.normalizeTs(spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
+      .parquet(s"$tmp/*"))
+    val q = GraftStreaming.runToMemory(GraftStreaming.sessionWindowStats(
+      stream, "1800 seconds", watermark = "87600 hours"), "sessw_out")
+    assert(q.awaitTermination(120000))
+    val rows = spark.table("sessw_out").where(col("total") > -1e17)
+      .select(unix_seconds(col("session_start")).as("ss"),
+        unix_seconds(col("session_end")).as("se"), col("n_events"), col("total"))
+      .orderBy("ss").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows == Seq((0L, 1900L, 2L, 3.0), (2000L, 5600L, 2L, 12.0)))
+  }
+
   test("streaming: stateful sessionization emits closed sessions") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream3").toString
     spark.read.parquet(s"$dir/events.parquet").limit(300)
