@@ -3166,6 +3166,47 @@ object SparkEntry {
           unix_seconds(col("session_end")).as("session_end"),
           col("n_events"), round(col("total"), 6).as("total"))
         .orderBy("user_id", "session_start")
+    }),
+
+    // seasonal-residual anomaly screening — the operator-algebra
+    // composition: seasonalDecompose strips the hour-of-day profile,
+    // robustZScore standardizes the residual per phase (median/MAD —
+    // the outliers being hunted can't drag the gate), |z| > 3.5 flags
+    "q_anomaly" -> ((s, dir) => {
+      val dec = WindowOps.seasonalDecompose(eventsMicros(s, dir),
+        "event_id", "tsu", "value", period = 3600000000L, phases = 24)
+      WindowOps.robustZScore(dec, Seq("phase"), "residual", "rz")
+        .select(col("event_id"), col("phase"), col("residual"),
+          round(col("rz"), 9).as("rz"),
+          coalesce(abs(col("rz")) > 3.5, lit(false)).as("anomaly"))
+        .orderBy("event_id")
+    }),
+
+    // item-item co-occurrence normalized to LIFT over the same capped
+    // relation as the pair counts (margins from the capped set keep the
+    // ratio internally consistent under the mega-key cap)
+    "q_covisit_lift" -> ((s, dir) => {
+      import graft.operators.{GraphOps, UrlOps}
+      val ev = table(s, dir, "events")
+      val u = UrlOps.syntheticUrl(col("event_id"), col("user_id"), col("event_type"))
+      val rel = ev.select(col("user_id"), UrlOps.hostOf(u).as("host"))
+      GraphOps.coVisitationLift(rel, "user_id", "host", maxPerKey = 10,
+          minSupport = 2L)
+        .select(col("item_a"), col("item_b"), col("n"),
+          round(col("lift"), 9).as("lift"))
+        .orderBy("item_a", "item_b")
+    }),
+
+    // snapshot-over-snapshot profile drift: two one-aggregate profile
+    // scans joined by column — null-rate movement, distinct movement,
+    // null-safe [min, max] envelope drift
+    "q_profile_drift" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.Profile.profileDrift(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1),
+          Seq("lang", "source", "n_chars"))
+        .orderBy("col_name")
     })
   )
 
@@ -5413,7 +5454,56 @@ object SparkEntry {
         |    THEN round((CAST(cum_pos AS DOUBLE) / cum_n)
         |      / (CAST(tp AS DOUBLE) / tn), 6) END AS lift
         |FROM f ORDER BY bucket""".stripMargin,
-    "q_pii" -> PiiOracle
+    "q_pii" -> PiiOracle,
+    // the q_seasonal CTEs extended with per-phase median/MAD (the
+    // q_robust_z arithmetic) — anomaly tested on the UNROUNDED z
+    "q_anomaly" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS tsu, value FROM events),
+        |b AS (SELECT event_id,
+        |        ((tsu // 3600000000) % 24 + 24) % 24 AS phase, value FROM e),
+        |p AS (SELECT phase, count(*) AS n,
+        |        sum(CAST(value AS DECIMAL(18,6))) AS s FROM b GROUP BY phase),
+        |r AS (SELECT b.event_id, b.phase,
+        |        round(b.value - CAST(p.s AS DOUBLE) / p.n, 6) AS residual
+        |      FROM b JOIN p USING (phase)),
+        |m AS (SELECT phase, quantile_cont(residual, 0.5) AS med
+        |      FROM r GROUP BY phase),
+        |w AS (SELECT r.event_id, r.phase, r.residual, m.med
+        |      FROM r JOIN m USING (phase)),
+        |d AS (SELECT phase, quantile_cont(abs(residual - med), 0.5) AS mad
+        |      FROM w GROUP BY phase)
+        |SELECT event_id, w.phase, residual,
+        |  CASE WHEN mad = 0.0 THEN NULL
+        |    ELSE round((residual - med) / (1.4826 * mad), 9) END AS rz,
+        |  CASE WHEN mad = 0.0 THEN FALSE
+        |    ELSE abs((residual - med) / (1.4826 * mad)) > 3.5 END AS anomaly
+        |FROM w JOIN d USING (phase) ORDER BY event_id""".stripMargin,
+    "q_covisit_lift" -> {
+      import graft.operators.{GraphOps, UrlOps}
+      s"""WITH rel AS (SELECT user_id AS k,
+         |        ${UrlOps.hostSqlExpr(UrlOps.syntheticUrlSqlExpr)} AS item
+         |      FROM events),
+         |${GraphOps.coVisitationLiftOracleCtes(maxPerKey = 10, minSupport = 2L)}
+         |SELECT item_a, item_b, n, round(lift, 9) AS lift FROM lifted
+         |ORDER BY item_a, item_b""".stripMargin
+    },
+    "q_profile_drift" -> {
+      val cols = Seq("lang", "source", "n_chars")
+      s"""WITH o AS (
+         |${graft.operators.Profile.profileOracleSql(
+             "(SELECT * FROM documents WHERE doc_id % 2 = 0)", cols)}),
+         |nn AS (
+         |${graft.operators.Profile.profileOracleSql(
+             "(SELECT * FROM documents WHERE doc_id % 2 = 1)", cols)})
+         |SELECT o.col_name, o.n_rows AS old_rows, nn.n_rows AS new_rows,
+         |  o.n_nulls AS old_nulls, nn.n_nulls AS new_nulls,
+         |  o.n_distinct AS old_distinct, nn.n_distinct AS new_distinct,
+         |  round(CAST(nn.n_nulls AS DOUBLE) / nn.n_rows
+         |    - CAST(o.n_nulls AS DOUBLE) / o.n_rows, 9) AS null_rate_delta,
+         |  (o.min_value IS DISTINCT FROM nn.min_value
+         |    OR o.max_value IS DISTINCT FROM nn.max_value) AS range_drifted
+         |FROM o JOIN nn USING (col_name) ORDER BY col_name""".stripMargin
+    }
   )
 
   private lazy val PiiOracle: String = {

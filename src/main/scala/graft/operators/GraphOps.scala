@@ -577,19 +577,61 @@ object GraphOps {
     * @return (item_a, item_b, n) with item_a < item_b.
     */
   def coVisitation(rel: DataFrame, keyCol: String, itemCol: String,
-                   maxPerKey: Int): DataFrame = {
+                   maxPerKey: Int): DataFrame =
+    cappedPairs(cappedItems(rel, keyCol, itemCol, maxPerKey))
+
+  /** The md5-capped distinct (k, item) relation both co-visitation
+    * faces share. */
+  private def cappedItems(rel: DataFrame, keyCol: String, itemCol: String,
+                          maxPerKey: Int): DataFrame = {
     require(maxPerKey >= 2, "maxPerKey must be >= 2")
     import org.apache.spark.sql.expressions.Window
     val d = rel.select(col(keyCol).as("k"), col(itemCol).as("item")).distinct()
     val w = Window.partitionBy("k")
       .orderBy(md5(col("item").cast("string")), col("item"))
-    val capped = d.withColumn("__rn", row_number().over(w))
+    d.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= maxPerKey)
       .select(col("k"), col("item"))
+  }
+
+  private def cappedPairs(capped: DataFrame): DataFrame =
     capped.as("a").join(capped.as("b"),
         col("a.k") === col("b.k") && col("a.item") < col("b.item"))
       .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
       .agg(count(lit(1)).as("n"))
+
+  /** [[coVisitation]] normalized to LIFT: n_ab·N / (n_a·n_b), the
+    * co-occurrence strength relative to independence (lift > 1 = the
+    * pair co-occurs more than its items' popularities predict) — raw
+    * counts just rank popular×popular pairs first, which is why every
+    * association-rule / item-item recommender thresholds on lift (or
+    * its log, PMI). Margins and the key total come from the SAME capped
+    * relation as the pairs, so the ratio is internally consistent under
+    * the mega-key cap (uncapped margins would deflate every hub item's
+    * lift).
+    *
+    * Extra cost over the pair count: one item-keyed margin aggregate
+    * (item-vocabulary-sized) joined back onto the pairs by item — the
+    * pair relation shuffles on item, the margins are model-sized — and
+    * a one-row key-count broadcast. `minSupport` prunes noise pairs
+    * BEFORE the margin joins carry them.
+    *
+    * @return (item_a, item_b, n, lift), item_a < item_b. */
+  def coVisitationLift(rel: DataFrame, keyCol: String, itemCol: String,
+                       maxPerKey: Int, minSupport: Long = 1L): DataFrame = {
+    val capped = cappedItems(rel, keyCol, itemCol, maxPerKey)
+    val pairs = cappedPairs(capped).where(col("n") >= minSupport)
+    val margins = capped.groupBy("item").agg(count(lit(1)).as("nk"))
+    val total = capped.agg(countDistinct(col("k")).as("nkeys"))
+    pairs
+      .join(margins.select(col("item").as("item_a"), col("nk").as("__na")),
+        Seq("item_a"))
+      .join(margins.select(col("item").as("item_b"), col("nk").as("__nb")),
+        Seq("item_b"))
+      .crossJoin(broadcast(total))
+      .select(col("item_a"), col("item_b"), col("n"),
+        ((col("n").cast("double") * col("nkeys")) /
+          (col("__na").cast("double") * col("__nb"))).as("lift"))
   }
 
   /** DuckDB oracle twin of [[coVisitation]] over a CTE named `rel`
@@ -606,6 +648,22 @@ object GraphOps {
        |  FROM capped a JOIN capped b
        |    ON a.k = b.k AND a.item < b.item
        |  GROUP BY a.item, b.item)""".stripMargin
+
+  /** DuckDB oracle twin of [[coVisitationLift]] — extends
+    * [[coVisitationOracleCtes]] with margins/total over the same capped
+    * relation. Emits bodies through `lifted`; the caller selects
+    * (item_a, item_b, n, lift) from `lifted`. */
+  def coVisitationLiftOracleCtes(maxPerKey: Int, minSupport: Long): String =
+    s"""${coVisitationOracleCtes(maxPerKey)},
+       |margins AS (SELECT item, CAST(count(*) AS BIGINT) AS nk
+       |  FROM capped GROUP BY item),
+       |tot AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS nkeys FROM capped),
+       |lifted AS (SELECT item_a, item_b, n,
+       |    (CAST(n AS DOUBLE) * nkeys) / (CAST(ma.nk AS DOUBLE) * mb.nk)
+       |      AS lift
+       |  FROM pairs JOIN margins ma ON pairs.item_a = ma.item
+       |    JOIN margins mb ON pairs.item_b = mb.item, tot
+       |  WHERE n >= $minSupport)""".stripMargin
 
   /** DuckDB oracle twin of [[kCore]]: peel rounds unrolled as CTEs over
     * an edge CTE named `e0` with raw directed (src, dst). Emits bodies

@@ -258,6 +258,33 @@ object Profile {
 
   /** [[profile]] as DuckDB SQL over `relation` for the given columns
     * (integer/string columns only — see the rendering caveat above). */
+  /** Snapshot-over-snapshot profile drift: [[profile]] both sides (ONE
+    * aggregate scan each), join the two schema-sized long-format
+    * profiles by column, and report the deltas a data-contract review
+    * reads — null-rate movement, distinct-count movement, and whether
+    * the [min, max] envelope moved (null-safe: an empty side is a drift
+    * signal, not a NULL that vanishes from the report). The
+    * quantitative companion to [[functionalDeps]]'s structural checks
+    * and vocabularyDrift's content check: run it between daily drops
+    * before trusting a feed. Corpus cost = two profile scans; the join
+    * is |cols|-row. */
+  def profileDrift(oldDf: DataFrame, newDf: DataFrame,
+                   cols: Seq[String]): DataFrame = {
+    val o = profile(oldDf, cols)
+    val n = profile(newDf, cols)
+    o.as("o").join(n.as("n"), Seq("col_name"))
+      .select(col("col_name"),
+        col("o.n_rows").as("old_rows"), col("n.n_rows").as("new_rows"),
+        col("o.n_nulls").as("old_nulls"), col("n.n_nulls").as("new_nulls"),
+        col("o.n_distinct").as("old_distinct"),
+        col("n.n_distinct").as("new_distinct"),
+        round(col("n.n_nulls").cast("double") / col("n.n_rows")
+          - col("o.n_nulls").cast("double") / col("o.n_rows"), 9)
+          .as("null_rate_delta"),
+        (!(col("o.min_value") <=> col("n.min_value")) ||
+          !(col("o.max_value") <=> col("n.max_value"))).as("range_drifted"))
+  }
+
   def profileOracleSql(relation: String, cols: Seq[String]): String =
     cols.map { c =>
       s"""SELECT '$c' AS col_name, count(*) AS n_rows,

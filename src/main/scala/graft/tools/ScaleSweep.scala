@@ -524,6 +524,12 @@ object ScaleSweep {
           .as("score"), (col("value") > 250.0).as("label")),
       "score", "label", buckets = 10))
     sweep("pii")(k => TextAnalysis.piiReport(docsAt(k), "doc_id", "text"))
+    sweep("covisit_lift")(k => {
+      val e = evAt(k)
+      graft.operators.GraphOps.coVisitationLift(
+        e.select(col("user_id"), (col("event_id") % 97).as("item")),
+        "user_id", "item", maxPerKey = 10, minSupport = 2L)
+    })
 
     def renderMap(m: scala.collection.Map[String, Seq[Double]]): String =
       m.map { case (k, v) =>

@@ -2572,6 +2572,63 @@ class OperatorsSpec extends AnyFunSuite {
       r.isNullAt(r.fieldIndex("lift"))))
   }
 
+  test("coVisitationLift: margins from the capped set, minSupport prunes") {
+    val rel = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+        (3L, "a"), (3L, "c"), (4L, "b"))
+      .toDF("k", "item")
+    val all = GraphOps.coVisitationLift(rel, "k", "item", maxPerKey = 10)
+      .collect().map(r => ((r.getAs[String]("item_a"), r.getAs[String]("item_b")),
+        (r.getAs[Long]("n"), r.getAs[Double]("lift")))).toMap
+    // margins: a=3, b=3, c=1; N=4 keys
+    // lift(a,b) = 2*4/(3*3); lift(a,c) = 1*4/(3*1)
+    assert(all(("a", "b"))._1 == 2L)
+    assert(math.abs(all(("a", "b"))._2 - 8.0 / 9.0) < 1e-12)
+    assert(math.abs(all(("a", "c"))._2 - 4.0 / 3.0) < 1e-12)
+    // minSupport prunes the singleton pair BEFORE the margin joins
+    val pruned = GraphOps.coVisitationLift(rel, "k", "item", 10, minSupport = 2L)
+      .collect()
+    assert(pruned.length == 1 && pruned(0).getAs[Long]("n") == 2L)
+  }
+
+  test("profileDrift: null-rate delta, null-safe range drift") {
+    val old = Seq((Some(1L), Some("x")), (Some(2L), Some("y")),
+        (Some(3L), None), (Some(4L), Some("y"))).toDF("a", "b")
+    val nw = Seq((Some(1L), Some("x")), (Some(9L), None),
+        (Some(2L), None), (Some(3L), Some("z"))).toDF("a", "b")
+    val d = Profile.profileDrift(old, nw, Seq("a", "b"))
+      .orderBy("col_name").collect()
+    val a = d(0); val b = d(1)
+    // a: max 4 -> 9 drifted, null rate 0 -> 0
+    assert(a.getAs[Boolean]("range_drifted"))
+    assert(math.abs(a.getAs[Double]("null_rate_delta")) < 1e-12)
+    // b: null rate 1/4 -> 2/4 (+0.25), max y -> z drifted
+    assert(math.abs(b.getAs[Double]("null_rate_delta") - 0.25) < 1e-12)
+    assert(b.getAs[Boolean]("range_drifted"))
+    // identical snapshots: nothing drifts
+    val same = Profile.profileDrift(old, old, Seq("a", "b")).collect()
+    assert(same.forall(r => !r.getAs[Boolean]("range_drifted") &&
+      math.abs(r.getAs[Double]("null_rate_delta")) < 1e-12))
+  }
+
+  test("anomaly composition: spike flagged, constant phase yields no alarm") {
+    // phase 0 (period 10, phases 2): varied baseline + one spike (an
+    // all-identical baseline would put MAD at 0 and NULL the gate —
+    // that degenerate path is phase 1's constant 5s: rz NULL, no flag)
+    val ev = Seq((1L, 0L, 10.0), (2L, 20L, 12.0), (3L, 40L, 14.0),
+        (4L, 60L, 16.0), (5L, 80L, 18.0), (6L, 100L, 1000.0),
+        (7L, 10L, 5.0), (8L, 30L, 5.0), (9L, 50L, 5.0))
+      .toDF("event_id", "tsu", "value")
+    val dec = WindowOps.seasonalDecompose(ev, "event_id", "tsu", "value",
+      period = 10L, phases = 2)
+    val out = WindowOps.robustZScore(dec, Seq("phase"), "residual", "rz")
+      .withColumn("anomaly", coalesce(abs(col("rz")) > 3.5, lit(false)))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[Boolean]("anomaly")).toMap
+    assert(out(6L), "the planted spike must flag")
+    assert((1L to 5L).forall(!out(_)), "baseline rows must not flag")
+    assert((7L to 9L).forall(!out(_)), "MAD-0 phase must not flag")
+  }
+
   test("luhn kernel + pii report: typed counts, validated candidates") {
     import graft.functions.LuhnCheck
     // known-valid card numbers (public test numbers), a 1-digit perturbation,
