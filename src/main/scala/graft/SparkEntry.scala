@@ -3197,6 +3197,22 @@ object SparkEntry {
         .orderBy("item_a", "item_b")
     }),
 
+    // Structured Streaming: CUSUM monitoring at ingest — the direct
+    // recursion on 2 longs of keyed state (streaming is where the
+    // sequential fold is natural; the batch twin needs the reflection
+    // identity); alarmsOnly → output volume tracks incidents
+    "q_stream_cusum" -> ((s, dir) => {
+      val out = s"stream_cusum_${System.nanoTime()}"
+      val ev = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      val q = GraftStreaming.runToMemory(GraftStreaming.cusumStream(
+        ev, target = 165.0, slack = 20.0, threshold = 500.0), out)
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
+      s.table(out)
+        .select(col("userId").as("user_id"), col("eventId").as("event_id"),
+          round(col("sHi"), 6).as("s_hi"), round(col("sLo"), 6).as("s_lo"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // snapshot-over-snapshot profile drift: two one-aggregate profile
     // scans joined by column — null-rate movement, distinct movement,
     // null-safe [min, max] envelope drift
@@ -5361,6 +5377,27 @@ object SparkEntry {
         |  (v9 IS NOT NULL AND (shi > 500000000000 OR slo > 500000000000))
         |    AS alarm
         |FROM m ORDER BY user_id, event_id""".stripMargin,
+    // the batch CUSUM replay restricted to alarm rows — the stream's
+    // emission set under alarmsOnly
+    "q_stream_cusum" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |  CAST(round(value * 1e9) AS BIGINT) AS v9 FROM events),
+        |p AS (SELECT user_id, event_id, tsu, v9,
+        |    sum(v9 - 185000000000) OVER w AS phi,
+        |    sum(145000000000 - v9) OVER w AS plo
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT *,
+        |    phi - least(0, min(phi) OVER w2) AS shi,
+        |    plo - least(0, min(plo) OVER w2) AS slo
+        |  FROM p WINDOW w2 AS (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id,
+        |  round(CAST(shi AS DOUBLE) / 1e9, 6) AS s_hi,
+        |  round(CAST(slo AS DOUBLE) / 1e9, 6) AS s_lo
+        |FROM m
+        |WHERE v9 IS NOT NULL AND (shi > 500000000000 OR slo > 500000000000)
+        |ORDER BY user_id, event_id""".stripMargin,
     // rolling autocorrelation: identical decimal casts and double
     // combination as WindowOps.rollingCorr, lag-1 y in a prior CTE
     "q_rolling_corr" ->

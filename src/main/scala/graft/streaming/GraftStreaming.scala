@@ -674,6 +674,82 @@ object GraftStreaming {
   private val streamDropCounters =
     scala.collection.mutable.Map.empty[String, org.apache.spark.util.LongAccumulator]
 
+  /** One streaming CUSUM alarm/score emission (ts is epoch-µs). */
+  case class CusumHit(userId: Long, eventId: Long, ts: Long,
+                      sHi: Double, sLo: Double, alarm: Boolean)
+
+  /** Per-key CUSUM state: both one-sided scores in exact nano units. */
+  case class CusumState(hi: Long, lo: Long)
+
+  /** Streaming two-sided CUSUM change-point detection — the stateful
+    * twin of [[graft.operators.WindowOps.cusum]] the way [[ewmaStream]]
+    * twins ewmaBounded: the batch operator needs the reflection
+    * identity to avoid a sequential fold, but streaming IS a sequential
+    * fold, so the recursion S⁺ = max(0, S⁺ + (v − target − slack)) runs
+    * directly on TWO longs of keyed state in the same exact nano units
+    * (bit-identical to the batch DECIMAL path while the accumulated
+    * positive drift stays < 2⁶³ nano units — a key would need ~28M
+    * consecutive max-deviation events to overflow; `resetOnAlarm`
+    * restarts the recursion after each alarm, the standard monitoring
+    * posture, which also re-bounds the state).
+    *
+    * Emits per processed event with `alarmsOnly = false` (the parity
+    * face), or only threshold crossings with `alarmsOnly = true` (the
+    * monitoring face — output volume tracks incidents, not traffic).
+    * NULL values pass through silently (no emission, recursion
+    * resumes — the batch operator's posture). State: 2 longs/key, no
+    * TTL (the score IS the answer; a cold key's score is legitimate
+    * accumulated drift). Ordering contract and hot-key relief valve are
+    * [[ewmaStream]]'s; µs fold base for the same oracle-visibility
+    * reason. Quantization nit: JVM Math.round rounds exact .5 toward
+    * +∞ where the batch SQL round() goes away from zero — they agree
+    * for the non-negative values this fold expects. */
+  def cusumStream(events: DataFrame, target: Double, slack: Double,
+                  threshold: Double, alarmsOnly: Boolean = true,
+                  resetOnAlarm: Boolean = false,
+                  maxRowsPerKeyPerBatch: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    require(maxRowsPerKeyPerBatch > 0, "maxRowsPerKeyPerBatch must be positive")
+    val up = math.round(target * 1e9) + math.round(slack * 1e9)
+    val dn = math.round(target * 1e9) - math.round(slack * 1e9)
+    val h9 = math.round(threshold * 1e9)
+    val dropAcc = streamDropCounter(events.sparkSession)
+    implicit val stateEnc = Encoders.product[CusumState]
+    implicit val outEnc = Encoders.product[CusumHit]
+    implicit val rowEnc = Encoders.row(events.schema)
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey((r: Row) => r.getAs[Long]("user_id"))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Row], state: GroupState[CusumState]) => {
+          val all = rows.toSeq.sortBy(r =>
+            (Math.floorDiv(r.getAs[Long]("ts"), 1000L),
+              r.getAs[Long]("event_id")))
+          val (sorted, overflow) = all.splitAt(maxRowsPerKeyPerBatch)
+          if (overflow.nonEmpty) dropAcc.add(overflow.size.toLong)
+          val out = Seq.newBuilder[CusumHit]
+          var s = state.getOption.getOrElse(CusumState(0L, 0L))
+          sorted.foreach { r =>
+            if (!r.isNullAt(r.fieldIndex("value"))) {
+              val v9 = math.round(r.getAs[Double]("value") * 1e9)
+              val hi = math.max(0L, s.hi + (v9 - up))
+              val lo = math.max(0L, s.lo + (dn - v9))
+              val alarm = hi > h9 || lo > h9
+              if (!alarmsOnly || alarm)
+                out += CusumHit(userId, r.getAs[Long]("event_id"),
+                  Math.floorDiv(r.getAs[Long]("ts"), 1000L),
+                  hi.toDouble / 1e9, lo.toDouble / 1e9, alarm)
+              s = if (alarm && resetOnAlarm) CusumState(0L, 0L)
+                else CusumState(hi, lo)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+        }).toDF()
+  }
+
   /** Streaming EXACT EWMA per key — the stateful-recursion twin of the
     * batch [[graft.operators.WindowOps.ewmaBounded]] (which truncates to
     * a window-friendly horizon): y = α·v + (1−α)·y, seeded with the

@@ -304,6 +304,54 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(snap == Seq((1L, 1.5), (2L, 2.0), (3L, 3.0)))
   }
 
+  test("cusumStream: batch parity, cross-batch continuation, resetOnAlarm") {
+    import spark.implicits._
+    // target 10, slack 2, threshold 20: y+ = v-12, y- = 8-v
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cusum").toString
+    Seq((1L, 1000000000L, 1L, "a", 25.0, ""), (2L, 2000000000L, 1L, "a", 25.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$tmp/b0")
+    Seq((3L, 3000000000L, 1L, "a", 25.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$tmp/b1")
+    def stream() = GraftStreaming.normalizeTs(spark.readStream
+      .schema(spark.read.parquet(s"$tmp/b0").schema).parquet(s"$tmp/*"))
+    def run(df: org.apache.spark.sql.DataFrame, name: String) = {
+      assert(GraftStreaming.runToMemory(df, name).awaitTermination(120000))
+      spark.table(name)
+    }
+    // two micro-batches, alarmsOnly=false: S+ = 13, 26, 39 — the
+    // recursion carries across the batch boundary
+    val twoBatchStream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/b0").schema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$tmp/*")
+    val all = run(GraftStreaming.cusumStream(
+        GraftStreaming.normalizeTs(twoBatchStream), 10.0, 2.0, 20.0,
+        alarmsOnly = false), "cusum_all")
+      .orderBy("eventId").collect()
+      .map(r => (r.getAs[Double]("sHi"), r.getAs[Boolean]("alarm"))).toSeq
+    assert(all == Seq((13.0, false), (26.0, true), (39.0, true)))
+    // single batch, alarmsOnly ≡ batch operator filtered to alarms
+    val alarms = run(GraftStreaming.cusumStream(stream(), 10.0, 2.0, 20.0),
+        "cusum_alarms")
+      .select("eventId").collect().map(_.getLong(0)).toSet
+    val batch = graft.operators.WindowOps.cusum(
+        spark.read.parquet(s"$tmp/b0", s"$tmp/b1")
+          .withColumn("tsu", expr("ts DIV 1000")),
+        Seq("user_id"), Seq("tsu", "event_id"), "value", 10.0, 2.0, 20.0)
+      .where(col("alarm")).select("event_id").collect().map(_.getLong(0)).toSet
+    assert(alarms == batch && alarms == Set(2L, 3L))
+    // resetOnAlarm: 26 alarms, state restarts -> 13, no second alarm
+    val reset = run(GraftStreaming.cusumStream(
+        GraftStreaming.normalizeTs(spark.readStream
+          .schema(spark.read.parquet(s"$tmp/b0").schema).parquet(s"$tmp/*")),
+        10.0, 2.0, 20.0, alarmsOnly = false, resetOnAlarm = true),
+        "cusum_reset")
+      .orderBy("eventId").collect().map(_.getAs[Double]("sHi")).toSeq
+    assert(reset == Seq(13.0, 26.0, 13.0))
+  }
+
   test("sessionWindowStats: native session_window ≡ gap split; == gap merges") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-sessw").toString
