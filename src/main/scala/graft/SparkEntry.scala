@@ -3213,6 +3213,18 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // substring-level decontamination: WHERE the eval set leaks into
+    // train (maximal verbatim spans with positions), not just how much
+    // — the excise-the-span companion to q_decontaminate's counts
+    "q_cross_spans" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val ev = docs.where(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 500000L).as("eval_id"), col("text"))
+      Dedup.crossSpans(docs, "doc_id", "text", ev, "eval_id", "text",
+          minTokens = 8)
+        .orderBy("train_id", "eval_id", "start_train", "start_eval")
+    }),
+
     // snapshot-over-snapshot profile drift: two one-aggregate profile
     // scans joined by column — null-rate movement, distinct movement,
     // null-safe [min, max] envelope drift
@@ -5523,6 +5535,14 @@ object SparkEntry {
          |${GraphOps.coVisitationLiftOracleCtes(maxPerKey = 10, minSupport = 2L)}
          |SELECT item_a, item_b, n, round(lift, 9) AS lift FROM lifted
          |ORDER BY item_a, item_b""".stripMargin
+    },
+    "q_cross_spans" -> {
+      s"""WITH trainr AS (SELECT doc_id AS train_id, text FROM documents),
+         |evalr AS (SELECT doc_id + 500000 AS eval_id, text FROM documents
+         |  WHERE doc_id % 37 = 0),
+         |${graft.operators.Dedup.crossSpansOracleSql(
+             minTokens = 8, maxEvalWindowFreq = 1000)}
+         |ORDER BY train_id, eval_id, start_train, start_eval""".stripMargin
     },
     "q_profile_drift" -> {
       val cols = Seq("lang", "source", "n_chars")

@@ -1208,6 +1208,108 @@ object Dedup {
         (col("__end") - col("start_l") + minTokens).cast("long").as("len"))
   }
 
+  /** Cross-corpus exact-substring decontamination — [[repeatedSpans]]
+    * across a (train, eval) boundary instead of within one corpus: every
+    * maximal token span of ≥ `minTokens` appearing VERBATIM in a train
+    * document and an eval document, with positions and length. The
+    * substring-level complement of [[decontaminationReport]]'s n-gram
+    * counts: the report says HOW MUCH overlaps, this says WHERE, so the
+    * contaminated span can be excised from the training doc instead of
+    * dropping it whole.
+    *
+    * Shape: positional window hashes on both sides (per-row expansion,
+    * no shuffle); the eval window relation is benchmark-sized and
+    * BROADCASTS into the train-side join — train windows stream
+    * map-side, the only shuffle is the match set feeding the diagonal
+    * gap-merge (decontaminationReport's cost model). Blowup guard:
+    * match volume is Σ_h freqTrain(h)·freqEval(h) — a phrase that hubs
+    * on BOTH sides is the quadratic risk, so eval windows repeated more
+    * than `maxEvalWindowFreq` times WITHIN the benchmark (boilerplate
+    * prompts, shared headers) are dropped up front — counted on the
+    * eval side where the filter costs a benchmark-sized aggregate. A
+    * train-side hub matching a unique eval window is linear in its
+    * train frequency: that is real contamination mass, kept.
+    *
+    * @return (train_id, eval_id, start_train, start_eval, len): 1-based
+    *         token positions, len in tokens, spans maximal per
+    *         diagonal. */
+  def crossSpans(train: DataFrame, idCol: String, textCol: String,
+                 evalSet: DataFrame, evalIdCol: String, evalTextCol: String,
+                 minTokens: Int = 8,
+                 maxEvalWindowFreq: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    require(maxEvalWindowFreq >= 1, "maxEvalWindowFreq must be >= 1")
+    def wins(df: DataFrame, id: String, txt: String,
+             outId: String, outPos: String): DataFrame =
+      df.select(col(id).as(outId), TextAnalysis.tokens(col(txt)).as("__tk"))
+        .where(size(col("__tk")) >= minTokens)
+        .select(col(outId), posexplode(transform(
+          sequence(lit(1), size(col("__tk")) - (minTokens - 1)),
+          i => xxhash64(array_join(slice(col("__tk"), i, lit(minTokens)), " "))))
+          .as(Seq("__p0", "__h")))
+        .select(col(outId), (col("__p0") + 1).as(outPos), col("__h"))
+    val t = wins(train, idCol, textCol, "train_id", "__pt")
+    val e = wins(evalSet, evalIdCol, evalTextCol, "eval_id", "__pe")
+    val eCapped = e.withColumn("__f", count(lit(1)).over(
+        Window.partitionBy(col("__h"))))
+      .where(col("__f") <= maxEvalWindowFreq).drop("__f")
+    val matches = t.join(broadcast(eCapped), Seq("__h"))
+      .select(col("train_id"), col("eval_id"), col("__pt"),
+        (col("__pt") - col("__pe")).as("__diag"))
+    val w = Window.partitionBy(col("train_id"), col("eval_id"), col("__diag"))
+      .orderBy(col("__pt"))
+    matches
+      .withColumn("__brk",
+        when(col("__pt") - lag(col("__pt"), 1).over(w) === 1, 0).otherwise(1))
+      .withColumn("__sid", sum(col("__brk")).over(w))
+      .groupBy(col("train_id"), col("eval_id"), col("__diag"), col("__sid"))
+      .agg(min(col("__pt")).as("start_train"), max(col("__pt")).as("__end"))
+      .select(col("train_id"), col("eval_id"),
+        col("start_train").cast("long").as("start_train"),
+        (col("start_train") - col("__diag")).cast("long").as("start_eval"),
+        (col("__end") - col("start_train") + minTokens).cast("long").as("len"))
+  }
+
+  /** [[crossSpans]] as DuckDB SQL over `(train_id, text)` / `(eval_id,
+    * text)` relations named `trainr` and `evalr` (provide via a WITH
+    * prefix): identical tokenization, window positions, eval-side
+    * frequency cap, and diagonal gap-merge — matching on window STRINGS
+    * (no hash), which the 64-bit hashes reproduce absent collisions. */
+  def crossSpansOracleSql(minTokens: Int, maxEvalWindowFreq: Int): String = {
+    val n = minTokens
+    s"""ttk AS (SELECT train_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'),
+       |                w -> len(w) > 0) AS tk FROM trainr),
+       |twin AS (SELECT train_id,
+       |    unnest(generate_series(1, len(tk) - ${n - 1})) AS pt,
+       |    unnest(list_transform(generate_series(1, len(tk) - ${n - 1}),
+       |      i -> array_to_string(list_slice(tk, i, i + ${n - 1}), ' '))) AS w
+       |  FROM ttk WHERE len(tk) >= $n),
+       |etk AS (SELECT eval_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'),
+       |                w -> len(w) > 0) AS tk FROM evalr),
+       |ewin0 AS (SELECT eval_id,
+       |    unnest(generate_series(1, len(tk) - ${n - 1})) AS pe,
+       |    unnest(list_transform(generate_series(1, len(tk) - ${n - 1}),
+       |      i -> array_to_string(list_slice(tk, i, i + ${n - 1}), ' '))) AS w
+       |  FROM etk WHERE len(tk) >= $n),
+       |ewin AS (SELECT eval_id, pe, w FROM (SELECT *,
+       |    count(*) OVER (PARTITION BY w) AS f FROM ewin0)
+       |  WHERE f <= $maxEvalWindowFreq),
+       |xm AS (SELECT t.train_id, e.eval_id, t.pt, t.pt - e.pe AS diag
+       |  FROM twin t JOIN ewin e ON t.w = e.w),
+       |xs AS (SELECT *, CASE WHEN pt - lag(pt) OVER
+       |    (PARTITION BY train_id, eval_id, diag ORDER BY pt) = 1
+       |    THEN 0 ELSE 1 END AS brk FROM xm),
+       |xg AS (SELECT *, sum(brk) OVER
+       |    (PARTITION BY train_id, eval_id, diag ORDER BY pt) AS sid FROM xs)
+       |SELECT train_id, eval_id, CAST(min(pt) AS BIGINT) AS start_train,
+       |  CAST(min(pt) - diag AS BIGINT) AS start_eval,
+       |  CAST(max(pt) - min(pt) + $n AS BIGINT) AS len
+       |FROM xg GROUP BY train_id, eval_id, diag, sid""".stripMargin
+  }
+
   /** [[repeatedSpans]] as DuckDB SQL over a `(doc_id, text)` relation
     * named `base` (provide it via a WITH prefix): identical tokenization,
     * window positions, and diagonal gap-merge — matching on the window

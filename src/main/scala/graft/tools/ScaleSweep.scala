@@ -524,6 +524,10 @@ object ScaleSweep {
           .as("score"), (col("value") > 250.0).as("label")),
       "score", "label", buckets = 10))
     sweep("pii")(k => TextAnalysis.piiReport(docsAt(k), "doc_id", "text"))
+    sweep("cross_spans")(k => Dedup.crossSpans(docsAt(k), "doc_id", "text",
+      docs0.where(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 500000L).as("eval_id"), col("text")),
+      "eval_id", "text", minTokens = 8))
     sweep("covisit_lift")(k => {
       val e = evAt(k)
       graft.operators.GraphOps.coVisitationLift(

@@ -2629,6 +2629,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert((7L to 9L).forall(!out(_)), "MAD-0 phase must not flag")
   }
 
+  test("crossSpans: verbatim span located, eval-side hub cap drops") {
+    val train = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "nothing shared here at all zz yy xx ww vv uu tt"))
+      .toDF("doc_id", "text")
+    val ev = Seq((10L, "x c d e f g h i j k y")).toDF("eval_id", "text")
+    val spans = Dedup.crossSpans(train, "doc_id", "text", ev, "eval_id",
+        "text", minTokens = 8)
+      .collect().map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id"),
+        r.getAs[Long]("start_train"), r.getAs[Long]("start_eval"),
+        r.getAs[Long]("len"))).toSeq
+    // shared run "c d e f g h i j k" = 9 tokens at train pos 3, eval pos 2
+    assert(spans == Seq((1L, 10L, 3L, 2L, 9L)))
+    // an eval window repeated within the benchmark beyond the cap drops
+    val hubEval = Seq((11L, "a b c d e f g h zz a b c d e f g h"))
+      .toDF("eval_id", "text")
+    val capped = Dedup.crossSpans(train, "doc_id", "text", hubEval,
+      "eval_id", "text", minTokens = 8, maxEvalWindowFreq = 1)
+    assert(capped.count() == 0, "the duplicated benchmark window must drop")
+    val uncapped = Dedup.crossSpans(train, "doc_id", "text", hubEval,
+      "eval_id", "text", minTokens = 8, maxEvalWindowFreq = 2)
+    assert(uncapped.count() == 2, "both occurrences match when under cap")
+  }
+
   test("luhn kernel + pii report: typed counts, validated candidates") {
     import graft.functions.LuhnCheck
     // known-valid card numbers (public test numbers), a 1-digit perturbation,
