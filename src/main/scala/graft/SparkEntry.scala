@@ -3213,6 +3213,23 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // embedding-space drift between snapshots: per-dim mean shift /
+    // variance movement — the vector-space companion to q_vocab_drift
+    // and q_profile_drift (both dimStats aggregates, dim-sized join)
+    "q_emb_drift" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.embeddingDrift(
+          emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 === 1), "embedding")
+        .select(col("pos"), col("old_n"), col("new_n"),
+          round(col("old_mean"), 9).as("old_mean"),
+          round(col("new_mean"), 9).as("new_mean"),
+          round(col("mean_shift"), 9).as("mean_shift"),
+          round(col("old_var"), 9).as("old_var"),
+          round(col("new_var"), 9).as("new_var"))
+        .orderBy("pos")
+    }),
+
     // substring-level decontamination: WHERE the eval set leaks into
     // train (maximal verbatim spans with positions), not just how much
     // — the excise-the-span companion to q_decontaminate's counts
@@ -5535,6 +5552,30 @@ object SparkEntry {
          |${GraphOps.coVisitationLiftOracleCtes(maxPerKey = 10, minSupport = 2L)}
          |SELECT item_a, item_b, n, round(lift, 9) AS lift FROM lifted
          |ORDER BY item_a, item_b""".stripMargin
+    },
+    "q_emb_drift" -> {
+      def statsCte(tag: String, parity: Int): String =
+        s"""e$tag AS (SELECT generate_subscripts(embedding, 1) AS pos,
+           |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+           |  WHERE vec_id % 2 = $parity),
+           |s$tag AS (SELECT pos, count(*) AS n,
+           |    sum(CAST(floor(x * 1e9) AS BIGINT)) AS s1,
+           |    sum(CAST(floor(x * x * 1e9) AS BIGINT)) AS s2
+           |  FROM e$tag GROUP BY pos),
+           |d$tag AS (SELECT pos, n,
+           |    CAST(s1 AS DOUBLE) / (n * 1e9) AS mean,
+           |    CAST(s2 AS DOUBLE) / (n * 1e9)
+           |      - (CAST(s1 AS DOUBLE) / (n * 1e9))
+           |        * (CAST(s1 AS DOUBLE) / (n * 1e9)) AS variance
+           |  FROM s$tag)""".stripMargin
+      s"""WITH ${statsCte("old", 0)},
+         |${statsCte("new", 1)}
+         |SELECT dold.pos, dold.n AS old_n, dnew.n AS new_n,
+         |  round(dold.mean, 9) AS old_mean, round(dnew.mean, 9) AS new_mean,
+         |  round(dnew.mean - dold.mean, 9) AS mean_shift,
+         |  round(dold.variance, 9) AS old_var,
+         |  round(dnew.variance, 9) AS new_var
+         |FROM dold JOIN dnew USING (pos) ORDER BY pos""".stripMargin
     },
     "q_cross_spans" -> {
       s"""WITH trainr AS (SELECT doc_id AS train_id, text FROM documents),

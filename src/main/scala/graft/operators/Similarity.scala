@@ -717,6 +717,28 @@ object Similarity {
           .as("variance"))
   }
 
+  /** Per-dimension embedding drift between two snapshots (old model vs
+    * re-embedded corpus, yesterday's crawl vs today's): [[dimStats]] on
+    * both sides joined by dimension — mean shift and variance movement
+    * per dim, the signal that an embedding space moved before an ANN
+    * index trained on the old distribution silently degrades. The
+    * vector-space companion to vocabularyDrift (text) and profileDrift
+    * (schema stats). Corpus cost = one dimStats aggregate per side; the
+    * join is dimension-sized. Consumers typically threshold on
+    * Σ mean_shift² (one more tiny aggregate). */
+  def embeddingDrift(oldDf: DataFrame, newDf: DataFrame,
+                     vecCol: String): DataFrame =
+    dimStats(oldDf, vecCol)
+      .select(col("pos"), col("n").as("old_n"), col("mean").as("old_mean"),
+        col("variance").as("old_var"))
+      .join(dimStats(newDf, vecCol)
+        .select(col("pos"), col("n").as("new_n"), col("mean").as("new_mean"),
+          col("variance").as("new_var")), Seq("pos"))
+      .select(col("pos"), col("old_n"), col("new_n"),
+        col("old_mean"), col("new_mean"),
+        (col("new_mean") - col("old_mean")).as("mean_shift"),
+        col("old_var"), col("new_var"))
+
   /** Center an embedding column on the per-dimension corpus means: adds
     * `outCol` = vec − mean (double elements). The 64-ish mean values ride
     * a one-row broadcast (sorted collect_list → array), so the data side

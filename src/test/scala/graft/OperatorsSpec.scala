@@ -2629,6 +2629,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert((7L to 9L).forall(!out(_)), "MAD-0 phase must not flag")
   }
 
+  test("embeddingDrift: per-dim mean shift between snapshots") {
+    val old = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(3.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val nw = Seq((3L, Seq(4.0f, 1.0f)), (4L, Seq(6.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val d = Similarity.embeddingDrift(old, nw, "embedding")
+      .orderBy("pos").collect()
+    // dim 1: mean 2 -> 5 (shift +3); dim 2: 0 -> 1 (shift +1)
+    assert(d.length == 2)
+    assert(math.abs(d(0).getAs[Double]("mean_shift") - 3.0) < 1e-6)
+    assert(math.abs(d(1).getAs[Double]("mean_shift") - 1.0) < 1e-6)
+    assert(d(0).getAs[Long]("old_n") == 2 && d(0).getAs[Long]("new_n") == 2)
+  }
+
   test("crossSpans: verbatim span located, eval-side hub cap drops") {
     val train = Seq(
       (1L, "a b c d e f g h i j k l"),

@@ -224,4 +224,71 @@ class TemporalPropSpec extends AnyFunSuite {
         assert(curve.zip(curve.drop(1)).forall { case (a, b) => b <= a + 1e-12 })
       }
   }
+
+  test("cusum ≡ brute-force max-reset recursion (reflection identity)") {
+    val (target, slack, threshold) = (1.0, 0.5, 3.0)
+    val up = math.round(target * 1e9) + math.round(slack * 1e9)
+    val dn = math.round(target * 1e9) - math.round(slack * 1e9)
+    val h9 = math.round(threshold * 1e9)
+    cases(6).foreach { rows =>
+      val df = rows.toDF("k", "t", "v", "e")
+      val got = WindowOps.cusum(df, Seq("k"), Seq("t"), "v",
+          target, slack, threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getAs[Double]("s_hi"), r.getAs[Double]("s_lo"),
+            r.getAs[Boolean]("alarm"))).toMap
+      rows.groupBy(_._1).foreach { case (k, rs) =>
+        var hi = 0L; var lo = 0L
+        rs.sortBy(_._2).foreach { case (_, t, v, _) =>
+          val v9 = math.round(v * 1e9)
+          hi = math.max(0L, hi + (v9 - up))
+          lo = math.max(0L, lo + (dn - v9))
+          val (gh, gl, ga) = got((k, t))
+          assert(math.abs(gh - hi / 1e9) < 1e-9, s"s_hi k=$k t=$t")
+          assert(math.abs(gl - lo / 1e9) < 1e-9, s"s_lo k=$k t=$t")
+          assert(ga == (hi > h9 || lo > h9), s"alarm k=$k t=$t")
+        }
+      }
+    }
+  }
+
+  test("rollingCorr ≡ brute-force quantized Pearson over trailing windows") {
+    val win = 4
+    def d4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    def d8(x: Double) = BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    cases(6).foreach { rows =>
+      // y: a deterministic second channel decorrelated from v
+      val withY = rows.map { case (k, t, v, e) =>
+        (k, t, v, ((t * 31 + k * 7) % 11).toDouble - 5.0) }
+      val df = withY.toDF("k", "t", "x", "y")
+      val got = WindowOps.rollingCorr(df, Seq("k"), Seq("t"), "x", "y", win)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (if (r.isNullAt(r.fieldIndex("corr"))) None
+           else Some(r.getDouble(r.fieldIndex("corr"))))).toMap
+      withY.groupBy(_._1).foreach { case (k, rs) =>
+        val ordered = rs.sortBy(_._2)
+        ordered.zipWithIndex.foreach { case ((_, t, _, _), i) =>
+          val w = ordered.slice(math.max(0, i - win + 1), i + 1)
+          val n = w.size.toDouble
+          // replicate the operator's exact arithmetic: decimal sums
+          // (linear at scale 4, product at scale 8), ONE double cast,
+          // then the same double combination
+          val sx = w.map(r => d4(r._3)).sum.toDouble
+          val sy = w.map(r => d4(r._4)).sum.toDouble
+          val sxx = w.map(r => d8(r._3 * r._3)).sum.toDouble
+          val syy = w.map(r => d8(r._4 * r._4)).sum.toDouble
+          val sxy = w.map(r => d8(r._3 * r._4)).sum.toDouble
+          val cov = n * sxy - sx * sy
+          val vx = n * sxx - sx * sx
+          val vy = n * syy - sy * sy
+          val expect = if (w.size >= 2 && vx > 0 && vy > 0)
+            Some(cov / math.sqrt(vx * vy)) else None
+          val g = got((k, t))
+          assert(g.isDefined == expect.isDefined, s"corr null k=$k t=$t")
+          g.zip(expect).foreach { case (a, b) =>
+            assert(math.abs(a - b) < 1e-9, s"corr k=$k t=$t got=$a want=$b") }
+        }
+      }
+    }
+  }
 }
