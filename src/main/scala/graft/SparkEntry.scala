@@ -829,6 +829,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // leakage-safe k-fold CV assignment: near-dup clusters ride one
+    // md5 residue so copies never straddle folds (q_leak_split's CC
+    // machinery with fold = hash mod k)
+    "q_kfold" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      val copy1 = docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val copy2 = docs.where(col("doc_id") < 10)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      val all = docs.unionAll(copy1).unionAll(copy2)
+      val pairs = Dedup.exactTextPairs(all, "text", "doc_id")
+      Sampling.leakageSafeKFold(all.select("doc_id"), "doc_id",
+          pairs, "id_l", "id_r", k = 5)
+        .orderBy("doc_id")
+    }),
+
     // pipeline: token-budget shard packing per language — per-key window
     // (no global order), integer token math, then the shard manifest
     "q_shards" -> ((s, dir) => {
@@ -3584,6 +3600,28 @@ object SparkEntry {
         | WHEN ('0x' || substring(md5(CAST(gkey AS VARCHAR)), 1, 8))::UBIGINT
         |      / 4294967296.0 < CAST(0.9 AS DOUBLE) THEN 'val'
         | ELSE 'test' END AS split
+        |FROM keyed ORDER BY doc_id""".stripMargin,
+    // q_leak_split's recursive-CC scaffold with fold = hash mod k
+    "q_kfold" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20
+        |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id < 10),
+        |fp AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM all_docs),
+        |edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id <> b.doc_id),
+        |reach AS (
+        |  SELECT DISTINCT src AS node, src AS label FROM edges
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+        |cc AS (SELECT node, min(label) AS label FROM reach GROUP BY node),
+        |keyed AS (SELECT d.doc_id, COALESCE(cc.label, d.doc_id) AS gkey
+        |  FROM all_docs d LEFT JOIN cc ON d.doc_id = cc.node)
+        |SELECT doc_id,
+        |  CAST(('0x' || substring(md5(CAST(gkey AS VARCHAR)), 1, 8))::UBIGINT
+        |    % 5 AS INTEGER) AS fold
         |FROM keyed ORDER BY doc_id""".stripMargin,
     "q_shards" ->
       """WITH d AS (SELECT doc_id, lang,

@@ -234,6 +234,40 @@ object Sampling {
     splitAssign(keyed, "__gkey", splits, outCol).drop("__gkey")
   }
 
+  /** Deterministic k-fold assignment for cross-validation: fold =
+    * md5-32-bit-prefix(id) mod k — [[splitAssign]]'s stable uniform
+    * reused as a residue, so folds are engine/run/cluster-reproducible,
+    * membership is recomputable from the id alone, and the assignment
+    * is one map-side projection over 100 TB (no shuffle, no sampling
+    * pass). Folds are equal in EXPECTATION (multinomial, like any
+    * hash split), not exactly equal-sized. */
+  def kFold(df: DataFrame, idCol: String, k: Int,
+            outCol: String = "fold"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    df.withColumn(outCol, (h % k).cast("int"))
+  }
+
+  /** Leakage-safe [[kFold]]: near-duplicate clusters ride ONE md5 draw
+    * (the [[leakageSafeSplit]] machinery — CC label as the fold key),
+    * so duplicates never straddle a fold boundary and k-fold CV never
+    * evaluates on a near-copy of a training row. Corpus cost beyond the
+    * CC on the PAIRED ids: one left join + the zero-shuffle fold
+    * projection. */
+  def leakageSafeKFold(df: DataFrame, idCol: String,
+                       pairs: DataFrame, aCol: String, bCol: String,
+                       k: Int, outCol: String = "fold",
+                       maxIter: Int = 20,
+                       scratchDir: Option[String] = None): DataFrame = {
+    val clusters = Dedup.duplicateClusters(pairs, aCol, bCol, maxIter, scratchDir)
+      .select(col("node").as(idCol), col("label").as("__cc_label"))
+    val keyed = df.join(clusters, Seq(idCol), "left")
+      .withColumn("__gkey", coalesce(col("__cc_label"), col(idCol)))
+      .drop("__cc_label")
+    kFold(keyed, "__gkey", k, outCol).drop("__gkey")
+  }
+
   def weighted(df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
     val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("double")

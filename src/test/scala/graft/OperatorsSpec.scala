@@ -2629,6 +2629,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert((7L to 9L).forall(!out(_)), "MAD-0 phase must not flag")
   }
 
+  test("kFold: deterministic residues; leakage-safe variant co-folds dupes") {
+    val ids = (1L to 200L).map(Tuple1(_)).toDF("id")
+    val f1 = Sampling.kFold(ids, "id", 5).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val f2 = Sampling.kFold(ids, "id", 5).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(f1 == f2, "assignment must be deterministic")
+    assert(f1.values.toSet.subsetOf((0 until 5).toSet))
+    // every fold populated at n=200 (multinomial — astronomically sure)
+    assert(f1.values.toSet.size == 5)
+    // leakage safety: exact copies land in the SAME fold
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "wholly different text"),
+        (3L, "alpha beta gamma"), (4L, "third unrelated content"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.exactTextPairs(docs, "text", "doc_id")
+    val folds = Sampling.leakageSafeKFold(docs.select("doc_id"), "doc_id",
+        pairs, "id_l", "id_r", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(folds(1L) == folds(3L), "near-dup cluster must share a fold")
+  }
+
   test("embeddingDrift: per-dim mean shift between snapshots") {
     val old = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(3.0f, 0.0f)))
       .toDF("vec_id", "embedding")
