@@ -3184,6 +3184,35 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
 
+    // Structured Streaming: per-window approx distinct users — exact
+    // streaming DISTINCT is impossible with bounded state (Spark
+    // rejects it), so the HLL sketch IS the answer; drained estimates
+    // honesty-checked against batch-exact counts (oracle pins ok=TRUE)
+    "q_stream_distinct" -> ((s, dir) => {
+      val out = s"stream_distinct_${System.nanoTime()}"
+      val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      val q = GraftStreaming.runToMemory(
+        GraftStreaming.approxDistinctUsers(stream,
+          watermark = "1 hour", window_ = "1 hour"), out,
+        outputMode = "complete")
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
+      val approx = s.table(out)
+        .select(col("window.start").cast("long").as("win_start"),
+          col("event_type"), col("n_users_approx"))
+      // ts is the epoch-ns long seam: hour start by integer division
+      val exact = table(s, dir, "events")
+        .select(expr("ts DIV 1000000000").as("tss"),
+          col("event_type"), col("user_id"))
+        .groupBy(expr("tss DIV 3600 * 3600").as("win_start"),
+          col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      approx.join(exact, Seq("win_start", "event_type"))
+        .select(col("win_start"), col("event_type"), col("n_exact"),
+          (abs(col("n_users_approx") - col("n_exact")) <=
+            col("n_exact") * 0.05 + lit(5L)).as("approx_ok"))
+        .orderBy("win_start", "event_type")
+    }),
+
     // seasonal-residual anomaly screening — the operator-algebra
     // composition: seasonalDecompose strips the hour-of-day profile,
     // robustZScore standardizes the residual per phase (median/MAD —
@@ -5559,6 +5588,14 @@ object SparkEntry {
         |      / (CAST(tp AS DOUBLE) / tn), 6) END AS lift
         |FROM f ORDER BY bucket""".stripMargin,
     "q_pii" -> PiiOracle,
+    // exact per-window distinct recomputed from scratch; the honesty
+    // claim is the literal TRUE the Spark side must reproduce
+    "q_stream_distinct" ->
+      """WITH e AS (SELECT epoch_us(ts) // 1000000 AS tss, event_type,
+        |    user_id FROM events)
+        |SELECT (tss // 3600) * 3600 AS win_start, event_type,
+        |  count(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the q_seasonal CTEs extended with per-phase median/MAD (the
     // q_robust_z arithmetic) — anomaly tested on the UNROUNDED z
     "q_anomaly" ->

@@ -84,6 +84,26 @@ object GraftStreaming {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
 
+  /** Per-window approximate distinct users at ingest: windowed
+    * `approx_count_distinct` (HLL++) — EXACT per-window distinct does
+    * not exist as an incremental streaming aggregate (it would need a
+    * per-window value SET in the state store; Spark rejects streaming
+    * DISTINCT aggregates outright), so the sketch is not an
+    * optimization here but the only bounded-state answer: one
+    * fixed-size HLL buffer per (window, type) regardless of user
+    * cardinality, watermark-pruned. `rsd` trades buffer size for
+    * error; the demo query joins the drained estimates against the
+    * batch-exact counts and asserts the advertised tolerance — the
+    * honesty-check pattern (q_approx_distinct / q_approx_quantile)
+    * applied to streaming state. */
+  def approxDistinctUsers(events: DataFrame, watermark: String = "10 minutes",
+                          window_ : String = "1 hour",
+                          rsd: Double = 0.02): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
+
   /** Gap-based session aggregation via Spark's NATIVE `session_window`
     * — the built-in-first counterpart of [[sessionize]] (custom
     * flatMapGroupsWithState): when per-session output is just

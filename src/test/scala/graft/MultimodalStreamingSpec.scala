@@ -304,6 +304,34 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(snap == Seq((1L, 1.5), (2L, 2.0), (3L, 3.0)))
   }
 
+  test("approxDistinctUsers: windowed HLL within tolerance of exact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-adist").toString
+    // window 1: users 1..500 on type a, 1..3 on type b; window 2: 10 users
+    val rows =
+      (1 to 500).map(u => (u.toLong, 1000L * 1000000000L, u.toLong, "a", 1.0)) ++
+      (1 to 3).map(u => (1000L + u, 1001L * 1000000000L, u.toLong, "b", 1.0)) ++
+      (1 to 10).map(u => (2000L + u, 4000L * 1000000000L, u.toLong, "a", 1.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$tmp/b0")
+    val stream = GraftStreaming.normalizeTs(spark.readStream
+      .schema(spark.read.parquet(s"$tmp/b0").schema).parquet(s"$tmp/*"))
+    val q = GraftStreaming.runToMemory(
+      GraftStreaming.approxDistinctUsers(stream, "1 hour", "1 hour"),
+      "adist_out", outputMode = "complete")
+    assert(q.awaitTermination(120000))
+    val got = spark.table("adist_out")
+      .select(col("window.start").cast("long").as("ws"), col("event_type"),
+        col("n_users_approx"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.size == 3)
+    // small cardinalities are exact in HLL++; 500 within rsd envelope
+    assert(got((0L, "b")) == 3L)
+    assert(got((3600L, "a")) == 10L)
+    val big = got((0L, "a"))
+    assert(math.abs(big - 500L) <= 500 * 0.05 + 5, s"approx $big vs 500")
+  }
+
   test("cusumStream: batch parity, cross-batch continuation, resetOnAlarm") {
     import spark.implicits._
     // target 10, slack 2, threshold 20: y+ = v-12, y- = 8-v
