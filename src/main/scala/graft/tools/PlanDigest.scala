@@ -66,7 +66,12 @@ object PlanDigest {
     // pass on the same sort); cdc pins the single struct-max aggregate;
     // gains pins one percentile aggregate + broadcast band assignment;
     // pii pins the map-only zero-exchange scan
-    "q_cusum", "q_rolling_corr", "q_cdc", "q_gains", "q_pii")
+    "q_cusum", "q_rolling_corr", "q_cdc", "q_gains", "q_pii",
+    // the flagship: quality gate fused into both scans, canonical-id
+    // set broadcast LeftSemi (dedup aggregate exchange REUSED),
+    // benchmark side broadcast, contaminated ids anti-joined — any
+    // broadcast→SMJ flip or lost reuse here multiplies corpus scans
+    "q_curation")
 
   val SnapshotPath = "tools/plan_digests.txt"
   val DefaultSfDir = "/root/testdata/sf0.001"
