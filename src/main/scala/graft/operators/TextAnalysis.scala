@@ -160,11 +160,14 @@ object TextAnalysis {
 
   def piiReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
+    // NULL text -> NULL counts ("unknown", the DuckDB semantics), made
+    // explicit because Spark's legacy size(NULL) would yield -1 here
+    def n(c: Column) = when(t.isNotNull, size(c))
     docs.select(col(idCol),
-      size(regexp_extract_all(t, lit(EmailRe), lit(0))).as("n_email"),
-      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).as("n_ipv4"),
-      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).as("n_phone"),
-      size(filter(regexp_extract_all(t, lit(DigitRunRe), lit(0)),
+      n(regexp_extract_all(t, lit(EmailRe), lit(0))).as("n_email"),
+      n(regexp_extract_all(t, lit(Ipv4Re), lit(0))).as("n_ipv4"),
+      n(regexp_extract_all(t, lit(PhoneRe), lit(0))).as("n_phone"),
+      n(filter(regexp_extract_all(t, lit(DigitRunRe), lit(0)),
         c => length(c).between(13, 19) &&
           graft.functions.LuhnCheck.luhn(c))).as("n_card"))
   }

@@ -137,4 +137,59 @@ class EdgeCaseSpec extends AnyFunSuite {
       Seq.empty[(Double, Boolean)].toDF("score", "label"),
       "score", "label").count() == 0)
   }
+
+  test("session-5 operators on degenerate inputs") {
+    import graft.operators.{Dedup, GraphOps, Profile, Similarity, TextAnalysis, WindowOps}
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val noEv = Seq.empty[(Long, Long, Double)].toDF("k", "t", "v")
+    // cusum / rollingCorr: empty in, empty out; single row behaves
+    assert(WindowOps.cusum(noEv, Seq("k"), Seq("t"), "v", 1.0, 0.1, 5.0)
+      .count() == 0)
+    val oneRow = WindowOps.cusum(Seq((1L, 1L, 10.0)).toDF("k", "t", "v"),
+      Seq("k"), Seq("t"), "v", 1.0, 0.1, 5.0).collect()(0)
+    assert(oneRow.getAs[Boolean]("alarm"))
+    assert(WindowOps.rollingCorr(noEv.withColumn("y", col("v")),
+      Seq("k"), Seq("t"), "v", "y", 3).count() == 0)
+    // applyChangelog: empty log -> empty snapshot; all-delete log too
+    val noLog = Seq.empty[(Long, Long, Double, String)]
+      .toDF("id", "ver", "v", "op")
+    assert(Dedup.applyChangelog(noLog, Seq("id"), Seq("ver"), "op")
+      .count() == 0)
+    val allDel = Seq((1L, 1L, 0.0, "D"), (2L, 1L, 0.0, "D"))
+      .toDF("id", "ver", "v", "op")
+    assert(Dedup.applyChangelog(allDel, Seq("id"), Seq("ver"), "op")
+      .count() == 0)
+    // gainsTable: empty input -> no bands (percentile of nothing)
+    assert(Profile.gainsTable(
+      Seq.empty[(Double, Boolean)].toDF("score", "label"), "score", "label",
+      buckets = 4).count() == 0)
+    // piiReport: empty text and null text count zero, never throw
+    val rep = TextAnalysis.piiReport(
+      Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text").orderBy("doc_id").collect()
+    assert(rep(0).getInt(1) == 0 && rep(0).getInt(4) == 0)
+    assert(rep(1).isNullAt(1), "null text propagates NULL counts")
+    // crossSpans: empty eval set -> no spans; doc shorter than minTokens
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.crossSpans(docs, "doc_id", "text",
+      Seq.empty[(Long, String)].toDF("eval_id", "text"), "eval_id", "text",
+      minTokens = 8).count() == 0)
+    // coVisitationLift: a single-item key yields no pairs
+    assert(GraphOps.coVisitationLift(
+      Seq((1L, "only")).toDF("k", "item"), "k", "item", 10).count() == 0)
+    // profileDrift vs an EMPTY new snapshot: rows drop to 0, null-rate
+    // delta NULL-safe (0/0 -> NaN is a double; range drift flags)
+    val old = Seq((1L, "x")).toDF("a", "b")
+    val drift = Profile.profileDrift(old, old.limit(0), Seq("a"))
+      .collect()(0)
+    assert(drift.getAs[Long]("new_rows") == 0L)
+    assert(drift.getAs[Boolean]("range_drifted"),
+      "empty side must flag the envelope change")
+    // embeddingDrift on an empty side: dim join drops to zero rows
+    assert(Similarity.embeddingDrift(
+      Seq((1L, Seq(1.0f))).toDF("vec_id", "embedding"),
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"),
+      "embedding").count() == 0)
+  }
 }
