@@ -3047,6 +3047,31 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // incremental DISTINCT state: exact distinct is not a mergeable
+    // scalar (overlap double-counts; true state = the value set), so
+    // the HLL sketch per key is the materialized-view answer — two
+    // half-refreshes honesty-checked against the one-shot exact
+    "q_incr_distinct" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val h1 = ev.where(col("event_id") % 2 === 0)
+      val h2 = ev.where(col("event_id") % 2 === 1)
+      val state = graft.operators.Incremental.mergeDistinctState(
+        graft.operators.Incremental.aggregateDistinctState(
+          h1, Seq("event_type"), "user_id"),
+        graft.operators.Incremental.aggregateDistinctState(
+          h2, Seq("event_type"), "user_id"),
+        Seq("event_type"))
+      val approx = graft.operators.Incremental.distinctEstimate(
+        state, Seq("event_type"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      approx.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_distinct_approx") - col("n_exact")) <=
+            col("n_exact") * 0.05 + lit(5L)).as("approx_ok"))
+        .orderBy("event_type")
+    }),
+
     // bounded-memory quantiles honesty check: exact percentile (oracled
     // exactly) + a percentile_approx-within-tolerance claim the oracle
     // asserts TRUE — the q_approx_distinct pattern for quantiles
@@ -5617,6 +5642,10 @@ object SparkEntry {
         |      / (CAST(tp AS DOUBLE) / tn), 6) END AS lift
         |FROM f ORDER BY bucket""".stripMargin,
     "q_pii" -> PiiOracle,
+    "q_incr_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the full curation chain recomposed from the stage oracles:
     // quality expr ∘ fingerprint min-id dedup ∘ shingle-intersection
     // decontamination ∘ token count

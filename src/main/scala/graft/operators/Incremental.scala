@@ -44,4 +44,38 @@ object Incremental {
         (coalesce(col("__sl"), zero) + coalesce(col("__sr"), zero))
           .cast(DecimalType(38, 6)).as("s")): _*)
   }
+
+  /** Mergeable per-key DISTINCT state: an HLL sketch per key — exact
+    * distinct is NOT a monoid over scalars (merging two counts of
+    * distincts double-counts the overlap; the true state would be the
+    * value set itself, state size ∝ cardinality), so the sketch is the
+    * only bounded mergeable answer, same trade as
+    * [[graft.streaming.GraftStreaming.approxDistinctUsers]]. One
+    * sketch-sized blob per key on the wire; `lgConfigK` trades blob
+    * size for error (Spark's HLL++ union semantics). */
+  def aggregateDistinctState(df: DataFrame, keys: Seq[String],
+                             valueCol: String,
+                             lgConfigK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgConfigK)).as("sketch"))
+
+  /** Merge two distinct-state tables (snapshot ⊎ delta): FULL OUTER
+    * join + null-safe sketch union — [[mergeState]]'s shape with
+    * `hll_union` as the monoid op. Read estimates off the state with
+    * [[distinctEstimate]]; the output is again valid state. */
+  def mergeDistinctState(snapshot: DataFrame, delta: DataFrame,
+                         keys: Seq[String]): DataFrame = {
+    val s = snapshot.select(keys.map(col) :+ col("sketch").as("__kl"): _*)
+    val d = delta.select(keys.map(col) :+ col("sketch").as("__kr"): _*)
+    s.join(d, keys, "full_outer")
+      .select(keys.map(col) :+
+        when(col("__kl").isNull, col("__kr"))
+          .when(col("__kr").isNull, col("__kl"))
+          .otherwise(hll_union(col("__kl"), col("__kr"))).as("sketch"): _*)
+  }
+
+  /** Read the distinct estimate off a distinct-state table. */
+  def distinctEstimate(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select(keys.map(col) :+
+      hll_sketch_estimate(col("sketch")).as("n_distinct_approx"): _*)
 }

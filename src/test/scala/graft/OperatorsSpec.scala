@@ -2629,6 +2629,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert((7L to 9L).forall(!out(_)), "MAD-0 phase must not flag")
   }
 
+  test("incremental distinct state: overlap never double-counts, merges chain") {
+    import graft.operators.Incremental
+    // halves OVERLAP on users 51..100 — the case where a naive
+    // mergeable count-of-distincts would report 200, not 150
+    val h1 = (1 to 100).map(u => ("a", u.toLong)).toDF("k", "u")
+    val h2 = (51 to 150).map(u => ("a", u.toLong)).toDF("k", "u")
+    val st = Incremental.mergeDistinctState(
+      Incremental.aggregateDistinctState(h1, Seq("k"), "u"),
+      Incremental.aggregateDistinctState(h2, Seq("k"), "u"), Seq("k"))
+    val est = Incremental.distinctEstimate(st, Seq("k"))
+      .collect()(0).getLong(1)
+    assert(math.abs(est - 150L) <= 150 * 0.05 + 5, s"estimate $est vs 150")
+    assert(est < 180, "overlap must not double-count toward 200")
+    // a key present only in the delta appears; only in the snapshot stays
+    val d2 = Seq(("b", 1L), ("b", 2L)).toDF("k", "u")
+    val st2 = Incremental.mergeDistinctState(st,
+      Incremental.aggregateDistinctState(d2, Seq("k"), "u"), Seq("k"))
+    val m = Incremental.distinctEstimate(st2, Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("b") == 2L, "small cardinalities are exact")
+    assert(math.abs(m("a") - est) <= est * 0.01 + 1,
+      "merging an unrelated key's delta must not disturb existing state")
+  }
+
   test("kFold: deterministic residues; leakage-safe variant co-folds dupes") {
     val ids = (1L to 200L).map(Tuple1(_)).toDF("id")
     val f1 = Sampling.kFold(ids, "id", 5).collect()
