@@ -2629,6 +2629,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert((7L to 9L).forall(!out(_)), "MAD-0 phase must not flag")
   }
 
+  test("mergeState under bucketed state tables runs without an exchange") {
+    import graft.operators.{Bucketing, Incremental}
+    // the SURVEY claim made checkable: snapshot and delta state tables
+    // bucketed on the key merge through a SortMergeJoin with ZERO
+    // hash-partitioning exchanges — a refresh never reshuffles history
+    val snap = (1L to 50L).map(k => (k, k * 2)).toDF("k", "v")
+    val delta = (26L to 75L).map(k => (k, k * 3)).toDF("k", "v")
+    Bucketing.writeBucketed(
+      Incremental.aggregateState(snap, Seq("k"), "v"), "incr_snap_b", "k", 8)
+    Bucketing.writeBucketed(
+      Incremental.aggregateState(delta, Seq("k"), "v"), "incr_delta_b", "k", 8)
+    val merged = Incremental.mergeState(
+      Bucketing.read(spark, "incr_snap_b"),
+      Bucketing.read(spark, "incr_delta_b"), Seq("k"))
+    merged.write.format("noop").mode("overwrite").save()
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed state merge should not shuffle:\n$plan")
+    // and the merge is still correct: overlap keys sum both sides
+    val m = merged.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDecimal(2).longValue())).toMap
+    assert(m(30L) == (2L, 30L * 2 + 30L * 3))
+    assert(m(10L) == (1L, 20L) && m(70L) == (1L, 210L))
+  }
+
   test("incremental distinct state: overlap never double-counts, merges chain") {
     import graft.operators.Incremental
     // halves OVERLAP on users 51..100 — the case where a naive
