@@ -3100,6 +3100,15 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // trailing rolling median per user — robust local level; exact
+    // percentile over the row frame, quantile_cont parity
+    "q_rolling_median" -> ((s, dir) => {
+      WindowOps.rollingQuantile(eventsMicros(s, dir),
+          Seq("user_id"), Seq("tsu", "event_id"), "value", 0.5, window = 15)
+        .select(col("user_id"), col("event_id"), round(col("rq"), 6).as("rmed"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // rolling autocorrelation (value vs its own lag-1) over a trailing
     // 20-row window per user — six moments fused in ONE Window node,
     // decimal-exact sums, doubles only at the final combination
@@ -5548,6 +5557,14 @@ object SparkEntry {
         |FROM m
         |WHERE v9 IS NOT NULL AND (shi > 500000000000 OR slo > 500000000000)
         |ORDER BY user_id, event_id""".stripMargin,
+    "q_rolling_median" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, value
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  round(quantile_cont(CAST(value AS DOUBLE), 0.5) OVER
+        |    (PARTITION BY user_id ORDER BY tsu, event_id
+        |     ROWS BETWEEN 14 PRECEDING AND CURRENT ROW), 6) AS rmed
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
     // rolling autocorrelation: identical decimal casts and double
     // combination as WindowOps.rollingCorr, lag-1 y in a prior CTE
     "q_rolling_corr" ->

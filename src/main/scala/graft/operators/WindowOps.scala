@@ -738,6 +738,29 @@ object WindowOps {
       .drop("__v9", "__shi", "__slo")
   }
 
+  /** Trailing-window exact quantile per key (pandas
+    * `rolling(w).quantile(p)` / rolling median at p = 0.5) — the
+    * robust local-level signal where a rolling MEAN is dragged by the
+    * spikes being monitored.
+    *
+    * One Window node over the shared (key, order, trailing-rows) frame;
+    * the exact `percentile` aggregate buffers the ≤ `window` frame
+    * values per row (cost ∝ window length, independent of key size —
+    * that bound is what makes EXACT affordable here when the grouped
+    * robustZScore needs an `approxAccuracy` seam). Engine-exact:
+    * linear-interpolated percentile matches DuckDB quantile_cont
+    * (q_group_quantile's proven parity). NULLs are skipped by the
+    * aggregate; an all-NULL window yields NULL. */
+  def rollingQuantile(df: DataFrame, partitionBy: Seq[String],
+                      orderBy: Seq[String], valueCol: String, p: Double,
+                      window: Int, outCol: String = "rq"): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(p >= 0 && p <= 1, s"p must be in [0, 1], got $p")
+    val w = spec(partitionBy, orderBy).rowsBetween(-(window - 1), 0)
+    df.withColumn(outCol,
+      percentile(col(valueCol).cast("double"), lit(p)).over(w))
+  }
+
   /** Trailing-window Pearson correlation of two columns per key — the
     * local co-movement signal (value vs. its own lag = rolling
     * autocorrelation; metric vs. metric = rolling coupling) behind

@@ -2629,6 +2629,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert((7L to 9L).forall(!out(_)), "MAD-0 phase must not flag")
   }
 
+  test("rollingQuantile: trailing exact median, interpolation, null skip") {
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 90.0),
+        (1L, 4L, 30.0)).toDF("k", "t", "v")
+    val med = WindowOps.rollingQuantile(df, Seq("k"), Seq("t"), "v", 0.5, 3)
+      .orderBy("t").collect().map(_.getDouble(3)).toSeq
+    // windows: [10] -> 10; [10,20] -> 15 (interpolated); [10,20,90] ->
+    // 20; [20,90,30] -> 30
+    assert(med == Seq(10.0, 15.0, 20.0, 30.0))
+    val withNull = Seq((1L, 1L, Some(4.0)), (1L, 2L, None),
+        (1L, 3L, Some(8.0))).toDF("k", "t", "v")
+    val m2 = WindowOps.rollingQuantile(withNull, Seq("k"), Seq("t"), "v",
+        0.5, 3).orderBy("t").collect()
+    assert(m2(1).getDouble(3) == 4.0, "null skipped, not poisoning")
+    assert(m2(2).getDouble(3) == 6.0, "median of {4, 8} interpolates to 6")
+  }
+
   test("mergeState under bucketed state tables runs without an exchange") {
     import graft.operators.{Bucketing, Incremental}
     // the SURVEY claim made checkable: snapshot and delta state tables
