@@ -225,6 +225,92 @@ class TemporalPropSpec extends AnyFunSuite {
       }
   }
 
+  test("crossSpans ≡ brute-force maximal common token spans") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // docs over a TINY alphabet so shared windows actually occur
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val doc = Gen.choose(8, 24).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val minTok = 4
+    (0 until 4).foreach { i =>
+      val seed = Seed(31L + i)
+      val train = (1L to 4L).map(id => (id,
+        doc(Gen.Parameters.default, seed.reseed(id)).get))
+      val ev = (10L to 11L).map(id => (id,
+        doc(Gen.Parameters.default, seed.reseed(100 + id)).get))
+      val got = graft.operators.Dedup.crossSpans(train.toDF("doc_id", "text"),
+          "doc_id", "text", ev.toDF("eval_id", "text"), "eval_id", "text",
+          minTokens = minTok, maxEvalWindowFreq = 1000000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // brute force: every (train pos, eval pos) window match, merged
+      // along diagonals into maximal runs
+      val expect = scala.collection.mutable.Set.empty[(Long, Long, Long, Long, Long)]
+      for ((tid, tt) <- train; (eid, et) <- ev) {
+        val a = tt.split("\\s+").filter(_.nonEmpty)
+        val b = et.split("\\s+").filter(_.nonEmpty)
+        val hits = for {
+          p <- 0 to a.length - minTok
+          q <- 0 to b.length - minTok
+          if a.slice(p, p + minTok).sameElements(b.slice(q, q + minTok))
+        } yield (p, q)
+        hits.groupBy { case (p, q) => p - q }.foreach { case (_, ps) =>
+          val sorted = ps.sortBy(_._1)
+          var runStart = sorted.head
+          var prev = sorted.head._1
+          def emit(last: Int): Unit = expect +=
+            ((tid, eid, runStart._1 + 1L, runStart._2 + 1L,
+              last - runStart._1 + minTok.toLong))
+          sorted.tail.foreach { case (p, q) =>
+            if (p != prev + 1) { emit(prev); runStart = (p, q) }
+            prev = p
+          }
+          emit(prev)
+        }
+      }
+      assert(got == expect.toSet, s"case $i: got ${got.size} spans, " +
+        s"want ${expect.size}")
+    }
+  }
+
+  test("gainsTable ≡ brute-force quantile banding on random scores") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val buckets = 4
+    (0 until 4).foreach { i =>
+      val n = 30 + i * 17
+      val rows = (0 until n).map { j =>
+        val g = Gen.choose(0, 9).apply(Gen.Parameters.default,
+          Seed(j * 7919L + i)).get
+        (g / 10.0, (j * 13 + i) % 3 == 0) // heavy score ties on purpose
+      }
+      val got = graft.operators.Profile.gainsTable(
+          rows.toDF("score", "label"), "score", "label", buckets)
+        .collect().map(r => r.getAs[Int]("bucket") ->
+          (r.getAs[Long]("n"), r.getAs[Long]("n_pos"))).toMap
+      // brute: Spark/DuckDB linear-interpolated quantiles, strictly-
+      // above banding, bucket 1 = top
+      val s = rows.map(_._1).sorted
+      def quant(p: Double): Double = {
+        val idx = p * (s.length - 1)
+        val lo = idx.toInt
+        val frac = idx - lo
+        if (lo + 1 < s.length) s(lo) + frac * (s(lo + 1) - s(lo)) else s(lo)
+      }
+      val cuts = (1 until buckets).map(b => quant(b.toDouble / buckets))
+      val banded = rows.groupBy { case (sc, _) =>
+        buckets + 1 - (1 + cuts.count(sc > _)) }
+      banded.foreach { case (b, rs) =>
+        assert(got(b) == (rs.size.toLong,
+          rs.count(_._2).toLong), s"case $i bucket $b")
+      }
+      assert(got.keySet == banded.keySet, s"case $i band set")
+      // conservation: totals across bands equal the input
+      assert(got.values.map(_._1).sum == n)
+    }
+  }
+
   test("cusum ≡ brute-force max-reset recursion (reflection identity)") {
     val (target, slack, threshold) = (1.0, 0.5, 3.0)
     val up = math.round(target * 1e9) + math.round(slack * 1e9)
