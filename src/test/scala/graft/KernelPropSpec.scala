@@ -12,6 +12,38 @@ import org.scalacheck.rng.Seed
   * case). Raw ScalaCheck generators with fixed seeds (the scalatestplus
   * bridge is not in the offline cache). */
 class KernelPropSpec extends AnyFunSuite {
+
+  test("luhn kernel ≡ arithmetic reference on random digit strings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def reference(s: String): Boolean =
+      s.length >= 2 && s.forall(_.isDigit) && {
+        val digits = s.reverse.map(_ - '0')
+        digits.zipWithIndex.map { case (d, i) =>
+          if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+        }.sum % 10 == 0
+      }
+    val gen = Gen.frequency(
+      8 -> Gen.choose(1, 22).flatMap(n =>
+        Gen.listOfN(n, Gen.numChar).map(_.mkString)),
+      2 -> Gen.asciiPrintableStr)
+    (0 until 400).foreach { i =>
+      val s = gen(Gen.Parameters.default, Seed(i.toLong)).get
+      val got = graft.functions.LuhnCheck.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      assert(got == reference(s), s"luhn mismatch on '$s'")
+    }
+    // ~1 in 10 random runs validate: sanity the discrimination rate
+    // (a LINEAR digit pattern is NOT random enough here — its Luhn sum
+    // is constant mod 10 and can sit at a permanent miss)
+    val rnd = new scala.util.Random(42)
+    val valids = (0 until 1000).count { _ =>
+      val s = (0 until 16).map(_ => ('0' + rnd.nextInt(10)).toChar).mkString
+      graft.functions.LuhnCheck.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    }
+    assert(valids > 20 && valids < 300, s"implausible pass rate $valids/1000")
+  }
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -304,6 +304,49 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(snap == Seq((1L, 1.5), (2L, 2.0), (3L, 3.0)))
   }
 
+  test("cdcStream: random multi-batch changelogs compact to the batch snapshot") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val opGen = Gen.frequency(5 -> "I", 3 -> "U", 2 -> "D")
+    (0 until 3).foreach { i =>
+      val seed = Seed(97L + i)
+      // 30 changes over 6 keys, strictly increasing ver per key
+      val perKey = scala.collection.mutable.Map.empty[Long, Long]
+      val rows = (0 until 30).map { j =>
+        val k = Gen.choose(1L, 6L).apply(Gen.Parameters.default,
+          seed.reseed(j)).get
+        val ver = perKey.updateWith(k)(v => Some(v.getOrElse(0L) + 1L)).get
+        val op = opGen.apply(Gen.Parameters.default, seed.reseed(1000 + j)).get
+        (k, ver, j * 1.5, op)
+      }
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-cdcprop$i").toString
+      // split into 3 micro-batches in arrival order
+      rows.grouped(10).zipWithIndex.foreach { case (b, bi) =>
+        b.toDF("key", "ver", "value", "op")
+          .coalesce(1).write.parquet(f"$tmp/b$bi%02d")
+      }
+      val schema = spark.read.parquet(s"$tmp/b00").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+        .parquet(s"$tmp/*")
+      val q = GraftStreaming.runToMemory(
+        GraftStreaming.cdcStream(stream), s"cdc_prop_$i")
+      assert(q.awaitTermination(120000))
+      val streamed = graft.operators.Dedup
+        .applyChangelogEmissions(spark.table(s"cdc_prop_$i"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val batch = graft.operators.Dedup.applyChangelog(
+          rows.toDF("key", "ver", "value", "op"),
+          Seq("key"), Seq("ver"), "op")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(streamed == batch, s"case $i: stream snapshot != batch")
+    }
+  }
+
   test("approxDistinctUsers: windowed HLL within tolerance of exact") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-adist").toString
