@@ -81,6 +81,38 @@ object SparkEntry {
       |SELECT event_id, tsu, value FROM r WHERE rn = 1 AND op <> 'D'
       |ORDER BY event_id""".stripMargin
 
+  /** The q_gains banding CTEs (score synthesis → quantile edges →
+    * strictly-above bands → cumulative/total sums, ending at CTE `f`),
+    * shared by the q_gains and q_gini oracles. */
+  private val GainsBandsCtes: String =
+    """r AS (SELECT CAST(n_chars % 1000 AS DOUBLE) / 1000.0 AS s,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+      |c AS (SELECT quantile_cont(s, 0.1) AS c0, quantile_cont(s, 0.2) AS c1,
+      |    quantile_cont(s, 0.3) AS c2, quantile_cont(s, 0.4) AS c3,
+      |    quantile_cont(s, 0.5) AS c4, quantile_cont(s, 0.6) AS c5,
+      |    quantile_cont(s, 0.7) AS c6, quantile_cont(s, 0.8) AS c7,
+      |    quantile_cont(s, 0.9) AS c8 FROM r),
+      |b AS (SELECT 11 - (1
+      |    + (CASE WHEN s > c0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN s > c1 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN s > c2 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN s > c3 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN s > c4 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN s > c5 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN s > c6 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN s > c7 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN s > c8 THEN 1 ELSE 0 END)) AS bucket, y
+      |  FROM r, c),
+      |a AS (SELECT bucket, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+      |  FROM b GROUP BY 1),
+      |f AS (SELECT bucket, n, n_pos,
+      |    CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+      |    CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos,
+      |    CAST(sum(n) OVER () AS BIGINT) AS tn,
+      |    CAST(sum(n_pos) OVER () AS BIGINT) AS tp
+      |  FROM a WINDOW w AS (ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin
+
   private def lineitem(s: SparkSession, dir: String): DataFrame =
     DataFrame.fromSpark(table(s, dir, "lineitem"),
       index = Seq("l_orderkey", "l_linenumber"))
@@ -3155,6 +3187,17 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // single-number ranking power of the q_gains classifier: Gini =
+    // 2·AUC − 1 over the band curve (model-sized arithmetic)
+    "q_gini" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select((col("n_chars") % 1000).cast("double").divide(1000.0)
+            .as("score"),
+          (col("lang") === "en").as("label"))
+      Profile.giniFromGains(Profile.gainsTable(docs, "score", "label", 10))
+        .select(round(col("gini"), 9).as("gini"))
+    }),
+
     // typed PII detection counts (emails / valid IPv4 / phones /
     // Luhn-validated card numbers) over documents with deterministic
     // planted PII — regex programs shared verbatim with the oracle,
@@ -5624,40 +5667,28 @@ object SparkEntry {
     // (q_group_quantile proved the parity), strictly-above indicator
     // bands, integer sums cast before the mirrored double divisions
     "q_gains" ->
-      """WITH r AS (SELECT CAST(n_chars % 1000 AS DOUBLE) / 1000.0 AS s,
-        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
-        |c AS (SELECT quantile_cont(s, 0.1) AS c0, quantile_cont(s, 0.2) AS c1,
-        |    quantile_cont(s, 0.3) AS c2, quantile_cont(s, 0.4) AS c3,
-        |    quantile_cont(s, 0.5) AS c4, quantile_cont(s, 0.6) AS c5,
-        |    quantile_cont(s, 0.7) AS c6, quantile_cont(s, 0.8) AS c7,
-        |    quantile_cont(s, 0.9) AS c8 FROM r),
-        |b AS (SELECT 11 - (1
-        |    + (CASE WHEN s > c0 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN s > c1 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN s > c2 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN s > c3 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN s > c4 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN s > c5 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN s > c6 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN s > c7 THEN 1 ELSE 0 END)
-        |    + (CASE WHEN s > c8 THEN 1 ELSE 0 END)) AS bucket, y
-        |  FROM r, c),
-        |a AS (SELECT bucket, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
-        |  FROM b GROUP BY 1),
-        |f AS (SELECT bucket, n, n_pos,
-        |    CAST(sum(n) OVER w AS BIGINT) AS cum_n,
-        |    CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos,
-        |    CAST(sum(n) OVER () AS BIGINT) AS tn,
-        |    CAST(sum(n_pos) OVER () AS BIGINT) AS tp
-        |  FROM a WINDOW w AS (ORDER BY bucket
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT bucket, n, n_pos, cum_n, cum_pos,
-        |  CASE WHEN tp > 0
-        |    THEN round(CAST(cum_pos AS DOUBLE) / tp, 6) END AS gain,
-        |  CASE WHEN tp > 0
-        |    THEN round((CAST(cum_pos AS DOUBLE) / cum_n)
-        |      / (CAST(tp AS DOUBLE) / tn), 6) END AS lift
-        |FROM f ORDER BY bucket""".stripMargin,
+      s"""WITH $GainsBandsCtes
+         |SELECT bucket, n, n_pos, cum_n, cum_pos,
+         |  CASE WHEN tp > 0
+         |    THEN round(CAST(cum_pos AS DOUBLE) / tp, 6) END AS gain,
+         |  CASE WHEN tp > 0
+         |    THEN round((CAST(cum_pos AS DOUBLE) / cum_n)
+         |      / (CAST(tp AS DOUBLE) / tn), 6) END AS lift
+         |FROM f ORDER BY bucket""".stripMargin,
+    // the same band CTEs rolled up to one trapezoid number — the gini
+    // arithmetic mirrors Profile.giniFromGains op for op
+    "q_gini" ->
+      s"""WITH $GainsBandsCtes,
+         |pts AS (SELECT bucket,
+         |    CAST(cum_n AS DOUBLE) / max(cum_n) OVER () AS x,
+         |    CASE WHEN tp > 0 THEN CAST(cum_pos AS DOUBLE) / tp END AS y
+         |  FROM f),
+         |seg AS (SELECT x, y,
+         |    coalesce(lag(x) OVER (ORDER BY bucket), 0.0) AS px,
+         |    coalesce(lag(y) OVER (ORDER BY bucket), 0.0) AS py
+         |  FROM pts)
+         |SELECT round(2.0 * sum((x - px) * (y + py) / 2) - 1.0, 9) AS gini
+         |FROM seg""".stripMargin,
     "q_pii" -> PiiOracle,
     "q_incr_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,

@@ -258,6 +258,29 @@ object Profile {
 
   /** [[profile]] as DuckDB SQL over `relation` for the given columns
     * (integer/string columns only — see the rendering caveat above). */
+  /** Gini coefficient (2·AUC − 1) of a [[gainsTable]] curve — the
+    * single-number ranking-power summary behind "is this quality
+    * classifier worth filtering on": 0 = random ordering, →1 = perfect
+    * separation at this banding granularity (the trapezoid over band
+    * points UNDERSTATES the exact per-row AUC — comparable across
+    * models only at the same `buckets`). Pure arithmetic over the
+    * ≤ buckets-row band table: one lag window + one aggregate, all
+    * single-partition model-sized; NULL when the input had no
+    * positives (gain is NULL). */
+  def giniFromGains(gains: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val x = col("cum_n").cast("double") / max(col("cum_n")).over(wAll)
+    val staged = gains.select(col("bucket"), x.as("__x"), col("gain").as("__y"))
+    staged
+      .select(col("__x"), col("__y"),
+        coalesce(lag(col("__x"), 1).over(w), lit(0.0)).as("__px"),
+        coalesce(lag(col("__y"), 1).over(w), lit(0.0)).as("__py"))
+      .agg(sum((col("__x") - col("__px")) * (col("__y") + col("__py")) / 2)
+        .as("__auc"))
+      .select((lit(2.0) * col("__auc") - 1.0).as("gini"))
+  }
+
   /** Snapshot-over-snapshot profile drift: [[profile]] both sides (ONE
     * aggregate scan each), join the two schema-sized long-format
     * profiles by column, and report the deltas a data-contract review

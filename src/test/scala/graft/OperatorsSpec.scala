@@ -2570,6 +2570,20 @@ class OperatorsSpec extends AnyFunSuite {
     val ng = Profile.gainsTable(neg, "score", "label", buckets = 2).collect()
     assert(ng.forall(r => r.isNullAt(r.fieldIndex("gain")) &&
       r.isNullAt(r.fieldIndex("lift"))))
+    // gini over the 2-band curve: points (0,0) -> (0.5, 1) -> (1, 1)
+    // give AUC .75, gini .5; a perfectly anti-ranked input goes negative
+    val g2 = Profile.giniFromGains(
+      Profile.gainsTable(rows, "score", "label", 2)).collect()(0)
+    assert(math.abs(g2.getDouble(0) - 0.5) < 1e-9)
+    val anti = (0 until 10).map(i => (i.toLong, i / 10.0, i < 3))
+      .toDF("id", "score", "label")
+    val ga = Profile.giniFromGains(
+      Profile.gainsTable(anti, "score", "label", 2)).collect()(0)
+    assert(ga.getDouble(0) < 0, "anti-ranking must score negative")
+    // no positives anywhere -> NULL gini
+    val gn = Profile.giniFromGains(
+      Profile.gainsTable(neg, "score", "label", 2)).collect()(0)
+    assert(gn.isNullAt(0))
   }
 
   test("coVisitationLift: margins from the capped set, minSupport prunes") {
