@@ -3265,6 +3265,29 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
 
+    // Structured Streaming: point-in-time enrichment — each click
+    // joins the purchase-tier SCD2 VERSION valid at the click's own
+    // time (not now) — the feature-store train/serve-skew guard;
+    // broadcast dimension, zero streaming state
+    "q_stream_pit" -> ((s, dir) => {
+      val out = s"stream_pit_${System.nanoTime()}"
+      val purch = eventsMicros(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"), col("event_id"),
+          (col("value") >= 150.0).cast("string").as("tier"))
+      val dim = WindowOps.scd2(purch, Seq("user_id"),
+        Seq("tsu", "event_id"), "tsu", "tier")
+      val clicks = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+        .where(col("event_type") === "click")
+      val q = GraftStreaming.runToMemory(
+        GraftStreaming.pointInTimeEnrich(clicks, dim, Seq("user_id"),
+          "ts", Seq("tier")), out)
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
+      s.table(out)
+        .select(col("user_id"), col("event_id"), col("tier"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Structured Streaming: per-window approx distinct users — exact
     // streaming DISTINCT is impossible with bounded state (Spark
     // rejects it), so the HLL sketch IS the answer; drained estimates
@@ -5719,6 +5742,27 @@ object SparkEntry {
          |FROM kept k ANTI JOIN cont ON k.doc_id = cont.doc_id
          |ORDER BY k.doc_id""".stripMargin
     },
+    // the SCD2 compaction (q_scd2's CTE chain on the purchase-tier
+    // attr) interval-joined to the click log at click time
+    "q_stream_pit" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+        |    CAST(value >= 150.0 AS VARCHAR) AS tier FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, tier, tsu, event_id,
+        |    CASE WHEN lag(tier) OVER w IS NULL
+        |      OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |v AS (SELECT user_id, tier, tsu, event_id FROM c WHERE chg = 1),
+        |o AS (SELECT user_id, tier, tsu AS valid_from,
+        |    lead(tsu) OVER wv AS valid_to
+        |  FROM v WINDOW wv AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |k AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events
+        |  WHERE event_type = 'click')
+        |SELECT k.user_id, k.event_id, o.tier
+        |FROM k LEFT JOIN o ON k.user_id = o.user_id
+        |  AND o.valid_from <= k.tsu
+        |  AND (o.valid_to IS NULL OR k.tsu < o.valid_to)
+        |ORDER BY k.user_id, k.event_id""".stripMargin,
     // exact per-window distinct recomputed from scratch; the honesty
     // claim is the literal TRUE the Spark side must reproduce
     "q_stream_distinct" ->

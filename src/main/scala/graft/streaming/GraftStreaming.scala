@@ -84,6 +84,38 @@ object GraftStreaming {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
 
+  /** Point-in-time enrichment at ingest — the feature-store lookup:
+    * each event joins the dimension VERSION that was valid at the
+    * event's own time (an SCD2 interval table: `dimFrom` ≤ t < `dimTo`,
+    * NULL `dimTo` = current), not the version valid now — the
+    * train/serve-skew guard: enriching historical events with today's
+    * attributes silently leaks the future into features.
+    *
+    * The fourth streaming join shape next to stream-stream, dedup, and
+    * equality enrichment: the dimension BROADCASTS (dimensions are
+    * version tables, small by construction) and the interval predicate
+    * evaluates map-side per micro-batch — ZERO streaming state, no
+    * watermark. An event at exactly a version boundary takes the NEW
+    * version (`dimFrom` inclusive); events before the key's first
+    * version carry NULL (left join). `tsCol` is the stream's epoch-ns
+    * seam, compared in µs like every oracle-visible fold. */
+  def pointInTimeEnrich(events: DataFrame, dim: DataFrame,
+                        keyCols: Seq[String], tsCol: String,
+                        dimVals: Seq[String],
+                        dimFrom: String = "valid_from",
+                        dimTo: String = "valid_to"): DataFrame = {
+    require(dimVals.nonEmpty, "pointInTimeEnrich needs dimension columns")
+    val e = events.withColumn("__tsu", expr(s"$tsCol DIV 1000")).alias("__e")
+    val d = dim.alias("__d")
+    val keyCond = keyCols.map(k => col(s"__e.$k") === col(s"__d.$k"))
+      .reduce(_ && _)
+    val timeCond = col(s"__d.$dimFrom") <= col("__tsu") &&
+      (col(s"__d.$dimTo").isNull || col("__tsu") < col(s"__d.$dimTo"))
+    e.join(broadcast(d), keyCond && timeCond, "left")
+      .select(Seq(col("__e.*")) ++ dimVals.map(v => col(s"__d.$v")): _*)
+      .drop("__tsu")
+  }
+
   /** Per-window approximate distinct users at ingest: windowed
     * `approx_count_distinct` (HLL++) — EXACT per-window distinct does
     * not exist as an incremental streaming aggregate (it would need a

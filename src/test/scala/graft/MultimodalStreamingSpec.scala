@@ -304,6 +304,31 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(snap == Seq((1L, 1.5), (2L, 2.0), (3L, 3.0)))
   }
 
+  test("pointInTimeEnrich: version at event time, boundary inclusive, pre-history null") {
+    import spark.implicits._
+    // dim: user 1 tier A from 10, tier B from 30 (µs)
+    val dim = Seq((1L, "A", 10L, Some(30L)), (1L, "B", 30L, None))
+      .toDF("user_id", "tier", "valid_from", "valid_to")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pit").toString
+    // clicks at µs 5 (pre-history), 10 (boundary -> NEW version), 29, 30
+    // (ts in ns = µs * 1000); user 2 has no dimension rows at all
+    Seq((1L, 5000L, 1L, "click", 0.0), (2L, 10000L, 1L, "click", 0.0),
+        (3L, 29000L, 1L, "click", 0.0), (4L, 30000L, 1L, "click", 0.0),
+        (5L, 20000L, 2L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(s"$tmp/b0")
+    val stream = GraftStreaming.normalizeTs(spark.readStream
+      .schema(spark.read.parquet(s"$tmp/b0").schema).parquet(s"$tmp/*"))
+    val q = GraftStreaming.runToMemory(GraftStreaming.pointInTimeEnrich(
+      stream, dim, Seq("user_id"), "ts", Seq("tier")), "pit_out")
+    assert(q.awaitTermination(120000))
+    val got = spark.table("pit_out").collect()
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("tier")))
+      .toMap
+    assert(got == Map(1L -> None, 2L -> Some("A"), 3L -> Some("A"),
+      4L -> Some("B"), 5L -> None))
+  }
+
   test("cdcStream: random multi-batch changelogs compact to the batch snapshot") {
     import spark.implicits._
     import org.scalacheck.Gen
