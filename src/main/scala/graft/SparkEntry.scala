@@ -45,6 +45,20 @@ object SparkEntry {
   private def eventsMicros(s: SparkSession, dir: String): SDF =
     table(s, dir, "events").withColumn("tsu", expr("ts DIV 1000"))
 
+  /** Synthetic classifier (score, label) over documents — ONE
+    * definition shared by q_calibration, q_gains, and q_gini, whose
+    * gates all assume "same synthesis" (q_gini must band exactly
+    * q_gains' input). Rows with NULL n_chars or lang are excluded HERE
+    * so the Spark side and the oracle CTEs drop the same rows — the
+    * downstream operators' own NULL filters would otherwise disagree
+    * with an unguarded oracle synthesis. */
+  private def scoredDocs(s: SparkSession, dir: String): SDF =
+    table(s, dir, "documents")
+      .where(col("n_chars").isNotNull && col("lang").isNotNull)
+      .select((col("n_chars") % 1000).cast("double").divide(1000.0)
+          .as("score"),
+        (col("lang") === "en").as("label"))
+
   /** The view→click→purchase recursive min chain, shared by q_funnel
     * and q_stream_funnel (the stream's distinct-keys-per-step is the
     * batch count by construction — one string keeps the gates synced). */
@@ -86,7 +100,8 @@ object SparkEntry {
     * shared by the q_gains and q_gini oracles. */
   private val GainsBandsCtes: String =
     """r AS (SELECT CAST(n_chars % 1000 AS DOUBLE) / 1000.0 AS s,
-      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents
+      |    WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
       |c AS (SELECT quantile_cont(s, 0.1) AS c0, quantile_cont(s, 0.2) AS c1,
       |    quantile_cont(s, 0.3) AS c2, quantile_cont(s, 0.4) AS c3,
       |    quantile_cont(s, 0.5) AS c4, quantile_cont(s, 0.6) AS c5,
@@ -2828,11 +2843,8 @@ object SparkEntry {
     // classifier-score calibration: binned reliability report with
     // integer-nano exact score sums; Σ weighted_gap = ECE
     "q_calibration" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
-        .select((col("n_chars") % 1000).cast("double").divide(1000.0)
-            .as("score"),
-          (col("lang") === "en").as("label"))
-      Profile.calibrationReport(docs, "score", "label", bins = 10)
+      Profile.calibrationReport(scoredDocs(s, dir), "score", "label",
+          bins = 10)
         .select(col("bin"), col("n"),
           round(col("confidence"), 6).as("confidence"),
           round(col("accuracy"), 6).as("accuracy"),
@@ -3176,11 +3188,7 @@ object SparkEntry {
     // scores): exact-percentile edges broadcast back, tied scores never
     // split a band; same score/label synthesis as q_calibration
     "q_gains" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
-        .select((col("n_chars") % 1000).cast("double").divide(1000.0)
-            .as("score"),
-          (col("lang") === "en").as("label"))
-      Profile.gainsTable(docs, "score", "label", buckets = 10)
+      Profile.gainsTable(scoredDocs(s, dir), "score", "label", buckets = 10)
         .select(col("bucket"), col("n"), col("n_pos"),
           col("cum_n"), col("cum_pos"),
           round(col("gain"), 6).as("gain"), round(col("lift"), 6).as("lift"))
@@ -3190,11 +3198,8 @@ object SparkEntry {
     // single-number ranking power of the q_gains classifier: Gini =
     // 2·AUC − 1 over the band curve (model-sized arithmetic)
     "q_gini" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
-        .select((col("n_chars") % 1000).cast("double").divide(1000.0)
-            .as("score"),
-          (col("lang") === "en").as("label"))
-      Profile.giniFromGains(Profile.gainsTable(docs, "score", "label", 10))
+      Profile.giniFromGains(
+        Profile.gainsTable(scoredDocs(s, dir), "score", "label", 10))
         .select(round(col("gini"), 9).as("gini"))
     }),
 
@@ -3245,19 +3250,26 @@ object SparkEntry {
     // Structured Streaming: gap sessions via the NATIVE session_window
     // aggregate (built-in-first; the custom sessionize exists for
     // custom per-session state) — far-future sentinel copies close
-    // every real session so append mode emits them all
+    // every real session so append mode emits them all. The poison
+    // value -1e11 FITS sessionWindowStats' DECIMAL(18,6) sum (a larger
+    // sentinel would overflow the cast to NULL and the filter would
+    // work by NULL-drop, not by the numeric guard it claims); sentinel
+    // sessions can never mix with real ones (31-year ts shift ≫ gap),
+    // sum to ≤ -1e11 < -1e10, and never have a NULL total (the literal
+    // overwrites value), so IS NULL keeps any all-NULL-value real
+    // session just as the sentinel-free oracle does.
     "q_stream_sessions_native" -> ((s, dir) => {
       val out = s"stream_sessw_${System.nanoTime()}"
       val ev = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
       val sentinels = ev
         .withColumn("ts", col("ts") + lit(1000000000000000000L))
-        .withColumn("value", lit(-1e18))
+        .withColumn("value", lit(-1e11))
         .withColumn("event_time", GraftStreaming.eventTime(col("ts")))
       val sess = GraftStreaming.sessionWindowStats(
         ev.unionByName(sentinels), "1800 seconds", watermark = "87600 hours")
       val q = GraftStreaming.runToMemory(sess, out)
       assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      s.table(out).where(col("total") > -1e17)
+      s.table(out).where(col("total").isNull || col("total") > -1e10)
         .select(col("user_id"),
           unix_seconds(col("session_start")).as("session_start"),
           unix_seconds(col("session_end")).as("session_end"),
@@ -5408,7 +5420,8 @@ object SparkEntry {
         |  least(CAST(floor(((n_chars % 1000) / 1000.0) * 10) AS BIGINT), 9)
         |    AS bin,
         |  CAST(round(((n_chars % 1000) / 1000.0) * 1e9) AS BIGINT) AS s9,
-        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
         |agg AS (SELECT bin, count(*) AS n, sum(s9) AS ss, sum(y) AS sy
         |  FROM b GROUP BY bin)
         |SELECT bin, n,

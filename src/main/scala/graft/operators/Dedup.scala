@@ -1177,7 +1177,6 @@ object Dedup {
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     minTokens: Int = 8,
                     maxWindowFreq: Option[Int] = Some(1000)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("__id"),
       TextAnalysis.tokens(col(textCol)).as("__tk"))
       .where(size(col("__tk")) >= minTokens)
@@ -1194,18 +1193,34 @@ object Dedup {
         col("__l.__pos").as("__pl"),
         (col("__l.__pos") - col("__r.__pos")).as("__diag"),
         col("__r.__pos").as("__pr"))
-    val w = Window.partitionBy(col("id_l"), col("id_r"), col("__diag"))
-      .orderBy(col("__pl"))
-    val spans = matches
+    mergeDiagonalSpans(matches, "id_l", "id_r", "__pl", minTokens,
+      "start_l", "start_r")
+  }
+
+  /** The maximal-run merge shared by [[repeatedSpans]] and
+    * [[crossSpans]] — the correctness core of both span operators, so
+    * it lives ONCE: per (pair, `__diag`onal), consecutive left-side
+    * window starts (gap = 1) coalesce into maximal spans via the
+    * sessionize break/running-sum pattern; right-side start and token
+    * length derive from the diagonal and `minTokens`. One window pass
+    * plus the grouped min/max riding the same (pair, diag) exchange. */
+  private def mergeDiagonalSpans(matches: DataFrame, idLCol: String,
+                                 idRCol: String, posCol: String,
+                                 minTokens: Int, startLOut: String,
+                                 startROut: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idLCol), col(idRCol), col("__diag"))
+      .orderBy(col(posCol))
+    matches
       .withColumn("__brk",
-        when(col("__pl") - lag(col("__pl"), 1).over(w) === 1, 0).otherwise(1))
+        when(col(posCol) - lag(col(posCol), 1).over(w) === 1, 0).otherwise(1))
       .withColumn("__sid", sum(col("__brk")).over(w))
-    spans.groupBy(col("id_l"), col("id_r"), col("__diag"), col("__sid"))
-      .agg(min(col("__pl")).as("start_l"), max(col("__pl")).as("__end"))
-      .select(col("id_l"), col("id_r"),
-        col("start_l").cast("long").as("start_l"),
-        (col("start_l") - col("__diag")).cast("long").as("start_r"),
-        (col("__end") - col("start_l") + minTokens).cast("long").as("len"))
+      .groupBy(col(idLCol), col(idRCol), col("__diag"), col("__sid"))
+      .agg(min(col(posCol)).as("__start"), max(col(posCol)).as("__end"))
+      .select(col(idLCol), col(idRCol),
+        col("__start").cast("long").as(startLOut),
+        (col("__start") - col("__diag")).cast("long").as(startROut),
+        (col("__end") - col("__start") + minTokens).cast("long").as("len"))
   }
 
   /** Cross-corpus exact-substring decontamination — [[repeatedSpans]]
@@ -1257,18 +1272,8 @@ object Dedup {
     val matches = t.join(broadcast(eCapped), Seq("__h"))
       .select(col("train_id"), col("eval_id"), col("__pt"),
         (col("__pt") - col("__pe")).as("__diag"))
-    val w = Window.partitionBy(col("train_id"), col("eval_id"), col("__diag"))
-      .orderBy(col("__pt"))
-    matches
-      .withColumn("__brk",
-        when(col("__pt") - lag(col("__pt"), 1).over(w) === 1, 0).otherwise(1))
-      .withColumn("__sid", sum(col("__brk")).over(w))
-      .groupBy(col("train_id"), col("eval_id"), col("__diag"), col("__sid"))
-      .agg(min(col("__pt")).as("start_train"), max(col("__pt")).as("__end"))
-      .select(col("train_id"), col("eval_id"),
-        col("start_train").cast("long").as("start_train"),
-        (col("start_train") - col("__diag")).cast("long").as("start_eval"),
-        (col("__end") - col("start_train") + minTokens).cast("long").as("len"))
+    mergeDiagonalSpans(matches, "train_id", "eval_id", "__pt", minTokens,
+      "start_train", "start_eval")
   }
 
   /** [[crossSpans]] as DuckDB SQL over `(train_id, text)` / `(eval_id,

@@ -256,8 +256,6 @@ object Profile {
         .stripMargin
     }.mkString("", "\nUNION ALL\n", "")
 
-  /** [[profile]] as DuckDB SQL over `relation` for the given columns
-    * (integer/string columns only — see the rendering caveat above). */
   /** Gini coefficient (2·AUC − 1) of a [[gainsTable]] curve — the
     * single-number ranking-power summary behind "is this quality
     * classifier worth filtering on": 0 = random ordering, →1 = perfect
@@ -308,6 +306,8 @@ object Profile {
           !(col("o.max_value") <=> col("n.max_value"))).as("range_drifted"))
   }
 
+  /** [[profile]] as DuckDB SQL over `relation` for the given columns
+    * (integer/string columns only — see the rendering caveat above). */
   def profileOracleSql(relation: String, cols: Seq[String]): String =
     cols.map { c =>
       s"""SELECT '$c' AS col_name, count(*) AS n_rows,

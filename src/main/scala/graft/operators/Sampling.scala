@@ -226,12 +226,24 @@ object Sampling {
                        outCol: String = "split",
                        maxIter: Int = 20,
                        scratchDir: Option[String] = None): DataFrame = {
+    val keyed = clusterKeyed(df, idCol, pairs, aCol, bCol, maxIter, scratchDir)
+    splitAssign(keyed, "__gkey", splits, outCol).drop("__gkey")
+  }
+
+  /** The shared leakage-safety scaffold: CC-label the duplicate-pair
+    * graph, left-join the labels onto the corpus, and expose ONE group
+    * key `__gkey` (cluster label, or the row's own id when unpaired)
+    * for a downstream hash assignment to draw on. Single seam for both
+    * [[leakageSafeSplit]] and [[leakageSafeKFold]] — a fix to the
+    * cluster join (label typing, null handling) lands in both. */
+  private def clusterKeyed(df: DataFrame, idCol: String, pairs: DataFrame,
+                           aCol: String, bCol: String, maxIter: Int,
+                           scratchDir: Option[String]): DataFrame = {
     val clusters = Dedup.duplicateClusters(pairs, aCol, bCol, maxIter, scratchDir)
       .select(col("node").as(idCol), col("label").as("__cc_label"))
-    val keyed = df.join(clusters, Seq(idCol), "left")
+    df.join(clusters, Seq(idCol), "left")
       .withColumn("__gkey", coalesce(col("__cc_label"), col(idCol)))
       .drop("__cc_label")
-    splitAssign(keyed, "__gkey", splits, outCol).drop("__gkey")
   }
 
   /** Deterministic k-fold assignment for cross-validation: fold =
@@ -260,11 +272,7 @@ object Sampling {
                        k: Int, outCol: String = "fold",
                        maxIter: Int = 20,
                        scratchDir: Option[String] = None): DataFrame = {
-    val clusters = Dedup.duplicateClusters(pairs, aCol, bCol, maxIter, scratchDir)
-      .select(col("node").as(idCol), col("label").as("__cc_label"))
-    val keyed = df.join(clusters, Seq(idCol), "left")
-      .withColumn("__gkey", coalesce(col("__cc_label"), col(idCol)))
-      .drop("__cc_label")
+    val keyed = clusterKeyed(df, idCol, pairs, aCol, bCol, maxIter, scratchDir)
     kFold(keyed, "__gkey", k, outCol).drop("__gkey")
   }
 

@@ -12,6 +12,12 @@ import org.apache.spark.sql.expressions.{Window, WindowSpec}
   * Spark a shuffle on the partition key and parallel window evaluation. */
 object WindowOps {
 
+  /** Largest |value| whose nano quantization round(v·1e9) fits a long
+    * (9.2e18 < Long.MaxValue ≈ 9.223e18). Shared by [[cusum]] and
+    * [[graft.streaming.GraftStreaming.cusumStream]] so the batch/stream
+    * twins reject the same domain instead of diverging on overflow. */
+  val QuantizeDomain: Double = 9.2e9
+
   private def spec(partitionBy: Seq[String], orderBy: Seq[String]): WindowSpec =
     Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy.map(col): _*)
 
@@ -692,7 +698,17 @@ object WindowOps {
     * measurement is not evidence of a shift) and do NOT advance the
     * recursion: the running sums skip them, so Sᵢ resumes from the last
     * real observation — mirror with a WHERE v9 IS NOT NULL guard or
-    * conditional sums, as the oracle does. */
+    * conditional sums, as the oracle does.
+    *
+    * QUANTIZATION DOMAIN: |value| must stay ≤ 9.2e9 for the nano
+    * quantization to fit a long. Values outside that domain (and NaN /
+    * ±Inf) are treated exactly like NULL — skipped, no alarm, no
+    * recursion advance — rather than saturating, so the batch operator,
+    * [[graft.streaming.GraftStreaming.cusumStream]], and an engine
+    * whose overflow behavior differs (DuckDB raises on the cast) can
+    * never silently diverge on garbage input. A monitored metric nine
+    * orders of magnitude above its target is a data bug, not a shift
+    * score. */
   def cusum(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
             valueCol: String, target: Double, slack: Double,
             threshold: Double): DataFrame = {
@@ -705,7 +721,11 @@ object WindowOps {
     val t9 = math.round(target * 1e9)
     val k9 = math.round(slack * 1e9)
     val h9 = math.round(threshold * 1e9)
-    val v9 = round(col(valueCol) * 1e9).cast("long")
+    // domain guard: out-of-range (incl. NaN/Inf) quantizations become
+    // NULL and ride the existing NULL-skip path instead of saturating —
+    // the comparison is false for NaN, so `when` yields NULL there too
+    val v9 = when(abs(col(valueCol)) <= lit(QuantizeDomain),
+      round(col(valueCol) * 1e9).cast("long"))
     val w = spec(partitionBy, orderBy)
       .rowsBetween(Window.unboundedPreceding, 0)
     val zero = lit(0).cast(dec38)

@@ -749,7 +749,10 @@ object GraftStreaming {
     * face), or only threshold crossings with `alarmsOnly = true` (the
     * monitoring face — output volume tracks incidents, not traffic).
     * NULL values pass through silently (no emission, recursion
-    * resumes — the batch operator's posture). State: 2 longs/key, no
+    * resumes — the batch operator's posture), and so do values outside
+    * the shared quantization domain |v| ≤
+    * [[graft.operators.WindowOps.QuantizeDomain]] (incl. NaN/Inf) —
+    * the same guard the batch twin applies, so neither side saturates. State: 2 longs/key, no
     * TTL (the score IS the answer; a cold key's score is legitimate
     * accumulated drift). Ordering contract and hot-key relief valve are
     * [[ewmaStream]]'s; µs fold base for the same oracle-visibility
@@ -784,7 +787,13 @@ object GraftStreaming {
           val out = Seq.newBuilder[CusumHit]
           var s = state.getOption.getOrElse(CusumState(0L, 0L))
           sorted.foreach { r =>
-            if (!r.isNullAt(r.fieldIndex("value"))) {
+            // same domain guard as the batch twin: NULL, NaN/Inf, or
+            // |v| beyond the long-safe nano range skip without alarm or
+            // state advance (math.round would otherwise saturate at
+            // Long.MaxValue and permanently poison the drift state)
+            if (!r.isNullAt(r.fieldIndex("value")) &&
+                math.abs(r.getAs[Double]("value")) <=
+                  graft.operators.WindowOps.QuantizeDomain) {
               val v9 = math.round(r.getAs[Double]("value") * 1e9)
               val hi = math.max(0L, s.hi + (v9 - up))
               val lo = math.max(0L, s.lo + (dn - v9))

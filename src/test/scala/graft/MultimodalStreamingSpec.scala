@@ -448,6 +448,42 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(reset == Seq(13.0, 26.0, 13.0))
   }
 
+  test("cusum batch/stream: out-of-domain values skip identically") {
+    import spark.implicits._
+    // |v| > QuantizeDomain (and NaN) must behave exactly like NULL on
+    // BOTH sides: no alarm, no recursion advance — the batch cast and
+    // the stream's math.round would otherwise disagree (NULL-ish vs
+    // saturate-at-Long.MaxValue with a permanently poisoned state)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cusum-dom").toString
+    val rows = Seq((1L, 1000000000L, 1L, "a", 25.0, ""),
+      (2L, 2000000000L, 1L, "a", 1e10, ""),   // out of domain
+      (3L, 3000000000L, 1L, "a", Double.NaN, ""),
+      (4L, 4000000000L, 1L, "a", 25.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$tmp/b0")
+    val batch = graft.operators.WindowOps.cusum(
+        spark.read.parquet(s"$tmp/b0").withColumn("tsu", expr("ts DIV 1000")),
+        Seq("user_id"), Seq("tsu", "event_id"), "value", 10.0, 2.0, 20.0)
+      .orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Double]("s_hi")).map(_.toDouble),
+        r.getAs[Boolean]("alarm"))).toSeq
+    // S+ = 13 at e1; e2/e3 skipped (NULL score, no alarm); e4 resumes
+    // from 13 -> 26
+    assert(batch == Seq((1L, Some(13.0), false), (2L, None, false),
+      (3L, None, false), (4L, Some(26.0), true)))
+    val stream = GraftStreaming.normalizeTs(spark.readStream
+      .schema(spark.read.parquet(s"$tmp/b0").schema).parquet(s"$tmp/*"))
+    val q = GraftStreaming.runToMemory(GraftStreaming.cusumStream(
+      stream, 10.0, 2.0, 20.0, alarmsOnly = false), "cusum_dom")
+    assert(q.awaitTermination(120000))
+    val got = spark.table("cusum_dom").orderBy("eventId").collect()
+      .map(r => (r.getAs[Long]("eventId"), r.getAs[Double]("sHi"),
+        r.getAs[Boolean]("alarm"))).toSeq
+    // stream emits only processed (in-domain) events — same fold
+    assert(got == Seq((1L, 13.0, false), (4L, 26.0, true)))
+  }
+
   test("sessionWindowStats: native session_window ≡ gap split; == gap merges") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-sessw").toString
@@ -458,7 +494,7 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     Seq((1L, 0L, 10L, "a", 1.0), (2L, 100L * 1000000000L, 10L, "a", 2.0),
         (3L, 2000L * 1000000000L, 10L, "a", 4.0),
         (4L, 3800L * 1000000000L, 10L, "a", 8.0),
-        (99L, 1000000000000000000L, 10L, "zz", -1e18))
+        (99L, 1000000000000000000L, 10L, "zz", -1e11))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
       .coalesce(1).write.parquet(s"$tmp/b0")
     val stream = GraftStreaming.normalizeTs(spark.readStream
@@ -472,7 +508,12 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     val q = GraftStreaming.runToMemory(GraftStreaming.sessionWindowStats(
       stream, "1800 seconds", watermark = "87600 hours"), "sessw_out")
     assert(q.awaitTermination(120000))
-    val rows = spark.table("sessw_out").where(col("total") > -1e17)
+    // q_stream_sessions_native's sentinel convention: the -1e11 poison
+    // FITS the DECIMAL(18,6) sum (so the numeric guard, not a silent
+    // overflow-to-NULL, is what drops it); IS NULL keeps all-NULL-value
+    // real sessions
+    val rows = spark.table("sessw_out")
+      .where(col("total").isNull || col("total") > -1e10)
       .select(unix_seconds(col("session_start")).as("ss"),
         unix_seconds(col("session_end")).as("se"), col("n_events"), col("total"))
       .orderBy("ss").collect()
