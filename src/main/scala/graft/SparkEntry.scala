@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame => SDF, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.{DataFrame, Frames, Series}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Profile, RangeJoin, Sampling, ShardPack, Similarity, SkewJoin, TextAnalysis, WindowOps}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Privacy, Profile, RangeJoin, Sampling, ShardPack, Similarity, SkewJoin, TextAnalysis, WindowOps}
 import graft.streaming.GraftStreaming
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
@@ -3224,6 +3224,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // privacy audit: k-anonymity / l-diversity report over the
+    // (event_type, value-bucket) quasi-identifier — ONE grouped
+    // aggregate; the dataset-level complement of q_pii's row scrubber
+    "q_kanon" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .withColumn("vb", floor(col("value") / 100).cast("long"))
+      Privacy.kAnonymityReport(ev, Seq("event_type", "vb"),
+          Some("user_id"), k = 50, l = 20)
+        .orderBy("event_type", "vb")
+    }),
+
+    // privacy enforcement: suppress sub-k equivalence classes (one
+    // window count, no join-back, no driver-resident violator list),
+    // then a release-sized summary proving which rows survived
+    "q_kanon_suppress" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .withColumn("vb", floor(col("value") / 100).cast("long"))
+      Privacy.suppressBelowK(ev, Seq("event_type", "vb"), k = 50)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
+        .select(col("event_type"), col("n"), col("n_users"),
+          round(col("total"), 6).as("total"))
+        .orderBy("event_type")
+    }),
+
     // Structured Streaming: CDC compaction with DELETE tombstones — the
     // ingest-time twin of Dedup.applyChangelog (q_cdc's changelog
     // synthesis, streamed); the drained emission stream compacts to the
@@ -5726,6 +5753,22 @@ object SparkEntry {
          |SELECT round(2.0 * sum((x - px) * (y + py) / 2) - 1.0, 9) AS gini
          |FROM seg""".stripMargin,
     "q_pii" -> PiiOracle,
+    "q_kanon" -> Privacy.kAnonymityOracleSql("events",
+      Seq("event_type" -> "event_type",
+        "CAST(floor(value / 100) AS BIGINT)" -> "vb"),
+      sensitive = "user_id", k = 50, l = 20),
+    // suppression mirrored as the same window count; decimal-exact sum
+    // before the double presentation (the q_groupby_agg convention)
+    "q_kanon_suppress" ->
+      """WITH g AS (SELECT *, count(*) OVER
+        |    (PARTITION BY event_type, CAST(floor(value / 100) AS BIGINT))
+        |    AS n_class FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |    AS total
+        |FROM g WHERE n_class >= 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_incr_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  TRUE AS approx_ok

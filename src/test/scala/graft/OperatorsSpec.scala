@@ -2799,4 +2799,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft_luhn('79927398713') AS ok")
       .first().getBoolean(0))
   }
+
+  test("Privacy: k-anonymity report flags and suppression boundary") {
+    import spark.implicits._
+    // classes: (a,1) n=3 users{10,11} | (a,2) n=1 | (b,1) n=2 users{10}
+    // | (NULL,1) n=2 — NULLs form their OWN class (SQL GROUP BY)
+    val rows = Seq(
+      (1L, Some("a"), 1L, 10L), (2L, Some("a"), 1L, 11L),
+      (3L, Some("a"), 1L, 10L),
+      (4L, Some("a"), 2L, 12L),
+      (5L, Some("b"), 1L, 10L), (6L, Some("b"), 1L, 10L),
+      (7L, None, 1L, 13L), (8L, None, 1L, 14L))
+      .toDF("id", "qa", "qb", "uid")
+    val rep = Privacy.kAnonymityReport(rows, Seq("qa", "qb"),
+        Some("uid"), k = 2, l = 2)
+      .collect().map(r => ((Option(r.getAs[String]("qa")), r.getAs[Long]("qb")),
+        (r.getAs[Long]("n"), r.getAs[Long]("n_sensitive"),
+          r.getAs[Boolean]("k_anonymous"), r.getAs[Boolean]("l_diverse"))))
+      .toMap
+    assert(rep((Some("a"), 1L)) == ((3L, 2L, true, true)))
+    assert(rep((Some("a"), 2L)) == ((1L, 1L, false, false)))
+    // k-anonymous but NOT l-diverse: 2 rows, one distinct user
+    assert(rep((Some("b"), 1L)) == ((2L, 1L, true, false)))
+    assert(rep((None, 1L)) == ((2L, 2L, true, true)))
+    // no sensitive column: n_sensitive 0, l vacuously true
+    assert(Privacy.kAnonymityReport(rows, Seq("qa"), None, k = 4)
+      .collect().forall(r => r.getAs[Long]("n_sensitive") == 0L &&
+        r.getAs[Boolean]("l_diverse")))
+    // suppression: k = 2 drops ONLY the singleton class (boundary n ==
+    // k survives); k = 3 keeps just (a,1)
+    assert(Privacy.suppressBelowK(rows, Seq("qa", "qb"), 2)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 5L, 6L, 7L, 8L))
+    assert(Privacy.suppressBelowK(rows, Seq("qa", "qb"), 3)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
 }
