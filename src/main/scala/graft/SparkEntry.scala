@@ -2439,6 +2439,21 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Structured Streaming: per-key bottom-k reservoir — the mergeable
+    // (arrival-order-independent) formulation of reservoir sampling,
+    // sharing Sampling.perKey's (md5(id), id) convention, so the oracle
+    // IS q_sample_per_key's SQL at the same k
+    "q_stream_sample" -> ((s, dir) => {
+      val out = s"stream_sample_${System.nanoTime()}"
+      val ev = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      val q = GraftStreaming.runToMemory(
+        GraftStreaming.bottomKSampleStream(ev, k = 3), out)
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
+      s.table(out).select(col("userId").as("user_id"),
+          col("eventId").as("event_id"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Structured Streaming: token-quota admission at ingest — per-lang
     // budgets in the checkpointed store (one long per key). Single
     // AvailableNow batch + stable md5 in-batch order makes the stream
@@ -5039,6 +5054,15 @@ object SparkEntry {
         |  FROM events) t
         |WHERE rn <= 2 ORDER BY user_id, rn""".stripMargin,
     "q_sample_per_key" ->
+      """SELECT user_id, event_id FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3 ORDER BY user_id, event_id""".stripMargin,
+    // the streaming bottom-k reservoir shares q_sample_per_key's
+    // (md5(id), id) selection at the same k — same oracle
+    "q_stream_sample" ->
       """SELECT user_id, event_id FROM (
         |  SELECT user_id, event_id,
         |    row_number() OVER (PARTITION BY user_id

@@ -334,6 +334,61 @@ object GraftStreaming {
         }).toDF()
   }
 
+  /** One member of a key's current bottom-k sample snapshot. `rev`
+    * counts the snapshot revisions a key has emitted, so a multi-batch
+    * reader selects each key's FINAL sample as `rev = max(rev) per
+    * key`. */
+  case class SampleMember(userId: Long, eventId: Long, h: String, rev: Long)
+  case class SampleState(members: Seq[(String, Long)], rev: Long)
+
+  /** Streaming per-key uniform sample via the BOTTOM-K sketch: keep the
+    * k events whose md5(event_id-as-text) hashes are smallest — the
+    * mergeable formulation of reservoir sampling (merging two bottom-k
+    * sets IS the bottom-k of the union, so micro-batches fold
+    * associatively and the result is independent of arrival order or
+    * batching — a classic Vitter reservoir is arrival-order-dependent
+    * and would never match a batch oracle). The sample convention is
+    * EXACTLY [[graft.operators.Sampling.perKey]]'s (md5(id), id) order,
+    * so stream ≡ batch: a single AvailableNow pass emits per key the
+    * same rows `perKey(events, Seq("user_id"), "event_id", k)` selects.
+    *
+    * A key emits its FULL ≤ k-row snapshot in each micro-batch where
+    * the sample CHANGED (tagged with a per-key revision counter);
+    * untouched/unchanged keys emit nothing. State: ≤ k (hash, id)
+    * pairs + one counter per key — bounded by construction, no TTL
+    * needed (the sample IS the answer; evicting a key forgets it). */
+  def bottomKSampleStream(events: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(k >= 1, s"k must be >= 1, got $k")
+    implicit val stateEnc = Encoders.product[SampleState]
+    implicit val outEnc = Encoders.product[SampleMember]
+    implicit val rowEnc = Encoders.row(events.schema)
+    implicit val keyEnc = Encoders.scalaLong
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    events.groupByKey((r: Row) => r.getAs[Long]("user_id"))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Row], state: GroupState[SampleState]) => {
+          val prev = state.getOption.getOrElse(SampleState(Seq.empty, 0L))
+          val incoming = rows
+            .map(r => r.getAs[Long]("event_id"))
+            .map(id => (md5hex(id.toString), id))
+          // bottom-k of (previous sample ∪ batch) — the sketch merge
+          val merged = (prev.members ++ incoming).distinct.sorted.take(k)
+          if (merged == prev.members) Iterator.empty
+          else {
+            val rev = prev.rev + 1
+            state.update(SampleState(merged, rev))
+            merged.iterator.map { case (h, id) =>
+              SampleMember(userId, id, h, rev)
+            }
+          }
+        }).toDF()
+  }
+
   /** One CDC compaction emission: the key's new latest version, with
     * `deleted` true when that version is a tombstone. */
   case class CdcChange(key: Long, ver: Long, value: Double, deleted: Boolean)

@@ -448,6 +448,37 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(reset == Seq(13.0, 26.0, 13.0))
   }
 
+  test("bottomKSampleStream: mergeable across batches, ≡ batch perKey") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bk").toString
+    def mk(ids: Seq[Long], uid: Long) = ids
+      .map(id => (id, id * 1000000000L, uid, "a", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    mk(Seq(1L, 2L, 3L, 4L), 1L).coalesce(1).write.parquet(s"$tmp/b0")
+    mk(Seq(5L, 6L, 7L, 8L), 1L).coalesce(1).write.parquet(s"$tmp/b1")
+    val schema = spark.read.parquet(s"$tmp/b0").schema
+    val stream = GraftStreaming.normalizeTs(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$tmp/*"))
+    val q = GraftStreaming.runToMemory(
+      GraftStreaming.bottomKSampleStream(stream, k = 2), "bk_out")
+    assert(q.awaitTermination(120000))
+    val all = spark.table("bk_out").collect()
+      .map(r => (r.getAs[Long]("rev"), r.getAs[Long]("eventId"))).toSeq
+    // the final snapshot (max rev) must equal the batch bottom-2 over
+    // BOTH files — the sketch merge is order/batching-independent
+    val maxRev = all.map(_._1).max
+    val finalSample = all.filter(_._1 == maxRev).map(_._2).sorted
+    val batch = graft.operators.Sampling.perKey(
+        spark.read.parquet(s"$tmp/b0", s"$tmp/b1"),
+        Seq("user_id"), "event_id", n = 2)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(finalSample == batch)
+    // each revision snapshot has exactly k = 2 members; an unchanged
+    // batch would have emitted nothing (rev values are consecutive)
+    assert(all.groupBy(_._1).forall(_._2.size == 2))
+  }
+
   test("cusum batch/stream: out-of-domain values skip identically") {
     import spark.implicits._
     // |v| > QuantizeDomain (and NaN) must behave exactly like NULL on
