@@ -1203,6 +1203,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // margin-based pair mining (CCMatrix ratio criterion): even vs odd
+    // vec_ids as the two corpora; each even id keeps its best-margin
+    // odd partner at margin >= 1.02 — hub-normalized, not raw cosine
+    "q_margin_pairs" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val a = emb.where(col("vec_id") % 2 === 0)
+      val b = emb.where(col("vec_id") % 2 === 1)
+      Similarity.marginPairs(a, b, "vec_id", "embedding",
+          k = 4, threshold = 1.02)
+        .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"),
+          round(col("margin"), 6).as("margin"))
+        .orderBy("a_id")
+    }),
+
     // hybrid retrieval: dense cosine + sparse token-Jaccard candidate
     // lists (20 per side, map-side partial top-k each) fused by
     // reciprocal rank 1/(60+r) — rank-only fusion, no score calibration
@@ -4187,6 +4201,40 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, round(sim, 6) AS cosine
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // margin mining mirrored brute-force: all A×B cosines once, k-NN
+    // both directions, nano-quantized k-averages, ratio margin, best
+    // partner per a — arithmetic matches Similarity.marginPairs op for op
+    "q_margin_pairs" ->
+      """WITH a AS (SELECT vec_id AS a_id, embedding AS av FROM embeddings
+        |    WHERE vec_id % 2 = 0),
+        |b AS (SELECT vec_id AS b_id, embedding AS bv FROM embeddings
+        |    WHERE vec_id % 2 = 1),
+        |s AS (SELECT a_id, b_id,
+        |    list_sum(list_transform(list_zip(av, bv),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(av, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(bv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+        |  FROM a, b),
+        |fwd AS (SELECT a_id, b_id, sim, row_number() OVER
+        |    (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn FROM s),
+        |bwd AS (SELECT a_id, b_id, sim, row_number() OVER
+        |    (PARTITION BY b_id ORDER BY sim DESC, a_id) AS rn FROM s),
+        |avga AS (SELECT a_id, CAST(sum(CAST(floor(sim * 1e9) AS BIGINT))
+        |    AS DOUBLE) / (count(*) * 1e9) AS avg_a
+        |  FROM fwd WHERE rn <= 4 GROUP BY a_id),
+        |avgb AS (SELECT b_id, CAST(sum(CAST(floor(sim * 1e9) AS BIGINT))
+        |    AS DOUBLE) / (count(*) * 1e9) AS avg_b
+        |  FROM bwd WHERE rn <= 4 GROUP BY b_id),
+        |cand AS (SELECT f.a_id, f.b_id, f.sim,
+        |    f.sim / ((avg_a + avg_b) / 2) AS margin
+        |  FROM fwd f JOIN avga USING (a_id) JOIN avgb USING (b_id)
+        |  WHERE f.rn <= 4),
+        |best AS (SELECT a_id, b_id, sim, margin, row_number() OVER
+        |    (PARTITION BY a_id ORDER BY margin DESC, b_id) AS rn FROM cand)
+        |SELECT a_id, b_id, round(sim, 6) AS cosine,
+        |  round(margin, 6) AS margin
+        |FROM best WHERE rn = 1 AND margin >= 1.02
+        |ORDER BY a_id""".stripMargin,
     "q_hybrid_topk" ->
       """WITH corpus AS (
         |  SELECT d.doc_id, d.text, e.embedding

@@ -181,6 +181,54 @@ object Similarity {
         col("neighbor_id").as("neg_id"), col("cosine"))
   }
 
+  /** Margin-based pair mining between two embedding corpora — the
+    * ratio-margin criterion behind web-scale bitext mining (Artetxe &
+    * Schwenk 2019, "Margin-based Parallel Corpus Mining with
+    * Multilingual Sentence Embeddings"; the CCMatrix recipe): a raw
+    * cosine threshold can't separate true pairs from hubs (vectors
+    * close to EVERYTHING), so each candidate cosine is normalized by
+    * the average of both endpoints' k-NN cosines —
+    *   margin(x, y) = cos(x, y) / ((avgₖ(x→B) + avgₖ(y→A)) / 2)
+    * — and each x keeps only its best-margin y at/above `threshold`.
+    *
+    * Shape: TWO exact top-k passes (x→B candidates + both avg sides
+    * ride them; each is the [[bruteForceTopK]] broadcast-stream with
+    * bounded-heap partial top-k, so the exchanges carry ≤ k·partitions
+    * rows per query), then id-keyed joins over the candidate set —
+    * ≤ k rows per x, corpus-sized stats relations, never |A|×|B|. At
+    * 100 TB the same margin arithmetic runs over [[annTopK]]/[[ivfTopK]]
+    * candidate lists instead of the exact pass — the rescoring is
+    * candidate-set-local either way. Determinism: per-endpoint k-NN
+    * cosines nano-quantize (floor·1e9) before the k-average so the
+    * denominator is an exact integer sum in any fold order; ties on
+    * margin break by smaller candidate id. Output: (a_id, b_id, cosine,
+    * margin), one row per a with a qualifying pair. */
+  def marginPairs(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
+                  k: Int, threshold: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val fwd = bruteForceTopK(b, idCol, vecCol, a, idCol, vecCol, k,
+        excludeSelf = false)
+      .select(col("query_id").as("a_id"), col("neighbor_id").as("b_id"),
+        col("cosine"))
+    val bwd = bruteForceTopK(a, idCol, vecCol, b, idCol, vecCol, k,
+        excludeSelf = false)
+    def avgQ(top: DataFrame, outId: String, outAvg: String): DataFrame =
+      top.groupBy(col("query_id").as(outId))
+        .agg((sum(floor(col("cosine") * 1e9).cast("long")).cast("double") /
+          (count(lit(1)) * 1e9)).as(outAvg))
+    val avgA = avgQ(fwd.select(col("a_id").as("query_id"), col("cosine")),
+      "a_id", "__avg_a")
+    val avgB = avgQ(bwd, "b_id", "__avg_b")
+    val scored = fwd.join(avgA, Seq("a_id")).join(avgB, Seq("b_id"))
+      .withColumn("margin",
+        col("cosine") / ((col("__avg_a") + col("__avg_b")) / 2))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("a_id"))
+      .orderBy(col("margin").desc, col("b_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col("margin") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cosine"), col("margin"))
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion: a dense ranking
     * (exact cosine over the embedding column) and a sparse ranking
     * (Jaccard over distinct lowercase tokens of the text column) are

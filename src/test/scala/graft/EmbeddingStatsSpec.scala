@@ -81,4 +81,49 @@ class EmbeddingStatsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Similarity.powerIteration(m, "id", "v", dim = 2, iters = 0))
   }
+
+  test("marginPairs matches a brute-force reference and filters by margin") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(4)(rnd.nextFloat() * 2 - 1)
+    val aRows = (0L until 6L).map(i => (i, vec()))
+    val bRows = (100L until 108L).map(i => (i, vec()))
+    val a = aRows.toDF("vec_id", "embedding")
+    val b = bRows.toDF("vec_id", "embedding")
+    val k = 3
+    // reference: plain-Scala brute force with the operator's own
+    // quantized-average convention
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      val d = x.indices.map(i => x(i).toDouble * y(i).toDouble).sum
+      d / (math.sqrt(x.map(v => v.toDouble * v.toDouble).sum) *
+        math.sqrt(y.map(v => v.toDouble * v.toDouble).sum))
+    }
+    def avgK(sims: Seq[Double]): Double = {
+      val top = sims.sorted.reverse.take(k)
+      top.map(s => math.floor(s * 1e9).toLong).sum.toDouble / (top.size * 1e9)
+    }
+    val avgA = aRows.map { case (ai, av) =>
+      ai -> avgK(bRows.map(br => cos(av, br._2))) }.toMap
+    val avgB = bRows.map { case (bi, bv) =>
+      bi -> avgK(aRows.map(ar => cos(bv, ar._2))) }.toMap
+    val expected = aRows.flatMap { case (ai, av) =>
+      val cands = bRows.map { case (bi, bv) => (bi, cos(av, bv)) }
+        .sortBy(t => (-t._2, t._1)).take(k)
+        .map { case (bi, c) => (bi, c, c / ((avgA(ai) + avgB(bi)) / 2)) }
+      val best = cands.maxBy(t => (t._3, -t._1))
+      if (best._3 >= 1.0) Some((ai, best._1, best._3)) else None
+    }
+    val got = Similarity.marginPairs(a, b, "vec_id", "embedding", k, 1.0)
+      .orderBy("a_id").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("margin"))).toSeq
+    assert(got.map(t => (t._1, t._2)) == expected.map(t => (t._1, t._2)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 1e-9, s"margin ${g._3} vs ${e._3}") }
+    // a high threshold prunes: every surviving margin clears it
+    val strict = Similarity.marginPairs(a, b, "vec_id", "embedding", k, 1.2)
+      .collect().map(_.getAs[Double]("margin"))
+    assert(strict.forall(_ >= 1.2) &&
+      strict.length == expected.count(_._3 >= 1.2))
+  }
 }
