@@ -1143,6 +1143,22 @@ object SparkEntry {
         .orderBy("rule", "col_name")
     }),
 
+    // cross-table FK audit: one left-join + aggregate per edge — the
+    // orphan-key report a warehouse reviews before trusting a join
+    "q_ref_integrity" -> ((s, dir) => {
+      import graft.operators.Validate
+      val li = Validate.referentialIntegrity(table(s, dir, "lineitem"),
+          "l_orderkey", table(s, dir, "orders"), "o_orderkey")
+        .withColumn("fk", lit("lineitem.l_orderkey"))
+      val ev = Validate.referentialIntegrity(table(s, dir, "events"),
+          "user_id", table(s, dir, "customer"), "c_custkey")
+        .withColumn("fk", lit("events.user_id"))
+      li.unionByName(ev)
+        .select(col("fk"), col("n_rows"), col("n_null_fk"),
+          col("n_orphan_rows"), col("n_orphan_keys"), col("holds"))
+        .orderBy("fk")
+    }),
+
     // language-ID eval: confusion matrix of the n-gram classifier
     // against the labeled lang column — the calibration artifact a
     // pipeline reviews before trusting the cheap classifier as a
@@ -3280,6 +3296,47 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // experiment readout: per-event-type success rate with the Wilson
+    // score interval — the sort-by-lower-bound comparator
+    "q_wilson" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .withColumn("success", col("value") >= 100.0)
+      Profile.wilsonRates(ev, Seq("event_type"), "success", z = 1.96)
+        .select(col("event_type"), col("n"), col("n_success"),
+          round(col("rate"), 6).as("rate"),
+          round(col("wilson_lo"), 6).as("wilson_lo"),
+          round(col("wilson_hi"), 6).as("wilson_hi"))
+        .orderBy("event_type")
+    }),
+
+    // feature screening: weight of evidence / information value of the
+    // doc-length bucket against the lang='en' label — one grouped
+    // count aggregate, +0.5 cell smoothing
+    "q_woe" -> ((s, dir) => {
+      import graft.operators.FeatureEng
+      val docs = table(s, dir, "documents")
+        .where(col("n_chars").isNotNull && col("lang").isNotNull)
+        .withColumn("cat", floor(col("n_chars") / 250).cast("long"))
+        .withColumn("label", col("lang") === "en")
+      FeatureEng.woeTable(docs, "cat", "label")
+        .select(col("cat"), col("n"), col("n_pos"), col("n_neg"),
+          round(col("woe"), 6).as("woe"), round(col("iv"), 9).as("iv"))
+        .orderBy("cat")
+    }),
+
+    // model prep: leave-one-out smoothed target encoding of lang
+    // against the long-document label — grouped integer sums + prior
+    // broadcast, no category window, no target leakage through own row
+    "q_target_encode" -> ((s, dir) => {
+      import graft.operators.FeatureEng
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("lang").as("cat"),
+          (col("n_chars") % 1000 >= 500).as("label"))
+      FeatureEng.targetEncode(docs, "cat", "label", m = 10.0)
+        .select(col("id"), col("cat"), round(col("te"), 9).as("te"))
+        .orderBy("id")
+    }),
+
     // Structured Streaming: CDC compaction with DELETE tombstones — the
     // ingest-time twin of Dedup.applyChangelog (q_cdc's changelog
     // synthesis, streamed); the drained emission stream compacts to the
@@ -4126,6 +4183,15 @@ object SparkEntry {
              Unique("l_orderkey")))}
          |) ORDER BY rule, col_name""".stripMargin
     },
+    "q_ref_integrity" ->
+      s"""SELECT 'lineitem.l_orderkey' AS fk, * FROM (
+         |${graft.operators.Validate.referentialIntegrityOracleSql(
+             "lineitem", "l_orderkey", "orders", "o_orderkey")})
+         |UNION ALL
+         |SELECT 'events.user_id' AS fk, * FROM (
+         |${graft.operators.Validate.referentialIntegrityOracleSql(
+             "events", "user_id", "customer", "c_custkey")})
+         |ORDER BY fk""".stripMargin,
     "q_lang_confusion" ->
       s"""SELECT lang, ${graft.operators.LangId.oracleSqlExpr("text")} AS pred,
          | count(*) AS n
@@ -5841,6 +5907,39 @@ object SparkEntry {
         |    AS total
         |FROM g WHERE n_class >= 50
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Wilson interval mirrored closed-form on the same (n, s) integers
+    "q_wilson" ->
+      """WITH g AS (SELECT event_type, count(*) AS n,
+        |    CAST(COALESCE(sum(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END),
+        |      0) AS BIGINT) AS n_success
+        |  FROM events WHERE (value >= 100.0) IS NOT NULL
+        |  GROUP BY event_type)
+        |SELECT event_type, n, n_success,
+        |  round(CAST(n_success AS DOUBLE) / n, 6) AS rate,
+        |  round(((CAST(n_success AS DOUBLE) / n + 3.8416 / (2.0 * n))
+        |    - (1.96 * sqrt((CAST(n_success AS DOUBLE) / n)
+        |        * (1.0 - CAST(n_success AS DOUBLE) / n) / n
+        |        + 3.8416 / (4.0 * n * n))))
+        |    / (1.0 + 3.8416 / n), 6) AS wilson_lo,
+        |  round(((CAST(n_success AS DOUBLE) / n + 3.8416 / (2.0 * n))
+        |    + (1.96 * sqrt((CAST(n_success AS DOUBLE) / n)
+        |        * (1.0 - CAST(n_success AS DOUBLE) / n) / n
+        |        + 3.8416 / (4.0 * n * n))))
+        |    / (1.0 + 3.8416 / n), 6) AS wilson_hi
+        |FROM g ORDER BY event_type""".stripMargin,
+    "q_woe" ->
+      s"""WITH r AS (SELECT * FROM documents
+         |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL)
+         |SELECT cat, n, n_pos, n_neg, round(woe, 6) AS woe,
+         |  round(iv, 9) AS iv FROM (
+         |${graft.operators.FeatureEng.woeOracleSql("r",
+             "CAST(floor(n_chars / 250) AS BIGINT)", "lang = 'en'")}
+         |) ORDER BY cat""".stripMargin,
+    "q_target_encode" ->
+      s"""SELECT id, cat, round(te, 9) AS te FROM (
+         |${graft.operators.FeatureEng.targetEncodeOracleSql("documents",
+             "doc_id", "lang", "n_chars % 1000 >= 500", 10.0)}
+         |) ORDER BY id""".stripMargin,
     "q_incr_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  TRUE AS approx_ok

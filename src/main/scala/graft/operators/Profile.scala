@@ -306,6 +306,38 @@ object Profile {
           !(col("o.max_value") <=> col("n.max_value"))).as("range_drifted"))
   }
 
+  /** Per-group success rate with the Wilson score interval (Wilson
+    * 1927) — the binomial CI that stays inside [0, 1] and behaves at
+    * small n / extreme rates where the normal approximation collapses;
+    * what a ranking or experiment readout should sort by instead of the
+    * raw rate (lower bound = pessimistic rate, the standard
+    * "sort by Wilson LB" comparator). Rows with a NULL success flag are
+    * excluded (no trial). ONE grouped integer aggregate; the interval
+    * is closed-form arithmetic on (n, s) — deterministic, engine-exact
+    * modulo the final double ops, which both engines evaluate from the
+    * same expression tree. Output: (groups..., n, n_success, rate,
+    * wilson_lo, wilson_hi). */
+  def wilsonRates(df: DataFrame, groupCols: Seq[String],
+                  successCol: String, z: Double = 1.96): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(z > 0, s"z must be positive, got $z")
+    val s = col(successCol).cast("boolean")
+    val base = df.where(s.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(s, 1L).otherwise(0L)), lit(0L)).as("n_success"))
+    val nD = col("n").cast("double")
+    val p = col("n_success").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD))) / denom
+    base.withColumn("rate", p)
+      .withColumn("wilson_lo", center - half)
+      .withColumn("wilson_hi", center + half)
+  }
+
   /** [[profile]] as DuckDB SQL over `relation` for the given columns
     * (integer/string columns only — see the rendering caveat above). */
   def profileOracleSql(relation: String, cols: Seq[String]): String =

@@ -89,6 +89,53 @@ object Validate {
     parts.reduce(_ unionAll _)
   }
 
+  /** Cross-table referential-integrity audit: does every non-NULL
+    * foreign key in `fact.fkCol` exist in `dim.pkCol`? Returns ONE row
+    * — (n_rows, n_null_fk, n_orphan_rows, n_orphan_keys, holds) — the
+    * FK complement of [[check]]'s single-table rules. NULL FKs are
+    * counted but are NOT orphans (SQL FK semantics: NULL cannot
+    * violate); `holds` means zero orphan rows.
+    *
+    * Shape: dim keys project+distinct to a key-only relation, then ONE
+    * left join keyed on the FK (broadcast when the key set is small,
+    * AQE's call) feeding a single aggregate — no anti-join rescan, no
+    * collect. Orphan-key cardinality is an exact COUNT DISTINCT riding
+    * the same aggregate. */
+  def referentialIntegrity(fact: DataFrame, fkCol: String,
+                           dim: DataFrame, pkCol: String): DataFrame = {
+    val keys = dim.select(col(pkCol).as("__pk")).distinct()
+      .withColumn("__hit", lit(1))
+    fact.select(col(fkCol).as("__fk"))
+      .join(keys, col("__fk") === col("__pk"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col("__fk").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_null_fk"),
+        coalesce(sum(when(col("__fk").isNotNull && col("__hit").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_orphan_rows"),
+        countDistinct(when(col("__hit").isNull, col("__fk")))
+          .as("n_orphan_keys"))
+      .withColumn("holds", col("n_orphan_rows") === 0L)
+  }
+
+  /** [[referentialIntegrity]] as DuckDB SQL; caller supplies relation
+    * names. */
+  def referentialIntegrityOracleSql(fact: String, fkCol: String,
+                                    dim: String, pkCol: String): String =
+    s"""SELECT count(*) AS n_rows,
+       |  CAST(COALESCE(sum(CASE WHEN f.$fkCol IS NULL THEN 1 ELSE 0 END),
+       |    0) AS BIGINT) AS n_null_fk,
+       |  CAST(COALESCE(sum(CASE WHEN f.$fkCol IS NOT NULL
+       |    AND d.__pk IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |    AS n_orphan_rows,
+       |  count(DISTINCT CASE WHEN d.__pk IS NULL THEN f.$fkCol END)
+       |    AS n_orphan_keys,
+       |  CAST(COALESCE(sum(CASE WHEN f.$fkCol IS NOT NULL
+       |    AND d.__pk IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) = 0
+       |    AS holds
+       |FROM $fact f LEFT JOIN
+       |  (SELECT DISTINCT $pkCol AS __pk FROM $dim) d
+       |  ON f.$fkCol = d.__pk""".stripMargin
+
   /** Escape a string for a single-quoted SQL literal. */
   private def q(s: String): String = s.replace("'", "''")
 

@@ -2800,6 +2800,84 @@ class OperatorsSpec extends AnyFunSuite {
       .first().getBoolean(0))
   }
 
+  test("referentialIntegrity: orphans, NULL FKs, and a clean edge") {
+    import spark.implicits._
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val fact = Seq(Some(1L), Some(1L), Some(9L), Some(9L), Some(8L), None)
+      .toDF("fk")
+    val r = Validate.referentialIntegrity(fact, "fk", dim, "pk").first()
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("n_null_fk") == 1L)      // NULL is not an orphan
+    assert(r.getAs[Long]("n_orphan_rows") == 3L)  // 9, 9, 8
+    assert(r.getAs[Long]("n_orphan_keys") == 2L)  // {9, 8}
+    assert(!r.getAs[Boolean]("holds"))
+    val clean = Validate.referentialIntegrity(
+      Seq(1L, 2L).toDF("fk"), "fk", dim, "pk").first()
+    assert(clean.getAs[Boolean]("holds") &&
+      clean.getAs[Long]("n_orphan_rows") == 0L)
+  }
+
+  test("woeTable: hand-computed WOE/IV with cell smoothing") {
+    import spark.implicits._
+    // cat a: 3 pos, 1 neg; cat b: 0 pos, 2 neg (zero cell -> smoothing
+    // keeps it finite); one NULL-label row is excluded entirely
+    val df = Seq(("a", Some(true)), ("a", Some(true)), ("a", Some(true)),
+      ("a", Some(false)), ("b", Some(false)), ("b", Some(false)),
+      ("b", None)).toDF("cat", "label")
+    val got = FeatureEng.woeTable(df, "cat", "label")
+      .orderBy("cat").collect()
+      .map(r => (r.getAs[String]("cat"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+        r.getAs[Double]("woe"), r.getAs[Double]("iv")))
+    val (tp, tn) = (3.0, 3.0)
+    def woe(p: Long, n: Long) = math.log(((p + 0.5) / tp) / ((n + 0.5) / tn))
+    def iv(p: Long, n: Long) = ((p + 0.5) / tp - (n + 0.5) / tn) * woe(p, n)
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq ==
+      Seq(("a", 4L, 3L, 1L), ("b", 2L, 0L, 2L)))
+    assert(math.abs(got(0)._5 - woe(3, 1)) < 1e-12)
+    assert(math.abs(got(1)._5 - woe(0, 2)) < 1e-12)
+    assert(math.abs(got(0)._6 - iv(3, 1)) < 1e-12)
+    assert(got(1)._5 < 0 && got(1)._6 > 0) // negative evidence, positive IV
+  }
+
+  test("targetEncode: LOO arithmetic, singleton -> prior, NULL label") {
+    import spark.implicits._
+    val df = Seq((1L, "a", Some(true)), (2L, "a", Some(true)),
+      (3L, "a", Some(false)), (4L, "b", Some(true)),
+      (5L, "a", None)).toDF("id", "cat", "label")
+    val m = 2.0
+    val prior = 3.0 / 4.0 // 3 of 4 labeled rows true
+    val got = FeatureEng.targetEncode(df, "cat", "label", m)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("te"))).toMap
+    // cat a: sy = 2, ny = 3
+    assert(math.abs(got(1L) - (2.0 - 1 + prior * m) / (3 - 1 + m)) < 1e-12)
+    assert(math.abs(got(3L) - (2.0 - 0 + prior * m) / (3 - 1 + m)) < 1e-12)
+    // singleton cat b: LOO leaves nothing -> pure prior
+    assert(math.abs(got(4L) - prior) < 1e-12)
+    // NULL label: nothing subtracted, full-category mean shrunk
+    assert(math.abs(got(5L) - (2.0 + prior * m) / (3 + m)) < 1e-12)
+    assertThrows[IllegalArgumentException](
+      FeatureEng.targetEncode(df, "cat", "label", 0.0))
+  }
+
+  test("wilsonRates: textbook interval and [0,1] clamping at extremes") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => ("g", i <= 5)) ++ (1 to 3).map(_ => ("h", true))
+    val got = Profile.wilsonRates(df.toDF("g", "s"), Seq("g"), "s")
+      .orderBy("g").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("n"),
+        r.getAs[Double]("rate"), r.getAs[Double]("wilson_lo"),
+        r.getAs[Double]("wilson_hi")))
+    // n=10, s=5: the standard worked example ~ [0.2366, 0.7634]
+    assert(got(0)._2 == 10L && got(0)._3 == 0.5)
+    assert(math.abs(got(0)._4 - 0.236584) < 1e-4)
+    assert(math.abs(got(0)._5 - 0.763416) < 1e-4)
+    // n=3, s=3: rate 1.0 but the interval stays inside [0, 1] with a
+    // meaningfully pessimistic lower bound — the small-n point of Wilson
+    assert(got(1)._3 == 1.0 && got(1)._5 <= 1.0 + 1e-12 && got(1)._4 < 0.9)
+  }
+
   test("Privacy: k-anonymity report flags and suppression boundary") {
     import spark.implicits._
     // classes: (a,1) n=3 users{10,11} | (a,2) n=1 | (b,1) n=2 users{10}
