@@ -3296,6 +3296,37 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // "datasheets for datasets": the release-review one-pager over the
+    // corpus — a global aggregate (counts, token mass, exact length
+    // quantiles) plus the fingerprint-grouped duplicate-mass aggregate
+    // (two passes over the base projection: the dup rate needs a
+    // per-fingerprint groupBy that the one-row global agg can't ride),
+    // stacked to long (metric, value) form
+    "q_datasheet" -> ((s, dir) => {
+      val base = table(s, dir, "documents")
+        .select(col("lang"), col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tk"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+      val core = base.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        countDistinct(col("lang")).cast("double").as("n_langs"),
+        sum(col("tk")).cast("double").as("total_tokens"),
+        (sum(col("tk")).cast("double") / count(lit(1))).as("mean_tokens"),
+        expr("percentile(n_chars, 0.5D)").as("p50_chars"),
+        expr("percentile(n_chars, 0.95D)").as("p95_chars"))
+      val dup = base.groupBy("fp").agg(count(lit(1)).as("c"))
+        .agg(((sum(col("c")) - count(lit(1))).cast("double") /
+          sum(col("c")).cast("double")).as("dup_rate"))
+      core.crossJoin(broadcast(dup))
+        .select(expr("""stack(7,
+            'dup_rate', dup_rate, 'mean_tokens', mean_tokens,
+            'n_docs', n_docs, 'n_langs', n_langs,
+            'p50_chars', p50_chars, 'p95_chars', p95_chars,
+            'total_tokens', total_tokens) AS (metric, value)"""))
+        .select(col("metric"), round(col("value"), 6).as("value"))
+        .orderBy("metric")
+    }),
+
     // experiment readout: per-event-type success rate with the Wilson
     // score interval — the sort-by-lower-bound comparator
     "q_wilson" -> ((s, dir) => {
@@ -5907,6 +5938,30 @@ object SparkEntry {
         |    AS total
         |FROM g WHERE n_class >= 50
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_datasheet" ->
+      """WITH b AS (SELECT lang, n_chars,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        w -> len(w) > 0)) AS tk,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |core AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+        |    CAST(sum(tk) AS DOUBLE) AS total_tokens,
+        |    CAST(sum(tk) AS DOUBLE) / count(*) AS mean_tokens,
+        |    quantile_cont(n_chars, 0.5) AS p50_chars,
+        |    quantile_cont(n_chars, 0.95) AS p95_chars FROM b),
+        |dup AS (SELECT CAST(sum(c) - count(*) AS DOUBLE) / sum(c)
+        |    AS dup_rate
+        |  FROM (SELECT fp, count(*) AS c FROM b GROUP BY fp))
+        |SELECT metric, round(value, 6) AS value FROM (
+        |  SELECT 'dup_rate' AS metric, dup_rate AS value FROM dup
+        |  UNION ALL SELECT 'mean_tokens', mean_tokens FROM core
+        |  UNION ALL SELECT 'n_docs', n_docs FROM core
+        |  UNION ALL SELECT 'n_langs', n_langs FROM core
+        |  UNION ALL SELECT 'p50_chars', p50_chars FROM core
+        |  UNION ALL SELECT 'p95_chars', p95_chars FROM core
+        |  UNION ALL SELECT 'total_tokens', total_tokens FROM core)
+        |ORDER BY metric""".stripMargin,
     // Wilson interval mirrored closed-form on the same (n, s) integers
     "q_wilson" ->
       """WITH g AS (SELECT event_type, count(*) AS n,
