@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Privacy-risk screening for training corpora: k-anonymity and
   * l-diversity over quasi-identifier combinations (Sweeney 2002;
@@ -51,18 +50,27 @@ object Privacy {
     * the blunt-but-sound baseline (generalization hierarchies are a
     * modeling choice; suppression is mechanical and auditable).
     *
-    * Shape: one window COUNT over the quasi key — a single exchange,
-    * no join back, no driver-resident violating-class list (which is
-    * unbounded at corpus scale). The window count is partial-agg-free
-    * but the frame is the whole partition, so it streams. */
+    * Shape: class sizes via one grouped aggregate (map-side partials),
+    * then the SURVIVING classes join back onto the corpus null-safely.
+    * NOT a `count() OVER (PARTITION BY quasi)` window: a
+    * low-cardinality quasi key (a handful of demographic buckets — the
+    * common audit shape) would funnel the entire corpus into
+    * |classes| sorted tasks at any cluster size, where the join-back
+    * lets AQE broadcast the class table and keep the corpus pass
+    * map-only; a high-cardinality key degrades to an ordinary keyed
+    * shuffle join. Null-safe equality keeps NULL classes (they are
+    * classes too — a plain column join would silently drop them). */
   def suppressBelowK(df: DataFrame, quasiCols: Seq[String],
                      k: Int): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     require(k >= 1, s"k must be >= 1, got $k")
-    val w = Window.partitionBy(quasiCols.map(col): _*)
-    df.withColumn("__n", count(lit(1)).over(w))
+    val survivors = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
       .where(col("__n") >= k)
-      .drop("__n")
+      .select(quasiCols.map(c => col(c).as(s"__q_$c")): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _)
+    df.join(survivors, cond, "inner")
+      .drop(quasiCols.map(c => s"__q_$c"): _*)
   }
 
   /** [[kAnonymityReport]] as DuckDB SQL over `relation`. `quasi` are

@@ -191,18 +191,22 @@ object Similarity {
     *   margin(x, y) = cos(x, y) / ((avgₖ(x→B) + avgₖ(y→A)) / 2)
     * — and each x keeps only its best-margin y at/above `threshold`.
     *
-    * Shape: TWO exact top-k passes (x→B candidates + both avg sides
-    * ride them; each is the [[bruteForceTopK]] broadcast-stream with
-    * bounded-heap partial top-k, so the exchanges carry ≤ k·partitions
-    * rows per query), then id-keyed joins over the candidate set —
-    * ≤ k rows per x, corpus-sized stats relations, never |A|×|B|. At
-    * 100 TB the same margin arithmetic runs over [[annTopK]]/[[ivfTopK]]
-    * candidate lists instead of the exact pass — the rescoring is
-    * candidate-set-local either way. Determinism: per-endpoint k-NN
-    * cosines nano-quantize (floor·1e9) before the k-average so the
-    * denominator is an exact integer sum in any fold order; ties on
-    * margin break by smaller candidate id. Output: (a_id, b_id, cosine,
-    * margin), one row per a with a qualifying pair. */
+    * Shape: `a` is the QUERY BATCH (broadcastable — a retrieval or
+    * mining batch); `b` is the corpus and only ever STREAMS. Both
+    * exact top-k passes broadcast A and stream B map-side — the
+    * forward pass is [[bruteForceTopK]]; the backward pass (each b's
+    * k-NN within A) groups the same broadcast-stream by the b id, so
+    * the corpus is never broadcast and the per-pass exchange carries
+    * ≤ k rows per endpoint (bounded-heap partial top-k). Candidate
+    * joins are id-keyed over ≤ k rows per a — never |A|×|B|
+    * materialized. At 100 TB corpus×corpus scale the same margin
+    * arithmetic runs over [[annTopK]]/[[ivfTopK]] candidate lists
+    * batch-by-batch — the rescoring is candidate-set-local either way.
+    * Determinism: per-endpoint k-NN cosines nano-quantize (floor·1e9)
+    * before the k-average so the denominator is an exact integer sum
+    * in any fold order; ties on margin break by smaller candidate id.
+    * Output: (a_id, b_id, cosine, margin), one row per a with a
+    * qualifying pair. */
   def marginPairs(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
                   k: Int, threshold: Double): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -210,8 +214,15 @@ object Similarity {
         excludeSelf = false)
       .select(col("query_id").as("a_id"), col("neighbor_id").as("b_id"),
         col("cosine"))
-    val bwd = bruteForceTopK(a, idCol, vecCol, b, idCol, vecCol, k,
-        excludeSelf = false)
+    // backward k-NN (each b within A) with B STREAMING: same broadcast
+    // side as the forward pass — bruteForceTopK(corpus = a, queries = b)
+    // would broadcast the corpus-sized B
+    val bwdScored = b.select(col(idCol).as("__qid"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(a.select(col(idCol).as("__cid"),
+        col(vecCol).as("__cv"))))
+      .select(col("__qid"), col("__cid"),
+        cosine(col("__cv"), col("__qv")).as("__sim"))
+    val bwd = finishTopK(bwdScored, k)
     def avgQ(top: DataFrame, outId: String, outAvg: String): DataFrame =
       top.groupBy(col("query_id").as(outId))
         .agg((sum(floor(col("cosine") * 1e9).cast("long")).cast("double") /

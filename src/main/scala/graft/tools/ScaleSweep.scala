@@ -535,6 +535,60 @@ object ScaleSweep {
         "user_id", "item", maxPerKey = 10, minSupport = 2L)
     })
 
+    // round-7 session-7 operators: kanon report (one grouped agg on the
+    // quasi key), kanon suppress (class agg + AQE-broadcast join-back —
+    // deliberately NOT a window, whose |classes| partitions would cap
+    // parallelism at the handful of demographic buckets under audit),
+    // wilson/woe (|groups|-sized aggregates), target_encode (grouped
+    // integer sums + null-safe category join-back), ref_integrity
+    // (dim-distinct + one left join + single agg; the FK side scales),
+    // margin_pairs (fixed A-side query batch, B corpus scales — the
+    // candidate-rescoring cost model; brute top-k is the oracle face,
+    // ANN candidates the 100 TB face), datasheet (global agg +
+    // fingerprint-grouped dup mass, two passes over one projection),
+    // sample_bottomk (prefix-machinery per-key sample — bucketed, not
+    // |keys|-partitioned)
+    sweep("kanon")(k => {
+      val e = evAt(k).withColumn("vb", floor(col("value") / 100).cast("long"))
+      graft.operators.Privacy.kAnonymityReport(e, Seq("event_type", "vb"),
+        Some("user_id"), 50, 20)
+    })
+    sweep("kanon_suppress")(k => graft.operators.Privacy.suppressBelowK(
+      evAt(k).withColumn("vb", floor(col("value") / 100).cast("long")),
+      Seq("event_type", "vb"), 50))
+    sweep("wilson")(k => graft.operators.Profile.wilsonRates(
+      evAt(k).withColumn("success", col("value") >= 100.0),
+      Seq("event_type"), "success"))
+    sweep("woe")(k => graft.operators.FeatureEng.woeTable(
+      evAt(k).withColumn("cat", floor(col("value") / 50).cast("long"))
+        .withColumn("label", col("event_type") === "click"),
+      "cat", "label"))
+    sweep("target_encode")(k => graft.operators.FeatureEng.targetEncode(
+      evAt(k).withColumn("label", col("value") >= 100.0),
+      "event_type", "label", m = 10.0))
+    sweep("ref_integrity")(k => graft.operators.Validate.referentialIntegrity(
+      evAt(k), "user_id", ev0.select(col("user_id").as("pk")), "pk"))
+    sweep("margin_pairs")(k => Similarity.marginPairs(
+      emb0.where(col("vec_id") < 32), embAt(k), "vec_id", "embedding",
+      k = 4, threshold = 1.0))
+    sweep("datasheet")(k => {
+      val base = docsAt(k).select(
+        (col("doc_id") % 7).cast("string").as("lang"),
+        length(col("text")).as("n_chars"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tk"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val core = base.agg(count(lit(1)).cast("double").as("n_docs"),
+        countDistinct(col("lang")).cast("double").as("n_langs"),
+        sum(col("tk")).cast("double").as("total_tokens"),
+        expr("percentile(n_chars, 0.5D)").as("p50_chars"))
+      val dup = base.groupBy("fp").agg(count(lit(1)).as("c"))
+        .agg(((sum(col("c")) - count(lit(1))).cast("double") /
+          sum(col("c")).cast("double")).as("dup_rate"))
+      core.crossJoin(broadcast(dup))
+    })
+    sweep("sample_bottomk")(k => Sampling.perKey(
+      evAt(k), Seq("user_id"), "event_id", n = 3))
+
     def renderMap(m: scala.collection.Map[String, Seq[Double]]): String =
       m.map { case (k, v) =>
         "\"" + k + "\":[" + v.map(x => f"$x%.2f").mkString(",") + "]"
