@@ -71,7 +71,14 @@ object PlanDigest {
     // set broadcast LeftSemi (dedup aggregate exchange REUSED),
     // benchmark side broadcast, contaminated ids anti-joined — any
     // broadcast→SMJ flip or lost reuse here multiplies corpus scans
-    "q_curation")
+    "q_curation",
+    // session-7: the two shapes the scale sweeps forced — margin_pairs
+    // must broadcast ONLY the query batch (both top-k passes; a corpus
+    // broadcast is the regression), kanon_suppress must stay a
+    // class-agg + broadcast join-back (a quasi-key window would cap
+    // parallelism at |classes|); target_encode pins the grouped-sums +
+    // join-back (not a category window) for the same reason
+    "q_margin_pairs", "q_kanon_suppress", "q_target_encode")
 
   val SnapshotPath = "tools/plan_digests.txt"
   val DefaultSfDir = "/root/testdata/sf0.001"
