@@ -3066,6 +3066,29 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // mergeable histogram state: the quantile member of the incremental
+    // family — snapshot ⊎ delta on (key, bin) counts, p50/p90 read off
+    // the merged state with deterministic one-bin-width error; the
+    // oracle recomputes the SAME binned readout from the raw rows (the
+    // state merge must be invisible in the result)
+    "q_incr_hist" -> ((s, dir) => {
+      import graft.operators.Incremental
+      val ev = table(s, dir, "events")
+      val (lo, hi, bins) = (0.0, 500.0, 50)
+      val snap = Incremental.aggregateHistState(
+        ev.where(col("event_id") % 5 =!= 0), Seq("event_type"), "value",
+        lo, hi, bins)
+      val delta = Incremental.aggregateHistState(
+        ev.where(col("event_id") % 5 === 0), Seq("event_type"), "value",
+        lo, hi, bins)
+      Incremental.histQuantiles(
+          Incremental.mergeHistState(snap, delta, Seq("event_type")),
+          Seq("event_type"), Seq("p50" -> 0.5, "p90" -> 0.9), lo, hi, bins)
+        .select(col("event_type"), round(col("p50"), 6).as("p50"),
+          round(col("p90"), 6).as("p90"))
+        .orderBy("event_type")
+    }),
+
     // mergeable distinct-count sketches: per-(type, day) HLL sketches
     // unioned per type — the partitioned-ingest pattern where each day's
     // shard is sketched once and recombination is sketch-sized, never a
@@ -5767,6 +5790,26 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  TRUE AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // one-shot recomputation of the binned readout — merge-invisibility
+    // is the property under test
+    "q_incr_hist" ->
+      """WITH h AS (SELECT event_type,
+        |    least(greatest(CAST(floor(value / 10.0) AS BIGINT), 0), 49)
+        |      AS bin,
+        |    count(*) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin, n,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY event_type) AS tot,
+        |    0.0 + (CAST(bin AS DOUBLE) + 0.5) * 10.0 AS mid
+        |  FROM h)
+        |SELECT event_type,
+        |  round(min(CASE WHEN cum >= ceil(0.5 * tot) THEN mid END), 6)
+        |    AS p50,
+        |  round(min(CASE WHEN cum >= ceil(0.9 * tot) THEN mid END), 6)
+        |    AS p90
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_approx_quantile" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 9) AS p50_exact,
         |  TRUE AS approx_ok

@@ -78,4 +78,73 @@ object Incremental {
   def distinctEstimate(state: DataFrame, keys: Seq[String]): DataFrame =
     state.select(keys.map(col) :+
       hll_sketch_estimate(col("sketch")).as("n_distinct_approx"): _*)
+
+  /** Mergeable per-key HISTOGRAM state over fixed bin edges — the
+    * quantile member of this family: exact quantiles are NOT mergeable
+    * (the true state is the sorted value multiset), and Spark's
+    * percentile_approx sketch is not exposed for table-level merging,
+    * so the fixed-bin histogram is the bounded monoid answer with
+    * DETERMINISTIC error (one bin width — a resolution statement, not
+    * a probabilistic bound like HLL's rsd). State: one (keys..., bin,
+    * n) row per occupied bin, ≤ `bins` rows per key; merging is the
+    * same null-safe count addition as [[mergeState]] keyed on
+    * (keys, bin), so refreshes chain indefinitely and batching cannot
+    * change the result. Values outside [lo, hi) clamp into the edge
+    * bins (they still count — a quantile readout that silently dropped
+    * outliers would lie); NULLs are excluded (no measurement). */
+  def aggregateHistState(df: DataFrame, keys: Seq[String], valueCol: String,
+                         lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val width = (hi - lo) / bins
+    val raw = floor((col(valueCol).cast("double") - lo) / width).cast("long")
+    df.where(col(valueCol).isNotNull)
+      .withColumn("bin",
+        least(greatest(raw, lit(0L)), lit(bins - 1L)))
+      .groupBy((keys :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge two histogram-state tables (snapshot ⊎ delta): FULL OUTER
+    * join on (keys, bin) + null-safe count addition — [[mergeState]]'s
+    * exact shape, zero-exchange under co-bucketed state tables. */
+  def mergeHistState(snapshot: DataFrame, delta: DataFrame,
+                     keys: Seq[String]): DataFrame = {
+    val jk = keys :+ "bin"
+    val s = snapshot.select(jk.map(col) :+ col("n").as("__nl"): _*)
+    val d = delta.select(jk.map(col) :+ col("n").as("__nr"): _*)
+    s.join(d, jk, "full_outer")
+      .select(jk.map(col) :+
+        (coalesce(col("__nl"), lit(0L)) + coalesce(col("__nr"), lit(0L)))
+          .as("n"): _*)
+  }
+
+  /** Quantile readout off a histogram-state table: for each requested
+    * (name, p), the MIDPOINT of the first bin whose cumulative count
+    * reaches ceil(p·total) — deterministic integer comparisons, so any
+    * engine over the same state reads the same answer; error ≤ one bin
+    * width by construction. One window pass over the state (which is
+    * |keys|·bins rows — model-sized, never the corpus) feeding one
+    * grouped min per quantile. */
+  def histQuantiles(state: DataFrame, keys: Seq[String],
+                    quantiles: Seq[(String, Double)],
+                    lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (_, p) =>
+      require(p > 0 && p <= 1, s"p must be in (0, 1], got $p") }
+    val width = (hi - lo) / bins
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("bin"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val staged = state
+      .withColumn("__cum", sum(col("n")).over(w))
+      .withColumn("__tot", sum(col("n")).over(wAll))
+      .withColumn("__mid", lit(lo) + (col("bin") + 0.5) * width)
+    val aggs = quantiles.map { case (name, p) =>
+      min(when(col("__cum") >= ceil(lit(p) * col("__tot")), col("__mid")))
+        .as(name)
+    }
+    staged.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -2087,6 +2087,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(canon(Incremental.mergeState(oneShot, empty, Seq("k"))) == canon(oneShot))
   }
 
+  test("Incremental histogram state: merge-invisible, clamped, one-bin error") {
+    import graft.operators.Incremental
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 300L).map(i =>
+      (i, (i % 3) + 1, rnd.nextDouble() * 120 - 10)) // some outside [0,100)
+    val ev = rows.toDF("id", "k", "v")
+    val (lo, hi, bins) = (0.0, 100.0, 20)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val oneShot = Incremental.aggregateHistState(ev, Seq("k"), "v", lo, hi, bins)
+      .select(col("k"), col("bin"), col("n"))
+    // three arbitrary deltas merged in two different orders == one-shot
+    val parts = Seq(0, 1, 2).map(m =>
+      Incremental.aggregateHistState(ev.where(col("id") % 3 === m),
+        Seq("k"), "v", lo, hi, bins))
+    val m1 = Incremental.mergeHistState(
+      Incremental.mergeHistState(parts(0), parts(1), Seq("k")), parts(2), Seq("k"))
+    val m2 = Incremental.mergeHistState(
+      Incremental.mergeHistState(parts(2), parts(0), Seq("k")), parts(1), Seq("k"))
+    assert(canon(m1.select(col("k"), col("bin"), col("n"))) == canon(oneShot))
+    assert(canon(m2.select(col("k"), col("bin"), col("n"))) == canon(oneShot))
+    // clamping: every bin in range, total mass preserved (outliers count)
+    val binsSeen = oneShot.collect().map(_.getLong(1))
+    assert(binsSeen.forall(b => b >= 0 && b < bins))
+    assert(oneShot.agg(sum("n")).first().getLong(0) == 300L)
+    // readout within one bin width of the exact quantile (for in-range
+    // mass; clamped outliers pull the estimate, which is the documented
+    // contract — compare on a key restricted to in-range values)
+    val inRange = ev.where(col("v") >= lo && col("v") < hi)
+    val st = Incremental.aggregateHistState(inRange, Seq("k"), "v", lo, hi, bins)
+    val q = Incremental.histQuantiles(st, Seq("k"),
+        Seq("p50" -> 0.5), lo, hi, bins)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val width = (hi - lo) / bins
+    val exact = inRange.collect().map(r => (r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (k, vs) =>
+        val sorted = vs.map(_._2).sorted
+        k -> sorted((math.ceil(0.5 * sorted.size) - 1).toInt.max(0))
+      }
+    exact.foreach { case (k, e) =>
+      assert(math.abs(q(k) - e) <= width, s"k=$k got ${q(k)} exact $e") }
+  }
+
   test("time-windowed operators accept a typed TIMESTAMP ts column (µs units)") {
     // same events twice: epoch-µs longs vs the equivalent TIMESTAMP
     // column — sessionIds/cohortRetention/funnel/rollingRangeAgg must
