@@ -5606,7 +5606,9 @@ object SparkEntry {
         |tc AS (SELECT src, dst, count(*) AS n FROM p WHERE dst IS NOT NULL
         |  GROUP BY src, dst)
         |SELECT src, sum(n) AS n_total, count(*) AS n_dst,
-        |  round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS entropy_bits
+        |  round(log2(sum(n)) -
+        |    (sum(CAST(floor(n * log2(n) * 1e9) AS BIGINT)) / 1e9) / sum(n),
+        |    6) AS entropy_bits
         |FROM tc GROUP BY src ORDER BY src""".stripMargin,
     "q_interarrival" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id

@@ -349,8 +349,13 @@ object WindowOps {
     * you nothing about what follows).
     *
     * Engine-exact: entropy is computed as log2(tot) − Σ n·log2(n) / tot
-    * — logs of exact integer counts only (never of intermediate ratios),
-    * one mirrored double division at the end, rounded by the caller.
+    * — logs of exact integer counts only (never of intermediate ratios).
+    * Each per-(src,dst) n·log2(n) term is quantized to integer
+    * nano-units (`floor(x·1e9)` as long — the [[TextAnalysis.tokenEntropy]]
+    * recipe) BEFORE the sum, so the aggregate is an exact long sum:
+    * association-order-invariant across partitionings and bit-identical
+    * across engines; one mirrored double division at the end, rounded by
+    * the caller.
     *
     * Scale shape: [[transitionCounts]]'s one window shuffle + hash
     * aggregate, then a second aggregate over the ≤ |types|² transition
@@ -361,9 +366,11 @@ object WindowOps {
       .groupBy("src")
       .agg(sum("n").as("n_total"),
         count(lit(1)).as("n_dst"),
-        sum(col("n").cast("double") * log2(col("n"))).as("__nlogn"))
+        sum(floor(col("n").cast("double") * log2(col("n")) * lit(1e9))
+          .cast("long")).as("__qnlogn"))
       .select(col("src"), col("n_total"), col("n_dst"),
-        (log2(col("n_total")) - col("__nlogn") / col("n_total"))
+        (log2(col("n_total")) -
+          (col("__qnlogn").cast("double") / lit(1e9)) / col("n_total"))
           .as("entropy_bits"))
 
   /** Inter-arrival time distribution per event type: each event's gap to

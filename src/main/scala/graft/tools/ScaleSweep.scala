@@ -588,6 +588,20 @@ object ScaleSweep {
     })
     sweep("sample_bottomk")(k => Sampling.perKey(
       evAt(k), Seq("user_id"), "event_id", n = 3))
+    sweep("incr_hist")(k => {
+      val ev = evAt(k)
+      val (lo, hi, bins) = (0.0, 500.0, 50)
+      val snap = graft.operators.Incremental.aggregateHistState(
+        ev.where(col("event_id") % 5 =!= 0), Seq("event_type"), "value",
+        lo, hi, bins)
+      val delta = graft.operators.Incremental.aggregateHistState(
+        ev.where(col("event_id") % 5 === 0), Seq("event_type"), "value",
+        lo, hi, bins)
+      graft.operators.Incremental.histQuantiles(
+        graft.operators.Incremental.mergeHistState(snap, delta,
+          Seq("event_type")),
+        Seq("event_type"), Seq("p50" -> 0.5, "p90" -> 0.9), lo, hi, bins)
+    })
 
     def renderMap(m: scala.collection.Map[String, Seq[Double]]): String =
       m.map { case (k, v) =>
