@@ -45,6 +45,20 @@ object SparkEntry {
   private def eventsMicros(s: SparkSession, dir: String): SDF =
     table(s, dir, "events").withColumn("tsu", expr("ts DIV 1000"))
 
+  /** Shared micro-batch harness glue for the q_stream_* queries: start
+    * `streamed` into a uniquely-named memory sink, run to completion
+    * (AvailableNow trigger inside [[GraftStreaming.runToMemory]]), and
+    * return the sink table — one definition for the nanoTime-sink +
+    * awaitTermination + `s.table` triple every stream block previously
+    * inlined. */
+  private def runStreamQuery(s: SparkSession, prefix: String, streamed: SDF,
+                             outputMode: String = "append"): SDF = {
+    val out = s"${prefix}_${System.nanoTime()}"
+    val q = GraftStreaming.runToMemory(streamed, out, outputMode)
+    assert(q.awaitTermination(300000), "stream did not finish within 300s")
+    s.table(out)
+  }
+
   /** Synthetic classifier (score, label) over documents — ONE
     * definition shared by q_calibration, q_gains, and q_gini, whose
     * gates all assume "same synthesis" (q_gini must band exactly
@@ -487,16 +501,13 @@ object SparkEntry {
     // stream filter is stateless map-side work — ingest-time dedup
     // against a static corpus with zero streaming state
     "q_stream_novel" -> ((s, dir) => {
-      val out = s"stream_novel_${System.nanoTime()}"
       val docs = table(s, dir, "documents").select("doc_id", "text")
       val corpus = docs.where(pmod(col("doc_id"), lit(10)) < 8)
       val stream = GraftStreaming.readDocumentsGlob(s, dir, "documents.parquet")
         .where(pmod(col("doc_id"), lit(10)) >= 7)
         .select("doc_id", "text")
       val novel = Dedup.novelAgainstBloom(stream, corpus, "text")
-      val q = GraftStreaming.runToMemory(novel, out)
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      s.table(out).select("doc_id").orderBy("doc_id")
+      runStreamQuery(s, "stream_novel", novel).select("doc_id").orderBy("doc_id")
     }),
 
     // pipeline: per-language quality gate — keep docs strictly above the
@@ -2000,13 +2011,10 @@ object SparkEntry {
     // step list left-joins the counts so a step NO key reached still
     // reports 0 (the oracle always emits every step row)
     "q_stream_funnel" -> ((s, dir) => {
-      val out = s"stream_funnel_${System.nanoTime()}"
       val steps = Seq("view", "click", "purchase")
       val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
       val hits = GraftStreaming.funnelStream(stream, steps)
-      val q = GraftStreaming.runToMemory(hits, out)
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      val counts = s.table(out)
+      val counts = runStreamQuery(s, "stream_funnel", hits)
         .groupBy(col("step"), col("stepType").as("event_type"))
         .agg(countDistinct(col("userId")).as("__n"))
       steps.zipWithIndex.map { case (name, i) =>
@@ -2023,12 +2031,9 @@ object SparkEntry {
     // ingest to the key's latest touch since the previous purchase —
     // state is ONE pending-touch triple per key
     "q_stream_attribution" -> ((s, dir) => {
-      val out = s"stream_attr_${System.nanoTime()}"
       val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
       val hits = GraftStreaming.lastTouchStream(stream, "purchase")
-      val q = GraftStreaming.runToMemory(hits, out)
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      s.table(out)
+      runStreamQuery(s, "stream_attr", hits)
         .select(col("convId").as("conv_id"), col("touchType").as("touch_type"),
           col("touchTs").as("touch_tsu"))
         .orderBy("conv_id")
@@ -2038,13 +2043,10 @@ object SparkEntry {
     // watermarked stateful windowed aggregate — state is one buffer per
     // live (window, type), pruned by the watermark
     "q_stream_ohlc" -> ((s, dir) => {
-      val out = s"stream_ohlc_${System.nanoTime()}"
       val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
       val agg = GraftStreaming.ohlcStream(stream,
         watermark = "1 hour", window_ = "1 hour")
-      val q = GraftStreaming.runToMemory(agg, out, outputMode = "complete")
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      s.table(out)
+      runStreamQuery(s, "stream_ohlc", agg, "complete")
         .select(col("window.start").cast("long").as("win_start"),
           col("event_type"), col("n"),
           round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
@@ -2280,15 +2282,12 @@ object SparkEntry {
     // events file stream, driven to completion (AvailableNow), oracle =
     // the equivalent batch GROUP BY date_trunc
     "q_stream_window" -> ((s, dir) => {
-      val out = s"stream_out_${System.nanoTime()}"
       // file streams need a directory source: stream the sf dir filtered
       // down to the events table
       val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
       val agg = GraftStreaming.windowedCounts(stream,
         watermark = "1 hour", window_ = "1 hour")
-      val q = GraftStreaming.runToMemory(agg, out, outputMode = "complete")
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      s.table(out)
+      runStreamQuery(s, "stream_out", agg, "complete")
         .select(col("window.start").cast("long").as("win_start"),
           col("event_type"), col("n"), col("total"))
         .orderBy("win_start", "event_type")
@@ -2300,7 +2299,6 @@ object SparkEntry {
     // aggregate holding bins longs per window. Oracle recomputes the
     // reference in SQL with the identical integer→double ops
     "q_stream_psi" -> ((s, dir) => {
-      val out = s"stream_psi_${System.nanoTime()}"
       val bins = 10; val lo = 0L; val hi = 500L
       // reference histogram: bins-bounded collect over the batch half,
       // using the IDENTICAL binning expression the stream side applies
@@ -2313,9 +2311,7 @@ object SparkEntry {
       val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
       val psi = GraftStreaming.psiDriftStream(stream, "value", refCounts,
         lo, hi, watermark = "1 hour", window_ = "1 hour")
-      val q = GraftStreaming.runToMemory(psi, out, outputMode = "complete")
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      s.table(out)
+      runStreamQuery(s, "stream_psi", psi, "complete")
         .select(col("window.start").cast("long").as("win_start"),
           col("n"), col("psi"))
         .orderBy("win_start")
@@ -2326,14 +2322,11 @@ object SparkEntry {
     // stateful windowed aggregate, stacked to one row per (window, rule)
     "q_stream_validate" -> ((s, dir) => {
       import graft.operators.Validate.{InRange, InSet, NotNull}
-      val out = s"stream_validate_${System.nanoTime()}"
       val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
       val v = GraftStreaming.validateStream(stream, Seq(
         NotNull("props"), InRange("value", 0, 450),
         InSet("event_type", Seq("click", "view", "purchase", "signup"))))
-      val q = GraftStreaming.runToMemory(v, out, outputMode = "complete")
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      s.table(out)
+      runStreamQuery(s, "stream_validate", v, "complete")
         .select(col("window.start").cast("long").as("win_start"),
           col("rule"), col("col_name"), col("violations"), col("n_rows"))
         .orderBy("win_start", "rule", "col_name")
@@ -2343,7 +2336,6 @@ object SparkEntry {
     // exact-integer CDF-gap fold over the same binned windowed
     // aggregate as q_stream_psi (state = bins longs per window)
     "q_stream_ks" -> ((s, dir) => {
-      val out = s"stream_ks_${System.nanoTime()}"
       val bins = 10; val lo = 0L; val hi = 500L
       val refMap = s.read.parquet(s"$dir/events.parquet")
         .where(col("event_id") % 2 === 0)
@@ -2354,9 +2346,7 @@ object SparkEntry {
       val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
       val ks = GraftStreaming.ksDriftStream(stream, "value", refCounts,
         lo, hi, watermark = "1 hour", window_ = "1 hour")
-      val q = GraftStreaming.runToMemory(ks, out, outputMode = "complete")
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      s.table(out)
+      runStreamQuery(s, "stream_ks", ks, "complete")
         .select(col("window.start").cast("long").as("win_start"),
           col("n"), col("ks"))
         .orderBy("win_start")
@@ -2367,7 +2357,6 @@ object SparkEntry {
     // state), unmatched users kept with NULL segment; batch-aggregated
     // for the oracle
     "q_stream_enrich" -> ((s, dir) => {
-      val out = s"stream_enrich_${System.nanoTime()}"
       val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
       val dim = s.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey"), col("c_mktsegment"))
@@ -2375,9 +2364,7 @@ object SparkEntry {
         "user_id", "c_custkey")
         .select(col("event_id"), col("value"),
           coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
-      val q = GraftStreaming.runToMemory(enriched, out)
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      s.table(out).groupBy("segment")
+      runStreamQuery(s, "stream_enrich", enriched).groupBy("segment")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
         .orderBy("segment")
@@ -2387,13 +2374,11 @@ object SparkEntry {
     // drained to the sink, then the per-window top-2 finisher over the
     // already-window-reduced relation (deterministic n desc, key asc)
     "q_stream_trending" -> ((s, dir) => {
-      val out = s"stream_trend_${System.nanoTime()}"
       val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
       val agg = GraftStreaming.windowedCounts(stream,
         watermark = "1 hour", window_ = "1 hour")
-      val q = GraftStreaming.runToMemory(agg, out, outputMode = "complete")
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      GraftStreaming.trendingTopK(s.table(out), "event_type", 2)
+      GraftStreaming.trendingTopK(
+          runStreamQuery(s, "stream_trend", agg, "complete"), "event_type", 2)
         .select(col("window.start").cast("long").as("win_start"),
           col("rank"), col("event_type"), col("n"))
         .orderBy("win_start", "rank")
@@ -2404,13 +2389,10 @@ object SparkEntry {
     // far"; capacity 64 >> the distinct types, so counts are exact and
     // the single-batch run ≡ the batch GROUP BY oracle
     "q_stream_heavy" -> ((s, dir) => {
-      val out = s"stream_heavy_${System.nanoTime()}"
       val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
       val agg = GraftStreaming.heavyHittersStream(stream,
         col("event_type"), capacity = 64, k = 5)
-      val q = GraftStreaming.runToMemory(agg, out, outputMode = "complete")
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      s.table(out).select(posexplode(col("__hh")))
+      runStreamQuery(s, "stream_heavy", agg, "complete").select(posexplode(col("__hh")))
         .select((col("pos") + 1).cast("int").as("rank"),
           col("col.item").as("event_type"), col("col.cnt").as("cnt"))
         .orderBy("rank")
@@ -2421,7 +2403,6 @@ object SparkEntry {
     // two-sided event-time bound is what lets Spark evict join state; the
     // inner join's output equals the batch range join, which is the oracle.
     "q_stream_join" -> ((s, dir) => {
-      val out = s"stream_join_${System.nanoTime()}"
       val clicks = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
         .where(col("event_type") === "click")
       val purchases = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
@@ -2430,9 +2411,7 @@ object SparkEntry {
         .streamStreamJoin(clicks, purchases, "user_id")
         .select(col("l.event_id").as("click_id"),
           col("r.event_id").as("purchase_id"))
-      val q = GraftStreaming.runToMemory(joined, out)
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      s.table(out).orderBy("click_id", "purchase_id")
+      runStreamQuery(s, "stream_join", joined).orderBy("click_id", "purchase_id")
     }),
 
     // Structured Streaming: duplicate delivery (the same file streamed by
@@ -2441,14 +2420,11 @@ object SparkEntry {
     // effectively unbounded so no state is evicted mid-run — on a live
     // cluster you bound it to the real out-of-orderness instead.
     "q_stream_dedup" -> ((s, dir) => {
-      val out = s"stream_dedup_${System.nanoTime()}"
       val s1 = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
       val s2 = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
       val deduped = GraftStreaming.dedupStream(s1.union(s2), Seq("event_id"),
         watermark = "87600 hours")
-      val q = GraftStreaming.runToMemory(deduped, out)
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      s.table(out).groupBy("event_type")
+      runStreamQuery(s, "stream_dedup", deduped).groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
         .orderBy("event_type")
@@ -2458,11 +2434,9 @@ object SparkEntry {
     // state row per key, emit on change; a single AvailableNow batch
     // emits exactly batch latestByKey, which is the oracle
     "q_stream_latest" -> ((s, dir) => {
-      val out = s"stream_latest_${System.nanoTime()}"
       val ev = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
-      val q = GraftStreaming.runToMemory(GraftStreaming.latestStream(ev), out)
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      s.table(out).select(col("userId").as("user_id"),
+      runStreamQuery(s, "stream_latest", GraftStreaming.latestStream(ev))
+        .select(col("userId").as("user_id"),
         col("eventId").as("event_id"),
         expr("tsNs DIV 1000").as("ts_us"),
         col("eventType").as("event_type"), col("value"))
@@ -2474,12 +2448,9 @@ object SparkEntry {
     // sharing Sampling.perKey's (md5(id), id) convention, so the oracle
     // IS q_sample_per_key's SQL at the same k
     "q_stream_sample" -> ((s, dir) => {
-      val out = s"stream_sample_${System.nanoTime()}"
       val ev = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
-      val q = GraftStreaming.runToMemory(
-        GraftStreaming.bottomKSampleStream(ev, k = 3), out)
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      s.table(out).select(col("userId").as("user_id"),
+      runStreamQuery(s, "stream_sample", GraftStreaming.bottomKSampleStream(ev, k = 3))
+        .select(col("userId").as("user_id"),
           col("eventId").as("event_id"))
         .orderBy("user_id", "event_id")
     }),
@@ -2489,15 +2460,12 @@ object SparkEntry {
     // AvailableNow batch + stable md5 in-batch order makes the stream
     // EXACTLY batch budgetSample, so the oracle IS q_budget_sample's.
     "q_stream_budget" -> ((s, dir) => {
-      val out = s"stream_budget_${System.nanoTime()}"
       val docs = GraftStreaming.readDocumentsGlob(s, dir, "documents.parquet")
         .withColumn("n_tokens",
           TextAnalysis.tokenCount(col("text")).cast("long"))
       val adm = GraftStreaming.budgetAdmitStream(docs, "lang", "doc_id",
         "n_tokens", budget = 50000L)
-      val q = GraftStreaming.runToMemory(adm, out)
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      s.table(out).select(col("key").as("lang"), col("doc_id"), col("n_tokens"))
+      runStreamQuery(s, "stream_budget", adm).select(col("key").as("lang"), col("doc_id"), col("n_tokens"))
         .orderBy("lang", "doc_id")
     }),
 
@@ -2508,13 +2476,10 @@ object SparkEntry {
     // oracle applies for the same recall reason; cross-band duplicate
     // emissions collapse in the batch groupBy after the run.
     "q_stream_neardup" -> ((s, dir) => {
-      val out = s"stream_neardup_${System.nanoTime()}"
       val docs = GraftStreaming.readDocumentsGlob(s, dir, "documents.parquet")
       val hits = GraftStreaming.nearDupStream(docs, "doc_id", "text",
         threshold = 0.8, watermark = "87600 hours")
-      val q = GraftStreaming.runToMemory(hits, out)
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      s.table(out).groupBy("id_l", "id_r")
+      runStreamQuery(s, "stream_neardup", hits).groupBy("id_l", "id_r")
         .agg(round(max(col("jaccard")), 6).as("jaccard"))
         .orderBy("id_l", "id_r")
     }),
@@ -2527,7 +2492,6 @@ object SparkEntry {
     // filtered by the poison. Oracle = full batch sessionization —
     // stream ≡ batch.
     "q_stream_sessionize" -> ((s, dir) => {
-      val out = s"stream_sess_${System.nanoTime()}"
       val gapNs = 1800L * 1000000000L
       // µs-truncated ns on BOTH engines (DuckDB stores parquet ns
       // timestamps at µs precision, so epoch_ns() returns µs*1000)
@@ -2540,9 +2504,7 @@ object SparkEntry {
         .withColumn("event_time", GraftStreaming.eventTime(col("ts")))
       val sess = GraftStreaming.sessionize(ev.unionByName(sentinels), gapNs,
         watermark = "87600 hours")
-      val q = GraftStreaming.runToMemory(sess, out)
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      s.table(out)
+      runStreamQuery(s, "stream_sess", sess)
         .where(col("closed") && col("totalValue") > -1e17)
         .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
           col("firstTsNs").as("first_ts"), col("lastTsNs").as("last_ts"))
@@ -3128,16 +3090,13 @@ object SparkEntry {
     // ZERO streaming state; drained rows batch-aggregate to exactly the
     // batch report, which is the oracle
     "q_stream_decontaminate" -> ((s, dir) => {
-      val out = s"stream_decon_${System.nanoTime()}"
       val docs = GraftStreaming.readDocumentsGlob(s, dir, "documents.parquet")
       val evalSet = table(s, dir, "documents")
         .where(col("doc_id") % 37 === 0)
         .select((col("doc_id") + 500000).as("doc_id"), col("text"))
       val hits = GraftStreaming.decontaminateStream(docs, "doc_id", "text",
         evalSet, "doc_id", "text", n = 8)
-      val q = GraftStreaming.runToMemory(hits, out)
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      s.table(out).groupBy("train_id", "eval_id")
+      runStreamQuery(s, "stream_decon", hits).groupBy("train_id", "eval_id")
         .agg(count(lit(1)).as("n_hits"))
         .where(col("n_hits") >= 1)
         .orderBy("train_id", "eval_id")
@@ -3149,12 +3108,8 @@ object SparkEntry {
     // natural). Single AvailableNow batch ≡ the full-history fold,
     // which DuckDB replays with list_reduce over the same literals.
     "q_stream_ewma" -> ((s, dir) => {
-      val out = s"stream_ewma_${System.nanoTime()}"
       val ev = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
-      val q = GraftStreaming.runToMemory(
-        GraftStreaming.ewmaStream(ev, alpha = 0.3), out)
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      s.table(out)
+      runStreamQuery(s, "stream_ewma", GraftStreaming.ewmaStream(ev, alpha = 0.3))
         .select(col("userId").as("user_id"), round(col("ewma"), 9).as("ewma"))
         .orderBy("user_id")
     }),
@@ -3396,7 +3351,6 @@ object SparkEntry {
     // synthesis, streamed); the drained emission stream compacts to the
     // batch snapshot, so the oracle IS q_cdc's
     "q_stream_cdc" -> ((s, dir) => {
-      val out = s"stream_cdc_${System.nanoTime()}"
       val ev = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
       val base = ev.select(col("event_id").as("key"),
         expr("ts DIV 1000").as("ver"), col("value"), lit("I").as("op"))
@@ -3406,10 +3360,8 @@ object SparkEntry {
       val del = base.where(col("key") % 20 === 0)
         .select(col("key"), (col("ver") + 2000L).as("ver"),
           lit(0.0).as("value"), lit("D").as("op"))
-      val q = GraftStreaming.runToMemory(
-        GraftStreaming.cdcStream(base.unionAll(upd).unionAll(del)), out)
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      Dedup.applyChangelogEmissions(s.table(out))
+      Dedup.applyChangelogEmissions(runStreamQuery(s, "stream_cdc",
+          GraftStreaming.cdcStream(base.unionAll(upd).unionAll(del))))
         .select(col("key").as("event_id"), col("ver").as("tsu"), col("value"))
         .orderBy("event_id")
     }),
@@ -3426,7 +3378,6 @@ object SparkEntry {
     // overwrites value), so IS NULL keeps any all-NULL-value real
     // session just as the sentinel-free oracle does.
     "q_stream_sessions_native" -> ((s, dir) => {
-      val out = s"stream_sessw_${System.nanoTime()}"
       val ev = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
       val sentinels = ev
         .withColumn("ts", col("ts") + lit(1000000000000000000L))
@@ -3434,9 +3385,7 @@ object SparkEntry {
         .withColumn("event_time", GraftStreaming.eventTime(col("ts")))
       val sess = GraftStreaming.sessionWindowStats(
         ev.unionByName(sentinels), "1800 seconds", watermark = "87600 hours")
-      val q = GraftStreaming.runToMemory(sess, out)
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      s.table(out).where(col("total").isNull || col("total") > -1e10)
+      runStreamQuery(s, "stream_sessw", sess).where(col("total").isNull || col("total") > -1e10)
         .select(col("user_id"),
           unix_seconds(col("session_start")).as("session_start"),
           unix_seconds(col("session_end")).as("session_end"),
@@ -3449,7 +3398,6 @@ object SparkEntry {
     // time (not now) — the feature-store train/serve-skew guard;
     // broadcast dimension, zero streaming state
     "q_stream_pit" -> ((s, dir) => {
-      val out = s"stream_pit_${System.nanoTime()}"
       val purch = eventsMicros(s, dir)
         .where(col("event_type") === "purchase")
         .select(col("user_id"), col("tsu"), col("event_id"),
@@ -3458,11 +3406,8 @@ object SparkEntry {
         Seq("tsu", "event_id"), "tsu", "tier")
       val clicks = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
         .where(col("event_type") === "click")
-      val q = GraftStreaming.runToMemory(
-        GraftStreaming.pointInTimeEnrich(clicks, dim, Seq("user_id"),
-          "ts", Seq("tier")), out)
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      s.table(out)
+      runStreamQuery(s, "stream_pit", GraftStreaming.pointInTimeEnrich(clicks, dim, Seq("user_id"),
+          "ts", Seq("tier")))
         .select(col("user_id"), col("event_id"), col("tier"))
         .orderBy("user_id", "event_id")
     }),
@@ -3472,14 +3417,9 @@ object SparkEntry {
     // rejects it), so the HLL sketch IS the answer; drained estimates
     // honesty-checked against batch-exact counts (oracle pins ok=TRUE)
     "q_stream_distinct" -> ((s, dir) => {
-      val out = s"stream_distinct_${System.nanoTime()}"
       val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
-      val q = GraftStreaming.runToMemory(
-        GraftStreaming.approxDistinctUsers(stream,
-          watermark = "1 hour", window_ = "1 hour"), out,
-        outputMode = "complete")
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      val approx = s.table(out)
+      val approx = runStreamQuery(s, "stream_distinct", GraftStreaming.approxDistinctUsers(stream,
+          watermark = "1 hour", window_ = "1 hour"), "complete")
         .select(col("window.start").cast("long").as("win_start"),
           col("event_type"), col("n_users_approx"))
       // ts is the epoch-ns long seam: hour start by integer division
@@ -3555,12 +3495,9 @@ object SparkEntry {
     // sequential fold is natural; the batch twin needs the reflection
     // identity); alarmsOnly → output volume tracks incidents
     "q_stream_cusum" -> ((s, dir) => {
-      val out = s"stream_cusum_${System.nanoTime()}"
       val ev = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
-      val q = GraftStreaming.runToMemory(GraftStreaming.cusumStream(
-        ev, target = 165.0, slack = 20.0, threshold = 500.0), out)
-      assert(q.awaitTermination(300000), "stream did not finish within 300s")
-      s.table(out)
+      runStreamQuery(s, "stream_cusum", GraftStreaming.cusumStream(
+        ev, target = 165.0, slack = 20.0, threshold = 500.0))
         .select(col("userId").as("user_id"), col("eventId").as("event_id"),
           round(col("sHi"), 6).as("s_hi"), round(col("sLo"), 6).as("s_lo"))
         .orderBy("user_id", "event_id")

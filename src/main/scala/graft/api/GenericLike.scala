@@ -52,6 +52,54 @@ private[graft] trait GenericLike[Self] {
     rebuild(frame.rePhysical(df))
   }
 
+  /** Exact tail in ONE distributed pass — the extension-surface
+    * alternative to [[tail]]'s reference-faithful COUNT-then-OFFSET
+    * (generic.py:50-57), which scans twice. Every partition emits its
+    * row count plus its last ≤ `n` rows in a single mapPartitions
+    * sweep; the driver — holding one (count, ≤ n rows) pair per
+    * partition, never the corpus — drops the surplus rows from the
+    * earliest contributing partition and re-parallelizes the ≤ n
+    * survivors. Row order matches [[tail]] exactly: Spark's global row
+    * order is partition index, then within-partition order, which is
+    * precisely how the per-partition buffers are reassembled.
+    *
+    * Use when the table is scan-dominated (at 100 TB the default's
+    * second full scan IS the cost) and `n` is interactive-small: the
+    * result is driver-resident by construction — the same contract as
+    * `to_pandas` — so `n` must fit on the driver (enforced ≤ 10M). */
+  def tailOnePass(n: Int = 5): Self = {
+    require(n >= 0, s"tailOnePass needs n >= 0, got $n")
+    require(n <= 10000000, s"tailOnePass result is driver-resident; n=$n is not interactive-small")
+    val df = frame.df
+    val spark = df.sparkSession
+    val parts =
+      if (n == 0) Array.empty[(Int, Long, Array[org.apache.spark.sql.Row])]
+      else df.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val buf = new scala.collection.mutable.ArrayDeque[org.apache.spark.sql.Row](
+          math.min(n, 16))
+        var cnt = 0L
+        it.foreach { r =>
+          cnt += 1L
+          buf.append(r)
+          if (buf.size > n) buf.removeHead()
+        }
+        Iterator.single((pid, cnt, buf.toArray))
+      }.collect().sortBy(_._1)
+    val total = parts.iterator.map(_._2).sum
+    val offset = math.max(0L, total - n)
+    var before = 0L
+    val keep = parts.iterator.flatMap { case (_, cnt, rows) =>
+      val firstKept = before + cnt - rows.length // global ordinal of rows.head
+      before += cnt
+      rows.iterator.zipWithIndex.collect {
+        case (r, i) if firstKept + i >= offset => r
+      }
+    }.toIndexedSeq
+    import scala.jdk.CollectionConverters._
+    rebuild(frame.rePhysical(
+      spark.createDataFrame(keep.asJava, df.schema)))
+  }
+
   /** Single cell at row ordinal `r` of column expression `c` — the shared
     * scalar probe behind DataFrame/Series `iat`, long-offset safe. */
   private[graft] def cellAt(c: org.apache.spark.sql.Column, r: Long): Any = {

@@ -1266,6 +1266,13 @@ object GraftStreaming {
                   outputMode: String = "append",
                   statePartitions: Int = 8): StreamingQuery = {
     val spark = df.sparkSession
+    // session-conf override so invariance tests can run the SAME stream
+    // query under different state partitionings (the stream analogue of
+    // InvarianceSpec's shuffle-partitions sweep) without threading a
+    // parameter through every call site
+    val effectiveParts = spark.conf
+      .getOption("graft.stream.statePartitions")
+      .map(_.toInt).getOrElse(statePartitions)
     val key = "spark.sql.shuffle.partitions"
     // synchronized: start() snapshots the session conf (cloned into the
     // stream), but two concurrent runToMemory calls could otherwise
@@ -1273,7 +1280,7 @@ object GraftStreaming {
     // temporary value
     spark.synchronized {
       val prev = spark.conf.get(key)
-      spark.conf.set(key, statePartitions.toString)
+      spark.conf.set(key, effectiveParts.toString)
       try df.writeStream.outputMode(outputMode)
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow())

@@ -78,7 +78,13 @@ object PlanDigest {
     // class-agg + broadcast join-back (a quasi-key window would cap
     // parallelism at |classes|); target_encode pins the grouped-sums +
     // join-back (not a category window) for the same reason
-    "q_margin_pairs", "q_kanon_suppress", "q_target_encode")
+    "q_margin_pairs", "q_kanon_suppress", "q_target_encode",
+    // round-9: the remaining round-7-final shapes — incr_hist pins the
+    // snapshot⊎delta FULL OUTER merge + model-sized window readout (a
+    // corpus-sized re-aggregate is the regression); wilson pins ONE
+    // grouped integer aggregate + closed-form CI; datasheet pins the
+    // global-agg + fingerprint-grouped dup-mass pair (one scan each)
+    "q_incr_hist", "q_wilson", "q_datasheet")
 
   val SnapshotPath = "tools/plan_digests.txt"
   val DefaultSfDir = "/root/testdata/sf0.001"

@@ -1,7 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Partition-invariance gate over the ENTIRE batch query surface.
@@ -28,37 +27,21 @@ class InvarianceSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   // Two isolated-SQLConf sessions over the one shared SparkContext: the
-  // ONLY delta is the shuffle partitioning, so any result difference is
-  // a partition-order / association-order dependence in the plan.
-  private lazy val sessions: Seq[(Int, SparkSession)] = Seq(3, 32).map { p =>
-    val s = TestSpark.spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", p.toString)
-    (p, s)
+  // deltas are the shuffle partitioning AND the scan-split sizing (the
+  // second session forces many tiny input splits, perturbing map-side
+  // partial-aggregate association order too), so any result difference
+  // is a partition-order / association-order dependence in the plan.
+  private lazy val sessions: Seq[(Int, SparkSession)] = {
+    val a = TestSpark.spark.newSession()
+    a.conf.set("spark.sql.shuffle.partitions", "3")
+    val b = TestSpark.spark.newSession()
+    b.conf.set("spark.sql.shuffle.partitions", "32")
+    b.conf.set("spark.sql.files.maxPartitionBytes", "262144") // 256 KB
+    b.conf.set("spark.sql.files.openCostInBytes", "0")
+    Seq((3, a), (32, b))
   }
 
-  /** Canonical, bit-exact rendering: doubles/floats by their IEEE bits
-    * (NaN canonicalized by to*Bits), maps sorted by rendered key,
-    * arrays/structs positionally, null distinguished from "null". */
-  private def render(v: Any): String = v match {
-    case null => "∅"
-    case d: java.lang.Double => "d" + java.lang.Double.doubleToLongBits(d)
-    case f: java.lang.Float => "f" + java.lang.Float.floatToIntBits(f)
-    case r: Row => r.toSeq.map(render).mkString("(", ",", ")")
-    case m: scala.collection.Map[_, _] =>
-      m.iterator.map { case (k, x) => render(k) + "→" + render(x) }
-        .toSeq.sorted.mkString("{", ",", "}")
-    case s: scala.collection.Seq[_] => s.map(render).mkString("[", ",", "]")
-    case a: Array[_] => a.iterator.map(render).mkString("[", ",", "]")
-    case x => x.toString
-  }
-
-  /** Sorted-multiset canonical form of a result, columns sorted by name
-    * (mirrors the driver's compare). */
-  private def canon(df: DataFrame): Seq[String] = {
-    val cols = df.columns.sorted.toIndexedSeq.map(col)
-    df.select(cols: _*).collect()
-      .map(r => r.toSeq.map(render).mkString("|")).toSeq.sorted
-  }
+  import Canon.canon
 
   private val batch = SparkEntry.queries.keys.toSeq.sorted
     .filterNot(_.startsWith("q_stream_"))

@@ -164,6 +164,22 @@ class KernelSpec extends AnyFunSuite {
     assert(s.tail(0).values == Seq())
   }
 
+  test("tailOnePass (extension): matches two-job tail under any partitioning") {
+    // multi-partition + ragged/empty partitions: repartition scatters
+    // rows, so every partition contributes a different-sized buffer
+    val parquet = DataFrame.fromParquet(spark,
+      "/root/testdata/sf0.001/nation.parquet", index = Seq("n_nationkey"))
+    for (n <- Seq(0, 3, 25, 40)) {
+      val want = parquet.tail(n).frame.df.orderBy("__idx_0").collect().toSeq
+      val got = parquet.tailOnePass(n).frame.df.orderBy("__idx_0").collect().toSeq
+      assert(got == want, s"tailOnePass($n) diverged from tail($n)")
+    }
+    val s = sFromList(Seq(1, 2, 3, 4, 5))
+    assert(s.tailOnePass(2).values == Seq(4, 5))
+    assert(s.tailOnePass(0).values == Seq())
+    assert(s.tailOnePass(10).values == Seq(1, 2, 3, 4, 5))
+  }
+
   test("parquet from_table with promoted index (alchemy.py:313-350)") {
     val df = DataFrame.fromParquet(spark, "/root/testdata/sf0.001/nation.parquet",
       index = Seq("n_nationkey"))
