@@ -30,23 +30,9 @@ object Bench {
     // (other JVMs sharing the 32 cores — see BASELINE.md "Noise
     // envelope"). Snapshot the foreign-JVM count and 1-min load average
     // at start AND end and stamp `solo` into the JSON so a spiky bench
-    // self-reports whether its numbers are trustworthy. Foreign = any
-    // live java process that is not this JVM or an ancestor (sbt/the
-    // driver wrapper launch us, so the parent chain must not count).
-    def jvmCount(): Int = {
-      val self = ProcessHandle.current()
-      val ancestors = Iterator.iterate(self.parent())(p =>
-          if (p.isPresent) p.get.parent() else p)
-        .takeWhile(_.isPresent).map(_.get.pid).toSet + self.pid
-      ProcessHandle.allProcesses().filter { h =>
-        !ancestors.contains(h.pid) &&
-          h.info().command().map[Boolean](c =>
-            c.endsWith("/java") || c == "java").orElse(false)
-      }.count().toInt
-    }
-    def loadAvg(): Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    val (jvms0, load0) = (jvmCount(), loadAvg())
+    // self-reports whether its numbers are trustworthy.
+    import graft.tools.BoxSentinel
+    val (jvms0, load0) = (BoxSentinel.jvmCount(), BoxSentinel.loadAvg())
 
     // per-query GC-time and peak-heap instrumentation: the r3→r4 driver
     // sweeps showed ~3×/~2 s zero-code-change drift on individual queries
@@ -105,9 +91,9 @@ object Bench {
     // printed first and got truncated away). peak/gc lead; the per-query
     // wall map and the headline total close the object so they survive
     // any head-truncation of the captured line.
-    val (jvms1, load1) = (jvmCount(), loadAvg())
-    val solo = jvms0 == 0 && jvms1 == 0
-    val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_failed":${failedNames.size},"failed":$failed,"solo":$solo,"other_jvms_start":$jvms0,"other_jvms_end":$jvms1,"load_start":$load0,"load_end":$load1,"peak_mb":$peak,"gc_sec":$gc,"queries":$qs,"value":$total}"""
+    val (jvms1, load1) = (BoxSentinel.jvmCount(), BoxSentinel.loadAvg())
+    val sentinel = BoxSentinel.jsonFields(jvms0, load0, jvms1, load1)
+    val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_failed":${failedNames.size},"failed":$failed,$sentinel,"peak_mb":$peak,"gc_sec":$gc,"queries":$qs,"value":$total}"""
     // Belt and braces: persist the complete JSON where the judge can
     // read it even if the driver's stdout capture mangles the line —
     // but ONLY for the full sweep: a SPARK_GRAFT_ONLY iteration run

@@ -492,7 +492,18 @@ object Dedup {
           .where(size(col("__ms")) <= cap)
       case None => grouped
     }
+    // Explicit-width exchange before the explode: AQE sizes post-shuffle
+    // partitions by the COLLECTED relation's bytes (tiny — multi-member
+    // buckets only) and coalesces the whole pair-generation stage onto a
+    // handful of tasks, blind to the quadratic explode amplification
+    // downstream (measured 14× on the 10×-sf0.1 sweep: 66 s → 4.6 s).
+    // A user-specified repartition is never coalesced, so the explode
+    // runs at full configured width; the extra exchange moves only the
+    // bucket arrays. A single near-cap bucket is still one task's work —
+    // that bound is maxBucketSize's job, not the partitioner's.
+    val width = buckets.sparkSession.sessionState.conf.numShufflePartitions
     members
+      .repartition(width)
       .select(col("__ms"), posexplode(col("__ms")).as(Seq("__i", "__l")))
       .select(col("__l"),
         explode(slice(col("__ms"), col("__i") + 2, size(col("__ms")))).as("__r"))

@@ -103,7 +103,12 @@ object ScaleSweep {
     time(Dedup.exactText(docs0, "text", "doc_id"))
     time(Dedup.embeddingNearDup(emb0, "vec_id", "embedding"))
 
-    val scales = Seq(1, 2, 5, 10)
+    val (jvms0, load0) = (BoxSentinel.jvmCount(), BoxSentinel.loadAvg())
+    // SPARK_GRAFT_SWEEP_SCALES=1,2,5,10,20 overrides for extended-scale
+    // evidence runs (20× sf0.1 ≈ the sf2 tier)
+    val scales = sys.env.get("SPARK_GRAFT_SWEEP_SCALES")
+      .map(_.split(',').map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 2, 5, 10))
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val gcResults = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val peakResults = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
@@ -610,7 +615,9 @@ object ScaleSweep {
     val json = renderMap(results)
     val gcJson = renderMap(gcResults)
     val peakJson = renderMap(peakResults)
-    println(s"""{"metric":"scale_sweep","scales":[${scales.mkString(",")}],"sec":$json,"gc_sec":$gcJson,"peak_mb":$peakJson,"sf":"$sfDir"}""")
+    val (jvms1, load1) = (BoxSentinel.jvmCount(), BoxSentinel.loadAvg())
+    val sentinel = BoxSentinel.jsonFields(jvms0, load0, jvms1, load1)
+    println(s"""{"metric":"scale_sweep","scales":[${scales.mkString(",")}],$sentinel,"sec":$json,"gc_sec":$gcJson,"peak_mb":$peakJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
