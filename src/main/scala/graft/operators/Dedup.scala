@@ -741,6 +741,10 @@ object Dedup {
     val postings = sh.select(col("__sh"), struct(col("__id")).as("__p"))
       .groupBy("__sh").agg(collect_list(col("__p")).as("__ms"))
       .where(size(col("__ms")) > 1 && size(col("__ms")) <= maxShingleFreq)
+      // same AQE rule as [[bucketPairs]]: the posting relation is tiny
+      // in bytes but the pair explode below is quadratic per posting —
+      // hold the configured width through the explode
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
     val inter = postings
       .select(explode(col("__ms")).as("__l"), col("__ms"))
       .select(col("__l"), explode(col("__ms")).as("__r"))
@@ -777,6 +781,8 @@ object Dedup {
     val inter = sh.select(col("__sh"), struct(col("__id")).as("__p"))
       .groupBy("__sh").agg(collect_list(col("__p")).as("__ms"))
       .where(size(col("__ms")) > 1 && size(col("__ms")) <= maxShingleFreq)
+      // AQE explode-width rule (see [[bucketPairs]])
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
       .select(explode(col("__ms")).as("__l"), col("__ms"))
       .select(col("__l"), explode(col("__ms")).as("__r"))
       .where(col("__l.__id") < col("__r.__id"))
@@ -885,6 +891,8 @@ object Dedup {
     val candidates = sh.select(col("__sh"), struct(col("__id")).as("__p"))
       .groupBy("__sh").agg(collect_list(col("__p")).as("__ms"))
       .where(size(col("__ms")) > 1 && size(col("__ms")) <= maxShingleFreq)
+      // AQE explode-width rule (see [[bucketPairs]])
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
       .select(explode(col("__ms")).as("__l"), col("__ms"))
       .select(col("__l"), explode(col("__ms")).as("__r"))
       .where(col("__l.__id") < col("__r.__id"))
