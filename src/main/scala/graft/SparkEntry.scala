@@ -3542,6 +3542,70 @@ object SparkEntry {
           docs.where(col("doc_id") % 2 === 1),
           Seq("lang", "source", "n_chars"))
         .orderBy("col_name")
+    }),
+
+    // classifier-filter readout: exact ROC-AUC of the synthetic score
+    // against the high-value label — Mann-Whitney rank-sum with
+    // average-rank ties, integer pair counts over the collapsed
+    // 1000-distinct-score relation, ONE double division at the end
+    "q_auc" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(((col("event_id") % 1000).cast("double") / 1000.0)
+            .as("score"), (col("value") > 250.0).as("label"))
+      graft.operators.Eval.aucRoc(ev, "score", "label")
+        .select(col("n_pos"), col("n_neg"), round(col("auc"), 9).as("auc"))
+    }),
+
+    // retrieval-eval readout: per-query MRR / precision@10 / recall@10 /
+    // AP / NDCG@10 over a scored candidate relation (query = user
+    // cohort, relevance = click) — one query-keyed shuffle, two window
+    // sorts, nano-quantized per-term quotients
+    "q_ranking" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select((col("user_id") % 20).as("q"), col("event_id").as("d"),
+          col("value").as("sc"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("rel"))
+      graft.operators.Eval.rankingMetrics(ev, "q", "d", "sc", "rel", k = 10)
+        .select(col("query"), col("n_docs"), col("n_rel"),
+          round(col("mrr"), 9).as("mrr"),
+          round(col("precision_at_k"), 9).as("precision_at_k"),
+          round(col("recall_at_k"), 9).as("recall_at_k"),
+          round(col("avg_precision"), 9).as("avg_precision"),
+          round(col("ndcg_at_k"), 9).as("ndcg_at_k"))
+        .orderBy("query")
+    }),
+
+    // annotation QA: Cohen's kappa between the lang label and a
+    // synthetically noised second annotator — one (a, b) cell count,
+    // marginal products in DECIMAL, closed-form kappa
+    "q_kappa" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("lang").as("a"),
+          when(col("doc_id") % 5 === 0, lit("en"))
+            .otherwise(col("lang")).as("b"))
+      graft.operators.Eval.cohenKappa(docs, "a", "b")
+        .select(col("n"),
+          round(col("observed_agreement"), 9).as("observed_agreement"),
+          round(col("expected_agreement"), 9).as("expected_agreement"),
+          round(col("kappa"), 9).as("kappa"))
+    }),
+
+    // summarization-style overlap scoring: ROUGE-2 of each sampled doc
+    // against its successor — clipped multiset bigram counts, integer
+    // overlap, F1 = 2o/(ct+rt) as one division
+    "q_rouge" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id"), col("text").as("cand"))
+        .join(docs.select((col("doc_id") - 1).as("id"),
+          col("text").as("ref")), "id")
+      graft.operators.Eval.rougeN(pairs, "id", "cand", "ref", n = 2)
+        .select(col("id"), col("overlap"), col("cand_ngrams"),
+          col("ref_ngrams"),
+          round(col("rouge_precision"), 9).as("rouge_precision"),
+          round(col("rouge_recall"), 9).as("rouge_recall"),
+          round(col("rouge_f1"), 9).as("rouge_f1"))
+        .orderBy("id")
     })
   )
 
@@ -6115,7 +6179,43 @@ object SparkEntry {
          |  (o.min_value IS DISTINCT FROM nn.min_value
          |    OR o.max_value IS DISTINCT FROM nn.max_value) AS range_drifted
          |FROM o JOIN nn USING (col_name) ORDER BY col_name""".stripMargin
-    }
+    },
+    // exact Mann-Whitney AUC mirrored on the same integer pair counts
+    "q_auc" ->
+      s"""SELECT n_pos, n_neg, round(auc, 9) AS auc FROM (
+         |${graft.operators.Eval.aucRocOracleSql("events",
+             "CAST(event_id % 1000 AS DOUBLE) / 1000.0", "value > 250.0")}
+         |)""".stripMargin,
+    "q_ranking" ->
+      s"""SELECT query, n_docs, n_rel, round(mrr, 9) AS mrr,
+         |  round(precision_at_k, 9) AS precision_at_k,
+         |  round(recall_at_k, 9) AS recall_at_k,
+         |  round(avg_precision, 9) AS avg_precision,
+         |  round(ndcg_at_k, 9) AS ndcg_at_k FROM (
+         |${graft.operators.Eval.rankingMetricsOracleSql(
+             """(SELECT user_id % 20 AS query, event_id AS doc,
+               |  value AS score,
+               |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS rel
+               |  FROM events)""".stripMargin, 10)}
+         |) ORDER BY query""".stripMargin,
+    "q_kappa" ->
+      s"""SELECT n, round(observed_agreement, 9) AS observed_agreement,
+         |  round(expected_agreement, 9) AS expected_agreement,
+         |  round(kappa, 9) AS kappa FROM (
+         |${graft.operators.Eval.cohenKappaOracleSql("documents", "lang",
+             "CASE WHEN doc_id % 5 = 0 THEN 'en' ELSE lang END")}
+         |)""".stripMargin,
+    "q_rouge" ->
+      s"""WITH pairs AS (SELECT a.doc_id AS id, a.text AS cand,
+         |    b.text AS ref
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.doc_id % 10 = 0)
+         |SELECT id, overlap, cand_ngrams, ref_ngrams,
+         |  round(rouge_precision, 9) AS rouge_precision,
+         |  round(rouge_recall, 9) AS rouge_recall,
+         |  round(rouge_f1, 9) AS rouge_f1 FROM (
+         |${graft.operators.Eval.rougeNOracleSql("pairs", 2)}
+         |) ORDER BY id""".stripMargin
   )
 
   private lazy val PiiOracle: String = {

@@ -1,0 +1,329 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model / retrieval / annotation evaluation metrics — the readouts a
+  * training-data pipeline runs on its classifier filters, its retrieval
+  * index, and its labeling passes before trusting them at corpus scale.
+  *
+  * Every metric here is formulated so the result is bit-identical across
+  * engines and partitionings: integer counts or nano-quantized long
+  * terms are the ONLY things aggregated, and doubles appear in a single
+  * closed-form expression tree at the very end (both engines evaluate
+  * the same IEEE ops in the same order). No metric in this file sums raw
+  * doubles.
+  *
+  * Scale shapes:
+  *  - [[aucRoc]] collapses the corpus to the distinct-score relation in
+  *    one grouped aggregate; the cumulative walk runs on THAT (one
+  *    global-ordered window over |distinct scores| rows — model-sized
+  *    for any quantized/logit-bucketed score column; for genuinely
+  *    continuous scores at 100 TB, bucket the score first — the
+  *    fixed-bin seam documented in SCALE.md).
+  *  - [[rankingMetrics]] shuffles ONCE on the query key; both the
+  *    scored ranking and the ideal (re-)ranking are Window passes over
+  *    the same exchange (two sorts, one shuffle). Output is one row per
+  *    query.
+  *  - [[cohenKappa]] is one grouped count over the (a, b) label cells,
+  *    then marginal products on the model-sized label relation.
+  *  - [[rougeN]] shuffles (pair, gram) then pair — n-gram multiplicity
+  *    counts never leave their pair, so hub grams are bounded by
+  *    per-document length, not corpus frequency.
+  */
+object Eval {
+
+  /** Exact ROC-AUC via the Mann–Whitney rank-sum with average-rank tie
+    * handling: AUC = (wins + ties/2) / (P·N), computed as exact integer
+    * pair counts over the distinct-score relation.
+    *
+    * For each distinct score s (ascending): positives at s beat every
+    * negative strictly below and half-win ties at s, so
+    * 2·numerator = Σ_s pos_s · (2·negBelow_s + neg_s) — longs
+    * throughout, one double division at the end. Rows with a NULL score
+    * or label are excluded (no trial). Returns ONE row:
+    * (n_pos, n_neg, auc). AUC is NULL when either class is empty.
+    *
+    * The cumulative window runs on the post-collapse distinct-score
+    * relation. That global order is the honest cost of an exact AUC —
+    * at 100 TB with a continuous score, quantize the score into fixed
+    * bins first (the operator is then exact over the binned scores,
+    * which is the standard reported AUC at scale). */
+  def aucRoc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val lab = col(labelCol).cast("boolean")
+    val byScore = df.where(col(scoreCol).isNotNull && lab.isNotNull)
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(coalesce(sum(when(lab, 1L).otherwise(0L)), lit(0L)).as("__pos"),
+        coalesce(sum(when(lab, 0L).otherwise(1L)), lit(0L)).as("__neg"))
+    val w = Window.orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walked = byScore.withColumn("__cumneg", sum("__neg").over(w))
+    val agg = walked.agg(
+      coalesce(sum("__pos"), lit(0L)).as("n_pos"),
+      coalesce(sum("__neg"), lit(0L)).as("n_neg"),
+      coalesce(sum(col("__pos") * (lit(2L) * col("__cumneg") - col("__neg"))),
+        lit(0L)).as("__num2"))
+    agg.select(col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        col("__num2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+  }
+
+  /** [[aucRoc]] as DuckDB SQL over `relation` (scoreExpr/labelExpr are
+    * SQL expressions): identical collapse, identical integer pair
+    * arithmetic, identical final division. */
+  def aucRocOracleSql(relation: String, scoreExpr: String,
+                      labelExpr: String): String =
+    s"""WITH g AS (SELECT $scoreExpr AS s,
+       |    CAST(COALESCE(sum(CASE WHEN $labelExpr THEN 1 ELSE 0 END), 0) AS BIGINT) AS pos,
+       |    CAST(COALESCE(sum(CASE WHEN $labelExpr THEN 0 ELSE 1 END), 0) AS BIGINT) AS neg
+       |  FROM $relation
+       |  WHERE ($scoreExpr) IS NOT NULL AND ($labelExpr) IS NOT NULL
+       |  GROUP BY 1),
+       |wlk AS (SELECT pos, neg,
+       |    sum(neg) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS cumneg
+       |  FROM g)
+       |SELECT CAST(COALESCE(sum(pos), 0) AS BIGINT) AS n_pos,
+       |  CAST(COALESCE(sum(neg), 0) AS BIGINT) AS n_neg,
+       |  CASE WHEN COALESCE(sum(pos), 0) > 0 AND COALESCE(sum(neg), 0) > 0
+       |    THEN CAST(sum(pos * (2 * cumneg - neg)) AS DOUBLE)
+       |      / (2.0 * sum(pos) * sum(neg))
+       |    ELSE NULL END AS auc
+       |FROM wlk""".stripMargin
+
+  /** Per-query retrieval metrics over a scored candidate relation
+    * (queryCol, docCol, scoreCol, relCol with graded integer relevance,
+    * 0 = irrelevant): MRR, precision@k, recall@k, average precision,
+    * and NDCG@k (exponential gain 2^rel − 1).
+    *
+    * Ranks are deterministic: score DESC with docCol ASC tie-break; the
+    * ideal ranking for NDCG re-sorts the same partition by rel DESC,
+    * doc ASC. Per-term quotients (cumRel/rank for AP, gain/log2(rank+1)
+    * for DCG) are nano-quantized to longs BEFORE the per-query sum, so
+    * the aggregate is order-exact; NDCG divides the two quantized sums
+    * directly (the 1e9 scale cancels). Rows with NULL score or rel are
+    * excluded. One row per query. */
+  def rankingMetrics(df: DataFrame, queryCol: String, docCol: String,
+                     scoreCol: String, relCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val q = col(queryCol)
+    val rel = col(relCol).cast("long")
+    val base = df.where(col(scoreCol).isNotNull && rel.isNotNull)
+    val w = Window.partitionBy(q).orderBy(col(scoreCol).desc, col(docCol).asc)
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wi = Window.partitionBy(q).orderBy(rel.desc, col(docCol).asc)
+    val gain = pow(lit(2.0), rel) - lit(1.0)
+    val ranked = base
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__cumrel",
+        sum(when(rel > 0, 1L).otherwise(0L)).over(wRows))
+      .withColumn("__ir", row_number().over(wi))
+      .withColumn("__dcg_t", when(col("__r") <= k,
+        floor(lit(1e9) * gain / log2(col("__r") + 1)).cast("long"))
+        .otherwise(0L))
+      .withColumn("__idcg_t", when(col("__ir") <= k,
+        floor(lit(1e9) * gain / log2(col("__ir") + 1)).cast("long"))
+        .otherwise(0L))
+      .withColumn("__ap_t", when(rel > 0,
+        floor(lit(1e9) * col("__cumrel") / col("__r")).cast("long"))
+        .otherwise(0L))
+    ranked.groupBy(q.as("query"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(rel > 0, 1L).otherwise(0L)), lit(0L)).as("n_rel"),
+        coalesce(sum(when(rel > 0 && col("__r") <= k, 1L).otherwise(0L)),
+          lit(0L)).as("__hits_k"),
+        min(when(rel > 0, col("__r"))).as("__first_rel"),
+        coalesce(sum(col("__dcg_t")), lit(0L)).as("__dcg"),
+        coalesce(sum(col("__idcg_t")), lit(0L)).as("__idcg"),
+        coalesce(sum(col("__ap_t")), lit(0L)).as("__ap"))
+      .select(col("query"), col("n_docs"), col("n_rel"),
+        when(col("__first_rel").isNotNull,
+          lit(1.0) / col("__first_rel")).otherwise(0.0).as("mrr"),
+        (col("__hits_k").cast("double") / lit(k.toDouble))
+          .as("precision_at_k"),
+        when(col("n_rel") > 0,
+          col("__hits_k").cast("double") / col("n_rel"))
+          .otherwise(0.0).as("recall_at_k"),
+        when(col("n_rel") > 0,
+          col("__ap").cast("double") / (lit(1e9) * col("n_rel")))
+          .otherwise(0.0).as("avg_precision"),
+        when(col("__idcg") > 0,
+          col("__dcg").cast("double") / col("__idcg"))
+          .otherwise(0.0).as("ndcg_at_k"))
+  }
+
+  /** [[rankingMetrics]] as DuckDB SQL. `relation` must expose columns
+    * (query, doc, score, rel); identical rank tie-breaks, identical
+    * nano-quantized terms, identical final expressions. */
+  def rankingMetricsOracleSql(relation: String, k: Int): String =
+    s"""WITH ranked AS (SELECT query, rel,
+       |    row_number() OVER (PARTITION BY query ORDER BY score DESC, doc ASC) AS r,
+       |    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY query ORDER BY score DESC, doc ASC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumrel,
+       |    row_number() OVER (PARTITION BY query ORDER BY rel DESC, doc ASC) AS ir
+       |  FROM $relation
+       |  WHERE score IS NOT NULL AND rel IS NOT NULL),
+       |terms AS (SELECT query, rel, r,
+       |    CASE WHEN r <= $k THEN CAST(floor(1e9 * (power(2.0, rel) - 1.0)
+       |      / log2(r + 1)) AS BIGINT) ELSE 0 END AS dcg_t,
+       |    CASE WHEN ir <= $k THEN CAST(floor(1e9 * (power(2.0, rel) - 1.0)
+       |      / log2(ir + 1)) AS BIGINT) ELSE 0 END AS idcg_t,
+       |    CASE WHEN rel > 0 THEN CAST(floor(1e9 * cumrel / r) AS BIGINT)
+       |      ELSE 0 END AS ap_t
+       |  FROM ranked),
+       |agg AS (SELECT query, count(*) AS n_docs,
+       |    CAST(COALESCE(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_rel,
+       |    CAST(COALESCE(sum(CASE WHEN rel > 0 AND r <= $k THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits_k,
+       |    min(CASE WHEN rel > 0 THEN r END) AS first_rel,
+       |    COALESCE(sum(dcg_t), 0) AS dcg, COALESCE(sum(idcg_t), 0) AS idcg,
+       |    COALESCE(sum(ap_t), 0) AS ap
+       |  FROM terms GROUP BY query)
+       |SELECT query, n_docs, n_rel,
+       |  CASE WHEN first_rel IS NOT NULL THEN 1.0 / first_rel ELSE 0.0 END AS mrr,
+       |  CAST(hits_k AS DOUBLE) / ${k.toDouble} AS precision_at_k,
+       |  CASE WHEN n_rel > 0 THEN CAST(hits_k AS DOUBLE) / n_rel
+       |    ELSE 0.0 END AS recall_at_k,
+       |  CASE WHEN n_rel > 0 THEN CAST(ap AS DOUBLE) / (1e9 * n_rel)
+       |    ELSE 0.0 END AS avg_precision,
+       |  CASE WHEN idcg > 0 THEN CAST(dcg AS DOUBLE) / idcg
+       |    ELSE 0.0 END AS ndcg_at_k
+       |FROM agg""".stripMargin
+
+  /** Cohen's kappa inter-rater agreement over two label columns:
+    * κ = (p_o − p_e) / (1 − p_e), computed entirely in integers —
+    * κ = (agree·T − S) / (T² − S) with S = Σ_label nA·nB over the
+    * shared label space (marginal-product expected agreement). Rows
+    * where either rater is NULL are excluded (not rated twice). Returns
+    * ONE row: (n, observed_agreement, expected_agreement, kappa); kappa
+    * is NULL when T² = S (no variation to agree beyond chance on).
+    *
+    * ONE grouped count over the (a, b) cells; marginals and their
+    * product-join run on the model-sized label relation. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = cells.agg(
+      coalesce(sum("__c"), lit(0L)).as("__t"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__c"))
+        .otherwise(0L)), lit(0L)).as("__agree"))
+    val ma = cells.groupBy(col("__a").as("__l"))
+      .agg(sum("__c").as("__na"))
+    val mb = cells.groupBy(col("__b").as("__l"))
+      .agg(sum("__c").as("__nb"))
+    val s = ma.join(mb, "__l")
+      .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).as("__s"))
+    // products in DECIMAL(38,0): agree·T, T², S all stay exact past the
+    // long overflow line (T > ~3·10⁹ rated rows at corpus scale); both
+    // engines then round the SAME exact integers to double once, and
+    // the final division is a single IEEE op
+    val tD = col("__t").cast("decimal(38,0)")
+    val sD = col("__s").cast("decimal(38,0)")
+    val aD = col("__agree").cast("decimal(38,0)")
+    totals.crossJoin(broadcast(s))
+      .select(col("__t").as("n"),
+        when(col("__t") > 0,
+          col("__agree").cast("double") / col("__t"))
+          .as("observed_agreement"),
+        when(col("__t") > 0,
+          sD.cast("double") / (tD * tD).cast("double"))
+          .as("expected_agreement"),
+        when((tD * tD - sD).cast("double") =!= 0.0,
+          (aD * tD - sD).cast("double") / (tD * tD - sD).cast("double"))
+          .as("kappa"))
+  }
+
+  /** [[cohenKappa]] as DuckDB SQL (aExpr/bExpr are SQL label
+    * expressions over `relation`). */
+  def cohenKappaOracleSql(relation: String, aExpr: String,
+                          bExpr: String): String =
+    s"""WITH cells AS (SELECT $aExpr AS a, $bExpr AS b,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM $relation
+       |  WHERE ($aExpr) IS NOT NULL AND ($bExpr) IS NOT NULL
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS t,
+       |    CAST(COALESCE(sum(CASE WHEN a = b THEN c ELSE 0 END), 0) AS BIGINT) AS agree
+       |  FROM cells),
+       |ma AS (SELECT a AS l, CAST(sum(c) AS BIGINT) AS na FROM cells GROUP BY a),
+       |mb AS (SELECT b AS l, CAST(sum(c) AS BIGINT) AS nb FROM cells GROUP BY b),
+       |se AS (SELECT CAST(COALESCE(sum(na * nb), 0) AS BIGINT) AS s
+       |  FROM ma JOIN mb USING (l))
+       |SELECT t AS n,
+       |  CASE WHEN t > 0 THEN CAST(agree AS DOUBLE) / t END AS observed_agreement,
+       |  CASE WHEN t > 0 THEN CAST(s AS DOUBLE)
+       |    / CAST(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) AS DOUBLE)
+       |  END AS expected_agreement,
+       |  CASE WHEN CAST(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+       |      - CAST(s AS HUGEINT) AS DOUBLE) <> 0.0
+       |    THEN CAST(CAST(agree AS HUGEINT) * CAST(t AS HUGEINT)
+       |        - CAST(s AS HUGEINT) AS DOUBLE)
+       |      / CAST(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+       |        - CAST(s AS HUGEINT) AS DOUBLE)
+       |  END AS kappa
+       |FROM tot, se""".stripMargin
+
+  /** ROUGE-N overlap scoring of (candidate, reference) text pairs:
+    * multiset n-gram precision / recall / F1 per pair. Uses the same
+    * tokenization and n-gram grammar as the dedup shingle machinery
+    * ([[Dedup.shinglesAll]] — whitespace tokens, short-text fallback to
+    * the whole text), so the DuckDB mirror is shared. Overlap is the
+    * clipped count Σ_g min(count_cand(g), count_ref(g)) — the standard
+    * ROUGE/BLEU clipping. All three scores are single divisions of
+    * integer counts (F1 = 2·overlap / (candTotal + refTotal) —
+    * algebraically identical to the harmonic mean, no intermediate
+    * rounding). NULL texts score as empty (one empty-string gram from
+    * the fallback, overlapping only another empty side).
+    *
+    * Shapes: grams explode map-side; counts shuffle on (pair, gram),
+    * the report on pair. Gram multiplicity never crosses pairs, so a
+    * corpus-frequent gram costs each pair only its own occurrences. */
+  def rougeN(pairs: DataFrame, idCol: String, candCol: String,
+             refCol: String, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    def side(c: String, tag: String) = pairs.select(col(idCol).as("__id"),
+      explode(Dedup.shinglesAll(coalesce(col(c), lit("")), n)).as("__g"),
+      lit(tag).as("__side"))
+    val counts = side(candCol, "c").unionAll(side(refCol, "r"))
+      .groupBy("__id", "__g")
+      .agg(coalesce(sum(when(col("__side") === "c", 1L).otherwise(0L)),
+        lit(0L)).as("__cc"),
+        coalesce(sum(when(col("__side") === "r", 1L).otherwise(0L)),
+          lit(0L)).as("__rc"))
+    counts.groupBy(col("__id").as(idCol))
+      .agg(sum(least(col("__cc"), col("__rc"))).as("__o"),
+        sum("__cc").as("__ct"), sum("__rc").as("__rt"))
+      .select(col(idCol),
+        col("__o").as("overlap"), col("__ct").as("cand_ngrams"),
+        col("__rt").as("ref_ngrams"),
+        (col("__o").cast("double") / col("__ct")).as("rouge_precision"),
+        (col("__o").cast("double") / col("__rt")).as("rouge_recall"),
+        (lit(2.0) * col("__o") / (col("__ct") + col("__rt")))
+          .as("rouge_f1"))
+  }
+
+  /** [[rougeN]] as DuckDB SQL. `relation` must expose (id, cand, ref)
+    * text columns; identical grammar via the shared shingle mirror. */
+  def rougeNOracleSql(relation: String, n: Int): String = {
+    val candG = Dedup.shinglesAllOracleSqlExpr("COALESCE(cand, '')", n)
+    val refG = Dedup.shinglesAllOracleSqlExpr("COALESCE(ref, '')", n)
+    s"""WITH g AS (
+       |  SELECT id, unnest($candG) AS g, 'c' AS side FROM $relation
+       |  UNION ALL
+       |  SELECT id, unnest($refG) AS g, 'r' AS side FROM $relation),
+       |cnt AS (SELECT id, g,
+       |    CAST(COALESCE(sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END), 0) AS BIGINT) AS cc,
+       |    CAST(COALESCE(sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END), 0) AS BIGINT) AS rc
+       |  FROM g GROUP BY id, g)
+       |SELECT id, CAST(sum(least(cc, rc)) AS BIGINT) AS overlap,
+       |  CAST(sum(cc) AS BIGINT) AS cand_ngrams,
+       |  CAST(sum(rc) AS BIGINT) AS ref_ngrams,
+       |  CAST(sum(least(cc, rc)) AS DOUBLE) / sum(cc) AS rouge_precision,
+       |  CAST(sum(least(cc, rc)) AS DOUBLE) / sum(rc) AS rouge_recall,
+       |  2.0 * sum(least(cc, rc)) / (sum(cc) + sum(rc)) AS rouge_f1
+       |FROM cnt GROUP BY id""".stripMargin
+  }
+}

@@ -608,6 +608,37 @@ object ScaleSweep {
         Seq("event_type"), Seq("p50" -> 0.5, "p90" -> 0.9), lo, hi, bins)
     })
 
+    // round-9 evaluation-metric family: auc (corpus collapses to the
+    // distinct-score relation — 1000 scores at every scale, the window
+    // is constant-size), ranking (query space scales with user_id,
+    // per-query doc counts stay put — the one-exchange-two-sorts cost
+    // model), kappa (cell/label relations are |event_type|²-sized at
+    // every scale), rouge (pairs scale linearly; gram counts never
+    // cross pairs, so the (pair, gram) exchange is corpus-linear)
+    sweep("auc")(k => graft.operators.Eval.aucRoc(
+      evAt(k).select(((col("event_id") % 1000).cast("double") / 1000.0)
+          .as("score"), (col("value") > 250.0).as("label")),
+      "score", "label"))
+    sweep("ranking")(k => graft.operators.Eval.rankingMetrics(
+      evAt(k).select(col("user_id").as("q"), col("event_id").as("d"),
+        col("value").as("sc"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("rel")),
+      "q", "d", "sc", "rel", k = 10))
+    sweep("kappa")(k => graft.operators.Eval.cohenKappa(
+      evAt(k).select(col("event_type").as("a"),
+        when(col("event_id") % 5 === 0, lit("click"))
+          .otherwise(col("event_type")).as("b")),
+      "a", "b"))
+    sweep("rouge")(k => {
+      val d = docsAt(k)
+      graft.operators.Eval.rougeN(
+        d.where(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("id"), col("text").as("cand"))
+          .join(d.select((col("doc_id") - 1).as("id"),
+            col("text").as("ref")), "id"),
+        "id", "cand", "ref", n = 2)
+    })
+
     def renderMap(m: scala.collection.Map[String, Seq[Double]]): String =
       m.map { case (k, v) =>
         "\"" + k + "\":[" + v.map(x => f"$x%.2f").mkString(",") + "]"

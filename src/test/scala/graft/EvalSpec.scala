@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Eval
+
+/** Hand-computed cases for the evaluation-metric family: exact
+  * Mann-Whitney AUC (ties, degenerate classes), retrieval ranking
+  * metrics (MRR/P@k/R@k/AP/NDCG@k against by-hand quantized sums),
+  * Cohen's kappa (the textbook 2×2), and ROUGE-N (clipped multiset
+  * counts, short-text fallback, empties). */
+class EvalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("aucRoc: ties average-rank; known 11/12 case") {
+    val df = Seq((0.1, false), (0.2, false), (0.3, true), (0.3, false),
+      (0.4, true)).toDF("score", "label")
+    val r = Eval.aucRoc(df, "score", "label").collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 3)
+    assert(r.getDouble(2) == 11.0 / 12.0)
+  }
+
+  test("aucRoc: perfect separation is 1.0, reversed is 0.0") {
+    val good = Seq((0.9, true), (0.1, false)).toDF("score", "label")
+    assert(Eval.aucRoc(good, "score", "label").collect().head.getDouble(2) == 1.0)
+    val bad = Seq((0.1, true), (0.9, false)).toDF("score", "label")
+    assert(Eval.aucRoc(bad, "score", "label").collect().head.getDouble(2) == 0.0)
+  }
+
+  test("aucRoc: single-class input yields NULL auc; NULLs excluded") {
+    val onlyPos = Seq((0.5, true), (0.7, true)).toDF("score", "label")
+    val r = Eval.aucRoc(onlyPos, "score", "label").collect().head
+    assert(r.isNullAt(2))
+    val withNulls = Seq((Some(0.9), Some(true)), (Some(0.1), Some(false)),
+      (None, Some(true)), (Some(0.5), None))
+      .toDF("score", "label")
+    val r2 = Eval.aucRoc(withNulls, "score", "label").collect().head
+    assert(r2.getLong(0) == 1 && r2.getLong(1) == 1 && r2.getDouble(2) == 1.0)
+  }
+
+  test("rankingMetrics: four-doc single query, k=2, by-hand sums") {
+    val df = Seq(("q1", "d1", 0.9, 1), ("q1", "d2", 0.8, 0),
+      ("q1", "d3", 0.7, 1), ("q1", "d4", 0.6, 0))
+      .toDF("q", "d", "sc", "rel")
+    val r = Eval.rankingMetrics(df, "q", "d", "sc", "rel", k = 2)
+      .collect().head
+    assert(r.getAs[Long]("n_docs") == 4 && r.getAs[Long]("n_rel") == 2)
+    assert(r.getAs[Double]("mrr") == 1.0)
+    assert(r.getAs[Double]("precision_at_k") == 0.5)
+    assert(r.getAs[Double]("recall_at_k") == 0.5)
+    // AP terms: floor(1e9*1/1) + floor(1e9*2/3), over 1e9 * n_rel
+    val apNum = 1000000000L + 666666666L
+    assert(r.getAs[Double]("avg_precision") == apNum / (1e9 * 2))
+    // DCG@2 = gain 1 at rank 1; ideal puts the two rels at ranks 1, 2
+    val idcg = 1000000000L +
+      math.floor(1e9 / (math.log(3) / math.log(2))).toLong
+    assert(r.getAs[Double]("ndcg_at_k") == 1000000000L.toDouble / idcg)
+  }
+
+  test("rankingMetrics: no relevant docs zeroes the rates; ties broken by doc") {
+    val df = Seq(("q1", "d1", 0.5, 0), ("q1", "d2", 0.5, 0),
+      ("q2", "d1", 0.5, 0), ("q2", "d2", 0.5, 1))
+      .toDF("q", "d", "sc", "rel")
+    val rows = Eval.rankingMetrics(df, "q", "d", "sc", "rel", k = 1)
+      .orderBy("query").collect()
+    val q1 = rows(0)
+    assert(q1.getAs[Double]("mrr") == 0.0 &&
+      q1.getAs[Double]("recall_at_k") == 0.0 &&
+      q1.getAs[Double]("avg_precision") == 0.0 &&
+      q1.getAs[Double]("ndcg_at_k") == 0.0)
+    // q2: tie on score, doc asc puts d1 first → relevant d2 at rank 2
+    val q2 = rows(1)
+    assert(q2.getAs[Double]("mrr") == 0.5)
+    assert(q2.getAs[Double]("precision_at_k") == 0.0)
+  }
+
+  test("cohenKappa: textbook 2x2 gives 0.4 exactly") {
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val r = Eval.cohenKappa(rows.toDF("a", "b"), "a", "b").collect().head
+    assert(r.getAs[Long]("n") == 50)
+    assert(r.getAs[Double]("observed_agreement") == 0.7)
+    assert(r.getAs[Double]("expected_agreement") == 0.5)
+    assert(r.getAs[Double]("kappa") == 0.4)
+  }
+
+  test("cohenKappa: perfect single-class agreement is undefined (NULL)") {
+    val r = Eval.cohenKappa(Seq(("x", "x"), ("x", "x")).toDF("a", "b"),
+      "a", "b").collect().head
+    assert(r.getAs[Double]("observed_agreement") == 1.0)
+    assert(r.isNullAt(r.fieldIndex("kappa")))
+  }
+
+  test("rougeN: bigram case with clipping and fallback") {
+    val pairs = Seq(
+      (1L, "the cat sat on the mat", "the cat on the mat"),
+      (2L, "hello", "hello"), // short-text fallback: whole text
+      (3L, "", "x y")) // empty cand → one empty gram, zero overlap
+      .toDF("id", "cand", "ref")
+    val m = Eval.rougeN(pairs, "id", "cand", "ref", n = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val p1 = m(1L)
+    assert(p1.getAs[Long]("overlap") == 3 &&
+      p1.getAs[Long]("cand_ngrams") == 5 && p1.getAs[Long]("ref_ngrams") == 4)
+    assert(p1.getAs[Double]("rouge_precision") == 0.6)
+    assert(p1.getAs[Double]("rouge_recall") == 0.75)
+    assert(p1.getAs[Double]("rouge_f1") == 6.0 / 9.0)
+    assert(m(2L).getAs[Double]("rouge_f1") == 1.0)
+    assert(m(3L).getAs[Double]("rouge_f1") == 0.0)
+  }
+
+  test("rougeN: multiset clipping (unigram 'a a a' vs 'a a')") {
+    val r = Eval.rougeN(Seq((1L, "a a a", "a a")).toDF("id", "cand", "ref"),
+      "id", "cand", "ref", n = 1).collect().head
+    assert(r.getAs[Long]("overlap") == 2)
+    assert(r.getAs[Double]("rouge_precision") == 2.0 / 3.0)
+    assert(r.getAs[Double]("rouge_recall") == 1.0)
+    assert(r.getAs[Double]("rouge_f1") == 0.8)
+  }
+}
