@@ -2352,6 +2352,23 @@ object SparkEntry {
         .orderBy("win_start")
     }),
 
+    // Structured Streaming: per-window binned ROC-AUC monitor — the
+    // classifier-drift readout at ingest (is the score still ranking
+    // the label?); exact Mann-Whitney pair counts over 20 score bins
+    // folded statically inside ONE stateful windowed aggregate (state
+    // = 2·bins longs per window)
+    "q_stream_auc" -> ((s, dir) => {
+      val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+        .withColumn("is_click", col("event_type") === "click")
+      val auc = GraftStreaming.aucStream(stream, "value", "is_click",
+        lo = 0L, hi = 500L, bins = 20,
+        watermark = "1 hour", window_ = "1 hour")
+      runStreamQuery(s, "stream_auc", auc, "complete")
+        .select(col("window.start").cast("long").as("win_start"),
+          col("n_pos"), col("n_neg"), round(col("auc"), 9).as("auc"))
+        .orderBy("win_start")
+    }),
+
     // Structured Streaming: stream-static enrichment — events joined
     // map-side to the broadcast customer dimension per micro-batch (no
     // state), unmatched users kept with NULL segment; batch-aggregated
@@ -3588,6 +3605,36 @@ object SparkEntry {
           round(col("observed_agreement"), 9).as("observed_agreement"),
           round(col("expected_agreement"), 9).as("expected_agreement"),
           round(col("kappa"), 9).as("kappa"))
+    }),
+
+    // rare-positive readout: area under the precision-recall curve of
+    // the same synthetic classifier as q_auc — step-wise average
+    // precision over descending distinct-score thresholds,
+    // nano-quantized per-threshold terms
+    "q_pr_auc" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(((col("event_id") % 1000).cast("double") / 1000.0)
+            .as("score"), (col("value") > 250.0).as("label"))
+      graft.operators.Eval.prAuc(ev, "score", "label")
+        .select(col("n_pos"), col("n_neg"),
+          round(col("pr_auc"), 9).as("pr_auc"))
+    }),
+
+    // generation-eval readout: corpus BLEU of each sampled doc's 80%
+    // prefix against the full doc — clipped modified n-gram precisions
+    // (n=1..4), brevity penalty on total token lengths, geometric mean
+    "q_bleu" -> ((s, dir) => {
+      val pairs = table(s, dir, "documents")
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id"),
+          expr("substring(text, 1, CAST(n_chars * 4 DIV 5 AS INT))")
+            .as("cand"),
+          col("text").as("ref"))
+      graft.operators.Eval.bleuCorpus(pairs, "id", "cand", "ref", maxN = 4)
+        .select(col("n_pairs"), col("cand_tokens"), col("ref_tokens"),
+          round(col("p1"), 9).as("p1"), round(col("p2"), 9).as("p2"),
+          round(col("p3"), 9).as("p3"), round(col("p4"), 9).as("p4"),
+          round(col("bp"), 9).as("bp"), round(col("bleu"), 9).as("bleu"))
     }),
 
     // summarization-style overlap scoring: ROUGE-2 of each sampled doc
@@ -5335,6 +5382,12 @@ object SparkEntry {
              refWhere = "event_id % 2 = 0", lo = 0L, hi = 500L, bins = 10)}
          |SELECT CAST(epoch(win) AS BIGINT) AS win_start, n, psi
          |FROM scored ORDER BY win_start""".stripMargin,
+    "q_stream_auc" ->
+      s"""WITH ${GraftStreaming.aucStreamOracleSelect("value",
+             "event_type = 'click'", lo = 0L, hi = 500L, bins = 20)}
+         |SELECT CAST(epoch(win) AS BIGINT) AS win_start, n_pos, n_neg,
+         |  round(auc, 9) AS auc
+         |FROM scored ORDER BY win_start""".stripMargin,
     "q_stream_enrich" ->
       """WITH e AS (SELECT ev.event_id, ev.value,
         |    COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment
@@ -6204,6 +6257,22 @@ object SparkEntry {
          |  round(kappa, 9) AS kappa FROM (
          |${graft.operators.Eval.cohenKappaOracleSql("documents", "lang",
              "CASE WHEN doc_id % 5 = 0 THEN 'en' ELSE lang END")}
+         |)""".stripMargin,
+    "q_pr_auc" ->
+      s"""SELECT n_pos, n_neg, round(pr_auc, 9) AS pr_auc FROM (
+         |${graft.operators.Eval.prAucOracleSql("events",
+             "CAST(event_id % 1000 AS DOUBLE) / 1000.0", "value > 250.0")}
+         |)""".stripMargin,
+    "q_bleu" ->
+      s"""SELECT n_pairs, cand_tokens, ref_tokens,
+         |  round(p1, 9) AS p1, round(p2, 9) AS p2,
+         |  round(p3, 9) AS p3, round(p4, 9) AS p4,
+         |  round(bp, 9) AS bp, round(bleu, 9) AS bleu FROM (
+         |${graft.operators.Eval.bleuCorpusOracleSql(
+             """(SELECT doc_id AS id,
+               |  substring(text, 1, CAST(n_chars * 4 // 5 AS INT)) AS cand,
+               |  text AS ref
+               |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin, 4)}
          |)""".stripMargin,
     "q_rouge" ->
       s"""WITH pairs AS (SELECT a.doc_id AS id, a.text AS cand,

@@ -70,6 +70,69 @@ object Eval {
           (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
   }
 
+  /** Area under the precision–recall curve (average precision over
+    * thresholds) — the readout that matters when positives are rare
+    * and ROC-AUC flatters (a 1%-positive quality filter can post
+    * AUC 0.95 while drowning every kept doc in false positives).
+    *
+    * AP = Σ_s (pos_s/P)·precision(s) walking distinct scores
+    * DESCENDING, with precision(s) = cumPos_s/cumAll_s at each
+    * threshold — the standard step-wise interpolation
+    * (scikit-learn's `average_precision_score`). Same collapse shape
+    * as [[aucRoc]]: ONE grouped aggregate to the distinct-score
+    * relation, a cumulative window over it, a final aggregate.
+    * Per-threshold terms quantize to longs via
+    * `floor(1e9·pos·cumPos/cumAll)` BEFORE the sum (the identical
+    * double expression tree on both engines), one division by 1e9·P at
+    * the end. Rows with a NULL score or label are excluded. Returns ONE
+    * row: (n_pos, n_neg, pr_auc); NULL when there are no positives. */
+  def prAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val lab = col(labelCol).cast("boolean")
+    val byScore = df.where(col(scoreCol).isNotNull && lab.isNotNull)
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(coalesce(sum(when(lab, 1L).otherwise(0L)), lit(0L)).as("__pos"),
+        count(lit(1)).as("__n"))
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walked = byScore
+      .withColumn("__cumpos", sum("__pos").over(w))
+      .withColumn("__cumall", sum("__n").over(w))
+      .withColumn("__t", floor(lit(1e9) * col("__pos") * col("__cumpos") /
+        col("__cumall")).cast("long"))
+    walked.agg(
+      coalesce(sum("__pos"), lit(0L)).as("n_pos"),
+      (coalesce(sum("__n"), lit(0L)) - coalesce(sum("__pos"), lit(0L)))
+        .as("n_neg"),
+      coalesce(sum("__t"), lit(0L)).as("__tsum"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0,
+          col("__tsum").cast("double") / (lit(1e9) * col("n_pos")))
+          .as("pr_auc"))
+  }
+
+  /** [[prAuc]] as DuckDB SQL (scoreExpr/labelExpr are SQL
+    * expressions over `relation`). */
+  def prAucOracleSql(relation: String, scoreExpr: String,
+                     labelExpr: String): String =
+    s"""WITH g AS (SELECT $scoreExpr AS s,
+       |    CAST(COALESCE(sum(CASE WHEN $labelExpr THEN 1 ELSE 0 END), 0) AS BIGINT) AS pos,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM $relation
+       |  WHERE ($scoreExpr) IS NOT NULL AND ($labelExpr) IS NOT NULL
+       |  GROUP BY 1),
+       |wlk AS (SELECT pos, n,
+       |    CAST(floor(1e9 * pos * (sum(pos) OVER win) / (sum(n) OVER win))
+       |      AS BIGINT) AS t
+       |  FROM g
+       |  WINDOW win AS (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND CURRENT ROW))
+       |SELECT CAST(COALESCE(sum(pos), 0) AS BIGINT) AS n_pos,
+       |  CAST(COALESCE(sum(n), 0) - COALESCE(sum(pos), 0) AS BIGINT) AS n_neg,
+       |  CASE WHEN COALESCE(sum(pos), 0) > 0
+       |    THEN CAST(COALESCE(sum(t), 0) AS DOUBLE) / (1e9 * sum(pos))
+       |    ELSE NULL END AS pr_auc
+       |FROM wlk""".stripMargin
+
   /** [[aucRoc]] as DuckDB SQL over `relation` (scoreExpr/labelExpr are
     * SQL expressions): identical collapse, identical integer pair
     * arithmetic, identical final division. */
@@ -265,6 +328,130 @@ object Eval {
        |        - CAST(s AS HUGEINT) AS DOUBLE)
        |  END AS kappa
        |FROM tot, se""".stripMargin
+
+  /** Corpus-level BLEU (Papineni 2002, uniform weights, no smoothing)
+    * of (candidate, reference) text pairs: modified n-gram precision
+    * p_n for n = 1..maxN with per-pair clipping, geometric mean, and
+    * the brevity penalty on total token lengths.
+    *
+    * Same tokenization/n-gram grammar as [[rougeN]] (the dedup shingle
+    * machinery, short-text fallback included). All matches/totals are
+    * integer sums; p_n are single divisions; BP and the geometric mean
+    * are one closed-form double expression (exp/ln — both engines
+    * evaluate the same tree; callers round the output like every other
+    * closed-form metric in the repo). BLEU is 0 when any p_n is 0
+    * (standard unsmoothed convention), NULL only on an empty pair set.
+    *
+    * Shapes: 2·maxN tagged gram streams explode map-side → ONE
+    * (n, pair, gram) exchange → n-sized aggregate; lengths are one
+    * tiny parallel aggregate crossJoined back (broadcast). Returns ONE
+    * row: (n_pairs, cand_tokens, ref_tokens, p1..p{maxN}, bp, bleu). */
+  def bleuCorpus(pairs: DataFrame, idCol: String, candCol: String,
+                 refCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
+    def side(c: String, tag: String, n: Int) = pairs.select(
+      lit(n).as("__n"), col(idCol).as("__id"),
+      explode(Dedup.shinglesAll(coalesce(col(c), lit("")), n)).as("__g"),
+      lit(tag).as("__side"))
+    val streams = (1 to maxN).flatMap(n =>
+      Seq(side(candCol, "c", n), side(refCol, "r", n)))
+    val clipped = streams.reduce(_ unionAll _)
+      .groupBy("__n", "__id", "__g")
+      .agg(coalesce(sum(when(col("__side") === "c", 1L).otherwise(0L)),
+        lit(0L)).as("__cc"),
+        coalesce(sum(when(col("__side") === "r", 1L).otherwise(0L)),
+          lit(0L)).as("__rc"))
+    val perN = clipped.groupBy("__n")
+      .agg(sum(least(col("__cc"), col("__rc"))).as("__m"),
+        sum("__cc").as("__t"))
+    val statCols = (1 to maxN).flatMap(n => Seq(
+      coalesce(sum(when(col("__n") === n, col("__m"))), lit(0L))
+        .as(s"__m$n"),
+      coalesce(sum(when(col("__n") === n, col("__t"))), lit(0L))
+        .as(s"__t$n")))
+    val stats = perN.agg(statCols.head, statCols.tail: _*)
+    val lens = pairs.agg(count(lit(1)).as("n_pairs"),
+      coalesce(sum(TextAnalysis.tokenCount(coalesce(col(candCol), lit("")))
+        .cast("long")), lit(0L)).as("cand_tokens"),
+      coalesce(sum(TextAnalysis.tokenCount(coalesce(col(refCol), lit("")))
+        .cast("long")), lit(0L)).as("ref_tokens"))
+    // div-by-zero seams guarded EXPLICITLY: Spark doubles give IEEE
+    // NaN/Inf where DuckDB gives NULL, so neither engine's default may
+    // reach the output
+    def p(n: Int): Column = when(col(s"__t$n") > 0,
+      col(s"__m$n").cast("double") / col(s"__t$n"))
+    val allMatched = (1 to maxN).map(n => col(s"__m$n") > 0)
+      .reduce(_ && _)
+    val bp = when(col("cand_tokens") >= col("ref_tokens"), lit(1.0))
+      .when(col("cand_tokens") > 0,
+        exp(lit(1.0) - col("ref_tokens").cast("double") /
+          col("cand_tokens")))
+      .otherwise(0.0)
+    val geo = exp((1 to maxN).map(n => log(p(n))).reduce(_ + _) /
+      lit(maxN.toDouble))
+    lens.crossJoin(broadcast(stats))
+      .select(Seq(col("n_pairs"), col("cand_tokens"), col("ref_tokens")) ++
+        (1 to maxN).map(n => p(n).as(s"p$n")) ++ Seq(
+          bp.as("bp"),
+          when(col("n_pairs") === 0, lit(null).cast("double"))
+            .when(allMatched, bp * geo).otherwise(0.0).as("bleu")): _*)
+  }
+
+  /** [[bleuCorpus]] as DuckDB SQL. `relation` must expose
+    * (id, cand, ref) text columns; identical grammar, counts, and
+    * closed-form expression tree. */
+  def bleuCorpusOracleSql(relation: String, maxN: Int = 4): String = {
+    val grams = (1 to maxN).flatMap { n =>
+      val candG = Dedup.shinglesAllOracleSqlExpr("COALESCE(cand, '')", n)
+      val refG = Dedup.shinglesAllOracleSqlExpr("COALESCE(ref, '')", n)
+      Seq(s"SELECT $n AS n, id, unnest($candG) AS g, 'c' AS side FROM $relation",
+        s"SELECT $n AS n, id, unnest($refG) AS g, 'r' AS side FROM $relation")
+    }.mkString("\n  UNION ALL ")
+    val ms = (1 to maxN).flatMap(n => Seq(
+      s"CAST(COALESCE(sum(CASE WHEN n = $n THEN m ELSE 0 END), 0) AS BIGINT) AS m$n",
+      s"CAST(COALESCE(sum(CASE WHEN n = $n THEN t ELSE 0 END), 0) AS BIGINT) AS t$n"))
+      .mkString(",\n    ")
+    val toks =
+      "len(list_filter(string_split_regex(trim(%s), '\\s+'), w -> len(w) > 0))"
+    val ps = (1 to maxN).map(n =>
+      s"CASE WHEN t$n > 0 THEN CAST(m$n AS DOUBLE) / t$n END AS p$n")
+      .mkString(",\n  ")
+    val allM = (1 to maxN).map(n => s"m$n > 0").mkString(" AND ")
+    val geo = (1 to maxN).map(n => s"ln(CAST(m$n AS DOUBLE) / t$n)")
+      .mkString(" + ")
+    s"""WITH g AS (
+       |  $grams),
+       |cnt AS (SELECT n, id, g,
+       |    CAST(COALESCE(sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END), 0) AS BIGINT) AS cc,
+       |    CAST(COALESCE(sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END), 0) AS BIGINT) AS rc
+       |  FROM g GROUP BY n, id, g),
+       |pern AS (SELECT n, CAST(sum(least(cc, rc)) AS BIGINT) AS m,
+       |    CAST(sum(cc) AS BIGINT) AS t
+       |  FROM cnt GROUP BY n),
+       |stats AS (SELECT
+       |    $ms
+       |  FROM pern),
+       |lens AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(COALESCE(sum(${toks.format("COALESCE(cand, '')")}), 0) AS BIGINT) AS cand_tokens,
+       |    CAST(COALESCE(sum(${toks.format("COALESCE(ref, '')")}), 0) AS BIGINT) AS ref_tokens
+       |  FROM $relation)
+       |SELECT n_pairs, cand_tokens, ref_tokens,
+       |  $ps,
+       |  CASE WHEN cand_tokens >= ref_tokens THEN 1.0
+       |    WHEN cand_tokens > 0
+       |      THEN exp(1.0 - CAST(ref_tokens AS DOUBLE) / cand_tokens)
+       |    ELSE 0.0
+       |  END AS bp,
+       |  CASE WHEN n_pairs = 0 THEN NULL
+       |    WHEN $allM THEN
+       |      (CASE WHEN cand_tokens >= ref_tokens THEN 1.0
+       |        WHEN cand_tokens > 0
+       |          THEN exp(1.0 - CAST(ref_tokens AS DOUBLE) / cand_tokens)
+       |        ELSE 0.0 END)
+       |      * exp(($geo) / ${maxN.toDouble})
+       |    ELSE 0.0 END AS bleu
+       |FROM lens CROSS JOIN stats""".stripMargin
+  }
 
   /** ROUGE-N overlap scoring of (candidate, reference) text pairs:
     * multiset n-gram precision / recall / F1 per pair. Uses the same

@@ -1178,6 +1178,90 @@ object GraftStreaming {
           .as("ks"))
   }
 
+  /** Streaming per-window binned ROC-AUC monitor — the
+    * classifier-drift readout at ingest ([[psiDriftStream]] watches the
+    * feature distribution; this watches the classifier's ranking power
+    * against an online label). Per event-time window: the exact
+    * Mann-Whitney AUC of `scoreCol` vs boolean `labelCol` over `bins`
+    * fixed-width score bins — [[graft.operators.Eval.aucRoc]]'s
+    * integer pair-count formulation applied to binned scores (exact
+    * over bins; binning is what bounds the state, and is the standard
+    * reported AUC at scale).
+    *
+    * ONE stateful windowed aggregate; state per window = 2·bins longs
+    * (per-bin positive/negative counts). The AUC folds STATICALLY over
+    * the count columns — num2 = Σ_i pos_i·(2·negBelow_i + neg_i), all
+    * int64, one final double division — so the result is slicing- and
+    * partition-invariant and the oracle replays it bit-exactly. Rows
+    * with a NULL score or label are excluded (no trial); AUC is NULL
+    * when a window sees only one class.
+    *
+    * @return per window: (window, n_pos, n_neg, auc).
+    */
+  def aucStream(events: DataFrame, scoreCol: String, labelCol: String,
+                lo: Long, hi: Long, bins: Int,
+                watermark: String = "1 hour",
+                window_ : String = "1 hour"): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    require(hi > lo, "hi must be > lo")
+    val binCol = expr(
+      s"least(greatest((floor($scoreCol) - ${lo}L) * $bins DIV ${hi - lo}L, 0L), ${bins - 1}L)")
+    val lab = col(labelCol).cast("boolean")
+    val aggs = Seq.tabulate(bins)(i =>
+      sum(when(col("__bin") === i && col("__lab"), 1L).otherwise(0L))
+        .as(s"__p$i")) ++
+      Seq.tabulate(bins)(i =>
+        sum(when(col("__bin") === i && !col("__lab"), 1L).otherwise(0L))
+          .as(s"__n$i"))
+    val byWin = events
+      .withWatermark("event_time", watermark)
+      .where(expr(s"$scoreCol IS NOT NULL") && lab.isNotNull)
+      .select(col("event_time"), binCol.as("__bin"), lab.as("__lab"))
+      .groupBy(window(col("event_time"), window_))
+      .agg(aggs.head, aggs.tail: _*)
+    def p(i: Int): Column = coalesce(col(s"__p$i"), lit(0L))
+    def ng(i: Int): Column = coalesce(col(s"__n$i"), lit(0L))
+    val pTot = Seq.tabulate(bins)(p).reduce(_ + _)
+    val nTot = Seq.tabulate(bins)(ng).reduce(_ + _)
+    val num2 = Seq.tabulate(bins) { i =>
+      val below = if (i == 0) lit(0L) else Seq.tabulate(i)(ng).reduce(_ + _)
+      p(i) * (lit(2L) * below + ng(i))
+    }.reduce(_ + _)
+    byWin.select(col("window"), pTot.as("n_pos"), nTot.as("n_neg"),
+      when(pTot > 0 && nTot > 0,
+        num2.cast("double") / (lit(2.0) * pTot * nTot)).as("auc"))
+  }
+
+  /** DuckDB oracle twin of [[aucStream]] for a 1-hour tumbling window
+    * over `events`: identical binning, identical integer pair counts
+    * (the SQL side walks bins with a window-ordered cumulative — a
+    * different association of the SAME exact integers), identical
+    * final division. Emits WITH bodies through `scored`
+    * (win, n_pos, n_neg, auc). */
+  def aucStreamOracleSelect(scoreCol: String, labelExpr: String,
+                            lo: Long, hi: Long, bins: Int): String = {
+    val binOf =
+      s"least(greatest((CAST(floor($scoreCol) AS BIGINT) - $lo) * $bins // ${hi - lo}, 0), ${bins - 1})"
+    s"""b AS (SELECT date_trunc('hour', ts) AS win, $binOf AS bin,
+       |    CASE WHEN $labelExpr THEN 1 ELSE 0 END AS lab
+       |  FROM events
+       |  WHERE ($scoreCol) IS NOT NULL AND ($labelExpr) IS NOT NULL),
+       |g AS (SELECT win, bin, CAST(sum(lab) AS BIGINT) AS pos,
+       |    CAST(sum(1 - lab) AS BIGINT) AS neg
+       |  FROM b GROUP BY win, bin),
+       |wk AS (SELECT win, pos, neg,
+       |    CAST(COALESCE(sum(neg) OVER (PARTITION BY win ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS negbelow
+       |  FROM g),
+       |scored AS (SELECT win, CAST(sum(pos) AS BIGINT) AS n_pos,
+       |    CAST(sum(neg) AS BIGINT) AS n_neg,
+       |    CASE WHEN sum(pos) > 0 AND sum(neg) > 0
+       |      THEN CAST(sum(pos * (2 * negbelow + neg)) AS DOUBLE)
+       |        / (2.0 * sum(pos) * sum(neg)) END AS auc
+       |  FROM wk GROUP BY win)""".stripMargin
+  }
+
   /** DuckDB oracle twin of [[ksDriftStream]]: same shape as
     * [[psiDriftOracleSelect]] — reference cumulative counts recomputed
     * in SQL (exact integers, so no literal-precision concern at all).

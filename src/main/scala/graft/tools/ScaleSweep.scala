@@ -638,6 +638,21 @@ object ScaleSweep {
             col("text").as("ref")), "id"),
         "id", "cand", "ref", n = 2)
     })
+    // pr_auc shares auc's collapse shape (1000 distinct scores at any
+    // scale); bleu is rouge × 4 n-gram widths on the (pair, gram) key
+    sweep("pr_auc")(k => graft.operators.Eval.prAuc(
+      evAt(k).select(((col("event_id") % 1000).cast("double") / 1000.0)
+          .as("score"), (col("value") > 250.0).as("label")),
+      "score", "label"))
+    sweep("bleu")(k => {
+      val d = docsAt(k)
+      graft.operators.Eval.bleuCorpus(
+        d.where(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("id"),
+            substring(col("text"), 1, 120).as("cand"),
+            col("text").as("ref")),
+        "id", "cand", "ref", maxN = 4)
+    })
 
     def renderMap(m: scala.collection.Map[String, Seq[Double]]): String =
       m.map { case (k, v) =>

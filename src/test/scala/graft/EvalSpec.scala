@@ -40,6 +40,47 @@ class EvalSpec extends AnyFunSuite {
     assert(r2.getLong(0) == 1 && r2.getLong(1) == 1 && r2.getDouble(2) == 1.0)
   }
 
+  test("prAuc: step-wise average precision, by-hand cases") {
+    // perfect ranking
+    val good = Seq((0.9, true), (0.1, false)).toDF("score", "label")
+    assert(Eval.prAuc(good, "score", "label").collect().head.getDouble(2) == 1.0)
+    // interleaved: terms floor(1e9*1*1/1) + floor(1e9*2/3) over 2e9
+    val mix = Seq((0.9, true), (0.8, false), (0.7, true))
+      .toDF("score", "label")
+    val expected = (1000000000L + 666666666L) / (1e9 * 2)
+    assert(Eval.prAuc(mix, "score", "label").collect().head.getDouble(2)
+      == expected)
+    // tie at one threshold: pos and neg share the score
+    val tie = Seq((0.5, true), (0.5, false)).toDF("score", "label")
+    assert(Eval.prAuc(tie, "score", "label").collect().head.getDouble(2) == 0.5)
+    // no positives -> NULL
+    val neg = Seq((0.5, false)).toDF("score", "label")
+    assert(Eval.prAuc(neg, "score", "label").collect().head.isNullAt(2))
+  }
+
+  test("bleuCorpus: prefix pair with brevity penalty, by-hand") {
+    val pairs = Seq((1L, "the cat sat on the", "the cat sat on the mat"))
+      .toDF("id", "cand", "ref")
+    val r = Eval.bleuCorpus(pairs, "id", "cand", "ref", maxN = 4)
+      .collect().head
+    assert(r.getAs[Long]("cand_tokens") == 5 && r.getAs[Long]("ref_tokens") == 6)
+    // every cand n-gram appears in ref (clipped): p1..p4 all 1
+    (1 to 4).foreach(n => assert(r.getAs[Double](s"p$n") == 1.0, s"p$n"))
+    val bp = math.exp(1.0 - 6.0 / 5.0)
+    assert(r.getAs[Double]("bp") == bp)
+    assert(r.getAs[Double]("bleu") == bp) // geometric mean of ones
+  }
+
+  test("bleuCorpus: zero 4-gram overlap zeroes BLEU; p1 still counts") {
+    val pairs = Seq((1L, "x a b c", "a b c y")).toDF("id", "cand", "ref")
+    val r = Eval.bleuCorpus(pairs, "id", "cand", "ref", maxN = 4)
+      .collect().head
+    assert(r.getAs[Double]("p1") == 0.75)
+    assert(r.getAs[Double]("bleu") == 0.0)
+    // equal lengths -> no brevity penalty
+    assert(r.getAs[Double]("bp") == 1.0)
+  }
+
   test("rankingMetrics: four-doc single query, k=2, by-hand sums") {
     val df = Seq(("q1", "d1", 0.9, 1), ("q1", "d2", 0.8, 0),
       ("q1", "d3", 0.7, 1), ("q1", "d4", 0.6, 0))

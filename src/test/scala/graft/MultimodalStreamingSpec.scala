@@ -711,6 +711,44 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(got.forall { case (_, _, k) => k >= 0.0 && k <= 1.0 })
   }
 
+  test("streaming binned AUC ≡ batch twin and the batch-exact aucRoc per window") {
+    val lo = 0L; val hi = 500L; val bins = 20
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val stream = GraftStreaming.readEventsGlob(spark, dir, "events.parquet")
+      .withColumn("is_click", col("event_type") === "click")
+    val auc = GraftStreaming.aucStream(stream, "value", "is_click", lo, hi, bins)
+    val q = GraftStreaming.runToMemory(auc, "auc_stream_out", outputMode = "complete")
+    assert(q.awaitTermination(120000), "stream did not finish")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("window.start").cast("long"), col("n_pos"), col("n_neg"),
+        col("auc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    val got = rows(spark.table("auc_stream_out"))
+    val batchEv = GraftStreaming.normalizeTs(batch)
+      .withColumn("event_time", GraftStreaming.eventTime(col("ts")))
+      .withColumn("is_click", col("event_type") === "click")
+    val twin = rows(GraftStreaming.aucStream(batchEv, "value", "is_click",
+      lo, hi, bins))
+    assert(got == twin, s"stream=${got.size} batch=${twin.size}")
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, _, _, a) => a.forall(x => x >= 0.0 && x <= 1.0) })
+    // the stream's binned fold ≡ the batch-exact Mann-Whitney on the
+    // binned score (Eval.aucRoc), checked on the fullest two-class window
+    val binExpr = expr(s"least(greatest((floor(value) - ${lo}L) * $bins " +
+      s"DIV ${hi - lo}L, 0L), ${bins - 1}L)")
+    val candidates = got.filter { case (_, p, n, _) => p > 0 && n > 0 }
+    assert(candidates.nonEmpty)
+    val (w, _, _, streamAuc) = candidates.maxBy { case (_, p, n, _) => p + n }
+    val winEvents = batchEv
+      .where(date_trunc("hour", col("event_time")).cast("long") === w)
+      .select(binExpr.cast("double").as("score"), col("is_click").as("label"))
+    val exact = graft.operators.Eval.aucRoc(winEvents, "score", "label")
+      .collect().head.getDouble(2)
+    assert(streamAuc.contains(exact),
+      s"window $w: stream=$streamAuc exact=$exact")
+  }
+
   test("streaming validation ≡ the same windowed rules on the batch relation") {
     import graft.operators.Validate.{InRange, InSet, NotNull, Unique}
     val rules = Seq(NotNull("props"), InRange("value", 0, 450),
