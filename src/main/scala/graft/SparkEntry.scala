@@ -3607,6 +3607,105 @@ object SparkEntry {
           round(col("kappa"), 9).as("kappa"))
     }),
 
+    // in-engine model-based filtering: multinomial Naive Bayes trained
+    // on the even-doc half (label = lang), classifying the odd half —
+    // pure integer counting to train, nano-quantized long sums to
+    // score, min-label argmax tie-break; output = confusion matrix
+    "q_nb" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").where(col("lang").isNotNull)
+      val tr = docs.where(col("doc_id") % 2 === 0)
+        .select(col("lang").as("label"), col("text"))
+      val te = docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val model = TextAnalysis.nbTrain(tr, "label", "text")
+      TextAnalysis.nbClassify(te, "doc_id", "text", model)
+        .join(te.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    }),
+
+    // feature selection / domain signatures: top-10 tokens per language
+    // by 2x2 presence chi-square — integer contingency cells, one
+    // closed-form IEEE chi2 per (token, label), bit-identical ranking
+    "q_chi2_tokens" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").where(col("lang").isNotNull)
+      TextAnalysis.chiSquareTokens(docs, "doc_id", "lang", "text",
+        minDf = 5L, topK = 10)
+        .select(col("label"), col("rank"), col("token"),
+          col("n_label_token"), round(col("chi2"), 6).as("chi2"))
+        .orderBy("label", "rank")
+    }),
+
+    // corpus-shift readout: Jensen-Shannon divergence between the
+    // even- and odd-doc unigram distributions — nano-quantized per-token
+    // contributions, exact long fold over the union vocabulary
+    "q_jsd" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextAnalysis.jsDivergence(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "text")
+        .select(col("vocab"), col("tokens_a"), col("tokens_b"),
+          round(col("jsd"), 9).as("jsd"))
+    }),
+
+    // multi-annotator agreement: Fleiss' kappa over synthetic rating
+    // items (event_id % 150 = item, event_type = category, first 5
+    // ratings in event_id order) — exact integer agreement/marginal
+    // sums, closed-form double readout
+    "q_fleiss" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select((col("event_id") % 150).as("item"), col("event_type"),
+          col("event_id"))
+      graft.operators.Eval.fleissKappa(ev, "item", "event_type",
+        "event_id", n = 5)
+        .select(col("n_items"), col("n_raters"),
+          round(col("p_bar"), 9).as("p_bar"),
+          round(col("p_e"), 9).as("p_e"),
+          round(col("kappa"), 9).as("kappa"))
+    }),
+
+    // clustering-quality readout: per-cluster simplified silhouette of
+    // all embeddings against the first-8 centroids — exact integer
+    // squared distances on nano-quantized coordinates, nano-quantized
+    // per-point silhouette fold
+    "q_silhouette" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.simplifiedSilhouette(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 8), "vec_id", "embedding")
+        .select(col("centroid_id"), col("n_points"),
+          round(col("silhouette"), 9).as("silhouette"))
+        .orderBy("centroid_id")
+    }),
+
+    // in-engine gradient-descent training: 5 full-batch logistic steps
+    // on the embeddings predicting the sign of the first coordinate (a
+    // linearly separable target, so the fit demonstrably learns) —
+    // DECIMAL-exact gradient sums, 1e-9-grid weights, bit-replayable
+    // trajectory; output = the weight relation (pos 0 = bias)
+    "q_logreg" -> ((s, dir) => {
+      val pts = table(s, dir, "embeddings")
+        .select(col("embedding"),
+          (element_at(col("embedding"), 1).cast("double") > 0.0)
+            .cast("int").as("y"))
+      graft.operators.LinearModel.logisticFit(pts, "embedding", "y",
+        dim = 64, iters = 5, lr = 0.5)
+        .orderBy("pos")
+    }),
+
+    // ...and the fitted model's training-set confusion matrix — the
+    // accuracy readout a filter-training pipeline gates deployment on
+    "q_logreg_acc" -> ((s, dir) => {
+      val pts = table(s, dir, "embeddings")
+        .select(col("embedding"),
+          (element_at(col("embedding"), 1).cast("double") > 0.0)
+            .cast("int").as("y"))
+      val w = graft.operators.LinearModel.logisticFit(pts, "embedding",
+        "y", dim = 64, iters = 5, lr = 0.5)
+      graft.operators.LinearModel.logisticConfusion(pts, "embedding",
+        "y", w)
+        .orderBy("label", "pred")
+    }),
+
     // rare-positive readout: area under the precision-recall curve of
     // the same synthetic classifier as q_auc — step-wise average
     // precision over descending distinct-score thresholds,
@@ -6258,6 +6357,58 @@ object SparkEntry {
          |${graft.operators.Eval.cohenKappaOracleSql("documents", "lang",
              "CASE WHEN doc_id % 5 = 0 THEN 'en' ELSE lang END")}
          |)""".stripMargin,
+    "q_nb" ->
+      s"""WITH d AS (SELECT * FROM documents WHERE lang IS NOT NULL),
+         |tr AS (SELECT lang AS label, text FROM d WHERE doc_id % 2 = 0),
+         |te AS (SELECT doc_id, lang, text FROM d WHERE doc_id % 2 = 1),
+         |${graft.operators.TextAnalysis.nbOracleSql}
+         |SELECT te.lang, pred.pred, count(*) AS n
+         |FROM pred JOIN te USING (doc_id)
+         |GROUP BY te.lang, pred.pred ORDER BY lang, pred""".stripMargin,
+    "q_chi2_tokens" ->
+      s"""WITH d AS (SELECT doc_id AS did, lang AS label, text
+         |  FROM documents WHERE lang IS NOT NULL),
+         |${graft.operators.TextAnalysis.chiSquareOracleSql("d", minDf = 5L)}
+         |SELECT label, rank, token, n_label_token,
+         |  round(chi2, 6) AS chi2
+         |FROM ranked WHERE rank <= 10 ORDER BY label, rank""".stripMargin,
+    "q_jsd" ->
+      s"""WITH toksrc AS (SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      w -> len(w) > 0)) AS t
+         |  FROM documents),
+         |ca AS (SELECT t, CAST(count(*) AS BIGINT) AS ca
+         |  FROM toksrc WHERE doc_id % 2 = 0 GROUP BY t),
+         |cb AS (SELECT t, CAST(count(*) AS BIGINT) AS cb
+         |  FROM toksrc WHERE doc_id % 2 = 1 GROUP BY t),
+         |${graft.operators.TextAnalysis.jsdOracleSql}
+         |SELECT vocab, tokens_a, tokens_b, round(jsd, 9) AS jsd
+         |FROM jsd""".stripMargin,
+    "q_fleiss" ->
+      s"""SELECT n_items, n_raters, round(p_bar, 9) AS p_bar,
+         |  round(p_e, 9) AS p_e, round(kappa, 9) AS kappa
+         |FROM (
+         |${graft.operators.Eval.fleissKappaOracleSql("events",
+             "event_id % 150", "event_type", "event_id", n = 5)}
+         |)""".stripMargin,
+    "q_silhouette" ->
+      s"""SELECT centroid_id, n_points, round(silhouette, 9) AS silhouette
+         |FROM (
+         |${graft.operators.Similarity.silhouetteOracleSql("vec_id < 8")}
+         |)""".stripMargin,
+    "q_logreg" ->
+      s"""SELECT pos, weight FROM (
+         |${graft.operators.LinearModel.logisticFitOracleSql("embeddings",
+             "CASE WHEN CAST(embedding[1] AS DOUBLE) > 0.0 THEN 1.0 ELSE 0.0 END",
+             dim = 64, iters = 5, lr = 0.5)}
+         |) ORDER BY pos""".stripMargin,
+    "q_logreg_acc" ->
+      s"""SELECT label, pred, n FROM (
+         |${graft.operators.LinearModel.logisticConfusionOracleSql(
+             "embeddings",
+             "CASE WHEN CAST(embedding[1] AS DOUBLE) > 0.0 THEN 1.0 ELSE 0.0 END",
+             dim = 64, iters = 5, lr = 0.5)}
+         |) ORDER BY label, pred""".stripMargin,
     "q_pr_auc" ->
       s"""SELECT n_pos, n_neg, round(pr_auc, 9) AS pr_auc FROM (
          |${graft.operators.Eval.prAucOracleSql("events",

@@ -513,4 +513,113 @@ object Eval {
        |  2.0 * sum(least(cc, rc)) / (sum(cc) + sum(rc)) AS rouge_f1
        |FROM cnt GROUP BY id""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // Fleiss' kappa — chance-corrected agreement among n raters per item
+  // (Fleiss 1971), the multi-annotator generalization of [[cohenKappa]]
+  // a labeling pass with a rater POOL needs (Cohen assumes the same two
+  // raters everywhere). Everything through the agreement and marginal
+  // sums is exact integer arithmetic; doubles appear only in the final
+  // closed-form readout.
+  // --------------------------------------------------------------------
+
+  /** Fleiss' kappa over rating rows `(itemCol, catCol)`. The statistic
+    * requires a FIXED number of ratings per item, so the operator
+    * self-balances: items with fewer than `n` ratings drop; items with
+    * more keep the first `n` in deterministic `(orderCol, catCol)`
+    * order (ties inside an item broken by category — replayable on any
+    * engine).
+    *
+    * P̄'s numerator `Σ_i (Σ_j n_ij² − n)` and P̄e's `Σ_j c_j²` are exact
+    * integer sums (c_j² in decimal(38,0) — c_j is corpus-sized);
+    * P̄ = num/(N·n·(n−1)), P̄e = Σc_j²/(Nn)² and
+    * κ = (P̄−P̄e)/(1−P̄e) are single IEEE expression trees over those
+    * integers, bit-identical across engines and partitionings.
+    *
+    * Scale: ONE shuffle on the item key (the balancing window + the
+    * (item, cat) count ride the same exchange), then a category-sized
+    * aggregate; the readout cross-joins three one-row relations.
+    * Output: one row (n_items, n_raters, p_bar, p_e, kappa). */
+  def fleissKappa(df: DataFrame, itemCol: String, catCol: String,
+                  orderCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"fleissKappa needs n >= 2 ratings per item, got $n")
+    val w = Window.partitionBy(col("__i"))
+      .orderBy(col("__o").asc, col("__j").asc)
+    val balanced = df
+      .where(col(itemCol).isNotNull && col(catCol).isNotNull)
+      .select(col(itemCol).as("__i"), col(catCol).as("__j"),
+        col(orderCol).as("__o"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__have", count(lit(1)).over(
+        Window.partitionBy(col("__i"))))
+      .where(col("__have") >= n && col("__rn") <= n)
+    val cells = balanced.groupBy("__i", "__j")
+      .agg(count(lit(1)).as("__nij"))
+    // per-item Σ_j n_ij², then the item-count and observed-agreement
+    // numerator in ONE aggregate
+    val perItem = cells.groupBy("__i")
+      .agg(sum(col("__nij") * col("__nij")).as("__sq"))
+    val obs = perItem.agg(count(lit(1)).as("__N"),
+      coalesce(sum(col("__sq") - n), lit(0L)).as("__numo"))
+    val marg = cells.groupBy("__j").agg(sum("__nij").as("__cj"))
+    val margSq = marg.agg(coalesce(
+      sum(col("__cj").cast("decimal(38,0)") *
+        col("__cj").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+      .as("__csq"))
+    val nD = col("__N").cast("decimal(38,0)")
+    val nn = lit(n).cast("decimal(38,0)")
+    obs.crossJoin(broadcast(margSq))
+      .select(col("__N").as("n_items"), lit(n).as("n_raters"),
+        when(col("__N") > 0,
+          col("__numo").cast("double") /
+            (nD * nn * lit(n - 1).cast("decimal(38,0)")).cast("double"))
+          .as("p_bar"),
+        when(col("__N") > 0,
+          col("__csq").cast("double") /
+            (nD * nn * nD * nn).cast("double")).as("p_e"))
+      .select(col("n_items"), col("n_raters"), col("p_bar"), col("p_e"),
+        when(lit(1.0) - col("p_e") =!= 0.0,
+          (col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")))
+          .as("kappa"))
+  }
+
+  /** [[fleissKappa]] as DuckDB SQL: `itemExpr`/`catExpr`/`orderExpr`
+    * are SQL expressions over `relation`; same balancing rule, same
+    * integer sums, same final expression tree. */
+  def fleissKappaOracleSql(relation: String, itemExpr: String,
+                           catExpr: String, orderExpr: String,
+                           n: Int): String =
+    s"""WITH r AS (SELECT $itemExpr AS i, $catExpr AS j, $orderExpr AS o
+       |  FROM $relation
+       |  WHERE ($itemExpr) IS NOT NULL AND ($catExpr) IS NOT NULL),
+       |bal AS (SELECT i, j FROM (
+       |    SELECT i, j,
+       |      row_number() OVER (PARTITION BY i ORDER BY o ASC, j ASC) AS rn,
+       |      count(*) OVER (PARTITION BY i) AS have
+       |    FROM r)
+       |  WHERE have >= $n AND rn <= $n),
+       |cells AS (SELECT i, j, CAST(count(*) AS BIGINT) AS nij
+       |  FROM bal GROUP BY i, j),
+       |item AS (SELECT i, CAST(sum(nij * nij) AS BIGINT) AS sq
+       |  FROM cells GROUP BY i),
+       |obs AS (SELECT CAST(count(*) AS BIGINT) AS nitems,
+       |    CAST(COALESCE(sum(sq - $n), 0) AS BIGINT) AS numo
+       |  FROM item),
+       |marg AS (SELECT j, CAST(sum(nij) AS BIGINT) AS cj
+       |  FROM cells GROUP BY j),
+       |msq AS (SELECT COALESCE(sum(CAST(cj AS HUGEINT) * CAST(cj AS HUGEINT)),
+       |    CAST(0 AS HUGEINT)) AS csq FROM marg),
+       |pre AS (SELECT nitems, $n AS n_raters,
+       |    CASE WHEN nitems > 0 THEN CAST(numo AS DOUBLE)
+       |      / CAST(CAST(nitems AS HUGEINT) * $n * ${n - 1} AS DOUBLE)
+       |    END AS p_bar,
+       |    CASE WHEN nitems > 0 THEN CAST(csq AS DOUBLE)
+       |      / CAST(CAST(nitems AS HUGEINT) * $n
+       |          * CAST(nitems AS HUGEINT) * $n AS DOUBLE)
+       |    END AS p_e
+       |  FROM obs, msq)
+       |SELECT nitems AS n_items, n_raters, p_bar, p_e,
+       |  CASE WHEN 1.0 - p_e <> 0.0
+       |    THEN (p_bar - p_e) / (1.0 - p_e) END AS kappa
+       |FROM pre""".stripMargin
 }

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-engine linear-model training — the gradient-descent counterpart
+  * of [[TextAnalysis.nbTrain]]'s counting classifier: a pipeline trains
+  * a logistic quality/domain filter on a labeled sub-corpus of dense
+  * features (embeddings) and applies it to the whole crawl, without
+  * leaving the engine or shipping data to a separate trainer.
+  *
+  * Determinism contract (the repo-wide rule): nothing float is ever
+  * summed raw. Every cross-row gradient sum casts its per-row term to
+  * DECIMAL(38,18) first (exact, order-invariant addition — the
+  * [[Similarity.powerIteration]] recipe), and the weight vector
+  * re-quantizes to the 1e-9 grid after every update, so the whole
+  * training trajectory is bit-replayable by the DuckDB oracle and
+  * invariant to partitioning. In-row dot products fold element-wise in
+  * array order through the same DECIMAL cast — formulation-independent,
+  * which is what lets the Spark side aggregate 64 columns wide while
+  * the oracle aggregates an exploded (row, pos) relation.
+  *
+  * Scale shape: ONE whole-stage-codegen aggregate over the corpus per
+  * iteration — (dim+2) decimal accumulators, map-side partials, no
+  * explode amplification and no row-key self-join (the z relation never
+  * materializes; σ(z) folds inside the same projection that feeds the
+  * aggregate). The model hops between iterations as a one-row broadcast.
+  * Training cost is honestly iters × (one corpus scan + one 64-ary
+  * aggregate); wrap the features in a [[CacheScope]] to trade memory
+  * for the repeated scan.
+  */
+object LinearModel {
+
+  private val dec = "decimal(38,18)"
+
+  /** Quantize a double column to the 1e-9 grid (exactly representable;
+    * both engines floor the same double). */
+  private def q9(c: Column): Column = floor(c * lit(1e9)) / lit(1e9)
+
+  /** Exact in-row dot product: element-wise products cast to
+    * DECIMAL(38,18), folded in array order, one cast back. */
+  private def dotDec(x: Column, w: Column): Column =
+    aggregate(zip_with(x, w, (a, b) => (a.cast("double") * b).cast(dec)),
+      lit(0).cast(dec), (acc, t) => (acc + t).cast(dec)).cast("double")
+
+  /** `iters` full-batch gradient-descent steps of L2-free logistic
+    * regression on `(vecCol: array<float/double>[dim], labelCol ∈
+    * {0,1})`, learning rate `lr`, zero-initialized weights and bias.
+    * Returns the weight relation: (pos, weight) with pos 1..dim and
+    * pos 0 = bias — every weight exactly on the 1e-9 grid.
+    *
+    * Gradient: ∇_j = Σ_rows (σ(z)−y)·x_j, z = w·x + b, each term
+    * DECIMAL-cast before the sum; update w_j ← q9(w_j − lr·∇_j/n). */
+  def logisticFit(points: DataFrame, vecCol: String, labelCol: String,
+                  dim: Int, iters: Int = 5, lr: Double = 0.5,
+                  scope: Option[CacheScope] = None): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters must be in [1,16], got $iters")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val pts0 = points.select(col(vecCol).as("__x"),
+      col(labelCol).cast("double").as("__y"))
+    val pts = scope.fold(pts0)(_.cache(pts0))
+    val spark = points.sparkSession
+    import spark.implicits._
+    var model = Seq((Seq.fill(dim)(0.0), 0.0)).toDF("__w", "__b")
+    for (_ <- 1 to iters) {
+      val z = dotDec(col("__x"), col("__w")) + col("__b")
+      val s = lit(1.0) / (lit(1.0) + exp(-z))
+      // the old weights ride THROUGH the aggregate (first() of a
+      // constant column), so each iteration references the previous
+      // model subtree exactly ONCE — corpus scans stay linear in
+      // iters, not 2^iters
+      val gradCols = (1 to dim).map { j =>
+        sum(((s - col("__y")) * element_at(col("__x"), j).cast("double"))
+          .cast(dec)).cast("double").as(s"__g$j")
+      } ++ Seq(
+        sum((s - col("__y")).cast(dec)).cast("double").as("__gb"),
+        count(lit(1)).as("__n"),
+        first(col("__w")).as("__pw"), first(col("__b")).as("__pb"))
+      val grad = pts.crossJoin(broadcast(model))
+        .agg(gradCols.head, gradCols.tail: _*)
+      model = grad.select(
+        array((1 to dim).map(j =>
+          q9(element_at(col("__pw"), j) -
+            lit(lr) * col(s"__g$j") / col("__n").cast("double"))): _*)
+          .as("__w"),
+        q9(col("__pb") - lit(lr) * col("__gb") / col("__n").cast("double"))
+          .as("__b"))
+    }
+    // single model reference: bias prepends at index 0, so posexplode's
+    // 0-based index IS the pos contract (0 = bias, j = w_j)
+    model.select(posexplode(concat(array(col("__b")), col("__w")))
+      .as(Seq("pos", "weight")))
+  }
+
+  /** Score `points` under a fitted weight relation (the
+    * [[logisticFit]] output, broadcast): per-row σ(w·x+b) and the 0.5
+    * decision — then fold to a (label, pred) confusion with one count
+    * aggregate. The weight relation re-assembles to an array via a
+    * bounded sort-collect (dim+1 rows by contract). */
+  def logisticConfusion(points: DataFrame, vecCol: String,
+                        labelCol: String, weights: DataFrame): DataFrame = {
+    val wArr = weights
+      .agg(sort_array(collect_list(struct(col("pos"), col("weight"))))
+        .as("__a"))
+      .select(
+        filter(col("__a"), e => e.getField("pos") > 0)
+          .cast("array<struct<pos:int,weight:double>>").getField("weight")
+          .as("__w"),
+        element_at(filter(col("__a"), e => e.getField("pos") === 0), 1)
+          .getField("weight").as("__b"))
+    val z = dotDec(col(vecCol), col("__w")) + col("__b")
+    points.crossJoin(broadcast(wArr))
+      .select(col(labelCol).cast("long").as("label"),
+        (z > 0.0).cast("int").as("pred"))
+      .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+  }
+
+  /** The [[logisticFit]] training trajectory as a DuckDB `WITH` chain
+    * over an `embeddings(vec_id, embedding, label)`-shaped relation
+    * with `yExpr` the 0/1 label expression (cast it to DOUBLE): the
+    * same iterations unrolled as chained CTEs on the exploded
+    * (row, pos) relation — per-term DECIMAL(38,18) casts make the two
+    * formulations provably equal. Ends with CTEs `w<iters>` (pos, w)
+    * and `b<iters>` (b); chain a final SELECT after it. */
+  def logisticCtesSql(relation: String, yExpr: String, dim: Int,
+                      iters: Int, lr: Double): String = {
+    val head =
+      s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x, $yExpr AS y
+         |  FROM $relation),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $relation),
+         |w0 AS (SELECT i AS pos, 0.0 AS w FROM generate_series(1, $dim) t(i)),
+         |b0 AS (SELECT 0.0 AS b)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""z$k AS (SELECT e.vec_id, any_value(e.y) AS y,
+         |    1.0 / (1.0 + exp(-(CAST(sum(CAST(e.x * p.w AS DECIMAL(38,18)))
+         |      AS DOUBLE) + any_value(b.b)))) AS s
+         |  FROM e JOIN w${k - 1} p ON e.pos = p.pos, b${k - 1} b
+         |  GROUP BY e.vec_id),
+         |g$k AS (SELECT e.pos,
+         |    CAST(sum(CAST((z.s - z.y) * e.x AS DECIMAL(38,18))) AS DOUBLE) AS g
+         |  FROM e JOIN z$k z ON e.vec_id = z.vec_id GROUP BY e.pos),
+         |gb$k AS (SELECT CAST(sum(CAST(s - y AS DECIMAL(38,18))) AS DOUBLE) AS gb
+         |  FROM z$k),
+         |w$k AS (SELECT pos, floor((p.w - $lr * g.g / n.n) * 1e9) / 1e9 AS w
+         |  FROM w${k - 1} p JOIN g$k g USING (pos), n),
+         |b$k AS (SELECT floor((b.b - $lr * gb.gb / n.n) * 1e9) / 1e9 AS b
+         |  FROM b${k - 1} b, gb$k gb, n)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  /** [[logisticFit]]'s output as DuckDB SQL (full statement). */
+  def logisticFitOracleSql(relation: String, yExpr: String, dim: Int,
+                           iters: Int, lr: Double): String =
+    logisticCtesSql(relation, yExpr, dim, iters, lr) +
+      s"""\nSELECT pos, w AS weight FROM w$iters
+         |UNION ALL SELECT 0 AS pos, b AS weight FROM b$iters""".stripMargin
+
+  /** [[logisticConfusion]] on the final fitted model as DuckDB SQL —
+    * chains [[logisticCtesSql]] then the scoring select; full
+    * statement emitting (label, pred, n). */
+  def logisticConfusionOracleSql(relation: String, yExpr: String,
+                                 dim: Int, iters: Int,
+                                 lr: Double): String =
+    logisticCtesSql(relation, yExpr, dim, iters, lr) + "\n" +
+    s"""SELECT CAST(y AS BIGINT) AS label,
+       |  CAST(CASE WHEN zz > 0.0 THEN 1 ELSE 0 END AS INT) AS pred,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM (SELECT e.vec_id, any_value(e.y) AS y,
+       |    CAST(sum(CAST(e.x * p.w AS DECIMAL(38,18))) AS DOUBLE)
+       |      + any_value(b.b) AS zz
+       |  FROM e JOIN w$iters p ON e.pos = p.pos, b$iters b
+       |  GROUP BY e.vec_id)
+       |GROUP BY 1, 2""".stripMargin
+}

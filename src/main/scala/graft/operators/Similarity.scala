@@ -916,4 +916,93 @@ object Similarity {
     (head +: steps).mkString(",\n") +
       s"\nSELECT pos, CAST(floor(v * 1e6) AS BIGINT) AS v6 FROM v$iters ORDER BY pos"
   }
+
+  // --------------------------------------------------------------------
+  // Simplified silhouette — the linear-time clustering-quality readout
+  // (Hruschka et al.'s simplification of Rousseeuw 1987): per point,
+  // a = distance to the nearest centroid, b = distance to the second
+  // nearest, s = (b−a)/max(a,b) ∈ [0,1]; full silhouette's O(n²)
+  // point-to-point terms are replaced by point-to-centroid ones, which
+  // is the only form that scales. Distances are squared Euclidean over
+  // NANO-QUANTIZED integer coordinates, so every distance is an exact
+  // long, s is one IEEE division over exact longs, and the per-cluster
+  // mean folds nano-quantized s terms — bit-identical across engines
+  // and partitionings.
+  // --------------------------------------------------------------------
+
+  /** Per-cluster simplified silhouette of `points` against `cents`
+    * (k ≥ 2 centroids, broadcast). Coordinates quantize
+    * `floor(x·1e6)` → squared distances are exact longs (|x| ≲ 10³ at
+    * 64 dims stays under the long line); assignment = min (sqd, cid)
+    * with the cid tie-break; s = (b−a)/max(a,b) as a single division
+    * of exact longs, 0 when the point sits ON both centroids.
+    *
+    * Scale: one broadcast cross per point × k, collapsed by ONE
+    * grouped sort_array(collect_list) over k-sized lists (k is small
+    * by contract), then a k-sized cluster aggregate. The corpus
+    * shuffles once on the point id. Output: (centroid_id, n_points,
+    * silhouette). */
+  def simplifiedSilhouette(points: DataFrame, idCol: String,
+                           vecCol: String, cents: DataFrame,
+                           cidCol: String, cvecCol: String): DataFrame = {
+    def qz(c: Column): Column =
+      transform(c, x => floor(x.cast("double") * lit(1e6)).cast("long"))
+    val v = points.select(col(idCol).as("__id"), qz(col(vecCol)).as("__qv"))
+    val c = cents.select(col(cidCol).as("__cid"), qz(col(cvecCol)).as("__qc"))
+    val sqd = aggregate(
+      zip_with(col("__qv"), col("__qc"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val nearest = v.crossJoin(broadcast(c))
+      .select(col("__id"), sqd.as("__d"), col("__cid"))
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__d"), col("__cid"))))
+        .as("__arr"))
+      .select(col("__id"),
+        col("__arr").getItem(0).getField("__d").as("__a"),
+        col("__arr").getItem(0).getField("__cid").as("centroid_id"),
+        col("__arr").getItem(1).getField("__d").as("__b"))
+    val s = when(greatest(col("__a"), col("__b")) === 0L, lit(0.0))
+      .otherwise((col("__b") - col("__a")).cast("double") /
+        greatest(col("__a"), col("__b")).cast("double"))
+    nearest
+      .select(col("centroid_id"), floor(s * lit(1e9)).cast("long").as("__sq"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_points"),
+        (sum("__sq").cast("double") /
+          (count(lit(1)) * lit(1000000000L)).cast("double"))
+          .as("silhouette"))
+  }
+
+  /** [[simplifiedSilhouette]] as DuckDB SQL over `embeddings` with
+    * centroids `centsPred` (a WHERE clause picking centroid rows) —
+    * same quantization, same (sqd, cid) ranking, same nano-quantized
+    * mean. */
+  def silhouetteOracleSql(centsPred: String): String =
+    s"""WITH qv AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |qc AS (SELECT vec_id AS cid, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+       |  FROM embeddings WHERE $centsPred),
+       |d AS (SELECT qv.vec_id, qc.cid,
+       |    CAST(list_sum(list_transform(list_zip(qv.q, qc.q),
+       |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS sqd
+       |  FROM qv CROSS JOIN qc),
+       |r AS (SELECT vec_id, cid, sqd,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sqd ASC, cid ASC) AS rn
+       |  FROM d),
+       |ab AS (SELECT a.vec_id, a.cid AS centroid_id, a.sqd AS da,
+       |    b.sqd AS db
+       |  FROM (SELECT * FROM r WHERE rn = 1) a
+       |  JOIN (SELECT * FROM r WHERE rn = 2) b USING (vec_id)),
+       |sil AS (SELECT centroid_id,
+       |    CAST(floor((CASE WHEN greatest(da, db) = 0 THEN 0.0
+       |      ELSE CAST(db - da AS DOUBLE) / CAST(greatest(da, db) AS DOUBLE)
+       |      END) * 1e9) AS BIGINT) AS sq
+       |  FROM ab)
+       |SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_points,
+       |  CAST(sum(sq) AS DOUBLE) / CAST(count(*) * 1000000000 AS DOUBLE)
+       |    AS silhouette
+       |FROM sil GROUP BY centroid_id ORDER BY centroid_id""".stripMargin
 }

@@ -726,6 +726,309 @@ object TextAnalysis {
   }
 
   // --------------------------------------------------------------------
+  // Multinomial Naive Bayes (add-one smoothing) — the count-based text
+  // classifier a curation pipeline trains IN-ENGINE on a labeled
+  // sub-corpus (language, domain, quality tier) and applies to the whole
+  // crawl: the classic fastText-free quality/language filter. Training
+  // is pure integer counting; scoring quantizes every per-token
+  // log-likelihood to nano-units BEFORE the per-(doc, label) sum (the
+  // [[unigramScore]] recipe), so both phases are exact, partition-
+  // invariant, and bit-replayable by the oracle.
+  // --------------------------------------------------------------------
+
+  /** A trained NB model: `labelStats` = one row per label (label,
+    * n_docs, n_label_tokens, prior_q, default_q) with the nano-quantized
+    * log-prior and the unseen-token log-likelihood; `tokenCounts` = the
+    * (label, token) log-likelihood grid (label, token, lq). Both are
+    * model-sized (|labels| and ≤ |labels|·|vocab| rows) and broadcast at
+    * scoring time. */
+  final case class NbModel(labelStats: DataFrame, tokenCounts: DataFrame)
+
+  /** Fit multinomial NB with add-one smoothing on `(labelCol, textCol)`
+    * rows (NULL labels excluded): per-label token counts, the GLOBAL
+    * training vocabulary size V, priors n_docs/total_docs. Likelihoods
+    * ln((c+1)/(T_label+V)) and priors quantize to nano-longs HERE, so
+    * scoring aggregates integers only. Two grouped count aggregates +
+    * model-sized arithmetic — one corpus scan for counts, one for doc
+    * priors. */
+  def nbTrain(corpus: DataFrame, labelCol: String, textCol: String): NbModel = {
+    val base = corpus.where(col(labelCol).isNotNull)
+      .select(col(labelCol).as("label"), col(textCol).as("__text"))
+    val toks = base.select(col("label"), explode(tokens(col("__text"))).as("__t"))
+    val counts = toks.groupBy("label", "__t").agg(count(lit(1)).as("__c"))
+    val vocab = counts.select("__t").distinct()
+      .agg(count(lit(1)).as("__v"))
+    val labelToks = counts.groupBy("label").agg(sum("__c").as("__lt"))
+    val labelDocs = base.groupBy("label").agg(count(lit(1)).as("n_docs"))
+    val totalDocs = base.agg(count(lit(1)).as("__td"))
+    val labelStats = labelDocs
+      .join(labelToks, Seq("label"), "left")
+      .select(col("label"), col("n_docs"),
+        coalesce(col("__lt"), lit(0L)).as("n_label_tokens"))
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(totalDocs))
+      .select(col("label"), col("n_docs"), col("n_label_tokens"),
+        floor(log(col("n_docs").cast("double") / col("__td")) * 1e9)
+          .cast("long").as("prior_q"),
+        floor(log(lit(1.0) / (col("n_label_tokens") + col("__v"))) * 1e9)
+          .cast("long").as("default_q"))
+    val tokenCounts = counts
+      .join(labelStats.select(col("label"), col("n_label_tokens")), "label")
+      .crossJoin(broadcast(vocab))
+      .select(col("label"), col("__t").as("token"),
+        floor(log((col("__c") + 1).cast("double") /
+          (col("n_label_tokens") + col("__v"))) * 1e9)
+          .cast("long").as("lq"))
+    NbModel(labelStats, tokenCounts)
+  }
+
+  /** Score and classify `docs` under a trained [[NbModel]]: per (doc,
+    * label), score_q = prior_q + Σ_tokens lq (unseen tokens take the
+    * label's default_q) — an exact long sum; the prediction is the
+    * max-score label with the MIN-label tie-break (deterministic, the
+    * [[graft.operators.GraphOps]] label-propagation rule). Zero-token
+    * docs drop out (nothing to score — same contract as
+    * [[unigramScore]]). Scoring is honestly |labels|× the token stream
+    * (every class scores every token), one (doc, label) aggregate, one
+    * per-doc argmax; the model broadcasts. Output: (idCol, pred,
+    * n_tokens, score = score_q/1e9). */
+  def nbClassify(docs: DataFrame, idCol: String, textCol: String,
+                 model: NbModel, broadcastModel: Boolean = true): DataFrame = {
+    val ls0 = model.labelStats
+      .select(col("label"), col("prior_q"), col("default_q"))
+    val tc0 = model.tokenCounts
+    val (ls, tc) =
+      if (broadcastModel) (broadcast(ls0), broadcast(tc0))
+      else (ls0, tc0)
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+    val scored = toks.crossJoin(ls)
+      .join(tc.select(col("label"), col("token").as("__t"), col("lq")),
+        Seq("label", "__t"), "left")
+      .groupBy(col(idCol), col("label"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(coalesce(col("lq"), col("default_q"))) +
+          first(col("prior_q"))).as("__sq"))
+    scored.groupBy(col(idCol))
+      .agg(min(struct((-col("__sq")).as("__neg"), col("label"))).as("__m"),
+        first(col("n_tokens")).as("n_tokens"))
+      .select(col(idCol), col("__m.label").as("pred"), col("n_tokens"),
+        ((-col("__m.__neg")).cast("double") / 1e9).as("score"))
+  }
+
+  /** [[nbTrain]] + [[nbClassify]] fit-and-classify as DuckDB SQL:
+    * trains on relation `tr` (label, text), classifies relation `te`
+    * (doc_id, text) — provide both via a WITH prefix. Identical
+    * tokenization, add-one arithmetic, nano-quantization, integer
+    * summation, and min-label argmax tie-break. Emits WITH bodies
+    * through `pred` (doc_id, pred, n_tokens, score). */
+  def nbOracleSql: String = {
+    val toks =
+      "list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0)"
+    s"""ttok AS (SELECT label, unnest($toks) AS t FROM tr),
+       |cnts AS (SELECT label, t, CAST(count(*) AS BIGINT) AS c
+       |  FROM ttok GROUP BY label, t),
+       |voc AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM cnts),
+       |ltok AS (SELECT label, CAST(sum(c) AS BIGINT) AS lt
+       |  FROM cnts GROUP BY label),
+       |ldoc AS (SELECT label, CAST(count(*) AS BIGINT) AS nd
+       |  FROM tr GROUP BY label),
+       |tdoc AS (SELECT CAST(count(*) AS BIGINT) AS td FROM tr),
+       |ls AS (SELECT ldoc.label, nd, COALESCE(lt, 0) AS lt,
+       |    CAST(floor(ln(CAST(nd AS DOUBLE) / td) * 1e9) AS BIGINT)
+       |      AS prior_q,
+       |    CAST(floor(ln(1.0 / (COALESCE(lt, 0) + v)) * 1e9) AS BIGINT)
+       |      AS default_q
+       |  FROM ldoc LEFT JOIN ltok ON ldoc.label = ltok.label, voc, tdoc),
+       |grid AS (SELECT cnts.label, t AS token,
+       |    CAST(floor(ln(CAST(c + 1 AS DOUBLE) / (lt + v)) * 1e9) AS BIGINT)
+       |      AS lq
+       |  FROM cnts JOIN ls ON cnts.label = ls.label, voc),
+       |dtok AS (SELECT doc_id, unnest($toks) AS t FROM te),
+       |sc AS (SELECT doc_id, ls.label,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(COALESCE(lq, default_q)) + any_value(prior_q) AS BIGINT)
+       |      AS sq
+       |  FROM dtok CROSS JOIN ls
+       |  LEFT JOIN grid ON grid.label = ls.label AND grid.token = dtok.t
+       |  GROUP BY doc_id, ls.label),
+       |pred AS (SELECT doc_id, label AS pred, n_tokens,
+       |    CAST(sq AS DOUBLE) / 1e9 AS score
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY sq DESC, label ASC) AS rn FROM sc)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // Chi-square token–label association — the classic feature-selection
+  // / domain-signature readout: which tokens are most discriminative
+  // for each label (language, source, quality tier)? Per (token, label)
+  // a 2×2 document-presence contingency table; every cell is an exact
+  // integer, and χ² is a single closed-form IEEE expression over those
+  // integers — bit-identical across engines, so even the χ²-descending
+  // ranking replays exactly.
+  // --------------------------------------------------------------------
+
+  /** Top-`topK` tokens per label by the 2×2 presence χ² statistic
+    * χ² = N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) where a = docs with label
+    * carrying the token, b/c/d the complements. Tokens with overall
+    * document frequency < `minDf` are dropped (rare-token χ² is
+    * noise). Ties break token-ascending; both engines rank the same
+    * bit-identical doubles.
+    *
+    * Scale: one distinct over (doc, token, label) presence → one
+    * grouped count; per-token totals ride a token-key join; the
+    * label-total and N relations are model-sized broadcasts. (ad−bc)
+    * is exact in decimal(38,0) (a,d ≤ N — products pass the long line
+    * at ~3·10⁹ docs); the square and the denominator fold in double.
+    * Output: (label, rank, token, n_label_token, chi2). */
+  def chiSquareTokens(corpus: DataFrame, idCol: String, labelCol: String,
+                      textCol: String, minDf: Long = 5L,
+                      topK: Int = 15): DataFrame = {
+    val base = corpus.where(col(labelCol).isNotNull)
+      .select(col(idCol).as("__doc"),
+        col(labelCol).as("label"), col(textCol).as("__text"))
+    val pres = base.select(col("__doc"), col("label"),
+        explode(tokens(col("__text"))).as("token"))
+      .distinct()
+    val tl = pres.groupBy("token", "label").agg(count(lit(1)).as("__a"))
+    val tt = tl.groupBy("token").agg(sum("__a").as("__ct"))
+    val lt = base.groupBy("label").agg(count(lit(1)).as("__nl"))
+    val nTot = base.agg(count(lit(1)).as("__n"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val a = col("__a"); val b = col("__ct") - col("__a")
+    val c0 = col("__nl") - col("__a")
+    val d0 = col("__n") - col("__nl") - col("__ct") + col("__a")
+    val delta = (d38(a) * d38(d0) - d38(b) * d38(c0)).cast("double")
+    val chi2 = col("__n").cast("double") * delta * delta /
+      (col("__ct").cast("double") * (col("__n") - col("__ct")).cast("double") *
+        col("__nl").cast("double") * (col("__n") - col("__nl")).cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(col("chi2").desc, col("token").asc)
+    tl.where(col("__a") > 0)
+      .join(tt, "token")
+      .where(col("__ct") >= minDf)
+      .join(broadcast(lt), "label")
+      .crossJoin(broadcast(nTot))
+      // degenerate margins (token in every doc, or label covering the
+      // whole corpus) zero a denominator factor → χ² undefined; drop
+      .where(col("__ct") < col("__n") && col("__nl") < col("__n"))
+      .select(col("label"), col("token"), col("__a").as("n_label_token"),
+        chi2.as("chi2"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("label"), col("rank"), col("token"),
+        col("n_label_token"), col("chi2"))
+  }
+
+  /** [[chiSquareTokens]] as DuckDB SQL — same presence distinct, same
+    * decimal-exact (ad−bc), same double fold order, same ranking.
+    * Emits WITH bodies through `ranked` (filter `rank <= topK`
+    * outside); `relation` must provide (doc id `did`, label, text). */
+  def chiSquareOracleSql(relation: String, minDf: Long = 5L): String = {
+    val toks =
+      "list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0)"
+    s"""pres AS (SELECT DISTINCT did, label, t AS token
+       |  FROM (SELECT did, label, unnest($toks) AS t FROM $relation)),
+       |tl AS (SELECT token, label, CAST(count(*) AS BIGINT) AS a
+       |  FROM pres GROUP BY token, label),
+       |tt AS (SELECT token, CAST(sum(a) AS BIGINT) AS ct
+       |  FROM tl GROUP BY token),
+       |lt AS (SELECT label, CAST(count(*) AS BIGINT) AS nl
+       |  FROM $relation GROUP BY label),
+       |ntot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $relation),
+       |chi AS (SELECT label, token, a AS n_label_token,
+       |    CAST(n AS DOUBLE)
+       |      * CAST(CAST(a AS HUGEINT) * (n - nl - ct + a)
+       |          - CAST(ct - a AS HUGEINT) * (nl - a) AS DOUBLE)
+       |      * CAST(CAST(a AS HUGEINT) * (n - nl - ct + a)
+       |          - CAST(ct - a AS HUGEINT) * (nl - a) AS DOUBLE)
+       |      / (CAST(ct AS DOUBLE) * CAST(n - ct AS DOUBLE)
+       |          * CAST(nl AS DOUBLE) * CAST(n - nl AS DOUBLE)) AS chi2
+       |  FROM tl JOIN tt USING (token) JOIN lt USING (label), ntot
+       |  WHERE a > 0 AND ct >= $minDf AND ct < n AND nl < n),
+       |ranked AS (SELECT label, token, n_label_token, chi2,
+       |    row_number() OVER (PARTITION BY label
+       |      ORDER BY chi2 DESC, token ASC) AS rank
+       |  FROM chi)""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // Jensen–Shannon divergence between two corpora's unigram
+  // distributions — the symmetric, bounded ([0, ln 2]) corpus-shift
+  // readout (vocabDrift's information-theoretic sibling; the DoReMi /
+  // data-mixing literature's distance of choice). Per-token
+  // contributions nano-quantize to longs before the vocabulary sum, so
+  // the result is exact given each term — partition-invariant and
+  // oracle-replayable.
+  // --------------------------------------------------------------------
+
+  /** JSD(P‖Q) in nats between the unigram distributions of `a` and `b`
+    * (text in `textCol`): ½Σ p·ln(p/m) + ½Σ q·ln(q/m), m = (p+q)/2,
+    * summed over the union vocabulary; zero-count terms contribute 0.
+    * Each token's combined contribution is one IEEE expression over
+    * exact integer counts and the two broadcast totals, quantized
+    * `floor(term·1e9)` → the sum is an exact long fold.
+    *
+    * Scale: two grouped token counts → one FULL OUTER vocab join → one
+    * final aggregate; the corpus never shuffles (counts do). Output:
+    * one row (vocab, tokens_a, tokens_b, jsd). */
+  def jsDivergence(a: DataFrame, b: DataFrame,
+                   textCol: String = "text"): DataFrame = {
+    def cnt(df: DataFrame, out: String) =
+      df.select(explode(tokens(col(textCol))).as("__t"))
+        .groupBy("__t").agg(count(lit(1)).as(out))
+    val ca = cnt(a, "__ca")
+    val cb = cnt(b, "__cb")
+    val ta = ca.agg(coalesce(sum("__ca"), lit(0L)).as("__ta"))
+    val tb = cb.agg(coalesce(sum("__cb"), lit(0L)).as("__tb"))
+    val joined = ca.join(cb, Seq("__t"), "full_outer")
+      .select(col("__t"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+    val p = col("__ca").cast("double") / col("__ta").cast("double")
+    val q = col("__cb").cast("double") / col("__tb").cast("double")
+    val m = (p + q) / lit(2.0)
+    val term =
+      when(col("__ca") > 0, p * log(p / m)).otherwise(lit(0.0)) +
+        when(col("__cb") > 0, q * log(q / m)).otherwise(lit(0.0))
+    joined
+      .select(col("__t"), floor(term * lit(1e9)).cast("long").as("__tq"),
+        col("__ta"), col("__tb"))
+      .agg(count(lit(1)).as("vocab"), first(col("__ta")).as("tokens_a"),
+        first(col("__tb")).as("tokens_b"),
+        (coalesce(sum("__tq"), lit(0L)).cast("double") / lit(2e9))
+          .as("jsd"))
+  }
+
+  /** [[jsDivergence]] as DuckDB SQL over relations `ca` (two columns
+    * t, ca) and `cb` (t, cb) of token counts — provide both via a WITH
+    * prefix; emits bodies through `jsd` (vocab, tokens_a, tokens_b,
+    * jsd). Same per-term expression tree, same nano-quantized fold. */
+  def jsdOracleSql: String =
+    s"""ta AS (SELECT CAST(COALESCE(sum(ca), 0) AS BIGINT) AS ta FROM ca),
+       |tb AS (SELECT CAST(COALESCE(sum(cb), 0) AS BIGINT) AS tb FROM cb),
+       |uni AS (SELECT COALESCE(ca.t, cb.t) AS t,
+       |    COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
+       |  FROM ca FULL OUTER JOIN cb ON ca.t = cb.t),
+       |terms AS (SELECT
+       |    CAST(floor((CASE WHEN ca > 0
+       |        THEN (CAST(ca AS DOUBLE) / ta)
+       |          * ln((CAST(ca AS DOUBLE) / ta)
+       |            / ((CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb) / 2.0))
+       |        ELSE 0.0 END
+       |      + CASE WHEN cb > 0
+       |        THEN (CAST(cb AS DOUBLE) / tb)
+       |          * ln((CAST(cb AS DOUBLE) / tb)
+       |            / ((CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb) / 2.0))
+       |        ELSE 0.0 END) * 1e9) AS BIGINT) AS tq,
+       |    ta, tb
+       |  FROM uni, ta, tb),
+       |jsd AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
+       |    any_value(ta) AS tokens_a, any_value(tb) AS tokens_b,
+       |    CAST(COALESCE(sum(tq), 0) AS DOUBLE) / 2e9 AS jsd
+       |  FROM terms)""".stripMargin
+
+  // --------------------------------------------------------------------
   // Gopher-style rule filter (Rae et al. 2021, "Scaling Language Models:
   // Methods, Analysis & Insights from Training Gopher", §A1.1 — public
   // heuristics). Unlike [[qualityScore]]'s additive band score, these are

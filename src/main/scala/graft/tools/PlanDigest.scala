@@ -84,7 +84,27 @@ object PlanDigest {
     // corpus-sized re-aggregate is the regression); wilson pins ONE
     // grouped integer aggregate + closed-form CI; datasheet pins the
     // global-agg + fingerprint-grouped dup-mass pair (one scan each)
-    "q_incr_hist", "q_wilson", "q_datasheet")
+    "q_incr_hist", "q_wilson", "q_datasheet",
+    // nb pins the scoring contract: the test-corpus token stream is
+    // NEVER shuffled pre-aggregation — model relations broadcast
+    // (labelStats cross + tokenCounts LeftOuter), one (doc,label)
+    // partial-agg exchange, one doc-level argmax; a broadcast→SMJ flip
+    // on the grid join would shuffle the whole crawl per label
+    "q_nb",
+    // chi2 pins presence-distinct → (token,label) count → token-key
+    // join with BROADCAST label/N totals; silhouette pins the
+    // broadcast-nested-loop centroid cross + the single point-key
+    // aggregate (a flip to a shuffled join would exchange the corpus
+    // once per centroid)
+    "q_chi2_tokens", "q_silhouette",
+    // logreg pins ONE corpus-scan aggregate PER ITERATION (exactly
+    // iters=5 scans — the old-weights-ride-through-first() trick keeps
+    // the model subtree referenced once, else scans go 2^iters) with
+    // the model as one-row broadcasts — no explode of the feature
+    // array, no row-key self-join. SortAggregate (not hash) because
+    // the first(array) accumulator isn't hash-buffer sized; grouping
+    // is empty so no actual sort happens
+    "q_logreg")
 
   val SnapshotPath = "tools/plan_digests.txt"
   val DefaultSfDir = "/root/testdata/sf0.001"

@@ -644,6 +644,41 @@ object ScaleSweep {
       evAt(k).select(((col("event_id") % 1000).cast("double") / 1000.0)
           .as("score"), (col("value") > 250.0).as("label")),
       "score", "label"))
+    // nb: model FIXED (trained on the 1x corpus outside the scaled
+    // part); the slope isolates the |labels|x token-stream scoring join
+    // + (doc, label) aggregate
+    sweep("nb")(k => {
+      val tr = docs0.select((col("doc_id") % 7).cast("string").as("label"),
+        col("text"))
+      val model = TextAnalysis.nbTrain(tr, "label", "text")
+      TextAnalysis.nbClassify(docsAt(k), "doc_id", "text", model)
+    })
+    sweep("chi2_tokens")(k => TextAnalysis.chiSquareTokens(
+      docsAt(k).select(col("doc_id"),
+        (col("doc_id") % 7).cast("string").as("label"), col("text")),
+      "doc_id", "label", "text"))
+    sweep("jsd")(k => {
+      val d = docsAt(k)
+      TextAnalysis.jsDivergence(d.where(col("doc_id") % 2 === 0),
+        d.where(col("doc_id") % 2 === 1))
+    })
+    // items scale with the data (event_id shifts per copy), ~7 ratings
+    // per item so the balancing window and the drop path both exercise
+    sweep("fleiss")(k => graft.operators.Eval.fleissKappa(
+      evAt(k).select(floor(col("event_id") / 7).as("item"),
+        col("event_type"), col("event_id")),
+      "item", "event_type", "event_id", n = 5))
+    // centroids FIXED (k=8 from the 1x table); slope isolates the
+    // broadcast cross + one point-key aggregate
+    sweep("silhouette")(k => Similarity.simplifiedSilhouette(
+      embAt(k), "vec_id", "embedding",
+      emb0.where(col("vec_id") < 8), "vec_id", "embedding"))
+    // fixed 3 GD iterations; slope isolates the per-iteration corpus
+    // scan + 66-accumulator aggregate (model hops as one-row broadcast)
+    sweep("logreg")(k => graft.operators.LinearModel.logisticFit(
+      embAt(k).select(col("embedding"),
+        (col("vec_id") % 2).cast("int").as("y")),
+      "embedding", "y", dim = 64, iters = 3, lr = 0.5))
     sweep("bleu")(k => {
       val d = docsAt(k)
       graft.operators.Eval.bleuCorpus(

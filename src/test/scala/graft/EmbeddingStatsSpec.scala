@@ -126,4 +126,22 @@ class EmbeddingStatsSpec extends AnyFunSuite {
     assert(strict.forall(_ >= 1.2) &&
       strict.length == expected.count(_._3 >= 1.2))
   }
+
+  test("simplifiedSilhouette: hand-quantized 1-d geometry, ties to min cid") {
+    val cents = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
+      .toDF("cid", "cv")
+    val pts = Seq(
+      (10L, Array(0.25f, 0.0f)), // a=250000^2 (c1), b=750000^2 -> s=8/9
+      (11L, Array(1.0f, 0.0f)),  // ON c2: a=0, b=1e12 -> s=1
+      (12L, Array(0.5f, 0.0f))   // equidistant -> c1 by tie-break, s=0
+    ).toDF("id", "v")
+    val r = Similarity.simplifiedSilhouette(pts, "id", "v",
+        cents, "cid", "cv")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2)))
+      .toMap
+    val s89 = math.floor(1e9 * (562500000000L - 62500000000L).toDouble /
+      562500000000L.toDouble).toLong
+    assert(r(1L) == ((2L, s89.toDouble / 2 / 1e9)))
+    assert(r(2L) == ((1L, 1.0)))
+  }
 }

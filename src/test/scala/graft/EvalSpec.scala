@@ -152,6 +152,97 @@ class EvalSpec extends AnyFunSuite {
     assert(m(3L).getAs[Double]("rouge_f1") == 0.0)
   }
 
+  test("naive Bayes: add-one arithmetic by hand; unseen tokens take the default") {
+    import graft.operators.TextAnalysis
+    val tr = Seq(("spam", "buy pills buy"), ("ham", "hello world hello"))
+      .toDF("label", "text")
+    val te = Seq((1L, "buy buy"), (2L, "hello hello world"))
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.nbTrain(tr, "label", "text")
+    val pred = TextAnalysis.nbClassify(te, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(pred(1L)._1 == "spam" && pred(2L)._1 == "ham")
+    assert(pred(1L)._2 == 2 && pred(2L)._2 == 3)
+    // by-hand: V=4; spam T=3 (buy:2, pills:1), priors ln(1/2)
+    // "buy buy" under spam: floor(1e9*ln(.5)) + 2*floor(1e9*ln(3/7))
+    val spamScore = (math.floor(1e9 * math.log(0.5)).toLong +
+      2 * math.floor(1e9 * math.log(3.0 / 7.0)).toLong) / 1e9
+    assert(pred(1L)._3 == spamScore)
+  }
+
+  test("naive Bayes: exact tie breaks to the min label") {
+    import graft.operators.TextAnalysis
+    val tr = Seq(("a", "x"), ("b", "x")).toDF("label", "text")
+    val te = Seq((1L, "x x")).toDF("doc_id", "text")
+    val model = TextAnalysis.nbTrain(tr, "label", "text")
+    val r = TextAnalysis.nbClassify(te, "doc_id", "text", model)
+      .collect().head
+    assert(r.getString(1) == "a")
+  }
+
+  test("fleissKappa: 3 items x 2 raters by hand = 1/3; balancing rule") {
+    // i1 [a,a], i2 [a,b], i3 [b,b]: P1=1, P2=0, P3=1 -> p_bar=2/3;
+    // marginals 3/3 -> p_e=1/2; kappa=1/3. Item 4 has ONE rating (drops);
+    // item 5 has three (keeps the first 2 in order-col order: a,a)
+    val df = Seq(
+      (1L, "a", 1L), (1L, "a", 2L),
+      (2L, "a", 1L), (2L, "b", 2L),
+      (3L, "b", 1L), (3L, "b", 2L),
+      (4L, "a", 1L),
+      (5L, "a", 1L), (5L, "a", 2L), (5L, "b", 3L)
+    ).toDF("item", "cat", "ord")
+    val r = Eval.fleissKappa(df, "item", "cat", "ord", n = 2)
+      .collect().head
+    assert(r.getLong(0) == 4 && r.getInt(1) == 2)
+    // with item 5 as [a,a]: p_bar = (1+0+1+1)/4 = 3/4; c_a=5, c_b=3
+    // -> p_e = (25+9)/64 = 17/32; kappa = (3/4-17/32)/(1-17/32) = 7/15
+    assert(r.getDouble(2) == 3.0 / 4.0)
+    assert(r.getDouble(3) == 17.0 / 32.0)
+    assert(math.abs(r.getDouble(4) - 7.0 / 15.0) < 1e-15)
+  }
+
+  test("fleissKappa: empty input yields one NULL-kappa row") {
+    val df = Seq.empty[(Long, String, Long)].toDF("item", "cat", "ord")
+    val r = Eval.fleissKappa(df, "item", "cat", "ord", n = 2)
+      .collect().head
+    assert(r.getLong(0) == 0 && r.isNullAt(2) && r.isNullAt(4))
+  }
+
+  test("chiSquareTokens: 2x2 cells by hand; zero-delta token ranks last") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "en", "apple apple"), (2L, "en", "banana"),
+      (3L, "fr", "apple"), (4L, "fr", "cherry"))
+      .toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.chiSquareTokens(docs, "doc_id", "lang", "text",
+        minDf = 1L, topK = 5)
+      .collect().map(x => (x.getString(0), x.getInt(1)) ->
+        (x.getString(2), x.getLong(3), x.getDouble(4))).toMap
+    // banana/en: a=1 ct=1 nl=2 N=4 -> delta=2, chi2=4*4/(1*3*2*2)=4/3
+    assert(r(("en", 1))._1 == "banana")
+    assert(math.abs(r(("en", 1))._3 - 4.0 / 3.0) < 1e-15)
+    // apple appears once per label -> delta=0 -> chi2=0, ranked after
+    assert(r(("en", 2)) == ("apple", 1L, 0.0))
+    assert(r(("fr", 1))._1 == "cherry" && r(("fr", 2))._1 == "apple")
+  }
+
+  test("jsDivergence: hand-quantized two-corpus case; self-JSD is 0") {
+    import graft.operators.TextAnalysis
+    val a = Seq((1L, "x x y")).toDF("id", "text")
+    val b = Seq((2L, "x z")).toDF("id", "text")
+    val r = TextAnalysis.jsDivergence(a, b).collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3 && r.getLong(2) == 2)
+    def q(t: Double) = math.floor(t * 1e9).toLong
+    val px = 2.0 / 3.0; val qx = 1.0 / 2.0; val mx = (px + qx) / 2.0
+    val py = 1.0 / 3.0; val my = (py + 0.0) / 2.0
+    val qz = 1.0 / 2.0; val mz = (0.0 + qz) / 2.0
+    val exp = (q(px * math.log(px / mx) + qx * math.log(qx / mx)) +
+      q(py * math.log(py / my)) + q(qz * math.log(qz / mz))).toDouble / 2e9
+    assert(r.getDouble(3) == exp)
+    val self = TextAnalysis.jsDivergence(a, a).collect().head
+    assert(self.getDouble(3) == 0.0)
+  }
+
   test("rougeN: multiset clipping (unigram 'a a a' vs 'a a')") {
     val r = Eval.rougeN(Seq((1L, "a a a", "a a")).toDF("id", "cand", "ref"),
       "id", "cand", "ref", n = 1).collect().head
