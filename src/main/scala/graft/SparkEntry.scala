@@ -3624,6 +3624,22 @@ object SparkEntry {
         .orderBy("lang", "pred")
     }),
 
+    // the CCNet-style perplexity filter: interpolated Kneser-Ney bigram
+    // LM trained on the even-doc half, scoring the odd half — integer
+    // count model relations (broadcast), closed-form per-bigram
+    // probability, nano-quantized per-doc fold
+    "q_kn_lm" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      TextAnalysis.kneserNeyScore(
+        docs.where(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")),
+        docs.where(col("doc_id") % 2 === 0).select(col("text")),
+        "doc_id", "text", discount = 0.75)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("logprob"), 9).as("logprob"),
+          round(col("ppl"), 6).as("ppl"))
+        .orderBy("doc_id")
+    }),
+
     // feature selection / domain signatures: top-10 tokens per language
     // by 2x2 presence chi-square — integer contingency cells, one
     // closed-form IEEE chi2 per (token, label), bit-identical ranking
@@ -3704,6 +3720,35 @@ object SparkEntry {
       graft.operators.LinearModel.logisticConfusion(pts, "embedding",
         "y", w)
         .orderBy("label", "pred")
+    }),
+
+    // deployment gate for a trained filter: split-conformal prediction
+    // sets at alpha=0.1 over the synthetic q_auc classifier (even
+    // events calibrate, odd evaluate) — rank-statistic threshold on the
+    // distinct-nonconformity relation, exact count ratios
+    "q_conformal" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"),
+          ((col("event_id") % 1000).cast("double") / 1000.0).as("score"),
+          (col("value") > 250.0).as("label"))
+      graft.operators.Eval.splitConformal(
+        ev.where(col("event_id") % 2 === 0),
+        ev.where(col("event_id") % 2 === 1),
+        "score", "label", alpha = 0.1)
+        .select(col("n_cal"), col("k"), round(col("qhat"), 9).as("qhat"),
+          col("n_eval"), round(col("coverage"), 9).as("coverage"),
+          round(col("avg_set_size"), 9).as("avg_set_size"))
+    }),
+
+    // label-error mining: the confident-learning joint over the same
+    // scored corpus — class-conditional mean-probability thresholds
+    // (nano-quantized), off-diagonal cells = estimated label errors
+    "q_label_errors" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(((col("event_id") % 1000).cast("double") / 1000.0)
+            .as("score"), (col("value") > 250.0).as("label"))
+      graft.operators.Eval.confidentJointBinary(ev, "score", "label")
+        .orderBy("label", "assigned")
     }),
 
     // rare-positive readout: area under the precision-recall curve of
@@ -6365,6 +6410,13 @@ object SparkEntry {
          |SELECT te.lang, pred.pred, count(*) AS n
          |FROM pred JOIN te USING (doc_id)
          |GROUP BY te.lang, pred.pred ORDER BY lang, pred""".stripMargin,
+    "q_kn_lm" ->
+      s"""WITH tr AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+         |te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+         |${graft.operators.TextAnalysis.knOracleSql(discount = 0.75)}
+         |SELECT doc_id, n_bigrams, round(logprob, 9) AS logprob,
+         |  round(ppl, 6) AS ppl
+         |FROM kn ORDER BY doc_id""".stripMargin,
     "q_chi2_tokens" ->
       s"""WITH d AS (SELECT doc_id AS did, lang AS label, text
          |  FROM documents WHERE lang IS NOT NULL),
@@ -6409,6 +6461,22 @@ object SparkEntry {
              "CASE WHEN CAST(embedding[1] AS DOUBLE) > 0.0 THEN 1.0 ELSE 0.0 END",
              dim = 64, iters = 5, lr = 0.5)}
          |) ORDER BY label, pred""".stripMargin,
+    "q_conformal" ->
+      s"""SELECT n_cal, k, round(qhat, 9) AS qhat, n_eval,
+         |  round(coverage, 9) AS coverage,
+         |  round(avg_set_size, 9) AS avg_set_size FROM (
+         |${graft.operators.Eval.splitConformalOracleSql(
+             "(SELECT * FROM events WHERE event_id % 2 = 0)",
+             "(SELECT * FROM events WHERE event_id % 2 = 1)",
+             "CAST(event_id % 1000 AS DOUBLE) / 1000.0",
+             "value > 250.0", alpha = 0.1)}
+         |)""".stripMargin,
+    "q_label_errors" ->
+      s"""SELECT label, assigned, n FROM (
+         |${graft.operators.Eval.confidentJointOracleSql("events",
+             "CAST(event_id % 1000 AS DOUBLE) / 1000.0",
+             "value > 250.0")}
+         |) ORDER BY label, assigned""".stripMargin,
     "q_pr_auc" ->
       s"""SELECT n_pos, n_neg, round(pr_auc, 9) AS pr_auc FROM (
          |${graft.operators.Eval.prAucOracleSql("events",

@@ -622,4 +622,173 @@ object Eval {
        |  CASE WHEN 1.0 - p_e <> 0.0
        |    THEN (p_bar - p_e) / (1.0 - p_e) END AS kappa
        |FROM pre""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Split-conformal calibration (Vovk et al.; the Angelopoulos–Bates
+  // recipe) — turn any binary scorer into prediction SETS with a
+  // finite-sample coverage guarantee: the deployment gate for an
+  // in-engine filter ([[graft.operators.LinearModel]], q_nb) that must
+  // promise "≥ 90% of kept documents really are class 1". Everything
+  // reduces to rank statistics on the nonconformity relation —
+  // integer-count arithmetic after a distinct-score collapse.
+  // --------------------------------------------------------------------
+
+  /** Split-conformal readout for a binary scorer: `cal` calibrates,
+    * `ev` evaluates; `scoreCol` = P(class 1), `labelCol` ∈ {0,1}/bool.
+    * True-class nonconformity a = 1−s for positives, s for negatives;
+    * q̂ = the k-th smallest calibration a with
+    * k = ⌈(1−α)(n_cal+1)⌉ (both engines ceil the same double); a row's
+    * prediction set contains class 1 iff 1−s ≤ q̂ and class 0 iff
+    * s ≤ q̂.
+    *
+    * Scale: ONE grouped count collapses calibration to the distinct-
+    * nonconformity relation (model-sized for any quantized/bucketed
+    * score — the [[aucRoc]] contract), a cumulative walk on THAT picks
+    * q̂, and the eval side is one broadcast-q̂ aggregate. Output: one
+    * row (n_cal, k, qhat, n_eval, coverage, avg_set_size). */
+  def splitConformal(cal: DataFrame, ev: DataFrame, scoreCol: String,
+                     labelCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    def nonconf(df: DataFrame) = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(when(col(labelCol).cast("boolean"),
+        lit(1.0) - col(scoreCol).cast("double"))
+        .otherwise(col(scoreCol).cast("double")).as("__a"),
+        col(scoreCol).cast("double").as("__s"))
+    val calA = nonconf(cal).groupBy("__a").agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__a"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = calA.agg(coalesce(sum("__c"), lit(0L)).as("__n"))
+    val qhat = calA
+      .withColumn("__cum", sum("__c").over(w))
+      .crossJoin(broadcast(tot))
+      .where(col("__cum") >=
+        ceil((lit(1.0) - lit(alpha)) * (col("__n") + 1).cast("double")))
+      .agg(min(col("__a")).as("qhat"), first(col("__n")).as("n_cal"),
+        first(ceil((lit(1.0) - lit(alpha)) * (col("__n") + 1)
+          .cast("double")).cast("long")).as("k"))
+    nonconf(ev).crossJoin(broadcast(qhat))
+      .agg(first(col("n_cal")).as("n_cal"), first(col("k")).as("k"),
+        first(col("qhat")).as("qhat"),
+        count(lit(1)).as("n_eval"),
+        (sum(when(col("__a") <= col("qhat"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double")).as("coverage"),
+        ((sum(when(lit(1.0) - col("__s") <= col("qhat"), 1L).otherwise(0L)) +
+          sum(when(col("__s") <= col("qhat"), 1L).otherwise(0L)))
+          .cast("double") / count(lit(1)).cast("double"))
+          .as("avg_set_size"))
+  }
+
+  /** [[splitConformal]] as DuckDB SQL: `calRel`/`evRel` are relations
+    * (or parenthesized subqueries) with `sExpr`/`yExpr` over them.
+    * Emits a full SELECT of the same one-row readout. */
+  def splitConformalOracleSql(calRel: String, evRel: String,
+                              sExpr: String, yExpr: String,
+                              alpha: Double): String =
+    s"""WITH caln AS (SELECT CASE WHEN CAST($yExpr AS BOOLEAN)
+       |      THEN 1.0 - CAST($sExpr AS DOUBLE)
+       |      ELSE CAST($sExpr AS DOUBLE) END AS a
+       |  FROM $calRel
+       |  WHERE ($sExpr) IS NOT NULL AND ($yExpr) IS NOT NULL),
+       |cg AS (SELECT a, CAST(count(*) AS BIGINT) AS c
+       |  FROM caln GROUP BY a),
+       |tot AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS n FROM cg),
+       |cum AS (SELECT a, sum(c) OVER (ORDER BY a
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM cg),
+       |qh AS (SELECT min(a) AS qhat, any_value(n) AS n_cal,
+       |    any_value(CAST(ceil((CAST(1.0 AS DOUBLE) - CAST($alpha AS DOUBLE))
+       |      * CAST(n + 1 AS DOUBLE)) AS BIGINT)) AS k
+       |  FROM cum, tot
+       |  WHERE cum >= ceil((CAST(1.0 AS DOUBLE) - CAST($alpha AS DOUBLE))
+       |    * CAST(n + 1 AS DOUBLE))),
+       |evn AS (SELECT CASE WHEN CAST($yExpr AS BOOLEAN)
+       |      THEN 1.0 - CAST($sExpr AS DOUBLE)
+       |      ELSE CAST($sExpr AS DOUBLE) END AS a,
+       |    CAST($sExpr AS DOUBLE) AS s
+       |  FROM $evRel
+       |  WHERE ($sExpr) IS NOT NULL AND ($yExpr) IS NOT NULL)
+       |SELECT any_value(n_cal) AS n_cal, any_value(k) AS k,
+       |  any_value(qhat) AS qhat,
+       |  CAST(count(*) AS BIGINT) AS n_eval,
+       |  CAST(sum(CASE WHEN a <= qhat THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS coverage,
+       |  CAST(sum(CASE WHEN 1.0 - s <= qhat THEN 1 ELSE 0 END)
+       |      + sum(CASE WHEN s <= qhat THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS avg_set_size
+       |FROM evn, qh""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Confident-learning joint (Northcutt et al. 2021, "Confident
+  // Learning") — label-error mining for a noisily-labeled corpus: count
+  // each example into a (noisy label, confident class) cell using
+  // class-conditional mean-probability thresholds; off-diagonal mass is
+  // the label-error estimate that decides whether a labeling pass gets
+  // re-queued. Binary form over a P(class 1) score.
+  // --------------------------------------------------------------------
+
+  /** The confident joint for binary labels: thresholds t₁ = mean s over
+    * y=1 and t₀ = mean (1−s) over y=0 (nano-quantized term sums →
+    * exact), then each row is confidently class 1 if s ≥ t₁, class 0
+    * if 1−s ≥ t₀, BOTH → the higher probability wins (s > 1−s),
+    * neither → excluded. Output: (label, assigned, n) counts — the
+    * off-diagonal cells are the estimated label errors.
+    *
+    * Scale: one grouped aggregate for the two thresholds (label-keyed,
+    * two rows), broadcast back; one count aggregate over the corpus. */
+  def confidentJointBinary(df: DataFrame, scoreCol: String,
+                           labelCol: String): DataFrame = {
+    val rows = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+    val thr = rows
+      .select(col("__y"),
+        when(col("__y"), col("__s")).otherwise(lit(1.0) - col("__s"))
+          .as("__p"))
+      .groupBy("__y")
+      .agg((sum(floor(col("__p") * lit(1e9)).cast("long")).cast("double") /
+        (count(lit(1)) * lit(1000000000L)).cast("double")).as("__t"))
+    val t1 = thr.where(col("__y")).select(col("__t").as("__t1"))
+    val t0 = thr.where(!col("__y")).select(col("__t").as("__t0"))
+    val assigned = rows
+      .crossJoin(broadcast(t1)).crossJoin(broadcast(t0))
+      .select(col("__y").cast("long").as("label"),
+        when((col("__s") >= col("__t1")) &&
+          (lit(1.0) - col("__s") >= col("__t0")),
+          when(col("__s") > lit(1.0) - col("__s"), 1L).otherwise(0L))
+          .when(col("__s") >= col("__t1"), 1L)
+          .when(lit(1.0) - col("__s") >= col("__t0"), 0L)
+          .as("assigned"))
+      .where(col("assigned").isNotNull)
+    assigned.groupBy("label", "assigned").agg(count(lit(1)).as("n"))
+  }
+
+  /** [[confidentJointBinary]] as DuckDB SQL over `relation` with
+    * `sExpr`/`yExpr`. Emits a full SELECT of (label, assigned, n). */
+  def confidentJointOracleSql(relation: String, sExpr: String,
+                              yExpr: String): String =
+    s"""WITH r AS (SELECT CAST($sExpr AS DOUBLE) AS s,
+       |    CAST($yExpr AS BOOLEAN) AS y
+       |  FROM $relation
+       |  WHERE ($sExpr) IS NOT NULL AND ($yExpr) IS NOT NULL),
+       |thr AS (SELECT y,
+       |    CAST(sum(CAST(floor((CASE WHEN y THEN s ELSE 1.0 - s END) * 1e9)
+       |        AS BIGINT)) AS DOUBLE)
+       |      / CAST(count(*) * 1000000000 AS DOUBLE) AS t
+       |  FROM r GROUP BY y),
+       |t1 AS (SELECT t AS t1 FROM thr WHERE y),
+       |t0 AS (SELECT t AS t0 FROM thr WHERE NOT y),
+       |asg AS (SELECT CAST(y AS BIGINT) AS label,
+       |    CASE
+       |      WHEN s >= t1 AND 1.0 - s >= t0
+       |        THEN CASE WHEN s > 1.0 - s THEN 1 ELSE 0 END
+       |      WHEN s >= t1 THEN 1
+       |      WHEN 1.0 - s >= t0 THEN 0
+       |    END AS assigned
+       |  FROM r, t1, t0)
+       |SELECT label, CAST(assigned AS BIGINT) AS assigned,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM asg WHERE assigned IS NOT NULL
+       |GROUP BY label, assigned""".stripMargin
 }

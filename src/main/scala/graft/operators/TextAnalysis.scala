@@ -858,6 +858,127 @@ object TextAnalysis {
   }
 
   // --------------------------------------------------------------------
+  // Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; Chen &
+  // Goodman 1999 §2.7) — the perplexity filter of the CCNet recipe:
+  // train the LM on a trusted sub-corpus, keep crawl documents whose
+  // perplexity under it is low. Absolute discount d on bigram counts,
+  // with the discounted mass interpolated against the CONTINUATION
+  // distribution (how many distinct histories a word follows — the fix
+  // for "San Francisco" inflating "Francisco"). All model relations are
+  // integer counts; each scored bigram's log-probability is one closed
+  // form over those integers, nano-quantized before the per-doc fold.
+  // --------------------------------------------------------------------
+
+  /** Per-document interpolated-KN bigram log-probability and perplexity
+    * of `docs` under a model trained on `modelDocs`:
+    * p(w2|w1) = max(c(w1w2)−d, 0)/c(w1·) + d·N1+(w1·)/c(w1·)·p_cont(w2)
+    * with p_cont(w2) = (N1+(·w2)+1)/(N1+(··)+V+1) — add-one on the
+    * continuation distribution so unseen words keep nonzero mass (the
+    * documented OOV floor); an unseen HISTORY backs off to p_cont
+    * alone. Docs with < 2 tokens drop (no bigram to score).
+    *
+    * Scale: model = three grouped counts off the bigram-type relation
+    * (vocab/bigram-type-sized, broadcast); scoring = the doc bigram
+    * stream joined on (w1,w2), w1, w2 posting keys, then ONE per-doc
+    * fold of quantized terms. Output: (idCol, n_bigrams, logprob,
+    * ppl). */
+  def kneserNeyScore(docs: DataFrame, modelDocs: DataFrame,
+                     idCol: String, textCol: String,
+                     discount: Double = 0.75,
+                     broadcastModel: Boolean = true): DataFrame = {
+    def maybeB(df: DataFrame) = if (broadcastModel) broadcast(df) else df
+    val bigExpr = expr(
+      "zip_with(slice(__ts, 1, size(__ts) - 1), " +
+        "slice(__ts, 2, size(__ts) - 1), " +
+        "(a, b) -> struct(a AS __w1, b AS __w2))")
+    def bigPairs(df: DataFrame) = df
+      .select(col("*"), tokens(col(textCol)).as("__ts"))
+      .where(size(col("__ts")) >= 2)
+      .select(col("*"), explode(bigExpr).as("__bg"))
+      .select(col("*"), col("__bg.__w1").as("__w1"),
+        col("__bg.__w2").as("__w2"))
+    val big = maybeB(bigPairs(modelDocs.select(col(textCol)))
+      .groupBy("__w1", "__w2").agg(count(lit(1)).as("__c2")))
+    val hist = maybeB(big.groupBy("__w1")
+      .agg(sum("__c2").as("__c1"), count(lit(1)).as("__n1f")))
+    val cont = maybeB(big.groupBy("__w2")
+      .agg(count(lit(1)).as("__n1b")))
+    val vocab = modelDocs
+      .select(explode(tokens(col(textCol))).as("__t"))
+      .agg(count_distinct(col("__t")).as("__v"))
+    val tots = big.agg(count(lit(1)).as("__nt"))
+      .crossJoin(broadcast(vocab))
+    val d = lit(discount)
+    val pcont = (coalesce(col("__n1b"), lit(0L)) + 1).cast("double") /
+      (col("__nt") + col("__v") + 1).cast("double")
+    val c1d = col("__c1").cast("double")
+    val p = when(col("__c1").isNotNull,
+      greatest(coalesce(col("__c2"), lit(0L)).cast("double") - d, lit(0.0)) /
+        c1d + d * col("__n1f").cast("double") / c1d * pcont)
+      .otherwise(pcont)
+    bigPairs(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), col("__w1"), col("__w2"))
+      .join(big, Seq("__w1", "__w2"), "left")
+      .join(hist, Seq("__w1"), "left")
+      .join(cont, Seq("__w2"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col(idCol), floor(log(p) * lit(1e9)).cast("long").as("__lq"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("__lq").as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("__s").cast("double") / lit(1e9)).as("logprob"),
+        exp(-(col("__s").cast("double") / lit(1e9)) /
+          col("n_bigrams").cast("double")).as("ppl"))
+  }
+
+  /** [[kneserNeyScore]] as DuckDB SQL over relations `tr` (text) and
+    * `te` (doc_id, text) — provide both via a WITH prefix; emits WITH
+    * bodies through `kn` (doc_id, n_bigrams, logprob, ppl). Same
+    * counts, same closed form, same quantized fold. */
+  def knOracleSql(discount: Double = 0.75): String = {
+    val toks =
+      "list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0)"
+    s"""mts AS (SELECT row_number() OVER () AS mid, $toks AS ts FROM tr),
+       |mpos AS (SELECT mid, generate_subscripts(ts, 1) AS pos, unnest(ts) AS t
+       |  FROM mts),
+       |big AS (SELECT a.t AS w1, b.t AS w2, CAST(count(*) AS BIGINT) AS c2
+       |  FROM mpos a JOIN mpos b ON a.mid = b.mid AND b.pos = a.pos + 1
+       |  GROUP BY a.t, b.t),
+       |hist AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+       |    CAST(count(*) AS BIGINT) AS n1f
+       |  FROM big GROUP BY w1),
+       |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b
+       |  FROM big GROUP BY w2),
+       |voc AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM mpos),
+       |tots AS (SELECT CAST(count(*) AS BIGINT) AS nt, v FROM big, voc
+       |  GROUP BY v),
+       |dts AS (SELECT doc_id, $toks AS ts FROM te),
+       |dpos AS (SELECT doc_id, generate_subscripts(ts, 1) AS pos, unnest(ts) AS t
+       |  FROM dts),
+       |dbig AS (SELECT a.doc_id, a.t AS w1, b.t AS w2
+       |  FROM dpos a JOIN dpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+       |terms AS (SELECT p.doc_id,
+       |    CAST(floor(ln(CASE WHEN h.c1 IS NOT NULL
+       |      THEN greatest(CAST(COALESCE(bg.c2, 0) AS DOUBLE) - $discount, 0.0)
+       |          / CAST(h.c1 AS DOUBLE)
+       |        + $discount * CAST(h.n1f AS DOUBLE) / CAST(h.c1 AS DOUBLE)
+       |          * (CAST(COALESCE(ct.n1b, 0) + 1 AS DOUBLE)
+       |            / CAST(tots.nt + tots.v + 1 AS DOUBLE))
+       |      ELSE CAST(COALESCE(ct.n1b, 0) + 1 AS DOUBLE)
+       |        / CAST(tots.nt + tots.v + 1 AS DOUBLE)
+       |      END) * 1e9) AS BIGINT) AS lq
+       |  FROM dbig p
+       |  LEFT JOIN big bg ON p.w1 = bg.w1 AND p.w2 = bg.w2
+       |  LEFT JOIN hist h ON p.w1 = h.w1
+       |  LEFT JOIN cont ct ON p.w2 = ct.w2, tots),
+       |kn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(lq) AS DOUBLE) / 1e9 AS logprob,
+       |    exp(-(CAST(sum(lq) AS DOUBLE) / 1e9)
+       |      / CAST(count(*) AS DOUBLE)) AS ppl
+       |  FROM terms GROUP BY doc_id)""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // Chi-square token–label association — the classic feature-selection
   // / domain-signature readout: which tokens are most discriminative
   // for each label (language, source, quality tier)? Per (token, label)

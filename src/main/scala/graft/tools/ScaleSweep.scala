@@ -679,6 +679,20 @@ object ScaleSweep {
       embAt(k).select(col("embedding"),
         (col("vec_id") % 2).cast("int").as("y")),
       "embedding", "y", dim = 64, iters = 3, lr = 0.5))
+    def scoredEv(k: Int) = evAt(k)
+      .select(col("event_id"),
+        ((col("event_id") % 1000).cast("double") / 1000.0).as("score"),
+        (col("value") > 250.0).as("label"))
+    sweep("conformal")(k => graft.operators.Eval.splitConformal(
+      scoredEv(k).where(col("event_id") % 2 === 0),
+      scoredEv(k).where(col("event_id") % 2 === 1),
+      "score", "label", alpha = 0.1))
+    sweep("label_errors")(k => graft.operators.Eval.confidentJointBinary(
+      scoredEv(k), "score", "label"))
+    // KN model FIXED (trained on the 1x corpus); slope isolates the
+    // posting joins + per-doc fold over the scaled score stream
+    sweep("kn_lm")(k => TextAnalysis.kneserNeyScore(
+      docsAt(k), docs0.select(col("text")), "doc_id", "text"))
     sweep("bleu")(k => {
       val d = docsAt(k)
       graft.operators.Eval.bleuCorpus(

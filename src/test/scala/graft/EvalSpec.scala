@@ -243,6 +243,58 @@ class EvalSpec extends AnyFunSuite {
     assert(self.getDouble(3) == 0.0)
   }
 
+  test("kneserNeyScore: closed form by hand; unseen history and word") {
+    import graft.operators.TextAnalysis
+    // model "a b a b c": big ab:2 ba:1 bc:1; hist a(2,1) b(2,2);
+    // cont a:1 b:1 c:1; nt=3, V=3 -> pcont denom 7
+    val tr = Seq(Tuple1("a b a b c")).toDF("text")
+    val te = Seq((1L, "a b c"), (2L, "x b"), (3L, "a z"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.kneserNeyScore(te, tr, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3))).toMap
+    def q(p: Double) = math.floor(math.log(p) * 1e9).toLong
+    val p1 = math.max(2.0 - 0.75, 0.0) / 2.0 +
+      0.75 * 1.0 / 2.0 * (2.0 / 7.0)              // p(b|a)
+    val p2 = math.max(1.0 - 0.75, 0.0) / 2.0 +
+      0.75 * 2.0 / 2.0 * (2.0 / 7.0)              // p(c|b)
+    val s1 = (q(p1) + q(p2)).toDouble / 1e9
+    assert(r(1L)._1 == 2 && r(1L)._2 == s1)
+    assert(r(1L)._3 == math.exp(-(s1 / 2.0)))
+    // unseen history x -> pure continuation 2/7
+    assert(r(2L)._2 == q(2.0 / 7.0).toDouble / 1e9)
+    // unseen word z under seen history a -> discounted mass * floor 1/7
+    val p3 = 0.0 / 2.0 + 0.75 * 1.0 / 2.0 * (1.0 / 7.0)
+    assert(r(3L)._2 == q(p3).toDouble / 1e9)
+  }
+
+  test("splitConformal: by-hand rank threshold, coverage and set size") {
+    // cal nonconformities: 0 (x1), 0.25 (x2), 0.5 (x1); n=4, alpha=0.25
+    // -> k = ceil(0.75*5) = 4 -> qhat = 0.5
+    val cal = Seq((1.0, true), (0.75, true), (0.25, false), (0.5, false))
+      .toDF("score", "label")
+    val ev = Seq((1.0, true), (0.0, false), (0.75, false))
+      .toDF("score", "label")
+    val r = Eval.splitConformal(cal, ev, "score", "label", alpha = 0.25)
+      .collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 4)
+    assert(r.getDouble(2) == 0.5)
+    assert(r.getLong(3) == 3)
+    assert(r.getDouble(4) == 2.0 / 3.0)   // a = 0, 0, 0.75
+    assert(r.getDouble(5) == 1.0)         // sets: {1},{0},{1} -> 3/3
+  }
+
+  test("confidentJointBinary: thresholds by hand; off-diagonal flags the error") {
+    // t1 = mean(1.0, 0.5) = 0.75; t0 = mean(1, 0.5, q(0.1)) = 0.533…
+    // (0.9, false) clears t1 only -> assigned 1: a label-error cell
+    val df = Seq((1.0, true), (0.5, true),
+      (0.0, false), (0.5, false), (0.9, false)).toDF("score", "label")
+    val r = Eval.confidentJointBinary(df, "score", "label")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2))
+      .toMap
+    assert(r == Map((1L, 1L) -> 1L, (0L, 0L) -> 1L, (0L, 1L) -> 1L))
+  }
+
   test("rougeN: multiset clipping (unigram 'a a a' vs 'a a')") {
     val r = Eval.rougeN(Seq((1L, "a a a", "a a")).toDF("id", "cand", "ref"),
       "id", "cand", "ref", n = 1).collect().head
