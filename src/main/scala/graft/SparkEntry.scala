@@ -3722,6 +3722,26 @@ object SparkEntry {
         .orderBy("label", "pred")
     }),
 
+    // the full text-classifier pipeline in-engine: distill a keyword
+    // rule (docs containing 'spark') into a hashed-TF linear model —
+    // md5 buckets (no vocabulary), 16 GD logistic steps, training-set
+    // confusion; the synthetic corpus's near-uniform vocabulary makes
+    // this genuinely hard, so the mid-trajectory confusion (not a
+    // saturated diagonal) is the honest readout
+    "q_text_lr" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = TextAnalysis.hashedTfPairs(docs, "doc_id", "text",
+          dim = 256)
+        .join(docs.select(col("doc_id"),
+          array_contains(TextAnalysis.tokens(col("text")), "spark")
+            .cast("int").as("y")), "doc_id")
+      val w = graft.operators.LinearModel.logisticFitSparse(pairs,
+        "doc_id", "pos", "x", "y", dim = 256, iters = 16, lr = 1.0)
+      graft.operators.LinearModel.logisticConfusionSparse(pairs,
+        "doc_id", "pos", "x", "y", w)
+        .orderBy("label", "pred")
+    }),
+
     // deployment gate for a trained filter: split-conformal prediction
     // sets at alpha=0.1 over the synthetic q_auc classifier (even
     // events calibrate, odd evaluate) — rank-statistic threshold on the
@@ -6460,6 +6480,18 @@ object SparkEntry {
              "embeddings",
              "CASE WHEN CAST(embedding[1] AS DOUBLE) > 0.0 THEN 1.0 ELSE 0.0 END",
              dim = 64, iters = 5, lr = 0.5)}
+         |) ORDER BY label, pred""".stripMargin,
+    "q_text_lr" ->
+      s"""SELECT label, pred, n FROM (
+         |WITH fdoc AS (SELECT doc_id, text,
+         |    CASE WHEN list_contains(list_filter(string_split_regex(trim(text),
+         |        '\\s+'), w -> len(w) > 0), 'spark')
+         |      THEN 1.0 ELSE 0.0 END AS y
+         |  FROM documents),
+         |${graft.operators.LinearModel.logisticConfusionFromSql(
+             graft.operators.TextAnalysis.hashedTfOracleSql(dim = 256),
+             "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM flen)",
+             dim = 256, iters = 16, lr = 1.0).replaceFirst("^WITH ", "")}
          |) ORDER BY label, pred""".stripMargin,
     "q_conformal" ->
       s"""SELECT n_cal, k, round(qhat, 9) AS qhat, n_eval,

@@ -115,6 +115,86 @@ object LinearModel {
       .groupBy("label", "pred").agg(count(lit(1)).as("n"))
   }
 
+  /** [[logisticFit]] for SPARSE features: `pairs` is the exploded
+    * (idCol, posCol ∈ 1..dim, xCol, yCol) relation — absent positions
+    * are implicit zeros, which add exact zero under the per-term
+    * DECIMAL sums, so the trajectory is identical to the dense form on
+    * the densified data. The right shape for text: hashed-TF at
+    * dim ≥ 256 with ~tens of non-zeros per doc would pay O(dim)
+    * per-row work and an O(dim·iters) Catalyst plan in the dense form;
+    * here per-iteration work is O(nnz) and the plan is O(1) per
+    * iteration.
+    *
+    * Scale: per iteration, one doc-key aggregate (z, with the weight
+    * lookup an O(1) literal-map probe — no join), one doc-key
+    * join-back + pos-key aggregate (the gradient), and a MODEL-SIZED
+    * driver hop (≤ dim+1 doubles — the parameter-server-lite pattern;
+    * bounded by dim, never by the corpus). The pairs relation persists
+    * for the iteration loop and unpersists before return. Output:
+    * (pos, weight), pos 0 = bias. */
+  def logisticFitSparse(pairs0: DataFrame, idCol: String, posCol: String,
+                        xCol: String, yCol: String, dim: Int,
+                        iters: Int = 5, lr: Double = 0.5): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
+    require(dim >= 1 && dim <= (1 << 20), s"dim must be in [1,2^20], got $dim")
+    val spark = pairs0.sparkSession
+    import spark.implicits._
+    val pairs = pairs0.select(col(idCol).as("__id"),
+        col(posCol).cast("int").as("__pos"),
+        col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = pairs.select("__id").distinct().count().toDouble
+      val w = Array.fill(dim + 1)(0.0) // index 0 = bias
+      for (_ <- 1 to iters) {
+        val wMap = typedlit((1 to dim).map(j => j -> w(j)).toMap)
+        val zrel = pairs
+          .select(col("__id"),
+            (col("__x") * element_at(wMap, col("__pos"))).cast(dec)
+              .as("__t"), col("__y"))
+          .groupBy("__id")
+          .agg((lit(1.0) / (lit(1.0) +
+            exp(-(sum(col("__t")).cast("double") + lit(w(0))))) -
+            first(col("__y"))).as("__d"))
+        val g = pairs.join(zrel, "__id")
+          .groupBy("__pos")
+          .agg(sum((col("__d") * col("__x")).cast(dec)).cast("double")
+            .as("__g"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val gb = zrel
+          .agg(coalesce(sum(col("__d").cast(dec)), lit(0).cast(dec))
+            .cast("double"))
+          .head().getDouble(0)
+        for (j <- 1 to dim)
+          w(j) = math.floor((w(j) - lr * g.getOrElse(j, 0.0) / n) * 1e9) / 1e9
+        w(0) = math.floor((w(0) - lr * gb / n) * 1e9) / 1e9
+      }
+      (0 to dim).map(j => (j, w(j))).toDF("pos", "weight")
+    } finally pairs.unpersist(blocking = false)
+  }
+
+  /** Confusion readout for the sparse form: score each doc under the
+    * [[logisticFitSparse]] weight relation (collected to a literal map
+    * — bounded at dim+1 by contract) with one doc-key aggregate, then
+    * one count aggregate. Output: (label, pred, n). */
+  def logisticConfusionSparse(pairs: DataFrame, idCol: String,
+                              posCol: String, xCol: String, yCol: String,
+                              weights: DataFrame): DataFrame = {
+    val wRows = weights.collect().map(r => r.getInt(0) -> r.getDouble(1))
+    val b = wRows.toMap.getOrElse(0, 0.0)
+    val wMap = typedlit(wRows.filter(_._1 > 0).toMap)
+    pairs
+      .select(col(idCol).as("__id"),
+        (col(xCol).cast("double") *
+          element_at(wMap, col(posCol).cast("int"))).cast(dec).as("__t"),
+        col(yCol).cast("double").as("__y"))
+      .groupBy("__id")
+      .agg(((sum(col("__t")).cast("double") + lit(b)) > 0.0).cast("int")
+        .as("pred"), first(col("__y")).cast("long").as("label"))
+      .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+  }
+
   /** The [[logisticFit]] training trajectory as a DuckDB `WITH` chain
     * over an `embeddings(vec_id, embedding, label)`-shaped relation
     * with `yExpr` the 0/1 label expression (cast it to DOUBLE): the
@@ -123,16 +203,28 @@ object LinearModel {
     * formulations provably equal. Ends with CTEs `w<iters>` (pos, w)
     * and `b<iters>` (b); chain a final SELECT after it. */
   def logisticCtesSql(relation: String, yExpr: String, dim: Int,
-                      iters: Int, lr: Double): String = {
-    val head =
-      s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                      iters: Int, lr: Double): String =
+    logisticCtesFromSql(
+      s"""e AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
          |    CAST(unnest(embedding) AS DOUBLE) AS x, $yExpr AS y
-         |  FROM $relation),
-         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $relation),
+         |  FROM $relation)""".stripMargin,
+      s"n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $relation)",
+      dim, iters, lr)
+
+  /** [[logisticCtesSql]] generalized to ANY feature relation: the
+    * caller supplies the `e AS (...)` CTE (vec_id, pos ∈ 1..dim, x, y;
+    * sparse is fine — absent terms add exact zero under the DECIMAL
+    * sums) and the `n AS (...)` one-row row-count CTE. How the
+    * hashed-TF text featurization plugs the same training chain. */
+  def logisticCtesFromSql(eCte: String, nCte: String, dim: Int,
+                          iters: Int, lr: Double): String = {
+    val head =
+      s"""WITH $eCte,
+         |$nCte,
          |w0 AS (SELECT i AS pos, 0.0 AS w FROM generate_series(1, $dim) t(i)),
          |b0 AS (SELECT 0.0 AS b)""".stripMargin
     val steps = (1 to iters).map { k =>
-      s"""z$k AS (SELECT e.vec_id, any_value(e.y) AS y,
+      s"""z$k AS MATERIALIZED (SELECT e.vec_id, any_value(e.y) AS y,
          |    1.0 / (1.0 + exp(-(CAST(sum(CAST(e.x * p.w AS DECIMAL(38,18)))
          |      AS DOUBLE) + any_value(b.b)))) AS s
          |  FROM e JOIN w${k - 1} p ON e.pos = p.pos, b${k - 1} b
@@ -142,9 +234,10 @@ object LinearModel {
          |  FROM e JOIN z$k z ON e.vec_id = z.vec_id GROUP BY e.pos),
          |gb$k AS (SELECT CAST(sum(CAST(s - y AS DECIMAL(38,18))) AS DOUBLE) AS gb
          |  FROM z$k),
-         |w$k AS (SELECT pos, floor((p.w - $lr * g.g / n.n) * 1e9) / 1e9 AS w
-         |  FROM w${k - 1} p JOIN g$k g USING (pos), n),
-         |b$k AS (SELECT floor((b.b - $lr * gb.gb / n.n) * 1e9) / 1e9 AS b
+         |w$k AS MATERIALIZED (SELECT pos,
+         |    floor((p.w - $lr * COALESCE(g.g, 0.0) / n.n) * 1e9) / 1e9 AS w
+         |  FROM w${k - 1} p LEFT JOIN g$k g USING (pos), n),
+         |b$k AS MATERIALIZED (SELECT floor((b.b - $lr * gb.gb / n.n) * 1e9) / 1e9 AS b
          |  FROM b${k - 1} b, gb$k gb, n)""".stripMargin
     }
     (head +: steps).mkString(",\n")
@@ -164,6 +257,16 @@ object LinearModel {
                                  dim: Int, iters: Int,
                                  lr: Double): String =
     logisticCtesSql(relation, yExpr, dim, iters, lr) + "\n" +
+      confusionSelectSql(iters)
+
+  /** [[logisticConfusionOracleSql]] over a caller-supplied feature
+    * relation (see [[logisticCtesFromSql]]). */
+  def logisticConfusionFromSql(eCte: String, nCte: String, dim: Int,
+                               iters: Int, lr: Double): String =
+    logisticCtesFromSql(eCte, nCte, dim, iters, lr) + "\n" +
+      confusionSelectSql(iters)
+
+  private def confusionSelectSql(iters: Int): String =
     s"""SELECT CAST(y AS BIGINT) AS label,
        |  CAST(CASE WHEN zz > 0.0 THEN 1 ELSE 0 END AS INT) AS pred,
        |  CAST(count(*) AS BIGINT) AS n

@@ -858,6 +858,91 @@ object TextAnalysis {
   }
 
   // --------------------------------------------------------------------
+  // Hashing-trick TF featurization (Weinberger et al. 2009; the Vowpal
+  // Wabbit recipe) — turn raw text into FIXED-dimension dense vectors
+  // with no vocabulary table at all: token → md5 bucket, per-doc
+  // term-frequency normalized by length. The bridge from the text
+  // surface to [[LinearModel.logisticFit]]: hash + featurize + train +
+  // score, entirely in-engine, any corpus size, zero driver state.
+  // --------------------------------------------------------------------
+
+  /** Per-document `dim`-dimensional hashed-TF vector: bucket =
+    * md5-uniform(token) mod dim ([[DetRandom.md5Long48]] — engine-
+    * exact, no vocab), feature x_b = count_b · dim / n_tokens (exact
+    * integer products → identical doubles; the ·dim puts features at
+    * O(1) magnitude so downstream gradient descent is conditioned —
+    * raw tf at large dim leaves every coordinate ~1/dim and the
+    * trainer crawls). Zero-token docs drop (nothing to featurize —
+    * the [[nbClassify]] contract). ONE doc-key exchange: the
+    * (doc, bucket) count and the dense-array assembly ride the same
+    * aggregate pair. Output: (idCol, features: array<double>,
+    * n_tokens). */
+  def hashedTfVectors(docs: DataFrame, idCol: String, textCol: String,
+                      dim: Int = 64): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val toks = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("__t"))
+    val cnt = toks
+      .select(col(idCol),
+        pmod(DetRandom.md5Long48(col("__t")), lit(dim.toLong))
+          .cast("int").as("__b"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+    cnt.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__c"))))
+        .as("__m"), sum("__c").as("n_tokens"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (coalesce(element_at(col("__m"), i), lit(0L)) * dim)
+            .cast("double") / col("n_tokens").cast("double"))
+          .as("features"),
+        col("n_tokens"))
+  }
+
+  /** [[hashedTfVectors]] in SPARSE form — (idCol, pos ∈ 1..dim, x,
+    * n_tokens) rows, absent buckets implicit zeros: the input shape
+    * for [[LinearModel.logisticFitSparse]]. One doc-key exchange (the
+    * bucket count and the per-doc length ride the same partitioning:
+    * count then a doc-partition window sum). */
+  def hashedTfPairs(docs: DataFrame, idCol: String, textCol: String,
+                    dim: Int = 256): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val cnt = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol),
+        pmod(DetRandom.md5Long48(col("__t")), lit(dim.toLong))
+          .cast("int").as("__b"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+    cnt.withColumn("n_tokens", sum("__c").over(wn))
+      .select(col(idCol), (col("__b") + 1).as("pos"),
+        (col("__c") * dim).cast("double") /
+          col("n_tokens").cast("double") as "x",
+        col("n_tokens"))
+  }
+
+  /** The sparse-exploded DuckDB twin of [[hashedTfVectors]] feeding
+    * [[LinearModel.logisticCtesFromSql]]: emits CTE bodies `fcnt`,
+    * `flen` and `e` (vec_id, pos, x, y) from a relation `fdoc`
+    * (doc_id, text, y) the caller provides. Sparse (zero features
+    * absent) — arithmetically identical under the per-term DECIMAL
+    * sums, since zero terms add exact zero. */
+  def hashedTfOracleSql(dim: Int = 64): String = {
+    val toks =
+      "list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0)"
+    val bucket = DetRandom.md5Long48SqlExpr("t")
+    s"""ftok AS MATERIALIZED (SELECT doc_id, unnest($toks) AS t, y FROM fdoc),
+       |fcnt AS MATERIALIZED (SELECT doc_id, CAST(($bucket) % $dim AS INT) AS b,
+       |    CAST(count(*) AS BIGINT) AS c, any_value(y) AS y
+       |  FROM ftok GROUP BY doc_id, CAST(($bucket) % $dim AS INT)),
+       |flen AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+       |  FROM fcnt GROUP BY doc_id),
+       |e AS MATERIALIZED (SELECT fcnt.doc_id AS vec_id, b + 1 AS pos,
+       |    CAST(c * $dim AS DOUBLE) / CAST(n AS DOUBLE) AS x, y
+       |  FROM fcnt JOIN flen USING (doc_id))""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; Chen &
   // Goodman 1999 §2.7) — the perplexity filter of the CCNet recipe:
   // train the LM on a trusted sub-corpus, keep crawl documents whose

@@ -693,6 +693,20 @@ object ScaleSweep {
     // posting joins + per-doc fold over the scaled score stream
     sweep("kn_lm")(k => TextAnalysis.kneserNeyScore(
       docsAt(k), docs0.select(col("text")), "doc_id", "text"))
+    // sparse text classifier, fixed 4 iterations: featurize + train
+    // run EAGERLY inside the thunk (driver model hops), the returned
+    // confusion is the only lazy part — wall time covers the pipeline
+    sweep("text_lr")(k => {
+      val d = docsAt(k)
+      val pairs = TextAnalysis.hashedTfPairs(d, "doc_id", "text", 256)
+        .join(d.select(col("doc_id"),
+          array_contains(TextAnalysis.tokens(col("text")), "spark")
+            .cast("int").as("y")), "doc_id")
+      val w = graft.operators.LinearModel.logisticFitSparse(pairs,
+        "doc_id", "pos", "x", "y", dim = 256, iters = 4, lr = 1.0)
+      graft.operators.LinearModel.logisticConfusionSparse(pairs,
+        "doc_id", "pos", "x", "y", w)
+    })
     sweep("bleu")(k => {
       val d = docsAt(k)
       graft.operators.Eval.bleuCorpus(
