@@ -3742,6 +3742,19 @@ object SparkEntry {
         .orderBy("label", "pred")
     }),
 
+    // variance-optimal budget spending: Neyman-allocation stratified
+    // sample of 600 events across event types (n_h proportional to
+    // N_h*sigma_h) — exact quantized moments, integer allocation,
+    // md5-rank membership
+    "q_neyman" -> ((s, dir) => {
+      Sampling.neymanSample(table(s, dir, "events")
+          .select(col("event_type"), col("event_id"), col("value")),
+        "event_type", "value", "event_id", budget = 600L)
+        .select(col("event_type"), col("event_id"), col("n_stratum"),
+          round(col("sigma"), 9).as("sigma"), col("alloc"))
+        .orderBy("event_type", "event_id")
+    }),
+
     // deployment gate for a trained filter: split-conformal prediction
     // sets at alpha=0.1 over the synthetic q_auc classifier (even
     // events calibrate, odd evaluate) — rank-statistic threshold on the
@@ -6493,6 +6506,12 @@ object SparkEntry {
              "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM flen)",
              dim = 256, iters = 16, lr = 1.0).replaceFirst("^WITH ", "")}
          |) ORDER BY label, pred""".stripMargin,
+    "q_neyman" ->
+      s"""SELECT st AS event_type, id AS event_id, n_stratum,
+         |  round(sigma, 9) AS sigma, alloc FROM (
+         |${graft.operators.Sampling.neymanOracleSql("events",
+             "event_type", "value", "event_id", budget = 600L)}
+         |) ORDER BY event_type, event_id""".stripMargin,
     "q_conformal" ->
       s"""SELECT n_cal, k, round(qhat, 9) AS qhat, n_eval,
          |  round(coverage, 9) AS coverage,

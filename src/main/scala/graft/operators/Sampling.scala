@@ -285,4 +285,92 @@ object Sampling {
       .limit(k)
       .drop("__wkey")
   }
+
+  // --------------------------------------------------------------------
+  // Neyman-allocation stratified sampling (Neyman 1934) — the
+  // variance-OPTIMAL way to spend a fixed row budget across strata:
+  // n_h ∝ N_h·σ_h, so high-variance strata get proportionally more of
+  // the budget and the stratified-mean estimator's variance is
+  // minimized. The statistically-grounded upgrade of proportional
+  // sampling for profiling/eval at corpus scale. Every step is exact:
+  // nano-quantized moment sums in decimal, allocation by INTEGER
+  // division, membership by md5 rank.
+  // --------------------------------------------------------------------
+
+  /** Sample ~`budget` rows across the strata of `stratumCol`,
+    * allocating n_h = ⌊budget·w_h / Σw_h⌋ with w_h = ⌊10⁶·N_h·σ_h⌋
+    * (population σ over `valueCol`, computed from exact nano-quantized
+    * Σv/Σv² in decimal(38,0) — corpus-scale-safe). Zero-variance
+    * strata get allocation 0 (their mean is already exact from any
+    * single row — the Neyman edge case, documented not patched).
+    * Within a stratum the kept rows are the md5-first n_h (stable
+    * pseudo-random order, engine-exact).
+    *
+    * Scale: one grouped moment aggregate (stratum-keyed), one
+    * strata-sized total, broadcast back; ONE stratum-key window ranks
+    * the corpus. Output: df columns + (n_stratum, sigma, alloc). */
+  def neymanSample(df: DataFrame, stratumCol: String, valueCol: String,
+                   idCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val q = floor(col(valueCol).cast("double") * lit(1e9)).cast("long")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val stats = df
+      .select(col(stratumCol).as("__st"), q.as("__q"))
+      .groupBy("__st")
+      .agg(count(lit(1)).as("__n"), sum(d38(col("__q"))).as("__sv"),
+        sum(d38(col("__q")) * d38(col("__q"))).as("__sv2"))
+      .select(col("__st"), col("__n"),
+        (sqrt((d38(col("__n")) * col("__sv2") - col("__sv") * col("__sv"))
+          .cast("double")) /
+          (col("__n").cast("double") * lit(1e9))).as("__sigma"))
+      .select(col("__st"), col("__n"), col("__sigma"),
+        floor(col("__n").cast("double") * col("__sigma") * lit(1e6))
+          .cast("long").as("__w"))
+    val tot = stats.agg(coalesce(sum("__w"), lit(0L)).as("__tw"))
+    val alloc = stats.crossJoin(broadcast(tot))
+      .select(col("__st"), col("__n").as("n_stratum"),
+        col("__sigma").as("sigma"),
+        when(col("__tw") > 0,
+          expr(s"($budget * __w) div __tw")).otherwise(lit(0L))
+          .as("alloc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(alloc),
+        col(stratumCol) === col("__st"), "inner")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("alloc"))
+      .drop("__st", "__rn")
+  }
+
+  /** [[neymanSample]] as DuckDB SQL over `relation`: same quantized
+    * moments, same integer allocation, same md5 ranking. Emits a full
+    * SELECT of (stratum, id, n_stratum, sigma, alloc). */
+  def neymanOracleSql(relation: String, stratumExpr: String,
+                      valueExpr: String, idExpr: String,
+                      budget: Long): String =
+    s"""WITH r AS (SELECT $stratumExpr AS st, $idExpr AS id,
+       |    CAST(floor(CAST($valueExpr AS DOUBLE) * 1e9) AS BIGINT) AS q
+       |  FROM $relation),
+       |st AS (SELECT st, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(q AS HUGEINT)) AS sv,
+       |    sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS sv2
+       |  FROM r GROUP BY st),
+       |sig AS (SELECT st, n,
+       |    sqrt(CAST(CAST(n AS HUGEINT) * sv2 - sv * sv AS DOUBLE))
+       |      / (CAST(n AS DOUBLE) * 1e9) AS sigma
+       |  FROM st),
+       |wt AS (SELECT st, n, sigma,
+       |    CAST(floor(CAST(n AS DOUBLE) * sigma * 1e6) AS BIGINT) AS w
+       |  FROM sig),
+       |tw AS (SELECT CAST(COALESCE(sum(w), 0) AS BIGINT) AS tw FROM wt),
+       |alloc AS (SELECT st, n AS n_stratum, sigma,
+       |    CASE WHEN tw > 0 THEN ($budget * w) // tw ELSE 0 END AS alloc
+       |  FROM wt, tw),
+       |ranked AS (SELECT r.st, r.id, a.n_stratum, a.sigma, a.alloc,
+       |    row_number() OVER (PARTITION BY r.st
+       |      ORDER BY md5(CAST(r.id AS VARCHAR)), r.id) AS rn
+       |  FROM r JOIN alloc a ON r.st = a.st)
+       |SELECT st, id, n_stratum, sigma, alloc
+       |FROM ranked WHERE rn <= alloc""".stripMargin
 }

@@ -693,6 +693,9 @@ object ScaleSweep {
     // posting joins + per-doc fold over the scaled score stream
     sweep("kn_lm")(k => TextAnalysis.kneserNeyScore(
       docsAt(k), docs0.select(col("text")), "doc_id", "text"))
+    sweep("neyman")(k => Sampling.neymanSample(
+      evAt(k).select(col("event_type"), col("event_id"), col("value")),
+      "event_type", "value", "event_id", budget = 600L))
     // sparse text classifier, fixed 4 iterations: featurize + train
     // run EAGERLY inside the thunk (driver model hops), the returned
     // confusion is the only lazy part — wall time covers the pipeline

@@ -2956,4 +2956,29 @@ class OperatorsSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 2L, 3L))
   }
+
+  test("neymanSample: variance-proportional allocation by hand") {
+    // stratum a: values {0, 2} -> sigma = 1, w = 2e6;
+    // stratum b: {5, 5, 5} -> sigma = 0, w = 0 (zero-variance drop)
+    val df = Seq(("a", 1L, 0.0), ("a", 2L, 2.0),
+      ("b", 3L, 5.0), ("b", 4L, 5.0), ("b", 5L, 5.0))
+      .toDF("st", "id", "v")
+    val r = Sampling.neymanSample(df, "st", "v", "id", budget = 2L)
+      .collect().map(x => x.getLong(1) ->
+        (x.getString(0), x.getLong(3), x.getDouble(4), x.getLong(5)))
+      .toMap
+    assert(r.keySet == Set(1L, 2L))          // both a-rows, no b-rows
+    assert(r(1L)._2 == 2 && r(1L)._3 == 1.0 && r(1L)._4 == 2L)
+  }
+
+  test("neymanSample: allocation caps at the budget split; md5 order stable") {
+    val df = Seq.tabulate(20)(i =>
+      ("s" + (i % 2), i.toLong, (i * 7 % 5).toDouble)).toDF("st", "id", "v")
+    val out = Sampling.neymanSample(df, "st", "v", "id", budget = 6L)
+    assert(out.count() <= 6)
+    val again = Sampling.neymanSample(df.repartition(7), "st", "v", "id",
+      budget = 6L)
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
 }
