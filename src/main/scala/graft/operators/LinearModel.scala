@@ -61,35 +61,38 @@ object LinearModel {
     val pts = scope.fold(pts0)(_.cache(pts0))
     val spark = points.sparkSession
     import spark.implicits._
-    var model = Seq((Seq.fill(dim)(0.0), 0.0)).toDF("__w", "__b")
+    // the parameter-server-lite loop: the model rides IN as a one-row
+    // broadcast of DATA (never per-iteration literals — the generated
+    // whole-stage source stays bit-identical across iterations, so the
+    // gradient aggregate codegen-compiles ONCE) and the dim+2 gradient
+    // doubles hop back to the driver per step — bounded by dim, never
+    // by the corpus. The driver-side update replays the exact q9 IEEE
+    // sequence ((lr·∇)/n, one floor per weight) the Catalyst form used,
+    // so trajectories are unchanged.
+    val w = Array.fill(dim)(0.0)
+    var b = 0.0
     for (_ <- 1 to iters) {
+      val model = broadcast(Seq((w.toSeq, b)).toDF("__w", "__b"))
       val z = dotDec(col("__x"), col("__w")) + col("__b")
       val s = lit(1.0) / (lit(1.0) + exp(-z))
-      // the old weights ride THROUGH the aggregate (first() of a
-      // constant column), so each iteration references the previous
-      // model subtree exactly ONCE — corpus scans stay linear in
-      // iters, not 2^iters
       val gradCols = (1 to dim).map { j =>
         sum(((s - col("__y")) * element_at(col("__x"), j).cast("double"))
           .cast(dec)).cast("double").as(s"__g$j")
       } ++ Seq(
         sum((s - col("__y")).cast(dec)).cast("double").as("__gb"),
-        count(lit(1)).as("__n"),
-        first(col("__w")).as("__pw"), first(col("__b")).as("__pb"))
-      val grad = pts.crossJoin(broadcast(model))
+        count(lit(1)).as("__n"))
+      val row = pts.crossJoin(model)
         .agg(gradCols.head, gradCols.tail: _*)
-      model = grad.select(
-        array((1 to dim).map(j =>
-          q9(element_at(col("__pw"), j) -
-            lit(lr) * col(s"__g$j") / col("__n").cast("double"))): _*)
-          .as("__w"),
-        q9(col("__pb") - lit(lr) * col("__gb") / col("__n").cast("double"))
-          .as("__b"))
+        .head()
+      val n = row.getLong(dim + 1).toDouble
+      for (j <- 1 to dim)
+        w(j - 1) =
+          math.floor((w(j - 1) - lr * row.getDouble(j - 1) / n) * 1e9) / 1e9
+      b = math.floor((b - lr * row.getDouble(dim) / n) * 1e9) / 1e9
     }
-    // single model reference: bias prepends at index 0, so posexplode's
-    // 0-based index IS the pos contract (0 = bias, j = w_j)
-    model.select(posexplode(concat(array(col("__b")), col("__w")))
-      .as(Seq("pos", "weight")))
+    // pos contract: 0 = bias, j = w_j
+    (0 to dim).map(j => (j, if (j == 0) b else w(j - 1)))
+      .toDF("pos", "weight")
   }
 
   /** Score `points` under a fitted weight relation (the
@@ -125,13 +128,18 @@ object LinearModel {
     * here per-iteration work is O(nnz) and the plan is O(1) per
     * iteration.
     *
-    * Scale: per iteration, one doc-key aggregate (z, with the weight
-    * lookup an O(1) literal-map probe — no join), one doc-key
-    * join-back + pos-key aggregate (the gradient), and a MODEL-SIZED
-    * driver hop (≤ dim+1 doubles — the parameter-server-lite pattern;
-    * bounded by dim, never by the corpus). The pairs relation persists
-    * for the iteration loop and unpersists before return. Output:
-    * (pos, weight), pos 0 = bias. */
+    * Scale: per iteration, ONE action — a doc-key aggregate (z, with
+    * the weight lookup an O(1) literal-map probe — no join) feeding a
+    * doc-key join-back + pos-key aggregate (the gradient), and a
+    * MODEL-SIZED driver hop (≤ dim+1 doubles — the
+    * parameter-server-lite pattern; bounded by dim, never by the
+    * corpus). The bias is carried as a synthetic pos-0 / x=1 row per
+    * doc, so its gradient Σ(σ(z)−y)·1 falls out of the SAME per-pos
+    * aggregate instead of a second full corpus pass (z itself still
+    * adds the bias as the identical trailing double — the trajectory
+    * is bit-for-bit the two-pass one). The augmented pairs relation
+    * persists for the iteration loop and unpersists before return.
+    * Output: (pos, weight), pos 0 = bias. */
   def logisticFitSparse(pairs0: DataFrame, idCol: String, posCol: String,
                         xCol: String, yCol: String, dim: Int,
                         iters: Int = 5, lr: Double = 0.5): DataFrame = {
@@ -139,36 +147,49 @@ object LinearModel {
     require(dim >= 1 && dim <= (1 << 20), s"dim must be in [1,2^20], got $dim")
     val spark = pairs0.sparkSession
     import spark.implicits._
-    val pairs = pairs0.select(col(idCol).as("__id"),
-        col(posCol).cast("int").as("__pos"),
-        col(xCol).cast("double").as("__x"),
-        col(yCol).cast("double").as("__y"))
+    val feats = pairs0.select(col(idCol).as("__id"),
+      col(posCol).cast("int").as("__pos"),
+      col(xCol).cast("double").as("__x"),
+      col(yCol).cast("double").as("__y"))
+    val biasRows = feats.groupBy("__id").agg(first(col("__y")).as("__y"))
+      .select(col("__id"), lit(0).as("__pos"), lit(1.0).as("__x"),
+        col("__y"))
+    val pairs = feats.unionByName(biasRows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = pairs.select("__id").distinct().count().toDouble
+      // one row per doc by construction — doubles as the cache warm-up
+      val n = pairs.where(col("__pos") === 0).count().toDouble
       val w = Array.fill(dim + 1)(0.0) // index 0 = bias
       for (_ <- 1 to iters) {
-        val wMap = typedlit((1 to dim).map(j => j -> w(j)).toMap)
-        val zrel = pairs
+        // the model hops in as broadcast DATA (a dim-row relation + a
+        // one-row bias relation), NOT as per-iteration literals — the
+        // generated whole-stage source is bit-identical across
+        // iterations, so Spark's codegen cache compiles the loop body
+        // ONCE instead of `iters` times (the literal-map form paid a
+        // fresh 257-constant compile every step)
+        val wRel = broadcast((1 to dim).map(j => (j, w(j)))
+          .toDF("__wpos", "__wj"))
+        val bRel = broadcast(Seq(w(0)).toDF("__b"))
+        val zrel = pairs.where(col("__pos") > 0)
+          .join(wRel, col("__pos") === col("__wpos"))
+          .crossJoin(bRel)
           .select(col("__id"),
-            (col("__x") * element_at(wMap, col("__pos"))).cast(dec)
-              .as("__t"), col("__y"))
+            (col("__x") * col("__wj")).cast(dec).as("__t"),
+            col("__y"), col("__b"))
           .groupBy("__id")
           .agg((lit(1.0) / (lit(1.0) +
-            exp(-(sum(col("__t")).cast("double") + lit(w(0))))) -
+            exp(-(sum(col("__t")).cast("double") + first(col("__b"))))) -
             first(col("__y"))).as("__d"))
+        // pos 0 rows have x = 1, so __g(0) IS the bias gradient
+        // Σ(σ(z)−y) — (d·1.0) ≡ d under IEEE, term-identical to a
+        // dedicated bias pass
         val g = pairs.join(zrel, "__id")
           .groupBy("__pos")
           .agg(sum((col("__d") * col("__x")).cast(dec)).cast("double")
             .as("__g"))
           .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-        val gb = zrel
-          .agg(coalesce(sum(col("__d").cast(dec)), lit(0).cast(dec))
-            .cast("double"))
-          .head().getDouble(0)
-        for (j <- 1 to dim)
+        for (j <- 0 to dim)
           w(j) = math.floor((w(j) - lr * g.getOrElse(j, 0.0) / n) * 1e9) / 1e9
-        w(0) = math.floor((w(0) - lr * gb / n) * 1e9) / 1e9
       }
       (0 to dim).map(j => (j, w(j))).toDF("pos", "weight")
     } finally pairs.unpersist(blocking = false)
