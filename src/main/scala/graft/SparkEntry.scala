@@ -3708,6 +3708,58 @@ object SparkEntry {
         .orderBy("pos")
     }),
 
+    // greedy k-center coreset (farthest-point traversal): 12 maximally-
+    // spread embeddings — k rounds of one broadcast join + min/argmax
+    // aggregate, per-coordinate nano-quantized distances (integer-exact
+    // selection, no ulp flips)
+    "q_kcenter" -> ((s, dir) => {
+      graft.operators.Coreset.kCenter(table(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 12)
+        .orderBy("round")
+    }),
+
+    // DBSCAN roles over the embedding plane via the epsilon-grid join:
+    // 3x3-neighborhood candidates, exact squared-distance filter,
+    // core/border/noise labels — never a cartesian product
+    "q_dbscan" -> ((s, dir) => {
+      graft.operators.Density.dbscanRoles(
+        table(s, dir, "embeddings")
+          .select(col("vec_id"),
+            element_at(col("embedding"), 1).as("x"),
+            element_at(col("embedding"), 2).as("y")),
+        "vec_id", "x", "y", eps = 0.02, minPts = 5L)
+        .orderBy("vec_id")
+    }),
+
+    // in-engine decision-tree training by level-wise histogram split
+    // finding (the XGBoost pattern): depth-2 tree on the first 8
+    // embedding coordinates predicting label<5, 16 exact-binary-width
+    // bins — ONE corpus aggregate per level, model-sized driver hops,
+    // integer-exact histograms, 1e-9-quantized gain ranking
+    "q_tree" -> ((s, dir) => {
+      val pts = table(s, dir, "embeddings")
+        .select(col("embedding"),
+          (col("label") < 5).cast("int").as("y"))
+      graft.operators.TreeModel.treeFit(pts, "embedding", "y",
+        nFeatures = 8, bins = 16, lo = -0.5, hi = 0.5, depth = 2,
+        minLeaf = 5L)
+        .orderBy("node_id")
+    }),
+
+    // ...and the fitted tree's training-set confusion: a map-only
+    // CASE-chain walk to the leaf + one count aggregate
+    "q_tree_acc" -> ((s, dir) => {
+      val pts = table(s, dir, "embeddings")
+        .select(col("embedding"),
+          (col("label") < 5).cast("int").as("y"))
+      val tree = graft.operators.TreeModel.treeFit(pts, "embedding", "y",
+        nFeatures = 8, bins = 16, lo = -0.5, hi = 0.5, depth = 2,
+        minLeaf = 5L)
+      graft.operators.TreeModel.treeConfusion(pts, "embedding", "y",
+        tree, nFeatures = 8, bins = 16, lo = -0.5, hi = 0.5)
+        .orderBy("label", "pred")
+    }),
+
     // ...and the fitted model's training-set confusion matrix — the
     // accuracy readout a filter-training pipeline gates deployment on
     "q_logreg_acc" -> ((s, dir) => {
@@ -6487,6 +6539,38 @@ object SparkEntry {
              "CASE WHEN CAST(embedding[1] AS DOUBLE) > 0.0 THEN 1.0 ELSE 0.0 END",
              dim = 64, iters = 5, lr = 0.5)}
          |) ORDER BY pos""".stripMargin,
+    "q_kcenter" ->
+      s"""SELECT round, vec_id, d2_q9 FROM (
+         |${graft.operators.Coreset.kCenterOracleSql(
+             "p AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v " +
+               "FROM embeddings)",
+             "vec_id", k = 12)}
+         |) ORDER BY round""".stripMargin,
+    "q_dbscan" ->
+      s"""SELECT vec_id, n_neighbors, role FROM (
+         |${graft.operators.Density.dbscanOracleSql(
+             "p AS (SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x, " +
+               "CAST(embedding[2] AS DOUBLE) AS y FROM embeddings)",
+             "vec_id", eps = 0.02, minPts = 5L)}
+         |) ORDER BY vec_id""".stripMargin,
+    "q_tree" ->
+      s"""SELECT node_id, depth, n, n_pos, feature, bin, threshold,
+         |  gain_q9 FROM (
+         |${graft.operators.TreeModel.treeCtesSql(
+             "pts AS (SELECT vec_id AS rid, CAST(embedding AS DOUBLE[]) AS v, " +
+               "CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings)",
+             nFeatures = 8, bins = 16, lo = -0.5, hi = 0.5, depth = 2,
+             minLeaf = 5L)}
+         |SELECT * FROM nodes
+         |) ORDER BY node_id""".stripMargin,
+    "q_tree_acc" ->
+      s"""SELECT label, pred, n FROM (
+         |${graft.operators.TreeModel.treeConfusionSql(
+             "pts AS (SELECT vec_id AS rid, CAST(embedding AS DOUBLE[]) AS v, " +
+               "CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings)",
+             nFeatures = 8, bins = 16, lo = -0.5, hi = 0.5, depth = 2,
+             minLeaf = 5L)}
+         |) ORDER BY label, pred""".stripMargin,
     "q_logreg_acc" ->
       s"""SELECT label, pred, n FROM (
          |${graft.operators.LinearModel.logisticConfusionOracleSql(

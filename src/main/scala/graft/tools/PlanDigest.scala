@@ -97,14 +97,17 @@ object PlanDigest {
     // aggregate (a flip to a shuffled join would exchange the corpus
     // once per centroid)
     "q_chi2_tokens", "q_silhouette",
-    // logreg pins ONE corpus-scan aggregate PER ITERATION (exactly
-    // iters=5 scans — the old-weights-ride-through-first() trick keeps
-    // the model subtree referenced once, else scans go 2^iters) with
-    // the model as one-row broadcasts — no explode of the feature
-    // array, no row-key self-join. SortAggregate (not hash) because
-    // the first(array) accumulator isn't hash-buffer sized; grouping
-    // is empty so no actual sort happens
-    "q_logreg")
+    // logreg trains eagerly (round-9: one codegen-stable aggregate job
+    // per iteration, model hops via driver), so its FINAL plan is just
+    // the local weight relation — the pin now guards against training
+    // work leaking back into the returned plan
+    "q_logreg",
+    // round-9 session-3: dbscan pins the epsilon-grid machinery — one
+    // bounded x9 Generate, cell-keyed joins, count aggregates, and NO
+    // CartesianProduct (the regression this pin exists to catch);
+    // tree_acc pins the map-only CASE-chain walk + one count aggregate
+    // (training is eager driver-hop jobs, like logreg)
+    "q_dbscan", "q_tree_acc")
 
   val SnapshotPath = "tools/plan_digests.txt"
   val DefaultSfDir = "/root/testdata/sf0.001"
