@@ -720,6 +720,26 @@ object ScaleSweep {
         "id", "cand", "ref", maxN = 4)
     })
 
+    // round-9 session-3 families
+    sweep("tree")(k => graft.operators.TreeModel.treeFit(
+      embAt(k).select(col("embedding"),
+        (col("vec_id") % 2).cast("int").as("y")),
+      "embedding", "y", nFeatures = 8, bins = 16, lo = -0.5, hi = 0.5,
+      depth = 2, minLeaf = 5L))
+    // copies shift by +10·i in x: disjoint grid regions, so DENSITY is
+    // constant and the slope measures the operator, not a thickening
+    // eps-ball (same rationale as the cipher/sign-flip corpora)
+    sweep("dbscan")(k => graft.operators.Density.dbscanRoles(
+      (0 until k).map { i =>
+        emb0.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          (element_at(col("embedding"), 1).cast("double") + lit(i * 10.0))
+            .as("x"),
+          element_at(col("embedding"), 2).cast("double").as("y"))
+      }.reduce(_ unionAll _),
+      "vec_id", "x", "y", eps = 0.02, minPts = 5L))
+    sweep("kcenter")(k => graft.operators.Coreset.kCenter(
+      embAt(k), "vec_id", "embedding", k = 12))
+
     def renderMap(m: scala.collection.Map[String, Seq[Double]]): String =
       m.map { case (k, v) =>
         "\"" + k + "\":[" + v.map(x => f"$x%.2f").mkString(",") + "]"
