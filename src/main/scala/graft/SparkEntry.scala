@@ -3708,6 +3708,69 @@ object SparkEntry {
         .orderBy("pos")
     }),
 
+    // Flesch reading-ease per doc: map-only codegen'd scan with
+    // deterministic sentence/syllable proxies shared with the oracle
+    "q_readability" -> ((s, dir) => {
+      TextAnalysis.readability(table(s, dir, "documents"), "doc_id",
+          "text")
+        .select(col("doc_id"), col("words"), col("sentences"),
+          col("syllables"), round(col("flesch"), 6).as("flesch"))
+        .orderBy("doc_id")
+    }),
+
+    // tokenizer fertility by language: chars/token + bytes/char — the
+    // multilingual budget planner's per-script signal, ONE integer agg
+    "q_fertility" -> ((s, dir) => {
+      TextAnalysis.fertilityByLang(table(s, dir, "documents"), "lang",
+          "text")
+        .select(col("lang"), col("n_docs"), col("tokens"), col("chars"),
+          col("bytes"), round(col("chars_per_token"), 9).as("chars_per_token"),
+          round(col("bytes_per_char"), 9).as("bytes_per_char"))
+        .orderBy("lang")
+    }),
+
+    // trigram type-token ratio per source: the templatedness /
+    // boilerplate-share signal (exact distinct; HLL seam at 100 TB)
+    "q_ngram_diversity" -> ((s, dir) => {
+      TextAnalysis.ngramDiversity(table(s, dir, "documents"), "source",
+          "text", n = 3)
+        .select(col("source"), col("n_ngrams"), col("n_distinct"),
+          round(col("ttr"), 9).as("ttr"))
+        .orderBy("source")
+    }),
+
+    // Welch's t between every event-type pair on value: nano-quantized
+    // exact moments, model-sized pairwise algebra, no pooled-variance
+    // assumption
+    "q_ttest" -> ((s, dir) => {
+      graft.operators.Profile.welchTTest(
+        table(s, dir, "events").select(col("event_type"), col("value")),
+        "event_type", "value")
+        .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+          round(col("mean_diff"), 6).as("mean_diff"),
+          round(col("t_stat"), 6).as("t_stat"),
+          round(col("welch_df"), 6).as("welch_df"))
+        .orderBy("group_a", "group_b")
+    }),
+
+    // arbitrary GROUPING SETS (beyond cube/rollup): the named subtotal
+    // combinations an aggregation dashboard actually asks for, one
+    // Expand + one hash aggregate
+    "q_grouping_sets" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 4)))
+            .cast("double").as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy("rf", "ls")
+    }),
+
     // greedy k-center coreset (farthest-point traversal): 12 maximally-
     // spread embeddings — k rounds of one broadcast join + min/argmax
     // aggregate, per-coordinate nano-quantized distances (integer-exact
@@ -6539,6 +6602,50 @@ object SparkEntry {
              "CASE WHEN CAST(embedding[1] AS DOUBLE) > 0.0 THEN 1.0 ELSE 0.0 END",
              dim = 64, iters = 5, lr = 0.5)}
          |) ORDER BY pos""".stripMargin,
+    "q_readability" ->
+      s"""SELECT doc_id, words, sentences, syllables,
+         |  round(flesch, 6) AS flesch FROM (
+         |${TextAnalysis.readabilityOracleSql("doc_id", "text",
+             "documents")}
+         |) ORDER BY doc_id""".stripMargin,
+    "q_fertility" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS tokens,
+         |  CAST(sum(ch) AS BIGINT) AS chars,
+         |  CAST(sum(byt) AS BIGINT) AS bytes,
+         |  round(CAST(sum(ch) AS DOUBLE) /
+         |    CAST(greatest(sum(tok), 1) AS DOUBLE), 9) AS chars_per_token,
+         |  round(CAST(sum(byt) AS DOUBLE) /
+         |    CAST(greatest(sum(ch), 1) AS DOUBLE), 9) AS bytes_per_char
+         |FROM (SELECT lang,
+         |        CAST(len(list_filter(string_split_regex(trim(text),
+         |          '\\s+'), w -> len(w) > 0)) AS BIGINT) AS tok,
+         |        CAST(length(text) AS BIGINT) AS ch,
+         |        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byt
+         |      FROM documents)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_ngram_diversity" ->
+      s"""SELECT source, n_ngrams, n_distinct, round(ttr, 9) AS ttr
+         |FROM (
+         |${TextAnalysis.ngramDiversityOracleSql("source", "text",
+             "documents", n = 3)}
+         |) ORDER BY source""".stripMargin,
+    "q_ttest" ->
+      s"""SELECT group_a, group_b, n_a, n_b,
+         |  round(mean_diff, 6) AS mean_diff, round(t_stat, 6) AS t_stat,
+         |  round(welch_df, 6) AS welch_df FROM (
+         |${graft.operators.Profile.welchTTestOracleSql("events",
+             "event_type", "value")}
+         |) ORDER BY group_a, group_b""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())
+        |ORDER BY rf, ls""".stripMargin,
     "q_kcenter" ->
       s"""SELECT round, vec_id, d2_q9 FROM (
          |${graft.operators.Coreset.kCenterOracleSql(

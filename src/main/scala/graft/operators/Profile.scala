@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-pass table profiling: per-column null counts, exact distinct
@@ -340,6 +340,83 @@ object Profile {
 
   /** [[profile]] as DuckDB SQL over `relation` for the given columns
     * (integer/string columns only — see the rendering caveat above). */
+  /** Welch's unequal-variance t-test between every pair of groups —
+    * the segment-comparison readout behind "did source A's quality
+    * scores really shift vs source B" (no pooled-variance assumption,
+    * so heteroscedastic segments compare honestly). Emits the t
+    * statistic and Welch–Satterthwaite df; significance thresholds are
+    * the caller's (no CDF seam in-engine).
+    *
+    * Scale shape: ONE grouped integer aggregate over the corpus
+    * (per-row values nano-quantize to longs, moments sum exactly in
+    * decimal(38,0) — the [[Sampling.neymanSample]] recipe), then the
+    * pairwise algebra runs on the model-sized group relation (a
+    * |groups|² cross of one-row stats, never of data). Double math is
+    * the identical IEEE sequence both engines; groups need n ≥ 2.
+    *
+    * Output: (group_a, group_b, n_a, n_b, mean_diff, t_stat, welch_df),
+    * pairs with group_a < group_b. */
+  def welchTTest(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame = {
+    val q = floor(col(valueCol).cast("double") * lit(1e9)).cast("long")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val stats = df
+      .select(col(groupCol).cast("string").as("__g"), q.as("__q"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__n"), sum(d38(col("__q"))).as("__sv"),
+        sum(d38(col("__q")) * d38(col("__q"))).as("__sv2"))
+      .where(col("__n") >= 2)
+      .select(col("__g"), col("__n"),
+        (col("__sv").cast("double") /
+          (col("__n").cast("double") * lit(1e9))).as("__mean"),
+        ((d38(col("__n")) * col("__sv2") - col("__sv") * col("__sv"))
+          .cast("double") /
+          ((col("__n").cast("double") * (col("__n") - 1).cast("double")) *
+            lit(1e18))).as("__s2"))
+    val a = stats.select(col("__g").as("group_a"), col("__n").as("n_a"),
+      col("__mean").as("__ma"), col("__s2").as("__va"))
+    val b = stats.select(col("__g").as("group_b"), col("__n").as("n_b"),
+      col("__mean").as("__mb"), col("__s2").as("__vb"))
+    val se2a = col("__va") / col("n_a").cast("double")
+    val se2b = col("__vb") / col("n_b").cast("double")
+    a.join(b, col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        (col("__ma") - col("__mb")).as("mean_diff"),
+        ((col("__ma") - col("__mb")) / sqrt(se2a + se2b)).as("t_stat"),
+        ((se2a + se2b) * (se2a + se2b) /
+          (se2a * se2a / (col("n_a") - 1).cast("double") +
+            se2b * se2b / (col("n_b") - 1).cast("double")))
+          .as("welch_df"))
+  }
+
+  /** [[welchTTest]] as DuckDB SQL: the identical quantized moments
+    * (HUGEINT exact), the identical double sequence. */
+  def welchTTestOracleSql(relation: String, groupExpr: String,
+                          valueExpr: String): String =
+    s"""WITH r AS (SELECT CAST($groupExpr AS VARCHAR) AS g,
+       |    CAST(floor(CAST($valueExpr AS DOUBLE) * 1e9) AS BIGINT) AS q
+       |  FROM $relation),
+       |st AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(q AS HUGEINT)) AS sv,
+       |    sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS sv2
+       |  FROM r GROUP BY g HAVING count(*) >= 2),
+       |m AS (SELECT g, n,
+       |    CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9) AS mean,
+       |    CAST(CAST(n AS HUGEINT) * sv2 - sv * sv AS DOUBLE)
+       |      / ((CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) * 1e18) AS s2
+       |  FROM st)
+       |SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+       |  a.mean - b.mean AS mean_diff,
+       |  (a.mean - b.mean) / sqrt(a.s2 / CAST(a.n AS DOUBLE)
+       |    + b.s2 / CAST(b.n AS DOUBLE)) AS t_stat,
+       |  (a.s2 / CAST(a.n AS DOUBLE) + b.s2 / CAST(b.n AS DOUBLE))
+       |    * (a.s2 / CAST(a.n AS DOUBLE) + b.s2 / CAST(b.n AS DOUBLE))
+       |    / (a.s2 / CAST(a.n AS DOUBLE) * (a.s2 / CAST(a.n AS DOUBLE))
+       |        / CAST(a.n - 1 AS DOUBLE)
+       |      + b.s2 / CAST(b.n AS DOUBLE) * (b.s2 / CAST(b.n AS DOUBLE))
+       |        / CAST(b.n - 1 AS DOUBLE)) AS welch_df
+       |FROM m a JOIN m b ON a.g < b.g""".stripMargin
+
   def profileOracleSql(relation: String, cols: Seq[String]): String =
     cols.map { c =>
       s"""SELECT '$c' AS col_name, count(*) AS n_rows,

@@ -1697,6 +1697,126 @@ object TextAnalysis {
        |  JOIN uni ub ON ub.t = big.w2
        |  CROSS JOIN n1 CROSS JOIN nb
        |  WHERE pair_cnt >= $minCount)""".stripMargin
+  /** Flesch reading-ease readability per document — the classic
+    * prose-difficulty quality signal next to [[gopherQuality]]'s rule
+    * scores. Deterministic proxies keep it a MAP-ONLY codegen'd scan
+    * with an exact cross-engine mirror: sentences = [.!?]+ run count
+    * (min 1), syllables = vowel-group count (a group never spans
+    * whitespace, so whole-text counting ≡ per-word counting), words =
+    * whitespace tokens. flesch = 206.835 − 1.015·(words/sentences)
+    * − 84.6·(syllables/words), the identical IEEE sequence both
+    * engines; zero-word docs drop (the [[hashedTfVectors]] rule).
+    * Output: (idCol, words, sentences, syllables, flesch). */
+  def readability(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val wordsC = tokenCount(col(textCol)).cast("long")
+    val sentC = greatest(regexp_count(col(textCol), lit("[.!?]+")),
+      lit(1L)).cast("long")
+    val syllC = regexp_count(lower(col(textCol)), lit("[aeiouy]+"))
+      .cast("long")
+    docs.select(col(idCol), wordsC.as("words"), sentC.as("sentences"),
+        syllC.as("syllables"))
+      .where(col("words") > 0)
+      .select(col(idCol), col("words"), col("sentences"), col("syllables"),
+        ((lit(206.835) -
+          lit(1.015) * (col("words").cast("double") /
+            col("sentences").cast("double"))) -
+          lit(84.6) * (col("syllables").cast("double") /
+            col("words").cast("double"))).as("flesch"))
+  }
+
+  /** [[readability]]'s row expressions as DuckDB SQL (SELECT body over
+    * a docs relation with `$idRef` and `$textRef`); wrap and round the
+    * flesch column on both sides. */
+  def readabilityOracleSql(idRef: String, textRef: String,
+                           relation: String): String = {
+    val words = s"CAST(len(list_filter(string_split_regex(trim($textRef), " +
+      s"'\\s+'), w -> len(w) > 0)) AS BIGINT)"
+    val sents = s"CAST(greatest(len(regexp_extract_all($textRef, " +
+      s"'[.!?]+')), 1) AS BIGINT)"
+    val sylls = s"CAST(len(regexp_extract_all(lower($textRef), " +
+      s"'[aeiouy]+')) AS BIGINT)"
+    s"""SELECT $idRef, words, sentences, syllables,
+       |  ((206.835 - 1.015 * (CAST(words AS DOUBLE)
+       |      / CAST(sentences AS DOUBLE)))
+       |    - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)))
+       |    AS flesch
+       |FROM (SELECT $idRef, $words AS words, $sents AS sentences,
+       |        $sylls AS syllables
+       |      FROM $relation)
+       |WHERE words > 0""".stripMargin
+  }
+
+  /** Tokenizer fertility per language — chars/token and bytes/char by
+    * `langCol`, the multilingual budget planner's signal (a fixed token
+    * budget buys different text volumes per script; fertility decides
+    * per-language sampling weights). ONE grouped integer aggregate
+    * (counts/lengths are exact longs; the two ratios divide once at the
+    * end). Output: (langCol, n_docs, tokens, chars, bytes,
+    * chars_per_token, bytes_per_char). */
+  def fertilityByLang(docs: DataFrame, langCol: String,
+                      textCol: String): DataFrame =
+    docs.select(col(langCol),
+        tokenCount(col(textCol)).cast("long").as("__tok"),
+        length(col(textCol)).cast("long").as("__ch"),
+        octet_length(col(textCol)).cast("long").as("__by"))
+      .groupBy(langCol)
+      .agg(count(lit(1)).as("n_docs"), sum("__tok").as("tokens"),
+        sum("__ch").as("chars"), sum("__by").as("bytes"))
+      .select(col(langCol), col("n_docs"), col("tokens"), col("chars"),
+        col("bytes"),
+        (col("chars").cast("double") /
+          greatest(col("tokens"), lit(1L)).cast("double"))
+          .as("chars_per_token"),
+        (col("bytes").cast("double") /
+          greatest(col("chars"), lit(1L)).cast("double"))
+          .as("bytes_per_char"))
+
+  /** Word n-gram diversity per group — distinct vs total n-grams and
+    * their type-token ratio, the repetitiveness / templatedness signal
+    * that separates boilerplate-heavy sources from organic prose (a low
+    * TTR source contributes less novelty per token than its volume
+    * suggests). One explode to n-gram rows (bounded: ≤ tokens per doc)
+    * + one grouped aggregate with an exact distinct; at 100 TB swap the
+    * distinct for HLL (`approx_count_distinct`) — the plan shape keeps
+    * one exchange either way. Output: (groupCol, n_ngrams, n_distinct,
+    * ttr). */
+  def ngramDiversity(docs: DataFrame, groupCol: String, textCol: String,
+                     n: Int): DataFrame = {
+    require(n >= 1 && n <= 8, s"n must be in [1,8], got $n")
+    docs.select(col(groupCol), tokens(col(textCol)).as("__ts"))
+      .where(size(col("__ts")) >= n)
+      .select(col(groupCol), explode(expr(
+        s"transform(sequence(1, size(__ts) - ${n - 1}), " +
+          s"i -> array_join(slice(__ts, i, $n), ' '))")).as("__g"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_ngrams"),
+        countDistinct(col("__g")).as("n_distinct"))
+      .select(col(groupCol), col("n_ngrams"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_ngrams").cast("double"))
+          .as("ttr"))
+  }
+
+  /** [[ngramDiversity]] as DuckDB SQL (same tokenization, slicing and
+    * joining; ratios divide the same exact longs once). */
+  def ngramDiversityOracleSql(groupRef: String, textRef: String,
+                              relation: String, n: Int): String =
+    s"""SELECT $groupRef, CAST(count(*) AS BIGINT) AS n_ngrams,
+       |  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+       |  CAST(count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS ttr
+       |FROM (
+       |  SELECT $groupRef,
+       |    array_to_string(list_slice(ts, i, i + ${n - 1}), ' ') AS g
+       |  FROM (SELECT $groupRef, ts,
+       |          unnest(generate_series(1, len(ts) - ${n - 1})) AS i
+       |        FROM (SELECT $groupRef,
+       |                list_filter(string_split_regex(trim($textRef),
+       |                  '\\s+'), w -> len(w) > 0) AS ts
+       |              FROM $relation)
+       |        WHERE len(ts) >= $n))
+       |GROUP BY $groupRef""".stripMargin
+
 }
 
 /** Language-ID profiles shared between the Spark expression and the DuckDB
@@ -1772,5 +1892,7 @@ object LangId {
        | WHEN $fr >= $es THEN 'fr'
        | ELSE 'es' END""".stripMargin
   }
+
+
 
 }

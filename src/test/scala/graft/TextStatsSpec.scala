@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{Profile, TextAnalysis}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 text/stat additions: readability counts are hand-checkable,
+  * fertility ratios divide exact sums, n-gram diversity counts sliding
+  * windows exactly, and Welch's t reproduces the closed-form on a tiny
+  * two-group layout. */
+class TextStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("readability: hand-counted words/sentences/syllables") {
+    val docs = Seq(
+      (1L, "the cat sat. it sat again!"),  // 6 words, 2 sents
+      (2L, ""),                            // drops (0 words)
+      (3L, "no stops here")                // sentences floor at 1
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // doc 1 vowel groups: e,a,a,i,a,a,ai -> 7
+    assert(r == Map(1L -> (6L, 2L, 7L), 3L -> (3L, 1L, 4L)))
+    val flesch = TextAnalysis.readability(docs, "doc_id", "text")
+      .where($"doc_id" === 1).collect()(0).getDouble(4)
+    assert(math.abs(flesch -
+      (206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (7.0 / 6.0))) < 1e-12)
+  }
+
+  test("fertilityByLang: exact sums and ratios") {
+    val docs = Seq(("en", "ab cd"), ("en", "xyz"), ("de", "üü"))
+      .toDF("lang", "text")
+    val r = TextAnalysis.fertilityByLang(docs, "lang", "text")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getDouble(5), x.getDouble(6))).toMap
+    // en: 3 tokens, 8 chars, 8 bytes; de: 1 token, 2 chars, 4 bytes (ü=2)
+    assert(r("en") == ((2L, 3L, 8L, 8L, 8.0 / 3.0, 1.0)))
+    assert(r("de") == ((1L, 1L, 2L, 4L, 2.0, 2.0)))
+  }
+
+  test("ngramDiversity: sliding trigrams with a repeat") {
+    val docs = Seq(("s1", "a b c a b c a"), ("s2", "x y"))
+      .toDF("source", "text")
+    val r = TextAnalysis.ngramDiversity(docs, "source", "text", n = 3)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    // s1 trigrams: abc bca cab abc bca -> 5 total, 3 distinct
+    assert(r == Map("s1" -> (5L, 3L, 0.6))) // s2 too short, drops
+  }
+
+  test("welchTTest: closed-form on a two-group layout") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0)).toDF("g", "v")
+    val r = Profile.welchTTest(df, "g", "v").collect()(0)
+    assert((r.getString(0), r.getString(1)) == ("a", "b"))
+    assert((r.getLong(2), r.getLong(3)) == ((3L, 2L)))
+    // means 2 and 3; s2a = 1, s2b = 2; se2 = 1/3 + 1 = 4/3
+    assert(math.abs(r.getDouble(4) - (-1.0)) < 1e-9)
+    assert(math.abs(r.getDouble(5) - (-1.0 / math.sqrt(4.0 / 3.0))) < 1e-9)
+    val va = 1.0 / 3.0; val vb = 1.0
+    val dfExp = (va + vb) * (va + vb) / (va * va / 2.0 + vb * vb / 1.0)
+    assert(math.abs(r.getDouble(6) - dfExp) < 1e-9)
+  }
+
+  test("welchTTest: invariant to input partitioning") {
+    val base = Seq.tabulate(200)(i =>
+      (s"g${i % 3}", math.sin(i * 0.37) * 5)).toDF("g", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Profile.welchTTest(df, "g", "v")
+        .orderBy("group_a", "group_b").collect().map(_.toSeq).toSeq
+    assert(run(base.repartition(1)) == run(base.repartition(9)))
+  }
+}
