@@ -3708,6 +3708,35 @@ object SparkEntry {
         .orderBy("pos")
     }),
 
+    // one-vs-rest Mann-Whitney U on fixed-bin midranks: nonparametric
+    // "does this event type's value distribution dominate the rest" —
+    // ONE corpus aggregate, integer-exact midranks + tie correction on
+    // the model-sized bin relation
+    "q_mannwhitney" -> ((s, dir) => {
+      graft.operators.Profile.mannWhitneyBinned(
+        table(s, dir, "events").select(col("event_type"), col("value")),
+        "event_type", "value", lo = 0.0, hi = 500.0, bins = 1000)
+        .select(col("event_type"), col("n"), col("u"),
+          round(col("z"), 6).as("z"))
+        .orderBy("event_type")
+    }),
+
+    // Holt double exponential smoothing per user over the last 16
+    // events: level + trend + one-step forecast, left-to-right fold
+    // with identical IEEE sequences both engines
+    "q_holt" -> ((s, dir) => {
+      graft.operators.WindowOps.holtSmooth(
+        graft.streaming.GraftStreaming.normalizeTs(
+          table(s, dir, "events")),
+        Seq("user_id"), Seq("ts", "event_id"), "value",
+        alpha = 0.5, beta = 0.25, maxHistory = 16)
+        .select(col("user_id"), col("n_obs"),
+          round(col("level"), 9).as("level"),
+          round(col("trend"), 9).as("trend"),
+          round(col("forecast"), 9).as("forecast"))
+        .orderBy("user_id")
+    }),
+
     // Flesch reading-ease per doc: map-only codegen'd scan with
     // deterministic sentence/syllable proxies shared with the oracle
     "q_readability" -> ((s, dir) => {
@@ -6602,6 +6631,23 @@ object SparkEntry {
              "CASE WHEN CAST(embedding[1] AS DOUBLE) > 0.0 THEN 1.0 ELSE 0.0 END",
              dim = 64, iters = 5, lr = 0.5)}
          |) ORDER BY pos""".stripMargin,
+    "q_mannwhitney" ->
+      s"""SELECT event_type, n, u, round(z, 6) AS z FROM (
+         |${graft.operators.Profile.mannWhitneyOracleSql("events",
+             "event_type", "value", lo = 0.0, hi = 500.0, bins = 1000,
+             groupAlias = "event_type")}
+         |) ORDER BY event_type""".stripMargin,
+    "q_holt" ->
+      s"""WITH ${graft.operators.WindowOps.holtOracleCtes(
+             "e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, " +
+               "CAST(value AS DOUBLE) AS v FROM events)",
+             "user_id", Seq("tsu", "event_id"),
+             alpha = 0.5, beta = 0.25, maxHistory = 16)
+             .replaceFirst("^e AS", "e AS").stripPrefix("")}
+         |SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs,
+         |  round(level, 9) AS level, round(trend, 9) AS trend,
+         |  round(level + trend, 9) AS forecast
+         |FROM hw ORDER BY user_id""".stripMargin,
     "q_readability" ->
       s"""SELECT doc_id, words, sentences, syllables,
          |  round(flesch, 6) AS flesch FROM (

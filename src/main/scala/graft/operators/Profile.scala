@@ -417,6 +417,104 @@ object Profile {
        |        / CAST(b.n - 1 AS DOUBLE)) AS welch_df
        |FROM m a JOIN m b ON a.g < b.g""".stripMargin
 
+  /** One-vs-rest Mann–Whitney U over FIXED-BIN midranks — the
+    * nonparametric complement of [[welchTTest]]: does group g's value
+    * distribution stochastically dominate the rest of the corpus,
+    * without any normality assumption. Values bin to `bins` equal
+    * widths over [lo, hi) first (the [[Drift.ksFixedBins]] convention:
+    * binning is part of the statistic's definition, making every rank a
+    * midrank over an occupancy count — integer-exact, order-invariant,
+    * and scale-safe: the only corpus-sized step is ONE (group, bin)
+    * count aggregate; ranks/ties/U all compute on the model-sized bin
+    * relation, with the massive-tie correction the midrank form
+    * requires built in).
+    *
+    * Integer plumbing: twice-the-midrank r2(b) = 2·cnt_less + cnt_b + 1
+    * keeps everything in longs; tie mass Σ(t³−t) and Σc·r2 accumulate
+    * in decimal(38,0) (corpus-scale-safe); U and the tie-corrected
+    * normal z divide once at the end in a pinned IEEE order.
+    *
+    * Output: (groupCol, n, u, z) — U for group-vs-rest and its
+    * asymptotic z score. */
+  def mannWhitneyBinned(df: DataFrame, groupCol: String, valueCol: String,
+                        lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 65536, s"bins must be in [2,65536]")
+    import org.apache.spark.sql.expressions.Window
+    val w = (hi - lo) / bins
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((col(valueCol).cast("double") - lit(lo)) / lit(w)).cast("int")))
+    val cgb = df.select(col(groupCol).cast("string").as("__g"),
+        bin.as("__b"))
+      .groupBy("__g", "__b").agg(count(lit(1)).as("__c"))
+    val wCum = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    // model-sized from here down: ≤ bins rows, then ≤ |groups| rows
+    val binStats = cgb.groupBy("__b").agg(sum("__c").as("__cb"))
+      .select(col("__b"), col("__cb"),
+        (sum(col("__cb")).over(wCum) - col("__cb")).as("__less"),
+        sum(col("__cb")).over(wAll).as("__n"),
+        sum(d38(col("__cb")) * d38(col("__cb")) * d38(col("__cb")) -
+          d38(col("__cb"))).over(wAll).as("__tmass"))
+      .select(col("__b"), col("__n"), col("__tmass"),
+        (lit(2L) * col("__less") + col("__cb") + 1).as("__r2"))
+    cgb.join(binStats, "__b")
+      .groupBy("__g")
+      .agg(sum("__c").as("n"),
+        sum(d38(col("__c")) * d38(col("__r2"))).as("__sr2"),
+        first(col("__n")).as("__N"), first(col("__tmass")).as("__T"))
+      .select(col("__g").as(groupCol), col("n"),
+        ((col("__sr2") - d38(col("n")) * d38(col("n") + 1))
+          .cast("double") / lit(2.0)).as("u"),
+        ((col("__sr2") - d38(col("n")) * d38(col("n") + 1) -
+          d38(col("n")) * d38(col("__N") - col("n"))).cast("double") /
+          lit(2.0) /
+          sqrt((col("n").cast("double") *
+            (col("__N") - col("n")).cast("double") / lit(12.0)) *
+            ((col("__N") + 1).cast("double") -
+              col("__T").cast("double") /
+                (col("__N").cast("double") *
+                  (col("__N") - 1).cast("double"))))).as("z"))
+  }
+
+  /** [[mannWhitneyBinned]] as DuckDB SQL — identical binning, midranks,
+    * HUGEINT tie mass, and IEEE division order. */
+  def mannWhitneyOracleSql(relation: String, groupExpr: String,
+                           valueExpr: String, lo: Double, hi: Double,
+                           bins: Int, groupAlias: String = "g"): String = {
+    val w = (hi - lo) / bins
+    s"""WITH r AS (SELECT CAST($groupExpr AS VARCHAR) AS g,
+       |    LEAST(${bins - 1}, GREATEST(0, CAST(floor(
+       |      (CAST($valueExpr AS DOUBLE) - ($lo)) / $w) AS INT))) AS b
+       |  FROM $relation),
+       |cgb AS (SELECT g, b, CAST(count(*) AS BIGINT) AS c FROM r
+       |  GROUP BY g, b),
+       |bs0 AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cgb GROUP BY b),
+       |bs AS (SELECT b,
+       |    CAST(sum(cb) OVER (ORDER BY b) - cb AS BIGINT) AS less,
+       |    CAST(sum(cb) OVER () AS BIGINT) AS n,
+       |    sum(CAST(cb AS HUGEINT) * CAST(cb AS HUGEINT) * CAST(cb AS
+       |      HUGEINT) - CAST(cb AS HUGEINT)) OVER () AS tmass,
+       |    2 * (sum(cb) OVER (ORDER BY b) - cb) + cb + 1 AS r2
+       |  FROM bs0),
+       |gs AS (SELECT cgb.g, CAST(sum(cgb.c) AS BIGINT) AS n,
+       |    sum(CAST(cgb.c AS HUGEINT) * CAST(bs.r2 AS HUGEINT)) AS sr2,
+       |    any_value(bs.n) AS nn, any_value(bs.tmass) AS t
+       |  FROM cgb JOIN bs USING (b) GROUP BY cgb.g)
+       |SELECT g AS $groupAlias, n,
+       |  CAST(sr2 - CAST(n AS HUGEINT) * CAST(n + 1 AS HUGEINT)
+       |    AS DOUBLE) / 2.0 AS u,
+       |  CAST(sr2 - CAST(n AS HUGEINT) * CAST(n + 1 AS HUGEINT)
+       |      - CAST(n AS HUGEINT) * CAST(nn - n AS HUGEINT) AS DOUBLE)
+       |    / 2.0
+       |    / sqrt((CAST(n AS DOUBLE) * CAST(nn - n AS DOUBLE) / 12.0)
+       |      * (CAST(nn + 1 AS DOUBLE)
+       |        - CAST(t AS DOUBLE)
+       |          / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))) AS z
+       |FROM gs""".stripMargin
+  }
+
   def profileOracleSql(relation: String, cols: Seq[String]): String =
     cols.map { c =>
       s"""SELECT '$c' AS col_name, count(*) AS n_rows,

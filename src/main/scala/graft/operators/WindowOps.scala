@@ -824,4 +824,92 @@ object WindowOps {
     df.withColumn(outCol,
       when(n >= 2 && vx > 0 && vy > 0, cov / sqrt(vx * vy)))
   }
+
+  /** Holt's double exponential smoothing (level + linear trend) per
+    * key, folded over the key's LAST `maxHistory` observations — the
+    * trend-aware successor to [[q_ewma]]'s level-only smoothing, and
+    * the one-step forecast (level + trend) behind "is this user's
+    * activity ramping or decaying". The bounded history is the batch
+    * engine's honest form of the recursion (the exact unbounded fold is
+    * the STREAMING shape — [[graft.streaming.GraftStreaming.ewmaStream]]'s
+    * argument): α/β-geometric weights make observations beyond ~30
+    * steps numerically irrelevant, and the bound keeps per-key state
+    * O(maxHistory) with ONE key shuffle total.
+    *
+    * Initialization: level₀ = v₁, trend₀ = v₂ − v₁ (0 for singleton
+    * keys); then the textbook recursion lₜ = α·vₜ + (1−α)(l+t),
+    * tₜ = β(lₜ−l) + (1−β)t, folded LEFT-TO-RIGHT on both engines
+    * (Spark `aggregate` ≡ DuckDB `list_reduce`) with identical IEEE
+    * sequences.
+    *
+    * Output: (partitionBy*, n_obs, level, trend, forecast). */
+  def holtSmooth(df: DataFrame, partitionBy: Seq[String],
+                 orderBy: Seq[String], valueCol: String,
+                 alpha: Double, beta: Double,
+                 maxHistory: Int = 16): DataFrame = {
+    require(maxHistory >= 2 && maxHistory <= 256,
+      s"maxHistory must be in [2,256], got $maxHistory")
+    val wDesc = Window.partitionBy(partitionBy.map(col): _*)
+      .orderBy(orderBy.map(c => col(c).desc): _*)
+    val ordStruct = struct(
+      (orderBy.map(col) :+ col(valueCol).cast("double").as("__v")): _*)
+    val seqs = df
+      .withColumn("__rn", row_number().over(wDesc))
+      .where(col("__rn") <= maxHistory)
+      .groupBy(partitionBy.map(col): _*)
+      .agg(sort_array(collect_list(ordStruct)).as("__os"))
+      .select(partitionBy.map(col) :+
+        transform(col("__os"), s => s.getField("__v")).as("__vs"): _*)
+    val n = size(col("__vs"))
+    val l0 = element_at(col("__vs"), 1)
+    val t0 = when(n >= 2, element_at(col("__vs"), 2) - l0)
+      .otherwise(lit(0.0))
+    val folded = aggregate(
+      slice(col("__vs"), lit(3), greatest(n - 2, lit(0))),
+      array(l0, t0),
+      (acc, v) => {
+        val l = element_at(acc, 1)
+        val t = element_at(acc, 2)
+        val lp = lit(alpha) * v + lit(1 - alpha) * (l + t)
+        array(lp, lit(beta) * (lp - l) + lit(1 - beta) * t)
+      })
+    seqs.select(partitionBy.map(col) ++ Seq(n.cast("long").as("n_obs"),
+      element_at(folded, 1).as("level"),
+      element_at(folded, 2).as("trend"),
+      (element_at(folded, 1) + element_at(folded, 2)).as("forecast")): _*)
+  }
+
+  /** [[holtSmooth]] as DuckDB SQL over an `e(key, ord..., v)` CTE the
+    * caller supplies — the same last-N window, left-to-right
+    * list_reduce (state carried as a 2-element DOUBLE list), identical
+    * recursion constants. Emits the `hw` CTE
+    * (key, n_obs, level, trend, forecast); chain a SELECT after it. */
+  def holtOracleCtes(eCte: String, keyRef: String, ordRefs: Seq[String],
+                     alpha: Double, beta: Double,
+                     maxHistory: Int = 16): String = {
+    val ordAsc = ordRefs.mkString(", ")
+    val ordDesc = ordRefs.map(_ + " DESC").mkString(", ")
+    val lp = s"$alpha * x[1] + ${1 - alpha} * (acc[1] + acc[2])"
+    s"""$eCte,
+       |lastn AS (SELECT *, row_number() OVER (PARTITION BY $keyRef
+       |    ORDER BY $ordDesc) AS rn FROM e),
+       |seqs AS (SELECT $keyRef, list(v ORDER BY $ordAsc) AS vs
+       |  FROM lastn WHERE rn <= $maxHistory GROUP BY $keyRef),
+       |prep AS (SELECT $keyRef, len(vs) AS n_obs,
+       |    CASE WHEN len(vs) >= 2 THEN [vs[1], vs[2] - vs[1]]
+       |         ELSE [vs[1], 0.0] END AS s0,
+       |    list_transform(list_slice(vs, 3, len(vs)), v -> [v, 0.0])
+       |      AS rest
+       |  FROM seqs),
+       |hw AS (SELECT $keyRef, n_obs,
+       |    list_reduce(list_concat([s0], rest),
+       |      (acc, x) -> [$lp,
+       |        $beta * (($lp) - acc[1]) + ${1 - beta} * acc[2]])[1]
+       |      AS level,
+       |    list_reduce(list_concat([s0], rest),
+       |      (acc, x) -> [$lp,
+       |        $beta * (($lp) - acc[1]) + ${1 - beta} * acc[2]])[2]
+       |      AS trend
+       |  FROM prep)""".stripMargin
+  }
 }

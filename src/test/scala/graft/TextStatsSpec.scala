@@ -64,6 +64,58 @@ class TextStatsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(6) - dfExp) < 1e-9)
   }
 
+  test("mannWhitneyBinned: closed-form without and with ties") {
+    import graft.operators.Profile
+    // no ties: a={1,2}, b={3,4} in unit bins -> U_a=0, U_b=4,
+    // var = (2*2/12)*(N+1) = 5/3
+    val df1 = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("g", "v")
+    val r1 = Profile.mannWhitneyBinned(df1, "g", "v", 0.0, 5.0, 5)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(r1("a")._2 == 0.0 && r1("b")._2 == 4.0)
+    assert(math.abs(r1("a")._3 - (-2.0 / math.sqrt(5.0 / 3.0))) < 1e-9)
+    // ties: a={1,1}, b={1,2}: bin1 holds 3 (midrank 2), T = 24,
+    // var = (1/3)*(5 - 24/12) = 1, U_a = 1 -> z_a = -1
+    val df2 = Seq(("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    val r2 = Profile.mannWhitneyBinned(df2, "g", "v", 0.0, 5.0, 5)
+      .collect().map(x => x.getString(0) ->
+        (x.getDouble(2), x.getDouble(3))).toMap
+    assert(r2("a") == ((1.0, -1.0)))
+  }
+
+  test("holtSmooth: hand fold and singleton/pair initialization") {
+    import graft.operators.WindowOps
+    val df = Seq(
+      ("u1", 1L, 1.0), ("u1", 2L, 2.0), ("u1", 3L, 4.0), // full recursion
+      ("u2", 1L, 7.0),                                   // singleton
+      ("u3", 1L, 3.0), ("u3", 2L, 5.0)                   // init only
+    ).toDF("k", "o", "v")
+    val r = WindowOps.holtSmooth(df, Seq("k"), Seq("o"), "v",
+        alpha = 0.5, beta = 0.25)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))
+      .toMap
+    // u1: l0=1,t0=1; v=4: l'=0.5*4+0.5*2=3, t'=0.25*2+0.75*1=1.25
+    assert(r("u1") == ((3L, 3.0, 1.25, 4.25)))
+    assert(r("u2") == ((1L, 7.0, 0.0, 7.0)))
+    assert(r("u3") == ((2L, 3.0, 2.0, 5.0)))
+  }
+
+  test("holtSmooth: last-N truncation and partition invariance") {
+    import graft.operators.WindowOps
+    val base = Seq.tabulate(60)(i => ("u", i.toLong, math.sin(i * 0.7)))
+      .toDF("k", "o", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      WindowOps.holtSmooth(df, Seq("k"), Seq("o"), "v", 0.5, 0.25,
+          maxHistory = 16)
+        .collect().map(_.toSeq).toSeq
+    val full = run(base.repartition(1))
+    assert(full.head(1) == 16L) // history capped
+    assert(full == run(base.repartition(7)))
+  }
+
   test("welchTTest: invariant to input partitioning") {
     val base = Seq.tabulate(200)(i =>
       (s"g${i % 3}", math.sin(i * 0.37) * 5)).toDF("g", "v")
