@@ -3708,6 +3708,45 @@ object SparkEntry {
         .orderBy("pos")
     }),
 
+    // streaming Holt smoothing: the exact unbounded level+trend
+    // recursion as three numbers of keyed state — what a batch engine
+    // must bound, streaming carries natively
+    "q_stream_holt" -> ((s, dir) => {
+      val ev = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      runStreamQuery(s, "stream_holt",
+        GraftStreaming.holtStream(ev, alpha = 0.5, beta = 0.25))
+        .select(col("userId").as("user_id"), col("nObs").as("n_obs"),
+          round(col("level"), 9).as("level"),
+          round(col("trend"), 9).as("trend"))
+        .orderBy("user_id")
+    }),
+
+    // streaming Welch-t drift monitor: each hour window's quantized
+    // moments vs a static reference sample (three integers, batch-
+    // collected) — the parametric sibling of stream_psi/stream_ks
+    "q_stream_ttest" -> ((s, dir) => {
+      val ref = s.read.parquet(s"$dir/events.parquet")
+        .where(col("event_id") % 2 === 0)
+        .select(floor(col("value").cast("double") * lit(1e9)).cast("long")
+          .as("q"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("q").cast("decimal(38,0)")).as("sv"),
+          sum(col("q").cast("decimal(38,0)") *
+            col("q").cast("decimal(38,0)")).as("sv2"))
+        .collect()(0)
+      val (refN, refSv, refSv2) =
+        (ref.getLong(0), ref.getDecimal(1), ref.getDecimal(2))
+      val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      runStreamQuery(s, "stream_ttest",
+        GraftStreaming.ttestDriftStream(stream, "value", refN, refSv,
+          refSv2, watermark = "1 hour", window_ = "1 hour"), "complete")
+        .select(col("window.start").cast("long").as("win_start"),
+          col("n"), round(col("mean"), 9).as("mean"),
+          round(col("t_stat"), 6).as("t_stat"),
+          round(col("welch_df"), 6).as("welch_df"))
+        .orderBy("win_start")
+    }),
+
     // one-vs-rest Mann-Whitney U on fixed-bin midranks: nonparametric
     // "does this event type's value distribution dominate the rest" —
     // ONE corpus aggregate, integer-exact midranks + tie correction on
@@ -6631,6 +6670,22 @@ object SparkEntry {
              "CASE WHEN CAST(embedding[1] AS DOUBLE) > 0.0 THEN 1.0 ELSE 0.0 END",
              dim = 64, iters = 5, lr = 0.5)}
          |) ORDER BY pos""".stripMargin,
+    "q_stream_holt" ->
+      s"""WITH ${graft.operators.WindowOps.holtOracleCtes(
+             "e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, " +
+               "CAST(value AS DOUBLE) AS v FROM events)",
+             "user_id", Seq("tsu", "event_id"),
+             alpha = 0.5, beta = 0.25, maxHistory = 1000000000)}
+         |SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs,
+         |  round(level, 9) AS level, round(trend, 9) AS trend
+         |FROM hw ORDER BY user_id""".stripMargin,
+    "q_stream_ttest" ->
+      s"""WITH ${GraftStreaming.ttestDriftOracleSelect("value",
+             refWhere = "event_id % 2 = 0")}
+         |SELECT CAST(epoch(win) AS BIGINT) AS win_start, n,
+         |  round(mean, 9) AS mean, round(t_stat, 6) AS t_stat,
+         |  round(welch_df, 6) AS welch_df
+         |FROM scored ORDER BY win_start""".stripMargin,
     "q_mannwhitney" ->
       s"""SELECT event_type, n, u, round(z, 6) AS z FROM (
          |${graft.operators.Profile.mannWhitneyOracleSql("events",

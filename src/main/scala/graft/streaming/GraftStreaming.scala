@@ -620,6 +620,154 @@ object GraftStreaming {
   /** One key's current smoothed value (streaming EWMA output). */
   case class EwmaSnapshot(userId: Long, ewma: Double)
 
+  /** One key's current Holt level/trend state (streaming output). */
+  case class HoltSnapshot(userId: Long, nObs: Long, level: Double,
+                          trend: Double)
+
+  /** Streaming Holt double exponential smoothing — the EXACT unbounded
+    * form of [[graft.operators.WindowOps.holtSmooth]]'s recursion
+    * (level + linear trend per key), which is NATURAL in streaming:
+    * three numbers of keyed state (level, trend, n) carry the whole
+    * history across micro-batches, where a batch engine must bound the
+    * replay window. Initialization matches the batch op exactly
+    * (l₁ = v₁, t₂ = v₂ − v₁), so a single AvailableNow pass over a
+    * bounded history is bit-identical to [[WindowOps.holtSmooth]] with
+    * a covering maxHistory — the batch≡stream parity gate.
+    * Within a micro-batch, rows fold in (ts, event_id) order; state is
+    * O(1) per key. Output: latest (userId, nObs, level, trend) per key
+    * per batch. */
+  def holtStream(events: DataFrame, alpha: Double,
+                 beta: Double): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(beta >= 0 && beta <= 1, "beta must be in [0, 1]")
+    implicit val stateEnc = Encoders.product[(Double, Double, Long)]
+    implicit val outEnc = Encoders.product[HoltSnapshot]
+    implicit val rowEnc = Encoders.row(events.schema)
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey((r: Row) => r.getAs[Long]("user_id"))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Row],
+         state: GroupState[(Double, Double, Long)]) => {
+          val sorted = rows.toSeq.sortBy(r =>
+            (r.getAs[Long]("ts"), r.getAs[Long]("event_id")))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption
+            sorted.foreach { r =>
+              val v = r.getAs[Double]("value")
+              st = Some(st match {
+                case None => (v, 0.0, 1L)
+                case Some((l, _, 1L)) => (l, v - l, 2L)
+                case Some((l, t, n)) =>
+                  val lp = alpha * v + (1 - alpha) * (l + t)
+                  (lp, beta * (lp - l) + (1 - beta) * t, n + 1)
+              })
+            }
+            val (l, t, n) = st.get
+            state.update(st.get)
+            Iterator(HoltSnapshot(userId, n, l, t))
+          }
+        }).toDF()
+  }
+
+  /** Streaming two-sample drift monitor by Welch's t — the parametric
+    * sibling of [[psiDriftStream]]/[[ksDriftStream]]: each event-time
+    * window's value moments (nano-quantized, decimal(38,0)-exact — the
+    * [[graft.operators.Profile.welchTTest]] recipe) test against a
+    * STATIC reference sample whose quantized moments the caller
+    * collected batch-side (three integers — they broadcast as literals,
+    * so there is no float-printing seam between engines). Emits the t
+    * statistic and Welch df per window; state per window is two
+    * decimals and a count.
+    *
+    * @param refN/refSvQ/refSv2Q reference count, Σ⌊v·1e9⌋, Σ⌊v·1e9⌋²
+    *        (refN ≥ 2; the sums are decimals — Σq² overflows a long
+    *        beyond ~10⁷ rows of percent-scale values). */
+  def ttestDriftStream(events: DataFrame, valueCol: String,
+                       refN: Long, refSvQ: java.math.BigDecimal,
+                       refSv2Q: java.math.BigDecimal,
+                       watermark: String = "1 hour",
+                       window_ : String = "1 hour"): DataFrame = {
+    require(refN >= 2, "reference needs n >= 2")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val q = floor(col(valueCol).cast("double") * lit(1e9)).cast("long")
+    val agg = events
+      .withWatermark("event_time", watermark)
+      .select(col("event_time"), q.as("__q"))
+      .groupBy(window(col("event_time"), window_))
+      .agg(count(lit(1)).as("n"), sum(d38(col("__q"))).as("__sv"),
+        sum(d38(col("__q")) * d38(col("__q"))).as("__sv2"))
+      .where(col("n") >= 2)
+    val mean = col("__sv").cast("double") /
+      (col("n").cast("double") * lit(1e9))
+    val s2 = (d38(col("n")) * col("__sv2") - col("__sv") * col("__sv"))
+      .cast("double") /
+      ((col("n").cast("double") * (col("n") - 1).cast("double")) * lit(1e18))
+    // reference moments enter as INTEGER literals; all float derivation
+    // happens in-engine with the same ops the oracle SQL spells out
+    val refMean = lit(refSvQ).cast("double") /
+      (lit(refN).cast("double") * lit(1e9))
+    val refS2 = (lit(refN).cast("decimal(38,0)") *
+      lit(refSv2Q).cast("decimal(38,0)") -
+      lit(refSvQ).cast("decimal(38,0)") * lit(refSvQ).cast("decimal(38,0)"))
+      .cast("double") /
+      ((lit(refN).cast("double") * lit(refN - 1).cast("double")) * lit(1e18))
+    val seW = s2 / col("n").cast("double")
+    val seR = refS2 / lit(refN).cast("double")
+    agg.select(col("window"), col("n"), mean.as("mean"),
+      ((mean - refMean) / sqrt(seW + seR)).as("t_stat"),
+      ((seW + seR) * (seW + seR) /
+        (seW * seW / (col("n") - 1).cast("double") +
+          seR * seR / lit(refN - 1).cast("double"))).as("welch_df"))
+  }
+
+  /** [[ttestDriftStream]]'s DuckDB twin: emits a `scored` CTE with
+    * (win, n, mean, t_stat, welch_df) over hour-truncated windows —
+    * identical quantized moments and IEEE sequences. The reference
+    * moments recompute in SQL from the same `refWhere` rows the caller
+    * collected batch-side: both routes land on the same exact integers,
+    * so the literal-vs-CTE difference cannot diverge. */
+  def ttestDriftOracleSelect(valueCol: String, refWhere: String): String =
+    s"""wq AS (SELECT date_trunc('hour', ts) AS win,
+       |    CAST(floor(CAST($valueCol AS DOUBLE) * 1e9) AS BIGINT) AS q
+       |  FROM events),
+       |wm AS (SELECT win, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(q AS HUGEINT)) AS sv,
+       |    sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS sv2
+       |  FROM wq GROUP BY win HAVING count(*) >= 2),
+       |wstat AS (SELECT win, n,
+       |    CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9) AS mean,
+       |    CAST(CAST(n AS HUGEINT) * sv2 - sv * sv AS DOUBLE)
+       |      / ((CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) * 1e18) AS s2
+       |  FROM wm),
+       |rq AS (SELECT CAST(floor(CAST($valueCol AS DOUBLE) * 1e9)
+       |    AS BIGINT) AS q
+       |  FROM events WHERE $refWhere),
+       |rm AS (SELECT CAST(count(*) AS BIGINT) AS rn,
+       |    sum(CAST(q AS HUGEINT)) AS rsv,
+       |    sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS rsv2
+       |  FROM rq),
+       |rstat AS (SELECT rn,
+       |    CAST(rsv AS DOUBLE) / (CAST(rn AS DOUBLE) * 1e9) AS rmean,
+       |    CAST(CAST(rn AS HUGEINT) * rsv2 - rsv * rsv AS DOUBLE)
+       |      / ((CAST(rn AS DOUBLE) * CAST(rn - 1 AS DOUBLE)) * 1e18)
+       |      AS rs2
+       |  FROM rm),
+       |scored AS (SELECT win, n, mean,
+       |    (mean - rmean) / sqrt(s2 / CAST(n AS DOUBLE)
+       |      + rs2 / CAST(rn AS DOUBLE)) AS t_stat,
+       |    (s2 / CAST(n AS DOUBLE) + rs2 / CAST(rn AS DOUBLE))
+       |      * (s2 / CAST(n AS DOUBLE) + rs2 / CAST(rn AS DOUBLE))
+       |      / (s2 / CAST(n AS DOUBLE) * (s2 / CAST(n AS DOUBLE))
+       |          / CAST(n - 1 AS DOUBLE)
+       |        + rs2 / CAST(rn AS DOUBLE)
+       |          * (rs2 / CAST(rn AS DOUBLE))
+       |          / CAST(rn - 1 AS DOUBLE)) AS welch_df
+       |  FROM wstat, rstat)""".stripMargin
+
   case class FunnelHit(userId: Long, step: Int, stepType: String, tsUs: Long)
   case class FunnelState(reached: Seq[Long])
 

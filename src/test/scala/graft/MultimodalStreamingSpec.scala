@@ -1063,4 +1063,57 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(admitted.size == 2 && admitted.forall(_ <= 2L), s"got $admitted")
   }
+
+  test("streaming Holt: single pass ≡ batch holtSmooth; state carries across batches") {
+    import spark.implicits._
+    val stream = GraftStreaming.readEventsGlob(spark, dir, "events.parquet")
+    val q = GraftStreaming.runToMemory(
+      GraftStreaming.holtStream(stream, alpha = 0.5, beta = 0.25),
+      "holt_stream_out")
+    q.awaitTermination(120000)
+    val got = spark.table("holt_stream_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    // batch twin with a covering history bound: bit-identical fold
+    val twin = graft.operators.WindowOps.holtSmooth(
+        GraftStreaming.normalizeTs(
+          spark.read.parquet(s"$dir/events.parquet")),
+        Seq("user_id"), Seq("ts", "event_id"), "value", 0.5, 0.25,
+        maxHistory = 256)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(got.keySet == twin.keySet)
+    got.foreach { case (u, s) =>
+      assert(s == twin(u), s"user $u: $s != ${twin(u)}")
+    }
+
+    // two micro-batches: the (level, trend, n) state must continue,
+    // not re-initialize on batch 2
+    val tmp = java.nio.file.Files.createTempDirectory("graft-holt").toString
+    Seq((1L, 1L, 100L, "a", 1.0), (1L, 2L, 200L, "a", 2.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+      .coalesce(1).write.parquet(s"$tmp/b0")
+    Seq((1L, 3L, 300L, "a", 4.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+      .coalesce(1).write.parquet(s"$tmp/b1")
+    val twoBatch = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$tmp/*")
+    val q2 = GraftStreaming.runToMemory(
+      GraftStreaming.holtStream(twoBatch, alpha = 0.5, beta = 0.25),
+      "holt_stream_two")
+    q2.awaitTermination(120000)
+    val snaps = spark.table("holt_stream_two").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    // batch 1: (l=1, t=1, n=2); batch 2 continues: l'=0.5*4+0.5*2=3,
+    // t'=0.25*2+0.75*1=1.25 — a restart would give t=0
+    assert(snaps == Seq((2L, 1.0, 1.0), (3L, 3.0, 1.25)), s"got $snaps")
+  }
 }
