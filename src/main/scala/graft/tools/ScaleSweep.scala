@@ -740,6 +740,22 @@ object ScaleSweep {
     sweep("kcenter")(k => graft.operators.Coreset.kCenter(
       embAt(k), "vec_id", "embedding", k = 12))
 
+    // round-9 session-3b families
+    sweep("readability")(k => TextAnalysis.readability(docsAt(k),
+      "doc_id", "text"))
+    sweep("ngram_diversity")(k => TextAnalysis.ngramDiversity(
+      docsAt(k).withColumn("source",
+        (col("doc_id") % 7).cast("string")), "source", "text", n = 3))
+    sweep("ttest")(k => graft.operators.Profile.welchTTest(
+      evAt(k).select(col("event_type"), col("value")), "event_type",
+      "value"))
+    sweep("mannwhitney")(k => graft.operators.Profile.mannWhitneyBinned(
+      evAt(k).select(col("event_type"), col("value")), "event_type",
+      "value", lo = 0.0, hi = 500.0, bins = 1000))
+    sweep("holt")(k => graft.operators.WindowOps.holtSmooth(evAt(k),
+      Seq("user_id"), Seq("ts", "event_id"), "value", 0.5, 0.25,
+      maxHistory = 16))
+
     def renderMap(m: scala.collection.Map[String, Seq[Double]]): String =
       m.map { case (k, v) =>
         "\"" + k + "\":[" + v.map(x => f"$x%.2f").mkString(",") + "]"
