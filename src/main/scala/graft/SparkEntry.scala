@@ -3708,6 +3708,19 @@ object SparkEntry {
         .orderBy("pos")
     }),
 
+    // sample autocorrelation per event type at lags 1..4: one ordered
+    // window pass + one aggregate of exact quantized cross-moments —
+    // the seasonality diagnostic, integer-identity exact
+    "q_acf" -> ((s, dir) => {
+      graft.operators.WindowOps.autocorr(
+        graft.streaming.GraftStreaming.normalizeTs(
+          table(s, dir, "events")),
+        Seq("event_type"), Seq("ts", "event_id"), "value", maxLag = 4)
+        .select(col("event_type"), col("lag"), col("n"),
+          round(col("r"), 9).as("r"))
+        .orderBy("event_type", "lag")
+    }),
+
     // streaming Holt smoothing: the exact unbounded level+trend
     // recursion as three numbers of keyed state — what a batch engine
     // must bound, streaming carries natively
@@ -6670,6 +6683,13 @@ object SparkEntry {
              "CASE WHEN CAST(embedding[1] AS DOUBLE) > 0.0 THEN 1.0 ELSE 0.0 END",
              dim = 64, iters = 5, lr = 0.5)}
          |) ORDER BY pos""".stripMargin,
+    "q_acf" ->
+      s"""WITH ${graft.operators.WindowOps.autocorrOracleCtes(
+             "e AS (SELECT event_type, epoch_us(ts) AS tsu, event_id, " +
+               "value AS v FROM events)",
+             "event_type", Seq("tsu", "event_id"), maxLag = 4)}
+         |SELECT event_type, lag, n, round(r, 9) AS r FROM acf
+         |ORDER BY event_type, lag""".stripMargin,
     "q_stream_holt" ->
       s"""WITH ${graft.operators.WindowOps.holtOracleCtes(
              "e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, " +

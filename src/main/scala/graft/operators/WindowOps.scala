@@ -879,6 +879,100 @@ object WindowOps {
       (element_at(folded, 1) + element_at(folded, 2)).as("forecast")): _*)
   }
 
+  /** Sample autocorrelation per key at lags 1..`maxLag` — the
+    * seasonality/burstiness diagnostic behind "does this key's value
+    * series remember itself" (feeds lag choice for [[holtSmooth]] /
+    * resampling periods). ONE key-ordered window pass materializes the
+    * lag columns, then ONE grouped aggregate collects exact quantized
+    * cross-moments; r_k derives from the integer identity
+    * n²·Σ(x−m)(y−m) = n²Σxy − nΣx·(H+T) + (n−k)(Σx)² (all
+    * decimal(38,0)-exact, so the statistic is partition-invariant and
+    * oracle-replayable; ONE double division at the end).
+    *
+    * Output: (partitionBy*, lag, n, r) for lags 1..maxLag, r NULL when
+    * the key's variance is zero or n ≤ lag. */
+  def autocorr(df: DataFrame, partitionBy: Seq[String],
+               orderBy: Seq[String], valueCol: String,
+               maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 12, s"maxLag must be in [1,12]")
+    val w = spec(partitionBy, orderBy)
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val q = floor(col(valueCol).cast("double") * lit(1e9)).cast("long")
+    val lagged = df.select(
+      partitionBy.map(col) ++ Seq(q.as("__q")) ++
+        (1 to maxLag).map(k => lag(q, k).over(w).as(s"__q$k")): _*)
+    val aggs =
+      Seq(count(lit(1)).as("__n"), sum(d38(col("__q"))).as("__s"),
+        sum(d38(col("__q")) * d38(col("__q"))).as("__ss")) ++
+      (1 to maxLag).flatMap { k =>
+        val ok = col(s"__q$k").isNotNull
+        Seq(
+          sum(when(ok, d38(col("__q")) * d38(col(s"__q$k"))))
+            .as(s"__xy$k"),
+          sum(when(ok, d38(col("__q")))).as(s"__h$k"),
+          sum(when(ok, d38(col(s"__q$k")))).as(s"__t$k"))
+      }
+    val stats = lagged.groupBy(partitionBy.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val n38 = d38(col("__n"))
+    val den = n38 * n38 * col("__ss") - n38 * (col("__s") * col("__s"))
+    val perLag = (1 to maxLag).map { k =>
+      val num = n38 * n38 * col(s"__xy$k") -
+        n38 * (col("__s") * (col(s"__h$k") + col(s"__t$k"))) +
+        d38(col("__n") - k) * (col("__s") * col("__s"))
+      struct(lit(k).as("lag"),
+        when(col("__n") > k && den > 0,
+          num.cast("double") / den.cast("double")).as("r"))
+    }
+    stats.select(partitionBy.map(col) ++ Seq(col("__n"),
+        explode(array(perLag: _*)).as("__l")): _*)
+      .select(partitionBy.map(col) ++ Seq(col("__l.lag").as("lag"),
+        col("__n").as("n"), col("__l.r").as("r")): _*)
+  }
+
+  /** [[autocorr]] as DuckDB SQL over an `e(key, ord..., v)` CTE —
+    * identical lags, HUGEINT-exact moments, the same integer identity
+    * and single division. Emits an `acf` CTE (key, lag, n, r). */
+  def autocorrOracleCtes(eCte: String, keyRef: String,
+                         ordRefs: Seq[String], maxLag: Int): String = {
+    val ord = ordRefs.mkString(", ")
+    val lagCols = (1 to maxLag).map(k =>
+      s"lag(q, $k) OVER (PARTITION BY $keyRef ORDER BY $ord) AS q$k")
+      .mkString(",\n       |    ")
+    val momCols = (1 to maxLag).map(k =>
+      s"""sum(CASE WHEN q$k IS NOT NULL THEN CAST(q AS HUGEINT)
+         |      * CAST(q$k AS HUGEINT) END) AS xy$k,
+         |    sum(CASE WHEN q$k IS NOT NULL THEN CAST(q AS HUGEINT) END)
+         |      AS h$k,
+         |    sum(CASE WHEN q$k IS NOT NULL THEN CAST(q$k AS HUGEINT) END)
+         |      AS t$k""".stripMargin).mkString(",\n       |    ")
+    val lagRows = (1 to maxLag).map { k =>
+      s"""  SELECT $keyRef, $k AS lag, n,
+         |    CASE WHEN n > $k AND CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+         |          * ss - CAST(n AS HUGEINT) * (s * s) > 0
+         |      THEN CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * xy$k
+         |          - CAST(n AS HUGEINT) * (s * (h$k + t$k))
+         |          + CAST(n - $k AS HUGEINT) * (s * s) AS DOUBLE)
+         |        / CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * ss
+         |          - CAST(n AS HUGEINT) * (s * s) AS DOUBLE)
+         |      END AS r
+         |  FROM mom""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$eCte,
+       |qv AS (SELECT $keyRef,
+       |    CAST(floor(CAST(v AS DOUBLE) * 1e9) AS BIGINT) AS q,
+       |    $lagCols
+       |  FROM e),
+       |mom AS (SELECT $keyRef, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(q AS HUGEINT)) AS s,
+       |    sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS ss,
+       |    $momCols
+       |  FROM qv GROUP BY $keyRef),
+       |acf AS (
+       |$lagRows
+       |)""".stripMargin
+  }
+
   /** [[holtSmooth]] as DuckDB SQL over an `e(key, ord..., v)` CTE the
     * caller supplies — the same last-N window, left-to-right
     * list_reduce (state carried as a 2-element DOUBLE list), identical

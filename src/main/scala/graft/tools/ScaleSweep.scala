@@ -755,6 +755,8 @@ object ScaleSweep {
     sweep("holt")(k => graft.operators.WindowOps.holtSmooth(evAt(k),
       Seq("user_id"), Seq("ts", "event_id"), "value", 0.5, 0.25,
       maxHistory = 16))
+    sweep("acf")(k => graft.operators.WindowOps.autocorr(evAt(k),
+      Seq("user_id"), Seq("ts", "event_id"), "value", maxLag = 4))
 
     def renderMap(m: scala.collection.Map[String, Seq[Double]]): String =
       m.map { case (k, v) =>

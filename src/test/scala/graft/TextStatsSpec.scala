@@ -116,6 +116,35 @@ class TextStatsSpec extends AnyFunSuite {
     assert(full == run(base.repartition(7)))
   }
 
+  test("autocorr: hand-derived lags, zero-variance and short keys") {
+    import graft.operators.WindowOps
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0),
+      ("b", 1L, 5.0), ("b", 2L, 5.0), ("b", 3L, 5.0), // zero variance
+      ("c", 1L, 7.0)                                   // n <= lag
+    ).toDF("k", "o", "v")
+    val r = WindowOps.autocorr(df, Seq("k"), Seq("o"), "v", maxLag = 2)
+      .collect().map(x => (x.getString(0), x.getInt(1)) ->
+        (x.getLong(2), if (x.isNullAt(3)) None else Some(x.getDouble(3))))
+      .toMap
+    // series 1,2,3,4: r1 = 1.25/5 = 0.25; r2 = -1.5/5 = -0.3
+    assert(r(("a", 1)) == ((4L, Some(0.25))))
+    assert(r(("a", 2)) == ((4L, Some(-0.3))))
+    assert(r(("b", 1)) == ((3L, None)) && r(("b", 2)) == ((3L, None)))
+    assert(r(("c", 1)) == ((1L, None)) && r(("c", 2)) == ((1L, None)))
+  }
+
+  test("autocorr: invariant to input partitioning") {
+    import graft.operators.WindowOps
+    val base = Seq.tabulate(300)(i =>
+      (s"g${i % 2}", i.toLong, math.sin(i * 0.5) + i % 3))
+      .toDF("k", "o", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      WindowOps.autocorr(df, Seq("k"), Seq("o"), "v", maxLag = 3)
+        .orderBy("k", "lag").collect().map(_.toSeq).toSeq
+    assert(run(base.repartition(1)) == run(base.repartition(11)))
+  }
+
   test("welchTTest: invariant to input partitioning") {
     val base = Seq.tabulate(200)(i =>
       (s"g${i % 3}", math.sin(i * 0.37) * 5)).toDF("g", "v")
