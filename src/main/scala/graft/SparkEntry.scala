@@ -3708,6 +3708,16 @@ object SparkEntry {
         .orderBy("pos")
     }),
 
+    // Cramer's V between order status and priority: contingency effect
+    // size (redundant-label / leakage screen) — one count aggregate,
+    // densified model-sized chi-square fold with quantized terms
+    "q_cramers_v" -> ((s, dir) => {
+      graft.operators.Profile.cramersV(table(s, dir, "orders"),
+        "o_orderstatus", "o_orderpriority")
+        .select(col("n"), col("rows"), col("cols"),
+          round(col("chi2"), 6).as("chi2"), round(col("v"), 6).as("v"))
+    }),
+
     // sample autocorrelation per event type at lags 1..4: one ordered
     // window pass + one aggregate of exact quantized cross-moments —
     // the seasonality diagnostic, integer-identity exact
@@ -6683,6 +6693,12 @@ object SparkEntry {
              "CASE WHEN CAST(embedding[1] AS DOUBLE) > 0.0 THEN 1.0 ELSE 0.0 END",
              dim = 64, iters = 5, lr = 0.5)}
          |) ORDER BY pos""".stripMargin,
+    "q_cramers_v" ->
+      s"""SELECT n, rows, cols, round(chi2, 6) AS chi2, round(v, 6) AS v
+         |FROM (
+         |${graft.operators.Profile.cramersVOracleSql("orders",
+             "o_orderstatus", "o_orderpriority")}
+         |)""".stripMargin,
     "q_acf" ->
       s"""WITH ${graft.operators.WindowOps.autocorrOracleCtes(
              "e AS (SELECT event_type, epoch_us(ts) AS tsu, event_id, " +

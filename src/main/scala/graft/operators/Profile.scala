@@ -515,6 +515,78 @@ object Profile {
        |FROM gs""".stripMargin
   }
 
+  /** Cramér's V association between two categorical columns — the
+    * contingency-table effect size behind "are these two labels
+    * redundant" (feature dedup / leakage screening), completing the
+    * association family next to [[functionalDeps]] (exact implication)
+    * and chi² token scoring. ONE grouped count aggregate over the
+    * corpus; the χ² fold runs on the DENSIFIED model-sized cell
+    * relation (distinct-A × distinct-B left-joined to counts — zero
+    * cells contribute their full expectation, dropping them understates
+    * χ²), with each cell's term nano-quantized to a long before the
+    * sum (order-invariant; the tokenEntropy recipe). Output one row:
+    * (n, rows, cols, chi2, v). */
+  def cramersV(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.select(col(colA).cast("string").as("__a"),
+        col(colB).cast("string").as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__n"))
+    val ra = cells.groupBy("__a").agg(sum("__n").as("__ra"))
+    val cb = cells.groupBy("__b").agg(sum("__n").as("__cb"))
+    val dense = ra.crossJoin(cb)
+      .join(cells, Seq("__a", "__b"), "left")
+      .select(col("__ra"), col("__cb"),
+        coalesce(col("__n"), lit(0L)).as("__o"))
+    val tot = cells.agg(sum("__n").as("__N"),
+      countDistinct(col("__a")).as("__R"),
+      countDistinct(col("__b")).as("__C"))
+    val e = col("__ra").cast("double") * col("__cb").cast("double") /
+      col("__N").cast("double")
+    val term = (col("__o").cast("double") - e) *
+      (col("__o").cast("double") - e) / e
+    dense.crossJoin(broadcast(tot))
+      .agg(first(col("__N")).as("n"), first(col("__R")).as("rows"),
+        first(col("__C")).as("cols"),
+        sum(floor(term * lit(1e9)).cast("long")).as("__q"))
+      .select(col("n"), col("rows"), col("cols"),
+        (col("__q").cast("double") / lit(1e9)).as("chi2"),
+        sqrt((col("__q").cast("double") / lit(1e9)) /
+          (col("n").cast("double") *
+            (least(col("rows"), col("cols")) - 1).cast("double")))
+          .as("v"))
+  }
+
+  /** [[cramersV]] as DuckDB SQL — identical densification, expectation
+    * and quantized χ² fold. */
+  def cramersVOracleSql(relation: String, aExpr: String,
+                        bExpr: String): String =
+    s"""WITH cells AS (SELECT CAST($aExpr AS VARCHAR) AS a,
+       |    CAST($bExpr AS VARCHAR) AS b, CAST(count(*) AS BIGINT) AS n
+       |  FROM $relation GROUP BY a, b),
+       |ra AS (SELECT a, CAST(sum(n) AS BIGINT) AS ra FROM cells
+       |  GROUP BY a),
+       |cb AS (SELECT b, CAST(sum(n) AS BIGINT) AS cb FROM cells
+       |  GROUP BY b),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+       |    CAST(count(DISTINCT a) AS BIGINT) AS r,
+       |    CAST(count(DISTINCT b) AS BIGINT) AS c FROM cells),
+       |dense AS (SELECT ra.ra, cb.cb, COALESCE(cells.n, 0) AS o
+       |  FROM ra CROSS JOIN cb
+       |  LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b),
+       |folded AS (SELECT
+       |    CAST(sum(CAST(floor(
+       |      (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+       |        / CAST(nn AS DOUBLE))
+       |      * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS
+       |        DOUBLE) / CAST(nn AS DOUBLE))
+       |      / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+       |        / CAST(nn AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS q
+       |  FROM dense, tot)
+       |SELECT nn AS n, r AS rows, c AS cols,
+       |  CAST(q AS DOUBLE) / 1e9 AS chi2,
+       |  sqrt((CAST(q AS DOUBLE) / 1e9)
+       |    / (CAST(nn AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE))) AS v
+       |FROM folded, tot""".stripMargin
+
   def profileOracleSql(relation: String, cols: Seq[String]): String =
     cols.map { c =>
       s"""SELECT '$c' AS col_name, count(*) AS n_rows,

@@ -145,6 +145,30 @@ class TextStatsSpec extends AnyFunSuite {
     assert(run(base.repartition(1)) == run(base.repartition(11)))
   }
 
+  test("cramersV: perfect association, independence, zero cells") {
+    import graft.operators.Profile
+    // perfect: x<->p, y<->q; zero cells contribute their expectation
+    val perfect = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val r1 = Profile.cramersV(perfect, "a", "b").collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) == ((4L, 2L, 2L)))
+    assert(r1.getDouble(3) == 4.0 && r1.getDouble(4) == 1.0)
+    // independent: uniform 2x2 -> chi2 = 0, v = 0
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val r2 = Profile.cramersV(indep, "a", "b").collect()(0)
+    assert(r2.getDouble(3) == 0.0 && r2.getDouble(4) == 0.0)
+  }
+
+  test("cramersV: invariant to input partitioning") {
+    import graft.operators.Profile
+    val base = Seq.tabulate(500)(i => (s"a${i % 3}", s"b${(i * 7) % 4}"))
+      .toDF("a", "b")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Profile.cramersV(df, "a", "b").collect().map(_.toSeq).toSeq
+    assert(run(base.repartition(1)) == run(base.repartition(13)))
+  }
+
   test("welchTTest: invariant to input partitioning") {
     val base = Seq.tabulate(200)(i =>
       (s"g${i % 3}", math.sin(i * 0.37) * 5)).toDF("g", "v")
