@@ -307,6 +307,19 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // the one-pass tail (every partition ships its count + last ≤ n
+    // rows in a single sweep — the scan-dominated path a 100 TB table
+    // wants instead of tail()'s COUNT-then-OFFSET double scan); same
+    // oracle as q_tail because the row contract is identical
+    "q_tail_onepass" -> ((s, dir) => {
+      val o = DataFrame.fromSpark(
+        table(s, dir, "orders").orderBy("o_orderkey"),
+        index = Seq("o_orderkey"))
+      o.select(Seq("o_totalprice", "o_orderstatus")).tailOnePass(10)
+        .toSpark(includeIndex = true)
+        .orderBy("o_orderkey")
+    }),
+
     // alchemy.py:470-478 Series add_prefix — concat onto index values
     // str accessor: upper/len/contains/extract/pad/count as one fused
     // projection over the scan
@@ -327,6 +340,43 @@ object SparkEntry {
         .withColumn("n_vowels", p.str.count("[AEIOU]"))
         .toSpark(includeIndex = true)
         .orderBy("o_orderkey")
+    }),
+
+    // str accessor round-out (pandas parity the reference leaves
+    // unchecked — API_COVERAGE.md:238-290): zfill/find/get/capitalize/
+    // char-class tests/repeat/strips, one fused projection like
+    // q_str_ops
+    "q_str_ops2" -> ((s, dir) => {
+      val o = ordersByKey(s, dir)
+      val p = o("o_orderpriority")
+      o.select(Nil)
+        .withColumn("z", p.str.zfill(12))
+        .withColumn("f", p.str.find("URGENT"))
+        .withColumn("g2", p.str.get(2))
+        .withColumn("cap", p.str.capitalize)
+        .withColumn("alnum", p.str.slice(2, 4).str.isalnum)
+        .withColumn("rep", p.str.get(0).str.repeat(3))
+        .withColumn("dig", p.str.get(0).str.isdigit)
+        .toSpark(includeIndex = true)
+        .orderBy("o_orderkey")
+    }),
+
+    // dt accessor round-out: dayofyear/quarter/ISO week/pandas weekday
+    // (Mon=0)/days-in-month/month-boundary flags — same fused
+    // projection shape as q_dt_parts
+    "q_dt_parts2" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val d = li("l_shipdate")
+      li.select(Nil)
+        .withColumn("doy", d.dt.dayofyear)
+        .withColumn("q", d.dt.quarter)
+        .withColumn("wk", d.dt.week)
+        .withColumn("wd", d.dt.weekday)
+        .withColumn("dim", d.dt.daysInMonth)
+        .withColumn("ms", d.dt.isMonthStart)
+        .withColumn("me", d.dt.isMonthEnd)
+        .toSpark(includeIndex = true)
+        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     "q_series_prefix" -> ((s, dir) => {
@@ -2852,6 +2902,32 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // the 100 TB seam of q_interarrival as an executable contract:
+    // exact quantiles (oracled exactly) + the GK-sketch
+    // (approxAccuracy) quantiles-within-tolerance claim the oracle
+    // asserts TRUE — the q_approx_quantile honesty pattern
+    "q_interarrival_approx" -> ((s, dir) => {
+      val ev = eventsMicros(s, dir)
+      def stats(acc: Option[Int]) = WindowOps.interArrivalStats(ev,
+        Seq("user_id"), Seq("tsu", "event_id"), "event_type", "tsu",
+        tickSeconds = 1e6, approxAccuracy = acc)
+      val exact = stats(None)
+      val approx = stats(Some(10000)).select(col("event_type"),
+        col("p50_sec").as("__a50"), col("p90_sec").as("__a90"),
+        col("p99_sec").as("__a99"))
+      def ok(e: org.apache.spark.sql.Column, a: org.apache.spark.sql.Column) =
+        abs(a - e) <= abs(e) * 0.02 + lit(0.5)
+      exact.join(approx, Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          round(col("p50_sec"), 6).as("p50_sec"),
+          round(col("p90_sec"), 6).as("p90_sec"),
+          round(col("p99_sec"), 6).as("p99_sec"),
+          (ok(col("p50_sec"), col("__a50")) &&
+            ok(col("p90_sec"), col("__a90")) &&
+            ok(col("p99_sec"), col("__a99"))).as("approx_ok"))
+        .orderBy("event_type")
+    }),
+
     // robust metric screening: median/MAD outlier profile per type —
     // three broadcast-joined |types|-sized aggregates, stream never
     // shuffled
@@ -3126,8 +3202,14 @@ object SparkEntry {
     // which DuckDB replays with list_reduce over the same literals.
     "q_stream_ewma" -> ((s, dir) => {
       val ev = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      // one snapshot per key per micro-batch → keep the final state
+      // (max nObs) so the one-row-per-key oracle holds for ANY batch
+      // split of the AvailableNow run (same fix as q_stream_holt)
       runStreamQuery(s, "stream_ewma", GraftStreaming.ewmaStream(ev, alpha = 0.3))
-        .select(col("userId").as("user_id"), round(col("ewma"), 9).as("ewma"))
+        .groupBy(col("userId"))
+        .agg(max(struct(col("nObs"), col("ewma"))).as("__last"))
+        .select(col("userId").as("user_id"),
+          round(col("__last.ewma"), 9).as("ewma"))
         .orderBy("user_id")
     }),
 
@@ -3241,6 +3323,27 @@ object SparkEntry {
       Profile.giniFromGains(
         Profile.gainsTable(scoredDocs(s, dir), "score", "label", 10))
         .select(round(col("gini"), 9).as("gini"))
+    }),
+
+    // the 100 TB seam of q_gains as an executable contract: exact band
+    // edges (oracled exactly) + the bounded-memory percentile_approx
+    // banding whose gain/lift must land within tolerance — the
+    // q_approx_quantile honesty pattern over the whole curve
+    "q_gains_approx" -> ((s, dir) => {
+      val exact = Profile.gainsTable(scoredDocs(s, dir), "score", "label",
+        buckets = 10)
+      val approx = Profile.gainsTable(scoredDocs(s, dir), "score", "label",
+          buckets = 10, approxAccuracy = Some(10000))
+        .select(col("bucket"), col("gain").as("__ag"),
+          col("lift").as("__al"))
+      exact.join(approx, Seq("bucket"))
+        .select(col("bucket"), col("n"), col("n_pos"),
+          col("cum_n"), col("cum_pos"),
+          round(col("gain"), 6).as("gain"), round(col("lift"), 6).as("lift"),
+          (abs(col("__ag") - col("gain")) <= lit(0.02) &&
+            abs(col("__al") - col("lift")) <=
+              abs(col("lift")) * 0.05 + lit(0.02)).as("approx_ok"))
+        .orderBy("bucket")
     }),
 
     // typed PII detection counts (emails / valid IPv4 / phones /
@@ -3736,11 +3839,21 @@ object SparkEntry {
     // must bound, streaming carries natively
     "q_stream_holt" -> ((s, dir) => {
       val ev = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      // holtStream emits one snapshot per key per micro-batch; if the
+      // AvailableNow run splits into several batches (multi-file glob,
+      // maxFilesPerTrigger) a user would appear once per batch. nObs is
+      // strictly increasing per key, so max-by-nObs keeps exactly the
+      // final state and the one-row-per-key oracle holds for ANY batch
+      // split.
       runStreamQuery(s, "stream_holt",
         GraftStreaming.holtStream(ev, alpha = 0.5, beta = 0.25))
-        .select(col("userId").as("user_id"), col("nObs").as("n_obs"),
-          round(col("level"), 9).as("level"),
-          round(col("trend"), 9).as("trend"))
+        .groupBy(col("userId"))
+        .agg(max(struct(col("nObs"), col("level"), col("trend")))
+          .as("__last"))
+        .select(col("userId").as("user_id"),
+          col("__last.nObs").as("n_obs"),
+          round(col("__last.level"), 9).as("level"),
+          round(col("__last.trend"), 9).as("trend"))
         .orderBy("user_id")
     }),
 
@@ -3827,6 +3940,24 @@ object SparkEntry {
           "text", n = 3)
         .select(col("source"), col("n_ngrams"), col("n_distinct"),
           round(col("ttr"), 9).as("ttr"))
+        .orderBy("source")
+    }),
+
+    // the 100 TB seam of q_ngram_diversity as an executable contract:
+    // exact distinct (oracled exactly) + the HLL
+    // (approx_count_distinct) count-within-tolerance claim the oracle
+    // asserts TRUE — the q_approx_distinct honesty pattern
+    "q_ngram_diversity_approx" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val exact = TextAnalysis.ngramDiversity(docs, "source", "text", n = 3)
+      val approx = TextAnalysis.ngramDiversity(docs, "source", "text",
+          n = 3, approxRsd = Some(0.02))
+        .select(col("source"), col("n_distinct").as("__ad"))
+      exact.join(approx, Seq("source"))
+        .select(col("source"), col("n_ngrams"), col("n_distinct"),
+          round(col("ttr"), 9).as("ttr"),
+          (abs(col("__ad") - col("n_distinct")) <=
+            col("n_distinct") * 0.05 + lit(5L)).as("approx_ok"))
         .orderBy("source")
     }),
 
@@ -4098,6 +4229,12 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
         |ORDER BY o_orderkey LIMIT 10""".stripMargin,
     "q_tail" ->
+      """SELECT * FROM (SELECT o_orderkey, o_totalprice, o_orderstatus
+        | FROM orders ORDER BY o_orderkey DESC LIMIT 10) t
+        |ORDER BY o_orderkey""".stripMargin,
+    // identical row contract to q_tail — the twin pins that the
+    // one-pass implementation returns exactly tail()'s rows
+    "q_tail_onepass" ->
       """SELECT * FROM (SELECT o_orderkey, o_totalprice, o_orderstatus
         | FROM orders ORDER BY o_orderkey DESC LIMIT 10) t
         |ORDER BY o_orderkey""".stripMargin,
@@ -4698,6 +4835,32 @@ object SparkEntry {
         | lpad(o_orderpriority, 12, '_') AS padded,
         | len(regexp_extract_all(o_orderpriority, '[AEIOU]')) AS n_vowels
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_str_ops2" ->
+      """SELECT o_orderkey,
+        | CASE WHEN len(o_orderpriority) >= 12 THEN o_orderpriority
+        |      ELSE lpad(o_orderpriority, 12, '0') END AS z,
+        | strpos(o_orderpriority, 'URGENT') - 1 AS f,
+        | CASE WHEN len(o_orderpriority) > 2
+        |      THEN substr(o_orderpriority, 3, 1) END AS g2,
+        | upper(substr(o_orderpriority, 1, 1))
+        |   || lower(substr(o_orderpriority, 2)) AS cap,
+        | regexp_matches(substr(o_orderpriority, 3, 4),
+        |   '^[0-9A-Za-z]+$') AS alnum,
+        | repeat(CASE WHEN len(o_orderpriority) > 0
+        |   THEN substr(o_orderpriority, 1, 1) END, 3) AS rep,
+        | regexp_matches(CASE WHEN len(o_orderpriority) > 0
+        |   THEN substr(o_orderpriority, 1, 1) END, '^[0-9]+$') AS dig
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_dt_parts2" ->
+      """SELECT l_orderkey, l_linenumber,
+        | dayofyear(l_shipdate) AS doy,
+        | quarter(l_shipdate) AS q,
+        | weekofyear(l_shipdate) AS wk,
+        | isodow(l_shipdate) - 1 AS wd,
+        | day(last_day(l_shipdate)) AS dim,
+        | day(l_shipdate) = 1 AS ms,
+        | l_shipdate = last_day(l_shipdate) AS me
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_kmeans_iter" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS cv
         |           FROM embeddings WHERE vec_id < 8),
@@ -6042,7 +6205,7 @@ object SparkEntry {
         |    AS dst FROM e),
         |tc AS (SELECT src, dst, count(*) AS n FROM p WHERE dst IS NOT NULL
         |  GROUP BY src, dst)
-        |SELECT src, sum(n) AS n_total, count(*) AS n_dst,
+        |SELECT src, CAST(sum(n) AS BIGINT) AS n_total, count(*) AS n_dst,
         |  round(log2(sum(n)) -
         |    (sum(CAST(floor(n * log2(n) * 1e9) AS BIGINT)) / 1e9) / sum(n),
         |    6) AS entropy_bits
@@ -6057,6 +6220,21 @@ object SparkEntry {
         |  round(quantile_cont(dt, 0.5) / 1e6, 6) AS p50_sec,
         |  round(quantile_cont(dt, 0.9) / 1e6, 6) AS p90_sec,
         |  round(quantile_cont(dt, 0.99) / 1e6, 6) AS p99_sec
+        |FROM d WHERE dt IS NOT NULL GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // exact side identical to q_interarrival; the approx claim is
+    // Spark's to prove (oracle asserts it TRUE)
+    "q_interarrival_approx" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id
+        |  FROM events),
+        |d AS (SELECT event_type,
+        |  tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |    AS dt FROM e)
+        |SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(dt, 0.5) / 1e6, 6) AS p50_sec,
+        |  round(quantile_cont(dt, 0.9) / 1e6, 6) AS p90_sec,
+        |  round(quantile_cont(dt, 0.99) / 1e6, 6) AS p99_sec,
+        |  TRUE AS approx_ok
         |FROM d WHERE dt IS NOT NULL GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "q_outliers" ->
@@ -6388,6 +6566,18 @@ object SparkEntry {
          |  CASE WHEN tp > 0
          |    THEN round((CAST(cum_pos AS DOUBLE) / cum_n)
          |      / (CAST(tp AS DOUBLE) / tn), 6) END AS lift
+         |FROM f ORDER BY bucket""".stripMargin,
+    // exact bands identical to q_gains; the approx-banding claim is
+    // Spark's to prove (oracle asserts it TRUE)
+    "q_gains_approx" ->
+      s"""WITH $GainsBandsCtes
+         |SELECT bucket, n, n_pos, cum_n, cum_pos,
+         |  CASE WHEN tp > 0
+         |    THEN round(CAST(cum_pos AS DOUBLE) / tp, 6) END AS gain,
+         |  CASE WHEN tp > 0
+         |    THEN round((CAST(cum_pos AS DOUBLE) / cum_n)
+         |      / (CAST(tp AS DOUBLE) / tn), 6) END AS lift,
+         |  TRUE AS approx_ok
          |FROM f ORDER BY bucket""".stripMargin,
     // the same band CTEs rolled up to one trapezoid number — the gini
     // arithmetic mirrors Profile.giniFromGains op for op
@@ -6763,6 +6953,15 @@ object SparkEntry {
          |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_ngram_diversity" ->
       s"""SELECT source, n_ngrams, n_distinct, round(ttr, 9) AS ttr
+         |FROM (
+         |${TextAnalysis.ngramDiversityOracleSql("source", "text",
+             "documents", n = 3)}
+         |) ORDER BY source""".stripMargin,
+    // exact side identical to q_ngram_diversity; the HLL claim is
+    // Spark's to prove (oracle asserts it TRUE)
+    "q_ngram_diversity_approx" ->
+      s"""SELECT source, n_ngrams, n_distinct, round(ttr, 9) AS ttr,
+         |  TRUE AS approx_ok
          |FROM (
          |${TextAnalysis.ngramDiversityOracleSql("source", "text",
              "documents", n = 3)}

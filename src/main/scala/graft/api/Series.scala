@@ -293,6 +293,45 @@ final class Series private[graft] (
     /** pandas str.split → array column (pair with DataFrame.explode). */
     def split(pattern: String): Series =
       app(org.apache.spark.sql.functions.split(_, pattern))
+    /** pandas str.strip/lstrip/rstrip (whitespace form). Spark's bare
+      * trim/ltrim/rtrim strip SPACES only; pandas strips the whole
+      * whitespace class, so pass it explicitly. */
+    private val Ws = " \t\n\r\f"
+    def strip: Series =
+      app(org.apache.spark.sql.functions.trim(_, Ws))
+    def lstrip: Series = app(ltrim(_, Ws))
+    def rstrip: Series = app(rtrim(_, Ws))
+    /** pandas str.zfill: sign-aware zero pad, NEVER truncates (Spark's
+      * bare lpad truncates a longer string to `width`). */
+    def zfill(width: Int): Series = app { c =>
+      val sign = substring(c, 1, 1)
+      val rest = c.substr(lit(2), length(c))
+      when(length(c) >= width, c)
+        .otherwise(when(sign === "-" || sign === "+",
+          concat(sign, lpad(rest, math.max(width - 1, 0), "0")))
+          .otherwise(lpad(c, width, "0")))
+    }
+    /** pandas str.find: 0-based index of first occurrence, -1 absent. */
+    def find(sub: String): Series = app(instr(_, sub) - 1)
+    /** pandas str.get: character at 0-based position, NULL past end
+      * (pandas yields NaN, the shared missing sentinel). */
+    def get(i: Int): Series =
+      app(c => when(length(c) > i, substring(c, i + 1, 1)))
+    /** pandas str.repeat. */
+    def repeat(n: Int): Series =
+      app(org.apache.spark.sql.functions.repeat(_, n))
+    /** pandas str.capitalize: first char upper, rest lower. */
+    def capitalize: Series = app(c =>
+      when(length(c) === 0, c).otherwise(
+        concat(org.apache.spark.sql.functions.upper(substring(c, 1, 1)),
+          org.apache.spark.sql.functions.lower(
+            c.substr(lit(2), length(c))))))
+    /** pandas str.isdigit/isalpha/isalnum/isspace: non-empty and all
+      * chars in the class (ASCII classes — the oracle-shared form). */
+    def isdigit: Series = app(_.rlike("^[0-9]+$"))
+    def isalpha: Series = app(_.rlike("^[A-Za-z]+$"))
+    def isalnum: Series = app(_.rlike("^[0-9A-Za-z]+$"))
+    def isspace: Series = app(_.rlike("^\\s+$"))
   }
 
   /** datetime accessor namespace (pandas Series.dt.*). */
@@ -305,6 +344,21 @@ final class Series private[graft] (
     def hour: Series = app(org.apache.spark.sql.functions.hour)
     def dayofweek: Series = app(org.apache.spark.sql.functions.dayofweek)
     def date: Series = app(to_date(_))
+    def minute: Series = app(org.apache.spark.sql.functions.minute)
+    def second: Series = app(org.apache.spark.sql.functions.second)
+    def dayofyear: Series = app(org.apache.spark.sql.functions.dayofyear)
+    def quarter: Series = app(org.apache.spark.sql.functions.quarter)
+    /** ISO week number (pandas dt.isocalendar().week). */
+    def week: Series = app(weekofyear)
+    /** pandas dt.weekday: Monday = 0 … Sunday = 6 (Spark's dayofweek
+      * is Sunday = 1, hence the modular shift). */
+    def weekday: Series = app(c =>
+      pmod(org.apache.spark.sql.functions.dayofweek(c) + 5, lit(7)))
+    /** pandas dt.days_in_month. */
+    def daysInMonth: Series = app(c => dayofmonth(last_day(c)))
+    /** pandas dt.is_month_start / is_month_end. */
+    def isMonthStart: Series = app(dayofmonth(_) === 1)
+    def isMonthEnd: Series = app(c => to_date(c) === last_day(c))
   }
 }
 

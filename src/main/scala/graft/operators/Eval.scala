@@ -59,11 +59,18 @@ object Eval {
     val w = Window.orderBy("__s")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val walked = byScore.withColumn("__cumneg", sum("__neg").over(w))
+    // The pair-count numerator is Σ pos·(2·cumneg−neg) with magnitude up
+    // to 2·P·N — at multi-billion rows per class that exceeds Long range
+    // and Spark's non-ANSI long sum would wrap SILENTLY while the DuckDB
+    // oracle promotes to HUGEINT. Accumulate in decimal(38,0) (the same
+    // trick cohenKappa uses); the decimal→double cast at the end is the
+    // identical IEEE value the oracle's HUGEINT→double cast produces.
+    val pairTerm = (col("__pos").cast("decimal(38,0)") *
+      (lit(2L) * col("__cumneg") - col("__neg")).cast("decimal(38,0)"))
     val agg = walked.agg(
       coalesce(sum("__pos"), lit(0L)).as("n_pos"),
       coalesce(sum("__neg"), lit(0L)).as("n_neg"),
-      coalesce(sum(col("__pos") * (lit(2L) * col("__cumneg") - col("__neg"))),
-        lit(0L)).as("__num2"))
+      coalesce(sum(pairTerm), lit(0).cast("decimal(38,0)")).as("__num2"))
     agg.select(col("n_pos"), col("n_neg"),
       when(col("n_pos") > 0 && col("n_neg") > 0,
         col("__num2").cast("double") /
@@ -99,11 +106,16 @@ object Eval {
       .withColumn("__cumall", sum("__n").over(w))
       .withColumn("__t", floor(lit(1e9) * col("__pos") * col("__cumpos") /
         col("__cumall")).cast("long"))
+    // __t ≤ 1e9·pos_s per score, so Σ__t ≤ 1e9·P — wraps Long past ~9.2
+    // billion positives. decimal(38,0) accumulation, double at the end
+    // (the oracle's sum(BIGINT) already promotes to HUGEINT and casts to
+    // DOUBLE in its output, so the engines stay bit-identical).
     walked.agg(
       coalesce(sum("__pos"), lit(0L)).as("n_pos"),
       (coalesce(sum("__n"), lit(0L)) - coalesce(sum("__pos"), lit(0L)))
         .as("n_neg"),
-      coalesce(sum("__t"), lit(0L)).as("__tsum"))
+      coalesce(sum(col("__t").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("__tsum"))
       .select(col("n_pos"), col("n_neg"),
         when(col("n_pos") > 0,
           col("__tsum").cast("double") / (lit(1e9) * col("n_pos")))
@@ -151,7 +163,7 @@ object Eval {
        |SELECT CAST(COALESCE(sum(pos), 0) AS BIGINT) AS n_pos,
        |  CAST(COALESCE(sum(neg), 0) AS BIGINT) AS n_neg,
        |  CASE WHEN COALESCE(sum(pos), 0) > 0 AND COALESCE(sum(neg), 0) > 0
-       |    THEN CAST(sum(pos * (2 * cumneg - neg)) AS DOUBLE)
+       |    THEN CAST(sum(CAST(pos AS HUGEINT) * (2 * cumneg - neg)) AS DOUBLE)
        |      / (2.0 * sum(pos) * sum(neg))
        |    ELSE NULL END AS auc
        |FROM wlk""".stripMargin

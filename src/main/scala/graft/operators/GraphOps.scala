@@ -58,11 +58,17 @@ object GraphOps {
     * }}}
     * where `W(s)` is s's total out-weight and `num/den` is the damping
     * factor (default 85/100). Nodes = union of edge endpoints, seeded at
-    * `Scale` (rank 1.0). Dangling nodes (no out-edges) keep receiving the
-    * teleport term but their mass is NOT redistributed — the standard
-    * "leaky" variant; document sets with meaningful dangling mass should
-    * add explicit sink edges. Self-loops are dropped (they only slow
-    * convergence). Overflow bound: `max_rank · max_edge_weight < 2^63`
+    * `Scale` (rank 1.0). Dangling nodes (no out-edges) redistribute
+    * their rank mass uniformly over the TELEPORT SUPPORT each round —
+    * all nodes for PageRank, the seed set for TrustRank — the standard
+    * mass-conserving formulation: per round, ONE scalar aggregate sums
+    * the dangling mass `D = Σ r over nodes with no out-edges`, rides a
+    * one-row broadcast back, and each supported node's inflow gains
+    * `D DIV |support|` before damping. Total mass is conserved up to
+    * the deterministic integer floors (≤1 nano per edge + 2 per node
+    * per round — see the conservation spec). Self-loops are dropped
+    * (they only slow convergence). Overflow bound:
+    * `max_rank · max_edge_weight < 2^63`
     * (≈9.2e18) — with ranks bounded by `n_nodes·Scale` this holds up to
     * ~1e9 weighted edges into a single host; cap per-edge weights (e.g.
     * at 1e6) before calling if the crawl can exceed it.
@@ -113,6 +119,11 @@ object GraphOps {
     val nodes = materialize(
       ew.select(col("src").as("node"))
         .union(ew.select(col("dst").as("node"))).distinct(), "nodes")
+    // dangling spine: nodes with no out-edges — their mass re-enters
+    // through the teleport support each round instead of leaking
+    val dangling = materialize(
+      nodes.join(ew.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti"), "dangling")
 
     val teleport = (dampDen - dampNum) * Scale / dampDen // exact when den | Scale
     // TrustRank mode (Gyöngyi, Garcia-Molina, Pedersen, VLDB'04): with a
@@ -152,6 +163,10 @@ object GraphOps {
     // wants the default 1: bounded lineage, bounded replay on task
     // retry. Drops only ever remove a snapshot that a NEWER snapshot
     // has replaced — never one the live lineage still reads.
+    // |teleport support| — the uniform-redistribution denominator; a
+    // one-row relation so it broadcasts (never a driver-side literal)
+    val nSupport = spine.where(col("is_seed") === 1)
+      .agg(count(lit(1)).as("__ns"))
     var lastMat: Option[String] = None
     var i = 0
     while (i < iters) {
@@ -159,11 +174,21 @@ object GraphOps {
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("r * w DIV ow").as("c"))
         .groupBy("dst").agg(sum("c").as("inflow"))
+      // dangling mass this round: one scalar aggregate over the
+      // node-sized rank relation (ranks is a parquet snapshot, so the
+      // second consumer re-reads, not recomputes), broadcast back
+      val dangMass = ranks.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum("r"), lit(0L)).as("__dang"))
       val next = spine
         .join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(dangMass))
+        .crossJoin(broadcast(nSupport))
         .select(col("node"),
           (col("tele") +
-            expr(s"$dampNum * coalesce(inflow, 0L) DIV $dampDen")).as("r"))
+            expr(s"""$dampNum * (coalesce(inflow, 0L) +
+              (CASE WHEN is_seed = 1 AND __ns > 0
+                THEN __dang DIV __ns ELSE 0L END)) DIV $dampDen"""))
+            .as("r"))
       ranks =
         if ((i + 1) % materializeEvery == 0 || i == iters - 1) {
           val m = materialize(next, s"iter$i")
@@ -199,7 +224,8 @@ object GraphOps {
            |    CASE WHEN is_seed = 1 THEN CAST($Scale AS BIGINT)
            |      ELSE CAST(0 AS BIGINT) END AS r FROM spine)""".stripMargin
       else
-        s"""spine AS (SELECT node, CAST($teleport AS BIGINT) AS tele FROM n),
+        s"""spine AS (SELECT node, CAST($teleport AS BIGINT) AS tele,
+           |    1 AS is_seed FROM n),
            |r0 AS (SELECT node, CAST($Scale AS BIGINT) AS r FROM n)""".stripMargin
     val head =
       s"""ew AS (SELECT e.src, e.dst, e.w, ow.ow FROM e
@@ -207,13 +233,23 @@ object GraphOps {
          |  USING (src)),
          |n AS (SELECT DISTINCT node FROM
          |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-         |$spine""".stripMargin
+         |dangn AS (SELECT n.node FROM n
+         |  LEFT JOIN (SELECT DISTINCT src FROM e) s ON n.node = s.src
+         |  WHERE s.src IS NULL),
+         |$spine,
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM spine
+         |  WHERE is_seed = 1)""".stripMargin
     val rounds = (1 to iters).map { i =>
       s"""i$i AS (SELECT dst, CAST(sum((r * w) // ow) AS BIGINT) AS f
          |  FROM ew JOIN r${i - 1} ON ew.src = r${i - 1}.node GROUP BY dst),
+         |d$i AS (SELECT CAST(COALESCE(sum(r), 0) AS BIGINT) AS dang
+         |  FROM r${i - 1} JOIN dangn USING (node)),
          |r$i AS (SELECT spine.node,
-         |    CAST(spine.tele + ($dampNum * COALESCE(f, 0)) // $dampDen AS BIGINT) AS r
-         |  FROM spine LEFT JOIN i$i ON spine.node = i$i.dst)""".stripMargin
+         |    CAST(spine.tele + ($dampNum * (COALESCE(f, 0) +
+         |      CASE WHEN spine.is_seed = 1 AND ns.ns > 0
+         |        THEN d$i.dang // ns.ns ELSE 0 END)) // $dampDen AS BIGINT)
+         |      AS r
+         |  FROM spine LEFT JOIN i$i ON spine.node = i$i.dst, d$i, ns)""".stripMargin
     }
     (head +: rounds).mkString(",\n")
   }

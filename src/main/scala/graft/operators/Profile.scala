@@ -382,10 +382,15 @@ object Profile {
     a.join(b, col("group_a") < col("group_b"))
       .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
         (col("__ma") - col("__mb")).as("mean_diff"),
-        ((col("__ma") - col("__mb")) / sqrt(se2a + se2b)).as("t_stat"),
-        ((se2a + se2b) * (se2a + se2b) /
-          (se2a * se2a / (col("n_a") - 1).cast("double") +
-            se2b * se2b / (col("n_b") - 1).cast("double")))
+        // two constant groups → zero standard error: neither engine's
+        // division-by-zero default may reach the output (the
+        // bleuCorpus rule), so the statistic is NULL (undefined)
+        when(se2a + se2b > 0,
+          (col("__ma") - col("__mb")) / sqrt(se2a + se2b)).as("t_stat"),
+        when(se2a + se2b > 0,
+          (se2a + se2b) * (se2a + se2b) /
+            (se2a * se2a / (col("n_a") - 1).cast("double") +
+              se2b * se2b / (col("n_b") - 1).cast("double")))
           .as("welch_df"))
   }
 
@@ -407,14 +412,18 @@ object Profile {
        |  FROM st)
        |SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
        |  a.mean - b.mean AS mean_diff,
-       |  (a.mean - b.mean) / sqrt(a.s2 / CAST(a.n AS DOUBLE)
-       |    + b.s2 / CAST(b.n AS DOUBLE)) AS t_stat,
-       |  (a.s2 / CAST(a.n AS DOUBLE) + b.s2 / CAST(b.n AS DOUBLE))
+       |  CASE WHEN a.s2 / CAST(a.n AS DOUBLE)
+       |      + b.s2 / CAST(b.n AS DOUBLE) > 0 THEN
+       |    (a.mean - b.mean) / sqrt(a.s2 / CAST(a.n AS DOUBLE)
+       |      + b.s2 / CAST(b.n AS DOUBLE)) END AS t_stat,
+       |  CASE WHEN a.s2 / CAST(a.n AS DOUBLE)
+       |      + b.s2 / CAST(b.n AS DOUBLE) > 0 THEN
+       |    (a.s2 / CAST(a.n AS DOUBLE) + b.s2 / CAST(b.n AS DOUBLE))
        |    * (a.s2 / CAST(a.n AS DOUBLE) + b.s2 / CAST(b.n AS DOUBLE))
        |    / (a.s2 / CAST(a.n AS DOUBLE) * (a.s2 / CAST(a.n AS DOUBLE))
        |        / CAST(a.n - 1 AS DOUBLE)
        |      + b.s2 / CAST(b.n AS DOUBLE) * (b.s2 / CAST(b.n AS DOUBLE))
-       |        / CAST(b.n - 1 AS DOUBLE)) AS welch_df
+       |        / CAST(b.n - 1 AS DOUBLE)) END AS welch_df
        |FROM m a JOIN m b ON a.g < b.g""".stripMargin
 
   /** One-vs-rest Mann–Whitney U over FIXED-BIN midranks — the
@@ -467,15 +476,21 @@ object Profile {
       .select(col("__g").as(groupCol), col("n"),
         ((col("__sr2") - d38(col("n")) * d38(col("n") + 1))
           .cast("double") / lit(2.0)).as("u"),
-        ((col("__sr2") - d38(col("n")) * d38(col("n") + 1) -
-          d38(col("n")) * d38(col("__N") - col("n"))).cast("double") /
-          lit(2.0) /
-          sqrt((col("n").cast("double") *
+        {
+          // degenerate margins (group = whole corpus, or every value in
+          // one bin → tie mass cancels the variance) zero the z
+          // denominator: NULL, not NaN/Inf (the bleuCorpus rule)
+          val varArg = (col("n").cast("double") *
             (col("__N") - col("n")).cast("double") / lit(12.0)) *
             ((col("__N") + 1).cast("double") -
               col("__T").cast("double") /
                 (col("__N").cast("double") *
-                  (col("__N") - 1).cast("double"))))).as("z"))
+                  (col("__N") - 1).cast("double")))
+          when(col("n") < col("__N") && varArg > 0,
+            (col("__sr2") - d38(col("n")) * d38(col("n") + 1) -
+              d38(col("n")) * d38(col("__N") - col("n"))).cast("double") /
+              lit(2.0) / sqrt(varArg)).as("z")
+        })
   }
 
   /** [[mannWhitneyBinned]] as DuckDB SQL — identical binning, midranks,
@@ -505,13 +520,20 @@ object Profile {
        |SELECT g AS $groupAlias, n,
        |  CAST(sr2 - CAST(n AS HUGEINT) * CAST(n + 1 AS HUGEINT)
        |    AS DOUBLE) / 2.0 AS u,
+       |  CASE WHEN n < nn
+       |      AND (CAST(n AS DOUBLE) * CAST(nn - n AS DOUBLE) / 12.0)
+       |        * (CAST(nn + 1 AS DOUBLE)
+       |          - CAST(t AS DOUBLE)
+       |            / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE))) > 0
+       |    THEN
        |  CAST(sr2 - CAST(n AS HUGEINT) * CAST(n + 1 AS HUGEINT)
        |      - CAST(n AS HUGEINT) * CAST(nn - n AS HUGEINT) AS DOUBLE)
        |    / 2.0
        |    / sqrt((CAST(n AS DOUBLE) * CAST(nn - n AS DOUBLE) / 12.0)
        |      * (CAST(nn + 1 AS DOUBLE)
        |        - CAST(t AS DOUBLE)
-       |          / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))) AS z
+       |          / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE))))
+       |  END AS z
        |FROM gs""".stripMargin
   }
 
@@ -549,9 +571,14 @@ object Profile {
         sum(floor(term * lit(1e9)).cast("long")).as("__q"))
       .select(col("n"), col("rows"), col("cols"),
         (col("__q").cast("double") / lit(1e9)).as("chi2"),
-        sqrt((col("__q").cast("double") / lit(1e9)) /
-          (col("n").cast("double") *
-            (least(col("rows"), col("cols")) - 1).cast("double")))
+        // min(R,C)=1 makes the denominator 0 — Spark would emit NaN/Inf
+        // while DuckDB's behavior depends on ieee_floating_point_ops;
+        // neither engine's division-by-zero default may reach the
+        // output, so a single-valued margin yields NULL (V undefined).
+        when(least(col("rows"), col("cols")) > 1,
+          sqrt((col("__q").cast("double") / lit(1e9)) /
+            (col("n").cast("double") *
+              (least(col("rows"), col("cols")) - 1).cast("double"))))
           .as("v"))
   }
 
@@ -583,8 +610,10 @@ object Profile {
        |  FROM dense, tot)
        |SELECT nn AS n, r AS rows, c AS cols,
        |  CAST(q AS DOUBLE) / 1e9 AS chi2,
-       |  sqrt((CAST(q AS DOUBLE) / 1e9)
-       |    / (CAST(nn AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE))) AS v
+       |  CASE WHEN least(r, c) > 1 THEN
+       |    sqrt((CAST(q AS DOUBLE) / 1e9)
+       |      / (CAST(nn AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE)))
+       |  ELSE NULL END AS v
        |FROM folded, tot""".stripMargin
 
   def profileOracleSql(relation: String, cols: Seq[String]): String =

@@ -1777,13 +1777,19 @@ object TextAnalysis {
     * that separates boilerplate-heavy sources from organic prose (a low
     * TTR source contributes less novelty per token than its volume
     * suggests). One explode to n-gram rows (bounded: ≤ tokens per doc)
-    * + one grouped aggregate with an exact distinct; at 100 TB swap the
-    * distinct for HLL (`approx_count_distinct`) — the plan shape keeps
-    * one exchange either way. Output: (groupCol, n_ngrams, n_distinct,
-    * ttr). */
+    * + one grouped aggregate with an exact distinct; at 100 TB set
+    * `approxRsd` to swap the distinct for HLL (`approx_count_distinct`
+    * at that relative standard deviation) — fixed-size mergeable
+    * partials instead of a value set, the plan keeps one exchange
+    * either way (the q_ngram_diversity_approx twin pins the tolerance
+    * claim). Output: (groupCol, n_ngrams, n_distinct, ttr). */
   def ngramDiversity(docs: DataFrame, groupCol: String, textCol: String,
-                     n: Int): DataFrame = {
+                     n: Int, approxRsd: Option[Double] = None): DataFrame = {
     require(n >= 1 && n <= 8, s"n must be in [1,8], got $n")
+    val distinctAgg = approxRsd match {
+      case Some(rsd) => approx_count_distinct(col("__g"), rsd)
+      case None => countDistinct(col("__g"))
+    }
     docs.select(col(groupCol), tokens(col(textCol)).as("__ts"))
       .where(size(col("__ts")) >= n)
       .select(col(groupCol), explode(expr(
@@ -1791,7 +1797,7 @@ object TextAnalysis {
           s"i -> array_join(slice(__ts, i, $n), ' '))")).as("__g"))
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n_ngrams"),
-        countDistinct(col("__g")).as("n_distinct"))
+        distinctAgg.as("n_distinct"))
       .select(col(groupCol), col("n_ngrams"), col("n_distinct"),
         (col("n_distinct").cast("double") / col("n_ngrams").cast("double"))
           .as("ttr"))

@@ -384,23 +384,30 @@ object WindowOps {
     * 1e9 for the ns time base), so a last-ulp interpolation difference
     * between engines lands below round-6 of a seconds-scale value
     * instead of surviving at tick scale. Exact percentile holds a
-    * value→count map per (group); at 100 TB swap the seam to
-    * `approx_percentile` — the plan shape (ONE key-window shuffle +
-    * ONE |types|-sized aggregate) is unchanged.
+    * value→count map per (group); at 100 TB set `approxAccuracy`
+    * (GK-sketch `percentile_approx` accuracy, e.g. 10000) — bounded
+    * memory, the IDENTICAL plan shape (ONE key-window shuffle + ONE
+    * |types|-sized aggregate), and no hash-exact oracle (the
+    * q_interarrival_approx twin pins the tolerance claim instead).
     *
     * @return (typeCol, n, p50_sec, p90_sec, p99_sec). */
   def interArrivalStats(df: DataFrame, partitionBy: Seq[String],
                         orderBy: Seq[String], typeCol: String,
                         tsCol: String,
-                        tickSeconds: Double = 1e9): DataFrame = {
+                        tickSeconds: Double = 1e9,
+                        approxAccuracy: Option[Int] = None): DataFrame = {
     val w = spec(partitionBy, orderBy)
     val delta = (col(tsCol) - lag(col(tsCol), 1).over(w)).as("__d")
     val qs = array(lit(0.5), lit(0.9), lit(0.99))
+    def pct = approxAccuracy match {
+      case Some(acc) => percentile_approx(col("__d"), qs, lit(acc))
+      case None => percentile(col("__d"), qs)
+    }
     df.select(col(typeCol), delta)
       .where(col("__d").isNotNull)
       .groupBy(typeCol)
       .agg(count(lit(1)).as("n"),
-        percentile(col("__d"), qs).as("__q"))
+        pct.as("__q"))
       .select(col(typeCol), col("n"),
         (col("__q").getItem(0) / tickSeconds).as("p50_sec"),
         (col("__q").getItem(1) / tickSeconds).as("p90_sec"),
@@ -1003,7 +1010,8 @@ object WindowOps {
        |    list_reduce(list_concat([s0], rest),
        |      (acc, x) -> [$lp,
        |        $beta * (($lp) - acc[1]) + ${1 - beta} * acc[2]])[2]
-       |      AS trend
+       |      AS trend,
+       |    level + trend AS forecast
        |  FROM prep)""".stripMargin
   }
 }

@@ -617,8 +617,12 @@ object GraftStreaming {
         }).toDF()
   }
 
-  /** One key's current smoothed value (streaming EWMA output). */
-  case class EwmaSnapshot(userId: Long, ewma: Double)
+  /** One key's current smoothed value (streaming EWMA output). `nObs`
+    * counts the events folded so far — strictly increasing per key, so
+    * a multi-micro-batch run (one snapshot per key per batch) dedups to
+    * its final state with max-by-nObs; without a counter there is no
+    * deterministic "last" among non-monotone ewma values. */
+  case class EwmaSnapshot(userId: Long, ewma: Double, nObs: Long)
 
   /** One key's current Holt level/trend state (streaming output). */
   case class HoltSnapshot(userId: Long, nObs: Long, level: Double,
@@ -1076,13 +1080,14 @@ object GraftStreaming {
     val timeoutConf =
       if (ttl.isDefined) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
-    implicit val stateEnc = Encoders.scalaDouble
+    implicit val stateEnc = Encoders.product[(Double, Long)]
     implicit val outEnc = Encoders.product[EwmaSnapshot]
     implicit val rowEnc = Encoders.row(src.schema)
     implicit val keyEnc = Encoders.scalaLong
     src.groupByKey((r: Row) => r.getAs[Long]("user_id"))
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
-        (userId: Long, rows: Iterator[Row], state: GroupState[Double]) => {
+        (userId: Long, rows: Iterator[Row],
+         state: GroupState[(Double, Long)]) => {
           if (state.hasTimedOut) {
             // cold-key eviction: the next event re-seeds from its value
             state.remove()
@@ -1094,23 +1099,25 @@ object GraftStreaming {
             else {
               val (sorted, overflow) = all.splitAt(maxRowsPerKeyPerBatch)
               if (overflow.nonEmpty) dropAcc.add(overflow.size.toLong)
-              var y = state.getOption
+              var y = state.getOption.map(_._1)
+              var n = state.getOption.map(_._2).getOrElse(0L)
               var lastEventMs = Long.MinValue
               sorted.foreach { r =>
                 val v = r.getAs[Double]("value")
                 y = Some(y.fold(v)(p => alpha * v + beta * p))
+                n += 1
                 ttl.foreach { _ =>
                   val t = r.getAs[java.sql.Timestamp]("event_time")
                   if (t != null) lastEventMs = math.max(lastEventMs, t.getTime)
                 }
               }
-              state.update(y.get)
+              state.update((y.get, n))
               ttl.foreach { d =>
                 // evict once the watermark passes last-event + TTL
                 if (lastEventMs != Long.MinValue)
                   state.setTimeoutTimestamp(lastEventMs, d)
               }
-              Iterator(EwmaSnapshot(userId, y.get))
+              Iterator(EwmaSnapshot(userId, y.get, n))
             }
           }
         }).toDF()

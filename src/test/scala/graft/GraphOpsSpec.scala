@@ -14,20 +14,27 @@ class GraphOpsSpec extends AnyFunSuite {
 
   private val S = GraphOps.Scale
 
-  /** Driver-side reference: the same integer recursion, naive maps. */
+  /** Driver-side reference: the same integer recursion, naive maps —
+    * including the uniform dangling-mass redistribution (dangling rank
+    * re-enters through the teleport support each round). */
   private def brute(edges: Seq[(String, String, Long)], iters: Int,
                     num: Long = 85L, den: Long = 100L): Map[String, Long] = {
     val agg = edges.filter(e => e._1 != e._2)
       .groupBy(e => (e._1, e._2)).map { case ((s0, d), es) => (s0, d, es.map(_._3).sum) }.toSeq
     val outW = agg.groupBy(_._1).map { case (k, es) => k -> es.map(_._3).sum }
     val nodes = (agg.map(_._1) ++ agg.map(_._2)).distinct
+    val dangling = nodes.filterNot(outW.contains).toSet
     val teleport = (den - num) * S / den
     var r = nodes.map(_ -> S).toMap
     for (_ <- 1 to iters) {
       val inflow = agg.groupBy(_._2).map { case (d, es) =>
         d -> es.map { case (s0, _, w) => r(s0) * w / outW(s0) }.sum
       }
-      r = nodes.map(n => n -> (teleport + num * inflow.getOrElse(n, 0L) / den)).toMap
+      val share =
+        if (nodes.isEmpty) 0L
+        else dangling.iterator.map(r).sum / nodes.size
+      r = nodes.map(n =>
+        n -> (teleport + num * (inflow.getOrElse(n, 0L) + share) / den)).toMap
     }
     r
   }
@@ -70,12 +77,41 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(run(withNoise, 3) == run(clean, 3))
   }
 
-  test("pageRankNano: dangling sink keeps teleport + inflow; source decays to floor") {
-    // a -> b only: b is dangling (mass leaks), a receives nothing.
-    // round 1: r(a)=150000000, r(b)=150000000+850000000=1000000000
-    // round 2: r(b)=150000000+85*150000000 DIV 100=277500000
+  test("pageRankNano: dangling mass redistributes uniformly; total conserved") {
+    // a -> b only: b is dangling — its rank re-enters as DIV-2 shares.
+    // round 1: inflow(b)=1e9; dang=r0(b)=1e9, share=5e8
+    //   r(a)=15e7+85*5e8 DIV 100=575000000
+    //   r(b)=15e7+85*(1e9+5e8) DIV 100=1425000000          (Σ=2e9)
+    // round 2: inflow(b)=r(a)=575000000; dang=r(b)=1425000000, share=712500000
+    //   r(a)=15e7+85*712500000 DIV 100=755625000
+    //   r(b)=15e7+85*(575000000+712500000) DIV 100=1244375000 (Σ=2e9)
+    val g1 = run(Seq(("a", "b", 1L)), 1)
+    assert(g1 == Map("a" -> 575000000L, "b" -> 1425000000L))
     val got = run(Seq(("a", "b", 1L)), 2)
-    assert(got == Map("a" -> 150000000L, "b" -> 277500000L))
+    assert(got == Map("a" -> 755625000L, "b" -> 1244375000L))
+    assert(got.values.sum == 2 * S) // exact conservation on this graph
+  }
+
+  test("pageRankNano: mass conservation within the integer-floor bound on a dangling-heavy graph") {
+    // dense 12-node core plus two pure sinks — every round sheds ≤1 nano
+    // per edge (contribution DIV) + ≤2 per node (damping DIV + share
+    // remainder), so total mass stays within iters·(E + 2N) nanos of
+    // N·Scale instead of leaking ~15% per round like the old variant
+    val nodes = (0 until 12).map(i => s"n$i")
+    val core = for {
+      i <- 0 until 12; j <- 0 until 12
+      if i != j && (i * 7 + j * 3) % 5 < 2
+    } yield (nodes(i), nodes(j), ((i * 13 + j * 11) % 9 + 1).toLong)
+    val edges = core ++ Seq(("n0", "sinkA", 5L), ("n3", "sinkB", 2L))
+    for (iters <- Seq(1, 4)) {
+      val got = run(edges, iters)
+      assert(got == brute(edges, iters), s"iters=$iters")
+      val n = got.size.toLong
+      val bound = iters.toLong * (edges.size.toLong + 2 * n)
+      val total = got.values.sum
+      assert(math.abs(total - n * S) <= bound,
+        s"iters=$iters total=$total expected≈${n * S} bound=$bound")
+    }
   }
 
   private def runSeeded(edges: Seq[(String, String, Long)], iters: Int,
@@ -97,12 +133,17 @@ class GraphOpsSpec extends AnyFunSuite {
 
   test("trustrank: nodes unreachable from seeds decay to exactly 0") {
     // c -> b with seed {a}: c gets no teleport and no inflow — exact 0,
-    // not an epsilon tail; seeds absent from the graph are ignored
+    // not an epsilon tail; seeds absent from the graph are ignored.
+    // b is dangling, so its mass re-enters on the seed set ({a}, ns=1):
+    // r1: a=15e7 (dang was 0), b=85e7, c=0
+    // r2: dang=85e7 → a=15e7+85*(0+85e7) DIV 100=872500000; b=127500000
+    // r3: dang=127500000 → a=15e7+85*127500000 DIV 100=258375000
+    //     b=85*872500000 DIV 100=741625000
     val g = Seq(("a", "b", 1L), ("c", "b", 1L))
     val got = runSeeded(g, 3, Seq("a", "not-in-graph"))
     assert(got("c") == 0L)
-    assert(got("a") == 150000000L) // teleport only (nothing points at a)
-    assert(got("b") > 0L)
+    assert(got("a") == 258375000L) // teleport + b's redistributed mass
+    assert(got("b") == 741625000L)
   }
 
   test("trustrank: full damping (zero teleport) still seeds from the explicit flag") {

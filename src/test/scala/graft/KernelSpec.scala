@@ -328,6 +328,44 @@ class KernelSpec extends AnyFunSuite {
     assert(!plan.contains("Join"))
   }
 
+  test("str accessor round-out: zfill/find/get/capitalize/classes/repeat/strips") {
+    val s = Series.fromLocal(spark, Seq(0 -> "-42", 1 -> "7", 2 -> "Hello"))
+    // pandas zfill: zeros AFTER the sign; never truncates
+    assert(s.str.zfill(5).values == Seq("-0042", "00007", "Hello"))
+    assert(s.str.zfill(2).values == Seq("-42", "07", "Hello"))
+    // find: 0-based, -1 when absent (pandas), not Spark's 0
+    assert(s.str.find("l").values == Seq(-1, -1, 2))
+    // get: char at position, NULL past the end (pandas NaN)
+    assert(s.str.get(1).values == Seq("4", null, "e"))
+    assert(s.str.capitalize.values == Seq("-42", "7", "Hello"))
+    assert(s.str.isdigit.values == Seq(false, true, false))
+    assert(s.str.isalpha.values == Seq(false, false, true))
+    assert(s.str.isalnum.values == Seq(false, true, true))
+    val ws = Series.fromLocal(spark, Seq(0 -> "  x ", 1 -> "\t\n"))
+    assert(ws.str.isspace.values == Seq(false, true))
+    assert(ws.str.strip.values == Seq("x", ""))
+    assert(ws.str.lstrip.values == Seq("x ", ""))
+    assert(ws.str.rstrip.values == Seq("  x", ""))
+    assert(s.str.repeat(2).values == Seq("-42-42", "77", "HelloHello"))
+  }
+
+  test("dt accessor round-out: weekday/week/daysInMonth/month boundaries") {
+    val d = Series.fromLocal(spark, Seq(
+      0 -> java.sql.Date.valueOf("2024-02-01"),   // Thu, leap Feb
+      1 -> java.sql.Date.valueOf("2024-02-29"),   // Thu, month end
+      2 -> java.sql.Date.valueOf("2026-08-15")))  // Sat
+    assert(d.dt.dayofyear.values == Seq(32, 60, 227))
+    assert(d.dt.quarter.values == Seq(1, 1, 3))
+    // pandas weekday: Monday=0 … Sunday=6 (Thu=3, Sat=5)
+    assert(d.dt.weekday.values == Seq(3, 3, 5))
+    assert(d.dt.week.values == Seq(5, 9, 33)) // ISO weeks
+    assert(d.dt.daysInMonth.values == Seq(29, 29, 31))
+    assert(d.dt.isMonthStart.values == Seq(true, false, false))
+    assert(d.dt.isMonthEnd.values == Seq(false, true, false))
+    assert(d.dt.minute.values == Seq(0, 0, 0))
+    assert(d.dt.second.values == Seq(0, 0, 0))
+  }
+
   test("duplicate column labels survive positional addressing (base.py:21-23)") {
     val base = DataFrame.fromLocal(spark, Seq("x", "y"),
       Seq(Seq[Any](1.0, 2.0), Seq[Any](3.0, 4.0)))

@@ -177,4 +177,29 @@ class TextStatsSpec extends AnyFunSuite {
         .orderBy("group_a", "group_b").collect().map(_.toSeq).toSeq
     assert(run(base.repartition(1)) == run(base.repartition(9)))
   }
+
+  test("degenerate inputs yield NULL statistics, never NaN/Inf") {
+    import graft.operators.Profile
+    // two constant groups → zero pooled standard error
+    val const = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0))
+      .toDF("g", "v")
+    val t = Profile.welchTTest(const, "g", "v").collect()(0)
+    assert(t.isNullAt(t.fieldIndex("t_stat")))
+    assert(t.isNullAt(t.fieldIndex("welch_df")))
+    // single-valued margin → min(R,C) = 1 → V undefined
+    val oneCol = Seq(("x", "b0"), ("x", "b1"), ("x", "b2")).toDF("a", "b")
+    val v = Profile.cramersV(oneCol, "a", "b").collect()(0)
+    assert(v.isNullAt(v.fieldIndex("v")))
+    assert(!v.isNullAt(v.fieldIndex("chi2"))) // chi2 itself is fine (0)
+    // every value in one bin → tie mass cancels the rank variance
+    val oneBin = Seq(("a", 1.0), ("a", 1.0), ("b", 1.0)).toDF("g", "v")
+    val mw = Profile.mannWhitneyBinned(oneBin, "g", "v", 0.0, 5.0, 5)
+      .orderBy("g").collect()
+    assert(mw.forall(r => r.isNullAt(r.fieldIndex("z"))))
+    // a group that IS the whole corpus (n = N)
+    val allOne = Seq(("a", 1.0), ("a", 3.0), ("a", 4.0)).toDF("g", "v")
+    val mw2 = Profile.mannWhitneyBinned(allOne, "g", "v", 0.0, 5.0, 5)
+      .collect()(0)
+    assert(mw2.isNullAt(mw2.fieldIndex("z")))
+  }
 }

@@ -53,6 +53,90 @@ def compare(name, got, exp):
                 return f"{name}: COL {c} differs at row {i}: {gv[i]!r} vs {ev[i]!r} ({int(neq.sum())} rows)"
     return f"{name}: OK ({len(got)} rows)"
 
+# ---- oracle type-parity gate (round-10, verdict item 2) -------------------
+# The only red row for three rounds (q_transition_entropy) was not a wrong
+# answer but an oracle TYPE: DuckDB's sum(BIGINT) returns HUGEINT, which the
+# driver's typed hasher distinguishes from Spark's BIGINT even though every
+# value is bit-identical. This gate DESCRIBEs every oracle and compares the
+# result column types class-wise against the Spark parquet dump's arrow
+# schema, so an un-cast integer sum can never reach the driver again.
+
+def _duck_class(t):
+    t = t.upper()
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "HUGE"       # Spark can never produce this — always a bug
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t in ("VARCHAR", "TEXT", "STRING"):
+        return "string"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP") or t.startswith("TIME"):
+        return "timestamp"
+    if t.endswith("[]") or t.startswith("STRUCT") or t.startswith("MAP"):
+        return "nested"
+    return "other:" + t
+
+def _arrow_class(t):
+    import pyarrow as pa
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_struct(t) or pa.types.is_map(t)):
+        return "nested"
+    return "other:" + str(t)
+
+def typecheck(con, oracle, outdir):
+    """Returns the number of type-parity FAILURES (HUGEINT anywhere, or a
+    class mismatch between the oracle result schema and the Spark dump)."""
+    import pyarrow.parquet as pq
+    fails = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as ex:
+            print(f"{name}: TYPES oracle DESCRIBE error {ex}")
+            fails += 1
+            continue
+        otypes = {r[0]: _duck_class(r[1]) for r in desc}
+        for c, cls in otypes.items():
+            if cls == "HUGE":
+                print(f"{name}: TYPES col {c} is HUGEINT in the oracle — "
+                      f"cast it (Spark cannot produce HUGEINT)")
+                fails += 1
+        files = glob.glob(os.path.join(outdir, name, "*.parquet"))
+        if not files:
+            continue
+        sch = pq.read_schema(files[0])
+        stypes = {f.name: _arrow_class(f.type) for f in sch}
+        for c in sorted(set(otypes) & set(stypes)):
+            if otypes[c] == "HUGE":
+                continue  # already reported
+            if otypes[c] != stypes[c]:
+                print(f"{name}: TYPES col {c} class mismatch "
+                      f"oracle={otypes[c]} spark={stypes[c]}")
+                fails += 1
+    return fails
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
@@ -64,7 +148,7 @@ def main():
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     if only is not None:
         oracle = {k: v for k, v in oracle.items() if k in only}
-    fails = 0
+    fails = typecheck(con, oracle, outdir)
     for name, sql in sorted(oracle.items()):
         try:
             exp = con.execute(sql).fetchdf()
