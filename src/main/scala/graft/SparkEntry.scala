@@ -3676,6 +3676,22 @@ object SparkEntry {
         .select(col("n_pos"), col("n_neg"), round(col("auc"), 9).as("auc"))
     }),
 
+    // per-slice classification report: how the filter behaves on EACH
+    // source plus the overall row ('__all__'), in ONE rollup aggregate
+    // — aggregate accuracy hides the slice a filter guts
+    "q_class_report" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("source"), (col("lang") === "en").as("label"),
+          ((col("n_chars") % 1000) >= 500).as("pred"))
+      graft.operators.Eval.classificationReport(d, "label", "pred", "source")
+        .select(col("slice"), col("n"), col("tp"), col("fp"), col("fn"),
+          col("tn"),
+          round(col("prec"), 9).as("prec"), round(col("rec"), 9).as("rec"),
+          round(col("f1"), 9).as("f1"), round(col("acc"), 9).as("acc"),
+          round(col("mcc"), 9).as("mcc"))
+        .orderBy("slice")
+    }),
+
     // retrieval-eval readout: per-query MRR / precision@10 / recall@10 /
     // AP / NDCG@10 over a scored candidate relation (query = user
     // cohort, relevance = click) — one query-keyed shuffle, two window
@@ -6812,6 +6828,14 @@ object SparkEntry {
          |${graft.operators.Eval.aucRocOracleSql("events",
              "CAST(event_id % 1000 AS DOUBLE) / 1000.0", "value > 250.0")}
          |)""".stripMargin,
+    "q_class_report" ->
+      s"""SELECT slice, n, tp, fp, fn, tn,
+         |  round(prec, 9) AS prec, round(rec, 9) AS rec,
+         |  round(f1, 9) AS f1, round(acc, 9) AS acc,
+         |  round(mcc, 9) AS mcc FROM (
+         |${graft.operators.Eval.classificationReportOracleSql("documents",
+             "lang = 'en'", "(n_chars % 1000) >= 500", "source")}
+         |) ORDER BY slice""".stripMargin,
     "q_ranking" ->
       s"""SELECT query, n_docs, n_rel, round(mrr, 9) AS mrr,
          |  round(precision_at_k, 9) AS precision_at_k,

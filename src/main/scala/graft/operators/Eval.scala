@@ -341,6 +341,93 @@ object Eval {
        |  END AS kappa
        |FROM tot, se""".stripMargin
 
+  /** Per-slice binary classification report — the "how does the filter
+    * behave on EACH source/language" readout that decides whether a
+    * quality classifier is safe to apply corpus-wide (aggregate
+    * accuracy hides a slice it guts). One ROLLUP aggregate produces
+    * every slice AND the overall row (`slice = '__all__'`) in a single
+    * Expand pass — never one scan per slice.
+    *
+    * Counts (tp/fp/fn/tn) are exact longs; precision, recall, F1
+    * (= 2tp/(2tp+fp+fn), the single-division form), accuracy and MCC
+    * are mirrored one-shot double expressions over them. Degenerate
+    * margins (a metric's denominator 0) yield NULL, never NaN/Inf (the
+    * bleuCorpus rule). MCC's four marginal factors multiply as doubles
+    * in a pinned order — exact products would need int256 at corpus
+    * scale, and both engines evaluate the identical IEEE tree. NULL
+    * labels/predictions are excluded; NULL slice values report as
+    * '__null__' (kept distinct from the rollup total row).
+    *
+    * @return (slice, n, tp, fp, fn, tn, prec, rec, f1, acc, mcc). */
+  def classificationReport(df: DataFrame, labelCol: String,
+                           predCol: String, sliceCol: String): DataFrame = {
+    val lab = col(labelCol).cast("boolean")
+    val prd = col(predCol).cast("boolean")
+    val base = df.where(lab.isNotNull && prd.isNotNull)
+      .select(coalesce(col(sliceCol).cast("string"), lit("__null__"))
+          .as("__s"),
+        lab.as("__y"), prd.as("__p"))
+    def cnt(c: Column) =
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    val agg = base.rollup("__s").agg(
+      count(lit(1)).as("n"),
+      cnt(col("__y") && col("__p")).as("tp"),
+      cnt(!col("__y") && col("__p")).as("fp"),
+      cnt(col("__y") && !col("__p")).as("fn"),
+      cnt(!col("__y") && !col("__p")).as("tn"))
+    val (tp, fp, fn_, tn) = (col("tp"), col("fp"), col("fn"), col("tn"))
+    val d1 = (tp + fp).cast("double")
+    val d2 = (tp + fn_).cast("double")
+    val d3 = (tn + fp).cast("double")
+    val d4 = (tn + fn_).cast("double")
+    agg.select(coalesce(col("__s"), lit("__all__")).as("slice"),
+      col("n"), tp, fp, fn_, tn,
+      when(tp + fp > 0, tp.cast("double") / (tp + fp)).as("prec"),
+      when(tp + fn_ > 0, tp.cast("double") / (tp + fn_)).as("rec"),
+      when(lit(2L) * tp + fp + fn_ > 0,
+        (lit(2L) * tp).cast("double") / (lit(2L) * tp + fp + fn_))
+        .as("f1"),
+      when(col("n") > 0, (tp + tn).cast("double") / col("n")).as("acc"),
+      when(d1 > 0 && d2 > 0 && d3 > 0 && d4 > 0,
+        (tp.cast("double") * tn.cast("double") -
+          fp.cast("double") * fn_.cast("double")) /
+          sqrt((d1 * d2) * (d3 * d4))).as("mcc"))
+  }
+
+  /** [[classificationReport]] as DuckDB SQL (labelExpr/predExpr are
+    * boolean SQL expressions, sliceExpr a SQL expression over
+    * `relation`) — identical ROLLUP, counts and IEEE order. */
+  def classificationReportOracleSql(relation: String, labelExpr: String,
+                                    predExpr: String,
+                                    sliceExpr: String): String =
+    s"""WITH b AS (SELECT
+       |    COALESCE(CAST($sliceExpr AS VARCHAR), '__null__') AS s,
+       |    CASE WHEN $labelExpr THEN 1 ELSE 0 END AS y,
+       |    CASE WHEN $predExpr THEN 1 ELSE 0 END AS p
+       |  FROM $relation
+       |  WHERE ($labelExpr) IS NOT NULL AND ($predExpr) IS NOT NULL),
+       |g AS (SELECT COALESCE(s, '__all__') AS slice,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(COALESCE(sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+       |    CAST(COALESCE(sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+       |    CAST(COALESCE(sum(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn,
+       |    CAST(COALESCE(sum(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn
+       |  FROM b GROUP BY ROLLUP(s))
+       |SELECT slice, n, tp, fp, fn, tn,
+       |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
+       |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS rec,
+       |  CASE WHEN 2 * tp + fp + fn > 0
+       |    THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1,
+       |  CASE WHEN n > 0 THEN CAST(tp + tn AS DOUBLE) / n END AS acc,
+       |  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0
+       |      AND tn + fn > 0
+       |    THEN (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+       |        - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+       |      / sqrt((CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE))
+       |        * (CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)))
+       |  END AS mcc
+       |FROM g""".stripMargin
+
   /** Corpus-level BLEU (Papineni 2002, uniform weights, no smoothing)
     * of (candidate, reference) text pairs: modified n-gram precision
     * p_n for n = 1..maxN with per-pair clipping, geometric mean, and

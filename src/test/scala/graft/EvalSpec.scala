@@ -303,4 +303,41 @@ class EvalSpec extends AnyFunSuite {
     assert(r.getAs[Double]("rouge_recall") == 1.0)
     assert(r.getAs[Double]("rouge_f1") == 0.8)
   }
+
+  test("classificationReport: hand-computed slices + rollup total; degenerate NULLs") {
+    // slice a: tp=2 fp=1 fn=1 tn=1; slice b: all-negative predictions
+    val df = Seq(
+      ("a", true, true), ("a", true, true), ("a", false, true),
+      ("a", true, false), ("a", false, false),
+      ("b", false, false), ("b", false, false)).toDF("s", "y", "p")
+    val rows = Eval.classificationReport(df, "y", "p", "s")
+      .orderBy("slice").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("__all__", "a", "b"))
+    val a = rows(1)
+    assert((a.getAs[Long]("tp"), a.getAs[Long]("fp"), a.getAs[Long]("fn"),
+      a.getAs[Long]("tn")) == ((2L, 1L, 1L, 1L)))
+    assert(a.getAs[Double]("prec") == 2.0 / 3.0)
+    assert(a.getAs[Double]("rec") == 2.0 / 3.0)
+    assert(a.getAs[Double]("f1") == 4.0 / 6.0)
+    assert(a.getAs[Double]("acc") == 3.0 / 5.0)
+    // MCC by hand: (2*1-1*1)/sqrt(3*3*2*2) = 1/6
+    assert(a.getAs[Double]("mcc") == 1.0 / 6.0)
+    // slice b: no positives anywhere → prec (0 predicted pos), mcc NULL;
+    // rec undefined (no actual pos) — NULL, never NaN
+    val b = rows(2)
+    assert(b.isNullAt(b.fieldIndex("prec")))
+    assert(b.isNullAt(b.fieldIndex("rec")))
+    assert(b.isNullAt(b.fieldIndex("mcc")))
+    assert(b.getAs[Double]("acc") == 1.0)
+    // rollup total pools the counts
+    val t = rows(0)
+    assert(t.getAs[Long]("n") == 7L && t.getAs[Long]("tp") == 2L &&
+      t.getAs[Long]("tn") == 3L)
+    // NULL slice reports as __null__, distinct from the total row
+    val withNull = Seq((null.asInstanceOf[String], true, true))
+      .toDF("s", "y", "p")
+    val ns = Eval.classificationReport(withNull, "y", "p", "s")
+      .collect().map(_.getString(0)).toSet
+    assert(ns == Set("__all__", "__null__"))
+  }
 }
