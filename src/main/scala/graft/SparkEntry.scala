@@ -2419,6 +2419,23 @@ object SparkEntry {
         .orderBy("win_start")
     }),
 
+    // Structured Streaming: per-window classifier quality monitor —
+    // exact confusion counts + prec/rec/F1/acc per hour window, the
+    // live face of q_class_report next to q_stream_auc's ranking view
+    "q_stream_confusion" -> ((s, dir) => {
+      val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+        .withColumn("label", col("value") > 250.0)
+        .withColumn("pred", (col("event_id") % 1000) >= 500)
+      val conf = GraftStreaming.confusionStream(stream, "label", "pred",
+        watermark = "1 hour", window_ = "1 hour")
+      runStreamQuery(s, "stream_confusion", conf, "complete")
+        .select(col("window.start").cast("long").as("win_start"),
+          col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+          round(col("prec"), 9).as("prec"), round(col("rec"), 9).as("rec"),
+          round(col("f1"), 9).as("f1"), round(col("acc"), 9).as("acc"))
+        .orderBy("win_start")
+    }),
+
     // Structured Streaming: stream-static enrichment — events joined
     // map-side to the broadcast customer dimension per micro-batch (no
     // state), unmatched users kept with NULL segment; batch-aggregated
@@ -3797,6 +3814,19 @@ object SparkEntry {
           round(col("p_bar"), 9).as("p_bar"),
           round(col("p_e"), 9).as("p_e"),
           round(col("kappa"), 9).as("kappa"))
+    }),
+
+    // the agreement coefficient for RAGGED annotation drops —
+    // Krippendorff's alpha handles variable rater counts and missing
+    // ratings, which Cohen (exactly 2) and Fleiss (fixed n) cannot;
+    // user_id % 7 makes item coverage genuinely uneven
+    "q_krippendorff" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .where(col("user_id") % 7 < 4)
+        .select((col("event_id") % 200).as("item"), col("event_type"))
+      graft.operators.Eval.krippendorffAlpha(ev, "item", "event_type")
+        .select(col("n"), col("n_items"), col("n_cats"),
+          round(col("alpha"), 9).as("alpha"))
     }),
 
     // clustering-quality readout: per-cluster simplified silhouette of
@@ -5950,6 +5980,13 @@ object SparkEntry {
          |SELECT CAST(epoch(win) AS BIGINT) AS win_start, n_pos, n_neg,
          |  round(auc, 9) AS auc
          |FROM scored ORDER BY win_start""".stripMargin,
+    "q_stream_confusion" ->
+      s"""WITH ${GraftStreaming.confusionOracleSelect("value > 250.0",
+             "(event_id % 1000) >= 500")}
+         |SELECT CAST(epoch(win) AS BIGINT) AS win_start, n, tp, fp, fn,
+         |  tn, round(prec, 9) AS prec, round(rec, 9) AS rec,
+         |  round(f1, 9) AS f1, round(acc, 9) AS acc
+         |FROM scored ORDER BY win_start""".stripMargin,
     "q_stream_enrich" ->
       """WITH e AS (SELECT ev.event_id, ev.value,
         |    COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment
@@ -6895,6 +6932,13 @@ object SparkEntry {
          |FROM (
          |${graft.operators.Eval.fleissKappaOracleSql("events",
              "event_id % 150", "event_type", "event_id", n = 5)}
+         |)""".stripMargin,
+    "q_krippendorff" ->
+      s"""SELECT n, n_items, n_cats, round(alpha, 9) AS alpha FROM (
+         |${graft.operators.Eval.krippendorffAlphaOracleSql(
+             "(SELECT event_id % 200 AS item, event_type FROM events " +
+               "WHERE user_id % 7 < 4)",
+             "item", "event_type")}
          |)""".stripMargin,
     "q_silhouette" ->
       s"""SELECT centroid_id, n_points, round(silhouette, 9) AS silhouette

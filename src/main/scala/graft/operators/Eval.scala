@@ -428,6 +428,95 @@ object Eval {
        |  END AS mcc
        |FROM g""".stripMargin
 
+  /** Krippendorff's alpha (nominal data) — the agreement coefficient
+    * that handles what [[cohenKappa]] (exactly 2 raters) and
+    * [[fleissKappa]] (fixed rater count per item) cannot: ANY number
+    * of raters per item with MISSING ratings, the normal shape of a
+    * real annotation drop. Units with fewer than two ratings are
+    * excluded (standard; they carry no agreement evidence).
+    *
+    * alpha = 1 − Do/De over nominal distance:
+    * {{{
+    *   Do = (1/N) Σ_i [m_i² − Σ_c r_ic²] / (m_i − 1)
+    *   De = (1/(N(N−1))) Σ_c n_c (N − n_c)
+    * }}}
+    * with r_ic = ratings of category c on item i, m_i = Σ_c r_ic,
+    * N = Σ m_i, n_c the category margins over the kept items.
+    *
+    * Exactness: the per-item division quantizes as the integer
+    * `(1e9·(m²−Σr²)) DIV (m−1)` (exact, order-invariant; needs
+    * m_i < ~95 000 ratings per item to stay in int64 — far past any
+    * human annotation layout), per-item terms and margins sum in
+    * decimal(38,0), and alpha is ONE mirrored double expression at the
+    * end. De = 0 (all kept ratings in one category) or N < 2 → NULL.
+    *
+    * Scale shape: one (item, cat) count aggregate over the corpus,
+    * one item-sized and one category-sized aggregate, scalar
+    * broadcasts — no join ever touches the raw ratings twice.
+    *
+    * @return ONE row: (n, n_items, n_cats, alpha). */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+                        catCol: String): DataFrame = {
+    val ic = df.where(col(itemCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(catCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__r"))
+    val items = ic.groupBy("__i")
+      .agg(sum("__r").as("__m"),
+        sum(col("__r") * col("__r")).as("__rr"))
+      .where(col("__m") >= 2)
+    val obs = items.agg(
+      coalesce(sum(col("__m")), lit(0L)).as("__N"),
+      count(lit(1)).as("n_items"),
+      coalesce(sum(expr(
+        "(1000000000L * (__m * __m - __rr)) DIV (__m - 1)")
+        .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("__Q"))
+    val margins = ic.join(items.select("__i"), Seq("__i"), "left_semi")
+      .groupBy("__c").agg(sum("__r").as("__nc"))
+    margins.crossJoin(broadcast(obs))
+      .agg(first(col("__N")).as("n"), first(col("n_items")).as("n_items"),
+        count(lit(1)).as("n_cats"),
+        first(col("__Q")).as("__Q"),
+        coalesce(sum(col("__nc").cast("decimal(38,0)") *
+          (col("__N") - col("__nc")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("__D"))
+      .select(col("n"), col("n_items"), col("n_cats"),
+        when(col("__D") > 0 && col("n") >= 2,
+          lit(1.0) -
+            (col("__Q") * (col("n") - 1).cast("decimal(38,0)"))
+              .cast("double") /
+              (lit(1e9) * col("__D").cast("double"))).as("alpha"))
+  }
+
+  /** [[krippendorffAlpha]] as DuckDB SQL (itemExpr/catExpr over
+    * `relation`) — identical quantized per-item division (`//` floor ≡
+    * Spark DIV on these non-negative terms), HUGEINT-exact sums,
+    * identical final IEEE expression. */
+  def krippendorffAlphaOracleSql(relation: String, itemExpr: String,
+                                 catExpr: String): String =
+    s"""WITH ic AS (SELECT $itemExpr AS i, CAST($catExpr AS VARCHAR) AS c,
+       |    CAST(count(*) AS BIGINT) AS r
+       |  FROM $relation
+       |  WHERE ($itemExpr) IS NOT NULL AND ($catExpr) IS NOT NULL
+       |  GROUP BY 1, 2),
+       |it AS (SELECT i, CAST(sum(r) AS BIGINT) AS m,
+       |    CAST(sum(r * r) AS BIGINT) AS rr
+       |  FROM ic GROUP BY i HAVING sum(r) >= 2),
+       |obs AS (SELECT CAST(COALESCE(sum(m), 0) AS BIGINT) AS n,
+       |    CAST(count(*) AS BIGINT) AS n_items,
+       |    COALESCE(sum((1000000000 * (m * m - rr)) // (m - 1)), 0) AS q
+       |  FROM it),
+       |mg AS (SELECT c, CAST(sum(r) AS BIGINT) AS nc
+       |  FROM ic JOIN it USING (i) GROUP BY c),
+       |de AS (SELECT any_value(n) AS n, any_value(n_items) AS n_items,
+       |    CAST(count(*) AS BIGINT) AS n_cats, any_value(q) AS q,
+       |    COALESCE(sum(CAST(nc AS HUGEINT) * (n - nc)), 0) AS d
+       |  FROM mg, obs)
+       |SELECT n, n_items, n_cats,
+       |  CASE WHEN d > 0 AND n >= 2
+       |    THEN 1.0 - CAST(q * (n - 1) AS DOUBLE)
+       |      / (1e9 * CAST(d AS DOUBLE)) END AS alpha
+       |FROM de""".stripMargin
+
   /** Corpus-level BLEU (Papineni 2002, uniform weights, no smoothing)
     * of (candidate, reference) text pairs: modified n-gram precision
     * p_n for n = 1..maxN with per-pair clipping, geometric mean, and

@@ -1387,6 +1387,73 @@ object GraftStreaming {
         num2.cast("double") / (lit(2.0) * pTot * nTot)).as("auc"))
   }
 
+  /** Streaming per-window classifier quality monitor — the live face
+    * of [[graft.operators.Eval.classificationReport]]: per event-time
+    * window, exact confusion counts (tp/fp/fn/tn) of a boolean
+    * prediction against an online boolean label, plus the same
+    * mirrored precision/recall/F1 (2tp/(2tp+fp+fn))/accuracy readout —
+    * "is the quality filter still behaving" at ingest, next to
+    * [[aucStream]]'s ranking view.
+    *
+    * ONE stateful windowed aggregate; state per window = five longs,
+    * watermark-pruned. Rows with a NULL label or prediction are
+    * excluded (no trial); degenerate margins yield NULL metrics, never
+    * NaN/Inf. The metric algebra is byte-identical to the batch
+    * operator, so the oracle replays it per window.
+    *
+    * @return per window: (window, n, tp, fp, fn, tn, prec, rec, f1,
+    *         acc). */
+  def confusionStream(events: DataFrame, labelCol: String,
+                      predCol: String, watermark: String = "1 hour",
+                      window_ : String = "1 hour"): DataFrame = {
+    val lab = col(labelCol).cast("boolean")
+    val prd = col(predCol).cast("boolean")
+    def cnt(c: Column) =
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    val byWin = events
+      .withWatermark("event_time", watermark)
+      .where(lab.isNotNull && prd.isNotNull)
+      .select(col("event_time"), lab.as("__y"), prd.as("__p"))
+      .groupBy(window(col("event_time"), window_))
+      .agg(count(lit(1)).as("n"),
+        cnt(col("__y") && col("__p")).as("tp"),
+        cnt(!col("__y") && col("__p")).as("fp"),
+        cnt(col("__y") && !col("__p")).as("fn"),
+        cnt(!col("__y") && !col("__p")).as("tn"))
+    val (tp, fp, fn_, tn) = (col("tp"), col("fp"), col("fn"), col("tn"))
+    byWin.select(col("window"), col("n"), tp, fp, fn_, tn,
+      when(tp + fp > 0, tp.cast("double") / (tp + fp)).as("prec"),
+      when(tp + fn_ > 0, tp.cast("double") / (tp + fn_)).as("rec"),
+      when(lit(2L) * tp + fp + fn_ > 0,
+        (lit(2L) * tp).cast("double") / (lit(2L) * tp + fp + fn_))
+        .as("f1"),
+      when(col("n") > 0, (tp + tn).cast("double") / col("n")).as("acc"))
+  }
+
+  /** DuckDB oracle twin of [[confusionStream]] for a 1-hour tumbling
+    * window over `events`: identical counts, identical single
+    * divisions. Emits WITH bodies through `scored`
+    * (win, n, tp, fp, fn, tn, prec, rec, f1, acc). */
+  def confusionOracleSelect(labelExpr: String, predExpr: String): String =
+    s"""b AS (SELECT date_trunc('hour', ts) AS win,
+       |    CASE WHEN $labelExpr THEN 1 ELSE 0 END AS y,
+       |    CASE WHEN $predExpr THEN 1 ELSE 0 END AS p
+       |  FROM events
+       |  WHERE ($labelExpr) IS NOT NULL AND ($predExpr) IS NOT NULL),
+       |g AS (SELECT win, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(COALESCE(sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+       |    CAST(COALESCE(sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+       |    CAST(COALESCE(sum(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn,
+       |    CAST(COALESCE(sum(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn
+       |  FROM b GROUP BY win),
+       |scored AS (SELECT win, n, tp, fp, fn, tn,
+       |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
+       |    CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS rec,
+       |    CASE WHEN 2 * tp + fp + fn > 0
+       |      THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1,
+       |    CASE WHEN n > 0 THEN CAST(tp + tn AS DOUBLE) / n END AS acc
+       |  FROM g)""".stripMargin
+
   /** DuckDB oracle twin of [[aucStream]] for a 1-hour tumbling window
     * over `events`: identical binning, identical integer pair counts
     * (the SQL side walks bins with a window-ordered cumulative — a

@@ -757,6 +757,30 @@ object ScaleSweep {
       maxHistory = 16))
     sweep("acf")(k => graft.operators.WindowOps.autocorr(evAt(k),
       Seq("user_id"), Seq("ts", "event_id"), "value", maxLag = 4))
+    // round-10 additions: the bounded-memory seam paths (GK percentile /
+    // HLL distinct — the 100 TB variants the twin queries pin), the
+    // rollup classification report, and ragged-annotation alpha
+    sweep("interarrival_gk")(k => WindowOps.interArrivalStats(evAt(k),
+      Seq("user_id"), Seq("ts", "event_id"), "event_type", "ts",
+      approxAccuracy = Some(10000)))
+    sweep("gains_gk")(k => graft.operators.Profile.gainsTable(
+      evAt(k).select(((col("event_id") % 1000).cast("double") / 1000.0)
+          .as("score"), (col("value") > 250.0).as("label")),
+      "score", "label", buckets = 10, approxAccuracy = Some(10000)))
+    sweep("ngram_hll")(k => TextAnalysis.ngramDiversity(
+      docsAt(k).withColumn("source",
+        (col("doc_id") % 7).cast("string")), "source", "text", n = 3,
+      approxRsd = Some(0.02)))
+    sweep("class_report")(k => graft.operators.Eval.classificationReport(
+      evAt(k).select(col("event_type"),
+        (col("value") > 250.0).as("label"),
+        ((col("event_id") % 1000) >= 500).as("pred")),
+      "label", "pred", "event_type"))
+    sweep("krippendorff")(k => graft.operators.Eval.krippendorffAlpha(
+      // item count scales with the data (m ≈ 50 per item stays flat),
+      // the realistic annotation-drop shape
+      evAt(k).select(expr("event_id DIV 50").as("item"), col("event_type")),
+      "item", "event_type"))
 
     def renderMap(m: scala.collection.Map[String, Seq[Double]]): String =
       m.map { case (k, v) =>

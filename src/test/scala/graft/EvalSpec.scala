@@ -304,6 +304,32 @@ class EvalSpec extends AnyFunSuite {
     assert(r.getAs[Double]("rouge_f1") == 0.8)
   }
 
+  test("krippendorffAlpha: by-hand nominal case; perfect, degenerate, ragged") {
+    import graft.operators.Eval
+    // perfect agreement, 2 raters × 2 items → alpha = 1
+    val perfect = Seq((1, "x"), (1, "x"), (2, "y"), (2, "y")).toDF("i", "c")
+    val p = Eval.krippendorffAlpha(perfect, "i", "c").collect().head
+    assert(p.getAs[Long]("n") == 4 && p.getAs[Long]("n_items") == 2)
+    assert(p.getAs[Double]("alpha") == 1.0)
+    // the textbook 2-rater binary case: items (x,x), (x,y), (y,y):
+    // kept N=6; Do-num per item: i2 has m=2, Σr²=2 → (4−2)/1 = 2;
+    // Q = 2e9; margins x:3, y:3 → D = 3·3+3·3 = 18
+    // alpha = 1 − (2e9·5)/(1e9·18) = 1 − 10/18 = 4/9
+    val mixed = Seq((1, "x"), (1, "x"), (2, "x"), (2, "y"), (3, "y"),
+      (3, "y")).toDF("i", "c")
+    val m = Eval.krippendorffAlpha(mixed, "i", "c").collect().head
+    assert(m.getAs[Double]("alpha") == 1.0 - 10.0 / 18.0)
+    // single-rating items are excluded (no agreement evidence)
+    val ragged = Seq((1, "x"), (1, "x"), (2, "x")).toDF("i", "c")
+    val r = Eval.krippendorffAlpha(ragged, "i", "c").collect().head
+    assert(r.getAs[Long]("n") == 2 && r.getAs[Long]("n_items") == 1)
+    // the kept ratings are all one category → De = 0 → NULL, never NaN
+    assert(r.isNullAt(r.fieldIndex("alpha")))
+    val oneCat = Seq((1, "x"), (1, "x"), (2, "x"), (2, "x")).toDF("i", "c")
+    val o = Eval.krippendorffAlpha(oneCat, "i", "c").collect().head
+    assert(o.isNullAt(o.fieldIndex("alpha")))
+  }
+
   test("classificationReport: hand-computed slices + rollup total; degenerate NULLs") {
     // slice a: tp=2 fp=1 fn=1 tn=1; slice b: all-negative predictions
     val df = Seq(

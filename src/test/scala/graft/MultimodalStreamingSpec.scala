@@ -157,6 +157,50 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(out.count() == expected)
   }
 
+  test("streaming confusion monitor ≡ batch per-window confusion on the same drop") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-conf").toString
+    spark.read.parquet(s"$dir/events.parquet").limit(500)
+      .write.mode("overwrite").parquet(tmp)
+    val stream = GraftStreaming.readEvents(spark, tmp)
+      .withColumn("label", col("value") > 250.0)
+      .withColumn("pred", expr("event_id % 1000 >= 500"))
+    val q = GraftStreaming.runToMemory(
+      GraftStreaming.confusionStream(stream, "label", "pred"),
+      "conf_out", outputMode = "complete")
+    assert(q.awaitTermination(60000), "stream did not finish")
+    val got = spark.table("conf_out")
+      .select(col("window.start").cast("long"), col("n"), col("tp"),
+        col("fp"), col("fn"), col("tn"), col("prec"), col("rec"),
+        col("f1"), col("acc"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    // batch twin over the identical frame and window
+    val batch = GraftStreaming.normalizeTs(spark.read.parquet(tmp))
+      .withColumn("__y", col("value") > 250.0)
+      .withColumn("__p", expr("event_id % 1000 >= 500"))
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y") && col("__p"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("__y") && col("__p"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("__y") && !col("__p"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("__y") && !col("__p"), 1L).otherwise(0L)).as("tn"))
+      .collect().map { r =>
+        val (n, tp, fp, fn, tn) = (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))
+        def d(x: Long, y: Long) = if (y > 0) x.toDouble / y else Double.NaN
+        r.getStruct(0).getTimestamp(0).getTime / 1000L -> Seq[Any](
+          n, tp, fp, fn, tn,
+          if (tp + fp > 0) d(tp, tp + fp) else null,
+          if (tp + fn > 0) d(tp, tp + fn) else null,
+          if (2 * tp + fp + fn > 0) d(2 * tp, 2 * tp + fp + fn) else null,
+          if (n > 0) d(tp + tn, n) else null)
+      }.toMap
+    assert(got == batch, "stream/batch confusion divergence")
+    // the 500-row drop has actual positives (rec defined) and windows
+    // where it is NULL-degenerate — both branches exercised
+    assert(got.nonEmpty && got.values.exists(_(6) != null) &&
+      got.values.exists(_(6) == null))
+  }
+
   test("streaming OHLC bars ≡ batch resampleOhlc on the same drop") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ohlc").toString
     spark.read.parquet(s"$dir/events.parquet").limit(500)
