@@ -3483,6 +3483,20 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // cross-source score comparability: fixed-bin quantile
+    // normalization of each event type's value distribution onto the
+    // pooled one — integer cross-multiplied CDF map, broadcast back,
+    // corpus scanned once
+    "q_quantile_norm" -> ((s, dir) => {
+      import graft.operators.FeatureEng
+      FeatureEng.quantileNormalize(table(s, dir, "events"),
+          "event_id", "event_type", "value", lo = 0.0, hi = 500.0,
+          bins = 50)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"), round(col("qn"), 6).as("qn"))
+        .orderBy("event_id")
+    }),
+
     // Structured Streaming: CDC compaction with DELETE tombstones — the
     // ingest-time twin of Dedup.applyChangelog (q_cdc's changelog
     // synthesis, streamed); the drained emission stream compacts to the
@@ -6720,6 +6734,13 @@ object SparkEntry {
          |${graft.operators.FeatureEng.targetEncodeOracleSql("documents",
              "doc_id", "lang", "n_chars % 1000 >= 500", 10.0)}
          |) ORDER BY id""".stripMargin,
+    "q_quantile_norm" ->
+      s"""SELECT id AS event_id, g AS event_type, round(v, 6) AS value,
+         |  round(qn, 6) AS qn FROM (
+         |${graft.operators.FeatureEng.quantileNormalizeOracleSql("events",
+             "event_id", "event_type", "value", lo = 0.0, hi = 500.0,
+             bins = 50)}
+         |) ORDER BY event_id""".stripMargin,
     "q_incr_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  TRUE AS approx_ok

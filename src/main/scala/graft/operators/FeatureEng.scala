@@ -117,4 +117,97 @@ object FeatureEng {
        |  (CAST(ny - (CASE WHEN y IS NOT NULL THEN 1 ELSE 0 END)
        |     AS DOUBLE) + $m) AS te
        |FROM b JOIN s ON b.cat IS NOT DISTINCT FROM s.cat, p""".stripMargin
+
+  /** Cross-group quantile normalization (fixed-bin histogram
+    * equalization) — scores from heterogeneous sources are not
+    * comparable (classifier A's 0.7 ≠ classifier B's 0.7; one domain's
+    * length distribution ≠ another's), so mixing or thresholding them
+    * jointly first maps EACH group's distribution onto the POOLED one:
+    * a row's normalized value is the pooled-distribution bin midpoint
+    * at its group-relative CDF position.
+    *
+    * Binned formulation (the [[Drift.ksFixedBins]] convention: the
+    * binning IS part of the statistic): per (group, bin) cumulative
+    * counts give the group CDF, pooled cumulative counts give the
+    * pooled inverse CDF, and a row in (g, b) maps to the FIRST pooled
+    * bin p with `pooledCum_p · n_g ≥ groupCum_gb · N` — an exact
+    * integer cross-multiplication (decimal(38,0)/HUGEINT, corpus-safe),
+    * zero doubles until the final midpoint arithmetic, so the map is
+    * bit-identical across engines and partitionings. The inequality
+    * always has a solution (p = last bin), so every row maps.
+    *
+    * Scale shape: ONE (group, bin) count aggregate over the corpus;
+    * group CDF via a per-group window and pooled CDF via a ≤ bins-row
+    * single-partition window (both model-sized); the (g, b)→p map is a
+    * groups×bins×bins model-sized join that BROADCASTS back onto the
+    * row stream — the corpus is scanned once and never shuffled.
+    *
+    * @return (idCol, groupCol, valueCol, qn) — qn = lo + (p + 0.5)·w
+    *         in the pooled value space; NULL values are excluded. */
+  def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
+                        valueCol: String, lo: Double, hi: Double,
+                        bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 65536, s"bins must be in [2,65536]")
+    require(hi > lo, "hi must be > lo")
+    import org.apache.spark.sql.expressions.Window
+    val w = (hi - lo) / bins
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((col(valueCol).cast("double") - lit(lo)) / lit(w)).cast("int")))
+    val rows = df.where(col(valueCol).isNotNull)
+      .select(col(idCol), col(groupCol).cast("string").as("__g"),
+        col(valueCol), bin.as("__b"))
+    val gb = rows.groupBy("__g", "__b").agg(count(lit(1)).as("__c"))
+    val gcum = gb.select(col("__g"), col("__b"),
+      sum("__c").over(Window.partitionBy("__g").orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("__cum"),
+      sum("__c").over(Window.partitionBy("__g")).as("__n"))
+    val pooled = gb.groupBy("__b").agg(sum("__c").as("__pc"))
+      .select(col("__b").as("__pb"),
+        sum("__pc").over(Window.orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("__pcum"),
+        sum("__pc").over(Window.partitionBy()).as("__tot"))
+    val mapping = gcum.join(broadcast(pooled),
+        d38(col("__pcum")) * d38(col("__n")) >=
+          d38(col("__cum")) * d38(col("__tot")))
+      .groupBy("__g", "__b").agg(min("__pb").as("__p"))
+    rows.join(broadcast(mapping), Seq("__g", "__b"))
+      .select(col(idCol), col("__g").as(groupCol), col(valueCol),
+        (lit(lo) + (col("__p") + lit(0.5)) * lit(w)).as("qn"))
+  }
+
+  /** [[quantileNormalize]] as DuckDB SQL — identical binning, integer
+    * cross-multiplied CDF mapping (HUGEINT), identical midpoint
+    * arithmetic (the `$w` literal prints through Scala's
+    * shortest-round-trip Double repr, so both engines parse the same
+    * double). */
+  def quantileNormalizeOracleSql(relation: String, idExpr: String,
+                                 groupExpr: String, valueExpr: String,
+                                 lo: Double, hi: Double,
+                                 bins: Int): String = {
+    val w = (hi - lo) / bins
+    s"""WITH r AS (SELECT $idExpr AS id, CAST($groupExpr AS VARCHAR) AS g,
+       |    $valueExpr AS v,
+       |    LEAST(${bins - 1}, GREATEST(0, CAST(floor(
+       |      (CAST($valueExpr AS DOUBLE) - ($lo)) / $w) AS INT))) AS b
+       |  FROM $relation WHERE ($valueExpr) IS NOT NULL),
+       |gb AS (SELECT g, b, CAST(count(*) AS BIGINT) AS c FROM r
+       |  GROUP BY g, b),
+       |gc AS (SELECT g, b,
+       |    CAST(sum(c) OVER (PARTITION BY g ORDER BY b) AS BIGINT) AS cum,
+       |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n FROM gb),
+       |pl AS (SELECT b AS pb,
+       |    CAST(sum(c0) OVER (ORDER BY b) AS BIGINT) AS pcum,
+       |    CAST(sum(c0) OVER () AS BIGINT) AS nn
+       |  FROM (SELECT b, CAST(sum(c) AS BIGINT) AS c0 FROM gb GROUP BY b)),
+       |map AS (SELECT g, b, min(pb) AS p FROM gc JOIN pl
+       |  ON CAST(pcum AS HUGEINT) * CAST(n AS HUGEINT)
+       |    >= CAST(cum AS HUGEINT) * CAST(nn AS HUGEINT)
+       |  GROUP BY g, b)
+       |SELECT r.id, r.g, r.v,
+       |  ($lo) + (CAST(map.p AS DOUBLE) + 0.5) * $w AS qn
+       |FROM r JOIN map USING (g, b)""".stripMargin
+  }
 }

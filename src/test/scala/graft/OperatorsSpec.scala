@@ -2904,6 +2904,39 @@ class OperatorsSpec extends AnyFunSuite {
       FeatureEng.targetEncode(df, "cat", "label", 0.0))
   }
 
+  test("quantileNormalize: identity on a single group; shifted group maps onto pooled") {
+    import spark.implicits._
+    // one group: group CDF == pooled CDF at every bin → each row maps
+    // to its OWN bin midpoint (identity up to binning)
+    val one = Seq.tabulate(20)(i => (i.toLong, "a", i.toDouble))
+      .toDF("id", "g", "v")
+    val idGot = FeatureEng.quantileNormalize(one, "id", "g", "v",
+      lo = 0.0, hi = 20.0, bins = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    (0L until 20L).foreach { i =>
+      assert(idGot(i) == (i / 2) * 2.0 + 1.0, s"id $i") // own midpoint
+    }
+    // two groups, b shifted +10 vs a over [0,20), 2-wide bins: a's
+    // rank-p value must map to the pooled bin holding pooled rank p
+    val a = Seq.tabulate(10)(i => (i.toLong, "a", i.toDouble))
+    val b = Seq.tabulate(10)(i => (100L + i, "b", 10.0 + i))
+    val got = FeatureEng.quantileNormalize((a ++ b).toDF("id", "g", "v"),
+      "id", "g", "v", lo = 0.0, hi = 20.0, bins = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // a's first bin {0,1}: group CDF 2/10; pooled CDF reaches 2/20 at
+    // bin 0, 4/20 at bin 1 → first pooled bin with cum·n ≥ cum_g·N is
+    // bin 1 (4·10 ≥ 2·20) → midpoint 3.0
+    assert(got(0L) == 3.0 && got(1L) == 3.0)
+    // a's last bin {8,9}: group CDF 1 → pooled bin where cum=20: bin 9
+    assert(got(8L) == 19.0 && got(9L) == 19.0)
+    // b's first bin {10,11} (group CDF 2/10) maps to the same pooled
+    // position as a's first → the groups now share a scale
+    assert(got(100L) == got(0L) && got(101L) == got(1L))
+    // monotone within each group
+    val aVals = (0 until 10).map(i => got(i.toLong))
+    assert(aVals == aVals.sorted)
+  }
+
   test("wilsonRates: textbook interval and [0,1] clamping at extremes") {
     import spark.implicits._
     val df = (1 to 10).map(i => ("g", i <= 5)) ++ (1 to 3).map(_ => ("h", true))
