@@ -136,11 +136,14 @@ object FeatureEng {
     * bit-identical across engines and partitionings. The inequality
     * always has a solution (p = last bin), so every row maps.
     *
-    * Scale shape: ONE (group, bin) count aggregate over the corpus;
-    * group CDF via a per-group window and pooled CDF via a ≤ bins-row
-    * single-partition window (both model-sized); the (g, b)→p map is a
-    * groups×bins×bins model-sized join that BROADCASTS back onto the
-    * row stream — the corpus is scanned once and never shuffled.
+    * Scale shape: the corpus is touched exactly TWICE (plan-digest
+    * pinned) — one map-side-combined (group, bin) count aggregate, and
+    * one row-level application scan that joins the BROADCAST map; the
+    * row stream itself is never shuffled. Group CDF and pooled CDF
+    * both ride the SAME model-sized aggregate (pooled cum = a RANGE
+    * window over the bin order — every group's count at bins ≤ b —
+    * so no second corpus aggregate); the (g, b)→p map is a
+    * groups×bins×bins model-sized join.
     *
     * @return (idCol, groupCol, valueCol, qn) — qn = lo + (p + 0.5)·w
     *         in the pooled value space; NULL values are excluded. */
@@ -158,19 +161,23 @@ object FeatureEng {
       .select(col(idCol), col(groupCol).cast("string").as("__g"),
         col(valueCol), bin.as("__b"))
     val gb = rows.groupBy("__g", "__b").agg(count(lit(1)).as("__c"))
-    val gcum = gb.select(col("__g"), col("__b"),
+    // group CDF (per-group window) AND pooled CDF (a RANGE window over
+    // the bin order sums every group's count at bins ≤ b — pooled cum
+    // without a second aggregate over the corpus) ride the SAME
+    // model-sized gb relation: the corpus is aggregated exactly once
+    val stats = gb.select(col("__g"), col("__b"), col("__c"),
       sum("__c").over(Window.partitionBy("__g").orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .as("__cum"),
-      sum("__c").over(Window.partitionBy("__g")).as("__n"))
-    val pooled = gb.groupBy("__b").agg(sum("__c").as("__pc"))
-      .select(col("__b").as("__pb"),
-        sum("__pc").over(Window.orderBy("__b")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .as("__pcum"),
-        sum("__pc").over(Window.partitionBy()).as("__tot"))
-    val mapping = gcum.join(broadcast(pooled),
-        d38(col("__pcum")) * d38(col("__n")) >=
+      sum("__c").over(Window.partitionBy("__g")).as("__n"),
+      sum("__c").over(Window.orderBy("__b")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("__pcum"),
+      sum("__c").over(Window.partitionBy()).as("__tot"))
+    val pooled = stats.select(col("__b").as("__pb"), col("__pcum")
+        .as("__ppcum")).distinct()
+    val mapping = stats.join(broadcast(pooled),
+        d38(col("__ppcum")) * d38(col("__n")) >=
           d38(col("__cum")) * d38(col("__tot")))
       .groupBy("__g", "__b").agg(min("__pb").as("__p"))
     rows.join(broadcast(mapping), Seq("__g", "__b"))

@@ -107,7 +107,14 @@ object PlanDigest {
     // CartesianProduct (the regression this pin exists to catch);
     // tree_acc pins the map-only CASE-chain walk + one count aggregate
     // (training is eager driver-hop jobs, like logreg)
-    "q_dbscan", "q_tree_acc")
+    "q_dbscan", "q_tree_acc",
+    // round-10: quantile_norm pins the one-corpus-scan contract — the
+    // (group,bin)→pooled-bin map must BROADCAST back (a row shuffle or
+    // SMJ flip re-exchanges the corpus); class_report pins the single
+    // ROLLUP Expand aggregate (one scan for every slice + the total);
+    // krippendorff pins the two model-sized aggregates + broadcast
+    // scalar cross (no data×data join anywhere)
+    "q_quantile_norm", "q_class_report", "q_krippendorff")
 
   val SnapshotPath = "tools/plan_digests.txt"
   val DefaultSfDir = "/root/testdata/sf0.001"
