@@ -1615,6 +1615,23 @@ object SparkEntry {
         .orderBy("id_l", "id_r")
     }),
 
+    // semantic decontamination: training embeddings vs the broadcast
+    // benchmark set, flag pairs at cosine >= 0.95 — the paraphrase-
+    // robust companion to q_decontaminate's exact-n-gram check (the
+    // benchmark here is a verbatim id-shifted slice, so every planted
+    // leak scores 1.0 and must be flagged)
+    "q_semantic_decon" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings").select("vec_id", "embedding")
+      val ev = emb.where(col("vec_id") % 53 === 0)
+        .select((col("vec_id") + 1000000L).as("eval_id"),
+          col("embedding").as("ev"))
+      Similarity.semanticDecontaminate(emb, "vec_id", "embedding",
+          ev, "eval_id", "ev", threshold = 0.95)
+        .select(col("train_id"), col("eval_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("train_id", "eval_id")
+    }),
+
     // SemDeDup: k-means cells (8 seed centroids, broadcast argmax
     // assignment) + within-cell min-id-survives pruning at cosine >=
     // 0.95. Planted exact copies of vec_id < 60 (at larger ids) are the
@@ -5187,6 +5204,20 @@ object SparkEntry {
         | FROM embeddings)
         |SELECT id_l, id_r, round(c, 6) AS cosine FROM p
         |WHERE c >= 0.95 ORDER BY id_l, id_r""".stripMargin,
+    // exhaustive train×benchmark cosine cross — the oracle proves the
+    // broadcast-filter flags EXACTLY the >= threshold pairs
+    "q_semantic_decon" ->
+      """WITH q AS (SELECT vec_id + 1000000 AS eval_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id % 53 = 0),
+        |scored AS (
+        |  SELECT e.vec_id AS train_id, q.eval_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+        |  FROM embeddings e, q)
+        |SELECT train_id, eval_id, round(sim, 6) AS cosine FROM scored
+        |WHERE sim >= 0.95 ORDER BY train_id, eval_id""".stripMargin,
     "q_semantic_dedup" ->
       """WITH u AS (SELECT vec_id, embedding FROM embeddings
         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 60),

@@ -150,6 +150,39 @@ object Similarity {
     finishTopK(scored, k)
   }
 
+  /** Semantic (embedding-space) decontamination — the paraphrase-robust
+    * companion to [[graft.operators.Dedup.decontaminationReport]]'s
+    * exact n-gram check: a training row whose embedding reaches
+    * `threshold` cosine of ANY benchmark embedding is flagged,
+    * catching reworded/translated benchmark leakage lexical checks
+    * miss — the SemDeDup geometry pointed across the train/eval
+    * boundary.
+    *
+    * Shape: the benchmark is eval-set-sized → it BROADCASTS; the
+    * train corpus streams map-side through one codegen'd cosine +
+    * threshold filter — ZERO shuffles, output bounded by the
+    * contamination mass (the q_decontaminate posture with embeddings
+    * instead of shingles). The threshold applies to the UNROUNDED
+    * cosine in both engines. At corpus×corpus scale, run the probe
+    * over [[ivfTopKIndexed]] candidates instead — the thresholding is
+    * candidate-set-local either way.
+    *
+    * @return (train_id, eval_id, cosine), one row per flagged pair. */
+  def semanticDecontaminate(train: DataFrame, idCol: String,
+                            vecCol: String, evalDf: DataFrame,
+                            evalIdCol: String, evalVecCol: String,
+                            threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val c = train.select(col(idCol).as("train_id"), col(vecCol).as("__cv"))
+    val q = evalDf.select(col(evalIdCol).as("eval_id"),
+      col(evalVecCol).as("__qv"))
+    c.crossJoin(broadcast(q))
+      .select(col("train_id"), col("eval_id"),
+        cosine(col("__cv"), col("__qv")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** Hard-negative mining for contrastive training: for each anchor, the
     * `k` corpus vectors MOST similar to it among rows whose `labelCol`
     * differs from the anchor's — the negatives nearest the decision
