@@ -5300,8 +5300,11 @@ object SparkEntry {
         |    OVER w AS DOUBLE) AS s2
         |  FROM orders WINDOW w AS (PARTITION BY o_orderpriority))
         |SELECT o_orderkey,
-        |  round((o_totalprice - s1 / n) /
-        |    sqrt((s2 - (s1 / n) * (s1 / n) * n) / (n - 1)), 6) AS z
+        |  CASE WHEN n >= 2
+        |      AND (s2 - (s1 / n) * (s1 / n) * n) / (n - 1) > 0 THEN
+        |    round((o_totalprice - s1 / n) /
+        |      sqrt((s2 - (s1 / n) * (s1 / n) * n) / (n - 1)), 6)
+        |  END AS z
         |FROM a ORDER BY o_orderkey""".stripMargin,
     "q_novel" ->
       """WITH fp AS (SELECT doc_id,

@@ -56,7 +56,10 @@ object WindowOps {
       .cast("double")
     val mean = s1 / n
     val variance = (s2 - mean * mean * n) / (n - 1)
-    df.withColumn(outCol, (col(valueCol) - mean) / sqrt(variance))
+    // singleton group (n−1 = 0) or constant group (variance 0) → NULL,
+    // never NaN/Inf (the bleuCorpus rule); mirrored in the oracle CASE
+    df.withColumn(outCol,
+      when(n >= 2 && variance > 0, (col(valueCol) - mean) / sqrt(variance)))
   }
 
   /** Robust per-group standardization: (x − median) / (1.4826 · MAD),

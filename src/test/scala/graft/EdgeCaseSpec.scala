@@ -62,12 +62,16 @@ class EdgeCaseSpec extends AnyFunSuite {
   test("round-3 operators on degenerate inputs") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    // zscore: single-row group → divisor (n-1) = 0 → NULL (Spark's
-    // non-ANSI division-by-zero), never a throw
+    // zscore: single-row group (n−1 = 0) AND constant group (variance
+    // 0, which would be 0/0 = NaN) → explicit NULL guard, never NaN/Inf
     val one = Seq(("a", 5.0)).toDF("k", "v")
     val z = graft.operators.WindowOps.zscore(one, Seq("k"), "v")
       .select("z").collect()(0)
     assert(z.isNullAt(0))
+    val const = Seq(("a", 5.0), ("a", 5.0), ("a", 5.0)).toDF("k", "v")
+    val zc = graft.operators.WindowOps.zscore(const, Seq("k"), "v")
+      .select("z").collect()
+    assert(zc.forall(_.isNullAt(0)))
     // budgetSample: zero-token docs cost nothing and survive the cut
     val zt = Seq(("en", 1L, 0L), ("en", 2L, 0L), ("en", 3L, 10L))
       .toDF("lang", "doc_id", "n_tokens")
