@@ -2436,6 +2436,34 @@ object SparkEntry {
         .orderBy("win_start")
     }),
 
+    // Structured Streaming: the END-TO-END curation pipeline at ingest
+    // — quality gate (stateless map) → exact-dedup canonicalization
+    // (one long of state per fingerprint, emit-on-improvement) — with
+    // the drained winners compacted (min per fp, exact for ANY batch
+    // split) and decontaminated/tokenized batch-side; shares
+    // q_curation's oracle, so stream ≡ batch IS the gate
+    "q_stream_curation" -> ((s, dir) => {
+      val docs = GraftStreaming.readDocumentsGlob(s, dir, "documents.parquet")
+      val gated = docs.where(TextAnalysis.qualityScore(col("text")) >= 0.6)
+      val winners = runStreamQuery(s, "stream_curation",
+        GraftStreaming.canonicalStream(gated, "doc_id", "text"))
+      val canonIds = winners.groupBy("fp").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val base = table(s, dir, "documents")
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      val kept = base.join(canonIds, Seq("doc_id"), "left_semi")
+      val evalSet = base.where(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 500000L).as("eval_id"), col("text"))
+      val contaminated = Dedup.decontaminationReport(kept, "doc_id", "text",
+          evalSet, "eval_id", "text", n = 8, minHits = 3L)
+        .select(col("train_id").as("doc_id")).distinct()
+      kept.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          round(col("quality"), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
     // Structured Streaming: per-window classifier quality monitor —
     // exact confusion counts + prec/rec/F1/acc per hour window, the
     // live face of q_class_report next to q_stream_auc's ranking view
@@ -6782,28 +6810,11 @@ object SparkEntry {
     // the full curation chain recomposed from the stage oracles:
     // quality expr ∘ fingerprint min-id dedup ∘ shingle-intersection
     // decontamination ∘ token count
-    "q_curation" -> {
-      val sh = graft.operators.Dedup.shinglesOracleSqlExpr("text", 8)
-      s"""WITH g AS (SELECT doc_id, text,
-         |    ${TextAnalysis.qualityOracleSqlExpr("text")} AS quality
-         |  FROM documents),
-         |gated AS (SELECT * FROM g WHERE quality >= 0.6),
-         |fp AS (SELECT doc_id,
-         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
-         |  FROM gated),
-         |canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
-         |kept AS (SELECT gated.* FROM gated JOIN canon USING (doc_id)),
-         |ev AS (SELECT $sh AS s FROM documents WHERE doc_id % 37 = 0),
-         |tr AS (SELECT doc_id, $sh AS s FROM kept),
-         |cont AS (SELECT DISTINCT tr.doc_id FROM tr, ev
-         |  WHERE len(list_intersect(tr.s, ev.s)) >= 3)
-         |SELECT k.doc_id,
-         |  CAST(len(list_filter(string_split_regex(trim(k.text), '\\s+'),
-         |    t -> len(t) > 0)) AS BIGINT) AS n_tokens,
-         |  round(k.quality, 6) AS quality
-         |FROM kept k ANTI JOIN cont ON k.doc_id = cont.doc_id
-         |ORDER BY k.doc_id""".stripMargin
-    },
+    "q_curation" -> CurationOracle,
+    // the stream's drained canonical winners compact to exactly the
+    // batch curation result — one shared oracle expresses it
+    // structurally (the DecontaminateOracle pattern)
+    "q_stream_curation" -> CurationOracle,
     // the SCD2 compaction (q_scd2's CTE chain on the purchase-tier
     // attr) interval-joined to the click log at click time
     "q_stream_pit" ->
@@ -7233,5 +7244,33 @@ object SparkEntry {
        |  FROM tr t, ev e)
        |SELECT train_id, eval_id, n_hits FROM j WHERE n_hits >= 1
        |ORDER BY train_id, eval_id""".stripMargin
+  }
+
+  /** The end-to-end curation pass (quality gate → min-id exact-dedup
+    * canonicalization → benchmark decontamination → token accounting),
+    * shared by q_curation and q_stream_curation: the streaming
+    * pipeline's drained canonical winners must compact to exactly this
+    * batch result. */
+  private lazy val CurationOracle: String = {
+    val sh = graft.operators.Dedup.shinglesOracleSqlExpr("text", 8)
+    s"""WITH g AS (SELECT doc_id, text,
+       |    ${TextAnalysis.qualityOracleSqlExpr("text")} AS quality
+       |  FROM documents),
+       |gated AS (SELECT * FROM g WHERE quality >= 0.6),
+       |fp AS (SELECT doc_id,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+       |  FROM gated),
+       |canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+       |kept AS (SELECT gated.* FROM gated JOIN canon USING (doc_id)),
+       |ev AS (SELECT $sh AS s FROM documents WHERE doc_id % 37 = 0),
+       |tr AS (SELECT doc_id, $sh AS s FROM kept),
+       |cont AS (SELECT DISTINCT tr.doc_id FROM tr, ev
+       |  WHERE len(list_intersect(tr.s, ev.s)) >= 3)
+       |SELECT k.doc_id,
+       |  CAST(len(list_filter(string_split_regex(trim(k.text), '\\s+'),
+       |    t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+       |  round(k.quality, 6) AS quality
+       |FROM kept k ANTI JOIN cont ON k.doc_id = cont.doc_id
+       |ORDER BY k.doc_id""".stripMargin
   }
 }

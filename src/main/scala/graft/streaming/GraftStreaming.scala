@@ -617,6 +617,54 @@ object GraftStreaming {
         }).toDF()
   }
 
+  /** One fingerprint's current canonical winner (streaming exact-dedup
+    * canonicalization emission). */
+  case class CanonWinner(fp: String, doc_id: Long)
+
+  /** Streaming exact-dedup canonicalization — the ingest-time face of
+    * [[graft.operators.Dedup.exactText]]'s min-id-per-fingerprint
+    * rule. State is ONE long per normalized-text fingerprint (the
+    * smallest id seen so far); each micro-batch a fingerprint's
+    * arrivals resolve to their min id, and a row is EMITTED only when
+    * it improves on (is smaller than) the stored winner — the
+    * emit-on-change discipline of [[latestStream]], so output volume
+    * tracks winner churn, not ingest volume.
+    *
+    * Exactness under ANY batch split: min over batches of per-batch
+    * mins is the global min, and every improvement is emitted, so the
+    * post-drain `min(doc_id) per fp` is EXACTLY batch exactText's
+    * canonical set regardless of how the files split into triggers
+    * (no single-batch assumption — unlike a first-arrival dedup,
+    * which depends on delivery order). A single AvailableNow batch
+    * emits the batch answer directly. */
+  def canonicalStream(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val base = docs.select(
+      graft.operators.TextAnalysis.fingerprint(col(textCol)).as("__fp"),
+      col(idCol).cast("long").as("__id"))
+    implicit val stateEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[CanonWinner]
+    implicit val rowEnc = Encoders.row(base.schema)
+    implicit val keyEnc = Encoders.STRING
+    base.groupByKey((r: Row) => r.getAs[String]("__fp"))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (fp: String, rows: Iterator[Row], state: GroupState[Long]) => {
+          var batchMin = Long.MaxValue
+          var any = false
+          rows.foreach { r =>
+            any = true
+            val id = r.getAs[Long]("__id")
+            if (id < batchMin) batchMin = id
+          }
+          if (any && state.getOption.forall(batchMin < _)) {
+            state.update(batchMin)
+            Iterator(CanonWinner(fp, batchMin))
+          } else Iterator.empty
+        }).toDF()
+  }
+
   /** One key's current smoothed value (streaming EWMA output). `nObs`
     * counts the events folded so far — strictly increasing per key, so
     * a multi-micro-batch run (one snapshot per key per batch) dedups to

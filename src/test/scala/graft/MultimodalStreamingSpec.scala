@@ -157,6 +157,40 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(out.count() == expected)
   }
 
+  test("streaming canonicalization: emit-on-improvement; drained min ≡ batch exactText under a batch split") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-canon").toString
+    // b0: two fingerprints; b1 brings a SMALLER id for one (improvement
+    // → must emit) and a larger id for the other (loser → silent)
+    Seq((10L, "same text here"), (5L, "other body"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$tmp/b0")
+    Seq((3L, "same text here"), (20L, "other body"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$tmp/b1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$tmp/*")
+    val q = GraftStreaming.runToMemory(
+      GraftStreaming.canonicalStream(stream, "doc_id", "text"), "canon_out")
+    assert(q.awaitTermination(60000), "stream did not finish")
+    val emitted = spark.table("canon_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // 3 emissions: both fps in b0, the improvement in b1; the b1 loser
+    // (id 20) emits nothing
+    assert(emitted.length == 3, s"got ${emitted.toSeq}")
+    val drained = emitted.groupBy(_._1).view.mapValues(_.map(_._2).min)
+    // the drained min per fp equals batch exactText's canonical ids
+    val batch = graft.operators.Dedup.exactText(
+      spark.read.parquet(s"$tmp/*"), "text", "doc_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(drained.toMap == batch)
+    assert(batch.values.toSet == Set(3L, 5L))
+  }
+
   test("streaming confusion monitor ≡ batch per-window confusion on the same drop") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-conf").toString
     spark.read.parquet(s"$dir/events.parquet").limit(500)
