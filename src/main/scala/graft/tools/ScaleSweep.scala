@@ -781,6 +781,9 @@ object ScaleSweep {
       // the realistic annotation-drop shape
       evAt(k).select(expr("event_id DIV 50").as("item"), col("event_type")),
       "item", "event_type"))
+    sweep("quantile_norm")(k => graft.operators.FeatureEng.quantileNormalize(
+      evAt(k), "event_id", "event_type", "value",
+      lo = 0.0, hi = 500.0, bins = 50))
 
     def renderMap(m: scala.collection.Map[String, Seq[Double]]): String =
       m.map { case (k, v) =>
