@@ -1500,6 +1500,35 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the PARTIAL-probe honesty check (the q_approx_quantile pattern
+    // applied to ANN): IVF at nprobe < nlist vs the exact brute force —
+    // the oracle recomputes the exact side and pins the recall claim
+    // TRUE, making "probe a quarter of the lists, keep most of the
+    // neighbors" an executable contract instead of a doc sentence
+    "q_ivf_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.select(col("query_id"), col("neighbor_id"))
+        .join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("__hit"))
+      exact.groupBy("query_id").agg(count(lit(1)).as("__ex"))
+        .join(hits, Seq("query_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          coalesce(sum("__ex"), lit(0L)).as("n_exact"),
+          coalesce(sum("__hit"), lit(0L)).as("__hits"))
+        .select(col("n_queries"), col("n_exact"),
+          // aggregate recall@10 over the query batch: probing a quarter
+          // of the lists must keep at least 40% of the true neighbors
+          // (per-query recall on unclustered random vectors is too
+          // volatile to pin; the batch mean is the operating metric)
+          (col("__hits") * 10L >= col("n_exact") * 4L).as("recall_ok"))
+    }),
+
     // the PERSISTED IVF path: build the bucketed-by-list index + trained
     // centroids once, then probe it. At nprobe = nlist every inverted
     // list is probed, so the result is provably the exact top-k whatever
@@ -5178,6 +5207,25 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, round(sim, 6) AS cosine
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // exact side recomputed; the partial-probe recall claim is Spark's
+    // to prove (oracle asserts it TRUE)
+    "q_ivf_recall" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  TRUE AS recall_ok
+        |FROM ranked WHERE rank <= 10""".stripMargin,
     "q_ivf_indexed" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
         |           WHERE vec_id >= 30 AND vec_id < 40),
