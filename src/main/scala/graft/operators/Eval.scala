@@ -289,8 +289,13 @@ object Eval {
       .agg(sum("__c").as("__na"))
     val mb = cells.groupBy(col("__b").as("__l"))
       .agg(sum("__c").as("__nb"))
+    // marginal products n_a·n_b wrap int64 past ~3e9 rated rows per
+    // label — accumulate in decimal(38,0) like every other pair-count
+    // sum in this file (the oracle mirrors via HUGEINT)
     val s = ma.join(mb, "__l")
-      .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).as("__s"))
+      .agg(coalesce(sum(col("__na").cast("decimal(38,0)") *
+        col("__nb").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("__s"))
     // products in DECIMAL(38,0): agree·T, T², S all stay exact past the
     // long overflow line (T > ~3·10⁹ rated rows at corpus scale); both
     // engines then round the SAME exact integers to double once, and
@@ -325,7 +330,8 @@ object Eval {
        |  FROM cells),
        |ma AS (SELECT a AS l, CAST(sum(c) AS BIGINT) AS na FROM cells GROUP BY a),
        |mb AS (SELECT b AS l, CAST(sum(c) AS BIGINT) AS nb FROM cells GROUP BY b),
-       |se AS (SELECT CAST(COALESCE(sum(na * nb), 0) AS BIGINT) AS s
+       |se AS (SELECT COALESCE(sum(CAST(na AS HUGEINT)
+       |    * CAST(nb AS HUGEINT)), 0) AS s
        |  FROM ma JOIN mb USING (l))
        |SELECT t AS n,
        |  CASE WHEN t > 0 THEN CAST(agree AS DOUBLE) / t END AS observed_agreement,
