@@ -1500,6 +1500,31 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the hyperplane-LSH and PQ siblings of q_ivf_recall: batch
+    // recall@10 of each approximate path vs the exact brute force,
+    // pinned by the oracle as a TRUE claim — every ANN variant now
+    // carries an executable speed/recall contract
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+      val approx = Similarity.annTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 10, planes = 3, probeBits = 1)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.select(col("query_id"), col("neighbor_id"))
+        .join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("__hit"))
+      exact.groupBy("query_id").agg(count(lit(1)).as("__ex"))
+        .join(hits, Seq("query_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          coalesce(sum("__ex"), lit(0L)).as("n_exact"),
+          coalesce(sum("__hit"), lit(0L)).as("__hits"))
+        .select(col("n_queries"), col("n_exact"),
+          (col("__hits") * 10L >= col("n_exact") * 4L).as("recall_ok"))
+    }),
+
+
     // the PARTIAL-probe honesty check (the q_approx_quantile pattern
     // applied to ANN): IVF at nprobe < nlist vs the exact brute force —
     // the oracle recomputes the exact side and pins the recall claim
@@ -5207,6 +5232,24 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, round(sim, 6) AS cosine
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the LSH / PQ siblings share the identical exact side
+    "q_ann_recall" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  TRUE AS recall_ok
+        |FROM ranked WHERE rank <= 10""".stripMargin,
     // exact side recomputed; the partial-probe recall claim is Spark's
     // to prove (oracle asserts it TRUE)
     "q_ivf_recall" ->
