@@ -66,6 +66,25 @@ object SparkEntry {
     * so the Spark side and the oracle CTEs drop the same rows — the
     * downstream operators' own NULL filters would otherwise disagree
     * with an unguarded oracle synthesis. */
+  /** Shared scaffold for the ANN recall-contract twins
+    * (q_ann_recall / q_ivf_recall): batch recall@k of `approx` against
+    * the exact top-k over the same query set, claimed at num/den —
+    * ONE definition so the two contracts cannot silently diverge. */
+  private def recallContract(exact: SDF, approx: SDF,
+                             num: Long, den: Long): SDF = {
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("__hit"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("__ex"))
+      .join(hits, Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        coalesce(sum("__ex"), lit(0L)).as("n_exact"),
+        coalesce(sum("__hit"), lit(0L)).as("__hits"))
+      .select(col("n_queries"), col("n_exact"),
+        (col("__hits") * den >= col("n_exact") * num).as("recall_ok"))
+  }
+
   private def scoredDocs(s: SparkSession, dir: String): SDF =
     table(s, dir, "documents")
       .where(col("n_chars").isNotNull && col("lang").isNotNull)
@@ -1507,21 +1526,13 @@ object SparkEntry {
     "q_ann_recall" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 10)
-      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        queries, "vec_id", "embedding", k = 10)
-      val approx = Similarity.annTopK(emb, "vec_id", "embedding",
-          queries, "vec_id", "embedding", k = 10, planes = 3, probeBits = 1)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = exact.select(col("query_id"), col("neighbor_id"))
-        .join(approx, Seq("query_id", "neighbor_id"))
-        .groupBy("query_id").agg(count(lit(1)).as("__hit"))
-      exact.groupBy("query_id").agg(count(lit(1)).as("__ex"))
-        .join(hits, Seq("query_id"), "left")
-        .agg(count(lit(1)).as("n_queries"),
-          coalesce(sum("__ex"), lit(0L)).as("n_exact"),
-          coalesce(sum("__hit"), lit(0L)).as("__hits"))
-        .select(col("n_queries"), col("n_exact"),
-          (col("__hits") * 10L >= col("n_exact") * 4L).as("recall_ok"))
+      recallContract(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 10),
+        Similarity.annTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 10, planes = 3,
+          probeBits = 1),
+        num = 4L, den = 10L) // recall@10 >= 0.4
     }),
 
 
@@ -1533,25 +1544,13 @@ object SparkEntry {
     "q_ivf_recall" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 10)
-      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        queries, "vec_id", "embedding", k = 10)
-      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
-          queries, "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = exact.select(col("query_id"), col("neighbor_id"))
-        .join(approx, Seq("query_id", "neighbor_id"))
-        .groupBy("query_id").agg(count(lit(1)).as("__hit"))
-      exact.groupBy("query_id").agg(count(lit(1)).as("__ex"))
-        .join(hits, Seq("query_id"), "left")
-        .agg(count(lit(1)).as("n_queries"),
-          coalesce(sum("__ex"), lit(0L)).as("n_exact"),
-          coalesce(sum("__hit"), lit(0L)).as("__hits"))
-        .select(col("n_queries"), col("n_exact"),
-          // aggregate recall@10 over the query batch: probing a quarter
-          // of the lists must keep at least 40% of the true neighbors
-          // (per-query recall on unclustered random vectors is too
-          // volatile to pin; the batch mean is the operating metric)
-          (col("__hits") * 10L >= col("n_exact") * 4L).as("recall_ok"))
+      recallContract(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 10),
+        Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 10, nlist = 16,
+          nprobe = 4),
+        num = 4L, den = 10L) // recall@10 >= 0.4
     }),
 
     // the PERSISTED IVF path: build the bucketed-by-list index + trained
@@ -3452,13 +3451,18 @@ object SparkEntry {
           buckets = 10, approxAccuracy = Some(10000))
         .select(col("bucket"), col("gain").as("__ag"),
           col("lift").as("__al"))
-      exact.join(approx, Seq("bucket"))
+      // LEFT join: an exact bucket the approx banding left EMPTY
+      // (duplicate sketch edges on heavily tied scores) must surface
+      // as approx_ok = FALSE, not silently vanish from the row set
+      exact.join(approx, Seq("bucket"), "left")
         .select(col("bucket"), col("n"), col("n_pos"),
           col("cum_n"), col("cum_pos"),
           round(col("gain"), 6).as("gain"), round(col("lift"), 6).as("lift"),
-          (abs(col("__ag") - col("gain")) <= lit(0.02) &&
-            abs(col("__al") - col("lift")) <=
-              abs(col("lift")) * 0.05 + lit(0.02)).as("approx_ok"))
+          coalesce(
+            abs(col("__ag") - col("gain")) <= lit(0.02) &&
+              abs(col("__al") - col("lift")) <=
+                abs(col("lift")) * 0.05 + lit(0.02),
+            lit(false)).as("approx_ok"))
         .orderBy("bucket")
     }),
 
@@ -5233,42 +5237,10 @@ object SparkEntry {
         |SELECT query_id, rank, neighbor_id, round(sim, 6) AS cosine
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // the LSH / PQ siblings share the identical exact side
-    "q_ann_recall" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-        |           FROM embeddings WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT q.query_id, e.vec_id AS neighbor_id,
-        |    list_sum(list_transform(list_zip(e.embedding, q.qv),
-        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
-        |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
-        |     sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
-        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
-        |ranked AS (SELECT query_id, neighbor_id,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
-        |  CAST(count(*) AS BIGINT) AS n_exact,
-        |  TRUE AS recall_ok
-        |FROM ranked WHERE rank <= 10""".stripMargin,
+    "q_ann_recall" -> AnnRecallOracle,
     // exact side recomputed; the partial-probe recall claim is Spark's
     // to prove (oracle asserts it TRUE)
-    "q_ivf_recall" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-        |           FROM embeddings WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT q.query_id, e.vec_id AS neighbor_id,
-        |    list_sum(list_transform(list_zip(e.embedding, q.qv),
-        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
-        |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
-        |     sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
-        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
-        |ranked AS (SELECT query_id, neighbor_id,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
-        |  CAST(count(*) AS BIGINT) AS n_exact,
-        |  TRUE AS recall_ok
-        |FROM ranked WHERE rank <= 10""".stripMargin,
+    "q_ivf_recall" -> AnnRecallOracle,
     "q_ivf_indexed" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
         |           WHERE vec_id >= 30 AND vec_id < 40),
@@ -7152,7 +7124,7 @@ object SparkEntry {
              .replaceFirst("^e AS", "e AS").stripPrefix("")}
          |SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs,
          |  round(level, 9) AS level, round(trend, 9) AS trend,
-         |  round(level + trend, 9) AS forecast
+         |  round(forecast, 9) AS forecast
          |FROM hw ORDER BY user_id""".stripMargin,
     "q_readability" ->
       s"""SELECT doc_id, words, sentences, syllables,
@@ -7324,6 +7296,27 @@ object SparkEntry {
       |""".stripMargin + counts +
       "\nFROM d ORDER BY doc_id"
   }
+
+  /** Shared exact side of the ANN recall contracts — the approx claim
+    * is Spark's to prove, so both oracles are the identical exhaustive
+    * top-10 count + TRUE. */
+  private lazy val AnnRecallOracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+      |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      |ranked AS (SELECT query_id, neighbor_id,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+      |  CAST(count(*) AS BIGINT) AS n_exact,
+      |  TRUE AS recall_ok
+      |FROM ranked WHERE rank <= 10""".stripMargin
 
   private lazy val DecontaminateOracle: String = {
     val sh = graft.operators.Dedup.shinglesOracleSqlExpr("text", 8)

@@ -295,12 +295,13 @@ final class Series private[graft] (
       app(org.apache.spark.sql.functions.split(_, pattern))
     /** pandas str.strip/lstrip/rstrip (whitespace form). Spark's bare
       * trim/ltrim/rtrim strip SPACES only; pandas strips the whole
-      * whitespace class, so pass it explicitly. */
-    private val Ws = " \t\n\r\f"
+      * whitespace class — the SAME `\s` class [[isspace]] tests
+      * (space, \t, \n, \x0B, \f, \r), via regexp_replace so no raw
+      * control byte hides in a source literal. */
     def strip: Series =
-      app(org.apache.spark.sql.functions.trim(_, Ws))
-    def lstrip: Series = app(ltrim(_, Ws))
-    def rstrip: Series = app(rtrim(_, Ws))
+      app(c => regexp_replace(regexp_replace(c, "^\\s+", ""), "\\s+$", ""))
+    def lstrip: Series = app(regexp_replace(_, "^\\s+", ""))
+    def rstrip: Series = app(regexp_replace(_, "\\s+$", ""))
     /** pandas str.zfill: sign-aware zero pad, NEVER truncates (Spark's
       * bare lpad truncates a longer string to `width`). */
     def zfill(width: Int): Series = app { c =>

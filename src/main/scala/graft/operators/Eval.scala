@@ -362,9 +362,39 @@ object Eval {
     * in a pinned order — exact products would need int256 at corpus
     * scale, and both engines evaluate the identical IEEE tree. NULL
     * labels/predictions are excluded; NULL slice values report as
-    * '__null__' (kept distinct from the rollup total row).
+    * '__null__' (kept distinct from the rollup total row). '__all__'
+    * and '__null__' are RESERVED sentinels — a genuine slice value
+    * equal to either collides with them (rename upstream). On an
+    * empty/fully-excluded input both engines return ZERO rows (the
+    * oracle filters DuckDB's empty-input grand-total row to match
+    * Spark's Expand-based rollup, which emits none).
     *
     * @return (slice, n, tp, fp, fn, tn, prec, rec, f1, acc, mcc). */
+  /** The shared confusion→metric algebra (prec, rec, F1 as
+    * 2tp/(2tp+fp+fn), acc) with NULL on degenerate margins — ONE
+    * definition used by both [[classificationReport]] and
+    * [[graft.streaming.GraftStreaming.confusionStream]], so the
+    * stream ≡ batch metric identity holds BY CONSTRUCTION, not by
+    * keeping two copies in sync. */
+  private[graft] def confusionMetricCols(tp: Column, fp: Column,
+                                         fn: Column, tn: Column,
+                                         n: Column): Seq[Column] = Seq(
+    when(tp + fp > 0, tp.cast("double") / (tp + fp)).as("prec"),
+    when(tp + fn > 0, tp.cast("double") / (tp + fn)).as("rec"),
+    when(lit(2L) * tp + fp + fn > 0,
+      (lit(2L) * tp).cast("double") / (lit(2L) * tp + fp + fn)).as("f1"),
+    when(n > 0, (tp + tn).cast("double") / n).as("acc"))
+
+  /** [[confusionMetricCols]] as DuckDB SQL select-items over columns
+    * named tp/fp/fn/tn/n — the single SQL copy both oracles embed. */
+  private[graft] def confusionMetricsSqlItems: String =
+    """CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
+      |    CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS rec,
+      |    CASE WHEN 2 * tp + fp + fn > 0
+      |      THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1,
+      |    CASE WHEN n > 0 THEN CAST(tp + tn AS DOUBLE) / n END AS acc"""
+      .stripMargin
+
   def classificationReport(df: DataFrame, labelCol: String,
                            predCol: String, sliceCol: String): DataFrame = {
     val lab = col(labelCol).cast("boolean")
@@ -386,18 +416,13 @@ object Eval {
     val d2 = (tp + fn_).cast("double")
     val d3 = (tn + fp).cast("double")
     val d4 = (tn + fn_).cast("double")
-    agg.select(coalesce(col("__s"), lit("__all__")).as("slice"),
-      col("n"), tp, fp, fn_, tn,
-      when(tp + fp > 0, tp.cast("double") / (tp + fp)).as("prec"),
-      when(tp + fn_ > 0, tp.cast("double") / (tp + fn_)).as("rec"),
-      when(lit(2L) * tp + fp + fn_ > 0,
-        (lit(2L) * tp).cast("double") / (lit(2L) * tp + fp + fn_))
-        .as("f1"),
-      when(col("n") > 0, (tp + tn).cast("double") / col("n")).as("acc"),
+    agg.select(Seq(coalesce(col("__s"), lit("__all__")).as("slice"),
+      col("n"), tp, fp, fn_, tn) ++
+      confusionMetricCols(tp, fp, fn_, tn, col("n")) :+
       when(d1 > 0 && d2 > 0 && d3 > 0 && d4 > 0,
         (tp.cast("double") * tn.cast("double") -
           fp.cast("double") * fn_.cast("double")) /
-          sqrt((d1 * d2) * (d3 * d4))).as("mcc"))
+          sqrt((d1 * d2) * (d3 * d4))).as("mcc"): _*)
   }
 
   /** [[classificationReport]] as DuckDB SQL (labelExpr/predExpr are
@@ -420,11 +445,7 @@ object Eval {
        |    CAST(COALESCE(sum(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn
        |  FROM b GROUP BY ROLLUP(s))
        |SELECT slice, n, tp, fp, fn, tn,
-       |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
-       |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS rec,
-       |  CASE WHEN 2 * tp + fp + fn > 0
-       |    THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1,
-       |  CASE WHEN n > 0 THEN CAST(tp + tn AS DOUBLE) / n END AS acc,
+       |  $confusionMetricsSqlItems,
        |  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0
        |      AND tn + fn > 0
        |    THEN (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
@@ -432,7 +453,8 @@ object Eval {
        |      / sqrt((CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE))
        |        * (CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)))
        |  END AS mcc
-       |FROM g""".stripMargin
+       |FROM g
+       |WHERE n > 0""".stripMargin
 
   /** Krippendorff's alpha (nominal data) — the agreement coefficient
     * that handles what [[cohenKappa]] (exactly 2 raters) and

@@ -61,8 +61,12 @@ object GraphOps {
     * `Scale` (rank 1.0). Dangling nodes (no out-edges) redistribute
     * their rank mass uniformly over the TELEPORT SUPPORT each round —
     * all nodes for PageRank, the seed set for TrustRank — the standard
-    * mass-conserving formulation: per round, ONE scalar aggregate sums
-    * the dangling mass `D = Σ r over nodes with no out-edges`, rides a
+    * mass-conserving formulation. The dangling mass `D = Σ r over
+    * nodes with no out-edges` falls out of the SAME per-round pass as
+    * the inflow (a dangling rank row survives the left join to the
+    * edge list with a NULL dst and lands in the NULL group of the one
+    * inflow aggregate — the rank relation keeps exactly ONE consumer,
+    * so unmaterialized mid-loop iterations never recompute), rides a
     * one-row broadcast back, and each supported node's inflow gains
     * `D DIV |support|` before damping. Total mass is conserved up to
     * the deterministic integer floors (≤1 nano per edge + 2 per node
@@ -119,11 +123,6 @@ object GraphOps {
     val nodes = materialize(
       ew.select(col("src").as("node"))
         .union(ew.select(col("dst").as("node"))).distinct(), "nodes")
-    // dangling spine: nodes with no out-edges — their mass re-enters
-    // through the teleport support each round instead of leaking
-    val dangling = materialize(
-      nodes.join(ew.select(col("src").as("node")).distinct(),
-        Seq("node"), "left_anti"), "dangling")
 
     val teleport = (dampDen - dampNum) * Scale / dampDen // exact when den | Scale
     // TrustRank mode (Gyöngyi, Garcia-Molina, Pedersen, VLDB'04): with a
@@ -170,15 +169,23 @@ object GraphOps {
     var lastMat: Option[String] = None
     var i = 0
     while (i < iters) {
-      val inflow = ew
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"), expr("r * w DIV ow").as("c"))
+      // ONE pass over the rank relation computes per-dst inflow AND the
+      // dangling mass: a rank row with no out-edges survives the LEFT
+      // join with dst NULL and contributes its whole rank to the NULL
+      // group — so `ranks` keeps exactly one consumer (the loop
+      // invariant materializeEvery > 1 depends on: a second consumer
+      // would recompute the unmaterialized lineage once per level), and
+      // the two readers of the aggregated relation share its exchange
+      // (ReuseExchange) above the expensive subtree.
+      val flows = ranks.withColumnRenamed("node", "src")
+        .join(ew, Seq("src"), "left")
+        .select(col("dst"),
+          when(col("dst").isNull, col("r"))
+            .otherwise(expr("r * w DIV ow")).as("c"))
         .groupBy("dst").agg(sum("c").as("inflow"))
-      // dangling mass this round: one scalar aggregate over the
-      // node-sized rank relation (ranks is a parquet snapshot, so the
-      // second consumer re-reads, not recomputes), broadcast back
-      val dangMass = ranks.join(dangling, Seq("node"), "left_semi")
-        .agg(coalesce(sum("r"), lit(0L)).as("__dang"))
+      val inflow = flows.where(col("dst").isNotNull)
+      val dangMass = flows.where(col("dst").isNull)
+        .agg(coalesce(sum("inflow"), lit(0L)).as("__dang"))
       val next = spine
         .join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .crossJoin(broadcast(dangMass))

@@ -1469,13 +1469,11 @@ object GraftStreaming {
         cnt(col("__y") && !col("__p")).as("fn"),
         cnt(!col("__y") && !col("__p")).as("tn"))
     val (tp, fp, fn_, tn) = (col("tp"), col("fp"), col("fn"), col("tn"))
-    byWin.select(col("window"), col("n"), tp, fp, fn_, tn,
-      when(tp + fp > 0, tp.cast("double") / (tp + fp)).as("prec"),
-      when(tp + fn_ > 0, tp.cast("double") / (tp + fn_)).as("rec"),
-      when(lit(2L) * tp + fp + fn_ > 0,
-        (lit(2L) * tp).cast("double") / (lit(2L) * tp + fp + fn_))
-        .as("f1"),
-      when(col("n") > 0, (tp + tn).cast("double") / col("n")).as("acc"))
+    // the metric algebra is the batch operator's, by reference — not a
+    // copy kept in sync by hand
+    byWin.select(Seq(col("window"), col("n"), tp, fp, fn_, tn) ++
+      graft.operators.Eval.confusionMetricCols(tp, fp, fn_, tn,
+        col("n")): _*)
   }
 
   /** DuckDB oracle twin of [[confusionStream]] for a 1-hour tumbling
@@ -1495,11 +1493,7 @@ object GraftStreaming {
        |    CAST(COALESCE(sum(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn
        |  FROM b GROUP BY win),
        |scored AS (SELECT win, n, tp, fp, fn, tn,
-       |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
-       |    CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS rec,
-       |    CASE WHEN 2 * tp + fp + fn > 0
-       |      THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1,
-       |    CASE WHEN n > 0 THEN CAST(tp + tn AS DOUBLE) / n END AS acc
+       |    ${graft.operators.Eval.confusionMetricsSqlItems}
        |  FROM g)""".stripMargin
 
   /** DuckDB oracle twin of [[aucStream]] for a 1-hour tumbling window

@@ -341,11 +341,12 @@ class KernelSpec extends AnyFunSuite {
     assert(s.str.isdigit.values == Seq(false, true, false))
     assert(s.str.isalpha.values == Seq(false, false, true))
     assert(s.str.isalnum.values == Seq(false, true, true))
-    val ws = Series.fromLocal(spark, Seq(0 -> "  x ", 1 -> "\t\n"))
-    assert(ws.str.isspace.values == Seq(false, true))
-    assert(ws.str.strip.values == Seq("x", ""))
-    assert(ws.str.lstrip.values == Seq("x ", ""))
-    assert(ws.str.rstrip.values == Seq("  x", ""))
+    val ws = Series.fromLocal(spark, Seq(0 -> "  x ", 1 -> "\t\n",
+      2 -> "\u000bx\u000b")) // vertical tab: pandas strips it, isspace true
+    assert(ws.str.isspace.values == Seq(false, true, false))
+    assert(ws.str.strip.values == Seq("x", "", "x"))
+    assert(ws.str.lstrip.values == Seq("x ", "", "x\u000b"))
+    assert(ws.str.rstrip.values == Seq("  x", "", "\u000bx"))
     assert(s.str.repeat(2).values == Seq("-42-42", "77", "HelloHello"))
   }
 
