@@ -85,10 +85,33 @@ object Bench {
     // The rerun set is capped so a genuinely slow surface doesn't
     // double the sweep; 2 s absolute floor skips queries where a rerun
     // cannot move the total.
-    val rerunNames = firstPass
+    //
+    // Round-10 verdict widened the net to RELATIVE spikes: 17 sub-2 s
+    // queries ran 2.1–3.9× their committed times and the 20-slowest
+    // rule caught none. Any query > 2× its time in the COMMITTED
+    // artifact (the bench_last.json this run is about to overwrite —
+    // read before write) also reruns, with a 0.4 s floor so micro-
+    // query jitter that cannot move the total is not re-billed.
+    val committedPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_last.json")
+    val committed: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(committedPath)), "UTF-8")
+        "\"queries\":\\{(.*?)\\}".r.findFirstMatchIn(txt).map { m =>
+          "\"([^\"]+)\":([-0-9.eE]+)".r.findAllMatchIn(m.group(1))
+            .map(p => p.group(1) -> p.group(2).toDouble).toMap
+        }.getOrElse(Map.empty)
+      } catch { case _: Throwable => Map.empty }
+    val slowest = firstPass
       .filter { case (_, (w, _, _)) => w >= 2.0 }
       .sortBy { case (_, (w, _, _)) => -w }
       .take(20).map(_._1)
+    val spikes = firstPass.collect {
+      case (n, (w, _, _))
+        if w >= 0.4 && committed.get(n).exists(c => c > 0 && w > 2 * c) => n
+    }
+    val rerunNames = (slowest ++ spikes).distinct
     val rerun = rerunNames.map(n => n -> runOne(n)).toMap
     val results = firstPass.map { case (k, v1) =>
       k -> (rerun.get(k) match {
@@ -118,7 +141,14 @@ object Bench {
     // any head-truncation of the captured line.
     val (jvms1, load1) = (BoxSentinel.jvmCount(), BoxSentinel.loadAvg())
     val sentinel = BoxSentinel.jsonFields(jvms0, load0, jvms1, load1)
-    val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_failed":${failedNames.size},"failed":$failed,$sentinel,"rerun_min2":$rerunJson,"peak_mb":$peak,"gc_sec":$gc,"queries":$qs,"value":$total}"""
+    // first_pass_total = single-sample sum (pre-rerun) so judges can
+    // compare like-for-like against single-sample artifacts from
+    // earlier rounds; `value` is the min-of-2 headline under the
+    // policy named in rerun_policy (ADVICE r10: don't silently mix
+    // sampling policies across rounds).
+    val firstPassTotal = firstPass.map(_._2._1).filter(_ >= 0).sum
+    val policy = "\"min2: 20 slowest >=2s + any >2x committed (>=0.4s)\""
+    val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_failed":${failedNames.size},"failed":$failed,$sentinel,"rerun_policy":$policy,"first_pass_total":$firstPassTotal,"rerun_min2":$rerunJson,"peak_mb":$peak,"gc_sec":$gc,"queries":$qs,"value":$total}"""
     // Belt and braces: persist the complete JSON where the judge can
     // read it even if the driver's stdout capture mangles the line —
     // but ONLY for the full sweep: a SPARK_GRAFT_ONLY iteration run

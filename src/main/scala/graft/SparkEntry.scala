@@ -4230,16 +4230,26 @@ object SparkEntry {
     // saturated diagonal) is the honest readout
     "q_text_lr" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
+      // the featurization feeds BOTH the 16-iteration fit (eager) and
+      // the confusion readout — cache it for the query's lifetime and
+      // materialize the ≤4-row confusion EAGERLY so the cache releases
+      // deterministically before return (a lazily-returned plan over
+      // the cache would either leak the blocks or recompute the
+      // featurization on the driver's terminal action)
       val pairs = TextAnalysis.hashedTfPairs(docs, "doc_id", "text",
           dim = 256)
         .join(docs.select(col("doc_id"),
           array_contains(TextAnalysis.tokens(col("text")), "spark")
             .cast("int").as("y")), "doc_id")
-      val w = graft.operators.LinearModel.logisticFitSparse(pairs,
-        "doc_id", "pos", "x", "y", dim = 256, iters = 16, lr = 1.0)
-      graft.operators.LinearModel.logisticConfusionSparse(pairs,
-        "doc_id", "pos", "x", "y", w)
-        .orderBy("label", "pred")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val w = graft.operators.LinearModel.logisticFitSparse(pairs,
+          "doc_id", "pos", "x", "y", dim = 256, iters = 16, lr = 1.0)
+        val out = graft.operators.LinearModel.logisticConfusionSparse(
+          pairs, "doc_id", "pos", "x", "y", w).orderBy("label", "pred")
+        s.createDataFrame(
+          java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally pairs.unpersist(blocking = false)
     }),
 
     // variance-optimal budget spending: Neyman-allocation stratified

@@ -315,9 +315,14 @@ final class Series private[graft] (
     /** pandas str.find: 0-based index of first occurrence, -1 absent. */
     def find(sub: String): Series = app(instr(_, sub) - 1)
     /** pandas str.get: character at 0-based position, NULL past end
-      * (pandas yields NaN, the shared missing sentinel). */
+      * (pandas yields NaN, the shared missing sentinel). Negative `i`
+      * indexes from the end, pandas-style: get(-1) is the LAST char
+      * (a bare substring(c, 0, 1) would silently yield the FIRST),
+      * NULL when the string is shorter than |i|. */
     def get(i: Int): Series =
-      app(c => when(length(c) > i, substring(c, i + 1, 1)))
+      if (i >= 0) app(c => when(length(c) > i, substring(c, i + 1, 1)))
+      else app(c => when(length(c) >= -i,
+        c.substr(length(c) + lit(i + 1), lit(1))))
     /** pandas str.repeat. */
     def repeat(n: Int): Series =
       app(org.apache.spark.sql.functions.repeat(_, n))
@@ -328,11 +333,31 @@ final class Series private[graft] (
           org.apache.spark.sql.functions.lower(
             c.substr(lit(2), length(c))))))
     /** pandas str.isdigit/isalpha/isalnum/isspace: non-empty and all
-      * chars in the class (ASCII classes — the oracle-shared form). */
+      * chars in the class.
+      *
+      * SEMANTICS NOTE (user-facing): these unsuffixed forms are
+      * ASCII/Java-`\s` classes — the oracle-shared semantics — and
+      * will misclassify non-ASCII corpora where pandas is
+      * Unicode-aware (pandas counts Unicode digits as digits and NBSP
+      * as space). For Unicode parity use the `*Unicode` variants
+      * below. */
     def isdigit: Series = app(_.rlike("^[0-9]+$"))
     def isalpha: Series = app(_.rlike("^[A-Za-z]+$"))
     def isalnum: Series = app(_.rlike("^[0-9A-Za-z]+$"))
     def isspace: Series = app(_.rlike("^\\s+$"))
+    /** Unicode-aware variants — `(?U)`-flagged Java classes, matching
+      * pandas' Unicode semantics (Unicode digits/letters, NBSP-as-
+      * space). Kept as separate names so the ASCII forms stay
+      * byte-stable against the DuckDB oracle. */
+    def isdigitUnicode: Series = app(_.rlike("^(?U)\\d+$"))
+    def isalphaUnicode: Series = app(_.rlike("^(?U)\\p{Alpha}+$"))
+    def isalnumUnicode: Series = app(_.rlike("^(?U)\\p{Alnum}+$"))
+    def isspaceUnicode: Series = app(_.rlike("^(?U)\\s+$"))
+    /** [[strip]]'s Unicode twin: strips the `(?U)\s` class (includes
+      * NBSP/Unicode spaces) instead of the Java-`\s` ASCII class. */
+    def stripUnicode: Series =
+      app(c => regexp_replace(regexp_replace(c, "^(?U)\\s+", ""),
+        "(?U)\\s+$", ""))
   }
 
   /** datetime accessor namespace (pandas Series.dt.*). */

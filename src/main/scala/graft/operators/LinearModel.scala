@@ -128,18 +128,41 @@ object LinearModel {
     * here per-iteration work is O(nnz) and the plan is O(1) per
     * iteration.
     *
-    * Scale: per iteration, ONE action — a doc-key aggregate (z, with
-    * the weight lookup an O(1) literal-map probe — no join) feeding a
-    * doc-key join-back + pos-key aggregate (the gradient), and a
-    * MODEL-SIZED driver hop (≤ dim+1 doubles — the
-    * parameter-server-lite pattern; bounded by dim, never by the
-    * corpus). The bias is carried as a synthetic pos-0 / x=1 row per
-    * doc, so its gradient Σ(σ(z)−y)·1 falls out of the SAME per-pos
-    * aggregate instead of a second full corpus pass (z itself still
-    * adds the bias as the identical trailing double — the trajectory
-    * is bit-for-bit the two-pass one). The augmented pairs relation
-    * persists for the iteration loop and unpersists before return.
-    * Output: (pos, weight), pos 0 = bias. */
+    * Scale: per iteration, ONE action and ONE fused pipeline over the
+    * cached corpus with a single model-sized exchange. The pairs
+    * relation persists PRE-PARTITIONED on the doc key into
+    * DATA-SIZED partitions (≈500k rows each, capped at the session
+    * parallelism — a fixed 32/200-partition layout bills every
+    * iteration ~64 near-empty task launches, which WAS the dominant
+    * cost at bench scale: the round-10 profile showed a plain
+    * aggregate over the same cache costing 0.3 s of pure scheduling).
+    * Inside one pass: σ(z)−y attaches per ROW via a window sum over
+    * the pre-partitioned doc key (no zrel join-back — two corpus
+    * exchanges deleted), the per-pos gradient aggregate folds it, and
+    * the weight update itself rides the same aggregate (the joined
+    * weight is constant per pos, so max() carries it through and the
+    * q9 floor applies in-plan — floor(x·1e9)::double/1e9 is the
+    * identical IEEE sequence the driver replayed before, proven by
+    * the unchanged sparse≡dense spec and DuckDB oracle). The driver
+    * hop per iteration is the UPDATED MODEL itself (dim+1 doubles —
+    * parameter-server-lite), which re-enters as a broadcast relation,
+    * so generated code stays bit-identical across iterations and the
+    * codegen cache compiles the loop body once.
+    *
+    * One synthetic (null-doc, pos, null-x) sentinel row per pos keeps
+    * every pos alive through the inner weight join (null terms add
+    * nothing: SQL sum skips them, exactly as getOrElse(0.0) did); the
+    * bias is carried as a synthetic pos-0 / x=1 row per doc, so its
+    * gradient Σ(σ(z)−y)·1 falls out of the SAME per-pos aggregate
+    * instead of a second full corpus pass (z's decimal sum folds ONLY
+    * pos>0 terms; the bias re-enters as the identical trailing DOUBLE
+    * add via the pos-0 row's joined weight).
+    *
+    * AQE is disabled for the loop's micro-queries (and restored
+    * after): the per-iteration plan is fixed and tiny, and AQE's
+    * per-stage materialization billed ~40% overhead per step at bench
+    * scale while having nothing to re-plan. Output: (pos, weight),
+    * pos 0 = bias. */
   def logisticFitSparse(pairs0: DataFrame, idCol: String, posCol: String,
                         xCol: String, yCol: String, dim: Int,
                         iters: Int = 5, lr: Double = 0.5): DataFrame = {
@@ -147,52 +170,81 @@ object LinearModel {
     require(dim >= 1 && dim <= (1 << 20), s"dim must be in [1,2^20], got $dim")
     val spark = pairs0.sparkSession
     import spark.implicits._
-    val feats = pairs0.select(col(idCol).as("__id"),
+    // the featurization is consumed three times before the loop (nnz
+    // count, bias derivation, the union itself) — cache it transiently
+    // UNLESS the caller already persisted pairs0 (then the upstream is
+    // already a cache read and a second copy only costs memory + a
+    // warm-up pass)
+    val callerCached =
+      pairs0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val feats0sel = pairs0.select(col(idCol).as("__id"),
       col(posCol).cast("int").as("__pos"),
       col(xCol).cast("double").as("__x"),
       col(yCol).cast("double").as("__y"))
-    val biasRows = feats.groupBy("__id").agg(first(col("__y")).as("__y"))
-      .select(col("__id"), lit(0).as("__pos"), lit(1.0).as("__x"),
-        col("__y"))
-    val pairs = feats.unionByName(biasRows)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val feats0 = if (callerCached) feats0sel
+      else feats0sel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey, "true")
     try {
-      // one row per doc by construction — doubles as the cache warm-up
-      val n = pairs.where(col("__pos") === 0).count().toDouble
-      val w = Array.fill(dim + 1)(0.0) // index 0 = bias
-      for (_ <- 1 to iters) {
-        // the model hops in as broadcast DATA (a dim-row relation + a
-        // one-row bias relation), NOT as per-iteration literals — the
-        // generated whole-stage source is bit-identical across
-        // iterations, so Spark's codegen cache compiles the loop body
-        // ONCE instead of `iters` times (the literal-map form paid a
-        // fresh 257-constant compile every step)
-        val wRel = broadcast((1 to dim).map(j => (j, w(j)))
-          .toDF("__wpos", "__wj"))
-        val bRel = broadcast(Seq(w(0)).toDF("__b"))
-        val zrel = pairs.where(col("__pos") > 0)
-          .join(wRel, col("__pos") === col("__wpos"))
-          .crossJoin(bRel)
-          .select(col("__id"),
-            (col("__x") * col("__wj")).cast(dec).as("__t"),
-            col("__y"), col("__b"))
-          .groupBy("__id")
-          .agg((lit(1.0) / (lit(1.0) +
-            exp(-(sum(col("__t")).cast("double") + first(col("__b"))))) -
-            first(col("__y"))).as("__d"))
-        // pos 0 rows have x = 1, so __g(0) IS the bias gradient
-        // Σ(σ(z)−y) — (d·1.0) ≡ d under IEEE, term-identical to a
-        // dedicated bias pass
-        val g = pairs.join(zrel, "__id")
-          .groupBy("__pos")
-          .agg(sum((col("__d") * col("__x")).cast(dec)).cast("double")
-            .as("__g"))
-          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-        for (j <- 0 to dim)
-          w(j) = math.floor((w(j) - lr * g.getOrElse(j, 0.0) / n) * 1e9) / 1e9
-      }
-      (0 to dim).map(j => (j, w(j))).toDF("pos", "weight")
-    } finally pairs.unpersist(blocking = false)
+      // size the training cache's partitions to the data: the nnz count
+      // comes off the transient feats cache (which also pre-warms the
+      // featurization for the two unions below)
+      // ≈32k rows per partition, capped at the session parallelism:
+      // the cap is what scales (any real corpus saturates it); the
+      // divisor only dials small inputs, where the measured optimum
+      // balances per-task scheduling (~5 ms each, ×iters) against the
+      // single-thread decimal fold (32k rows ≈ 25 ms)
+      val nnz = feats0.count()
+      val parts = math.max(1L, math.min(
+        spark.sparkContext.defaultParallelism.toLong,
+        (nnz + 32767L) / 32768L)).toInt
+      val biasRows = feats0.groupBy("__id").agg(first(col("__y")).as("__y"))
+        .select(col("__id"), lit(0).as("__pos"), lit(1.0).as("__x"),
+          col("__y"))
+      val sentinels = (0 to dim).map(j => (Option.empty[Long], j))
+        .toDF("__id", "__pos")
+        .select(col("__id"), col("__pos"),
+          lit(null).cast("double").as("__x"),
+          lit(null).cast("double").as("__y"))
+      val pairs = feats0.unionByName(biasRows).unionByName(sentinels)
+        .repartition(parts, col("__id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // one row per real doc by construction (sentinels carry a null
+        // id) — doubles as the cache warm-up
+        val n = pairs
+          .where(col("__pos") === 0 && col("__id").isNotNull)
+          .count().toDouble
+        spark.conf.set(aqeKey, "false")
+        val wd = org.apache.spark.sql.expressions.Window.partitionBy("__id")
+        var w = Array.fill(dim + 1)(0.0) // index 0 = bias
+        for (_ <- 1 to iters) {
+          val wRel = broadcast((0 to dim).map(j => (j, w(j)))
+            .toDF("__wpos", "__wj"))
+          val zsum = sum(when(col("__pos") > 0,
+            (col("__x") * col("__wj")).cast(dec))).over(wd).cast("double")
+          val bias = max(when(col("__pos") === 0, col("__wj"))).over(wd)
+          val d = lit(1.0) / (lit(1.0) + exp(-(zsum + bias))) - col("__y")
+          val updated = pairs
+            .join(wRel, col("__pos") === col("__wpos"))
+            .select(col("__pos"), col("__wj"), col("__x"), d.as("__d"))
+            .groupBy("__pos")
+            .agg(max(col("__wj")).as("__wc"),
+              sum((col("__d") * col("__x")).cast(dec)).cast("double")
+                .as("__g"))
+            .select(col("__pos"),
+              (floor((col("__wc") -
+                lit(lr) * coalesce(col("__g"), lit(0.0)) / lit(n)) *
+                lit(1e9)).cast("double") / lit(1e9)).as("__w"))
+            .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+          w = Array.tabulate(dim + 1)(updated)
+        }
+        (0 to dim).map(j => (j, w(j))).toDF("pos", "weight")
+      } finally pairs.unpersist(blocking = false)
+    } finally {
+      spark.conf.set(aqeKey, aqeWas)
+      if (!callerCached) feats0.unpersist(blocking = false)
+    }
   }
 
   /** Confusion readout for the sparse form: score each doc under the

@@ -641,9 +641,14 @@ object GraftStreaming {
                       textCol: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // NULL ids (null or uncastable after the long cast) are excluded
+    // HERE, exactly as SQL min() excludes them — getAs[Long] would
+    // unbox a NULL to 0L and crown a fabricated id-0 winner, breaking
+    // the drained-min ≡ batch-exactText identity
     val base = docs.select(
       graft.operators.TextAnalysis.fingerprint(col(textCol)).as("__fp"),
       col(idCol).cast("long").as("__id"))
+      .where(col("__id").isNotNull)
     implicit val stateEnc = Encoders.scalaLong
     implicit val outEnc = Encoders.product[CanonWinner]
     implicit val rowEnc = Encoders.row(base.schema)
@@ -687,13 +692,18 @@ object GraftStreaming {
     * a covering maxHistory — the batch≡stream parity gate.
     * Within a micro-batch, rows fold in (ts, event_id) order; state is
     * O(1) per key. Output: latest (userId, nObs, level, trend) per key
-    * per batch. */
-  def holtStream(events: DataFrame, alpha: Double,
-                 beta: Double): DataFrame = {
+    * per batch. `maxRowsPerKeyPerBatch` is the hot-key relief valve
+    * (see [[ewmaStream]]): only the first N rows of a key's batch
+    * slice fold, the overflow counted on [[streamDropCounter]] —
+    * never silent, never OOM. */
+  def holtStream(events: DataFrame, alpha: Double, beta: Double,
+                 maxRowsPerKeyPerBatch: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     require(beta >= 0 && beta <= 1, "beta must be in [0, 1]")
+    require(maxRowsPerKeyPerBatch > 0, "maxRowsPerKeyPerBatch must be positive")
+    val dropAcc = streamDropCounter(events.sparkSession)
     implicit val stateEnc = Encoders.product[(Double, Double, Long)]
     implicit val outEnc = Encoders.product[HoltSnapshot]
     implicit val rowEnc = Encoders.row(events.schema)
@@ -703,10 +713,12 @@ object GraftStreaming {
         GroupStateTimeout.NoTimeout)(
         (userId: Long, rows: Iterator[Row],
          state: GroupState[(Double, Double, Long)]) => {
-          val sorted = rows.toSeq.sortBy(r =>
+          val all = rows.toSeq.sortBy(r =>
             (r.getAs[Long]("ts"), r.getAs[Long]("event_id")))
-          if (sorted.isEmpty) Iterator.empty
+          if (all.isEmpty) Iterator.empty
           else {
+            val (sorted, overflow) = all.splitAt(maxRowsPerKeyPerBatch)
+            if (overflow.nonEmpty) dropAcc.add(overflow.size.toLong)
             var st = state.getOption
             sorted.foreach { r =>
               val v = r.getAs[Double]("value")
@@ -1444,7 +1456,11 @@ object GraftStreaming {
     * [[aucStream]]'s ranking view.
     *
     * ONE stateful windowed aggregate; state per window = five longs,
-    * watermark-pruned. Rows with a NULL label or prediction are
+    * watermark-pruned in append/update output modes (in `complete`
+    * mode — the q_stream_confusion drain shape — the watermark never
+    * evicts aggregate state, so a genuinely continuous run must use
+    * append/update for the bound to hold). Rows with a NULL label or
+    * prediction are
     * excluded (no trial); degenerate margins yield NULL metrics, never
     * NaN/Inf. The metric algebra is byte-identical to the batch
     * operator, so the oracle replays it per window.

@@ -350,6 +350,29 @@ class KernelSpec extends AnyFunSuite {
     assert(s.str.repeat(2).values == Seq("-42-42", "77", "HelloHello"))
   }
 
+  test("str.get negative index counts from the end (pandas get(-1) = last char)") {
+    val s = Series.fromLocal(spark, Seq(0 -> "Hello", 1 -> "x", 2 -> ""))
+    assert(s.str.get(-1).values == Seq("o", "x", null))
+    assert(s.str.get(-5).values == Seq("H", null, null))
+    assert(s.str.get(-6).values == Seq(null, null, null))
+  }
+
+  test("str Unicode class variants: NBSP/Unicode digits classify pandas-style; ASCII forms unchanged") {
+    // u0660/u0661 = Arabic-Indic digits; u00e9 = e-acute; u00a0 = NBSP
+    val s = Series.fromLocal(spark, Seq(
+      0 -> "٠١", 1 -> "café", 2 -> " \t", 3 -> "42"))
+    assert(s.str.isdigit.values == Seq(false, false, false, true))
+    assert(s.str.isdigitUnicode.values == Seq(true, false, false, true))
+    assert(s.str.isalpha.values == Seq(false, false, false, false))
+    assert(s.str.isalphaUnicode.values == Seq(false, true, false, false))
+    assert(s.str.isalnumUnicode.values == Seq(true, true, false, true))
+    assert(s.str.isspace.values == Seq(false, false, false, false))
+    assert(s.str.isspaceUnicode.values == Seq(false, false, true, false))
+    val ws = Series.fromLocal(spark, Seq(0 -> "\u00a0x\u00a0", 1 -> " y "))
+    assert(ws.str.strip.values == Seq("\u00a0x\u00a0", "y"))
+    assert(ws.str.stripUnicode.values == Seq("x", "y"))
+  }
+
   test("dt accessor round-out: weekday/week/daysInMonth/month boundaries") {
     val d = Series.fromLocal(spark, Seq(
       0 -> java.sql.Date.valueOf("2024-02-01"),   // Thu, leap Feb

@@ -1194,4 +1194,56 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     // t'=0.25*2+0.75*1=1.25 — a restart would give t=0
     assert(snaps == Seq((2L, 1.0, 1.0), (3L, 3.0, 1.25)), s"got $snaps")
   }
+
+  test("streaming Holt hot-key cap: folds first N in order, counts overflow") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-holtcap").toString
+    (1L to 5L).map(i => (1L, i, i * 100L, "a", i.toDouble))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+      .coalesce(1).write.parquet(s"$tmp/b0")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
+      .parquet(s"$tmp/*")
+    val acc = GraftStreaming.streamDropCounter(spark)
+    val before = acc.value
+    val q = GraftStreaming.runToMemory(
+      GraftStreaming.holtStream(stream, alpha = 0.5, beta = 0.25,
+        maxRowsPerKeyPerBatch = 3), "holt_cap_out")
+    assert(q.awaitTermination(120000), "stream did not finish")
+    val got = spark.table("holt_cap_out").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    // first 3 of 5 fold: l1=1,n=1 -> t2=1,l=1 -> l3=0.5*3+0.5*2=2.5,
+    // t3=0.25*1.5+0.75*1=1.125; rows 4,5 dropped and counted
+    assert(got == Seq((3L, 2.5, 1.125)), s"got $got")
+    assert(acc.value - before == 2L, s"dropped ${acc.value - before}")
+  }
+
+  test("streaming canonicalization excludes NULL ids exactly as SQL min() does") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-canonnull").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // a NULL id arrives FIRST for the fingerprint — without the filter
+    // it unboxes to 0L and crowns a fabricated winner
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(null, "same text here"),
+        org.apache.spark.sql.Row(7L, "same text here"))), schema)
+      .coalesce(1).write.parquet(s"$tmp/b0")
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/*")
+    val q = GraftStreaming.runToMemory(
+      GraftStreaming.canonicalStream(stream, "doc_id", "text"),
+      "canon_null_out")
+    assert(q.awaitTermination(60000), "stream did not finish")
+    val ids = spark.table("canon_null_out").collect()
+      .map(_.getLong(1)).toSeq
+    assert(ids == Seq(7L), s"got $ids")
+  }
 }
