@@ -1404,6 +1404,25 @@ object SparkEntry {
         .orderBy("id_l", "id_r")
     }),
 
+    // q_near_dup with the banding solved DENSITY-ADAPTIVELY: one probe
+    // pass measures the corpus's actual per-band colliding-pair mass
+    // and tuneLshAdaptive picks the cheapest plan that meets 0.999
+    // candidate recall at t=0.8 within a measured candidate budget —
+    // the relief valve for corpora that densify at scale (the round-10
+    // 50x sweep's steepening). Same exhaustive Jaccard oracle: the
+    // generate->verify pipeline under the measured plan must still
+    // reproduce it (deterministic: fixed seed, integer bucket counts).
+    "q_near_dup_adaptive" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val plan = Dedup.tuneLshAdaptive(docs, "doc_id", "text",
+        threshold = 0.8, minRecall = 0.999, maxHashes = 128,
+        candidateBudgetPerDoc = 2.0)
+      Dedup.nearDuplicates(docs, "doc_id", "text",
+        threshold = 0.8, numHashes = plan.numHashes, bands = plan.bands)
+        .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_l", "id_r")
+    }),
+
     // SimHash-banded exact dedup, generate→verify: pigeonhole candidates
     // at hamming 0, then exact md5 verification. Identical text ⇒
     // identical token multiset ⇒ identical 64-bit signature ⇒ the band
@@ -5665,6 +5684,10 @@ object SparkEntry {
     "q_minhash_pairs" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.5),
     "q_near_dup" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.8),
     "q_near_dup_tuned" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.8),
+    // adaptive banding changes WHICH buckets collide, never the exact
+    // verify — the exhaustive oracle pins that the measured plan's
+    // recall claim held on this corpus
+    "q_near_dup_adaptive" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.8),
     "q_stream_neardup" -> graft.operators.Dedup.jaccardPairsOracleSql(3, 0.8),
     "q_dedup_pipeline" -> {
       val sh = graft.operators.Dedup.shinglesOracleSqlExpr("text", 3)

@@ -564,6 +564,107 @@ object Dedup {
     plans.minBy(pl => (pl.numHashes, -pl.rowsPerBand))
   }
 
+  /** Measured expected colliding-pair mass per band, for each candidate
+    * rowsPerBand, on THIS corpus: for an r-row band, a document pair
+    * colliding has probability J^r, so Σ_pairs J^r — the quantity that
+    * decides whether a plan's candidate volume is linear or quadratic —
+    * is directly observable as the average over probe bands of
+    * Σ_bucket C(m, 2). ONE explode + ONE aggregate over the signature
+    * relation, output MODEL-SIZED (|rCandidates| rows): (collidingPairs
+    * perBand, docs) per r. Bands are exchangeable, so a `probeHashes`-
+    * hash signature estimates any plan's per-band mass regardless of
+    * the plan's own hash count. */
+  private[graft] def lshCollisionMass(sig: DataFrame, probeHashes: Int,
+                                      rCandidates: Seq[Int]): Map[Int, (Double, Double)] = {
+    val slices = rCandidates.flatMap { r =>
+      val bands = probeHashes / r
+      (0 until bands).map(b => struct(lit(r).as("r"),
+        hash(lit(r), lit(b), slice(col("__sig"), b * r + 1, r))
+          .as("key")))
+    }
+    sig.select(explode(array(slices: _*)).as("p"))
+      .groupBy(col("p.r").as("__r"), col("p.key").as("__key"))
+      .agg(count(lit(1)).as("__m"))
+      .groupBy("__r")
+      // Σ m(m−1) as exact longs; halve at the end (always even)
+      .agg(sum(col("__m") * (col("__m") - 1)).as("__pairs2"),
+        sum(col("__m")).as("__rows"))
+      .collect().map { row =>
+        val r = row.getInt(0)
+        val bands = (probeHashes / r).toDouble
+        r -> (row.getLong(1) / 2.0 / bands, row.getLong(2) / bands)
+      }.toMap
+  }
+
+  /** [[tuneLsh]] with the noise constraint replaced by MEASUREMENT —
+    * density-adaptive banding. The static solver bounds sub-threshold
+    * collisions via a closed-form guess at the noise similarity; on a
+    * corpus that DENSIFIES (ever more almost-alike documents at the
+    * same scale factor — the round-10 50× sweep's steepening), a fixed
+    * (bands, rows) floods quadratically while still honoring its
+    * closed-form contract. Here one probe pass measures the actual
+    * colliding-pair mass per band at each candidate rowsPerBand
+    * ([[lshCollisionMass]] — O(probeHashes) work per doc, one
+    * model-sized aggregate), and the solver picks the FEWEST-hash plan
+    * whose recall at `threshold` is ≥ `minRecall` AND whose expected
+    * candidate volume (bands · measured per-band mass) stays within
+    * `candidateBudgetPerDoc · n`. If no plan fits the budget, the
+    * feasible plan with the smallest expected volume is returned —
+    * bounded degradation, never failure. Mass at an unmeasured r is
+    * upper-bounded by the nearest measured r' ≤ r (J^r is
+    * non-increasing in r), so the budget check stays conservative.
+    *
+    * Deterministic: fixed seed, exact integer bucket counts. Scale: the
+    * probe is one map-side explode + aggregate over signatures the
+    * caller was about to compute anyway — at 100 TB, tuning on a
+    * deterministic document sample and scaling (`sampleRate` < 1;
+    * pair mass scales by rate², docs by rate) keeps the probe
+    * corpus-independent. */
+  def tuneLshAdaptive(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, minRecall: Double = 0.95,
+                      maxHashes: Int = 512,
+                      candidateBudgetPerDoc: Double = 2.0,
+                      shingleN: Int = 3, seed: Long = 42L,
+                      probeHashes: Int = 64,
+                      sampleRate: Double = 1.0): LshPlan = {
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0, 1), got $threshold")
+    require(minRecall > 0 && minRecall < 1,
+      s"minRecall must be in (0, 1), got $minRecall")
+    require(candidateBudgetPerDoc > 0, "candidateBudgetPerDoc must be > 0")
+    require(probeHashes >= 2 && probeHashes <= 512,
+      s"probeHashes must be in [2, 512], got $probeHashes")
+    require(sampleRate > 0 && sampleRate <= 1,
+      s"sampleRate must be in (0, 1], got $sampleRate")
+    val base = if (sampleRate >= 1.0) df
+      else df.where(pmod(DetRandom.md5Long48(col(idCol).cast("string")),
+        lit(math.round(1.0 / sampleRate))) === 0)
+    val sig = minhashSignatures(base, idCol, textCol, probeHashes,
+      shingleN, seed)
+    val rCands = (1 to 32).filter(r => probeHashes % r == 0 && probeHashes / r >= 1)
+    val mass = lshCollisionMass(sig, probeHashes, rCands)
+    val n = mass(rCands.head)._2 / sampleRate
+    def massUB(r: Int): Double = {
+      val rr = rCands.filter(_ <= r).max
+      mass(rr)._1 / (sampleRate * sampleRate)
+    }
+    val feasible = for {
+      r <- 1 to math.min(32, maxHashes)
+      b <- 1 to maxHashes / r
+      p = 1.0 - math.pow(1.0 - math.pow(threshold, r), b)
+      if p >= minRecall
+    } yield (LshPlan(b, r, p), b * massUB(r))
+    require(feasible.nonEmpty,
+      s"no (bands, rows) plan within $maxHashes hashes reaches recall " +
+        s"$minRecall at threshold $threshold — raise maxHashes or lower " +
+        s"minRecall")
+    val budget = candidateBudgetPerDoc * n
+    val inBudget = feasible.filter(_._2 <= budget)
+    if (inBudget.nonEmpty)
+      inBudget.map(_._1).minBy(pl => (pl.numHashes, -pl.rowsPerBand))
+    else feasible.minBy(pe => (pe._2, pe._1.numHashes))._1
+  }
+
   /** Candidate near-duplicate pairs via banded LSH over MinHash signatures.
     * Returns (id_l, id_r, est_jaccard) with id_l < id_r; est_jaccard is the
     * fraction of matching signature positions. rowsPerBand = numHashes /

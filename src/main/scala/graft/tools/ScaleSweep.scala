@@ -130,6 +130,19 @@ object ScaleSweep {
 
     sweep("minhash_pairs")(k => Dedup.minhashLshPairs(docsAt(k), "doc_id", "text",
       numHashes = 64, bands = 32))
+    // the density-adaptive twin: tuneLshAdaptive re-solves (bands, rows)
+    // from the measured per-band collision mass at each scale, so the
+    // banding steepens as cipher-distinct copies densify the bucket
+    // space — the round-10 watch item's fix under test
+    sweep("minhash_adaptive")(k => {
+      val d = docsAt(k)
+      val plan = Dedup.tuneLshAdaptive(d, "doc_id", "text",
+        threshold = 0.5, minRecall = 0.95, maxHashes = 128,
+        candidateBudgetPerDoc = 2.0)
+      System.err.println(s"[scale] minhash_adaptive ${k}x plan: $plan")
+      Dedup.minhashLshPairs(d, "doc_id", "text",
+        numHashes = plan.numHashes, bands = plan.bands)
+    })
     sweep("near_dup")(k => Dedup.nearDuplicates(docsAt(k), "doc_id", "text",
       threshold = 0.8))
     sweep("simhash")(k => Dedup.simhashNearDup(docsAt(k), "doc_id", "text",

@@ -326,6 +326,58 @@ class DedupScaleSpec extends AnyFunSuite {
       s"recall $recall < planned ${plan.recallAtThreshold} ($plan)")
   }
 
+  test("tuneLshAdaptive: measured density forces a steeper plan than the closed-form noise bound; planted recall holds") {
+    val rnd = new scala.util.Random(11)
+    // DENSE sub-threshold family: 200 docs sharing ~70% of their words
+    // (pairwise J ≈ 0.55 — below t=0.8, above the static solver's
+    // assumed noise similarity 0.4), the shape that floods a fixed
+    // banding quadratically while its closed-form contract still holds
+    val common = Seq.fill(70)("c" + rnd.nextInt(100000)).mkString(" ")
+    val dense = (0 until 200).map { i =>
+      (1000L + i, common + " " +
+        Seq.fill(30)("u" + rnd.nextInt(100000)).mkString(" "))
+    }
+    // plus planted TRUE near-dup pairs (J >= 0.8) the plan must keep
+    val planted = (0 until 10).map { i =>
+      val base = Seq.fill(80)("p" + rnd.nextInt(100000))
+      val mut = base.dropRight(2) ++ Seq("m" + i, "n" + i)
+      (2L * i, base.mkString(" "), 2L * i + 1, mut.mkString(" "))
+    }
+    val docs = (dense ++ planted.flatMap(p =>
+      Seq((p._1, p._2), (p._3, p._4)))).toDF("doc_id", "text")
+    val static0 = Dedup.tuneLsh(threshold = 0.8, minRecall = 0.999,
+      maxHashes = 512)
+    val adaptive = Dedup.tuneLshAdaptive(docs, "doc_id", "text",
+      threshold = 0.8, minRecall = 0.999, maxHashes = 512,
+      candidateBudgetPerDoc = 2.0)
+    assert(adaptive.recallAtThreshold >= 0.999)
+    // the measured J~0.55 mass must push rowsPerBand past the static
+    // solver's noise-guess plan
+    assert(adaptive.rowsPerBand > static0.rowsPerBand,
+      s"adaptive $adaptive vs static $static0")
+    // expected candidate volume under the adaptive plan is lower than
+    // under the static plan on THIS corpus (the point of measuring)
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 64, 3, 42L)
+    val mass = Dedup.lshCollisionMass(sig, 64, Seq(1, 2, 4, 8, 16, 32))
+    def vol(pl: Dedup.LshPlan) =
+      pl.bands * mass(Seq(1, 2, 4, 8, 16, 32).filter(_ <= pl.rowsPerBand).max)._1
+    assert(vol(adaptive) < vol(static0),
+      s"adaptive ${vol(adaptive)} !< static ${vol(static0)}")
+    // the true pairs survive: generate under the adaptive plan
+    val found = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numHashes = adaptive.numHashes, bands = adaptive.bands)
+      .select("id_l", "id_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wanted = planted.map(p => (p._1, p._3))
+    val recall = wanted.count(found.contains).toDouble / wanted.size
+    assert(recall >= 0.9, s"planted recall $recall under $adaptive")
+    // sampled probe agrees with the full probe's shape (scale path)
+    val sampled = Dedup.tuneLshAdaptive(docs, "doc_id", "text",
+      threshold = 0.8, minRecall = 0.999, maxHashes = 512,
+      candidateBudgetPerDoc = 2.0, sampleRate = 0.5)
+    assert(sampled.rowsPerBand > static0.rowsPerBand)
+  }
+
   test("stripBoilerplateLines fingerprints on trim: padded copies count as one line") {
     // the same line with different padding in 3 docs crosses maxDocs=2
     // together (trim-normalized fingerprint) even though the raw strings
