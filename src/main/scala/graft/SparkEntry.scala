@@ -85,6 +85,34 @@ object SparkEntry {
         (col("__hits") * den >= col("n_exact") * num).as("recall_ok"))
   }
 
+  /** Deterministic CLUSTERED embedding fixture for the IVF-PQ recall
+    * contract: 16 md5-derived cluster centers (components uniform in
+    * [−1, 1]) + 0.1× the real embedding as residual. The corpus's own
+    * near-uniform embeddings collapse the PQ codebook (every vector
+    * quantizes to the same codes — zero ADC discrimination), so the
+    * q_ivfpq_topk oracle pins only ADC mechanics; this fixture makes
+    * quantization error non-degenerate (codes vary across clusters)
+    * and SQL-mirrors exactly (md5 fold + identical IEEE sequence). */
+  private def clusteredEmb(s: SparkSession, dir: String): SDF =
+    table(s, dir, "embeddings").select(col("vec_id"),
+      transform(sequence(lit(1), lit(64)), i =>
+        (pmod(graft.operators.DetRandom.md5Long48(
+          concat(lit("pqc_"), (col("vec_id") % 16).cast("string"),
+            lit("_"), i.cast("string"))), lit(2001L)).cast("double") -
+          lit(1000.0)) / lit(1000.0) +
+          element_at(col("embedding"), i).cast("double") * lit(0.1))
+        .as("embedding"))
+
+  /** [[clusteredEmb]] as a DuckDB CTE body `ce(vec_id, embedding)`. */
+  private lazy val ClusteredEmbCte: String = {
+    val h = graft.operators.DetRandom.md5Long48SqlExpr(
+      "'pqc_' || CAST(vec_id % 16 AS VARCHAR) || '_' || CAST(i AS VARCHAR)")
+    s"""ce AS (SELECT vec_id, list_transform(generate_series(1, 64), i ->
+       |    (CAST(($h) % 2001 AS DOUBLE) - 1000.0) / 1000.0
+       |      + CAST(embedding[i] AS DOUBLE) * 0.1) AS embedding
+       |  FROM embeddings)""".stripMargin
+  }
+
   private def scoredDocs(s: SparkSession, dir: String): SDF =
     table(s, dir, "documents")
       .where(col("n_chars").isNotNull && col("lang").isNotNull)
@@ -1670,6 +1698,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the IVF-PQ recall contract on the CLUSTERED fixture (the last
+    // un-contracted retrieval approximation): probe a quarter of the
+    // lists over m-byte PQ codes and still keep >= 80% of the exact
+    // cosine top-10 — executable because the fixture's 16 separated
+    // clusters make both the coarse quantizer and the PQ codebook
+    // non-degenerate. Oracle recomputes the exact side on the same
+    // synthesized relation and pins recall_ok TRUE.
+    "q_ivfpq_recall" -> ((s, dir) => {
+      val ce = clusteredEmb(s, dir)
+      Similarity.buildIvfPqIndex(ce, "vec_id", "embedding",
+        "graft_ivfpq_rec", nlist = 16, buckets = 8)
+      val queries = ce.where(col("vec_id") < 10)
+      recallContract(
+        Similarity.bruteForceTopK(ce, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 10),
+        Similarity.ivfPqTopKIndexed(s, "graft_ivfpq_rec",
+          queries, "vec_id", "embedding", k = 40, nprobe = 4),
+        num = 8L, den = 10L) // recall@10 >= 0.8 at nprobe 4/16
+    }),
+
     // banded hyperplane-LSH embedding dedup, generate→verify. Identical
     // vectors produce identical buckets in EVERY band (same deterministic
     // expression), so recall on exact copies is 1 by construction; planted
@@ -1888,6 +1936,65 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("doc_id"),
           round(col("bm25"), 6).as("bm25"))
         .orderBy("query_id", "rank")
+    }),
+
+    // the PERSISTED BM25 path — the sparse twin of q_neardup_indexed /
+    // q_ivf_indexed: term-bucketed postings + one stats row built once,
+    // then the query batch scores against the stored index with the
+    // corpus side exchange-free (plan-asserted in TextStatsSpec).
+    // Identical integers in, identical quantized arithmetic — the
+    // single-shot q_bm25 oracle pins indexed ≡ single-shot bit for bit.
+    "q_bm25_indexed" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      TextAnalysis.buildBm25Index(docs, "doc_id", "text",
+        "graft_bm25_idx", buckets = 32)
+      val queries = docs.where(col("doc_id") < 5)
+      TextAnalysis.bm25AgainstIndex(s, "graft_bm25_idx",
+        queries, "doc_id", "text", topK = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("bm25"), 6).as("bm25"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // CSV sink→source round trip against the LIVE oracle (closing the
+    // last spec-only rows in the source table): four typed customer
+    // columns go out through the extension sink and come back through
+    // fromCsv with explicit production casts (no inference pass); the
+    // oracle reads the original parquet — a hash match proves BOTH ends
+    // of the text-format seam (quoting, header, double round-trip).
+    "q_csv_source" -> ((s, dir) => {
+      val tmp = org.apache.spark.sql.GraftSqlBridge
+        .managedTempDir("graft-csvq").getAbsolutePath
+      graft.api.DataFrame.fromSpark(
+        s.read.parquet(s"$dir/customer.parquet")
+          .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"))
+        .writeCsv(tmp, includeIndex = false)
+      graft.api.DataFrame.fromCsv(s, tmp,
+          options = Map("header" -> "true"))
+        .toSpark(includeIndex = false)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_name"), col("c_mktsegment"),
+          col("c_acctbal").cast("double").as("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
+    // JSON-lines (gzip) sink→source round trip, same contract: the
+    // crawl-style compressed path — Spark decompresses transparently on
+    // read, and the parquet-read oracle pins value fidelity.
+    "q_json_source" -> ((s, dir) => {
+      val tmp = org.apache.spark.sql.GraftSqlBridge
+        .managedTempDir("graft-jsonq").getAbsolutePath
+      graft.api.DataFrame.fromSpark(
+        s.read.parquet(s"$dir/orders.parquet")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+        .writeJson(tmp, includeIndex = false,
+          options = Map("compression" -> "gzip"))
+      graft.api.DataFrame.fromJson(s, tmp)
+        .toSpark(includeIndex = false)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy("o_orderkey")
     }),
 
     // per-doc token entropy (gibberish signal): order-exact quantized
@@ -3071,6 +3178,35 @@ object SparkEntry {
         .select(col("event_type"), col("n"),
           round(col("median"), 6).as("median"),
           round(col("mad"), 6).as("mad"), col("n_outliers"))
+        .orderBy("event_type")
+    }),
+
+    // the approx seam contract for robustOutliers (the q_gains_approx
+    // pattern): the bounded-memory GK-sketch twin (approx_percentile
+    // both passes) must land within tolerance of the exact
+    // median/MAD/outlier-count on real data — the oracle recomputes the
+    // exact side and pins approx_ok TRUE, so the sketch swap is an
+    // executable claim, not a doc sentence
+    "q_outliers_approx" -> ((s, dir) => {
+      val exact = Profile.robustOutliers(table(s, dir, "events"),
+        Seq("event_type"), "value", k = 3.0)
+      val approx = Profile.robustOutliers(table(s, dir, "events"),
+          Seq("event_type"), "value", k = 3.0,
+          approxAccuracy = Some(10000))
+        .select(col("event_type"), col("median").as("__am"),
+          col("mad").as("__amad"), col("n_outliers").as("__ao"))
+      exact.join(approx, Seq("event_type"), "left")
+        .select(col("event_type"), col("n"),
+          round(col("median"), 6).as("median"),
+          round(col("mad"), 6).as("mad"), col("n_outliers"),
+          coalesce(
+            abs(col("__am") - col("median")) <=
+              lit(0.005) * (abs(col("median")) + lit(1.0)) &&
+              abs(col("__amad") - col("mad")) <=
+                lit(0.01) * (col("mad") + lit(1.0)) &&
+              abs(col("__ao") - col("n_outliers")) <=
+                greatest(lit(2.0), lit(0.01) * col("n")),
+            lit(false)).as("approx_ok"))
         .orderBy("event_type")
     }),
 
@@ -5270,6 +5406,26 @@ object SparkEntry {
     // exact side recomputed; the partial-probe recall claim is Spark's
     // to prove (oracle asserts it TRUE)
     "q_ivf_recall" -> AnnRecallOracle,
+    // same exhaustive-count shape over the clustered fixture; the
+    // partial-probe PQ recall claim is Spark's to prove
+    "q_ivfpq_recall" ->
+      s"""WITH $ClusteredEmbCte,
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |      FROM ce WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+         |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+         |     sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+         |  FROM ce e, q WHERE e.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  TRUE AS recall_ok
+         |FROM ranked WHERE rank <= 10""".stripMargin,
     "q_ivf_indexed" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
         |           WHERE vec_id >= 30 AND vec_id < 40),
@@ -5541,6 +5697,21 @@ object SparkEntry {
         |  round(CAST(sum(qv) AS DOUBLE) / 1e9, 6) AS entropy
         |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_bm25" -> {
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |qs AS (SELECT doc_id, text FROM documents WHERE doc_id < 5),
+         |${graft.operators.TextAnalysis.bm25OracleSql()}
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    // the oracle reads the ORIGINAL parquet — the CSV/JSON round trip
+    // must be value-invisible
+    "q_csv_source" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_json_source" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // indexed ≡ single-shot: the identical exhaustive oracle
+    "q_bm25_indexed" -> {
       s"""WITH docs AS (SELECT doc_id, text FROM documents),
          |qs AS (SELECT doc_id, text FROM documents WHERE doc_id < 5),
          |${graft.operators.TextAnalysis.bm25OracleSql()}
@@ -6462,6 +6633,23 @@ object SparkEntry {
         |  TRUE AS approx_ok
         |FROM d WHERE dt IS NOT NULL GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // exact side recomputed; the within-tolerance claim is Spark's to
+    // prove (oracle pins approx_ok TRUE)
+    "q_outliers_approx" ->
+      """WITH med AS (SELECT event_type, median(value) AS median
+        |  FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_type, m.median,
+        |    abs(e.value - m.median) AS absdev
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, median(absdev) AS mad FROM dev GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n,
+        |  round(any_value(d.median), 6) AS median,
+        |  round(any_value(m.mad), 6) AS mad,
+        |  CAST(sum(CASE WHEN d.absdev > 3.0 * 1.4826 * m.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  TRUE AS approx_ok
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "q_outliers" ->
       """WITH med AS (SELECT event_type, median(value) AS median
         |  FROM events GROUP BY 1),

@@ -54,17 +54,29 @@ object Profile {
     *
     * @return one row per group: keys..., n, median, mad, n_outliers. */
   def robustOutliers(df: DataFrame, keyCols: Seq[String], valueCol: String,
-                     k: Double = 3.0): DataFrame = {
+                     k: Double = 3.0,
+                     approxAccuracy: Option[Int] = None): DataFrame = {
     require(keyCols.nonEmpty, "robustOutliers needs at least one key column")
     require(k > 0, s"k must be positive, got $k")
+    require(approxAccuracy.forall(_ >= 100),
+      s"approxAccuracy must be >= 100, got $approxAccuracy")
+    // the scale seam: exact percentile holds every group's values; the
+    // approx twin swaps in the bounded-memory GK sketch
+    // (approx_percentile, rank error <= n/accuracy) for BOTH the median
+    // and the MAD pass — the q_outliers_approx contract pins the drift
+    // within tolerance on real data
+    def med50(c: Column): Column = approxAccuracy match {
+      case Some(acc) => approx_percentile(c, lit(0.5), lit(acc))
+      case None => percentile(c, lit(0.5))
+    }
     val keys = keyCols.map(col)
     val med = df.groupBy(keys: _*)
-      .agg(percentile(col(valueCol), lit(0.5)).as("median"))
+      .agg(med50(col(valueCol)).as("median"))
     val dev = df.join(broadcast(med), keyCols)
       .select(keys :+ col("median") :+
         abs(col(valueCol) - col("median")).as("__absdev"): _*)
     val mad = dev.groupBy(keys: _*)
-      .agg(percentile(col("__absdev"), lit(0.5)).as("mad"))
+      .agg(med50(col("__absdev")).as("mad"))
     dev.join(broadcast(mad), keyCols)
       .groupBy(keys: _*)
       .agg(count(lit(1)).as("n"),

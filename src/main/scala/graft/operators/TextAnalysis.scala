@@ -430,6 +430,78 @@ object TextAnalysis {
         col("__e.id").as("doc_id"), (col("__e.score") / 1e9).as("bm25"))
   }
 
+  /** Build and PERSIST a BM25 postings index — the sparse-retrieval
+    * twin of [[graft.operators.Dedup.buildNearDupIndex]] /
+    * [[Similarity.buildIvfIndex]]: the corpus tokenizes and aggregates
+    * ONCE at ingest, and every later query batch scores against the
+    * stored postings without re-reading a byte of corpus text. Layout:
+    *   - `{table}`        — postings (__t, __did, __tf, __df, __len),
+    *     BUCKETED by term (df denormalized onto the posting row so the
+    *     probe needs no second corpus-derived join);
+    *   - `{table}_stats`  — one row (__n, __tot) of exact integers
+    *     (avglen derives as tot/n at probe time — never a distributed
+    *     double avg).
+    * At 100 TB the postings relation is what bounds the index (Σ
+    * per-doc distinct terms), bucketing pays the term-key shuffle once,
+    * and incremental corpora rebuild only stats + appended postings. */
+  def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                     table: String, buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = docs.sparkSession
+    Seq(table, s"${table}_stats").foreach(Bucketing.dropForRewrite(spark, _))
+    val toks = docs.select(col(idCol).as("__did"),
+      explode(tokens(col(textCol))).as("__t"))
+    val docLen = toks.groupBy("__did").agg(count(lit(1)).as("__len"))
+    val tf = toks.groupBy("__did", "__t").agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val postings = tf.join(dfreq, "__t").join(docLen, "__did")
+      .select(col("__t"), col("__did"), col("__tf"), col("__df"),
+        col("__len"))
+    Bucketing.writeBucketed(postings, table, "__t", buckets)
+    docLen.agg(count(lit(1)).as("__n"), sum("__len").as("__tot"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_stats")
+    spark.table(table)
+  }
+
+  /** Score a query batch against a [[buildBm25Index]] index: the query
+    * terms broadcast onto the postings scan (corpus side exchange-free
+    * — plan-asserted in TextStatsSpec), per-term scores quantize and
+    * sum exactly as [[bm25]] does (identical integers in, identical
+    * expressions, identical floor — single-shot ≡ indexed, bit for
+    * bit). Only matched postings ever leave the scan; the one exchange
+    * is the candidate-(query, doc) aggregate. Output: (query_id, rank,
+    * doc_id, bm25). */
+  def bm25AgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                       table: String, queries: DataFrame, qidCol: String,
+                       qtextCol: String, k1: Double = 1.2,
+                       b: Double = 0.75, topK: Int = 10,
+                       excludeSelf: Boolean = true): DataFrame = {
+    val qt = queries.select(col(qidCol).as("__qid"),
+      explode(array_distinct(tokens(col(qtextCol)))).as("__t"))
+    val stats = spark.table(s"${table}_stats")
+    val idf = log((col("__n").cast("double") - col("__df").cast("double") + 0.5) /
+      (col("__df").cast("double") + 0.5) + 1.0)
+    val avglen = col("__tot").cast("double") / col("__n").cast("double")
+    val tfd = col("__tf").cast("double")
+    val tfn = tfd * (k1 + 1.0) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * col("__len").cast("double") / avglen))
+    val perTerm = spark.table(table)
+      .join(broadcast(qt), "__t")
+      .crossJoin(broadcast(stats))
+      .where(if (excludeSelf) col("__did") =!= col("__qid") else lit(true))
+      .select(col("__qid"), col("__did"),
+        floor(idf * tfn * 1e9).cast("long").as("__q"))
+    val summed = perTerm.groupBy("__qid", "__did")
+      .agg(sum("__q").as("__s"))
+    summed.groupBy("__qid")
+      .agg(graft.functions.TopKByScore(
+        col("__s").cast("double"), col("__did").cast("long"), topK).as("__top"))
+      .select(col("__qid"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("__qid").as("query_id"), (col("__pos") + 1).as("rank"),
+        col("__e.id").as("doc_id"), (col("__e.score") / 1e9).as("bm25"))
+  }
+
   /** [[bm25]] as DuckDB SQL over `(doc_id, text)` relations named `docs`
     * and `qs` (provide via WITH prefix): identical tokenization, idf,
     * quantization and integer summation. */

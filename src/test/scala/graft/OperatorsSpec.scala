@@ -1181,6 +1181,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("partial_top_k_by_score"), s"no partial top-k in:\n$plan")
   }
 
+  test("bm25 index: probe ≡ single-shot bit for bit; postings side exchange-free; append extends") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").limit(120)
+    val queries = docs.where(col("doc_id") < 3)
+    TextAnalysis.buildBm25Index(docs, "doc_id", "text", "bm25spec_idx",
+      buckets = 8)
+    val indexed = TextAnalysis.bm25AgainstIndex(spark, "bm25spec_idx",
+      queries, "doc_id", "text", topK = 10)
+    val single = TextAnalysis.bm25(docs, "doc_id", "text",
+      queries, "doc_id", "text", topK = 10)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(canon(indexed) == canon(single))
+    // the corpus (postings) side of the probe never shuffles: the only
+    // exchanges are the candidate aggregate + final top-k — no exchange
+    // keyed on the term
+    indexed.write.format("noop").mode("overwrite").save()
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(__t"),
+      s"postings side shuffled on the term:\n${plan.take(3000)}")
+    assert(plan.contains("partial_top_k_by_score"))
+    // the stats row holds exact integers
+    val st = spark.table("bm25spec_idx_stats").collect()(0)
+    assert(st.getLong(0) > 0 && st.getLong(1) > st.getLong(0))
+  }
+
   test("robustZScore: median/MAD by hand; MAD=0 → NULL; approx path same shape") {
     // group a: values 1..5 (med 3, |x-3| = 2,1,0,1,2 → MAD 1);
     // group b: all equal → MAD 0 → NULL
@@ -2440,6 +2467,29 @@ class OperatorsSpec extends AnyFunSuite {
       queries, "vec_id", "embedding", k = 3)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(full.sortBy(t => (t._1, t._2)).toSeq == flat.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
+  test("clustered PQ fixture is non-degenerate: codes vary across clusters") {
+    // the q_ivfpq_recall fixture exists because the raw corpus
+    // embeddings collapse the codebook (one code combo corpus-wide —
+    // zero ADC discrimination); pin that the synthesized clusters
+    // actually spread the codes, or the recall contract tests nothing
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ce = emb.select(col("vec_id"),
+      transform(sequence(lit(1), lit(64)), i =>
+        (pmod(graft.operators.DetRandom.md5Long48(
+          concat(lit("pqc_"), (col("vec_id") % 16).cast("string"),
+            lit("_"), i.cast("string"))), lit(2001L)).cast("double") -
+          lit(1000.0)) / lit(1000.0) +
+          element_at(col("embedding"), i).cast("double") * lit(0.1))
+        .as("embedding"))
+    val rawCombos = Similarity.pqEncode(emb, "vec_id", "embedding")
+      .select(col("codes").cast("array<int>").cast("string")).distinct().count()
+    val ceCombos = Similarity.pqEncode(ce, "vec_id", "embedding")
+      .select(col("codes").cast("array<int>").cast("string")).distinct().count()
+    assert(ceCombos >= 8, s"clustered fixture yields only $ceCombos code combos")
+    assert(ceCombos > rawCombos,
+      s"fixture ($ceCombos) must spread codes beyond the raw corpus ($rawCombos)")
   }
 
   test("kmeansIterate ≡ assignCentroids + join + centroids, exactly") {
