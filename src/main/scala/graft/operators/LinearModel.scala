@@ -56,11 +56,26 @@ object LinearModel {
                   scope: Option[CacheScope] = None): DataFrame = {
     require(iters >= 1 && iters <= 16, s"iters must be in [1,16], got $iters")
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    val pts0 = points.select(col(vecCol).as("__x"),
-      col(labelCol).cast("double").as("__y"))
-    val pts = scope.fold(pts0)(_.cache(pts0))
     val spark = points.sparkSession
     import spark.implicits._
+    val pts0 = points.select(col(vecCol).as("__x"),
+      col(labelCol).cast("double").as("__y"))
+    // the loop is eager and owns its actions, so the training relation
+    // persists internally (into the caller's scope when one is given):
+    // without it every iteration re-reads the source. Partitions are
+    // sized to the data (~32k rows each, capped at session parallelism)
+    // — the sparse form's measured lesson: a fixed wide layout bills
+    // each iteration dozens of near-empty task launches.
+    val rows = pts0.count()
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (rows + 32767L) / 32768L)).toInt
+    val repart = pts0.repartition(parts)
+    val pts = scope.fold(
+      repart.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))(
+      _.cache(repart))
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey, "true")
     // the parameter-server-lite loop: the model rides IN as a one-row
     // broadcast of DATA (never per-iteration literals — the generated
     // whole-stage source stays bit-identical across iterations, so the
@@ -71,24 +86,33 @@ object LinearModel {
     // so trajectories are unchanged.
     val w = Array.fill(dim)(0.0)
     var b = 0.0
-    for (_ <- 1 to iters) {
-      val model = broadcast(Seq((w.toSeq, b)).toDF("__w", "__b"))
-      val z = dotDec(col("__x"), col("__w")) + col("__b")
-      val s = lit(1.0) / (lit(1.0) + exp(-z))
-      val gradCols = (1 to dim).map { j =>
-        sum(((s - col("__y")) * element_at(col("__x"), j).cast("double"))
-          .cast(dec)).cast("double").as(s"__g$j")
-      } ++ Seq(
-        sum((s - col("__y")).cast(dec)).cast("double").as("__gb"),
-        count(lit(1)).as("__n"))
-      val row = pts.crossJoin(model)
-        .agg(gradCols.head, gradCols.tail: _*)
-        .head()
-      val n = row.getLong(dim + 1).toDouble
-      for (j <- 1 to dim)
-        w(j - 1) =
-          math.floor((w(j - 1) - lr * row.getDouble(j - 1) / n) * 1e9) / 1e9
-      b = math.floor((b - lr * row.getDouble(dim) / n) * 1e9) / 1e9
+    try {
+      // AQE off for the loop's fixed micro-plans (restored after) —
+      // nothing to re-plan, and its per-stage materialization billed
+      // measurable overhead per step at bench scale
+      spark.conf.set(aqeKey, "false")
+      for (_ <- 1 to iters) {
+        val model = broadcast(Seq((w.toSeq, b)).toDF("__w", "__b"))
+        val z = dotDec(col("__x"), col("__w")) + col("__b")
+        val s = lit(1.0) / (lit(1.0) + exp(-z))
+        val gradCols = (1 to dim).map { j =>
+          sum(((s - col("__y")) * element_at(col("__x"), j).cast("double"))
+            .cast(dec)).cast("double").as(s"__g$j")
+        } ++ Seq(
+          sum((s - col("__y")).cast(dec)).cast("double").as("__gb"),
+          count(lit(1)).as("__n"))
+        val row = pts.crossJoin(model)
+          .agg(gradCols.head, gradCols.tail: _*)
+          .head()
+        val n = row.getLong(dim + 1).toDouble
+        for (j <- 1 to dim)
+          w(j - 1) =
+            math.floor((w(j - 1) - lr * row.getDouble(j - 1) / n) * 1e9) / 1e9
+        b = math.floor((b - lr * row.getDouble(dim) / n) * 1e9) / 1e9
+      }
+    } finally {
+      spark.conf.set(aqeKey, aqeWas)
+      if (scope.isEmpty) pts.unpersist(blocking = false)
     }
     // pos contract: 0 = bias, j = w_j
     (0 to dim).map(j => (j, if (j == 0) b else w(j - 1)))

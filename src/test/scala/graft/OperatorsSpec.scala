@@ -2475,12 +2475,10 @@ class OperatorsSpec extends AnyFunSuite {
     // zero ADC discrimination); pin that the synthesized clusters
     // actually spread the codes, or the recall contract tests nothing
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val centers = typedlit(graft.SparkEntry.PqClusterCenters)
     val ce = emb.select(col("vec_id"),
       transform(sequence(lit(1), lit(64)), i =>
-        (pmod(graft.operators.DetRandom.md5Long48(
-          concat(lit("pqc_"), (col("vec_id") % 16).cast("string"),
-            lit("_"), i.cast("string"))), lit(2001L)).cast("double") -
-          lit(1000.0)) / lit(1000.0) +
+        element_at(element_at(centers, (col("vec_id") % 16).cast("int") + 1), i) +
           element_at(col("embedding"), i).cast("double") * lit(0.1))
         .as("embedding"))
     val rawCombos = Similarity.pqEncode(emb, "vec_id", "embedding")
