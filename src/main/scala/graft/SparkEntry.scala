@@ -1971,6 +1971,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // INCREMENTAL index growth for the sparse index (the q_ivf_append
+    // pattern): build the BM25 index on doc_id < 300, append the 300+
+    // batch (postings into the term buckets, df MERGED, stats added),
+    // then probe — exactness over old + new docs proves the merged df
+    // and stats equal a from-scratch build (oracle = single-shot bm25
+    // over the full corpus).
+    "q_bm25_append" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      TextAnalysis.buildBm25Index(docs.where(col("doc_id") < 300),
+        "doc_id", "text", "graft_bm25_app", buckets = 32)
+      TextAnalysis.appendToBm25Index(docs.where(col("doc_id") >= 300),
+        "doc_id", "text", "graft_bm25_app")
+      val queries = docs.where(col("doc_id") >= 5 && col("doc_id") < 10)
+      TextAnalysis.bm25AgainstIndex(s, "graft_bm25_app",
+        queries, "doc_id", "text", topK = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("bm25"), 6).as("bm25"))
+        .orderBy("query_id", "rank")
+    }),
+
     // CSV sink→source round trip against the LIVE oracle (closing the
     // last spec-only rows in the source table): four typed customer
     // columns go out through the extension sink and come back through
@@ -5747,6 +5767,15 @@ object SparkEntry {
     "q_bm25_indexed" -> {
       s"""WITH docs AS (SELECT doc_id, text FROM documents),
          |qs AS (SELECT doc_id, text FROM documents WHERE doc_id < 5),
+         |${graft.operators.TextAnalysis.bm25OracleSql()}
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    // append ≡ from-scratch: single-shot bm25 over the FULL corpus —
+    // a hash match proves the merged df/stats are exact
+    "q_bm25_append" -> {
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |qs AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id >= 5 AND doc_id < 10),
          |${graft.operators.TextAnalysis.bm25OracleSql()}
          |ORDER BY query_id, rank""".stripMargin
     },

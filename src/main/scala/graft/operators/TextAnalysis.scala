@@ -435,43 +435,96 @@ object TextAnalysis {
     * [[Similarity.buildIvfIndex]]: the corpus tokenizes and aggregates
     * ONCE at ingest, and every later query batch scores against the
     * stored postings without re-reading a byte of corpus text. Layout:
-    *   - `{table}`        — postings (__t, __did, __tf, __df, __len),
-    *     BUCKETED by term (df denormalized onto the posting row so the
-    *     probe needs no second corpus-derived join);
+    *   - `{table}`        — postings (__t, __did, __tf, __len),
+    *     BUCKETED by term. Per-doc facts only — nothing corpus-global
+    *     lives on a posting row, which is what makes the index
+    *     APPENDABLE (a denormalized df would go stale for every old
+    *     row whenever new documents arrive);
+    *   - `{table}_df`     — (__t, __df) document frequencies, one row
+    *     per vocabulary term (model-sized; merged, not rebuilt, on
+    *     append);
     *   - `{table}_stats`  — one row (__n, __tot) of exact integers
     *     (avglen derives as tot/n at probe time — never a distributed
     *     double avg).
     * At 100 TB the postings relation is what bounds the index (Σ
     * per-doc distinct terms), bucketing pays the term-key shuffle once,
-    * and incremental corpora rebuild only stats + appended postings. */
+    * and an incremental crawl pays O(batch) postings + a vocab-sized
+    * df merge per append ([[appendToBm25Index]]). */
   def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
                      table: String, buckets: Int = 32): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val spark = docs.sparkSession
-    Seq(table, s"${table}_stats").foreach(Bucketing.dropForRewrite(spark, _))
+    Seq(table, s"${table}_df", s"${table}_stats")
+      .foreach(Bucketing.dropForRewrite(spark, _))
     val toks = docs.select(col(idCol).as("__did"),
       explode(tokens(col(textCol))).as("__t"))
     val docLen = toks.groupBy("__did").agg(count(lit(1)).as("__len"))
     val tf = toks.groupBy("__did", "__t").agg(count(lit(1)).as("__tf"))
-    val dfreq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
-    val postings = tf.join(dfreq, "__t").join(docLen, "__did")
-      .select(col("__t"), col("__did"), col("__tf"), col("__df"),
-        col("__len"))
+    val postings = tf.join(docLen, "__did")
+      .select(col("__t"), col("__did"), col("__tf"), col("__len"))
     Bucketing.writeBucketed(postings, table, "__t", buckets)
+    tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_df")
     docLen.agg(count(lit(1)).as("__n"), sum("__len").as("__tot"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_stats")
     spark.table(table)
   }
 
+  /** Grow a [[buildBm25Index]] index with a NEW document batch — the
+    * incremental-crawl write, O(batch) + O(vocab), never O(corpus):
+    * batch postings append into the term buckets
+    * ([[Bucketing.appendBucketed]] — files land in the right hash
+    * buckets, co-partitioning intact), document frequencies MERGE
+    * (full-outer sum of the vocab-sized df table with the batch's df —
+    * exact integer addition, identical to a from-scratch rebuild
+    * because df is additive over disjoint doc sets), and the stats row
+    * adds the batch's (n, tot). Caller contract: batch doc ids are new
+    * (an upsert would need the old rows' terms to decrement). */
+  def appendToBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                        table: String): Unit = {
+    val spark = docs.sparkSession
+    val toks = docs.select(col(idCol).as("__did"),
+      explode(tokens(col(textCol))).as("__t"))
+    val docLen = toks.groupBy("__did").agg(count(lit(1)).as("__len"))
+    val tf = toks.groupBy("__did", "__t").agg(count(lit(1)).as("__tf"))
+    Bucketing.appendBucketed(tf.join(docLen, "__did")
+      .select(col("__t"), col("__did"), col("__tf"), col("__len")),
+      table, "__t")
+    val batchDf = tf.groupBy("__t").agg(count(lit(1)).as("__bdf"))
+    // merged relations are tiny (vocab / one row) but REWRITES over
+    // self-reads: materialize through a fresh staging table, then swap
+    val mergedDf = spark.table(s"${table}_df")
+      .join(batchDf, Seq("__t"), "full_outer")
+      .select(col("__t"),
+        (coalesce(col("__df"), lit(0L)) + coalesce(col("__bdf"), lit(0L)))
+          .as("__df"))
+    val batchStats = docLen.agg(count(lit(1)).as("__bn"),
+      coalesce(sum("__len"), lit(0L)).as("__btot"))
+    val mergedStats = spark.table(s"${table}_stats").crossJoin(batchStats)
+      .select((col("__n") + col("__bn")).as("__n"),
+        (col("__tot") + col("__btot")).as("__tot"))
+    Seq((s"${table}_df", mergedDf), (s"${table}_stats", mergedStats))
+      .foreach { case (name, df) =>
+        val staged = df.collect() // vocab-sized by contract
+        val schema = df.schema
+        Bucketing.dropForRewrite(spark, name)
+        spark.createDataFrame(java.util.Arrays.asList(staged: _*), schema)
+          .write.mode("overwrite").format("parquet").saveAsTable(name)
+      }
+  }
+
   /** Score a query batch against a [[buildBm25Index]] index: the query
-    * terms broadcast onto the postings scan (corpus side exchange-free
-    * — plan-asserted in TextStatsSpec), per-term scores quantize and
-    * sum exactly as [[bm25]] does (identical integers in, identical
-    * expressions, identical floor — single-shot ≡ indexed, bit for
-    * bit). Only matched postings ever leave the scan; the one exchange
-    * is the candidate-(query, doc) aggregate. Output: (query_id, rank,
-    * doc_id, bm25). */
+    * terms pre-join the vocab-sized df table (broadcast — yielding a
+    * (qid, term, df) relation bounded by the query batch), which then
+    * broadcasts onto the postings scan, so the corpus side is
+    * exchange-free (plan-asserted in OperatorsSpec). Per-term scores
+    * quantize and sum exactly as [[bm25]] does (identical integers in,
+    * identical expressions, identical floor — single-shot ≡ indexed,
+    * bit for bit). Only matched postings ever leave the scan; the one
+    * exchange is the candidate-(query, doc) aggregate. Output:
+    * (query_id, rank, doc_id, bm25). */
   def bm25AgainstIndex(spark: org.apache.spark.sql.SparkSession,
                        table: String, queries: DataFrame, qidCol: String,
                        qtextCol: String, k1: Double = 1.2,
@@ -479,6 +532,7 @@ object TextAnalysis {
                        excludeSelf: Boolean = true): DataFrame = {
     val qt = queries.select(col(qidCol).as("__qid"),
       explode(array_distinct(tokens(col(qtextCol)))).as("__t"))
+      .join(broadcast(spark.table(s"${table}_df")), "__t")
     val stats = spark.table(s"${table}_stats")
     val idf = log((col("__n").cast("double") - col("__df").cast("double") + 0.5) /
       (col("__df").cast("double") + 0.5) + 1.0)

@@ -1206,6 +1206,19 @@ class OperatorsSpec extends AnyFunSuite {
     // the stats row holds exact integers
     val st = spark.table("bm25spec_idx_stats").collect()(0)
     assert(st.getLong(0) > 0 && st.getLong(1) > st.getLong(0))
+
+    // APPEND leg: build on half, append the rest — probe must equal the
+    // full-corpus index bit for bit (merged df/stats ≡ from-scratch)
+    TextAnalysis.buildBm25Index(docs.where(col("doc_id") < 60),
+      "doc_id", "text", "bm25spec_app", buckets = 8)
+    TextAnalysis.appendToBm25Index(docs.where(col("doc_id") >= 60),
+      "doc_id", "text", "bm25spec_app")
+    val appended = TextAnalysis.bm25AgainstIndex(spark, "bm25spec_app",
+      queries, "doc_id", "text", topK = 10)
+    assert(canon(appended) == canon(single))
+    // merged stats equal the from-scratch stats exactly
+    val stA = spark.table("bm25spec_app_stats").collect()(0)
+    assert((stA.getLong(0), stA.getLong(1)) == (st.getLong(0), st.getLong(1)))
   }
 
   test("robustZScore: median/MAD by hand; MAD=0 → NULL; approx path same shape") {
