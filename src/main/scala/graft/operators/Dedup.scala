@@ -643,6 +643,10 @@ object Dedup {
       shingleN, seed)
     val rCands = (1 to 32).filter(r => probeHashes % r == 0 && probeHashes / r >= 1)
     val mass = lshCollisionMass(sig, probeHashes, rCands)
+    // empty corpus (or empty sample): nothing to measure — fall back to
+    // the static closed-form solver rather than failing
+    if (mass.isEmpty)
+      return tuneLsh(threshold, minRecall, maxHashes)
     val n = mass(rCands.head)._2 / sampleRate
     def massUB(r: Int): Double = {
       val rr = rCands.filter(_ <= r).max

@@ -493,8 +493,12 @@ object TextAnalysis {
       .select(col("__t"), col("__did"), col("__tf"), col("__len")),
       table, "__t")
     val batchDf = tf.groupBy("__t").agg(count(lit(1)).as("__bdf"))
-    // merged relations are tiny (vocab / one row) but REWRITES over
-    // self-reads: materialize through a fresh staging table, then swap
+    // the merge rewrites tables it also READS — break the self-read
+    // cycle by materializing through scratch parquet (the
+    // duplicateClusters lifecycle), DISTRIBUTED: a 100 TB corpus's
+    // vocabulary does not fit a driver collect
+    val scratch = org.apache.spark.sql.GraftSqlBridge
+      .managedTempDir("graft-bm25-merge").getAbsolutePath
     val mergedDf = spark.table(s"${table}_df")
       .join(batchDf, Seq("__t"), "full_outer")
       .select(col("__t"),
@@ -507,19 +511,21 @@ object TextAnalysis {
         (col("__tot") + col("__btot")).as("__tot"))
     Seq((s"${table}_df", mergedDf), (s"${table}_stats", mergedStats))
       .foreach { case (name, df) =>
-        val staged = df.collect() // vocab-sized by contract
-        val schema = df.schema
+        val p = s"$scratch/$name"
+        df.write.mode("overwrite").parquet(p)
         Bucketing.dropForRewrite(spark, name)
-        spark.createDataFrame(java.util.Arrays.asList(staged: _*), schema)
+        spark.read.parquet(p)
           .write.mode("overwrite").format("parquet").saveAsTable(name)
       }
   }
 
-  /** Score a query batch against a [[buildBm25Index]] index: the query
-    * terms pre-join the vocab-sized df table (broadcast — yielding a
-    * (qid, term, df) relation bounded by the query batch), which then
-    * broadcasts onto the postings scan, so the corpus side is
-    * exchange-free (plan-asserted in OperatorsSpec). Per-term scores
+  /** Score a query batch against a [[buildBm25Index]] index: the
+    * query-batch terms BROADCAST onto a map-side scan of the df table
+    * (the df table streams — a 100 TB corpus's vocabulary is itself
+    * too big to broadcast), yielding a (qid, term, df) relation bounded
+    * by the query batch, which then broadcasts onto the postings scan —
+    * so BOTH index relations are consumed exchange-free (plan-asserted
+    * in OperatorsSpec). Per-term scores
     * quantize and sum exactly as [[bm25]] does (identical integers in,
     * identical expressions, identical floor — single-shot ≡ indexed,
     * bit for bit). Only matched postings ever leave the scan; the one
@@ -530,9 +536,11 @@ object TextAnalysis {
                        qtextCol: String, k1: Double = 1.2,
                        b: Double = 0.75, topK: Int = 10,
                        excludeSelf: Boolean = true): DataFrame = {
-    val qt = queries.select(col(qidCol).as("__qid"),
+    val qt0 = queries.select(col(qidCol).as("__qid"),
       explode(array_distinct(tokens(col(qtextCol)))).as("__t"))
-      .join(broadcast(spark.table(s"${table}_df")), "__t")
+    // df streams, the query batch broadcasts — never the reverse
+    val qt = spark.table(s"${table}_df").join(broadcast(qt0), "__t")
+      .select(col("__qid"), col("__t"), col("__df"))
     val stats = spark.table(s"${table}_stats")
     val idf = log((col("__n").cast("double") - col("__df").cast("double") + 0.5) /
       (col("__df").cast("double") + 0.5) + 1.0)
