@@ -179,6 +179,17 @@ object ScaleSweep {
       sweep("neardup_probe")(k => Dedup.nearDupAgainstIndex(spark,
         "graft_sweep_idx", docsAt(k), "doc_id", "text", threshold = 0.8))
     }
+    // BM25 probe against the FIXED persisted index: the query batch
+    // scales, the index cost stays paid-at-ingest — the sparse twin of
+    // neardup_probe's incremental cost model
+    if (only.forall(_.contains("bm25_probe"))) {
+      graft.operators.TextAnalysis.buildBm25Index(docs0, "doc_id", "text",
+        "graft_sweep_bm25", buckets = 32)
+      sweep("bm25_probe")(k => graft.operators.TextAnalysis
+        .bm25AgainstIndex(spark, "graft_sweep_bm25",
+          docsAt(k).where(col("doc_id") % 10000000L < 20),
+          "doc_id", "text", topK = 10))
+    }
     // round-5 session-3 operators: semantic dedup (cells from 64 seed
     // centroids so E[m_c] tracks n/k; within-cell work is the quadratic
     // under test) and temperature mixture (two aggregates + window keep)
