@@ -25,9 +25,12 @@ import org.apache.spark.sql.functions._
   * explode amplification and no row-key self-join (the z relation never
   * materializes; σ(z) folds inside the same projection that feeds the
   * aggregate). The model hops between iterations as a one-row broadcast.
-  * Training cost is honestly iters × (one corpus scan + one 64-ary
-  * aggregate); wrap the features in a [[CacheScope]] to trade memory
-  * for the repeated scan.
+  * Training cost is honestly iters × (one cached-corpus pass + one
+  * 64-ary aggregate); each fit persists its training relation
+  * internally for the loop's lifetime (into the caller's
+  * [[CacheScope]] when one is given), with partitions sized to the
+  * data and AQE parked across the loop's fixed micro-plans (SCALE.md
+  * round-11: the per-iteration floor was task scheduling, not math).
   */
 object LinearModel {
 
