@@ -1991,6 +1991,54 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the SERVING loop of the persisted sparse index: a STREAM of query
+    // docs scores per micro-batch against the stored BM25 postings
+    // (foreachBatch probe — zero streaming state, the index IS the
+    // state; each batch pays only its own broadcast-probe joins).
+    // Query ids are disjoint across micro-batches, so the drained
+    // stream ≡ one batch probe of the union — the q_bm25_indexed
+    // single-shot oracle gates it bit for bit.
+    "q_stream_bm25" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+      TextAnalysis.buildBm25Index(docs, "doc_id", "text",
+        "graft_bm25_srv", buckets = 32)
+      val qs = GraftStreaming.readDocumentsGlob(s, dir, "documents.parquet")
+        .where(col("doc_id") < 5).select("doc_id", "text")
+      val out = org.apache.spark.sql.GraftSqlBridge
+        .managedTempDir("graft-bm25-srv").getAbsolutePath
+      val q = GraftStreaming.probeEachBatch(qs, out)(b =>
+        TextAnalysis.bm25AgainstIndex(s, "graft_bm25_srv",
+          b, "doc_id", "text", topK = 10))
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
+      s.read.parquet(out)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("bm25"), 6).as("bm25"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // the SERVING loop of the persisted dense index: streamed probe
+    // vectors score per micro-batch against the stored IVF inverted
+    // lists at nprobe = nlist (provably exact whatever the training),
+    // via the same zero-state foreachBatch probe — the q_ivf_indexed
+    // exhaustive oracle gates the drain.
+    "q_stream_ivf" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+        "graft_ivf_srv", nlist = 16, buckets = 8)
+      val qs = GraftStreaming.readEmbeddingsGlob(s, dir, "embeddings.parquet")
+        .where(col("vec_id") >= 30 && col("vec_id") < 40)
+      val out = org.apache.spark.sql.GraftSqlBridge
+        .managedTempDir("graft-ivf-srv").getAbsolutePath
+      val q = GraftStreaming.probeEachBatch(qs, out)(b =>
+        Similarity.ivfTopKIndexed(s, "graft_ivf_srv",
+          b, "vec_id", "embedding", k = 5, nprobe = 16))
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
+      s.read.parquet(out)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     // CSV sink→source round trip against the LIVE oracle (closing the
     // last spec-only rows in the source table): four typed customer
     // columns go out through the extension sink and come back through
@@ -5476,6 +5524,23 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_exact,
          |  TRUE AS recall_ok
          |FROM ranked WHERE rank <= 10""".stripMargin,
+    // streamed probe drain ≡ single batch probe at nprobe = nlist:
+    // the q_ivf_indexed exhaustive oracle verbatim
+    "q_stream_ivf" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |           WHERE vec_id >= 30 AND vec_id < 40),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(sim, 6) AS cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_ivf_indexed" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
         |           WHERE vec_id >= 30 AND vec_id < 40),
@@ -5776,6 +5841,14 @@ object SparkEntry {
       s"""WITH docs AS (SELECT doc_id, text FROM documents),
          |qs AS (SELECT doc_id, text FROM documents
          |       WHERE doc_id >= 5 AND doc_id < 10),
+         |${graft.operators.TextAnalysis.bm25OracleSql()}
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    // streamed probe drain ≡ single batch probe ≡ single-shot bm25:
+    // the q_bm25_indexed oracle verbatim
+    "q_stream_bm25" -> {
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |qs AS (SELECT doc_id, text FROM documents WHERE doc_id < 5),
          |${graft.operators.TextAnalysis.bm25OracleSql()}
          |ORDER BY query_id, rank""".stripMargin
     },

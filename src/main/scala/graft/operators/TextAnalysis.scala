@@ -449,7 +449,17 @@ object TextAnalysis {
     * At 100 TB the postings relation is what bounds the index (Σ
     * per-doc distinct terms), bucketing pays the term-key shuffle once,
     * and an incremental crawl pays O(batch) postings + a vocab-sized
-    * df merge per append ([[appendToBm25Index]]). */
+    * df merge per append ([[appendToBm25Index]]).
+    *
+    * The corpus text is scanned and tokenized exactly ONCE — the
+    * postings job folds doc length into the tf aggregate as a window
+    * (`sum(__tf) OVER (PARTITION BY __did)` ≡ the raw token count; the
+    * window input is the already-reduced tf relation, never the token
+    * stream, and a partition is one doc's distinct terms — bounded) —
+    * and the df/stats tables aggregate the ALREADY-WRITTEN postings:
+    * per-term df is bucket-local (zero exchange), and (n, tot) is one
+    * `(count_distinct(__did), sum(__tf))` pass over the compact index,
+    * not a re-read of 100 TB of text. */
   def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
                      table: String, buckets: Int = 32): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
@@ -458,15 +468,17 @@ object TextAnalysis {
       .foreach(Bucketing.dropForRewrite(spark, _))
     val toks = docs.select(col(idCol).as("__did"),
       explode(tokens(col(textCol))).as("__t"))
-    val docLen = toks.groupBy("__did").agg(count(lit(1)).as("__len"))
     val tf = toks.groupBy("__did", "__t").agg(count(lit(1)).as("__tf"))
-    val postings = tf.join(docLen, "__did")
-      .select(col("__t"), col("__did"), col("__tf"), col("__len"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("__did")
+    val postings = tf.select(col("__t"), col("__did"), col("__tf"),
+      sum("__tf").over(byDoc).as("__len"))
     Bucketing.writeBucketed(postings, table, "__t", buckets)
-    tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val stored = spark.table(table)
+    stored.groupBy("__t").agg(count(lit(1)).as("__df"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_df")
-    docLen.agg(count(lit(1)).as("__n"), sum("__len").as("__tot"))
+    stored.agg(count_distinct(col("__did")).as("__n"),
+        coalesce(sum("__tf"), lit(0L)).as("__tot"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_stats")
     spark.table(table)
@@ -487,25 +499,33 @@ object TextAnalysis {
     val spark = docs.sparkSession
     val toks = docs.select(col(idCol).as("__did"),
       explode(tokens(col(textCol))).as("__t"))
-    val docLen = toks.groupBy("__did").agg(count(lit(1)).as("__len"))
     val tf = toks.groupBy("__did", "__t").agg(count(lit(1)).as("__tf"))
-    Bucketing.appendBucketed(tf.join(docLen, "__did")
-      .select(col("__t"), col("__did"), col("__tf"), col("__len")),
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("__did")
+    // ONE tokenize pass over the batch (build-path treatment — see
+    // buildBm25Index): batch postings land in scratch parquet first,
+    // and the bucketed append, the df merge, and the stats add all
+    // read the compact postings instead of re-tokenizing the text
+    val scratch = org.apache.spark.sql.GraftSqlBridge
+      .managedTempDir("graft-bm25-merge").getAbsolutePath
+    tf.select(col("__t"), col("__did"), col("__tf"),
+        sum("__tf").over(byDoc).as("__len"))
+      .write.mode("overwrite").parquet(s"$scratch/batch_postings")
+    val bp = spark.read.parquet(s"$scratch/batch_postings")
+    Bucketing.appendBucketed(
+      bp.select(col("__t"), col("__did"), col("__tf"), col("__len")),
       table, "__t")
-    val batchDf = tf.groupBy("__t").agg(count(lit(1)).as("__bdf"))
+    val batchDf = bp.groupBy("__t").agg(count(lit(1)).as("__bdf"))
     // the merge rewrites tables it also READS — break the self-read
     // cycle by materializing through scratch parquet (the
     // duplicateClusters lifecycle), DISTRIBUTED: a 100 TB corpus's
     // vocabulary does not fit a driver collect
-    val scratch = org.apache.spark.sql.GraftSqlBridge
-      .managedTempDir("graft-bm25-merge").getAbsolutePath
     val mergedDf = spark.table(s"${table}_df")
       .join(batchDf, Seq("__t"), "full_outer")
       .select(col("__t"),
         (coalesce(col("__df"), lit(0L)) + coalesce(col("__bdf"), lit(0L)))
           .as("__df"))
-    val batchStats = docLen.agg(count(lit(1)).as("__bn"),
-      coalesce(sum("__len"), lit(0L)).as("__btot"))
+    val batchStats = bp.agg(count_distinct(col("__did")).as("__bn"),
+      coalesce(sum("__tf"), lit(0L)).as("__btot"))
     val mergedStats = spark.table(s"${table}_stats").crossJoin(batchStats)
       .select((col("__n") + col("__bn")).as("__n"),
         (col("__tot") + col("__btot")).as("__tot"))

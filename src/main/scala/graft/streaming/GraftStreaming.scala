@@ -454,6 +454,42 @@ object GraftStreaming {
       .option("pathGlobFilter", glob).parquet(dir)
       .withColumn("event_time", timestamp_seconds(col("doc_id") + 86400L))
 
+  /** embeddings.parquet schema (for file-streamed probe vectors). */
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Stream the embeddings table out of a directory of parquet drops —
+    * the probe-vector feed for [[probeEachBatch]] ANN serving. */
+  def readEmbeddingsGlob(spark: SparkSession, dir: String, glob: String): DataFrame =
+    spark.readStream.schema(embeddingsSchema)
+      .option("pathGlobFilter", glob).parquet(dir)
+
+  /** The SERVING loop over a persisted index: per micro-batch of probe
+    * rows, apply `probe` (a batch score-against-stored-index call —
+    * [[graft.operators.TextAnalysis.bm25AgainstIndex]],
+    * [[graft.operators.Similarity.ivfTopKIndexed]], …) and APPEND the
+    * result to `outPath` parquet. This is the runtime face of the
+    * build-once indexes: the stream holds ZERO Spark state — the
+    * persisted index IS the state, scanned where the executors are —
+    * and each arriving query batch pays only its own broadcast-probe
+    * joins (the index side stays exchange-free exactly as in batch).
+    * With probe ids disjoint across micro-batches the drained output ≡
+    * one batch probe of the union (each id is scored exactly once, by
+    * the batch it arrived in), which is what lets a single-shot oracle
+    * gate the stream bit-for-bit. */
+  def probeEachBatch(stream: DataFrame, outPath: String)
+                    (probe: DataFrame => DataFrame): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // always write (even an empty batch) so outPath exists with the
+        // probe's schema for the post-drain read
+        probe(batch).write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** One emitted near-duplicate pair (id_l < id_r, exact Jaccard). */
   case class NearDupHit(id_l: Long, id_r: Long, jaccard: Double)
 

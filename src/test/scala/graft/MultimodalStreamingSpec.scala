@@ -1246,4 +1246,43 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       .map(_.getLong(1)).toSeq
     assert(ids == Seq(7L), s"got $ids")
   }
+
+  test("probeEachBatch: multi-batch BM25 serving drain ≡ one batch probe") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").limit(200)
+    graft.operators.TextAnalysis.buildBm25Index(
+      corpus, "doc_id", "text", "bm25_probe_spec", buckets = 4)
+    // two files -> two micro-batches under maxFilesPerTrigger=1: the
+    // drain must equal ONE batch probe of the union (disjoint ids are
+    // each scored once, by the batch they arrived in)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25-pb").toString
+    val qdocs = corpus.where(col("doc_id") < 6)
+    qdocs.where(col("doc_id") < 3).coalesce(1).write.parquet(s"$tmp/b0")
+    qdocs.where(col("doc_id") >= 3).coalesce(1).write.parquet(s"$tmp/b1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$tmp/*")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-bm25-pb-out").toString
+    val q = GraftStreaming.probeEachBatch(stream, out)(b =>
+      graft.operators.TextAnalysis.bm25AgainstIndex(
+        spark, "bm25_probe_spec", b, "doc_id", "text", topK = 5))
+    assert(q.awaitTermination(120000), "stream did not finish")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "doc_id", "bm25").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val drained = canon(spark.read.parquet(out))
+    val single = canon(graft.operators.TextAnalysis.bm25AgainstIndex(
+      spark, "bm25_probe_spec", qdocs, "doc_id", "text", topK = 5))
+    assert(drained.nonEmpty)
+    assert(drained == single,
+      s"drained=${drained.size} single=${single.size}")
+  }
 }
