@@ -233,8 +233,13 @@ object LinearModel {
         .select(col("__id"), col("__pos"),
           lit(null).cast("double").as("__x"),
           lit(null).cast("double").as("__y"))
+      // sortWithinPartitions: the cached plan's outputOrdering on __id
+      // satisfies every iteration's window sort requirement, so the
+      // per-doc window pays its sort ONCE at cache fill instead of
+      // once per iteration
       val pairs = feats0.unionByName(biasRows).unionByName(sentinels)
         .repartition(parts, col("__id"))
+        .sortWithinPartitions("__id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // one row per real doc by construction (sentinels carry a null
