@@ -190,6 +190,15 @@ object ScaleSweep {
           docsAt(k).where(col("doc_id") % 10000000L < 20),
           "doc_id", "text", topK = 10))
     }
+    // the BUILD side of the persisted BM25 index: the pay-at-ingest
+    // cost whose slope must stay linear in corpus size — one corpus
+    // tokenize pass (doc length window-folded into the tf aggregate,
+    // df/stats derived from the stored postings)
+    if (only.forall(_.contains("bm25_build"))) {
+      sweep("bm25_build")(k => graft.operators.TextAnalysis
+        .buildBm25Index(docsAt(k), "doc_id", "text",
+          "graft_sweep_bm25b", buckets = 32))
+    }
     // round-5 session-3 operators: semantic dedup (cells from 64 seed
     // centroids so E[m_c] tracks n/k; within-cell work is the quadratic
     // under test) and temperature mixture (two aggregates + window keep)
