@@ -478,15 +478,23 @@ object GraftStreaming {
     * With probe ids disjoint across micro-batches the drained output ≡
     * one batch probe of the union (each id is scored exactly once, by
     * the batch it arrived in), which is what lets a single-shot oracle
-    * gate the stream bit-for-bit. */
+    * gate the stream bit-for-bit.
+    *
+    * EXACTLY-ONCE: each micro-batch OVERWRITES its own
+    * `batch=<batchId>/` partition directory (a bare parquet `append`
+    * would be at-least-once — a retried batch double-appends its
+    * results); a replayed batch id lands on the same directory and
+    * replaces itself. Readers see the inferred `batch` partition
+    * column; the probe queries project it away. */
   def probeEachBatch(stream: DataFrame, outPath: String)
                     (probe: DataFrame => DataFrame): StreamingQuery =
     stream.writeStream
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // always write (even an empty batch) so outPath exists with the
         // probe's schema for the post-drain read
-        probe(batch).write.mode("append").parquet(outPath)
+        probe(batch).write.mode("overwrite")
+          .parquet(s"$outPath/batch=$batchId")
       }
       .start()
 
