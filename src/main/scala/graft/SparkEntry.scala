@@ -1991,6 +1991,34 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // index MAINTENANCE for the sparse index — the lakehouse OPTIMIZE
+    // step the append path accrues debt for: every appendToBm25Index
+    // lands one more file per touched term bucket (per-file open cost
+    // grows with crawl-append count, and >1 file per bucket demotes the
+    // bucket SORT property on read). compactBucketed rewrites the
+    // postings to ONE file per bucket; probing AFTER compaction against
+    // the single-shot oracle proves compaction moved only the file
+    // inventory, not a bit of the results.
+    "q_bm25_compact" -> ((s, dir) => {
+      import graft.operators.Bucketing
+      // corpus capped at 1k docs: the query's job is the LIFECYCLE
+      // (build → append → compact → probe, three table-write cycles);
+      // the build-cost scale slope is ScaleSweep bm25_build's job
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+        .where(col("doc_id") < 1000)
+      TextAnalysis.buildBm25Index(docs.where(col("doc_id") < 300),
+        "doc_id", "text", "graft_bm25_cpt", buckets = 32)
+      TextAnalysis.appendToBm25Index(docs.where(col("doc_id") >= 300),
+        "doc_id", "text", "graft_bm25_cpt")
+      Bucketing.compactBucketed(s, "graft_bm25_cpt")
+      val queries = docs.where(col("doc_id") >= 10 && col("doc_id") < 15)
+      TextAnalysis.bm25AgainstIndex(s, "graft_bm25_cpt",
+        queries, "doc_id", "text", topK = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("bm25"), 6).as("bm25"))
+        .orderBy("query_id", "rank")
+    }),
+
     // the SERVING loop of the persisted sparse index: a STREAM of query
     // docs scores per micro-batch against the stored BM25 postings
     // (foreachBatch probe — zero streaming state, the index IS the
@@ -2991,6 +3019,22 @@ object SparkEntry {
         .orderBy(desc("rank_nano"), col("host"))
     }),
 
+    // graph-embedding corpus: DeepWalk-style truncated walks over the
+    // host link graph — the "sentences" a skip-gram embedding trainer
+    // consumes. Transitions are deterministic md5-keyed choices, so the
+    // walk corpus is byte-stable across runs/partitionings and the
+    // oracle replays every step exactly
+    "q_walks" -> ((s, dir) => {
+      import graft.operators.{GraphOps, UrlOps}
+      val ev = table(s, dir, "events")
+      val u = UrlOps.syntheticUrl(col("event_id"), col("user_id"), col("event_type"))
+      val edges = ev.select(UrlOps.hostOf(u).as("src"),
+        UrlOps.syntheticLinkHost(col("event_id"), col("user_id")).as("dst"))
+      GraphOps.deterministicWalks(edges, "src", "dst", steps = 4,
+          walksPerNode = 2)
+        .orderBy("walk_id", "step")
+    }),
+
     // crawl curation: per-host link-graph degree/weight profile — the
     // hub/authority sanity relation shipped next to a rank table
     "q_link_stats" -> ((s, dir) => {
@@ -3749,6 +3793,20 @@ object SparkEntry {
       Privacy.kAnonymityReport(ev, Seq("event_type", "vb"),
           Some("user_id"), k = 50, l = 20)
         .orderBy("event_type", "vb")
+    }),
+
+    // privacy RELEASE: ε-DP noisy per-group stats (Laplace mechanism,
+    // deterministic PRF noise — computational DP with the seed as the
+    // release secret) — what the pipeline PUBLISHES about the corpus
+    // when the true counts are themselves sensitive; the statistical
+    // complement of q_kanon's syntactic audit
+    "q_dp_release" -> ((s, dir) => {
+      Privacy.dpGroupRelease(table(s, dir, "events"), Seq("event_type"),
+          "value", lo = 0.0, hi = 500.0, epsCount = 1.0, epsSum = 0.5,
+          seed = "graft-r11")
+        .select(col("event_type"), round(col("n_dp"), 6).as("n_dp"),
+          round(col("sum_dp"), 6).as("sum_dp"))
+        .orderBy("event_type")
     }),
 
     // privacy enforcement: suppress sub-k equivalence classes (one
@@ -5844,6 +5902,16 @@ object SparkEntry {
          |${graft.operators.TextAnalysis.bm25OracleSql()}
          |ORDER BY query_id, rank""".stripMargin
     },
+    // compaction moves only the file inventory: post-compact probe ≡
+    // single-shot bm25 over the full corpus, bit for bit
+    "q_bm25_compact" -> {
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |      WHERE doc_id < 1000),
+         |qs AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id >= 10 AND doc_id < 15),
+         |${graft.operators.TextAnalysis.bm25OracleSql()}
+         |ORDER BY query_id, rank""".stripMargin
+    },
     // streamed probe drain ≡ single batch probe ≡ single-shot bm25:
     // the q_bm25_indexed oracle verbatim
     "q_stream_bm25" -> {
@@ -6536,6 +6604,17 @@ object SparkEntry {
          |SELECT node AS host, r AS rank_nano FROM r3
          |ORDER BY rank_nano DESC, host""".stripMargin
     },
+    // the oracle REPLAYS every transition: same distinct edge set, same
+    // md5 key per (walk, step, neighbor), same (md5, dst) total order
+    "q_walks" -> {
+      import graft.operators.{GraphOps, UrlOps}
+      s"""WITH u AS (SELECT ${UrlOps.hostSqlExpr(UrlOps.syntheticUrlSqlExpr)} AS src,
+         |        ${UrlOps.syntheticLinkHostSqlExpr} AS dst FROM events),
+         |e AS (SELECT DISTINCT src, dst FROM u WHERE src <> dst),
+         |${GraphOps.deterministicWalksOracleCtes(steps = 4, walksPerNode = 2)}
+         |SELECT walk_id, step, node FROM walks
+         |ORDER BY walk_id, step""".stripMargin
+    },
     "q_link_stats" -> {
       import graft.operators.UrlOps
       s"""WITH u AS (SELECT ${UrlOps.hostSqlExpr(UrlOps.syntheticUrlSqlExpr)} AS src,
@@ -7158,6 +7237,15 @@ object SparkEntry {
         |    AS total
         |FROM g WHERE n_class >= 50
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the oracle replays the RELEASE term for term: same DECIMAL(38,6)
+    // clipped sum, same 48-bit md5 fold, same Laplace inverse CDF
+    "q_dp_release" ->
+      s"""SELECT event_type, round(n_dp, 6) AS n_dp,
+         |  round(sum_dp, 6) AS sum_dp
+         |FROM (${Privacy.dpReleaseOracleSql("events", "event_type",
+               "event_type", "value", lo = 0.0, hi = 500.0,
+               epsCount = 1.0, epsSum = 0.5, seed = "graft-r11")}) r
+         |ORDER BY event_type""".stripMargin,
     "q_datasheet" ->
       """WITH b AS (SELECT lang, n_chars,
         |    len(list_filter(string_split_regex(trim(text), '\s+'),

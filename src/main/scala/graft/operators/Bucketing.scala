@@ -50,6 +50,71 @@ object Bucketing {
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
+  /** Parquet data-file count under a catalog table's location — the
+    * observable [[compactBucketed]] moves (and what a spec pins). */
+  def tableFileCount(spark: SparkSession, table: String): Int = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(loc, true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
+  /** Compact a bucketed table in place — the lakehouse OPTIMIZE step the
+    * incremental-ingest path ([[appendBucketed]]) eventually needs: every
+    * append lands one MORE file per touched bucket, and once a bucket
+    * holds several files (a) each probe scan pays per-file open/footer
+    * cost that grows with crawl-append count, and (b) Spark only
+    * propagates the bucket SORT order when a bucket is a single file, so
+    * the zero-sort property of [[bucketedJoin]] silently degrades to
+    * sort-on-read. Compaction rewrites the table to EXACTLY one file per
+    * non-empty bucket — results bit-identical (same rows, same layout
+    * contract), only the file inventory changes.
+    *
+    * Mechanics: the table snapshots to scratch parquet first (the
+    * [[graft.operators.Dedup.duplicateClusters]] lifecycle — a bucketed
+    * `saveAsTable` cannot overwrite a table its own plan is reading),
+    * then rewrites through `repartition(numBuckets, key)`:
+    * `HashPartitioning(key, n)` is the SAME `pmod(murmur3, n)` that
+    * assigns bucket ids on write, so each write task holds exactly one
+    * bucket's rows and emits exactly one file. Cost: one scan + one
+    * shuffle of the COMPACT index relation, never the corpus — amortized
+    * over all the appends it cleans up after. At 100 TB this runs as an
+    * offline maintenance job on the same schedule as any OPTIMIZE.
+    * Crash window: the drop→rewrite seam is not atomic — a production
+    * deployment on a real catalog compacts into a NEW table name and
+    * swaps (or uses a table format with atomic replace); the scratch
+    * snapshot means no DATA is ever lost, only the catalog entry needs
+    * re-pointing. */
+  def compactBucketed(spark: SparkSession, table: String,
+                      scratchDir: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    Dedup.requireClusterSafeScratch(spark.sparkContext.isLocal, scratchDir)
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
+    require(spec.nonEmpty, s"$table is not a bucketed table")
+    val bucketCols = spec.get.bucketColumnNames
+    val sortCols = spec.get.sortColumnNames
+    val scratch = scratchDir.getOrElse(org.apache.spark.sql.GraftSqlBridge
+      .managedTempDir("graft-compact").getAbsolutePath)
+    val snap = s"$scratch/compact_$table"
+    spark.table(table).write.mode("overwrite").parquet(snap)
+    val df = spark.read.parquet(snap)
+    dropForRewrite(spark, table)
+    val writer = df
+      .repartition(spec.get.numBuckets, bucketCols.map(col): _*)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(spec.get.numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) writer.sortBy(sortCols.head, sortCols.tail: _*)
+     else writer).saveAsTable(table)
+  }
+
   /** Similarity-clustered parquet write: range-partition and sort the
     * corpus by its 64-bit SimHash before writing, so near-duplicate /
     * same-template documents land ADJACENT within row groups — columnar

@@ -730,6 +730,106 @@ object GraphOps {
     (head +: peels).mkString(",\n")
   }
 
+  /** DeepWalk-style random-walk corpus over a directed graph — the
+    * sequence generator graph-embedding training feeds on (Perozzi et
+    * al., KDD'14: truncated walks become "sentences" for a skip-gram
+    * trainer; node2vec's p=q=1 case). Walks here are DETERMINISTIC,
+    * not sampled: step `t` of walk `w` moves to the out-neighbor
+    * minimizing `md5(w || '|' || t || '|' || dst)` — an md5-keyed
+    * uniform choice that is reproducible across runs, partitionings
+    * and engines (the [[graft.operators.Sampling]] trick applied to
+    * transition choice), so a DuckDB oracle can replay every step
+    * exactly and a re-run of a 100 TB corpus job emits byte-identical
+    * shards. `walksPerNode` replicas start from every node with at
+    * least one out-edge (`walk_id = node || '#' || replica`; the
+    * replica index salts the hash so replicas diverge); a walk that
+    * reaches a dangling node truncates — the standard DeepWalk
+    * treatment.
+    *
+    * Scale shape: the edge relation dedups once (one shuffle), then
+    * each step is ONE hash join of the |walks|-row frontier against
+    * the edge list (broadcast when the frontier fits) plus a min-struct
+    * aggregate per walk — never a per-walk driver loop, never an
+    * all-neighbors explode beyond the frontier's adjacency. Frontier
+    * state snapshots to scratch parquet every `materializeEvery` steps
+    * ([[pageRankNano]]'s lineage-cut discipline) — with the default 1,
+    * the final union reads each step's snapshot once instead of
+    * recomputing an O(steps²) join prefix.
+    *
+    * @return (walk_id: String, step: Int, node) — long form, one row
+    *         per visited node, step 0 = the start node.
+    */
+  def deterministicWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                         steps: Int, walksPerNode: Int = 1,
+                         scratchDir: Option[String] = None,
+                         materializeEvery: Int = 1): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    require(walksPerNode >= 1, "walksPerNode must be >= 1")
+    require(materializeEvery >= 1, "materializeEvery must be >= 1")
+    val spark = edges.sparkSession
+    val scratch = new Scratch(spark, "graft-walks", scratchDir)
+    import scratch.materialize
+    val e = materialize(edges.where(col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .distinct(), "edges")
+    val replicas = explode(sequence(lit(0), lit(walksPerNode - 1))).as("__i")
+    val starts = materialize(
+      e.select(col("__src").as("node")).distinct()
+        .select(col("node"), replicas)
+        .select(concat(col("node").cast("string"), lit("#"),
+          col("__i").cast("string")).as("walk_id"), col("node")),
+      "w0")
+    var state = starts
+    val outs = scala.collection.mutable.ArrayBuffer[DataFrame](
+      starts.select(col("walk_id"), lit(0).as("step"), col("node")))
+    var t = 1
+    while (t <= steps) {
+      // one candidate row per (walk, out-neighbor); the min-struct picks
+      // the md5-smallest neighbor with the neighbor itself as the
+      // (collision-proof) tiebreak — same total order the oracle's
+      // row_number() OVER (ORDER BY md5, dst) walks
+      val next = state.join(e, state("node") === e("__src"))
+        .select(col("walk_id"), struct(
+          md5(concat_ws("|", col("walk_id"), lit(t.toString),
+            col("__dst").cast("string"))).as("h"),
+          col("__dst").as("d")).as("__c"))
+        .groupBy("walk_id").agg(min(col("__c")).as("__m"))
+        .select(col("walk_id"), col("__m.d").as("node"))
+      state =
+        if (t % materializeEvery == 0 || t == steps)
+          materialize(next, s"w$t")
+        else next
+      outs += state.select(col("walk_id"), lit(t).as("step"), col("node"))
+      t += 1
+    }
+    outs.reduce(_.unionByName(_))
+  }
+
+  /** DuckDB oracle twin of [[deterministicWalks]]: steps unrolled as
+    * CTEs over an edge CTE named `e` with DISTINCT (src, dst),
+    * self-loops already dropped. Emits bodies through `walks`
+    * (walk_id, step, node); the caller selects from `walks`. */
+  def deterministicWalksOracleCtes(steps: Int, walksPerNode: Int): String = {
+    val reps = (0 until walksPerNode).map(i => s"($i)").mkString(", ")
+    val head =
+      s"""reps(i) AS (VALUES $reps),
+         |w0 AS (SELECT CAST(src AS VARCHAR) || '#' || CAST(i AS VARCHAR)
+         |      AS walk_id, src AS node
+         |  FROM (SELECT DISTINCT src FROM e), reps)""".stripMargin
+    val stepCtes = (1 to steps).map { t =>
+      s"""w$t AS (SELECT walk_id, dst AS node FROM (
+         |    SELECT s.walk_id, e.dst,
+         |      row_number() OVER (PARTITION BY s.walk_id
+         |        ORDER BY md5(s.walk_id || '|$t|' || CAST(e.dst AS VARCHAR)),
+         |          e.dst) AS rn
+         |    FROM w${t - 1} s JOIN e ON e.src = s.node) WHERE rn = 1)""".stripMargin
+    }
+    val unions = (0 to steps)
+      .map(t => s"SELECT walk_id, $t AS step, node FROM w$t")
+      .mkString("\n  UNION ALL ")
+    ((head +: stepCtes) :+ s"walks AS (${unions})").mkString(",\n")
+  }
+
   /** DuckDB oracle twin of [[triangleCounts]] over an edge CTE named
     * `e0` with RAW directed columns (src, dst). Emits bodies through
     * `tri`; the caller aggregates per node (see q_triangles). */

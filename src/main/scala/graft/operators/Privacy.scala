@@ -73,6 +73,110 @@ object Privacy {
       .drop(quasiCols.map(c => s"__q_$c"): _*)
   }
 
+  /** Laplace noise with scale `b`, keyed DETERMINISTICALLY on row
+    * content: u = (md5Long48(key) + 0.5) / 2^48 ∈ (0,1) strictly, then
+    * the Laplace inverse CDF −b·sign(u−½)·ln(1−2|u−½|). Every piece is
+    * a codegen'd builtin with an engine-exact DuckDB twin
+    * ([[laplaceNoiseSqlExpr]]).
+    *
+    * DP caveat (stated, not hidden): keying noise on (secret seed,
+    * group key) makes this a PRF draw — the release is differentially
+    * private only against adversaries WITHOUT the seed (computational
+    * DP, the standard posture of every PRNG-based DP system; here the
+    * PRG is md5 and the seed is the release secret). The determinism
+    * is what buys reproducible releases, engine-exact oracle replay,
+    * and partition-invariance; re-releasing the SAME statistic with
+    * the same seed spends no extra budget (same draw), while a new
+    * seed is a new release that composes additively. */
+  def laplaceNoise(key: Column, scale: Double): Column = {
+    require(scale > 0, s"scale must be > 0, got $scale")
+    val u = (DetRandom.md5Long48(key).cast("double") + 0.5d) /
+      281474976710656.0d // 2^48
+    val d = u - 0.5d
+    -lit(scale) * signum(d) * log(lit(1.0) - lit(2.0) * abs(d))
+  }
+
+  /** DuckDB twin of [[laplaceNoise]] — same 48-bit fold, same inverse
+    * CDF, float ops within 1 ulp of Spark's (releases round to 6
+    * decimals, far above that seam). */
+  def laplaceNoiseSqlExpr(keySql: String, scale: Double): String = {
+    val u = s"(((${DetRandom.md5Long48SqlExpr(keySql)}) + 0.5) / 281474976710656.0)"
+    s"(-($scale) * sign($u - 0.5) * ln(1.0 - 2.0 * abs($u - 0.5)))"
+  }
+
+  /** ε-differentially-private grouped release (Laplace mechanism) —
+    * the statistical complement of the syntactic [[kAnonymityReport]]:
+    * what a governance pipeline PUBLISHES about a corpus (per-group
+    * document counts and a clipped value sum: language mix, domain
+    * volume, token budgets) when the true counts themselves are
+    * sensitive. Count sensitivity is 1 → scale 1/εc; the value column
+    * clips to [lo, hi] FIRST (the caller-declared contribution bound —
+    * without it a sum has unbounded sensitivity), giving sum
+    * sensitivity max(|lo|, |hi|) → scale max/εs. The two epsilons
+    * compose: the release costs εc + εs of budget per seed.
+    *
+    * Scale shape: ONE hash aggregate keyed on the group columns
+    * (map-side partials), then model-sized map-only noise attachment —
+    * the noise is a pure function of (seed, group key), so the release
+    * is bit-stable across runs/partitionings and the oracle replays it
+    * term for term. The clipped sum accumulates in DECIMAL(38,6)
+    * (order-invariant exact integers), cast to double only at release.
+    * Noisy counts can be negative — standard for Laplace releases;
+    * post-hoc clamping is a caller-side post-processing choice (free
+    * under DP). */
+  def dpGroupRelease(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                     lo: Double, hi: Double, epsCount: Double,
+                     epsSum: Double, seed: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one group column")
+    require(epsCount > 0 && epsSum > 0,
+      s"epsilons must be > 0, got $epsCount / $epsSum")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val clipped = least(greatest(col(valueCol), lit(lo)), lit(hi))
+    val agg = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        coalesce(sum(clipped.cast(org.apache.spark.sql.types
+          .DecimalType(38, 6))), lit(0).cast(org.apache.spark.sql.types
+          .DecimalType(38, 6))).as("__s"))
+    // NULL keys render as the sentinel on BOTH engines (concat_ws would
+    // silently SKIP a NULL here while DuckDB's || nulls the whole key —
+    // the one seam where the two would draw different noise); a real key
+    // equal to the sentinel collides draws with the NULL class — noise
+    // reuse across two groups, harmless to the mechanism
+    def noiseKey(stat: String): Column =
+      concat_ws("|", lit(seed) +: lit(stat) +:
+        keyCols.map(c => coalesce(col(c).cast("string"),
+          lit("<NULL>"))): _*)
+    val sumScale = math.max(math.abs(lo), math.abs(hi)) / epsSum
+    agg.select(keyCols.map(col) ++ Seq(
+      (col("__n").cast("double") +
+        laplaceNoise(noiseKey("n"), 1.0 / epsCount)).as("n_dp"),
+      (col("__s").cast("double") +
+        laplaceNoise(noiseKey("s"), sumScale)).as("sum_dp")): _*)
+  }
+
+  /** [[dpGroupRelease]] as DuckDB SQL over `relation`, single group
+    * column `keyExpr AS keyName`, value expression `valueExpr` —
+    * identical clip, identical DECIMAL(38,6) sum, identical noise
+    * terms. Emits a full SELECT (keyName, n_dp, sum_dp). */
+  def dpReleaseOracleSql(relation: String, keyExpr: String, keyName: String,
+                         valueExpr: String, lo: Double, hi: Double,
+                         epsCount: Double, epsSum: Double,
+                         seed: String): String = {
+    val key = s"'$seed' || '|' || 'STAT' || '|' || " +
+      s"COALESCE(CAST($keyName AS VARCHAR), '<NULL>')"
+    val sumScale = math.max(math.abs(lo), math.abs(hi)) / epsSum
+    val nNoise = laplaceNoiseSqlExpr(key.replace("'STAT'", "'n'"),
+      1.0 / epsCount)
+    val sNoise = laplaceNoiseSqlExpr(key.replace("'STAT'", "'s'"), sumScale)
+    s"""SELECT $keyName,
+       |  CAST(n AS DOUBLE) + $nNoise AS n_dp,
+       |  CAST(s AS DOUBLE) + $sNoise AS sum_dp
+       |FROM (SELECT $keyExpr AS $keyName, count(*) AS n,
+       |    COALESCE(sum(CAST(least(greatest($valueExpr, $lo), $hi)
+       |      AS DECIMAL(38,6))), 0) AS s
+       |  FROM $relation GROUP BY 1) g""".stripMargin
+  }
+
   /** [[kAnonymityReport]] as DuckDB SQL over `relation`. `quasi` are
     * raw SQL expressions aliased to the same names the Spark side
     * groups by. */

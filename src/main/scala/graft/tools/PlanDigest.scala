@@ -114,7 +114,11 @@ object PlanDigest {
     // ROLLUP Expand aggregate (one scan for every slice + the total);
     // krippendorff pins the two model-sized aggregates + broadcast
     // scalar cross (no data×data join anywhere)
-    "q_quantile_norm", "q_class_report", "q_krippendorff")
+    "q_quantile_norm", "q_class_report", "q_krippendorff",
+    // round-11 session-3: dp_release's contract is ONE hash aggregate +
+    // map-only noise attach (the md5 fold must never grow an exchange
+    // or a per-group join-back)
+    "q_dp_release")
 
   val SnapshotPath = "tools/plan_digests.txt"
   val DefaultSfDir = "/root/testdata/sf0.001"

@@ -307,6 +307,20 @@ object ScaleSweep {
     // (power_iter is swept at iters=1 — per-pass cost; total is linear
     // in iters by construction since the window normalizer keeps each
     // iteration's subtree single-consumer)
+    // walk corpus on a graph whose NODE count scales with k (the bench
+    // query's 21-host web stays constant-size, so it cannot measure the
+    // frontier-join slope): ~10k·k nodes, 100k·k raw edges, one frontier
+    // join + min-struct aggregate per step
+    sweep("walks")(k => {
+      val nNodes = lit(10000L * k)
+      val e = evAt(k).select(
+        concat(lit("n"), pmod(col("event_id"), nNodes).cast("string"))
+          .as("src"),
+        concat(lit("n"), pmod(col("event_id") * 7 + col("user_id"), nNodes)
+          .cast("string")).as("dst"))
+      graft.operators.GraphOps.deterministicWalks(e, "src", "dst",
+        steps = 4, walksPerNode = 1)
+    })
     sweep("bpe_pairs")(k =>
       TextAnalysis.bpeTopPairs(docsAt(k), "text", k = 40))
     sweep("zorder_cluster")(k => graft.operators.ZOrder.clusterByZ(

@@ -436,6 +436,68 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(GraphOps.hitsNano(loops, "src", "dst", col("w"), 2).count() == 0L)
   }
 
+  // ---- deterministicWalks -------------------------------------------
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Driver-side replay of the walk recursion: same md5 key, same
+    * (md5, dst) total order, same dangling truncation. */
+  private def bruteWalks(edges: Seq[(String, String)], steps: Int,
+                         reps: Int): Set[(String, Int, String)] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val adj = e.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+    val out = scala.collection.mutable.Set[(String, Int, String)]()
+    for (start <- adj.keys; i <- 0 until reps) {
+      val wid = s"$start#$i"
+      out += ((wid, 0, start))
+      var cur = start
+      var t = 1
+      var alive = true
+      while (t <= steps && alive) {
+        adj.get(cur) match {
+          case Some(nbrs) =>
+            cur = nbrs.minBy(d => (md5hex(s"$wid|$t|$d"), d))
+            out += ((wid, t, cur))
+          case None => alive = false
+        }
+        t += 1
+      }
+    }
+    out.toSet
+  }
+
+  test("deterministicWalks: matches the driver-side md5 replay, " +
+       "truncates at dangling nodes, replicas get distinct ids") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+      ("c", "d"), ("b", "b"), ("a", "b")) // self-loop + dup exercised
+    val got = GraphOps.deterministicWalks(
+        edges.toDF("src", "dst"), "src", "dst", steps = 3, walksPerNode = 2)
+      .as[(String, Int, String)].collect().toSet
+    assert(got == bruteWalks(edges, steps = 3, reps = 2))
+    // d is dangling: it never STARTS a walk (no out-edge), and any walk
+    // reaching it stops there
+    assert(!got.exists(_._1.startsWith("d#")))
+    val reached = got.filter(_._3 == "d")
+    assert(reached.forall { case (wid, step, _) =>
+      !got.exists(r => r._1 == wid && r._2 > step) })
+    // both replicas exist per starting node
+    assert(got.map(_._1).count(_.startsWith("a#")) >= 2)
+  }
+
+  test("deterministicWalks: materializeEvery does not change the corpus") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "b"))
+      .toDF("src", "dst")
+    val every1 = GraphOps.deterministicWalks(edges, "src", "dst",
+      steps = 4, walksPerNode = 1, materializeEvery = 1)
+      .as[(String, Int, String)].collect().toSet
+    val every3 = GraphOps.deterministicWalks(edges, "src", "dst",
+      steps = 4, walksPerNode = 1, materializeEvery = 3)
+      .as[(String, Int, String)].collect().toSet
+    assert(every1 == every3)
+  }
+
   test("degreeStats: full outer over directions with zero-filled blanks") {
     val e = Seq(("a", "b", 2L), ("a", "c", 3L), ("b", "c", 4L)).toDF("src", "dst", "w")
     val got = GraphOps.degreeStats(e, "src", "dst", col("w"))

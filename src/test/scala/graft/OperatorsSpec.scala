@@ -1221,6 +1221,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert((stA.getLong(0), stA.getLong(1)) == (st.getLong(0), st.getLong(1)))
   }
 
+  test("compactBucketed: file inventory shrinks to ≤ one per bucket, probe bit-identical") {
+    import graft.operators.Bucketing
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").limit(120)
+    val queries = docs.where(col("doc_id") < 3)
+    // build + two appends: every append lands one MORE file set in the
+    // touched term buckets — the debt compaction exists to clean up
+    TextAnalysis.buildBm25Index(docs.where(col("doc_id") < 40),
+      "doc_id", "text", "bm25spec_cpt", buckets = 8)
+    TextAnalysis.appendToBm25Index(
+      docs.where(col("doc_id") >= 40 && col("doc_id") < 80),
+      "doc_id", "text", "bm25spec_cpt")
+    TextAnalysis.appendToBm25Index(docs.where(col("doc_id") >= 80),
+      "doc_id", "text", "bm25spec_cpt")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val before = Bucketing.tableFileCount(spark, "bm25spec_cpt")
+    val preProbe = canon(TextAnalysis.bm25AgainstIndex(spark, "bm25spec_cpt",
+      queries, "doc_id", "text", topK = 10))
+    Bucketing.compactBucketed(spark, "bm25spec_cpt")
+    val after = Bucketing.tableFileCount(spark, "bm25spec_cpt")
+    assert(after <= 8, s"compaction left $after files for 8 buckets")
+    assert(after < before, s"compaction did not shrink: $before -> $after")
+    // compaction moved only the file inventory: same rows, same bytes
+    val postProbe = canon(TextAnalysis.bm25AgainstIndex(spark, "bm25spec_cpt",
+      queries, "doc_id", "text", topK = 10))
+    assert(postProbe == preProbe)
+    // layout contract intact: still a bucketed table with the same spec
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("bm25spec_cpt")).bucketSpec
+    assert(spec.exists(s0 => s0.numBuckets == 8 &&
+      s0.bucketColumnNames == Seq("__t")))
+  }
+
   test("robustZScore: median/MAD by hand; MAD=0 → NULL; approx path same shape") {
     // group a: values 1..5 (med 3, |x-3| = 2,1,0,1,2 → MAD 1);
     // group b: all equal → MAD 0 → NULL
@@ -3049,6 +3084,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Privacy.suppressBelowK(rows, Seq("qa", "qb"), 3)
       .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 2L, 3L))
+  }
+
+  test("dpGroupRelease: driver-side Laplace replay, clipping, determinism") {
+    import spark.implicits._
+    val rows = Seq(Some("a") -> 100.0, Some("a") -> 700.0,
+      Some("a") -> -50.0, Some("b") -> 10.0, Some("b") -> 20.0,
+      None -> 5.0).toDF("g", "v")
+    // driver-side replay of the exact noise pipeline
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def lap(key: String, b: Double): Double = {
+      val v = md5hex(key).take(12).foldLeft(0L)((acc, c) =>
+        acc * 16 + Character.digit(c, 16))
+      val u = (v + 0.5) / 281474976710656.0
+      val d = u - 0.5
+      -b * math.signum(d) * math.log(1.0 - 2.0 * math.abs(d))
+    }
+    val got = Privacy.dpGroupRelease(rows, Seq("g"), "v",
+        lo = 0.0, hi = 500.0, epsCount = 1.0, epsSum = 0.5, seed = "s1")
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    // NULL key class draws via the cross-engine sentinel
+    assert(math.abs(got(None)._1 - (1.0 + lap("s1|n|<NULL>", 1.0))) < 1e-9)
+    assert(math.abs(got(None)._2 - (5.0 + lap("s1|s|<NULL>", 1000.0))) < 1e-9)
+    // group a: n=3; clipped sum = 100 + 500 + 0 = 600 (clip BEFORE sum)
+    assert(math.abs(got(Some("a"))._1 - (3.0 + lap("s1|n|a", 1.0))) < 1e-9)
+    assert(math.abs(got(Some("a"))._2 - (600.0 + lap("s1|s|a", 1000.0))) < 1e-9)
+    // group b: n=2, sum=30
+    assert(math.abs(got(Some("b"))._1 - (2.0 + lap("s1|n|b", 1.0))) < 1e-9)
+    assert(math.abs(got(Some("b"))._2 - (30.0 + lap("s1|s|b", 1000.0))) < 1e-9)
+    // determinism: repartitioned input releases the identical bytes
+    val again = Privacy.dpGroupRelease(rows.repartition(7), Seq("g"), "v",
+        lo = 0.0, hi = 500.0, epsCount = 1.0, epsSum = 0.5, seed = "s1")
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(again == got)
+    // a different seed is a DIFFERENT release (new draw)
+    val reseeded = Privacy.dpGroupRelease(rows, Seq("g"), "v",
+        lo = 0.0, hi = 500.0, epsCount = 1.0, epsSum = 0.5, seed = "s2")
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(reseeded(Some("a")) != got(Some("a"))._1)
   }
 
   test("neymanSample: variance-proportional allocation by hand") {
