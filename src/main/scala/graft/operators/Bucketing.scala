@@ -95,17 +95,14 @@ object Bucketing {
   def compactBucketed(spark: SparkSession, table: String,
                       scratchDir: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.col
-    Dedup.requireClusterSafeScratch(spark.sparkContext.isLocal, scratchDir)
+    val scratch = new Scratch(spark, "compactBucketed", "graft-compact",
+      scratchDir)
     val spec = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
     require(spec.nonEmpty, s"$table is not a bucketed table")
     val bucketCols = spec.get.bucketColumnNames
     val sortCols = spec.get.sortColumnNames
-    val scratch = scratchDir.getOrElse(org.apache.spark.sql.GraftSqlBridge
-      .managedTempDir("graft-compact").getAbsolutePath)
-    val snap = s"$scratch/compact_$table"
-    spark.table(table).write.mode("overwrite").parquet(snap)
-    val df = spark.read.parquet(snap)
+    val df = scratch.materialize(spark.table(table), s"compact_$table")
     dropForRewrite(spark, table)
     val writer = df
       .repartition(spec.get.numBuckets, bucketCols.map(col): _*)

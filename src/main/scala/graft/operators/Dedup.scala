@@ -57,19 +57,9 @@ object Dedup {
                         maxIter: Int = 20,
                         scratchDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
-    requireClusterSafeScratch(spark.sparkContext.isLocal, scratchDir)
-    val tmp = scratchDir.getOrElse(
-      org.apache.spark.sql.GraftSqlBridge.managedTempDir("graft-cc").getAbsolutePath)
-    val hadoopConf = spark.sessionState.newHadoopConf()
-    def materialize(df: DataFrame, name: String): DataFrame = {
-      val p = tmp + "/" + name
-      df.write.mode("overwrite").parquet(p)
-      spark.read.parquet(p)
-    }
-    def drop(name: String): Unit = {
-      val p = new org.apache.hadoop.fs.Path(tmp + "/" + name)
-      p.getFileSystem(hadoopConf).delete(p, true)
-    }
+    val scratch = new Scratch(spark, "duplicateClusters", "graft-cc",
+      scratchDir)
+    import scratch.{materialize, drop}
     val edges = materialize(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -103,15 +93,12 @@ object Dedup {
     labels
   }
 
-  /** The cluster-safety gate for [[duplicateClusters]]'s scratch default,
-    * factored out so the non-local branch is unit-testable off-cluster. */
+  /** The cluster-safety gate for [[duplicateClusters]]'s scratch default
+    * (delegates to the shared [[Scratch]] guard; kept as the
+    * unit-testable entry point). */
   private[graft] def requireClusterSafeScratch(
       isLocal: Boolean, scratchDir: Option[String]): Unit =
-    require(scratchDir.isDefined || isLocal,
-      "duplicateClusters on a non-local master needs an explicit " +
-        "scratchDir on a shared filesystem (HDFS/S3/NFS): the driver-local " +
-        "temp default would make executors commit iteration state to " +
-        "their own disks and silently corrupt cluster labels")
+    Scratch.requireClusterSafe(isLocal, scratchDir, "duplicateClusters")
 
   /** Canonical-document selection per duplicate cluster: every doc joins
     * its cluster label ([[duplicateClusters]] output; unclustered docs are

@@ -29,26 +29,6 @@ object GraphOps {
   /** Nano-unit scale: rank 1.0 ≡ 1e9. */
   val Scale: Long = 1000000000L
 
-  /** Managed scratch-parquet state for the iterative operators: one
-    * place for the lineage-cut discipline (snapshot, read back, delete
-    * superseded) and the non-local-master scratch guard. */
-  private final class Scratch(spark: org.apache.spark.sql.SparkSession,
-                              prefix: String, scratchDir: Option[String]) {
-    Dedup.requireClusterSafeScratch(spark.sparkContext.isLocal, scratchDir)
-    private val tmp = scratchDir.getOrElse(
-      org.apache.spark.sql.GraftSqlBridge.managedTempDir(prefix).getAbsolutePath)
-    private val hadoopConf = spark.sessionState.newHadoopConf()
-    def materialize(df: DataFrame, name: String): DataFrame = {
-      val p = tmp + "/" + name
-      df.write.mode("overwrite").parquet(p)
-      spark.read.parquet(p)
-    }
-    def drop(name: String): Unit = {
-      val p = new org.apache.hadoop.fs.Path(tmp + "/" + name)
-      p.getFileSystem(hadoopConf).delete(p, true)
-    }
-  }
-
   /** Weighted PageRank in exact integer nano-units.
     *
     * Semantics (per iteration, all integer ops):
@@ -108,7 +88,7 @@ object GraphOps {
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       s"damping $dampNum/$dampDen must be a fraction in [0, 1]")
     val spark = edges.sparkSession
-    val scratch = new Scratch(spark, "graft-pr", scratchDir)
+    val scratch = new Scratch(spark, "pageRankNano", "graft-pr", scratchDir)
     import scratch.{materialize, drop}
 
     // one pass: collapse parallel edges, drop self-loops, attach total
@@ -315,7 +295,7 @@ object GraphOps {
     require(iters >= 1, "iters must be >= 1")
     require(materializeEvery >= 1, "materializeEvery must be >= 1")
     val spark = edges.sparkSession
-    val scratch = new Scratch(spark, "graft-hits", scratchDir)
+    val scratch = new Scratch(spark, "hitsNano", "graft-hits", scratchDir)
     import scratch.{materialize, drop}
     val ew = materialize(edges
       .where(col(srcCol) =!= col(dstCol))
@@ -425,7 +405,7 @@ object GraphOps {
     require(iters >= 1, "iters must be >= 1")
     require(materializeEvery >= 1, "materializeEvery must be >= 1")
     val spark = edges.sparkSession
-    val scratch = new Scratch(spark, "graft-lpa", scratchDir)
+    val scratch = new Scratch(spark, "labelPropagation", "graft-lpa", scratchDir)
     import scratch.{materialize, drop}
     import org.apache.spark.sql.expressions.Window
     val dir0 = edges.where(col(srcCol) =!= col(dstCol))
@@ -570,7 +550,7 @@ object GraphOps {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 1, "rounds must be >= 1")
     val spark = edges.sparkSession
-    val scratch = new Scratch(spark, "graft-kcore", scratchDir)
+    val scratch = new Scratch(spark, "kCore", "graft-kcore", scratchDir)
     import scratch.{materialize, drop}
     val und = materialize(edges.where(col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("a"),
@@ -767,7 +747,7 @@ object GraphOps {
     require(walksPerNode >= 1, "walksPerNode must be >= 1")
     require(materializeEvery >= 1, "materializeEvery must be >= 1")
     val spark = edges.sparkSession
-    val scratch = new Scratch(spark, "graft-walks", scratchDir)
+    val scratch = new Scratch(spark, "deterministicWalks", "graft-walks", scratchDir)
     import scratch.materialize
     val e = materialize(edges.where(col(srcCol) =!= col(dstCol))
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))

@@ -100,6 +100,7 @@ object Privacy {
     * CDF, float ops within 1 ulp of Spark's (releases round to 6
     * decimals, far above that seam). */
   def laplaceNoiseSqlExpr(keySql: String, scale: Double): String = {
+    require(scale > 0, s"scale must be > 0, got $scale")
     val u = s"(((${DetRandom.md5Long48SqlExpr(keySql)}) + 0.5) / 281474976710656.0)"
     s"(-($scale) * sign($u - 0.5) * ln(1.0 - 2.0 * abs($u - 0.5)))"
   }
@@ -162,6 +163,11 @@ object Privacy {
                          valueExpr: String, lo: Double, hi: Double,
                          epsCount: Double, epsSum: Double,
                          seed: String): String = {
+    // same gate as the Spark twin: a bad configuration must fail HERE,
+    // symmetrically, not surface as a confusing oracle data mismatch
+    require(epsCount > 0 && epsSum > 0,
+      s"epsilons must be > 0, got $epsCount / $epsSum")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
     val key = s"'$seed' || '|' || 'STAT' || '|' || " +
       s"COALESCE(CAST($keyName AS VARCHAR), '<NULL>')"
     val sumScale = math.max(math.abs(lo), math.abs(hi)) / epsSum

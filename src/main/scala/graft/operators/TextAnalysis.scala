@@ -495,8 +495,14 @@ object TextAnalysis {
     * adds the batch's (n, tot). Caller contract: batch doc ids are new
     * (an upsert would need the old rows' terms to decrement). */
   def appendToBm25Index(docs: DataFrame, idCol: String, textCol: String,
-                        table: String): Unit = {
+                        table: String,
+                        scratchDir: Option[String] = None): Unit = {
     val spark = docs.sparkSession
+    // the merge materializes through scratch (shared Scratch lifecycle —
+    // same non-local-master guard: a driver-local default would shear
+    // the merged df/stats across executor disks on a real cluster)
+    val scratch = new Scratch(spark, "appendToBm25Index",
+      "graft-bm25-merge", scratchDir)
     val toks = docs.select(col(idCol).as("__did"),
       explode(tokens(col(textCol))).as("__t"))
     val tf = toks.groupBy("__did", "__t").agg(count(lit(1)).as("__tf"))
@@ -505,12 +511,9 @@ object TextAnalysis {
     // buildBm25Index): batch postings land in scratch parquet first,
     // and the bucketed append, the df merge, and the stats add all
     // read the compact postings instead of re-tokenizing the text
-    val scratch = org.apache.spark.sql.GraftSqlBridge
-      .managedTempDir("graft-bm25-merge").getAbsolutePath
-    tf.select(col("__t"), col("__did"), col("__tf"),
-        sum("__tf").over(byDoc).as("__len"))
-      .write.mode("overwrite").parquet(s"$scratch/batch_postings")
-    val bp = spark.read.parquet(s"$scratch/batch_postings")
+    val bp = scratch.materialize(
+      tf.select(col("__t"), col("__did"), col("__tf"),
+        sum("__tf").over(byDoc).as("__len")), "batch_postings")
     Bucketing.appendBucketed(
       bp.select(col("__t"), col("__did"), col("__tf"), col("__len")),
       table, "__t")
@@ -531,11 +534,9 @@ object TextAnalysis {
         (col("__tot") + col("__btot")).as("__tot"))
     Seq((s"${table}_df", mergedDf), (s"${table}_stats", mergedStats))
       .foreach { case (name, df) =>
-        val p = s"$scratch/$name"
-        df.write.mode("overwrite").parquet(p)
+        val snap = scratch.materialize(df, name)
         Bucketing.dropForRewrite(spark, name)
-        spark.read.parquet(p)
-          .write.mode("overwrite").format("parquet").saveAsTable(name)
+        snap.write.mode("overwrite").format("parquet").saveAsTable(name)
       }
   }
 

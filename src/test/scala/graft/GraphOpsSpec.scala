@@ -438,9 +438,7 @@ class GraphOpsSpec extends AnyFunSuite {
 
   // ---- deterministicWalks -------------------------------------------
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def md5hex(s: String): String = TestReplay.md5hex(s)
 
   /** Driver-side replay of the walk recursion: same md5 key, same
     * (md5, dst) total order, same dangling truncation. */

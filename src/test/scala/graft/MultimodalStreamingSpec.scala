@@ -248,27 +248,22 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       .select(col("window.start").cast("long"), col("n_dp"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // batch twin: true hour counts + the exact PRF noise term
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    def lap(key: String, b: Double): Double = {
-      val v = md5hex(key).take(12).foldLeft(0L)((acc, c) =>
-        acc * 16 + Character.digit(c, 16))
-      val u = (v + 0.5) / 281474976710656.0
-      val d = u - 0.5
-      -b * math.signum(d) * math.log(1.0 - 2.0 * math.abs(d))
-    }
+    def lap(key: String, b: Double): Double = TestReplay.laplace(key, b)
     val batch = GraftStreaming.normalizeTs(spark.read.parquet(tmp))
       .groupBy(window(col("event_time"), "1 hour"))
       .agg(count(lit(1)).as("n"))
       .collect().map { r =>
         val w = r.getStruct(0).getTimestamp(0).getTime / 1000L
-        w -> (r.getLong(1) + lap(s"spec|n|$w", 0.5))
+        w -> ((r.getLong(1), r.getLong(1) + lap(s"spec|n|$w", 0.5)))
       }.toMap
     assert(got.keySet == batch.keySet)
-    got.foreach { case (w, v) => assert(math.abs(v - batch(w)) < 1e-9) }
-    // noise is actually present (released series != true counts)
+    got.foreach { case (w, v) => assert(math.abs(v - batch(w)._2) < 1e-9) }
+    // noise is actually PRESENT: a zeroed draw (broken key/scale wiring)
+    // would make every release equal its true count and both twins above
+    // would still agree — pin the released series off the raw one
     assert(got.nonEmpty)
+    got.foreach { case (w, v) => assert(v != batch(w)._1.toDouble,
+      s"window $w released its true count — no noise drawn") }
   }
 
   test("streaming OHLC bars ≡ batch resampleOhlc on the same drop") {

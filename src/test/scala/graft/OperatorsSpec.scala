@@ -865,9 +865,7 @@ class OperatorsSpec extends AnyFunSuite {
     // admitted sets. 300 ids spread over many of the 256 buckets, token
     // sizes varied so admissions cut mid-bucket, budgets chosen so some
     // keys exhaust supply and others cut early.
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def md5hex(s: String): String = TestReplay.md5hex(s)
     val rows = Seq.tabulate(300)(i =>
       (i.toLong, (i % 3) match { case 0 => "en"; case 1 => "de"; case _ => "fr" },
         (i % 7 + 1) * 10L))
@@ -3091,17 +3089,8 @@ class OperatorsSpec extends AnyFunSuite {
     val rows = Seq(Some("a") -> 100.0, Some("a") -> 700.0,
       Some("a") -> -50.0, Some("b") -> 10.0, Some("b") -> 20.0,
       None -> 5.0).toDF("g", "v")
-    // driver-side replay of the exact noise pipeline
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    def lap(key: String, b: Double): Double = {
-      val v = md5hex(key).take(12).foldLeft(0L)((acc, c) =>
-        acc * 16 + Character.digit(c, 16))
-      val u = (v + 0.5) / 281474976710656.0
-      val d = u - 0.5
-      -b * math.signum(d) * math.log(1.0 - 2.0 * math.abs(d))
-    }
+    // driver-side replay of the exact noise pipeline (shared spec twin)
+    def lap(key: String, b: Double): Double = TestReplay.laplace(key, b)
     val got = Privacy.dpGroupRelease(rows, Seq("g"), "v",
         lo = 0.0, hi = 500.0, epsCount = 1.0, epsSum = 0.5, seed = "s1")
       .collect().map(r => Option(r.getString(0)) ->
