@@ -1081,6 +1081,18 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // pipeline: fractional-epoch OVERsampling — "2.25 epochs of de,
+    // 0.4 of en" — the upsampling complement of q_mixture_sample's
+    // budget subsample; extra-copy membership is an exact integer
+    // md5-threshold draw, each copy carries a 0-based epoch index
+    "q_epoch_mix" -> ((s, dir) => {
+      Sampling.epochExpand(
+          table(s, dir, "documents").select("doc_id", "lang"),
+          "lang", "doc_id",
+          Seq("en" -> 0.4, "de" -> 2.25, "fr" -> 1.0, "zh" -> 0.8))
+        .orderBy("doc_id", "epoch")
+    }),
+
     // pipeline: GPT-style fixed-length sequence packing — docs
     // concatenate per language and SPLIT across 2048-token boundaries;
     // integral DIV math so the fragment table is engine-exact
@@ -5085,6 +5097,14 @@ object SparkEntry {
         |  FROM d)
         |SELECT lang, doc_id, n_tokens FROM a WHERE off < budget
         |ORDER BY lang, doc_id""".stripMargin,
+    // same integer threshold draw, same per-key CASE, UNNEST(range)
+    "q_epoch_mix" -> {
+      s"""SELECT doc_id, lang, epoch FROM (
+         |${Sampling.epochExpandOracleSql(
+             "(SELECT doc_id, lang FROM documents)", "doc_id", "lang",
+             Seq("en" -> 0.4, "de" -> 2.25, "fr" -> 1.0, "zh" -> 0.8))}
+         |) x ORDER BY doc_id, epoch""".stripMargin
+    },
     "q_temperature_mix" ->
       """WITH d AS (SELECT lang, doc_id,
         |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),

@@ -207,6 +207,75 @@ object Sampling {
       chain.fold(lit(splits.last._1))(_.otherwise(splits.last._1)))
   }
 
+  /** Fractional-epoch oversampling — the "2.3 epochs of wikipedia, 0.7
+    * of CommonCrawl" primitive of LLM training-data recipes, the
+    * OVERsampling complement of [[mixtureSample]]'s budget
+    * subsampling: every row of key k repeats ⌊e_k⌋ times, plus one more
+    * copy for a deterministic md5-chosen frac(e_k) share of the key's
+    * rows — so the realized multiplicity of key k converges to e_k with
+    * zero RNG (membership of the extra copy is recomputable from the
+    * row id alone). Keys absent from `epochs` get 0 — a deliberate
+    * drop, exactly [[mixtureSample]]'s convention. Each copy carries a
+    * 0-based `epoch` index so a downstream global shuffle can
+    * interleave copies instead of concatenating epochs.
+    *
+    * Engine-exactness: the extra-copy draw is an INTEGER comparison —
+    * md5Long48(id|epoch|key) < ⌊frac(e_k)·2^48⌋, both sides exact
+    * literals — no float seam for the oracle to miss by an ulp.
+    *
+    * Scale shape: pure map-side explode — no shuffle, no state; each
+    * task expands its own rows, output is Σ_k e_k·|k| rows by
+    * construction. The 100 TB note worth stating: expansion multiplies
+    * the SCAN's output, not the storage — feed it into the shuffle/
+    * write stage that consumes the mixture, never materialize the
+    * expanded corpus to disk unless the trainer requires it. */
+  def epochExpand(df: DataFrame, keyCol: String, idCol: String,
+                  epochs: Seq[(String, Double)],
+                  outCol: String = "epoch"): DataFrame = {
+    require(epochs.nonEmpty && epochs.forall(_._2 >= 0.0),
+      "epoch weights must be non-empty and non-negative")
+    require(epochs.map(_._1).distinct.size == epochs.size,
+      "duplicate keys in epoch weights")
+    val draw = DetRandom.md5Long48(concat_ws("|",
+      col(idCol).cast("string"), lit("epoch"), col(keyCol)))
+    def copiesOf(e: Double): Column = {
+      val full = math.floor(e).toLong
+      val thresh = ((e - full) * 281474976710656.0).toLong // frac·2^48
+      lit(full) + (draw < lit(thresh)).cast("long")
+    }
+    val chain = epochs.tail.foldLeft(
+      when(col(keyCol) === epochs.head._1, copiesOf(epochs.head._2))) {
+      case (acc, (k, e)) => acc.when(col(keyCol) === k, copiesOf(e))
+    }.otherwise(lit(0L))
+    df.withColumn("__copies", chain)
+      .where(col("__copies") > 0L)
+      .select(df.columns.map(col) :+
+        explode(sequence(lit(0L), col("__copies") - 1L)).as(outCol): _*)
+  }
+
+  /** DuckDB oracle twin of [[epochExpand]] as a full SELECT over
+    * `relation`: same integer threshold draw, same per-key CASE,
+    * UNNEST(range(copies)) for the epoch index. `idExpr`/`keyName` are
+    * the id expression and key column name; emits every `relation`
+    * column plus `epoch`. */
+  def epochExpandOracleSql(relation: String, idExpr: String,
+                           keyName: String,
+                           epochs: Seq[(String, Double)],
+                           outCol: String = "epoch"): String = {
+    val draw = DetRandom.md5Long48SqlExpr(
+      s"CAST($idExpr AS VARCHAR) || '|epoch|' || $keyName")
+    val cases = epochs.map { case (k, e) =>
+      val full = math.floor(e).toLong
+      val thresh = ((e - full) * 281474976710656.0).toLong
+      s"WHEN $keyName = '$k' THEN $full + " +
+        s"(CASE WHEN ($draw) < $thresh THEN 1 ELSE 0 END)"
+    }.mkString(" ")
+    s"""SELECT * EXCLUDE (__copies), UNNEST(range(__copies)) AS $outCol
+       |FROM (SELECT *, CAST((CASE $cases ELSE 0 END) AS BIGINT)
+       |    AS __copies FROM $relation) e
+       |WHERE __copies > 0""".stripMargin
+  }
+
   /** Leakage-safe train/val/test split: near-duplicates must land in the
     * SAME split, or evaluation on the held-out slice silently measures
     * memorization of the training slice. Group key = connected-component

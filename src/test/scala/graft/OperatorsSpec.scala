@@ -3084,6 +3084,37 @@ class OperatorsSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L))
   }
 
+  test("epochExpand: floor copies + md5-threshold extra, epoch indexing, drops") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i =>
+      (i, if (i <= 20) "a" else if (i <= 30) "b" else "x")).toDF("id", "k")
+    val got = Sampling.epochExpand(rows, "k", "id",
+        Seq("a" -> 1.5, "b" -> 0.5))
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    // driver-side replay: same fold, same integer threshold
+    def copies(id: Long, k: String, e: Double): Long = {
+      val full = math.floor(e).toLong
+      val thresh = ((e - full) * 281474976710656.0).toLong
+      full + (if (TestReplay.md5Long48(s"$id|epoch|$k") < thresh) 1L else 0L)
+    }
+    val want = (1L to 30L).flatMap { i =>
+      val k = if (i <= 20) "a" else "b"
+      val e = if (k == "a") 1.5 else 0.5
+      (0L until copies(i, k, e)).map(ep => (i, k, ep))
+    }.sorted
+    assert(got == want)
+    // unlisted key x dropped entirely; every 'a' row appears 1 or 2
+    // times (floor 1 + Bernoulli), 'b' rows 0 or 1 times
+    assert(!got.exists(_._2 == "x"))
+    val aCounts = got.filter(_._2 == "a").groupBy(_._1).map(_._2.size).toSet
+    assert(aCounts.subsetOf(Set(1, 2)) && aCounts.contains(2))
+    val bIds = got.filter(_._2 == "b").map(_._1).distinct
+    assert(bIds.nonEmpty && bIds.size < 10) // ~half of the 10 b rows
+    // epoch indices are dense 0..copies-1 per row
+    got.groupBy(r => (r._1, r._2)).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted == (0L until rs.size).toSeq) }
+  }
+
   test("dpGroupRelease: driver-side Laplace replay, clipping, determinism") {
     import spark.implicits._
     val rows = Seq(Some("a") -> 100.0, Some("a") -> 700.0,

@@ -12,13 +12,16 @@ object TestReplay {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** Driver-side replay of `Privacy.laplaceNoise`: the 48-bit md5 fold
-    * (first 12 hex digits), u = (v + ½)/2^48, Laplace inverse CDF at
-    * scale `b`. */
-  def laplace(key: String, b: Double): Double = {
-    val v = md5hex(key).take(12).foldLeft(0L)((acc, c) =>
+  /** Driver-side replay of `DetRandom.md5Long48`: the 48-bit fold of
+    * md5's first 12 hex digits. */
+  def md5Long48(key: String): Long =
+    md5hex(key).take(12).foldLeft(0L)((acc, c) =>
       acc * 16 + Character.digit(c, 16))
-    val u = (v + 0.5) / 281474976710656.0
+
+  /** Driver-side replay of `Privacy.laplaceNoise`: the 48-bit md5 fold,
+    * u = (v + ½)/2^48, Laplace inverse CDF at scale `b`. */
+  def laplace(key: String, b: Double): Double = {
+    val u = (md5Long48(key) + 0.5) / 281474976710656.0
     val d = u - 0.5
     -b * math.signum(d) * math.log(1.0 - 2.0 * math.abs(d))
   }
