@@ -3061,6 +3061,31 @@ object SparkEntry {
         .orderBy("walk_id", "step")
     }),
 
+    // graph embeddings END TO END — DeepWalk: the deterministic walk
+    // corpus becomes skip-gram pairs (window 1, both directions), and
+    // an in-engine SGNS trainer (word2vec objective, md5-uniform
+    // negatives, DECIMAL-exact gradients, 1e-9-grid updates) learns
+    // node vectors the oracle replays iteration by iteration
+    "q_node2vec" -> ((s, dir) => {
+      import graft.operators.{Embedding, GraphOps, UrlOps}
+      val ev = table(s, dir, "events")
+      val u = UrlOps.syntheticUrl(col("event_id"), col("user_id"), col("event_type"))
+      val edges = ev.select(UrlOps.hostOf(u).as("src"),
+        UrlOps.syntheticLinkHost(col("event_id"), col("user_id")).as("dst"))
+      // walks keep the default per-step snapshots: the trainer consumes
+      // the pair lineage several times (positives, negatives, vocab),
+      // so each re-read must be a parquet scan, not a frontier-join
+      // replay
+      val walks = GraphOps.deterministicWalks(edges, "src", "dst",
+        steps = 3, walksPerNode = 1)
+      val pairs = Embedding.skipGramPairs(walks, "walk_id", "step", "node",
+        window = 1)
+      Embedding.sgnsFit(pairs, "a", "b", dim = 4, iters = 2, lr = 0.5,
+          negs = 1, materializeEvery = 2)
+        .select(col("node"), col("pos"), round(col("v"), 9).as("v"))
+        .orderBy("node", "pos")
+    }),
+
     // crawl curation: per-host link-graph degree/weight profile — the
     // hub/authority sanity relation shipped next to a rank table
     "q_link_stats" -> ((s, dir) => {
@@ -6660,6 +6685,21 @@ object SparkEntry {
          |${GraphOps.deterministicWalksOracleCtes(steps = 4, walksPerNode = 2)}
          |SELECT walk_id, step, node FROM walks
          |ORDER BY walk_id, step""".stripMargin
+    },
+    // the full DeepWalk chain replayed: walks CTEs -> pair CTEs -> the
+    // SGNS trajectory unrolled (md5 init, md5 negatives, DECIMAL sums,
+    // q9 updates) — three generators COMPOSED, like q_textrank
+    "q_node2vec" -> {
+      import graft.operators.{Embedding, GraphOps, UrlOps}
+      s"""WITH u AS (SELECT ${UrlOps.hostSqlExpr(UrlOps.syntheticUrlSqlExpr)} AS src,
+         |        ${UrlOps.syntheticLinkHostSqlExpr} AS dst FROM events),
+         |e AS (SELECT DISTINCT src, dst FROM u WHERE src <> dst),
+         |${GraphOps.deterministicWalksOracleCtes(steps = 3, walksPerNode = 1)},
+         |seqs AS (SELECT walk_id AS sid, step AS p, node AS tok FROM walks),
+         |${Embedding.skipGramPairsOracleCtes(window = 1)},
+         |${Embedding.sgnsOracleCtes(dim = 4, iters = 2, lr = 0.5, negs = 1)}
+         |SELECT node, pos, round(v, 9) AS v FROM vin2
+         |ORDER BY node, pos""".stripMargin
     },
     "q_link_stats" -> {
       import graft.operators.UrlOps

@@ -1,0 +1,261 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-engine SGNS (skip-gram with negative sampling) embedding training
+  * — word2vec's objective (Mikolov et al., NIPS'13) applied to the
+  * [[GraphOps.deterministicWalks]] corpus, which makes it DeepWalk
+  * (Perozzi et al., KDD'14): walks become sentences, co-visited nodes
+  * get nearby vectors, and the whole graph-embedding pipeline
+  * (walk → skip-gram pairs → trainer) runs inside the engine with no
+  * export hop.
+  *
+  * Determinism contract (the [[LinearModel]] recipe, applied to a
+  * model that is a RELATION rather than one broadcast row): nothing
+  * float is ever summed raw — per-term products cast to
+  * DECIMAL(38,18) before every cross-row sum (pair score, both
+  * gradient aggregates), and both embedding matrices re-quantize to
+  * the 1e-9 grid after every update, so the trajectory is
+  * bit-replayable by the DuckDB oracle and invariant to partitioning.
+  * Initialization is md5-derived on an exact binary grid
+  * ((md5Long48(node|pos|side) mod 2049 − 1024)/2^14 ∈ [−1/16, 1/16])
+  * — zero init would be a saddle (all scores σ(0), symmetric zero
+  * gradients); md5 init is reproducible across engines with no RNG.
+  * Negatives are md5-uniform draws over the [[DetRandom.denseIndex]]
+  * node table keyed on (center|context|j) — the [[DetRandom
+  * .negativeSample]] trick per PAIR; a draw colliding with the true
+  * context is kept (standard SGNS, harmless bias at k·1/N).
+  *
+  * Scale shape: the training-pair relation materializes ONCE
+  * ([[Scratch]]); each iteration is three hash joins of the pair×dim
+  * relation against the two VOCAB-SIZED embedding relations (broadcast
+  * when vocab fits — the common case; keyed shuffle otherwise) + three
+  * aggregates, with both matrices snapshotting per round
+  * ([[GraphOps.pageRankNano]]'s lineage discipline). Nothing is
+  * driver-resident: a 10M-node vocabulary trains the same plan.
+  */
+object Embedding {
+
+  private val dec = "decimal(38,18)"
+
+  private def q9(c: Column): Column = floor(c * lit(1e9)) / lit(1e9)
+
+  /** Skip-gram pairs from a long-form sequence corpus (id, pos, tok):
+    * both directions of every co-occurrence within `window` positions
+    * — (a, b) AND (b, a), the symmetric-context SGNS convention. One
+    * self-join keyed on the sequence id, distance-bounded. */
+  def skipGramPairs(seqs: DataFrame, idCol: String, posCol: String,
+                    tokCol: String, window: Int = 1): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val l = seqs.select(col(idCol).as("__sid"), col(posCol).as("__p"),
+      col(tokCol).as("__a"))
+    val r = seqs.select(col(idCol).as("__sid"), col(posCol).as("__q"),
+      col(tokCol).as("__b"))
+    l.join(r, Seq("__sid"))
+      .where(col("__q") > col("__p") && col("__q") - col("__p") <= window)
+      .select(col("__a"), col("__b"))
+      .union(l.join(r, Seq("__sid"))
+        .where(col("__q") > col("__p") && col("__q") - col("__p") <= window)
+        .select(col("__b").as("__a"), col("__a").as("__b")))
+      .toDF("a", "b")
+  }
+
+  /** DuckDB twin of [[skipGramPairs]] over a CTE `seqs(sid, p, tok)`:
+    * emits bodies through `pairs(a, b)`. */
+  def skipGramPairsOracleCtes(window: Int): String =
+    s"""co AS (SELECT l.tok AS a, r.tok AS b
+       |  FROM seqs l JOIN seqs r ON l.sid = r.sid
+       |  WHERE r.p > l.p AND r.p - l.p <= $window),
+       |pairs AS (SELECT a, b FROM co UNION ALL SELECT b, a FROM co)""".stripMargin
+
+  /** The md5-grid initial value for (node, pos) on `side` ∈ {in, out}:
+    * exact binary fractions, identical in both engines. */
+  private def initVal(node: Column, pos: Column, side: String): Column =
+    (pmod(DetRandom.md5Long48(concat_ws("|", node.cast("string"),
+      pos.cast("string"), lit(side))), lit(2049L)) - lit(1024L))
+      .cast("double") / lit(16384.0)
+
+  private def initValSql(nodeSql: String, posSql: String,
+                         side: String): String = {
+    val fold = DetRandom.md5Long48SqlExpr(
+      s"CAST($nodeSql AS VARCHAR) || '|' || CAST($posSql AS VARCHAR) || '|$side'")
+    s"(CAST((($fold) % 2049) - 1024 AS DOUBLE) / 16384.0)"
+  }
+
+  /** `iters` full-batch SGNS steps over directed positive pairs
+    * (aCol → center, bCol → context), `negs` md5-uniform negatives per
+    * positive, dims 1..`dim`, learning rate `lr`. Returns the CENTER
+    * ("input") embedding relation (node, pos, v) — the vectors DeepWalk
+    * consumers use; every value exactly on the 1e-9 grid.
+    *
+    * Per iteration (all sums DECIMAL-cast):
+    * {{{
+    *   z(p)        = Σ_pos vin[c]·vout[x]          (per training pair)
+    *   g(p)        = σ(z) − y                       (y = 1 pos, 0 neg)
+    *   ∇in[c][d]   = Σ_p∋c  g·vout[x][d]
+    *   ∇out[x][d]  = Σ_p∋x  g·vin[c][d]
+    *   v ← q9(v − lr·∇/n)                           (n = training pairs)
+    * }}} */
+  def sgnsFit(pairs: DataFrame, aCol: String, bCol: String, dim: Int,
+              iters: Int = 2, lr: Double = 0.5, negs: Int = 1,
+              scratchDir: Option[String] = None,
+              materializeEvery: Int = 1): DataFrame = {
+    require(dim >= 1 && dim <= 64, s"dim must be in [1,64], got $dim")
+    require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
+    require(negs >= 1 && negs <= 8, s"negs must be in [1,8], got $negs")
+    require(materializeEvery >= 1, "materializeEvery must be >= 1")
+    val spark = pairs.sparkSession
+    val scratch = new Scratch(spark, "sgnsFit", "graft-sgns", scratchDir)
+    import scratch.{materialize, drop}
+
+    val pos = pairs.select(col(aCol).as("__c"), col(bCol).as("__x"))
+    val nodes = materialize(
+      pos.select(col("__c").as("node"))
+        .union(pos.select(col("__x").as("node"))).distinct(), "nodes")
+    // vocab-sized dense index — the deterministic negative-draw table
+    val indexed = DetRandom.denseIndex(nodes, "node")
+      .select(col("node").as("__neg"), col("idx"))
+    val nvocab = nodes.count()
+    // negatives: per positive pair and j, one md5-uniform node
+    val negRows = pos
+      .select(col("__c"), col("__x"),
+        explode(sequence(lit(1), lit(negs))).as("__j"))
+      .withColumn("idx", DetRandom.uniformMod(
+        concat_ws("|", col("__c").cast("string"), col("__x").cast("string"),
+          col("__j").cast("string")), lit(nvocab)))
+      .join(indexed, "idx")
+      .select(col("__c"), col("__neg").as("__x"), lit(0.0).as("__y"))
+    val train = materialize(
+      pos.select(col("__c"), col("__x"), lit(1.0).as("__y"))
+        .unionByName(negRows)
+        // a synthetic pair id keys the per-pair score join-back; it must
+        // be unique per TRAINING ROW (c, x, y can repeat), so it rides
+        // the deterministic content triple + a dup-rank
+        .withColumn("__pid", concat_ws("|", col("__c").cast("string"),
+          col("__x").cast("string"), col("__y").cast("string")))
+        .withColumn("__dup", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("__pid").orderBy("__pid")).cast("string"))
+        .select(concat_ws("#", col("__pid"), col("__dup")).as("__pid"),
+          col("__c"), col("__x"), col("__y")), "train")
+    val n = train.count()
+    val dims = (1 to dim).map(lit(_))
+    // inits are plain md5 projections over the (materialized) node
+    // relation — no snapshot needed; consumers recompute a map, not a
+    // shuffle
+    def init(side: String): DataFrame =
+      nodes.select(col("node"), explode(array(dims: _*)).as("pos"))
+        .select(col("node"), col("pos"),
+          q9(initVal(col("node"), col("pos"), side)).as("v"))
+    var vin = init("in")
+    var vout = init("out")
+    var lastSnap = Option.empty[Int]
+
+    var k = 1
+    while (k <= iters) {
+      // per-(pair, dim) products -> per-pair score -> gradient coefficient
+      val exploded = train
+        .select(col("__pid"), col("__c"), col("__x"), col("__y"),
+          explode(array(dims: _*)).as("pos"))
+        .join(vin.select(col("node").as("__c"), col("pos"),
+          col("v").as("__vi")), Seq("__c", "pos"))
+        .join(vout.select(col("node").as("__x"), col("pos"),
+          col("v").as("__vo")), Seq("__x", "pos"))
+      val scored = exploded
+        .groupBy("__pid")
+        .agg(first(col("__c")).as("__c"), first(col("__x")).as("__x"),
+          first(col("__y")).as("__y"),
+          sum((col("__vi") * col("__vo")).cast(dec)).cast("double").as("__z"))
+        .select(col("__pid"),
+          (lit(1.0) / (lit(1.0) + exp(-col("__z"))) - col("__y")).as("__g"))
+      val withG = exploded.join(scored, "__pid")
+      val gin = withG.groupBy(col("__c").as("node"), col("pos"))
+        .agg(sum((col("__g") * col("__vo")).cast(dec)).cast("double").as("__gr"))
+      val gout = withG.groupBy(col("__x").as("node"), col("pos"))
+        .agg(sum((col("__g") * col("__vi")).cast(dec)).cast("double").as("__gr"))
+      val vinU = vin.join(gin, Seq("node", "pos"), "left")
+        .select(col("node"), col("pos"),
+          q9(col("v") - lit(lr) * coalesce(col("__gr"), lit(0.0)) / n)
+            .as("v"))
+      val voutU = vout.join(gout, Seq("node", "pos"), "left")
+        .select(col("node"), col("pos"),
+          q9(col("v") - lit(lr) * coalesce(col("__gr"), lit(0.0)) / n)
+            .as("v"))
+      if (k % materializeEvery == 0 || k == iters) {
+        vin = materialize(vinU, s"vin$k")
+        vout = materialize(voutU, s"vout$k")
+        lastSnap.foreach { p => drop(s"vin$p"); drop(s"vout$p") }
+        lastSnap = Some(k)
+      } else {
+        vin = vinU
+        vout = voutU
+      }
+      k += 1
+    }
+    vin.select(col("node"), col("pos"), col("v"))
+  }
+
+  /** [[sgnsFit]] as DuckDB CTEs over a CTE `pairs(a, b)` (positives,
+    * directed). Emits bodies ending in `vin<iters>(node, pos, v)`;
+    * chain a final SELECT after it. Mirrors the Spark side term for
+    * term: same dense index, same md5 negative draws, same md5-grid
+    * init, DECIMAL(38,18) sums, q9 updates. */
+  def sgnsOracleCtes(dim: Int, iters: Int, lr: Double,
+                     negs: Int): String = {
+    val di = DetRandom.denseIndexSql("node", "nodes")
+    val negKey = DetRandom.md5Long48SqlExpr(
+      "CAST(p.a AS VARCHAR) || '|' || CAST(p.b AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)")
+    val head =
+      s"""nodes AS (SELECT DISTINCT a AS node FROM pairs
+         |  UNION SELECT DISTINCT b FROM pairs),
+         |didx AS MATERIALIZED ($di),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM nodes),
+         |negd AS (SELECT p.a AS c,
+         |    ($negKey) % (SELECT nv FROM nv) AS idx
+         |  FROM pairs p, generate_series(1, $negs) j(j)),
+         |negr AS (SELECT negd.c, d.node AS x, 0.0 AS y
+         |  FROM negd JOIN didx d USING (idx)),
+         |train0 AS (SELECT a AS c, b AS x, 1.0 AS y FROM pairs
+         |  UNION ALL SELECT c, x, y FROM negr),
+         |train AS MATERIALIZED (SELECT
+         |    CAST(c AS VARCHAR) || '|' || CAST(x AS VARCHAR) || '|' ||
+         |      CAST(y AS VARCHAR) || '#' ||
+         |      CAST(row_number() OVER (PARTITION BY c, x, y) AS VARCHAR)
+         |      AS pid, c, x, y
+         |  FROM train0),
+         |tn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM train),
+         |vin0 AS MATERIALIZED (SELECT node, i AS pos,
+         |    floor((${initValSql("node", "i", "in")}) * 1e9) / 1e9 AS v
+         |  FROM nodes, generate_series(1, $dim) t(i)),
+         |vout0 AS MATERIALIZED (SELECT node, i AS pos,
+         |    floor((${initValSql("node", "i", "out")}) * 1e9) / 1e9 AS v
+         |  FROM nodes, generate_series(1, $dim) t(i))""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""ex$k AS MATERIALIZED (SELECT t.pid, t.c, t.x, t.y, vi.pos,
+         |    vi.v AS vi, vo.v AS vo
+         |  FROM train t
+         |  JOIN vin${k - 1} vi ON vi.node = t.c
+         |  JOIN vout${k - 1} vo ON vo.node = t.x AND vo.pos = vi.pos),
+         |sc$k AS MATERIALIZED (SELECT pid,
+         |    1.0 / (1.0 + exp(-(CAST(sum(CAST(vi * vo AS DECIMAL(38,18)))
+         |      AS DOUBLE)))) - any_value(y) AS g
+         |  FROM ex$k GROUP BY pid),
+         |gin$k AS (SELECT e.c AS node, e.pos,
+         |    CAST(sum(CAST(s.g * e.vo AS DECIMAL(38,18))) AS DOUBLE) AS gr
+         |  FROM ex$k e JOIN sc$k s ON e.pid = s.pid GROUP BY e.c, e.pos),
+         |gout$k AS (SELECT e.x AS node, e.pos,
+         |    CAST(sum(CAST(s.g * e.vi AS DECIMAL(38,18))) AS DOUBLE) AS gr
+         |  FROM ex$k e JOIN sc$k s ON e.pid = s.pid GROUP BY e.x, e.pos),
+         |vin$k AS MATERIALIZED (SELECT p.node, p.pos,
+         |    floor((p.v - $lr * COALESCE(g.gr, 0.0) / tn.n) * 1e9) / 1e9 AS v
+         |  FROM vin${k - 1} p LEFT JOIN gin$k g
+         |    ON p.node = g.node AND p.pos = g.pos, tn),
+         |vout$k AS MATERIALIZED (SELECT p.node, p.pos,
+         |    floor((p.v - $lr * COALESCE(g.gr, 0.0) / tn.n) * 1e9) / 1e9 AS v
+         |  FROM vout${k - 1} p LEFT JOIN gout$k g
+         |    ON p.node = g.node AND p.pos = g.pos, tn)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+}

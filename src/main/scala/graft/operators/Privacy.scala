@@ -168,12 +168,12 @@ object Privacy {
     require(epsCount > 0 && epsSum > 0,
       s"epsilons must be > 0, got $epsCount / $epsSum")
     require(hi > lo, s"need hi > lo, got [$lo, $hi]")
-    val key = s"'$seed' || '|' || 'STAT' || '|' || " +
-      s"COALESCE(CAST($keyName AS VARCHAR), '<NULL>')"
+    def key(stat: String): String =
+      s"'$seed' || '|' || '$stat' || '|' || " +
+        s"COALESCE(CAST($keyName AS VARCHAR), '<NULL>')"
     val sumScale = math.max(math.abs(lo), math.abs(hi)) / epsSum
-    val nNoise = laplaceNoiseSqlExpr(key.replace("'STAT'", "'n'"),
-      1.0 / epsCount)
-    val sNoise = laplaceNoiseSqlExpr(key.replace("'STAT'", "'s'"), sumScale)
+    val nNoise = laplaceNoiseSqlExpr(key("n"), 1.0 / epsCount)
+    val sNoise = laplaceNoiseSqlExpr(key("s"), sumScale)
     s"""SELECT $keyName,
        |  CAST(n AS DOUBLE) + $nNoise AS n_dp,
        |  CAST(s AS DOUBLE) + $sNoise AS sum_dp

@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.Embedding
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SGNS trainer: skip-gram pair construction by hand, and a FULL
+  * driver-side replay of the training trajectory (md5-grid init, dense
+  * index + md5-uniform negatives, DECIMAL(38,18) sums, q9 updates) on
+  * a small pair set — the same differential discipline as
+  * GraphOpsSpec's PageRank brute force. */
+class EmbeddingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("skipGramPairs: window-bounded, both directions, per-sequence") {
+    val seqs = Seq(("w1", 0, "a"), ("w1", 1, "b"), ("w1", 2, "c"),
+      ("w2", 0, "x"), ("w2", 1, "y")).toDF("sid", "p", "tok")
+    val got = Embedding.skipGramPairs(seqs, "sid", "p", "tok", window = 1)
+      .as[(String, String)].collect().toSeq.sorted
+    assert(got == Seq("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "b",
+      "x" -> "y", "y" -> "x").sorted)
+    // window 2 adds the distance-2 pair within w1 only
+    val w2 = Embedding.skipGramPairs(seqs, "sid", "p", "tok", window = 2)
+      .as[(String, String)].collect().toSeq.sorted
+    assert(w2 == (got ++ Seq("a" -> "c", "c" -> "a")).sorted)
+  }
+
+  // ---- driver-side replay of the exact decimal/q9 arithmetic --------
+
+  private def dec18(x: Double): BigDecimal =
+    BigDecimal.valueOf(x).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+  private def q9(x: Double): Double = math.floor(x * 1e9) / 1e9
+  private def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+
+  /** Replay of DetRandom.denseIndex over `nodes` (buckets = 256). */
+  private def denseIdx(nodes: Seq[String]): Map[String, Long] = {
+    val byBucket = nodes.groupBy(n => TestReplay.md5Long48(n) % 256)
+    val ordered = byBucket.toSeq.sortBy(_._1).flatMap { case (_, ns) =>
+      ns.sortBy(n => (TestReplay.md5hex(n), n))
+    }
+    ordered.zipWithIndex.map { case (n, i) => n -> i.toLong }.toMap
+  }
+
+  private def bruteSgns(pos: Seq[(String, String)], dim: Int, iters: Int,
+                        lr: Double, negs: Int): Map[(String, Int), Double] = {
+    val nodes = (pos.map(_._1) ++ pos.map(_._2)).distinct
+    val idx = denseIdx(nodes)
+    val byIdx = idx.map(_.swap)
+    val nv = nodes.size.toLong
+    val negRows = for {
+      (c, x) <- pos; j <- 1 to negs
+    } yield (c, byIdx(TestReplay.md5Long48(s"$c|$x|$j") % nv), 0.0)
+    val train = pos.map { case (c, x) => (c, x, 1.0) } ++ negRows
+    val n = train.size
+    def init(side: String): collection.mutable.Map[(String, Int), Double] = {
+      val m = collection.mutable.Map[(String, Int), Double]()
+      for (nd <- nodes; p <- 1 to dim)
+        m((nd, p)) = q9((TestReplay.md5Long48(s"$nd|$p|$side") % 2049
+          - 1024).toDouble / 16384.0)
+      m
+    }
+    val vin = init("in"); val vout = init("out")
+    for (_ <- 1 to iters) {
+      val gs = train.map { case (c, x, y) =>
+        val z = (1 to dim).map(p => dec18(vin((c, p)) * vout((x, p))))
+          .sum.toDouble
+        (c, x, sigmoid(z) - y)
+      }
+      val gin = collection.mutable.Map[(String, Int), BigDecimal]()
+        .withDefaultValue(BigDecimal(0))
+      val gout = collection.mutable.Map[(String, Int), BigDecimal]()
+        .withDefaultValue(BigDecimal(0))
+      gs.foreach { case (c, x, g) =>
+        for (p <- 1 to dim) {
+          gin((c, p)) += dec18(g * vout((x, p)))
+          gout((x, p)) += dec18(g * vin((c, p)))
+        }
+      }
+      for (nd <- nodes; p <- 1 to dim) {
+        vin((nd, p)) = q9(vin((nd, p)) - lr * gin((nd, p)).toDouble / n)
+        vout((nd, p)) = q9(vout((nd, p)) - lr * gout((nd, p)).toDouble / n)
+      }
+    }
+    vin.toMap
+  }
+
+  test("sgnsFit: bit-identical to the driver-side decimal replay; " +
+       "moves pairs closer than non-pairs") {
+    val pos = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("d", "e"), ("e", "d"), ("a", "c"), ("c", "a"))
+    val got = Embedding.sgnsFit(pos.toDF("a", "b"), "a", "b",
+        dim = 4, iters = 3, lr = 1.0, negs = 2)
+      .as[(String, Int, Double)].collect()
+      .map { case (nd, p, v) => (nd, p) -> v }.toMap
+    val want = bruteSgns(pos, dim = 4, iters = 3, lr = 1.0, negs = 2)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) =>
+      assert(v == want(k), s"$k: $v != ${want(k)}") }
+    // the trained vectors actually moved off their init
+    val init = (for (nd <- Seq("a", "b", "c", "d", "e"); p <- 1 to 4)
+      yield (nd, p) -> q9((TestReplay.md5Long48(s"$nd|$p|in") % 2049
+        - 1024).toDouble / 16384.0)).toMap
+    assert(got.exists { case (k, v) => v != init(k) })
+  }
+
+  test("sgnsFit: partition-invariant (decimal sums, no order seams)") {
+    val pos = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+    def run(parts: Int) = Embedding.sgnsFit(
+        pos.toDF("a", "b").repartition(parts), "a", "b",
+        dim = 2, iters = 2, lr = 0.5, negs = 1)
+      .as[(String, Int, Double)].collect().toSet
+    assert(run(1) == run(7))
+  }
+}
