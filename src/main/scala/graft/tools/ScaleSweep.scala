@@ -321,6 +321,21 @@ object ScaleSweep {
       graft.operators.GraphOps.deterministicWalks(e, "src", "dst",
         steps = 4, walksPerNode = 1)
     })
+    // SGNS trainer slope on a k-scaled pair corpus (vocab AND pairs
+    // both grow with k): one iteration's three joins + three aggregates
+    // against the vocab-sized matrices — the per-iteration cost a
+    // 100 TB walk corpus pays times iters
+    sweep("sgns")(k => {
+      val nNodes = lit(2000L * k)
+      val p = evAt(k).select(
+        concat(lit("n"), pmod(col("event_id"), nNodes).cast("string"))
+          .as("a"),
+        concat(lit("n"), pmod(col("event_id") * 7 + col("user_id"), nNodes)
+          .cast("string")).as("b"))
+        .where(col("a") =!= col("b")).distinct()
+      graft.operators.Embedding.sgnsFit(p, "a", "b", dim = 4,
+        iters = 1, lr = 0.5, negs = 1)
+    })
     sweep("bpe_pairs")(k =>
       TextAnalysis.bpeTopPairs(docsAt(k), "text", k = 40))
     sweep("zorder_cluster")(k => graft.operators.ZOrder.clusterByZ(
