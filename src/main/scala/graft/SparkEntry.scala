@@ -5126,7 +5126,7 @@ object SparkEntry {
     "q_epoch_mix" -> {
       s"""SELECT doc_id, lang, epoch FROM (
          |${Sampling.epochExpandOracleSql(
-             "(SELECT doc_id, lang FROM documents)", "doc_id", "lang",
+             "(SELECT doc_id, lang FROM documents)", "lang", "doc_id",
              Seq("en" -> 0.4, "de" -> 2.25, "fr" -> 1.0, "zh" -> 0.8))}
          |) x ORDER BY doc_id, epoch""".stripMargin
     },

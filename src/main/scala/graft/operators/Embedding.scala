@@ -52,12 +52,12 @@ object Embedding {
       col(tokCol).as("__a"))
     val r = seqs.select(col(idCol).as("__sid"), col(posCol).as("__q"),
       col(tokCol).as("__b"))
-    l.join(r, Seq("__sid"))
+    // one co-occurrence subtree, both directions off it — the same
+    // shape as the oracle twin's co/pairs split
+    val co = l.join(r, Seq("__sid"))
       .where(col("__q") > col("__p") && col("__q") - col("__p") <= window)
-      .select(col("__a"), col("__b"))
-      .union(l.join(r, Seq("__sid"))
-        .where(col("__q") > col("__p") && col("__q") - col("__p") <= window)
-        .select(col("__b").as("__a"), col("__a").as("__b")))
+    co.select(col("__a"), col("__b"))
+      .union(co.select(col("__b").as("__a"), col("__a").as("__b")))
       .toDF("a", "b")
   }
 
@@ -129,15 +129,20 @@ object Embedding {
     val train = materialize(
       pos.select(col("__c"), col("__x"), lit(1.0).as("__y"))
         .unionByName(negRows)
-        // a synthetic pair id keys the per-pair score join-back; it must
-        // be unique per TRAINING ROW (c, x, y can repeat), so it rides
-        // the deterministic content triple + a dup-rank
-        .withColumn("__pid", concat_ws("|", col("__c").cast("string"),
-          col("__x").cast("string"), col("__y").cast("string")))
+        // a synthetic pair id keys the per-pair score join-back; it
+        // must be unique per TRAINING ROW (c, x, y can repeat), so it
+        // rides the content triple + a dup-rank. Node values are
+        // md5-ESCAPED into the string (fixed-width hex, no separator
+        // chars), so a node id containing '|' cannot alias two
+        // distinct triples to one pid; the rank partitions by the TRUE
+        // triple, matching the oracle
         .withColumn("__dup", row_number().over(
           org.apache.spark.sql.expressions.Window
-            .partitionBy("__pid").orderBy("__pid")).cast("string"))
-        .select(concat_ws("#", col("__pid"), col("__dup")).as("__pid"),
+            .partitionBy("__c", "__x", "__y").orderBy("__c"))
+          .cast("string"))
+        .select(concat_ws("|", md5(col("__c").cast("string")),
+          md5(col("__x").cast("string")), col("__y").cast("string"),
+          col("__dup")).as("__pid"),
           col("__c"), col("__x"), col("__y")), "train")
     val n = train.count()
     val dims = (1 to dim).map(lit(_))
@@ -164,12 +169,16 @@ object Embedding {
           col("v").as("__vo")), Seq("__x", "pos"))
       val scored = exploded
         .groupBy("__pid")
-        .agg(first(col("__c")).as("__c"), first(col("__x")).as("__x"),
-          first(col("__y")).as("__y"),
+        .agg(first(col("__y")).as("__y"),
           sum((col("__vi") * col("__vo")).cast(dec)).cast("double").as("__z"))
         .select(col("__pid"),
           (lit(1.0) / (lit(1.0) + exp(-col("__z"))) - col("__y")).as("__g"))
-      val withG = exploded.join(scored, "__pid")
+      // the pair-by-dim join is the iteration's dominant subtree and
+      // BOTH matrix snapshots consume it — cache it for the duration of
+      // this iteration's actions (exchange reuse does not span separate
+      // write actions), released deterministically per round
+      val iterScope = new CacheScope()
+      val withG = iterScope.cache(exploded.join(scored, "__pid"))
       val gin = withG.groupBy(col("__c").as("node"), col("pos"))
         .agg(sum((col("__g") * col("__vo")).cast(dec)).cast("double").as("__gr"))
       val gout = withG.groupBy(col("__x").as("node"), col("pos"))
@@ -191,6 +200,7 @@ object Embedding {
         vin = vinU
         vout = voutU
       }
+      iterScope.close()
       k += 1
     }
     vin.select(col("node"), col("pos"), col("v"))
@@ -219,8 +229,8 @@ object Embedding {
          |train0 AS (SELECT a AS c, b AS x, 1.0 AS y FROM pairs
          |  UNION ALL SELECT c, x, y FROM negr),
          |train AS MATERIALIZED (SELECT
-         |    CAST(c AS VARCHAR) || '|' || CAST(x AS VARCHAR) || '|' ||
-         |      CAST(y AS VARCHAR) || '#' ||
+         |    md5(CAST(c AS VARCHAR)) || '|' || md5(CAST(x AS VARCHAR)) || '|' ||
+         |      CAST(y AS VARCHAR) || '|' ||
          |      CAST(row_number() OVER (PARTITION BY c, x, y) AS VARCHAR)
          |      AS pid, c, x, y
          |  FROM train0),

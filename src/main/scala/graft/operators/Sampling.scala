@@ -258,8 +258,8 @@ object Sampling {
     * UNNEST(range(copies)) for the epoch index. `idExpr`/`keyName` are
     * the id expression and key column name; emits every `relation`
     * column plus `epoch`. */
-  def epochExpandOracleSql(relation: String, idExpr: String,
-                           keyName: String,
+  def epochExpandOracleSql(relation: String, keyName: String,
+                           idExpr: String,
                            epochs: Seq[(String, Double)],
                            outCol: String = "epoch"): String = {
     val draw = DetRandom.md5Long48SqlExpr(

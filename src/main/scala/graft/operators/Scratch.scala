@@ -20,8 +20,6 @@ private[operators] final class Scratch(spark: SparkSession, caller: String,
     org.apache.spark.sql.GraftSqlBridge.managedTempDir(prefix).getAbsolutePath)
   private val hadoopConf = spark.sessionState.newHadoopConf()
 
-  def dir: String = tmp
-
   def materialize(df: DataFrame, name: String): DataFrame = {
     val p = tmp + "/" + name
     df.write.mode("overwrite").parquet(p)
