@@ -156,6 +156,8 @@ object Embedding {
     var vin = init("in")
     var vout = init("out")
     var lastSnap = Option.empty[Int]
+    val pendingScopes =
+      scala.collection.mutable.ArrayBuffer.empty[CacheScope]
 
     var k = 1
     while (k <= iters) {
@@ -174,11 +176,16 @@ object Embedding {
         .select(col("__pid"),
           (lit(1.0) / (lit(1.0) + exp(-col("__z"))) - col("__y")).as("__g"))
       // the pair-by-dim join is the iteration's dominant subtree and
-      // BOTH matrix snapshots consume it — cache it for the duration of
-      // this iteration's actions (exchange reuse does not span separate
-      // write actions), released deterministically per round
+      // BOTH matrix lineages (gin, gout) consume it — cache it until
+      // the next ACTION that reads it completes. On snapshot
+      // iterations that's this round's two writes; on lazy iterations
+      // (materializeEvery > 1) no action runs this round, so the scope
+      // must stay open until the next snapshot's writes — closing it
+      // now would unpersist an empty cache and recompute the whole
+      // subtree twice inside that snapshot's plan
       val iterScope = new CacheScope()
       val withG = iterScope.cache(exploded.join(scored, "__pid"))
+      pendingScopes += iterScope
       val gin = withG.groupBy(col("__c").as("node"), col("pos"))
         .agg(sum((col("__g") * col("__vo")).cast(dec)).cast("double").as("__gr"))
       val gout = withG.groupBy(col("__x").as("node"), col("pos"))
@@ -196,13 +203,20 @@ object Embedding {
         vout = materialize(voutU, s"vout$k")
         lastSnap.foreach { p => drop(s"vin$p"); drop(s"vout$p") }
         lastSnap = Some(k)
+        // the snapshot's writes were the actions all open scopes were
+        // held for; the parquet re-read cuts the lineage, so every
+        // cached subtree (this round's and the lazy rounds' since the
+        // last snapshot) is now dead weight
+        pendingScopes.foreach(_.close())
+        pendingScopes.clear()
       } else {
         vin = vinU
         vout = voutU
       }
-      iterScope.close()
       k += 1
     }
+    pendingScopes.foreach(_.close())
+    pendingScopes.clear()
     vin.select(col("node"), col("pos"), col("v"))
   }
 

@@ -168,8 +168,13 @@ object Privacy {
     require(epsCount > 0 && epsSum > 0,
       s"epsilons must be > 0, got $epsCount / $epsSum")
     require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    // the seed is caller data interpolated into a SQL literal — a
+    // quote inside it must render as a literal quote ('' in SQL), not
+    // malform the oracle while the Spark twin (a lit Column, immune)
+    // keys on the raw value
+    val seedLit = "'" + seed.replace("'", "''") + "'"
     def key(stat: String): String =
-      s"'$seed' || '|' || '$stat' || '|' || " +
+      s"$seedLit || '|' || '$stat' || '|' || " +
         s"COALESCE(CAST($keyName AS VARCHAR), '<NULL>')"
     val sumScale = math.max(math.abs(lo), math.abs(hi)) / epsSum
     val nNoise = laplaceNoiseSqlExpr(key("n"), 1.0 / epsCount)

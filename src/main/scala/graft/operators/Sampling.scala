@@ -236,8 +236,18 @@ object Sampling {
       "epoch weights must be non-empty and non-negative")
     require(epochs.map(_._1).distinct.size == epochs.size,
       "duplicate keys in epoch weights")
+    require(!df.columns.contains(outCol) && !df.columns.contains("__copies"),
+      s"input already has a '$outCol' or '__copies' column")
+    // NULL ids coalesce to a sentinel (concat_ws would silently SKIP
+    // the NULL — every null-id row of a key would then share ONE
+    // extra-copy draw, and DuckDB's || would NULL the whole key: two
+    // engines, two behaviors). With the sentinel both twins draw the
+    // same per-row key; null-id rows still share a draw WITHIN a key
+    // (they are indistinguishable by construction), which the oracle
+    // now reproduces exactly
     val draw = DetRandom.md5Long48(concat_ws("|",
-      col(idCol).cast("string"), lit("epoch"), col(keyCol)))
+      coalesce(col(idCol).cast("string"), lit("<NULL>")),
+      lit("epoch"), col(keyCol)))
     def copiesOf(e: Double): Column = {
       val full = math.floor(e).toLong
       val thresh = ((e - full) * 281474976710656.0).toLong // frac·2^48
@@ -263,11 +273,11 @@ object Sampling {
                            epochs: Seq[(String, Double)],
                            outCol: String = "epoch"): String = {
     val draw = DetRandom.md5Long48SqlExpr(
-      s"CAST($idExpr AS VARCHAR) || '|epoch|' || $keyName")
+      s"COALESCE(CAST($idExpr AS VARCHAR), '<NULL>') || '|epoch|' || $keyName")
     val cases = epochs.map { case (k, e) =>
       val full = math.floor(e).toLong
       val thresh = ((e - full) * 281474976710656.0).toLong
-      s"WHEN $keyName = '$k' THEN $full + " +
+      s"WHEN $keyName = '${k.replace("'", "''")}' THEN $full + " +
         s"(CASE WHEN ($draw) < $thresh THEN 1 ELSE 0 END)"
     }.mkString(" ")
     s"""SELECT * EXCLUDE (__copies), UNNEST(range(__copies)) AS $outCol

@@ -1540,14 +1540,28 @@ object GraftStreaming {
     * [[graft.operators.Privacy.dpGroupRelease]]'s count leg: per
     * event-time window, the event count published with deterministic
     * Laplace noise (count sensitivity 1 → scale 1/ε) keyed on
-    * (seed, window start). The PRF keying means every re-emission of a
-    * window (complete-mode drains, late-data refinements) releases the
-    * SAME draw for the same true count — a stable published series the
-    * batch oracle replays term for term; the seed is the release
-    * secret (computational DP — see [[graft.operators.Privacy
-    * .laplaceNoise]]). ONE stateful windowed aggregate (one long of
-    * state per live window, watermark-pruned in append/update output
-    * modes) + a map-only noise attach on emission. */
+    * (seed, window start); the seed is the release secret
+    * (computational DP — see [[graft.operators.Privacy.laplaceNoise]]).
+    *
+    * DP CONTRACT — exactly ONE release per window may be published.
+    * Because the noise is a PRF of (seed, window) only, two emissions
+    * of the SAME window with DIFFERENT true counts carry the identical
+    * draw, so their difference is the exact count delta with ZERO
+    * noise — publishing an emitted series of a still-changing window
+    * voids the ε guarantee. Safe drain shapes: `append` output mode
+    * (each window emits once, after the watermark closes it — the
+    * continuous-run shape), or a single terminal `complete`-mode
+    * snapshot of a bounded replay (the q_stream_dp drain). Update-mode
+    * or repeated complete-mode publications of live windows are NOT
+    * ε-DP under this keying; to publish refinements, draw per-emission
+    * noise and account the composed budget caller-side. Re-emitting a
+    * window whose true count did NOT change is harmless (same release
+    * verbatim) — which is why the deterministic keying is kept: the
+    * batch oracle replays the final series term for term.
+    *
+    * ONE stateful windowed aggregate (one long of state per live
+    * window, watermark-pruned in append/update output modes) + a
+    * map-only noise attach on emission. */
   def dpCountStream(events: DataFrame, eps: Double, seed: String,
                     watermark: String = "1 hour",
                     window_ : String = "1 hour"): DataFrame = {
