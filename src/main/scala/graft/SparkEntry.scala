@@ -1745,6 +1745,27 @@ object SparkEntry {
         num = 8L, den = 10L) // recall@10 >= 0.8 at nprobe 4/16
     }),
 
+    // IVF-PQ + exact re-rank (the FAISS refine stage): 6·k ADC
+    // candidates fetch their RAW vectors back by id (candidate-bounded
+    // broadcast join — the 100 TB corpus is scanned, never shuffled)
+    // and the final top-10 is true cosine — which must CLEAR a recall
+    // bar strictly above q_ivfpq_recall's unrefined 0.8 on the same
+    // clustered fixture, same nprobe. The oracle recomputes the exact
+    // side and pins the claim TRUE
+    "q_ivfpq_rerank" -> ((s, dir) => {
+      val ce = clusteredEmb(s, dir)
+      Similarity.buildIvfPqIndex(ce, "vec_id", "embedding",
+        "graft_ivfpq_rr", nlist = 16, buckets = 8)
+      val queries = ce.where(col("vec_id") < 10)
+      recallContract(
+        Similarity.bruteForceTopK(ce, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 10),
+        Similarity.ivfPqTopKRefined(s, "graft_ivfpq_rr",
+          queries, "vec_id", "embedding", ce, "vec_id", "embedding",
+          k = 10, refine = 6, nprobe = 4),
+        num = 9L, den = 10L) // recall@10 >= 0.9: re-rank must beat 0.8
+    }),
+
     // banded hyperplane-LSH embedding dedup, generate→verify. Identical
     // vectors produce identical buckets in EVERY band (same deterministic
     // expression), so recall on exact copies is 1 by construction; planted
@@ -2255,6 +2276,28 @@ object SparkEntry {
       val framed = Multimodal.withImagePayload(docs.unionAll(copies), "text")
       Multimodal.imageNearDup(framed, "doc_id", "content",
         dim = 8, maxHamming = 0)
+        .orderBy("id_l", "id_r")
+    }),
+
+    // multimodal, real-codec leg: the SAME deterministic raster encoded
+    // once as PNG and once as JPEG (javax.imageio both ways) must pair
+    // inside a small hamming ball through the REAL pixel decode → luma
+    // grid → dHash — the cross-container promise the byte path cannot
+    // make. The raster is text-deterministic, so the oracle is text
+    // equality over the planted corpus (q_image_dedup's pattern); the
+    // hamming value itself is codec-noise-dependent and stays out of
+    // the compared columns
+    "q_image_dedup2" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+        .where(col("doc_id") < 120)
+      val png = Multimodal.withEncodedImagePayload(docs, "text", "png",
+        minPartitions = Some(8))
+      val jpg = Multimodal.withEncodedImagePayload(
+        docs.select((col("doc_id") + 500000L).as("doc_id"), col("text")),
+        "text", "jpeg", minPartitions = Some(8))
+      Multimodal.imageNearDup(png.unionByName(jpg), "doc_id", "content",
+          dim = 8, maxHamming = 4)
+        .select("id_l", "id_r")
         .orderBy("id_l", "id_r")
     }),
 
@@ -5621,26 +5664,12 @@ object SparkEntry {
     // exact side recomputed; the partial-probe recall claim is Spark's
     // to prove (oracle asserts it TRUE)
     "q_ivf_recall" -> AnnRecallOracle,
+    // the refine stage answers to the SAME clustered-fixture exact-side
+    // oracle as q_ivfpq_recall, at the higher bar its re-rank must clear
+    "q_ivfpq_rerank" -> ClusteredRecallOracle,
     // same exhaustive-count shape over the clustered fixture; the
     // partial-probe PQ recall claim is Spark's to prove
-    "q_ivfpq_recall" ->
-      s"""WITH $ClusteredEmbCte,
-         |q AS (SELECT vec_id AS query_id, embedding AS qv
-         |      FROM ce WHERE vec_id < 10),
-         |scored AS (
-         |  SELECT q.query_id, e.vec_id AS neighbor_id,
-         |    list_sum(list_transform(list_zip(e.embedding, q.qv),
-         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
-         |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
-         |     sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
-         |  FROM ce e, q WHERE e.vec_id <> q.query_id),
-         |ranked AS (SELECT query_id, neighbor_id,
-         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-         |  FROM scored)
-         |SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
-         |  CAST(count(*) AS BIGINT) AS n_exact,
-         |  TRUE AS recall_ok
-         |FROM ranked WHERE rank <= 10""".stripMargin,
+    "q_ivfpq_recall" -> ClusteredRecallOracle,
     // streamed probe drain ≡ single batch probe at nprobe = nlist:
     // the q_ivf_indexed exhaustive oracle verbatim
     "q_stream_ivf" ->
@@ -6284,6 +6313,17 @@ object SparkEntry {
         |  SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 500000, text FROM documents WHERE doc_id < 15)
         |SELECT a.doc_id AS id_l, b.doc_id AS id_r, 0 AS hamming
+        |FROM all_docs a JOIN all_docs b
+        |  ON a.text = b.text AND a.doc_id < b.doc_id
+        |ORDER BY id_l, id_r""".stripMargin,
+    // every doc's PNG pairs with its JPEG twin (same raster, two
+    // codecs); equal TEXTS pair across ids too — the raster is a pure
+    // function of the text, so text equality is the full ground truth
+    "q_image_dedup2" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+        |all_docs AS (SELECT doc_id, text FROM d
+        |  UNION ALL SELECT doc_id + 500000, text FROM d)
+        |SELECT a.doc_id AS id_l, b.doc_id AS id_r
         |FROM all_docs a JOIN all_docs b
         |  ON a.text = b.text AND a.doc_id < b.doc_id
         |ORDER BY id_l, id_r""".stripMargin,
@@ -7830,6 +7870,27 @@ object SparkEntry {
   /** Shared exact side of the ANN recall contracts — the approx claim
     * is Spark's to prove, so both oracles are the identical exhaustive
     * top-10 count + TRUE. */
+  /** [[AnnRecallOracle]] over the CLUSTERED PQ fixture — the exact side
+    * q_ivfpq_recall and q_ivfpq_rerank both answer to. */
+  private lazy val ClusteredRecallOracle: String =
+    s"""WITH $ClusteredEmbCte,
+       |q AS (SELECT vec_id AS query_id, embedding AS qv
+       |      FROM ce WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+       |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+       |     sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+       |  FROM ce e, q WHERE e.vec_id <> q.query_id),
+       |ranked AS (SELECT query_id, neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+       |  CAST(count(*) AS BIGINT) AS n_exact,
+       |  TRUE AS recall_ok
+       |FROM ranked WHERE rank <= 10""".stripMargin
+
   private lazy val AnnRecallOracle: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
       |           FROM embeddings WHERE vec_id < 10),

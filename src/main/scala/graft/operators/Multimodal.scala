@@ -9,16 +9,22 @@ import org.apache.spark.sql.catalyst.encoders.RowEncoder
   * `binary` columns plus typed metadata structs.
   *
   * The container layer is REAL: [[ImageCodec.probe]] parses actual public
-  * image container headers (binary PPM `P6` and BMP `BM` — both fully
-  * documented formats needing no codec libraries), and
-  * [[ImageCodec.features]] mean-pools the raster bytes into a fixed-dim
-  * vector. [[withImagePayload]] synthesizes valid P6 payloads from a text
-  * column (this container has no image files), with header dimensions
-  * derived from SQL-expressible facts so the DuckDB oracle can verify the
-  * parse end-to-end: synthesis writes the header with expressions, the
-  * probe re-reads it with the byte parser, and the two must agree.
-  * Compressed formats (JPEG/PNG decode) would slot into [[ImageCodec]]
-  * without touching the Spark plumbing.
+  * image container headers with hand-rolled byte walkers (PPM/BMP/PNG/
+  * JPEG/GIF — metadata never needs a codec), and [[ImageCodec.features]]
+  * produces a fixed-dim vector two ways: PPM (and unknown containers)
+  * mean-pool the raw raster bytes — deterministic arithmetic a SQL
+  * oracle can replay — while COMPRESSED containers (PNG/JPEG/GIF/BMP)
+  * decode through the JDK's `javax.imageio.ImageIO` to real pixels and
+  * area-pool the luma plane, so perceptual hashes survive re-encoding
+  * (the same raster saved as PNG and as JPEG lands on the same grid).
+  * A payload that wears a compressed header but does not decode (crawl
+  * garbage, or the expression-synthesized [[withPngPayload]] fixtures)
+  * falls back to byte pooling rather than failing the pipeline.
+  * [[withImagePayload]] synthesizes valid P6 payloads from a text
+  * column, with header dimensions derived from SQL-expressible facts so
+  * the DuckDB oracle can verify the parse end-to-end;
+  * [[withEncodedImagePayload]] encodes a REAL deterministic raster as
+  * PNG or JPEG via ImageIO for the re-encode dedup fixtures.
   *
   * Scale design: decode work is embarrassingly parallel per row but
   * memory-heavy per item, so [[decodeImages]]/[[probeImages]] go through
@@ -36,10 +42,72 @@ object Multimodal {
     StructField("channels", IntegerType, nullable = false),
     StructField("format", StringType, nullable = false)))
 
-  /** Container-header codec for the two library-free public image formats.
-    * Swap/extend this object for compressed formats; the Spark plumbing
-    * (schemas, partitioning, batch shape) does not change. */
+  /** Container codec: byte-walk header parsers for metadata (probe never
+    * allocates a raster) + a two-path feature kernel — raw-byte pooling
+    * for PPM/unknown, real `javax.imageio` pixel decode for compressed
+    * containers. The Spark plumbing (schemas, partitioning, batch shape)
+    * is format-agnostic. */
   object ImageCodec {
+
+    // one-time JVM hygiene for executor-side ImageIO use: no AWT display
+    // is ever needed for BufferedImage work, and the disk-backed stream
+    // cache would put scratch files on every executor for no benefit
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** containers [[features]] routes through the real pixel decoder */
+    private val imageIoFormats = Set("png", "jpeg", "gif", "bmp")
+
+    /** Real pixel decode → g×g area-mean luma grid in [0,1], row-major.
+      * Each output cell is the mean luma of its pixel rectangle (the
+      * g-bucket split of rows × columns), so the grid is stable under
+      * re-encoding: PNG (lossless) reproduces it exactly and a
+      * high-quality JPEG of the same raster lands within quantization
+      * noise — the property [[imageNearDup]]'s dHash needs. Returns
+      * None when the payload does not decode (truncated/garbage crawl
+      * bytes, headerless fixtures) — callers fall back to byte pooling
+      * rather than failing the partition. */
+    private[operators] def lumaGridIO(bytes: Array[Byte],
+                                      g: Int): Option[Array[Float]] = {
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val acc = new Array[Double](g * g)
+          val cnt = new Array[Long](g * g)
+          val rowBuf = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, rowBuf, 0, w)
+            val gy = (y.toLong * g / h).toInt
+            var x = 0
+            while (x < w) {
+              val gx = (x.toLong * g / w).toInt
+              val rgb = rowBuf(x)
+              val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+                (rgb & 0xFF)) / 3.0
+              val i = gy * g + gx
+              acc(i) += lum
+              cnt(i) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val out = new Array[Float](g * g)
+          var i = 0
+          while (i < g * g) {
+            if (cnt(i) > 0) out(i) = (acc(i) / cnt(i) / 255.0).toFloat
+            i += 1
+          }
+          Some(out)
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => None // OOM et al. propagate
+      }
+    }
 
     /** (width, height, channels, format, rasterOffset) or None. */
     private[operators] def parse(b: Array[Byte]): Option[(Int, Int, Int, String, Int)] = {
@@ -197,13 +265,27 @@ object Multimodal {
         case None => (0, 0, 0, "unknown")
       }
 
-    /** Real decode kernel: mean-pool the raster's unsigned bytes into
-      * `dim` contiguous buckets, normalized to [0,1]. Truncated rasters
-      * (header promises more pixels than the payload carries) pool what
-      * exists — the defensive posture for crawled data. Unknown containers
-      * pool the whole payload. */
-    def features(bytes: Array[Byte], dim: Int): Array[Float] =
-      poolBytes(bytes, parse(bytes).map(_._5).getOrElse(0), dim)
+    /** Decode kernel, two paths. COMPRESSED containers (PNG/JPEG/GIF/
+      * BMP) with a perfect-square `dim` decode through ImageIO to real
+      * pixels and area-pool the luma plane into a √dim × √dim row-major
+      * grid — re-encodings of the same raster land on (nearly) the same
+      * vector, which is what perceptual dedup needs. Everything else —
+      * PPM (the oracle-exact fixture format), unknown containers,
+      * non-square dims, and compressed headers whose body does NOT
+      * decode (crawl garbage) — mean-pools the raw payload bytes after
+      * the header into `dim` contiguous buckets, normalized to [0,1]:
+      * deterministic byte arithmetic a SQL oracle can replay. Truncated
+      * rasters pool what exists — the defensive posture for crawled
+      * data. */
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val parsed = parse(bytes)
+      val g = math.sqrt(dim.toDouble).toInt
+      val viaIo =
+        if (g * g == dim && parsed.exists(p => imageIoFormats(p._4)))
+          lumaGridIO(bytes, g)
+        else None
+      viaIo.getOrElse(poolBytes(bytes, parsed.map(_._5).getOrElse(0), dim))
+    }
   }
 
   /** Shared payload-pooling kernel: mean of unsigned bytes per bucket,
@@ -274,6 +356,115 @@ object Multimodal {
       .withColumn("meta", struct(
         w.as("width"), h.as("height"),
         lit(3).as("channels"), lit("png").as("format")))
+  }
+
+  /** Deterministic cell-level pattern for the encoded-raster fixtures:
+    * cell (r, c) of a `cells`×`cells` grid carries one of 16 gray levels
+    * drawn from md5(src|r|c), bumped to always differ from its LEFT
+    * neighbor — the exact property dHash inspects — so a high-quality
+    * JPEG's quantization noise (≲2/255 on block-aligned constant cells)
+    * can never flip a comparison whose margin is 16/255. Pure function
+    * of the source string: the oracle reasons about src equality, never
+    * about codec bytes. */
+  private[graft] def cellLevels(src: String, cells: Int): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Int](cells * cells)
+    var r = 0
+    while (r < cells) {
+      var c = 0
+      while (c < cells) {
+        val d = md.digest(s"$src|$r|$c".getBytes("UTF-8"))
+        var lvl = d(0) & 0x0F
+        if (c > 0 && lvl == out(r * cells + c - 1)) lvl = (lvl + 1) % 16
+        out(r * cells + c) = lvl
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Wrap a text/id table into a multimodal frame holding a REAL encoded
+    * image: a deterministic `cells`×`cells` block raster derived from the
+    * source text ([[cellLevels]]), rendered at `cellPx` pixels per cell
+    * and encoded through `javax.imageio` as `"png"` (lossless) or
+    * `"jpeg"` (quality 0.95). The same text always yields the same
+    * raster, so a PNG and a JPEG of equal texts are re-encodings of ONE
+    * image — the planted ground truth for [[imageNearDup]]'s perceptual
+    * small-ball. Grayscale on purpose: no chroma subsampling seam.
+    * `cellPx = 8` aligns cells to JPEG's 8×8 DCT blocks, keeping the
+    * lossy error to DC quantization only.
+    *
+    * Scale shape: one `mapPartitions` encode kernel (one codec instance
+    * per partition, rows stream through an iterator) — identical
+    * plumbing to [[decodeImages]]; callers control parallelism with
+    * `repartition`/`minPartitions`, never by collecting. */
+  def withEncodedImagePayload(df0: DataFrame, srcCol: String,
+                              format: String, cells: Int = 8,
+                              cellPx: Int = 8,
+                              contentCol: String = "content",
+                              minPartitions: Option[Int] = None): DataFrame = {
+    require(format == "png" || format == "jpeg",
+      s"format must be png or jpeg, got $format")
+    require(cells >= 2 && cellPx >= 1, s"bad raster shape $cells/$cellPx")
+    require(!df0.columns.contains(contentCol),
+      s"input already has a '$contentCol' column")
+    val df = ensureParallelism(df0, minPartitions)
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField(contentCol, BinaryType,
+      nullable = true))
+    val idx = inSchema.fieldIndex(srcCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val (fmt, nCells, px) = (format, cells, cellPx) // no closure over df
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val src = r.get(idx)
+        val payload: Array[Byte] = if (src == null) null else {
+          val side = nCells * px
+          // sRGB truecolor with r=g=b, NOT TYPE_BYTE_GRAY: gray rasters
+          // live in a LINEAR color space, so getRGB on the decode side
+          // would gamma-map the planted levels (monotonic, but no longer
+          // the generator's arithmetic). Equal channels survive JPEG's
+          // YCbCr round-trip exactly (Y = v, chroma constant)
+          val img = new java.awt.image.BufferedImage(side, side,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val levels = cellLevels(src.toString, nCells)
+          var y = 0
+          while (y < side) {
+            var x = 0
+            while (x < side) {
+              // level 0..15 → centered gray 8, 24, …, 248
+              val v = levels((y / px) * nCells + (x / px)) * 16 + 8
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          if (fmt == "png") {
+            javax.imageio.ImageIO.write(img, "png", bos)
+          } else {
+            val writer =
+              javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+            val params = writer.getDefaultWriteParam
+            params.setCompressionMode(
+              javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            params.setCompressionQuality(0.95f)
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            try {
+              writer.setOutput(ios)
+              writer.write(null,
+                new javax.imageio.IIOImage(img, null, null), params)
+            } finally {
+              ios.close()
+              writer.dispose()
+            }
+          }
+          bos.toByteArray
+        }
+        Row.fromSeq(r.toSeq :+ payload)
+      }
+    }(enc)
   }
 
   /** Parallelism floor for the decode/probe stages: multimodal payload
@@ -357,16 +548,26 @@ object Multimodal {
     * [[imageDHash]] → the SAME hamming-ball pigeonhole machinery as text
     * SimHash ([[Dedup.simhashNearDup]]'s factored core): four 16-bit
     * chunk-keyed candidate buckets (occupancy-capped), exact XOR popcount
-    * verify. maxHamming = 0 is exact perceptual dedup (re-encoded /
-    * brightness-shifted copies of the same image); small radii catch
-    * noise-level edits. Ids must be long-castable. Output:
-    * (id_l, id_r, hamming). */
+    * verify. Ids must be long-castable. Output: (id_l, id_r, hamming).
+    *
+    * What the hash is perceptual OVER depends on the container
+    * ([[ImageCodec.features]]'s two paths). Compressed formats
+    * (PNG/JPEG/GIF/BMP) decode to real pixels, so re-encodings of the
+    * same raster — a PNG and its high-quality JPEG — land at hamming 0
+    * or within a small ball, and brightness/scale shifts survive (only
+    * the SIGN of neighbor differences is kept). PPM and undecodable
+    * payloads hash the raw payload bytes: byte-identical copies pair at
+    * hamming 0 and noise-level BYTE edits land in small balls, but a
+    * re-encode of the same raster into a different container is a
+    * different byte stream — the byte path makes no cross-container
+    * promise. */
   def imageNearDup(df: DataFrame, idCol: String, contentCol: String,
                    dim: Int = 8, maxHamming: Int = 0,
                    maxBucketSize: Option[Int] = Some(10000),
                    minPartitions: Option[Int] = None): DataFrame = {
-    // the pooled feature vector is 1-D over the raster bytes — request
-    // dim² buckets and treat them as a row-major dim×dim grid
+    // request dim² buckets: compressed formats decode to a TRUE
+    // row-major dim×dim luma grid; the byte path's 1-D pooling is read
+    // through the same row-major lens
     val feats = decodeImages(df.select(col(idCol), col(contentCol)),
       contentCol, dim * dim, "__feats", minPartitions)
     val sig = feats.where(col("__feats").isNotNull)

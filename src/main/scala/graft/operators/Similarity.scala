@@ -750,6 +750,46 @@ object Similarity {
         col("__e.id").as("neighbor_id"), negate(col("__e.score")).as("adc"))
   }
 
+  /** [[ivfPqTopKIndexed]] + an exact re-rank stage — the standard FAISS
+    * `refine` composition: ADC picks `refine·k` candidates from the
+    * codes-only index (cheap, lossy), then ONLY those ids join back to
+    * the raw embeddings and the final top-k is by true cosine. Fixes
+    * ADC's one weakness — quantization error reordering near-ties —
+    * while keeping the corpus-side scan on m-byte codes; the raw-vector
+    * table is touched for ≤ refine·k rows per query.
+    *
+    * Scale shape: the candidate list is refine·k·|queries| (id, qid)
+    * pairs — top-k-small by construction — so it BROADCASTS and the
+    * id-keyed fetch from the 100 TB embeddings table is a map-side
+    * semi-join (scan once, shuffle nothing); scoring then rides the
+    * broadcast query vectors and the bounded-heap top-k keeps the final
+    * exchange at ≤ k rows per (query, partition). Ranking ties break
+    * (cosine desc, id asc) — [[bruteForceTopK]]'s exact convention, so
+    * refine = ∞ degrades to brute force over the probed lists. Output:
+    * (query_id, rank, neighbor_id, cosine). */
+  def ivfPqTopKRefined(spark: org.apache.spark.sql.SparkSession, table: String,
+                       queries: DataFrame, qidCol: String, qvecCol: String,
+                       corpus: DataFrame, cidCol: String, cvecCol: String,
+                       k: Int, refine: Int = 4, nprobe: Int = 8,
+                       m: Int = 4, ksub: Int = 8, dim: Int = 64,
+                       seed: Long = 42L,
+                       excludeSelf: Boolean = true): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val cand = ivfPqTopKIndexed(spark, table, queries, qidCol, qvecCol,
+        k * refine, nprobe, m, ksub, dim, seed)
+      .select(col("query_id").as("__qid"),
+        col("neighbor_id").as("__cid"))
+    val withVec = corpus
+      .select(col(cidCol).cast("long").as("__cid"), col(cvecCol).as("__cv"))
+      .join(broadcast(cand), Seq("__cid"))
+    val q = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"))
+    val scored = withVec.join(broadcast(q), Seq("__qid"))
+      .where(if (excludeSelf) col("__cid") =!= col("__qid") else lit(true))
+      .select(col("__qid"), col("__cid"),
+        cosine(col("__cv"), col("__qv")).as("__sim"))
+    finishTopK(scored, k)
+  }
+
   /** Probe a [[buildIvfIndex]] index: assign each query its `nprobe`
     * nearest lists (against the persisted centroids), PRUNE the index
     * scan to the probed lists, and score only those corpus rows.

@@ -1046,6 +1046,44 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(k9002.exists(_ <= 3), s"perturbed copy not near: $near")
   }
 
+  test("ImageIO decode: a PNG and a JPEG of the same raster pool to the same luma grid and pair in imageNearDup") {
+    import spark.implicits._
+    val M = graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(6)
+    val png = M.withEncodedImagePayload(docs, "text", "png")
+    val jpg = M.withEncodedImagePayload(
+      docs.select((col("doc_id") + 500000L).as("doc_id"), col("text")),
+      "text", "jpeg")
+
+    // kernel-level: the decoded 8×8 luma grid matches the generator's
+    // cell pattern exactly for PNG, and within JPEG DC-quantization
+    // noise for the re-encode — far inside the 16-level margin
+    val pRow = png.select("text", "content").head()
+    val pGrid = M.ImageCodec.features(pRow.getAs[Array[Byte]](1), 64)
+    val want = M.cellLevels(pRow.getString(0), 8)
+      .map(l => (l * 16 + 8) / 255.0f)
+    pGrid.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-3, s"png grid off: $g vs $w") }
+    val jBytes = jpg.select("text", "content").collect()
+      .find(_.getString(0) == pRow.getString(0)).get.getAs[Array[Byte]](1)
+    val jGrid = M.ImageCodec.features(jBytes, 64)
+    pGrid.zip(jGrid).foreach { case (p, j) =>
+      assert(math.abs(p - j) < 4.0 / 255.0, s"jpeg grid drifted: $p vs $j") }
+
+    // operator-level: every (png, jpeg) twin pairs inside the small ball
+    val pairs = M.imageNearDup(png.unionByName(jpg), "doc_id", "content",
+        dim = 8, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.keys.foreach { id =>
+      assert(pairs.contains((id, id + 500000L)), s"twin of $id missing: $pairs") }
+    // no cross-document collisions unless the TEXTS are equal
+    val allTexts = texts ++ texts.map { case (k, v) => (k + 500000L, v) }
+    assert(pairs.forall { case (l, r) => allTexts(l) == allTexts(r) },
+      s"unrelated collision: $pairs")
+  }
+
   test("streaming heavy hitters: single batch ≡ batch top-k; sketch state accumulates across micro-batches") {
     import spark.implicits._
     val stream = GraftStreaming.readEventsGlob(spark, dir, "events.parquet")

@@ -2515,6 +2515,61 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full.sortBy(t => (t._1, t._2)).toSeq == flat.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("ivfPqTopKRefined: exact re-rank never loses to raw ADC; raw-vector fetch is candidate-bounded and broadcast") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val centers = typedlit(graft.SparkEntry.PqClusterCenters)
+    val ce = emb.select(col("vec_id"),
+      transform(sequence(lit(1), lit(64)), i =>
+        element_at(element_at(centers, (col("vec_id") % 16).cast("int") + 1), i) +
+          element_at(col("embedding"), i).cast("double") * lit(0.1))
+        .as("embedding"))
+    Similarity.buildIvfPqIndex(ce, "vec_id", "embedding", "ivfpqrr_idx",
+      nlist = 8, buckets = 16)
+    val queries = ce.where(col("vec_id") < 5)
+    val (k, refine) = (5, 4)
+    val refined = Similarity.ivfPqTopKRefined(spark, "ivfpqrr_idx",
+      queries, "vec_id", "embedding", ce, "vec_id", "embedding",
+      k = k, refine = refine, nprobe = 8)
+    val rows = refined.orderBy("query_id", "rank").collect()
+    assert(rows.length == 5 * k)
+    // cosine non-increasing within a query; ties break by ascending id
+    rows.grouped(k).foreach { g =>
+      g.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getDouble(3) >= b.getDouble(3))
+        if (a.getDouble(3) == b.getDouble(3))
+          assert(a.getLong(2) < b.getLong(2))
+      }
+    }
+    // the re-ranked scores ARE exact cosines: every emitted pair matches
+    // brute force's value bit for bit, and recall vs brute-force top-k
+    // is >= the unrefined ADC top-k's recall (re-ranking cannot hurt)
+    val brute = Similarity.bruteForceTopK(ce, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val bruteAll = Similarity.bruteForceTopK(ce, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(math.abs(bruteAll(key) - r.getDouble(3)) == 0.0,
+        s"re-rank score not exact at $key")
+    }
+    val refinedHits = rows.map(r => (r.getLong(0), r.getLong(2)))
+      .count(brute.contains)
+    val adcHits = Similarity.ivfPqTopKIndexed(spark, "ivfpqrr_idx",
+      queries, "vec_id", "embedding", k = k, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).count(brute.contains)
+    assert(refinedHits >= adcHits,
+      s"re-rank lost recall: $refinedHits < $adcHits")
+    // scale posture: the candidate list and query vectors broadcast; the
+    // raw-vector corpus is never shuffled for the fetch (its join keys
+    // arrive map-side), so the fetch touches <= refine*k*|queries| rows
+    val plan = refined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(__cid"),
+      s"raw-vector fetch must not shuffle the corpus:\n${plan.take(3000)}")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(3000))
+  }
+
   test("clustered PQ fixture is non-degenerate: codes vary across clusters") {
     // the q_ivfpq_recall fixture exists because the raw corpus
     // embeddings collapse the codebook (one code combo corpus-wide —
