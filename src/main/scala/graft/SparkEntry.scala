@@ -512,6 +512,32 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // the approx seam contract for robustZScore (q_outliers_approx's
+    // pattern): the bounded-memory GK-sketch twin (percentile_approx in
+    // BOTH median passes) must land every row's robust z within
+    // tolerance of the exact-percentile z — NULL classes (MAD = 0
+    // groups) must agree too. The oracle recomputes the group sizes and
+    // pins approx_ok TRUE, so the documented 100 TB sketch swap is an
+    // executable claim, not a doc sentence
+    "q_robust_z_approx" -> ((s, dir) => {
+      val base = table(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val exact = WindowOps.robustZScore(base, Seq("o_orderpriority"),
+        "o_totalprice")
+      val approx = WindowOps.robustZScore(base, Seq("o_orderpriority"),
+          "o_totalprice", approxAccuracy = Some(10000))
+        .select(col("o_orderkey"), col("robust_z").as("__az"))
+      exact.join(approx, Seq("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          (min(when(
+            (col("robust_z").isNull && col("__az").isNull) ||
+              abs(col("__az") - col("robust_z")) <=
+                lit(0.02) * (abs(col("robust_z")) + lit(1.0)),
+            1).otherwise(0)) === 1).as("approx_ok"))
+        .orderBy("o_orderpriority")
+    }),
+
     // pipeline: incremental-ingest novelty — batch docs (id%10>=7) anti-
     // joined on fingerprint against the corpus (id%10<8); the %10==7
     // docs ARE corpus members, so exactly the 8/9 buckets survive
@@ -3037,6 +3063,24 @@ object SparkEntry {
       UrlOps.domainStats(
           UrlOps.filterBlockedDomains(base, "url", Seq("example.org")),
           "url", "n_chars")
+        .orderBy("domain")
+    }),
+
+    // crawl curation, PSL-exact leg: per-registered-domain stats where
+    // eTLD+1 comes from the embedded public-suffix-list snapshot
+    // (broadcast longest-match join — wildcard rules, exceptions,
+    // public-suffix hosts with NO registered domain all exercised);
+    // the oracle mirrors the same rules as a VALUES relation and the
+    // same tail algebra, so PSL semantics are hash-verified
+    "q_domain_stats2" -> ((s, dir) => {
+      import graft.operators.{PublicSuffix, UrlOps}
+      val ev = table(s, dir, "events")
+      val h = UrlOps.syntheticPslHost(col("event_id"), col("user_id"))
+      val base = ev.select(h.as("host"), length(h).as("n_chars"))
+      PublicSuffix.registeredDomainPsl(base, "host")
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("n_chars"))
         .orderBy("domain")
     }),
 
@@ -6683,6 +6727,16 @@ object SparkEntry {
          |FROM d WHERE NOT (domain IN ('example.org'))
          |GROUP BY domain ORDER BY domain""".stripMargin
     },
+    "q_domain_stats2" -> {
+      import graft.operators.{PublicSuffix, UrlOps}
+      s"""WITH h AS (SELECT ${UrlOps.syntheticPslHostSqlExpr} AS host
+         |  FROM events),
+         |${PublicSuffix.registeredDomainPslOracleCtes("host", "h")},
+         |d AS (SELECT r.domain, len(h.host) AS nc
+         |  FROM h JOIN psl_reg r USING (host))
+         |SELECT domain, count(*) AS n_docs, CAST(sum(nc) AS BIGINT) AS n_chars
+         |FROM d GROUP BY domain ORDER BY domain""".stripMargin
+    },
     "q_domain_cap" -> {
       import graft.operators.UrlOps
       s"""WITH u AS (SELECT event_id, ${UrlOps.syntheticUrlSqlExpr} AS raw FROM events),
@@ -6973,6 +7027,12 @@ object SparkEntry {
         |  TRUE AS approx_ok
         |FROM d WHERE dt IS NOT NULL GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // group sizes recomputed; the per-row within-tolerance claim is
+    // Spark's to prove (oracle pins approx_ok TRUE)
+    "q_robust_z_approx" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS approx_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact side recomputed; the within-tolerance claim is Spark's to
     // prove (oracle pins approx_ok TRUE)
     "q_outliers_approx" ->

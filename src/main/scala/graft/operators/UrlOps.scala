@@ -38,8 +38,11 @@ object UrlOps {
 
   /** Two-level public suffixes recognized by [[registeredDomain]]. A
     * heuristic slice of the public-suffix list: enough for grouping
-    * crawl domains; swap in the full list (a broadcast join on suffix)
-    * when exactness matters. */
+    * crawl domains and cheap (one regexp, no join). For PSL-exact
+    * grouping — wildcard rules, exceptions, 3-label suffixes — use
+    * [[PublicSuffix.registeredDomainPsl]] (broadcast longest-match
+    * join over the embedded snapshot, q_domain_stats2's oracle-proven
+    * path). */
   val TwoLevelSuffixes: Seq[String] = Seq(
     "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "co.jp",
     "or.jp", "co.in", "com.br", "com.cn", "com.mx", "co.nz", "co.za")
@@ -205,6 +208,43 @@ object UrlOps {
       "WHEN (event_id + user_id) % 3 = 1 " +
       "THEN 'blog' || ((event_id * 3 + user_id) % 7) || '.example.com' " +
       "ELSE 'media' || ((event_id * 3 + user_id) % 7) || '.example.org' END)"
+
+  /** Deterministic synthetic host exercising every [[PublicSuffix]] rule
+    * kind: exact multi-label suffixes (`co.uk`), wildcards (`*.ck`,
+    * `*.kawasaki.jp` — including hosts that ARE public suffixes and so
+    * have no registered domain), exceptions (`www.ck`,
+    * `city.kawasaki.jp`), unknown TLDs (the implicit `*` rule), and a
+    * dotless host. Lower-case on purpose (PSL matching is over
+    * [[hostOf]] output). */
+  def syntheticPslHost(eventId: Column, userId: Column): Column = {
+    val u = (userId % 5).cast("string")
+    val e = (eventId % 7).cast("string")
+    val cls = eventId % 9
+    when(cls === 0, concat(lit("www.site"), u, lit(".example.co.uk")))
+      .when(cls === 1, concat(lit("blog"), u, lit(".shop"), e, lit(".ck")))
+      .when(cls === 2, concat(lit("shop"), e, lit(".ck"))) // IS a public suffix
+      .when(cls === 3, lit("www.ck")) // exception under *.ck
+      .when(cls === 4, concat(lit("media"), u, lit(".city.kawasaki.jp")))
+      .when(cls === 5, concat(lit("host"), u, lit(".ward"), e,
+        lit(".kawasaki.jp")))
+      .when(cls === 6, concat(lit("a"), e, lit(".b"), u,
+        lit(".unknowntld")))
+      .when(cls === 7, concat(lit("cdn"), u, lit(".example.com")))
+      .otherwise(lit("localhost"))
+  }
+
+  /** DuckDB twin of [[syntheticPslHost]] (events columns by name). */
+  def syntheticPslHostSqlExpr: String =
+    "(CASE event_id % 9 " +
+      "WHEN 0 THEN 'www.site' || (user_id % 5) || '.example.co.uk' " +
+      "WHEN 1 THEN 'blog' || (user_id % 5) || '.shop' || (event_id % 7) || '.ck' " +
+      "WHEN 2 THEN 'shop' || (event_id % 7) || '.ck' " +
+      "WHEN 3 THEN 'www.ck' " +
+      "WHEN 4 THEN 'media' || (user_id % 5) || '.city.kawasaki.jp' " +
+      "WHEN 5 THEN 'host' || (user_id % 5) || '.ward' || (event_id % 7) || '.kawasaki.jp' " +
+      "WHEN 6 THEN 'a' || (event_id % 7) || '.b' || (user_id % 5) || '.unknowntld' " +
+      "WHEN 7 THEN 'cdn' || (user_id % 5) || '.example.com' " +
+      "ELSE 'localhost' END)"
 
   /** DuckDB twin of [[syntheticUrl]] (events columns by name). */
   def syntheticUrlSqlExpr: String = {

@@ -74,7 +74,9 @@ object WindowOps {
     * values in the aggregate (that is what makes it engine-exact and
     * DuckDB-oracle-able); for 100 TB-scale groups swap
     * `percentile_approx` in via `approxAccuracy` — same plan shape,
-    * bounded memory, no oracle. Groups with MAD = 0 (over half the
+    * bounded memory, and the within-tolerance drift is CONTRACTED
+    * against the exact twin by q_robust_z_approx (the
+    * q_outliers_approx pattern). Groups with MAD = 0 (over half the
     * values identical) yield NULL rather than ±Inf. */
   def robustZScore(df: DataFrame, partitionBy: Seq[String], valueCol: String,
                    outCol: String = "robust_z",

@@ -1713,6 +1713,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.ImageCodec.probe(z) == (0, 0, 0, "unknown"))
   }
 
+  test("PublicSuffix.registeredDomainPsl: exact / wildcard / exception / implicit-star rules, per the PSL algorithm") {
+    import spark.implicits._
+    val cases = Seq(
+      // exact 2-label suffix
+      "www.site1.example.co.uk" -> "example.co.uk",
+      "example.co.uk" -> "example.co.uk",
+      "co.uk" -> "", // IS a public suffix
+      // wildcard *.ck: any label under ck is a public suffix
+      "blog.shop.ck" -> "blog.shop.ck",
+      "x.blog.shop.ck" -> "blog.shop.ck",
+      "shop.ck" -> "", // public suffix itself
+      // exception !www.ck beats the wildcard
+      "www.ck" -> "www.ck",
+      "a.www.ck" -> "www.ck",
+      // wildcard on a 2-label base + its exception
+      "host.ward.kawasaki.jp" -> "host.ward.kawasaki.jp",
+      "ward.kawasaki.jp" -> "",
+      "city.kawasaki.jp" -> "city.kawasaki.jp",
+      "sub.city.kawasaki.jp" -> "city.kawasaki.jp",
+      // implicit '*' rule: unknown TLD counts one label
+      "a.b.unknowntld" -> "b.unknowntld",
+      "unknowntld" -> "",
+      "localhost" -> "",
+      // plain known TLD with no multi-label rule
+      "cdn.example.com" -> "example.com")
+    val got = graft.operators.PublicSuffix.registeredDomainPsl(
+        cases.map(_._1).toDF("host"), "host")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (h, want) =>
+      assert(got(h) == want, s"host $h: got ${got(h)}, want $want") }
+    // NULL host stays NULL, and the host stream is never shuffled (the
+    // rules join is broadcast at every tail)
+    val df = graft.operators.PublicSuffix.registeredDomainPsl(
+      Seq(Option.empty[String]).toDF("host"), "host")
+    assert(df.collect().head.isNullAt(1))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+  }
+
   test("withPngPayload round-trips through the byte-level PNG probe") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").limit(50)
     val probed = Multimodal.probeImages(
