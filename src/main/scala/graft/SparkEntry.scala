@@ -3173,6 +3173,33 @@ object SparkEntry {
         .orderBy("node", "pos")
     }),
 
+    // DeepWalk, production posture: word2vec's unigram^0.75 negative
+    // TABLE (exact integer inverted-CDF over context counts — Spark
+    // executes it as a cell-decomposed equi-join, the oracle as a
+    // readable range join over the same integers) + WARM START — one
+    // iteration trains, a second run CONTINUES from the returned
+    // matrices. The oracle replays the composed trajectory as a cold
+    // 2-iteration run, so fit(1) → fit(1, init) ≡ fit(2) is
+    // hash-verified cross-engine, not just spec-pinned
+    "q_node2vec2" -> ((s, dir) => {
+      import graft.operators.{Embedding, GraphOps, UrlOps}
+      val ev = table(s, dir, "events")
+      val u = UrlOps.syntheticUrl(col("event_id"), col("user_id"), col("event_type"))
+      val edges = ev.select(UrlOps.hostOf(u).as("src"),
+        UrlOps.syntheticLinkHost(col("event_id"), col("user_id")).as("dst"))
+      val walks = GraphOps.deterministicWalks(edges, "src", "dst",
+        steps = 3, walksPerNode = 1)
+      val pairs = Embedding.skipGramPairs(walks, "walk_id", "step", "node",
+        window = 1)
+      val (m1i, m1o) = Embedding.sgnsFitMatrices(pairs, "a", "b", dim = 4,
+        iters = 1, lr = 0.5, negs = 1, negDist = "unigram75")
+      Embedding.sgnsFit(pairs, "a", "b", dim = 4, iters = 1, lr = 0.5,
+          negs = 1, negDist = "unigram75",
+          initIn = Some(m1i), initOut = Some(m1o))
+        .select(col("node"), col("pos"), round(col("v"), 9).as("v"))
+        .orderBy("node", "pos")
+    }),
+
     // crawl curation: per-host link-graph degree/weight profile — the
     // hub/authority sanity relation shipped next to a rank table
     "q_link_stats" -> ((s, dir) => {
@@ -6792,6 +6819,22 @@ object SparkEntry {
          |seqs AS (SELECT walk_id AS sid, step AS p, node AS tok FROM walks),
          |${Embedding.skipGramPairsOracleCtes(window = 1)},
          |${Embedding.sgnsOracleCtes(dim = 4, iters = 2, lr = 0.5, negs = 1)}
+         |SELECT node, pos, round(v, 9) AS v FROM vin2
+         |ORDER BY node, pos""".stripMargin
+    },
+    // the warm-started two-phase Spark run must equal this COLD
+    // 2-iteration replay with the weighted negative table — iteration
+    // composition and the unigram^0.75 draw verified in one hash
+    "q_node2vec2" -> {
+      import graft.operators.{Embedding, GraphOps, UrlOps}
+      s"""WITH u AS (SELECT ${UrlOps.hostSqlExpr(UrlOps.syntheticUrlSqlExpr)} AS src,
+         |        ${UrlOps.syntheticLinkHostSqlExpr} AS dst FROM events),
+         |e AS (SELECT DISTINCT src, dst FROM u WHERE src <> dst),
+         |${GraphOps.deterministicWalksOracleCtes(steps = 3, walksPerNode = 1)},
+         |seqs AS (SELECT walk_id AS sid, step AS p, node AS tok FROM walks),
+         |${Embedding.skipGramPairsOracleCtes(window = 1)},
+         |${Embedding.sgnsOracleCtes(dim = 4, iters = 2, lr = 0.5, negs = 1,
+             negDist = "unigram75")}
          |SELECT node, pos, round(v, 9) AS v FROM vin2
          |ORDER BY node, pos""".stripMargin
     },

@@ -83,11 +83,59 @@ object Embedding {
     s"(CAST((($fold) % 2049) - 1024 AS DOUBLE) / 16384.0)"
   }
 
+  /** Context-frequency^0.75 weight table over the dense vocab index:
+    * (__neg, __wq, __cum) with __wq = floor(√√(w³)·1e6) — √ is
+    * IEEE-correctly-rounded, so the quantization is bit-identical
+    * across engines — and __cum the exact prefix sum in idx order via
+    * the two-level [[DetRandom.denseIndex]] trick (per-block partials
+    * + a tiny block-offset window), never a single-task vocab scan.
+    * Nodes never seen as context carry no row (word2vec's noise
+    * distribution is over context unigrams). */
+  private def weightTable(pos: DataFrame, indexed: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ctx = pos.groupBy(col("__x").as("__neg"))
+      .agg(count(lit(1)).as("__w"))
+    val w = col("__w").cast("double")
+    val wt = indexed.join(ctx, Seq("__neg"))
+      .withColumn("__wq",
+        floor(sqrt(sqrt(w * w * w)) * lit(1e6)).cast("long"))
+      .withColumn("__blk", (col("idx") / lit(1024L)).cast("long"))
+    val blocks = wt.groupBy("__blk")
+      .agg(sum(col("__wq")).as("__bs"))
+      .withColumn("__boff", coalesce(sum(col("__bs")).over(
+        W.orderBy("__blk").rowsBetween(W.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__blk"), col("__boff"))
+    wt.withColumn("__local", coalesce(sum(col("__wq")).over(
+        W.partitionBy("__blk").orderBy("idx")
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(blocks), Seq("__blk"))
+      .select(col("__neg"), col("__wq"),
+        (col("__boff") + col("__local")).as("__cum"))
+  }
+
   /** `iters` full-batch SGNS steps over directed positive pairs
-    * (aCol → center, bCol → context), `negs` md5-uniform negatives per
+    * (aCol → center, bCol → context), `negs` md5-derived negatives per
     * positive, dims 1..`dim`, learning rate `lr`. Returns the CENTER
     * ("input") embedding relation (node, pos, v) — the vectors DeepWalk
     * consumers use; every value exactly on the 1e-9 grid.
+    * [[sgnsFitMatrices]] returns BOTH matrices for warm-start chaining.
+    *
+    * `negDist`: `"uniform"` draws each negative uniformly over the
+    * vocab; `"unigram75"` draws ∝ (context count)^0.75 — word2vec's
+    * noise distribution — by exact integer inversion of the cumulative
+    * weight table (weights floor(√√(w³)·1e6): √ is correctly rounded
+    * in IEEE-754, so both engines quantize identically; a node never
+    * seen as context is never drawn, the word2vec convention).
+    *
+    * `initIn`/`initOut` warm-start the matrices from stored (node,
+    * pos, v) relations — the daily-re-embed analog of
+    * [[Similarity.appendToIvfIndex]]: vocab cells present in the init
+    * take its value, NEW nodes/dims fall back to the md5 grid. Because
+    * every other term is a pure function of `pairs`, warm-starting
+    * from a run's matrices EXACTLY continues it: fit(iters=a) then
+    * fit(iters=b, init=those matrices) ≡ fit(iters=a+b) (spec-pinned,
+    * and q_node2vec2's oracle replays the composed trajectory cold).
     *
     * Per iteration (all sums DECIMAL-cast):
     * {{{
@@ -100,11 +148,28 @@ object Embedding {
   def sgnsFit(pairs: DataFrame, aCol: String, bCol: String, dim: Int,
               iters: Int = 2, lr: Double = 0.5, negs: Int = 1,
               scratchDir: Option[String] = None,
-              materializeEvery: Int = 1): DataFrame = {
+              materializeEvery: Int = 1,
+              negDist: String = "uniform",
+              initIn: Option[DataFrame] = None,
+              initOut: Option[DataFrame] = None): DataFrame =
+    sgnsFitMatrices(pairs, aCol, bCol, dim, iters, lr, negs, scratchDir,
+      materializeEvery, negDist, initIn, initOut)._1
+
+  /** [[sgnsFit]] returning (center, context) matrices — the pair a
+    * warm-start run feeds back in. */
+  def sgnsFitMatrices(pairs: DataFrame, aCol: String, bCol: String,
+                      dim: Int, iters: Int = 2, lr: Double = 0.5,
+                      negs: Int = 1, scratchDir: Option[String] = None,
+                      materializeEvery: Int = 1,
+                      negDist: String = "uniform",
+                      initIn: Option[DataFrame] = None,
+                      initOut: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     require(dim >= 1 && dim <= 64, s"dim must be in [1,64], got $dim")
     require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
     require(negs >= 1 && negs <= 8, s"negs must be in [1,8], got $negs")
     require(materializeEvery >= 1, "materializeEvery must be >= 1")
+    require(negDist == "uniform" || negDist == "unigram75",
+      s"negDist must be uniform or unigram75, got $negDist")
     val spark = pairs.sparkSession
     val scratch = new Scratch(spark, "sgnsFit", "graft-sgns", scratchDir)
     import scratch.{materialize, drop}
@@ -117,15 +182,40 @@ object Embedding {
     val indexed = DetRandom.denseIndex(nodes, "node")
       .select(col("node").as("__neg"), col("idx"))
     val nvocab = nodes.count()
-    // negatives: per positive pair and j, one md5-uniform node
-    val negRows = pos
-      .select(col("__c"), col("__x"),
-        explode(sequence(lit(1), lit(negs))).as("__j"))
-      .withColumn("idx", DetRandom.uniformMod(
-        concat_ws("|", col("__c").cast("string"), col("__x").cast("string"),
-          col("__j").cast("string")), lit(nvocab)))
-      .join(indexed, "idx")
-      .select(col("__c"), col("__neg").as("__x"), lit(0.0).as("__y"))
+    val negKey = DetRandom.md5Long48(concat_ws("|",
+      col("__c").cast("string"), col("__x").cast("string"),
+      col("__j").cast("string")))
+    val drawn = pos.select(col("__c"), col("__x"),
+      explode(sequence(lit(1), lit(negs))).as("__j"))
+    // negatives: per positive pair and j, one md5-keyed node — uniform
+    // over the dense index, or weighted by integer inversion of the
+    // context-count^0.75 cumulative table
+    val negRows = (if (negDist == "uniform")
+      drawn.withColumn("idx", pmod(negKey, lit(nvocab))).join(indexed, "idx")
+    else {
+      val cum = materialize(weightTable(pos, indexed), "negwt")
+      val agg = cum.agg(
+        sum(col("__wq").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("w"), count(lit(1)).as("nv")).first()
+      val total = Option(agg.getAs[java.math.BigDecimal](0))
+        .fold(0L)(_.longValueExact())
+      require(total > 0, "unigram75 weights are empty")
+      // cell-decomposed interval join: each node's [cum, cum+wq) range
+      // explodes into ~wq/G coarse cells (G sized so the cell table is
+      // ~5x vocab), draws equi-join their cell and filter to the exact
+      // interval — the distributed inverted-CDF, no range join. All
+      // operands < 2^48, so the long→double division quotients are exact
+      val g = math.max(total / math.max(4L * agg.getLong(1), 1L), 1L)
+      val cells = cum.select(col("__neg"), col("__cum"), col("__wq"),
+        explode(sequence((col("__cum") / lit(g)).cast("long"),
+          ((col("__cum") + col("__wq") - 1) / lit(g)).cast("long")))
+          .as("__cell"))
+      drawn.withColumn("__u", negKey % lit(total))
+        .withColumn("__cell", (col("__u") / lit(g)).cast("long"))
+        .join(cells, "__cell")
+        .where(col("__u") >= col("__cum") &&
+          col("__u") < col("__cum") + col("__wq"))
+    }).select(col("__c"), col("__neg").as("__x"), lit(0.0).as("__y"))
     val train = materialize(
       pos.select(col("__c"), col("__x"), lit(1.0).as("__y"))
         .unionByName(negRows)
@@ -153,8 +243,22 @@ object Embedding {
       nodes.select(col("node"), explode(array(dims: _*)).as("pos"))
         .select(col("node"), col("pos"),
           q9(initVal(col("node"), col("pos"), side)).as("v"))
-    var vin = init("in")
-    var vout = init("out")
+    // warm start: vocab cells present in the given matrix take its
+    // value VERBATIM — re-applying q9 here would NOT be a no-op
+    // (floor(v·1e9) can fall one grid step on a stored double whose
+    // v·1e9 lands just under the integer), and exact continuation
+    // requires iteration k+1 to read exactly what iteration k wrote —
+    // while NEW nodes/dims fall back to the md5 grid (already q9'd
+    // inside init)
+    def withInit(side: String, given: Option[DataFrame]): DataFrame =
+      given.fold(init(side)) { m =>
+        init(side).join(m.select(col("node"), col("pos"),
+            col("v").as("__iv")), Seq("node", "pos"), "left")
+          .select(col("node"), col("pos"),
+            coalesce(col("__iv"), col("v")).as("v"))
+      }
+    var vin = withInit("in", initIn)
+    var vout = withInit("out", initOut)
     var lastSnap = Option.empty[Int]
     val pendingScopes =
       scala.collection.mutable.ArrayBuffer.empty[CacheScope]
@@ -217,7 +321,8 @@ object Embedding {
     }
     pendingScopes.foreach(_.close())
     pendingScopes.clear()
-    vin.select(col("node"), col("pos"), col("v"))
+    (vin.select(col("node"), col("pos"), col("v")),
+      vout.select(col("node"), col("pos"), col("v")))
   }
 
   /** [[sgnsFit]] as DuckDB CTEs over a CTE `pairs(a, b)` (positives,
@@ -226,20 +331,46 @@ object Embedding {
     * term: same dense index, same md5 negative draws, same md5-grid
     * init, DECIMAL(38,18) sums, q9 updates. */
   def sgnsOracleCtes(dim: Int, iters: Int, lr: Double,
-                     negs: Int): String = {
+                     negs: Int, negDist: String = "uniform"): String = {
+    require(negDist == "uniform" || negDist == "unigram75",
+      s"negDist must be uniform or unigram75, got $negDist")
     val di = DetRandom.denseIndexSql("node", "nodes")
     val negKey = DetRandom.md5Long48SqlExpr(
       "CAST(p.a AS VARCHAR) || '|' || CAST(p.b AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)")
+    // negative draw: uniform mod over the dense index, or the exact
+    // integer inverted-CDF over context-count^0.75 weights (the range
+    // join is the oracle's readable twin of the Spark side's
+    // cell-decomposed equi-join — same integers, different plan)
+    val negCtes = if (negDist == "uniform")
+      s"""negd AS (SELECT p.a AS c,
+         |    ($negKey) % (SELECT nv FROM nv) AS idx
+         |  FROM pairs p, generate_series(1, $negs) j(j)),
+         |negr AS (SELECT negd.c, d.node AS x, 0.0 AS y
+         |  FROM negd JOIN didx d USING (idx)),""".stripMargin
+    else
+      s"""ctxw AS (SELECT b AS node, CAST(count(*) AS BIGINT) AS w
+         |  FROM pairs GROUP BY b),
+         |negwt AS (SELECT d.idx, d.node,
+         |    CAST(floor(sqrt(sqrt(CAST(w AS DOUBLE) * w * w)) * 1e6)
+         |      AS BIGINT) AS wq
+         |  FROM didx d JOIN ctxw USING (node)),
+         |negcum AS (SELECT idx, node, wq,
+         |    COALESCE(sum(wq) OVER (ORDER BY idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+         |  FROM negwt),
+         |negtot AS (SELECT CAST(sum(wq) AS BIGINT) AS w FROM negwt),
+         |negd AS (SELECT p.a AS c,
+         |    ($negKey) % (SELECT w FROM negtot) AS u
+         |  FROM pairs p, generate_series(1, $negs) j(j)),
+         |negr AS (SELECT negd.c, m.node AS x, 0.0 AS y
+         |  FROM negd JOIN negcum m
+         |    ON negd.u >= m.c AND negd.u < m.c + m.wq),""".stripMargin
     val head =
       s"""nodes AS (SELECT DISTINCT a AS node FROM pairs
          |  UNION SELECT DISTINCT b FROM pairs),
          |didx AS MATERIALIZED ($di),
          |nv AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM nodes),
-         |negd AS (SELECT p.a AS c,
-         |    ($negKey) % (SELECT nv FROM nv) AS idx
-         |  FROM pairs p, generate_series(1, $negs) j(j)),
-         |negr AS (SELECT negd.c, d.node AS x, 0.0 AS y
-         |  FROM negd JOIN didx d USING (idx)),
+         |$negCtes
          |train0 AS (SELECT a AS c, b AS x, 1.0 AS y FROM pairs
          |  UNION ALL SELECT c, x, y FROM negr),
          |train AS MATERIALIZED (SELECT
