@@ -2852,14 +2852,19 @@ object SparkEntry {
 
     // Structured Streaming: per-window classifier quality monitor —
     // exact confusion counts + prec/rec/F1/acc per hour window, the
-    // live face of q_class_report next to q_stream_auc's ranking view
+    // live face of q_class_report next to q_stream_auc's ranking view.
+    // UPDATE-mode drain (so the watermark actually evicts state — the
+    // documented bound is what runs) + per-window last-emission
+    // compaction over the changelog the sink receives
     "q_stream_confusion" -> ((s, dir) => {
       val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
         .withColumn("label", col("value") > 250.0)
         .withColumn("pred", (col("event_id") % 1000) >= 500)
       val conf = GraftStreaming.confusionStream(stream, "label", "pred",
         watermark = "1 hour", window_ = "1 hour")
-      runStreamQuery(s, "stream_confusion", conf, "complete")
+      GraftStreaming.compactUpdateDrain(
+          runStreamQuery(s, "stream_confusion", conf, "update"),
+          Seq("window"), "n")
         .select(col("window.start").cast("long").as("win_start"),
           col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
           round(col("prec"), 9).as("prec"), round(col("rec"), 9).as("rec"),
@@ -2901,13 +2906,18 @@ object SparkEntry {
 
     // Structured Streaming: trending keys — hourly windowed counts
     // drained to the sink, then the per-window top-2 finisher over the
-    // already-window-reduced relation (deterministic n desc, key asc)
+    // already-window-reduced relation (deterministic n desc, key asc).
+    // UPDATE-mode drain (watermark-evicted state, the documented bound)
+    // + per-(window, key) last-emission compaction before ranking
     "q_stream_trending" -> ((s, dir) => {
       val stream = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
       val agg = GraftStreaming.windowedCounts(stream,
         watermark = "1 hour", window_ = "1 hour")
       GraftStreaming.trendingTopK(
-          runStreamQuery(s, "stream_trend", agg, "complete"), "event_type", 2)
+          GraftStreaming.compactUpdateDrain(
+            runStreamQuery(s, "stream_trend", agg, "update"),
+            Seq("window", "event_type"), "n"),
+          "event_type", 2)
         .select(col("window.start").cast("long").as("win_start"),
           col("rank"), col("event_type"), col("n"))
         .orderBy("win_start", "rank")

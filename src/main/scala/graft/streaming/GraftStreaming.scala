@@ -223,6 +223,29 @@ object GraftStreaming {
       .where(col("rank") <= k)
   }
 
+  /** Per-key last-emission compaction over an UPDATE-mode drain. Update
+    * output mode keeps the watermark eviction the complete-mode drains
+    * forgo (the documented per-window state bound actually holds in a
+    * continuous run), but a memory/file sink receives every re-emission
+    * of a changed key as a NEW row — the drained relation is a
+    * changelog, not a table. For cumulative aggregates the final
+    * snapshot of a key is the row with the largest value of a
+    * monotonically increasing `seqCol` (a count: update mode emits a
+    * key only when it changed, and counts only grow, so the max is
+    * unique); one `max_by` hash aggregate recovers the table view.
+    * Keys must not be re-emitted with an unchanged `seqCol` (true of
+    * count-bearing aggregates by the emit-on-change rule). */
+  def compactUpdateDrain(drained: DataFrame, keyCols: Seq[String],
+                         seqCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one compaction key")
+    val others = drained.columns.filterNot(keyCols.contains)
+    require(others.contains(seqCol), s"$seqCol must be a non-key column")
+    drained.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*), col(seqCol)).as("__last"))
+      .select(keyCols.map(col) ++
+        others.map(c => col(s"__last.$c").as(c)): _*)
+  }
+
   /** Streaming exact dedup on a key within the watermark horizon — the
     * streaming face of Dedup.exact (state pruned by event time). */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
@@ -1500,10 +1523,11 @@ object GraftStreaming {
     * [[aucStream]]'s ranking view.
     *
     * ONE stateful windowed aggregate; state per window = five longs,
-    * watermark-pruned in append/update output modes (in `complete`
-    * mode — the q_stream_confusion drain shape — the watermark never
-    * evicts aggregate state, so a genuinely continuous run must use
-    * append/update for the bound to hold). Rows with a NULL label or
+    * watermark-pruned in append/update output modes — the
+    * q_stream_confusion drain runs UPDATE mode with a per-window
+    * [[compactUpdateDrain]] over the sink changelog, so the documented
+    * bound is the one exercised (complete mode never evicts aggregate
+    * state). Rows with a NULL label or
     * prediction are
     * excluded (no trial); degenerate margins yield NULL metrics, never
     * NaN/Inf. The metric algebra is byte-identical to the batch

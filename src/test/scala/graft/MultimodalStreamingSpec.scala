@@ -1121,6 +1121,50 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(acc == Seq(("x", 5L), ("z", 4L), ("y", 1L)), s"got $acc")
   }
 
+  test("compactUpdateDrain: a multi-batch update-mode drain is a changelog; compaction recovers the batch aggregate") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-upd").toString
+    val h = 3600L * 1000000000L // one hour in ns
+    // batch 0: window 0 gets x,x,y; batch 1 grows window 0's x (forcing a
+    // re-emission) and opens window 1 with z
+    Seq((1L, "x", 1.0, 1L), (2L, "x", 2.0, 2L), (3L, "y", 3.0, 3L))
+      .toDF("event_id", "event_type", "value", "ts")
+      .coalesce(1).write.parquet(s"$tmp/b0")
+    Seq((4L, "x", 4.0, 4L), (5L, "z", 5.0, h + 5L))
+      .toDF("event_id", "event_type", "value", "ts")
+      .coalesce(1).write.parquet(s"$tmp/b1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(s"$tmp/*")
+      .withColumn("event_time", GraftStreaming.eventTime(col("ts")))
+    val agg = GraftStreaming.windowedCounts(stream,
+      watermark = "1 hour", window_ = "1 hour")
+    val q = GraftStreaming.runToMemory(agg, "upd_compact_out", "update")
+    q.awaitTermination(120000)
+    val drained = spark.table("upd_compact_out")
+    // the changelog really re-emitted window 0's x (2 rows for one key)
+    assert(drained.count() > drained.select("window", "event_type")
+      .distinct().count(), "expected a re-emission in the changelog")
+    val got = GraftStreaming.compactUpdateDrain(drained,
+        Seq("window", "event_type"), "n")
+      .select(col("window.start").cast("long").as("w"), col("event_type"),
+        col("n"), col("total"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      (0L, "x") -> (3L, 7.0), (0L, "y") -> (1L, 3.0),
+      (3600L, "z") -> (1L, 5.0)), s"got $got")
+  }
+
   test("latestStream: single batch ≡ batch latestByKey; emits only on change across batches") {
     import spark.implicits._
     val stream = GraftStreaming.readEventsGlob(spark, dir, "events.parquet")
