@@ -14,6 +14,30 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // Pre-flight load gate: one round shipped a uniformly 1.3×-inflated
+    // artifact WITH solo:true because the box was already at load ~3
+    // before the sweep began (solo counts foreign JVMs; it cannot see a
+    // draining non-JVM job, and load_start alone doesn't stop the run).
+    // Sample the 1-min load BEFORE Spark spins up; above the threshold,
+    // wait (bounded) for the box to drain, then stamp `contended` so a
+    // sweep that still ran on a busy box names its own numbers
+    // untrustworthy instead of reading as a perf regression.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "1.5").toDouble
+    val gateWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "120").toLong
+    val gateDeadline = System.nanoTime() + gateWaitSec * 1000000000L
+    var preLoad = graft.tools.BoxSentinel.loadAvg()
+    while (preLoad > loadGate && System.nanoTime() < gateDeadline) {
+      System.err.println(f"[bench] pre-flight: 1-min load $preLoad%.2f > " +
+        f"$loadGate%.1f — waiting for the box to drain")
+      Thread.sleep(10000)
+      preLoad = graft.tools.BoxSentinel.loadAvg()
+    }
+    val contended = preLoad > loadGate
+    if (contended)
+      System.err.println(f"[bench] pre-flight: starting CONTENDED at " +
+        f"load $preLoad%.2f (> $loadGate%.1f after ${gateWaitSec}s grace)")
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -148,7 +172,7 @@ object Bench {
     // sampling policies across rounds).
     val firstPassTotal = firstPass.map(_._2._1).filter(_ >= 0).sum
     val policy = "\"min2: 20 slowest >=2s + any >2x committed (>=0.4s)\""
-    val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_failed":${failedNames.size},"failed":$failed,$sentinel,"rerun_policy":$policy,"first_pass_total":$firstPassTotal,"rerun_min2":$rerunJson,"peak_mb":$peak,"gc_sec":$gc,"queries":$qs,"value":$total}"""
+    val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_failed":${failedNames.size},"failed":$failed,"contended":$contended,"pre_load":$preLoad,$sentinel,"rerun_policy":$policy,"first_pass_total":$firstPassTotal,"rerun_min2":$rerunJson,"peak_mb":$peak,"gc_sec":$gc,"queries":$qs,"value":$total}"""
     // Belt and braces: persist the complete JSON where the judge can
     // read it even if the driver's stdout capture mangles the line —
     // but ONLY for the full sweep: a SPARK_GRAFT_ONLY iteration run

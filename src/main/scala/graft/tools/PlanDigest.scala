@@ -118,7 +118,11 @@ object PlanDigest {
     // round-11 session-3: dp_release's contract is ONE hash aggregate +
     // map-only noise attach (the md5 fold must never grow an exchange
     // or a per-group join-back)
-    "q_dp_release")
+    "q_dp_release",
+    // round-12: domain_stats2's contract is three BROADCAST label-tail
+    // joins + one final hash aggregate — a broadcast→SMJ flip on the
+    // PSL rules table would shuffle the host stream three times
+    "q_domain_stats2")
 
   val SnapshotPath = "tools/plan_digests.txt"
   val DefaultSfDir = "/root/testdata/sf0.001"

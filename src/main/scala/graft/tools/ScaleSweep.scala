@@ -199,6 +199,27 @@ object ScaleSweep {
         .buildBm25Index(docsAt(k), "doc_id", "text",
           "graft_sweep_bm25b", buckets = 32))
     }
+    // the APPEND+COMPACT side of the index lifecycle: a 1×-corpus base
+    // index takes a k-scaled ingest batch (shifted ids), then the
+    // small-file merge. Per-scale base tables are built OUTSIDE the
+    // timed region, so the slope is the incremental-ingest + compaction
+    // cost alone — the daily-reingest cost model, isolated from the
+    // one-time build that bm25_build already sweeps
+    if (only.forall(_.contains("bm25_compact"))) {
+      scales.foreach { k =>
+        graft.operators.TextAnalysis.buildBm25Index(docs0, "doc_id",
+          "text", s"graft_sweep_bm25c_$k", buckets = 32)
+      }
+      sweep("bm25_compact")(k => {
+        val batch = docsAt(k).select(
+          (col("doc_id") + lit(900000000L)).as("doc_id"), col("text"))
+        graft.operators.TextAnalysis.appendToBm25Index(batch, "doc_id",
+          "text", s"graft_sweep_bm25c_$k")
+        graft.operators.Bucketing.compactBucketed(spark,
+          s"graft_sweep_bm25c_$k")
+        spark.table(s"graft_sweep_bm25c_$k")
+      })
+    }
     // round-5 session-3 operators: semantic dedup (cells from 64 seed
     // centroids so E[m_c] tracks n/k; within-cell work is the quadratic
     // under test) and temperature mixture (two aggregates + window keep)
