@@ -58,6 +58,15 @@ object Multimodal {
     /** containers [[features]] routes through the real pixel decoder */
     private val imageIoFormats = Set("png", "jpeg", "gif", "bmp")
 
+    /** Decode-size ceiling (pixels). A crawl payload can DECLARE any
+      * raster size in a 16-byte header; ImageIO allocates the whole
+      * raster before this kernel sees a pixel, so one poison 60k×60k
+      * PNG header would OOM an executor. Headers above the ceiling
+      * skip the decode and take the bounded byte-pooling path — the
+      * same defensive posture as the truncated-raster rule. 64M pixels
+      * ≈ 256 MB ARGB, well inside an executor task's budget. */
+    private[graft] val MaxDecodePixels: Long = 64L << 20
+
     /** Real pixel decode → g×g area-mean luma grid in [0,1], row-major.
       * Each output cell is the mean luma of its pixel rectangle (the
       * g-bucket split of rows × columns), so the grid is stable under
@@ -271,7 +280,8 @@ object Multimodal {
       * grid — re-encodings of the same raster land on (nearly) the same
       * vector, which is what perceptual dedup needs. Everything else —
       * PPM (the oracle-exact fixture format), unknown containers,
-      * non-square dims, and compressed headers whose body does NOT
+      * non-square dims, headers declaring rasters above
+      * [[MaxDecodePixels]], and compressed headers whose body does NOT
       * decode (crawl garbage) — mean-pools the raw payload bytes after
       * the header into `dim` contiguous buckets, normalized to [0,1]:
       * deterministic byte arithmetic a SQL oracle can replay. Truncated
@@ -281,7 +291,8 @@ object Multimodal {
       val parsed = parse(bytes)
       val g = math.sqrt(dim.toDouble).toInt
       val viaIo =
-        if (g * g == dim && parsed.exists(p => imageIoFormats(p._4)))
+        if (g * g == dim && parsed.exists(p => imageIoFormats(p._4) &&
+            p._1.toLong * p._2 <= MaxDecodePixels))
           lumaGridIO(bytes, g)
         else None
       viaIo.getOrElse(poolBytes(bytes, parsed.map(_._5).getOrElse(0), dim))
@@ -290,8 +301,8 @@ object Multimodal {
 
   /** Shared payload-pooling kernel: mean of unsigned bytes per bucket,
     * normalized to [0,1]. */
-  private[operators] def poolBytes(bytes: Array[Byte], off: Int,
-                                   dim: Int): Array[Float] = {
+  private[graft] def poolBytes(bytes: Array[Byte], off: Int,
+                               dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     if (bytes == null) return out
     val n = math.max(bytes.length - off, 0)

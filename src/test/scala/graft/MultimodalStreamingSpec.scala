@@ -1084,6 +1084,26 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       s"unrelated collision: $pairs")
   }
 
+  test("ImageIO decode guard: a header declaring a poison-sized raster skips the decode and byte-pools") {
+    val M = graft.operators.Multimodal
+    // a REAL PNG signature + IHDR declaring 60000×60000 (3.6G pixels —
+    // ImageIO would allocate the raster before decoding a byte), tiny body
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    val poison = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A,
+      0x1A, 0x0A) ++ be32(13) ++ "IHDR".getBytes("US-ASCII") ++
+      be32(60000) ++ be32(60000) ++
+      Array[Byte](8, 2, 0, 0, 0) ++ be32(0) ++
+      Array.fill[Byte](64)(7) // junk "body"
+    val (w, h, c, f) = M.ImageCodec.probe(poison)
+    assert((w, h, c, f) == (60000, 60000, 3, "png")) // header still probes
+    assert(60000L * 60000L > M.ImageCodec.MaxDecodePixels)
+    val got = M.ImageCodec.features(poison, 64)
+    val pooled = M.poolBytes(poison, 33, 64) // raster offset after IHDR+CRC
+    assert(got.toSeq == pooled.toSeq,
+      "poison header must take the bounded byte-pooling path")
+  }
+
   test("streaming heavy hitters: single batch ≡ batch top-k; sketch state accumulates across micro-batches") {
     import spark.implicits._
     val stream = GraftStreaming.readEventsGlob(spark, dir, "events.parquet")
