@@ -1792,6 +1792,25 @@ object SparkEntry {
         num = 9L, den = 10L) // recall@10 >= 0.9: re-rank must beat 0.8
     }),
 
+    // PQ with TRAINED codebooks — Lloyd over each subspace's sliced
+    // vectors runs in-engine (one argmin-when-chain job per iteration,
+    // codebook model-sized on the driver), then the SAME encode/ADC
+    // expressions consume the trained literals; recall@10 of the
+    // 40-candidate ADC sweep must clear 0.9 on the clustered fixture.
+    // The oracle recomputes the exact side and pins the claim TRUE
+    "q_pq_trained" -> ((s, dir) => {
+      val ce = clusteredEmb(s, dir)
+      val cb = Similarity.trainPqCodebooks(ce, "vec_id", "embedding",
+        m = 4, ksub = 8, dim = 64, lloydIters = 2)
+      val queries = ce.where(col("vec_id") < 10)
+      recallContract(
+        Similarity.bruteForceTopK(ce, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 10),
+        Similarity.pqTopK(ce, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 40, codebook = Some(cb)),
+        num = 9L, den = 10L)
+    }),
+
     // banded hyperplane-LSH embedding dedup, generate→verify. Identical
     // vectors produce identical buckets in EVERY band (same deterministic
     // expression), so recall on exact copies is 1 by construction; planted
@@ -5748,6 +5767,9 @@ object SparkEntry {
     // the refine stage answers to the SAME clustered-fixture exact-side
     // oracle as q_ivfpq_recall, at the higher bar its re-rank must clear
     "q_ivfpq_rerank" -> ClusteredRecallOracle,
+    // trained-codebook ADC answers to the same exact side; the recall
+    // bar is Spark's to prove (training runs in-engine, deterministic)
+    "q_pq_trained" -> ClusteredRecallOracle,
     // same exhaustive-count shape over the clustered fixture; the
     // partial-probe PQ recall claim is Spark's to prove
     "q_ivfpq_recall" -> ClusteredRecallOracle,

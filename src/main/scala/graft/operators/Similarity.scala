@@ -556,12 +556,11 @@ object Similarity {
   }
 
   /** Deterministic product-quantization codebook: `m` subspaces × `ksub`
-    * centroids × `subDim` dims, seeded Gaussian (stand-ins for trained
-    * sub-k-means codebooks, same posture as [[ivfTopK]]'s seed
-    * centroids — the encode/ADC machinery is codebook-agnostic, and a
-    * production pipeline trains each subspace with [[kmeansIterate]]
-    * over `slice`d vectors and passes the result through the same
-    * expressions). */
+    * centroids × `subDim` dims, seeded Gaussian — the oracle-replayable
+    * DEFAULT. The encode/ADC machinery is codebook-agnostic: the
+    * production path trains real sub-k-means codebooks with
+    * [[trainPqCodebooks]] and passes them through the same expressions
+    * via the `codebook` parameter (q_pq_trained's recall contract). */
   private[graft] def pqCodebook(m: Int, ksub: Int, subDim: Int,
                                 seed: Long): Seq[Seq[Seq[Double]]] =
     (0 until m).map(j => planesFor(ksub, subDim, seed + 7919L * j))
@@ -581,6 +580,97 @@ object Similarity {
       "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
   }
 
+  /** Train the per-subspace PQ codebooks IN-ENGINE — Lloyd iterations on
+    * squared-L2 over each subspace's sliced vectors, the production
+    * replacement for [[pqCodebook]]'s seed planes. Returns the same
+    * literal structure, so the encode/ADC expression chain is untouched:
+    * pass the result to [[pqEncode]]/[[pqTopK]] via their `codebook`
+    * parameter.
+    *
+    * Scale shape: the codebook is MODEL-sized (m·ksub·subDim doubles)
+    * and lives on the driver between iterations (the LinearModel
+    * posture); each iteration is ONE job over the corpus — vectors
+    * explode into m (subspace, subvector) rows, a codegen'd
+    * argmin-when-chain assigns every row to its subspace's nearest code
+    * against the LITERAL current codebook (no join), and one
+    * (subspace, code, pos) aggregate of 1e-9-quantized sums recomputes
+    * all m codebooks at once. Codes that captured no rows keep their
+    * previous centroid (standard empty-cluster rule).
+    *
+    * Deterministic: init is each subspace's slice of the ksub
+    * md5-smallest vector ids ([[buildIvfIndex]]'s seed posture); sums
+    * accumulate as exact longs on the 1e-9 grid and the means
+    * re-quantize to it, so the trained codebook is partition-invariant
+    * and re-run-stable (spec-pinned). */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       m: Int = 4, ksub: Int = 8, dim: Int = 64,
+                       lloydIters: Int = 2): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(lloydIters >= 0, s"lloydIters must be >= 0, got $lloydIters")
+    val subDim = dim / m
+    def q9(x: Double): Double = math.floor(x * 1e9) / 1e9
+    val base = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val sub = base.select(explode(array((0 until m).map { j =>
+        struct(lit(j).as("j"),
+          transform(slice(col("__v"), j * subDim + 1, subDim),
+            x => x.cast("double")).as("sv"))
+      }: _*)).as("__e"))
+      .select(col("__e.j").as("__j"), col("__e.sv").as("__sv"))
+    val seedRows = base
+      .withColumn("__m", md5(col("__id").cast("string")))
+      .orderBy("__m", "__id").limit(ksub)
+      .select(col("__m"), col("__v")).collect()
+      .sortBy(_.getString(0))
+    require(seedRows.length == ksub,
+      s"need at least ksub=$ksub corpus rows, got ${seedRows.length}")
+    def elem(v: Any): Double = v match {
+      case f: java.lang.Float => f.toDouble
+      case d: java.lang.Double => d
+      case n: java.lang.Number => n.doubleValue()
+    }
+    var cb: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      seedRows.toSeq.map { r =>
+        val v = r.getSeq[Any](1)
+        (0 until subDim).map(p => q9(elem(v(j * subDim + p))))
+      }
+    }
+    var it = 0
+    while (it < lloydIters) {
+      // nearest code per (row, subspace) against the literal codebook —
+      // first minimum wins, matching pqEncode's struct-argmin
+      val assignCol = (1 until m).foldLeft(
+        when(col("__j") === 0, argminCode(cb(0)))) { (acc, j) =>
+        acc.when(col("__j") === j, argminCode(cb(j)))
+      }
+      val meanRows = sub.withColumn("__c", assignCol)
+        .select(col("__j"), col("__c"),
+          posexplode(col("__sv")).as(Seq("__pos", "__x")))
+        .groupBy("__j", "__c", "__pos")
+        .agg((sum(floor(col("__x") * 1e9).cast("long")).cast("double") /
+          (count(lit(1)) * lit(1e9))).as("__mean"))
+        .collect()
+      val byKey = meanRows.map(r => (r.getInt(0), r.getInt(1),
+        r.getInt(2)) -> r.getDouble(3)).toMap
+      cb = (0 until m).map { j =>
+        (0 until ksub).map { c =>
+          (0 until subDim).map { p =>
+            byKey.get((j, c + 1, p)).fold(cb(j)(c)(p))(q9)
+          }
+        }
+      }
+      it += 1
+    }
+    cb
+  }
+
+  /** First-minimum code (1-based) of `__sv` against one subspace's
+    * literal centroids — the training-side twin of [[pqEncode]]'s
+    * argmin. */
+  private def argminCode(cents: Seq[Seq[Double]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (cent, c) =>
+      struct(l2sq(col("__sv"), cent).as("d"), lit(c + 1).as("c"))
+    }: _*)).getField("c")
+
   /** Product-quantization encoding: compress each `dim`-float vector to
     * `m` small codes (one byte each at ksub ≤ 256) — the standard 10–50×
     * memory cut that makes billion-vector ANN fit a cluster's RAM. Each
@@ -592,10 +682,13 @@ object Similarity {
     * array<int>). */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
                m: Int = 4, ksub: Int = 8, dim: Int = 64,
-               seed: Long = 42L): DataFrame = {
+               seed: Long = 42L,
+               codebook: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
-    val cb = pqCodebook(m, ksub, subDim, seed)
+    require(codebook.forall(c => c.size == m && c.forall(_.size == ksub)),
+      s"codebook shape must be $m x $ksub")
+    val cb = codebook.getOrElse(pqCodebook(m, ksub, subDim, seed))
     val codes = array((0 until m).map { j =>
       val sub = slice(col(vecCol), j * subDim + 1, subDim)
       array_min(array((0 until ksub).map(c =>
@@ -650,11 +743,12 @@ object Similarity {
   def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, qidCol: String, qvecCol: String,
              k: Int, m: Int = 4, ksub: Int = 8, dim: Int = 64,
-             seed: Long = 42L): DataFrame = {
+             seed: Long = 42L,
+             codebook: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
-    val cb = pqCodebook(m, ksub, subDim, seed)
-    val enc = pqEncode(corpus, idCol, vecCol, m, ksub, dim, seed)
+    val cb = codebook.getOrElse(pqCodebook(m, ksub, subDim, seed))
+    val enc = pqEncode(corpus, idCol, vecCol, m, ksub, dim, seed, codebook)
       .select(col("vec_id").as("__cid"), col("codes").as("__codes"))
     val tbl = array((0 until m).map(j =>
       array((0 until ksub).map(c =>

@@ -2609,6 +2609,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(3000))
   }
 
+  test("trainPqCodebooks: partition-invariant, shrinks quantization distortion vs seed planes, feeds the same ADC chain") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val centers = typedlit(graft.SparkEntry.PqClusterCenters)
+    val ce = emb.select(col("vec_id"),
+      transform(sequence(lit(1), lit(64)), i =>
+        element_at(element_at(centers, (col("vec_id") % 16).cast("int") + 1), i) +
+          element_at(col("embedding"), i).cast("double") * lit(0.1))
+        .as("embedding"))
+    val cb = Similarity.trainPqCodebooks(ce, "vec_id", "embedding",
+      m = 4, ksub = 8, dim = 64, lloydIters = 2)
+    assert(cb.size == 4 && cb.forall(_.size == 8) &&
+      cb.forall(_.forall(_.size == 16)))
+    // partition-invariance: the exact-long sums make the trained
+    // literals independent of data layout
+    val cb7 = Similarity.trainPqCodebooks(ce.repartition(7), "vec_id",
+      "embedding", m = 4, ksub = 8, dim = 64, lloydIters = 2)
+    assert(cb == cb7, "codebook must not depend on partitioning")
+    // distortion = mean squared-L2 between each vector and its encoded
+    // reconstruction; trained codebooks must beat the seed planes on
+    // the clustered corpus (the entire point of training)
+    def distortion(codebook: Option[Seq[Seq[Seq[Double]]]]): Double = {
+      val enc = Similarity.pqEncode(ce, "vec_id", "embedding",
+        codebook = codebook).withColumnRenamed("vec_id", "eid")
+      ce.join(enc, col("vec_id") === col("eid"))
+        .select(col("embedding").as("v"), col("codes")).collect()
+        .map { r =>
+          val v = r.getSeq[Double](0)
+          val codes = r.getSeq[Int](1)
+          val cbUsed = codebook.getOrElse(
+            Similarity.pqCodebook(4, 8, 16, 42L))
+          (0 until 4).map { j =>
+            val cent = cbUsed(j)(codes(j) - 1)
+            (0 until 16).map { p =>
+              val d = v(j * 16 + p) - cent(p); d * d }.sum
+          }.sum
+        }.sum
+    }
+    val trained = distortion(Some(cb))
+    val seeded = distortion(None)
+    assert(trained < seeded,
+      s"training must shrink distortion: $trained >= $seeded")
+  }
+
   test("clustered PQ fixture is non-degenerate: codes vary across clusters") {
     // the q_ivfpq_recall fixture exists because the raw corpus
     // embeddings collapse the codebook (one code combo corpus-wide —
