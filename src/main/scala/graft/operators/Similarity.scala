@@ -770,19 +770,35 @@ object Similarity {
   /** Build and PERSIST an IVF-PQ index — the [[buildIvfIndex]] layout
     * with [[pqEncode]] codes in place of raw vectors (the FAISS IVF-PQ
     * composition re-expressed as tables): coarse centroids trained and
-    * saved as `{table}_centroids`, and the corpus stored as (__cid,
-    * __codes, __cluster) BUCKETED by list id. The index holds m small
-    * codes per vector instead of dim floats — the memory/IO product of
-    * the two levers: probing reads only nprobe/nlist of the corpus
-    * (bucket pruning) AND each row read is m bytes of codes, not
-    * 4·dim bytes of floats. */
+    * saved as `{table}_centroids`, the (possibly trained) PQ codebook
+    * saved as `{table}_codebook` (j, c, pos, v) — codes are
+    * MEANINGLESS without the codebook that minted them, so the index
+    * carries it and the probe side reads it back instead of trusting
+    * the caller to re-derive the same literals — and the corpus stored
+    * as (__cid, __codes, __cluster) BUCKETED by list id. The index
+    * holds m small codes per vector instead of dim floats — the
+    * memory/IO product of the two levers: probing reads only
+    * nprobe/nlist of the corpus (bucket pruning) AND each row read is
+    * m bytes of codes, not 4·dim bytes of floats. Pass `codebook`
+    * (e.g. [[trainPqCodebooks]] output) to index with trained
+    * sub-quantizers; the default stays the seed planes. */
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       table: String, nlist: Int = 256, buckets: Int = 32,
                       lloydIters: Int = 1, m: Int = 4, ksub: Int = 8,
-                      dim: Int = 64, seed: Long = 42L): DataFrame = {
+                      dim: Int = 64, seed: Long = 42L,
+                      codebook: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
     require(nlist > 0 && buckets > 0 && lloydIters >= 0)
     val spark = corpus.sparkSession
-    Seq(table, s"${table}_centroids").foreach(Bucketing.dropForRewrite(spark, _))
+    Seq(table, s"${table}_centroids", s"${table}_codebook")
+      .foreach(Bucketing.dropForRewrite(spark, _))
+    val cbUsed = codebook.getOrElse(pqCodebook(m, ksub, dim / m, seed))
+    import spark.implicits._
+    cbUsed.zipWithIndex.flatMap { case (cents, j) =>
+      cents.zipWithIndex.flatMap { case (cent, c) =>
+        cent.zipWithIndex.map { case (v, pos) => (j, c + 1, pos + 1, v) }
+      }
+    }.toDF("j", "c", "pos", "v").write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_codebook")
     var cent: DataFrame = corpus
       .select(col(idCol).as("__cent_id"), col(vecCol).as("__cent_v"),
         md5(col(idCol).cast("string")).as("__m"))
@@ -799,7 +815,7 @@ object Similarity {
       corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv")),
       "__cid", "__cv", spark.table(s"${table}_centroids"), 1)
     val coded = assigned
-      .join(pqEncode(corpus, idCol, vecCol, m, ksub, dim, seed)
+      .join(pqEncode(corpus, idCol, vecCol, m, ksub, dim, seed, codebook)
         .select(col("vec_id").as("__cid"), col("codes").as("__codes")),
         Seq("__cid"))
       .select("__cid", "__codes", "__cluster")
@@ -807,21 +823,44 @@ object Similarity {
     spark.table(table)
   }
 
+  /** Read back a [[buildIvfPqIndex]] index's persisted codebook as the
+    * literal structure the ADC expressions consume. Pre-`_codebook`
+    * indexes (none in this repo, but a user's old tables) fall back to
+    * the seed planes the old build used. Model-sized collect. */
+  private def loadCodebook(spark: org.apache.spark.sql.SparkSession,
+                           table: String, m: Int, ksub: Int,
+                           subDim: Int, seed: Long): Seq[Seq[Seq[Double]]] =
+    if (!spark.catalog.tableExists(s"${table}_codebook"))
+      pqCodebook(m, ksub, subDim, seed)
+    else {
+      val rows = spark.table(s"${table}_codebook").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+        .toMap
+      require(rows.size == m * ksub * subDim,
+        s"${table}_codebook has ${rows.size} cells, want ${m * ksub * subDim}")
+      (0 until m).map(j => (1 to ksub).map(c =>
+        (1 to subDim).map(p => rows((j, c, p)))))
+    }
+
   /** Probe a [[buildIvfPqIndex]] index: queries pick their `nprobe`
     * nearest lists against the persisted centroids, the index scan
     * PRUNES to the probed lists' buckets, and scoring is pure ADC —
     * each query's m×ksub distance table rides the broadcast join and
     * every pruned corpus row costs m list lookups on its stored codes.
     * nprobe = nlist degrades to exactly [[pqTopK]] over the whole
-    * corpus (the oracle path). Output: (query_id, rank, neighbor_id,
-    * adc), smallest-ADC first, ties by id. */
+    * corpus (the oracle path). The query-side distance tables build
+    * against the codebook PERSISTED WITH the index (`{table}_codebook`)
+    * — trained or seeded, whatever minted the stored codes — so a
+    * trained index round-trips through build → probe with no caller
+    * re-derivation. Output: (query_id, rank, neighbor_id, adc),
+    * smallest-ADC first, ties by id. */
   def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
                        queries: DataFrame, qidCol: String, qvecCol: String,
                        k: Int, nprobe: Int = 8, m: Int = 4, ksub: Int = 8,
                        dim: Int = 64, seed: Long = 42L): DataFrame = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
-    val cb = pqCodebook(m, ksub, subDim, seed)
+    val cb = loadCodebook(spark, table, m, ksub, subDim, seed)
     val cent = spark.table(s"${table}_centroids")
     val tbl = array((0 until m).map(j =>
       array((0 until ksub).map(c =>

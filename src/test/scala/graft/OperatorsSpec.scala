@@ -2554,6 +2554,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full.sortBy(t => (t._1, t._2)).toSeq == flat.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("IVF-PQ index persists its codebook: a TRAINED index round-trips build → probe") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val centers = typedlit(graft.SparkEntry.PqClusterCenters)
+    val ce = emb.select(col("vec_id"),
+      transform(sequence(lit(1), lit(64)), i =>
+        element_at(element_at(centers, (col("vec_id") % 16).cast("int") + 1), i) +
+          element_at(col("embedding"), i).cast("double") * lit(0.1))
+        .as("embedding"))
+    val cb = Similarity.trainPqCodebooks(ce, "vec_id", "embedding",
+      lloydIters = 1)
+    Similarity.buildIvfPqIndex(ce, "vec_id", "embedding", "ivfpqtr_idx",
+      nlist = 8, buckets = 8, codebook = Some(cb))
+    // the persisted codebook holds exactly the trained literals
+    val stored = spark.table("ivfpqtr_idx_codebook").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    assert(stored.size == 4 * 8 * 16)
+    for (j <- 0 until 4; c <- 0 until 8; p <- 0 until 16)
+      assert(stored((j, c + 1, p + 1)) == cb(j)(c)(p))
+    // full probe of the trained index ≡ flat pqTopK with the trained
+    // codebook — the probe reads the index's own codebook, never
+    // re-deriving seed planes
+    val queries = ce.where(col("vec_id") < 3)
+    val full = Similarity.ivfPqTopKIndexed(spark, "ivfpqtr_idx",
+      queries, "vec_id", "embedding", k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val flat = Similarity.pqTopK(ce, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, codebook = Some(cb))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(full.sortBy(t => (t._1, t._2)).toSeq ==
+      flat.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("ivfPqTopKRefined: exact re-rank never loses to raw ADC; raw-vector fetch is candidate-bounded and broadcast") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val centers = typedlit(graft.SparkEntry.PqClusterCenters)
