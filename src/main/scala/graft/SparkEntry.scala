@@ -2905,6 +2905,23 @@ object SparkEntry {
         .orderBy("win_start")
     }),
 
+    // the SAFE continuous drain shape the dpCountStream DP contract
+    // documents: APPEND mode — each window releases exactly ONCE, after
+    // the watermark closes it, so the one-release-per-window ε
+    // guarantee holds in a genuinely continuous run. Windows the final
+    // watermark has not closed stay in state and are NOT published;
+    // the oracle replays exactly the closed set (window end ≤ max
+    // event time − the 1 h delay)
+    "q_stream_dp2" -> ((s, dir) => {
+      val ev = GraftStreaming.readEventsGlob(s, dir, "events.parquet")
+      runStreamQuery(s, "stream_dp2",
+          GraftStreaming.dpCountStream(ev, eps = 1.0, seed = "graft-r12"),
+          "append")
+        .select(col("window.start").cast("long").as("win_start"),
+          round(col("n_dp"), 6).as("n_dp"))
+        .orderBy("win_start")
+    }),
+
     // Structured Streaming: stream-static enrichment — events joined
     // map-side to the broadcast customer dimension per micro-batch (no
     // state), unmatched users kept with NULL segment; batch-aggregated
@@ -6746,6 +6763,21 @@ object SparkEntry {
                "'graft-r11' || '|' || 'n' || '|' || CAST(win_start AS VARCHAR)",
                1.0)}, 6) AS n_dp
          |FROM b ORDER BY win_start""".stripMargin
+    },
+    // append mode publishes only watermark-CLOSED windows: the same
+    // noisy series, restricted to window end ≤ max event time − 1 h
+    "q_stream_dp2" -> {
+      import graft.operators.Privacy
+      s"""WITH b AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+         |      AS win_start, count(*) AS n FROM events GROUP BY 1),
+         |wm AS (SELECT CAST(epoch(max(ts)) AS BIGINT) - 3600 AS w
+         |  FROM events)
+         |SELECT win_start, round(CAST(n AS DOUBLE) +
+         |    ${Privacy.laplaceNoiseSqlExpr(
+               "'graft-r12' || '|' || 'n' || '|' || CAST(win_start AS VARCHAR)",
+               1.0)}, 6) AS n_dp
+         |FROM b, wm WHERE win_start + 3600 <= w
+         |ORDER BY win_start""".stripMargin
     },
     "q_stream_enrich" ->
       """WITH e AS (SELECT ev.event_id, ev.value,

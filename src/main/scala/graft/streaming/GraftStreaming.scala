@@ -1575,7 +1575,10 @@ object GraftStreaming {
     * voids the ε guarantee. Safe drain shapes: `append` output mode
     * (each window emits once, after the watermark closes it — the
     * continuous-run shape), or a single terminal `complete`-mode
-    * snapshot of a bounded replay (the q_stream_dp drain). Update-mode
+    * snapshot of a bounded replay (the q_stream_dp drain) —
+    * q_stream_dp2 exercises the append shape end-to-end: only
+    * watermark-closed windows publish, oracle-pinned to the closed
+    * set. Update-mode
     * or repeated complete-mode publications of live windows are NOT
     * ε-DP under this keying; to publish refinements, draw per-emission
     * noise and account the composed budget caller-side. Re-emitting a
