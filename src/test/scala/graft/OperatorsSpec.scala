@@ -1752,6 +1752,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
   }
 
+  test("PublicSuffix: differential sweep — every snapshot rule at 0/1/2 extra labels vs a driver-side reference matcher") {
+    import spark.implicits._
+    val rules = graft.operators.PublicSuffix.Rules
+    val exact = rules.collect { case (r, false, false) => r }.toSet
+    val wild = rules.collect { case (r, false, true) => r }.toSet
+    val exc = rules.collect { case (r, true, false) => r }.toSet
+    // the PSL algorithm, straight from the spec: exceptions first,
+    // then the longest match, then the implicit '*' rule
+    def ref(host: String): String = {
+      val labels = host.split('.')
+      val n = labels.length
+      def tail(k: Int) = labels.takeRight(k).mkString(".")
+      val psLen =
+        if (n >= 3 && exc(tail(3))) 2
+        else if (n >= 2 && exc(tail(2))) 1
+        else Seq(
+          if (n >= 3 && exact(tail(3))) 3 else 0,
+          if (n >= 2 && wild(tail(2))) 3 else 0,
+          if (n >= 2 && exact(tail(2))) 2 else 0,
+          if (n >= 1 && wild(tail(1))) 2 else 0,
+          if (n >= 1 && exact(tail(1))) 1 else 0,
+          1).max
+      if (n >= psLen + 1) labels.takeRight(psLen + 1).mkString(".")
+      else ""
+    }
+    val hosts = (rules.map(_._1) ++
+      rules.map(r => "x0." + r._1) ++
+      rules.map(r => "y1.x0." + r._1) ++
+      Seq("localhost", "a.b.c.notatld", "x.y", "com", "uk")).distinct
+    val got = graft.operators.PublicSuffix.registeredDomainPsl(
+        hosts.toDF("host"), "host")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    hosts.foreach { h =>
+      assert(got(h) == ref(h), s"host $h: got ${got(h)}, ref ${ref(h)}") }
+  }
+
   test("withPngPayload round-trips through the byte-level PNG probe") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").limit(50)
     val probed = Multimodal.probeImages(
