@@ -230,8 +230,13 @@ object PublicSuffix {
       array_join(slice(split(col(hostCol), "\\."),
         (psLen + 1) * -1, psLen + 1), "."))
       .otherwise(lit(""))
+    // IP literals are hosts but never registrable names (PSL rule):
+    // all-numeric dotted hosts (IPv4) and anything carrying ':'
+    // (unbracketed IPv6) have no registered domain
+    val isIp = col(hostCol).rlike("^[0-9.]+$") ||
+      col(hostCol).contains(":")
     out.withColumn(outCol, when(col(hostCol).isNull, lit(null)
-        .cast("string")).otherwise(reg))
+        .cast("string")).when(isIp, lit("")).otherwise(reg))
       .drop("__n", "__t1", "__t2", "__t3",
         "__exc1", "__exc2", "__exc3", "__wild1", "__wild2", "__wild3")
   }
@@ -293,7 +298,9 @@ object PublicSuffix {
        |           1) END AS ps_len
        |  FROM psl_j),
        |psl_reg AS (SELECT host,
-       |    CASE WHEN n >= ps_len + 1 THEN array_to_string(list_slice(
+       |    CASE WHEN regexp_matches(host, '^[0-9.]+$$')
+       |        OR contains(host, ':') THEN ''
+       |      WHEN n >= ps_len + 1 THEN array_to_string(list_slice(
        |      string_split(host, '.'), -(ps_len + 1), -1), '.') ELSE '' END
        |      AS domain
        |  FROM psl_len)""".stripMargin

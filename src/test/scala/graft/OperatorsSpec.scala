@@ -1736,6 +1736,9 @@ class OperatorsSpec extends AnyFunSuite {
       "a.b.unknowntld" -> "b.unknowntld",
       "unknowntld" -> "",
       "localhost" -> "",
+      // IP literals are never registrable names
+      "192.168.0.1" -> "",
+      "fe80::1" -> "",
       // plain known TLD with no multi-label rule
       "cdn.example.com" -> "example.com")
     val got = graft.operators.PublicSuffix.registeredDomainPsl(
@@ -1761,6 +1764,7 @@ class OperatorsSpec extends AnyFunSuite {
     // the PSL algorithm, straight from the spec: exceptions first,
     // then the longest match, then the implicit '*' rule
     def ref(host: String): String = {
+      if (host.matches("^[0-9.]+$") || host.contains(":")) return ""
       val labels = host.split('.')
       val n = labels.length
       def tail(k: Int) = labels.takeRight(k).mkString(".")
@@ -1780,7 +1784,8 @@ class OperatorsSpec extends AnyFunSuite {
     val hosts = (rules.map(_._1) ++
       rules.map(r => "x0." + r._1) ++
       rules.map(r => "y1.x0." + r._1) ++
-      Seq("localhost", "a.b.c.notatld", "x.y", "com", "uk")).distinct
+      Seq("localhost", "a.b.c.notatld", "x.y", "com", "uk",
+        "10.0.0.1", "255.255.255.255", "fe80::1")).distinct
     val got = graft.operators.PublicSuffix.registeredDomainPsl(
         hosts.toDF("host"), "host")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
