@@ -24,7 +24,12 @@ object Bench {
     // sweep that still ran on a busy box names its own numbers
     // untrustworthy instead of reading as a perf regression.
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "1.5").toDouble
-    val gateWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "120").toLong
+    // the gate protects the committed FULL-sweep artifact; a targeted
+    // SPARK_GRAFT_ONLY iteration run never writes it, so blocking a
+    // sub-minute dev loop for up to two minutes buys nothing
+    val gateWaitSec =
+      if (sys.env.contains("SPARK_GRAFT_ONLY")) 0L
+      else sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "120").toLong
     val gateDeadline = System.nanoTime() + gateWaitSec * 1000000000L
     var preLoad = graft.tools.BoxSentinel.loadAvg()
     while (preLoad > loadGate && System.nanoTime() < gateDeadline) {

@@ -200,6 +200,11 @@ object Embedding {
       val total = Option(agg.getAs[java.math.BigDecimal](0))
         .fold(0L)(_.longValueExact())
       require(total > 0, "unigram75 weights are empty")
+      // the draw is a 48-bit md5 fold mod total: past 2^48 the modulo
+      // degenerates (high-cum nodes silently get probability 0) — fail
+      // loud; to raise the ceiling, widen the fold, never the comment
+      require(total < (1L << 48),
+        s"unigram75 cumulative weight $total exceeds the 48-bit draw space")
       // cell-decomposed interval join: each node's [cum, cum+wq) range
       // explodes into ~wq/G coarse cells (G sized so the cell table is
       // ~5x vocab), draws equi-join their cell and filter to the exact
@@ -252,6 +257,15 @@ object Embedding {
     // inside init)
     def withInit(side: String, given: Option[DataFrame]): DataFrame =
       given.fold(init(side)) { m =>
+        // a duplicated (node, pos) cell would FAN OUT the left join and
+        // double-count every downstream gradient sum with no error —
+        // fail loud instead (one matrix-sized aggregate, cheap next to
+        // the fit); stored snapshots are unique by construction, this
+        // catches hand-unioned inputs
+        val a = m.agg(count(lit(1)).as("n"),
+          count_distinct(col("node"), col("pos")).as("d")).first()
+        require(a.getLong(0) == a.getLong(1),
+          s"init $side matrix has duplicate (node, pos) rows")
         init(side).join(m.select(col("node"), col("pos"),
             col("v").as("__iv")), Seq("node", "pos"), "left")
           .select(col("node"), col("pos"),

@@ -79,12 +79,35 @@ object Multimodal {
     private[operators] def lumaGridIO(bytes: Array[Byte],
                                       g: Int): Option[Array[Float]] = {
       try {
-        val img = javax.imageio.ImageIO.read(
+        val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
-        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
-        else {
-          val w = img.getWidth
-          val h = img.getHeight
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            // bound the DECODER's declared dims, not the byte-walk
+            // probe's: a GIF sizes its raster from the per-frame image
+            // descriptor, which a crafted payload can inflate past the
+            // 1×1 logical screen the header probe reads — the decoder's
+            // header view is the one that sizes the allocation
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels)
+              return None
+            decodeGrid(reader.read(0), w, h, g)
+          } finally reader.dispose()
+        } finally iis.close()
+      } catch {
+        case scala.util.control.NonFatal(_) => None // OOM et al. propagate
+      }
+    }
+
+    private def decodeGrid(img: java.awt.image.BufferedImage, w: Int,
+                           h: Int, g: Int): Option[Array[Float]] = {
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
           val acc = new Array[Double](g * g)
           val cnt = new Array[Long](g * g)
           val rowBuf = new Array[Int](w)
@@ -112,9 +135,6 @@ object Multimodal {
             i += 1
           }
           Some(out)
-        }
-      } catch {
-        case scala.util.control.NonFatal(_) => None // OOM et al. propagate
       }
     }
 

@@ -194,6 +194,10 @@ object PublicSuffix {
     * end to end, the host stream is never shuffled. */
   def registeredDomainPsl(df: DataFrame, hostCol: String,
                           outCol: String = "domain"): DataFrame = {
+    val scratch = Seq("__n", "__t1", "__t2", "__t3",
+      "__exc1", "__exc2", "__exc3", "__wild1", "__wild2", "__wild3")
+    require((scratch :+ outCol).forall(c => !df.columns.contains(c)),
+      s"input already carries '$outCol' or a __-scratch column")
     val spark = df.sparkSession
     val rules = rulesDf(spark)
     val labels = split(col(hostCol), "\\.")
@@ -214,15 +218,20 @@ object PublicSuffix {
     // suffix at k+1 labels — then the implicit '*' (1 label)
     def flag(c: String): Column = coalesce(col(c), lit(false))
     def matched(k: Int): Column = col(s"__exc$k").isNotNull
+    // a wildcard rule `*.X` has labels(X)+1 labels and so can only
+    // match hosts with at least that many — a host EQUAL to the base
+    // falls through to the implicit '*' (host 'kawasaki.jp' registers
+    // as kawasaki.jp under rule 'jp'; it is not itself a suffix)
     val psLen =
       when(flag("__exc3"), lit(2))
         .when(flag("__exc2"), lit(1))
         .otherwise(greatest(
           when(matched(3) && !flag("__exc3"), 3).otherwise(0), // exact, 3 labels
-          when(flag("__wild2"), 3).otherwise(0), // one label under a 2-label base
+          when(flag("__wild2") && col("__n") >= 3, 3)
+            .otherwise(0), // one label under a 2-label base
           when(matched(2) && !flag("__exc2") && !flag("__wild2"), 2)
             .otherwise(0), // exact, 2 labels
-          when(flag("__wild1"), 2).otherwise(0),
+          when(flag("__wild1") && col("__n") >= 2, 2).otherwise(0),
           when(matched(1) && !flag("__exc1") && !flag("__wild1"), 1)
             .otherwise(0),
           lit(1))) // the PSL's implicit '*' rule: unknown TLDs count 1
@@ -289,10 +298,12 @@ object PublicSuffix {
        |         ELSE greatest(
        |           CASE WHEN m3 IS NOT NULL AND NOT COALESCE(exc3, false)
        |             THEN 3 ELSE 0 END,
-       |           CASE WHEN COALESCE(wild2, false) THEN 3 ELSE 0 END,
+       |           CASE WHEN COALESCE(wild2, false) AND n >= 3
+       |             THEN 3 ELSE 0 END,
        |           CASE WHEN m2 IS NOT NULL AND NOT COALESCE(exc2, false)
        |             AND NOT COALESCE(wild2, false) THEN 2 ELSE 0 END,
-       |           CASE WHEN COALESCE(wild1, false) THEN 2 ELSE 0 END,
+       |           CASE WHEN COALESCE(wild1, false) AND n >= 2
+       |             THEN 2 ELSE 0 END,
        |           CASE WHEN m1 IS NOT NULL AND NOT COALESCE(exc1, false)
        |             AND NOT COALESCE(wild1, false) THEN 1 ELSE 0 END,
        |           1) END AS ps_len

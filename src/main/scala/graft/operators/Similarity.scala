@@ -686,8 +686,12 @@ object Similarity {
                codebook: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
-    require(codebook.forall(c => c.size == m && c.forall(_.size == ksub)),
-      s"codebook shape must be $m x $ksub")
+    // a wrong subDim would not fail: zip_with pads the slice against
+    // the centroid with nulls and every distance goes null — garbage
+    // codes with no error
+    require(codebook.forall(c => c.size == m && c.forall(s =>
+      s.size == ksub && s.forall(_.size == subDim))),
+      s"codebook shape must be $m x $ksub x $subDim")
     val cb = codebook.getOrElse(pqCodebook(m, ksub, subDim, seed))
     val codes = array((0 until m).map { j =>
       val sub = slice(col(vecCol), j * subDim + 1, subDim)
@@ -747,6 +751,9 @@ object Similarity {
              codebook: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
+    require(codebook.forall(c => c.size == m && c.forall(s =>
+      s.size == ksub && s.forall(_.size == subDim))),
+      s"codebook shape must be $m x $ksub x $subDim")
     val cb = codebook.getOrElse(pqCodebook(m, ksub, subDim, seed))
     val enc = pqEncode(corpus, idCol, vecCol, m, ksub, dim, seed, codebook)
       .select(col("vec_id").as("__cid"), col("codes").as("__codes"))
@@ -788,6 +795,9 @@ object Similarity {
                       dim: Int = 64, seed: Long = 42L,
                       codebook: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
     require(nlist > 0 && buckets > 0 && lloydIters >= 0)
+    require(codebook.forall(c => c.size == m && c.forall(s =>
+      s.size == ksub && s.forall(_.size == dim / m))),
+      s"codebook shape must be $m x $ksub x ${dim / m}")
     val spark = corpus.sparkSession
     Seq(table, s"${table}_centroids", s"${table}_codebook")
       .foreach(Bucketing.dropForRewrite(spark, _))

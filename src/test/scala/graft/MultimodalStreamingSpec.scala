@@ -1102,6 +1102,23 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     val pooled = M.poolBytes(poison, 33, 64) // raster offset after IHDR+CRC
     assert(got.toSeq == pooled.toSeq,
       "poison header must take the bounded byte-pooling path")
+
+    // GIF frame-descriptor bypass: logical screen 1×1 (passes the cheap
+    // header pre-gate) but the FRAME declares 60000×60000 — ImageIO
+    // sizes the raster from the frame, so the guard must bound the
+    // DECODER's declared dims, not our byte-walk probe's
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, (v >> 8).toByte)
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      le16(1) ++ le16(1) ++ Array[Byte](0, 0, 0) ++ // 1×1 screen, no GCT
+      Array[Byte](0x2C) ++ le16(0) ++ le16(0) ++ // image descriptor
+      le16(60000) ++ le16(60000) ++ Array[Byte](0) ++
+      Array[Byte](2, 1, 0, 0) ++ Array[Byte](0x3B) // stub LZW + trailer
+    val (gw, gh, _, gf) = M.ImageCodec.probe(gif)
+    assert((gw, gh, gf) == (1, 1, "gif")) // the probe sees the screen
+    val gifGot = M.ImageCodec.features(gif, 64)
+    val gifPooled = M.poolBytes(gif, 13, 64) // raster after the 13-byte LSD
+    assert(gifGot.toSeq == gifPooled.toSeq,
+      "oversized GIF frame must fall back to byte pooling")
   }
 
   test("streaming heavy hitters: single batch ≡ batch top-k; sketch state accumulates across micro-batches") {

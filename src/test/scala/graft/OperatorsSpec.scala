@@ -1732,6 +1732,11 @@ class OperatorsSpec extends AnyFunSuite {
       "ward.kawasaki.jp" -> "",
       "city.kawasaki.jp" -> "city.kawasaki.jp",
       "sub.city.kawasaki.jp" -> "city.kawasaki.jp",
+      // a host EQUAL to a wildcard base: '*.X' (labels(X)+1 labels)
+      // cannot match an labels(X)-label host, so the implicit '*'
+      // prevails — kawasaki.jp is registrable under 'jp'
+      "kawasaki.jp" -> "kawasaki.jp",
+      "ck" -> "",
       // implicit '*' rule: unknown TLD counts one label
       "a.b.unknowntld" -> "b.unknowntld",
       "unknowntld" -> "",
@@ -1773,9 +1778,10 @@ class OperatorsSpec extends AnyFunSuite {
         else if (n >= 2 && exc(tail(2))) 1
         else Seq(
           if (n >= 3 && exact(tail(3))) 3 else 0,
-          if (n >= 2 && wild(tail(2))) 3 else 0,
+          // '*.X' needs labels(X)+1 host labels to match at all
+          if (n >= 3 && wild(tail(2))) 3 else 0,
           if (n >= 2 && exact(tail(2))) 2 else 0,
-          if (n >= 1 && wild(tail(1))) 2 else 0,
+          if (n >= 2 && wild(tail(1))) 2 else 0,
           if (n >= 1 && exact(tail(1))) 1 else 0,
           1).max
       if (n >= psLen + 1) labels.takeRight(psLen + 1).mkString(".")
