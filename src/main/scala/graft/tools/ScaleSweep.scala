@@ -357,6 +357,32 @@ object ScaleSweep {
       graft.operators.Embedding.sgnsFit(p, "a", "b", dim = 4,
         iters = 1, lr = 0.5, negs = 1)
     })
+    // the round-12 weighted-negative path: same pair corpus as `sgns`,
+    // negatives drawn by the cell-decomposed unigram^0.75 inversion —
+    // the weight table, two-level prefix sums, and the cell equi-join
+    // are the added terms under test
+    sweep("sgns_w75")(k => {
+      val nNodes = lit(2000L * k)
+      val p = evAt(k).select(
+        concat(lit("n"), pmod(col("event_id"), nNodes).cast("string"))
+          .as("a"),
+        concat(lit("n"), pmod(col("event_id") * 7 + col("user_id"), nNodes)
+          .cast("string")).as("b"))
+        .where(col("a") =!= col("b")).distinct()
+      graft.operators.Embedding.sgnsFit(p, "a", "b", dim = 4,
+        iters = 1, lr = 0.5, negs = 1, negDist = "unigram75")
+    })
+    // PSL registered-domain grouping: three broadcast label-tail joins
+    // + one hash aggregate — the host stream must scale with ZERO
+    // shuffles before the final agg
+    sweep("psl_domains")(k => {
+      val h = graft.operators.UrlOps.syntheticPslHost(
+        col("event_id"), col("user_id"))
+      graft.operators.PublicSuffix.registeredDomainPsl(
+          evAt(k).select(h.as("host"), length(h).as("nc")), "host")
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"))
+    })
     sweep("bpe_pairs")(k =>
       TextAnalysis.bpeTopPairs(docsAt(k), "text", k = 40))
     sweep("zorder_cluster")(k => graft.operators.ZOrder.clusterByZ(
