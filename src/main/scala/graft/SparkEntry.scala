@@ -2331,7 +2331,11 @@ object SparkEntry {
     // make. The raster is text-deterministic, so the oracle is text
     // equality over the planted corpus (q_image_dedup's pattern); the
     // hamming value itself is codec-noise-dependent and stays out of
-    // the compared columns
+    // the compared columns. maxHamming = 3 is the largest radius the
+    // 4x16-bit pigeonhole banding FULLY recalls (hamming <= 3 => one
+    // chunk equal — hammingNearDupFromSig's contract); the planted
+    // twins land at hamming 0 with a 16/255 cell margin vs <~2/255
+    // JPEG DC noise, so the radius is slack, not load-bearing
     "q_image_dedup2" -> ((s, dir) => {
       val docs = table(s, dir, "documents").select("doc_id", "text")
         .where(col("doc_id") < 120)
@@ -2341,7 +2345,7 @@ object SparkEntry {
         docs.select((col("doc_id") + 500000L).as("doc_id"), col("text")),
         "text", "jpeg", minPartitions = Some(8))
       Multimodal.imageNearDup(png.unionByName(jpg), "doc_id", "content",
-          dim = 8, maxHamming = 4)
+          dim = 8, maxHamming = 3)
         .select("id_l", "id_r")
         .orderBy("id_l", "id_r")
     }),

@@ -15,22 +15,28 @@ import org.apache.spark.sql.functions._
   * public suffix plus one label; a host that IS a public suffix has none.
   *
   * [[Rules]] is an embedded curated snapshot of the list's stable core
-  * (the multi-label country registries plus the wildcard/exception
-  * families) — swap the Seq for a full refresh of the published dat file
-  * when currency matters; nothing else changes. Bounds enforced here:
-  * exact/exception rules ≤ 3 labels, wildcard bases ≤ 2 (true of the
-  * snapshot, checked at class init) — so matching needs only the host's
-  * last three label-tails.
+  * (the multi-label country registries, the wildcard/exception
+  * families, the deep private-section hosting families — the
+  * `*.compute.amazonaws.com` and `s3.dualstack.*` shapes — and the
+  * punycode IDN registries; IDN rules and hosts match in their
+  * punycode xn-- form, the PSL's canonical on-the-wire spelling).
+  * Swap the Seq for a full refresh of the published dat file when
+  * currency matters: the matching depth is DERIVED from the rules
+  * ([[MaxTail]] = the deepest rule's label count), so deeper rules
+  * automatically widen the tail set — the joins, the precedence
+  * expression, and the oracle CTEs all generate from the same bound.
+  * Init checks stay loud for shapes matching cannot honor (duplicate
+  * rules, one-label exceptions, non-lowercase text).
   *
   * Scale shape ([[registeredDomainPsl]]): the rules table is a few
-  * hundred rows → it BROADCASTS, and each host row LEFT-joins its three
-  * trailing label-tails against it map-side — three broadcast hash
-  * joins, zero shuffles, no per-host explode/re-aggregate. The
-  * longest-match/exception-priority resolution is one codegen'd
-  * expression over the matched flags. The DuckDB oracle twin
-  * ([[registeredDomainPslOracleSql]]) mirrors the same rules as a VALUES
-  * relation and the same tail algebra, so PSL semantics are
-  * hash-verifiable, not a doc claim. */
+  * hundred rows → it BROADCASTS, and each host row LEFT-joins its
+  * [[MaxTail]] trailing label-tails against it map-side — MaxTail
+  * broadcast hash joins, zero shuffles, no per-host
+  * explode/re-aggregate. The longest-match/exception-priority
+  * resolution is one codegen'd expression over the matched flags. The
+  * DuckDB oracle twin ([[registeredDomainPslOracleCtes]]) mirrors the
+  * same rules as a VALUES relation and the same tail algebra, so PSL
+  * semantics are hash-verifiable, not a doc claim. */
 object PublicSuffix {
 
   /** (rule, isException, isWildcard) — wildcards carry the BASE (the X
@@ -158,11 +164,29 @@ object PublicSuffix {
       "jpn.com", "ru.com", "sa.com", "se.com", "za.com", "br.com",
       "cn.com", "hu.com", "no.com", "qc.com", "uy.com",
       "co.us", "isa.us", "nsn.us", "dni.us", "fed.us",
-      "gc.ca", "co.ca")
+      "gc.ca", "co.ca",
+      // IDN registries (punycode form — 公司.cn / 网络.cn / the .hk twins;
+      // the PSL matches hosts in their xn-- on-the-wire spelling)
+      "xn--55qx5d.cn", "xn--io0a7i.cn",
+      "xn--55qx5d.hk", "xn--od0alg.hk", "xn--wcvs22d.hk",
+      // private-section hosting families (shared-hosting suffixes a
+      // crawl hits constantly — each customer label is a distinct
+      // registrant, so per-domain caps/stats must split on them)
+      "github.io", "githubusercontent.com", "blogspot.com",
+      "herokuapp.com", "appspot.com", "cloudfront.net",
+      // the deep S3 website endpoints (4–5-label exact rules — the
+      // family that forces tail depth past 3)
+      "s3.amazonaws.com",
+      "s3.dualstack.eu-west-1.amazonaws.com",
+      "s3.dualstack.us-east-1.amazonaws.com")
     val wildcards = Seq( // *.X bases (none may also carry exact X rules)
       "ck", "er", "fk", "mm", "np", "bd", "jm", "kh", "mv", "pg", "ye",
       "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
-      "sapporo.jp", "sendai.jp", "yokohama.jp")
+      "sapporo.jp", "sendai.jp", "yokohama.jp",
+      // EC2 per-VM hostnames: every instance label is its own
+      // "registrant" (3- and 4-label wildcard bases)
+      "compute.amazonaws.com", "compute-1.amazonaws.com",
+      "elb.amazonaws.com", "compute.amazonaws.com.cn")
     val exceptions = Seq(
       "www.ck", "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
       "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
@@ -172,10 +196,24 @@ object PublicSuffix {
   }
 
   require(Rules.map(_._1).distinct.size == Rules.size, "duplicate PSL rules")
-  require(Rules.forall { case (r, exc, wild) =>
-    val n = r.split('.').length
-    if (wild) n <= 2 else n <= 3
-  }, "snapshot bound: exact/exception rules <= 3 labels, wildcard bases <= 2")
+  require(Rules.forall { case (r, _, _) =>
+    r == r.toLowerCase && !r.startsWith(".") && !r.endsWith(".") &&
+      r.nonEmpty && !r.contains("..")
+  }, "PSL rules must be lowercase dotted label sequences")
+  // a 1-label exception would imply a 0-label public suffix — the
+  // published list has none and the precedence chain (which resolves
+  // exceptions only at tails >= 2) does not model it
+  require(Rules.forall { case (r, exc, _) =>
+    !exc || r.split('.').length >= 2
+  }, "exception rules must have >= 2 labels")
+
+  /** Deepest label-tail matching needs: an exact/exception rule of b
+    * labels matches at tail b, and a wildcard base of b labels also
+    * matches at tail b (its covered suffix is b+1 labels). Everything
+    * downstream — the tail projections, the broadcast joins, the
+    * precedence expression, the oracle CTEs — generates from this
+    * bound, so a full-list refresh that adds deeper rules just works. */
+  val MaxTail: Int = Rules.map(_._1.split('.').length).max
 
   /** The snapshot as a relation (rule, is_exc, is_wild) — broadcast-sized
     * by construction. */
@@ -189,25 +227,24 @@ object PublicSuffix {
 
   /** PSL registered domain (eTLD+1) of a lower-case `hostCol`, appended
     * as `outCol`. '' when the host has no dot, matches no registrable
-    * form, or IS a public suffix itself. Three broadcast LEFT joins (one
-    * per trailing label-tail) + one resolution expression — map-side
-    * end to end, the host stream is never shuffled. */
+    * form, or IS a public suffix itself. [[MaxTail]] broadcast LEFT
+    * joins (one per trailing label-tail) + one resolution expression —
+    * map-side end to end, the host stream is never shuffled. */
   def registeredDomainPsl(df: DataFrame, hostCol: String,
                           outCol: String = "domain"): DataFrame = {
-    val scratch = Seq("__n", "__t1", "__t2", "__t3",
-      "__exc1", "__exc2", "__exc3", "__wild1", "__wild2", "__wild3")
+    val ks = 1 to MaxTail
+    val scratch = "__n" +: ks.flatMap(k =>
+      Seq(s"__t$k", s"__exc$k", s"__wild$k"))
     require((scratch :+ outCol).forall(c => !df.columns.contains(c)),
       s"input already carries '$outCol' or a __-scratch column")
     val spark = df.sparkSession
     val rules = rulesDf(spark)
     val labels = split(col(hostCol), "\\.")
     val n = size(labels)
-    var out = df
-      .withColumn("__n", n)
-      .withColumn("__t1", tailOf(labels, n, 1))
-      .withColumn("__t2", tailOf(labels, n, 2))
-      .withColumn("__t3", tailOf(labels, n, 3))
-    for (k <- 1 to 3) {
+    var out = ks.foldLeft(df.withColumn("__n", n)) { (d, k) =>
+      d.withColumn(s"__t$k", tailOf(labels, n, k))
+    }
+    for (k <- ks) {
       val r = rules.select(col("rule").as(s"__t$k"),
         col("is_exc").as(s"__exc$k"), col("is_wild").as(s"__wild$k"))
       out = out.join(broadcast(r), Seq(s"__t$k"), "left")
@@ -220,21 +257,22 @@ object PublicSuffix {
     def matched(k: Int): Column = col(s"__exc$k").isNotNull
     // a wildcard rule `*.X` has labels(X)+1 labels and so can only
     // match hosts with at least that many — a host EQUAL to the base
-    // falls through to the implicit '*' (host 'kawasaki.jp' registers
-    // as kawasaki.jp under rule 'jp'; it is not itself a suffix)
-    val psLen =
-      when(flag("__exc3"), lit(2))
-        .when(flag("__exc2"), lit(1))
-        .otherwise(greatest(
-          when(matched(3) && !flag("__exc3"), 3).otherwise(0), // exact, 3 labels
-          when(flag("__wild2") && col("__n") >= 3, 3)
-            .otherwise(0), // one label under a 2-label base
-          when(matched(2) && !flag("__exc2") && !flag("__wild2"), 2)
-            .otherwise(0), // exact, 2 labels
-          when(flag("__wild1") && col("__n") >= 2, 2).otherwise(0),
-          when(matched(1) && !flag("__exc1") && !flag("__wild1"), 1)
-            .otherwise(0),
-          lit(1))) // the PSL's implicit '*' rule: unknown TLDs count 1
+    // falls through to the next rule down (host 'kawasaki.jp'
+    // registers as kawasaki.jp under rule 'jp'; it is not itself a
+    // suffix)
+    val longest = greatest(ks.flatMap { k =>
+      Seq(
+        when(matched(k) && !flag(s"__exc$k") && !flag(s"__wild$k"), k)
+          .otherwise(0), // exact rule of k labels
+        when(flag(s"__wild$k") && col("__n") >= k + 1, k + 1)
+          .otherwise(0)) // one label under a k-label wildcard base
+    } :+ lit(1): _*) // the PSL's implicit '*' rule: unknown TLDs count 1
+    // exception chain checks DEEPEST first (a when-chain resolves in
+    // construction order, and the deepest matching exception must win)
+    val psLen = (MaxTail - 1 to 2 by -1)
+      .foldLeft(when(flag(s"__exc$MaxTail"), lit(MaxTail - 1))) { (acc, k) =>
+        acc.when(flag(s"__exc$k"), lit(k - 1))
+      }.otherwise(longest)
     val reg = when(col("__n") >= psLen + 1,
       array_join(slice(split(col(hostCol), "\\."),
         (psLen + 1) * -1, psLen + 1), "."))
@@ -246,8 +284,8 @@ object PublicSuffix {
       col(hostCol).contains(":")
     out.withColumn(outCol, when(col(hostCol).isNull, lit(null)
         .cast("string")).when(isIp, lit("")).otherwise(reg))
-      .drop("__n", "__t1", "__t2", "__t3",
-        "__exc1", "__exc2", "__exc3", "__wild1", "__wild2", "__wild3")
+      .drop("__n" +: ks.flatMap(k =>
+        Seq(s"__t$k", s"__exc$k", s"__wild$k")): _*)
   }
 
   /** Per-registered-domain stats over raw URLs, PSL-exact — the
@@ -268,44 +306,47 @@ object PublicSuffix {
     * `psl_reg(host, domain)` keyed by DISTINCT host. */
   def registeredDomainPslOracleCtes(hostExpr: String,
                                     fromRelation: String): String = {
+    val ks = 1 to MaxTail
     val vals = Rules.map { case (r, e, w) =>
       s"('${r.replace("'", "''")}', $e, $w)"
     }.mkString(", ")
+    val tails = ks.map(k =>
+      s"""    CASE WHEN t.n >= $k
+         |      THEN array_to_string(list_slice(L, -$k, -1), '.') END AS t$k"""
+        .stripMargin).mkString(",\n")
+    val joinCols = ks.map(k =>
+      s"    r$k.is_exc AS exc$k, r$k.is_wild AS wild$k, r$k.rule AS m$k")
+      .mkString(",\n")
+    val joins = ks.map(k =>
+      s"  LEFT JOIN psl_rules r$k ON m.t$k = r$k.rule").mkString("\n")
+    // exceptions deepest-first, then the longest exact/wildcard match
+    val excArms = (MaxTail to 2 by -1).map(k =>
+      s"         WHEN COALESCE(exc$k, false) THEN ${k - 1}").mkString("\n")
+    val longestArms = ks.flatMap { k =>
+      Seq(
+        s"""           CASE WHEN m$k IS NOT NULL AND NOT COALESCE(exc$k, false)
+           |             AND NOT COALESCE(wild$k, false) THEN $k ELSE 0 END"""
+          .stripMargin,
+        s"""           CASE WHEN COALESCE(wild$k, false) AND n >= ${k + 1}
+           |             THEN ${k + 1} ELSE 0 END""".stripMargin)
+    }.mkString(",\n")
     s"""psl_rules(rule, is_exc, is_wild) AS (VALUES $vals),
        |psl_hosts AS (SELECT DISTINCT $hostExpr AS host FROM $fromRelation),
        |psl_tails AS (SELECT host,
        |    string_split(host, '.') AS L, len(string_split(host, '.')) AS n
        |  FROM psl_hosts),
        |psl_m AS (SELECT t.host, t.n,
-       |    CASE WHEN t.n >= 1
-       |      THEN array_to_string(list_slice(L, -1, -1), '.') END AS t1,
-       |    CASE WHEN t.n >= 2
-       |      THEN array_to_string(list_slice(L, -2, -1), '.') END AS t2,
-       |    CASE WHEN t.n >= 3
-       |      THEN array_to_string(list_slice(L, -3, -1), '.') END AS t3
+       |$tails
        |  FROM psl_tails t),
        |psl_j AS (SELECT m.host, m.n,
-       |    r1.is_exc AS exc1, r1.is_wild AS wild1, r1.rule AS m1,
-       |    r2.is_exc AS exc2, r2.is_wild AS wild2, r2.rule AS m2,
-       |    r3.is_exc AS exc3, r3.is_wild AS wild3, r3.rule AS m3
+       |$joinCols
        |  FROM psl_m m
-       |  LEFT JOIN psl_rules r1 ON m.t1 = r1.rule
-       |  LEFT JOIN psl_rules r2 ON m.t2 = r2.rule
-       |  LEFT JOIN psl_rules r3 ON m.t3 = r3.rule),
+       |$joins),
        |psl_len AS (SELECT host, n,
-       |    CASE WHEN COALESCE(exc3, false) THEN 2
-       |         WHEN COALESCE(exc2, false) THEN 1
+       |    CASE
+       |$excArms
        |         ELSE greatest(
-       |           CASE WHEN m3 IS NOT NULL AND NOT COALESCE(exc3, false)
-       |             THEN 3 ELSE 0 END,
-       |           CASE WHEN COALESCE(wild2, false) AND n >= 3
-       |             THEN 3 ELSE 0 END,
-       |           CASE WHEN m2 IS NOT NULL AND NOT COALESCE(exc2, false)
-       |             AND NOT COALESCE(wild2, false) THEN 2 ELSE 0 END,
-       |           CASE WHEN COALESCE(wild1, false) AND n >= 2
-       |             THEN 2 ELSE 0 END,
-       |           CASE WHEN m1 IS NOT NULL AND NOT COALESCE(exc1, false)
-       |             AND NOT COALESCE(wild1, false) THEN 1 ELSE 0 END,
+       |$longestArms,
        |           1) END AS ps_len
        |  FROM psl_j),
        |psl_reg AS (SELECT host,

@@ -922,8 +922,17 @@ object Similarity {
         k * refine, nprobe, m, ksub, dim, seed)
       .select(col("query_id").as("__qid"),
         col("neighbor_id").as("__cid"))
+    // the candidate ids are longs (the index stores long-castable ids —
+    // the ANN family contract), so the corpus id must long-cast to join
+    // back; a non-numeric id would cast to NULL and silently drop EVERY
+    // candidate (empty result, no error) — fail loud per row instead
+    val cidLong = col(cidCol).cast("long")
+    val guardedCid = when(col(cidCol).isNotNull && cidLong.isNull,
+      raise_error(concat(
+        lit(s"ivfPqTopKRefined: corpus id '$cidCol' is not long-castable: "),
+        col(cidCol).cast("string")))).otherwise(cidLong)
     val withVec = corpus
-      .select(col(cidCol).cast("long").as("__cid"), col(cvecCol).as("__cv"))
+      .select(guardedCid.as("__cid"), col(cvecCol).as("__cv"))
       .join(broadcast(cand), Seq("__cid"))
     val q = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"))
     val scored = withVec.join(broadcast(q), Seq("__qid"))

@@ -213,13 +213,17 @@ object UrlOps {
     * kind: exact multi-label suffixes (`co.uk`), wildcards (`*.ck`,
     * `*.kawasaki.jp` — including hosts that ARE public suffixes and so
     * have no registered domain), exceptions (`www.ck`,
-    * `city.kawasaki.jp`), unknown TLDs (the implicit `*` rule), and a
-    * dotless host. Lower-case on purpose (PSL matching is over
-    * [[hostOf]] output). */
+    * `city.kawasaki.jp`), unknown TLDs (the implicit `*` rule), a
+    * dotless host, the DEEP private-section families (one label under
+    * the 3-label wildcard base `*.compute.amazonaws.com`; the 5-label
+    * exact `s3.dualstack.eu-west-1.amazonaws.com` both as a suffix
+    * carrying a registrant label and as a bare host that IS the
+    * suffix), and a punycode IDN registry (`xn--55qx5d.cn`).
+    * Lower-case on purpose (PSL matching is over [[hostOf]] output). */
   def syntheticPslHost(eventId: Column, userId: Column): Column = {
     val u = (userId % 5).cast("string")
     val e = (eventId % 7).cast("string")
-    val cls = eventId % 9
+    val cls = eventId % 13
     when(cls === 0, concat(lit("www.site"), u, lit(".example.co.uk")))
       .when(cls === 1, concat(lit("blog"), u, lit(".shop"), e, lit(".ck")))
       .when(cls === 2, concat(lit("shop"), e, lit(".ck"))) // IS a public suffix
@@ -230,12 +234,19 @@ object UrlOps {
       .when(cls === 6, concat(lit("a"), e, lit(".b"), u,
         lit(".unknowntld")))
       .when(cls === 7, concat(lit("cdn"), u, lit(".example.com")))
+      .when(cls === 8, concat(lit("vm"), u, lit(".region"), e,
+        lit(".compute.amazonaws.com"))) // suffix = region?.compute… (4 labels)
+      .when(cls === 9, concat(lit("bkt"), u,
+        lit(".s3.dualstack.eu-west-1.amazonaws.com"))) // 5-label exact rule
+      .when(cls === 10,
+        lit("s3.dualstack.eu-west-1.amazonaws.com")) // IS the 5-label suffix
+      .when(cls === 11, concat(lit("shop"), e, lit(".xn--55qx5d.cn")))
       .otherwise(lit("localhost"))
   }
 
   /** DuckDB twin of [[syntheticPslHost]] (events columns by name). */
   def syntheticPslHostSqlExpr: String =
-    "(CASE event_id % 9 " +
+    "(CASE event_id % 13 " +
       "WHEN 0 THEN 'www.site' || (user_id % 5) || '.example.co.uk' " +
       "WHEN 1 THEN 'blog' || (user_id % 5) || '.shop' || (event_id % 7) || '.ck' " +
       "WHEN 2 THEN 'shop' || (event_id % 7) || '.ck' " +
@@ -244,6 +255,10 @@ object UrlOps {
       "WHEN 5 THEN 'host' || (user_id % 5) || '.ward' || (event_id % 7) || '.kawasaki.jp' " +
       "WHEN 6 THEN 'a' || (event_id % 7) || '.b' || (user_id % 5) || '.unknowntld' " +
       "WHEN 7 THEN 'cdn' || (user_id % 5) || '.example.com' " +
+      "WHEN 8 THEN 'vm' || (user_id % 5) || '.region' || (event_id % 7) || '.compute.amazonaws.com' " +
+      "WHEN 9 THEN 'bkt' || (user_id % 5) || '.s3.dualstack.eu-west-1.amazonaws.com' " +
+      "WHEN 10 THEN 's3.dualstack.eu-west-1.amazonaws.com' " +
+      "WHEN 11 THEN 'shop' || (event_id % 7) || '.xn--55qx5d.cn' " +
       "ELSE 'localhost' END)"
 
   /** DuckDB twin of [[syntheticUrl]] (events columns by name). */

@@ -234,12 +234,25 @@ object GraftStreaming {
     * key only when it changed, and counts only grow, so the max is
     * unique); one `max_by` hash aggregate recovers the table view.
     * Keys must not be re-emitted with an unchanged `seqCol` (true of
-    * count-bearing aggregates by the emit-on-change rule). */
+    * count-bearing aggregates by the emit-on-change rule) — CHECKED at
+    * runtime, not just documented: a duplicate (key, seq) value would
+    * make `max_by` pick among ties nondeterministically, so the drain
+    * is counted against its distinct (key, seq) projection first and a
+    * regressing/non-monotone seq column fails loud (one cheap aggregate
+    * over the already-drained batch relation — the sgnsFit
+    * init-duplicate guard's posture). */
   def compactUpdateDrain(drained: DataFrame, keyCols: Seq[String],
                          seqCol: String): DataFrame = {
     require(keyCols.nonEmpty, "need at least one compaction key")
     val others = drained.columns.filterNot(keyCols.contains)
     require(others.contains(seqCol), s"$seqCol must be a non-key column")
+    val chk = drained.agg(count(lit(1)).as("n"),
+      count_distinct(struct((keyCols :+ seqCol).map(col): _*)).as("d")).first()
+    require(chk.getLong(0) == chk.getLong(1),
+      s"compactUpdateDrain: '$seqCol' is not strictly increasing per key " +
+        s"(${chk.getLong(0)} drained rows, only ${chk.getLong(1)} distinct " +
+        s"(${keyCols.mkString(",")}, $seqCol) — the latest-row compaction " +
+        "would be nondeterministic)")
     drained.groupBy(keyCols.map(col): _*)
       .agg(max_by(struct(others.map(col): _*), col(seqCol)).as("__last"))
       .select(keyCols.map(col) ++

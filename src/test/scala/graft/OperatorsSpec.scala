@@ -1745,7 +1745,35 @@ class OperatorsSpec extends AnyFunSuite {
       "192.168.0.1" -> "",
       "fe80::1" -> "",
       // plain known TLD with no multi-label rule
-      "cdn.example.com" -> "example.com")
+      "cdn.example.com" -> "example.com",
+      // 3-label wildcard base: *.compute.amazonaws.com — one label
+      // under it is a 4-label public suffix
+      "vm1.region2.compute.amazonaws.com" ->
+        "vm1.region2.compute.amazonaws.com",
+      "x.vm1.region2.compute.amazonaws.com" ->
+        "vm1.region2.compute.amazonaws.com",
+      "region2.compute.amazonaws.com" -> "", // IS a public suffix
+      // base itself falls through past the wildcard to lower rules —
+      // amazonaws.com registers under the implicit 'com'
+      "compute.amazonaws.com" -> "amazonaws.com",
+      // 4-label wildcard base (*.compute.amazonaws.com.cn): the host
+      // equal to a 5-label covered suffix has no registered domain,
+      // and com.cn still resolves the base's own registration
+      "i1.cn-north-1.compute.amazonaws.com.cn" ->
+        "i1.cn-north-1.compute.amazonaws.com.cn",
+      "cn-north-1.compute.amazonaws.com.cn" -> "",
+      "compute.amazonaws.com.cn" -> "amazonaws.com.cn", // via exact com.cn
+      // 5-label exact rules (the s3 dualstack family — deepest tails)
+      "bkt.s3.dualstack.eu-west-1.amazonaws.com" ->
+        "bkt.s3.dualstack.eu-west-1.amazonaws.com",
+      "s3.dualstack.eu-west-1.amazonaws.com" -> "",
+      // private-section 2-label families
+      "user.github.io" -> "user.github.io",
+      "github.io" -> "",
+      // punycode IDN registries match in xn-- form
+      "shop3.xn--55qx5d.cn" -> "shop3.xn--55qx5d.cn",
+      "xn--55qx5d.cn" -> "",
+      "a.b.xn--od0alg.hk" -> "b.xn--od0alg.hk")
     val got = graft.operators.PublicSuffix.registeredDomainPsl(
         cases.map(_._1).toDF("host"), "host")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
@@ -1766,24 +1794,25 @@ class OperatorsSpec extends AnyFunSuite {
     val exact = rules.collect { case (r, false, false) => r }.toSet
     val wild = rules.collect { case (r, false, true) => r }.toSet
     val exc = rules.collect { case (r, true, false) => r }.toSet
-    // the PSL algorithm, straight from the spec: exceptions first,
-    // then the longest match, then the implicit '*' rule
+    // the PSL algorithm, straight from the spec: exceptions (deepest
+    // first), then the longest match, then the implicit '*' rule —
+    // written over ALL tail depths up to the deepest rule, so the
+    // sweep stays exhaustive as the snapshot grows
+    val maxTail = graft.operators.PublicSuffix.MaxTail
     def ref(host: String): String = {
       if (host.matches("^[0-9.]+$") || host.contains(":")) return ""
       val labels = host.split('.')
       val n = labels.length
       def tail(k: Int) = labels.takeRight(k).mkString(".")
-      val psLen =
-        if (n >= 3 && exc(tail(3))) 2
-        else if (n >= 2 && exc(tail(2))) 1
-        else Seq(
-          if (n >= 3 && exact(tail(3))) 3 else 0,
-          // '*.X' needs labels(X)+1 host labels to match at all
-          if (n >= 3 && wild(tail(2))) 3 else 0,
-          if (n >= 2 && exact(tail(2))) 2 else 0,
-          if (n >= 2 && wild(tail(1))) 2 else 0,
-          if (n >= 1 && exact(tail(1))) 1 else 0,
-          1).max
+      val excDepth = (maxTail to 2 by -1)
+        .find(k => n >= k && exc(tail(k)))
+      val psLen = excDepth.map(_ - 1).getOrElse(
+        ((1 to maxTail).flatMap { k =>
+          Seq(
+            if (n >= k && exact(tail(k))) k else 0,
+            // '*.X' needs labels(X)+1 host labels to match at all
+            if (n >= k + 1 && wild(tail(k))) k + 1 else 0)
+        } :+ 1).max)
       if (n >= psLen + 1) labels.takeRight(psLen + 1).mkString(".")
       else ""
     }
