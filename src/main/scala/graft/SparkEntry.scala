@@ -2414,6 +2414,62 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // multimodal audio, compressed-container leg: a REAL MPEG1 Layer
+    // III frame sequence (ID3v2 tag skipped via its syncsafe size,
+    // then frames counted at their computed bitrate/samplerate stride)
+    // walked back by the byte parser; the oracle recomputes the header
+    // arithmetic — rate/channel tables and frames×1152 samples — from
+    // the text byte length
+    "q_audio2" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val mm = Multimodal.withMp3Payload(docs, "text")
+      Multimodal.probeAudio(mm.repartition(8), "content")
+        .select(col("doc_id"),
+          col("probed_audio.sample_rate").as("sample_rate"),
+          col("probed_audio.channels").as("channels"),
+          col("probed_audio.bits").as("bits"),
+          col("probed_audio.n_samples").as("n_samples"),
+          col("probed_audio.format").as("format"))
+        .orderBy("doc_id")
+    }),
+
+    // multimodal video, ISO-BMFF leg: a REAL minimal MP4 box tree
+    // (ftyp/moov/trak/mdia/stbl, 16.16 tkhd dims, mdhd timescale, stts
+    // sample table; mvhd carries a DECOY timescale) box-walked back by
+    // the byte parser; the oracle recomputes every field from the text
+    // byte length
+    "q_video2" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val mm = Multimodal.withMp4Payload(docs, "text")
+      Multimodal.probeVideo(mm.repartition(8), "content")
+        .select(col("doc_id"),
+          col("probed_video.width").as("width"),
+          col("probed_video.height").as("height"),
+          col("probed_video.fps_num").as("fps_num"),
+          col("probed_video.fps_den").as("fps_den"),
+          col("probed_video.n_frames").as("n_frames"),
+          col("probed_video.format").as("format"))
+        .orderBy("doc_id")
+    }),
+
+    // multimodal video, EBML leg: a REAL WebM element tree (DocType,
+    // TrackEntry DefaultDuration → the nominal-fps ratio, Video dims,
+    // SimpleBlocks counted across Clusters) EBML-walked back by the
+    // byte parser; oracle recomputes from the text byte length
+    "q_video3" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val mm = Multimodal.withWebmPayload(docs, "text")
+      Multimodal.probeVideo(mm.repartition(8), "content")
+        .select(col("doc_id"),
+          col("probed_video.width").as("width"),
+          col("probed_video.height").as("height"),
+          col("probed_video.fps_num").as("fps_num"),
+          col("probed_video.fps_den").as("fps_den"),
+          col("probed_video.n_frames").as("n_frames"),
+          col("probed_video.format").as("format"))
+        .orderBy("doc_id")
+    }),
+
     // extension: left merge with NULL-extension semantics
     "q_merge_left" -> ((s, dir) => {
       val o = DataFrame.fromParquet(s, s"$dir/orders.parquet",
@@ -6486,6 +6542,36 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, 4 AS width, fps_num, n_frames,
         |  CAST(least(n_frames - 1, 4) // 2 + 1 AS INT) AS n_sampled
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_audio2" ->
+      """WITH m AS (SELECT doc_id, strlen(text) AS ds FROM documents)
+        |SELECT doc_id,
+        |  CAST([44100, 48000, 32000][CAST(ds % 3 AS INT) + 1] AS INT)
+        |    AS sample_rate,
+        |  CAST(1 + ds % 2 AS INT) AS channels,
+        |  0 AS bits,
+        |  CAST((1 + ds % 5) * 1152 AS BIGINT) AS n_samples,
+        |  'mp3' AS format
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_video2" ->
+      """WITH m AS (SELECT doc_id, strlen(text) AS ds FROM documents)
+        |SELECT doc_id,
+        |  CAST(16 + (ds * 3) % 601 AS INT) AS width,
+        |  CAST(16 + (ds * 7) % 401 AS INT) AS height,
+        |  CAST(600 + (ds * 11) % 29401 AS INT) AS fps_num,
+        |  CAST(1 + ds % 1000 AS INT) AS fps_den,
+        |  CAST(1 + ds % 2000 AS BIGINT) AS n_frames,
+        |  'mp4' AS format
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_video3" ->
+      """WITH m AS (SELECT doc_id, strlen(text) AS ds FROM documents)
+        |SELECT doc_id,
+        |  CAST(16 + (ds * 5) % 1201 AS INT) AS width,
+        |  CAST(16 + (ds * 9) % 801 AS INT) AS height,
+        |  1000000000 AS fps_num,
+        |  CAST(25000000 + (ds * 13) % 16666667 AS INT) AS fps_den,
+        |  CAST(1 + ds % 5 AS BIGINT) AS n_frames,
+        |  'webm' AS format
         |FROM m ORDER BY doc_id""".stripMargin,
     "q_merge_left" ->
       """SELECT o_orderkey, o_totalprice, p_retailprice

@@ -615,11 +615,73 @@ object Multimodal {
     StructField("n_samples", LongType, nullable = false),
     StructField("format", StringType, nullable = false)))
 
-  /** RIFF/WAVE container codec — the audio twin of [[ImageCodec]]: a
-    * fully documented format needing no codec library, so the header
-    * parse is REAL; compressed audio (mp3/flac) would slot in without
-    * touching the Spark plumbing. */
+  /** Audio container codec — the audio twin of [[ImageCodec]]: PCM WAV
+    * (RIFF chunk walk) and MP3 (frame-header walk — version/layer/
+    * bitrate/samplerate decode per frame, frames counted at their
+    * computed stride) are both fully documented formats needing no
+    * codec library, so the header parses are REAL byte work; the
+    * METADATA (rate, channels, sample count → duration) comes out of
+    * the container with no audio decode, which is all corpus
+    * sampling/quality gates need. */
   object AudioCodec {
+
+    /** MPEG1 Layer III bitrates (kbps) by header index (1–14; 0 = free,
+      * 15 = invalid) and sample rates (Hz) by index (3 = reserved) —
+      * the published MPEG-1 audio tables. */
+    private val Mp3Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112,
+      128, 160, 192, 224, 256, 320)
+    private val Mp3Rates = Array(44100, 48000, 32000)
+
+    /** (sampleRate, channels, nSamples, firstFrameOffset) from an MPEG1
+      * Layer III stream (the dominant crawl shape), or None. Skips a
+      * leading ID3v2 tag (syncsafe size), then walks frame headers at
+      * their computed stride — frameLen = 144·bitrate/rate + padding —
+      * counting whole frames present (truncated tails stop the walk,
+      * the [[parse]] posture). Sample count is frames × 1152 (MPEG1
+      * Layer III samples/frame); rate/channels come from the FIRST
+      * frame (VBR streams vary bitrate per frame — handled, since the
+      * stride re-derives per frame — but never rate/mode). */
+    private[operators] def parseMp3(b: Array[Byte]): Option[(Int, Int, Long, Int)] = {
+      if (b == null || b.length < 4) return None
+      // ID3v2: "ID3" ver(2) flags(1) size(4 syncsafe = 7 bits/byte)
+      var i = 0L
+      if (b.length >= 10 && b(0) == 'I'.toByte && b(1) == 'D'.toByte &&
+          b(2) == '3'.toByte) {
+        val sz = ((b(6) & 0x7F).toLong << 21) | ((b(7) & 0x7F) << 14) |
+          ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+        i = 10L + sz // a poison syncsafe size can only reach 2^28
+      }
+      var rate, ch = -1
+      var frames = 0L
+      var firstOff = -1
+      var ok = true
+      while (ok && i + 4 <= b.length) {
+        val h1 = b(i.toInt + 1) & 0xFF
+        // sync (11 set bits) + MPEG1 (version bits 11) + Layer III
+        // (layer bits 01); anything else ends the walk (garbage tail)
+        if ((b(i.toInt) & 0xFF) != 0xFF || (h1 & 0xFE) != 0xFA) ok = false
+        else {
+          val h2 = b(i.toInt + 2) & 0xFF
+          val bIdx = (h2 >> 4) & 0xF
+          val rIdx = (h2 >> 2) & 3
+          val pad = (h2 >> 1) & 1
+          if (bIdx == 0 || bIdx == 15 || rIdx == 3) ok = false
+          else {
+            val r = Mp3Rates(rIdx)
+            val frameLen = 144000L * Mp3Bitrates(bIdx) / r + pad
+            if (rate < 0) {
+              rate = r
+              ch = if (((b(i.toInt + 3) >> 6) & 3) == 3) 1 else 2
+              firstOff = i.toInt
+            }
+            if (i + frameLen <= b.length) { frames += 1; i += frameLen }
+            else ok = false // truncated trailing frame: not counted
+          }
+        }
+      }
+      if (frames <= 0) None
+      else Some((rate, ch, frames * 1152L, firstOff))
+    }
     /** (sampleRate, channels, bits, nSamples, dataOffset) from a PCM WAV
       * header, or None for anything else. Walks the chunk list (fmt /
       * data may come in any order, with vendor chunks between). */
@@ -655,20 +717,28 @@ object Multimodal {
         dataLen / math.max(ch * (bits / 8), 1), dataOff))
     }
 
-    /** Header probe: unknown containers probe as zeros/"unknown" —
-      * crawled corpora always contain garbage payloads. */
+    /** Header probe: WAV first (RIFF signature), then MP3 (frame sync);
+      * unknown containers probe as zeros/"unknown" — crawled corpora
+      * always contain garbage payloads. MP3 reports bits = 0: a lossy
+      * codec has no PCM sample width, and 0 is the honest "not a PCM
+      * container" sentinel (duration still derives as
+      * n_samples / sample_rate). */
     def probe(bytes: Array[Byte]): (Int, Int, Int, Long, String) =
       parse(bytes) match {
         case Some((r, c, bt, n, _)) => (r, c, bt, n, "wav")
-        case None => (0, 0, 0, 0L, "unknown")
+        case None => parseMp3(bytes) match {
+          case Some((r, c, n, _)) => (r, c, 0, n, "mp3")
+          case None => (0, 0, 0, 0L, "unknown")
+        }
       }
 
-    /** Audio feature kernel: mean-pool the PCM data bytes into `dim`
+    /** Audio feature kernel: mean-pool the coded data bytes into `dim`
       * contiguous buckets, normalized to [0,1] — the audio twin of
       * [[ImageCodec.features]] (truncated payloads pool what exists;
       * unknown containers pool the whole payload). */
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
-      val off = parse(bytes).map(_._5).getOrElse(0)
+      val off = parse(bytes).map(_._5)
+        .orElse(parseMp3(bytes).map(_._4)).getOrElse(0)
       poolBytes(bytes, off, dim)
     }
   }
@@ -706,6 +776,47 @@ object Multimodal {
         rate.as("sample_rate"), ch.as("channels"), lit(16).as("bits"),
         (dataSize.cast("long") / blockAlign).cast("long").as("n_samples"),
         lit("wav").as("format")))
+  }
+
+  /** Wrap a text/id table into an MP3-framed audio frame: a REAL MPEG1
+    * Layer III frame sequence — an ID3v2 tag (syncsafe size), then
+    * `n_frames` frames whose 4-byte headers carry a bitrate/samplerate/
+    * channel-mode choice derived from the text byte length, each frame
+    * body filler-padded to its EXACT computed stride
+    * (⌊144000·kbps/rate⌋) — so [[AudioCodec.parseMp3]] must walk the
+    * strides correctly to count them. All header fields are
+    * SQL-expressible functions of the length, so the oracle recomputes
+    * what the parser must report. */
+  def withMp3Payload(df: DataFrame, srcCol: String,
+                     contentCol: String = "content"): DataFrame = {
+    val ds = octet_length(col(srcCol))
+    val bIdx = (lit(1) + pmod(ds, lit(14))).cast("int") // 1..14, never free/bad
+    val kbps = element_at(
+      array(Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+        320).map(lit): _*), bIdx)
+    val rIdx = pmod(ds, lit(3)).cast("int")
+    val rate = element_at(array(lit(44100), lit(48000), lit(32000)),
+      rIdx + 1)
+    val ch = (lit(1) + pmod(ds, lit(2))).cast("int")
+    val nFrames = (lit(1) + pmod(ds, lit(5))).cast("int")
+    val frameLen = floor(lit(144000) * kbps / rate).cast("int") // pad 0
+    val tagLen = pmod(ds, lit(17)).cast("int")
+    // header: FF FB (MPEG1, Layer III, no CRC) | bitrate/rate/pad | mode
+    val hdrHex = concat(lit("FFFB"),
+      byteHex(bIdx * 16 + rIdx * 4),
+      when(ch === 1, lit("C0")).otherwise(lit("00")))
+    val frame = concat(unhex(hdrHex),
+      repeat(lit("x"), frameLen - 4).cast(BinaryType))
+    val id3 = concat(
+      unhex(concat(lit("494433030000000000"), byteHex(tagLen))),
+      repeat(lit("y"), tagLen).cast(BinaryType))
+    val body = aggregate(sequence(lit(1), nFrames),
+      lit(Array.empty[Byte]), (acc, _) => concat(acc, frame))
+    df.withColumn(contentCol, concat(id3, body))
+      .withColumn("audio_meta", struct(
+        rate.as("sample_rate"), ch.as("channels"), lit(0).as("bits"),
+        (nFrames.cast("long") * 1152L).as("n_samples"),
+        lit("mp3").as("format")))
   }
 
   /** Per-partition streaming WAV probe → metadata struct parsed from the
@@ -801,8 +912,205 @@ object Multimodal {
     def probe(bytes: Array[Byte]): (Int, Int, Int, Int, Long, String) =
       parse(bytes) match {
         case Some((w, h, fn, fd, n)) => (w, h, fn, fd, n, "y4m")
-        case None => (0, 0, 0, 0, 0L, "unknown")
+        case None => parseMp4(bytes) match {
+          case Some((w, h, ts, delta, n)) => (w, h, ts, delta, n, "mp4")
+          case None => parseWebm(bytes) match {
+            case Some((w, h, fn, fd, n, f)) => (w, h, fn, fd, n, f)
+            case None => (0, 0, 0, 0, 0L, "unknown")
+          }
+        }
       }
+
+    /** (width, height, fpsNum = media timescale, fpsDen = stts sample
+      * delta, nFrames = Σ stts sample counts) from an ISO-BMFF (MP4)
+      * container, or None. A pure box walk — `[size(BE32) type(4cc)
+      * body]`, size 1 → 64-bit largesize, size 0 → to end-of-file —
+      * descending into moov → trak → mdia → minf → stbl; dimensions
+      * come from tkhd's 16.16 fixed-point fields, the frame count and
+      * nominal frame duration from the sample table's stts entries,
+      * and the media timescale from mdhd — so fps = fps_num/fps_den is
+      * real container arithmetic, no codec. The FIRST trak with a
+      * nonzero tkhd width wins (the video track; audio traks carry
+      * zero dims). Long cursor + must-advance guards: a poison u32
+      * size can neither wrap the index nor loop the walk; truncated
+      * boxes end the walk with whatever parsed (never-throw, the
+      * crawl posture). */
+    private[operators] def parseMp4(b: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
+      if (b == null || b.length < 16) return None
+      def be32(o: Long): Long =
+        ((b(o.toInt) & 0xFFL) << 24) | ((b(o.toInt + 1) & 0xFFL) << 16) |
+          ((b(o.toInt + 2) & 0xFFL) << 8) | (b(o.toInt + 3) & 0xFFL)
+      def tag(o: Long): String = new String(b, o.toInt, 4, "US-ASCII")
+      var hasFtyp = false
+      var w, h, ts, delta = -1
+      var frames = -1L
+      // one trak's candidate fields (committed if its tkhd is video)
+      var tw, th, tts, tdelta = -1
+      var tframes = -1L
+
+      def walk(from: Long, to: Long, depth: Int): Unit = {
+        var i = from
+        while (i + 8 <= to) {
+          val sz = be32(i)
+          val typ = tag(i + 4)
+          var hdr = 8L
+          val end =
+            if (sz == 1L) {
+              if (i + 16 > to) return
+              hdr = 16L
+              val hi = be32(i + 8); val lo = be32(i + 12)
+              i + ((hi << 32) | lo)
+            } else if (sz == 0L) to
+            else i + sz
+          if (end < i + hdr || end > to) return // poison/truncated size
+          typ match {
+            case "ftyp" => hasFtyp = true
+            case "moov" if depth == 0 => walk(i + hdr, end, 1)
+            case "trak" if depth == 1 =>
+              tw = -1; th = -1; tts = -1; tdelta = -1; tframes = -1L
+              walk(i + hdr, end, 2)
+              if (tw > 0 && th > 0 && w < 0) {
+                w = tw; h = th; ts = tts; delta = tdelta; frames = tframes
+              }
+            case "mdia" if depth == 2 => walk(i + hdr, end, 3)
+            case "minf" if depth == 3 => walk(i + hdr, end, 4)
+            case "stbl" if depth == 4 => walk(i + hdr, end, 5)
+            case "tkhd" if depth == 2 && i + hdr < end =>
+              val v = b((i + hdr).toInt) & 0xFF
+              // v0: 20 bytes of times/ids to the post-duration block;
+              // v1 widens ctime/mtime/duration to 8 bytes (+12)
+              val fixed = i + hdr + 4 + (if (v == 1) 32 else 20) + 8 + 8 + 36
+              if (fixed + 8 <= end) {
+                tw = (be32(fixed) >> 16).toInt
+                th = (be32(fixed + 4) >> 16).toInt
+              }
+            case "mdhd" if depth == 3 && i + hdr < end =>
+              val v = b((i + hdr).toInt) & 0xFF
+              val tsOff = i + hdr + 4 + (if (v == 1) 16 else 8)
+              if (tsOff + 4 <= end) tts = be32(tsOff).toInt
+            case "stts" if depth == 5 =>
+              val nEnt = if (i + hdr + 8 <= end) be32(i + hdr + 4) else -1L
+              var e = 0L
+              var cnt = 0L
+              var o = i + hdr + 8
+              while (e < nEnt && o + 8 <= end) {
+                cnt += be32(o)
+                if (e == 0) tdelta = be32(o + 4).toInt
+                e += 1; o += 8
+              }
+              if (nEnt >= 0) tframes = cnt
+            case _ => () // free/mdat/udta/…: skipped, never decoded
+          }
+          if (end <= i) return // must advance
+          i = end
+        }
+      }
+      walk(0L, b.length.toLong, 0)
+      if (hasFtyp && w > 0 && h > 0 && ts > 0 && frames >= 0)
+        Some((w, h, ts, math.max(tdelta0(delta), 0), frames))
+      else None
+    }
+    private def tdelta0(d: Int): Int = if (d < 0) 0 else d
+
+    /** EBML variable-length integer length from its first byte (the
+      * leading-zeros-then-marker encoding); 0 = invalid. */
+    private def vintLen(first: Int): Int = {
+      var m = 0x80
+      var n = 1
+      while (m != 0 && (first & m) == 0) { m >>= 1; n += 1 }
+      if (m == 0) 0 else n
+    }
+
+    /** (width, height, fpsNum, fpsDen, nFrames, docType) from a
+      * Matroska/WebM container, or None. A pure EBML walk: the header
+      * element (0x1A45DFA3) yields the DocType, then Segment →
+      * Tracks → TrackEntry → Video carries PixelWidth/PixelHeight and
+      * TrackEntry's DefaultDuration (ns per frame) gives the nominal
+      * rate as 1e9/DefaultDuration — emitted as the exact ratio
+      * (fps_num = 1e9, fps_den = DefaultDuration) since Matroska
+      * stores per-frame durations, not a global fps — and frames are
+      * counted as SimpleBlock elements across Clusters (block headers
+      * only; no codec data is touched). Unknown-size elements (all
+      * size bits set — the live-streamed Segment shape) extend to the
+      * parent's end, per spec. Never-throw, must-advance, Long-safe:
+      * the [[parseMp4]] posture. */
+    private[operators] def parseWebm(b: Array[Byte]): Option[(Int, Int, Int, Int, Long, String)] = {
+      if (b == null || b.length < 8) return None
+      // (value, bytesRead); id keeps its marker bits, size strips them
+      def readVint(i: Long, isId: Boolean): (Long, Int) = {
+        if (i >= b.length) return (-1L, 0)
+        val first = b(i.toInt) & 0xFF
+        val n = vintLen(first)
+        if (n == 0 || (isId && n > 4) || n > 8 || i + n > b.length)
+          return (-1L, 0)
+        var v: Long = if (isId) first else first & (0xFF >>> n)
+        var k = 1
+        while (k < n) { v = (v << 8) | (b((i + k).toInt) & 0xFF); k += 1 }
+        // size of all ones = "unknown" → sentinel -2
+        if (!isId && v == (1L << (7 * n)) - 1) (-2L, n) else (v, n)
+      }
+      def readUint(from: Long, len: Long): Long = {
+        if (len <= 0 || len > 8 || from + len > b.length) return -1L
+        var v = 0L
+        var k = 0L
+        while (k < len) { v = (v << 8) | (b((from + k).toInt) & 0xFF); k += 1 }
+        v
+      }
+      var w, h = -1
+      var dd = -1L
+      var blocks = 0L
+      var sawTracks = false
+      var docType: String = null
+
+      def walk(from: Long, to: Long, ctx: String): Unit = {
+        var i = from
+        var ok = true
+        while (ok && i < to) {
+          val (id, idLen) = readVint(i, isId = true)
+          if (idLen == 0) return
+          val (sz, szLen) = readVint(i + idLen, isId = false)
+          if (szLen == 0) return
+          val body = i + idLen + szLen
+          // unknown size (all bits set) extends to the parent's end
+          val end = if (sz == -2L) to else body + sz
+          if (end > to) return // truncated element: walk what parsed
+          (ctx, id) match {
+            case ("top", 0x1A45DFA3L) => walk(body, end, "ebml")
+            case ("ebml", 0x4282L) =>
+              docType = new String(b, body.toInt, (end - body).toInt,
+                "US-ASCII")
+            case ("top", 0x18538067L) => walk(body, end, "segment")
+            case ("segment", 0x1654AE6BL) =>
+              sawTracks = true; walk(body, end, "tracks")
+            case ("tracks", 0xAEL) => walk(body, end, "trackentry")
+            case ("trackentry", 0x23E383L) =>
+              if (dd < 0) dd = readUint(body, end - body)
+            case ("trackentry", 0xE0L) => walk(body, end, "video")
+            case ("video", 0xB0L) =>
+              if (w < 0) w = readUint(body, end - body).toInt
+            case ("video", 0xBAL) =>
+              if (h < 0) h = readUint(body, end - body).toInt
+            case ("segment", 0x1F43B675L) => walk(body, end, "cluster")
+            case ("cluster", 0xA3L) => blocks += 1
+            case _ => () // Info/SeekHead/Void/…: skipped
+          }
+          if (end <= i) ok = false else i = end
+        }
+      }
+      walk(0L, b.length.toLong, "top")
+      val fmt = docType match {
+        case "webm" => "webm"
+        case "matroska" => "matroska"
+        case _ => null
+      }
+      if (fmt == null || !sawTracks || w <= 0 || h <= 0) None
+      else {
+        val (fn, fd) =
+          if (dd > 0 && dd <= Int.MaxValue) (1000000000, dd.toInt)
+          else (0, 0)
+        Some((w, h, fn, fd, blocks, fmt))
+      }
+    }
   }
 
   /** Wrap a text/id table into a video frame: a VALID Y4M payload — real
@@ -834,6 +1142,106 @@ object Multimodal {
         w.as("width"), h.as("height"), fpsNum.as("fps_num"),
         lit(1).as("fps_den"), nFrames.cast("long").as("n_frames"),
         lit("y4m").as("format")))
+  }
+
+  private def be32Hex(c: Column): Column = lpad(hex(c), 8, "0")
+  private def be16Hex(c: Column): Column = lpad(hex(c), 4, "0")
+
+  /** Wrap a text/id table into an ISO-BMFF (MP4) video frame: a REAL
+    * minimal box tree — ftyp, moov{mvhd, trak{tkhd, mdia{mdhd,
+    * minf{stbl{stts}}}}}, mdat — assembled byte-for-byte with
+    * expressions. Dimensions ride tkhd's 16.16 fixed-point fields, the
+    * media timescale rides mdhd, and the frame count + nominal frame
+    * duration ride a one-entry stts; all derive from the text byte
+    * length only (SQL-expressible) so the oracle recomputes what
+    * [[VideoCodec.parseMp4]]'s box walk must report. mvhd carries a
+    * DIFFERENT timescale (1000) on purpose: a parse that reads the
+    * movie header instead of the media header fails the oracle. The
+    * text bytes ride as the mdat payload (never parsed). */
+  def withMp4Payload(df: DataFrame, srcCol: String,
+                     contentCol: String = "content"): DataFrame = {
+    val ds = octet_length(col(srcCol))
+    val w = (lit(16) + pmod(ds * 3, lit(601))).cast("int")
+    val h = (lit(16) + pmod(ds * 7, lit(401))).cast("int")
+    val ts = (lit(600) + pmod(ds * 11, lit(29401))).cast("int")
+    val delta = (lit(1) + pmod(ds, lit(1000))).cast("int")
+    val nFrames = (lit(1) + pmod(ds, lit(2000))).cast("int")
+    val matrix = "00010000" + "00000000" + "00000000" + "00000000" +
+      "00010000" + "00000000" + "00000000" + "00000000" + "40000000"
+    val hex = concat(
+      // ftyp: major 'isom', minor 0x200
+      lit("00000010" + "66747970" + "69736f6d" + "00000200"),
+      lit("00000128" + "6d6f6f76"), // moov (296)
+      // mvhd v0: timescale 1000 (decoy), duration 0
+      lit("0000006C" + "6d766864" + "00000000" + "00000000" + "00000000" +
+        "000003E8" + "00000000" + "00010000" + "0100" + "0000" +
+        "0000000000000000" + matrix + "0" * 48 + "00000002"),
+      lit("000000B4" + "7472616b"), // trak (180)
+      // tkhd v0 (enabled|in-movie|in-preview), track 1, then the
+      // 16.16 fixed-point dimensions
+      lit("0000005C" + "746b6864" + "00000007" + "00000000" + "00000000" +
+        "00000001" + "00000000" + "00000000" + "0000000000000000" +
+        "0000" + "0000" + "0000" + "0000" + matrix),
+      be16Hex(w), lit("0000"), be16Hex(h), lit("0000"),
+      lit("00000050" + "6d646961"), // mdia (80)
+      // mdhd v0: the REAL media timescale + duration, language 'und'
+      lit("00000020" + "6d646864" + "00000000" + "00000000" + "00000000"),
+      be32Hex(ts), be32Hex(nFrames.cast("long") * delta), lit("55C40000"),
+      lit("00000028" + "6d696e66"), // minf (40)
+      lit("00000020" + "7374626c"), // stbl (32)
+      // stts: one (sample_count, sample_delta) entry
+      lit("00000018" + "73747473" + "00000000" + "00000001"),
+      be32Hex(nFrames), be32Hex(delta),
+      be32Hex(ds + 8), lit("6d646174")) // mdat size + type
+    df.withColumn(contentCol,
+        concat(unhex(hex), col(srcCol).cast(BinaryType)))
+      .withColumn("video_meta", struct(
+        w.as("width"), h.as("height"), ts.as("fps_num"),
+        delta.as("fps_den"), nFrames.cast("long").as("n_frames"),
+        lit("mp4").as("format")))
+  }
+
+  /** Wrap a text/id table into a WebM (Matroska/EBML) video frame: a
+    * REAL element tree — EBML header (DocType "webm"), Segment{
+    * Info{TimestampScale}, Tracks{TrackEntry{DefaultDuration,
+    * Video{PixelWidth, PixelHeight}}}, Cluster{n × SimpleBlock}} —
+    * with 1-byte size varints (contents kept < 127 bytes by
+    * construction). Dimensions, the per-frame duration (→ the nominal
+    * fps ratio) and the SimpleBlock count derive from the text byte
+    * length only, so the oracle recomputes what
+    * [[VideoCodec.parseWebm]]'s EBML walk must report. */
+  def withWebmPayload(df: DataFrame, srcCol: String,
+                      contentCol: String = "content"): DataFrame = {
+    val ds = octet_length(col(srcCol))
+    val w = (lit(16) + pmod(ds * 5, lit(1201))).cast("int")
+    val h = (lit(16) + pmod(ds * 9, lit(801))).cast("int")
+    // ns per frame: ~24–40 fps territory, always < 2^31
+    val dd = (lit(25000000) + pmod(ds * 13, lit(16666667))).cast("int")
+    val nFrames = (lit(1) + pmod(ds, lit(5))).cast("int")
+    // SimpleBlock: ID A3, size 4: track varint 81, timecode 0, flags 0
+    val blockHex = "A384" + "81" + "0000" + "00"
+    val clusterHex = concat(lit("1F43B675"),
+      byteHex(lit(0x80) + nFrames * 6),
+      concat_ws("", transform(sequence(lit(1), nFrames),
+        _ => lit(blockHex))))
+    val hex = concat(
+      // EBML header: DocType "webm"
+      lit("1A45DFA3" + "87" + "4282" + "84" + "7765626D"),
+      // Segment size: Info(13) + Tracks(25) + Cluster(5 + 6n)
+      lit("18538067"), byteHex(lit(0x80 + 43) + nFrames * 6),
+      // Info{TimestampScale 1000000}
+      lit("1549A966" + "88" + "2AD7B1" + "84" + "000F4240"),
+      // Tracks{TrackEntry{DefaultDuration, Video{W, H}}}
+      lit("1654AE6B" + "94" + "AE" + "92" + "23E383" + "84"),
+      be32Hex(dd),
+      lit("E0" + "88" + "B0" + "82"), be16Hex(w),
+      lit("BA" + "82"), be16Hex(h),
+      clusterHex)
+    df.withColumn(contentCol, unhex(hex))
+      .withColumn("video_meta", struct(
+        w.as("width"), h.as("height"), lit(1000000000).as("fps_num"),
+        dd.as("fps_den"), nFrames.cast("long").as("n_frames"),
+        lit("webm").as("format")))
   }
 
   /** Per-partition streaming Y4M probe → metadata struct parsed and

@@ -135,6 +135,107 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(Multimodal.VideoCodec.probe("garbage".getBytes)._6 == "unknown")
   }
 
+  test("multimodal: probeAudio walks exactly the MP3 frames withMp3Payload wrote") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(30)
+    val mm = Multimodal.withMp3Payload(docs, "text")
+    val probed = Multimodal.probeAudio(mm.repartition(3), "content")
+    val rows = probed.select("audio_meta.sample_rate", "audio_meta.channels",
+      "audio_meta.n_samples", "probed_audio.sample_rate",
+      "probed_audio.channels", "probed_audio.n_samples",
+      "probed_audio.format", "probed_audio.bits").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(3), "sample_rate round-trip")
+      assert(r.getInt(1) == r.getInt(4), "channels round-trip")
+      assert(r.getLong(2) == r.getLong(5), "frame-walk sample count")
+      assert(r.getString(6) == "mp3")
+      assert(r.getInt(7) == 0, "lossy codec: no PCM width")
+    }
+    // hand-built: ID3 tag (5-byte body) + two 44.1kHz 128kbps stereo
+    // frames (stride floor(144000*128/44100) = 417); a truncated
+    // trailing frame is not counted
+    def frame(n: Int): Array[Byte] =
+      Array(0xFF, 0xFB, 0x90, 0x00).map(_.toByte) ++ Array.fill(n - 4)('z'.toByte)
+    val id3 = "ID3".getBytes ++ Array[Byte](3, 0, 0, 0, 0, 0, 5) ++
+      Array.fill(5)('t'.toByte)
+    val mp3 = id3 ++ frame(417) ++ frame(417)
+    assert(Multimodal.AudioCodec.probe(mp3) == ((44100, 2, 0, 2304L, "mp3")))
+    assert(Multimodal.AudioCodec.probe(mp3.dropRight(10)) ==
+      ((44100, 2, 0, 1152L, "mp3")))
+    // poison: free-format (bitrate idx 0) and bad samplerate stop the walk
+    assert(Multimodal.AudioCodec.probe(
+      Array(0xFF, 0xFB, 0x00, 0x00).map(_.toByte))._5 == "unknown")
+    assert(Multimodal.AudioCodec.probe(
+      Array(0xFF, 0xFB, 0x9C, 0x00).map(_.toByte))._5 == "unknown")
+    // an ID3 tag with a poison syncsafe size (max 2^28-1) cannot wrap
+    // the Long cursor — it just walks past the end: unknown, no throw
+    assert(Multimodal.AudioCodec.probe("ID3".getBytes ++
+      Array[Byte](3, 0, 0, 0x7F, 0x7F, 0x7F, 0x7F))._5 == "unknown")
+  }
+
+  test("multimodal: probeVideo box-walks exactly what withMp4Payload wrote") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(30)
+    val mm = Multimodal.withMp4Payload(docs, "text")
+    val probed = Multimodal.probeVideo(mm.repartition(3), "content")
+    val rows = probed.select("video_meta.width", "video_meta.height",
+      "video_meta.fps_num", "video_meta.fps_den", "video_meta.n_frames",
+      "probed_video.width", "probed_video.height", "probed_video.fps_num",
+      "probed_video.fps_den", "probed_video.n_frames",
+      "probed_video.format").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(5) && r.getInt(1) == r.getInt(6),
+        "tkhd 16.16 dims round-trip")
+      assert(r.getInt(2) == r.getInt(7), "mdhd media timescale (not mvhd's)")
+      assert(r.getInt(3) == r.getInt(8), "stts sample delta")
+      assert(r.getLong(4) == r.getLong(9), "stts sample count")
+      assert(r.getString(10) == "mp4")
+    }
+    // fuzz: truncated mid-moov → no dims → unknown; a poison u32 box
+    // size neither wraps nor loops the walk
+    val one = Multimodal.withMp4Payload(docs.limit(1), "text")
+      .select("content").first().getAs[Array[Byte]](0)
+    assert(Multimodal.VideoCodec.probe(one.take(40))._6 == "unknown")
+    val poison = one.clone()
+    poison(0) = 0xFF.toByte // ftyp size := ~4GB
+    assert(Multimodal.VideoCodec.probe(poison)._6 == "unknown") // never throws
+    assert(Multimodal.VideoCodec.probe("mdat only".getBytes)._6 == "unknown")
+  }
+
+  test("multimodal: probeVideo EBML-walks exactly what withWebmPayload wrote") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(30)
+    val mm = Multimodal.withWebmPayload(docs, "text")
+    val probed = Multimodal.probeVideo(mm.repartition(3), "content")
+    val rows = probed.select("video_meta.width", "video_meta.height",
+      "video_meta.fps_num", "video_meta.fps_den", "video_meta.n_frames",
+      "probed_video.width", "probed_video.height", "probed_video.fps_num",
+      "probed_video.fps_den", "probed_video.n_frames",
+      "probed_video.format").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(5) && r.getInt(1) == r.getInt(6),
+        "PixelWidth/PixelHeight round-trip")
+      assert(r.getInt(2) == r.getInt(7) && r.getInt(3) == r.getInt(8),
+        "DefaultDuration → nominal-fps ratio")
+      assert(r.getLong(4) == r.getLong(9), "SimpleBlock count")
+      assert(r.getString(10) == "webm")
+    }
+    val one = Multimodal.withWebmPayload(docs.limit(1), "text")
+      .select("content").first().getAs[Array[Byte]](0)
+    // the live-stream shape: Segment size rewritten to "unknown" (all
+    // size bits set) must still walk to the payload's end
+    val segSizeOff = 12 + 4 // EBML header (12) + Segment ID (4)
+    assert((one(segSizeOff) & 0x80) != 0, "fixture uses a 1-byte size here")
+    val live = one.clone()
+    live(segSizeOff) = 0xFF.toByte
+    val full = Multimodal.VideoCodec.probe(one)
+    assert(Multimodal.VideoCodec.probe(live) == full)
+    // truncation inside Tracks loses the dims → unknown; garbage never throws
+    assert(Multimodal.VideoCodec.probe(one.take(20))._6 == "unknown")
+    assert(Multimodal.VideoCodec.probe(
+      Array(0x1A, 0x45, 0xDF, 0xA3, 0x84, 0, 0, 0).map(_.toByte))._6 == "unknown")
+  }
+
   test("streaming: watermarked windowed counts over events drop") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
     spark.read.parquet(s"$dir/events.parquet").limit(500)
