@@ -1751,6 +1751,29 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // INCREMENTAL growth for the codes-only index: build IVF-PQ on
+    // vec_id < 400 (codebook + centroids persisted WITH the index),
+    // append the 400+ batch — assigned against the frozen centroids,
+    // encoded with the persisted codebook — then probe at nprobe =
+    // nlist: exactness over old + new rows proves the appended codes
+    // match what a from-scratch encode would have minted (the oracle
+    // is the exhaustive ADC computation over the full corpus; the seed
+    // codebook is corpus-independent, so partial-build + append must
+    // hash-equal it bit for bit)
+    "q_ivfpq_append" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.buildIvfPqIndex(emb.where(col("vec_id") < 400),
+        "vec_id", "embedding", "graft_ivfpq_app", nlist = 16, buckets = 8)
+      Similarity.appendToIvfPqIndex(emb.where(col("vec_id") >= 400),
+        "vec_id", "embedding", "graft_ivfpq_app")
+      val queries = emb.where(col("vec_id") >= 60 && col("vec_id") < 70)
+      Similarity.ivfPqTopKIndexed(s, "graft_ivfpq_app",
+        queries, "vec_id", "embedding", k = 5, nprobe = 16)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("adc"), 6).as("adc"))
+        .orderBy("query_id", "rank")
+    }),
+
     // the IVF-PQ recall contract on the CLUSTERED fixture (the last
     // un-contracted retrieval approximation): probe a quarter of the
     // lists over m-byte PQ codes and still keep >= 80% of the exact
@@ -6458,6 +6481,26 @@ object SparkEntry {
       s"""WITH enc AS (SELECT vec_id, $codes AS codes FROM embeddings),
          |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
          |      WHERE vec_id >= 40 AND vec_id < 50),
+         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    $adc AS adc
+         |  FROM enc e, q),
+         |r AS (SELECT query_id, neighbor_id, adc,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY adc, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(adc, 6) AS adc FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    // exhaustive ADC over the FULL corpus: the partial build + append
+    // must reproduce it exactly (append encodes with the persisted,
+    // corpus-independent seed codebook — any drift hash-fails)
+    "q_ivfpq_append" -> {
+      val codes = graft.operators.Similarity.pqCodesOracleSqlExpr("embedding")
+      val adc = graft.operators.Similarity.pqAdcOracleSqlExpr(
+        "q.embedding", "e.codes")
+      s"""WITH enc AS (SELECT vec_id, $codes AS codes FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+         |      WHERE vec_id >= 60 AND vec_id < 70),
          |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
          |    $adc AS adc
          |  FROM enc e, q),

@@ -833,6 +833,38 @@ object Similarity {
     spark.table(table)
   }
 
+  /** Incremental growth for the CODES-ONLY index — the
+    * [[appendToIvfIndex]] recipe composed with [[pqEncode]]: the new
+    * batch assigns against the FROZEN persisted centroids
+    * (`{table}_centroids`), encodes with the codebook PERSISTED WITH
+    * the index (`{table}_codebook` — trained or seeded, whatever
+    * minted the stored codes; re-deriving it caller-side would be the
+    * exact staleness bug the persisted codebook exists to prevent),
+    * and appends into the bucketed codes table so bucket pruning and
+    * the exchange-free probe join keep working over old + new rows.
+    * The batch pays O(|batch|·(nlist + m·ksub)·d) flops — the indexed
+    * corpus is never re-read or re-shuffled, which is what makes daily
+    * re-embedding viable on the index you actually run at 100 TB (m
+    * bytes/vector, not 4·dim). Centroids and codebook are NOT
+    * retrained (standard IVF-PQ posture; retrain on schedule with a
+    * fresh [[buildIvfPqIndex]]). */
+  def appendToIvfPqIndex(newVectors: DataFrame, idCol: String, vecCol: String,
+                         table: String, m: Int = 4, ksub: Int = 8,
+                         dim: Int = 64, seed: Long = 42L): Unit = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val spark = newVectors.sparkSession
+    val cb = loadCodebook(spark, table, m, ksub, dim / m, seed)
+    val assigned = assignClusters(
+      newVectors.select(col(idCol).as("__cid"), col(vecCol).as("__cv")),
+      "__cid", "__cv", spark.table(s"${table}_centroids"), 1)
+    val coded = assigned
+      .join(pqEncode(newVectors, idCol, vecCol, m, ksub, dim, seed, Some(cb))
+        .select(col("vec_id").as("__cid"), col("codes").as("__codes")),
+        Seq("__cid"))
+      .select("__cid", "__codes", "__cluster")
+    Bucketing.appendBucketed(coded, table, "__cluster")
+  }
+
   /** Read back a [[buildIvfPqIndex]] index's persisted codebook as the
     * literal structure the ADC expressions consume. Pre-`_codebook`
     * indexes (none in this repo, but a user's old tables) fall back to

@@ -826,6 +826,49 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("appendToIvfPqIndex: appended codes come from the PERSISTED codebook, index ≡ from-scratch build") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // TRAINED codebook — the case where a caller-side re-derivation
+    // would silently mint different codes than the index holds
+    val cb = Similarity.trainPqCodebooks(emb.where(col("vec_id") < 150),
+      "vec_id", "embedding", m = 4, ksub = 8, dim = 64, lloydIters = 1)
+    Similarity.buildIvfPqIndex(emb.where(col("vec_id") < 150),
+      "vec_id", "embedding", "ivfpqspec_app", nlist = 8, buckets = 16,
+      codebook = Some(cb))
+    Similarity.appendToIvfPqIndex(emb.where(col("vec_id") >= 150),
+      "vec_id", "embedding", "ivfpqspec_app")
+    // every appended row's codes equal a fresh encode under the SAME
+    // trained codebook (read back from the index, not re-derived)
+    val want = Similarity.pqEncode(emb.where(col("vec_id") >= 150),
+        "vec_id", "embedding", codebook = Some(cb))
+      .select(col("vec_id").as("__cid"), col("codes").as("__want"))
+    val stored = spark.table("ivfpqspec_app").where(col("__cid") >= 150)
+    assert(stored.join(want, Seq("__cid"))
+      .where(col("__codes") =!= col("__want")).count() == 0)
+    assert(stored.count() == emb.where(col("vec_id") >= 150).count())
+    // full probe over the grown index ≡ the same probe over a
+    // from-scratch build of the full corpus (assignment + codes both)
+    val queries = emb.where(col("vec_id") < 3)
+    val grown = Similarity.ivfPqTopKIndexed(spark, "ivfpqspec_app",
+      queries, "vec_id", "embedding", k = 3, nprobe = 8).collect().toSet
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      "ivfpqspec_full", nlist = 8, buckets = 16, codebook = Some(cb))
+    val full = Similarity.ivfPqTopKIndexed(spark, "ivfpqspec_full",
+      queries, "vec_id", "embedding", k = 3, nprobe = 8).collect().toSet
+    // centroid training saw different corpora, so list SHAPES differ,
+    // but at nprobe = nlist both reduce to exact ADC over all codes
+    assert(grown == full)
+    // a sparse probe still bucket-prunes after the append
+    val probed = Similarity.ivfPqTopKIndexed(spark, "ivfpqspec_app",
+      queries, "vec_id", "embedding", k = 3, nprobe = 2)
+    probed.write.format("noop").mode("overwrite").save()
+    val plan = probed.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"expected bucket pruning after append:\n$plan")
+  }
+
   test("semanticDedup: planted copies dropped min-id-first, disjoint cells never prune") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("vec_id", "embedding").limit(100)
