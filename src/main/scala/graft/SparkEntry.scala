@@ -3329,6 +3329,31 @@ object SparkEntry {
         .orderBy("node", "pos")
     }),
 
+    // DeepWalk with word2vec's FREQUENT-WORD SUBSAMPLING: hub nodes
+    // dominate a walk-pair relation exactly the way hot words dominate
+    // text, so pairs thin by Mikolov's per-occurrence discard —
+    // P(keep pair) = √(t/f(a))·√(t/f(b)) as an exact integer-threshold
+    // md5 draw — BEFORE training. The oracle replays the same discard
+    // set (same quantized thresholds, same draws), then the same SGNS
+    // trajectory over the thinned pairs: the composition is
+    // hash-verified cross-engine
+    "q_node2vec3" -> ((s, dir) => {
+      import graft.operators.{Embedding, GraphOps, UrlOps}
+      val ev = table(s, dir, "events")
+      val u = UrlOps.syntheticUrl(col("event_id"), col("user_id"), col("event_type"))
+      val edges = ev.select(UrlOps.hostOf(u).as("src"),
+        UrlOps.syntheticLinkHost(col("event_id"), col("user_id")).as("dst"))
+      val walks = GraphOps.deterministicWalks(edges, "src", "dst",
+        steps = 3, walksPerNode = 1)
+      val pairs = Embedding.skipGramPairs(walks, "walk_id", "step", "node",
+        window = 1)
+      val thinned = Embedding.subsamplePairs(pairs, "a", "b", t = 0.05)
+      Embedding.sgnsFit(thinned, "a", "b", dim = 4, iters = 2, lr = 0.5,
+          negs = 1, materializeEvery = 2)
+        .select(col("node"), col("pos"), round(col("v"), 9).as("v"))
+        .orderBy("node", "pos")
+    }),
+
     // crawl curation: per-host link-graph degree/weight profile — the
     // hub/authority sanity relation shipped next to a rank table
     "q_link_stats" -> ((s, dir) => {
@@ -7032,6 +7057,22 @@ object SparkEntry {
          |${Embedding.skipGramPairsOracleCtes(window = 1)},
          |${Embedding.sgnsOracleCtes(dim = 4, iters = 2, lr = 0.5, negs = 1,
              negDist = "unigram75")}
+         |SELECT node, pos, round(v, 9) AS v FROM vin2
+         |ORDER BY node, pos""".stripMargin
+    },
+    // same discard set, same thinned-pair trajectory: the subsample
+    // CTEs feed sgns through its pairsRel hook
+    "q_node2vec3" -> {
+      import graft.operators.{Embedding, GraphOps, UrlOps}
+      s"""WITH u AS (SELECT ${UrlOps.hostSqlExpr(UrlOps.syntheticUrlSqlExpr)} AS src,
+         |        ${UrlOps.syntheticLinkHostSqlExpr} AS dst FROM events),
+         |e AS (SELECT DISTINCT src, dst FROM u WHERE src <> dst),
+         |${GraphOps.deterministicWalksOracleCtes(steps = 3, walksPerNode = 1)},
+         |seqs AS (SELECT walk_id AS sid, step AS p, node AS tok FROM walks),
+         |${Embedding.skipGramPairsOracleCtes(window = 1)},
+         |${Embedding.subsamplePairsOracleCtes(t = 0.05)},
+         |${Embedding.sgnsOracleCtes(dim = 4, iters = 2, lr = 0.5, negs = 1,
+             pairsRel = "spairs")}
          |SELECT node, pos, round(v, 9) AS v FROM vin2
          |ORDER BY node, pos""".stripMargin
     },

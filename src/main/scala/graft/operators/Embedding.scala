@@ -69,6 +69,89 @@ object Embedding {
        |  WHERE r.p > l.p AND r.p - l.p <= $window),
        |pairs AS (SELECT a, b FROM co UNION ALL SELECT b, a FROM co)""".stripMargin
 
+  /** word2vec frequent-word subsampling applied to the PAIR relation:
+    * each pair survives with probability √(t/f(a))·√(t/f(b)) — both
+    * endpoint occurrences must survive Mikolov's per-occurrence
+    * discard P(drop w) = 1 − √(t/f(w)) — where f(w) is w's CENTER-side
+    * share of the pair relation (symmetric skip-gram pairs carry every
+    * occurrence on the center side once per window slot, so
+    * center-share ∝ corpus unigram share). Hub words (f ≫ t) thin to
+    * √(t/f); rare words (f ≤ t) keep probability 1.
+    *
+    * Determinism contract: keep thresholds quantize to integers —
+    * kq(w) = min(2²⁴, ⌊√(t·total/cnt(w))·2²⁴⌋), √ IEEE-correctly
+    * rounded (the [[weightTable]] trick) — and each pair draws
+    * u = md5Long48(md5(a)|md5(b)|dup) ∈ [0, 2⁴⁸), kept iff
+    * u < kq(a)·kq(b) (≤ 2⁴⁸ by construction): exact integer
+    * comparison, partition-invariant, replayed term for term by
+    * [[subsamplePairsOracleCtes]]. The dup rank distinguishes repeated
+    * identical pairs (md5-escaped key, the [[sgnsFitMatrices]] pid
+    * convention) so each repetition draws independently.
+    *
+    * Scale shape: one vocab-sized count aggregate + two vocab-sized
+    * joins onto the pair stream (broadcast when vocab fits) + one
+    * window over identical-pair groups (bounded by max pair
+    * multiplicity). A token seen only as context (impossible for
+    * symmetric pairs, possible for directed input) carries no center
+    * count and keeps probability 1 — the LEFT-join coalesce mirrors
+    * word2vec never discarding unseen words. */
+  def subsamplePairs(pairs: DataFrame, aCol: String, bCol: String,
+                     t: Double): DataFrame = {
+    require(t > 0.0 && t < 1.0, s"subsample t must be in (0,1), got $t")
+    val full = 1L << 24
+    val p = pairs.select(col(aCol).as("__a"), col(bCol).as("__b"))
+    val tot = p.count()
+    require(tot > 0, "subsamplePairs: empty pair relation")
+    val kq = p.groupBy(col("__a").as("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("__w"),
+        least(lit(full),
+          floor(sqrt(lit(t) * lit(tot.toDouble) / col("__c")) *
+            lit(full.toDouble)).cast("long")).as("__kq"))
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy("__a", "__b").orderBy("__a")
+    val keyed = p.withColumn("__dup", row_number().over(W).cast("string"))
+    val u = DetRandom.md5Long48(concat_ws("|",
+      md5(col("__a").cast("string")), md5(col("__b").cast("string")),
+      col("__dup")))
+    keyed
+      .join(kq.select(col("__w").as("__a"), col("__kq").as("__ka")),
+        Seq("__a"), "left")
+      .join(kq.select(col("__w").as("__b"), col("__kq").as("__kb")),
+        Seq("__b"), "left")
+      .where(u < coalesce(col("__ka"), lit(full)) *
+        coalesce(col("__kb"), lit(full)))
+      .select(col("__a").as(aCol), col("__b").as(bCol))
+  }
+
+  /** [[subsamplePairs]] as DuckDB CTEs over `inRel(a, b)`, emitting
+    * `outRel(a, b)` — same integer thresholds, same md5 draw, same
+    * LEFT-join keep-1 default. */
+  def subsamplePairsOracleCtes(t: Double, inRel: String = "pairs",
+                               outRel: String = "spairs"): String = {
+    val draw = DetRandom.md5Long48SqlExpr(
+      "md5(CAST(d.a AS VARCHAR)) || '|' || md5(CAST(d.b AS VARCHAR)) " +
+        "|| '|' || d.dup")
+    s"""${outRel}_cnt AS (SELECT a AS w, CAST(count(*) AS BIGINT) AS c
+       |  FROM $inRel GROUP BY a),
+       |${outRel}_tot AS (SELECT CAST(count(*) AS BIGINT) AS tot
+       |  FROM $inRel),
+       |${outRel}_kq AS (SELECT w, least(CAST(16777216 AS BIGINT),
+       |    CAST(floor(sqrt($t * CAST(tot AS DOUBLE) / c) * 16777216.0)
+       |      AS BIGINT)) AS kq
+       |  FROM ${outRel}_cnt, ${outRel}_tot),
+       |${outRel}_d AS (SELECT a, b,
+       |    CAST(row_number() OVER (PARTITION BY a, b) AS VARCHAR) AS dup
+       |  FROM $inRel),
+       |$outRel AS (SELECT d.a, d.b
+       |  FROM ${outRel}_d d
+       |  LEFT JOIN ${outRel}_kq ka ON ka.w = d.a
+       |  LEFT JOIN ${outRel}_kq kb ON kb.w = d.b
+       |  WHERE ($draw)
+       |    < COALESCE(ka.kq, 16777216) * COALESCE(kb.kq, 16777216))"""
+      .stripMargin
+  }
+
   /** The md5-grid initial value for (node, pos) on `side` ∈ {in, out}:
     * exact binary fractions, identical in both engines. */
   private def initVal(node: Column, pos: Column, side: String): Column =
@@ -345,7 +428,8 @@ object Embedding {
     * term: same dense index, same md5 negative draws, same md5-grid
     * init, DECIMAL(38,18) sums, q9 updates. */
   def sgnsOracleCtes(dim: Int, iters: Int, lr: Double,
-                     negs: Int, negDist: String = "uniform"): String = {
+                     negs: Int, negDist: String = "uniform",
+                     pairsRel: String = "pairs"): String = {
     require(negDist == "uniform" || negDist == "unigram75",
       s"negDist must be uniform or unigram75, got $negDist")
     val di = DetRandom.denseIndexSql("node", "nodes")
@@ -358,12 +442,12 @@ object Embedding {
     val negCtes = if (negDist == "uniform")
       s"""negd AS (SELECT p.a AS c,
          |    ($negKey) % (SELECT nv FROM nv) AS idx
-         |  FROM pairs p, generate_series(1, $negs) j(j)),
+         |  FROM $pairsRel p, generate_series(1, $negs) j(j)),
          |negr AS (SELECT negd.c, d.node AS x, 0.0 AS y
          |  FROM negd JOIN didx d USING (idx)),""".stripMargin
     else
       s"""ctxw AS (SELECT b AS node, CAST(count(*) AS BIGINT) AS w
-         |  FROM pairs GROUP BY b),
+         |  FROM $pairsRel GROUP BY b),
          |negwt AS (SELECT d.idx, d.node,
          |    CAST(floor(sqrt(sqrt(CAST(w AS DOUBLE) * w * w)) * 1e6)
          |      AS BIGINT) AS wq
@@ -375,17 +459,17 @@ object Embedding {
          |negtot AS (SELECT CAST(sum(wq) AS BIGINT) AS w FROM negwt),
          |negd AS (SELECT p.a AS c,
          |    ($negKey) % (SELECT w FROM negtot) AS u
-         |  FROM pairs p, generate_series(1, $negs) j(j)),
+         |  FROM $pairsRel p, generate_series(1, $negs) j(j)),
          |negr AS (SELECT negd.c, m.node AS x, 0.0 AS y
          |  FROM negd JOIN negcum m
          |    ON negd.u >= m.c AND negd.u < m.c + m.wq),""".stripMargin
     val head =
-      s"""nodes AS (SELECT DISTINCT a AS node FROM pairs
-         |  UNION SELECT DISTINCT b FROM pairs),
+      s"""nodes AS (SELECT DISTINCT a AS node FROM $pairsRel
+         |  UNION SELECT DISTINCT b FROM $pairsRel),
          |didx AS MATERIALIZED ($di),
          |nv AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM nodes),
          |$negCtes
-         |train0 AS (SELECT a AS c, b AS x, 1.0 AS y FROM pairs
+         |train0 AS (SELECT a AS c, b AS x, 1.0 AS y FROM $pairsRel
          |  UNION ALL SELECT c, x, y FROM negr),
          |train AS MATERIALIZED (SELECT
          |    md5(CAST(c AS VARCHAR)) || '|' || md5(CAST(x AS VARCHAR)) || '|' ||

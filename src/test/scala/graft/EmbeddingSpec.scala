@@ -26,6 +26,48 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(w2 == (got ++ Seq("a" -> "c", "c" -> "a")).sorted)
   }
 
+  test("subsamplePairs: driver-side replay of the integer-threshold discard; hubs thin, rare keeps 1") {
+    // a hub 'h' paired with many spokes + rare tail pairs, with one
+    // repeated pair (dup ranks draw independently) and one token ('q')
+    // that only ever appears as context
+    val hub = (1 to 200).map(i => ("h", s"s$i")) ++
+      (1 to 200).map(i => (s"s$i", "h"))
+    val tail = Seq(("r1", "r2"), ("r2", "r1"), ("r1", "r2"), ("r3", "q"))
+    val pairs = hub ++ tail
+    val t = 0.02
+    // replay: center counts, quantized thresholds, md5 draws per dup
+    val cnt = pairs.groupBy(_._1).map { case (w, ps) => w -> ps.size }
+    val tot = pairs.size.toDouble
+    def kq(w: String): Long = cnt.get(w).fold(1L << 24) { c =>
+      math.min(1L << 24,
+        math.floor(math.sqrt(t * tot / c) * (1L << 24).toDouble).toLong)
+    }
+    val want = pairs.groupBy(identity).toSeq.flatMap { case ((a, b), ps) =>
+      ps.indices.flatMap { i =>
+        val u = TestReplay.md5Long48(
+          s"${TestReplay.md5hex(a)}|${TestReplay.md5hex(b)}|${i + 1}")
+        if (u < kq(a) * kq(b)) Some((a, b)) else None
+      }
+    }.sorted
+    val df = pairs.toDF("a", "b")
+    val got = Embedding.subsamplePairs(df, "a", "b", t)
+      .as[(String, String)].collect().toSeq.sorted
+    assert(got == want)
+    // the hub's pairs thinned hard; the rare tail kept everything
+    // (kq = 2^24 on both ends → threshold 2^48 → never dropped)
+    assert(got.count(p => p._1 == "h" || p._2 == "h") <
+      hub.size / 2, s"hub pairs should thin to ~sqrt(t/f): $got")
+    assert(got.count(p => p._1.startsWith("r")) == tail.size)
+    // partition invariance: same survivors at any parallelism
+    val rep = Embedding.subsamplePairs(df.repartition(7), "a", "b", t)
+      .as[(String, String)].collect().toSeq.sorted
+    assert(rep == got)
+    // thinned pairs compose with the trainer: the q_node2vec3 chain
+    intercept[IllegalArgumentException] {
+      Embedding.subsamplePairs(df, "a", "b", t = 1.5)
+    }
+  }
+
   // ---- driver-side replay of the exact decimal/q9 arithmetic --------
 
   private def dec18(x: Double): BigDecimal =
