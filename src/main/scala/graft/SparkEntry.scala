@@ -2120,6 +2120,33 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the FULL lakehouse lifecycle for the sparse index — build →
+    // append → DELETE → compact → probe. Deletion is the direction
+    // where global statistics can silently go stale: df must shrink by
+    // exactly the deleted postings (terms whose postings all died
+    // leave the vocabulary) and (n, tot) must subtract the deleted
+    // docs' mass — the oracle is single-shot bm25 over the SURVIVING
+    // corpus only, so any stale df/stat hash-fails the idf of every
+    // query term it touches
+    "q_bm25_delete" -> ((s, dir) => {
+      import graft.operators.Bucketing
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+        .where(col("doc_id") < 1000)
+      TextAnalysis.buildBm25Index(docs.where(col("doc_id") < 300),
+        "doc_id", "text", "graft_bm25_del", buckets = 32)
+      TextAnalysis.appendToBm25Index(docs.where(col("doc_id") >= 300),
+        "doc_id", "text", "graft_bm25_del")
+      TextAnalysis.deleteFromBm25Index(s, "graft_bm25_del",
+        docs.where(col("doc_id") % 7 === 0).select("doc_id"), "doc_id")
+      Bucketing.compactBucketed(s, "graft_bm25_del")
+      val queries = docs.where(col("doc_id") >= 15 && col("doc_id") < 20)
+      TextAnalysis.bm25AgainstIndex(s, "graft_bm25_del",
+        queries, "doc_id", "text", topK = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("bm25"), 6).as("bm25"))
+        .orderBy("query_id", "rank")
+    }),
+
     // the SERVING loop of the persisted sparse index: a STREAM of query
     // docs scores per micro-batch against the stored BM25 postings
     // (foreachBatch probe — zero streaming state, the index IS the
@@ -6225,6 +6252,17 @@ object SparkEntry {
          |      WHERE doc_id < 1000),
          |qs AS (SELECT doc_id, text FROM documents
          |       WHERE doc_id >= 10 AND doc_id < 15),
+         |${graft.operators.TextAnalysis.bm25OracleSql()}
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    // delete ≡ never-ingested: single-shot bm25 over the SURVIVORS —
+    // a hash match proves postings, df AND the (n, tot) stats all
+    // shrank exactly (stale statistics would shift every idf)
+    "q_bm25_delete" -> {
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |      WHERE doc_id < 1000 AND doc_id % 7 <> 0),
+         |qs AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id >= 15 AND doc_id < 20),
          |${graft.operators.TextAnalysis.bm25OracleSql()}
          |ORDER BY query_id, rank""".stripMargin
     },

@@ -112,6 +112,53 @@ object Bucketing {
      else writer).saveAsTable(table)
   }
 
+  /** Tombstone-apply for a bucketed table: rewrite `table` WITHOUT the
+    * rows whose `keyCol` appears in `deleteKeys` — the takedown/opt-out
+    * primitive the build → append lifecycle needs to become a full
+    * lakehouse story. The key column need NOT be the bucket column
+    * (a BM25 postings table buckets by term but deletes by doc id).
+    *
+    * Mechanics: the survivor set materializes through scratch parquet
+    * first (a bucketed `saveAsTable` cannot overwrite a table its own
+    * plan reads — the [[compactBucketed]] lifecycle), then rewrites
+    * through `repartition(numBuckets, bucketCols)` preserving the
+    * catalog's bucket/sort spec, so every downstream bucket-pruned
+    * scan and zero-exchange join keeps working — and the rewrite
+    * doubles as a compaction (one file per non-empty bucket). Cost:
+    * one scan + one shuffle of the compact index relation, never the
+    * corpus; the delete-key side is an anti-join (broadcast when the
+    * takedown list is small — the common case — AQE decides).
+    * Deleting on a NULL-able key uses null-safe semantics implicitly:
+    * anti-join never matches NULL keys, so NULL-keyed rows survive —
+    * callers wanting them gone filter explicitly. */
+  def deleteFromBucketed(spark: SparkSession, table: String,
+                         deleteKeys: DataFrame, keyCol: String,
+                         scratchDir: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
+    require(spec.nonEmpty, s"$table is not a bucketed table")
+    val scratch = new Scratch(spark, "deleteFromBucketed", "graft-delete",
+      scratchDir)
+    // the USING-join floats the key column to the front — restore the
+    // table's own column order so the rewrite is schema-identical
+    val cols = spark.table(table).columns.toSeq
+    val kept = scratch.materialize(
+      spark.table(table).join(
+          deleteKeys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        .select(cols.map(col): _*),
+      s"kept_$table")
+    dropForRewrite(spark, table)
+    val bucketCols = spec.get.bucketColumnNames
+    val sortCols = spec.get.sortColumnNames
+    val writer = kept
+      .repartition(spec.get.numBuckets, bucketCols.map(col): _*)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(spec.get.numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) writer.sortBy(sortCols.head, sortCols.tail: _*)
+     else writer).saveAsTable(table)
+  }
+
   /** Similarity-clustered parquet write: range-partition and sort the
     * corpus by its 64-bit SimHash before writing, so near-duplicate /
     * same-template documents land ADJACENT within row groups — columnar

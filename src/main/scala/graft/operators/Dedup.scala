@@ -1598,6 +1598,26 @@ object Dedup {
     Bucketing.writeBucketed(sh, s"${table}_sh", "__id", buckets)
   }
 
+  /** Tombstone-apply for the near-dup index: rewrite BOTH index tables
+    * without the deleted ids' rows ([[Bucketing.deleteFromBucketed]] —
+    * layout preserved, rewrite doubles as compaction). The index holds
+    * only per-doc facts (band rows, shingle sets — nothing corpus-
+    * global), so unlike the BM25 delete there are no statistics to
+    * decrement: dropping the rows IS the whole delete, and a
+    * post-delete [[nearDupAgainstIndex]] probe equals a from-scratch
+    * build over the survivors by construction. Ids absent from the
+    * index are no-ops (replayable takedown lists). */
+  def deleteFromNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                             table: String, deleteIds: DataFrame,
+                             idCol: String,
+                             scratchDir: Option[String] = None): Unit = {
+    val del = deleteIds.select(col(idCol).as("__id")).distinct()
+    Bucketing.deleteFromBucketed(spark, s"${table}_bands", del, "__id",
+      scratchDir)
+    Bucketing.deleteFromBucketed(spark, s"${table}_sh", del, "__id",
+      scratchDir)
+  }
+
   /** Probe a [[buildNearDupIndex]] index with a new batch: batch docs are
     * signatured and banded (their own cost only), candidate (corpus,
     * batch) pairs come from the equi-join on the packed band bucket —

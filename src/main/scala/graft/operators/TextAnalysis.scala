@@ -540,6 +540,56 @@ object TextAnalysis {
       }
   }
 
+  /** Tombstone-apply for the BM25 index — the takedown/opt-out write
+    * that completes the build → append → compact lifecycle. Deletion
+    * is the interesting direction for a sparse index because the
+    * GLOBAL statistics must shrink EXACTLY: df is additive over
+    * disjoint doc sets (the [[appendToBm25Index]] invariant), so
+    * removing a doc set decrements each term's df by the count of its
+    * deleted postings — and a term whose postings all die leaves the
+    * vocabulary entirely, matching a from-scratch rebuild over the
+    * survivors bit for bit; (n, tot) subtract the deleted docs' count
+    * and token mass the same way. The decrements read the OLD postings
+    * (one semi-join, bounded by the deleted docs' postings) and
+    * snapshot through scratch BEFORE the rewrite; the postings rewrite
+    * itself is [[Bucketing.deleteFromBucketed]] (anti-join through
+    * scratch, bucket/sort layout preserved, doubles as a compaction).
+    * Ids absent from the index are no-ops — takedown lists are
+    * routinely replayed. Cost: O(deleted postings) + one scan/shuffle
+    * of the compact index relation, never the corpus text. */
+  def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+                          table: String, deleteIds: DataFrame,
+                          idCol: String,
+                          scratchDir: Option[String] = None): Unit = {
+    val scratch = new Scratch(spark, "deleteFromBm25Index",
+      "graft-bm25-del", scratchDir)
+    val del = scratch.materialize(
+      deleteIds.select(col(idCol).as("__did")).distinct(), "del_ids")
+    val dead = spark.table(table).join(del, Seq("__did"), "semi")
+    // decrements snapshot BEFORE the postings table is dropped
+    val dfDec = scratch.materialize(
+      dead.groupBy("__t").agg(count(lit(1)).as("__ddf")), "df_dec")
+    val statsDec = scratch.materialize(
+      dead.agg(count_distinct(col("__did")).as("__dn"),
+        coalesce(sum("__tf"), lit(0L)).as("__dtot")), "stats_dec")
+    Bucketing.deleteFromBucketed(spark, table, del, "__did",
+      scratchDir)
+    val mergedDf = spark.table(s"${table}_df")
+      .join(dfDec, Seq("__t"), "left")
+      .select(col("__t"),
+        (col("__df") - coalesce(col("__ddf"), lit(0L))).as("__df"))
+      .where(col("__df") > 0) // fully-deleted terms leave the vocab
+    val mergedStats = spark.table(s"${table}_stats").crossJoin(statsDec)
+      .select((col("__n") - col("__dn")).as("__n"),
+        (col("__tot") - col("__dtot")).as("__tot"))
+    Seq((s"${table}_df", mergedDf), (s"${table}_stats", mergedStats))
+      .foreach { case (name, df) =>
+        val snap = scratch.materialize(df, s"del_$name")
+        Bucketing.dropForRewrite(spark, name)
+        snap.write.mode("overwrite").format("parquet").saveAsTable(name)
+      }
+  }
+
   /** Score a query batch against a [[buildBm25Index]] index: the
     * query-batch terms BROADCAST onto a map-side scan of the df table
     * (the df table streams — a 100 TB corpus's vocabulary is itself

@@ -1262,6 +1262,83 @@ class OperatorsSpec extends AnyFunSuite {
     assert((stA.getLong(0), stA.getLong(1)) == (st.getLong(0), st.getLong(1)))
   }
 
+  test("deleteFromBm25Index: postings, df AND stats shrink exactly to the from-scratch survivor build") {
+    import graft.operators.Bucketing
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").limit(120)
+    val queries = docs.where(col("doc_id") < 3)
+    val dead = docs.where(col("doc_id") % 5 === 0).select("doc_id")
+    TextAnalysis.buildBm25Index(docs, "doc_id", "text",
+      "bm25spec_del", buckets = 8)
+    TextAnalysis.deleteFromBm25Index(spark, "bm25spec_del", dead, "doc_id")
+    TextAnalysis.buildBm25Index(docs.where(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", "bm25spec_ref", buckets = 8)
+    // all three index tables equal the never-ingested build's, row for
+    // row — df terms that lost every posting are GONE, not zeroed
+    for (suffix <- Seq("", "_df", "_stats")) {
+      val got = spark.table(s"bm25spec_del$suffix")
+      val want = spark.table(s"bm25spec_ref$suffix")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"table bm25spec_del$suffix drifted from the survivor rebuild")
+    }
+    assert(spark.table("bm25spec_del_df")
+      .where(col("__df") <= 0).count() == 0)
+    // probe parity + layout contract intact after the rewrite
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(canon(TextAnalysis.bm25AgainstIndex(spark, "bm25spec_del",
+        queries, "doc_id", "text", topK = 10)) ==
+      canon(TextAnalysis.bm25AgainstIndex(spark, "bm25spec_ref",
+        queries, "doc_id", "text", topK = 10)))
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("bm25spec_del")).bucketSpec
+    assert(spec.exists(s0 => s0.numBuckets == 8 &&
+      s0.bucketColumnNames == Seq("__t")))
+    // replayed takedowns are no-ops
+    TextAnalysis.deleteFromBm25Index(spark, "bm25spec_del", dead, "doc_id")
+    val st = spark.table("bm25spec_del_stats").collect()(0)
+    val stRef = spark.table("bm25spec_ref_stats").collect()(0)
+    assert((st.getLong(0), st.getLong(1)) == (stRef.getLong(0), stRef.getLong(1)))
+    // deleting from a non-bucketed table is refused
+    intercept[IllegalArgumentException] {
+      Bucketing.deleteFromBucketed(spark, "bm25spec_del_df",
+        dead.withColumnRenamed("doc_id", "__t"), "__t")
+    }
+  }
+
+  test("deleteFromNearDupIndex: post-delete probe ≡ survivor rebuild; layout preserved") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").limit(100)
+    // plant near-dups of docs 0-9 so the probe has real candidates,
+    // then take down the planted half
+    val planted = docs.where(col("doc_id") < 10)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+    Dedup.buildNearDupIndex(docs.unionByName(planted), "doc_id", "text",
+      "ndspec_del", buckets = 8)
+    Dedup.deleteFromNearDupIndex(spark, "ndspec_del",
+      planted.select("doc_id"), "doc_id")
+    Dedup.buildNearDupIndex(docs, "doc_id", "text", "ndspec_ref",
+      buckets = 8)
+    for (suffix <- Seq("_bands", "_sh")) {
+      val got = spark.table(s"ndspec_del$suffix")
+      val want = spark.table(s"ndspec_ref$suffix")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"table ndspec_del$suffix drifted from the survivor rebuild")
+    }
+    // a probe batch of the taken-down texts still matches the ORIGINALS
+    // (they survive) but no longer the deleted ids
+    val probe = Dedup.nearDupAgainstIndex(spark, "ndspec_del",
+      planted.select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+      "doc_id", "text", threshold = 0.9)
+    val hits = probe.select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert((0L until 10L).toSet.subsetOf(hits),
+      s"the 10 surviving originals must all match, got $hits")
+    assert(hits.forall(_ < 900000L),
+      s"taken-down ids must never match again, got $hits")
+  }
+
   test("compactBucketed: file inventory shrinks to ≤ one per bucket, probe bit-identical") {
     import graft.operators.Bucketing
     val docs = spark.read.parquet(s"$dir/documents.parquet")
