@@ -383,6 +383,31 @@ object ScaleSweep {
         .groupBy("domain")
         .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"))
     })
+    // the round-12 REAL-codec image path: per-scale encoded corpora
+    // (PNG + JPEG twins of deterministic rasters) materialize OUTSIDE
+    // the timer — the fixture encode is itself a mapPartitions codec
+    // pass and would otherwise dominate — so the slope is decode →
+    // area-pooled luma grid → dHash → banded hamming alone, the one
+    // per-row kernel the decode rework added. Expected linear
+    // (mapPartitions-bounded, no shuffle before the pair aggregate).
+    if (only.forall(_.contains("image_decode"))) {
+      scales.foreach { k =>
+        val base = docsAt(k) // full corpus per copy: 2·5000·k images
+        val png = graft.operators.Multimodal.withEncodedImagePayload(
+          base, "text", "png", minPartitions = Some(cpus.toInt))
+        val jpg = graft.operators.Multimodal.withEncodedImagePayload(
+          base.select((col("doc_id") + 500000000L).as("doc_id"),
+            col("text")),
+          "text", "jpeg", minPartitions = Some(cpus.toInt))
+        graft.operators.Bucketing.dropForRewrite(spark, s"graft_sweep_img_$k")
+        png.unionByName(jpg).select("doc_id", "content")
+          .write.mode("overwrite").format("parquet")
+          .saveAsTable(s"graft_sweep_img_$k")
+      }
+      sweep("image_decode")(k => graft.operators.Multimodal.imageNearDup(
+        spark.table(s"graft_sweep_img_$k"), "doc_id", "content",
+        dim = 8, maxHamming = 3, minPartitions = Some(cpus.toInt)))
+    }
     sweep("bpe_pairs")(k =>
       TextAnalysis.bpeTopPairs(docsAt(k), "text", k = 40))
     sweep("zorder_cluster")(k => graft.operators.ZOrder.clusterByZ(

@@ -207,6 +207,23 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(viaEmpty == oneIter)
   }
 
+  test("sgnsFitMatrices: final matrices are parquet snapshots even when iters is not a multiple of materializeEvery") {
+    // with materializeEvery = 2 and iters = 3, iterations 1 and 3
+    // snapshot (k == iters forces the final one) — the returned frames
+    // must be scans of the snapshot, NOT a lazy gradient-join subtree
+    // whose CacheScopes were already closed (re-evaluating such a tail
+    // would recompute the whole uncached iteration)
+    val pos = Seq(("a", "b"), ("b", "c"), ("c", "a"))
+    val (vi, vo) = Embedding.sgnsFitMatrices(pos.toDF("a", "b"), "a", "b",
+      dim = 2, iters = 3, lr = 0.5, negs = 1, materializeEvery = 2)
+    for ((m, side) <- Seq((vi, "in"), (vo, "out"))) {
+      val plan = m.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("Join"),
+        s"$side matrix returned a lazy join tail:\n${plan.take(1500)}")
+      assert(m.count() == 3 * 2) // 3 nodes x 2 dims, readable post-close
+    }
+  }
+
   test("sgnsFit: partition-invariant (decimal sums, no order seams)") {
     val pos = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
     def run(parts: Int) = Embedding.sgnsFit(
