@@ -1690,6 +1690,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // embedding TAKEDOWNS: build the IVF index over everything, delete
+    // vec_id % 9 = 0, probe at nprobe = nlist — exactness against the
+    // brute-force oracle over the SURVIVORS proves the rewrite removed
+    // precisely the tombstoned rows and nothing else (and the bucketed
+    // layout kept probing, or the scan would miss lists)
+    "q_ivf_delete" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+        "graft_ivf_del", nlist = 16, buckets = 8)
+      Similarity.deleteFromVectorIndex(s, "graft_ivf_del",
+        emb.where(col("vec_id") % 9 === 0).select("vec_id"), "vec_id")
+      val queries = emb.where(col("vec_id") >= 80 && col("vec_id") < 90)
+      Similarity.ivfTopKIndexed(s, "graft_ivf_del",
+        queries, "vec_id", "embedding", k = 5, nprobe = 16)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     // FILTERED vector search on the persisted IVF index: `label` rides
     // in the index as a payload column and the predicate pushes to the
     // index's parquet scan (PushedFilters, plan-asserted in
@@ -5967,6 +5986,23 @@ object SparkEntry {
         |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
         |     sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
         |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(sim, 6) AS cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // delete ≡ never-ingested: brute force over the surviving vectors
+    "q_ivf_delete" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |           WHERE vec_id >= 80 AND vec_id < 90),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS sim
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> q.query_id AND e.vec_id % 9 <> 0),
         |ranked AS (SELECT query_id, neighbor_id, sim,
         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored)

@@ -865,6 +865,23 @@ object Similarity {
     Bucketing.appendBucketed(coded, table, "__cluster")
   }
 
+  /** Tombstone-apply for the vector indexes ([[buildIvfIndex]] and
+    * [[buildIvfPqIndex]] share the layout: one bucketed table keyed by
+    * `__cid`) — embedding takedowns are as routine as text ones.
+    * [[Bucketing.deleteFromBucketed]] rewrites the survivors with the
+    * bucket layout intact; centroids and codebook are per-index
+    * training artifacts, not per-row statistics, so nothing shrinks —
+    * a post-delete probe equals a probe over a never-ingested corpus
+    * by construction (spec-pinned). Ids absent from the index are
+    * no-ops. */
+  def deleteFromVectorIndex(spark: org.apache.spark.sql.SparkSession,
+                            table: String, deleteIds: DataFrame,
+                            idCol: String,
+                            scratchDir: Option[String] = None): Unit = {
+    val del = deleteIds.select(col(idCol).cast("long").as("__cid")).distinct()
+    Bucketing.deleteFromBucketed(spark, table, del, "__cid", scratchDir)
+  }
+
   /** Read back a [[buildIvfPqIndex]] index's persisted codebook as the
     * literal structure the ADC expressions consume. Pre-`_codebook`
     * indexes (none in this repo, but a user's old tables) fall back to

@@ -869,6 +869,39 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected bucket pruning after append:\n$plan")
   }
 
+  test("deleteFromVectorIndex: takedowns leave the IVF and IVF-PQ probes ≡ survivor rebuilds") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val dead = emb.where(col("vec_id") % 9 === 0).select("vec_id")
+    val queries = emb.where(col("vec_id") < 3)
+    // IVF-Flat: full-probe exactness over survivors after the delete
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", "ivfdel_idx",
+      nlist = 8, buckets = 16)
+    Similarity.deleteFromVectorIndex(spark, "ivfdel_idx", dead, "vec_id")
+    val got = Similarity.ivfTopKIndexed(spark, "ivfdel_idx",
+      queries, "vec_id", "embedding", k = 3, nprobe = 8)
+    val exact = Similarity.bruteForceTopK(
+      emb.where(col("vec_id") % 9 =!= 0), "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3)
+    assert(got.collect().toSet == exact.collect().toSet)
+    // IVF-PQ: same centroids/codebook, rows gone — probe ≡ a build
+    // over the survivors with the same (corpus-independent) codebook
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", "ivfpqdel_idx",
+      nlist = 8, buckets = 16)
+    Similarity.deleteFromVectorIndex(spark, "ivfpqdel_idx", dead, "vec_id")
+    assert(spark.table("ivfpqdel_idx")
+      .where(col("__cid") % 9 === 0).count() == 0)
+    val probed = Similarity.ivfPqTopKIndexed(spark, "ivfpqdel_idx",
+      queries, "vec_id", "embedding", k = 3, nprobe = 8)
+    assert(probed.join(dead.withColumnRenamed("vec_id", "neighbor_id"),
+      Seq("neighbor_id"), "semi").count() == 0,
+      "taken-down ids must never be returned")
+    // bucket layout intact after the rewrite
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("ivfpqdel_idx")).bucketSpec
+    assert(spec.exists(_.bucketColumnNames == Seq("__cluster")))
+  }
+
   test("semanticDedup: planted copies dropped min-id-first, disjoint cells never prune") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("vec_id", "embedding").limit(100)
