@@ -119,10 +119,16 @@ object PlanDigest {
     // map-only noise attach (the md5 fold must never grow an exchange
     // or a per-group join-back)
     "q_dp_release",
-    // round-12: domain_stats2's contract is three BROADCAST label-tail
-    // joins + one final hash aggregate — a broadcast→SMJ flip on the
-    // PSL rules table would shuffle the host stream three times
-    "q_domain_stats2")
+    // round-12/13: domain_stats2's contract is BROADCAST label-tail
+    // joins (one per derived tail depth, all off ONE broadcast
+    // exchange) + one final hash aggregate — a broadcast→SMJ flip on
+    // the PSL rules table would shuffle the host stream once per tail
+    "q_domain_stats2",
+    // round-13: the container-probe contract is a map-only scan →
+    // mapPartitions walk with ZERO exchanges before the final sort —
+    // an accidental shuffle here would re-exchange every crawl
+    // payload byte
+    "q_video2")
 
   val SnapshotPath = "tools/plan_digests.txt"
   val DefaultSfDir = "/root/testdata/sf0.001"
