@@ -2419,6 +2419,52 @@ object SparkEntry {
         .orderBy("id_l", "id_r")
     }),
 
+    // image dedup CLUSTERS: the near-dup pair relation (decode → dHash
+    // → banded hamming) closed into connected components — three
+    // planted framings of each text form one clique, so the component
+    // label is the min id of the text-equal group (the
+    // duplicateClusters composition the text family already has,
+    // applied to the image signature path)
+    "q_image_clusters" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+        .where(col("doc_id") < 60)
+      val all = docs
+        .unionByName(docs.select((col("doc_id") + 500000L).as("doc_id"),
+          col("text")))
+        .unionByName(docs.select((col("doc_id") + 600000L).as("doc_id"),
+          col("text")))
+      val framed = Multimodal.withImagePayload(all, "text")
+      val pairs = Multimodal.imageNearDup(framed, "doc_id", "content",
+        dim = 8, maxHamming = 0)
+      Dedup.duplicateClusters(pairs, "id_l", "id_r")
+        .orderBy("node")
+    }),
+
+    // streaming INGEST-TIME metadata extraction: container probes run
+    // per micro-batch in the serving loop (probeEachBatch — zero
+    // streaming state, the probe is a pure row kernel), so crawl
+    // payloads carry typed metadata from the moment they land. The
+    // probe is row-deterministic, so the drained stream ≡ the batch
+    // probe of the union — gated by the same header-arithmetic oracle
+    // as q_audio2
+    "q_stream_probe" -> ((s, dir) => {
+      val qs = GraftStreaming.readDocumentsGlob(s, dir, "documents.parquet")
+      val out = org.apache.spark.sql.GraftSqlBridge
+        .managedTempDir("graft-probe-srv").getAbsolutePath
+      val q = GraftStreaming.probeEachBatch(qs, out)(b =>
+        Multimodal.probeAudio(Multimodal.withMp3Payload(b, "text"),
+            "content")
+          .select(col("doc_id"),
+            col("probed_audio.sample_rate").as("sample_rate"),
+            col("probed_audio.channels").as("channels"),
+            col("probed_audio.n_samples").as("n_samples"),
+            col("probed_audio.format").as("format")))
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
+      s.read.parquet(out)
+        .select("doc_id", "sample_rate", "channels", "n_samples", "format")
+        .orderBy("doc_id")
+    }),
+
     "q_multimodal" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val mm = Multimodal.withImagePayload(docs, "text")
@@ -2499,6 +2545,28 @@ object SparkEntry {
           col("probed_audio.bits").as("bits"),
           col("probed_audio.n_samples").as("n_samples"),
           col("probed_audio.format").as("format"))
+        .orderBy("doc_id")
+    }),
+
+    // REAL audio signal analysis: energy (Σ s²), zero-crossing count
+    // and peak over the signed 16-bit PCM sample stream — the classic
+    // cheap speech/music/noise discriminators, computed EXACTLY in
+    // integers (no float leaves the kernel). The PCM data is
+    // md5-derived bytes (full 0–255 range → real negative samples and
+    // crossings, unlike ASCII text), so the oracle replays every
+    // sample from the hex-pair arithmetic and the result hash-matches
+    "q_audio3" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val r = lit(2) + pmod(length(col("text")), lit(5))
+      val src = docs.select(col("doc_id"),
+        unhex(repeat(md5(col("text")), r)).as("pcm"))
+      val mm = Multimodal.withAudioPayload(src, "pcm")
+      Multimodal.audioStats(mm.repartition(8), "content")
+        .select(col("doc_id"),
+          col("pcm_stats.n_samples").as("n_samples"),
+          col("pcm_stats.sum_sq").as("sum_sq"),
+          col("pcm_stats.zero_crossings").as("zero_crossings"),
+          col("pcm_stats.peak").as("peak"))
         .orderBy("doc_id")
     }),
 
@@ -6685,6 +6753,30 @@ object SparkEntry {
         |SELECT doc_id, 4 AS width, fps_num, n_frames,
         |  CAST(least(n_frames - 1, 4) // 2 + 1 AS INT) AS n_sampled
         |FROM m ORDER BY doc_id""".stripMargin,
+    // clusters = text-equality components over the planted corpus:
+    // label = min id of each text group, singleton groups excluded
+    // (duplicateClusters emits only nodes that appear in some pair)
+    "q_image_clusters" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+        |all_docs AS (SELECT doc_id, text FROM d
+        |  UNION ALL SELECT doc_id + 500000, text FROM d
+        |  UNION ALL SELECT doc_id + 600000, text FROM d),
+        |comp AS (SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY text) AS label,
+        |    count(*) OVER (PARTITION BY text) AS n
+        |  FROM all_docs)
+        |SELECT doc_id AS node, label FROM comp WHERE n >= 2
+        |ORDER BY node""".stripMargin,
+    // the stream ≡ batch: same header arithmetic as q_audio2
+    "q_stream_probe" ->
+      """WITH m AS (SELECT doc_id, strlen(text) AS ds FROM documents)
+        |SELECT doc_id,
+        |  CAST([44100, 48000, 32000][CAST(ds % 3 AS INT) + 1] AS INT)
+        |    AS sample_rate,
+        |  CAST(1 + ds % 2 AS INT) AS channels,
+        |  CAST((1 + ds % 5) * 1152 AS BIGINT) AS n_samples,
+        |  'mp3' AS format
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_audio2" ->
       """WITH m AS (SELECT doc_id, strlen(text) AS ds FROM documents)
         |SELECT doc_id,
@@ -6695,6 +6787,39 @@ object SparkEntry {
         |  CAST((1 + ds % 5) * 1152 AS BIGINT) AS n_samples,
         |  'mp3' AS format
         |FROM m ORDER BY doc_id""".stripMargin,
+    // every sample replayed from the md5 hex pairs: byte = h1*16+h2
+    // (the md5Long48 ascii arithmetic), sample = lo + 256*hi signed,
+    // then exact integer energy / crossings / peak per doc
+    "q_audio3" -> {
+      def hv(pos: String) =
+        s"(CASE WHEN ascii(substr(hx, $pos, 1)) >= 97 " +
+          s"THEN ascii(substr(hx, $pos, 1)) - 87 " +
+          s"ELSE ascii(substr(hx, $pos, 1)) - 48 END)"
+      s"""WITH m AS (SELECT doc_id, md5(text) AS h,
+         |    2 + strlen(text) % 5 AS r FROM documents),
+         |hx AS (SELECT doc_id, repeat(h, CAST(r AS INT)) AS hx,
+         |    8 * r AS n FROM m),
+         |smp AS (SELECT doc_id,
+         |    unnest(range(1, CAST(n + 1 AS BIGINT))) AS i FROM hx),
+         |raw AS (SELECT s.doc_id, s.i,
+         |    (${hv("4*s.i-3")} * 16 + ${hv("4*s.i-2")})
+         |    + 256 * (${hv("4*s.i-1")} * 16 + ${hv("4*s.i")}) AS rv
+         |  FROM smp s JOIN hx USING (doc_id)),
+         |sgn AS (SELECT doc_id, i,
+         |    CASE WHEN rv >= 32768 THEN rv - 65536 ELSE rv END AS sv
+         |  FROM raw),
+         |lagd AS (SELECT doc_id, i, sv,
+         |    lag(sv) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+         |  FROM sgn)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_samples,
+         |  CAST(sum(CAST(sv AS BIGINT) * sv) AS BIGINT) AS sum_sq,
+         |  CAST(sum(CASE WHEN pv IS NOT NULL
+         |    AND ((sv < 0) <> (pv < 0)) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS zero_crossings,
+         |  CAST(max(abs(sv)) AS INT) AS peak
+         |FROM lagd GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "q_video2" ->
       """WITH m AS (SELECT doc_id, strlen(text) AS ds FROM documents)
         |SELECT doc_id,

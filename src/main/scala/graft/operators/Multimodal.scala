@@ -741,6 +741,42 @@ object Multimodal {
         .orElse(parseMp3(bytes).map(_._4)).getOrElse(0)
       poolBytes(bytes, off, dim)
     }
+
+    /** REAL signal statistics over a PCM WAV's sample data — the two
+      * classic speech/music/noise discriminators (energy, zero-crossing
+      * rate) plus peak, computed EXACTLY in integers so the result is
+      * hash-stable and an external oracle can replay it from the bytes:
+      * (nSamples, sumSq = Σ s², zeroCrossings, peak = max |s|) over the
+      * signed 16-bit little-endian sample stream (all channels
+      * interleaved; a sample of 0 counts as positive for the crossing
+      * rule, so the count is well-defined on silence). RMS/ZCR derive
+      * downstream as √(sumSq/n) and zc/n — kept OUT of the kernel so no
+      * float ever leaves it. None for non-PCM/non-16-bit payloads;
+      * truncated rasters measure the complete samples present. */
+    private[graft] def pcmStats(bytes: Array[Byte]): Option[(Long, Long, Long, Int)] =
+      parse(bytes).collect { case (_, ch, 16, nsamp, off) =>
+        // bound by the data CHUNK's extent (vendor chunks may trail it),
+        // and by the bytes actually present (truncated payloads)
+        val n = math.min(math.max((bytes.length - off) / 2, 0).toLong,
+          nsamp * ch).toInt
+        var sumSq = 0L
+        var zc = 0L
+        var peak = 0
+        var prevNeg = false
+        var j = 0
+        while (j < n) {
+          val s = ((bytes(off + 2 * j) & 0xFF) |
+            (bytes(off + 2 * j + 1) << 8)).toShort.toInt
+          sumSq += s.toLong * s
+          val neg = s < 0
+          if (j > 0 && neg != prevNeg) zc += 1
+          prevNeg = neg
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          j += 1
+        }
+        (n.toLong, sumSq, zc, peak)
+      }
   }
 
   private def byteHex(c: Column): Column =
@@ -1298,6 +1334,42 @@ object Multimodal {
         val feats = if (bytes == null) null
         else AudioCodec.features(bytes, dim).toSeq
         Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(enc)
+  }
+
+  /** struct carried by [[audioStats]] */
+  val pcmStatsSchema: StructType = StructType(Seq(
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false),
+    StructField("zero_crossings", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false)))
+
+  /** Per-partition streaming PCM signal statistics → struct column
+    * (n_samples, sum_sq, zero_crossings, peak) from
+    * [[AudioCodec.pcmStats]] — energy and zero-crossing rate are the
+    * classic cheap speech/music/noise discriminators, so this is the
+    * audio QUALITY GATE kernel (the audio twin of the text
+    * quality-score scan): integer-exact, hash-stable, null for
+    * non-PCM payloads. Same iterator plumbing as [[probeAudio]]. */
+  def audioStats(df0: DataFrame, contentCol: String,
+                 outCol: String = "pcm_stats",
+                 minPartitions: Option[Int] = None): DataFrame = {
+    val df = ensureParallelism(df0, minPartitions)
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField(outCol, pcmStatsSchema,
+      nullable = true))
+    val idx = inSchema.fieldIndex(contentCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val m = if (bytes == null) null
+        else AudioCodec.pcmStats(bytes) match {
+          case Some((n, sq, zc, pk)) => Row(n, sq, zc, pk)
+          case None => null
+        }
+        Row.fromSeq(r.toSeq :+ m)
       }
     }(enc)
   }

@@ -173,6 +173,43 @@ class MultimodalStreamingSpec extends AnyFunSuite {
       Array[Byte](3, 0, 0, 0x7F, 0x7F, 0x7F, 0x7F))._5 == "unknown")
   }
 
+  test("multimodal: pcmStats computes exact integer energy/crossings/peak on hand-built PCM") {
+    // mono 16-bit WAV: samples 100, -200, 300, 0, -1: sumSq = 140001 +
+    // ... compute by hand: 10000+40000+90000+0+1 = 140001; crossings:
+    // +,-,+,+(0),- -> sign flips at j=1,2,4 = 3; peak 300
+    def le16(v: Int): Seq[Byte] =
+      Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    val samples = Seq(100, -200, 300, 0, -1)
+    val data = samples.flatMap(le16)
+    def le32b(v: Int): Seq[Byte] = Seq(v & 0xFF, (v >> 8) & 0xFF,
+      (v >> 16) & 0xFF, (v >> 24) & 0xFF).map(_.toByte)
+    val wav = ("RIFF".getBytes("US-ASCII") ++ le32b(36 + data.size) ++
+      "WAVEfmt ".getBytes("US-ASCII") ++ le32b(16) ++
+      Seq[Byte](1, 0, 1, 0) ++ le32b(8000) ++ le32b(16000) ++
+      Seq[Byte](2, 0, 16, 0) ++
+      "data".getBytes("US-ASCII") ++ le32b(data.size) ++ data).toArray
+    assert(Multimodal.AudioCodec.probe(wav)._1 == 8000)
+    val got = Multimodal.AudioCodec.pcmStats(wav)
+    assert(got.contains((5L, 140001L, 3L, 300)),
+      s"hand-computed stats mismatch: $got")
+    // truncation measures the complete samples present
+    val cut = Multimodal.AudioCodec.pcmStats(wav.dropRight(3))
+    assert(cut.contains((3L, 140000L, 2L, 300)))
+    // 8-bit payloads and garbage yield None, never throw
+    val wav8 = wav.clone(); wav8(34) = 8
+    assert(Multimodal.AudioCodec.pcmStats(wav8).isEmpty)
+    assert(Multimodal.AudioCodec.pcmStats("junk".getBytes).isEmpty)
+    // DataFrame plumbing: struct lands per row, null for non-PCM
+    import spark.implicits._
+    val df = Seq(Tuple1(wav), Tuple1("junk".getBytes)).toDF("content")
+    val rows = Multimodal.audioStats(df, "content")
+      .select("pcm_stats").collect()
+    assert(rows.count(_.isNullAt(0)) == 1)
+    val st = rows.find(!_.isNullAt(0)).get.getStruct(0)
+    assert((st.getLong(0), st.getLong(1), st.getLong(2), st.getInt(3)) ==
+      ((5L, 140001L, 3L, 300)))
+  }
+
   test("multimodal: probeVideo box-walks exactly what withMp4Payload wrote") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").limit(30)
     val mm = Multimodal.withMp4Payload(docs, "text")

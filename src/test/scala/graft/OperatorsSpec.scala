@@ -2010,18 +2010,24 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("container codecs never throw on fuzzed garbage payloads") {
     val rnd = new scala.util.Random(42)
-    val payloads = (0 until 300).map { i =>
+    val payloads = (0 until 400).map { i =>
       val b = new Array[Byte](rnd.nextInt(200))
       rnd.nextBytes(b)
       // bias some toward magic prefixes so the parsers walk further in
       if (i % 4 == 0 && b.length >= 12) {
-        val m = i % 5 match {
+        val m = i % 8 match {
           case 0 => "RIFFxxxxWAVE"; case 1 => "YUV4MPEG2 W4"
           case 2 => "P6\n99999999 "
           case 3 => new String(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A,
             0x1A, 0x0A, 0x00, 0x00, 0x00, 0x0D).map(_.toChar))
-          case _ => new String(Array(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x09,
+          case 4 => new String(Array(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x09,
             0x08, 0xFF, 0xFF, 0xFF, 0xFF, 0x03).map(_.toChar))
+          case 5 => new String(Array(0xFF, 0xFB, 0x90, 0x00, 0xFF, 0xFB,
+            0x90, 0x00, 0x49, 0x44, 0x33, 0x03).map(_.toChar)) // mp3 + ID3
+          case 6 => new String(Array(0x00, 0x00, 0x00, 0x10, 0x66, 0x74,
+            0x79, 0x70, 0x69, 0x73, 0x6F, 0x6D).map(_.toChar)) // ftyp
+          case _ => new String(Array(0x1A, 0x45, 0xDF, 0xA3, 0x87, 0x42,
+            0x82, 0x84, 0x77, 0x65, 0x62, 0x6D).map(_.toChar)) // EBML/webm
         }
         val mb = m.toCharArray.map(_.toByte)
         System.arraycopy(mb, 0, b, 0, math.min(12, b.length))
@@ -2034,6 +2040,40 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.VideoCodec.probe(b)
       Multimodal.ImageCodec.features(b, 8)
       Multimodal.AudioCodec.features(b, 8)
+    }
+    succeed
+  }
+
+  test("container codecs never throw on MUTATED valid payloads (deep-path fuzz)") {
+    // random byte flips inside VALID MP3/MP4/WebM/WAV/Y4M payloads reach
+    // the parsers' deep branches (mid-walk sizes, varints, strides) that
+    // prefix-seeded garbage never exercises; every mutant must parse to
+    // SOME answer without throwing, and truncations of valid payloads
+    // must too (the crawl posture: arbitrary corruption, never a crash)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(12)
+    val valids: Seq[Array[Byte]] = Seq(
+      Multimodal.withMp3Payload(docs, "text"),
+      Multimodal.withMp4Payload(docs, "text"),
+      Multimodal.withWebmPayload(docs, "text"),
+      Multimodal.withAudioPayload(docs, "text"),
+      Multimodal.withVideoPayload(docs, "text"))
+      .flatMap(_.select("content").collect().map(_.getAs[Array[Byte]](0)))
+    val rnd = new scala.util.Random(7)
+    valids.foreach { v =>
+      (0 until 20).foreach { _ =>
+        val m = v.clone()
+        (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+          m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        }
+        Multimodal.AudioCodec.probe(m)
+        Multimodal.VideoCodec.probe(m)
+        Multimodal.ImageCodec.probe(m)
+      }
+      (0 until 5).foreach { _ =>
+        val cut = v.take(rnd.nextInt(v.length + 1))
+        Multimodal.AudioCodec.probe(cut)
+        Multimodal.VideoCodec.probe(cut)
+      }
     }
     succeed
   }
