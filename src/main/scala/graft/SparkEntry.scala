@@ -2419,6 +2419,29 @@ object SparkEntry {
         .orderBy("id_l", "id_r")
     }),
 
+    // PERSISTED perceptual image dedup — the ingest-time face: the
+    // corpus (PNG containers) is decoded + dHashed ONCE into the
+    // hamming index, then a JPEG batch of re-encoded twins probes it
+    // at its own decode cost only. Every batch image must match its
+    // corpus original CROSS-CONTAINER (real pixel decode, radius 3 =
+    // the pigeonhole full-recall bound); the raster is text-
+    // deterministic, so the oracle is text equality
+    "q_image_index" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+        .where(col("doc_id") < 100)
+      val corpus = Multimodal.withEncodedImagePayload(docs, "text", "png",
+        minPartitions = Some(8))
+      Multimodal.buildImageDupIndex(corpus, "doc_id", "content",
+        "graft_img_idx", dim = 8, buckets = 8)
+      val batch = Multimodal.withEncodedImagePayload(
+        docs.select((col("doc_id") + 500000L).as("doc_id"), col("text")),
+        "text", "jpeg", minPartitions = Some(8))
+      Multimodal.imageDupAgainstIndex(s, "graft_img_idx", batch,
+          "doc_id", "content", dim = 8, maxHamming = 3)
+        .select("corpus_id", "batch_id")
+        .orderBy("corpus_id", "batch_id")
+    }),
+
     // image dedup CLUSTERS: the near-dup pair relation (decode → dHash
     // → banded hamming) closed into connected components — three
     // planted framings of each text form one clique, so the component
@@ -2604,6 +2627,22 @@ object SparkEntry {
           col("probed_video.fps_den").as("fps_den"),
           col("probed_video.n_frames").as("n_frames"),
           col("probed_video.format").as("format"))
+        .orderBy("doc_id")
+    }),
+
+    // REAL inter-frame motion analysis: sum-of-absolute-differences
+    // between consecutive Y4M rasters — the scene-cut / static-content
+    // discriminator for video curation — exact in integers over a
+    // varying-frame fixture (frame k = md5(text|k) bytes), every
+    // raster byte replayed by the oracle
+    "q_video4" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val mm = Multimodal.withVideoPayload2(docs, "text")
+      Multimodal.videoFrameStats(mm.repartition(8), "content")
+        .select(col("doc_id"),
+          col("frame_stats.n_frames").as("n_frames"),
+          col("frame_stats.total_sad").as("total_sad"),
+          col("frame_stats.max_sad").as("max_sad"))
         .orderBy("doc_id")
     }),
 
@@ -6753,6 +6792,13 @@ object SparkEntry {
         |SELECT doc_id, 4 AS width, fps_num, n_frames,
         |  CAST(least(n_frames - 1, 4) // 2 + 1 AS INT) AS n_sampled
         |FROM m ORDER BY doc_id""".stripMargin,
+    // every JPEG twin must find its PNG original: text equality over
+    // the planted corpus IS the cross-container ground truth
+    "q_image_index" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100)
+        |SELECT c.doc_id AS corpus_id, b.doc_id + 500000 AS batch_id
+        |FROM d c JOIN d b ON c.text = b.text
+        |ORDER BY corpus_id, batch_id""".stripMargin,
     // clusters = text-equality components over the planted corpus:
     // label = min id of each text group, singleton groups excluded
     // (duplicateClusters emits only nodes that appear in some pair)
@@ -6830,6 +6876,28 @@ object SparkEntry {
         |  CAST(1 + ds % 2000 AS BIGINT) AS n_frames,
         |  'mp4' AS format
         |FROM m ORDER BY doc_id""".stripMargin,
+    // every raster byte replayed: frame k = first 12 chars of
+    // md5(text|k); SAD over consecutive frames via ascii arithmetic
+    "q_video4" ->
+      """WITH m AS (SELECT doc_id, text,
+        |    1 + strlen(text) % 5 AS n FROM documents),
+        |ks AS (SELECT doc_id, unnest(range(1, CAST(n + 1 AS BIGINT))) AS k
+        |  FROM m),
+        |fs AS (SELECT ks.doc_id, ks.k,
+        |    substr(md5(m.text || '|' || CAST(ks.k AS VARCHAR)), 1, 12)
+        |      AS fstr
+        |  FROM ks JOIN m USING (doc_id)),
+        |sad AS (SELECT a.doc_id, a.k,
+        |    CAST(sum(abs(ascii(substr(a.fstr, i.i, 1))
+        |      - ascii(substr(b.fstr, i.i, 1)))) AS BIGINT) AS s
+        |  FROM fs a JOIN fs b ON a.doc_id = b.doc_id AND b.k = a.k - 1,
+        |       generate_series(1, 12) i(i)
+        |  GROUP BY a.doc_id, a.k)
+        |SELECT m.doc_id, CAST(m.n AS BIGINT) AS n_frames,
+        |  COALESCE(CAST(sum(s.s) AS BIGINT), 0) AS total_sad,
+        |  COALESCE(CAST(max(s.s) AS BIGINT), 0) AS max_sad
+        |FROM m LEFT JOIN sad s USING (doc_id)
+        |GROUP BY m.doc_id, m.n ORDER BY m.doc_id""".stripMargin,
     "q_video3" ->
       """WITH m AS (SELECT doc_id, strlen(text) AS ds FROM documents)
         |SELECT doc_id,

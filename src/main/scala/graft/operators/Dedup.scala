@@ -790,14 +790,20 @@ object Dedup {
     * verifies. For maxHamming > 3 the pigeonhole bound needs coarser
     * chunks — callers at larger radii accept recall loss (documented at
     * the call sites). Output: (id_l, id_r, hamming ≤ maxHamming). */
+  /** The 4×16-bit pigeonhole chunking of a 64-bit signature column —
+    * shared by the in-corpus pairing, the persisted index build, and
+    * the index probe (all three MUST chunk identically or candidates
+    * are silently lost). */
+  private def shChunks(sh: Column): Column =
+    array((0 until 4).map(c =>
+      struct(lit(c).as("chunk"),
+        shiftright(sh, c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)
+
   private[graft] def hammingNearDupFromSig(sig: DataFrame, maxHamming: Int,
       maxBucketSize: Option[Int]): DataFrame = {
     // chunk shift amounts are compile-time literals (shiftright needs Int)
-    val chunkStructs = array((0 until 4).map(c =>
-      struct(lit(c).as("chunk"),
-        shiftright(col("__sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)
     val chunks = sig.select(struct(col("__id"), col("__sh")).as("__p"),
-      explode(chunkStructs).as("ck"))
+      explode(shChunks(col("__sh"))).as("ck"))
       .select(col("__p"), col("ck.chunk").as("__chunk"), col("ck.key").as("__key"))
     bucketPairs(chunks, Seq("__chunk", "__key"), "__p", maxBucketSize)
       .select(col("__l.__id").as("id_l"), col("__r.__id").as("id_r"),
@@ -1596,6 +1602,92 @@ object Dedup {
       array_sort(transform(shingles(col(textCol), shingleN),
         t => xxhash64(t))).as("__sh"))
     Bucketing.writeBucketed(sh, s"${table}_sh", "__id", buckets)
+  }
+
+  /** Build and PERSIST a hamming-ball (64-bit signature) index — the
+    * SimHash/dHash twin of [[buildNearDupIndex]], and the ingest-time
+    * home of perceptual IMAGE dedup ([[
+    * graft.operators.Multimodal.buildImageDupIndex]] feeds it dHash
+    * signatures): the corpus is signatured ONCE, each 64-bit signature
+    * explodes into its four 16-bit pigeonhole chunks ([[shChunks]] —
+    * identical to the in-corpus pairing, so the hamming ≤ 3 recall
+    * guarantee carries over), and two bucketed tables persist:
+    * `{table}_bands` — (packed chunk-bucket, id), bucketed by the
+    * packed bucket; `{table}_sig` — (id, signature), bucketed by id
+    * (the exact-verify side). A new batch then pays only its own
+    * signature cost ([[hammingAgainstIndex]]); the corpus is never
+    * re-decoded and never shuffled. Storage: 4 band rows + one 8-byte
+    * signature per item — no payload bytes retained. */
+  def buildHammingIndex(sig: DataFrame, table: String,
+                        buckets: Int = 32): Unit = {
+    val spark = sig.sparkSession
+    Seq(s"${table}_bands", s"${table}_sig")
+      .foreach(Bucketing.dropForRewrite(spark, _))
+    val bands = sig.select(col("__id"),
+        explode(shChunks(col("__sh"))).as("ck"))
+      .select(packedBucket(col("ck.chunk"), col("ck.key")).as("__bucket"),
+        col("__id"))
+    Bucketing.writeBucketed(bands, s"${table}_bands", "__bucket", buckets)
+    Bucketing.writeBucketed(sig.select(col("__id"), col("__sh")),
+      s"${table}_sig", "__id", buckets)
+  }
+
+  /** Probe a [[buildHammingIndex]] index with a new batch's signatures:
+    * candidates come from the equi-join of the batch's chunk buckets
+    * against `{table}_bands` (bucketed: corpus side exchange-free),
+    * exact XOR-popcount verification joins the deduplicated candidate
+    * pairs against `{table}_sig` (bucketed by id: again exchange-free)
+    * and the batch's own signatures. Same pigeonhole bound as
+    * [[hammingNearDupFromSig]]: full recall for hamming ≤ 3. Returns
+    * (corpus_id, batch_id, hamming ≤ maxHamming). */
+  def hammingAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                          table: String, batchSig: DataFrame,
+                          maxHamming: Int = 3): DataFrame = {
+    val bb = batchSig.select(col("__id").as("__bid"),
+        col("__sh").as("__bsh"),
+        explode(shChunks(col("__sh"))).as("ck"))
+      .select(packedBucket(col("ck.chunk"), col("ck.key")).as("__bucket"),
+        col("__bid"))
+    val cand = spark.table(s"${table}_bands")
+      .join(bb, Seq("__bucket"))
+      .select(col("__id").as("corpus_id"), col("__bid").as("batch_id"))
+      .distinct()
+    val csig = spark.table(s"${table}_sig")
+      .select(col("__id").as("corpus_id"), col("__sh").as("__csh"))
+    val bsig = batchSig.select(col("__id").as("batch_id"),
+      col("__sh").as("__bsh"))
+    cand.join(csig, Seq("corpus_id"))
+      .join(bsig, Seq("batch_id"))
+      .select(col("corpus_id"), col("batch_id"),
+        bit_count(col("__csh").bitwiseXOR(col("__bsh"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Grow a [[buildHammingIndex]] index with a new batch — O(batch)
+    * band rows + signatures appended into the right hash buckets;
+    * co-partitioning intact, per-doc facts only (nothing global to
+    * merge). Caller contract: batch ids are new. */
+  def appendToHammingIndex(batchSig: DataFrame, table: String): Unit = {
+    val bands = batchSig.select(col("__id"),
+        explode(shChunks(col("__sh"))).as("ck"))
+      .select(packedBucket(col("ck.chunk"), col("ck.key")).as("__bucket"),
+        col("__id"))
+    Bucketing.appendBucketed(bands, s"${table}_bands", "__bucket")
+    Bucketing.appendBucketed(batchSig.select(col("__id"), col("__sh")),
+      s"${table}_sig", "__id")
+  }
+
+  /** Tombstone-apply for a [[buildHammingIndex]] index — the
+    * [[deleteFromNearDupIndex]] recipe on the signature layout. */
+  def deleteFromHammingIndex(spark: org.apache.spark.sql.SparkSession,
+                             table: String, deleteIds: DataFrame,
+                             idCol: String,
+                             scratchDir: Option[String] = None): Unit = {
+    val del = deleteIds.select(col(idCol).cast("long").as("__id")).distinct()
+    Bucketing.deleteFromBucketed(spark, s"${table}_bands", del, "__id",
+      scratchDir)
+    Bucketing.deleteFromBucketed(spark, s"${table}_sig", del, "__id",
+      scratchDir)
   }
 
   /** Tombstone-apply for the near-dup index: rewrite BOTH index tables

@@ -595,17 +595,63 @@ object Multimodal {
   def imageNearDup(df: DataFrame, idCol: String, contentCol: String,
                    dim: Int = 8, maxHamming: Int = 0,
                    maxBucketSize: Option[Int] = Some(10000),
-                   minPartitions: Option[Int] = None): DataFrame = {
-    // request dim² buckets: compressed formats decode to a TRUE
-    // row-major dim×dim luma grid; the byte path's 1-D pooling is read
-    // through the same row-major lens
-    val feats = decodeImages(df.select(col(idCol), col(contentCol)),
-      contentCol, dim * dim, "__feats", minPartitions)
-    val sig = feats.where(col("__feats").isNotNull)
+                   minPartitions: Option[Int] = None): DataFrame =
+    Dedup.hammingNearDupFromSig(
+      imageSignatures(df, idCol, contentCol, dim, minPartitions),
+      maxHamming, maxBucketSize)
+
+  /** decode → dim×dim luma grid → dHash, as a (__id, __sh) signature
+    * table — the shared projection under [[imageNearDup]] and the
+    * persisted-index build/probe (all consumers MUST signature
+    * identically). Requests dim² buckets: compressed formats decode to
+    * a TRUE row-major grid; the byte path's 1-D pooling is read
+    * through the same row-major lens. Ids must be long-castable;
+    * null-payload rows drop. */
+  private def imageSignatures(df: DataFrame, idCol: String,
+                              contentCol: String, dim: Int,
+                              minPartitions: Option[Int]): DataFrame =
+    decodeImages(df.select(col(idCol), col(contentCol)),
+        contentCol, dim * dim, "__feats", minPartitions)
+      .where(col("__feats").isNotNull)
       .select(col(idCol).cast("long").as("__id"),
         imageDHash(col("__feats"), dim).as("__sh"))
-    Dedup.hammingNearDupFromSig(sig, maxHamming, maxBucketSize)
-  }
+
+  /** Build and PERSIST a perceptual image-dedup index: the corpus is
+    * decoded and dHashed ONCE and the 8-byte signatures land in the
+    * [[Dedup.buildHammingIndex]] layout — incremental crawl drops then
+    * check each image batch against the whole corpus at its own decode
+    * cost only ([[imageDupAgainstIndex]]), with append/delete through
+    * [[Dedup.appendToHammingIndex]]/[[Dedup.deleteFromHammingIndex]]
+    * composed with the same signature projection. The 100 TB shape:
+    * payload bytes are read once at ingest and never retained — the
+    * index is 4 band rows + 8 bytes per image. */
+  def buildImageDupIndex(df: DataFrame, idCol: String, contentCol: String,
+                         table: String, dim: Int = 8, buckets: Int = 32,
+                         minPartitions: Option[Int] = None): Unit =
+    Dedup.buildHammingIndex(
+      imageSignatures(df, idCol, contentCol, dim, minPartitions),
+      table, buckets)
+
+  /** Probe a [[buildImageDupIndex]] index with a new image batch:
+    * (corpus_id, batch_id, hamming ≤ maxHamming) — full recall for
+    * hamming ≤ 3 (the pigeonhole bound). */
+  def imageDupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                           table: String, batch: DataFrame, idCol: String,
+                           contentCol: String, dim: Int = 8,
+                           maxHamming: Int = 3,
+                           minPartitions: Option[Int] = None): DataFrame =
+    Dedup.hammingAgainstIndex(spark, table,
+      imageSignatures(batch, idCol, contentCol, dim, minPartitions),
+      maxHamming)
+
+  /** Grow a [[buildImageDupIndex]] index with a new image batch (ids
+    * must be new — the [[Dedup.appendToHammingIndex]] contract). */
+  def appendToImageDupIndex(batch: DataFrame, idCol: String,
+                            contentCol: String, table: String,
+                            dim: Int = 8,
+                            minPartitions: Option[Int] = None): Unit =
+    Dedup.appendToHammingIndex(
+      imageSignatures(batch, idCol, contentCol, dim, minPartitions), table)
 
   /** metadata struct carried next to every audio payload */
   val audioMetaSchema: StructType = StructType(Seq(
@@ -957,6 +1003,82 @@ object Multimodal {
         }
       }
 
+    /** REAL inter-frame motion statistics over a Y4M stream — the
+      * scene-cut / static-content discriminator for video curation,
+      * exact in integers: walks the FRAME sections like [[parse]] but
+      * keeps each raster and accumulates the sum of absolute byte
+      * differences (SAD) between consecutive frames. Returns
+      * (nFrames, totalSad, maxSad) — totalSad ≈ how much the video
+      * moves, maxSad the sharpest single transition (a cut detector
+      * thresholds it); a single-frame or static stream reads 0/0.
+      * None for non-Y4M payloads; truncated trailing frames are not
+      * counted (the [[parse]] posture). Y4M only on purpose: it is
+      * the uncompressed interchange format, so per-pixel work needs
+      * no codec — compressed containers would decode first. */
+    private[graft] def frameDeltas(b: Array[Byte]): Option[(Long, Long, Long)] = {
+      val magic = "YUV4MPEG2 ".getBytes("US-ASCII")
+      if (b == null || b.length < magic.length) return None
+      var i = 0
+      while (i < magic.length) { if (b(i) != magic(i)) return None; i += 1 }
+      var w, h = -1
+      // header params: only W/H matter for the raster stride
+      while (i < b.length && b(i) != '\n'.toByte) {
+        val tag = b(i)
+        i += 1
+        var v = 0
+        while (i < b.length && b(i) != ' '.toByte && b(i) != '\n'.toByte) {
+          val c = b(i)
+          if (c >= '0'.toByte && c <= '9'.toByte) v = v * 10 + (c - '0'.toByte)
+          i += 1
+        }
+        if (i < b.length && b(i) == ' '.toByte) i += 1
+        tag match {
+          case 'W' => w = v
+          case 'H' => h = v
+          case _ => ()
+        }
+      }
+      if (w <= 0 || h <= 0 || i >= b.length) return None
+      i += 1
+      // a poison header whose stride exceeds the payload can never fit
+      // a frame — and bounding it here keeps the Int arithmetic safe
+      val strideL = w.toLong * h * 3 / 2
+      if (strideL <= 0 || strideL > b.length) return None
+      val stride = strideL.toInt
+      val fm = "FRAME".getBytes("US-ASCII")
+      var prev = -1 // offset of the previous frame's raster
+      var n = 0L
+      var total = 0L
+      var maxSad = 0L
+      var ok = true
+      while (ok && i + fm.length <= b.length) {
+        var j = 0
+        while (j < fm.length && b(i + j) == fm(j)) j += 1
+        if (j < fm.length) ok = false
+        else {
+          i += fm.length
+          while (i < b.length && b(i) != '\n'.toByte) i += 1
+          i += 1
+          if (i + stride <= b.length) {
+            if (prev >= 0) {
+              var sad = 0L
+              var k = 0
+              while (k < stride) {
+                sad += math.abs((b(i + k) & 0xFF) - (b(prev + k) & 0xFF))
+                k += 1
+              }
+              total += sad
+              if (sad > maxSad) maxSad = sad
+            }
+            prev = i
+            n += 1
+            i += stride
+          } else ok = false
+        }
+      }
+      if (n <= 0) None else Some((n, total, maxSad))
+    }
+
     /** (width, height, fpsNum = media timescale, fpsDen = stts sample
       * delta, nFrames = Σ stts sample counts) from an ISO-BMFF (MP4)
       * container, or None. A pure box walk — `[size(BE32) type(4cc)
@@ -1178,6 +1300,66 @@ object Multimodal {
         w.as("width"), h.as("height"), fpsNum.as("fps_num"),
         lit(1).as("fps_den"), nFrames.cast("long").as("n_frames"),
         lit("y4m").as("format")))
+  }
+
+  /** [[withVideoPayload]] with VARYING frames — frame k's raster is the
+    * first 12 chars of md5(text|k) instead of one repeated raster — so
+    * inter-frame deltas are nonzero and [[videoFrameStats]] has real
+    * motion to measure; every raster is SQL-recomputable, so the
+    * oracle replays the SAD arithmetic byte for byte. */
+  def withVideoPayload2(df: DataFrame, srcCol: String,
+                        contentCol: String = "content"): DataFrame = {
+    val dataSize = octet_length(col(srcCol))
+    val fpsNum = (lit(24) + pmod(dataSize, lit(7))).cast("int")
+    val nFrames = (lit(1) + pmod(dataSize, lit(5))).cast("int")
+    val stride = 12 // 4*2*3/2
+    val frame = (k: Column) => concat(lit("FRAME\n"),
+      substring(md5(concat(col(srcCol).cast("string"), lit("|"),
+        k.cast("string"))), 1, stride))
+    val header = concat(lit("YUV4MPEG2 W4 H2 F"), fpsNum.cast("string"),
+      lit(":1 Ip A1:1 C420\n"))
+    df.withColumn(contentCol,
+        concat(header, concat_ws("",
+          transform(sequence(lit(1), nFrames), frame))).cast(BinaryType))
+      .withColumn("video_meta", struct(
+        lit(4).as("width"), lit(2).as("height"), fpsNum.as("fps_num"),
+        lit(1).as("fps_den"), nFrames.cast("long").as("n_frames"),
+        lit("y4m").as("format")))
+  }
+
+  /** struct carried by [[videoFrameStats]] */
+  val frameStatsSchema: StructType = StructType(Seq(
+    StructField("n_frames", LongType, nullable = false),
+    StructField("total_sad", LongType, nullable = false),
+    StructField("max_sad", LongType, nullable = false)))
+
+  /** Per-partition streaming inter-frame motion statistics → struct
+    * column (n_frames, total_sad, max_sad) from
+    * [[VideoCodec.frameDeltas]] — the scene-cut / static-content
+    * discriminator for video curation (a static slideshow reads
+    * total_sad ≈ 0; a cut spikes max_sad), integer-exact and
+    * hash-stable. Null for non-Y4M payloads; same iterator plumbing
+    * as [[probeVideo]]. */
+  def videoFrameStats(df0: DataFrame, contentCol: String,
+                      outCol: String = "frame_stats",
+                      minPartitions: Option[Int] = None): DataFrame = {
+    val df = ensureParallelism(df0, minPartitions)
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField(outCol, frameStatsSchema,
+      nullable = true))
+    val idx = inSchema.fieldIndex(contentCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val m = if (bytes == null) null
+        else VideoCodec.frameDeltas(bytes) match {
+          case Some((n, tot, mx)) => Row(n, tot, mx)
+          case None => null
+        }
+        Row.fromSeq(r.toSeq :+ m)
+      }
+    }(enc)
   }
 
   private def be32Hex(c: Column): Column = lpad(hex(c), 8, "0")

@@ -135,6 +135,38 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(Multimodal.VideoCodec.probe("garbage".getBytes)._6 == "unknown")
   }
 
+  test("multimodal: frameDeltas computes exact SAD between Y4M frames") {
+    // 4x2 C420 → 12-byte rasters; two frames differing in 3 bytes by
+    // +1, -2, +3 → SAD 6; third frame equal to second → SAD 0
+    val f1 = "abcdefghijkl"
+    val f2 = "bbcdcfghijko" // |a-b|=1, |e-c|=2, |l-o|=3
+    val y4m = ("YUV4MPEG2 W4 H2 F30:1 C420\n" +
+      s"FRAME\n$f1" + s"FRAME\n$f2" + s"FRAME\n$f2").getBytes("US-ASCII")
+    assert(Multimodal.VideoCodec.frameDeltas(y4m).contains((3L, 6L, 6L)))
+    // one frame → no deltas; truncation drops the partial tail
+    assert(Multimodal.VideoCodec.frameDeltas(y4m.take(27 + 18))
+      .contains((1L, 0L, 0L)))
+    assert(Multimodal.VideoCodec.frameDeltas("junk".getBytes).isEmpty)
+    // poison header: a declared stride larger than the payload is
+    // rejected before any Int arithmetic can overflow
+    val poison = "YUV4MPEG2 W99999 H99999 F30:1\nFRAME\nxx".getBytes
+    assert(Multimodal.VideoCodec.frameDeltas(poison).isEmpty)
+    // the varying-frame fixture round-trips: probe agrees on count and
+    // a repeated-frame payload (withVideoPayload) reads total_sad 0
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(30)
+    val varying = Multimodal.videoFrameStats(
+      Multimodal.withVideoPayload2(docs, "text").repartition(3), "content")
+    assert(varying.where(col("video_meta.n_frames") =!=
+      col("frame_stats.n_frames")).count() == 0)
+    assert(varying.where(col("frame_stats.n_frames") > 1 &&
+      col("frame_stats.total_sad") === 0).count() == 0,
+      "varying md5 frames must move")
+    val static = Multimodal.videoFrameStats(
+      Multimodal.withVideoPayload(docs, "text").repartition(3), "content")
+    assert(static.where(col("frame_stats.total_sad") =!= 0).count() == 0,
+      "repeated frames must read zero motion")
+  }
+
   test("multimodal: probeAudio walks exactly the MP3 frames withMp3Payload wrote") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").limit(30)
     val mm = Multimodal.withMp3Payload(docs, "text")

@@ -1340,6 +1340,52 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("image hamming index lifecycle: build → append → probe ≡ full build; delete removes matches") {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").limit(60)
+    def png(d: org.apache.spark.sql.DataFrame) =
+      Multimodal.withEncodedImagePayload(d, "text", "png",
+        minPartitions = Some(4))
+    // build on half, append the rest: the grown index must equal a
+    // from-scratch build over everything (both bucketed tables)
+    Multimodal.buildImageDupIndex(png(docs.where(col("doc_id") < 30)),
+      "doc_id", "content", "imgidx_app", buckets = 8)
+    Multimodal.appendToImageDupIndex(png(docs.where(col("doc_id") >= 30)),
+      "doc_id", "content", "imgidx_app")
+    Multimodal.buildImageDupIndex(png(docs), "doc_id", "content",
+      "imgidx_full", buckets = 8)
+    for (suffix <- Seq("_bands", "_sig")) {
+      val got = spark.table(s"imgidx_app$suffix")
+      val want = spark.table(s"imgidx_full$suffix")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"imgidx_app$suffix drifted from the from-scratch build")
+    }
+    // a JPEG batch of twins finds every original cross-container, on
+    // the grown index, at its own decode cost
+    val batch = Multimodal.withEncodedImagePayload(
+      docs.select((col("doc_id") + 700000L).as("doc_id"), col("text")),
+      "text", "jpeg", minPartitions = Some(4))
+    val hits = Multimodal.imageDupAgainstIndex(spark, "imgidx_app",
+      batch, "doc_id", "content", maxHamming = 3)
+    val found = hits.select("batch_id").distinct().count()
+    assert(found == docs.count(), s"every twin must match, got $found")
+    // corpus side of the probe is exchange-free (bucketed reads)
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(__bucket"),
+      s"bands side shuffled:\n${plan.take(3000)}")
+    // takedown: deleted originals stop matching, survivors still do
+    val dead = docs.where(col("doc_id") % 3 === 0).select("doc_id")
+    graft.operators.Dedup.deleteFromHammingIndex(spark, "imgidx_app",
+      dead, "doc_id")
+    val after = Multimodal.imageDupAgainstIndex(spark, "imgidx_app",
+      batch, "doc_id", "content", maxHamming = 3)
+    assert(after.join(dead.withColumnRenamed("doc_id", "corpus_id"),
+      Seq("corpus_id"), "semi").count() == 0)
+    assert(after.select("corpus_id").distinct().count() ==
+      docs.where(col("doc_id") % 3 =!= 0).count())
+  }
+
   test("deleteFromNearDupIndex: post-delete probe ≡ survivor rebuild; layout preserved") {
     import graft.operators.Dedup
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -2056,7 +2102,8 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.withMp4Payload(docs, "text"),
       Multimodal.withWebmPayload(docs, "text"),
       Multimodal.withAudioPayload(docs, "text"),
-      Multimodal.withVideoPayload(docs, "text"))
+      Multimodal.withVideoPayload(docs, "text"),
+      Multimodal.withVideoPayload2(docs, "text"))
       .flatMap(_.select("content").collect().map(_.getAs[Array[Byte]](0)))
     val rnd = new scala.util.Random(7)
     valids.foreach { v =>
