@@ -2442,6 +2442,36 @@ object SparkEntry {
         .orderBy("corpus_id", "batch_id")
     }),
 
+    // the SERVING loop of the persisted image index: a STREAM of image
+    // payloads (JPEG re-encodes of the corpus texts) checks each
+    // micro-batch against the stored PNG-built signatures — ingest-time
+    // perceptual dedup with zero streaming state (the index IS the
+    // state); batch ids are disjoint across micro-batches so the
+    // drained stream ≡ one batch probe, gated by the text-equality
+    // oracle (q_image_index's pattern through the stream)
+    "q_stream_image" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "text")
+        .where(col("doc_id") < 60)
+      val corpus = Multimodal.withEncodedImagePayload(docs, "text", "png",
+        minPartitions = Some(8))
+      Multimodal.buildImageDupIndex(corpus, "doc_id", "content",
+        "graft_img_srv", dim = 8, buckets = 8)
+      val qs = GraftStreaming.readDocumentsGlob(s, dir, "documents.parquet")
+        .where(col("doc_id") < 60).select("doc_id", "text")
+      val out = org.apache.spark.sql.GraftSqlBridge
+        .managedTempDir("graft-img-srv").getAbsolutePath
+      val q = GraftStreaming.probeEachBatch(qs, out)(b =>
+        Multimodal.imageDupAgainstIndex(s, "graft_img_srv",
+          Multimodal.withEncodedImagePayload(
+            b.select((col("doc_id") + 500000L).as("doc_id"), col("text")),
+            "text", "jpeg"),
+          "doc_id", "content", dim = 8, maxHamming = 3))
+      assert(q.awaitTermination(300000), "stream did not finish within 300s")
+      s.read.parquet(out)
+        .select("corpus_id", "batch_id")
+        .orderBy("corpus_id", "batch_id")
+    }),
+
     // image dedup CLUSTERS: the near-dup pair relation (decode → dHash
     // → banded hamming) closed into connected components — three
     // planted framings of each text form one clique, so the component
@@ -2590,6 +2620,26 @@ object SparkEntry {
           col("pcm_stats.sum_sq").as("sum_sq"),
           col("pcm_stats.zero_crossings").as("zero_crossings"),
           col("pcm_stats.peak").as("peak"))
+        .orderBy("doc_id")
+    }),
+
+    // windowed PCM energy → silence profile: the dead-air / truncated-
+    // upload curation gate — 4-sample blocks, exact long energies,
+    // silent iff energy < 1.2e9 (≈ the md5-uniform expectation, so
+    // both classes occur); the oracle replays every sample and the
+    // same window grouping
+    "q_audio4" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val r = lit(2) + pmod(length(col("text")), lit(5))
+      val src = docs.select(col("doc_id"),
+        unhex(repeat(md5(col("text")), r)).as("pcm"))
+      val mm = Multimodal.withAudioPayload(src, "pcm")
+      Multimodal.audioSilence(mm.repartition(8), "content",
+          window = 4, threshold = 1200000000L)
+        .select(col("doc_id"),
+          col("silence.n_windows").as("n_windows"),
+          col("silence.n_silent").as("n_silent"),
+          col("silence.max_window_energy").as("max_window_energy"))
         .orderBy("doc_id")
     }),
 
@@ -6792,6 +6842,12 @@ object SparkEntry {
         |SELECT doc_id, 4 AS width, fps_num, n_frames,
         |  CAST(least(n_frames - 1, 4) // 2 + 1 AS INT) AS n_sampled
         |FROM m ORDER BY doc_id""".stripMargin,
+    // stream ≡ batch probe of the union: the same text-equality truth
+    "q_stream_image" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60)
+        |SELECT c.doc_id AS corpus_id, b.doc_id + 500000 AS batch_id
+        |FROM d c JOIN d b ON c.text = b.text
+        |ORDER BY corpus_id, batch_id""".stripMargin,
     // every JPEG twin must find its PNG original: text equality over
     // the planted corpus IS the cross-container ground truth
     "q_image_index" ->
@@ -6865,6 +6921,35 @@ object SparkEntry {
          |    AS zero_crossings,
          |  CAST(max(abs(sv)) AS INT) AS peak
          |FROM lagd GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    // q_audio3's sample replay with a window grouping on top
+    "q_audio4" -> {
+      def hv(pos: String) =
+        s"(CASE WHEN ascii(substr(hx, $pos, 1)) >= 97 " +
+          s"THEN ascii(substr(hx, $pos, 1)) - 87 " +
+          s"ELSE ascii(substr(hx, $pos, 1)) - 48 END)"
+      s"""WITH m AS (SELECT doc_id, md5(text) AS h,
+         |    2 + strlen(text) % 5 AS r FROM documents),
+         |hx AS (SELECT doc_id, repeat(h, CAST(r AS INT)) AS hx,
+         |    8 * r AS n FROM m),
+         |smp AS (SELECT doc_id,
+         |    unnest(range(1, CAST(n + 1 AS BIGINT))) AS i FROM hx),
+         |raw AS (SELECT s.doc_id, s.i,
+         |    (${hv("4*s.i-3")} * 16 + ${hv("4*s.i-2")})
+         |    + 256 * (${hv("4*s.i-1")} * 16 + ${hv("4*s.i")}) AS rv
+         |  FROM smp s JOIN hx USING (doc_id)),
+         |sgn AS (SELECT doc_id, i,
+         |    CASE WHEN rv >= 32768 THEN rv - 65536 ELSE rv END AS sv
+         |  FROM raw),
+         |win AS (SELECT doc_id, CAST((i - 1) // 4 AS BIGINT) AS w,
+         |    CAST(sum(CAST(sv AS BIGINT) * sv) AS BIGINT) AS e
+         |  FROM sgn GROUP BY doc_id, CAST((i - 1) // 4 AS BIGINT))
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(CASE WHEN e < 1200000000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_silent,
+         |  CAST(max(e) AS BIGINT) AS max_window_energy
+         |FROM win GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "q_video2" ->
       """WITH m AS (SELECT doc_id, strlen(text) AS ds FROM documents)

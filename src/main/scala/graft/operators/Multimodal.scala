@@ -788,6 +788,41 @@ object Multimodal {
       poolBytes(bytes, off, dim)
     }
 
+    /** Windowed PCM energy profile — the silence/voice-activity gate:
+      * the sample stream splits into fixed `window`-sample blocks
+      * (complete blocks only; the ragged tail is excluded so the
+      * window grid is content-independent) and each block's energy
+      * Σ s² accumulates as an exact long. Returns (nWindows, nSilent
+      * = blocks with energy < threshold, maxWindowEnergy) — silence
+      * FRACTION (the curation signal: dead air, truncated uploads)
+      * derives downstream as nSilent/nWindows. None for non-16-bit
+      * payloads. */
+    private[graft] def silenceStats(bytes: Array[Byte], window: Int,
+                                    threshold: Long): Option[(Long, Long, Long)] =
+      parse(bytes).collect { case (_, ch, 16, nsamp, off) =>
+        val n = math.min(math.max((bytes.length - off) / 2, 0).toLong,
+          nsamp * ch).toInt
+        val nw = n / window
+        var silent = 0L
+        var maxE = 0L
+        var wdx = 0
+        while (wdx < nw) {
+          var e = 0L
+          var j = wdx * window
+          val end = j + window
+          while (j < end) {
+            val s = ((bytes(off + 2 * j) & 0xFF) |
+              (bytes(off + 2 * j + 1) << 8)).toShort.toInt
+            e += s.toLong * s
+            j += 1
+          }
+          if (e < threshold) silent += 1
+          if (e > maxE) maxE = e
+          wdx += 1
+        }
+        (nw.toLong, silent, maxE)
+      }
+
     /** REAL signal statistics over a PCM WAV's sample data — the two
       * classic speech/music/noise discriminators (energy, zero-crossing
       * rate) plus peak, computed EXACTLY in integers so the result is
@@ -1549,6 +1584,39 @@ object Multimodal {
         val m = if (bytes == null) null
         else AudioCodec.pcmStats(bytes) match {
           case Some((n, sq, zc, pk)) => Row(n, sq, zc, pk)
+          case None => null
+        }
+        Row.fromSeq(r.toSeq :+ m)
+      }
+    }(enc)
+  }
+
+  /** struct carried by [[audioSilence]] */
+  val silenceSchema: StructType = StructType(Seq(
+    StructField("n_windows", LongType, nullable = false),
+    StructField("n_silent", LongType, nullable = false),
+    StructField("max_window_energy", LongType, nullable = false)))
+
+  /** Per-partition streaming windowed-energy profile → struct column
+    * (n_windows, n_silent, max_window_energy) from
+    * [[AudioCodec.silenceStats]] — the dead-air / truncated-upload
+    * curation gate, integer-exact. Null for non-PCM payloads. */
+  def audioSilence(df0: DataFrame, contentCol: String, window: Int,
+                   threshold: Long, outCol: String = "silence",
+                   minPartitions: Option[Int] = None): DataFrame = {
+    require(window >= 1 && threshold >= 0)
+    val df = ensureParallelism(df0, minPartitions)
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField(outCol, silenceSchema,
+      nullable = true))
+    val idx = inSchema.fieldIndex(contentCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val m = if (bytes == null) null
+        else AudioCodec.silenceStats(bytes, window, threshold) match {
+          case Some((nw, ns, mx)) => Row(nw, ns, mx)
           case None => null
         }
         Row.fromSeq(r.toSeq :+ m)

@@ -240,6 +240,17 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     val st = rows.find(!_.isNullAt(0)).get.getStruct(0)
     assert((st.getLong(0), st.getLong(1), st.getLong(2), st.getInt(3)) ==
       ((5L, 140001L, 3L, 300)))
+    // windowed silence: window 2 → windows (100,-200)=50000,
+    // (300,0)=90000; ragged 5th sample excluded. threshold 60000 →
+    // one silent window, max 90000
+    assert(Multimodal.AudioCodec.silenceStats(wav, 2, 60000L)
+      .contains((2L, 1L, 90000L)))
+    // threshold 0 → nothing silent; huge threshold → all silent
+    assert(Multimodal.AudioCodec.silenceStats(wav, 2, 0L)
+      .contains((2L, 0L, 90000L)))
+    assert(Multimodal.AudioCodec.silenceStats(wav, 2, Long.MaxValue)
+      .contains((2L, 2L, 90000L)))
+    assert(Multimodal.AudioCodec.silenceStats("junk".getBytes, 2, 1L).isEmpty)
   }
 
   test("multimodal: probeVideo box-walks exactly what withMp4Payload wrote") {
