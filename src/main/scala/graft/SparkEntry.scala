@@ -2623,6 +2623,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ID3v2 tag extraction: the TIT2/TPE1 text frames parsed back out
+    // of real tag bytes — title/artist are the join keys audio
+    // curation dedups and caps on; absent frames (TALB here) read
+    // NULL. The fixture strings derive from the doc text, so the
+    // oracle recomputes exactly what the frame walk must decode
+    "q_audio5" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val mm = Multimodal.withMp3TagPayload(docs, "text")
+      Multimodal.audioTags(mm.repartition(8), "content")
+        .select(col("doc_id"),
+          col("tags.title").as("title"),
+          col("tags.artist").as("artist"),
+          col("tags.album").as("album"))
+        .orderBy("doc_id")
+    }),
+
     // windowed PCM energy → silence profile: the dead-air / truncated-
     // upload curation gate — 4-sample blocks, exact long energies,
     // silent iff energy < 1.2e9 (≈ the md5-uniform expectation, so
@@ -6922,6 +6938,13 @@ object SparkEntry {
          |  CAST(max(abs(sv)) AS INT) AS peak
          |FROM lagd GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    // the tag strings recomputed from the text
+    "q_audio5" ->
+      """SELECT doc_id,
+        |  'T' || substr(text, 1, 8) AS title,
+        |  'A' || CAST(strlen(text) % 100 AS VARCHAR) AS artist,
+        |  CAST(NULL AS VARCHAR) AS album
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q_audio3's sample replay with a window grouping on top
     "q_audio4" -> {
       def hv(pos: String) =

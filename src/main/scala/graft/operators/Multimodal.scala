@@ -788,6 +788,68 @@ object Multimodal {
       poolBytes(bytes, off, dim)
     }
 
+    /** ID3v2 text-tag extraction — (title, artist, album) from the
+      * TIT2/TPE1/TALB frames of a leading ID3v2 tag: the metadata a
+      * curation pipeline actually joins on (dedup by artist+title,
+      * per-artist caps). Walks the frame list inside the tag's
+      * syncsafe-bounded extent: v2.3 frames carry plain BE32 sizes,
+      * v2.4 syncsafe sizes (version-dispatched); text payloads lead
+      * with an encoding byte — ISO-8859-1 (0) and UTF-8 (3) are
+      * decoded, UTF-16 (1/2) is decoded with its BOM via the JDK.
+      * First occurrence of each frame wins; absent frames read None;
+      * non-ID3 payloads read None overall. Never-throw, must-advance
+      * (a zero/poison frame size ends the walk). */
+    private[graft] def id3Tags(b: Array[Byte]): Option[(Option[String], Option[String], Option[String])] = {
+      if (b == null || b.length < 10 || b(0) != 'I'.toByte ||
+        b(1) != 'D'.toByte || b(2) != '3'.toByte) return None
+      val ver = b(3) & 0xFF
+      val tagEnd = math.min(
+        10L + (((b(6) & 0x7F).toLong << 21) | ((b(7) & 0x7F) << 14) |
+          ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)),
+        b.length.toLong)
+      var title, artist, album: Option[String] = None
+      def decodeText(from: Long, to: Long): Option[String] = {
+        if (to <= from) return Some("")
+        val enc = b(from.toInt) & 0xFF
+        val len = (to - from - 1).toInt
+        val cs = enc match {
+          case 0 => "ISO-8859-1"
+          case 1 | 2 => "UTF-16" // BOM-led (1) / BE (2): JDK handles both
+          case 3 => "UTF-8"
+          case _ => return None
+        }
+        // strip one trailing NUL terminator if present (common in tags)
+        var l = len
+        if (cs != "UTF-16" && l > 0 && b((from + l).toInt) == 0) l -= 1
+        Some(new String(b, from.toInt + 1, l, cs))
+      }
+      var i = 10L
+      var ok = true
+      while (ok && i + 10 <= tagEnd) {
+        val id = new String(b, i.toInt, 4, "US-ASCII")
+        val sz =
+          if (ver >= 4)
+            ((b(i.toInt + 4) & 0x7F).toLong << 21) |
+              ((b(i.toInt + 5) & 0x7F) << 14) |
+              ((b(i.toInt + 6) & 0x7F) << 7) | (b(i.toInt + 7) & 0x7F)
+          else
+            ((b(i.toInt + 4) & 0xFFL) << 24) | ((b(i.toInt + 5) & 0xFF) << 16) |
+              ((b(i.toInt + 6) & 0xFF) << 8) | (b(i.toInt + 7) & 0xFF)
+        val body = i + 10
+        if (sz <= 0 || body + sz > tagEnd) ok = false // padding/poison
+        else {
+          id match {
+            case "TIT2" if title.isEmpty => title = decodeText(body, body + sz)
+            case "TPE1" if artist.isEmpty => artist = decodeText(body, body + sz)
+            case "TALB" if album.isEmpty => album = decodeText(body, body + sz)
+            case _ => ()
+          }
+          i = body + sz
+        }
+      }
+      Some((title, artist, album))
+    }
+
     /** Windowed PCM energy profile — the silence/voice-activity gate:
       * the sample stream splits into fixed `window`-sample blocks
       * (complete blocks only; the ragged tail is excluded so the
@@ -934,6 +996,70 @@ object Multimodal {
         rate.as("sample_rate"), ch.as("channels"), lit(0).as("bits"),
         (nFrames.cast("long") * 1152L).as("n_samples"),
         lit("mp3").as("format")))
+  }
+
+  /** [[withMp3Payload]]'s sibling carrying a POPULATED ID3v2.3 tag:
+    * TIT2 (title) and TPE1 (artist) text frames whose values derive
+    * from the doc text (SQL-expressible — title = 'T' + the text's
+    * first 8 chars, artist = 'A' + len mod 100), followed by one real
+    * MPEG1 Layer III frame so the payload still probes as mp3. The
+    * oracle recomputes the strings [[AudioCodec.id3Tags]] must parse
+    * back out of the frame bytes. */
+  def withMp3TagPayload(df: DataFrame, srcCol: String,
+                        contentCol: String = "content"): DataFrame = {
+    val ds = octet_length(col(srcCol))
+    val title = concat(lit("T"), substring(col(srcCol), 1, 8))
+    val artist = concat(lit("A"), pmod(ds, lit(100)).cast("string"))
+    val tl = octet_length(title)
+    val al = octet_length(artist)
+    val tagSize = lit(10) + lit(1) + tl + lit(10) + lit(1) + al
+    def textFrame(id: String, payload: Column, plen: Column): Column =
+      concat(lit(id).cast(BinaryType), unhex(be32Hex(lit(1) + plen)),
+        unhex(lit("000000")), payload.cast(BinaryType)) // flags + ISO enc
+    // one 44.1kHz 128kbps stereo frame: stride 417
+    val frame = concat(unhex(lit("FFFB9000")),
+      repeat(lit("x"), lit(413)).cast(BinaryType))
+    df.withColumn(contentCol, concat(
+        unhex(concat(lit("494433030000000000"), byteHex(tagSize))),
+        textFrame("TIT2", title, tl),
+        textFrame("TPE1", artist, al),
+        frame))
+      .withColumn("tag_meta", struct(
+        title.as("title"), artist.as("artist"),
+        lit(null).cast("string").as("album")))
+  }
+
+  /** struct carried by [[audioTags]] */
+  val tagsSchema: StructType = StructType(Seq(
+    StructField("title", StringType, nullable = true),
+    StructField("artist", StringType, nullable = true),
+    StructField("album", StringType, nullable = true)))
+
+  /** Per-partition streaming ID3 tag extraction → struct column
+    * (title, artist, album) from [[AudioCodec.id3Tags]] — the join
+    * keys of audio curation (dedup by artist+title, per-artist caps).
+    * Null struct for non-ID3 payloads; absent frames are null
+    * fields. */
+  def audioTags(df0: DataFrame, contentCol: String,
+                outCol: String = "tags",
+                minPartitions: Option[Int] = None): DataFrame = {
+    val df = ensureParallelism(df0, minPartitions)
+    val inSchema = df.schema
+    val outSchema = inSchema.add(StructField(outCol, tagsSchema,
+      nullable = true))
+    val idx = inSchema.fieldIndex(contentCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val m = if (bytes == null) null
+        else AudioCodec.id3Tags(bytes) match {
+          case Some((t, a, al)) => Row(t.orNull, a.orNull, al.orNull)
+          case None => null
+        }
+        Row.fromSeq(r.toSeq :+ m)
+      }
+    }(enc)
   }
 
   /** Per-partition streaming WAV probe → metadata struct parsed from the

@@ -135,6 +135,62 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(Multimodal.VideoCodec.probe("garbage".getBytes)._6 == "unknown")
   }
 
+  test("multimodal: id3Tags walks v2.3 and v2.4 frames, all text encodings, stops on padding") {
+    def frame23(id: String, enc: Byte, text: Array[Byte]): Array[Byte] = {
+      val sz = 1 + text.length
+      id.getBytes("US-ASCII") ++ Array[Byte](
+        ((sz >> 24) & 0xFF).toByte, ((sz >> 16) & 0xFF).toByte,
+        ((sz >> 8) & 0xFF).toByte, (sz & 0xFF).toByte, 0, 0, enc) ++ text
+    }
+    def tag(ver: Byte, frames: Array[Byte], pad: Int = 0): Array[Byte] = {
+      val sz = frames.length + pad
+      "ID3".getBytes ++ Array[Byte](ver, 0, 0,
+        ((sz >> 21) & 0x7F).toByte, ((sz >> 14) & 0x7F).toByte,
+        ((sz >> 7) & 0x7F).toByte, (sz & 0x7F).toByte) ++
+        frames ++ Array.fill(pad)(0.toByte)
+    }
+    // v2.3: ISO title with a trailing NUL (stripped), UTF-8 artist,
+    // TALB absent, trailing zero padding ends the walk cleanly
+    val t23 = tag(3, frame23("TIT2", 0, ("Hello".getBytes("ISO-8859-1") :+ 0.toByte)) ++
+      frame23("TPE1", 3, "Füü".getBytes("UTF-8")), pad = 12)
+    assert(Multimodal.AudioCodec.id3Tags(t23)
+      .contains((Some("Hello"), Some("Füü"), None)))
+    // v2.4: SYNCSAFE frame sizes + a BOM-led UTF-16 album
+    def frame24(id: String, enc: Byte, text: Array[Byte]): Array[Byte] = {
+      val sz = 1 + text.length
+      id.getBytes("US-ASCII") ++ Array[Byte](
+        ((sz >> 21) & 0x7F).toByte, ((sz >> 14) & 0x7F).toByte,
+        ((sz >> 7) & 0x7F).toByte, (sz & 0x7F).toByte, 0, 0, enc) ++ text
+    }
+    val utf16 = Array[Byte](0xFE.toByte, 0xFF.toByte) ++
+      "Wörld".flatMap(c => Seq(((c >> 8) & 0xFF).toByte, (c & 0xFF).toByte))
+    val t24 = tag(4, frame24("TALB", 1, utf16))
+    assert(Multimodal.AudioCodec.id3Tags(t24)
+      .contains((None, None, Some("Wörld"))))
+    // first occurrence wins; unknown frames are skipped over
+    val dup = tag(3, frame23("TXXX", 0, "skip".getBytes) ++
+      frame23("TIT2", 0, "first".getBytes) ++
+      frame23("TIT2", 0, "second".getBytes))
+    assert(Multimodal.AudioCodec.id3Tags(dup).get._1.contains("first"))
+    // a poison frame size cannot run past the tag extent; non-ID3 None
+    val poison = tag(3, "TIT2".getBytes ++
+      Array[Byte](0x7F, -1, -1, -1, 0, 0, 0) ++ "x".getBytes)
+    assert(Multimodal.AudioCodec.id3Tags(poison).contains((None, None, None)))
+    assert(Multimodal.AudioCodec.id3Tags("RIFFjunk".getBytes).isEmpty)
+    assert(Multimodal.AudioCodec.id3Tags(Array[Byte]('I', 'D', '3')).isEmpty)
+    // the fixture round-trips through the DataFrame operator
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(20)
+    val got = Multimodal.audioTags(
+      Multimodal.withMp3TagPayload(docs, "text").repartition(3), "content")
+    assert(got.where(col("tags.title") =!= col("tag_meta.title") ||
+      col("tags.artist") =!= col("tag_meta.artist") ||
+      col("tags.album").isNotNull).count() == 0)
+    // and still probes as mp3 past the populated tag
+    val probed = Multimodal.probeAudio(
+      Multimodal.withMp3TagPayload(docs, "text"), "content")
+    assert(probed.where(col("probed_audio.format") =!= "mp3").count() == 0)
+  }
+
   test("multimodal: frameDeltas computes exact SAD between Y4M frames") {
     // 4x2 C420 → 12-byte rasters; two frames differing in 3 bytes by
     // +1, -2, +3 → SAD 6; third frame equal to second → SAD 0
