@@ -27,11 +27,13 @@ import org.apache.spark.sql.functions._
   * .negativeSample]] trick per PAIR; a draw colliding with the true
   * context is kept (standard SGNS, harmless bias at k·1/N).
   *
-  * Scale shape: the training-pair relation materializes ONCE
-  * ([[Scratch]]); each iteration is three hash joins of the pair×dim
-  * relation against the two VOCAB-SIZED embedding relations (broadcast
-  * when vocab fits — the common case; keyed shuffle otherwise) + three
-  * aggregates, with both matrices snapshotting per round
+  * Scale shape: the pair and training relations materialize ONCE
+  * ([[Scratch]]); each iteration is two hash joins of the TRAINING
+  * relation against the two VOCAB-SIZED embedding matrices pivoted to
+  * array form (broadcast when vocab fits — the common case; keyed
+  * shuffle otherwise), the per-pair score folded IN-ROW over the dim
+  * axis (exact decimal — no per-pair key, no join-back), and two
+  * gradient aggregates, with both matrices snapshotting per round
   * ([[GraphOps.pageRankNano]]'s lineage discipline). Nothing is
   * driver-resident: a 10M-node vocabulary trains the same plan.
   */
@@ -257,7 +259,14 @@ object Embedding {
     val scratch = new Scratch(spark, "sgnsFit", "graft-sgns", scratchDir)
     import scratch.{materialize, drop}
 
-    val pos = pairs.select(col(aCol).as("__c"), col(bCol).as("__x"))
+    // the pair relation is consumed by FOUR independent actions (vocab,
+    // training rows, negative draws, and — weighted mode — the weight
+    // table): materialize it once so each consumer is a parquet scan,
+    // not a replay of the caller's walk/skip-gram/subsample lineage
+    // (guide §5 — reuse beats recompute; at 100 TB this is the
+    // difference between one corpus pass and four)
+    val pos = materialize(
+      pairs.select(col(aCol).as("__c"), col(bCol).as("__x")), "pairs")
     val nodes = materialize(
       pos.select(col("__c").as("node"))
         .union(pos.select(col("__x").as("node"))).distinct(), "nodes")
@@ -304,24 +313,17 @@ object Embedding {
         .where(col("__u") >= col("__cum") &&
           col("__u") < col("__cum") + col("__wq"))
     }).select(col("__c"), col("__neg").as("__x"), lit(0.0).as("__y"))
+    // no synthetic pair id: the per-pair score is computed IN-ROW (an
+    // exact decimal fold over the dim axis — see the iteration), so a
+    // training row never needs a join-back key, duplicate (c, x, y)
+    // rows each carry their own gradient term through the aggregates,
+    // and the old row_number window + md5 pid (a full shuffle + sort of
+    // the training relation, plus ~80 bytes/row of shuffle key) are
+    // gone (guide §2.3/§2.4 — the oracle's pid grouping computes the
+    // same per-pair sums over the same exact decimals)
     val train = materialize(
       pos.select(col("__c"), col("__x"), lit(1.0).as("__y"))
-        .unionByName(negRows)
-        // a synthetic pair id keys the per-pair score join-back; it
-        // must be unique per TRAINING ROW (c, x, y can repeat), so it
-        // rides the content triple + a dup-rank. Node values are
-        // md5-ESCAPED into the string (fixed-width hex, no separator
-        // chars), so a node id containing '|' cannot alias two
-        // distinct triples to one pid; the rank partitions by the TRUE
-        // triple, matching the oracle
-        .withColumn("__dup", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("__c", "__x", "__y").orderBy("__c"))
-          .cast("string"))
-        .select(concat_ws("|", md5(col("__c").cast("string")),
-          md5(col("__x").cast("string")), col("__y").cast("string"),
-          col("__dup")).as("__pid"),
-          col("__c"), col("__x"), col("__y")), "train")
+        .unionByName(negRows), "train")
     val n = train.count()
     val dims = (1 to dim).map(lit(_))
     // inits are plain md5 projections over the (materialized) node
@@ -360,36 +362,41 @@ object Embedding {
     val pendingScopes =
       scala.collection.mutable.ArrayBuffer.empty[CacheScope]
 
+    // pivot a long-form matrix to (node, array v ordered by pos) — a
+    // vocab-sized aggregate (the [[Similarity]] centroidVectors trick)
+    def toArr(m: DataFrame, key: String, out: String): DataFrame =
+      m.groupBy(col("node").as(key))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as(out))
+
     var k = 1
     while (k <= iters) {
-      // per-(pair, dim) products -> per-pair score -> gradient coefficient
-      val exploded = train
-        .select(col("__pid"), col("__c"), col("__x"), col("__y"),
-          explode(array(dims: _*)).as("pos"))
-        .join(vin.select(col("node").as("__c"), col("pos"),
-          col("v").as("__vi")), Seq("__c", "pos"))
-        .join(vout.select(col("node").as("__x"), col("pos"),
-          col("v").as("__vo")), Seq("__x", "pos"))
-      val scored = exploded
-        .groupBy("__pid")
-        .agg(first(col("__y")).as("__y"),
-          sum((col("__vi") * col("__vo")).cast(dec)).cast("double").as("__z"))
-        .select(col("__pid"),
-          (lit(1.0) / (lit(1.0) + exp(-col("__z"))) - col("__y")).as("__g"))
-      // the pair-by-dim join is the iteration's dominant subtree and
-      // BOTH matrix lineages (gin, gout) consume it — cache it until
-      // the next ACTION that reads it completes. On snapshot
-      // iterations that's this round's two writes; on lazy iterations
-      // (materializeEvery > 1) no action runs this round, so the scope
-      // must stay open until the next snapshot's writes — closing it
-      // now would unpersist an empty cache and recompute the whole
-      // subtree twice inside that snapshot's plan
-      val iterScope = new CacheScope()
-      val withG = iterScope.cache(exploded.join(scored, "__pid"))
-      pendingScopes += iterScope
-      val gin = withG.groupBy(col("__c").as("node"), col("pos"))
+      // per-pair score IN-ROW: both embedding vectors attach as arrays
+      // (two vocab-sized joins), z folds over the dim axis as exact
+      // DECIMAL(38,18) — the identical product/cast/sum terms the old
+      // per-(pair, dim) groupBy computed, associated in pos order
+      // (decimal addition is exact, so the value is bit-identical) —
+      // and g = σ(z) − y rides the same row. This removes, per
+      // iteration, the pair×dim shuffle of the pid groupBy AND the
+      // pid join-back shuffle AND the cached pair×dim relation
+      // (guide §2.4): the only corpus-sized exchanges left are the two
+      // gradient aggregates themselves.
+      val z = aggregate(
+        zip_with(col("__va"), col("__vb"), (a, b) => (a * b).cast(dec)),
+        lit(0).cast(dec), (acc, t) => (acc + t).cast(dec)).cast("double")
+      val contrib = train
+        .join(toArr(vin, "__c", "__va"), Seq("__c"))
+        .join(toArr(vout, "__x", "__vb"), Seq("__x"))
+        .select(col("__c"), col("__x"),
+          (lit(1.0) / (lit(1.0) + exp(-z)) - col("__y")).as("__g"),
+          posexplode(arrays_zip(col("__va"), col("__vb")))
+            .as(Seq("__p0", "__vv")))
+        .select(col("__c"), col("__x"), col("__g"),
+          (col("__p0") + 1).as("pos"),
+          col("__vv.__va").as("__vi"), col("__vv.__vb").as("__vo"))
+      val gin = contrib.groupBy(col("__c").as("node"), col("pos"))
         .agg(sum((col("__g") * col("__vo")).cast(dec)).cast("double").as("__gr"))
-      val gout = withG.groupBy(col("__x").as("node"), col("pos"))
+      val gout = contrib.groupBy(col("__x").as("node"), col("pos"))
         .agg(sum((col("__g") * col("__vi")).cast(dec)).cast("double").as("__gr"))
       val vinU = vin.join(gin, Seq("node", "pos"), "left")
         .select(col("node"), col("pos"),
@@ -406,13 +413,20 @@ object Embedding {
         lastSnap = Some(k)
         // the snapshot's writes were the actions all open scopes were
         // held for; the parquet re-read cuts the lineage, so every
-        // cached subtree (this round's and the lazy rounds' since the
-        // last snapshot) is now dead weight
+        // cached subtree (the lazy rounds' since the last snapshot) is
+        // now dead weight
         pendingScopes.foreach(_.close())
         pendingScopes.clear()
       } else {
-        vin = vinU
-        vout = voutU
+        // lazy round: the NEXT iteration reads this round's matrices
+        // twice each (array pivot + update join), and the next
+        // snapshot's two writes are separate actions — cache the
+        // UPDATED matrices (vocab-sized, tiny) so the gradient
+        // shuffles behind them run once, not once per consumer
+        val iterScope = new CacheScope()
+        vin = iterScope.cache(vinU)
+        vout = iterScope.cache(voutU)
+        pendingScopes += iterScope
       }
       k += 1
     }
