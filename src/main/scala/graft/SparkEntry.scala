@@ -2082,7 +2082,7 @@ object SparkEntry {
     "q_bm25_indexed" -> ((s, dir) => {
       val docs = table(s, dir, "documents").select("doc_id", "text")
       TextAnalysis.buildBm25Index(docs, "doc_id", "text",
-        "graft_bm25_idx", buckets = 32)
+        "graft_bm25_idx", buckets = 4)
       val queries = docs.where(col("doc_id") < 5)
       TextAnalysis.bm25AgainstIndex(s, "graft_bm25_idx",
         queries, "doc_id", "text", topK = 10)
@@ -2100,7 +2100,7 @@ object SparkEntry {
     "q_bm25_append" -> ((s, dir) => {
       val docs = table(s, dir, "documents").select("doc_id", "text")
       TextAnalysis.buildBm25Index(docs.where(col("doc_id") < 300),
-        "doc_id", "text", "graft_bm25_app", buckets = 32)
+        "doc_id", "text", "graft_bm25_app", buckets = 4)
       TextAnalysis.appendToBm25Index(docs.where(col("doc_id") >= 300),
         "doc_id", "text", "graft_bm25_app")
       val queries = docs.where(col("doc_id") >= 5 && col("doc_id") < 10)
@@ -2127,7 +2127,7 @@ object SparkEntry {
       val docs = table(s, dir, "documents").select("doc_id", "text")
         .where(col("doc_id") < 1000)
       TextAnalysis.buildBm25Index(docs.where(col("doc_id") < 300),
-        "doc_id", "text", "graft_bm25_cpt", buckets = 32)
+        "doc_id", "text", "graft_bm25_cpt", buckets = 4)
       TextAnalysis.appendToBm25Index(docs.where(col("doc_id") >= 300),
         "doc_id", "text", "graft_bm25_cpt")
       Bucketing.compactBucketed(s, "graft_bm25_cpt")
@@ -2152,7 +2152,7 @@ object SparkEntry {
       val docs = table(s, dir, "documents").select("doc_id", "text")
         .where(col("doc_id") < 1000)
       TextAnalysis.buildBm25Index(docs.where(col("doc_id") < 300),
-        "doc_id", "text", "graft_bm25_del", buckets = 32)
+        "doc_id", "text", "graft_bm25_del", buckets = 4)
       TextAnalysis.appendToBm25Index(docs.where(col("doc_id") >= 300),
         "doc_id", "text", "graft_bm25_del")
       TextAnalysis.deleteFromBm25Index(s, "graft_bm25_del",
@@ -2176,7 +2176,7 @@ object SparkEntry {
     "q_stream_bm25" -> ((s, dir) => {
       val docs = table(s, dir, "documents").select("doc_id", "text")
       TextAnalysis.buildBm25Index(docs, "doc_id", "text",
-        "graft_bm25_srv", buckets = 32)
+        "graft_bm25_srv", buckets = 4)
       val qs = GraftStreaming.readDocumentsGlob(s, dir, "documents.parquet")
         .where(col("doc_id") < 5).select("doc_id", "text")
       val out = org.apache.spark.sql.GraftSqlBridge

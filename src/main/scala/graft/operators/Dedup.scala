@@ -626,8 +626,9 @@ object Dedup {
     val base = if (sampleRate >= 1.0) df
       else df.where(pmod(DetRandom.md5Long48(col(idCol).cast("string")),
         lit(math.round(1.0 / sampleRate))) === 0)
-    val sig = minhashSignatures(base, idCol, textCol, probeHashes,
-      shingleN, seed)
+    val sig = minhashSignatures(
+      Spread.ifSmall(base.select(col(idCol), col(textCol))),
+      idCol, textCol, probeHashes, shingleN, seed)
     val rCands = (1 to 32).filter(r => probeHashes % r == 0 && probeHashes / r >= 1)
     val mass = lshCollisionMass(sig, probeHashes, rCands)
     // empty corpus (or empty sample): nothing to measure — fall back to
@@ -680,7 +681,8 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sig = CacheScope.maybe(scope,
-      minhashSignatures(df, idCol, textCol, numHashes, shingleN, seed))
+      minhashSignatures(Spread.ifSmall(df.select(col(idCol), col(textCol))),
+        idCol, textCol, numHashes, shingleN, seed))
     val banded = bandedBuckets(sig, bands, r,
       struct(col("__id"), col("__sig")))
     bucketPairs(banded, Seq("__band", "__key"), "__p", maxBucketSize)
@@ -715,7 +717,8 @@ object Dedup {
     * formulation, kept as the differential reference) and to the HOF
     * [[simhash]]. */
   def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("__id"),
+    Spread.ifSmall(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("__id"),
       org.apache.spark.sql.GraftSqlBridge.column(
         graft.functions.SimHash64(
           org.apache.spark.sql.GraftSqlBridge.expression(col(textCol))))
@@ -821,10 +824,14 @@ object Dedup {
                         n: Int = 3, threshold: Double = 0.5,
                         maxShingleFreq: Long = 1000L,
                         scope: Option[CacheScope] = None): DataFrame = {
+    // scan-parallelism repair for the shingle kernels below (identity
+    // at scale — see [[Spread]])
+    val d = Spread.ifSmall(df.select(col(idCol).as("__id"),
+      col(textCol).as("__dtext")))
     // Set sizes come straight from the (distinct) shingle ARRAY — a pure
     // projection over the scan, no explode and no shuffle needed.
-    val sizes = df.select(col(idCol).as("__id"),
-      size(shingles(col(textCol), n)).cast("long").as("__sz"))
+    val sizes = d.select(col("__id"),
+      size(shingles(col("__dtext"), n)).cast("long").as("__sz"))
     // One consumer for the exploded (id, shingle) relation: group the doc
     // ids per shingle (= the inverted-posting list), prune unique shingles
     // and hub shingles (list length IS the shingle frequency, so the skew
@@ -834,8 +841,8 @@ object Dedup {
     // cheap array-size projection from the scan instead of joining back
     // into the heavy subtree.
     val sh = CacheScope.maybe(scope,
-      df.select(col(idCol).as("__id"),
-        explode(shingles(col(textCol), n)).as("__sh")))
+      d.select(col("__id"),
+        explode(shingles(col("__dtext"), n)).as("__sh")))
     val postings = sh.select(col("__sh"), struct(col("__id")).as("__p"))
       .groupBy("__sh").agg(collect_list(col("__p")).as("__ms"))
       .where(size(col("__ms")) > 1 && size(col("__ms")) <= maxShingleFreq)
@@ -871,11 +878,14 @@ object Dedup {
                        scope: Option[CacheScope] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
-    val sizes = df.select(col(idCol).as("__id"),
-      size(shingles(col(textCol), n)).cast("long").as("__sz"))
+    // scan-parallelism repair (identity at scale — see [[Spread]])
+    val d = Spread.ifSmall(df.select(col(idCol).as("__id"),
+      col(textCol).as("__dtext")))
+    val sizes = d.select(col("__id"),
+      size(shingles(col("__dtext"), n)).cast("long").as("__sz"))
     val sh = CacheScope.maybe(scope,
-      df.select(col(idCol).as("__id"),
-        explode(shingles(col(textCol), n)).as("__sh")))
+      d.select(col("__id"),
+        explode(shingles(col("__dtext"), n)).as("__sh")))
     val inter = sh.select(col("__sh"), struct(col("__id")).as("__p"))
       .groupBy("__sh").agg(collect_list(col("__p")).as("__ms"))
       .where(size(col("__ms")) > 1 && size(col("__ms")) <= maxShingleFreq)
@@ -984,8 +994,11 @@ object Dedup {
                         minSharedShingles: Long = 1L,
                         maxShingleFreq: Long = 1000L): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val sh = df.select(col(idCol).as("__id"),
-      explode(shingles(col(textCol), n)).as("__sh"))
+    // scan-parallelism repair (identity at scale — see [[Spread]])
+    val d = Spread.ifSmall(df.select(col(idCol).as("__id"),
+      col(textCol).as("__dtext")))
+    val sh = d.select(col("__id"),
+      explode(shingles(col("__dtext"), n)).as("__sh"))
     val candidates = sh.select(col("__sh"), struct(col("__id")).as("__p"))
       .groupBy("__sh").agg(collect_list(col("__p")).as("__ms"))
       .where(size(col("__ms")) > 1 && size(col("__ms")) <= maxShingleFreq)
@@ -997,7 +1010,7 @@ object Dedup {
       .groupBy(col("__l.__id").as("id_l"), col("__r.__id").as("id_r"))
       .agg(count(lit(1)).as("__shared"))
       .where(col("__shared") >= minSharedShingles)
-    val txt = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    val txt = d.select(col("__id"), col("__dtext").as("__t"))
     candidates
       .join(txt.select(col("__id").as("id_l"), col("__t").as("__tl")), Seq("id_l"))
       .join(txt.select(col("__id").as("id_r"), col("__t").as("__tr")), Seq("id_r"))
@@ -1067,7 +1080,8 @@ object Dedup {
     // scan per consumer, strictly cheaper than a leaked persist in a
     // long-lived session. Multi-action callers pass a [[CacheScope]].
     val sh = CacheScope.maybe(scope,
-      df.select(col(idCol).as("__id"), shingles(col(textCol), n).as("__sh")))
+      Spread.ifSmall(df.select(col(idCol).as("__id"), col(textCol).as("__t0")))
+        .select(col("__id"), shingles(col("__t0"), n).as("__sh")))
     // global order = sorted shingle hashes; prefix = smallest hashes
     val hs = sh.select(col("__id"),
       array_sort(transform(col("__sh"), s => xxhash64(s))).as("__hs"))
@@ -1106,14 +1120,19 @@ object Dedup {
     // signature pipeline has ONE consumer (the band explode); ids alone
     // ride into the buckets, and the exact verification joins the (cheap,
     // scan-projected) shingle arrays onto the deduplicated candidates.
-    val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleN, seed)
+    // the signature kernel and the shingle projections fuse into the
+    // scan stage — spread a narrow/unsplittable input first so they
+    // use the whole machine (identity at scale; Spread scaladoc)
+    val d = Spread.ifSmall(df.select(col(idCol).as("__did"),
+      col(textCol).as("__dtext")))
+    val sig = minhashSignatures(d, "__did", "__dtext", numHashes, shingleN, seed)
     val banded = bandedBuckets(sig, bands, numHashes / bands,
       struct(col("__id")))
     val candidates = bucketPairs(banded, Seq("__band", "__key"), "__p", maxBucketSize)
       .select(col("__l.__id").as("id_l"), col("__r.__id").as("id_r"))
       .distinct()
-    val sh = df.select(col(idCol).as("__id"),
-      shingles(col(textCol), shingleN).as("__sh"))
+    val sh = d.select(col("__did").as("__id"),
+      shingles(col("__dtext"), shingleN).as("__sh"))
     val verified = candidates
       .join(sh.select(col("__id").as("id_l"), col("__sh").as("sh_l")), Seq("id_l"))
       .join(sh.select(col("__id").as("id_r"), col("__sh").as("sh_r")), Seq("id_r"))
@@ -1294,8 +1313,9 @@ object Dedup {
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     minTokens: Int = 8,
                     maxWindowFreq: Option[Int] = Some(1000)): DataFrame = {
-    val toks = df.select(col(idCol).as("__id"),
-      TextAnalysis.tokens(col(textCol)).as("__tk"))
+    val toks = Spread.ifSmall(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("__id"),
+        TextAnalysis.tokens(col(textCol)).as("__tk"))
       .where(size(col("__tk")) >= minTokens)
     val wins = toks.select(col("__id"),
       posexplode(transform(
@@ -1374,7 +1394,8 @@ object Dedup {
     require(maxEvalWindowFreq >= 1, "maxEvalWindowFreq must be >= 1")
     def wins(df: DataFrame, id: String, txt: String,
              outId: String, outPos: String): DataFrame =
-      df.select(col(id).as(outId), TextAnalysis.tokens(col(txt)).as("__tk"))
+      Spread.ifSmall(df.select(col(id), col(txt)))
+        .select(col(id).as(outId), TextAnalysis.tokens(col(txt)).as("__tk"))
         .where(size(col("__tk")) >= minTokens)
         .select(col(outId), posexplode(transform(
           sequence(lit(1), size(col("__tk")) - (minTokens - 1)),

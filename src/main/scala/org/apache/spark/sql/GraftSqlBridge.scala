@@ -24,6 +24,12 @@ object GraftSqlBridge {
                               spark: SparkSession): Unit =
     ext.registerFunctions(spark.sessionState.functionRegistry)
 
+  /** The session's scan split size (`spark.sql.files.maxPartitionBytes`)
+    * — the bound [[graft.operators.Spread]] compares size estimates
+    * against (the conf key object is `private[sql]`). */
+  def maxPartitionBytes(spark: SparkSession): Long =
+    spark.sessionState.conf.filesMaxPartitionBytes
+
   /** A scratch directory Spark deletes RECURSIVELY at JVM shutdown
     * (`Utils.createTempDir` registers it with the shutdown-delete hook;
     * a bare `deleteOnExit` only removes an empty directory, leaking the
