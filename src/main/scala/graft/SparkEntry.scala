@@ -3394,7 +3394,11 @@ object SparkEntry {
     // is mirrored regex-for-regex in the oracle.
     "q_url_norm" -> ((s, dir) => {
       import graft.operators.UrlOps
-      val ev = table(s, dir, "events")
+      // normalizeUrl's regexp chain is the dominant per-row cost and
+      // fuses into the single-row-group scan — spread the raw columns
+      // first (identity at scale; Spread scaladoc)
+      val ev = graft.operators.Spread.ifSmall(
+        table(s, dir, "events").select("event_id", "user_id", "event_type"))
       val u = UrlOps.syntheticUrl(col("event_id"), col("user_id"), col("event_type"))
       ev.select(col("event_id"), UrlOps.normalizeUrl(u).as("url"),
           UrlOps.hostOf(u).as("host"), UrlOps.urlDomain(u).as("domain"))
@@ -3405,7 +3409,11 @@ object SparkEntry {
     // filter — one hash aggregate on eTLD+1 (map-side partials collapse it)
     "q_domain_stats" -> ((s, dir) => {
       import graft.operators.UrlOps
-      val ev = table(s, dir, "events")
+      // normalizeUrl's regexp chain is the dominant per-row cost and
+      // fuses into the single-row-group scan — spread the raw columns
+      // first (identity at scale; Spread scaladoc)
+      val ev = graft.operators.Spread.ifSmall(
+        table(s, dir, "events").select("event_id", "user_id", "event_type"))
       val u = UrlOps.syntheticUrl(col("event_id"), col("user_id"), col("event_type"))
       val base = ev.select(u.as("url"), length(u).as("n_chars"))
       UrlOps.domainStats(
