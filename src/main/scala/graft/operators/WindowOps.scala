@@ -820,21 +820,43 @@ object WindowOps {
     require(window >= 2, s"window must be >= 2, got $window")
     val dec18 = org.apache.spark.sql.types.DecimalType(18, 4)
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 8)
-    val w = spec(partitionBy, orderBy).rowsBetween(-(window - 1), 0)
+    // a bounded ROWS frame makes Spark re-aggregate the whole frame per
+    // row (O(window)/row); each trailing sum is instead the difference
+    // of two O(1)-per-row frames — the running sum minus its value
+    // `window` rows back (guide §1.2, per-task work). Decimal sums are
+    // exact, so cum[i] − cum[i−window] equals the frame sum bit for bit
+    // (a frame whose prefix is all-NULL has a NULL/absent lag — the
+    // 0-coalesce is exactly "nothing to subtract"); every downstream
+    // NULL gate keys off n, which is never NULL per row.
+    val wCum = spec(partitionBy, orderBy)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wOrd = spec(partitionBy, orderBy)
     val both = col(xCol).isNotNull && col(yCol).isNotNull
     val x = when(both, col(xCol).cast("double"))
     val y = when(both, col(yCol).cast("double"))
-    val n = sum(when(both, 1L).otherwise(0L)).over(w)
-    val sx = sum(x.cast(dec18)).over(w).cast("double")
-    val sy = sum(y.cast(dec18)).over(w).cast("double")
-    val sxx = sum((x * x).cast(dec38)).over(w).cast("double")
-    val syy = sum((y * y).cast(dec38)).over(w).cast("double")
-    val sxy = sum((x * y).cast(dec38)).over(w).cast("double")
+    val terms = Seq(
+      "n" -> when(both, 1L).otherwise(0L).cast("long"),
+      "sx" -> x.cast(dec18), "sy" -> y.cast(dec18),
+      "sxx" -> (x * x).cast(dec38), "syy" -> (y * y).cast(dec38),
+      "sxy" -> (x * y).cast(dec38))
+    val withCum = df.select(col("*") +: terms.map { case (nm, t) =>
+      sum(t).over(wCum).as(s"__rc_$nm") }: _*)
+    def roll(nm: String): Column = {
+      val cum = col(s"__rc_$nm")
+      cum - coalesce(lag(cum, window).over(wOrd), lit(0))
+    }
+    val n = roll("n")
+    val sx = roll("sx").cast("double")
+    val sy = roll("sy").cast("double")
+    val sxx = roll("sxx").cast("double")
+    val syy = roll("syy").cast("double")
+    val sxy = roll("sxy").cast("double")
     val cov = n * sxy - sx * sy
     val vx = n * sxx - sx * sx
     val vy = n * syy - sy * sy
-    df.withColumn(outCol,
-      when(n >= 2 && vx > 0 && vy > 0, cov / sqrt(vx * vy)))
+    withCum.withColumn(outCol,
+        when(n >= 2 && vx > 0 && vy > 0, cov / sqrt(vx * vy)))
+      .drop(terms.map { case (nm, _) => s"__rc_$nm" }: _*)
   }
 
   /** Holt's double exponential smoothing (level + linear trend) per
