@@ -3740,7 +3740,10 @@ object SparkEntry {
     // DuckDB oracle are generated from the same list
     "q_bpe_encode" -> ((s, dir) => {
       val toks = graft.operators.TextAnalysis.bpeEncode(col("text"), BpeMerges)
-      table(s, dir, "documents")
+      // the per-row merge-replace chain fuses into the one-row-group
+      // scan — spread it first (identity at scale; Spread scaladoc)
+      graft.operators.Spread.ifSmall(
+          table(s, dir, "documents").select("doc_id", "text"))
         .select(col("doc_id"), size(toks).as("n_tokens"),
           array_join(slice(toks, 1, 12), " ").as("head_tokens"))
         .orderBy("doc_id")

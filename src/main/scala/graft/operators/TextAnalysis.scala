@@ -400,7 +400,10 @@ object TextAnalysis {
            queries: DataFrame, qidCol: String, qtextCol: String,
            k1: Double = 1.2, b: Double = 0.75, topK: Int = 10,
            excludeSelf: Boolean = true): DataFrame = {
-    val toks = docs.select(col(idCol).as("__did"),
+    // the tokenize explode fuses into the scan — spread a narrow/
+    // unsplittable input first (identity at scale; [[Spread]])
+    val toks = Spread.ifSmall(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("__did"),
       explode(tokens(col(textCol))).as("__t"))
     val docLen = toks.groupBy("__did").agg(count(lit(1)).as("__len"))
     val tf = toks.groupBy("__did", "__t").agg(count(lit(1)).as("__tf"))
@@ -466,7 +469,10 @@ object TextAnalysis {
     val spark = docs.sparkSession
     Seq(table, s"${table}_df", s"${table}_stats")
       .foreach(Bucketing.dropForRewrite(spark, _))
-    val toks = docs.select(col(idCol).as("__did"),
+    // the tokenize explode fuses into the scan — spread a narrow/
+    // unsplittable input first (identity at scale; [[Spread]])
+    val toks = Spread.ifSmall(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("__did"),
       explode(tokens(col(textCol))).as("__t"))
     val tf = toks.groupBy("__did", "__t").agg(count(lit(1)).as("__tf"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("__did")
@@ -503,7 +509,10 @@ object TextAnalysis {
     // the merged df/stats across executor disks on a real cluster)
     val scratch = new Scratch(spark, "appendToBm25Index",
       "graft-bm25-merge", scratchDir)
-    val toks = docs.select(col(idCol).as("__did"),
+    // the tokenize explode fuses into the scan — spread a narrow/
+    // unsplittable input first (identity at scale; [[Spread]])
+    val toks = Spread.ifSmall(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("__did"),
       explode(tokens(col(textCol))).as("__t"))
     val tf = toks.groupBy("__did", "__t").agg(count(lit(1)).as("__tf"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("__did")
@@ -1849,7 +1858,8 @@ object TextAnalysis {
     * [[GraphOps.pageRankNano]] as the word-graph edge list). One narrow
     * zip_with + explode + a pair-keyed count aggregate; no per-doc
     * shuffle. */
-  def bigramCounts(docs: DataFrame, textCol: String): DataFrame = docs
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    Spread.ifSmall(docs.select(col(textCol)))
     .select(tokens(col(textCol)).as("__ts"))
     .where(size(col("__ts")) >= 2)
     .select(explode(expr(
