@@ -2409,10 +2409,10 @@ object SparkEntry {
       val docs = table(s, dir, "documents").select("doc_id", "text")
         .where(col("doc_id") < 120)
       val png = Multimodal.withEncodedImagePayload(docs, "text", "png",
-        minPartitions = Some(8))
+        minPartitions = Some(s.sparkContext.defaultParallelism))
       val jpg = Multimodal.withEncodedImagePayload(
         docs.select((col("doc_id") + 500000L).as("doc_id"), col("text")),
-        "text", "jpeg", minPartitions = Some(8))
+        "text", "jpeg", minPartitions = Some(s.sparkContext.defaultParallelism))
       Multimodal.imageNearDup(png.unionByName(jpg), "doc_id", "content",
           dim = 8, maxHamming = 3)
         .select("id_l", "id_r")
@@ -2430,12 +2430,12 @@ object SparkEntry {
       val docs = table(s, dir, "documents").select("doc_id", "text")
         .where(col("doc_id") < 100)
       val corpus = Multimodal.withEncodedImagePayload(docs, "text", "png",
-        minPartitions = Some(8))
+        minPartitions = Some(s.sparkContext.defaultParallelism))
       Multimodal.buildImageDupIndex(corpus, "doc_id", "content",
         "graft_img_idx", dim = 8, buckets = 8)
       val batch = Multimodal.withEncodedImagePayload(
         docs.select((col("doc_id") + 500000L).as("doc_id"), col("text")),
-        "text", "jpeg", minPartitions = Some(8))
+        "text", "jpeg", minPartitions = Some(s.sparkContext.defaultParallelism))
       Multimodal.imageDupAgainstIndex(s, "graft_img_idx", batch,
           "doc_id", "content", dim = 8, maxHamming = 3)
         .select("corpus_id", "batch_id")
@@ -2453,7 +2453,7 @@ object SparkEntry {
       val docs = table(s, dir, "documents").select("doc_id", "text")
         .where(col("doc_id") < 60)
       val corpus = Multimodal.withEncodedImagePayload(docs, "text", "png",
-        minPartitions = Some(8))
+        minPartitions = Some(s.sparkContext.defaultParallelism))
       Multimodal.buildImageDupIndex(corpus, "doc_id", "content",
         "graft_img_srv", dim = 8, buckets = 8)
       val qs = GraftStreaming.readDocumentsGlob(s, dir, "documents.parquet")
