@@ -810,7 +810,8 @@ object WindowOps {
     * single Window node: one exchange, one sort, regardless of window
     * length. Engine-exact by the [[zscore]] recipe: linear sums in
     * DECIMAL(18,4) casts, product sums as one IEEE double multiply cast
-    * to DECIMAL(38,8), doubles only at the final combination — two
+    * to scale-8 decimal (digit-identical to the oracle's DECIMAL(38,8)
+    * for |x·y| < 1e19), doubles only at the final combination — two
     * engines mirroring the tree agree bit-for-bit. Rows where either
     * side is NULL are excluded PAIRWISE (conditional sums), and windows
     * with n < 2 or a zero-variance side yield NULL, never ±Inf/NaN. */
@@ -819,7 +820,16 @@ object WindowOps {
                   window: Int, outCol: String = "corr"): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
     val dec18 = org.apache.spark.sql.types.DecimalType(18, 4)
-    val dec38 = org.apache.spark.sql.types.DecimalType(38, 8)
+    // product terms cast to (27,8), NOT (38,8): identical digits for
+    // |x·y| < 1e19 (same scale-8 HALF_UP rounding), but sum() then lands
+    // at (37,8), so the cum − lag(cum) subtraction below types at
+    // (38,8) — exact, no scale loss. With (38,8) terms the cumulative
+    // is already precision 38 and Spark's decimal subtraction must DROP
+    // scale (precision-loss rounding) — a ~1e-9 drift TemporalPropSpec
+    // catches. Bounds: |x·y| < 1e19 per row, |Σ| < 1e29 per partition
+    // prefix (the unbounded cumulative), both documented headroom far
+    // above the metric ranges this operator serves.
+    val dec27 = org.apache.spark.sql.types.DecimalType(27, 8)
     // a bounded ROWS frame makes Spark re-aggregate the whole frame per
     // row (O(window)/row); each trailing sum is instead the difference
     // of two O(1)-per-row frames — the running sum minus its value
@@ -837,8 +847,8 @@ object WindowOps {
     val terms = Seq(
       "n" -> when(both, 1L).otherwise(0L).cast("long"),
       "sx" -> x.cast(dec18), "sy" -> y.cast(dec18),
-      "sxx" -> (x * x).cast(dec38), "syy" -> (y * y).cast(dec38),
-      "sxy" -> (x * y).cast(dec38))
+      "sxx" -> (x * x).cast(dec27), "syy" -> (y * y).cast(dec27),
+      "sxy" -> (x * y).cast(dec27))
     val withCum = df.select(col("*") +: terms.map { case (nm, t) =>
       sum(t).over(wCum).as(s"__rc_$nm") }: _*)
     def roll(nm: String): Column = {

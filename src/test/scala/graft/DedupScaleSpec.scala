@@ -95,12 +95,45 @@ class DedupScaleSpec extends AnyFunSuite {
       .where(col("__sig") =!= col("__sig2")).count() == 0)
     assert(kernel.count() == agg.count())
     // over a plain scan (no test-side limit) the kernel projection
-    // plans with no exchange at all
+    // plans with no exchange EXCEPT Spread's round-robin parallelism
+    // repair (the input here is one sub-split-size parquet file, so the
+    // repair fires); a hash/range exchange would mean the kernel itself
+    // shuffles — that stays forbidden
     val plain = Dedup.minhashSignatures(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
       "doc_id", "text", 32, 3, 7L)
     val plan = plain.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"signature projection must not shuffle:\n$plan")
+    assertOnlySpreadExchange(plan, "signature projection")
+  }
+
+  /** The kernel-projection shuffle contract, post-Spread: at most ONE
+    * exchange, and it must be Spread's RoundRobinPartitioning repair —
+    * never a hash/range exchange (which would mean the kernel itself
+    * shuffles). The at-scale half of the contract (Spread is the
+    * identity above the size bound, so the projection plans with ZERO
+    * exchanges) is asserted separately below. */
+  private def assertOnlySpreadExchange(plan: String, what: String): Unit = {
+    val exchanges = "Exchange [A-Za-z]+".r.findAllIn(plan).toList
+    assert(exchanges.size <= 1,
+      s"$what must add at most the one Spread exchange, got $exchanges:\n$plan")
+    assert(exchanges.forall(_ == "Exchange RoundRobinPartitioning"),
+      s"$what must not hash/range-shuffle, got $exchanges:\n$plan")
+  }
+
+  test("Spread.ifSmall is the identity above the size bound (at-scale contract)") {
+    // a relation whose optimizer size estimate (rows × 8 B) is far above
+    // maxPartitionBytes × defaultParallelism: ifSmall must return the
+    // SAME DataFrame — no exchange added on the at-scale path. Nothing
+    // is executed; the decision reads only optimizer statistics.
+    val big = spark.range(1L << 40).toDF("id")
+    assert(Spread.ifSmall(big) eq big,
+      "Spread.ifSmall must be the identity when the scan can fill parallelism")
+    // and a tiny relation does get the round-robin repair
+    val small = spark.range(10L).toDF("id")
+    val repaired = Spread.ifSmall(small)
+    assert(repaired ne small)
+    val plan = repaired.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange RoundRobinPartitioning"), plan)
   }
 
   test("native SimHash64 kernel ≡ explode+vote-aggregate form (and HOF form)") {
@@ -122,7 +155,7 @@ class DedupScaleSpec extends AnyFunSuite {
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
       "doc_id", "text")
     val plan = plain.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"simhash projection must not shuffle:\n$plan")
+    assertOnlySpreadExchange(plan, "simhash projection")
   }
 
   test("duplicateClusters fails fast on a non-local master without scratchDir") {
