@@ -2081,8 +2081,11 @@ object SparkEntry {
     // single-shot q_bm25 oracle pins indexed ≡ single-shot bit for bit.
     "q_bm25_indexed" -> ((s, dir) => {
       val docs = table(s, dir, "documents").select("doc_id", "text")
+      // bucket count derives from the corpus size estimate (one bucket
+      // per ~256 MB, min 4) — never a hardcoded layout constant that
+      // fits only one scale; results are layout-independent
       TextAnalysis.buildBm25Index(docs, "doc_id", "text",
-        "graft_bm25_idx", buckets = 4)
+        "graft_bm25_idx", buckets = graft.operators.Bucketing.bucketsFor(docs))
       val queries = docs.where(col("doc_id") < 5)
       TextAnalysis.bm25AgainstIndex(s, "graft_bm25_idx",
         queries, "doc_id", "text", topK = 10)
@@ -2099,8 +2102,11 @@ object SparkEntry {
     // over the full corpus).
     "q_bm25_append" -> ((s, dir) => {
       val docs = table(s, dir, "documents").select("doc_id", "text")
+      // estimate-driven bucket count (see q_bm25_indexed) sized on the
+      // full corpus the lifecycle will hold, not the bootstrap slice
       TextAnalysis.buildBm25Index(docs.where(col("doc_id") < 300),
-        "doc_id", "text", "graft_bm25_app", buckets = 4)
+        "doc_id", "text", "graft_bm25_app",
+        buckets = graft.operators.Bucketing.bucketsFor(docs))
       TextAnalysis.appendToBm25Index(docs.where(col("doc_id") >= 300),
         "doc_id", "text", "graft_bm25_app")
       val queries = docs.where(col("doc_id") >= 5 && col("doc_id") < 10)
@@ -2127,7 +2133,8 @@ object SparkEntry {
       val docs = table(s, dir, "documents").select("doc_id", "text")
         .where(col("doc_id") < 1000)
       TextAnalysis.buildBm25Index(docs.where(col("doc_id") < 300),
-        "doc_id", "text", "graft_bm25_cpt", buckets = 4)
+        "doc_id", "text", "graft_bm25_cpt",
+        buckets = graft.operators.Bucketing.bucketsFor(docs))
       TextAnalysis.appendToBm25Index(docs.where(col("doc_id") >= 300),
         "doc_id", "text", "graft_bm25_cpt")
       Bucketing.compactBucketed(s, "graft_bm25_cpt")
@@ -2152,7 +2159,8 @@ object SparkEntry {
       val docs = table(s, dir, "documents").select("doc_id", "text")
         .where(col("doc_id") < 1000)
       TextAnalysis.buildBm25Index(docs.where(col("doc_id") < 300),
-        "doc_id", "text", "graft_bm25_del", buckets = 4)
+        "doc_id", "text", "graft_bm25_del",
+        buckets = graft.operators.Bucketing.bucketsFor(docs))
       TextAnalysis.appendToBm25Index(docs.where(col("doc_id") >= 300),
         "doc_id", "text", "graft_bm25_del")
       TextAnalysis.deleteFromBm25Index(s, "graft_bm25_del",
@@ -2176,7 +2184,7 @@ object SparkEntry {
     "q_stream_bm25" -> ((s, dir) => {
       val docs = table(s, dir, "documents").select("doc_id", "text")
       TextAnalysis.buildBm25Index(docs, "doc_id", "text",
-        "graft_bm25_srv", buckets = 4)
+        "graft_bm25_srv", buckets = graft.operators.Bucketing.bucketsFor(docs))
       val qs = GraftStreaming.readDocumentsGlob(s, dir, "documents.parquet")
         .where(col("doc_id") < 5).select("doc_id", "text")
       val out = org.apache.spark.sql.GraftSqlBridge
@@ -3400,8 +3408,19 @@ object SparkEntry {
       val ev = graft.operators.Spread.ifSmall(
         table(s, dir, "events").select("event_id", "user_id", "event_type"))
       val u = UrlOps.syntheticUrl(col("event_id"), col("user_id"), col("event_type"))
-      ev.select(col("event_id"), UrlOps.normalizeUrl(u).as("url"),
-          UrlOps.hostOf(u).as("host"), UrlOps.urlDomain(u).as("domain"))
+      // stage the raw URL string ONCE: normalizeUrl/hostOf/urlDomain
+      // reference their input dozens of times, and a Column argument
+      // embeds a COPY of the whole synthetic-url tree per reference —
+      // the r13 plan showed one giant interpreted Project (whole-stage
+      // codegen declined on size, so no subexpression elimination
+      // either). Two projections keep the URL-build tree out of the
+      // normalize chain: CollapseProject will not inline a non-cheap
+      // alias referenced more than once, and the slimmer Project
+      // codegens again (guide §1.2 per-task work / §4 codegen).
+      ev.select(col("event_id"), u.as("__u"))
+        .select(col("event_id"), UrlOps.normalizeUrl(col("__u")).as("url"),
+          UrlOps.hostOf(col("__u")).as("host"),
+          UrlOps.urlDomain(col("__u")).as("domain"))
         .orderBy("event_id")
     }),
 
@@ -3547,11 +3566,17 @@ object SparkEntry {
         steps = 3, walksPerNode = 1)
       val pairs = Embedding.skipGramPairs(walks, "walk_id", "step", "node",
         window = 1)
-      val (m1i, m1o) = Embedding.sgnsFitMatrices(pairs, "a", "b", dim = 4,
-        iters = 1, lr = 0.5, negs = 1, negDist = "unigram75")
-      Embedding.sgnsFit(pairs, "a", "b", dim = 4, iters = 1, lr = 0.5,
-          negs = 1, negDist = "unigram75",
-          initIn = Some(m1i), initOut = Some(m1o))
+      // the training relation, vocab and unigram75 negative table are
+      // pure functions of `pairs` — identical for both fits — so the
+      // warm-start chain prepares ONCE and trains twice (guide §5);
+      // EmbeddingSpec pins shared-prepare ≡ two full fits, and the
+      // oracle hash still replays the composed trajectory cold
+      val prep = Embedding.sgnsPrepare(pairs, "a", "b", negs = 1,
+        negDist = "unigram75")
+      val (m1i, m1o) = Embedding.sgnsFitPrepared(prep, dim = 4,
+        iters = 1, lr = 0.5)
+      Embedding.sgnsFitPrepared(prep, dim = 4, iters = 1, lr = 0.5,
+          initIn = Some(m1i), initOut = Some(m1o))._1
         .select(col("node"), col("pos"), round(col("v"), 9).as("v"))
         .orderBy("node", "pos")
     }),

@@ -12,6 +12,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * layout decision for hot join keys. */
 object Bucketing {
 
+  /** Data-sized bucket count for indexing `df`: one bucket per
+    * `targetBytesPerBucket` of the optimizer's size estimate, clamped to
+    * [minBuckets, maxBuckets]. The [[Spread.ifSmall]] posture — reads
+    * ONLY optimizer statistics (nothing executes), so the same query
+    * text picks 4 buckets over a megabyte fixture and thousands over a
+    * 100 TB corpus instead of baking either scale's constant into the
+    * query (a hardcoded small count is a mega-bucket at warehouse
+    * scale; a hardcoded large one is per-write file spray at bench
+    * scale). Results are layout-independent by the bucketed-index
+    * contract — only file inventory and write fan-out move. */
+  def bucketsFor(df: DataFrame, targetBytesPerBucket: Long = 256L << 20,
+                 minBuckets: Int = 4, maxBuckets: Int = 65536): Int = {
+    require(targetBytesPerBucket > 0 && minBuckets >= 1 &&
+      maxBuckets >= minBuckets, "invalid bucket sizing bounds")
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val want = (est + targetBytesPerBucket - 1) / targetBytesPerBucket
+    want.min(maxBuckets).max(minBuckets).toInt
+  }
+
   /** Write a bucketed + sorted copy registered as `table` in the session
     * catalog (parquet files under the warehouse dir). */
   def writeBucketed(df: DataFrame, table: String, key: String,

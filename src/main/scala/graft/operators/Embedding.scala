@@ -248,16 +248,42 @@ object Embedding {
                       materializeEvery: Int = 1,
                       negDist: String = "uniform",
                       initIn: Option[DataFrame] = None,
-                      initOut: Option[DataFrame] = None): (DataFrame, DataFrame) = {
-    require(dim >= 1 && dim <= 64, s"dim must be in [1,64], got $dim")
-    require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
+                      initOut: Option[DataFrame] = None): (DataFrame, DataFrame) =
+    sgnsFitPrepared(sgnsPrepare(pairs, aCol, bCol, negs, negDist, scratchDir),
+      dim, iters, lr, materializeEvery, initIn, initOut)
+
+  /** The fixed (matrix-independent) training state of a SGNS fit: the
+    * materialized positive+negative training relation, the vocab, and
+    * their counts. A pure function of (pairs, negs, negDist) — the
+    * matrices never feed back into the negative draws — so warm-start
+    * CHAINED fits over the same corpus (q_node2vec2's fit(1) →
+    * fit(1, init)) prepare ONCE and train twice, instead of paying the
+    * pairs/nodes/negatives/weight-table materializations and counts per
+    * fit (guide §5 — reuse beats recompute; at 100 TB each re-prepare
+    * is an extra corpus pass plus its writes). `fitSeq` disambiguates
+    * the matrix snapshot names of consecutive fits sharing this
+    * scratch dir. */
+  final class SgnsPrepared private[Embedding] (
+    private[Embedding] val scratch: Scratch,
+    private[Embedding] val train: DataFrame,
+    private[Embedding] val nodes: DataFrame,
+    private[Embedding] val n: Long) {
+    private[Embedding] val fitSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  }
+
+  /** Materialize the matrix-independent half of [[sgnsFitMatrices]] —
+    * pairs, vocab, negatives (uniform or unigram75), the unioned
+    * training relation and its count — for one or more subsequent
+    * [[sgnsFitPrepared]] calls. */
+  def sgnsPrepare(pairs: DataFrame, aCol: String, bCol: String,
+                  negs: Int = 1, negDist: String = "uniform",
+                  scratchDir: Option[String] = None): SgnsPrepared = {
     require(negs >= 1 && negs <= 8, s"negs must be in [1,8], got $negs")
-    require(materializeEvery >= 1, "materializeEvery must be >= 1")
     require(negDist == "uniform" || negDist == "unigram75",
       s"negDist must be uniform or unigram75, got $negDist")
     val spark = pairs.sparkSession
     val scratch = new Scratch(spark, "sgnsFit", "graft-sgns", scratchDir)
-    import scratch.{materialize, drop}
+    import scratch.materialize
 
     // the pair relation is consumed by FOUR independent actions (vocab,
     // training rows, negative draws, and — weighted mode — the weight
@@ -325,6 +351,29 @@ object Embedding {
       pos.select(col("__c"), col("__x"), lit(1.0).as("__y"))
         .unionByName(negRows), "train")
     val n = train.count()
+    new SgnsPrepared(scratch, train, nodes, n)
+  }
+
+  /** The iteration half of [[sgnsFitMatrices]], over a shared
+    * [[SgnsPrepared]] state. Because the prepared relations are pure
+    * functions of the pair corpus, running this twice over ONE prepare
+    * (second run warm-started from the first's matrices) is
+    * value-identical to two full fits — EmbeddingSpec pins the
+    * equivalence, and q_node2vec2's oracle hash-verifies the composed
+    * trajectory cross-engine. */
+  def sgnsFitPrepared(prep: SgnsPrepared, dim: Int, iters: Int = 2,
+                      lr: Double = 0.5, materializeEvery: Int = 1,
+                      initIn: Option[DataFrame] = None,
+                      initOut: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    require(dim >= 1 && dim <= 64, s"dim must be in [1,64], got $dim")
+    require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
+    require(materializeEvery >= 1, "materializeEvery must be >= 1")
+    val scratch = prep.scratch
+    import scratch.{materialize, drop}
+    val train = prep.train
+    val nodes = prep.nodes
+    val n = prep.n
+    val fid = prep.fitSeq.incrementAndGet()
     val dims = (1 to dim).map(lit(_))
     // inits are plain md5 projections over the (materialized) node
     // relation — no snapshot needed; consumers recompute a map, not a
@@ -407,9 +456,9 @@ object Embedding {
           q9(col("v") - lit(lr) * coalesce(col("__gr"), lit(0.0)) / n)
             .as("v"))
       if (k % materializeEvery == 0 || k == iters) {
-        vin = materialize(vinU, s"vin$k")
-        vout = materialize(voutU, s"vout$k")
-        lastSnap.foreach { p => drop(s"vin$p"); drop(s"vout$p") }
+        vin = materialize(vinU, s"f${fid}_vin$k")
+        vout = materialize(voutU, s"f${fid}_vout$k")
+        lastSnap.foreach { p => drop(s"f${fid}_vin$p"); drop(s"f${fid}_vout$p") }
         lastSnap = Some(k)
         // the snapshot's writes were the actions all open scopes were
         // held for; the parquet re-read cuts the lineage, so every

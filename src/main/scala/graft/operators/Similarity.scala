@@ -588,14 +588,16 @@ object Similarity {
     * parameter.
     *
     * Scale shape: the codebook is MODEL-sized (m·ksub·subDim doubles)
-    * and lives on the driver between iterations (the LinearModel
-    * posture); each iteration is ONE job over the corpus — vectors
-    * explode into m (subspace, subvector) rows, a codegen'd
-    * argmin-when-chain assigns every row to its subspace's nearest code
-    * against the LITERAL current codebook (no join), and one
-    * (subspace, code, pos) aggregate of 1e-9-quantized sums recomputes
-    * all m codebooks at once. Codes that captured no rows keep their
-    * previous centroid (standard empty-cluster rule).
+    * and hops between iterations as a one-row BROADCAST of data (the
+    * LinearModel posture — never per-iteration literals, so the
+    * assign+mean job's generated code is identical across iterations
+    * and compiles once); each iteration is ONE job over the corpus —
+    * vectors explode into m (subspace, subvector) rows, a codegen'd
+    * struct-argmin assigns every row to its subspace's nearest code
+    * from the broadcast codebook, and one (subspace, code, pos)
+    * aggregate of 1e-9-quantized sums recomputes all m codebooks at
+    * once. Codes that captured no rows keep their previous centroid
+    * (standard empty-cluster rule).
     *
     * Deterministic: init is each subspace's slice of the ksub
     * md5-smallest vector ids ([[buildIvfIndex]]'s seed posture); sums
@@ -634,15 +636,27 @@ object Similarity {
         (0 until subDim).map(p => q9(elem(v(j * subDim + p))))
       }
     }
+    // nearest code per (row, subspace), first minimum wins (matching
+    // pqEncode's struct-argmin) — against the codebook riding IN as a
+    // one-row BROADCAST of DATA, never per-iteration literals: the
+    // expression tree below is bit-identical across Lloyd iterations
+    // (only the broadcast row's values change), so the assign+mean job
+    // whole-stage-codegen-compiles ONCE instead of once per iteration
+    // (the LinearModel parameter-server posture; guide §1.2 per-task
+    // work / codegen). Same IEEE subtract/multiply/add sequence per
+    // element, same (d, c) struct-min tie-break — trajectories
+    // unchanged (spec-pinned, oracle green).
+    val cents = element_at(col("__cb"), col("__j") + 1)
+    val assignCol = array_min(array((0 until ksub).map { c =>
+      struct(l2sqData(col("__sv"), element_at(cents, c + 1)).as("d"),
+        lit(c + 1).as("c"))
+    }: _*)).getField("c")
+    val spark = corpus.sparkSession
+    import spark.implicits._
     var it = 0
     while (it < lloydIters) {
-      // nearest code per (row, subspace) against the literal codebook —
-      // first minimum wins, matching pqEncode's struct-argmin
-      val assignCol = (1 until m).foldLeft(
-        when(col("__j") === 0, argminCode(cb(0)))) { (acc, j) =>
-        acc.when(col("__j") === j, argminCode(cb(j)))
-      }
-      val meanRows = sub.withColumn("__c", assignCol)
+      val model = broadcast(Seq(Tuple1(cb)).toDF("__cb"))
+      val meanRows = sub.crossJoin(model).withColumn("__c", assignCol)
         .select(col("__j"), col("__c"),
           posexplode(col("__sv")).as(Seq("__pos", "__x")))
         .groupBy("__j", "__c", "__pos")
@@ -663,13 +677,13 @@ object Similarity {
     cb
   }
 
-  /** First-minimum code (1-based) of `__sv` against one subspace's
-    * literal centroids — the training-side twin of [[pqEncode]]'s
-    * argmin. */
-  private def argminCode(cents: Seq[Seq[Double]]): Column =
-    array_min(array(cents.zipWithIndex.map { case (cent, c) =>
-      struct(l2sq(col("__sv"), cent).as("d"), lit(c + 1).as("c"))
-    }: _*)).getField("c")
+  /** [[l2sq]] against a centroid COLUMN (broadcast data, not a literal)
+    * — identical per-element IEEE sequence; the training loop's
+    * codegen-stable form. */
+  private def l2sqData(a: Column, cent: Column): Column =
+    aggregate(zip_with(a, cent,
+      (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x)
 
   /** Product-quantization encoding: compress each `dim`-float vector to
     * `m` small codes (one byte each at ksub ≤ 256) — the standard 10–50×

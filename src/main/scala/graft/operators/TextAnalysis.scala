@@ -558,45 +558,39 @@ object TextAnalysis {
     * deleted postings — and a term whose postings all die leaves the
     * vocabulary entirely, matching a from-scratch rebuild over the
     * survivors bit for bit; (n, tot) subtract the deleted docs' count
-    * and token mass the same way. The decrements read the OLD postings
-    * (one semi-join, bounded by the deleted docs' postings) and
-    * snapshot through scratch BEFORE the rewrite; the postings rewrite
-    * itself is [[Bucketing.deleteFromBucketed]] (anti-join through
-    * scratch, bucket/sort layout preserved, doubles as a compaction).
-    * Ids absent from the index are no-ops — takedown lists are
-    * routinely replayed. Cost: O(deleted postings) + one scan/shuffle
-    * of the compact index relation, never the corpus text. */
+    * and token mass the same way. SINGLE-PASS: the postings rewrite is
+    * [[Bucketing.deleteFromBucketed]] (anti-join through scratch,
+    * bucket/sort layout preserved, doubles as a compaction), and df /
+    * stats then RECOMPUTE from the rewritten postings exactly as the
+    * build path does — per-term df is bucket-local (zero exchange) and
+    * (n, tot) is one pass over the compact index, both EXACT integer
+    * aggregates, so recompute ≡ decrement bit for bit while the
+    * dead-postings semi-join, its two decrement snapshots and the two
+    * merge-through-scratch writes all disappear (4 table-write cycles
+    * instead of 9; guide §2.4 — fewer passes, and the extra aggregate
+    * rides a relation the rewrite already scans). Ids absent from the
+    * index are no-ops — takedown lists are routinely replayed. Cost:
+    * one scan/shuffle of the compact index relation, never the corpus
+    * text. */
   def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
                           table: String, deleteIds: DataFrame,
                           idCol: String,
                           scratchDir: Option[String] = None): Unit = {
-    val scratch = new Scratch(spark, "deleteFromBm25Index",
-      "graft-bm25-del", scratchDir)
-    val del = scratch.materialize(
-      deleteIds.select(col(idCol).as("__did")).distinct(), "del_ids")
-    val dead = spark.table(table).join(del, Seq("__did"), "semi")
-    // decrements snapshot BEFORE the postings table is dropped
-    val dfDec = scratch.materialize(
-      dead.groupBy("__t").agg(count(lit(1)).as("__ddf")), "df_dec")
-    val statsDec = scratch.materialize(
-      dead.agg(count_distinct(col("__did")).as("__dn"),
-        coalesce(sum("__tf"), lit(0L)).as("__dtot")), "stats_dec")
-    Bucketing.deleteFromBucketed(spark, table, del, "__did",
-      scratchDir)
-    val mergedDf = spark.table(s"${table}_df")
-      .join(dfDec, Seq("__t"), "left")
-      .select(col("__t"),
-        (col("__df") - coalesce(col("__ddf"), lit(0L))).as("__df"))
-      .where(col("__df") > 0) // fully-deleted terms leave the vocab
-    val mergedStats = spark.table(s"${table}_stats").crossJoin(statsDec)
-      .select((col("__n") - col("__dn")).as("__n"),
-        (col("__tot") - col("__dtot")).as("__tot"))
-    Seq((s"${table}_df", mergedDf), (s"${table}_stats", mergedStats))
-      .foreach { case (name, df) =>
-        val snap = scratch.materialize(df, s"del_$name")
-        Bucketing.dropForRewrite(spark, name)
-        snap.write.mode("overwrite").format("parquet").saveAsTable(name)
-      }
+    Bucketing.deleteFromBucketed(spark,
+      table, deleteIds.select(col(idCol).as("__did")), "__did", scratchDir)
+    // df/stats from the SURVIVING postings — the buildBm25Index step
+    // verbatim: reads the just-rewritten postings table, writes the two
+    // side tables (no self-read, no scratch hop needed)
+    val stored = spark.table(table)
+    Bucketing.dropForRewrite(spark, s"${table}_df")
+    stored.groupBy("__t").agg(count(lit(1)).as("__df"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_df")
+    Bucketing.dropForRewrite(spark, s"${table}_stats")
+    stored.agg(count_distinct(col("__did")).as("__n"),
+        coalesce(sum("__tf"), lit(0L)).as("__tot"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_stats")
   }
 
   /** Score a query batch against a [[buildBm25Index]] index: the
@@ -966,6 +960,9 @@ object TextAnalysis {
     * model-sized arithmetic — one corpus scan for counts, one for doc
     * priors. */
   def nbTrain(corpus: DataFrame, labelCol: String, textCol: String): NbModel = {
+    // NOT spread: A/B'd in the r14 round (q_nb 2.33 → 3.05 s) — the
+    // model-sized aggregates + broadcast builds dominate and the extra
+    // 32-task stages cost more than the tokenize parallelism wins
     val base = corpus.where(col(labelCol).isNotNull)
       .select(col(labelCol).as("label"), col(textCol).as("__text"))
     val toks = base.select(col("label"), explode(tokens(col("__text"))).as("__t"))
@@ -1196,6 +1193,9 @@ object TextAnalysis {
       .select(col("*"), explode(bigExpr).as("__bg"))
       .select(col("*"), col("__bg.__w1").as("__w1"),
         col("__bg.__w2").as("__w2"))
+    // NOT spread: A/B'd in the r14 round (q_kn_lm 1.80 → 3.02 s with
+    // Spread on the model + scoring scans) — model-relation broadcasts
+    // dominate; the fused single-task bigram kernel is cheaper here
     val big = maybeB(bigPairs(modelDocs.select(col(textCol)))
       .groupBy("__w1", "__w2").agg(count(lit(1)).as("__c2")))
     val hist = maybeB(big.groupBy("__w1")
@@ -1303,6 +1303,8 @@ object TextAnalysis {
   def chiSquareTokens(corpus: DataFrame, idCol: String, labelCol: String,
                       textCol: String, minDf: Long = 5L,
                       topK: Int = 15): DataFrame = {
+    // NOT spread: A/B'd in the r14 round (q_chi2_tokens 1.40 → 1.80 s)
+    // — the presence distinct + ranked window dominate, not tokenize
     val base = corpus.where(col(labelCol).isNotNull)
       .select(col(idCol).as("__doc"),
         col(labelCol).as("label"), col(textCol).as("__text"))
@@ -1612,6 +1614,10 @@ object TextAnalysis {
                   target: DataFrame, targetTextCol: String,
                   numBuckets: Int = 4096,
                   smoothing: Double = 1.0): DataFrame = {
+    // NOT spread: A/B'd in the r14 round (q_dsir 2.17 → 3.16 s with the
+    // raw projection spread and shared by model + scoring) — the two
+    // B-bounded model aggregates and their broadcasts dominate; the
+    // fused gram kernel is cheaper than the extra exchange + stages
     val lt = dsirModel(target, targetTextCol, numBuckets, smoothing)
       .withColumnRenamed("__lq", "__lt")
     val lr = dsirModel(raw.select(col(textCol)), textCol, numBuckets, smoothing)

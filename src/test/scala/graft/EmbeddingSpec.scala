@@ -207,6 +207,37 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(viaEmpty == oneIter)
   }
 
+  test("sgnsPrepare shared across a warm-start chain ≡ two full fits ≡ one longer fit") {
+    // q_node2vec2's shape: fit(1) then fit(1, init). The prepared
+    // relations (train/nodes/counts/unigram75 table) are pure functions
+    // of the pair corpus, so sharing ONE prepare across both fits must
+    // be value-identical to two full sgnsFitMatrices calls — and both
+    // equal the cold 2-iteration run the oracle replays.
+    val pos = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("a", "c"), ("c", "a"), ("c", "d"), ("d", "c"), ("b", "d"))
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Int, Double)].collect().toSet
+    val prep = Embedding.sgnsPrepare(pos.toDF("a", "b"), "a", "b",
+      negs = 2, negDist = "unigram75")
+    val (s1i, s1o) = Embedding.sgnsFitPrepared(prep, dim = 3, iters = 1,
+      lr = 0.5)
+    val shared = collect(Embedding.sgnsFitPrepared(prep, dim = 3,
+      iters = 1, lr = 0.5, initIn = Some(s1i), initOut = Some(s1o))._1)
+    val (m1i, m1o) = Embedding.sgnsFitMatrices(pos.toDF("a", "b"), "a", "b",
+      dim = 3, iters = 1, lr = 0.5, negs = 2, negDist = "unigram75")
+    val unshared = collect(Embedding.sgnsFit(pos.toDF("a", "b"), "a", "b",
+      dim = 3, iters = 1, lr = 0.5, negs = 2, negDist = "unigram75",
+      initIn = Some(m1i), initOut = Some(m1o)))
+    val cold = collect(Embedding.sgnsFit(pos.toDF("a", "b"), "a", "b",
+      dim = 3, iters = 2, lr = 0.5, negs = 2, negDist = "unigram75"))
+    assert(shared == unshared, "shared prepare must equal two full fits")
+    assert(shared == cold, "warm chain must equal the longer cold run")
+    // the first fit's matrices stayed readable after the second fit's
+    // snapshots (per-fit snapshot names must not collide in the shared
+    // scratch)
+    assert(s1i.count() == 4 * 3 && s1o.count() == 4 * 3)
+  }
+
   test("sgnsFitMatrices: final matrices are parquet snapshots even when iters is not a multiple of materializeEvery") {
     // with materializeEvery = 2 and iters = 3, iterations 1 and 3
     // snapshot (k == iters forces the final one) — the returned frames
