@@ -96,39 +96,61 @@ object Bucketing {
     * non-empty bucket — results bit-identical (same rows, same layout
     * contract), only the file inventory changes.
     *
-    * Mechanics: the table snapshots to scratch parquet first (the
-    * [[graft.operators.Dedup.duplicateClusters]] lifecycle — a bucketed
-    * `saveAsTable` cannot overwrite a table its own plan is reading),
-    * then rewrites through `repartition(numBuckets, key)`:
+    * Mechanics: ONE data write via [[swapRewrite]] (shadow table +
+    * catalog rename; `scratchDir` is retained for source compatibility
+    * and unused), through `repartition(numBuckets, key)`:
     * `HashPartitioning(key, n)` is the SAME `pmod(murmur3, n)` that
     * assigns bucket ids on write, so each write task holds exactly one
     * bucket's rows and emits exactly one file. Cost: one scan + one
     * shuffle of the COMPACT index relation, never the corpus — amortized
     * over all the appends it cleans up after. At 100 TB this runs as an
-    * offline maintenance job on the same schedule as any OPTIMIZE.
-    * Crash window: the drop→rewrite seam is not atomic — a production
-    * deployment on a real catalog compacts into a NEW table name and
-    * swaps (or uses a table format with atomic replace); the scratch
-    * snapshot means no DATA is ever lost, only the catalog entry needs
-    * re-pointing. */
+    * offline maintenance job on the same schedule as any OPTIMIZE. */
   def compactBucketed(spark: SparkSession, table: String,
-                      scratchDir: Option[String] = None): Unit = {
+                      scratchDir: Option[String] = None): Unit =
+    swapRewrite(spark, table, identity)
+
+  /** Rewrite `table` as `transform(old rows)` with ONE data write:
+    * write bucketed into a shadow table, then swap names with a catalog
+    * RENAME (metadata + one directory move). The old
+    * snapshot-through-scratch pattern paid TWO full writes of the
+    * relation (scratch parquet, then the table) because a bucketed
+    * `saveAsTable` cannot overwrite a table its own plan reads — the
+    * shadow name sidesteps the self-read instead of copying around it,
+    * and the old data survives intact until the shadow is fully
+    * written, which also shrinks the drop→rewrite crash window the
+    * scratch pattern documented (a crash now loses only the catalog
+    * entry rename, never data). No driver-local scratch is involved, so
+    * this is cluster-safe by construction (the shadow lives in the
+    * warehouse).
+    *
+    * The source reads the table's FILES as plain parquet, not the
+    * catalog table: a bucket-aware scan advertises
+    * HashPartitioning(bucketCols, n), which lets the planner elide the
+    * explicit repartition below — and then each write task holds a MIX
+    * of buckets and sprays one file per (task, bucket) pair instead of
+    * exactly one per bucket (measured: 63 files for 8 buckets). The
+    * plain scan keeps the shuffle, so the one-file-per-bucket
+    * compaction contract holds. */
+  private def swapRewrite(spark: SparkSession, table: String,
+                          transform: DataFrame => DataFrame): Unit = {
     import org.apache.spark.sql.functions.col
-    val scratch = new Scratch(spark, "compactBucketed", "graft-compact",
-      scratchDir)
-    val spec = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
-    require(spec.nonEmpty, s"$table is not a bucketed table")
-    val bucketCols = spec.get.bucketColumnNames
-    val sortCols = spec.get.sortColumnNames
-    val df = scratch.materialize(spark.table(table), s"compact_$table")
-    dropForRewrite(spark, table)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    require(meta.bucketSpec.nonEmpty, s"$table is not a bucketed table")
+    val spec = meta.bucketSpec.get
+    val bucketCols = spec.bucketColumnNames
+    val sortCols = spec.sortColumnNames
+    val df = transform(spark.read.parquet(meta.location.toString))
+    val shadow = table + "__rw"
+    dropForRewrite(spark, shadow) // clear a crashed predecessor's leftover
     val writer = df
-      .repartition(spec.get.numBuckets, bucketCols.map(col): _*)
+      .repartition(spec.numBuckets, bucketCols.map(col): _*)
       .write.mode("overwrite").format("parquet")
-      .bucketBy(spec.get.numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .bucketBy(spec.numBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) writer.sortBy(sortCols.head, sortCols.tail: _*)
-     else writer).saveAsTable(table)
+     else writer).saveAsTable(shadow)
+    dropForRewrite(spark, table)
+    spark.sql(s"ALTER TABLE $shadow RENAME TO $table")
   }
 
   /** Tombstone-apply for a bucketed table: rewrite `table` WITHOUT the
@@ -137,16 +159,16 @@ object Bucketing {
     * lakehouse story. The key column need NOT be the bucket column
     * (a BM25 postings table buckets by term but deletes by doc id).
     *
-    * Mechanics: the survivor set materializes through scratch parquet
-    * first (a bucketed `saveAsTable` cannot overwrite a table its own
-    * plan reads — the [[compactBucketed]] lifecycle), then rewrites
-    * through `repartition(numBuckets, bucketCols)` preserving the
-    * catalog's bucket/sort spec, so every downstream bucket-pruned
-    * scan and zero-exchange join keeps working — and the rewrite
-    * doubles as a compaction (one file per non-empty bucket). Cost:
-    * one scan + one shuffle of the compact index relation, never the
-    * corpus; the delete-key side is an anti-join (broadcast when the
-    * takedown list is small — the common case — AQE decides).
+    * Mechanics: ONE data write via [[swapRewrite]] (shadow table +
+    * catalog rename — the anti-join plan reads the OLD table while the
+    * shadow writes; `scratchDir` is retained for source compatibility
+    * and unused), through `repartition(numBuckets, bucketCols)`
+    * preserving the catalog's bucket/sort spec, so every downstream
+    * bucket-pruned scan and zero-exchange join keeps working — and the
+    * rewrite doubles as a compaction (one file per non-empty bucket).
+    * Cost: one scan + one shuffle of the compact index relation, never
+    * the corpus; the delete-key side is an anti-join (broadcast when
+    * the takedown list is small — the common case — AQE decides).
     * Deleting on a NULL-able key uses null-safe semantics implicitly:
     * anti-join never matches NULL keys, so NULL-keyed rows survive —
     * callers wanting them gone filter explicitly. */
@@ -154,28 +176,13 @@ object Bucketing {
                          deleteKeys: DataFrame, keyCol: String,
                          scratchDir: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.col
-    val spec = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
-    require(spec.nonEmpty, s"$table is not a bucketed table")
-    val scratch = new Scratch(spark, "deleteFromBucketed", "graft-delete",
-      scratchDir)
-    // the USING-join floats the key column to the front — restore the
-    // table's own column order so the rewrite is schema-identical
-    val cols = spark.table(table).columns.toSeq
-    val kept = scratch.materialize(
-      spark.table(table).join(
-          deleteKeys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-        .select(cols.map(col): _*),
-      s"kept_$table")
-    dropForRewrite(spark, table)
-    val bucketCols = spec.get.bucketColumnNames
-    val sortCols = spec.get.sortColumnNames
-    val writer = kept
-      .repartition(spec.get.numBuckets, bucketCols.map(col): _*)
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(spec.get.numBuckets, bucketCols.head, bucketCols.tail: _*)
-    (if (sortCols.nonEmpty) writer.sortBy(sortCols.head, sortCols.tail: _*)
-     else writer).saveAsTable(table)
+    swapRewrite(spark, table, { old =>
+      // the USING-join floats the key column to the front — restore the
+      // table's own column order so the rewrite is schema-identical
+      old.join(deleteKeys.select(col(keyCol)).distinct(),
+          Seq(keyCol), "left_anti")
+        .select(old.columns.toSeq.map(col): _*)
+    })
   }
 
   /** Similarity-clustered parquet write: range-partition and sort the

@@ -299,7 +299,9 @@ object Embedding {
     // vocab-sized dense index — the deterministic negative-draw table
     val indexed = DetRandom.denseIndex(nodes, "node")
       .select(col("node").as("__neg"), col("idx"))
-    val nvocab = nodes.count()
+    // lazy: only the uniform draw divides by vocab size — unigram75
+    // prepares without paying this extra count action
+    lazy val nvocab = nodes.count()
     val negKey = DetRandom.md5Long48(concat_ws("|",
       col("__c").cast("string"), col("__x").cast("string"),
       col("__j").cast("string")))
@@ -443,18 +445,39 @@ object Embedding {
         .select(col("__c"), col("__x"), col("__g"),
           (col("__p0") + 1).as("pos"),
           col("__vv.__va").as("__vi"), col("__vv.__vb").as("__vo"))
-      val gin = contrib.groupBy(col("__c").as("node"), col("pos"))
-        .agg(sum((col("__g") * col("__vo")).cast(dec)).cast("double").as("__gr"))
-      val gout = contrib.groupBy(col("__x").as("node"), col("pos"))
-        .agg(sum((col("__g") * col("__vi")).cast(dec)).cast("double").as("__gr"))
-      val vinU = vin.join(gin, Seq("node", "pos"), "left")
+      // BOTH gradients in ONE corpus pass: each contrib row explodes
+      // into its center-side and context-side term rows, and one
+      // (side, node, pos) aggregate replaces the separate gin/gout
+      // aggregates — the vin and vout consumers each used to replay the
+      // whole contrib subtree (train scan + two pivots + sigmoid), i.e.
+      // two corpus passes per iteration where one suffices (guide §1.2
+      // / §2.4). Terms cast to decimal BEFORE the explode, and decimal
+      // addition is exact and commutative, so each side's sums are
+      // bit-identical to the two-aggregate form. The aggregate result
+      // is vocab×dim×2-sized — cached for the iteration so the corpus
+      // pass runs once however many downstream actions read it.
+      val sided = contrib.select(explode(array(
+          struct(lit(0).as("__side"), col("__c").as("node"), col("pos"),
+            (col("__g") * col("__vo")).cast(dec).as("__t")),
+          struct(lit(1).as("__side"), col("__x").as("node"), col("pos"),
+            (col("__g") * col("__vi")).cast(dec).as("__t")))).as("__e"))
+        .select(col("__e.__side").as("__side"), col("__e.node").as("node"),
+          col("__e.pos").as("pos"), col("__e.__t").as("__t"))
+      val iterScope = new CacheScope()
+      val grads = iterScope.cache(
+        sided.groupBy("__side", "node", "pos")
+          .agg(sum(col("__t")).cast("double").as("__gr")))
+      def side(s: Int): DataFrame = grads.where(col("__side") === s)
+        .select(col("node"), col("pos"), col("__gr"))
+      val vinU = vin.join(side(0), Seq("node", "pos"), "left")
         .select(col("node"), col("pos"),
           q9(col("v") - lit(lr) * coalesce(col("__gr"), lit(0.0)) / n)
             .as("v"))
-      val voutU = vout.join(gout, Seq("node", "pos"), "left")
+      val voutU = vout.join(side(1), Seq("node", "pos"), "left")
         .select(col("node"), col("pos"),
           q9(col("v") - lit(lr) * coalesce(col("__gr"), lit(0.0)) / n)
             .as("v"))
+      pendingScopes += iterScope
       if (k % materializeEvery == 0 || k == iters) {
         vin = materialize(vinU, s"f${fid}_vin$k")
         vout = materialize(voutU, s"f${fid}_vout$k")
@@ -462,20 +485,17 @@ object Embedding {
         lastSnap = Some(k)
         // the snapshot's writes were the actions all open scopes were
         // held for; the parquet re-read cuts the lineage, so every
-        // cached subtree (the lazy rounds' since the last snapshot) is
-        // now dead weight
+        // cached subtree (this round's gradient cache and the lazy
+        // rounds' since the last snapshot) is now dead weight
         pendingScopes.foreach(_.close())
         pendingScopes.clear()
       } else {
-        // lazy round: the NEXT iteration reads this round's matrices
-        // twice each (array pivot + update join), and the next
-        // snapshot's two writes are separate actions — cache the
-        // UPDATED matrices (vocab-sized, tiny) so the gradient
-        // shuffles behind them run once, not once per consumer
-        val iterScope = new CacheScope()
-        vin = iterScope.cache(vinU)
-        vout = iterScope.cache(voutU)
-        pendingScopes += iterScope
+        // lazy round: vin/vout stay the cheap vocab-sized join over the
+        // cached gradients — no matrix-level cache needed once the
+        // corpus pass behind them is cached (the scope stays open in
+        // pendingScopes until the next snapshot's writes land)
+        vin = vinU
+        vout = voutU
       }
       k += 1
     }

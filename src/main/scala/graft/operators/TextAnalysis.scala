@@ -541,11 +541,17 @@ object TextAnalysis {
     val mergedStats = spark.table(s"${table}_stats").crossJoin(batchStats)
       .select((col("__n") + col("__bn")).as("__n"),
         (col("__tot") + col("__btot")).as("__tot"))
+    // self-read-safe rewrite with ONE data write per side table: the
+    // merge plan reads the OLD table while the shadow writes, then a
+    // catalog rename swaps it in (the Bucketing.swapRewrite posture —
+    // the scratch snapshot + second write are gone)
     Seq((s"${table}_df", mergedDf), (s"${table}_stats", mergedStats))
       .foreach { case (name, df) =>
-        val snap = scratch.materialize(df, name)
+        val shadow = name + "__rw"
+        Bucketing.dropForRewrite(spark, shadow)
+        df.write.mode("overwrite").format("parquet").saveAsTable(shadow)
         Bucketing.dropForRewrite(spark, name)
-        snap.write.mode("overwrite").format("parquet").saveAsTable(name)
+        spark.sql(s"ALTER TABLE $shadow RENAME TO $name")
       }
   }
 
